@@ -1,0 +1,50 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One declared query: the Spark program, and (when SQL-expressible) the
+  * equivalent ANSI SQL the DuckDB oracle runs over the same parquet tables.
+  * `bench = true` marks headline queries timed by graft.Bench.
+  */
+final case class CatalogQuery(
+    name: String,
+    spark: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+object Catalog {
+  def all: Seq[CatalogQuery] =
+    CoreQueries.all ++ CdcQueries.all ++ TrainingQueries.all ++ StreamingQueries.all
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.spark).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  def benchNames: Seq[String] = all.filter(_.bench).map(_.name)
+}
+
+/** Shared helpers for cross-engine deterministic results.
+  *
+  * Money/quantity columns in the harness data are 2-decimal exact, so all
+  * "double" aggregates are computed in decimal (exact, order-independent)
+  * and cast to double once at the end — the same expression shape the
+  * oracle SQL uses, making hashes bit-stable under Spark's unordered
+  * partial aggregation. (A double sum's low bits depend on reduction
+  * order; a decimal sum's do not.)
+  */
+object Q {
+  /** 2-decimal exact cast for money/qty columns. */
+  def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** Exact decimal sum surfaced as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  /** Exact decimal avg surfaced as double (single double division). */
+  def davg(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
+  /** Oracle-side equivalents (DuckDB SQL fragments). */
+  def oDec(e: String): String = s"CAST($e AS DECIMAL(12,2))"
+  def oSum(e: String): String = s"CAST(sum(${oDec(e)}) AS DOUBLE)"
+  def oAvg(e: String): String = s"CAST(sum(${oDec(e)}) AS DOUBLE) / count(*)"
+}

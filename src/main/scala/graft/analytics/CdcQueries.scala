@@ -1,0 +1,176 @@
+package graft.analytics
+
+import graft.core.{ChangeLog, Tables}
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDC pipeline semantics, oracle-checked.
+  *
+  * A deterministic change-log is synthesized from `orders` (insert per row,
+  * update for keys % 3 = 0, delete for keys % 7 = 0, PK-moving update for
+  * keys % 11 = 5) so every pipeline stage — filter chain, routing,
+  * per-key ordering, last-writer-wins compaction, PK-update split
+  * (/root/reference pkg/inputs/mysqlstream/msg.go:170-225) — has an exact
+  * relational oracle in DuckDB.
+  *
+  * The workload shape copies gravity's integration generator: seed rows,
+  * then a mix of insert/update/delete including PK updates
+  * (pkg/mysql_test/generator.go:143-255).
+  */
+object CdcQueries {
+
+  private val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** The shared synthetic change-log (typed encoding: payload inline). */
+  def changeLog(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val inserts = o.select(
+      (col("o_orderkey") * 10).as("seq") +: lit("insert").as("op") +: orderCols.map(col): _*)
+    val updates = o.filter(col("o_orderkey") % 3 === 0).select(
+      (col("o_orderkey") * 10 + 1).as("seq"), lit("update").as("op"),
+      col("o_orderkey"), col("o_custkey"), lit("U").as("o_orderstatus"),
+      (col("o_totalprice") + 1000).as("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    val deletes = o.filter(col("o_orderkey") % 7 === 0).select(
+      (col("o_orderkey") * 10 + 2).as("seq") +: lit("delete").as("op") +: orderCols.map(col): _*)
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
+  private val oracleLog: String =
+    """SELECT o_orderkey*10 AS seq, 'insert' AS op, o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders
+      |UNION ALL
+      |SELECT o_orderkey*10+1, 'update', o_orderkey, o_custkey, 'U', o_totalprice + 1000, o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT o_orderkey*10+2, 'delete', o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 7 = 0""".stripMargin
+
+  /** Enveloped form: adds database/table discriminators (multi-shard shape). */
+  def envelope(s: SparkSession, d: String): DataFrame =
+    changeLog(s, d)
+      .withColumn("database", concat(lit("db"), col("o_custkey") % 4))
+      .withColumn("table", lit("orders"))
+
+  private val oracleEnvelope: String =
+    s"""SELECT t.*, 'db' || (o_custkey % 4) AS "database", 'orders' AS "table" FROM ($oracleLog) t"""
+
+  def all: Seq[CatalogQuery] = Seq(
+    CatalogQuery("cdc_changelog_synth", (s, d) => changeLog(s, d), Some(oracleLog)),
+
+    // last-writer-wins snapshot materialization — "apply the CDC log";
+    // replaces the scheduler's per-key latch replay (SURVEY §2.4) with one
+    // pk-shuffle + window. The canonical composite op.
+    CatalogQuery("cdc_compact_snapshot", (s, d) =>
+      ChangeLog.compact(changeLog(s, d), Seq("o_orderkey")).drop("seq", "op"),
+      Some(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+           |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+           |      FROM ($oracleLog) log) t
+           |WHERE rn = 1 AND op <> 'delete'""".stripMargin), bench = true),
+
+    // final-state-per-key including deletes — the batch a REPLACE-engine
+    // sink needs (pkg/sql_execution_engine/mysql_replace_engine.go:59-88)
+    CatalogQuery("cdc_last_per_key", (s, d) =>
+      ChangeLog.lastPerKey(changeLog(s, d), Seq("o_orderkey")),
+      Some(
+        s"""SELECT seq, op, o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+           |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+           |FROM ($oracleLog) log) t WHERE rn = 1""".stripMargin)),
+
+    // accept filter: matcher group = schema glob AND op set (SURVEY §2.2/2.3)
+    CatalogQuery("cdc_filter_accept", (s, d) => {
+      val chain = TransformChain(Seq(
+        AcceptFilter(Seq(
+          SchemaMatcher("db1"),
+          TableMatcher(Seq("ord*")),
+          DmlOpMatcher(Seq("insert", "update"))))))
+      chain(envelope(s, d))
+    }, Some(
+      s"""SELECT * FROM ($oracleEnvelope) e
+         |WHERE "database" LIKE 'db1' AND "table" LIKE 'ord%' AND op IN ('insert','update')""".stripMargin)),
+
+    // reject filter (blacklist): drop one shard
+    CatalogQuery("cdc_filter_reject", (s, d) => {
+      val chain = TransformChain(Seq(RejectFilter(Seq(SchemaMatcher("db0")))))
+      chain(envelope(s, d))
+    }, Some(
+      s"""SELECT * FROM ($oracleEnvelope) e WHERE NOT ("database" LIKE 'db0')""".stripMargin)),
+
+    // delete-dml-column + rename-dml-column on the typed stream
+    CatalogQuery("cdc_filter_delete_rename_cols", (s, d) => {
+      val chain = TransformChain(Seq(
+        DeleteColumnsFilter(Seq("o_orderpriority")),
+        RenameColumnsFilter(Seq("o_totalprice"), Seq("amount"))))
+      chain(changeLog(s, d))
+    }, Some(
+      s"""SELECT seq, op, o_orderkey, o_custkey, o_orderstatus, o_totalprice AS amount, o_orderdate
+         |FROM ($oracleLog) log""".stripMargin)),
+
+    // router: first-match-wins target assignment (SURVEY §2.5)
+    CatalogQuery("cdc_route_targets", (s, d) => {
+      val router = Router.mysql(Seq(
+        Route(Seq(SchemaMatcher("db0")), Map("schema" -> "cold", "table" -> "orders_cold")),
+        Route(Seq(SchemaMatcher("db*"), DmlOpMatcher(Seq("delete"))), Map("schema" -> "tombstones", "table" -> "*")),
+        Route(Seq(SchemaMatcher("db2")), Map("schema" -> "hot", "table" -> "orders_hot"))))
+      router.assign(envelope(s, d))
+        .select(col("seq"), col("database"), col("table"), col("op"),
+          col("tgt_schema"), col("tgt_table"))
+    }, Some(
+      s"""SELECT seq, "database", "table", op,
+         |  CASE WHEN "database" LIKE 'db0' THEN 'cold'
+         |       WHEN "database" LIKE 'db%' AND op = 'delete' THEN 'tombstones'
+         |       WHEN "database" LIKE 'db2' THEN 'hot'
+         |       ELSE "database" END AS tgt_schema,
+         |  CASE WHEN "database" LIKE 'db0' THEN 'orders_cold'
+         |       WHEN "database" LIKE 'db%' AND op = 'delete' THEN "table"
+         |       WHEN "database" LIKE 'db2' THEN 'orders_hot'
+         |       ELSE "table" END AS tgt_table
+         |FROM ($oracleEnvelope) e""".stripMargin)),
+
+    // PK-update split: update moving the key → delete(old)+insert(new),
+    // delete sequenced first (msg.go:170-225)
+    CatalogQuery("cdc_pk_update_split", (s, d) => {
+      val o = Tables.orders(s, d)
+      val base = o.select(
+        (col("o_orderkey") * 10).as("seq") +: lit("insert").as("op") +:
+          lit(null).cast("long").as("old_o_orderkey") +: orderCols.map(col): _*)
+      val pkMoves = o.filter(col("o_orderkey") % 11 === 5).select(
+        (col("o_orderkey") * 10 + 1).as("seq"), lit("update").as("op"),
+        col("o_orderkey").as("old_o_orderkey"),
+        (col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      ChangeLog.splitPkUpdate(base.unionByName(pkMoves), Seq("o_orderkey"))
+    }, Some(
+      s"""SELECT o_orderkey*20 AS seq, 'insert' AS op, o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders
+         |UNION ALL
+         |SELECT (o_orderkey*10+1)*2, 'delete', o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 11 = 5
+         |UNION ALL
+         |SELECT (o_orderkey*10+1)*2+1, 'insert', o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 11 = 5""".stripMargin)),
+
+    // dependency-hash partitioning: per-key xxhash64 (msg.go:472-475) —
+    // Spark's xxhash64 differs from DuckDB's hash, so the oracle checks the
+    // partition-distribution invariant (count per key) rather than raw hashes
+    CatalogQuery("cdc_dep_hash_groups", (s, d) =>
+      changeLog(s, d)
+        .withColumn("dep_hash", ChangeLog.depHash(Seq("o_orderkey")))
+        .groupBy(col("o_orderkey"))
+        .agg(countDistinct(col("dep_hash")).as("n_hashes"), count(lit(1)).as("n_msgs")),
+      Some(
+        s"""SELECT o_orderkey, 1::BIGINT AS n_hashes, count(*) AS n_msgs
+           |FROM ($oracleLog) log GROUP BY o_orderkey""".stripMargin)),
+
+    // flagship composite: replicate (compact) then analyze (agg) — §7.2
+    CatalogQuery("cdc_apply_then_agg", (s, d) =>
+      ChangeLog.compact(changeLog(s, d), Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total")),
+      Some(
+        s"""SELECT o_orderstatus, count(*) AS n_orders,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+           |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+           |      FROM ($oracleLog) log) t
+           |WHERE rn = 1 AND op <> 'delete'
+           |GROUP BY o_orderstatus""".stripMargin), bench = true)
+  )
+}

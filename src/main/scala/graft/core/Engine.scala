@@ -1,0 +1,83 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SparkSession factory with the engine's standard configuration.
+  *
+  * Designed for a multi-executor cluster even though tests run `local[N]`:
+  * AQE on (runtime partition coalescing + skew-join splitting), shuffle
+  * partitions sized for the local harness via env, UTC session time zone for
+  * oracle parity (the reference treats datetimes as location-less —
+  * /root/reference pkg/sql_execution_engine/utils.go:218-224).
+  */
+object Engine {
+
+  /** Build a session. `master` is only set if no master is configured, so
+    * spark-submit / cluster deployment keeps control in production.
+    */
+  def session(
+      appName: String = "graft",
+      master: Option[String] = None,
+      shufflePartitions: Int = defaultShufflePartitions,
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // deterministic micros-based timestamps in written parquet (the
+      // correctness harness reads our output with another engine)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // harness parquet stores TIMESTAMP(NANOS) which Spark has no native
+      // type for; read as long and convert in the loader (values are
+      // microsecond-aligned, verified in TESTDATA)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    master.foreach(b.master)
+    val withExtra = extraConf.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+    val spark = withExtra.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def defaultShufflePartitions: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
+
+  /** Local session for tests / CLI mains. */
+  def local(appName: String = "graft", cores: Int = 4): SparkSession =
+    session(appName, master = Some(s"local[$cores]"), shufflePartitions = cores)
+}
+
+/** Loaders for the harness star schema (TESTDATA.md). One parquet per table. */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it arrives
+    * as a long which we convert to a proper micros timestamp (values are
+    * microsecond-aligned).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

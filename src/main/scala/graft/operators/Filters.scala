@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** The filter chain: each filter is a `DataFrame => DataFrame` transform,
+  * applied in configured order (reference: pkg/emitter/emitter.go:52-65
+  * runs filters in order; returning continueNext=false drops the message).
+  *
+  * Every filter gates on a matcher group, i.e. semantically
+  * `CASE WHEN matched THEN transform/drop ELSE passthrough` — which is
+  * exactly how these compile: conditional Column expressions, never a
+  * row-at-a-time callback, so the whole chain stays in one codegen stage.
+  */
+sealed trait TransformOp {
+  def apply(df: DataFrame): DataFrame
+}
+
+/** Drop rows matching the group (blacklist) —
+  * /root/reference pkg/filters/reject_filter.go:25-31.
+  */
+final case class RejectFilter(matchers: Seq[Matcher]) extends TransformOp {
+  def apply(df: DataFrame): DataFrame = df.filter(!Matcher.group(matchers))
+}
+
+/** Keep only rows matching the group (whitelist) —
+  * pkg/filters/accept_filter.go:24-29.
+  */
+final case class AcceptFilter(matchers: Seq[Matcher]) extends TransformOp {
+  def apply(df: DataFrame): DataFrame = df.filter(Matcher.group(matchers))
+}
+
+/** Delete named columns from the payload
+  * (pkg/filters/delete_dml_column_filter.go:52-75).
+  *
+  * Typed streams: plain `drop` (columns pruned all the way to the scan).
+  * Map-encoded envelopes: `map_filter` over data/old/pks, conditionally per
+  * matcher group so unmatched tables pass through untouched.
+  */
+final case class DeleteColumnsFilter(columns: Seq[String],
+    matchers: Seq[Matcher] = Nil, enveloped: Boolean = false) extends TransformOp {
+  def apply(df: DataFrame): DataFrame =
+    if (!enveloped) df.drop(columns: _*)
+    else {
+      val pred = Matcher.group(matchers)
+      val keys = array(columns.map(lit): _*)
+      def prune(c: String): Column =
+        when(pred && col(c).isNotNull,
+          map_filter(col(c), (k, _) => !array_contains(keys, k)))
+          .otherwise(col(c))
+      df.withColumn("data", prune("data"))
+        .withColumn("old", prune("old"))
+        .withColumn("pks", prune("pks"))
+    }
+}
+
+/** Rename payload columns from(i) → to(i)
+  * (pkg/filters/rename_dml_column_filter.go:77-110).
+  */
+final case class RenameColumnsFilter(from: Seq[String], to: Seq[String],
+    matchers: Seq[Matcher] = Nil, enveloped: Boolean = false) extends TransformOp {
+  require(from.length == to.length, "rename: from/to arity mismatch")
+  private val mapping = from.zip(to).toMap
+
+  def apply(df: DataFrame): DataFrame =
+    if (!enveloped) mapping.foldLeft(df) { case (d, (f, t)) => d.withColumnRenamed(f, t) }
+    else {
+      val pred = Matcher.group(matchers)
+      val renameKey: (Column, Column) => Column = (k, _) =>
+        mapping.foldLeft(k) { case (acc, (f, t)) => when(k === f, lit(t)).otherwise(acc) }
+      def ren(c: String): Column =
+        when(pred && col(c).isNotNull, transform_keys(col(c), renameKey)).otherwise(col(c))
+      df.withColumn("data", ren("data"))
+        .withColumn("old", ren("old"))
+        .withColumn("pks", ren("pks"))
+    }
+}
+
+/** SQL-expression transform — the superset filter: add/replace a column
+  * with any Catalyst expression (the reference delegates anything beyond
+  * rename/delete to an external gRPC process, pkg/filters/grpc_sidecar_filter.go;
+  * in Spark the whole functions._ surface is available declaratively).
+  */
+final case class ExprTransform(column: String, sql: String) extends TransformOp {
+  def apply(df: DataFrame): DataFrame = df.withColumn(column, expr(sql))
+}
+
+/** Escape hatch mirroring grpc-sidecar (pkg/filters/grpc_sidecar_filter.go:83-133):
+  * a user function Row => Option[Row] applied per-partition. Last resort —
+  * breaks codegen; prefer ExprTransform.
+  */
+final case class UserFilter(fn: Row => Option[Row]) extends TransformOp {
+  def apply(df: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions(_.flatMap(fn(_)))(enc)
+  }
+}
+
+/** Fill columns present in the target schema but absent in the frame with
+  * defaults/NULL (reference output-side AddMissingColumn,
+  * pkg/outputs/mysql/add_missing_column.go:10-30).
+  */
+final case class AddMissingColumns(targetSchema: org.apache.spark.sql.types.StructType,
+    defaults: Map[String, Any] = Map.empty) extends TransformOp {
+  def apply(df: DataFrame): DataFrame = {
+    val present = df.columns.toSet
+    targetSchema.fields.filterNot(f => present(f.name)).foldLeft(df) { (d, f) =>
+      val v = defaults.get(f.name).map(lit).getOrElse(lit(null))
+      d.withColumn(f.name, v.cast(f.dataType))
+    }
+  }
+}
+
+object TransformChain {
+  /** Compose a filter chain in configured order (emitter.go:52-65). */
+  def apply(ops: Seq[TransformOp]): DataFrame => DataFrame =
+    df => ops.foldLeft(df)((d, op) => op(d))
+}
