@@ -1,10 +1,298 @@
 package graft.analytics
 
+import graft.core.Tables
+import graft.functions.{GraftFunctions, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Training-data pipeline operators (dedup / similarity / text analysis /
-  * multimodal) over documents + embeddings. Filled in incrementally.
+/** Training-data pipeline operators over documents + embeddings: the
+  * dedup suite (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+  * cosine), similarity search (brute-force baseline + LSH-bucketed scale
+  * path), text analysis (language-ID, quality, token stats, fingerprint),
+  * and the multimodal binary plumbing.
+  *
+  * The harness corpus has no natural duplicates, so a deterministic dup
+  * set is unioned in (every 10th doc / 20th vector copied under
+  * id + 1_000_000) — both engines build the same view, so every operator
+  * has a non-trivial, exactly-checkable answer.
   */
 object TrainingQueries {
-  def all: Seq[CatalogQuery] = Seq.empty
+
+  // ---- shared synthetic-dup views ---------------------------------------
+
+  private def docsPlus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  private val duckDocsPlus =
+    """SELECT * FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  private def embPlus(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    emb.unionByName(
+      emb.filter(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+  }
+
+  private val duckEmbPlus =
+    """SELECT * FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 1000000 AS vec_id, embedding, label
+      |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
+  def all: Seq[CatalogQuery] = Seq(
+
+    // ---- exact dedup (hash-groupBy) -------------------------------------
+    CatalogQuery("ddp_exact_dup_groups", (s, d) =>
+      docsPlus(s, d)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n_copies") > 1),
+      Some(
+        s"""SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+           |FROM ($duckDocsPlus) dp GROUP BY 1 HAVING count(*) > 1""".stripMargin)),
+
+    CatalogQuery("ddp_exact_dedup_keep_first", (s, d) => {
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      docsPlus(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }, Some(
+      s"""SELECT doc_id, lang, source FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM ($duckDocsPlus) dp) t WHERE rn = 1""".stripMargin), bench = true),
+
+    // ---- MinHash + LSH near-dup candidates ------------------------------
+    // signature k=9, bands=3x3; band join shuffles only (doc_id, band_key)
+    CatalogQuery("ddp_minhash_lsh_pairs", (s, d) => {
+      val sigs = docsPlus(s, d)
+        .select(col("doc_id"), expr(Similarity.minhashSpark("text", 9)).as("sig"))
+      val bands = sigs.select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, 2), j -> md5(concat(
+            | element_at(sig, 3 * CAST(j AS INT) + 1),
+            | element_at(sig, 3 * CAST(j AS INT) + 2),
+            | element_at(sig, 3 * CAST(j AS INT) + 3))))""".stripMargin)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }, Some(
+      s"""WITH dp AS ($duckDocsPlus),
+         |sigs AS (SELECT doc_id, ${Similarity.minhashDuck("text", 9)} AS sig FROM dp),
+         |bands AS (SELECT doc_id, j AS band,
+         |    md5(sig[3*j+1] || sig[3*j+2] || sig[3*j+3]) AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2]) AS j) u)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin),
+      bench = true),
+
+    // ---- n-gram Jaccard verification on blocked pairs --------------------
+    CatalogQuery("ddp_ngram_jaccard_pairs", (s, d) => {
+      val sh = docsPlus(s, d).select(col("doc_id"), col("lang"), col("source"),
+        expr(s"array_distinct(${Similarity.shinglesSpark("text")})").as("sh"))
+      sh.as("a").join(sh.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+            size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    }, Some(
+      s"""WITH sh AS (SELECT doc_id, lang, source,
+         |    list_distinct(${Similarity.shinglesDuck("text")}) AS sh
+         |  FROM ($duckDocsPlus) dp)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) t
+         |WHERE jaccard >= 0.8""".stripMargin)),
+
+    // ---- SimHash dup groups ---------------------------------------------
+    CatalogQuery("ddp_simhash_groups", (s, d) =>
+      docsPlus(s, d)
+        .select(col("doc_id"), expr(Similarity.simhashSpark("text")).as("simhash"))
+        .groupBy(col("simhash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n_docs") > 1),
+      Some(
+        s"""SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
+           |FROM (SELECT doc_id, ${Similarity.simhashDuck("text")} AS simhash
+           |      FROM ($duckDocsPlus) dp) t
+           |GROUP BY simhash HAVING count(*) > 1""".stripMargin)),
+
+    // ---- embedding-cosine near-dup (label-blocked exact pass) ------------
+    CatalogQuery("ddp_embed_cosine_pairs", (s, d) => {
+      val e = embPlus(s, d)
+      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("label"))
+      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("label"))
+      a.join(b, Seq("label")).filter(col("va") < col("vb"))
+        .withColumn("cos_sim", expr(Similarity.cosineSpark("ea", "eb")))
+        .filter(col("cos_sim") >= 0.99)
+        .select(col("va"), col("vb"), round(col("cos_sim"), 4).as("cos_sim"))
+    }, Some(
+      s"""WITH ep AS ($duckEmbPlus)
+         |SELECT va, vb, round(cos_sim, 4) AS cos_sim FROM (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    ${Similarity.cosineDuck("a.embedding", "b.embedding", 64)} AS cos_sim
+         |  FROM ep a JOIN ep b ON a.label = b.label AND a.vec_id < b.vec_id) t
+         |WHERE cos_sim >= 0.99""".stripMargin)),
+
+    // ---- similarity search: brute-force baseline -------------------------
+    CatalogQuery("sim_cosine_topk_bruteforce", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos_raw").desc, col("vec_id"))
+      e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .withColumn("cos_raw", expr(Similarity.cosineSpark("qv", "embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("neighbor_id"), round(col("cos_raw"), 4).as("cos_sim"))
+    }, Some(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0)
+         |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cos_sim FROM (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    ${Similarity.cosineDuck("q.qv", "e.embedding", 64)} AS cos_raw,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${Similarity.cosineDuck("q.qv", "e.embedding", 64)} DESC, e.vec_id) AS rank
+         |  FROM q JOIN embeddings e ON q.query_id <> e.vec_id) t
+         |WHERE rank <= 5""".stripMargin)),
+
+    // ---- similarity search: LSH-bucketed scale path ----------------------
+    // 8-bit hyperplane buckets; candidates meet only within a bucket, so
+    // the join is an equi-join on bucket — the shape that survives 100 TB.
+    CatalogQuery("sim_lsh_ann_topk", (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("bucket", expr(Similarity.lshBucketSpark("embedding", 8, 64)))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos_raw").desc, col("vec_id"))
+      e.join(q, Seq("bucket")).filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cos_raw", expr(Similarity.cosineSpark("qv", "embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("neighbor_id"))
+    }, Some(
+      s"""WITH e AS (SELECT *, ${Similarity.lshBucketDuck("embedding", 8, 64)} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id % 50 = 0)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${Similarity.cosineDuck("q.qv", "e.embedding", 64)} DESC, e.vec_id) AS rank
+         |  FROM q JOIN e ON q.bucket = e.bucket AND q.query_id <> e.vec_id) t
+         |WHERE rank <= 3""".stripMargin), bench = true),
+
+    // ---- text analysis ---------------------------------------------------
+    CatalogQuery("txt_language_id", (s, d) => {
+      val t = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        TextAnalysis.stopwordRatio(col("text"), Seq("the", "a")).as("stop_ratio"))
+        .withColumn("pred_lang",
+          when(col("stop_ratio") >= 0.08, lit("enish")).otherwise(lit("other")))
+    }, Some(
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio,
+        |  CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) >= 0.08 THEN 'enish' ELSE 'other' END AS pred_lang
+        |FROM documents""".stripMargin)),
+
+    CatalogQuery("txt_quality_scores", (s, d) => {
+      val t = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.typeTokenRatio(t).as("ttr"),
+        TextAnalysis.meanTokenLen(t).as("mean_tok_len"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    }, Some(
+      """SELECT doc_id,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS ttr,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS mean_tok_len,
+        |  0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')))
+        |  + 0.7 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS quality
+        |FROM documents""".stripMargin)),
+
+    CatalogQuery("txt_token_stats", (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeishCount(col("text")).cast("long").as("bpeish_tokens"),
+        length(col("text")).cast("long").as("n_chars_txt")),
+      Some(
+        """SELECT doc_id,
+          |  len(string_split(text, ' ')) AS ws_tokens,
+          |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpeish_tokens,
+          |  length(text) AS n_chars_txt
+          |FROM documents""".stripMargin)),
+
+    // rolling-hash fingerprint — graft's custom codegen Expression
+    CatalogQuery("txt_fingerprint_rolling", (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        GraftFunctions.rolling_hash(col("text")).as("fingerprint")),
+      Some(
+        """SELECT doc_id,
+          |  list_reduce(
+          |    list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1),
+          |      i -> ascii(substring(text, i, 1))::BIGINT)),
+          |    (a, c) -> (a * 31 + c) % 2147483648) AS fingerprint
+          |FROM documents""".stripMargin)),
+
+    // ---- multimodal binary plumbing (decode stubbed) ---------------------
+    CatalogQuery("mm_binary_features", mmBinary, Some(
+      """SELECT doc_id,
+        |  length(text) AS n_bytes,
+        |  ascii(substring(text, 1, 1)) AS first_byte,
+        |  list_sum(list_transform(range(1, length(text) + 1),
+        |    i -> ascii(substring(text, i, 1))::BIGINT)) % 997 AS checksum
+        |FROM documents""".stripMargin))
+  )
+
+  /** Opaque-binary pipeline: text → binary payload column + per-partition
+    * imperative "decode"/feature-extract. The real decode (image/audio) is
+    * STUBBED with a deterministic fake — the Spark-side plumbing (binary
+    * schema, typed Dataset, partition-wise batch processing, stable output
+    * schema) is the real, tested part. In production the stub body is the
+    * only thing that changes (JNI codec / native lib per partition).
+    */
+  private def mmBinary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          // STUB decode: deterministic fake features over the raw bytes
+          val n = payload.length
+          val first = if (n > 0) payload(0) & 0xff else 0
+          var cs = 0L
+          var i = 0
+          while (i < n) { cs = (cs + (payload(i) & 0xff)) % 997; i += 1 }
+          (id, n.toLong, first.toLong, cs)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "first_byte", "checksum")
+  }
 }

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hash over a string's bytes:
+  *
+  *   h = fold(bytes, 0) { (acc, b) => (acc * 31 + (b & 0xff)) mod 2^31 }
+  *
+  * Document fingerprinting primitive (content-defined chunking / shingle
+  * fingerprints). Implemented as a native Catalyst expression with
+  * `doGenCode` so it participates in whole-stage codegen — the preferred
+  * extension point over a Scala UDF (boxed, opaque to the optimizer).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash requires STRING, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_hash"
+}
+
+object RollingHash {
+  final val Mod = 1L << 31
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def hash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31 + (bytes(i) & 0xff)) % Mod
+      i += 1
+    }
+    acc
+  }
+
+}
+
+/** Column-level entry points for graft's custom expressions. */
+object GraftFunctions {
+  import org.apache.spark.sql.GraftShims
+
+  def rolling_hash(c: Column): Column =
+    GraftShims.column(RollingHash(GraftShims.expression(c)))
+
+  /** Register SQL names so `expr("rolling_hash(text)")` works too. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+}

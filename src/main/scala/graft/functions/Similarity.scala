@@ -1,0 +1,113 @@
+package graft.functions
+
+/** Cross-engine SQL builders for the similarity / dedup primitives.
+  *
+  * Each primitive is emitted twice from one parameterization: once as
+  * Spark SQL (higher-order functions — codegen'd, distributed) and once as
+  * DuckDB SQL for the oracle. Hashing uses md5 (identical lowercase hex in
+  * both engines); "min over hex strings" is a valid MinHash because the
+  * fixed-length hex ordering equals the 128-bit integer ordering.
+  *
+  * Scale notes: MinHash/LSH and SimHash are linear scans with per-row
+  * array work — they shard perfectly. The LSH band join is an equi-join on
+  * (band, key): at 100 TB it shuffles only (doc_id, band_key) pairs, never
+  * document text. Brute-force cosine exists as the small-N baseline; the
+  * bucketed LSH variant is the scale path (candidates meet only within a
+  * bucket).
+  */
+object Similarity {
+
+  // ---- shingling ---------------------------------------------------------
+
+  /** Word 3-shingles, Spark SQL. */
+  def shinglesSpark(text: String): String =
+    s"""transform(sequence(1, size(split($text, ' ')) - 2),
+       | i -> concat_ws(' ',
+       |   element_at(split($text, ' '), CAST(i AS INT)),
+       |   element_at(split($text, ' '), CAST(i + 1 AS INT)),
+       |   element_at(split($text, ' '), CAST(i + 2 AS INT))))""".stripMargin
+
+  /** Word 3-shingles, DuckDB SQL. */
+  def shinglesDuck(text: String): String =
+    s"""list_transform(range(1, len(string_split($text, ' ')) - 1),
+       | i -> string_split($text, ' ')[i] || ' ' ||
+       |       string_split($text, ' ')[i+1] || ' ' ||
+       |       string_split($text, ' ')[i+2])""".stripMargin
+
+  // ---- MinHash -----------------------------------------------------------
+
+  /** k-permutation MinHash signature (array of k hex-string minima), Spark. */
+  def minhashSpark(text: String, k: Int): String =
+    s"""transform(sequence(0, ${k - 1}),
+       | i -> array_min(transform(${shinglesSpark(text)},
+       |   s -> md5(concat(CAST(i AS STRING), '|', s)))))""".stripMargin
+
+  /** Same signature, DuckDB. */
+  def minhashDuck(text: String, k: Int): String =
+    s"""list_transform(range(0, $k),
+       | i -> list_min(list_transform(${shinglesDuck(text)},
+       |   s -> md5(i::VARCHAR || '|' || s))))""".stripMargin
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 32-bit SimHash over whitespace tokens (bit j from md5 hex digit
+    * j/4, bit j%4), Spark SQL.
+    */
+  def simhashSpark(text: String): String =
+    s"""aggregate(
+       | transform(sequence(0, 31), j ->
+       |   CASE WHEN aggregate(split($text, ' '), CAST(0 AS BIGINT), (acc, t) ->
+       |     acc + 2 * (shiftright(
+       |         instr('0123456789abcdef', substr(md5(t), CAST(j div 4 + 1 AS INT), 1)) - 1,
+       |         CAST(j % 4 AS INT)) % 2) - 1) > 0
+       |   THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END),
+       | CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin
+
+  /** Same, DuckDB SQL. */
+  def simhashDuck(text: String): String =
+    s"""list_sum(list_transform(range(0, 32), j ->
+       | CASE WHEN list_sum(list_transform(string_split($text, ' '), t ->
+       |   2 * (((strpos('0123456789abcdef', substring(md5(t), (j // 4) + 1, 1)) - 1) >> (j % 4)) & 1) - 1)) > 0
+       | THEN (1::BIGINT << j) ELSE 0::BIGINT END))""".stripMargin
+
+  // ---- cosine ------------------------------------------------------------
+
+  /** Sequential-order double dot product of two float arrays, Spark SQL. */
+  def dotSpark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** Same, DuckDB SQL (index-ordered to match Spark's fold order). */
+  def dotDuck(a: String, b: String, dim: Int): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  def cosineSpark(a: String, b: String): String =
+    s"${dotSpark(a, b)} / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)}))"
+
+  def cosineDuck(a: String, b: String, dim: Int): String =
+    s"${dotDuck(a, b, dim)} / (sqrt(${dotDuck(a, a, dim)}) * sqrt(${dotDuck(b, b, dim)}))"
+
+  // ---- random-hyperplane LSH --------------------------------------------
+
+  /** `bits`-bit hyperplane-sign bucket id for a `dim`-dim float array.
+    * Hyperplane components are deterministic ±1 derived from md5("hp"+j).
+    */
+  def lshBucketSpark(v: String, bits: Int, dim: Int): String =
+    s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, j) ->
+       | acc + CASE WHEN
+       |   aggregate(sequence(0, ${dim - 1}), CAST(0 AS DOUBLE), (a2, k) ->
+       |     a2 + (2 * (shiftright(
+       |         instr('0123456789abcdef',
+       |           substr(md5(concat('hp', CAST(j AS STRING))), CAST(k div 4 + 1 AS INT), 1)) - 1,
+       |         CAST(k % 4 AS INT)) % 2) - 1)
+       |       * CAST(element_at($v, CAST(k + 1 AS INT)) AS DOUBLE)) > 0
+       | THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+
+  def lshBucketDuck(v: String, bits: Int, dim: Int): String =
+    s"""list_sum(list_transform(range(0, $bits), j ->
+       | CASE WHEN
+       |   list_sum(list_transform(range(0, $dim), k ->
+       |     (2 * (((strpos('0123456789abcdef',
+       |         substring(md5('hp' || j::VARCHAR), (k // 4) + 1, 1)) - 1) >> (k % 4)) & 1) - 1)
+       |       * $v[k + 1]::DOUBLE)) > 0
+       | THEN (1::BIGINT << j) ELSE 0::BIGINT END))""".stripMargin
+}
