@@ -1,0 +1,142 @@
+package graft.sinks
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+/** SQL-rendering engines for the relational upsert sink.
+  *
+  * The reference renders row batches into MySQL statements
+  * (/root/reference pkg/sql_execution_engine/): multi-row `REPLACE INTO`
+  * (mysql_replace_engine.go:59-88, SQL gen utils.go:19-52,77-107),
+  * `INSERT IGNORE` (utils.go:109-127), single-row
+  * `INSERT ... ON DUPLICATE KEY UPDATE` (utils.go:129-185), and isolated
+  * single-key DELETEs. Batches are split so a DELETE is never batched with
+  * writes (pkg/outputs/mysql/mysql.go:452-482).
+  *
+  * Statement rendering is pure (testable without a database); execution
+  * goes through [[StatementExecutor]], the SPI a JDBC/foreachBatch writer
+  * implements. All engines are idempotent per key (REPLACE semantics), the
+  * property exactly-once delivery relies on when a micro-batch replays.
+  */
+final case class RenderedStatement(sql: String, args: Seq[Seq[Any]])
+
+trait SqlEngine {
+  def name: String
+
+  /** Render writes (insert/update images) for one table; rows are final
+    * per-key images (the scheduler already compacted the batch).
+    */
+  def renderWrites(table: String, schema: StructType, rows: Seq[Row]): Seq[RenderedStatement]
+
+  /** Render a delete for one key. */
+  def renderDelete(table: String, pkCols: Seq[String], pkValues: Seq[Any]): RenderedStatement = {
+    val where = pkCols.map(c => s"`$c` = ?").mkString(" AND ")
+    RenderedStatement(s"DELETE FROM $table WHERE $where", Seq(pkValues))
+  }
+
+  protected def placeholderTuples(nCols: Int, nRows: Int): String = {
+    val tuple = Seq.fill(nCols)("?").mkString("(", ",", ")")
+    Seq.fill(nRows)(tuple).mkString(",")
+  }
+
+  protected def columnList(schema: StructType): String =
+    schema.fieldNames.map(c => s"`$c`").mkString(",")
+
+  protected def rowArgs(schema: StructType, rows: Seq[Row]): Seq[Seq[Any]] =
+    Seq(rows.flatMap(r => schema.fieldNames.map(c => r.getAs[Any](c))))
+}
+
+/** Multi-row REPLACE INTO — the reference's default engine. */
+object ReplaceEngine extends SqlEngine {
+  val name = "mysql-replace-engine"
+  def renderWrites(table: String, schema: StructType, rows: Seq[Row]): Seq[RenderedStatement] =
+    if (rows.isEmpty) Nil
+    else Seq(RenderedStatement(
+      s"REPLACE INTO $table (${columnList(schema)}) VALUES ${placeholderTuples(schema.length, rows.length)}",
+      rowArgs(schema, rows)))
+}
+
+/** Multi-row INSERT IGNORE — append-only mode. */
+object InsertIgnoreEngine extends SqlEngine {
+  val name = "mysql-insert-ignore-engine"
+  def renderWrites(table: String, schema: StructType, rows: Seq[Row]): Seq[RenderedStatement] =
+    if (rows.isEmpty) Nil
+    else Seq(RenderedStatement(
+      s"INSERT IGNORE INTO $table (${columnList(schema)}) VALUES ${placeholderTuples(schema.length, rows.length)}",
+      rowArgs(schema, rows)))
+}
+
+/** Per-row INSERT ... ON DUPLICATE KEY UPDATE (MERGE-style upsert). */
+object OnDupKeyUpdateEngine extends SqlEngine {
+  val name = "mysql-insert-on-dup-key-update"
+  def renderWrites(table: String, schema: StructType, rows: Seq[Row]): Seq[RenderedStatement] =
+    rows.map { r =>
+      val sets = schema.fieldNames.map(c => s"`$c` = VALUES(`$c`)").mkString(",")
+      RenderedStatement(
+        s"INSERT INTO $table (${columnList(schema)}) VALUES ${placeholderTuples(schema.length, 1)} " +
+          s"ON DUPLICATE KEY UPDATE $sets",
+        Seq(schema.fieldNames.map(c => r.getAs[Any](c)).toSeq))
+    }
+}
+
+/** User-supplied SQL template (reference manual-engine): `{{columns}}`,
+  * `{{placeholders}}`, `{{table}}` expand per batch.
+  */
+final case class ManualEngine(template: String) extends SqlEngine {
+  val name = "manual-engine"
+  def renderWrites(table: String, schema: StructType, rows: Seq[Row]): Seq[RenderedStatement] =
+    if (rows.isEmpty) Nil
+    else Seq(RenderedStatement(
+      template
+        .replace("{{table}}", table)
+        .replace("{{columns}}", columnList(schema))
+        .replace("{{placeholders}}", placeholderTuples(schema.length, rows.length)),
+      rowArgs(schema, rows)))
+}
+
+/** Execution SPI: the JDBC writer implements this; tests record statements. */
+trait StatementExecutor {
+  def execute(stmt: RenderedStatement): Unit
+  def close(): Unit = ()
+}
+
+/** JDBC-backed executor (prepared statements, arg batches). */
+final class JdbcStatementExecutor(url: String, props: java.util.Properties)
+    extends StatementExecutor {
+  private lazy val conn = java.sql.DriverManager.getConnection(url, props)
+  def execute(stmt: RenderedStatement): Unit = {
+    val ps = conn.prepareStatement(stmt.sql)
+    try {
+      stmt.args.foreach { args =>
+        args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
+        ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally ps.close()
+  }
+  override def close(): Unit = conn.close()
+}
+
+object BatchSplitter {
+  /** Split a per-key-compacted batch into engine calls with DELETEs
+    * isolated, preserving intra-batch order (mysql.go:452-482). Rows must
+    * carry an `op` column; returns ordered (isDelete, rows) runs.
+    */
+  def splitAroundDeletes(rows: Seq[Row], opCol: String = "op"): Seq[(Boolean, Seq[Row])] = {
+    if (rows.isEmpty) return Nil
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Seq[Row])]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var curDel = rows.head.getAs[String](opCol) == "delete"
+    rows.foreach { r =>
+      val del = r.getAs[String](opCol) == "delete"
+      if (del != curDel || del) { // deletes always run alone
+        if (cur.nonEmpty) runs += ((curDel, cur.toSeq))
+        cur = scala.collection.mutable.ArrayBuffer.empty[Row]
+        curDel = del
+      }
+      cur += r
+    }
+    if (cur.nonEmpty) runs += ((curDel, cur.toSeq))
+    runs.toSeq
+  }
+}

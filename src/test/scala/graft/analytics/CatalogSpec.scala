@@ -1,0 +1,35 @@
+package graft.analytics
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+class CatalogSpec extends SparkSpec {
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("catalog names are unique") {
+    val names = Catalog.all.map(_.name)
+    assert(names.distinct.size == names.size)
+  }
+
+  test("every catalog query executes at sf0.001 and returns a schema") {
+    Catalog.all.foreach { q =>
+      val df = q.spark(spark, sf0001)
+      assert(df.schema.nonEmpty, q.name)
+      assert(df.count() >= 0, q.name)
+    }
+  }
+
+  test("bench subset is non-empty and all present in catalog") {
+    assert(Catalog.benchNames.nonEmpty)
+    assert(Catalog.benchNames.toSet.subsetOf(Catalog.queries.keySet))
+  }
+}

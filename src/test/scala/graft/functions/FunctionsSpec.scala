@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling_hash matches the reference fold, via codegen path") {
+    val df = Seq("abc", "", "the quick brown fox").toDF("text")
+    val got = df.select(GraftFunctions.rolling_hash($"text")).as[Long].collect().toSeq
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % (1L << 31))
+    assert(got == Seq(ref("abc"), ref(""), ref("the quick brown fox")))
+  }
+
+  test("rolling_hash registers for SQL use") {
+    GraftFunctions.register(spark)
+    val n = spark.sql("SELECT rolling_hash('abc') AS h").as[Long].head()
+    assert(n == "abc".getBytes.foldLeft(0L)((a, b) => (a * 31 + b) % (1L << 31)))
+  }
+
+  test("text analysis primitives") {
+    val df = Seq("the cat sat on the mat").toDF("text")
+    val r = df.select(
+      size(TextAnalysis.tokens($"text")).as("n"),
+      TextAnalysis.stopwordRatio($"text", Seq("the")).as("sr"),
+      TextAnalysis.typeTokenRatio(TextAnalysis.tokens($"text")).as("ttr"),
+      TextAnalysis.bpeishCount($"text").as("bpe")).head()
+    assert(r.getAs[Int]("n") == 6)
+    assert(math.abs(r.getAs[Double]("sr") - 2.0 / 6) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ttr") - 5.0 / 6) < 1e-12)
+    assert(r.getAs[Int]("bpe") == 6)
+  }
+
+  test("minhash signatures collide for identical docs, differ for different docs") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "z y x w v u t s"))
+      .toDF("doc_id", "text")
+    val sigs = df.select($"doc_id", expr(Similarity.minhashSpark("text", 9)).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sigs(1L) == sigs(2L) && sigs(1L) != sigs(3L))
+  }
+
+  test("lsh bucket is deterministic and within bit range") {
+    val df = Seq((1L, Array.fill(64)(0.1f)), (2L, Array.fill(64)(0.1f)))
+      .toDF("vec_id", "embedding")
+    val b = df.select(expr(Similarity.lshBucketSpark("embedding", 8, 64)).as("b"))
+      .as[Long].collect().toSeq
+    assert(b(0) == b(1) && b(0) >= 0 && b(0) < 256)
+  }
+}

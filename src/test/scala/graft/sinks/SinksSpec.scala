@@ -1,0 +1,89 @@
+package graft.sinks
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+  private def row(id: Long, v: String): Row =
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any](id, v), schema)
+
+  test("replace engine renders multi-row REPLACE with flattened args") {
+    val st = ReplaceEngine.renderWrites("t", schema, Seq(row(1, "a"), row(2, "b")))
+    assert(st.size == 1)
+    assert(st.head.sql == "REPLACE INTO t (`id`,`v`) VALUES (?,?),(?,?)")
+    assert(st.head.args == Seq(Seq(1L, "a", 2L, "b")))
+  }
+
+  test("insert-ignore and on-dup-key engines") {
+    val ii = InsertIgnoreEngine.renderWrites("t", schema, Seq(row(1, "a")))
+    assert(ii.head.sql.startsWith("INSERT IGNORE INTO t"))
+    val od = OnDupKeyUpdateEngine.renderWrites("t", schema, Seq(row(1, "a"), row(2, "b")))
+    assert(od.size == 2)
+    assert(od.head.sql.contains("ON DUPLICATE KEY UPDATE `id` = VALUES(`id`)"))
+  }
+
+  test("delete renders single-key WHERE; manual engine expands template") {
+    val d = ReplaceEngine.renderDelete("t", Seq("id"), Seq(5L))
+    assert(d.sql == "DELETE FROM t WHERE `id` = ?" && d.args == Seq(Seq(5L)))
+    val m = ManualEngine("INSERT INTO {{table}} ({{columns}}) VALUES {{placeholders}}")
+      .renderWrites("t", schema, Seq(row(1, "a")))
+    assert(m.head.sql == "INSERT INTO t (`id`,`v`) VALUES (?,?)")
+  }
+
+  test("batch splitter isolates deletes, preserves order") {
+    val opSchema = StructType(schema.fields :+ StructField("op", StringType))
+    def r(id: Long, op: String) =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](id, "v", op), opSchema): Row
+    val runs = BatchSplitter.splitAroundDeletes(Seq(
+      r(1, "insert"), r(2, "insert"), r(3, "delete"), r(4, "delete"), r(5, "update")))
+    assert(runs.map { case (del, rs) => (del, rs.map(_.getLong(0))) } ==
+      Seq((false, Seq(1L, 2L)), (true, Seq(3L)), (true, Seq(4L)), (false, Seq(5L))))
+  }
+
+  test("kafka v0.1 wire format fields match the reference serde") {
+    val env = Seq((1L, "insert", "dbx", "users",
+      java.sql.Timestamp.valueOf("2024-01-02 03:04:05"),
+      Map("id" -> "1", "name" -> "n"), Map.empty[String, String], Map("id" -> "1")))
+      .toDF("seq", "op", "database", "table", "event_ts", "data", "old", "pks")
+    val out = KafkaJson.toKafkaFrame(env,
+      KafkaJson.valueV01(host = "h1"), Seq("seq"), lit("topic-a"))
+    val r = out.head()
+    assert(out.columns.toSeq == Seq("key", "value", "topic"))
+    val json = r.getAs[String]("value")
+    // parse back with Spark's JSON reader for structural assertions
+    val parsed = spark.read.json(Seq(json).toDS).head()
+    assert(parsed.getAs[String]("version") == "0.1")
+    assert(parsed.getAs[String]("type") == "insert")
+    assert(parsed.getAs[String]("time_zone") == "Asia/Shanghai")
+    assert(parsed.getAs[String]("host") == "h1")
+    assert(parsed.getAs[Long]("ts") == java.sql.Timestamp.valueOf("2024-01-02 03:04:05").getTime / 1000)
+  }
+
+  test("kafka 2.0.alpha typed payload") {
+    val typed = Seq((7L, "update", "dbx", "users", 42L, "bob"))
+      .toDF("seq", "op", "database", "table", "id", "name")
+    val out = KafkaJson.toKafkaFrame(typed,
+      KafkaJson.valueV20(Seq("id", "name"), Seq("id")), Seq("id"), lit("t"))
+    val parsed = spark.read.json(Seq(out.head().getAs[String]("value")).toDS).head()
+    assert(parsed.getAs[String]("version") == "2.0.alpha")
+    assert(parsed.getAs[Row]("data").getAs[Long]("id") == 42L)
+    assert(parsed.getAs[Row]("pks").getAs[Long]("id") == 42L)
+  }
+
+  test("es doc assembly + nested one-many rebuild") {
+    val parent = Seq((1L, "p1"), (2L, "p2")).toDF("pid", "pname")
+    val child = Seq((1L, "c1"), (1L, "c2"), (2L, "c3")).toDF("fk", "cname")
+    val nested = EsDocs.nestedOneMany(parent, child, "fk", "pid", "children")
+    val got = nested.select($"pid", size($"children").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 2, 2L -> 1))
+  }
+}
