@@ -1,11 +1,141 @@
 package graft.analytics
 
+import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
 
-/** Event-time windowed operators over the events stream table (batch-mode
-  * equivalents of the Structured Streaming pipeline; the streaming forms
-  * are exercised in ScalaTest with real streaming queries).
+/** Event-time operators over the events stream table — tumbling / sliding /
+  * session windows, stream dedup, interval joins, as-of joins,
+  * pivot — in their deterministic batch form (the DuckDB-checkable
+  * semantics). The same operators run as true Structured Streaming queries
+  * (withWatermark + window / session_window / dropDuplicates) in
+  * StreamingSpec; batch and streaming share the event-time semantics, so
+  * the oracle checks here cover both formulations.
   */
 object StreamingQueries {
-  def all: Seq[CatalogQuery] = Seq.empty
+
+  def all: Seq[CatalogQuery] = Seq(
+
+    // ---- tumbling window -------------------------------------------------
+    CatalogQuery("evt_tumbling_hourly", (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value")),
+      Some(
+        s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+           |  count(*) AS n, ${oSum("value")} AS total_value
+           |FROM events GROUP BY 1, 2""".stripMargin), bench = true),
+
+    // ---- sliding window (1h window, 30m slide => 2 windows per event) ----
+    CatalogQuery("evt_sliding_1h_30m", (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").getField("start").as("window_start"))
+        .agg(count(lit(1)).as("n")),
+      Some(
+        """SELECT window_start, count(*) AS n FROM (
+          |  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS window_start FROM events
+          |  UNION ALL
+          |  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000) FROM events) t
+          |GROUP BY 1""".stripMargin)),
+
+    // ---- session window (10-minute gap) ----------------------------------
+    CatalogQuery("evt_session_windows", (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("session_value")),
+      Some(
+        s"""WITH flagged AS (
+           |  SELECT user_id, ts, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000 THEN 1 ELSE 0 END AS new_sess
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |sessions AS (
+           |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+           |    ROWS UNBOUNDED PRECEDING) AS sess_id
+           |  FROM flagged)
+           |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           |  ${oSum("value")} AS session_value
+           |FROM sessions GROUP BY user_id, sess_id""".stripMargin), bench = true),
+
+    // ---- stream dedup (deterministic keep-first per key) ------------------
+    CatalogQuery("evt_dedup_first_per_user_type", (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+    }, Some(
+      """SELECT user_id, event_type, event_id, ts FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS rn FROM events) t
+        |WHERE rn = 1""".stripMargin)),
+
+    // ---- interval join: purchases within 24h after a signup --------------
+    // equi-join on user_id + range predicate => shuffle hash/SMJ, not NL
+    CatalogQuery("evt_interval_join_signup_purchase", (s, d) => {
+      val e = Tables.events(s, d)
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("signup_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"), col("value"))
+      signups.join(purchases, Seq("user_id"))
+        .filter(col("purchase_ts") >= col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id"), col("signup_id"))
+        .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("purchased_value"))
+    }, Some(
+      s"""SELECT s.user_id, s.event_id AS signup_id, count(*) AS n_purchases,
+         |  ${oSum("p.value")} AS purchased_value
+         |FROM events s JOIN events p
+         |  ON s.user_id = p.user_id AND s.event_type = 'signup' AND p.event_type = 'purchase'
+         |  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS
+         |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- as-of join: latest signup at/before each error ------------------
+    // Spark-side: union-and-carry-forward (one shuffle+sort, no NL join) —
+    // the scalable as-of formulation
+    CatalogQuery("evt_asof_last_signup_before_error", (s, d) => {
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("is_err"))
+      e.filter(col("event_type").isin("signup", "error"))
+        .withColumn("is_err", when(col("event_type") === "error", 1).otherwise(0))
+        .withColumn("signup_ts",
+          last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"), col("signup_ts"))
+    }, Some(
+      """SELECT e.event_id AS error_id, e.user_id,
+        |  (SELECT max(s.ts) FROM events s
+        |   WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts) AS signup_ts
+        |FROM events e WHERE e.event_type = 'error'""".stripMargin)),
+
+    // ---- pivot ------------------------------------------------------------
+    CatalogQuery("evt_pivot_type_counts", (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L),
+      Some(
+        """SELECT user_id,
+          |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+          |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+          |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+          |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+          |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+          |FROM events GROUP BY user_id""".stripMargin)),
+
+    // ---- approximate distinct (rows-only: sketch internals differ) -------
+    CatalogQuery("evt_distinct_users_exact_and_approx", (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("approx_users")),
+      None)
+  )
 }

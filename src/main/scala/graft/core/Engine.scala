@@ -74,8 +74,11 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // nanos-long → micros instant → NTZ wall time (session is UTC), so
+      // the column round-trips like the other tables' naive timestamps
       raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")) // integer div: ns epoch overflows double
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
