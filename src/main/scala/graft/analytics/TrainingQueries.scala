@@ -23,9 +23,13 @@ object TrainingQueries {
 
   private def docsPlus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // the corpus arrives as one small file => one input split; spread it
+    // before the CPU-heavy hashing stages (at real scale the source is
+    // many splits and this shuffle is a no-op to remove)
     docs.unionByName(
       docs.filter(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L))
+      .repartition(s.sessionState.conf.numShufflePartitions)
   }
 
   private val duckDocsPlus =
@@ -73,8 +77,12 @@ object TrainingQueries {
     // ---- MinHash + LSH near-dup candidates ------------------------------
     // signature k=9, bands=3x3; band join shuffles only (doc_id, band_key)
     CatalogQuery("ddp_minhash_lsh_pairs", (s, d) => {
+      // materialize tokens then shingles then signature: each stage
+      // evaluates once per row (inline nesting re-runs split per element)
       val sigs = docsPlus(s, d)
-        .select(col("doc_id"), expr(Similarity.minhashSpark("text", 9)).as("sig"))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), expr(Similarity.shinglesFromToks("toks")).as("sh"))
+        .select(col("doc_id"), expr(Similarity.minhashFromShingles("sh", 9)).as("sig"))
       val bands = sigs.select(col("doc_id"),
         posexplode(expr(
           """transform(sequence(0, 2), j -> md5(concat(
@@ -100,8 +108,10 @@ object TrainingQueries {
 
     // ---- n-gram Jaccard verification on blocked pairs --------------------
     CatalogQuery("ddp_ngram_jaccard_pairs", (s, d) => {
-      val sh = docsPlus(s, d).select(col("doc_id"), col("lang"), col("source"),
-        expr(s"array_distinct(${Similarity.shinglesSpark("text")})").as("sh"))
+      val sh = docsPlus(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr(s"array_distinct(${Similarity.shinglesFromToks("toks")})").as("sh"))
       sh.as("a").join(sh.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -124,7 +134,8 @@ object TrainingQueries {
     // ---- SimHash dup groups ---------------------------------------------
     CatalogQuery("ddp_simhash_groups", (s, d) =>
       docsPlus(s, d)
-        .select(col("doc_id"), expr(Similarity.simhashSpark("text")).as("simhash"))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), expr(Similarity.simhashFromToks("toks")).as("simhash"))
         .groupBy(col("simhash"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
         .filter(col("n_docs") > 1),
@@ -178,7 +189,8 @@ object TrainingQueries {
     // the join is an equi-join on bucket — the shape that survives 100 TB.
     CatalogQuery("sim_lsh_ann_topk", (s, d) => {
       val e = Tables.embeddings(s, d)
-        .withColumn("bucket", expr(Similarity.lshBucketSpark("embedding", 8, 64)))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .withColumn("bucket", expr(Similarity.lshBucketLiteral("embedding", 8, 64)))
       val q = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
       val w = Window.partitionBy(col("query_id")).orderBy(col("cos_raw").desc, col("vec_id"))

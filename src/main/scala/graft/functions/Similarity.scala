@@ -19,13 +19,70 @@ object Similarity {
 
   // ---- shingling ---------------------------------------------------------
 
-  /** Word 3-shingles, Spark SQL. */
+  /** Word 3-shingles, Spark SQL.
+    *
+    * PERF: `text` should be a materialized token-array column reference
+    * (`split` the text into a column first). An inline `split(...)` here
+    * re-evaluates per lambda element access — measured 60x slowdown at
+    * sf0.1 before shingles/tokens were materialized step-wise.
+    */
   def shinglesSpark(text: String): String =
     s"""transform(sequence(1, size(split($text, ' ')) - 2),
        | i -> concat_ws(' ',
        |   element_at(split($text, ' '), CAST(i AS INT)),
        |   element_at(split($text, ' '), CAST(i + 1 AS INT)),
        |   element_at(split($text, ' '), CAST(i + 2 AS INT))))""".stripMargin
+
+  /** Word 3-shingles over a materialized token-array column. */
+  def shinglesFromToks(toks: String): String =
+    s"""transform(sequence(1, size($toks) - 2),
+       | i -> concat_ws(' ',
+       |   element_at($toks, CAST(i AS INT)),
+       |   element_at($toks, CAST(i + 1 AS INT)),
+       |   element_at($toks, CAST(i + 2 AS INT))))""".stripMargin
+
+  /** MinHash signature over a materialized shingle-array column. */
+  def minhashFromShingles(sh: String, k: Int): String =
+    s"""transform(sequence(0, ${k - 1}),
+       | i -> array_min(transform($sh, s -> md5(concat(CAST(i AS STRING), '|', s)))))""".stripMargin
+
+  /** 32-bit SimHash over a materialized token-array column. */
+  def simhashFromToks(toks: String): String =
+    s"""aggregate(
+       | transform(sequence(0, 31), j ->
+       |   CASE WHEN aggregate($toks, CAST(0 AS BIGINT), (acc, t) ->
+       |     acc + 2 * (shiftright(
+       |         instr('0123456789abcdef', substr(md5(t), CAST(j div 4 + 1 AS INT), 1)) - 1,
+       |         CAST(j % 4 AS INT)) % 2) - 1) > 0
+       |   THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END),
+       | CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin
+
+  /** Deterministic ±1 hyperplane component for (plane j, dim k) — the
+    * driver-side twin of the in-SQL md5 formula (lshBucketDuck).
+    */
+  def hyperplaneSign(j: Int, k: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp$j".getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString
+    val d = Integer.parseInt(hex.charAt(k / 4).toString, 16)
+    2 * ((d >> (k % 4)) & 1) - 1
+  }
+
+  /** LSH bucket as flat constant-folded arithmetic: hyperplanes are
+    * precomputed driver-side, so the expression is `bits` sign tests over
+    * straight-line +/- chains — no per-row md5, fully codegen'd. Produces
+    * identical buckets to lshBucketDuck (same md5-derived signs).
+    */
+  def lshBucketLiteral(v: String, bits: Int, dim: Int): String = {
+    val bitTerms = (0 until bits).map { j =>
+      val dot = (0 until dim).map { k =>
+        val sign = if (hyperplaneSign(j, k) > 0) "+" else "-"
+        s"$sign CAST(element_at($v, ${k + 1}) AS DOUBLE)"
+      }.mkString(" ")
+      s"(CASE WHEN (0.0D $dot) > 0 THEN ${1L << j}L ELSE 0L END)"
+    }
+    bitTerms.mkString("(", " + ", ")")
+  }
 
   /** Word 3-shingles, DuckDB SQL. */
   def shinglesDuck(text: String): String =
