@@ -16,7 +16,8 @@ final case class CatalogQuery(
 
 object Catalog {
   def all: Seq[CatalogQuery] =
-    CoreQueries.all ++ CdcQueries.all ++ TrainingQueries.all ++ StreamingQueries.all
+    CoreQueries.all ++ TpchQueries.all ++ CdcQueries.all ++
+      TrainingQueries.all ++ StreamingQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.spark).toMap

@@ -1,0 +1,211 @@
+package graft.analytics
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Second analytics battery: TPC-H-shaped queries adapted to the harness
+  * schema plus scalar-function coverage (string/date/conditional) —
+  * every entry DuckDB-oracled with the decimal-exact aggregation scheme.
+  */
+object TpchQueries {
+
+  def all: Seq[CatalogQuery] = Seq(
+
+    // q4: orders having at least one late-shipped lineitem (semi join + agg)
+    CatalogQuery("q4_priority_with_late_items", (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count")),
+      Some(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin), bench = true),
+
+    // q6: single-scan forecast revenue (all predicates pushed to parquet)
+    CatalogQuery("q6_forecast_revenue", (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2001-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n")),
+      Some(
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+          |  count(*) AS n
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
+          |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin), bench = true),
+
+    // q10: top-20 customers by return-flagged revenue
+    CatalogQuery("q10_returned_item_customers", (s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      li.join(broadcast(Tables.orders(s, d)), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }, Some(
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin), bench = true),
+
+    // q12-like: shipping-delay buckets by line status (conditional agg)
+    CatalogQuery("q12_ship_delay_buckets", (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.orders(s, d)), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1)
+            .otherwise(0)).as("late_count"),
+          sum(when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1)
+            .otherwise(0)).as("ontime_count")),
+      Some(
+        """SELECT l_linestatus,
+          |  sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late_count,
+          |  sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS ontime_count
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY l_linestatus""".stripMargin)),
+
+    // q14-like: promo revenue share (single double division at the end)
+    CatalogQuery("q14_promo_revenue_share", (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO",
+            dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+            .otherwise(lit(0).cast("decimal(25,4)"))).cast("double") * 100.0 /
+            sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+              .cast("double")).as("promo_share")),
+      Some(
+        """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+          |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+          |    ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE) * 100.0 /
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+          |  AS promo_share
+          |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
+
+    // explicit GROUPING SETS (beyond rollup/cube)
+    CatalogQuery("agg_grouping_sets", (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin)
+    }, Some(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin)),
+
+    // HAVING + correlated-style aggregation
+    CatalogQuery("agg_frequent_customers", (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .filter(col("n_orders") >= 15),
+      Some(
+        s"""SELECT o_custkey, count(*) AS n_orders, ${oSum("o_totalprice")} AS spend
+           |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin)),
+
+    // scalar-subquery pattern: parts above their brand's average price
+    // (window-based formulation — one shuffle, no per-row subquery)
+    CatalogQuery("win_parts_above_brand_avg", (s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+      Tables.part(s, d)
+        .withColumn("brand_avg",
+          (sum(dec(col("p_retailprice"))).over(w).cast("double") /
+            count(lit(1)).over(w)))
+        .filter(col("p_retailprice") > col("brand_avg"))
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+    }, Some(
+      """SELECT p_partkey, p_brand, p_retailprice FROM (
+        |  SELECT *, CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) OVER (PARTITION BY p_brand) AS DOUBLE)
+        |      / count(*) OVER (PARTITION BY p_brand) AS brand_avg
+        |  FROM part) t
+        |WHERE p_retailprice > brand_avg""".stripMargin)),
+
+    // string function battery
+    CatalogQuery("fn_string_battery", (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          lower(col("c_name")).as("name_lower"),
+          substring(col("c_name"), 10, 9).as("cust_num"),
+          length(col("c_name")).cast("long").as("name_len"),
+          regexp_replace(col("c_name"), "0+", "0").as("name_squeezed"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          reverse(col("c_name")).as("reversed")),
+      Some(
+        """SELECT c_custkey,
+          |  upper(c_mktsegment) AS seg_upper,
+          |  lower(c_name) AS name_lower,
+          |  substring(c_name, 10, 9) AS cust_num,
+          |  length(c_name) AS name_len,
+          |  regexp_replace(c_name, '0+', '0', 'g') AS name_squeezed,
+          |  c_mktsegment || '|' || c_name AS joined,
+          |  lpad(c_custkey::VARCHAR, 8, '0') AS padded,
+          |  reverse(c_name) AS reversed
+          |FROM customer""".stripMargin)),
+
+    // date/time function battery
+    CatalogQuery("fn_date_battery", (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow_sun0"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          trunc(col("o_orderdate"), "month").as("month_start"), // DATE on both engines
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30")),
+      Some(
+        """SELECT o_orderkey,
+          |  year(o_orderdate) AS y,
+          |  month(o_orderdate) AS m,
+          |  dayofmonth(o_orderdate) AS dom,
+          |  dayofweek(o_orderdate) AS dow_sun0,
+          |  quarter(o_orderdate) AS q,
+          |  date_trunc('month', o_orderdate) AS month_start,
+          |  o_orderdate + INTERVAL 30 DAY AS plus30
+          |FROM orders""".stripMargin)),
+
+    // conditional expressions battery
+    CatalogQuery("fn_conditional_battery", (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, "overdrawn")
+            .when(col("c_acctbal") < 1000, "low").otherwise("high").as("bal_class"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(default)")).as("seg_nb"),
+          greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+          (col("c_custkey") % 2 === 0).as("even_key")),
+      Some(
+        """SELECT c_custkey,
+          |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+          |       WHEN c_acctbal < 1000 THEN 'low' ELSE 'high' END AS bal_class,
+          |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(default)') AS seg_nb,
+          |  greatest(c_acctbal, 0.0) AS bal_floor,
+          |  c_custkey % 2 = 0 AS even_key
+          |FROM customer""".stripMargin))
+  )
+}
