@@ -159,6 +159,37 @@ object CdcQueries {
         s"""SELECT o_orderkey, 1::BIGINT AS n_hashes, count(*) AS n_msgs
            |FROM ($oracleLog) log GROUP BY o_orderkey""".stripMargin)),
 
+    // consistency verifier (cmd/verifier / dcp analogue): full-outer keyed
+    // diff of source vs a deterministically-perturbed target
+    CatalogQuery("vrf_row_diff", (s, d) => {
+      val src = Tables.orders(s, d)
+      val tgt = src.filter(col("o_orderkey") % 97 =!= 0) // missing rows
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice"))) // mismatched rows
+        .unionByName(src.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 5000000L)) // extra rows
+      graft.tools.Consistency.diff(src, tgt, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("status"))
+    }, Some(
+      """WITH tgt AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 5000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |  CASE WHEN t.o_orderkey IS NULL THEN 'missing_in_target'
+        |       WHEN s.o_orderkey IS NULL THEN 'missing_in_source'
+        |       ELSE 'mismatch' END AS status
+        |FROM orders s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+        |WHERE t.o_orderkey IS NULL OR s.o_orderkey IS NULL
+        |   OR NOT (s.o_custkey = t.o_custkey AND s.o_orderstatus = t.o_orderstatus
+        |       AND s.o_totalprice = t.o_totalprice AND s.o_orderdate = t.o_orderdate
+        |       AND s.o_orderpriority = t.o_orderpriority)""".stripMargin)),
+
     // flagship composite: replicate (compact) then analyze (agg) — §7.2
     CatalogQuery("cdc_apply_then_agg", (s, d) =>
       ChangeLog.compact(changeLog(s, d), Seq("o_orderkey"))

@@ -1,0 +1,74 @@
+package graft.sinks
+
+/** DDL replay for the relational sink: classify the statement, rewrite
+  * schema/table names to the routed targets, and make it idempotent.
+  *
+  * The reference replays six statement classes with target renames and
+  * idempotency — IF EXISTS / IF NOT EXISTS injection and tolerance of
+  * duplicate-column errors (/root/reference pkg/outputs/mysql/mysql.go:
+  * 246-392, executeDDL 484-511). Statements are matched structurally
+  * (regex-lite, like the reference's non-AST fallbacks); anything
+  * unrecognized passes through untouched for the operator to review.
+  */
+object DdlRewriter {
+
+  sealed trait DdlClass
+  case object CreateDatabase extends DdlClass
+  case object DropDatabase extends DdlClass
+  case object CreateTable extends DdlClass
+  case object DropTable extends DdlClass
+  case object AlterTable extends DdlClass
+  case object RenameTable extends DdlClass
+  case object Other extends DdlClass
+
+  private val createDb = """(?is)^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?[`"]?(\w+)[`"]?(.*)$""".r
+  private val dropDb = """(?is)^\s*DROP\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+EXISTS\s+)?[`"]?(\w+)[`"]?(.*)$""".r
+  private val createTbl = """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)(.*)$""".r
+  private val dropTbl = """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\S+)(.*)$""".r
+  private val alterTbl = """(?is)^\s*ALTER\s+TABLE\s+(\S+)(.*)$""".r
+  private val renameTbl = """(?is)^\s*RENAME\s+TABLE\s+(.*)$""".r
+
+  def classify(sql: String): DdlClass = sql match {
+    case createDb(_, _) => CreateDatabase
+    case dropDb(_, _) => DropDatabase
+    case createTbl(_, _) => CreateTable
+    case dropTbl(_, _) => DropTable
+    case alterTbl(_, _) => AlterTable
+    case renameTbl(_) => RenameTable
+    case _ => Other
+  }
+
+  /** Qualified name rewrite: `db`.`tbl` / db.tbl / tbl → target pair. */
+  private def retarget(name: String, targetDb: String, targetTable: String): String = {
+    val _ = name // source name consulted only for classification
+    s"`$targetDb`.`$targetTable`"
+  }
+
+  /** Rewrite a DDL statement toward (targetDb, targetTable), injecting
+    * idempotency guards. Returns the statements to execute in order.
+    */
+  def rewrite(sql: String, targetDb: String, targetTable: String): Seq[String] =
+    sql match {
+      case createDb(_, rest) =>
+        Seq(s"CREATE DATABASE IF NOT EXISTS `$targetDb`${rest.trim match {
+          case "" => ""; case r => " " + r
+        }}")
+      case dropDb(_, _) =>
+        Seq(s"DROP DATABASE IF EXISTS `$targetDb`")
+      case createTbl(name, rest) =>
+        Seq(s"CREATE TABLE IF NOT EXISTS ${retarget(name, targetDb, targetTable)}${rest}")
+      case dropTbl(name, _) =>
+        Seq(s"DROP TABLE IF EXISTS ${retarget(name, targetDb, targetTable)}")
+      case alterTbl(name, rest) =>
+        Seq(s"ALTER TABLE ${retarget(name, targetDb, targetTable)}${rest}")
+      case renameTbl(_) =>
+        // rename collapses to targeting: the routed name IS the new name
+        Seq.empty
+      case other => Seq(other)
+    }
+
+  /** MySQL errno values safe to swallow on replay (duplicate column/key —
+    * mysql.go ignores 1060/1061 so ALTER replays are idempotent).
+    */
+  val ignorableErrnos: Set[Int] = Set(1060, 1061, 1050, 1091)
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Pipeline health monitoring.
+  *
+  * The reference tracks per-stream watermarks + an unhealthy threshold on
+  * commit lag (/root/reference pkg/schedulers/batch_table_scheduler/
+  * batch_table_scheduler.go:152-174) and serves them over `/status`
+  * (cmd/gravity/main.go:185-238). On Spark the same signals come from the
+  * StreamingQueryListener progress events; this listener keeps a bounded
+  * history and answers the healthy/lag questions.
+  */
+final class HealthListener(historySize: Int = 64,
+    unhealthyAfterMs: Long = 30000) extends StreamingQueryListener {
+
+  final case class BatchHealth(
+      queryName: String,
+      batchId: Long,
+      numInputRows: Long,
+      batchDurationMs: Long,
+      eventTimeWatermark: Option[String])
+
+  private val history = new ConcurrentLinkedQueue[BatchHealth]()
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    history.add(BatchHealth(
+      Option(p.name).getOrElse(p.id.toString),
+      p.batchId,
+      p.numInputRows,
+      p.batchDuration,
+      Option(p.eventTime.get("watermark"))))
+    while (history.size() > historySize) history.poll()
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+  def batches: Seq[BatchHealth] = history.asScala.toSeq
+
+  /** Unhealthy when recent batches exceed the commit-lag threshold — the
+    * analogue of the reference's HealthyThreshold check.
+    */
+  def healthy: Boolean =
+    batches.takeRight(3).forall(_.batchDurationMs < unhealthyAfterMs)
+
+  /** The `/status` payload analogue (core.Msg TaskReportStatus,
+    * pkg/core/msg.go:194-201).
+    */
+  def statusReport: Map[String, Any] = {
+    val bs = batches
+    Map(
+      "healthy" -> healthy,
+      "batches_seen" -> bs.size,
+      "last_batch_id" -> bs.lastOption.map(_.batchId).getOrElse(-1L),
+      "last_watermark" -> bs.lastOption.flatMap(_.eventTimeWatermark).getOrElse(""),
+      "total_rows" -> bs.map(_.numInputRows).sum)
+  }
+}
