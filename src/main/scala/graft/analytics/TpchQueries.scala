@@ -189,6 +189,56 @@ object TpchQueries {
           |  o_orderdate + INTERVAL 30 DAY AS plus30
           |FROM orders""".stripMargin)),
 
+    // grouped top-k via bounded-heap Aggregator: ships k-row states through
+    // the shuffle instead of window-sorting every group's full row set
+    CatalogQuery("agg_topk_per_brand_heap", (s, d) => {
+      import s.implicits._
+      val agg = graft.functions.TopKAggregator(3)
+      Tables.part(s, d)
+        .select(col("p_brand"), col("p_retailprice"), col("p_partkey"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(agg.toColumn.name("ids"))
+        .toDF("p_brand", "ids")
+        .select(col("p_brand"), posexplode(col("ids")))
+        .select(col("p_brand"), (col("pos") + 1).cast("long").as("rank"),
+          col("col").as("p_partkey"))
+    }, Some(
+      """SELECT p_brand, rn AS rank, p_partkey FROM (
+        |  SELECT p_brand, p_partkey,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) t WHERE rn <= 3""".stripMargin)),
+
+    // array explode with position (lateral unnest)
+    CatalogQuery("arr_explode_embedding_dims", (s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim_idx"),
+          col("col").cast("double").as("component")),
+      Some(
+        """SELECT vec_id, i AS dim_idx, embedding[CAST(i + 1 AS INT)]::DOUBLE AS component
+          |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) u
+          |WHERE vec_id < 50""".stripMargin)),
+
+    // array function battery
+    CatalogQuery("arr_function_battery", (s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          slice(transform(col("embedding"), x => x.cast("double")), 1, 4).as("first4"),
+          array_max(transform(col("embedding"), x => x.cast("double"))).as("vmax"),
+          array_min(transform(col("embedding"), x => x.cast("double"))).as("vmin")),
+      Some(
+        """SELECT vec_id,
+          |  len(embedding) AS n_dims,
+          |  (embedding[1:4])::DOUBLE[] AS first4,
+          |  list_max(embedding::DOUBLE[]) AS vmax,
+          |  list_min(embedding::DOUBLE[]) AS vmin
+          |FROM embeddings""".stripMargin)),
+
     // conditional expressions battery
     CatalogQuery("fn_conditional_battery", (s, d) =>
       Tables.customer(s, d)
