@@ -145,6 +145,28 @@ object TrainingQueries {
            |      FROM ($duckDocsPlus) dp) t
            |GROUP BY simhash HAVING count(*) > 1""".stripMargin)),
 
+    // SimHash near-dup pairs by Hamming distance (native bit_count on the
+    // XOR — no custom expression needed; blocked by lang to bound pairs)
+    CatalogQuery("ddp_simhash_hamming_pairs", (s, d) => {
+      val sh = docsPlus(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("lang"),
+          expr(Similarity.simhashFromToks("toks")).as("simhash"))
+      sh.as("a").join(sh.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 4)
+    }, Some(
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, ${Similarity.simhashDuck("text")} AS simhash
+         |  FROM ($duckDocsPlus) dp)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id) t
+         |WHERE hamming <= 4""".stripMargin)),
+
     // ---- embedding-cosine near-dup (label-blocked exact pass) ------------
     CatalogQuery("ddp_embed_cosine_pairs", (s, d) => {
       val e = embPlus(s, d)
