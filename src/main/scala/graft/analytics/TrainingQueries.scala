@@ -294,6 +294,43 @@ object TrainingQueries {
           |    (a, c) -> (a * 31 + c) % 2147483648) AS fingerprint
           |FROM documents""".stripMargin)),
 
+    // ---- deterministic sampling (the 100 TB-safe method) -----------------
+    // consistent hash-mod sampling: reproducible across runs/engines, no
+    // coordination, stable under re-partitioning — unlike rand() sampling
+    CatalogQuery("smp_hash_sample_12pct", (s, d) =>
+      Tables.documents(s, d)
+        .filter( // first md5 hex digit < 2 => 2/16 = 12.5% deterministic sample
+          expr("instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 < 2"))
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      Some(
+        """SELECT doc_id, lang, n_chars FROM documents
+          |WHERE strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), 1, 1)) - 1 < 2""".stripMargin)),
+
+    // stratified deterministic sample: first 10 docs per language by hash
+    // order (reproducible stratified sampling for training mixes)
+    CatalogQuery("smp_stratified_per_lang", (s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("lang"), col("doc_id"))
+    }, Some(
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents) t WHERE rn <= 10""".stripMargin)),
+
+    // histogram of document lengths (data-quality profile op)
+    CatalogQuery("txt_length_histogram", (s, d) =>
+      Tables.documents(s, d)
+        .groupBy((col("n_chars") / 100).cast("long").as("bucket_100"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars")),
+      Some(
+        """SELECT CAST(n_chars // 100 AS BIGINT) AS bucket_100, count(*) AS n_docs,
+          |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+          |FROM documents GROUP BY 1""".stripMargin)),
+
     // ---- multimodal binary plumbing (decode stubbed) ---------------------
     CatalogQuery("mm_binary_features", mmBinary, Some(
       """SELECT doc_id,

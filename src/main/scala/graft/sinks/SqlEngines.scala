@@ -79,6 +79,42 @@ object OnDupKeyUpdateEngine extends SqlEngine {
     }
 }
 
+/** Optimistic compare-and-set engine for bidirectional replication
+  * (reference conflict-detect-engine, pkg/sql_execution_engine/
+  * conflict_engine.go:113-200): INSERT plain; UPDATE/DELETE carry a WHERE
+  * matching the OLD row image so a concurrent change on the target makes
+  * the statement affect 0 rows — the caller treats that as a conflict
+  * (logs it; optionally overrides with REPLACE).
+  */
+object ConflictDetectEngine extends SqlEngine {
+  val name = "conflict-detect-engine"
+
+  def renderWrites(table: String, schema: StructType, rows: Seq[Row]): Seq[RenderedStatement] =
+    rows.map { r =>
+      RenderedStatement(
+        s"INSERT INTO $table (${columnList(schema)}) VALUES ${placeholderTuples(schema.length, 1)}",
+        Seq(schema.fieldNames.map(c => r.getAs[Any](c)).toSeq))
+    }
+
+  /** UPDATE with optimistic old-image guard. */
+  def renderGuardedUpdate(table: String, schema: StructType, newRow: Row,
+      oldValues: Map[String, Any]): RenderedStatement = {
+    val sets = schema.fieldNames.map(c => s"`$c` = ?").mkString(",")
+    val (guardCols, guardVals) = oldValues.toSeq.sortBy(_._1).unzip
+    val where = guardCols.map(c => s"`$c` <=> ?").mkString(" AND ")
+    RenderedStatement(
+      s"UPDATE $table SET $sets WHERE $where",
+      Seq(schema.fieldNames.map(c => newRow.getAs[Any](c)).toSeq ++ guardVals))
+  }
+
+  /** DELETE with optimistic old-image guard. */
+  def renderGuardedDelete(table: String, oldValues: Map[String, Any]): RenderedStatement = {
+    val (guardCols, guardVals) = oldValues.toSeq.sortBy(_._1).unzip
+    val where = guardCols.map(c => s"`$c` <=> ?").mkString(" AND ")
+    RenderedStatement(s"DELETE FROM $table WHERE $where", Seq(guardVals))
+  }
+}
+
 /** User-supplied SQL template (reference manual-engine): `{{columns}}`,
   * `{{placeholders}}`, `{{table}}` expand per batch.
   */

@@ -5,6 +5,18 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
 import java.util.concurrent.ConcurrentLinkedQueue
 import scala.jdk.CollectionConverters._
 
+/** Position administration: the reference's `/reset` endpoint clears the
+  * pipeline position (cmd/gravity/main.go:185-238); here positions ARE the
+  * streaming checkpoint, so reset = delete the checkpoint directory.
+  */
+object Positions {
+  def reset(spark: org.apache.spark.sql.SparkSession, checkpointDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    !fs.exists(p) || fs.delete(p, true)
+  }
+}
+
 /** Pipeline health monitoring.
   *
   * The reference tracks per-stream watermarks + an unhealthy threshold on

@@ -86,4 +86,15 @@ class SinksSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(got == Map(1L -> 2, 2L -> 1))
   }
+
+  test("conflict-detect engine: optimistic guards on old image") {
+    val ins = ConflictDetectEngine.renderWrites("t", schema, Seq(row(1, "a")))
+    assert(ins.head.sql == "INSERT INTO t (`id`,`v`) VALUES (?,?)")
+    val upd = ConflictDetectEngine.renderGuardedUpdate("t", schema, row(1, "b"),
+      Map("id" -> 1L, "v" -> "a"))
+    assert(upd.sql == "UPDATE t SET `id` = ?,`v` = ? WHERE `id` <=> ? AND `v` <=> ?")
+    assert(upd.args == Seq(Seq(1L, "b", 1L, "a")))
+    val del = ConflictDetectEngine.renderGuardedDelete("t", Map("id" -> 1L))
+    assert(del.sql == "DELETE FROM t WHERE `id` <=> ?" && del.args == Seq(Seq(1L)))
+  }
 }
