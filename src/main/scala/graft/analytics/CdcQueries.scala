@@ -3,6 +3,7 @@ package graft.analytics
 import graft.core.{ChangeLog, Tables}
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CDC pipeline semantics, oracle-checked.
@@ -158,6 +159,23 @@ object CdcQueries {
       Some(
         s"""SELECT o_orderkey, 1::BIGINT AS n_hashes, count(*) AS n_msgs
            |FROM ($oracleLog) log GROUP BY o_orderkey""".stripMargin)),
+
+    // SCD2 history materialization: each change becomes a validity
+    // interval (valid_from_seq, valid_to_seq]; open interval = current —
+    // the audit-trail twin of snapshot compaction
+    CatalogQuery("cdc_scd2_history", (s, d) => {
+      val w = Window.partitionBy(col("o_orderkey")).orderBy(col("seq"))
+      changeLog(s, d)
+        .withColumn("valid_to_seq", lead(col("seq"), 1).over(w))
+        .withColumn("is_current", col("valid_to_seq").isNull && col("op") =!= "delete")
+        .select(col("o_orderkey"), col("seq").as("valid_from_seq"),
+          col("valid_to_seq"), col("op"), col("o_totalprice"), col("is_current"))
+    }, Some(
+      s"""SELECT o_orderkey, seq AS valid_from_seq,
+         |  lead(seq) OVER w AS valid_to_seq, op, o_totalprice,
+         |  (lead(seq) OVER w IS NULL AND op <> 'delete') AS is_current
+         |FROM ($oracleLog) log
+         |WINDOW w AS (PARTITION BY o_orderkey ORDER BY seq)""".stripMargin)),
 
     // consistency verifier (cmd/verifier / dcp analogue): full-outer keyed
     // diff of source vs a deterministically-perturbed target

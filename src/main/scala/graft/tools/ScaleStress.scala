@@ -1,0 +1,51 @@
+package graft.tools
+
+import graft.analytics.Catalog
+import graft.core.{Engine, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scale-up stress: replicate the sf dir N× with shifted keys into a temp
+  * dir, then time the heavy catalog queries against it. Checks growth is
+  * ~linear (no quadratic blowups hiding at small SF).
+  *
+  * Usage: runMain graft.tools.ScaleStress [sfDir] [factor] [queries...]
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val names = if (args.length > 2) args.drop(2).toSeq else Catalog.benchNames
+    val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
+    val spark = Engine.session("scale-stress",
+      master = Some(s"local[${Engine.defaultShufflePartitions}]"))
+
+    val keyCols = Map(
+      "orders" -> Seq("o_orderkey"), "lineitem" -> Seq("l_orderkey"),
+      "customer" -> Seq("c_custkey"), "part" -> Seq("p_partkey"),
+      "supplier" -> Seq("s_suppkey"), "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"),
+      "region" -> Nil, "nation" -> Nil)
+
+    Tables.all.foreach { t =>
+      val base = Tables.load(spark, sfDir, t)
+      val shift = 100000000L
+      val scaled =
+        if (keyCols(t).isEmpty) base
+        else (0 until factor).map { i =>
+          keyCols(t).foldLeft(base) { (d, k) =>
+            d.withColumn(k, col(k) + lit(i * shift))
+          }
+        }.reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    println(s"[stress] staged ${factor}x of $sfDir at $out")
+
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      val cnt = try Catalog.queries(n)(spark, out).count()
+      catch { case e: Throwable => println(s"[stress] $n FAILED: ${e.getMessage}"); -1L }
+      println(f"[stress] $n%-35s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$cnt")
+    }
+    spark.stop()
+  }
+}
