@@ -20,16 +20,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // noop write forces full materialization of every output column
+    // (count() can shortcut scans/projections)
+    def run(name: String): Unit =
+      Catalog.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
     val names = if (Catalog.benchNames.nonEmpty) Catalog.benchNames else Catalog.queries.keys.toSeq
     // one warm-up pass so JIT/codegen/file-listing don't dominate timings
-    names.foreach { n =>
-      try Catalog.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
+    names.foreach { n => try run(n) catch { case _: Throwable => () } }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { Catalog.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      try run(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

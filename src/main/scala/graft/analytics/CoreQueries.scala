@@ -126,6 +126,22 @@ object CoreQueries {
         |  EXCEPT
         |  SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0) t""".stripMargin)),
 
+    // ---- bag semantics: EXCEPT ALL / INTERSECT ALL -----------------------
+    CatalogQuery("set_except_all_multiplicity", setAllOps, Some(
+      """SELECT k FROM (
+        |  SELECT l_orderkey AS k FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT o_orderkey AS k FROM orders) t""".stripMargin)),
+
+    // ---- explicit null ordering (engine defaults differ: Spark ASC is
+    // NULLS FIRST, DuckDB ASC is NULLS LAST — always spell it out) --------
+    CatalogQuery("win_lag_with_null_ordering", nullOrdering, Some(
+      """SELECT o_custkey, o_orderkey, prev_key FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey) AS prev_key
+        |  FROM orders) t""".stripMargin)),
+
     // ---- JSON extraction (events.props) ----------------------------------
     CatalogQuery("json_extract_event_props", jsonExtract, Some(
       """SELECT event_type,
@@ -259,6 +275,22 @@ object CoreQueries {
     val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
     val neg = Tables.customer(s, d).filter(col("c_acctbal") < 0).select(col("c_custkey").as("k"))
     f.intersect(op).except(neg)
+  }
+
+  private def setAllOps(s: SparkSession, d: String): DataFrame = {
+    // lineitem orderkeys minus orders keys, bag semantics: each lineitem
+    // key keeps (multiplicity - 1) copies since orders has each key once
+    val li = Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+    li.exceptAll(o)
+  }
+
+  private def nullOrdering(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc_nulls_first, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"))
   }
 
   private def jsonExtract(s: SparkSession, d: String): DataFrame =

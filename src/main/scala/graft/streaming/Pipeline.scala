@@ -36,32 +36,69 @@ final class SnapshotBatchSink(spark: SparkSession, path: String, pkCols: Seq[Str
   def read(): DataFrame = sink.read()
 }
 
+/** Control-path SPI for DDL rows reaching the sink: execute rewritten
+  * statements against the target before the batch's DML (the reference
+  * replays DDL inline, pkg/outputs/mysql/mysql.go:246-392).
+  */
+trait DdlExecutor extends Serializable {
+  def execute(statements: Seq[String]): Unit
+}
+
 object PipelineRunner {
 
   /** Pure batch-hook body, shared by streaming foreachBatch and batch-mode
-    * runs: filter chain → route → per-key last-writer-wins → sink.
+    * runs: DDL control rows first (rewrite + execute + catalog refresh
+    * hook), then filter chain → route → per-key last-writer-wins → sink.
     */
-  def applyBatch(plan: PipelinePlan, sink: BatchSink)(df: DataFrame, batchId: Long): Unit = {
+  def applyBatch(plan: PipelinePlan, sink: BatchSink,
+      ddl: Option[DdlExecutor] = None)(df: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.col
     val transformed = TransformChain(plan.transforms)(df)
     val routed = plan.router.map(r => r.assign(transformed.filter(r.exists)))
       .getOrElse(transformed)
+    // DDL control rows: rewritten + executed against the target before the
+    // batch's DML (Spark can't reshape a streaming frame mid-query —
+    // SURVEY §7.4; reference replays DDL inline, mysql.go:246-392)
+    val hasDdl = routed.columns.contains("type") && ddl.isDefined
+    if (hasDdl) {
+      val stmts = routed.filter(col("type") === "ddl")
+        .select("ddl_statement", "tgt_schema", "tgt_table")
+        .collect() // control rows: rare and tiny by construction
+        .flatMap(r => graft.sinks.DdlRewriter.rewrite(
+          r.getString(0), r.getString(1), r.getString(2)))
+      if (stmts.nonEmpty) ddl.get.execute(stmts.toSeq)
+    }
+    val dml = if (routed.columns.contains("type"))
+      routed.filter(col("type").isNull || col("type") =!= "ddl") else routed
     // REPLACE batches only need the final image per key
     // (pkg/sql_execution_engine/mysql_replace_engine.go:59-88)
-    val compacted = ChangeLog.lastPerKey(routed, plan.pkCols)
+    val compacted = ChangeLog.lastPerKey(dml, plan.pkCols)
     sink.write(batchId, compacted)
   }
 
   /** Launch the streaming query. */
   def start(plan: PipelinePlan, source: DataFrame, sink: BatchSink,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      ddl: Option[DdlExecutor] = None): StreamingQuery =
     source.writeStream
       .queryName(plan.name)
       .option("checkpointLocation", plan.checkpoint)
       .trigger(trigger)
-      .foreachBatch(applyBatch(plan, sink) _)
+      .foreachBatch(applyBatch(plan, sink, ddl) _)
       .start()
 
   /** One-shot batch mode over a static change-log (backfill path). */
   def runBatch(plan: PipelinePlan, source: DataFrame, sink: BatchSink): Unit =
     applyBatch(plan, sink)(source, -1L)
+
+  /** Two-stage replication (reference `mysql` replication mode, SURVEY
+    * §3.2): apply the snapshot as a seq=0 backfill batch, then start the
+    * stream; last-writer-wins absorbs the overlap between the pre-scan
+    * position and the backfill.
+    */
+  def runTwoStage(plan: PipelinePlan, snapshot: DataFrame, stream: DataFrame,
+      sink: BatchSink, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    runBatch(plan, graft.sources.TwoStageSource.backfillAsChangeLog(snapshot), sink)
+    start(plan, stream, sink, trigger)
+  }
 }

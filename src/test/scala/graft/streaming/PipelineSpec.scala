@@ -74,4 +74,48 @@ class PipelineSpec extends SparkSpec {
     val twice = sink.read().select("id", "v").as[(Long, String)].collect().toSet
     assert(once == twice && once == Set((1L, "b")))
   }
+
+  test("ddl control rows execute rewritten statements before the batch's DML") {
+    val snapPath = tmp() + "/snap3"
+    val sink = new SnapshotBatchSink(spark, snapPath, Seq("id"))
+    val plan = PipelinePlan(name = "p3", pkCols = Seq("id"),
+      router = Some(graft.operators.Router.mysql(Seq(graft.operators.Route(
+        Seq(graft.operators.SchemaMatcher("db*")),
+        Map("schema" -> "tgt", "table" -> "t2"))))),
+      checkpoint = tmp())
+    val executed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ddlExec = new DdlExecutor { def execute(st: Seq[String]): Unit = executed ++= st }
+
+    val batch = Seq(
+      (1L, "insert", "db0", "t", "dml", null.asInstanceOf[String], 1L, "a"),
+      (2L, "ddl", "db0", "t", "ddl", "ALTER TABLE t ADD COLUMN c INT", 0L, null.asInstanceOf[String]),
+      (3L, "update", "db0", "t", "dml", null.asInstanceOf[String], 1L, "b"))
+      .toDF("seq", "op", "database", "table", "type", "ddl_statement", "id", "v")
+
+    PipelineRunner.applyBatch(plan, sink, Some(ddlExec))(batch, 0)
+    assert(executed == Seq("ALTER TABLE `tgt`.`t2` ADD COLUMN c INT"))
+    // dml applied, ddl row not written as data
+    val rows = sink.read().select("id", "v").as[(Long, String)].collect().toSet
+    assert(rows.contains((1L, "b")))
+    assert(!sink.read().columns.contains("ddl_statement") ||
+      sink.read().filter($"type" === "ddl").count() == 0)
+  }
+
+  test("two-stage runner: backfill then stream converges") {
+    val work = tmp()
+    val logDir = work + "/log"
+    new java.io.File(logDir).mkdirs()
+    logDf((10, "update", "db0", 1, "a9"), (11, "delete", "db0", 2, "b"))
+      .coalesce(1).write.mode("append").parquet(logDir)
+    val snapshot = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .withColumn("database", lit("db0"))
+    val schema = spark.read.parquet(logDir).schema
+    val sink = new SnapshotBatchSink(spark, work + "/snap", Seq("id"))
+    val plan = PipelinePlan(name = "p4", pkCols = Seq("id"), checkpoint = work + "/ckpt")
+    val q = PipelineRunner.runTwoStage(plan, snapshot,
+      graft.sources.FileChangeLogSource.readStream(spark, logDir, schema), sink)
+    q.awaitTermination()
+    assert(sink.read().select("id", "v").as[(Long, String)].collect().toSet ==
+      Set((1L, "a9"), (3L, "c")))
+  }
 }
