@@ -160,6 +160,44 @@ object CdcQueries {
         s"""SELECT o_orderkey, 1::BIGINT AS n_hashes, count(*) AS n_msgs
            |FROM ($oracleLog) log GROUP BY o_orderkey""".stripMargin)),
 
+    // delta-update compaction (Mongo oplog semantics): updates carry only
+    // the changed column; final image = last non-null per column
+    CatalogQuery("cdc_compact_delta_updates", (s, d) => {
+      val o = Tables.orders(s, d)
+      val inserts = o.select(
+        (col("o_orderkey") * 10).as("seq"), lit("insert").as("op"),
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      // delta 1: price-only change; delta 2: status-only change
+      val priceDeltas = o.filter(col("o_orderkey") % 3 === 0).select(
+        (col("o_orderkey") * 10 + 1).as("seq"), lit("update").as("op"),
+        col("o_orderkey"), lit(null).cast("string").as("o_orderstatus"),
+        (col("o_totalprice") + 500).as("o_totalprice"))
+      val statusDeltas = o.filter(col("o_orderkey") % 4 === 0).select(
+        (col("o_orderkey") * 10 + 2).as("seq"), lit("update").as("op"),
+        col("o_orderkey"), lit("D").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"))
+      ChangeLog.compactDeltas(
+        inserts.unionByName(priceDeltas).unionByName(statusDeltas),
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+        .drop("seq", "op")
+    }, Some(
+      """WITH log AS (
+        |  SELECT o_orderkey*10 AS seq, 'insert' AS op, o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey*10+1, 'update', o_orderkey, NULL, o_totalprice + 500 FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey*10+2, 'update', o_orderkey, 'D', NULL FROM orders WHERE o_orderkey % 4 = 0),
+        |filled AS (
+        |  SELECT seq, op, o_orderkey,
+        |    last_value(o_orderstatus IGNORE NULLS) OVER w AS o_orderstatus,
+        |    last_value(o_totalprice IGNORE NULLS) OVER w AS o_totalprice
+        |  FROM log
+        |  WINDOW w AS (PARTITION BY o_orderkey ORDER BY seq ROWS UNBOUNDED PRECEDING))
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM filled) t
+        |WHERE rn = 1 AND op <> 'delete'""".stripMargin)),
+
     // SCD2 history materialization: each change becomes a validity
     // interval (valid_from_seq, valid_to_seq]; open interval = current —
     // the audit-trail twin of snapshot compaction

@@ -126,6 +126,18 @@ object CoreQueries {
         |  EXCEPT
         |  SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0) t""".stripMargin)),
 
+    // ---- outer joins ------------------------------------------------------
+    CatalogQuery("join_full_outer_customer_orders", fullOuter, Some(
+      """SELECT c_custkey, c_name, n_orders FROM (
+        |  SELECT c.c_custkey, c.c_name, o.n_orders
+        |  FROM customer c FULL OUTER JOIN (
+        |    SELECT o_custkey, count(*) AS n_orders FROM orders
+        |    WHERE o_totalprice > 400000 GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey) t""".stripMargin)),
+    CatalogQuery("join_cross_region_priority", crossJoin, Some(
+      """SELECT r_name, o_orderpriority FROM region
+        |CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p""".stripMargin)),
+
     // ---- bag semantics: EXCEPT ALL / INTERSECT ALL -----------------------
     CatalogQuery("set_except_all_multiplicity", setAllOps, Some(
       """SELECT k FROM (
@@ -276,6 +288,18 @@ object CoreQueries {
     val neg = Tables.customer(s, d).filter(col("c_acctbal") < 0).select(col("c_custkey").as("k"))
     f.intersect(op).except(neg)
   }
+
+  private def fullOuter(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    Tables.customer(s, d)
+      .join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("n_orders"))
+  }
+
+  private def crossJoin(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).select(col("r_name"))
+      .crossJoin(Tables.orders(s, d).select(col("o_orderpriority")).distinct())
 
   private def setAllOps(s: SparkSession, d: String): DataFrame = {
     // lineitem orderkeys minus orders keys, bag semantics: each lineitem

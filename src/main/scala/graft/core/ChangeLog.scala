@@ -112,6 +112,23 @@ object ChangeLog {
     */
   def depHash(pkCols: Seq[String]): Column = xxhash64(pkCols.map(col): _*)
 
+  /** Delta-update semantics (Mongo oplog `UpdateDataAsDelta`,
+    * /root/reference pkg/inputs/mongostream/oplog_tailer.go:138): an
+    * update row carries ONLY changed columns (others NULL); the final
+    * image per key takes the last non-null value per column in seq order,
+    * anchored by the insert. One window, no per-row merge loop.
+    */
+  def compactDeltas(log: DataFrame, pkCols: Seq[String], valueCols: Seq[String],
+      seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    val w = Window.partitionBy(pkCols.map(col): _*)
+      .orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(log) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    compact(filled, pkCols, seqCol, opCol)
+  }
+
   /** Replay a bounded seq range of the log — the reference's `padder`
     * fail-over repair tool (padder/padder.go) reduces to re-applying a
     * changelog slice; the LWW snapshot sink makes replay idempotent.

@@ -49,6 +49,26 @@ object KafkaJson {
       struct(payloadCols.map(col): _*).as("data"),
       struct(pkCols.map(col): _*).as("pks")))
 
+  /** Build the v0.1 stringified payload map from typed columns: every
+    * value rendered as a string, timestamps in the reference's layout
+    * "2006-01-02 15:04:05.999999999" — i.e. seconds with the fractional
+    * part's trailing zeros trimmed (rdb_json.go:40,54-56). NULLs stay
+    * NULL map values.
+    */
+  def stringifyV01(df: DataFrame, cols: Seq[String]): Column = {
+    val pairs = cols.flatMap { c =>
+      val rendered = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          regexp_replace(date_format(col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            "\\.?0+$", "")
+        case _ => col(c).cast("string")
+      }
+      Seq(lit(c), rendered)
+    }
+    map(pairs: _*)
+  }
+
   /** Sticky partition key: hex of the PK dependency hash. */
   def partitionKey(pkCols: Seq[String]): Column =
     hex(ChangeLog.depHash(pkCols))

@@ -64,4 +64,17 @@ class ChangeLogSpec extends SparkSpec {
       .select("id", "pid").as[(Long, Int)].collect().groupBy(_._1)
     assert(parts.forall { case (_, ps) => ps.map(_._2).distinct.length == 1 })
   }
+
+  test("compactDeltas fills from last non-null per column (oplog delta updates)") {
+    val l = Seq(
+      (1L, "insert", 1L, Some("a"), Some(10.0)),
+      (2L, "update", 1L, None, Some(11.0)),       // price-only delta
+      (3L, "update", 1L, Some("b"), None),        // status-only delta
+      (4L, "insert", 2L, Some("x"), Some(5.0)),
+      (5L, "delete", 2L, None, None))
+      .toDF("seq", "op", "id", "status", "price")
+    val got = ChangeLog.compactDeltas(l, Seq("id"), Seq("status", "price"))
+      .select("id", "status", "price").as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "b", 11.0)))
+  }
 }

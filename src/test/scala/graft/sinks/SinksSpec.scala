@@ -97,4 +97,17 @@ class SinksSpec extends SparkSpec {
     val del = ConflictDetectEngine.renderGuardedDelete("t", Map("id" -> 1L))
     assert(del.sql == "DELETE FROM t WHERE `id` <=> ?" && del.args == Seq(Seq(1L)))
   }
+
+  test("v0.1 payload stringification uses the reference time layout") {
+    val df = Seq((
+      42L, 3.14, "x",
+      java.sql.Timestamp.valueOf("2024-01-02 03:04:05.500000"),
+      java.sql.Timestamp.valueOf("2024-01-02 03:04:00")))
+      .toDF("i", "d", "s", "t1", "t2")
+    val m = df.select(KafkaJson.stringifyV01(df, Seq("i", "d", "s", "t1", "t2")).as("m"))
+      .as[Map[String, String]].head()
+    assert(m("i") == "42" && m("d") == "3.14" && m("s") == "x")
+    assert(m("t1") == "2024-01-02 03:04:05.5")   // trailing zeros trimmed
+    assert(m("t2") == "2024-01-02 03:04:00")     // whole fraction trimmed
+  }
 }
