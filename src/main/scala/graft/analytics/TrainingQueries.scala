@@ -206,31 +206,112 @@ object TrainingQueries {
          |  FROM q JOIN embeddings e ON q.query_id <> e.vec_id) t
          |WHERE rank <= 5""".stripMargin)),
 
-    // ---- similarity search: LSH-bucketed scale path ----------------------
-    // 8-bit hyperplane buckets; candidates meet only within a bucket, so
-    // the join is an equi-join on bucket — the shape that survives 100 TB.
+    // ---- similarity search: multi-table LSH scale path -------------------
+    // 8 tables x 4-bit hyperplane buckets: a pair is a candidate if it
+    // collides in ANY table (recall ≈ 1-(1-p^4)^8 vs p^8 single-table —
+    // measured 0 -> ~0.7 on these embeddings). Candidates meet only inside
+    // (table, bucket) equi-join partitions — the shape that survives 100 TB.
     CatalogQuery("sim_lsh_ann_topk", (s, d) => {
       val e = Tables.embeddings(s, d)
         .repartition(s.sessionState.conf.numShufflePartitions)
-        .withColumn("bucket", expr(Similarity.lshBucketLiteral("embedding", 8, 64)))
+        .withColumn("buckets", expr(Similarity.lshTableBucketsLiteral("embedding", 8, 4, 64)))
+        .select(col("vec_id"), col("embedding"), posexplode(col("buckets")))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
       val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("tbl"), col("bucket"))
+      val candidates = e.join(q, Seq("tbl", "bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
+        .distinct()
       val w = Window.partitionBy(col("query_id")).orderBy(col("cos_raw").desc, col("vec_id"))
-      e.join(q, Seq("bucket")).filter(col("query_id") =!= col("vec_id"))
+      candidates
         .withColumn("cos_raw", expr(Similarity.cosineSpark("qv", "embedding")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("vec_id").as("neighbor_id"))
     }, Some(
-      s"""WITH e AS (SELECT *, ${Similarity.lshBucketDuck("embedding", 8, 64)} AS bucket FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id % 50 = 0)
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, t.tbl,
+         |    ${Similarity.lshBucketDuckOffset("embedding", 4, 64, "t.tbl * 4")} AS bucket
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl) t),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, tbl, bucket FROM b WHERE vec_id % 50 = 0),
+         |cand AS (SELECT DISTINCT q.query_id, q.qv, b.vec_id, b.embedding
+         |  FROM q JOIN b ON q.tbl = b.tbl AND q.bucket = b.bucket AND q.query_id <> b.vec_id)
          |SELECT query_id, rank, neighbor_id FROM (
-         |  SELECT q.query_id, e.vec_id AS neighbor_id,
-         |    row_number() OVER (PARTITION BY q.query_id
-         |      ORDER BY ${Similarity.cosineDuck("q.qv", "e.embedding", 64)} DESC, e.vec_id) AS rank
-         |  FROM q JOIN e ON q.bucket = e.bucket AND q.query_id <> e.vec_id) t
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${Similarity.cosineDuck("qv", "embedding", 64)} DESC, vec_id) AS rank
+         |  FROM cand) t
          |WHERE rank <= 3""".stripMargin), bench = true),
+
+    // ---- ANN quality: recall of LSH against the brute-force truth --------
+    CatalogQuery("sim_lsh_recall", (s, d) => {
+      val bf = Catalog.queries("sim_cosine_topk_bruteforce")(s, d)
+        .filter(col("rank") <= 3).select(col("query_id"), col("neighbor_id"))
+      val lsh = Catalog.queries("sim_lsh_ann_topk")(s, d)
+        .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      val hits = bf.join(lsh,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left_semi")
+      bf.agg(count(lit(1)).as("truth_pairs"))
+        .crossJoin(hits.agg(count(lit(1)).as("found_pairs")))
+        .withColumn("recall",
+          col("found_pairs").cast("double") / col("truth_pairs"))
+    }, Some(
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, t.tbl,
+         |    ${Similarity.lshBucketDuckOffset("embedding", 4, 64, "t.tbl * 4")} AS bucket
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl) t),
+         |q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         |qb AS (SELECT vec_id AS query_id, embedding AS qv, tbl, bucket FROM b WHERE vec_id % 50 = 0),
+         |bf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q0.query_id, e2.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q0.query_id
+         |      ORDER BY ${Similarity.cosineDuck("q0.qv", "e2.embedding", 64)} DESC, e2.vec_id) AS rank
+         |  FROM q0 JOIN embeddings e2 ON q0.query_id <> e2.vec_id) t WHERE rank <= 3),
+         |cand AS (SELECT DISTINCT qb.query_id, qb.qv, b.vec_id, b.embedding
+         |  FROM qb JOIN b ON qb.tbl = b.tbl AND qb.bucket = b.bucket AND qb.query_id <> b.vec_id),
+         |lsh AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${Similarity.cosineDuck("qv", "embedding", 64)} DESC, vec_id) AS rank
+         |  FROM cand) t WHERE rank <= 3)
+         |SELECT (SELECT count(*) FROM bf) AS truth_pairs,
+         |  (SELECT count(*) FROM bf JOIN lsh USING (query_id, neighbor_id)) AS found_pairs,
+         |  CAST((SELECT count(*) FROM bf JOIN lsh USING (query_id, neighbor_id)) AS DOUBLE)
+         |    / (SELECT count(*) FROM bf) AS recall""".stripMargin)),
+
+    // ---- end-to-end near-dup pipeline: LSH candidates -> Jaccard verify --
+    CatalogQuery("ddp_near_dup_end2end", (s, d) => {
+      val candidates = Catalog.queries("ddp_minhash_lsh_pairs")(s, d)
+      val sh = docsPlus(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          expr(s"array_distinct(${Similarity.shinglesFromToks("toks")})").as("sh"))
+      candidates
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_union(col("sha"), col("shb"))))
+        .filter(col("jaccard") >= 0.9)
+        .select(col("doc_a"), col("doc_b"))
+    }, Some(
+      s"""WITH dp AS ($duckDocsPlus),
+         |sigs AS (SELECT doc_id, ${Similarity.minhashDuck("text", 9)} AS sig FROM dp),
+         |bands AS (SELECT doc_id, j AS band,
+         |    md5(sig[3*j+1] || sig[3*j+2] || sig[3*j+3]) AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2]) AS j) u),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sh AS (SELECT doc_id, list_distinct(${Similarity.shinglesDuck("text")}) AS sh FROM dp)
+         |SELECT doc_a, doc_b FROM cand
+         |  JOIN sh sa ON sa.doc_id = doc_a
+         |  JOIN sh sb ON sb.doc_id = doc_b
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.9""".stripMargin)),
 
     // ---- text analysis ---------------------------------------------------
     CatalogQuery("txt_language_id", (s, d) => {

@@ -72,17 +72,39 @@ object Similarity {
     * precomputed driver-side, so the expression is `bits` sign tests over
     * straight-line +/- chains — no per-row md5, fully codegen'd. Produces
     * identical buckets to lshBucketDuck (same md5-derived signs).
+    * `planeOffset` selects which hyperplanes to use (for multi-table LSH,
+    * table t uses planes [t*bits, (t+1)*bits)).
     */
-  def lshBucketLiteral(v: String, bits: Int, dim: Int): String = {
+  def lshBucketLiteral(v: String, bits: Int, dim: Int, planeOffset: Int = 0): String = {
     val bitTerms = (0 until bits).map { j =>
       val dot = (0 until dim).map { k =>
-        val sign = if (hyperplaneSign(j, k) > 0) "+" else "-"
+        val sign = if (hyperplaneSign(planeOffset + j, k) > 0) "+" else "-"
         s"$sign CAST(element_at($v, ${k + 1}) AS DOUBLE)"
       }.mkString(" ")
       s"(CASE WHEN (0.0D $dot) > 0 THEN ${1L << j}L ELSE 0L END)"
     }
     bitTerms.mkString("(", " + ", ")")
   }
+
+  /** Array of `tables` multi-table LSH buckets (table t = `bits` planes at
+    * offset t*bits). A pair is a candidate if it collides in ANY table —
+    * the standard recall lever for hyperplane LSH: recall ≈
+    * 1-(1-p^bits)^tables instead of p^bits.
+    */
+  def lshTableBucketsLiteral(v: String, tables: Int, bits: Int, dim: Int): String =
+    (0 until tables)
+      .map(t => lshBucketLiteral(v, bits, dim, t * bits))
+      .mkString("array(", ", ", ")")
+
+  /** DuckDB twin of lshBucketLiteral with a plane-offset SQL expression. */
+  def lshBucketDuckOffset(v: String, bits: Int, dim: Int, offset: String): String =
+    s"""list_sum(list_transform(range(0, $bits), j ->
+       | CASE WHEN
+       |   list_sum(list_transform(range(0, $dim), k ->
+       |     (2 * (((strpos('0123456789abcdef',
+       |         substring(md5('hp' || ($offset + j)::VARCHAR), (k // 4) + 1, 1)) - 1) >> (k % 4)) & 1) - 1)
+       |       * $v[k + 1]::DOUBLE)) > 0
+       | THEN (1::BIGINT << j) ELSE 0::BIGINT END))""".stripMargin
 
   /** Word 3-shingles, DuckDB SQL. */
   def shinglesDuck(text: String): String =

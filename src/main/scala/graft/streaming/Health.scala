@@ -15,6 +15,19 @@ object Positions {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     !fs.exists(p) || fs.delete(p, true)
   }
+
+  /** Last committed batch id from a checkpoint — the position a `/status`
+    * report surfaces (binlog file/pos ≡ checkpoint commit log entries).
+    */
+  def lastCommittedBatch(spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong)
+      .reduceOption(_ max _)
+  }
 }
 
 /** Pipeline health monitoring.

@@ -36,6 +36,27 @@ final class SnapshotBatchSink(spark: SparkSession, path: String, pkCols: Seq[Str
   def read(): DataFrame = sink.read()
 }
 
+/** Retry decorator for sync sinks — the reference retries output.Execute
+  * `nr-retries` times with `retry-sleep` between attempts
+  * (batch_table_scheduler.go:246-258, defaults 3 x 1 s). Safe because
+  * every graft sink is idempotent per key (REPLACE / seq-LWW semantics).
+  */
+final class RetryingSink(inner: BatchSink, retries: Int = 3, sleepMs: Long = 1000)
+    extends BatchSink {
+  def write(batchId: Long, compacted: DataFrame): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { inner.write(batchId, compacted); done = true }
+      catch {
+        case e: Throwable if attempt < retries =>
+          attempt += 1
+          Thread.sleep(sleepMs)
+      }
+    }
+  }
+}
+
 /** Control-path SPI for DDL rows reaching the sink: execute rewritten
   * statements against the target before the batch's DML (the reference
   * replays DDL inline, pkg/outputs/mysql/mysql.go:246-392).

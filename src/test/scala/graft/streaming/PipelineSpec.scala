@@ -118,4 +118,35 @@ class PipelineSpec extends SparkSpec {
     assert(sink.read().select("id", "v").as[(Long, String)].collect().toSet ==
       Set((1L, "a9"), (3L, "c")))
   }
+
+  test("retrying sink retries transient failures then succeeds") {
+    var fails = 2
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val flaky = new BatchSink {
+      def write(batchId: Long, df: org.apache.spark.sql.DataFrame): Unit = {
+        if (fails > 0) { fails -= 1; sys.error("transient") }
+        seen += df.count()
+      }
+    }
+    val retrying = new RetryingSink(flaky, retries = 3, sleepMs = 1)
+    retrying.write(0, Seq((1L, "a")).toDF("id", "v"))
+    assert(seen == Seq(1L) && fails == 0)
+  }
+
+  test("positions: last committed batch readable from checkpoint, reset clears") {
+    val work = tmp()
+    val logDir = work + "/log"
+    new java.io.File(logDir).mkdirs()
+    logDf((1, "insert", "db0", 1, "a"), (2, "insert", "db0", 2, "b"))
+      .coalesce(1).write.mode("append").parquet(logDir)
+    val schema = spark.read.parquet(logDir).schema
+    val sink = new SnapshotBatchSink(spark, work + "/snap", Seq("id"))
+    val plan = PipelinePlan(name = "p5", pkCols = Seq("id"), checkpoint = work + "/ckpt")
+    val q = PipelineRunner.start(plan,
+      graft.sources.FileChangeLogSource.readStream(spark, logDir, schema), sink)
+    q.awaitTermination()
+    assert(Positions.lastCommittedBatch(spark, work + "/ckpt").contains(0L))
+    assert(Positions.reset(spark, work + "/ckpt"))
+    assert(Positions.lastCommittedBatch(spark, work + "/ckpt").isEmpty)
+  }
 }
