@@ -214,7 +214,7 @@ object TrainingQueries {
     CatalogQuery("sim_lsh_ann_topk", (s, d) => {
       val e = Tables.embeddings(s, d)
         .repartition(s.sessionState.conf.numShufflePartitions)
-        .withColumn("buckets", expr(Similarity.lshTableBucketsLiteral("embedding", 8, 4, 64)))
+        .withColumn("buckets", GraftFunctions.lsh_buckets(col("embedding"), 8, 4))
         .select(col("vec_id"), col("embedding"), posexplode(col("buckets")))
         .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
       val q = e.filter(col("vec_id") % 50 === 0)

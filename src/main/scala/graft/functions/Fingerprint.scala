@@ -60,6 +60,10 @@ object GraftFunctions {
   def rolling_hash(c: Column): Column =
     GraftShims.column(RollingHash(GraftShims.expression(c)))
 
+  /** Multi-table hyperplane LSH bucket ids (see HyperplaneLshBuckets). */
+  def lsh_buckets(c: Column, tables: Int, bits: Int): Column =
+    GraftShims.column(HyperplaneLshBuckets(GraftShims.expression(c), tables, bits))
+
   /** Register SQL names so `expr("rolling_hash(text)")` works too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -48,4 +48,16 @@ class FunctionsSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(b(0) == b(1) && b(0) >= 0 && b(0) < 256)
   }
+
+  test("native lsh_buckets matches the SQL-unrolled formulation") {
+    val df = Seq((1L, Array.tabulate(64)(i => (math.sin(i + 1) / 2).toFloat)),
+      (2L, Array.tabulate(64)(i => (math.cos(i * 3) / 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val native = df.select(GraftFunctions.lsh_buckets($"embedding", 8, 4).as("b"))
+      .as[Seq[Long]].collect().toSeq
+    val unrolled = df.select(expr(Similarity.lshTableBucketsLiteral("embedding", 8, 4, 64)).as("b"))
+      .as[Seq[Long]].collect().toSeq
+    assert(native == unrolled)
+    assert(native.forall(_.forall(b => b >= 0 && b < 16)))
+  }
 }
