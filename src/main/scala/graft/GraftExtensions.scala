@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.RollingHash
+import graft.functions.{GraftFunctions, HyperplaneLshBuckets, RollingHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[HyperplaneLshBuckets].getName, "lsh_buckets"),
+      (children: Seq[Expression]) => GraftFunctions.lshBucketsFromExprs(children)))
   }
 }

@@ -64,8 +64,23 @@ object GraftFunctions {
   def lsh_buckets(c: Column, tables: Int, bits: Int): Column =
     GraftShims.column(HyperplaneLshBuckets(GraftShims.expression(c), tables, bits))
 
-  /** Register SQL names so `expr("rolling_hash(text)")` works too. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register SQL names so `expr("rolling_hash(text)")` /
+    * `expr("lsh_buckets(v, 8, 4)")` work too.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_buckets", exprs => lshBucketsFromExprs(exprs), "built-in")
+  }
+
+  private[graft] def lshBucketsFromExprs(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): HyperplaneLshBuckets = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    (exprs: @unchecked) match {
+      case Seq(c, Literal(t: Int, _), Literal(b: Int, _)) => HyperplaneLshBuckets(c, t, b)
+      case _ => throw new IllegalArgumentException(
+        "lsh_buckets(vector, tables: int literal, bits: int literal)")
+    }
+  }
 }

@@ -17,6 +17,10 @@ import org.apache.spark.sql.types._
   * made janino compile multi-second generated methods per stage; a lambda
   * HOF stays interpreted. A compiled loop with a cached sign matrix is
   * ~µs/row and keeps the surrounding plan in whole-stage codegen.
+  *
+  * Sizing: with fixed `bits`, bucket occupancy (and candidate pairs) grows
+  * linearly with corpus size — production deployments should pick
+  * bits ≈ log2(N / targetBucketSize) so buckets stay bounded.
   */
 case class HyperplaneLshBuckets(child: Expression, tables: Int, bits: Int)
     extends UnaryExpression {

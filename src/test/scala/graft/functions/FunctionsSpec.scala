@@ -60,4 +60,13 @@ class FunctionsSpec extends SparkSpec {
     assert(native == unrolled)
     assert(native.forall(_.forall(b => b >= 0 && b < 16)))
   }
+
+  test("lsh_buckets registers for SQL with literal args") {
+    GraftFunctions.register(spark)
+    val n = spark.sql(
+      "SELECT size(lsh_buckets(array(CAST(0.1 AS FLOAT), CAST(-0.2 AS FLOAT)), 8, 4)) AS n")
+      .as[Int].head()
+    assert(n == 8)
+    intercept[Exception](spark.sql("SELECT lsh_buckets(array(CAST(1.0 AS FLOAT)))").collect())
+  }
 }
