@@ -2,9 +2,17 @@ package graft
 
 import graft.analytics.Catalog
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times the headline queries (Catalog.benchNames) on
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
+  *
+  * Timings are reported twice: `queries_cold` is the first execution
+  * (includes file listing, JIT, codegen compilation), `queries` is the
+  * second, steady-state execution — the number comparable across rounds.
+  * The JSON line is printed to stdout AND stderr AND written to
+  * SPARK_GRAFT_BENCH_OUT (default ./bench_out.json) so the driver can
+  * parse it even when a build tool prefixes or swallows stdout.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,17 +34,25 @@ object Bench {
       Catalog.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    val names = if (Catalog.benchNames.nonEmpty) Catalog.benchNames else Catalog.queries.keys.toSeq
-    // one warm-up pass so JIT/codegen/file-listing don't dominate timings
-    names.foreach { n => try run(n) catch { case _: Throwable => () } }
-    val results = names.map { name =>
+    def timed(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val names = if (Catalog.benchNames.nonEmpty) Catalog.benchNames else Catalog.queries.keys.toSeq
+    val cold = timed(names) // first run: listing + JIT + codegen compile
+    val warm = timed(names) // steady state
+    def obj(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${warm.map(_._2).sum},"unit":"sec",""" +
+        s""""queries":${obj(warm)},"cold_total":${cold.map(_._2).sum},""" +
+        s""""queries_cold":${obj(cold)},"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.writeString(Paths.get(outFile), line + "\n")
+    println(line)
+    System.err.println(line)
     spark.stop()
   }
 }

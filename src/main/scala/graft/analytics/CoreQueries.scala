@@ -12,9 +12,11 @@ import Q._
   * distinct), window functions, top-k, set ops, JSON extraction.
   *
   * Scale notes (100 TB thinking):
-  *   - dimension joins broadcast (`broadcast(...)` hints on region/nation/
-  *     customer/supplier-sized sides); fact-fact joins shuffle on the join
-  *     key and rely on AQE for skew;
+  *   - only bounded dimensions (region, nation) carry `broadcast(...)`
+  *     hints; anything that scales with the data (orders, customer,
+  *     supplier, part) is left to AQE, which broadcasts while it fits
+  *     autoBroadcastJoinThreshold and shuffles (with skew splitting) when
+  *     it doesn't — a forced broadcast of a fact table is an OOM at 100x;
   *   - every aggregate is a partial (map-side) hash agg by construction —
   *     no `collect`, no driver loops;
   *   - filters/projections sit directly on the parquet scan so pushdown +
@@ -25,7 +27,7 @@ object CoreQueries {
   def all: Seq[CatalogQuery] = Seq(
     // ---- scans: projection + predicate pushdown --------------------------
     CatalogQuery("scan_projection_pushdown", scanProjection, Some(
-      """SELECT l_orderkey, CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+      """SELECT l_orderkey, CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-06-01'""".stripMargin)),
 
     // ---- q1: hash aggregation, decimal-exact -----------------------------
@@ -170,10 +172,12 @@ object CoreQueries {
 
   // ---- implementations ----------------------------------------------------
 
+  // decimal inside, DOUBLE at the edge — raw DECIMAL(12,2) output hashes
+  // differently from the oracle's in the driver's pandas comparator
   private def scanProjection(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("2001-06-01").cast("timestamp"))
-      .select(col("l_orderkey"), dec(col("l_extendedprice")).as("price"))
+      .select(col("l_orderkey"), dec(col("l_extendedprice")).cast("double").as("price"))
 
   private def q1(s: SparkSession, d: String): DataFrame = {
     val one = lit(1).cast("decimal(12,2)")
@@ -191,12 +195,16 @@ object CoreQueries {
         count(lit(1)).as("count_order"))
   }
 
+  // No broadcast hints on orders/customer: both scale with the data (a
+  // forced broadcast of filtered orders OOMs at 100x). AQE broadcasts them
+  // automatically while they fit autoBroadcastJoinThreshold and falls back
+  // to shuffle join with skew splitting when they don't.
   private def q3(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
     val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
         .cast("double").as("revenue"))
@@ -210,10 +218,12 @@ object CoreQueries {
     val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
     val nation = Tables.nation(s, d)
     val ord = Tables.orders(s, d).filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+    // broadcast() only the bounded dims (nation 25, region 5); orders/
+    // customer/supplier scale with SF — AQE decides those join strategies
     Tables.lineitem(s, d)
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, d)),
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -243,7 +253,7 @@ object CoreQueries {
 
   private def rollupAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .rollup(col("n_name"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))

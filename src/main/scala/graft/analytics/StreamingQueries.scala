@@ -123,19 +123,28 @@ object StreamingQueries {
         .na.fill(0L),
       Some(
         """SELECT user_id,
-          |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-          |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-          |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-          |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-          |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+          |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+          |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+          |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+          |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+          |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
           |FROM events GROUP BY user_id""".stripMargin)),
 
-    // ---- approximate distinct (rows-only: sketch internals differ) -------
+    // ---- approximate distinct ---------------------------------------------
+    // The HLL++ sketch value itself is engine-specific, so the gated output
+    // asserts its documented error bound (rsd = 5%) against the exact count —
+    // deterministic on both sides: the oracle computes exact and `true`.
     CatalogQuery("evt_distinct_users_exact_and_approx", (s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id")).as("approx_users")),
-      None)
+          approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("within_bound")),
+      Some(
+        """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+          |  true AS within_bound
+          |FROM events GROUP BY event_type""".stripMargin))
   )
 }

@@ -48,9 +48,11 @@ object TpchQueries {
 
     // q10: top-20 customers by return-flagged revenue
     CatalogQuery("q10_returned_item_customers", (s, d) => {
+      // orders/customer are fact-scale: no forced broadcast (AQE decides);
+      // nation (25 rows) stays hinted
       val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
-      li.join(broadcast(Tables.orders(s, d)), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
         .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
@@ -70,7 +72,7 @@ object TpchQueries {
     // q12-like: shipping-delay buckets by line status (conditional agg)
     CatalogQuery("q12_ship_delay_buckets", (s, d) =>
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.orders(s, d)), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_linestatus"))
         .agg(
           sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1)
@@ -79,15 +81,15 @@ object TpchQueries {
             .otherwise(0)).as("ontime_count")),
       Some(
         """SELECT l_linestatus,
-          |  sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late_count,
-          |  sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS ontime_count
+          |  CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+          |  CAST(sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY l_linestatus""".stripMargin)),
 
     // q14-like: promo revenue share (single double division at the end)
     CatalogQuery("q14_promo_revenue_share", (s, d) =>
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .agg(
           (sum(when(col("p_type") === "PROMO",
             dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
@@ -222,22 +224,30 @@ object TpchQueries {
           |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) u
           |WHERE vec_id < 50""".stripMargin)),
 
-    // array function battery
-    CatalogQuery("arr_function_battery", (s, d) =>
+    // array function battery (slice/transform/array_max/array_min exercised;
+    // outputs are scalar — the driver's comparator cannot sort array columns)
+    CatalogQuery("arr_function_battery", (s, d) => {
+      val first4 = slice(transform(col("embedding"), x => x.cast("double")), 1, 4)
       Tables.embeddings(s, d)
         .select(
           col("vec_id"),
           size(col("embedding")).cast("long").as("n_dims"),
-          slice(transform(col("embedding"), x => x.cast("double")), 1, 4).as("first4"),
+          element_at(first4, 1).as("f1"),
+          element_at(first4, 2).as("f2"),
+          element_at(first4, 3).as("f3"),
+          element_at(first4, 4).as("f4"),
           array_max(transform(col("embedding"), x => x.cast("double"))).as("vmax"),
-          array_min(transform(col("embedding"), x => x.cast("double"))).as("vmin")),
-      Some(
-        """SELECT vec_id,
-          |  len(embedding) AS n_dims,
-          |  (embedding[1:4])::DOUBLE[] AS first4,
-          |  list_max(embedding::DOUBLE[]) AS vmax,
-          |  list_min(embedding::DOUBLE[]) AS vmin
-          |FROM embeddings""".stripMargin)),
+          array_min(transform(col("embedding"), x => x.cast("double"))).as("vmin"))
+    }, Some(
+      """SELECT vec_id,
+        |  len(embedding) AS n_dims,
+        |  ((embedding[1:4])::DOUBLE[])[1] AS f1,
+        |  ((embedding[1:4])::DOUBLE[])[2] AS f2,
+        |  ((embedding[1:4])::DOUBLE[])[3] AS f3,
+        |  ((embedding[1:4])::DOUBLE[])[4] AS f4,
+        |  list_max(embedding::DOUBLE[]) AS vmax,
+        |  list_min(embedding::DOUBLE[]) AS vmin
+        |FROM embeddings""".stripMargin)),
 
     // conditional expressions battery
     CatalogQuery("fn_conditional_battery", (s, d) =>

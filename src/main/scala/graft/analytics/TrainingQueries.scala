@@ -141,7 +141,7 @@ object TrainingQueries {
         .filter(col("n_docs") > 1),
       Some(
         s"""SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
-           |FROM (SELECT doc_id, ${Similarity.simhashDuck("text")} AS simhash
+           |FROM (SELECT doc_id, CAST(${Similarity.simhashDuck("text")} AS BIGINT) AS simhash
            |      FROM ($duckDocsPlus) dp) t
            |GROUP BY simhash HAVING count(*) > 1""".stripMargin)),
 
@@ -163,7 +163,7 @@ object TrainingQueries {
          |  FROM ($duckDocsPlus) dp)
          |SELECT doc_a, doc_b, hamming FROM (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id) t
          |WHERE hamming <= 4""".stripMargin)),
 
@@ -415,10 +415,10 @@ object TrainingQueries {
     // ---- multimodal binary plumbing (decode stubbed) ---------------------
     CatalogQuery("mm_binary_features", mmBinary, Some(
       """SELECT doc_id,
-        |  length(text) AS n_bytes,
-        |  ascii(substring(text, 1, 1)) AS first_byte,
-        |  list_sum(list_transform(range(1, length(text) + 1),
-        |    i -> ascii(substring(text, i, 1))::BIGINT)) % 997 AS checksum
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
+        |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |    i -> ascii(substring(text, i, 1))::BIGINT)) % 997 AS BIGINT) AS checksum
         |FROM documents""".stripMargin))
   )
 

@@ -12,6 +12,42 @@ import graft.core.Engine
   * Usage: runMain graft.tools.ExplainAudit [sfDir] [query ...]
   */
 object ExplainAudit {
+
+  /** Tables whose size scales with the data — a *forced* broadcast of any
+    * of these is an OOM at 100x even when it happens to fit today.
+    */
+  private[graft] val factTables =
+    Set("lineitem", "orders", "part", "customer", "supplier")
+
+  /** Parquet table names scanned anywhere under a logical subtree. */
+  private def scannedTables(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Set[String] =
+    p.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.getName.stripSuffix(".parquet")).toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten.toSet
+
+  /** Fact tables under an explicit BROADCAST hint in the optimized plan.
+    * This looks at logical hints, not runtime BroadcastExchanges: an AQE
+    * runtime broadcast is size-gated (safe — it degrades to shuffle at
+    * scale), while a hint forces the broadcast at any scale.
+    */
+  private[graft] def forcedFactBroadcasts(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Set[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    plan.collect {
+      case j: Join =>
+        Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).collect {
+          case (Some(h), side) if h.strategy.contains(BROADCAST) =>
+            scannedTables(side).intersect(factTables)
+        }.flatten
+    }.flatten.toSet
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else Catalog.benchNames
@@ -27,12 +63,14 @@ object ExplainAudit {
       val simple = df.queryExecution.executedPlan.toString
       println(s"\n========== $n ==========")
       println(plan)
+      val factBc = forcedFactBroadcasts(df.queryExecution.optimizedPlan)
       val smells = Seq(
         "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
         "CartesianProduct" -> plan.contains("CartesianProduct"),
         "no WholeStageCodegen" -> !simple.contains("*("),
         "scan without pushed filters" ->
-          (plan.contains("PushedFilters: []") && plan.contains("Filter ("))
+          (plan.contains("PushedFilters: []") && plan.contains("Filter (")),
+        s"forced broadcast of fact table(s) ${factBc.mkString(",")}" -> factBc.nonEmpty
       ).collect { case (s, true) => s }
       println(if (smells.isEmpty) s"[audit] $n: clean"
         else s"[audit] $n: SMELLS: ${smells.mkString(", ")}")

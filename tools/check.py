@@ -2,32 +2,36 @@
 """Local pre-flight for the driver's correctness gate.
 
 Runs DuckDB on oracle_sql.json (emitted by graft.Verify) against the same
-parquet tables, and compares each query's Spark parquet output:
-columns sorted by name, rows sorted, values compared (floats to 9 sig figs).
+parquet tables, and compares each query's Spark parquet output the way the
+driver does: both sides loaded into pandas, columns sorted by name, rows
+sorted by every column, then DTYPES compared (this is what round 1's
+repr-based canonicalizer missed — DuckDB HUGEINT/DECIMAL vs Spark
+BIGINT/DOUBLE hash differently even when values are equal) and values
+compared exactly (hash_pandas_object on the sorted frame).
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
-import json, math, sys
+import json
+import sys
 
 import duckdb
+import pandas as pd
+from pandas.util import hash_pandas_object
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(df):
+    """Sort columns by name and rows by every column; raises on unsortable
+    (e.g. array) columns exactly like the driver's comparator."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
-    def cv(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            return f"{v:.9g}"
-        if isinstance(v, list):
-            return "[" + ",".join(cv(x) for x in v) + "]"
-        return repr(v)
 
-    return sorted(tuple(cv(r[i]) for i in order) for r in rows)
+def frame_hash(df):
+    return hash_pandas_object(df, index=False).sum()
 
 
 def main(sf_dir, out_dir):
@@ -39,29 +43,40 @@ def main(sf_dir, out_dir):
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.sql(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            got_rows, got_cols = got.fetchall(), [d[0] for d in got.description]
-            exp = con.sql(sql)
-            exp_rows, exp_cols = exp.fetchall(), [d[0] for d in exp.description]
+            got = canon(con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
+            exp = canon(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             fail += 1
             continue
-        if sorted(got_cols) != sorted(exp_cols):
-            print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: cols {list(got.columns)} != {list(exp.columns)}")
             fail += 1
             continue
-        g, e = canon(got_rows, got_cols), canon(exp_rows, exp_cols)
-        if g != e:
-            print(f"FAIL {name}: {len(g)} rows vs {len(e)} rows")
-            for i, (a, b) in enumerate(zip(g, e)):
-                if a != b:
-                    print(f"  first diff row {i}:\n    got {a}\n    exp {b}")
-                    break
+        if len(got) != len(exp):
+            print(f"FAIL {name}: {len(got)} rows vs {len(exp)} rows")
+            fail += 1
+            continue
+        dt_got = [str(t) for t in got.dtypes]
+        dt_exp = [str(t) for t in exp.dtypes]
+        if dt_got != dt_exp:
+            diffs = [f"{c}: {a} != {b}"
+                     for c, a, b in zip(got.columns, dt_got, dt_exp) if a != b]
+            print(f"FAIL {name}: dtypes differ — {'; '.join(diffs)}")
+            fail += 1
+            continue
+        if frame_hash(got) != frame_hash(exp):
+            print(f"FAIL {name}: value hash mismatch ({len(got)} rows)")
+            neq = got.ne(exp) & ~(got.isna() & exp.isna())
+            bad = neq.any(axis=1)
+            if bad.any():
+                i = bad.idxmax()
+                print(f"  first diff row {i}:\n    got {got.loc[i].to_dict()}"
+                      f"\n    exp {exp.loc[i].to_dict()}")
             fail += 1
         else:
-            print(f"ok   {name} ({len(g)} rows)")
+            print(f"ok   {name} ({len(got)} rows)")
             ok += 1
     print(f"\n{ok} ok, {fail} fail")
     return 1 if fail else 0
