@@ -106,18 +106,35 @@ object TrainingQueries {
          |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin),
       bench = true),
 
-    // ---- n-gram Jaccard verification on blocked pairs --------------------
+    // ---- n-gram Jaccard via prefix-filter similarity join ----------------
+    // Exact set-similarity self-join (AllPairs/PPJoin prefix filtering):
+    // under a global shingle order, any pair with J >= t shares its
+    // smallest common shingle within each side's first
+    // |x| - ceil(t*|x|) + 1 shingles, so candidates come from an equi-join
+    // on prefix shingles — never an all-pairs block. Lossless: identical
+    // answer to the oracle's quadratic formulation, but the Spark plan is
+    // O(candidates) instead of O(n^2 / #(lang,source) blocks). ceil(t*n)
+    // is computed in integer math ((4n+4) div 5) — double ceil(0.8*n)
+    // rounds up on exact multiples and would shorten the prefix.
     CatalogQuery("ddp_ngram_jaccard_pairs", (s, d) => {
       val sh = docsPlus(s, d)
         .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), col("lang"), col("source"),
-          expr(s"array_distinct(${Similarity.shinglesFromToks("toks")})").as("sh"))
-      sh.as("a").join(sh.as("b"),
+          expr(s"array_sort(array_distinct(${Similarity.shinglesFromToks("toks")}))").as("sh"))
+      val prefixes = sh.select(col("doc_id"), col("lang"), col("source"),
+        explode(expr(
+          "slice(sh, 1, size(sh) - CAST((4 * size(sh) + 4) div 5 AS INT) + 1)")).as("tok"))
+      val cand = prefixes.as("a").join(prefixes.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-            size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_union(col("sha"), col("shb")))).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
     }, Some(
       s"""WITH sh AS (SELECT doc_id, lang, source,
@@ -145,17 +162,29 @@ object TrainingQueries {
            |      FROM ($duckDocsPlus) dp) t
            |GROUP BY simhash HAVING count(*) > 1""".stripMargin)),
 
-    // SimHash near-dup pairs by Hamming distance (native bit_count on the
-    // XOR — no custom expression needed; blocked by lang to bound pairs)
+    // SimHash near-dup pairs by Hamming distance via banded equi-join:
+    // the 32-bit simhash splits into 8 4-bit bands; a pair at distance
+    // <= 4 differs in at most 4 bands so it must agree on at least one
+    // (pigeonhole, 8 > 4) — candidates come from an equi-join on
+    // (lang, band, value), then the exact bit_count verifies. Lossless,
+    // and the join shuffles only (doc_id, simhash, band key), never text.
     CatalogQuery("ddp_simhash_hamming_pairs", (s, d) => {
       val sh = docsPlus(s, d)
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), col("lang"),
           expr(Similarity.simhashFromToks("toks")).as("simhash"))
-      sh.as("a").join(sh.as("b"),
-          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      val bands = sh.select(col("doc_id"), col("lang"), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 7), b -> shiftright(simhash, 4 * CAST(b AS INT)) % 16)")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+      bands.as("a").join(bands.as("b"),
+          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+            col("a.band_val") === col("b.band_val") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+          col("a.simhash").as("sha"), col("b.simhash").as("shb"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("hamming"))
         .filter(col("hamming") <= 4)
     }, Some(
       s"""WITH sh AS (
@@ -167,12 +196,28 @@ object TrainingQueries {
          |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id) t
          |WHERE hamming <= 4""".stripMargin)),
 
-    // ---- embedding-cosine near-dup (label-blocked exact pass) ------------
+    // ---- embedding-cosine near-dup via LSH bucket candidates -------------
+    // Candidates come from the multi-table hyperplane LSH (8 tables x
+    // 4 bits, same buckets as sim_lsh_ann_topk): a cos >= 0.99 pair
+    // collides in a given table w.p. (1 - acos(.99)/pi)^4 ≈ 0.83, in at
+    // least one of 8 w.p. 1 - 0.17^8 ≈ 1 - 7e-7 — and exact duplicates
+    // (identical vectors) always collide in every table. The candidate
+    // distinct is on id pairs only (no 64-dim vectors through that
+    // shuffle); vectors re-join afterwards for the exact cosine verify.
     CatalogQuery("ddp_embed_cosine_pairs", (s, d) => {
-      val e = embPlus(s, d)
-      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("label"))
-      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("label"))
-      a.join(b, Seq("label")).filter(col("va") < col("vb"))
+      val e = embPlus(s, d).repartition(s.sessionState.conf.numShufflePartitions)
+      val b = e.withColumn("buckets", GraftFunctions.lsh_buckets(col("embedding"), 8, 4))
+        .select(col("vec_id"), col("label"), posexplode(col("buckets")))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      val cand = b.as("a").join(b.as("b"),
+          col("a.label") === col("b.label") && col("a.tbl") === col("b.tbl") &&
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .distinct()
+      val vecs = e.select(col("vec_id"), col("embedding"))
+      cand
+        .join(vecs.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+        .join(vecs.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
         .withColumn("cos_sim", expr(Similarity.cosineSpark("ea", "eb")))
         .filter(col("cos_sim") >= 0.99)
         .select(col("va"), col("vb"), round(col("cos_sim"), 4).as("cos_sim"))
@@ -212,18 +257,24 @@ object TrainingQueries {
     // measured 0 -> ~0.7 on these embeddings). Candidates meet only inside
     // (table, bucket) equi-join partitions — the shape that survives 100 TB.
     CatalogQuery("sim_lsh_ann_topk", (s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e0 = Tables.embeddings(s, d)
         .repartition(s.sessionState.conf.numShufflePartitions)
-        .withColumn("buckets", GraftFunctions.lsh_buckets(col("embedding"), 8, 4))
-        .select(col("vec_id"), col("embedding"), posexplode(col("buckets")))
+      // bucket join + candidate distinct carry only ids and bucket keys —
+      // the 64-dim vectors re-join after dedup (shuffling vectors through
+      // the distinct costs ~10x the bytes for nothing)
+      val b = e0.withColumn("buckets", GraftFunctions.lsh_buckets(col("embedding"), 8, 4))
+        .select(col("vec_id"), posexplode(col("buckets")))
         .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-      val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("tbl"), col("bucket"))
-      val candidates = e.join(q, Seq("tbl", "bucket"))
+      val q = b.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+      val candIds = b.join(q, Seq("tbl", "bucket"))
         .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
+        .select(col("query_id"), col("vec_id"))
         .distinct()
+      val vecs = e0.select(col("vec_id"), col("embedding"))
+      val candidates = candIds
+        .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+        .join(vecs, "vec_id")
       val w = Window.partitionBy(col("query_id")).orderBy(col("cos_raw").desc, col("vec_id"))
       candidates
         .withColumn("cos_raw", expr(Similarity.cosineSpark("qv", "embedding")))

@@ -14,7 +14,11 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
-    val names = if (args.length > 2) args.drop(2).toSeq else Catalog.benchNames
+    // bench set plus the pair ops whose quadratic blowup only shows at
+    // scale (they are candidate-join shaped now — growth must stay linear)
+    val defaultNames = Catalog.benchNames ++ Seq(
+      "ddp_ngram_jaccard_pairs", "ddp_simhash_hamming_pairs", "ddp_embed_cosine_pairs")
+    val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
     val spark = Engine.session("scale-stress",
       master = Some(s"local[${Engine.defaultShufflePartitions}]"))
