@@ -246,6 +246,41 @@ object CdcQueries {
         |       AND s.o_totalprice = t.o_totalprice AND s.o_orderdate = t.o_orderdate
         |       AND s.o_orderpriority = t.o_orderpriority)""".stripMargin)),
 
+    // END-TO-END sink check: the synthesized change-log flows through the
+    // assembled JdbcBatchSink (pk-partitioned order → delete isolation →
+    // engine render → StatementExecutor) into an embedded Derby database,
+    // and the check reads the TABLE STATE back over JDBC — the oracle is
+    // the relational spec of "apply the log" (LWW compact). This is the
+    // reference's CHECKSUM-TABLE-style integration test
+    // (pkg/mysql_test/generator.go:257-282) as a gated oracle entry.
+    CatalogQuery("cdc_jdbc_sink_state", (s, d) => {
+      val url = "jdbc:derby:memory:graftsink" +
+        java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
+      val setup = java.sql.DriverManager.getConnection(url)
+      try setup.createStatement().execute(
+        "CREATE TABLE target_orders (o_orderkey BIGINT PRIMARY KEY, " +
+          "o_orderstatus VARCHAR(8), o_totalprice DOUBLE)")
+      finally setup.close()
+      val log = changeLog(s, d).filter(col("o_orderkey") % 5 === 0)
+        .select("seq", "op", "o_orderkey", "o_orderstatus", "o_totalprice")
+      val sink = new graft.sinks.JdbcBatchSink(
+        () => new graft.sinks.JdbcStatementExecutor(url),
+        graft.sinks.AnsiMergeEngine(Seq("o_orderkey")),
+        Seq("o_orderkey"),
+        targets = Seq(("", "target_orders")),
+        numWriters = Some(1)) // embedded Derby: MERGE is not concurrency-safe
+      sink.write(0L, log)
+      s.read.format("jdbc").option("url", url)
+        .option("dbtable", "target_orders").load()
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus").as("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+    }, Some(
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice
+         |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+         |      FROM ($oracleLog) log WHERE o_orderkey % 5 = 0) t
+         |WHERE rn = 1 AND op <> 'delete'""".stripMargin)),
+
     // flagship composite: replicate (compact) then analyze (agg) — §7.2
     CatalogQuery("cdc_apply_then_agg", (s, d) =>
       ChangeLog.compact(changeLog(s, d), Seq("o_orderkey"))

@@ -1,0 +1,237 @@
+package graft.sinks
+
+import graft.core.ChangeLog
+import graft.operators.AddMissingColumns
+import graft.streaming.BatchSink
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The assembled relational upsert sink — the reference's MySQL output
+  * path (/root/reference pkg/outputs/mysql/mysql.go:222-440) composed from
+  * the pieces that shipped separately in round 1:
+  *
+  *   1. group the compacted batch per routed (tgt_schema, tgt_table)
+  *      (mysql.go Execute routes each msg first);
+  *   2. reconcile schema against the target — AddMissingColumns fills
+  *      columns the batch lacks with defaults/NULL
+  *      (pkg/outputs/mysql/add_missing_column.go:10-30);
+  *   3. pk-hash partition + seq sort so each key's changes apply in source
+  *      order inside one partition (the scheduler contract,
+  *      batch_table_scheduler.go:61-73);
+  *   4. stream each partition through the engine with DELETEs isolated
+  *      (mysql.go splitMsgBatchWithDelete:452-482) and writes chunked at
+  *      `maxRowsPerStatement`;
+  *   5. execute on the executors via the [[StatementExecutor]] SPI,
+  *      swallowing `ignorableErrnos` (idempotent-replay duplicates, the
+  *      same set mysql.go tolerates on DDL/PK replays).
+  *
+  * Scale shape: no driver-side row buffering — the only driver work is the
+  * per-target branch loop over the *configured* route targets. Each
+  * executor partition holds complete keys (pk-hash partitioning), so
+  * per-key statement order is preserved without any global coordination,
+  * and N partitions write through N connections — the reference's
+  * worker-pool parallelism (batch_table_scheduler.go:213-275) expressed as
+  * data parallelism.
+  */
+final class JdbcBatchSink(
+    executorFactory: () => StatementExecutor,
+    engine: SqlEngine,
+    pkCols: Seq[String],
+    targets: Seq[(String, String)] = Nil,
+    targetSchemas: Map[(String, String), StructType] = Map.empty,
+    columnDefaults: Map[String, Any] = Map.empty,
+    ignorableErrnos: Set[Int] = Set(1062, 1060, 1061),
+    maxRowsPerStatement: Int = 200,
+    numWriters: Option[Int] = None) extends BatchSink {
+
+  def write(batchId: Long, compacted: DataFrame): Unit = {
+    val hasRouting = compacted.columns.contains("tgt_schema") &&
+      compacted.columns.contains("tgt_table")
+    if (!hasRouting) {
+      require(targets.size == 1,
+        "unrouted batch needs exactly one configured target")
+      writeTable(targets.head, compacted)
+    } else {
+      // targets come from the route CONFIG, not from the data — a
+      // distinct() over the batch would be unbounded on a poisoned stream
+      val tgts = if (targets.nonEmpty) targets
+        else compacted.select(col("tgt_schema"), col("tgt_table"))
+          .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      tgts.foreach { t =>
+        val branch = compacted
+          .filter(col("tgt_schema") === t._1 && col("tgt_table") === t._2)
+          .drop("tgt_schema", "tgt_table")
+        writeTable(t, branch)
+      }
+    }
+  }
+
+  /** `schema`.`table` rendered with the engine's own identifier dialect. */
+  private def fqn(t: (String, String)): String =
+    Seq(t._1, t._2).filter(_.nonEmpty).mkString(".")
+
+  private def writeTable(target: (String, String), branch: DataFrame): Unit = {
+    if (branch.isEmpty) return
+    val reconciled = targetSchemas.get(target) match {
+      case Some(ts) =>
+        // schema reconciliation, then project to the target column order
+        val filled = AddMissingColumns(ts, columnDefaults)(branch)
+        val keep = Seq("op", "seq") ++ ts.fieldNames.toSeq
+        filled.select(keep.map(col): _*)
+      case None => branch
+    }
+    // numWriters = the reference's `nr-worker` (batch_table_scheduler.go:
+    // 29-36): each partition is one writer/connection; targets with weak
+    // concurrent-write support (embedded Derby) set 1
+    val ordered = ChangeLog.partitionByKey(reconciled, pkCols, numWriters)
+    val writeSchema = StructType(ordered.schema.fields.filterNot(f =>
+      f.name == "op" || f.name == "seq" ||
+        f.name.startsWith("old_") || f.name.startsWith("__")))
+    val table = fqn(target)
+    val (eng, pk, errnos, maxRows, factory) =
+      (engine, pkCols, ignorableErrnos, maxRowsPerStatement, executorFactory)
+
+    ordered.foreachPartition { (it: Iterator[Row]) =>
+      val exec = factory()
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def execIgnoring(stmt: RenderedStatement): Unit =
+          try exec.execute(stmt)
+          catch {
+            case e: java.sql.SQLException if errnos(e.getErrorCode) => ()
+          }
+        def flushWrites(): Unit = if (buf.nonEmpty) {
+          eng.renderWrites(table, writeSchema, buf.toSeq).foreach(execIgnoring)
+          buf.clear()
+        }
+        it.foreach { r =>
+          if (r.getAs[String]("op") == ChangeLog.Delete) {
+            flushWrites() // deletes always run alone (mysql.go:452-482)
+            execIgnoring(eng.renderDelete(table, pk, pk.map(r.getAs[Any](_))))
+          } else {
+            buf += r
+            if (buf.size >= maxRows) flushWrites()
+          }
+        }
+        flushWrites()
+      } finally exec.close()
+    }
+  }
+}
+
+/** Where conflict rows go (reference writes a local conflict.log,
+  * conflict_engine.go). Runs on executors — implementations must be
+  * serializable; the default logs through the executor's stderr.
+  */
+trait ConflictLogger extends Serializable {
+  def log(table: String, op: String, pkValues: Seq[Any]): Unit
+}
+object ConflictLogger {
+  object Stderr extends ConflictLogger {
+    def log(table: String, op: String, pkValues: Seq[Any]): Unit =
+      System.err.println(s"[conflict] $table $op pk=${pkValues.mkString(",")}")
+  }
+}
+
+/** Conflict-detecting sink for bidirectional replication — the execution
+  * loop the reference runs in pkg/sql_execution_engine/conflict_engine.go:
+  * 113-200: INSERTs go in plain (a duplicate-key error ⇒ conflict);
+  * UPDATE/DELETE carry a WHERE guard on the OLD row image (`old_<col>`
+  * columns when present, else the pk), and affected-rows == 0 ⇒ conflict.
+  * Conflicts are logged; with `overrideConflict` the new image is
+  * force-applied (REPLACE-equivalent: guarded-delete-by-pk + insert).
+  *
+  * Rows apply per-key in seq order (pk-hash partitioning), one row at a
+  * time — conflict detection is inherently per-statement, matching the
+  * reference's row loop.
+  */
+final class ConflictDetectBatchSink(
+    executorFactory: () => StatementExecutor,
+    pkCols: Seq[String],
+    target: (String, String),
+    engine: ConflictDetect = ConflictDetectEngine,
+    overrideConflict: Boolean = false,
+    conflictLogger: ConflictLogger = ConflictLogger.Stderr) extends BatchSink {
+
+  def write(batchId: Long, compacted: DataFrame): Unit = {
+    val ordered = ChangeLog.partitionByKey(compacted, pkCols)
+    val writeSchema = StructType(ordered.schema.fields.filterNot(f =>
+      f.name == "op" || f.name == "seq" ||
+        f.name.startsWith("old_") || f.name.startsWith("__")))
+    val oldCols = ordered.schema.fieldNames.filter(_.startsWith("old_")).toSeq
+    val table = Seq(target._1, target._2).filter(_.nonEmpty).mkString(".")
+    val (eng, pk, overrideIt, logger, factory) =
+      (engine, pkCols, overrideConflict, conflictLogger, executorFactory)
+
+    // duplicate-key detection must walk the exception chain: batch
+    // executors (Derby, MySQL Connector) wrap the integrity violation in
+    // BatchUpdateException with the real cause chained behind it
+    def isDupKey(e: java.sql.SQLException): Boolean = {
+      var cur: Throwable = e
+      var depth = 0
+      while (cur != null && depth < 10) {
+        cur match {
+          case s: java.sql.SQLIntegrityConstraintViolationException => return true
+          case s: java.sql.SQLException
+              if Option(s.getSQLState).exists(_.startsWith("23")) ||
+                s.getErrorCode == 1062 => return true
+          case _ => ()
+        }
+        cur = cur match {
+          case s: java.sql.SQLException if s.getNextException != null => s.getNextException
+          case t => t.getCause
+        }
+        depth += 1
+      }
+      false
+    }
+
+    ordered.foreachPartition { (it: Iterator[Row]) =>
+      val exec = factory()
+      try {
+        def guard(r: Row): Map[String, Any] = {
+          // pk always guards (never touch another key's row); the old
+          // image adds the optimistic compare-and-set columns when the
+          // stream carries one
+          val old = oldCols.flatMap { oc =>
+            Option(r.getAs[Any](oc)).map(v => oc.stripPrefix("old_") -> v)
+          }.toMap
+          pk.map(c => c -> r.getAs[Any](c)).toMap ++ old
+        }
+        def forceApply(r: Row): Unit = {
+          exec.execute(eng.renderDelete(table, pk, pk.map(r.getAs[Any](_))))
+          exec.execute(eng.renderWrites(table, writeSchema, Seq(r)).head)
+        }
+        it.foreach { r =>
+          val op = r.getAs[String]("op")
+          op match {
+            case ChangeLog.Insert =>
+              val conflicted =
+                try { exec.execute(eng.renderWrites(table, writeSchema, Seq(r)).head); false }
+                catch { case e: java.sql.SQLException if isDupKey(e) => true }
+              if (conflicted) {
+                logger.log(table, op, pk.map(r.getAs[Any](_)))
+                if (overrideIt) forceApply(r)
+              }
+            case ChangeLog.Update =>
+              val n = exec.execute(
+                eng.renderGuardedUpdate(table, writeSchema, r, guard(r))).sum
+              if (n == 0) {
+                logger.log(table, op, pk.map(r.getAs[Any](_)))
+                if (overrideIt) forceApply(r)
+              }
+            case ChangeLog.Delete =>
+              val n = exec.execute(eng.renderGuardedDelete(table, guard(r))).sum
+              if (n == 0) {
+                logger.log(table, op, pk.map(r.getAs[Any](_)))
+                if (overrideIt)
+                  exec.execute(eng.renderDelete(table, pk, pk.map(r.getAs[Any](_))))
+              }
+            case _ => ()
+          }
+        }
+      } finally exec.close()
+    }
+  }
+}

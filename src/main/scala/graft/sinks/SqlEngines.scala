@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** SQL-rendering engines for the relational upsert sink.
   *
@@ -20,8 +20,13 @@ import org.apache.spark.sql.types.StructType
   */
 final case class RenderedStatement(sql: String, args: Seq[Seq[Any]])
 
-trait SqlEngine {
+trait SqlEngine extends Serializable {
   def name: String
+
+  /** Identifier quoting — MySQL backticks by default; ANSI dialects
+    * (Derby/warehouse targets) override with bare/double-quoted ids.
+    */
+  protected def quoteId(c: String): String = s"`$c`"
 
   /** Render writes (insert/update images) for one table; rows are final
     * per-key images (the scheduler already compacted the batch).
@@ -30,7 +35,7 @@ trait SqlEngine {
 
   /** Render a delete for one key. */
   def renderDelete(table: String, pkCols: Seq[String], pkValues: Seq[Any]): RenderedStatement = {
-    val where = pkCols.map(c => s"`$c` = ?").mkString(" AND ")
+    val where = pkCols.map(c => s"${quoteId(c)} = ?").mkString(" AND ")
     RenderedStatement(s"DELETE FROM $table WHERE $where", Seq(pkValues))
   }
 
@@ -40,7 +45,7 @@ trait SqlEngine {
   }
 
   protected def columnList(schema: StructType): String =
-    schema.fieldNames.map(c => s"`$c`").mkString(",")
+    schema.fieldNames.map(quoteId).mkString(",")
 
   protected def rowArgs(schema: StructType, rows: Seq[Row]): Seq[Seq[Any]] =
     Seq(rows.flatMap(r => schema.fieldNames.map(c => r.getAs[Any](c))))
@@ -86,8 +91,9 @@ object OnDupKeyUpdateEngine extends SqlEngine {
   * the statement affect 0 rows — the caller treats that as a conflict
   * (logs it; optionally overrides with REPLACE).
   */
-object ConflictDetectEngine extends SqlEngine {
+class ConflictDetect(quote: String = "`", nullSafeEq: String = "<=>") extends SqlEngine {
   val name = "conflict-detect-engine"
+  override protected def quoteId(c: String): String = s"$quote$c$quote"
 
   def renderWrites(table: String, schema: StructType, rows: Seq[Row]): Seq[RenderedStatement] =
     rows.map { r =>
@@ -99,9 +105,9 @@ object ConflictDetectEngine extends SqlEngine {
   /** UPDATE with optimistic old-image guard. */
   def renderGuardedUpdate(table: String, schema: StructType, newRow: Row,
       oldValues: Map[String, Any]): RenderedStatement = {
-    val sets = schema.fieldNames.map(c => s"`$c` = ?").mkString(",")
+    val sets = schema.fieldNames.map(c => s"${quoteId(c)} = ?").mkString(",")
     val (guardCols, guardVals) = oldValues.toSeq.sortBy(_._1).unzip
-    val where = guardCols.map(c => s"`$c` <=> ?").mkString(" AND ")
+    val where = guardCols.map(c => s"${quoteId(c)} $nullSafeEq ?").mkString(" AND ")
     RenderedStatement(
       s"UPDATE $table SET $sets WHERE $where",
       Seq(schema.fieldNames.map(c => newRow.getAs[Any](c)).toSeq ++ guardVals))
@@ -110,8 +116,58 @@ object ConflictDetectEngine extends SqlEngine {
   /** DELETE with optimistic old-image guard. */
   def renderGuardedDelete(table: String, oldValues: Map[String, Any]): RenderedStatement = {
     val (guardCols, guardVals) = oldValues.toSeq.sortBy(_._1).unzip
-    val where = guardCols.map(c => s"`$c` <=> ?").mkString(" AND ")
+    val where = guardCols.map(c => s"${quoteId(c)} $nullSafeEq ?").mkString(" AND ")
     RenderedStatement(s"DELETE FROM $table WHERE $where", Seq(guardVals))
+  }
+}
+
+/** MySQL-dialect conflict engine (backticks, null-safe `<=>`). */
+object ConflictDetectEngine extends ConflictDetect()
+
+/** Per-row ANSI MERGE upsert — the dialect for warehouse/Derby targets that
+  * have no REPLACE INTO. Uses the single-row constant source form
+  * (`USING SYSIBM.SYSDUMMY1`, the Derby/DB2 idiom); ON params carry CASTs
+  * because Derby cannot infer untyped parameters in the ON clause.
+  * Identifiers render unquoted (ANSI folds case; quoting would demand
+  * exact-case DDL).
+  */
+final case class AnsiMergeEngine(pkCols: Seq[String]) extends SqlEngine {
+  val name = "ansi-merge-engine"
+  override protected def quoteId(c: String): String = c
+
+  private def sqlType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case TimestampType => "TIMESTAMP"
+    case DateType => "DATE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case _ => "VARCHAR(32672)"
+  }
+
+  def renderWrites(table: String, schema: StructType, rows: Seq[Row]): Seq[RenderedStatement] = {
+    if (rows.isEmpty) return Nil
+    val nonPk = schema.fields.filterNot(f => pkCols.contains(f.name))
+    val on = schema.fields.filter(f => pkCols.contains(f.name))
+      .map(f => s"t.${f.name} = CAST(? AS ${sqlType(f.dataType)})").mkString(" AND ")
+    val matched =
+      if (nonPk.isEmpty) ""
+      else "WHEN MATCHED THEN UPDATE SET " +
+        nonPk.map(f => s"${f.name} = CAST(? AS ${sqlType(f.dataType)})").mkString(",") + " "
+    val sql = s"MERGE INTO $table t USING SYSIBM.SYSDUMMY1 ON ($on) " + matched +
+      s"WHEN NOT MATCHED THEN INSERT (${columnList(schema)}) " +
+      s"VALUES ${placeholderTuples(schema.length, 1)}"
+    // one statement per row, NOT one multi-arg batch: Derby's MERGE breaks
+    // under the JDBC batch API (DERBY-6892); the executor's PS cache keeps
+    // the re-prepared cost at one prepare per partition
+    rows.map { r =>
+      RenderedStatement(sql, Seq(
+        pkCols.map(c => r.getAs[Any](c)) ++
+          nonPk.map(f => r.getAs[Any](f.name)) ++
+          schema.fieldNames.map(c => r.getAs[Any](c))))
+    }
   }
 }
 
@@ -130,27 +186,44 @@ final case class ManualEngine(template: String) extends SqlEngine {
       rowArgs(schema, rows)))
 }
 
-/** Execution SPI: the JDBC writer implements this; tests record statements. */
+/** Execution SPI: the JDBC writer implements this; tests record statements.
+  * `execute` returns per-arg-batch affected-row counts — the
+  * conflict-detect loop reads them (affected == 0 ⇒ conflict, reference
+  * pkg/sql_execution_engine/conflict_engine.go:113-200).
+  */
 trait StatementExecutor {
-  def execute(stmt: RenderedStatement): Unit
+  def execute(stmt: RenderedStatement): Array[Int]
   def close(): Unit = ()
 }
 
-/** JDBC-backed executor (prepared statements, arg batches). */
+/** JDBC-backed executor. Prepared statements are cached per SQL text (the
+  * per-row engines — MERGE, conflict-detect — re-render the same SQL for
+  * every row). Single-arg statements run through executeUpdate rather than
+  * the batch API: Derby's MERGE NPEs inside executeBatch (DERBY-6892), and
+  * executeUpdate returns the exact affected count the conflict loop needs.
+  */
 final class JdbcStatementExecutor(url: String, props: java.util.Properties)
     extends StatementExecutor {
+  def this(url: String) = this(url, new java.util.Properties())
   private lazy val conn = java.sql.DriverManager.getConnection(url, props)
-  def execute(stmt: RenderedStatement): Unit = {
-    val ps = conn.prepareStatement(stmt.sql)
-    try {
+  private val cache = scala.collection.mutable.Map.empty[String, java.sql.PreparedStatement]
+  def execute(stmt: RenderedStatement): Array[Int] = {
+    val ps = cache.getOrElseUpdate(stmt.sql, conn.prepareStatement(stmt.sql))
+    if (stmt.args.lengthCompare(1) == 0) {
+      stmt.args.head.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
+      Array(ps.executeUpdate())
+    } else {
       stmt.args.foreach { args =>
         args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
         ps.addBatch()
       }
       ps.executeBatch()
-    } finally ps.close()
+    }
   }
-  override def close(): Unit = conn.close()
+  override def close(): Unit = {
+    cache.values.foreach(ps => try ps.close() catch { case _: Exception => () })
+    conn.close()
+  }
 }
 
 object BatchSplitter {

@@ -51,6 +51,9 @@ final class RetryingSink(inner: BatchSink, retries: Int = 3, sleepMs: Long = 100
       catch {
         case e: Throwable if attempt < retries =>
           attempt += 1
+          // a silent retry hides poisoned batches — always surface the cause
+          System.err.println(
+            s"[graft] sink retry $attempt/$retries for batch $batchId after: $e")
           Thread.sleep(sleepMs)
       }
     }
