@@ -59,13 +59,21 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane component for (plane j, dim k) — the
     * driver-side twin of the in-SQL md5 formula (lshBucketDuck).
+    *
+    * One md5 yields 128 sign bits; dims beyond 128 chain further digests
+    * (block b ≥ 1 seeds `hp<j>|<b>`). Block 0 keeps the original `hp<j>`
+    * seed so buckets for dim ≤ 128 (and every oracle) are unchanged.
     */
   def hyperplaneSign(j: Int, k: Int): Int = {
+    require(k >= 0, s"dim index must be >= 0, got $k")
+    val block = k / 128
+    val seed = if (block == 0) s"hp$j" else s"hp$j|$block"
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"hp$j".getBytes("UTF-8"))
+      .digest(seed.getBytes("UTF-8"))
     val hex = md.map("%02x".format(_)).mkString
-    val d = Integer.parseInt(hex.charAt(k / 4).toString, 16)
-    2 * ((d >> (k % 4)) & 1) - 1
+    val kk = k % 128
+    val d = Integer.parseInt(hex.charAt(kk / 4).toString, 16)
+    2 * ((d >> (kk % 4)) & 1) - 1
   }
 
   /** LSH bucket as flat constant-folded arithmetic: hyperplanes are
@@ -76,6 +84,8 @@ object Similarity {
     * table t uses planes [t*bits, (t+1)*bits)).
     */
   def lshBucketLiteral(v: String, bits: Int, dim: Int, planeOffset: Int = 0): String = {
+    require(dim <= 128,
+      s"lshBucketLiteral unrolls per-dim terms; use the native lsh_buckets expression for dim > 128 (got $dim)")
     val bitTerms = (0 until bits).map { j =>
       val dot = (0 until dim).map { k =>
         val sign = if (hyperplaneSign(planeOffset + j, k) > 0) "+" else "-"
@@ -96,8 +106,13 @@ object Similarity {
       .map(t => lshBucketLiteral(v, bits, dim, t * bits))
       .mkString("array(", ", ", ")")
 
-  /** DuckDB twin of lshBucketLiteral with a plane-offset SQL expression. */
-  def lshBucketDuckOffset(v: String, bits: Int, dim: Int, offset: String): String =
+  /** DuckDB twin of lshBucketLiteral with a plane-offset SQL expression.
+    * The in-SQL derivation reads one hex digit of a single md5, so it
+    * covers dim <= 128 only (the harness corpus is 64-dim); larger dims go
+    * through the literal/native path, which chains digest blocks.
+    */
+  def lshBucketDuckOffset(v: String, bits: Int, dim: Int, offset: String): String = {
+    require(dim <= 128, s"in-SQL LSH bucket derivation covers dim <= 128, got $dim")
     s"""list_sum(list_transform(range(0, $bits), j ->
        | CASE WHEN
        |   list_sum(list_transform(range(0, $dim), k ->
@@ -105,6 +120,7 @@ object Similarity {
        |         substring(md5('hp' || ($offset + j)::VARCHAR), (k // 4) + 1, 1)) - 1) >> (k % 4)) & 1) - 1)
        |       * $v[k + 1]::DOUBLE)) > 0
        | THEN (1::BIGINT << j) ELSE 0::BIGINT END))""".stripMargin
+  }
 
   /** Word 3-shingles, DuckDB SQL. */
   def shinglesDuck(text: String): String =

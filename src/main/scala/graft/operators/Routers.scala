@@ -44,13 +44,24 @@ final case class Router(routes: Seq[Route], passthrough: Map[String, Column]) {
     if (routes.isEmpty) lit(true)
     else routes.map(r => Matcher.group(r.matchers)).reduce(_ || _)
 
-  /** Split into one frame per distinct target value (driver-side list of
-    * targets must be known/small — true for configured routes).
+  /** Split into one frame per target value. Targets come from the route
+    * CONFIG when it fully determines them (every route names a literal
+    * target and the input is `exists`-filtered) or from `knownTargets`;
+    * scanning the data for distinct targets is the last resort — it is
+    * bounded only by what the stream contains, and an unexpected table in
+    * a poisoned stream would fan out unbounded work.
     */
-  def fanOut(df: DataFrame, targetCol: String): Seq[(String, DataFrame)] = {
+  def fanOut(df: DataFrame, targetCol: String,
+      knownTargets: Seq[String] = Nil): Seq[(String, DataFrame)] = {
     val assigned = assign(df)
     val c = s"tgt_$targetCol"
-    val targets = assigned.select(c).distinct().collect().map(_.getString(0)).toSeq
+    val fromConfig = routes.flatMap(_.targets.get(targetCol)).filter(_ != "*").distinct
+    val configComplete =
+      routes.nonEmpty && routes.forall(_.targets.get(targetCol).exists(_ != "*"))
+    val targets =
+      if (knownTargets.nonEmpty) knownTargets.distinct
+      else if (configComplete) fromConfig
+      else assigned.select(c).distinct().collect().map(_.getString(0)).toSeq
     targets.map(t => t -> assigned.filter(col(c) === t))
   }
 }

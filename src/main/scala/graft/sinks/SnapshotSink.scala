@@ -16,39 +16,91 @@ import org.apache.spark.sql.functions._
   * cluster requires (and what the reference's per-key latch ordering
   * guarantees row-at-a-time, batch_table_scheduler.go:61-73).
   *
-  * One pk-shuffle per batch; snapshot stays pk-clustered, so at scale
-  * this is the standard copy-on-write LWW merge (what table formats do).
+  * Layout: pk-hash bucketed (`__bucket = pmod(xxhash64(pk), numBuckets)`
+  * partition directories). A merge reads and rewrites ONLY the buckets the
+  * batch touches — at 100 TB a micro-batch touching k of N buckets costs
+  * O(k/N) of the snapshot, not a full-table rewrite. Each bucket swaps
+  * crash-safely (live → backup, staging → live, drop backup; `recover()`
+  * heals interrupted swaps and stale staging on the next call). Swaps are
+  * atomic per bucket, not across buckets: a crash mid-merge leaves some
+  * buckets a batch ahead, and the foreachBatch replay re-merges the same
+  * batch — idempotent by seq-LWW — converging all buckets.
   */
-final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String]) {
+final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
+    numBuckets: Int = 16) {
 
-  def exists: Boolean =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(path))
+  private val stagingPath = path + ".staging"
+  private val backupPath = path + ".backup"
+
+  private def hfs = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  def exists: Boolean = hfs.exists(p(path))
+
+  private def bucketCol = pmod(xxhash64(pkCols.map(col): _*), lit(numBuckets)).cast("int")
 
   /** Live rows (tombstones and bookkeeping hidden). */
   def read(): DataFrame =
-    readInternal().filter(!col("__deleted")).drop("__seq", "__deleted")
+    readInternal().filter(!col("__deleted")).drop("__seq", "__deleted", "__bucket")
 
-  /** Full state including tombstones. */
+  /** Full state including tombstones and bucket ids. */
   def readInternal(): DataFrame = spark.read.parquet(path)
+
+  /** Heal an interrupted swap: a bucket sitting in backup with no live
+    * twin is restored; completed swaps drop their backup; stale staging
+    * from a crashed write is removed.
+    */
+  def recover(): Unit = {
+    val fs = hfs
+    if (fs.exists(p(backupPath))) {
+      fs.listStatus(p(backupPath)).foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(p(path), st.getPath.getName)
+        if (!fs.exists(live)) fs.rename(st.getPath, live)
+        else fs.delete(st.getPath, true)
+      }
+      fs.delete(p(backupPath), true)
+    }
+    if (fs.exists(p(stagingPath))) fs.delete(p(stagingPath), true)
+  }
 
   /** Apply one change batch (typed log with op/seq) to the snapshot. */
   def merge(batch: DataFrame): Unit = {
+    recover()
     val dataCols = batch.columns.filterNot(c => c == "op" || c == "seq").toSeq
     val normalized = batch.select(
       (dataCols.map(col) :+ col("seq").as("__seq") :+
         (col("op") === ChangeLog.Delete).as("__deleted")): _*)
-    val incoming = if (!exists) normalized else readInternal().unionByName(normalized)
-    val next = ChangeLog.lastPerKey(incoming, pkCols, seqCol = "__seq")
-    // write-then-swap: parquet can't read+overwrite the same path in one job
-    val tmp = path + ".staging"
-    next.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      .withColumn("__bucket", bucketCol)
+    val fs = hfs
+    if (!exists) {
+      val next = ChangeLog.lastPerKey(normalized, pkCols, seqCol = "__seq")
+      next.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(stagingPath)
+      fs.rename(p(stagingPath), p(path))
+      return
+    }
+    // touched bucket ids: bounded by numBuckets, driver-safe to collect
+    val touched = normalized.select(col("__bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    // partition pruning keeps the read to the touched directories only
+    val existing = readInternal()
+      .filter(col("__bucket").isin(touched.map(Int.box): _*))
+    val next = ChangeLog.lastPerKey(
+      existing.unionByName(normalized), pkCols, seqCol = "__seq")
+    next.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(stagingPath)
+    fs.mkdirs(p(backupPath))
+    touched.foreach { b =>
+      val dir = s"__bucket=$b"
+      val live = new org.apache.hadoop.fs.Path(p(path), dir)
+      val stag = new org.apache.hadoop.fs.Path(p(stagingPath), dir)
+      val bak = new org.apache.hadoop.fs.Path(p(backupPath), dir)
+      if (fs.exists(live)) fs.rename(live, bak)
+      if (fs.exists(stag)) fs.rename(stag, live)
+      if (fs.exists(bak)) fs.delete(bak, true)
+    }
+    fs.delete(p(backupPath), true)
+    fs.delete(p(stagingPath), true)
   }
 }
 

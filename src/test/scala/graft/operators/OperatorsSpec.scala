@@ -71,6 +71,18 @@ class OperatorsSpec extends SparkSpec {
       Seq("analytics"))
   }
 
+  test("fanOut derives targets from a fully-literal route config without a data scan") {
+    val r = Router.mysql(Seq(
+      Route(Seq(SchemaMatcher("db0")), Map("schema" -> "cold", "table" -> "t_cold")),
+      Route(Seq(SchemaMatcher("db1")), Map("schema" -> "hot", "table" -> "t_hot"))))
+    val branches = r.fanOut(env().filter(r.exists), "table").toMap
+    assert(branches.keySet == Set("t_cold", "t_hot"))
+    assert(branches.values.map(_.count()).sum == env().filter(r.exists).count())
+    // explicit knownTargets override both config and data
+    val only = r.fanOut(env().filter(r.exists), "table", knownTargets = Seq("t_cold"))
+    assert(only.map(_._1) == Seq("t_cold"))
+  }
+
   test("AddMissingColumns reconciles to target schema with defaults") {
     val df = Seq((1L, "x")).toDF("id", "v")
     val target = org.apache.spark.sql.types.StructType(Seq(
