@@ -142,4 +142,51 @@ object EsDocs {
     }
     parent.join(renamed, parent(parentKey) === renamed(fk), "left").drop(fk)
   }
+
+  /** Route column maps (esmodel_router.go:121-179): `include` whitelists
+    * doc columns (empty = all), `exclude` blacklists, `convert` renames
+    * source column → ES field name. Applied in that order, matching the
+    * router's per-column selection before doc assembly.
+    */
+  def applyColumnMaps(df: DataFrame, include: Seq[String] = Nil,
+      exclude: Seq[String] = Nil, convert: Map[String, String] = Map.empty): DataFrame = {
+    val included =
+      if (include.isEmpty) df.columns.toSeq
+      else df.columns.toSeq.filter(include.contains)
+    val kept = included.filterNot(exclude.contains)
+    df.select(kept.map(c => col(c).as(convert.getOrElse(c, c))): _*)
+  }
+
+  /** Incremental child-state maintenance for one-many arrays. The
+    * reference keeps the child array inside each parent doc current with
+    * three painless scripts — insert/update/delete a child BY KEY within
+    * the array (pkg/outputs/esmodel/esmodel.go:23-71). Batch-shaped
+    * equivalent: a seq-LWW child state WITH tombstones; a deleted child
+    * stays tombstoned, so no later rebuild can resurrect it.
+    */
+  def mergeChildState(state: DataFrame, batch: DataFrame, childKey: String): DataFrame =
+    graft.core.ChangeLog.lastPerKey(state.unionByName(batch), Seq(childKey))
+
+  /** Rebuild child arrays ONLY for the parents the batch touched — the
+    * incremental twin of [[nestedOneMany]]: each touched parent gets one
+    * update row carrying its full current array (empty when its last
+    * child was deleted — the script-delete equivalent). Untouched parents
+    * produce no write at all, so the work is O(batch), not O(parents).
+    */
+  def childArrayUpdates(childState: DataFrame, batch: DataFrame, fk: String,
+      childArrayField: String): DataFrame = {
+    val touched = batch.select(col(fk)).distinct()
+    val payload = childState.columns
+      .filterNot(c => c == fk || c == "op" || c == "seq").toSeq
+    // restrict to touched parents BEFORE aggregating: the rebuild is
+    // O(children of touched parents), never a scan of the full state
+    val live = childState.filter(col("op") =!= graft.core.ChangeLog.Delete)
+      .join(touched, Seq(fk))
+    val rebuilt = live.groupBy(col(fk))
+      .agg(collect_list(struct(payload.map(col): _*)).as(childArrayField))
+    touched.join(rebuilt, Seq(fk), "left")
+      .withColumn(childArrayField,
+        coalesce(col(childArrayField),
+          expr(s"CAST(array() AS ${rebuilt.schema(childArrayField).dataType.sql})")))
+  }
 }

@@ -87,6 +87,45 @@ class SinksSpec extends SparkSpec {
     assert(got == Map(1L -> 2, 2L -> 1))
   }
 
+  test("esmodel incremental child ops: update-in-array, delete stays deleted, empty array emitted") {
+    // initial child state (post-compaction log rows with op/seq retained)
+    val state0 = Seq(
+      (1L, "insert", 10L, 1L, "c1"),
+      (2L, "insert", 11L, 1L, "c2"),
+      (3L, "insert", 12L, 2L, "c3"))
+      .toDF("seq", "op", "cid", "fk", "cname")
+    // batch: update c1, delete c2, delete the only child of parent 2
+    val batch = Seq(
+      (4L, "update", 10L, 1L, "c1x"),
+      (5L, "delete", 11L, 1L, "c2"),
+      (6L, "delete", 12L, 2L, "c3"))
+      .toDF("seq", "op", "cid", "fk", "cname")
+    val state1 = EsDocs.mergeChildState(state0, batch, "cid")
+    val updates = EsDocs.childArrayUpdates(state1, batch, "fk", "children")
+    val got = updates.select($"fk", $"children.cname".as("names"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got == Map(1L -> Seq("c1x"), 2L -> Seq())) // parent 2: empty array update
+    // a later batch touching parent 1 again must NOT resurrect c2
+    val batch2 = Seq((7L, "insert", 13L, 1L, "c4")).toDF("seq", "op", "cid", "fk", "cname")
+    val state2 = EsDocs.mergeChildState(state1, batch2, "cid")
+    val got2 = EsDocs.childArrayUpdates(state2, batch2, "fk", "children")
+      .select($"fk", array_sort($"children.cname").as("names"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got2 == Map(1L -> Seq("c1x", "c4")))
+    // untouched parents emit no update rows at all
+    assert(!got2.contains(2L))
+  }
+
+  test("esmodel route column maps: include, exclude, convert") {
+    val df = Seq((1L, "a", "x", 9L)).toDF("id", "name", "secret", "internal")
+    val out = EsDocs.applyColumnMaps(df,
+      include = Seq("id", "name", "secret"),
+      exclude = Seq("secret"),
+      convert = Map("name" -> "display_name"))
+    assert(out.columns.toSeq == Seq("id", "display_name"))
+    assert(out.as[(Long, String)].head() == (1L, "a"))
+  }
+
   test("conflict-detect engine: optimistic guards on old image") {
     val ins = ConflictDetectEngine.renderWrites("t", schema, Seq(row(1, "a")))
     assert(ins.head.sql == "INSERT INTO t (`id`,`v`) VALUES (?,?)")

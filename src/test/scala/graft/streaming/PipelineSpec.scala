@@ -119,6 +119,37 @@ class PipelineSpec extends SparkSpec {
       Set((1L, "a9"), (3L, "c")))
   }
 
+  test("killed backfill resumes from durable chunk positions (two-stage stage 1)") {
+    val work = tmp()
+    val source = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val sink = new SnapshotBatchSink(spark, work + "/snap", Seq("id"))
+    val positions = new graft.sources.BackfillPositions(spark, work + "/ckpt")
+    val preds = graft.sources.JdbcChunkedSource.numericPredicates("id", 1, 100, 4)
+    val processed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def readChunk(pred: String) = { processed += pred; source.where(pred) }
+    def applyChunk(die: Boolean)(df: org.apache.spark.sql.DataFrame): Unit = {
+      if (die && processed.size == 3) sys.error("killed mid-backfill")
+      sink.write(0L, graft.sources.TwoStageSource.backfillAsChangeLog(df))
+    }
+    // first attempt dies on the 3rd chunk
+    intercept[RuntimeException] {
+      new graft.sources.ResumableBackfill(positions)
+        .run("t", preds, readChunk, applyChunk(die = true))
+    }
+    assert(!positions.allDone("t"))
+    val afterCrash = processed.size
+    // resume: only pending chunks run (chunks 1-2 are durably done; the
+    // killed chunk 3 re-runs — idempotent sink absorbs the replay)
+    val resumed = new graft.sources.ResumableBackfill(positions)
+      .run("t", preds, readChunk, applyChunk(die = false))
+    assert(resumed == 2 && processed.size == afterCrash + 2)
+    assert(positions.allDone("t"))
+    assert(sink.read().count() == 100)
+    // a fresh run after completion does nothing
+    assert(new graft.sources.ResumableBackfill(positions)
+      .run("t", preds, readChunk, applyChunk(die = false)) == 0)
+  }
+
   test("retrying sink retries transient failures then succeeds") {
     var fails = 2
     val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
