@@ -96,6 +96,56 @@ final case class UserFilter(fn: Row => Option[Row]) extends TransformOp {
   }
 }
 
+/** Sidecar with a REAL process boundary — the reference ships each DmlMsg
+  * to a user binary over gRPC which may mutate or drop it
+  * (pkg/filters/grpc_sidecar_filter.go:83-133; protocol/msgpb). The
+  * transport here is the universal one a Spark cluster always has: one
+  * sidecar process per partition on the executor, rows streamed to its
+  * stdin as JSON lines, transformed (or omitted = dropped) JSON lines read
+  * back from stdout, re-parsed against the input schema. A non-zero exit
+  * fails the task (Spark retries it).
+  */
+final case class ProcessSidecarFilter(command: Seq[String]) extends TransformOp {
+  def apply(df: DataFrame): DataFrame = {
+    val schema = df.schema
+    val spark = df.sparkSession
+    import spark.implicits._
+    val jsonIn = df.select(to_json(struct(df.columns.map(col): _*)).as("j")).as[String]
+    val cmd = command
+    val jsonOut = jsonIn.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val proc = new ProcessBuilder(cmd: _*).start()
+        val writer = new Thread(() => {
+          val w = new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8")
+          try it.foreach { l => w.write(l); w.write('\n') }
+          finally w.close() // EOF tells the sidecar to finish
+        })
+        writer.setDaemon(true)
+        writer.start()
+        val lines = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8").getLines()
+        new Iterator[String] {
+          private var finished = false
+          def hasNext: Boolean = {
+            val h = lines.hasNext
+            if (!h && !finished) {
+              finished = true
+              writer.join()
+              val rc = proc.waitFor()
+              if (rc != 0) sys.error(s"sidecar ${cmd.mkString(" ")} exited $rc")
+            }
+            h
+          }
+          def next(): String = lines.next()
+        }
+      }
+    }
+    jsonOut.toDF("j")
+      .select(from_json(col("j"), schema).as("r"))
+      .select(col("r.*"))
+  }
+}
+
 /** Fill columns present in the target schema but absent in the frame with
   * defaults/NULL (reference output-side AddMissingColumn,
   * pkg/outputs/mysql/add_missing_column.go:10-30).

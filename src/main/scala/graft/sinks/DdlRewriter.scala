@@ -60,7 +60,10 @@ object DdlRewriter {
       case dropTbl(name, _) =>
         Seq(s"DROP TABLE IF EXISTS ${retarget(name, targetDb, targetTable)}")
       case alterTbl(name, rest) =>
-        Seq(s"ALTER TABLE ${retarget(name, targetDb, targetTable)}${rest}")
+        // TiDB executes one alter-spec per statement — split a multi-spec
+        // ALTER into per-spec statements (mysql.go:246-392 multi-spec split)
+        splitAlterSpecs(rest).map(spec =>
+          s"ALTER TABLE ${retarget(name, targetDb, targetTable)} $spec")
       case renameTbl(_) =>
         // rename collapses to targeting: the routed name IS the new name
         Seq.empty
@@ -71,4 +74,53 @@ object DdlRewriter {
     * mysql.go ignores 1060/1061 so ALTER replays are idempotent).
     */
   val ignorableErrnos: Set[Int] = Set(1060, 1061, 1050, 1091)
+
+  /** Split ALTER specs on top-level commas — commas inside parens
+    * (column type args) or quotes (defaults, comments) don't split.
+    */
+  private[sinks] def splitAlterSpecs(rest: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    rest.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toSeq.filter(_.nonEmpty)
+  }
+}
+
+/** Bidirectional drop dedupe (mysql.go:246-392): in two-way replication a
+  * DROP executed on the target is tailed back and would replay against the
+  * origin — the reference remembers recent drops and skips the echo. The
+  * window is bounded (LRU by insertion) so the memory is O(capacity).
+  */
+final class DdlDropDeduper(capacity: Int = 1024) extends Serializable {
+  private val seen = new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, false) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+      size() > capacity
+  }
+  private def normalize(sql: String): String =
+    sql.toLowerCase.replaceAll("[`\"]", "").replaceAll("\\s+", " ").trim
+
+  /** True the first time a DROP statement is seen; false for its echo.
+    * Non-DROP statements always pass.
+    */
+  def shouldExecute(sql: String): Boolean = synchronized {
+    DdlRewriter.classify(sql) match {
+      case DdlRewriter.DropTable | DdlRewriter.DropDatabase =>
+        val key = normalize(sql)
+        if (seen.containsKey(key)) false
+        else { seen.put(key, System.currentTimeMillis()); true }
+      case _ => true
+    }
+  }
 }

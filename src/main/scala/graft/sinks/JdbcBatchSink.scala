@@ -43,7 +43,8 @@ final class JdbcBatchSink(
     columnDefaults: Map[String, Any] = Map.empty,
     ignorableErrnos: Set[Int] = Set(1062, 1060, 1061),
     maxRowsPerStatement: Int = 200,
-    numWriters: Option[Int] = None) extends BatchSink {
+    numWriters: Option[Int] = None,
+    txnTagger: Option[InternalTxnTagger] = None) extends BatchSink {
 
   def write(batchId: Long, compacted: DataFrame): Unit = {
     val hasRouting = compacted.columns.contains("tgt_schema") &&
@@ -89,8 +90,8 @@ final class JdbcBatchSink(
       f.name == "op" || f.name == "seq" ||
         f.name.startsWith("old_") || f.name.startsWith("__")))
     val table = fqn(target)
-    val (eng, pk, errnos, maxRows, factory) =
-      (engine, pkCols, ignorableErrnos, maxRowsPerStatement, executorFactory)
+    val (eng, pk, errnos, maxRows, factory, tagger) =
+      (engine, pkCols, ignorableErrnos, maxRowsPerStatement, executorFactory, txnTagger)
 
     ordered.foreachPartition { (it: Iterator[Row]) =>
       val exec = factory()
@@ -105,16 +106,24 @@ final class JdbcBatchSink(
           eng.renderWrites(table, writeSchema, buf.toSeq).foreach(execIgnoring)
           buf.clear()
         }
-        it.foreach { r =>
-          if (r.getAs[String]("op") == ChangeLog.Delete) {
-            flushWrites() // deletes always run alone (mysql.go:452-482)
-            execIgnoring(eng.renderDelete(table, pk, pk.map(r.getAs[Any](_))))
-          } else {
-            buf += r
-            if (buf.size >= maxRows) flushWrites()
+        def writeAll(): Unit = {
+          it.foreach { r =>
+            if (r.getAs[String]("op") == ChangeLog.Delete) {
+              flushWrites() // deletes always run alone (mysql.go:452-482)
+              execIgnoring(eng.renderDelete(table, pk, pk.map(r.getAs[Any](_))))
+            } else {
+              buf += r
+              if (buf.size >= maxRows) flushWrites()
+            }
           }
+          flushWrites()
         }
-        flushWrites()
+        tagger match {
+          // marker row + data statements commit atomically, so the tailer
+          // of the target sees the tag in the same transaction
+          case Some(t) => exec.transactional { exec.execute(t.render()); writeAll() }
+          case None => writeAll()
+        }
       } finally exec.close()
     }
   }

@@ -193,6 +193,14 @@ final case class ManualEngine(template: String) extends SqlEngine {
   */
 trait StatementExecutor {
   def execute(stmt: RenderedStatement): Array[Int]
+
+  /** Run `f`'s statements atomically when the target supports it —
+    * the internal-txn tagger needs its marker row committed in the SAME
+    * transaction as the data writes (pkg/sql_execution_engine/
+    * internal_txn_tagger.go). Default: best-effort passthrough.
+    */
+  def transactional[T](f: => T): T = f
+
   def close(): Unit = ()
 }
 
@@ -220,10 +228,37 @@ final class JdbcStatementExecutor(url: String, props: java.util.Properties)
       ps.executeBatch()
     }
   }
+  override def transactional[T](f: => T): T = {
+    conn.setAutoCommit(false)
+    try {
+      val r = f
+      conn.commit()
+      r
+    } catch {
+      case e: Throwable =>
+        try conn.rollback() catch { case _: Exception => () }
+        throw e
+    } finally conn.setAutoCommit(true)
+  }
+
   override def close(): Unit = {
     cache.values.foreach(ps => try ps.close() catch { case _: Exception => () })
     conn.close()
   }
+}
+
+/** Bidirectional-replication transaction tagger: a marker row written in
+  * the same transaction as the batch's data statements, so a pipeline
+  * tailing the TARGET recognizes (and elides) graft's own writes — the
+  * write half of the loop-prevention pair whose read half is
+  * KafkaCdc.dropInternalTraffic (reference internal_txn_tagger.go; marker
+  * table `_gravity.gravity_txn_tags`).
+  */
+final case class InternalTxnTagger(tagTable: String, pipelineName: String) {
+  def render(): RenderedStatement =
+    RenderedStatement(
+      s"INSERT INTO $tagTable (pipeline_name, tagged_at) VALUES (?, ?)",
+      Seq(Seq(pipelineName, new java.sql.Timestamp(System.currentTimeMillis()))))
 }
 
 object BatchSplitter {

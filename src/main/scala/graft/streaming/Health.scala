@@ -30,6 +30,69 @@ object Positions {
   }
 }
 
+/** Canary probing — the reference's binlog checker writes a probe row to
+  * `_gravity.gravity_heartbeat_v2` every 3 s and measures liveness +
+  * replication lag by observing the probe come back through the binlog
+  * (/root/reference pkg/inputs/helper/binlog_checker/checker.go:22-34,
+  * 95-160). Here a probe is an envelope row under the reserved canary
+  * database; it rides the real pipeline (source → filters → batch hook)
+  * and is measured-then-dropped at the sink boundary, so the lag it
+  * reports covers the actual end-to-end path.
+  */
+object Canary {
+  val Database = "_graft_canary"
+
+  def isProbe: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col("database") === Database
+
+  /** A probe row shaped like the given change-log schema: canary database,
+    * emit time in `event_ts`-compatible millis carried via `seq`.
+    */
+  def probeRow(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      emittedAtMs: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = spark.range(1)
+    schema.fields.foldLeft(base.toDF()) { (d, f) =>
+      val v = f.name match {
+        case "database" => lit(Database)
+        case "op" => lit("insert")
+        case "seq" => lit(emittedAtMs) // emit time doubles as sequence
+        case _ => lit(null)
+      }
+      d.withColumn(f.name, v.cast(f.dataType))
+    }.select(schema.fieldNames.map(col): _*)
+  }
+
+  /** Write a probe into a file change-log directory (harness source). */
+  def emitProbe(spark: org.apache.spark.sql.SparkSession, logDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      emittedAtMs: Long = System.currentTimeMillis()): Unit =
+    probeRow(spark, schema, emittedAtMs)
+      .coalesce(1).write.mode("append").parquet(logDir)
+}
+
+/** Driver-side canary observation: batches report their probes here; the
+  * tracker answers alive/lag — checker.go's IsCaughtUp analogue.
+  */
+final class CanaryTracker {
+  @volatile private var lastProbeEmitMs: Long = -1L
+  @volatile private var lastSeenAtMs: Long = -1L
+
+  def record(emittedAtMs: Long): Unit = {
+    lastProbeEmitMs = math.max(lastProbeEmitMs, emittedAtMs)
+    lastSeenAtMs = System.currentTimeMillis()
+  }
+
+  /** Replication lag of the most recent observed probe. */
+  def lagMs: Option[Long] =
+    if (lastProbeEmitMs < 0) None else Some(lastSeenAtMs - lastProbeEmitMs)
+
+  /** Liveness: a probe has come through within the threshold. */
+  def alive(withinMs: Long): Boolean =
+    lastSeenAtMs > 0 && System.currentTimeMillis() - lastSeenAtMs <= withinMs
+}
+
 /** Pipeline health monitoring.
   *
   * The reference tracks per-stream watermarks + an unhealthy threshold on

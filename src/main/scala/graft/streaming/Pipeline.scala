@@ -75,9 +75,19 @@ object PipelineRunner {
     * hook), then filter chain → route → per-key last-writer-wins → sink.
     */
   def applyBatch(plan: PipelinePlan, sink: BatchSink,
-      ddl: Option[DdlExecutor] = None)(df: DataFrame, batchId: Long): Unit = {
+      ddl: Option[DdlExecutor] = None,
+      canary: Option[CanaryTracker] = None)(df: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.col
-    val transformed = TransformChain(plan.transforms)(df)
+    // canary probes rode the source + micro-batch path: measure on batch
+    // entry, then drop (checker.go observes-then-discards the same way)
+    val afterCanary = canary match {
+      case Some(tracker) if df.columns.contains("database") =>
+        val probes = df.filter(Canary.isProbe).select(col("seq")).collect()
+        probes.foreach(r => tracker.record(r.getLong(0)))
+        df.filter(!Canary.isProbe)
+      case _ => df
+    }
+    val transformed = TransformChain(plan.transforms)(afterCanary)
     val routed = plan.router.map(r => r.assign(transformed.filter(r.exists)))
       .getOrElse(transformed)
     // DDL control rows: rewritten + executed against the target before the
@@ -103,12 +113,13 @@ object PipelineRunner {
   /** Launch the streaming query. */
   def start(plan: PipelinePlan, source: DataFrame, sink: BatchSink,
       trigger: Trigger = Trigger.AvailableNow(),
-      ddl: Option[DdlExecutor] = None): StreamingQuery =
+      ddl: Option[DdlExecutor] = None,
+      canary: Option[CanaryTracker] = None): StreamingQuery =
     source.writeStream
       .queryName(plan.name)
       .option("checkpointLocation", plan.checkpoint)
       .trigger(trigger)
-      .foreachBatch(applyBatch(plan, sink, ddl) _)
+      .foreachBatch(applyBatch(plan, sink, ddl, canary) _)
       .start()
 
   /** One-shot batch mode over a static change-log (backfill path). */

@@ -71,6 +71,23 @@ class OperatorsSpec extends SparkSpec {
       Seq("analytics"))
   }
 
+  test("process sidecar: rows cross a real process boundary and come back transformed") {
+    val df = Seq((1L, "keep_abc"), (2L, "drop_me"), (3L, "keep_xyz")).toDF("id", "v")
+    // transform: sed rewrites a value — proves bytes really left the JVM
+    val transformed = ProcessSidecarFilter(Seq("sed", "s/keep_abc/KEPT/"))(df)
+      .orderBy("id").select("v").as[String].collect().toSeq
+    assert(transformed == Seq("KEPT", "drop_me", "keep_xyz"))
+    // drop: lines the sidecar omits disappear (sed deletes them; sed exits
+    // 0 even when a partition's every line is deleted, unlike grep)
+    val dropped = ProcessSidecarFilter(Seq("sed", "/drop_me/d"))(df)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(dropped == Seq(1L, 3L))
+    // a failing sidecar fails the task loudly
+    intercept[Exception] {
+      ProcessSidecarFilter(Seq("false"))(df).collect()
+    }
+  }
+
   test("fanOut derives targets from a fully-literal route config without a data scan") {
     val r = Router.mysql(Seq(
       Route(Seq(SchemaMatcher("db0")), Map("schema" -> "cold", "table" -> "t_cold")),

@@ -35,4 +35,27 @@ class DdlRewriterSpec extends SparkSpec {
   test("duplicate-column/key errnos are replay-ignorable (mysql.go:484-511)") {
     assert(ignorableErrnos.contains(1060) && ignorableErrnos.contains(1061))
   }
+
+  test("multi-spec ALTER splits into one statement per spec (TiDB single-spec)") {
+    assert(rewrite("ALTER TABLE t ADD COLUMN a INT, ADD COLUMN b VARCHAR(8)", "tgt", "t2") ==
+      Seq("ALTER TABLE `tgt`.`t2` ADD COLUMN a INT",
+        "ALTER TABLE `tgt`.`t2` ADD COLUMN b VARCHAR(8)"))
+    // commas inside type args and quoted defaults do not split
+    assert(rewrite(
+      "ALTER TABLE t ADD COLUMN d DECIMAL(12,2) DEFAULT 'a,b', DROP COLUMN e", "tgt", "t2") ==
+      Seq("ALTER TABLE `tgt`.`t2` ADD COLUMN d DECIMAL(12,2) DEFAULT 'a,b'",
+        "ALTER TABLE `tgt`.`t2` DROP COLUMN e"))
+  }
+
+  test("bidirectional drop dedupe: first drop executes, its echo is skipped") {
+    val d = new DdlDropDeduper()
+    assert(d.shouldExecute("DROP TABLE `a`.`t1`"))
+    // the echo comes back normalized differently (case, quoting, spacing)
+    assert(!d.shouldExecute("drop table a.t1"))
+    assert(!d.shouldExecute("DROP TABLE  a.t1"))
+    // a different table, and non-drop DDL, always pass
+    assert(d.shouldExecute("DROP TABLE a.t2"))
+    assert(d.shouldExecute("ALTER TABLE a.t1 ADD COLUMN c INT"))
+    assert(d.shouldExecute("ALTER TABLE a.t1 ADD COLUMN c INT")) // alters never dedupe
+  }
 }

@@ -158,6 +158,31 @@ class JdbcBatchSinkSpec extends SparkSpec {
     assert(ConflictRecorder.events.toArray.toSet == Set("delete:1"))
   }
 
+  test("internal txn tagger writes the marker row with the data writes") {
+    val url = freshDb()
+    sql(url,
+      "CREATE TABLE t (id BIGINT PRIMARY KEY, v VARCHAR(16))",
+      "CREATE TABLE txn_tags (pipeline_name VARCHAR(64), tagged_at TIMESTAMP)")
+    val log = Seq(
+      (1L, "insert", 1L, "a"), (2L, "insert", 2L, "b"), (3L, "insert", 3L, "c")
+    ).toDF("seq", "op", "id", "v")
+    val sink = new JdbcBatchSink(
+      () => new JdbcStatementExecutor(url),
+      AnsiMergeEngine(Seq("id")), Seq("id"), targets = Seq(("", "t")),
+      numWriters = Some(1),
+      txnTagger = Some(InternalTxnTagger("txn_tags", "p1")))
+    sink.write(0L, log)
+    assert(queryPairs(url, "SELECT id, v FROM t") == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // one marker row per writer-partition transaction, carrying the name
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT count(*), min(pipeline_name) FROM txn_tags")
+      rs.next()
+      assert(rs.getLong(1) == 1L && rs.getString(2) == "p1")
+    } finally c.close()
+  }
+
   test("ansi merge engine renders per-row MERGE with pk/set/insert arg groups") {
     val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
     val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(

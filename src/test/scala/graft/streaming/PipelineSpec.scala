@@ -164,6 +164,28 @@ class PipelineSpec extends SparkSpec {
     assert(seen == Seq(1L) && fails == 0)
   }
 
+  test("canary probe rides the pipeline, reports lag, never reaches the sink") {
+    val work = tmp()
+    val logDir = work + "/log"
+    new java.io.File(logDir).mkdirs()
+    logDf((1, "insert", "db0", 1, "a")).coalesce(1).write.mode("append").parquet(logDir)
+    val schema = spark.read.parquet(logDir).schema
+    val emittedAt = System.currentTimeMillis() - 1500 // probe emitted 1.5s ago
+    Canary.emitProbe(spark, logDir, schema, emittedAt)
+    val sink = new SnapshotBatchSink(spark, work + "/snap", Seq("id"))
+    val plan = PipelinePlan(name = "p6", pkCols = Seq("id"), checkpoint = work + "/ckpt")
+    val tracker = new CanaryTracker
+    assert(!tracker.alive(withinMs = 60000))
+    val q = PipelineRunner.start(plan,
+      graft.sources.FileChangeLogSource.readStream(spark, logDir, schema), sink,
+      canary = Some(tracker))
+    q.awaitTermination()
+    assert(tracker.alive(withinMs = 60000))
+    assert(tracker.lagMs.exists(l => l >= 1500 && l < 120000))
+    // the probe was measured-then-dropped: only the real row reached the sink
+    assert(sink.read().select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("positions: last committed batch readable from checkpoint, reset clears") {
     val work = tmp()
     val logDir = work + "/log"
