@@ -297,6 +297,55 @@ object TrainingQueries {
          |  FROM cand) t
          |WHERE rank <= 3""".stripMargin), bench = true),
 
+    // ---- similarity search: IVF variant ----------------------------------
+    // Coarse quantizer: 16 deterministic centroids (the vectors with
+    // vec_id < 16 — reproducible across engines and scale factors);
+    // every vector is assigned to its nearest centroid's cell, queries
+    // probe their nprobe=2 nearest cells, and the exact cosine ranks only
+    // the probed cells' members. 100 TB shape: centroids broadcast
+    // (bounded C), assignment is one linear scan, and the candidate join
+    // is an equi-join on cell — the IVF pruning that replaces all-pairs.
+    CatalogQuery("sim_ivf_ann_topk", (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+      val scored = e.join(broadcast(cents), lit(true))
+        .withColumn("cos_c", expr(Similarity.cosineSpark("embedding", "cv")))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_c").desc, col("cell"))
+      val assigned = scored
+        .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val qcells = scored.filter(col("vec_id") % 50 === 0)
+        .withColumn("rn", row_number().over(wAssign)).filter(col("rn") <= 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_raw").desc, col("vec_id"))
+      assigned.join(qcells, Seq("cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cos_raw", expr(Similarity.cosineSpark("qv", "embedding")))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("neighbor_id"))
+    }, Some(
+      s"""WITH cents AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${Similarity.cosineDuck("e.embedding", "c.cv", 64)} DESC, c.cell) AS rn
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, embedding, cell FROM scored WHERE rn = 1),
+         |qcells AS (SELECT vec_id AS query_id, embedding AS qv, cell
+         |  FROM scored WHERE vec_id % 50 = 0 AND rn <= 2)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${Similarity.cosineDuck("q.qv", "a.embedding", 64)} DESC, a.vec_id) AS rank
+         |  FROM qcells q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id) t
+         |WHERE rank <= 3""".stripMargin)),
+
     // ---- ANN quality: recall of LSH against the brute-force truth --------
     CatalogQuery("sim_lsh_recall", (s, d) => {
       val bf = Catalog.queries("sim_cosine_topk_bruteforce")(s, d)
