@@ -310,6 +310,10 @@ object TrainingQueries {
         .repartition(s.sessionState.conf.numShufflePartitions)
       val cents = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+      // INTENTIONAL BroadcastNestedLoopJoin: scoring every vector against
+      // every centroid IS a cross product whose small side is bounded by
+      // C=16 (config, not data) — the same documented class as the
+      // brute-force baseline's broadcast. Never grows with the corpus.
       val scored = e.join(broadcast(cents), lit(true))
         .withColumn("cos_c", expr(Similarity.cosineSpark("embedding", "cv")))
       val wAssign = Window.partitionBy(col("vec_id"))
