@@ -516,6 +516,32 @@ object TrainingQueries {
           |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
           |FROM documents GROUP BY 1""".stripMargin)),
 
+    // ---- multimodal: image pipeline (typed metadata + batch resize) ------
+    // Opaque binary "image" + a typed metadata struct; the resize stub is
+    // deterministic arithmetic over the declared dimensions, processed in
+    // fixed-size batches inside each partition — the batch shape a real
+    // codec (JNI/native lib) needs. Only the stub body changes in prod.
+    CatalogQuery("mm_image_resize_stub", mmImageResize, Some(
+      """SELECT doc_id,
+        |  CAST(length(text) % 64 + 16 AS BIGINT) AS src_w,
+        |  CAST(length(text) % 48 + 16 AS BIGINT) AS src_h,
+        |  CAST(32 AS BIGINT) AS out_w,
+        |  CAST((length(text) % 48 + 16) * 32 // (length(text) % 64 + 16) AS BIGINT) AS out_h,
+        |  CAST(ascii(substring(text, 1, 1)) * (length(text) % 64 + 16) % 251 AS BIGINT) AS thumb_checksum
+        |FROM documents""".stripMargin)),
+
+    // ---- multimodal: video frame sampling (explode with stride) ----------
+    // "Video" = binary payload; frame count derives from length, sampling
+    // takes every 7th frame; per-frame fingerprint = the frame's first
+    // byte. The plumbing (binary column, per-frame explode, deterministic
+    // stride) is real; the frame decode is the stub.
+    CatalogQuery("mm_frame_sample_stub", mmFrameSample, Some(
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(ascii(substring(text, CAST(f * 16 + 1 AS INT), 1)) AS BIGINT) AS frame_byte
+        |FROM documents
+        |CROSS JOIN (SELECT unnest(range(0, 10000)) AS f) u
+        |WHERE f < length(text) // 16 AND f % 7 = 0""".stripMargin)),
+
     // ---- multimodal binary plumbing (decode stubbed) ---------------------
     CatalogQuery("mm_binary_features", mmBinary, Some(
       """SELECT doc_id,
@@ -533,6 +559,54 @@ object TrainingQueries {
     * schema) is the real, tested part. In production the stub body is the
     * only thing that changes (JNI codec / native lib per partition).
     */
+  /** Image pipeline: binary payload + typed metadata struct, partition-wise
+    * BATCHED processing (grouped(64)) — the seat where a vectorized codec
+    * call sits in production. The "decode"/"resize" below is a
+    * deterministic stub over the metadata and first payload byte.
+    */
+  private def mmImageResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          (length(col("text")) % 64 + 16).cast("int").as("width"),
+          (length(col("text")) % 48 + 16).cast("int").as("height"),
+          lit("fake").as("format")).as("meta"))
+      .as[(Long, Array[Byte], (Int, Int, String))]
+      .mapPartitions { it =>
+        // process in fixed-size batches: real codecs amortize per-call
+        // overhead over a batch, so the seam must be batch-shaped
+        it.grouped(64).flatMap { batch =>
+          batch.map { case (id, payload, (w, h, _)) =>
+            val outW = 32
+            val outH = h * outW / w // aspect-preserving stub "resize"
+            val first = if (payload.nonEmpty) payload(0) & 0xff else 0
+            val checksum = (first.toLong * w) % 251 // stub thumbnail digest
+            (id, w.toLong, h.toLong, outW.toLong, outH.toLong, checksum)
+          }
+        }
+      }
+      .toDF("doc_id", "src_w", "src_h", "out_w", "out_h", "thumb_checksum")
+  }
+
+  /** Frame sampling: every 7th "frame" of a binary payload (frame = 16-byte
+    * stride window), exploded to (doc_id, frame_idx, fingerprint) rows —
+    * the shape of real video keyframe extraction with the codec stubbed.
+    */
+  private def mmFrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val nFrames = payload.length / 16
+        (0 until nFrames by 7).map { f =>
+          (id, f.toLong, (payload(f * 16) & 0xff).toLong)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_byte")
+  }
+
   private def mmBinary(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)

@@ -78,6 +78,7 @@ object PipelineConfig {
           RenameColumnsFilter(strList(req(f, "from")), strList(req(f, "to")),
             parseMatchers(f), enveloped)
         case "expr" => ExprTransform(req(f, "column").asText(), req(f, "sql").asText())
+        case "sidecar" => ProcessSidecarFilter(strList(req(f, "command")))
         case other => throw new IllegalArgumentException(s"unknown filter type '$other'")
       }
     }.toSeq
@@ -92,4 +93,57 @@ object PipelineConfig {
 
   private def strList(v: JsonNode): Seq[String] =
     if (v.isArray) v.elements().asScala.map(_.asText()).toSeq else Seq(v.asText())
+
+  /** Output section → BatchSink, completing config → runnable pipeline
+    * (the reference's `[output]` TOML block, config_v3.go:44-70):
+    *
+    * {{{
+    * "output": {"type": "snapshot", "path": "/tables/orders", "buckets": 16}
+    * "output": {"type": "jdbc", "url": "jdbc:...", "engine": "replace",
+    *            "targets": [["tgt_db", "orders"]], "num-writers": 8,
+    *            "txn-tag-table": "_graft.txn_tags", "retries": 3}
+    * }}}
+    *
+    * Engines: replace | insert-ignore | on-dup-key | ansi-merge | manual
+    * (with "template"). "retries"/"retry-sleep-ms" wrap the sink in
+    * RetryingSink (the scheduler's nr-retries × retry-sleep).
+    */
+  def parseSink(spark: org.apache.spark.sql.SparkSession, json: String,
+      pkCols: Seq[String]): graft.streaming.BatchSink = {
+    val o = mapper.readTree(json)
+    val base: graft.streaming.BatchSink = req(o, "type").asText() match {
+      case "snapshot" =>
+        new graft.streaming.SnapshotBatchSink(spark, req(o, "path").asText(), pkCols,
+          Option(o.get("buckets")).map(_.asInt()).getOrElse(16))
+      case "jdbc" =>
+        val url = req(o, "url").asText()
+        val engine = Option(o.get("engine")).map(_.asText()).getOrElse("replace") match {
+          case "replace" => graft.sinks.ReplaceEngine
+          case "insert-ignore" => graft.sinks.InsertIgnoreEngine
+          case "on-dup-key" => graft.sinks.OnDupKeyUpdateEngine
+          case "ansi-merge" => graft.sinks.AnsiMergeEngine(pkCols)
+          case "manual" => graft.sinks.ManualEngine(req(o, "template").asText())
+          case other => throw new IllegalArgumentException(s"unknown engine '$other'")
+        }
+        val targets = Option(o.get("targets")).map(_.elements().asScala.map { t =>
+          val parts = t.elements().asScala.map(_.asText()).toSeq
+          (parts.head, parts(1))
+        }.toSeq).getOrElse(Nil)
+        new graft.sinks.JdbcBatchSink(
+          () => new graft.sinks.JdbcStatementExecutor(url),
+          engine, pkCols, targets = targets,
+          maxRowsPerStatement =
+            Option(o.get("max-rows-per-statement")).map(_.asInt()).getOrElse(200),
+          numWriters = Option(o.get("num-writers")).map(_.asInt()),
+          txnTagger = Option(o.get("txn-tag-table")).map(t =>
+            graft.sinks.InternalTxnTagger(t.asText(),
+              Option(o.get("pipeline-name")).map(_.asText()).getOrElse("graft"))))
+      case other => throw new IllegalArgumentException(s"unknown output type '$other'")
+    }
+    Option(o.get("retries")).map(_.asInt()) match {
+      case Some(r) => new graft.streaming.RetryingSink(base, r,
+        Option(o.get("retry-sleep-ms")).map(_.asLong()).getOrElse(1000L))
+      case None => base
+    }
+  }
 }

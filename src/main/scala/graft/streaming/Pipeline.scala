@@ -29,9 +29,9 @@ trait BatchSink extends Serializable {
   def write(batchId: Long, compacted: DataFrame): Unit
 }
 
-final class SnapshotBatchSink(spark: SparkSession, path: String, pkCols: Seq[String])
-    extends BatchSink {
-  private val sink = new SnapshotSink(spark, path, pkCols)
+final class SnapshotBatchSink(spark: SparkSession, path: String, pkCols: Seq[String],
+    numBuckets: Int = 16) extends BatchSink {
+  private val sink = new SnapshotSink(spark, path, pkCols, numBuckets)
   def write(batchId: Long, compacted: DataFrame): Unit = sink.merge(compacted)
   def read(): DataFrame = sink.read()
 }

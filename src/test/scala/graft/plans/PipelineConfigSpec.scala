@@ -50,4 +50,42 @@ class PipelineConfigSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       PipelineConfig.parse("""{"name":"x","pk":["id"],"filters":[{"type":"nope"}]}"""))
   }
+
+  test("sidecar filter parses and crosses the process boundary") {
+    val plan = PipelineConfig.parse(
+      """{"name":"s","pk":["id"],
+        |"filters":[{"type":"sidecar","command":["sed","s/abc/XYZ/"]}]}""".stripMargin)
+    val out = TransformChain(plan.transforms)(Seq((1L, "abc")).toDF("id", "v"))
+    assert(out.select("v").as[String].head() == "XYZ")
+  }
+
+  test("output config builds a snapshot sink end to end") {
+    val path = java.nio.file.Files.createTempDirectory("cfg-snap").toString + "/t"
+    val sink = PipelineConfig.parseSink(spark,
+      s"""{"type":"snapshot","path":"$path","buckets":4}""", Seq("id"))
+    sink.write(0L, Seq((1L, "insert", 1L, "a")).toDF("seq", "op", "id", "v"))
+    val snap = new graft.sinks.SnapshotSink(spark, path, Seq("id"), 4)
+    assert(snap.read().select("id", "v").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("output config builds a retry-wrapped jdbc sink that writes through Derby") {
+    val url = "jdbc:derby:memory:cfg" +
+      java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().execute(
+      "CREATE TABLE t (id BIGINT PRIMARY KEY, v VARCHAR(8))")
+    finally c.close()
+    val sink = PipelineConfig.parseSink(spark,
+      s"""{"type":"jdbc","url":"$url","engine":"ansi-merge",
+         |"targets":[["","t"]],"num-writers":1,"retries":2}""".stripMargin, Seq("id"))
+    assert(sink.isInstanceOf[graft.streaming.RetryingSink])
+    sink.write(0L, Seq((1L, "insert", 1L, "a"), (2L, "update", 1L, "b"))
+      .toDF("seq", "op", "id", "v"))
+    val c2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c2.createStatement().executeQuery("SELECT v FROM t WHERE id = 1")
+      rs.next()
+      assert(rs.getString(1) == "b")
+    } finally c2.close()
+  }
 }
