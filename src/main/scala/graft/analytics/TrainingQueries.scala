@@ -435,6 +435,35 @@ object TrainingQueries {
         |    / len(string_split(text, ' ')) >= 0.08 THEN 'enish' ELSE 'other' END AS pred_lang
         |FROM documents""".stripMargin)),
 
+    // n-gram-profile language-ID (textcat style): score each doc's char
+    // trigrams against per-language profiles, argmax wins. The profiles
+    // here are tiny fixed lists (the harness corpus is synthetic); swap in
+    // real top-k profiles per language in production — the scoring shape
+    // (trigram explode → profile hit ratio → argmax) is the real part.
+    CatalogQuery("txt_language_trigram", (s, d) => {
+      val en = Seq("the", "he ", " th", "ing", "nd ", "er ", " a ", "on ", "at ")
+      val zz = Seq("zzz", "qqq", "xxj")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.trigramProfileScore(col("text"), en).as("en_score"),
+        TextAnalysis.trigramProfileScore(col("text"), zz).as("zz_score"))
+        .withColumn("pred_lang",
+          when(col("en_score") > col("zz_score"), lit("en")).otherwise(lit("other")))
+    }, Some(
+      """WITH tg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) - 1), i -> substring(text, CAST(i AS INT), 3)) AS tgs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(tgs, t -> t IN ('the','he ',' th','ing','nd ','er ',' a ','on ','at '))) AS DOUBLE)
+        |    / len(tgs) AS en_score,
+        |  CAST(len(list_filter(tgs, t -> t IN ('zzz','qqq','xxj'))) AS DOUBLE)
+        |    / len(tgs) AS zz_score,
+        |  CASE WHEN CAST(len(list_filter(tgs, t -> t IN ('the','he ',' th','ing','nd ','er ',' a ','on ','at '))) AS DOUBLE) / len(tgs)
+        |         > CAST(len(list_filter(tgs, t -> t IN ('zzz','qqq','xxj'))) AS DOUBLE) / len(tgs)
+        |       THEN 'en' ELSE 'other' END AS pred_lang
+        |FROM tg""".stripMargin)),
+
     CatalogQuery("txt_quality_scores", (s, d) => {
       val t = TextAnalysis.tokens(col("text"))
       Tables.documents(s, d).select(

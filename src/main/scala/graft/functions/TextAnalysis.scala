@@ -62,4 +62,18 @@ object TextAnalysis {
     */
   def bpeishCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Character trigrams — the n-gram unit of classic language-ID. */
+  def charTrigrams(text: Column): Column =
+    transform(sequence(lit(1), length(text) - 2),
+      i => text.substr(i.cast("int"), lit(3)))
+
+  /** Fraction of the doc's char trigrams found in a language profile —
+    * the textcat/n-gram-profile language-ID score (higher = closer).
+    */
+  def trigramProfileScore(text: Column, profile: Seq[String]): Column = {
+    val tg = charTrigrams(text)
+    val prof = array(profile.map(lit): _*)
+    size(filter(tg, t => array_contains(prof, t))).cast("double") / size(tg)
+  }
 }

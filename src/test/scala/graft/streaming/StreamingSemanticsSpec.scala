@@ -76,6 +76,33 @@ class StreamingSemanticsSpec extends SparkSpec {
       Set((1L, 2L), (2L, 1L)))
   }
 
+  test("stream-stream interval join with watermarks (signup -> purchase within 1h)") {
+    // the streaming formulation of evt_interval_join: both sides
+    // watermarked, join condition = equi-key + event-time range, so state
+    // for expired intervals is dropped — the unbounded-state-safe shape
+    implicit val sc = spark.sqlContext
+    val signups = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val s = signups.toDF.toDF("s_ts", "user_id").withWatermark("s_ts", "2 hours")
+    val p = purchases.toDF.toDF("p_ts", "p_user", "value").withWatermark("p_ts", "2 hours")
+    val joined = s.join(p,
+      $"user_id" === $"p_user" &&
+        $"p_ts" >= $"s_ts" && $"p_ts" <= $"s_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"user_id", $"s_ts", $"p_ts", $"value")
+
+    signups.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+    purchases.addData(
+      (ts("2024-01-01 10:30:00"), 1L, 5.0), // inside the hour -> joins
+      (ts("2024-01-01 12:30:00"), 1L, 7.0), // outside -> dropped
+      (ts("2024-01-01 10:10:00"), 3L, 9.0)) // no signup -> dropped
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_join").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ss_join").select("user_id", "value")
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 5.0)))
+  }
+
   test("streaming session_window over real events sample equals batch result") {
     // stream the sf0.001 events through a file stream and compare with the
     // batch session computation on the same data
