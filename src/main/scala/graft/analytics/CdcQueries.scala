@@ -246,6 +246,19 @@ object CdcQueries {
         |       AND s.o_totalprice = t.o_totalprice AND s.o_orderdate = t.o_orderdate
         |       AND s.o_orderpriority = t.o_orderpriority)""".stripMargin)),
 
+    // sidecar filter with a REAL process boundary, oracle-gated: rows leave
+    // the JVM as JSON lines, an external `sed` rewrites a payload value,
+    // and the result re-enters the frame (grpc_sidecar_filter.go:83-133 —
+    // the reference ships rows to a user binary the same way)
+    CatalogQuery("cdc_sidecar_transform", (s, d) => {
+      val filter = graft.operators.ProcessSidecarFilter(
+        Seq("sed", "s/\"o_orderstatus\":\"O\"/\"o_orderstatus\":\"OPEN\"/"))
+      filter(changeLog(s, d).select("seq", "op", "o_orderkey", "o_orderstatus"))
+    }, Some(
+      s"""SELECT seq, op, o_orderkey,
+         |  CASE WHEN o_orderstatus = 'O' THEN 'OPEN' ELSE o_orderstatus END AS o_orderstatus
+         |FROM ($oracleLog) log""".stripMargin)),
+
     // END-TO-END sink check: the synthesized change-log flows through the
     // assembled JdbcBatchSink (pk-partitioned order → delete isolation →
     // engine render → StatementExecutor) into an embedded Derby database,

@@ -17,7 +17,8 @@ object ScaleStress {
     // bench set plus the pair ops whose quadratic blowup only shows at
     // scale (they are candidate-join shaped now — growth must stay linear)
     val defaultNames = Catalog.benchNames ++ Seq(
-      "ddp_ngram_jaccard_pairs", "ddp_simhash_hamming_pairs", "ddp_embed_cosine_pairs")
+      "ddp_ngram_jaccard_pairs", "ddp_simhash_hamming_pairs",
+      "ddp_embed_cosine_pairs", "sim_ivf_ann_topk")
     val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
     val spark = Engine.session("scale-stress",

@@ -42,4 +42,36 @@ class GtidSetSpec extends AnyFunSuite {
     val sub = GtidSet.parse("aaa:5-899999999999")
     assert(big.covers(sub) && !sub.covers(big))
   }
+
+  test("properties: render round-trip, union laws, subtract correctness (randomized)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalatest.prop.Configuration
+    val genSet: Gen[GtidSet] = for {
+      nUuids <- Gen.choose(1, 3)
+      uuids <- Gen.listOfN(nUuids, Gen.oneOf("aaa", "bbb", "ccc"))
+      ivs <- Gen.listOfN(nUuids, Gen.listOfN(3, for {
+        lo <- Gen.choose(1L, 40L); len <- Gen.choose(0L, 10L)
+      } yield (lo, lo + len)))
+    } yield uuids.zip(ivs).foldLeft(GtidSet.empty) { case (acc, (u, iv)) =>
+      acc.union(GtidSet(Map(u -> GtidSet.normalize(iv.toVector))))
+    }
+    val p = Prop.forAll(genSet, genSet) { (a, b) =>
+      val roundTrip = GtidSet.parse(a.render) == a
+      val commutative = a.union(b).render == b.union(a).render
+      val idempotent = a.union(a).render == a.render
+      val unionCovers = a.union(b).covers(a) && a.union(b).covers(b)
+      // subtract correctness on the bounded domain: membership agrees with
+      // the direct definition for every (uuid, txn)
+      val missing = a.missingFrom(b)
+      val subtractOk = (1L to 60L).forall { t =>
+        Seq("aaa", "bbb", "ccc").forall { u =>
+          missing.contains(u, t) == (b.contains(u, t) && !a.contains(u, t))
+        }
+      }
+      roundTrip && commutative && idempotent && unionCovers && subtractOk
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(result.passed, result.status.toString)
+  }
 }
