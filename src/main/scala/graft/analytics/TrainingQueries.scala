@@ -305,6 +305,8 @@ object TrainingQueries {
     // the probed cells' members. 100 TB shape: centroids broadcast
     // (bounded C), assignment is one linear scan, and the candidate join
     // is an equi-join on cell — the IVF pruning that replaces all-pairs.
+    // Sizing: per-cell occupancy is N/C, so production picks C ≈ sqrt(N)
+    // (kmeans-trained); C is fixed at 16 here so the oracle stays exact.
     CatalogQuery("sim_ivf_ann_topk", (s, d) => {
       val e = Tables.embeddings(s, d)
         .repartition(s.sessionState.conf.numShufflePartitions)
