@@ -249,6 +249,97 @@ object TpchQueries {
         |  list_min(embedding::DOUBLE[]) AS vmin
         |FROM embeddings""".stripMargin)),
 
+    // ranking-function battery: dense_rank / percent_rank / cume_dist /
+    // ntile — one window, four ranking semantics, exact cross-engine
+    CatalogQuery("win_rank_battery", (s, d) => {
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice"), col("p_partkey"))
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 500)
+        .select(col("p_partkey"), col("p_brand"),
+          dense_rank().over(w).cast("long").as("drank"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    }, Some(
+      """SELECT p_partkey, p_brand,
+        |  dense_rank() OVER w AS drank,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist,
+        |  ntile(4) OVER w AS quartile
+        |FROM part WHERE p_partkey <= 500
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)""".stripMargin)),
+
+    // RANGE-frame window: value-based frame bounds (not row counts) —
+    // running revenue of each customer's orders within the trailing
+    // 10000 order-key range
+    CatalogQuery("win_range_frame_sum", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rangeBetween(-10000L, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("trailing_total"))
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey
+        |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_total
+        |FROM orders""".stripMargin)),
+
+    // INTERSECT ALL: bag-semantics intersection (multiplicity = min) —
+    // completes the set-op family next to EXCEPT ALL
+    CatalogQuery("set_intersect_all_multiplicity", (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      li.intersectAll(o)
+    }, Some(
+      """SELECT k FROM (
+        |  SELECT l_orderkey AS k FROM lineitem
+        |  INTERSECT ALL
+        |  SELECT o_orderkey AS k FROM orders) t""".stripMargin)),
+
+    // exact percentiles (linear interpolation — both engines implement the
+    // same continuous-quantile definition over sorted values)
+    CatalogQuery("agg_exact_percentiles", (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile(o_orderkey, 0.25)").as("p25"),
+          expr("percentile(o_orderkey, 0.5)").as("p50"),
+          expr("percentile(o_orderkey, 0.75)").as("p75")),
+      Some(
+        """SELECT o_orderpriority,
+          |  quantile_cont(o_orderkey, 0.25) AS p25,
+          |  quantile_cont(o_orderkey, 0.5) AS p50,
+          |  quantile_cont(o_orderkey, 0.75) AS p75
+          |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // math-function battery — only IEEE-exact ops: sqrt is required
+    // correctly-rounded, so it hash-matches bit-for-bit; exp/ln are NOT
+    // (JDK vs libm differ by 1 ulp) and stay out of gated outputs
+    CatalogQuery("fn_math_battery", (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          abs(col("c_acctbal")).as("aabs"),
+          round(col("c_acctbal"), 1).as("around"),
+          floor(col("c_acctbal")).cast("long").as("afloor"),
+          ceil(col("c_acctbal")).cast("long").as("aceil"),
+          sqrt(abs(col("c_acctbal"))).as("asqrt"),
+          pow(col("c_custkey") % 7, 2).as("apow"),
+          signum(col("c_acctbal")).cast("long").as("asign"),
+          (col("c_custkey") % 97).as("amod")),
+      Some(
+        """SELECT c_custkey,
+          |  abs(c_acctbal) AS aabs,
+          |  round(c_acctbal, 1) AS around,
+          |  CAST(floor(c_acctbal) AS BIGINT) AS afloor,
+          |  CAST(ceil(c_acctbal) AS BIGINT) AS aceil,
+          |  sqrt(abs(c_acctbal)) AS asqrt,
+          |  pow(c_custkey % 7, 2) AS apow,
+          |  CAST(sign(c_acctbal) AS BIGINT) AS asign,
+          |  c_custkey % 97 AS amod
+          |FROM customer""".stripMargin)),
+
     // conditional expressions battery
     CatalogQuery("fn_conditional_battery", (s, d) =>
       Tables.customer(s, d)

@@ -183,6 +183,39 @@ class JdbcBatchSinkSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("flagship path, streaming: change-log stream -> filter -> compaction -> JDBC target") {
+    val url = freshDb()
+    sql(url, "CREATE TABLE t (id BIGINT PRIMARY KEY, v VARCHAR(16))")
+    val work = java.nio.file.Files.createTempDirectory("jdbc-stream").toString
+    val logDir = work + "/log"
+    new java.io.File(logDir).mkdirs()
+    Seq((1L, "insert", "db0", 1L, "a"), (2L, "insert", "db0", 2L, "b"),
+      (3L, "insert", "skipme", 9L, "x"))
+      .toDF("seq", "op", "database", "id", "v")
+      .coalesce(1).write.mode("append").parquet(logDir)
+    Seq((4L, "update", "db0", 1L, "a2"), (5L, "delete", "db0", 2L, "b"))
+      .toDF("seq", "op", "database", "id", "v")
+      .coalesce(1).write.mode("append").parquet(logDir)
+    val schema = spark.read.parquet(logDir).schema
+    val tSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val sink = new JdbcBatchSink(
+      () => new JdbcStatementExecutor(url),
+      AnsiMergeEngine(Seq("id")), Seq("id"), targets = Seq(("", "t")),
+      targetSchemas = Map(("", "t") -> tSchema), // drops the database col
+      numWriters = Some(1))
+    val plan = graft.streaming.PipelinePlan(
+      name = "jdbc-e2e",
+      transforms = Seq(graft.operators.AcceptFilter(
+        Seq(graft.operators.SchemaMatcher("db*")))),
+      pkCols = Seq("id"), checkpoint = work + "/ckpt")
+    val q = graft.streaming.PipelineRunner.start(plan,
+      graft.sources.FileChangeLogSource.readStream(spark, logDir, schema,
+        maxFilesPerTrigger = Some(1)), sink)
+    q.awaitTermination()
+    assert(queryPairs(url, "SELECT id, v FROM t") == Map(1L -> "a2"))
+  }
+
   test("ansi merge engine renders per-row MERGE with pk/set/insert arg groups") {
     val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
     val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
