@@ -419,6 +419,58 @@ object TrainingQueries {
          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          |    / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.9""".stripMargin)),
 
+    // ---- near-dup clustering: connected components over candidate pairs --
+    // Dedup pipelines need CLUSTERS, not pairs: each component of the
+    // near-dup graph keeps one representative. Spark side = iterative
+    // min-label propagation (each round: one equi-join + min-agg; rounds
+    // bounded by component diameter — near-dup components are tiny), the
+    // distributed CC shape that scales where union-find cannot; the
+    // oracle is the declarative spec (recursive-CTE reachability).
+    CatalogQuery("ddp_near_dup_components", (s, d) => {
+      val pairs = Catalog.queries("ddp_minhash_lsh_pairs")(s, d)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .cache()
+      var labels = edges.select(col("src").as("v")).distinct()
+        .withColumn("lbl", col("v")).cache()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val prop = edges.join(labels, col("dst") === col("v"))
+          .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+        val next = labels.join(prop, col("v") === col("src"), "left")
+          .select(col("v"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .cache()
+        changed = next.as("n")
+          .join(labels.select(col("v"), col("lbl").as("old")), "v")
+          .filter(col("lbl") =!= col("old")).count()
+        labels = next
+        iter += 1
+      }
+      labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+    }, Some(
+      s"""WITH dp AS ($duckDocsPlus),
+         |sigs AS (SELECT doc_id, ${Similarity.minhashDuck("text", 9)} AS sig FROM dp),
+         |bands AS (SELECT doc_id, j AS band,
+         |    md5(sig[3*j+1] || sig[3*j+2] || sig[3*j+3]) AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2]) AS j) u),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT src, dst FROM edges
+         |    UNION
+         |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+         |  SELECT * FROM r)
+         |SELECT v.src AS doc_id, least(v.src, min(r.dst)) AS cluster_id
+         |FROM (SELECT DISTINCT src FROM edges) v
+         |JOIN reach r ON r.src = v.src
+         |GROUP BY v.src""".stripMargin)),
+
     // ---- text analysis ---------------------------------------------------
     CatalogQuery("txt_language_id", (s, d) => {
       val t = TextAnalysis.tokens(col("text"))
