@@ -155,7 +155,10 @@ object TpchQueries {
           regexp_replace(col("c_name"), "0+", "0").as("name_squeezed"),
           concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
           lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
-          reverse(col("c_name")).as("reversed")),
+          reverse(col("c_name")).as("reversed"),
+          levenshtein(col("c_name"), reverse(col("c_name"))).cast("long").as("lev_rev"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("translated"),
+          repeat(substring(col("c_mktsegment"), 1, 2), 2).as("repeated")),
       Some(
         """SELECT c_custkey,
           |  upper(c_mktsegment) AS seg_upper,
@@ -165,7 +168,10 @@ object TpchQueries {
           |  regexp_replace(c_name, '0+', '0', 'g') AS name_squeezed,
           |  c_mktsegment || '|' || c_name AS joined,
           |  lpad(c_custkey::VARCHAR, 8, '0') AS padded,
-          |  reverse(c_name) AS reversed
+          |  reverse(c_name) AS reversed,
+          |  CAST(levenshtein(c_name, reverse(c_name)) AS BIGINT) AS lev_rev,
+          |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+          |  repeat(substring(c_mktsegment, 1, 2), 2) AS repeated
           |FROM customer""".stripMargin)),
 
     // date/time function battery

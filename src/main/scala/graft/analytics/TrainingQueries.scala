@@ -445,6 +445,7 @@ object TrainingQueries {
         changed = next.as("n")
           .join(labels.select(col("v"), col("lbl").as("old")), "v")
           .filter(col("lbl") =!= col("old")).count()
+        labels.unpersist() // superseded iteration state must not pin storage
         labels = next
         iter += 1
       }
