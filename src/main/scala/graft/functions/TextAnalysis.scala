@@ -63,10 +63,14 @@ object TextAnalysis {
   def bpeishCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
 
-  /** Character trigrams — the n-gram unit of classic language-ID. */
+  /** Character trigrams — the n-gram unit of classic language-ID.
+    * Texts shorter than 3 chars yield an empty array (a bare
+    * sequence(1, length-2) would run DESCENDING for them).
+    */
   def charTrigrams(text: Column): Column =
-    transform(sequence(lit(1), length(text) - 2),
-      i => text.substr(i.cast("int"), lit(3)))
+    when(length(text) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(text) - 2),
+        i => text.substr(i.cast("int"), lit(3))))
 
   /** Fraction of the doc's char trigrams found in a language profile —
     * the textcat/n-gram-profile language-ID score (higher = closer).

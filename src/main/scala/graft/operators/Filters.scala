@@ -115,7 +115,11 @@ final case class ProcessSidecarFilter(command: Seq[String]) extends TransformOp 
     val jsonOut = jsonIn.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
-        val proc = new ProcessBuilder(cmd: _*).start()
+        // stderr must drain or a chatty sidecar fills the pipe buffer and
+        // deadlocks all three parties; inherit routes it to executor logs
+        val proc = new ProcessBuilder(cmd: _*)
+          .redirectError(ProcessBuilder.Redirect.INHERIT)
+          .start()
         val writer = new Thread(() => {
           val w = new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8")
           try it.foreach { l => w.write(l); w.write('\n') }

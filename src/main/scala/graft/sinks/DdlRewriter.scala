@@ -83,8 +83,16 @@ object DdlRewriter {
     val cur = new StringBuilder
     var depth = 0
     var quote: Char = 0
+    var escaped = false
     rest.foreach { c =>
-      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      if (quote != 0) {
+        // backslash escapes inside string literals (MySQL default mode)
+        // must not terminate the quote early
+        cur += c
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == quote) quote = 0
+      }
       else c match {
         case '\'' | '"' | '`' => quote = c; cur += c
         case '(' => depth += 1; cur += c
@@ -101,9 +109,12 @@ object DdlRewriter {
 /** Bidirectional drop dedupe (mysql.go:246-392): in two-way replication a
   * DROP executed on the target is tailed back and would replay against the
   * origin — the reference remembers recent drops and skips the echo. The
-  * window is bounded (LRU by insertion) so the memory is O(capacity).
+  * suppression is TIME-windowed (an echo arrives within replication lag; a
+  * legitimate re-DROP after a re-CREATE comes later and must execute) and
+  * bounded in memory (LRU by insertion, O(capacity)).
   */
-final class DdlDropDeduper(capacity: Int = 1024) extends Serializable {
+final class DdlDropDeduper(capacity: Int = 1024, windowMs: Long = 60000,
+    clock: () => Long = () => System.currentTimeMillis()) extends Serializable {
   private val seen = new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, false) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
       size() > capacity
@@ -111,15 +122,17 @@ final class DdlDropDeduper(capacity: Int = 1024) extends Serializable {
   private def normalize(sql: String): String =
     sql.toLowerCase.replaceAll("[`\"]", "").replaceAll("\\s+", " ").trim
 
-  /** True the first time a DROP statement is seen; false for its echo.
-    * Non-DROP statements always pass.
+  /** True the first time a DROP statement is seen within the window;
+    * false for its echo. Non-DROP statements always pass.
     */
   def shouldExecute(sql: String): Boolean = synchronized {
     DdlRewriter.classify(sql) match {
       case DdlRewriter.DropTable | DdlRewriter.DropDatabase =>
         val key = normalize(sql)
-        if (seen.containsKey(key)) false
-        else { seen.put(key, System.currentTimeMillis()); true }
+        val now = clock()
+        val recent = Option(seen.get(key)).exists(t => now - t <= windowMs)
+        seen.put(key, now)
+        !recent
       case _ => true
     }
   }

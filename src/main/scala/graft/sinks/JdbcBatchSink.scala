@@ -59,12 +59,18 @@ final class JdbcBatchSink(
       val tgts = if (targets.nonEmpty) targets
         else compacted.select(col("tgt_schema"), col("tgt_table"))
           .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSeq
-      tgts.foreach { t =>
-        val branch = compacted
-          .filter(col("tgt_schema") === t._1 && col("tgt_table") === t._2)
-          .drop("tgt_schema", "tgt_table")
-        writeTable(t, branch)
-      }
+      // materialize once: each target branch re-reads the batch (filter +
+      // write), and without a cache that re-runs the upstream compaction
+      // lineage per target
+      val src = if (tgts.size > 1) compacted.persist() else compacted
+      try {
+        tgts.foreach { t =>
+          val branch = src
+            .filter(col("tgt_schema") === t._1 && col("tgt_table") === t._2)
+            .drop("tgt_schema", "tgt_table")
+          writeTable(t, branch)
+        }
+      } finally if (tgts.size > 1) { src.unpersist(); () }
     }
   }
 
@@ -200,12 +206,15 @@ final class ConflictDetectBatchSink(
       val exec = factory()
       try {
         def guard(r: Row): Map[String, Any] = {
-          // pk always guards (never touch another key's row); the old
-          // image adds the optimistic compare-and-set columns when the
-          // stream carries one
-          val old = oldCols.flatMap { oc =>
-            Option(r.getAs[Any](oc)).map(v => oc.stripPrefix("old_") -> v)
-          }.toMap
+          // pk always guards (never touch another key's row). When the row
+          // carries an old image (any old_<col> non-null), ALL old_ cols
+          // guard — including genuinely-NULL ones: the engine's null-safe
+          // equality exists precisely so a NULL old value still
+          // participates in the compare-and-set.
+          val hasOldImage = oldCols.exists(oc => r.getAs[Any](oc) != null)
+          val old =
+            if (!hasOldImage) Map.empty[String, Any]
+            else oldCols.map(oc => oc.stripPrefix("old_") -> r.getAs[Any](oc)).toMap
           pk.map(c => c -> r.getAs[Any](c)).toMap ++ old
         }
         def forceApply(r: Row): Unit = {

@@ -44,8 +44,14 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
   def read(): DataFrame =
     readInternal().filter(!col("__deleted")).drop("__seq", "__deleted", "__bucket")
 
-  /** Full state including tombstones and bucket ids. */
-  def readInternal(): DataFrame = spark.read.parquet(path)
+  /** Full state including tombstones and bucket ids. Recovers first: a
+    * reader arriving after a crash mid-swap must not silently serve a
+    * snapshot with a bucket sitting in .backup.
+    */
+  def readInternal(): DataFrame = {
+    recover()
+    spark.read.parquet(path)
+  }
 
   /** Heal an interrupted swap: a bucket sitting in backup with no live
     * twin is restored; completed swaps drop their backup; stale staging

@@ -149,8 +149,12 @@ final case class AnsiMergeEngine(pkCols: Seq[String]) extends SqlEngine {
 
   def renderWrites(table: String, schema: StructType, rows: Seq[Row]): Seq[RenderedStatement] = {
     if (rows.isEmpty) return Nil
+    // pk fields in SCHEMA order for both the rendered ON clause and the
+    // bound args — deriving one from pkCols order and the other from the
+    // schema would misalign composite keys
+    val pkFields = schema.fields.filter(f => pkCols.contains(f.name))
     val nonPk = schema.fields.filterNot(f => pkCols.contains(f.name))
-    val on = schema.fields.filter(f => pkCols.contains(f.name))
+    val on = pkFields
       .map(f => s"t.${f.name} = CAST(? AS ${sqlType(f.dataType)})").mkString(" AND ")
     val matched =
       if (nonPk.isEmpty) ""
@@ -164,7 +168,7 @@ final case class AnsiMergeEngine(pkCols: Seq[String]) extends SqlEngine {
     // the re-prepared cost at one prepare per partition
     rows.map { r =>
       RenderedStatement(sql, Seq(
-        pkCols.map(c => r.getAs[Any](c)) ++
+        pkFields.map(f => r.getAs[Any](f.name)).toSeq ++
           nonPk.map(f => r.getAs[Any](f.name)) ++
           schema.fieldNames.map(c => r.getAs[Any](c))))
     }

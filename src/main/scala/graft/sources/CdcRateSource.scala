@@ -114,8 +114,11 @@ final class CdcRateStream(maxSeq: Long, rowsPerBatch: Long, numKeys: Long,
   override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
   override def deserializeOffset(json: String): Offset = {
+    // a CDC source must fail LOUDLY on an unreadable position — silently
+    // restarting from 0 would replay the entire stream as duplicates
     val m = """"seq"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
-    CdcOffset(m.map(_.group(1).toLong).getOrElse(0L))
+    CdcOffset(m.map(_.group(1).toLong).getOrElse(
+      throw new IllegalArgumentException(s"unreadable CDC offset: '$json'")))
   }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -84,7 +84,9 @@ object PipelineRunner {
       case Some(tracker) if df.columns.contains("database") =>
         val probes = df.filter(Canary.isProbe).select(col("seq")).collect()
         probes.foreach(r => tracker.record(r.getLong(0)))
-        df.filter(!Canary.isProbe)
+        // null-safe negation: a NULL database is NOT a probe — a plain
+        // !(=== ...) evaluates NULL and filter would drop the row
+        df.filter(!(Canary.isProbe <=> org.apache.spark.sql.functions.lit(true)))
       case _ => df
     }
     val transformed = TransformChain(plan.transforms)(afterCanary)

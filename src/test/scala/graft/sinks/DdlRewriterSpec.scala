@@ -58,4 +58,23 @@ class DdlRewriterSpec extends SparkSpec {
     assert(d.shouldExecute("ALTER TABLE a.t1 ADD COLUMN c INT"))
     assert(d.shouldExecute("ALTER TABLE a.t1 ADD COLUMN c INT")) // alters never dedupe
   }
+
+  test("drop dedupe is time-windowed: a legitimate re-drop after the window executes") {
+    var now = 0L
+    val d = new DdlDropDeduper(windowMs = 1000, clock = () => now)
+    assert(d.shouldExecute("DROP TABLE a.t1"))
+    now = 500
+    assert(!d.shouldExecute("DROP TABLE a.t1")) // echo inside the window
+    now = 2000
+    // DROP -> CREATE -> DROP later: the second real drop must replay
+    assert(d.shouldExecute("DROP TABLE a.t1"))
+  }
+
+  test("alter split respects backslash-escaped quotes inside literals") {
+    assert(rewrite(
+      """ALTER TABLE t ADD COLUMN c VARCHAR(10) DEFAULT 'a\',b', ADD COLUMN d INT""",
+      "tgt", "t2") ==
+      Seq("""ALTER TABLE `tgt`.`t2` ADD COLUMN c VARCHAR(10) DEFAULT 'a\',b'""",
+        "ALTER TABLE `tgt`.`t2` ADD COLUMN d INT"))
+  }
 }

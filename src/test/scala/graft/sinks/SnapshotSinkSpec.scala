@@ -61,7 +61,7 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(sink.read().filter($"id" === 42L).select("v").as[String].head() == "updated")
   }
 
-  test("recover heals an interrupted swap and clears stale staging") {
+  test("a read after an interrupted swap self-heals (recover on read path)") {
     val path = tmp()
     val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
     sink.merge((1L to 50L).map(i => (i, "insert", i, s"v$i")).toDF("seq", "op", "id", "v"))
@@ -73,8 +73,9 @@ class SnapshotSinkSpec extends SparkSpec {
     Files.createDirectories(backup)
     Files.move(bucket, backup.resolve(bucket.getFileName))
     Files.createDirectories(Paths.get(path + ".staging", "junk"))
-    assert(sink.read().count() < all) // bucket really is gone
-    sink.recover()
+    assert(!Files.exists(Paths.get(path, bucket.getFileName.toString))) // really gone
+    // read() recovers before serving — no window where a consumer sees a
+    // snapshot missing a bucket
     assert(sink.read().count() == all)
     assert(!Files.exists(backup))
     assert(!Files.exists(Paths.get(path + ".staging")))
