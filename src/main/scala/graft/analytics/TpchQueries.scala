@@ -255,6 +255,37 @@ object TpchQueries {
         |  list_min(embedding::DOUBLE[]) AS vmin
         |FROM embeddings""".stripMargin)),
 
+    // skew toolkit, gated: two-phase (salted) aggregation over a 3-value
+    // hot key must equal the direct GROUP BY — the explicit lever for
+    // skewed agg keys AQE cannot split (operators.Scale)
+    CatalogQuery("agg_two_phase_skew", (s, d) =>
+      graft.operators.Scale.twoPhaseAgg(Tables.lineitem(s, d),
+        Seq(col("l_returnflag")),
+        Seq(col("l_orderkey"), col("l_linenumber")), 16)(
+        partial = _.agg(count(lit(1)).as("c"), sum(dec(col("l_quantity"))).as("q")),
+        fin = _.agg(sum(col("c")).as("n_rows"),
+          sum(col("q")).cast("double").as("total_qty"))),
+      Some(
+        """SELECT l_returnflag, count(*) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // salted join, gated: a 5-value ultra-hot join key spread over salt
+    // buckets (small side replicated per salt) must produce exactly the
+    // rows of the plain join
+    CatalogQuery("join_salted_hot_key", (s, d) => {
+      val o = Tables.orders(s, d)
+      val dim = o.select(col("o_orderpriority")).distinct()
+        .withColumn("prio_tag", concat(lit("P:"), col("o_orderpriority")))
+      graft.operators.Scale.saltedJoin(o, dim, "o_orderpriority",
+          buckets = 8, entropy = Seq(col("o_orderkey")))
+        .groupBy(col("o_orderpriority"), col("prio_tag"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    }, Some(
+      s"""SELECT o_orderpriority, 'P:' || o_orderpriority AS prio_tag,
+         |  count(*) AS n, ${oSum("o_totalprice")} AS total
+         |FROM orders GROUP BY 1, 2""".stripMargin)),
+
     // ranking-function battery: dense_rank / percent_rank / cume_dist /
     // ntile — one window, four ranking semantics, exact cross-engine
     CatalogQuery("win_rank_battery", (s, d) => {
