@@ -1,0 +1,33 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Bit-determinism across runs for the float-heavy queries: the driver
+  * hashes values, so a result that varies with partitioning/reduction
+  * order (raw double sums, unstable ties) would flake the gate even when
+  * "approximately" right. Two independent executions must collect
+  * identical rows.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val floatHeavy = Seq(
+    "q1_pricing_summary",          // decimal-exact aggregation scheme
+    "q14_promo_revenue_share",     // double division at the edge
+    "sim_lsh_ann_topk",            // window ranks over cosine scores
+    "ddp_embed_cosine_pairs",      // LSH candidates + rounded cosine
+    "evt_session_windows",         // session assembly + decimal sums
+    "agg_two_phase_skew",          // salted partial aggregation
+    "agg_exact_percentiles")       // interpolated quantiles
+
+  test("float-heavy queries collect identical results across independent runs") {
+    floatHeavy.foreach { name =>
+      val fn = Catalog.queries(name)
+      def snapshot(): Set[String] =
+        fn(spark, sf0001).collect().map(_.toString).toSet
+      val a = snapshot()
+      val b = snapshot()
+      assert(a == b, s"$name differed between runs")
+      assert(a.nonEmpty, name)
+    }
+  }
+}
