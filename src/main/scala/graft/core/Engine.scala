@@ -83,4 +83,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** SQL front door: register every table as a temp view (plus graft's
+    * SQL functions) so `spark.sql("SELECT ... FROM lineitem ...")` works
+    * directly — the full Spark SQL surface over the replicated tables.
+    */
+  def registerAll(s: SparkSession, d: String): Unit = {
+    all.foreach { t =>
+      val df = t match {
+        case "events" => events(s, d)
+        case other => load(s, d, other)
+      }
+      df.createOrReplaceTempView(t)
+    }
+    graft.functions.GraftFunctions.register(s)
+  }
 }

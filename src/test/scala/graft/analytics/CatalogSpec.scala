@@ -32,4 +32,14 @@ class CatalogSpec extends SparkSpec {
     assert(Catalog.benchNames.nonEmpty)
     assert(Catalog.benchNames.toSet.subsetOf(Catalog.queries.keySet))
   }
+
+  test("SQL front door: registerAll exposes every table and graft functions to spark.sql") {
+    graft.core.Tables.registerAll(spark, sf0001)
+    assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT o_orderstatus, count(*) FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1")
+      .count() > 0)
+    assert(spark.sql("SELECT rolling_hash(text) FROM documents LIMIT 1").count() == 1)
+    assert(spark.sql("SELECT count(*) FROM events WHERE ts IS NOT NULL").head().getLong(0) > 0)
+  }
 }
