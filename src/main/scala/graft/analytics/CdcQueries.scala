@@ -294,6 +294,44 @@ object CdcQueries {
          |      FROM ($oracleLog) log WHERE o_orderkey % 5 = 0) t
          |WHERE rn = 1 AND op <> 'delete'""".stripMargin)),
 
+    // incremental view maintenance: maintain a grouped aggregate from the
+    // change-log's DELTAS alone — insert contributes (+1, +price), delete
+    // (-1, -price) of the image it removes, and an update that MOVES the
+    // group key contributes to both groups (retract old, add new). At
+    // 100 TB this is O(batch) instead of re-aggregating the table; the
+    // oracle proves delta-maintenance equals aggregate-of-final-state.
+    CatalogQuery("cdc_incremental_agg_maintenance", (s, d) => {
+      val o = Tables.orders(s, d)
+      def p(c: org.apache.spark.sql.Column) = c.cast("decimal(14,2)")
+      val insDelta = o.select(col("o_orderstatus").as("g"),
+        lit(1L).as("dn"), p(col("o_totalprice")).as("dv"))
+      // update to ('U', price+1000): retract from the old group, add to new
+      val updRetract = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderstatus").as("g"), lit(-1L).as("dn"),
+          (p(col("o_totalprice")) * -1).as("dv"))
+      val updAdd = o.filter(col("o_orderkey") % 3 === 0)
+        .select(lit("U").as("g"), lit(1L).as("dn"),
+          p(col("o_totalprice") + 1000).as("dv"))
+      // delete removes the CURRENT image (updated for keys % 21 == 0)
+      val delDelta = o.filter(col("o_orderkey") % 7 === 0)
+        .select(
+          when(col("o_orderkey") % 3 === 0, "U").otherwise(col("o_orderstatus")).as("g"),
+          lit(-1L).as("dn"),
+          (p(when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1000)
+            .otherwise(col("o_totalprice"))) * -1).as("dv"))
+      insDelta.unionByName(updRetract).unionByName(updAdd).unionByName(delDelta)
+        .groupBy(col("g"))
+        .agg(sum(col("dn")).as("n_orders"), sum(col("dv")).cast("double").as("total"))
+        .filter(col("n_orders") > 0)
+        .select(col("g").as("o_orderstatus"), col("n_orders"), col("total"))
+    }, Some(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+         |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+         |      FROM ($oracleLog) log) t
+         |WHERE rn = 1 AND op <> 'delete'
+         |GROUP BY o_orderstatus""".stripMargin)),
+
     // flagship composite: replicate (compact) then analyze (agg) — §7.2
     CatalogQuery("cdc_apply_then_agg", (s, d) =>
       ChangeLog.compact(changeLog(s, d), Seq("o_orderkey"))
