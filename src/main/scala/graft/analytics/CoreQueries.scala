@@ -163,6 +163,28 @@ object CoreQueries {
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin)),
 
+    // ---- null-aware anti join (NOT IN with NULLs) ------------------------
+    // NOT IN over a subquery containing NULL matches NOTHING (three-valued
+    // logic) — Spark plans a dedicated null-aware anti join for it; both
+    // engines must agree on the clean count and on the empty NULL case
+    CatalogQuery("join_null_aware_anti", (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("naaj_customer")
+      Tables.orders(s, d).createOrReplaceTempView("naaj_orders")
+      s.sql(
+        """SELECT
+          |  (SELECT count(*) FROM naaj_customer WHERE c_custkey NOT IN
+          |    (SELECT o_custkey FROM naaj_orders WHERE o_totalprice > 500000)) AS n_clean,
+          |  (SELECT count(*) FROM naaj_customer WHERE c_custkey NOT IN
+          |    (SELECT CASE WHEN o_orderkey % 1000 = 1 THEN NULL ELSE o_custkey END
+          |     FROM naaj_orders WHERE o_totalprice > 500000)) AS n_with_nulls""".stripMargin)
+    }, Some(
+      """SELECT
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+        |    (SELECT o_custkey FROM orders WHERE o_totalprice > 500000)) AS n_clean,
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+        |    (SELECT CASE WHEN o_orderkey % 1000 = 1 THEN NULL ELSE o_custkey END
+        |     FROM orders WHERE o_totalprice > 500000)) AS n_with_nulls""".stripMargin)),
+
     // ---- grouped string agg / collect ------------------------------------
     CatalogQuery("agg_nation_names_per_region", collectAgg, Some(
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
