@@ -173,17 +173,17 @@ object CoreQueries {
       s.sql(
         """SELECT
           |  (SELECT count(*) FROM naaj_customer WHERE c_custkey NOT IN
-          |    (SELECT o_custkey FROM naaj_orders WHERE o_totalprice > 500000)) AS n_clean,
+          |    (SELECT o_custkey FROM naaj_orders WHERE o_totalprice > 300000)) AS n_clean,
           |  (SELECT count(*) FROM naaj_customer WHERE c_custkey NOT IN
           |    (SELECT CASE WHEN o_orderkey % 1000 = 1 THEN NULL ELSE o_custkey END
-          |     FROM naaj_orders WHERE o_totalprice > 500000)) AS n_with_nulls""".stripMargin)
+          |     FROM naaj_orders WHERE o_totalprice > 300000)) AS n_with_nulls""".stripMargin)
     }, Some(
       """SELECT
         |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
-        |    (SELECT o_custkey FROM orders WHERE o_totalprice > 500000)) AS n_clean,
+        |    (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)) AS n_clean,
         |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
         |    (SELECT CASE WHEN o_orderkey % 1000 = 1 THEN NULL ELSE o_custkey END
-        |     FROM orders WHERE o_totalprice > 500000)) AS n_with_nulls""".stripMargin)),
+        |     FROM orders WHERE o_totalprice > 300000)) AS n_with_nulls""".stripMargin)),
 
     // ---- grouped string agg / collect ------------------------------------
     CatalogQuery("agg_nation_names_per_region", collectAgg, Some(

@@ -84,18 +84,21 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Name-dispatched accessor — the ONE place that knows which tables
+    * need load-time conversion (events' nanos timestamp), so every front
+    * door (DataFrame accessors, SQL views, tooling) serves the same frame.
+    */
+  def table(s: SparkSession, d: String, name: String): DataFrame = name match {
+    case "events" => events(s, d)
+    case other => load(s, d, other)
+  }
+
   /** SQL front door: register every table as a temp view (plus graft's
     * SQL functions) so `spark.sql("SELECT ... FROM lineitem ...")` works
     * directly — the full Spark SQL surface over the replicated tables.
     */
   def registerAll(s: SparkSession, d: String): Unit = {
-    all.foreach { t =>
-      val df = t match {
-        case "events" => events(s, d)
-        case other => load(s, d, other)
-      }
-      df.createOrReplaceTempView(t)
-    }
+    all.foreach(t => table(s, d, t).createOrReplaceTempView(t))
     graft.functions.GraftFunctions.register(s)
   }
 }

@@ -22,8 +22,10 @@ class DeterminismSpec extends SparkSpec {
   test("float-heavy queries collect identical results across independent runs") {
     floatHeavy.foreach { name =>
       val fn = Catalog.queries(name)
-      def snapshot(): Set[String] =
-        fn(spark, sf0001).collect().map(_.toString).toSet
+      // sorted multiset, not a Set: runs differing only in duplicate-row
+      // multiplicity must fail too (the driver hashes the full result)
+      def snapshot(): Seq[String] =
+        fn(spark, sf0001).collect().map(_.toString).toSeq.sorted
       val a = snapshot()
       val b = snapshot()
       assert(a == b, s"$name differed between runs")
