@@ -20,11 +20,14 @@ object ExplainAudit {
     Set("lineitem", "orders", "part", "customer", "supplier")
 
   /** Queries whose cross product is the algorithm, with a bounded small
-    * side: the brute-force baseline (labeled as such) and the IVF
-    * centroid scorer (C=16 by config — never grows with the corpus).
+    * side: the brute-force baseline (labeled as such), the IVF centroid
+    * scorer (C=16 by config), the CROSS JOIN semantics entry (region 5 ×
+    * priorities 5), and the recall report (two 1-row aggregates joined).
+    * None grows with the corpus.
     */
   private val intentionalCrossProducts =
-    Set("sim_cosine_topk_bruteforce", "sim_ivf_ann_topk")
+    Set("sim_cosine_topk_bruteforce", "sim_ivf_ann_topk",
+      "join_cross_region_priority", "sim_lsh_recall")
 
   /** Parquet table names scanned anywhere under a logical subtree. */
   private def scannedTables(
