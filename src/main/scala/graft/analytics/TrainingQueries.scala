@@ -152,7 +152,10 @@ object TrainingQueries {
     CatalogQuery("ddp_simhash_groups", (s, d) =>
       docsPlus(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), expr(Similarity.simhashFromToks("toks")).as("simhash"))
+        // native expression: ONE md5 per token (the HOF form re-evaluates
+        // md5(t) inside the per-bit lambda — 32 digests per token);
+        // bit-identical to simhashFromToks/simhashDuck
+        .select(col("doc_id"), GraftFunctions.simhash32(col("toks")).as("simhash"))
         .groupBy(col("simhash"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
         .filter(col("n_docs") > 1),
@@ -172,7 +175,7 @@ object TrainingQueries {
       val sh = docsPlus(s, d)
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), col("lang"),
-          expr(Similarity.simhashFromToks("toks")).as("simhash"))
+          GraftFunctions.simhash32(col("toks")).as("simhash"))
       val bands = sh.select(col("doc_id"), col("lang"), col("simhash"),
         posexplode(expr(
           "transform(sequence(0, 7), b -> shiftright(simhash, 4 * CAST(b AS INT)) % 16)")))

@@ -64,6 +64,10 @@ object GraftFunctions {
   def lsh_buckets(c: Column, tables: Int, bits: Int): Column =
     GraftShims.column(HyperplaneLshBuckets(GraftShims.expression(c), tables, bits))
 
+  /** 32-bit SimHash of a token array (see SimHash32). */
+  def simhash32(c: Column): Column =
+    GraftShims.column(SimHash32(GraftShims.expression(c)))
+
   /** Register SQL names so `expr("rolling_hash(text)")` /
     * `expr("lsh_buckets(v, 8, 4)")` work too.
     */
@@ -72,6 +76,8 @@ object GraftFunctions {
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_buckets", exprs => lshBucketsFromExprs(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash32", exprs => SimHash32(exprs.head), "built-in")
   }
 
   private[graft] def lshBucketsFromExprs(

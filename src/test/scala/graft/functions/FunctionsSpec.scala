@@ -70,6 +70,27 @@ class FunctionsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT lsh_buckets(array(CAST(1.0 AS FLOAT)))").collect())
   }
 
+  test("native simhash32 is bit-identical to the SQL-HOF formulation") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different document with other words entirely"),
+      (4L, "x"),
+      (5L, "")).toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("toks"))
+    val native = docs.select($"doc_id", GraftFunctions.simhash32($"toks").as("h"))
+      .as[(Long, Long)].collect().toMap
+    val sql = docs.select($"doc_id", expr(Similarity.simhashFromToks("toks")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == sql)
+    assert(native(1L) == native(2L) && native(1L) != native(3L))
+    // SQL registration works too
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("sh_docs")
+    assert(spark.sql("SELECT simhash32(toks) FROM sh_docs WHERE doc_id = 1")
+      .as[Long].head() == native(1L))
+  }
+
   test("hyperplane signs extend past 128 dims (block-chained md5, stable below)") {
     // below 128: unchanged derivation (oracle compatibility)
     assert((0 until 128).forall(k =>
