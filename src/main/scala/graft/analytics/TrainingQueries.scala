@@ -82,7 +82,10 @@ object TrainingQueries {
       val sigs = docsPlus(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), expr(Similarity.shinglesFromToks("toks")).as("sh"))
-        .select(col("doc_id"), expr(Similarity.minhashFromShingles("sh", 9)).as("sig"))
+        // native expression streams shingle bytes into one digest per
+        // (permutation, shingle) — no concat/lambda churn; bit-identical
+        // to minhashFromShingles/minhashDuck
+        .select(col("doc_id"), GraftFunctions.minhash_hex(col("sh"), 9).as("sig"))
       val bands = sigs.select(col("doc_id"),
         posexplode(expr(
           """transform(sequence(0, 2), j -> md5(concat(

@@ -68,6 +68,10 @@ object GraftFunctions {
   def simhash32(c: Column): Column =
     GraftShims.column(SimHash32(GraftShims.expression(c)))
 
+  /** k-permutation MinHash signature of a shingle array (see MinHashHex). */
+  def minhash_hex(c: Column, k: Int): Column =
+    GraftShims.column(MinHashHex(GraftShims.expression(c), k))
+
   /** Register SQL names so `expr("rolling_hash(text)")` /
     * `expr("lsh_buckets(v, 8, 4)")` work too.
     */

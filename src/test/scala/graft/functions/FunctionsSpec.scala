@@ -91,6 +91,23 @@ class FunctionsSpec extends SparkSpec {
       .as[Long].head() == native(1L))
   }
 
+  test("native minhash_hex is bit-identical to the SQL-HOF formulation") {
+    val docs = Seq(
+      (1L, "one two three four five six seven"),
+      (2L, "one two three four five six seven"),
+      (3L, "totally different words in this particular document here"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", expr(Similarity.shinglesFromToks("toks")).as("sh"))
+    val native = docs.select($"doc_id", GraftFunctions.minhash_hex($"sh", 9).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    val sql = docs.select($"doc_id", expr(Similarity.minhashFromShingles("sh", 9)).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(native == sql)
+    assert(native(1L) == native(2L) && native(1L) != native(3L))
+    assert(native(1L).size == 9 && native(1L).forall(_.length == 32))
+  }
+
   test("hyperplane signs extend past 128 dims (block-chained md5, stable below)") {
     // below 128: unchanged derivation (oracle compatibility)
     assert((0 until 128).forall(k =>
