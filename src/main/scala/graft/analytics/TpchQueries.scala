@@ -377,6 +377,39 @@ object TpchQueries {
           |  c_custkey % 97 AS amod
           |FROM customer""".stripMargin)),
 
+    // unpivot / melt: wide metrics to long (metric, value) rows — the
+    // inverse of pivot, completing the reshaping pair
+    CatalogQuery("reshape_unpivot_metrics", (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"),
+          col("c_acctbal").cast("double").as("acctbal"),
+          col("c_nationkey").cast("double").as("nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("acctbal"), col("nationkey")), "metric", "val"),
+      Some(
+        """SELECT c_custkey, metric, val FROM (
+          |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+          |    CAST(c_nationkey AS DOUBLE) AS nationkey
+          |  FROM customer WHERE c_custkey <= 200) t
+          |UNPIVOT (val FOR metric IN (acctbal, nationkey))""".stripMargin)),
+
+    // deterministic arg-max via lexicographic struct ordering: the row
+    // attribute at the group's maximum, ties broken by the key itself
+    // (max_by alone is nondeterministic under value ties)
+    CatalogQuery("agg_argmax_struct", (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+          .getField("k").as("top_order"),
+          max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+            .getField("p").cast("double").as("top_price")),
+      Some(
+        """SELECT o_orderpriority,
+          |  max(struct_pack(p := o_totalprice, k := o_orderkey)).k AS top_order,
+          |  CAST(max(struct_pack(p := o_totalprice, k := o_orderkey)).p AS DOUBLE) AS top_price
+          |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
     // conditional expressions battery
     CatalogQuery("fn_conditional_battery", (s, d) =>
       Tables.customer(s, d)
