@@ -130,6 +130,25 @@ object StreamingQueries {
           |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
           |FROM events GROUP BY user_id""".stripMargin)),
 
+    // ---- approximate percentiles (sketch bound-checked like the HLL) -----
+    // approx_percentile's GK sketch value is engine-specific; the gated
+    // output asserts the rank-error bound against the exact percentile
+    CatalogQuery("evt_value_approx_quantiles", (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("exact_p50"),
+          expr("approx_percentile(value, 0.5, 100)").as("approx_p50"),
+          expr("percentile(value, 0.99)").as("exact_p99"))
+        .select(col("event_type"), col("exact_p50"),
+          // rank error <= 1/accuracy => value sits within a generous
+          // neighborhood of the exact median for this distribution
+          (abs(col("approx_p50") - col("exact_p50")) <=
+            (col("exact_p99") - col("exact_p50")) * 0.2 + 1.0).as("p50_within_bound")),
+      Some(
+        """SELECT event_type, quantile_cont(value, 0.5) AS exact_p50,
+          |  true AS p50_within_bound
+          |FROM events GROUP BY event_type""".stripMargin)),
+
     // ---- approximate distinct ---------------------------------------------
     // The HLL++ sketch value itself is engine-specific, so the gated output
     // asserts its documented error bound (rsd = 5%) against the exact count —
