@@ -246,6 +246,37 @@ object CdcQueries {
         |       AND s.o_totalprice = t.o_totalprice AND s.o_orderdate = t.o_orderdate
         |       AND s.o_orderpriority = t.o_orderpriority)""".stripMargin)),
 
+    // map-encoded (enveloped) filter chain, oracle-gated: delete/rename of
+    // MAP payload keys gated per matcher group — the multi-table wire
+    // shape (rdb_json.go). Outputs are scalar extractions because map
+    // columns cannot be hash-compared; the oracle computes the expected
+    // post-filter values relationally.
+    CatalogQuery("cdc_filter_enveloped_maps", (s, d) => {
+      val env = envelope(s, d).select(col("seq"), col("database"),
+        map(
+          lit("o_orderstatus"), col("o_orderstatus"),
+          lit("o_custkey"), col("o_custkey").cast("string"),
+          lit("o_orderpriority"), col("o_orderpriority")).as("data"),
+        map(lit("o_custkey"), col("o_custkey").cast("string")).as("pks"),
+        expr("map()").cast("map<string,string>").as("old"))
+      val chain = TransformChain(Seq(
+        DeleteColumnsFilter(Seq("o_orderpriority"),
+          Seq(SchemaMatcher("db1")), enveloped = true),
+        RenameColumnsFilter(Seq("o_custkey"), Seq("ck"),
+          Seq(SchemaMatcher("db*")), enveloped = true)))
+      chain(env).select(col("seq"), col("database"),
+        size(col("data")).cast("long").as("n_keys"),
+        element_at(col("data"), "ck").as("ck"),
+        element_at(col("data"), "o_orderpriority").as("prio"),
+        element_at(col("pks"), "ck").as("pk_ck"))
+    }, Some(
+      s"""SELECT seq, "database",
+         |  CAST(CASE WHEN "database" = 'db1' THEN 2 ELSE 3 END AS BIGINT) AS n_keys,
+         |  CAST(o_custkey AS VARCHAR) AS ck,
+         |  CASE WHEN "database" = 'db1' THEN NULL ELSE o_orderpriority END AS prio,
+         |  CAST(o_custkey AS VARCHAR) AS pk_ck
+         |FROM ($oracleEnvelope) e""".stripMargin)),
+
     // sidecar filter with a REAL process boundary, oracle-gated: rows leave
     // the JVM as JSON lines, an external `sed` rewrites a payload value,
     // and the result re-enters the frame (grpc_sidecar_filter.go:83-133 —
