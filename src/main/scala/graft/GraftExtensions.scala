@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{GraftFunctions, HyperplaneLshBuckets, RollingHash}
+import graft.functions.{GraftFunctions, HyperplaneLshBuckets, MinHashHex, RollingHash, SimHash32}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -25,5 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("lsh_buckets"),
       new ExpressionInfo(classOf[HyperplaneLshBuckets].getName, "lsh_buckets"),
       (children: Seq[Expression]) => GraftFunctions.lshBucketsFromExprs(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (children: Seq[Expression]) => SimHash32(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_hex"),
+      new ExpressionInfo(classOf[MinHashHex].getName, "minhash_hex"),
+      (children: Seq[Expression]) => GraftFunctions.minhashHexFromExprs(children)))
   }
 }

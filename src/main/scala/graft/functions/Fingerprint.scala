@@ -82,6 +82,18 @@ object GraftFunctions {
       "lsh_buckets", exprs => lshBucketsFromExprs(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash32", exprs => SimHash32(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_hex", exprs => minhashHexFromExprs(exprs), "built-in")
+  }
+
+  private[graft] def minhashHexFromExprs(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): MinHashHex = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    (exprs: @unchecked) match {
+      case Seq(c, Literal(k: Int, _)) => MinHashHex(c, k)
+      case _ => throw new IllegalArgumentException(
+        "minhash_hex(shingles, k: int literal)")
+    }
   }
 
   private[graft] def lshBucketsFromExprs(

@@ -46,6 +46,12 @@ object MinHashHex {
   private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
   private val hexChars = "0123456789abcdef".toCharArray
+  // permutation prefixes depend only on k — never rebuild them per row
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def prefixesFor(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k,
+      kk => Array.tabulate(kk)(i => s"$i|".getBytes("UTF-8")))
 
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
@@ -71,7 +77,7 @@ object MinHashHex {
 
   def compute(shingles: ArrayData, k: Int): ArrayData = {
     val minima = new Array[Array[Byte]](k)
-    val prefixes = Array.tabulate(k)(i => s"$i|".getBytes("UTF-8"))
+    val prefixes = prefixesFor(k)
     val n = shingles.numElements()
     var s = 0
     while (s < n) {

@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -52,21 +51,23 @@ object SimHash32 {
     val n = toks.numElements()
     var i = 0
     while (i < n) {
-      if (!toks.isNullAt(i)) {
-        val d = md5.get()
-        d.reset()
-        val digest = d.digest(toks.getUTF8String(i).getBytes)
-        // bit j reads hex digit j/4 of the lowercase hex rendering: hex
-        // char p is the high nibble of byte p/2 when p is even, low when
-        // odd — only the first 8 hex chars (4 bytes) feed 32 bits
-        var j = 0
-        while (j < 32) {
-          val p = j / 4
-          val b = digest(p / 2) & 0xff
-          val digit = if (p % 2 == 0) (b >> 4) & 0xf else b & 0xf
-          votes(j) += 2 * ((digit >> (j % 4)) & 1) - 1
-          j += 1
-        }
+      // a NULL token poisons every per-bit aggregate to NULL in the SQL
+      // twin (md5(NULL) propagates), making all 32 `NULL > 0` tests false
+      // — the whole hash is 0. Match that exactly.
+      if (toks.isNullAt(i)) return 0L
+      val d = md5.get()
+      d.reset()
+      val digest = d.digest(toks.getUTF8String(i).getBytes)
+      // bit j reads hex digit j/4 of the lowercase hex rendering: hex
+      // char p is the high nibble of byte p/2 when p is even, low when
+      // odd — only the first 8 hex chars (4 bytes) feed 32 bits
+      var j = 0
+      while (j < 32) {
+        val p = j / 4
+        val b = digest(p / 2) & 0xff
+        val digit = if (p % 2 == 0) (b >> 4) & 0xf else b & 0xf
+        votes(j) += 2 * ((digit >> (j % 4)) & 1) - 1
+        j += 1
       }
       i += 1
     }

@@ -78,6 +78,9 @@ class FunctionsSpec extends SparkSpec {
       (4L, "x"),
       (5L, "")).toDF("doc_id", "text")
       .select($"doc_id", split($"text", " ").as("toks"))
+      // a NULL token must hash like the SQL twin (poisons to 0)
+      .unionByName(Seq(6L).toDF("doc_id")
+        .withColumn("toks", array(lit("a"), lit(null).cast("string"))))
     val native = docs.select($"doc_id", GraftFunctions.simhash32($"toks").as("h"))
       .as[(Long, Long)].collect().toMap
     val sql = docs.select($"doc_id", expr(Similarity.simhashFromToks("toks")).as("h"))
