@@ -13,6 +13,10 @@ Test / fork := true
 // suites share one local SparkSession per JVM; run them sequentially
 Test / parallelExecution := false
 run / fork := true
+// forked run output goes straight to stdout/stderr, NOT through sbt's
+// logger — so Bench's one-line JSON arrives un-prefixed ("[info] {...}"
+// is not machine-parseable by the bench driver)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,21 +34,41 @@ object Bench {
       Catalog.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    def timed(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
-      val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    // a failing query is REPORTED, never silently timed as near-zero —
+    // a swallowed throw would let a regression masquerade as a speedup
+    def timed(names: Seq[String]): (Seq[(String, Double)], Map[String, String]) = {
+      val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val times = names.map { name =>
+        val t0 = System.nanoTime()
+        try run(name) catch {
+          case t: Throwable =>
+            errs(name) = t.getClass.getSimpleName + ": " +
+              Option(t.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      (times, errs.toMap)
     }
 
     val names = if (Catalog.benchNames.nonEmpty) Catalog.benchNames else Catalog.queries.keys.toSeq
-    val cold = timed(names) // first run: listing + JIT + codegen compile
-    val warm = timed(names) // steady state
+    val (cold, coldErrs) = timed(names) // first run: listing + JIT + codegen compile
+    val (warm, warmErrs) = timed(names) // steady state
+    val allErrs = coldErrs ++ warmErrs
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
     def obj(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errObj = allErrs.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${warm.map(_._2).sum},"unit":"sec",""" +
         s""""queries":${obj(warm)},"cold_total":${cold.map(_._2).sum},""" +
-        s""""queries_cold":${obj(cold)},"sf":"$sfDir"}"""
+        s""""queries_cold":${obj(cold)},"ok":${allErrs.isEmpty},""" +
+        s""""failed":${allErrs.size},"errors":$errObj,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)

@@ -444,17 +444,20 @@ object TrainingQueries {
       while (changed > 0 && iter < 20) {
         val prop = edges.join(labels, col("dst") === col("v"))
           .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+        // carry the changed flag INSIDE the iteration frame: one count()
+        // both materializes the cache and measures convergence — a second
+        // join-against-previous action would pay the propagation twice
         val next = labels.join(prop, col("v") === col("src"), "left")
           .select(col("v"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+            (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("__chg"))
           .cache()
-        changed = next.as("n")
-          .join(labels.select(col("v"), col("lbl").as("old")), "v")
-          .filter(col("lbl") =!= col("old")).count()
+        changed = next.filter(col("__chg")).count()
         labels.unpersist() // superseded iteration state must not pin storage
         labels = next
         iter += 1
       }
+      edges.unpersist() // converged: candidate edges must not pin storage
       labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
     }, Some(
       s"""WITH dp AS ($duckDocsPlus),

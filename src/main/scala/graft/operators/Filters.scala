@@ -120,9 +120,18 @@ final case class ProcessSidecarFilter(command: Seq[String]) extends TransformOp 
         val proc = new ProcessBuilder(cmd: _*)
           .redirectError(ProcessBuilder.Redirect.INHERIT)
           .start()
+        // the writer thread consumes the UPSTREAM iterator: it needs the
+        // task context (thread-local; shuffle readers read it), and its
+        // failures must fail the task — an uncaught throw would just kill
+        // the thread, close stdin, and let the sidecar exit 0 having seen
+        // a clean EOF after only part of the input (silent row loss)
+        val taskCtx = org.apache.spark.TaskContext.get()
+        @volatile var writerFailure: Throwable = null
         val writer = new Thread(() => {
+          if (taskCtx != null) org.apache.spark.graft.TaskContextBridge.set(taskCtx)
           val w = new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8")
           try it.foreach { l => w.write(l); w.write('\n') }
+          catch { case t: Throwable => writerFailure = t }
           finally w.close() // EOF tells the sidecar to finish
         })
         writer.setDaemon(true)
@@ -135,6 +144,8 @@ final case class ProcessSidecarFilter(command: Seq[String]) extends TransformOp 
             if (!h && !finished) {
               finished = true
               writer.join()
+              if (writerFailure != null)
+                throw new RuntimeException("sidecar input writer failed", writerFailure)
               val rc = proc.waitFor()
               if (rc != 0) sys.error(s"sidecar ${cmd.mkString(" ")} exited $rc")
             }

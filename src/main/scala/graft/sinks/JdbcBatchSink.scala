@@ -74,9 +74,11 @@ final class JdbcBatchSink(
     }
   }
 
-  /** `schema`.`table` rendered with the engine's own identifier dialect. */
-  private def fqn(t: (String, String)): String =
-    Seq(t._1, t._2).filter(_.nonEmpty).mkString(".")
+  /** `schema`.`table` rendered with the engine's own identifier dialect —
+    * quoted/validated by the engine: when `targets` is unconfigured these
+    * values come from stream data and must not reach SQL text raw.
+    */
+  private def fqn(t: (String, String)): String = engine.qualify(t._1, t._2)
 
   private def writeTable(target: (String, String), branch: DataFrame): Unit = {
     if (branch.isEmpty) return
@@ -175,7 +177,7 @@ final class ConflictDetectBatchSink(
       f.name == "op" || f.name == "seq" ||
         f.name.startsWith("old_") || f.name.startsWith("__")))
     val oldCols = ordered.schema.fieldNames.filter(_.startsWith("old_")).toSeq
-    val table = Seq(target._1, target._2).filter(_.nonEmpty).mkString(".")
+    val table = engine.qualify(target._1, target._2)
     val (eng, pk, overrideIt, logger, factory) =
       (engine, pkCols, overrideConflict, conflictLogger, executorFactory)
 

@@ -32,9 +32,29 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
   private val stagingPath = path + ".staging"
   private val backupPath = path + ".backup"
 
+  /** merge() and read()/readInternal() are serialized on this: a read
+    * arriving mid-swap must not run recover() while the merge is still
+    * swapping buckets (recover would restore a backup bucket under the
+    * merge's feet and the subsequent stag→live rename would fail).
+    * Cross-process single-writer is the streaming-checkpoint contract
+    * (one foreachBatch writer per sink path), same as the reference's
+    * single scheduler per output.
+    */
+  private val swapLock = new Object
+
   private def hfs = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** HDFS rename reports failure by returning false, not by throwing —
+    * an unchecked swap rename would silently drop the batch's changes for
+    * that bucket while foreachBatch still commits the offset. Throwing
+    * makes the batch fail and retry (idempotent by seq-LWW).
+    */
+  private def renameOrFail(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      sys.error(s"snapshot swap rename failed: $src -> $dst")
 
   def exists: Boolean = hfs.exists(p(path))
 
@@ -48,7 +68,7 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     * reader arriving after a crash mid-swap must not silently serve a
     * snapshot with a bucket sitting in .backup.
     */
-  def readInternal(): DataFrame = {
+  def readInternal(): DataFrame = swapLock.synchronized {
     recover()
     spark.read.parquet(path)
   }
@@ -62,7 +82,7 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     if (fs.exists(p(backupPath))) {
       fs.listStatus(p(backupPath)).foreach { st =>
         val live = new org.apache.hadoop.fs.Path(p(path), st.getPath.getName)
-        if (!fs.exists(live)) fs.rename(st.getPath, live)
+        if (!fs.exists(live)) renameOrFail(fs, st.getPath, live)
         else fs.delete(st.getPath, true)
       }
       fs.delete(p(backupPath), true)
@@ -71,7 +91,7 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
   }
 
   /** Apply one change batch (typed log with op/seq) to the snapshot. */
-  def merge(batch: DataFrame): Unit = {
+  def merge(batch: DataFrame): Unit = swapLock.synchronized {
     recover()
     val dataCols = batch.columns.filterNot(c => c == "op" || c == "seq").toSeq
     val normalized = batch.select(
@@ -82,7 +102,7 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     if (!exists) {
       val next = ChangeLog.lastPerKey(normalized, pkCols, seqCol = "__seq")
       next.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(stagingPath)
-      fs.rename(p(stagingPath), p(path))
+      renameOrFail(fs, p(stagingPath), p(path))
       return
     }
     // touched bucket ids: bounded by numBuckets, driver-safe to collect
@@ -101,8 +121,8 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
       val live = new org.apache.hadoop.fs.Path(p(path), dir)
       val stag = new org.apache.hadoop.fs.Path(p(stagingPath), dir)
       val bak = new org.apache.hadoop.fs.Path(p(backupPath), dir)
-      if (fs.exists(live)) fs.rename(live, bak)
-      if (fs.exists(stag)) fs.rename(stag, live)
+      if (fs.exists(live)) renameOrFail(fs, live, bak)
+      if (fs.exists(stag)) renameOrFail(fs, stag, live)
       if (fs.exists(bak)) fs.delete(bak, true)
     }
     fs.delete(p(backupPath), true)

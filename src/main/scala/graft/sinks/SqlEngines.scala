@@ -23,10 +23,35 @@ final case class RenderedStatement(sql: String, args: Seq[Seq[Any]])
 trait SqlEngine extends Serializable {
   def name: String
 
-  /** Identifier quoting — MySQL backticks by default; ANSI dialects
-    * (Derby/warehouse targets) override with bare/double-quoted ids.
+  /** The dialect's identifier quote string — MySQL backtick by default;
+    * ANSI dialects (Derby/warehouse targets) override with `"` or with ""
+    * (bare ids, case-folded by the target).
     */
-  protected def quoteId(c: String): String = s"`$c`"
+  protected def idQuote: String = "`"
+
+  /** Identifier quoting — wraps in the dialect quote. */
+  protected def quoteId(c: String): String = s"$idQuote$c$idQuote"
+
+  /** Quote one identifier SAFELY for interpolation into SQL text: embedded
+    * quote chars are escaped by doubling (the MySQL/ANSI rule); unquoted
+    * dialects cannot escape, so the charset is validated instead. Target
+    * schema/table names can arrive from stream data when routes are
+    * unconfigured — they must never reach SQL text unexamined (the
+    * reference quotes target identifiers in pkg/outputs/mysql/mysql.go).
+    */
+  final def quoteIdent(id: String): String = {
+    require(id.nonEmpty && id.forall(ch => ch >= ' '),
+      s"invalid SQL identifier: ${id.take(64)}")
+    if (idQuote.isEmpty) {
+      require(id.forall(ch => ch.isLetterOrDigit || ch == '_'),
+        s"identifier needs quoting but dialect renders bare ids: ${id.take(64)}")
+      id
+    } else quoteId(id.replace(idQuote, idQuote + idQuote))
+  }
+
+  /** `schema`.`table` rendered with the dialect's identifier quoting. */
+  final def qualify(schema: String, table: String): String =
+    Seq(schema, table).filter(_.nonEmpty).map(quoteIdent).mkString(".")
 
   /** Render writes (insert/update images) for one table; rows are final
     * per-key images (the scheduler already compacted the batch).
@@ -93,7 +118,7 @@ object OnDupKeyUpdateEngine extends SqlEngine {
   */
 class ConflictDetect(quote: String = "`", nullSafeEq: String = "<=>") extends SqlEngine {
   val name = "conflict-detect-engine"
-  override protected def quoteId(c: String): String = s"$quote$c$quote"
+  override protected def idQuote: String = quote
 
   def renderWrites(table: String, schema: StructType, rows: Seq[Row]): Seq[RenderedStatement] =
     rows.map { r =>
@@ -102,12 +127,24 @@ class ConflictDetect(quote: String = "`", nullSafeEq: String = "<=>") extends Sq
         Seq(schema.fieldNames.map(c => r.getAs[Any](c)).toSeq))
     }
 
+  /** Guard WHERE clause. A genuinely-NULL old value renders `col IS NULL`
+    * (no bound parameter): dialects configured with plain `=` instead of a
+    * null-safe operator would otherwise never match (`col = NULL` is never
+    * true), flagging every NULL-bearing old image as a conflict.
+    */
+  private def guardWhere(oldValues: Map[String, Any]): (String, Seq[Any]) = {
+    val sorted = oldValues.toSeq.sortBy(_._1)
+    val where = sorted.map { case (c, v) =>
+      if (v == null) s"${quoteId(c)} IS NULL" else s"${quoteId(c)} $nullSafeEq ?"
+    }.mkString(" AND ")
+    (where, sorted.collect { case (_, v) if v != null => v })
+  }
+
   /** UPDATE with optimistic old-image guard. */
   def renderGuardedUpdate(table: String, schema: StructType, newRow: Row,
       oldValues: Map[String, Any]): RenderedStatement = {
     val sets = schema.fieldNames.map(c => s"${quoteId(c)} = ?").mkString(",")
-    val (guardCols, guardVals) = oldValues.toSeq.sortBy(_._1).unzip
-    val where = guardCols.map(c => s"${quoteId(c)} $nullSafeEq ?").mkString(" AND ")
+    val (where, guardVals) = guardWhere(oldValues)
     RenderedStatement(
       s"UPDATE $table SET $sets WHERE $where",
       Seq(schema.fieldNames.map(c => newRow.getAs[Any](c)).toSeq ++ guardVals))
@@ -115,8 +152,7 @@ class ConflictDetect(quote: String = "`", nullSafeEq: String = "<=>") extends Sq
 
   /** DELETE with optimistic old-image guard. */
   def renderGuardedDelete(table: String, oldValues: Map[String, Any]): RenderedStatement = {
-    val (guardCols, guardVals) = oldValues.toSeq.sortBy(_._1).unzip
-    val where = guardCols.map(c => s"${quoteId(c)} $nullSafeEq ?").mkString(" AND ")
+    val (where, guardVals) = guardWhere(oldValues)
     RenderedStatement(s"DELETE FROM $table WHERE $where", Seq(guardVals))
   }
 }
@@ -133,7 +169,7 @@ object ConflictDetectEngine extends ConflictDetect()
   */
 final case class AnsiMergeEngine(pkCols: Seq[String]) extends SqlEngine {
   val name = "ansi-merge-engine"
-  override protected def quoteId(c: String): String = c
+  override protected def idQuote: String = ""
 
   private def sqlType(dt: org.apache.spark.sql.types.DataType): String = dt match {
     case LongType => "BIGINT"
@@ -221,15 +257,27 @@ final class JdbcStatementExecutor(url: String, props: java.util.Properties)
   private val cache = scala.collection.mutable.Map.empty[String, java.sql.PreparedStatement]
   def execute(stmt: RenderedStatement): Array[Int] = {
     val ps = cache.getOrElseUpdate(stmt.sql, conn.prepareStatement(stmt.sql))
+    // statements are cached, so a failure must not leave residual state in
+    // the PS (JDBC leaves post-failure batch contents implementation-
+    // defined): clear batch/params in finally, else a swallowed
+    // SQLException lets a later execute replay stale batched args
     if (stmt.args.lengthCompare(1) == 0) {
-      stmt.args.head.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
-      Array(ps.executeUpdate())
-    } else {
-      stmt.args.foreach { args =>
-        args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
-        ps.addBatch()
+      try {
+        stmt.args.head.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
+        Array(ps.executeUpdate())
+      } finally {
+        try ps.clearParameters() catch { case _: java.sql.SQLException => () }
       }
-      ps.executeBatch()
+    } else {
+      try {
+        stmt.args.foreach { args =>
+          args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
+          ps.addBatch()
+        }
+        ps.executeBatch()
+      } finally {
+        try ps.clearBatch() catch { case _: java.sql.SQLException => () }
+      }
     }
   }
   override def transactional[T](f: => T): T = {
@@ -259,6 +307,12 @@ final class JdbcStatementExecutor(url: String, props: java.util.Properties)
   * table `_gravity.gravity_txn_tags`).
   */
 final case class InternalTxnTagger(tagTable: String, pipelineName: String) {
+  // tagTable is interpolated into SQL text — configured, never from data,
+  // but validated anyway so a bad config cannot smuggle SQL
+  require(tagTable.nonEmpty &&
+    tagTable.forall(ch => ch.isLetterOrDigit || ch == '_' || ch == '.'),
+    s"invalid tag table identifier: ${tagTable.take(64)}")
+
   def render(): RenderedStatement =
     RenderedStatement(
       s"INSERT INTO $tagTable (pipeline_name, tagged_at) VALUES (?, ?)",
