@@ -54,6 +54,98 @@ object CdcQueries {
   private val oracleEnvelope: String =
     s"""SELECT t.*, 'db' || (o_custkey % 4) AS "database", 'orders' AS "table" FROM ($oracleLog) t"""
 
+  /** Conflict-loop workload over keys k (k%5==0 from `orders`): insert at
+    * seq 10k only for EVEN k, update ('U', price+1000) at 10k+1 for k%3==0,
+    * delete at 10k+2 for k%7==0; the target is pre-seeded with ('X', 0)
+    * rows for k%15==0. Odd-key updates/deletes therefore fire against
+    * absent rows, even-key inserts against seeded rows — every branch of
+    * the conflict decision table is exercised deterministically.
+    */
+  private def conflictRun(s: SparkSession, d: String,
+      overrideConflict: Boolean): DataFrame = {
+    val url = "jdbc:derby:memory:conflict" +
+      java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
+    val setup = java.sql.DriverManager.getConnection(url)
+    try setup.createStatement().execute(
+      "CREATE TABLE conflict_target (o_orderkey BIGINT PRIMARY KEY, " +
+        "o_orderstatus VARCHAR(8), o_totalprice DOUBLE)")
+    finally setup.close()
+
+    val o = Tables.orders(s, d).filter(col("o_orderkey") % 5 === 0)
+    // seed the "other side's" rows (uppercase aliases: Derby folds
+    // unquoted DDL to upper case, and the Spark JDBC writer quotes)
+    o.filter(col("o_orderkey") % 15 === 0)
+      .select(col("o_orderkey").as("O_ORDERKEY"),
+        lit("X").as("O_ORDERSTATUS"), lit(0.0).as("O_TOTALPRICE"))
+      .write.mode("append").format("jdbc")
+      .option("url", url).option("dbtable", "conflict_target").save()
+
+    val k = col("o_orderkey")
+    val ins = o.filter(k % 2 === 0).select((k * 10).as("seq"),
+      lit("insert").as("op"), k, col("o_orderstatus"), col("o_totalprice"))
+    val upd = o.filter(k % 3 === 0).select((k * 10 + 1).as("seq"),
+      lit("update").as("op"), k, lit("U").as("o_orderstatus"),
+      (col("o_totalprice") + 1000).as("o_totalprice"))
+    val del = o.filter(k % 7 === 0).select((k * 10 + 2).as("seq"),
+      lit("delete").as("op"), k, col("o_orderstatus"), col("o_totalprice"))
+    val log = ins.unionByName(upd).unionByName(del)
+
+    val conflicts = s.sparkContext.longAccumulator("conflicts")
+    val sink = new graft.sinks.ConflictDetectBatchSink(
+      () => new graft.sinks.JdbcStatementExecutor(url),
+      Seq("o_orderkey"), ("", "conflict_target"),
+      new graft.sinks.ConflictDetect(quote = "", nullSafeEq = "="),
+      overrideConflict = overrideConflict,
+      conflictLogger = graft.sinks.ConflictLogger.Counting(conflicts))
+    sink.write(0L, log)
+
+    val state = s.read.format("jdbc").option("url", url)
+      .option("dbtable", "conflict_target").load()
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice").cast("double").as("o_totalprice"))
+    // sentinel row carries the conflict count into the gated result
+    val sentinel = s.range(1).select(lit(-1L).as("o_orderkey"),
+      lit("CONFLICTS").as("o_orderstatus"),
+      lit(conflicts.value.toDouble).as("o_totalprice"))
+    state.unionByName(sentinel)
+  }
+
+  /** Relational spec of [[conflictRun]]: replay the decision table in SQL.
+    * A row exists at update time iff seeded or inserted; at delete time
+    * additionally iff an overridden update force-inserted it.
+    */
+  private def conflictOracle(overrideConflict: Boolean): String = {
+    val presentAtDelete =
+      if (overrideConflict) "(seeded OR ins OR upd)" else "(seeded OR ins)"
+    val finalRows =
+      if (overrideConflict)
+        // log wins everywhere: delete drops, update's image sticks, the
+        // insert image sticks on seeded keys too
+        """SELECT k AS o_orderkey,
+          |    CASE WHEN upd THEN 'U' ELSE st END AS o_orderstatus,
+          |    CASE WHEN upd THEN p + 1000 ELSE p END AS o_totalprice
+          |  FROM f WHERE NOT del AND (upd OR ins)""".stripMargin
+      else
+        // conflicts skip: seeded keys keep the seed unless a (guarded)
+        // update legitimately applied; updates on absent rows vanish
+        """SELECT k AS o_orderkey,
+          |    CASE WHEN upd THEN 'U' WHEN ins THEN st ELSE 'X' END AS o_orderstatus,
+          |    CASE WHEN upd THEN p + 1000 WHEN ins THEN p ELSE 0.0 END AS o_totalprice
+          |  FROM f WHERE NOT del AND (seeded OR ins)""".stripMargin
+    s"""WITH k5 AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+       |  FROM orders WHERE o_orderkey % 5 = 0),
+       |f AS (SELECT k, st, p, k % 15 = 0 AS seeded, k % 2 = 0 AS ins,
+       |    k % 3 = 0 AS upd, k % 7 = 0 AS del FROM k5),
+       |fin AS ($finalRows),
+       |conflicts AS (SELECT count(*) AS n FROM f
+       |  WHERE (ins AND seeded) OR (upd AND NOT (seeded OR ins))
+       |     OR (del AND NOT $presentAtDelete))
+       |SELECT * FROM fin
+       |UNION ALL
+       |SELECT -1 AS o_orderkey, 'CONFLICTS' AS o_orderstatus,
+       |  CAST((SELECT n FROM conflicts) AS DOUBLE) AS o_totalprice""".stripMargin
+  }
+
   def all: Seq[CatalogQuery] = Seq(
     CatalogQuery("cdc_changelog_synth", (s, d) => changeLog(s, d), Some(oracleLog)),
 
@@ -324,6 +416,25 @@ object CdcQueries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
          |      FROM ($oracleLog) log WHERE o_orderkey % 5 = 0) t
          |WHERE rn = 1 AND op <> 'delete'""".stripMargin)),
+
+    // BIDIRECTIONAL conflict loop, oracle-gated end to end: a change-log
+    // applies through ConflictDetectBatchSink into Derby seeded with rows
+    // the "other side" already wrote (keys % 15). Inserts on seeded keys
+    // hit dup-key; updates/deletes on never-inserted keys affect 0 rows —
+    // each is a CONFLICT: logged, skipped (or force-applied under
+    // override). The gate covers the final TABLE STATE and the conflict
+    // COUNT (sentinel row), i.e. the full decision table of
+    // pkg/sql_execution_engine/conflict_engine.go:113-200.
+    CatalogQuery("cdc_conflict_sink_state", (s, d) =>
+      conflictRun(s, d, overrideConflict = false),
+      Some(conflictOracle(overrideConflict = false))),
+
+    // same loop with force-override: every conflict resolves to the log's
+    // image (conflict_engine.go override path) — the end state is
+    // "log wins", and conflicts are still counted before overriding
+    CatalogQuery("cdc_conflict_override_state", (s, d) =>
+      conflictRun(s, d, overrideConflict = true),
+      Some(conflictOracle(overrideConflict = true))),
 
     // incremental view maintenance: maintain a grouped aggregate from the
     // change-log's DELTAS alone — insert contributes (+1, +price), delete

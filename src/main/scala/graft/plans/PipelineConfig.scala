@@ -109,11 +109,29 @@ object PipelineConfig {
     * RetryingSink (the scheduler's nr-retries × retry-sleep).
     */
   def parseSink(spark: org.apache.spark.sql.SparkSession, json: String,
+      pkCols: Seq[String]): graft.streaming.BatchSink =
+    parseSinkNode(spark, mapper.readTree(json), pkCols)
+
+  /** Multiple outputs off one pipeline: `[{...}, {...}]` → CompositeSink
+    * (each JSON object is one `parseSink` config). A single object parses
+    * as itself.
+    */
+  def parseSinks(spark: org.apache.spark.sql.SparkSession, json: String,
       pkCols: Seq[String]): graft.streaming.BatchSink = {
-    val o = mapper.readTree(json)
+    val root = mapper.readTree(json)
+    if (!root.isArray) parseSinkNode(spark, root, pkCols)
+    else new graft.streaming.CompositeSink(
+      root.elements().asScala.map(parseSinkNode(spark, _, pkCols)).toSeq)
+  }
+
+  private def parseSinkNode(spark: org.apache.spark.sql.SparkSession, o: JsonNode,
+      pkCols: Seq[String]): graft.streaming.BatchSink = {
+    // sink-level "pk" overrides the plan's (a snapshot keyed per
+    // (target, pk) next to a per-table relational target)
+    val pk = Option(o.get("pk")).map(strList).getOrElse(pkCols)
     val base: graft.streaming.BatchSink = req(o, "type").asText() match {
       case "snapshot" =>
-        new graft.streaming.SnapshotBatchSink(spark, req(o, "path").asText(), pkCols,
+        new graft.streaming.SnapshotBatchSink(spark, req(o, "path").asText(), pk,
           Option(o.get("buckets")).map(_.asInt()).getOrElse(16))
       case "jdbc" =>
         val url = req(o, "url").asText()
@@ -121,7 +139,7 @@ object PipelineConfig {
           case "replace" => graft.sinks.ReplaceEngine
           case "insert-ignore" => graft.sinks.InsertIgnoreEngine
           case "on-dup-key" => graft.sinks.OnDupKeyUpdateEngine
-          case "ansi-merge" => graft.sinks.AnsiMergeEngine(pkCols)
+          case "ansi-merge" => graft.sinks.AnsiMergeEngine(pk)
           case "manual" => graft.sinks.ManualEngine(req(o, "template").asText())
           case other => throw new IllegalArgumentException(s"unknown engine '$other'")
         }
@@ -131,7 +149,7 @@ object PipelineConfig {
         }.toSeq).getOrElse(Nil)
         new graft.sinks.JdbcBatchSink(
           () => new graft.sinks.JdbcStatementExecutor(url),
-          engine, pkCols, targets = targets,
+          engine, pk, targets = targets,
           maxRowsPerStatement =
             Option(o.get("max-rows-per-statement")).map(_.asInt()).getOrElse(200),
           numWriters = Option(o.get("num-writers")).map(_.asInt()),
@@ -140,10 +158,15 @@ object PipelineConfig {
               Option(o.get("pipeline-name")).map(_.asText()).getOrElse("graft"))))
       case other => throw new IllegalArgumentException(s"unknown output type '$other'")
     }
-    Option(o.get("retries")).map(_.asInt()) match {
-      case Some(r) => new graft.streaming.RetryingSink(base, r,
-        Option(o.get("retry-sleep-ms")).map(_.asLong()).getOrElse(1000L))
+    // "columns": output-side projection applied before the sink
+    val projected = Option(o.get("columns")).map(strList) match {
+      case Some(cols) => new graft.streaming.ProjectingSink(base, cols)
       case None => base
+    }
+    Option(o.get("retries")).map(_.asInt()) match {
+      case Some(r) => new graft.streaming.RetryingSink(projected, r,
+        Option(o.get("retry-sleep-ms")).map(_.asLong()).getOrElse(1000L))
+      case None => projected
     }
   }
 }

@@ -149,6 +149,15 @@ object ConflictLogger {
     def log(table: String, op: String, pkValues: Seq[Any]): Unit =
       System.err.println(s"[conflict] $table $op pk=${pkValues.mkString(",")}")
   }
+
+  /** Count conflicts through a Spark accumulator — the distributed
+    * spelling of the reference's conflict.log line count (executors log,
+    * the driver reads the merged total).
+    */
+  final case class Counting(acc: org.apache.spark.util.LongAccumulator)
+      extends ConflictLogger {
+    def log(table: String, op: String, pkValues: Seq[Any]): Unit = acc.add(1L)
+  }
 }
 
 /** Conflict-detecting sink for bidirectional replication — the execution

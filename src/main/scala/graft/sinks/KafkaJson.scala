@@ -73,8 +73,78 @@ object KafkaJson {
   def partitionKey(pkCols: Seq[String]): Column =
     hex(ChangeLog.depHash(pkCols))
 
-  /** Assemble the frame a `writeStream.format("kafka")` sink consumes. */
+  /** Assemble the frame a `writeStream.format("kafka")` sink consumes.
+    * `seq` rides along when present: the file-log emulation (and any
+    * transport that must prove per-key ordering) orders on it.
+    */
   def toKafkaFrame(df: DataFrame, value: Column, pkCols: Seq[String],
-      topic: Column): DataFrame =
-    df.select(partitionKey(pkCols).as("key"), value.as("value"), topic.as("topic"))
+      topic: Column): DataFrame = {
+    val base = Seq(partitionKey(pkCols).as("key"), value.as("value"), topic.as("topic"))
+    val cols = if (df.columns.contains("seq")) base :+ col("seq") else base
+    df.select(cols: _*)
+  }
+}
+
+/** Broker-log emulation over plain files — the Kafka write path proved
+  * end to end without a broker. The reference's async producer pins each
+  * message to the partition chosen by hashing its PK dependency key and
+  * relies on the broker appending in publish order
+  * (/root/reference pkg/outputs/async_kafka/async_kafka.go:150-226,
+  * partitioner 196-201). Here: partition = hash(key) mod N, and each
+  * micro-batch appends one file per partition with rows in per-key seq
+  * order — the concatenation of a partition's files in batch order IS
+  * the partition log, so per-key total ordering is directly assertable.
+  *
+  * Executor-local filesystem writer (the harness runs one host); a real
+  * deployment swaps this for `writeStream.format("kafka")` with the same
+  * key column and gets the identical placement from the broker's own
+  * key-hash partitioner.
+  */
+final class FileKafkaSink(dir: String, numPartitions: Int)
+    extends graft.streaming.BatchSink {
+
+  def write(batchId: Long, kafkaFrame: DataFrame): Unit = {
+    val (d, n) = (dir, numPartitions)
+    val prepared = kafkaFrame
+      .withColumn("__part", pmod(xxhash64(col("key")), lit(n)))
+      // one shuffle partition per broker partition; a hash collision can
+      // co-locate two parts in one task — the sort keeps their runs
+      // contiguous and the writer splits files on the part boundary
+      .repartition(n, col("__part"))
+      .sortWithinPartitions(col("__part"), col("seq"))
+      .select(col("__part"), col("value"))
+    prepared.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      var cur = -1L
+      var w: java.io.Writer = null
+      def close(): Unit = if (w != null) { w.close(); w = null }
+      try {
+        it.foreach { r =>
+          val p = r.getLong(0)
+          if (p != cur) {
+            close()
+            val pd = new java.io.File(s"$d/p$p")
+            pd.mkdirs()
+            w = new java.io.BufferedWriter(new java.io.FileWriter(
+              new java.io.File(pd, f"batch-$batchId%09d.jsonl")))
+            cur = p
+          }
+          w.write(r.getString(1)); w.write('\n')
+        }
+      } finally close()
+    }
+  }
+
+  /** One partition's log: files in batch order, lines in append order. */
+  def partitionLog(p: Long): Seq[String] = {
+    val pd = new java.io.File(s"$dir/p$p")
+    if (!pd.exists()) return Nil
+    pd.listFiles().sortBy(_.getName).toSeq.flatMap { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().toList finally src.close()
+    }
+  }
+
+  def partitions: Seq[Long] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.getName.startsWith("p")).map(_.getName.drop(1).toLong).sorted
 }

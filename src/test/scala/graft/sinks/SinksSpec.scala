@@ -56,7 +56,8 @@ class SinksSpec extends SparkSpec {
     val out = KafkaJson.toKafkaFrame(env,
       KafkaJson.valueV01(host = "h1"), Seq("seq"), lit("topic-a"))
     val r = out.head()
-    assert(out.columns.toSeq == Seq("key", "value", "topic"))
+    // seq rides along for order-proving transports (FileKafkaSink)
+    assert(out.columns.toSeq == Seq("key", "value", "topic", "seq"))
     val json = r.getAs[String]("value")
     // parse back with Spark's JSON reader for structural assertions
     val parsed = spark.read.json(Seq(json).toDS).head()
@@ -135,6 +136,29 @@ class SinksSpec extends SparkSpec {
     assert(upd.args == Seq(Seq(1L, "b", 1L, "a")))
     val del = ConflictDetectEngine.renderGuardedDelete("t", Map("id" -> 1L))
     assert(del.sql == "DELETE FROM t WHERE `id` <=> ?" && del.args == Seq(Seq(1L)))
+  }
+
+  test("conflict-detect engine: NULL old values render IS NULL, no bound param") {
+    // a '='-dialect engine (no null-safe operator) must not bind NULL to
+    // '=' — `col = NULL` is never true and every NULL-bearing old image
+    // would be flagged as a conflict
+    val eq = new ConflictDetect(quote = "", nullSafeEq = "=")
+    val upd = eq.renderGuardedUpdate("t", schema, row(1, "b"),
+      Map("id" -> 1L, "v" -> null))
+    assert(upd.sql == "UPDATE t SET id = ?,v = ? WHERE id = ? AND v IS NULL")
+    assert(upd.args == Seq(Seq(1L, "b", 1L)))
+    val del = eq.renderGuardedDelete("t", Map("id" -> 1L, "v" -> null))
+    assert(del.sql == "DELETE FROM t WHERE id = ? AND v IS NULL")
+    assert(del.args == Seq(Seq(1L)))
+  }
+
+  test("engine identifier quoting escapes; bare dialects validate charset") {
+    assert(ReplaceEngine.qualify("db1", "orders") == "`db1`.`orders`")
+    assert(ReplaceEngine.qualify("", "or`ders") == "`or``ders`")
+    val bare = AnsiMergeEngine(Seq("id"))
+    assert(bare.qualify("", "target_orders") == "target_orders")
+    intercept[IllegalArgumentException](bare.qualify("", "t; DROP TABLE x"))
+    intercept[IllegalArgumentException](ReplaceEngine.qualify("", "t\nx"))
   }
 
   test("v0.1 payload stringification uses the reference time layout") {

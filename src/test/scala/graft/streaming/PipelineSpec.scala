@@ -150,6 +150,39 @@ class PipelineSpec extends SparkSpec {
       .run("t", preds, readChunk, applyChunk(die = false)) == 0)
   }
 
+  test("kill mid-chunk resumes WITHIN the chunk from the durable cursor") {
+    val work = tmp()
+    val source = (1L to 60L).map(i => (i, s"v$i")).toDF("id", "v")
+    val sink = new SnapshotBatchSink(spark, work + "/snap", Seq("id"))
+    val positions = new graft.sources.BackfillPositions(spark, work + "/ckpt")
+    // one big chunk, keyset pages of 10 — the straggler-chunk shape
+    val preds = Seq("id >= 1 AND id <= 60")
+    val pageApplies = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def readPage(pred: String, after: Option[String]) = {
+      val lower = after.map(a => s"id > $a").getOrElse("1=1")
+      source.where(pred).where(lower).orderBy("id").limit(10)
+    }
+    def applyPage(die: Boolean)(df: org.apache.spark.sql.DataFrame): Unit = {
+      if (die && pageApplies.size == 2) sys.error("killed mid-chunk")
+      pageApplies += df.count()
+      sink.write(0L, graft.sources.TwoStageSource.backfillAsChangeLog(df))
+    }
+    def maxKey(df: org.apache.spark.sql.DataFrame): String =
+      df.agg(max("id")).head().getLong(0).toString
+
+    intercept[RuntimeException] {
+      new graft.sources.ResumableBackfill(positions)
+        .runPaged("t", preds, readPage, applyPage(die = true), maxKey)
+    }
+    // two pages (20 keys) durably applied; the cursor survived the kill
+    assert(positions.load()(("t", 0)).current.contains("20"))
+    val resumed = new graft.sources.ResumableBackfill(positions)
+      .runPaged("t", preds, readPage, applyPage(die = false), maxKey)
+    assert(resumed == 4) // 4 remaining pages, NOT the whole chunk again
+    assert(positions.allDone("t"))
+    assert(sink.read().count() == 60)
+  }
+
   test("retrying sink retries transient failures then succeeds") {
     var fails = 2
     val seen = scala.collection.mutable.ArrayBuffer.empty[Long]

@@ -34,12 +34,14 @@ def frame_hash(df):
     return hash_pandas_object(df, index=False).sum()
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # local iteration on a subset (matches Verify's name filter)
+        oracle = {k: v for k, v in oracle.items() if k in set(only)}
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -83,4 +85,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3:]))
