@@ -546,6 +546,67 @@ object TrainingQueries {
         |  + 0.7 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS quality
         |FROM documents""".stripMargin)),
 
+    // repetition filter (Gopher-style): fraction of DUPLICATE word
+    // trigrams per doc — boilerplate/spam detection for pretraining
+    // corpora. Short docs (< 3 tokens) score 1.0 (nothing to repeat);
+    // the Spark side guards because sequence(1, n) runs DESCENDING for
+    // n < 1 (DuckDB's range is already empty there).
+    CatalogQuery("txt_repetition_score", (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      base.select(
+        col("doc_id"),
+        expr(
+          s"""CASE WHEN size(toks) >= 3 THEN
+             |  CAST(size(array_distinct(${Similarity.shinglesFromToks("toks")})) AS DOUBLE)
+             |    / (size(toks) - 2)
+             |ELSE 1.0 END""".stripMargin).as("uniq_trigram_ratio"))
+        .withColumn("repetitive", col("uniq_trigram_ratio") < 0.7)
+    }, Some(
+      s"""SELECT doc_id,
+         |  CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+         |    CAST(len(list_distinct(${Similarity.shinglesDuck("text")})) AS DOUBLE)
+         |      / (len(string_split(text, ' ')) - 2)
+         |  ELSE 1.0 END AS uniq_trigram_ratio,
+         |  CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+         |    CAST(len(list_distinct(${Similarity.shinglesDuck("text")})) AS DOUBLE)
+         |      / (len(string_split(text, ' ')) - 2)
+         |  ELSE 1.0 END < 0.7 AS repetitive
+         |FROM documents""".stripMargin)),
+
+    // PII scrub: redact emails and bare URLs before training (the
+    // standard corpus-cleaning pass). The regexes stay in the common
+    // Java-regex/RE2 subset so Spark and DuckDB agree byte-for-byte;
+    // emails are planted deterministically on doc_id % 10 == 0 so the
+    // scrub provably fires. Entirely codegen'd regexp_replace — at
+    // 100 TB this is a projection, no shuffle.
+    CatalogQuery("txt_pii_scrub", (s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val urlRe = "https?://[^ ]+"
+      val planted = when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" contact bob.smith+x@example.org or https://ex.org/a?b=1 now")))
+        .otherwise(col("text"))
+      Tables.documents(s, d).select(col("doc_id"), planted.as("raw"))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+            urlRe, "<URL>").as("clean"))
+        .withColumn("was_scrubbed", col("clean").contains("<EMAIL>") || col("clean").contains("<URL>"))
+    }, Some(
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN text || ' contact bob.smith+x@example.org or https://ex.org/a?b=1 now'
+        |      ELSE text END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g') AS clean,
+        |  (regexp_replace(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g') LIKE '%<EMAIL>%'
+        |   OR regexp_replace(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g') LIKE '%<URL>%') AS was_scrubbed
+        |FROM planted""".stripMargin)),
+
     CatalogQuery("txt_token_stats", (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),

@@ -38,32 +38,37 @@ object DdlRewriter {
     case _ => Other
   }
 
-  /** Qualified name rewrite: `db`.`tbl` / db.tbl / tbl → target pair. */
-  private def retarget(name: String, targetDb: String, targetTable: String): String = {
-    val _ = name // source name consulted only for classification
-    s"`$targetDb`.`$targetTable`"
-  }
+  /** Qualified name rewrite toward the routed target, in the requested
+    * identifier dialect; an empty target schema renders the bare table
+    * (ANSI targets like Derby address tables schema-less here).
+    */
+  private def retarget(targetDb: String, targetTable: String, quote: String): String =
+    Seq(targetDb, targetTable).filter(_.nonEmpty)
+      .map(n => s"$quote$n$quote").mkString(".")
 
   /** Rewrite a DDL statement toward (targetDb, targetTable), injecting
     * idempotency guards. Returns the statements to execute in order.
+    * `quote` is the target's identifier quote (backtick for MySQL, "" for
+    * bare-id ANSI targets).
     */
-  def rewrite(sql: String, targetDb: String, targetTable: String): Seq[String] =
+  def rewrite(sql: String, targetDb: String, targetTable: String,
+      quote: String = "`"): Seq[String] =
     sql match {
       case createDb(_, rest) =>
-        Seq(s"CREATE DATABASE IF NOT EXISTS `$targetDb`${rest.trim match {
+        Seq(s"CREATE DATABASE IF NOT EXISTS $quote$targetDb$quote${rest.trim match {
           case "" => ""; case r => " " + r
         }}")
       case dropDb(_, _) =>
-        Seq(s"DROP DATABASE IF EXISTS `$targetDb`")
-      case createTbl(name, rest) =>
-        Seq(s"CREATE TABLE IF NOT EXISTS ${retarget(name, targetDb, targetTable)}${rest}")
-      case dropTbl(name, _) =>
-        Seq(s"DROP TABLE IF EXISTS ${retarget(name, targetDb, targetTable)}")
-      case alterTbl(name, rest) =>
+        Seq(s"DROP DATABASE IF EXISTS $quote$targetDb$quote")
+      case createTbl(_, rest) =>
+        Seq(s"CREATE TABLE IF NOT EXISTS ${retarget(targetDb, targetTable, quote)}${rest}")
+      case dropTbl(_, _) =>
+        Seq(s"DROP TABLE IF EXISTS ${retarget(targetDb, targetTable, quote)}")
+      case alterTbl(_, rest) =>
         // TiDB executes one alter-spec per statement — split a multi-spec
         // ALTER into per-spec statements (mysql.go:246-392 multi-spec split)
         splitAlterSpecs(rest).map(spec =>
-          s"ALTER TABLE ${retarget(name, targetDb, targetTable)} $spec")
+          s"ALTER TABLE ${retarget(targetDb, targetTable, quote)} $spec")
       case renameTbl(_) =>
         // rename collapses to targeting: the routed name IS the new name
         Seq.empty
@@ -74,6 +79,16 @@ object DdlRewriter {
     * mysql.go ignores 1060/1061 so ALTER replays are idempotent).
     */
   val ignorableErrnos: Set[Int] = Set(1060, 1061, 1050, 1091)
+
+  /** Replay-idempotency check across dialects: MySQL errnos above, plus
+    * the ANSI/Derby SQLStates for "object already exists" (X0Y32, X0Y68),
+    * duplicate column (42711 — the DB2/Derby family code), and
+    * "column/object not found" on a replayed DROP (42X14, 42Y55).
+    */
+  def isIgnorable(e: java.sql.SQLException): Boolean =
+    ignorableErrnos(e.getErrorCode) ||
+      Option(e.getSQLState).exists(s =>
+        s == "X0Y32" || s == "X0Y68" || s == "42711" || s == "42X14" || s == "42Y55")
 
   /** Split ALTER specs on top-level commas — commas inside parens
     * (column type args) or quotes (defaults, comments) don't split.

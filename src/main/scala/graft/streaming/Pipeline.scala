@@ -66,6 +66,29 @@ final class RetryingSink(inner: BatchSink, retries: Int = 3, sleepMs: Long = 100
   */
 trait DdlExecutor extends Serializable {
   def execute(statements: Seq[String]): Unit
+
+  /** Identifier quote the rewriter should render targets with for this
+    * executor's dialect (backtick default; "" for bare-id ANSI targets).
+    */
+  def quote: String = "`"
+}
+
+/** DDL replay against a real JDBC target: each rewritten statement runs
+  * on its own connection; duplicate-object/column errors are swallowed so
+  * a replayed micro-batch's DDL is idempotent (the reference tolerates
+  * 1060/1061 on replay, executeDDL mysql.go:484-511).
+  */
+final class JdbcDdlExecutor(url: String, override val quote: String = "`")
+    extends DdlExecutor {
+  def execute(statements: Seq[String]): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try statements.foreach { s =>
+      val st = conn.createStatement()
+      try st.execute(s)
+      catch { case e: java.sql.SQLException if graft.sinks.DdlRewriter.isIgnorable(e) => () }
+      finally st.close()
+    } finally conn.close()
+  }
 }
 
 /** Fan one compacted batch out to several sinks — a pipeline replicating
@@ -147,7 +170,7 @@ object PipelineRunner {
         .select("ddl_statement", "tgt_schema", "tgt_table")
         .collect() // control rows: rare and tiny by construction
         .flatMap(r => graft.sinks.DdlRewriter.rewrite(
-          r.getString(0), r.getString(1), r.getString(2)))
+          r.getString(0), r.getString(1), r.getString(2), ddl.get.quote))
       if (stmts.nonEmpty) ddl.get.execute(stmts.toSeq)
     }
     val dml = if (routed.columns.contains("type"))
