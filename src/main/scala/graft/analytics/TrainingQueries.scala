@@ -109,6 +109,58 @@ object TrainingQueries {
          |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin),
       bench = true),
 
+    // ---- sketch-quality evaluation: estimated vs exact Jaccard ----------
+    // MinHash's whole point is estimating Jaccard from k component
+    // agreements without touching the shingle sets — this gates the
+    // estimator itself on the LSH candidates: est = (matching sig
+    // positions)/k next to the exact set Jaccard, plus the absolute
+    // error. The dedup-threshold calibration harness (pick k and t from
+    // measured error) as a first-class query.
+    CatalogQuery("ddp_minhash_jaccard_estimate", (s, d) => {
+      val base = docsPlus(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), expr(Similarity.shinglesFromToks("toks")).as("sh"))
+        .select(col("doc_id"),
+          expr("array_distinct(sh)").as("shd"),
+          GraftFunctions.minhash_hex(col("sh"), 9).as("sig"))
+      val cand = Catalog.queries("ddp_minhash_lsh_pairs")(s, d)
+      cand
+        .join(base.select(col("doc_id").as("doc_a"),
+          col("shd").as("sha"), col("sig").as("siga")), "doc_a")
+        .join(base.select(col("doc_id").as("doc_b"),
+          col("shd").as("shb"), col("sig").as("sigb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), m -> m))")
+            .cast("double") / 9).as("est_jaccard"),
+          (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_union(col("sha"), col("shb")))).as("exact_jaccard"))
+        .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+    }, Some(
+      s"""WITH dp AS ($duckDocsPlus),
+         |sigs AS (SELECT doc_id, ${Similarity.minhashDuck("text", 9)} AS sig FROM dp),
+         |bands AS (SELECT doc_id, j AS band,
+         |    md5(sig[3*j+1] || sig[3*j+2] || sig[3*j+3]) AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2]) AS j) u),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sh AS (SELECT doc_id, list_distinct(${Similarity.shinglesDuck("text")}) AS sh FROM dp)
+         |SELECT doc_a, doc_b,
+         |  CAST(list_sum(list_transform(range(1, 10),
+         |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 9
+         |    AS est_jaccard,
+         |  CAST(len(list_intersect(ha.sh, hb.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(ha.sh, hb.sh))) AS exact_jaccard,
+         |  abs(CAST(list_sum(list_transform(range(1, 10),
+         |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 9
+         |    - CAST(len(list_intersect(ha.sh, hb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(ha.sh, hb.sh)))) AS abs_err
+         |FROM cand
+         |  JOIN sigs sa ON sa.doc_id = doc_a
+         |  JOIN sigs sb ON sb.doc_id = doc_b
+         |  JOIN sh ha ON ha.doc_id = doc_a
+         |  JOIN sh hb ON hb.doc_id = doc_b""".stripMargin)),
+
     // ---- n-gram Jaccard via prefix-filter similarity join ----------------
     // Exact set-similarity self-join (AllPairs/PPJoin prefix filtering):
     // under a global shingle order, any pair with J >= t shares its

@@ -46,7 +46,22 @@ object JdbcSchemaIntrospector {
       */
     def writableColumns: Seq[IntrospectedColumn] =
       columns.filterNot(c => c.isGenerated || c.isAutoIncrement)
+
+    /** The schema a sink reconciles against: writable columns only. */
+    def writableStruct: StructType = StructType(writableColumns.map(c =>
+      StructField(c.name, toSpark(c), c.nullable)))
   }
+
+  /** Sink-side live schema fetch: (schema, table) → writable StructType,
+    * one introspection connection per miss (wrap in a SchemaCatalog for
+    * caching + DDL invalidation).
+    */
+  def writableFetch(connect: () => java.sql.Connection): (String, String) => StructType =
+    (db, table) => {
+      val conn = connect()
+      try introspect(conn, db, table).writableStruct
+      finally conn.close()
+    }
 
   /** JDBC type descriptor → Spark type (the information_schema twin of
     * MySqlTypes.toSpark, keyed on java.sql.Types instead of raw MySQL

@@ -168,8 +168,12 @@ final case class ProcessSidecarFilter(command: Seq[String]) extends TransformOp 
 final case class AddMissingColumns(targetSchema: org.apache.spark.sql.types.StructType,
     defaults: Map[String, Any] = Map.empty) extends TransformOp {
   def apply(df: DataFrame): DataFrame = {
-    val present = df.columns.toSet
-    targetSchema.fields.filterNot(f => present(f.name)).foldLeft(df) { (d, f) =>
+    // case-insensitive presence check: introspected target schemas come
+    // back in the target's identifier case (Derby folds to upper) while
+    // the stream's columns don't — Spark resolves references across case,
+    // so adding an "ID" twin of "id" would make every reference ambiguous
+    val present = df.columns.map(_.toLowerCase).toSet
+    targetSchema.fields.filterNot(f => present(f.name.toLowerCase)).foldLeft(df) { (d, f) =>
       val v = defaults.get(f.name).map(lit).getOrElse(lit(null))
       d.withColumn(f.name, v.cast(f.dataType))
     }

@@ -147,9 +147,19 @@ object PipelineConfig {
           val parts = t.elements().asScala.map(_.asText()).toSeq
           (parts.head, parts(1))
         }.toSeq).getOrElse(Nil)
+        // "introspect-schemas": reconcile each batch against the LIVE
+        // target schema (cached; invalidated on DDL via the catalog)
+        val schemaFor =
+          if (!Option(o.get("introspect-schemas")).exists(_.asBoolean())) None
+          else {
+            val cat = new graft.core.SchemaCatalog(
+              graft.core.JdbcSchemaIntrospector.writableFetch(() =>
+                java.sql.DriverManager.getConnection(url)))
+            Some((db: String, t: String) => cat.schemaOf(db, t))
+          }
         new graft.sinks.JdbcBatchSink(
           () => new graft.sinks.JdbcStatementExecutor(url),
-          engine, pk, targets = targets,
+          engine, pk, targets = targets, schemaFor = schemaFor,
           maxRowsPerStatement =
             Option(o.get("max-rows-per-statement")).map(_.asInt()).getOrElse(200),
           numWriters = Option(o.get("num-writers")).map(_.asInt()),

@@ -40,6 +40,11 @@ final class JdbcBatchSink(
     pkCols: Seq[String],
     targets: Seq[(String, String)] = Nil,
     targetSchemas: Map[(String, String), StructType] = Map.empty,
+    // live target-schema fetch (JdbcSchemaIntrospector.catalog): consulted
+    // when `targetSchemas` has no entry — the reference introspects the
+    // target and reconciles before writing (add_missing_column.go +
+    // schema_store fetch); driver-side, cached by the catalog
+    schemaFor: Option[(String, String) => StructType] = None,
     columnDefaults: Map[String, Any] = Map.empty,
     ignorableErrnos: Set[Int] = Set(1062, 1060, 1061),
     maxRowsPerStatement: Int = 200,
@@ -82,11 +87,22 @@ final class JdbcBatchSink(
 
   private def writeTable(target: (String, String), branch: DataFrame): Unit = {
     if (branch.isEmpty) return
-    val reconciled = targetSchemas.get(target) match {
+    val reconciled = targetSchemas.get(target)
+      .orElse(schemaFor.map(f => f(target._1, target._2))) match {
       case Some(ts) =>
-        // schema reconciliation, then project to the target column order
+        // schema reconciliation, then project to the target column order;
+        // columns the batch lacks are written NULL/default explicitly
+        // (the reference's AddMissingColumn fills row data the same way).
+        // `ts` must be the WRITABLE schema — generated/identity columns
+        // excluded (IntrospectedTable.writableStruct)
         val filled = AddMissingColumns(ts, columnDefaults)(branch)
-        val keep = Seq("op", "seq") ++ ts.fieldNames.toSeq
+        // select by the frame's OWN column case: introspected schemas
+        // carry the target's identifier case (Derby: upper), and selecting
+        // col("ID") over a frame column "id" renames the output — which
+        // would desync the engines' case-sensitive pkCols matching
+        val byLower = filled.columns.map(c => c.toLowerCase -> c).toMap
+        val keep = Seq("op", "seq") ++
+          ts.fieldNames.toSeq.map(n => byLower.getOrElse(n.toLowerCase, n))
         filled.select(keep.map(col): _*)
       case None => branch
     }

@@ -93,6 +93,72 @@ final class CanaryTracker {
     lastSeenAtMs > 0 && System.currentTimeMillis() - lastSeenAtMs <= withinMs
 }
 
+/** The reference's HTTP admin surface over the JDK's built-in server —
+  * `/healthz` answers 200/500 from scheduler health, `/status` serves the
+  * task report as JSON, `/reset` clears the position store
+  * (/root/reference cmd/gravity/main.go:185-238). Here: health from the
+  * HealthListener (+ canary liveness when wired), status from
+  * `statusReport` (+ canary lag), reset = the supplied position-clear
+  * callback (checkpoint delete via `Positions.reset`).
+  */
+final class HealthServer(listener: HealthListener,
+    canary: Option[CanaryTracker] = None,
+    canaryAliveWithinMs: Long = 30000,
+    resetPositions: () => Boolean = () => false,
+    port: Int = 0) {
+
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", port), 0)
+
+  /** Ephemeral-port friendly (port = 0 binds any free port). */
+  def boundPort: Int = server.getAddress.getPort
+
+  private def respond(ex: com.sun.net.httpserver.HttpExchange,
+      code: Int, body: String, json: Boolean = false): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    if (json) ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+
+  private def statusJson: String = {
+    val base = listener.statusReport ++ canary.map(c =>
+      "canary_lag_ms" -> c.lagMs.getOrElse(-1L)).toMap
+    base.map { case (k, v) =>
+      val rendered = v match {
+        case s: String => jsonStr(s)
+        case b: Boolean => b.toString
+        case n => n.toString
+      }
+      jsonStr(k) + ":" + rendered
+    }.mkString("{", ",", "}")
+  }
+
+  server.createContext("/healthz", (ex: com.sun.net.httpserver.HttpExchange) => {
+    val ok = listener.healthy && canary.forall(_.alive(canaryAliveWithinMs))
+    respond(ex, if (ok) 200 else 500, "")
+  })
+  server.createContext("/status", (ex: com.sun.net.httpserver.HttpExchange) =>
+    respond(ex, 200, statusJson, json = true))
+  server.createContext("/reset", (ex: com.sun.net.httpserver.HttpExchange) =>
+    // the reference exits the process after clearing; here the caller's
+    // callback owns the consequence (stop query + delete checkpoint)
+    if (resetPositions()) respond(ex, 200, "position cleared")
+    else respond(ex, 500, "reset failed"))
+
+  def start(): HealthServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}
+
 /** Pipeline health monitoring.
   *
   * The reference tracks per-stream watermarks + an unhealthy threshold on

@@ -57,6 +57,28 @@ class ChangeLogSpec extends SparkSpec {
     }
   }
 
+  test("property: routed compaction per (target, pk) = per-target filter + compact (10 random workloads)") {
+    // the pipeline compacts routed batches on (tgt_schema, tgt_table, pk):
+    // one pk value flowing to two targets must be two independent keys —
+    // equivalent to compacting each target's slice alone
+    val rnd = new scala.util.Random(7)
+    val ops = Array("insert", "update", "delete")
+    (1 to 10).foreach { _ =>
+      val workload = (0 until 80).map { i =>
+        (i.toLong, ops(rnd.nextInt(3)), (1 + rnd.nextInt(6)).toLong,
+          s"t${rnd.nextInt(2)}", rnd.alphanumeric.take(4).mkString)
+      }
+      val l = workload.toDF("seq", "op", "id", "tgt_table", "v")
+      val joint = ChangeLog.compact(l, Seq("tgt_table", "id"))
+        .select("tgt_table", "id", "v").as[(String, Long, String)].collect().toSet
+      val sliced = Seq("t0", "t1").flatMap { t =>
+        ChangeLog.compact(l.filter($"tgt_table" === t), Seq("id"))
+          .select("tgt_table", "id", "v").as[(String, Long, String)].collect()
+      }.toSet
+      assert(joint == sliced)
+    }
+  }
+
   test("partitionByKey co-locates equal keys") {
     val l = log((1, "insert", 1, "a"), (2, "update", 1, "b"), (3, "insert", 2, "c"))
     val parts = ChangeLog.partitionByKey(l, Seq("id"), Some(4))

@@ -102,6 +102,31 @@ class JdbcBatchSinkSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("boom")))
   }
 
+  test("live-introspected target schema reconciles the batch (writable cols only)") {
+    val url = freshDb()
+    sql(url,
+      "CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(16), " +
+        "note VARCHAR(16), rowver BIGINT GENERATED ALWAYS AS IDENTITY)")
+    val log = Seq((1L, "insert", 1L, "a"), (2L, "insert", 2L, "b"))
+      .toDF("seq", "op", "id", "v") // batch knows nothing of note/rowver
+    val sink = new JdbcBatchSink(
+      () => new JdbcStatementExecutor(url),
+      AnsiMergeEngine(Seq("id")), Seq("id"), targets = Seq(("", "t")),
+      schemaFor = Some(graft.core.JdbcSchemaIntrospector.writableFetch(() =>
+        java.sql.DriverManager.getConnection(url))),
+      numWriters = Some(1))
+    sink.write(0L, log)
+    assert(queryPairs(url, "SELECT id, v FROM t") == Map(1L -> "a", 2L -> "b"))
+    // note was NULL-filled and written; identity column untouched by the
+    // sink (excluded from the writable schema) and populated by Derby
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery("SELECT note, rowver FROM t WHERE id = 1")
+      rs.next()
+      assert(rs.getString(1) == null && rs.getLong(2) >= 1L)
+    } finally c.close()
+  }
+
   // ---- conflict-detect execution loop (conflict_engine.go:113-200) -------
 
   private val derbyConflict = new ConflictDetect(quote = "", nullSafeEq = "=")

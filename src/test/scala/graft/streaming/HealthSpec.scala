@@ -31,4 +31,37 @@ class HealthSpec extends SparkSpec {
       assert(st("healthy") == true && st("total_rows") == 100L)
     } finally spark.streams.removeListener(listener)
   }
+
+  test("http admin surface: /healthz, /status json, /reset callback") {
+    def get(port: Int, path: String): (Int, String) = {
+      val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = Option(is).map(s =>
+        scala.io.Source.fromInputStream(s, "UTF-8").mkString).getOrElse("")
+      conn.disconnect()
+      (code, body)
+    }
+
+    val listener = new HealthListener()
+    var resets = 0
+    val canary = new CanaryTracker
+    val srv = new HealthServer(listener, Some(canary),
+      resetPositions = () => { resets += 1; true }).start()
+    try {
+      val port = srv.boundPort
+      // no probe seen yet -> canary not alive -> unhealthy
+      assert(get(port, "/healthz")._1 == 500)
+      canary.record(System.currentTimeMillis() - 50)
+      assert(get(port, "/healthz")._1 == 200)
+
+      val (sc, body) = get(port, "/status")
+      assert(sc == 200)
+      assert(body.contains("\"healthy\":true") && body.contains("\"canary_lag_ms\":"))
+
+      assert(get(port, "/reset") == (200, "position cleared"))
+      assert(resets == 1)
+    } finally srv.stop()
+  }
 }
