@@ -54,13 +54,7 @@ object Bench {
     val (cold, coldErrs) = timed(names) // first run: listing + JIT + codegen compile
     val (warm, warmErrs) = timed(names) // steady state
     val allErrs = coldErrs ++ warmErrs
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => " "
-        case c => c.toString
-      } + "\""
+    def jstr(s: String): String = graft.core.JsonText.str(s)
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errObj = allErrs.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")

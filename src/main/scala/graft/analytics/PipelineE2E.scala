@@ -41,7 +41,17 @@ object PipelineE2E {
   private val NumKeys = 101L
   private val RowsPerBatch = 400L
 
-  def run(s: SparkSession): DataFrame = {
+  /** The gated configuration: kill-and-restart at the small deterministic
+    * size the oracle replays.
+    */
+  def run(s: SparkSession): DataFrame =
+    runPipeline(s, MaxSeq, NumKeys, RowsPerBatch, injectKill = true)
+
+  /** The same deployment at any scale (ScaleStress throughput runs size
+    * it up without the fault injection).
+    */
+  def runPipeline(s: SparkSession, maxSeq: Long, numKeys: Long,
+      rowsPerBatch: Long, injectKill: Boolean): DataFrame = {
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val url = s"jdbc:derby:memory:e2e$runId;create=true"
     val work = java.nio.file.Files.createTempDirectory(s"graft-e2e").toString
@@ -73,46 +83,58 @@ object PipelineE2E {
          |  "pk": ["id"],
          |  "checkpoint": "$ckpt"
          |}""".stripMargin)
+    // the jdbc output reconciles against the LIVE introspected target
+    // schema (writable columns of t_a/t_b) — the envelope columns the
+    // stream carries (database/table/seq bookkeeping) are projected away
+    // by reconciliation, not by hand-listed columns
     val sinks = PipelineConfig.parseSinks(s,
       s"""[
          |  {"type": "jdbc", "url": "$url", "engine": "ansi-merge",
          |   "targets": [["", "t_a"], ["", "t_b"]],
-         |   "columns": ["id", "v"], "num-writers": 1},
+         |   "introspect-schemas": true, "num-writers": 1},
          |  {"type": "snapshot", "path": "$snapPath", "buckets": 4,
          |   "pk": ["tgt_table", "id"]}
          |]""".stripMargin, plan.pkCols)
-    val sink = new KillOnceSink(sinks, killAtBatch = 2)
-
     def source = s.readStream.format("graft.sources.CdcRateSource")
-      .option("maxSeq", MaxSeq).option("rowsPerBatch", RowsPerBatch)
-      .option("numKeys", NumKeys).option("partitions", 2).load()
+      .option("maxSeq", maxSeq).option("rowsPerBatch", rowsPerBatch)
+      .option("numKeys", numKeys).option("partitions", 2).load()
 
-    // run 1: rate-limited micro-batches; dies after batch 2 hit the sinks
-    val q1 = PipelineRunner.start(plan, source, sink,
-      trigger = Trigger.ProcessingTime(0))
-    def isInjectedKill(t: Throwable): Boolean = {
-      var cur = t
-      var depth = 0
-      while (cur != null && depth < 10) {
-        if (Option(cur.getMessage).exists(_.contains("injected mid-stream kill")))
-          return true
-        cur = cur.getCause
-        depth += 1
+    if (injectKill) {
+      val sink = new KillOnceSink(sinks, killAtBatch = 2)
+      // run 1: rate-limited micro-batches; dies after batch 2 hit the sinks
+      val q1 = PipelineRunner.start(plan, source, sink,
+        trigger = Trigger.ProcessingTime(0))
+      def isInjectedKill(t: Throwable): Boolean = {
+        var cur = t
+        var depth = 0
+        while (cur != null && depth < 10) {
+          if (Option(cur.getMessage).exists(_.contains("injected mid-stream kill")))
+            return true
+          cur = cur.getCause
+          depth += 1
+        }
+        false
       }
-      false
-    }
-    try {
-      q1.awaitTermination()
-      sys.error("e2e pipeline: run 1 terminated without the injected kill")
-    } catch {
-      case e: org.apache.spark.sql.streaming.StreamingQueryException if isInjectedKill(e) => ()
-    }
+      try {
+        q1.awaitTermination()
+        sys.error("e2e pipeline: run 1 terminated without the injected kill")
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException if isInjectedKill(e) => ()
+      }
 
-    // run 2: resume from the checkpoint — replay the killed batch, then
-    // drain the remainder of the bounded stream
-    val q2 = PipelineRunner.start(plan, source, sink,
-      trigger = Trigger.AvailableNow())
-    q2.awaitTermination()
+      // run 2: resume from the checkpoint — replay the killed batch, then
+      // drain the remainder of the bounded stream
+      val q2 = PipelineRunner.start(plan, source, sink,
+        trigger = Trigger.AvailableNow())
+      q2.awaitTermination()
+    } else {
+      // throughput shape: AvailableNow drains the bounded stream in
+      // rate-limited micro-batches (admission control holds), no fault
+      // injection
+      val q = PipelineRunner.start(plan, source, sinks,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
 
     def derbyTable(t: String): DataFrame =
       s.read.format("jdbc").option("url", url).option("dbtable", t).load()

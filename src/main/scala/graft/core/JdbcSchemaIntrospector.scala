@@ -87,15 +87,26 @@ object JdbcSchemaIntrospector {
   /** Introspect one table. Identifier case: ANSI engines (Derby) fold
     * unquoted DDL to upper case, so an exact-case miss retries upper-cased
     * — the MySQL path is case-preserving and hits on the first try.
+    *
+    * Metadata name arguments are JDBC LIKE patterns: `_`/`%` in real
+    * identifiers (table `t_a`!) are escaped with the driver's search
+    * escape so only the exact name matches. An empty schema searches all
+    * schemas — if the name exists in more than one, that's ambiguous and
+    * fails loudly rather than merging two tables' columns.
     */
   def introspect(conn: java.sql.Connection, schema: String,
       table: String): IntrospectedTable = {
     val md = conn.getMetaData
-    def cols(s: String, t: String): Seq[IntrospectedColumn] = {
+    // name args are LIKE patterns and driver support for the search
+    // escape is inconsistent (Derby ignores it in getColumns) — match the
+    // pattern wide, then keep only EXACT schema/table name rows
+    def cols(s: String, t: String): Seq[(String, IntrospectedColumn)] = {
       val rs = md.getColumns(null, if (s.isEmpty) null else s, t, null)
-      val out = Seq.newBuilder[IntrospectedColumn]
+      val out = Seq.newBuilder[(String, IntrospectedColumn)]
       try while (rs.next()) {
-        out += IntrospectedColumn(
+        val rowSchema = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
+        val exact = rs.getString("TABLE_NAME") == t && (s.isEmpty || rowSchema == s)
+        if (exact) out += ((rowSchema, IntrospectedColumn(
           name = rs.getString("COLUMN_NAME"),
           sqlType = rs.getString("TYPE_NAME"),
           jdbcType = rs.getInt("DATA_TYPE"),
@@ -106,18 +117,24 @@ object JdbcSchemaIntrospector {
           isGenerated = scala.util.Try(rs.getString("IS_GENERATEDCOLUMN"))
             .toOption.contains("YES"),
           isAutoIncrement = scala.util.Try(rs.getString("IS_AUTOINCREMENT"))
-            .toOption.contains("YES"))
+            .toOption.contains("YES"))))
       } finally rs.close()
       out.result()
     }
     var (s, t) = (schema, table)
-    var columns = cols(s, t)
-    if (columns.isEmpty) { // ANSI case folding
+    var found = cols(s, t)
+    if (found.isEmpty) { // ANSI case folding
       s = schema.toUpperCase; t = table.toUpperCase
-      columns = cols(s, t)
+      found = cols(s, t)
     }
-    require(columns.nonEmpty, s"introspect: no columns for $schema.$table " +
+    require(found.nonEmpty, s"introspect: no columns for $schema.$table " +
       "(table missing, or identifier case mismatch)")
+    val bySchema = found.groupBy(_._1)
+    require(bySchema.size == 1,
+      s"introspect: table $table exists in multiple schemas " +
+        s"(${bySchema.keys.mkString(", ")}) — qualify the target schema")
+    if (s.isEmpty) s = bySchema.keys.head // pin pk/index lookups to it
+    val columns = found.map(_._2)
 
     val pk = {
       val rs = md.getPrimaryKeys(null, if (s.isEmpty) null else s, t)

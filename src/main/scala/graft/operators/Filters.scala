@@ -144,9 +144,14 @@ final case class ProcessSidecarFilter(command: Seq[String]) extends TransformOp 
             if (!h && !finished) {
               finished = true
               writer.join()
-              if (writerFailure != null)
-                throw new RuntimeException("sidecar input writer failed", writerFailure)
               val rc = proc.waitFor()
+              // a sidecar may legitimately stop reading early (head -n
+              // style sampling) — the writer's broken pipe is benign IFF
+              // the sidecar then exited clean; anything else is row loss
+              val benignEarlyExit = rc == 0 &&
+                writerFailure.isInstanceOf[java.io.IOException]
+              if (writerFailure != null && !benignEarlyExit)
+                throw new RuntimeException("sidecar input writer failed", writerFailure)
               if (rc != 0) sys.error(s"sidecar ${cmd.mkString(" ")} exited $rc")
             }
             h

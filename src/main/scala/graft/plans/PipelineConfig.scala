@@ -148,15 +148,15 @@ object PipelineConfig {
           (parts.head, parts(1))
         }.toSeq).getOrElse(Nil)
         // "introspect-schemas": reconcile each batch against the LIVE
-        // target schema (cached; invalidated on DDL via the catalog)
+        // target schema. Fetched fresh per batch (one metadata query per
+        // target — noise next to the batch's writes): a cache would serve
+        // a stale schema after in-stream DDL unless something invalidates
+        // it; callers who wire DDL events to SchemaCatalog.invalidate can
+        // pass a catalog-backed schemaFor to JdbcBatchSink directly
         val schemaFor =
           if (!Option(o.get("introspect-schemas")).exists(_.asBoolean())) None
-          else {
-            val cat = new graft.core.SchemaCatalog(
-              graft.core.JdbcSchemaIntrospector.writableFetch(() =>
-                java.sql.DriverManager.getConnection(url)))
-            Some((db: String, t: String) => cat.schemaOf(db, t))
-          }
+          else Some(graft.core.JdbcSchemaIntrospector.writableFetch(() =>
+            java.sql.DriverManager.getConnection(url)))
         new graft.sinks.JdbcBatchSink(
           () => new graft.sinks.JdbcStatementExecutor(url),
           engine, pk, targets = targets, schemaFor = schemaFor,

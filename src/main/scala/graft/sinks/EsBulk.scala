@@ -28,16 +28,7 @@ object EsBulk {
 
   // ---- minimal deterministic JSON rendering (stable key order) ----------
 
-  private def esc(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
-  private def q(s: String): String = "\"" + esc(s) + "\""
+  private def q(s: String): String = graft.core.JsonText.str(s)
 
   // ---- _bulk action/metadata lines --------------------------------------
 

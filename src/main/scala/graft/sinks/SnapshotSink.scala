@@ -36,11 +36,14 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     * arriving mid-swap must not run recover() while the merge is still
     * swapping buckets (recover would restore a backup bucket under the
     * merge's feet and the subsequent stag→live rename would fail).
+    * Keyed by PATH and JVM-global — readers routinely construct their own
+    * SnapshotSink over the same directory, and a per-instance monitor
+    * would not serialize them against the writer's instance.
     * Cross-process single-writer is the streaming-checkpoint contract
     * (one foreachBatch writer per sink path), same as the reference's
     * single scheduler per output.
     */
-  private val swapLock = new Object
+  private val swapLock = SnapshotSink.lockFor(path)
 
   private def hfs = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -128,6 +131,13 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     fs.delete(p(backupPath), true)
     fs.delete(p(stagingPath), true)
   }
+}
+
+object SnapshotSink {
+  private val locks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def lockFor(path: String): Object =
+    locks.getOrElseUpdate(path, new Object)
 }
 
 /** Elasticsearch-shaped sink helpers: the reference bulk-upserts with

@@ -31,14 +31,21 @@ final class BackfillPositions(spark: SparkSession, dir: String) {
     if (!fs.exists(file)) return Map.empty
     val in = fs.open(file)
     try {
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { line =>
-        line.split("\t", 5) match {
-          case Array(done, table, id, cur, pred) =>
-            Some((table, id.toInt) -> Chunk(table, id.toInt, pred, done == "1",
-              if (cur.isEmpty) None else Some(cur)))
-          case _ => None
-        }
-      }.toMap
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { line =>
+          line.split("\t", 5) match {
+            case Array(done, table, id, cur, pred) =>
+              (table, id.toInt) -> Chunk(table, id.toInt, pred, done == "1",
+                if (cur.isEmpty) None else Some(cur))
+            // pre-cursor 4-field lines (older files): no mid-chunk position
+            case Array(done, table, id, pred) =>
+              (table, id.toInt) -> Chunk(table, id.toInt, pred, done == "1", None)
+            case _ =>
+              // a position file is the replay-prevention ledger — dropping
+              // an unreadable line silently would restart work from zero
+              sys.error(s"unreadable backfill position line: '${line.take(80)}'")
+          }
+        }.toMap
     } finally in.close()
   }
 

@@ -104,11 +104,14 @@ final class CdcRateStream(maxSeq: Long, rowsPerBatch: Long, numKeys: Long,
   }
   // admission-control form (SupportsTriggerAvailableNow extends it): the
   // start offset comes from the checkpoint, so resumed queries advance
-  // from the durable position rather than this instance's counter
+  // from the durable position rather than this instance's counter. The
+  // rowsPerBatch rate limit holds under AvailableNow too — the wrapper
+  // keeps triggering micro-batches until the prepared end, so a drain is
+  // N bounded batches, never one unbounded catch-up batch
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val s = start.asInstanceOf[CdcOffset].seq
-    available = if (availableNow) maxSeq else math.min(s + rowsPerBatch, maxSeq)
+    available = math.min(s + rowsPerBatch, maxSeq)
     CdcOffset(available)
   }
   override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =

@@ -122,13 +122,7 @@ final class HealthServer(listener: HealthListener,
     ex.close()
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => " "
-      case c => c.toString
-    } + "\""
+  private def jsonStr(s: String): String = graft.core.JsonText.str(s)
 
   private def statusJson: String = {
     val base = listener.statusReport ++ canary.map(c =>

@@ -78,6 +78,22 @@ object ScaleStress {
       println(f"[stress] snapshot_merge_initial           $full%8.2fs rows=${sink.read().count()}")
       println(f"[stress] snapshot_merge_incremental       $incremental%8.2fs (4/64 buckets)")
     }
+
+    // whole-pipeline streaming throughput: config -> CDC source ->
+    // filters -> router -> Derby upsert + snapshot, drained in
+    // rate-limited micro-batches (the flagship e2e shape, sized up,
+    // no fault injection)
+    {
+      val changes = 200000L
+      val t0 = System.nanoTime()
+      val state = graft.analytics.PipelineE2E.runPipeline(
+        spark, maxSeq = changes, numKeys = 10007L, rowsPerBatch = 25000L,
+        injectKill = false)
+      val n = state.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] pipeline_stream_${changes / 1000}%dk           $secs%8.2fs " +
+        f"rows=$n (${(changes / secs).toInt}%d chg/s)")
+    }
     spark.stop()
   }
 }

@@ -53,6 +53,30 @@ class JdbcSchemaIntrospectorSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("metadata name args are escaped: t_a must not match TAA; ambiguity fails loudly") {
+    val url = freshDb()
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      // '_' in a real identifier is a LIKE wildcard to raw JDBC metadata
+      // patterns — unescaped, "t_a" would merge TAA's columns in
+      c.createStatement().execute("CREATE TABLE t_a (id BIGINT, v VARCHAR(4))")
+      c.createStatement().execute("CREATE TABLE taa (other INT, x INT, y INT)")
+      val t = introspect(c, "", "t_a")
+      assert(t.columns.map(_.name) == Seq("ID", "V"))
+
+      // same table name in two schemas: merging them would render writes
+      // no single table accepts — must fail, not guess
+      c.createStatement().execute("CREATE SCHEMA s1")
+      c.createStatement().execute("CREATE SCHEMA s2")
+      c.createStatement().execute("CREATE TABLE s1.dup (a INT)")
+      c.createStatement().execute("CREATE TABLE s2.dup (b INT, c INT)")
+      val e = intercept[IllegalArgumentException](introspect(c, "", "dup"))
+      assert(e.getMessage.contains("multiple schemas"))
+      // qualifying resolves it
+      assert(introspect(c, "s1", "dup").columns.map(_.name) == Seq("A"))
+    } finally c.close()
+  }
+
   test("catalog fetch is live: DDL invalidation re-introspects the ALTERed table") {
     val url = freshDb()
     val c = java.sql.DriverManager.getConnection(url)
