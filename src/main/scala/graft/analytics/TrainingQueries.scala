@@ -672,6 +672,55 @@ object TrainingQueries {
           |  length(text) AS n_chars_txt
           |FROM documents""".stripMargin)),
 
+    // ---- the corpus-cleaning pipeline as ONE composition -----------------
+    // What a pretraining data engineer actually runs: exact dedup
+    // (keep-first) -> language gate -> repetition gate -> length gate,
+    // emitting survivors with their quality measurements. Every predicate
+    // reuses the exact expression shape of its standalone gated entry, so
+    // the composition's oracle is the same CTE chain — this gates that
+    // the operators COMPOSE, not just that each works alone.
+    CatalogQuery("txt_corpus_clean_pipeline", (s, d) => {
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = docsPlus(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val toks = split(col("text"), " ")
+      val measured = deduped.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        TextAnalysis.stopwordRatio(col("text"), Seq("the", "a")).as("stop_ratio"),
+        toks.as("toks"))
+        .withColumn("uniq_trigram_ratio", expr(
+          s"""CASE WHEN size(toks) >= 3 THEN
+             |  CAST(size(array_distinct(${Similarity.shinglesFromToks("toks")})) AS DOUBLE)
+             |    / (size(toks) - 2)
+             |ELSE 1.0 END""".stripMargin))
+        .drop("toks")
+      measured
+        .filter(col("stop_ratio") >= 0.08) // language gate (enish)
+        .filter(col("uniq_trigram_ratio") >= 0.7) // repetition gate
+        .filter(col("n_tokens") >= 5 && col("n_tokens") <= 100000) // length gate
+    }, Some(
+      s"""WITH dp AS ($duckDocsPlus),
+         |deduped AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM dp) t WHERE rn = 1),
+         |measured AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS stop_ratio,
+         |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+         |      CAST(len(list_distinct(${Similarity.shinglesDuck("text")})) AS DOUBLE)
+         |        / (len(string_split(text, ' ')) - 2)
+         |    ELSE 1.0 END AS uniq_trigram_ratio
+         |  FROM deduped)
+         |SELECT doc_id, n_tokens, stop_ratio, uniq_trigram_ratio
+         |FROM measured
+         |WHERE stop_ratio >= 0.08
+         |  AND uniq_trigram_ratio >= 0.7
+         |  AND n_tokens BETWEEN 5 AND 100000""".stripMargin)),
+
     // rolling-hash fingerprint — graft's custom codegen Expression
     CatalogQuery("txt_fingerprint_rolling", (s, d) =>
       Tables.documents(s, d).select(

@@ -94,6 +94,57 @@ object PipelineConfig {
   private def strList(v: JsonNode): Seq[String] =
     if (v.isArray) v.elements().asScala.map(_.asText()).toSeq else Seq(v.asText())
 
+  /** `input` section → streaming source DataFrame (the reference's
+    * `[input]` TOML block, config_v3.go:44-70):
+    *
+    * {{{
+    * "input": {"type": "cdc-rate", "max-seq": 2000, "rows-per-batch": 400,
+    *           "num-keys": 101, "partitions": 2}
+    * "input": {"type": "file-changelog", "path": "/logs/orders",
+    *           "max-files-per-trigger": 1}
+    * }}}
+    *
+    * file-changelog infers the schema from a batch read of the directory
+    * (the harness analogue of introspecting the source).
+    */
+  def parseSource(spark: org.apache.spark.sql.SparkSession,
+      json: String): org.apache.spark.sql.DataFrame =
+    parseSourceNode(spark, mapper.readTree(json))
+
+  private def parseSourceNode(spark: org.apache.spark.sql.SparkSession,
+      o: JsonNode): org.apache.spark.sql.DataFrame =
+    req(o, "type").asText() match {
+      case "cdc-rate" =>
+        spark.readStream.format("graft.sources.CdcRateSource")
+          .option("maxSeq", Option(o.get("max-seq")).map(_.asLong()).getOrElse(1000L))
+          .option("rowsPerBatch",
+            Option(o.get("rows-per-batch")).map(_.asLong()).getOrElse(100L))
+          .option("numKeys", Option(o.get("num-keys")).map(_.asLong()).getOrElse(10L))
+          .option("partitions", Option(o.get("partitions")).map(_.asInt()).getOrElse(2))
+          .load()
+      case "file-changelog" =>
+        val path = req(o, "path").asText()
+        val schema = graft.sources.FileChangeLogSource.read(spark, path).schema
+        graft.sources.FileChangeLogSource.readStream(spark, path, schema,
+          Option(o.get("max-files-per-trigger")).map(_.asInt()))
+      case other => throw new IllegalArgumentException(s"unknown input type '$other'")
+    }
+
+  /** The whole deployment from ONE document — input + filters + routes +
+    * output(s) + checkpoint, started as a streaming query (the reference
+    * boots a pipeline from one TOML the same way, pkg/app/server.go:38-105).
+    */
+  def launch(spark: org.apache.spark.sql.SparkSession, json: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val root = mapper.readTree(json)
+    val plan = parse(json)
+    val source = parseSourceNode(spark, req(root, "input"))
+    val sink = parseSinks(spark, req(root, "output").toString, plan.pkCols)
+    graft.streaming.PipelineRunner.start(plan, source, sink, trigger)
+  }
+
   /** Output section → BatchSink, completing config → runnable pipeline
     * (the reference's `[output]` TOML block, config_v3.go:44-70):
     *
@@ -166,6 +217,12 @@ object PipelineConfig {
           txnTagger = Option(o.get("txn-tag-table")).map(t =>
             graft.sinks.InternalTxnTagger(t.asText(),
               Option(o.get("pipeline-name")).map(_.asText()).getOrElse("graft"))))
+      case "kafka-file" =>
+        new graft.sinks.KafkaFileBatchSink(
+          req(o, "path").asText(),
+          Option(o.get("partitions")).map(_.asInt()).getOrElse(4),
+          Option(o.get("topic")).map(_.asText()),
+          pk)
       case other => throw new IllegalArgumentException(s"unknown output type '$other'")
     }
     // "columns": output-side projection applied before the sink

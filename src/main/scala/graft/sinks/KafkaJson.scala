@@ -85,6 +85,37 @@ object KafkaJson {
   }
 }
 
+/** Config-driven Kafka output over the file-log emulation: converts each
+  * compacted batch to the wire frame (2.0.alpha typed value when the
+  * stream carries the database/table envelope, generic typed JSON
+  * otherwise; key = pk dependency hash; topic = configured literal or
+  * `database.table`) and appends it to the partitioned file log.
+  * Swap [[FileKafkaSink]] for `writeStream.format("kafka")` in a real
+  * deployment — the frame is identical.
+  */
+final class KafkaFileBatchSink(dir: String, numPartitions: Int,
+    topic: Option[String], pkCols: Seq[String])
+    extends graft.streaming.BatchSink {
+
+  private val inner = new FileKafkaSink(dir, numPartitions)
+
+  def write(batchId: Long, compacted: DataFrame): Unit = {
+    val clean = compacted.drop("tgt_schema", "tgt_table", "tgt_topic", "tgt_index")
+    val envelope = Set("op", "seq", "database", "table", "type", "ddl_statement")
+    val payloadCols = clean.columns.filterNot(envelope).toSeq
+    val hasEnvelope = clean.columns.contains("database") && clean.columns.contains("table")
+    val value =
+      if (hasEnvelope) KafkaJson.valueV20(payloadCols, pkCols)
+      else to_json(struct(clean.columns.map(col): _*))
+    val topicCol = topic.map(lit).getOrElse(
+      if (hasEnvelope) concat_ws(".", col("database"), col("table")) else lit("graft"))
+    inner.write(batchId, KafkaJson.toKafkaFrame(clean, value, pkCols, topicCol))
+  }
+
+  def partitionLog(p: Long): Seq[String] = inner.partitionLog(p)
+  def partitions: Seq[Long] = inner.partitions
+}
+
 /** Broker-log emulation over plain files — the Kafka write path proved
   * end to end without a broker. The reference's async producer pins each
   * message to the partition chosen by hashing its PK dependency key and

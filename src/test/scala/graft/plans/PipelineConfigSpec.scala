@@ -68,6 +68,59 @@ class PipelineConfigSpec extends SparkSpec {
     assert(snap.read().select("id", "v").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
   }
 
+  test("one config document launches the whole pipeline: input -> filters -> routes -> sinks") {
+    val work = java.nio.file.Files.createTempDirectory("cfg-launch").toString
+    val q = PipelineConfig.launch(spark,
+      s"""{
+         |  "name": "whole-deployment",
+         |  "input": {"type": "cdc-rate", "max-seq": 500, "rows-per-batch": 100,
+         |            "num-keys": 25, "partitions": 2},
+         |  "filters": [
+         |    {"type": "accept", "match-schema": "db*"},
+         |    {"type": "expr", "column": "v", "sql": "upper(v)"}
+         |  ],
+         |  "routes": [{"match-schema": "db*", "target-schema": "snap", "target-table": "t"}],
+         |  "pk": ["id"],
+         |  "checkpoint": "$work/ckpt",
+         |  "output": {"type": "snapshot", "path": "$work/state", "buckets": 4,
+         |             "pk": ["tgt_table", "id"]}
+         |}""".stripMargin)
+    q.awaitTermination()
+    val state = new graft.sinks.SnapshotSink(spark, s"$work/state",
+      Seq("tgt_table", "id"), 4).read()
+    // generator contract: per key the max-seq row wins; final deletes absent
+    val expected = (0L until 500L).groupBy(_ % 25).flatMap { case (k, seqs) =>
+      val last = seqs.max
+      if (last % 10 == 9) None else Some(k -> s"V$last") // upper() applied
+    }
+    val got = state.select("id", "v").as[(Long, String)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("output config builds a kafka-file sink: v2.0 frame, per-key partition order") {
+    val dir = java.nio.file.Files.createTempDirectory("cfg-kafka").toString
+    val sink = PipelineConfig.parseSink(spark,
+      s"""{"type":"kafka-file","path":"$dir","partitions":2,"topic":"t-orders"}""",
+      Seq("id")).asInstanceOf[graft.sinks.KafkaFileBatchSink]
+    val env = Seq(
+      (1L, "insert", "db0", "orders", 1L, "a"),
+      (2L, "update", "db0", "orders", 1L, "a2"),
+      (3L, "insert", "db0", "orders", 2L, "b"))
+      .toDF("seq", "op", "database", "table", "id", "v")
+    sink.write(0L, env)
+    val lines = sink.partitions.flatMap(sink.partitionLog)
+    assert(lines.size == 3)
+    // 2.0.alpha envelope: typed data + pks objects
+    assert(lines.forall(l => l.contains("\"version\":\"2.0.alpha\"")
+      && l.contains("\"pks\":{\"id\":")))
+    // both changes of key 1 share a partition, in seq order
+    val k1 = sink.partitions.map(p =>
+      sink.partitionLog(p).filter(_.contains("\"id\":1}"))).filter(_.nonEmpty)
+    assert(k1.size == 1 && k1.head.size == 2)
+    assert(k1.head.head.contains("\"type\":\"insert\"")
+      && k1.head(1).contains("\"type\":\"update\""))
+  }
+
   test("output config builds a retry-wrapped jdbc sink that writes through Derby") {
     val url = "jdbc:derby:memory:cfg" +
       java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
