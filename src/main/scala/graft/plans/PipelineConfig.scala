@@ -36,15 +36,15 @@ object PipelineConfig {
 
   private val mapper = new ObjectMapper()
 
-  def parse(json: String): PipelinePlan = {
-    val root = mapper.readTree(json)
+  def parse(json: String): PipelinePlan = parsePlanNode(mapper.readTree(json))
+
+  private def parsePlanNode(root: JsonNode): PipelinePlan =
     PipelinePlan(
       name = req(root, "name").asText(),
       transforms = Option(root.get("filters")).map(parseFilters).getOrElse(Nil),
       router = Option(root.get("routes")).map(parseRoutes),
       pkCols = req(root, "pk").elements().asScala.map(_.asText()).toSeq,
       checkpoint = Option(root.get("checkpoint")).map(_.asText()).getOrElse(""))
-  }
 
   private def req(n: JsonNode, field: String): JsonNode = {
     val v = n.get(field)
@@ -104,8 +104,11 @@ object PipelineConfig {
     *           "max-files-per-trigger": 1}
     * }}}
     *
-    * file-changelog infers the schema from a batch read of the directory
-    * (the harness analogue of introspecting the source).
+    * file-changelog takes an explicit `"schema"` in StructType DDL form
+    * ("seq BIGINT, op STRING, ...") — the normal boot order is pipeline
+    * first, data later, so there may be nothing to infer from — and only
+    * falls back to inferring from a batch read when the schema is omitted
+    * AND the directory already has files.
     */
   def parseSource(spark: org.apache.spark.sql.SparkSession,
       json: String): org.apache.spark.sql.DataFrame =
@@ -115,16 +118,35 @@ object PipelineConfig {
       o: JsonNode): org.apache.spark.sql.DataFrame =
     req(o, "type").asText() match {
       case "cdc-rate" =>
-        spark.readStream.format("graft.sources.CdcRateSource")
-          .option("maxSeq", Option(o.get("max-seq")).map(_.asLong()).getOrElse(1000L))
-          .option("rowsPerBatch",
-            Option(o.get("rows-per-batch")).map(_.asLong()).getOrElse(100L))
-          .option("numKeys", Option(o.get("num-keys")).map(_.asLong()).getOrElse(10L))
-          .option("partitions", Option(o.get("partitions")).map(_.asInt()).getOrElse(2))
-          .load()
+        // only forward options present in the document — the source owns
+        // its defaults (CdcRateTable), a second copy here would drift
+        val keys = Seq("max-seq" -> "maxSeq", "rows-per-batch" -> "rowsPerBatch",
+          "num-keys" -> "numKeys", "partitions" -> "partitions")
+        keys.foldLeft(spark.readStream.format("graft.sources.CdcRateSource")) {
+          case (r, (k, opt)) =>
+            Option(o.get(k)).map(v => r.option(opt, v.asText())).getOrElse(r)
+        }.load()
       case "file-changelog" =>
         val path = req(o, "path").asText()
-        val schema = graft.sources.FileChangeLogSource.read(spark, path).schema
+        val schema = Option(o.get("schema"))
+          .map { s =>
+            // boot-before-data: with a declared schema the stream may
+            // start against a directory nothing has written to yet
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(p)) fs.mkdirs(p)
+            org.apache.spark.sql.types.StructType.fromDDL(s.asText())
+          }
+          .getOrElse {
+            try graft.sources.FileChangeLogSource.read(spark, path).schema
+            catch {
+              case e: Exception => throw new IllegalArgumentException(
+                "file-changelog: no \"schema\" configured and nothing to infer " +
+                  s"from at '$path' (empty/missing directory at boot) — declare " +
+                  "the schema in StructType DDL form, e.g. " +
+                  "\"seq BIGINT, op STRING, id BIGINT, v STRING\"", e)
+            }
+          }
         graft.sources.FileChangeLogSource.readStream(spark, path, schema,
           Option(o.get("max-files-per-trigger")).map(_.asInt()))
       case other => throw new IllegalArgumentException(s"unknown input type '$other'")
@@ -139,9 +161,16 @@ object PipelineConfig {
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val root = mapper.readTree(json)
-    val plan = parse(json)
+    val plan = parsePlanNode(root)
+    require(plan.checkpoint.nonEmpty,
+      "pipeline config: missing required field 'checkpoint' (launch needs a " +
+        "durable position store)")
     val source = parseSourceNode(spark, req(root, "input"))
-    val sink = parseSinks(spark, req(root, "output").toString, plan.pkCols)
+    val output = req(root, "output")
+    val sink =
+      if (!output.isArray) parseSinkNode(spark, output, plan.pkCols)
+      else new graft.streaming.CompositeSink(
+        output.elements().asScala.map(parseSinkNode(spark, _, plan.pkCols)).toSeq)
     graft.streaming.PipelineRunner.start(plan, source, sink, trigger)
   }
 
@@ -218,17 +247,23 @@ object PipelineConfig {
             graft.sinks.InternalTxnTagger(t.asText(),
               Option(o.get("pipeline-name")).map(_.asText()).getOrElse("graft"))))
       case "kafka-file" =>
+        // owns its "columns" as the wire payload selection — the generic
+        // ProjectingSink would strip database/table and silently downgrade
+        // the 2.0.alpha envelope to generic JSON
         new graft.sinks.KafkaFileBatchSink(
           req(o, "path").asText(),
           Option(o.get("partitions")).map(_.asInt()).getOrElse(4),
           Option(o.get("topic")).map(_.asText()),
-          pk)
+          pk,
+          payloadColumns = Option(o.get("columns")).map(strList))
       case other => throw new IllegalArgumentException(s"unknown output type '$other'")
     }
-    // "columns": output-side projection applied before the sink
+    // "columns": output-side projection applied before the sink (kafka-file
+    // consumed it above as payload selection)
     val projected = Option(o.get("columns")).map(strList) match {
-      case Some(cols) => new graft.streaming.ProjectingSink(base, cols)
-      case None => base
+      case Some(cols) if !base.isInstanceOf[graft.sinks.KafkaFileBatchSink] =>
+        new graft.streaming.ProjectingSink(base, cols)
+      case _ => base
     }
     Option(o.get("retries")).map(_.asInt()) match {
       case Some(r) => new graft.streaming.RetryingSink(projected, r,

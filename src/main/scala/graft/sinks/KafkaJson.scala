@@ -94,22 +94,31 @@ object KafkaJson {
   * deployment — the frame is identical.
   */
 final class KafkaFileBatchSink(dir: String, numPartitions: Int,
-    topic: Option[String], pkCols: Seq[String])
+    topic: Option[String], pkCols: Seq[String],
+    payloadColumns: Option[Seq[String]] = None)
     extends graft.streaming.BatchSink {
 
   private val inner = new FileKafkaSink(dir, numPartitions)
 
   def write(batchId: Long, compacted: DataFrame): Unit = {
-    val clean = compacted.drop("tgt_schema", "tgt_table", "tgt_topic", "tgt_index")
-    val envelope = Set("op", "seq", "database", "table", "type", "ddl_statement")
-    val payloadCols = clean.columns.filterNot(envelope).toSeq
-    val hasEnvelope = clean.columns.contains("database") && clean.columns.contains("table")
+    val cols = compacted.columns.toSet
+    val bookkeeping = Set("op", "seq", "database", "table", "type",
+      "ddl_statement", "tgt_schema", "tgt_table", "tgt_topic", "tgt_index")
+    val payloadCols = payloadColumns.getOrElse(
+      compacted.columns.filterNot(bookkeeping).toSeq)
+    // the 2.0.alpha envelope needs database/table/op; otherwise the value
+    // is the generic typed JSON of the payload
+    val hasEnvelope = cols("database") && cols("table") && cols("op")
     val value =
       if (hasEnvelope) KafkaJson.valueV20(payloadCols, pkCols)
-      else to_json(struct(clean.columns.map(col): _*))
+      else to_json(struct(payloadCols.map(col): _*))
+    // topic priority: configured literal > routed tgt_topic (the column
+    // Router.kafka exists to produce) > database.table > fixed fallback
     val topicCol = topic.map(lit).getOrElse(
-      if (hasEnvelope) concat_ws(".", col("database"), col("table")) else lit("graft"))
-    inner.write(batchId, KafkaJson.toKafkaFrame(clean, value, pkCols, topicCol))
+      if (cols("tgt_topic")) col("tgt_topic")
+      else if (hasEnvelope) concat_ws(".", col("database"), col("table"))
+      else lit("graft"))
+    inner.write(batchId, KafkaJson.toKafkaFrame(compacted, value, pkCols, topicCol))
   }
 
   def partitionLog(p: Long): Seq[String] = inner.partitionLog(p)
@@ -136,13 +145,18 @@ final class FileKafkaSink(dir: String, numPartitions: Int)
 
   def write(batchId: Long, kafkaFrame: DataFrame): Unit = {
     val (d, n) = (dir, numPartitions)
+    // seq orders a change stream's rows within the partition log; frames
+    // without one (snapshot-style batches) keep arrival order per part
+    val sortCols =
+      if (kafkaFrame.columns.contains("seq")) Seq(col("__part"), col("seq"))
+      else Seq(col("__part"))
     val prepared = kafkaFrame
       .withColumn("__part", pmod(xxhash64(col("key")), lit(n)))
       // one shuffle partition per broker partition; a hash collision can
       // co-locate two parts in one task — the sort keeps their runs
       // contiguous and the writer splits files on the part boundary
       .repartition(n, col("__part"))
-      .sortWithinPartitions(col("__part"), col("seq"))
+      .sortWithinPartitions(sortCols: _*)
       .select(col("__part"), col("value"))
     prepared.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       var cur = -1L

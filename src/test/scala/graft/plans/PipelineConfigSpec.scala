@@ -68,6 +68,18 @@ class PipelineConfigSpec extends SparkSpec {
     assert(snap.read().select("id", "v").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
   }
 
+  test("file-changelog input boots before data with an explicit schema; bare empty dir fails clearly") {
+    val dir = java.nio.file.Files.createTempDirectory("cfg-src").toString + "/log"
+    val src = PipelineConfig.parseSource(spark,
+      s"""{"type":"file-changelog","path":"$dir",
+         |"schema":"seq BIGINT, op STRING, id BIGINT, v STRING"}""".stripMargin)
+    assert(src.isStreaming)
+    assert(src.schema.fieldNames.toSeq == Seq("seq", "op", "id", "v"))
+    val e = intercept[IllegalArgumentException](PipelineConfig.parseSource(spark,
+      s"""{"type":"file-changelog","path":"${dir}-none"}"""))
+    assert(e.getMessage.contains("schema"))
+  }
+
   test("one config document launches the whole pipeline: input -> filters -> routes -> sinks") {
     val work = java.nio.file.Files.createTempDirectory("cfg-launch").toString
     val q = PipelineConfig.launch(spark,
