@@ -1,0 +1,138 @@
+package graft.analytics
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Fourth training-data battery: corpus operations a pretraining pipeline
+  * runs beyond dedup/quality — embedding quantization for ANN serving,
+  * URL-host dedup (the standard web-corpus dedup key), quality-weighted
+  * upsampling (data mixing), and benchmark-contamination probing (n-gram
+  * overlap against a held-out eval set).
+  *
+  * Scale shapes: quantization and host extraction are pure projections
+  * (no shuffle); upsampling is explode (row multiplication, no shuffle);
+  * contamination is an equi-join on the shingle string — at 100 TB the
+  * probe side (benchmark n-grams) is tiny and broadcasts, so the corpus
+  * side stays a single scan.
+  */
+object CorpusOpsQueries {
+
+  def all: Seq[CatalogQuery] = Seq(
+
+    // int8 symmetric quantization of embeddings (127/max|x| scale) — the
+    // standard compression step before ANN serving; round-half-up is
+    // expressed as floor(x*scale + 0.5) which both engines evaluate
+    // identically in IEEE double (plain round() differs between engines
+    // on .5 ties). Output stays scalar (comparator cannot sort arrays).
+    CatalogQuery("sim_embed_quantize_int8", (s, d) => {
+      val xd = transform(col("embedding"), x => x.cast("double"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), xd.as("xd"))
+        .withColumn("mx", array_max(transform(col("xd"), x => abs(x))))
+        .withColumn("scale",
+          when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
+        .withColumn("qv", transform(col("xd"),
+          x => floor(x * col("scale") + lit(0.5)).cast("long")))
+        .select(col("vec_id"), col("scale"),
+          element_at(col("qv"), 1).as("q1"),
+          element_at(col("qv"), 2).as("q2"),
+          element_at(col("qv"), 3).as("q3"),
+          element_at(col("qv"), 4).as("q4"),
+          aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x).as("qnorm"))
+    }, Some(
+      """WITH b AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS xd FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, xd,
+        |    list_max(list_transform(xd, x -> abs(x))) AS mx FROM b),
+        |sc AS (
+        |  SELECT vec_id, xd,
+        |    CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale FROM m),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(xd, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+        |  FROM sc)
+        |SELECT vec_id, scale, qv[1] AS q1, qv[2] AS q2, qv[3] AS q3, qv[4] AS q4,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm
+        |FROM q""".stripMargin)),
+
+    // URL-host dedup: extract the registrable host from each document's
+    // first URL and keep one document per host (min doc_id) — the
+    // coarsest and most common web-corpus dedup key. URLs are planted
+    // deterministically (37 distinct hosts over doc_id % 3 == 0 docs) so
+    // the grouping provably collapses.
+    CatalogQuery("ddp_url_host_dedup", (s, d) => {
+      val planted = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" see https://h"), (col("doc_id") % 37),
+          lit(".example.com/p/"), col("doc_id"))).otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), planted.as("raw"))
+        .filter(col("raw").contains("https://"))
+        .select(col("doc_id"),
+          regexp_extract(col("raw"), "https://([a-z0-9.]+)/", 1).as("host"))
+        .groupBy(col("host"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+    }, Some(
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' see https://h' || (doc_id % 37) || '.example.com/p/' || doc_id
+        |      ELSE text END AS raw
+        |  FROM documents)
+        |SELECT regexp_extract(raw, 'https://([a-z0-9.]+)/', 1) AS host,
+        |  min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM planted
+        |WHERE raw LIKE '%https://%'
+        |GROUP BY 1""".stripMargin)),
+
+    // quality-weighted upsampling (data mixing): repeat each document
+    // 1–3× by a deterministic weight — the explode(sequence) row
+    // multiplication every mixture-weighted training run needs. copy_idx
+    // keeps replicas distinguishable downstream.
+    CatalogQuery("mix_upsample_by_weight", (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          (lit(1) + col("n_chars") % 3).cast("int").as("weight"))
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1), col("weight"))).as("copy_idx"))
+        .select(col("doc_id"), col("lang"), col("copy_idx").cast("long").as("copy_idx")),
+      Some(
+        """SELECT doc_id, lang,
+          |  unnest(range(1, CAST(2 + n_chars % 3 AS BIGINT))) AS copy_idx
+          |FROM documents""".stripMargin)),
+
+    // benchmark-contamination probe: flag corpus documents sharing any
+    // 5-gram with a held-out "benchmark" slice (doc_id % 101 == 0 stands
+    // in for the eval set). The probe side is tiny ⇒ broadcasts at scale;
+    // the corpus side is one scan + explode, grouped on doc_id.
+    CatalogQuery("txt_contamination_probe", (s, d) => {
+      val toks = split(col("text"), " ")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .withColumn("sh", expr(
+          """transform(sequence(0, size(toks) - 5),
+            | i -> concat_ws(' ', slice(toks, CAST(i + 1 AS INT), 5)))""".stripMargin))
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .distinct()
+      val probes = base.filter(col("doc_id") % 101 === 0)
+        .select(col("s")).distinct()
+      base.join(broadcast(probes), "s")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("s")).as("n_hits"))
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |flat AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(0, len(t) - 4),
+        |      i -> array_to_string(t[i + 1:i + 5], ' '))) AS s
+        |  FROM toks),
+        |probes AS (
+        |  SELECT DISTINCT s FROM flat WHERE doc_id % 101 = 0)
+        |SELECT f.doc_id, count(DISTINCT f.s) AS n_hits
+        |FROM flat f JOIN probes USING (s)
+        |GROUP BY 1""".stripMargin))
+  )
+}
