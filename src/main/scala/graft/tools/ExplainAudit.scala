@@ -41,10 +41,22 @@ object ExplainAudit {
         }
     }.flatten.toSet
 
+  /** A join side whose optimized `maxRows` is provably ≤ 1 — a global
+    * aggregate (scalar threshold / max / average). Broadcasting such a
+    * side is correct at ANY scale regardless of which tables feed it:
+    * the aggregation reduces the fact scan to one row before the
+    * exchange. Catalyst derives maxRows structurally (Aggregate with no
+    * grouping keys → Some(1)), so this is a proof, not a size estimate.
+    */
+  private[graft] def scalarBounded(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p.maxRows.exists(_ <= 1L)
+
   /** Fact tables under an explicit BROADCAST hint in the optimized plan.
     * This looks at logical hints, not runtime BroadcastExchanges: an AQE
     * runtime broadcast is size-gated (safe — it degrades to shuffle at
-    * scale), while a hint forces the broadcast at any scale.
+    * scale), while a hint forces the broadcast at any scale. Sides that
+    * are scalar-bounded (1-row aggregates over a fact) are exempt.
     */
   private[graft] def forcedFactBroadcasts(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Set[String] = {
@@ -52,7 +64,8 @@ object ExplainAudit {
     plan.collect {
       case j: Join =>
         Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).collect {
-          case (Some(h), side) if h.strategy.contains(BROADCAST) =>
+          case (Some(h), side)
+              if h.strategy.contains(BROADCAST) && !scalarBounded(side) =>
             scannedTables(side).intersect(factTables)
         }.flatten
     }.flatten.toSet
@@ -74,7 +87,23 @@ object ExplainAudit {
       println(s"\n========== $n ==========")
       println(plan)
       val factBc = forcedFactBroadcasts(df.queryExecution.optimizedPlan)
-      val bnljOk = intentionalCrossProducts.contains(n)
+      // joins with a provable 1-row-aggregate side (scalar thresholds):
+      // their BNLJ is a single-row broadcast, not a blow-up. The filter
+      // may have been pushed into the join condition, so account by
+      // count: every physical BNLJ/cartesian must be covered by a
+      // scalar-bounded logical join.
+      val scalarJoins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if scalarBounded(j.left) || scalarBounded(j.right) => j
+      }.size
+      // count in the SIMPLE plan string with AQE's "Initial Plan" echo
+      // stripped (formatted explain lists nodes twice; AQE's toString
+      // repeats the tree as Current + Initial) — one count per operator
+      val currentOnly = simple.split("== Initial Plan ==")(0)
+      val bnljCount = "BroadcastNestedLoopJoin".r.findAllIn(currentOnly).size +
+        "CartesianProduct".r.findAllIn(currentOnly).size
+      val allScalarCross = bnljCount > 0 && bnljCount <= scalarJoins
+      val bnljOk = intentionalCrossProducts.contains(n) || allScalarCross
       val smells = Seq(
         "BroadcastNestedLoopJoin" ->
           (plan.contains("BroadcastNestedLoopJoin") && !bnljOk),
@@ -84,8 +113,12 @@ object ExplainAudit {
           (plan.contains("PushedFilters: []") && plan.contains("Filter (")),
         s"forced broadcast of fact table(s) ${factBc.mkString(",")}" -> factBc.nonEmpty
       ).collect { case (s, true) => s }
-      val note = if (bnljOk && plan.contains("BroadcastNestedLoopJoin"))
-        " (bounded-side cross product: documented intentional)" else ""
+      val note =
+        if (allScalarCross && plan.contains("BroadcastNestedLoopJoin"))
+          " (scalar-bounded cross: 1-row aggregate side)"
+        else if (bnljOk && plan.contains("BroadcastNestedLoopJoin"))
+          " (bounded-side cross product: documented intentional)"
+        else ""
       println(if (smells.isEmpty) s"[audit] $n: clean$note"
         else s"[audit] $n: SMELLS: ${smells.mkString(", ")}")
     }

@@ -103,6 +103,64 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(got == Set((1L, 5.0)))
   }
 
+  test("watermark drops late data: a row older than watermark-delay is not aggregated") {
+    // two batches: the first advances the watermark past 11:00 (max ts
+    // 12:30 - 1h delay => 11:30); the second's 10:05 row is late and must
+    // be DROPPED, not merged into the 10:00 window
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    // group on the window STRUCT (not .getField("start")) — the late-row
+    // filter attaches to the watermarked window key; a derived scalar key
+    // would not be recognized as the event-time column
+    val agg = mem.toDF.toDF("ts", "k")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"n")
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("late_drop").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((ts("2024-01-01 10:05:00"), "a"), (ts("2024-01-01 12:30:00"), "b"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:06:00"), "late")) // behind the 11:30 watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_drop")
+      .groupBy($"ws").agg(max($"n").as("n"))
+      .as[(Timestamp, Long)].collect().toMap
+    // the late row did NOT bump the 10:00 window's count
+    assert(got(ts("2024-01-01 10:00:00")) == 1L)
+    assert(got(ts("2024-01-01 12:00:00")) == 1L)
+  }
+
+  test("stream-stream LEFT OUTER join emits unmatched left rows after watermark passes") {
+    // left-outer stream join: matched rows emit immediately; unmatched
+    // left rows emit with nulls only once the watermark proves no match
+    // can still arrive — the state-bounded outer-join semantics
+    implicit val sc = spark.sqlContext
+    val signups = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val s = signups.toDF.toDF("s_ts", "user_id").withWatermark("s_ts", "1 hour")
+    val p = purchases.toDF.toDF("p_ts", "p_user", "value").withWatermark("p_ts", "1 hour")
+    val joined = s.join(p,
+      $"user_id" === $"p_user" &&
+        $"p_ts" >= $"s_ts" && $"p_ts" <= $"s_ts" + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select($"user_id", $"value")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_left_join").trigger(Trigger.ProcessingTime(0)).start()
+    signups.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+    purchases.addData((ts("2024-01-01 10:30:00"), 1L, 5.0))
+    q.processAllAvailable()
+    // advance both watermarks far past user 2's join window
+    signups.addData((ts("2024-01-01 15:00:00"), 9L))
+    purchases.addData((ts("2024-01-01 15:00:00"), 9L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_left_join").as[(Long, Option[Double])].collect().toSet
+    assert(got.contains((1L, Some(5.0)))) // matched inside the hour
+    assert(got.contains((2L, None)))      // emitted as unmatched after watermark
+  }
+
   test("streaming session_window over real events sample equals batch result") {
     // stream the sf0.001 events through a file stream and compare with the
     // batch session computation on the same data
