@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shapes: quantization and host extraction are pure projections
   * (no shuffle); upsampling is explode (row multiplication, no shuffle);
-  * contamination is an equi-join on the shingle string — at 100 TB the
-  * probe side (benchmark n-grams) is tiny and broadcasts, so the corpus
-  * side stays a single scan.
+  * contamination is an equi-join on the shingle string — the probe side
+  * here is a corpus fraction (scales with data), so the join is left to
+  * AQE rather than hint-forced; against a real fixed benchmark table the
+  * probe side is bounded and AQE broadcasts it on its own.
   */
 object CorpusOpsQueries {
 
@@ -103,10 +104,21 @@ object CorpusOpsQueries {
 
     // benchmark-contamination probe: flag corpus documents sharing any
     // 5-gram with a held-out "benchmark" slice (doc_id % 101 == 0 stands
-    // in for the eval set). The probe side is tiny ⇒ broadcasts at scale;
-    // the corpus side is one scan + explode, grouped on doc_id.
+    // in for the eval set). Probe documents are anti-joined OUT of the
+    // corpus side first — a probe trivially matches its own shingles, and
+    // counting those would dilute the overlap signal the query measures.
+    // No broadcast hint: the probe side here is a corpus FRACTION (grows
+    // linearly with data), so forcing a broadcast would OOM at scale; AQE
+    // size-gates the join, and a production run sourcing probes from a
+    // real fixed benchmark table stays broadcast-able by being bounded.
     CatalogQuery("txt_contamination_probe", (s, d) => {
-      val toks = split(col("text"), " ")
+      // plant a shared 5-word sentinel on the probe slice (%101) and a
+      // disjoint corpus slice (%103) so contamination deterministically
+      // exists to detect (organic 5-gram overlap is rare at small SF)
+      val planted = when(col("doc_id") % 101 === 0 || col("doc_id") % 103 === 0,
+        concat(col("text"), lit(" shared benchmark sentinel phrase alpha")))
+        .otherwise(col("text"))
+      val toks = split(planted, " ")
       val base = Tables.documents(s, d)
         .select(col("doc_id"), toks.as("toks"))
         .filter(size(col("toks")) >= 5)
@@ -117,12 +129,19 @@ object CorpusOpsQueries {
         .distinct()
       val probes = base.filter(col("doc_id") % 101 === 0)
         .select(col("s")).distinct()
-      base.join(broadcast(probes), "s")
+      base.filter(col("doc_id") % 101 =!= 0)
+        .join(probes, "s")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("s")).as("n_hits"))
     }, Some(
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 101 = 0 OR doc_id % 103 = 0
+        |      THEN text || ' shared benchmark sentinel phrase alpha'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM planted
         |  WHERE len(string_split(text, ' ')) >= 5),
         |flat AS (
         |  SELECT DISTINCT doc_id,
@@ -133,6 +152,7 @@ object CorpusOpsQueries {
         |  SELECT DISTINCT s FROM flat WHERE doc_id % 101 = 0)
         |SELECT f.doc_id, count(DISTINCT f.s) AS n_hits
         |FROM flat f JOIN probes USING (s)
+        |WHERE f.doc_id % 101 <> 0
         |GROUP BY 1""".stripMargin))
   )
 }

@@ -311,9 +311,9 @@ object TpchFullQueries {
     // q20 shape: dominant suppliers of a name-filtered part family (>1/8
     // of a part's shipped volume — with ~100 suppliers per part an even
     // spread is ~1%, so 12.5% marks concentration) — two aggregations over
-    // the same filtered join, compared decimal-exact, semi-joined to
-    // supplier
-    CatalogQuery("q20_half_volume_suppliers", (s, d) => {
+    // the same filtered join, compared decimal-exact; the inner join to
+    // supplier both restricts to existing suppliers and fetches s_name
+    CatalogQuery("q20_dominant_volume_suppliers", (s, d) => {
       val redLi = Tables.lineitem(s, d)
         .join(Tables.part(s, d).filter(col("p_name").startsWith("red")),
           col("l_partkey") === col("p_partkey"))
@@ -324,7 +324,6 @@ object TpchFullQueries {
         .agg(sum(dec(col("l_quantity"))).as("part_qty"))
       perSupp.join(perPart, col("l_partkey") === col("tp_partkey"))
         .filter(col("supp_qty") * 8 > col("part_qty"))
-        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"), "left_semi")
         .select(col("l_suppkey").as("s_suppkey")).distinct()
         .join(Tables.supplier(s, d), Seq("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"))

@@ -14,20 +14,24 @@ import graft.core.Engine
 object ExplainAudit {
 
   /** Tables whose size scales with the data — a *forced* broadcast of any
-    * of these is an OOM at 100x even when it happens to fit today.
+    * of these is an OOM at 100x even when it happens to fit today. The
+    * corpus tables (documents/embeddings/events) scale exactly like the
+    * TPC-H facts; the scalarBounded exemption keeps 1-row aggregates over
+    * them from false-positive flagging.
     */
   private[graft] val factTables =
-    Set("lineitem", "orders", "part", "customer", "supplier")
+    Set("lineitem", "orders", "part", "customer", "supplier",
+      "documents", "embeddings", "events")
 
   /** Queries whose cross product is the algorithm, with a bounded small
-    * side: the brute-force baseline (labeled as such), the IVF centroid
-    * scorer (C=16 by config), the CROSS JOIN semantics entry (region 5 ×
-    * priorities 5), and the recall report (two 1-row aggregates joined).
-    * None grows with the corpus.
+    * side the auditor cannot PROVE bounded: the brute-force baseline
+    * (labeled small-N baseline) and the CROSS JOIN semantics entry
+    * (region 5 × priorities 5). The IVF centroid scorer and the recall
+    * report used to live here too — both now reduce their small side to a
+    * provable 1-row aggregate, so the structural bound covers them.
     */
   private val intentionalCrossProducts =
-    Set("sim_cosine_topk_bruteforce", "sim_ivf_ann_topk",
-      "join_cross_region_priority", "sim_lsh_recall")
+    Set("sim_cosine_topk_bruteforce", "join_cross_region_priority")
 
   /** Parquet table names scanned anywhere under a logical subtree. */
   private def scannedTables(
@@ -51,6 +55,75 @@ object ExplainAudit {
   private[graft] def scalarBounded(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
     p.maxRows.exists(_ <= 1L)
+
+  /** Walk a physical plan crossing AQE node boundaries: AdaptiveSparkPlanExec
+    * and QueryStageExec are leaf-like (their subtree hangs off a field, not
+    * `children`), so a plain `plan.collect` stops at them.
+    */
+  private[graft] def collectPhysical[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case other                    => other.children
+    }
+    pf.lift(p).toSeq ++ kids.flatMap(collectPhysical(_)(pf))
+  }
+
+  /** A physical join side that provably produces ≤ 1 row: unwrap the
+    * row-count-preserving spine (exchanges, stages, codegen wrappers,
+    * project/filter/sort — none of these can GROW the row count) and check
+    * whether it bottoms out at a global aggregate (no grouping keys → one
+    * row). This ties the proof to the NODE's own input, unlike a
+    * plan-global count of scalar joins, so a genuine fact×fact cartesian
+    * elsewhere in the same plan cannot hide behind it.
+    */
+  private[graft] def boundedPhysicalSide(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.{FilterExec, InputAdapter, ProjectExec, SortExec, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    @annotation.tailrec
+    def spine(x: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan =
+      x match {
+        case a: AdaptiveSparkPlanExec  => spine(a.executedPlan)
+        case q: QueryStageExec         => spine(q.plan)
+        case r: ReusedExchangeExec     => spine(r.child)
+        case e: Exchange               => spine(e.child)
+        case w: WholeStageCodegenExec  => spine(w.child)
+        case i: InputAdapter           => spine(i.child)
+        case pr: ProjectExec           => spine(pr.child)
+        case f: FilterExec             => spine(f.child)
+        case s: SortExec               => spine(s.child)
+        case other                     => other
+      }
+    spine(p) match {
+      // a global aggregate (final or complete mode included — partial-only
+      // would still be ≤ numPartitions rows, so require empty grouping
+      // which makes every mode collapse to one row after the final step;
+      // the spine above the final agg is what the join actually reads)
+      case agg: BaseAggregateExec => agg.groupingExpressions.isEmpty
+      case _                      => false
+    }
+  }
+
+  /** BNLJ/cartesian nodes in the executed plan where NEITHER side is
+    * provably 1-row-bounded — each physical node is judged on its own
+    * children (structural), not covered by a count of scalar joins
+    * elsewhere in the plan.
+    */
+  private[graft] def unexplainedCrossJoins(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    collectPhysical(p) {
+      case j: BroadcastNestedLoopJoinExec => (j.nodeName, Seq(j.left, j.right))
+      case j: CartesianProductExec        => (j.nodeName, Seq(j.left, j.right))
+    }.collect { case (name, sides) if !sides.exists(boundedPhysicalSide) => name }
+  }
 
   /** Fact tables under an explicit BROADCAST hint in the optimized plan.
     * This looks at logical hints, not runtime BroadcastExchanges: an AQE
@@ -87,36 +160,29 @@ object ExplainAudit {
       println(s"\n========== $n ==========")
       println(plan)
       val factBc = forcedFactBroadcasts(df.queryExecution.optimizedPlan)
-      // joins with a provable 1-row-aggregate side (scalar thresholds):
-      // their BNLJ is a single-row broadcast, not a blow-up. The filter
-      // may have been pushed into the join condition, so account by
-      // count: every physical BNLJ/cartesian must be covered by a
-      // scalar-bounded logical join.
-      val scalarJoins = df.queryExecution.optimizedPlan.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join
-            if scalarBounded(j.left) || scalarBounded(j.right) => j
-      }.size
-      // count in the SIMPLE plan string with AQE's "Initial Plan" echo
-      // stripped (formatted explain lists nodes twice; AQE's toString
-      // repeats the tree as Current + Initial) — one count per operator
-      val currentOnly = simple.split("== Initial Plan ==")(0)
-      val bnljCount = "BroadcastNestedLoopJoin".r.findAllIn(currentOnly).size +
-        "CartesianProduct".r.findAllIn(currentOnly).size
-      val allScalarCross = bnljCount > 0 && bnljCount <= scalarJoins
-      val bnljOk = intentionalCrossProducts.contains(n) || allScalarCross
+      // each physical BNLJ/cartesian is judged on its OWN sides: allowed
+      // only if one side is a provable 1-row aggregate, or the query is on
+      // the documented bounded-side allowlist. A scalar-bounded join
+      // elsewhere in the plan cannot cover an unrelated fact×fact cross.
+      val crossNodes = collectPhysical(df.queryExecution.executedPlan) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j.nodeName
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec        => j.nodeName
+      }
+      val badCross =
+        if (intentionalCrossProducts.contains(n)) Seq.empty
+        else unexplainedCrossJoins(df.queryExecution.executedPlan)
       val smells = Seq(
-        "BroadcastNestedLoopJoin" ->
-          (plan.contains("BroadcastNestedLoopJoin") && !bnljOk),
-        "CartesianProduct" -> (plan.contains("CartesianProduct") && !bnljOk),
+        s"unbounded cross join(s) ${badCross.mkString(",")}" -> badCross.nonEmpty,
         "no WholeStageCodegen" -> !simple.contains("*("),
         "scan without pushed filters" ->
           (plan.contains("PushedFilters: []") && plan.contains("Filter (")),
         s"forced broadcast of fact table(s) ${factBc.mkString(",")}" -> factBc.nonEmpty
       ).collect { case (s, true) => s }
       val note =
-        if (allScalarCross && plan.contains("BroadcastNestedLoopJoin"))
+        if (crossNodes.nonEmpty && badCross.isEmpty &&
+            !intentionalCrossProducts.contains(n))
           " (scalar-bounded cross: 1-row aggregate side)"
-        else if (bnljOk && plan.contains("BroadcastNestedLoopJoin"))
+        else if (crossNodes.nonEmpty && intentionalCrossProducts.contains(n))
           " (bounded-side cross product: documented intentional)"
         else ""
       println(if (smells.isEmpty) s"[audit] $n: clean$note"

@@ -36,6 +36,37 @@ class ExplainAuditSpec extends SparkSpec {
       .contains("lineitem"))
   }
 
+  test("unexplainedCrossJoins flags a fact×fact cartesian") {
+    val li = Tables.lineitem(spark, sf0001).select(col("l_orderkey"))
+    val o = Tables.orders(spark, sf0001).select(col("o_orderkey"))
+    val bad = o.crossJoin(li)
+    assert(ExplainAudit.unexplainedCrossJoins(bad.queryExecution.executedPlan).nonEmpty)
+  }
+
+  test("unexplainedCrossJoins passes a scalar-threshold cross") {
+    val li = Tables.lineitem(spark, sf0001)
+    val o = Tables.orders(spark, sf0001)
+    val thresh = li.agg(max(col("l_extendedprice")).as("mx"))
+    val ok = o.crossJoin(thresh).filter(col("o_totalprice") > col("mx"))
+    assert(ExplainAudit.unexplainedCrossJoins(ok.queryExecution.executedPlan).isEmpty)
+  }
+
+  test("a scalar-bounded equi-join elsewhere cannot cover a separate fact cross") {
+    // the count-based blind spot: a scalar-bounded join that compiles to a
+    // hash join "paid for" an unrelated cartesian under bnljCount <= scalarJoins
+    val li = Tables.lineitem(spark, sf0001).select(col("l_orderkey"))
+    val o = Tables.orders(spark, sf0001)
+    val thresh = li.agg(max(col("l_orderkey")).as("mx"))
+    val mixed = o.join(broadcast(thresh), col("o_orderkey") === col("mx"))
+      .crossJoin(li.as("li2"))
+    assert(ExplainAudit.unexplainedCrossJoins(mixed.queryExecution.executedPlan).nonEmpty)
+  }
+
+  test("factTables covers the corpus tables") {
+    assert(Set("documents", "embeddings", "events")
+      .subsetOf(ExplainAudit.factTables))
+  }
+
   test("no catalog query forces a fact-table broadcast") {
     graft.analytics.Catalog.all.foreach { q =>
       val plan = q.spark(spark, sf0001).queryExecution.optimizedPlan
