@@ -1,0 +1,336 @@
+package graft.analytics
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fifth training-data battery: the batch-prep operators that turn a
+  * cleaned corpus into a training run's actual input — sequence packing
+  * into fixed token budgets, leakage-safe train/val splitting (split at
+  * dedup-cluster granularity so a duplicate can never straddle the
+  * boundary), deterministic seeded shuffling, mixture reweighting
+  * (sample-proportional-to-size^alpha), a corpus bigram language model
+  * scoring per-document predictability (the classic boilerplate /
+  * gibberish filter), per-label embedding centroid outlier detection,
+  * and an ordered event funnel.
+  *
+  * Scale shapes, in order: packing is a windowed prefix sum PARTITIONED
+  * BY SHARD (the md5 shard key bounds every window partition to 1/K of
+  * the corpus — never a global single-partition sort); the split and the
+  * shuffle are pure projections on md5 keys; mixture weights aggregate to
+  * one row per source (bounded by the source vocabulary, not the corpus);
+  * the bigram LM's count tables are bounded by vocabulary squared, so at
+  * 100 TB they stay broadcast-sized while the corpus side is one linear
+  * scan (no hint — AQE size-gates); centroids are an explode → groupBy
+  * (label, dim) linear shuffle, and the centroid table (labels × dims) is
+  * again vocabulary-bounded; the funnel is three conditional min-
+  * aggregations over the same scan, joined per user on the grouping key.
+  *
+  * Cross-engine determinism: every output column is integer, string, or
+  * an integer-scaled ratio (`x * 10^9 div y` — exact integer division on
+  * both engines); the only doubles are IEEE-exact operations (division,
+  * sqrt, exact-midpoint percentile interpolation) rounded once at the
+  * end, the same discipline as the rest of the catalog.
+  */
+object PrepQueries {
+
+  /** Same synthetic-dup view as TrainingQueries: every 10th doc unioned
+    * back under id + 1_000_000 so dedup-shaped ops have real duplicates.
+    */
+  private def docsPlus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+  }
+
+  private val duckDocsPlus =
+    """SELECT * FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  def all: Seq[CatalogQuery] = Seq(
+
+    // ---- sequence packing ------------------------------------------------
+    // Pack documents into fixed 2048-token training sequences: shuffle
+    // order comes from a seeded md5 key, the key's first hex digit picks
+    // one of 8 independent packing shards, and within a shard a document
+    // lands in bin floor(tokens-before-it / budget) — the standard
+    // contiguous-fill approximation of first-fit (exactly reproducible,
+    // no sequential bin state). The window prefix sum is PER SHARD, so no
+    // single ordered partition ever sees more than 1/8 of the corpus; at
+    // real scale K shards = K × executor parallelism.
+    CatalogQuery("prep_pack_sequences", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          md5(concat(lit("pack|"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("shard",
+          ((expr("instr('0123456789abcdef', substr(k, 1, 1))") - 1) % 8)
+            .cast("long"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("bin", expr("cum_before div 2048"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+        |    md5('pack|' || doc_id::VARCHAR) AS k
+        |  FROM documents),
+        |sh AS (
+        |  SELECT *, ((strpos('0123456789abcdef', substring(k, 1, 1)) - 1) % 8)::BIGINT AS shard
+        |  FROM t),
+        |c AS (
+        |  SELECT shard, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+        |  FROM sh)
+        |SELECT shard, cum_before // 2048 AS bin,
+        |  count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin)),
+
+    // ---- leakage-safe split ---------------------------------------------
+    // Train/val split decided PER DEDUP CLUSTER (md5(text)), not per row:
+    // exact duplicates always land on the same side, so the val set can
+    // never leak training text. Runs over the dup-augmented view so the
+    // property is exercised (n_docs > n_clusters on both sides). The
+    // split hash is seeded independently of the cluster key (md5 of
+    // 'split|' + cluster) — re-seeding reshuffles the split without
+    // touching cluster identity. 13/16 ≈ 81% train.
+    CatalogQuery("smp_cluster_safe_split", (s, d) =>
+      docsPlus(s, d)
+        .withColumn("cluster", md5(col("text")))
+        .withColumn("split",
+          when(expr("instr('0123456789abcdef', substr(md5(concat('split|', cluster)), 1, 1)) - 1") < 13,
+            lit("train")).otherwise(lit("val")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters")),
+      Some(
+        s"""WITH dp AS ($duckDocsPlus),
+           |cl AS (
+           |  SELECT CASE WHEN strpos('0123456789abcdef',
+           |      substring(md5('split|' || md5(text)), 1, 1)) - 1 < 13
+           |    THEN 'train' ELSE 'val' END AS split,
+           |    md5(text) AS cluster
+           |  FROM dp)
+           |SELECT split, count(*)::BIGINT AS n_docs,
+           |  count(DISTINCT cluster)::BIGINT AS n_clusters
+           |FROM cl GROUP BY 1""".stripMargin)),
+
+    // ---- deterministic seeded shuffle -----------------------------------
+    // Global training order as a pure function of (seed, doc_id): shard =
+    // first hex digit of the keyed md5 mod 16, position = rank within the
+    // shard by the same key. Changing the seed string reshuffles
+    // everything; same seed replays the identical order on any cluster
+    // size (the property that makes a training run resumable). Checked on
+    // the first 3 positions of every shard.
+    CatalogQuery("smp_deterministic_shuffle", (s, d) => {
+      val keyed = Tables.documents(s, d)
+        .withColumn("k", md5(concat(lit("shuf7|"), col("doc_id").cast("string"))))
+        .withColumn("shard",
+          ((expr("instr('0123456789abcdef', substr(k, 1, 1))") - 1) % 16)
+            .cast("long"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+      keyed.withColumn("pos", row_number().over(w).cast("long"))
+        .filter(col("pos") <= 3)
+        .select(col("shard"), col("pos"), col("doc_id"))
+    }, Some(
+      """WITH keyed AS (
+        |  SELECT doc_id, md5('shuf7|' || doc_id::VARCHAR) AS k FROM documents),
+        |sh AS (
+        |  SELECT doc_id, k,
+        |    ((strpos('0123456789abcdef', substring(k, 1, 1)) - 1) % 16)::BIGINT AS shard
+        |  FROM keyed)
+        |SELECT shard, pos, doc_id FROM (
+        |  SELECT shard, doc_id,
+        |    row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)::BIGINT AS pos
+        |  FROM sh) t
+        |WHERE pos <= 3""".stripMargin)),
+
+    // ---- mixture reweighting (size^alpha) -------------------------------
+    // Per-source sampling weights proportional to token_count^0.5 — the
+    // standard alpha-smoothed mixture that keeps big web crawls from
+    // drowning small high-quality sources. sqrt is IEEE-exact, each term
+    // is rounded once into a decimal, the denominator is an exact decimal
+    // sum, and only the final normalized ratio is a (deterministic IEEE)
+    // double division, rounded once.
+    CatalogQuery("mix_source_alpha_weights", (s, d) => {
+      val bySrc = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("pw", round(sqrt(col("n_tokens")), 6).cast("decimal(28,6)"))
+      bySrc
+        .withColumn("den", sum(col("pw")).over(Window.partitionBy()))
+        .withColumn("weight",
+          round(col("pw").cast("double") / col("den").cast("double"), 6))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"))
+    }, Some(
+      """WITH bysrc AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |pwt AS (
+        |  SELECT *, round(sqrt(n_tokens), 6)::DECIMAL(28,6) AS pw FROM bysrc)
+        |SELECT source, n_docs, n_tokens,
+        |  round(pw::DOUBLE / (sum(pw) OVER ())::DOUBLE, 6) AS weight
+        |FROM pwt""".stripMargin)),
+
+    // ---- corpus bigram LM scoring ---------------------------------------
+    // Train a bigram model ON the corpus, score each document's average
+    // next-token predictability under it: boilerplate scores high,
+    // gibberish low — the cheap statistical cousin of perplexity
+    // filtering. All arithmetic is integer: each bigram's conditional
+    // probability is scaled to parts-per-1e9 by exact integer division,
+    // and the per-doc average divides once more — no transcendental
+    // functions, so both engines agree to the last bit. The count tables
+    // are bounded by vocabulary^2 (not corpus size), so at scale they
+    // broadcast while the corpus side stays one linear scan.
+    CatalogQuery("txt_bigram_predictability", (s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            | i -> struct(element_at(toks, CAST(i AS INT)) AS a,
+            |             element_at(toks, CAST(i + 1 AS INT)) AS b))""".stripMargin))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      val cntAb = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt_ab"))
+      val cntA = bg.groupBy(col("a")).agg(count(lit(1)).as("cnt_a"))
+      bg.join(cntAb, Seq("a", "b")).join(cntA, Seq("a"))
+        .withColumn("p_e9", expr("cnt_ab * 1000000000L div cnt_a"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_e9) div count(1)").as("avg_p_e9"))
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS a, t[i + 1] AS b
+        |  FROM toks CROSS JOIN LATERAL (
+        |    SELECT unnest(range(1, len(t))) AS i) u),
+        |cnt_ab AS (SELECT a, b, count(*)::BIGINT AS cnt_ab FROM bg GROUP BY 1, 2),
+        |cnt_a AS (SELECT a, count(*)::BIGINT AS cnt_a FROM bg GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  (sum((cnt_ab * 1000000000) // cnt_a) // count(*))::BIGINT AS avg_p_e9
+        |FROM bg JOIN cnt_ab USING (a, b) JOIN cnt_a USING (a)
+        |GROUP BY 1""".stripMargin)),
+
+    // ---- embedding centroid outliers ------------------------------------
+    // Per-label robust centroid (per-dimension exact median — midpoint
+    // interpolation of two floats is IEEE-exact in double, so both
+    // engines produce the identical centroid) and the top-3 vectors
+    // farthest from their label's centroid by squared L2 — the standard
+    // label-noise / outlier sweep before contrastive training. The
+    // explode → groupBy (label, dim) shuffle is linear in data; the
+    // centroid table is labels × dims (vocabulary-bounded, broadcasts).
+    CatalogQuery("emb_label_centroid_outliers", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val med = e
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos").as("dim"),
+          col("col").cast("double").as("v"))
+        .groupBy(col("label"), col("dim"))
+        .agg(expr("percentile(v, 0.5D)").as("m"))
+      val cent = med.groupBy(col("label"))
+        .agg(collect_list(struct(col("dim"), col("m"))).as("dm"))
+        .select(col("label"),
+          expr("transform(array_sort(dm), x -> x.m)").as("cv"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("dist2").desc, col("vec_id"))
+      e.join(cent, Seq("label"))
+        .withColumn("dist2", expr(
+          """aggregate(zip_with(embedding, cv,
+            |  (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+            |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("label"), col("rank"), col("vec_id"),
+          round(col("dist2"), 4).as("dist2"))
+    }, Some(
+      """WITH ex AS (
+        |  SELECT label, dim, embedding[dim + 1]::DOUBLE AS v
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) u),
+        |med AS (
+        |  SELECT label, dim, quantile_cont(v, 0.5) AS m
+        |  FROM ex GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT label, list(m ORDER BY dim) AS cv FROM med GROUP BY 1),
+        |scored AS (
+        |  SELECT e.label, e.vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (e.embedding[i]::DOUBLE - c.cv[i]) * (e.embedding[i]::DOUBLE - c.cv[i]))) AS d2
+        |  FROM embeddings e JOIN cent c ON e.label = c.label)
+        |SELECT label, rank, vec_id, round(d2, 4) AS dist2 FROM (
+        |  SELECT label, vec_id, d2,
+        |    row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id)::BIGINT AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3""".stripMargin)),
+
+    // ---- ordered event funnel -------------------------------------------
+    // view → click → purchase, each step strictly after the previous
+    // one's FIRST occurrence and within a 24-hour conversion window
+    // (without a window the funnel saturates — every active user
+    // eventually does everything): three conditional min-aggregations
+    // over the same events scan, joined on user_id (the grouping key, so
+    // the joins co-partition), counted by deepest stage reached. The
+    // canonical product-analytics funnel as a batch operator.
+    CatalogQuery("evt_funnel_stages", (s, d) => {
+      val ev = Tables.events(s, d)
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      ev.select(col("user_id")).distinct()
+        .join(t1.select(col("user_id"), lit(1).as("s1")), Seq("user_id"), "left")
+        .join(t2.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left")
+        .join(t3.select(col("user_id"), lit(1).as("s3")), Seq("user_id"), "left")
+        .withColumn("stage",
+          (coalesce(col("s1"), lit(0)) + coalesce(col("s2"), lit(0)) +
+            coalesce(col("s3"), lit(0))).cast("long"))
+        .groupBy(col("stage"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }, Some(
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+        |    AND e.ts <= t1.t1 + INTERVAL 24 HOUR
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+        |    AND e.ts <= t2.t2 + INTERVAL 24 HOUR
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |st AS (
+        |  SELECT u.user_id,
+        |    (CASE WHEN t1.user_id IS NULL THEN 0 ELSE 1 END +
+        |     CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END +
+        |     CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS stage
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  LEFT JOIN t1 ON u.user_id = t1.user_id
+        |  LEFT JOIN t2 ON u.user_id = t2.user_id
+        |  LEFT JOIN t3 ON u.user_id = t3.user_id)
+        |SELECT stage, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM st GROUP BY 1""".stripMargin))
+  )
+}
