@@ -276,7 +276,7 @@ object TrainingQueries {
       cand
         .join(vecs.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
         .join(vecs.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
-        .withColumn("cos_sim", expr(Similarity.cosineSpark("ea", "eb")))
+        .withColumn("cos_sim", GraftFunctions.cosine_sim(col("ea"), col("eb")))
         .filter(col("cos_sim") >= 0.99)
         .select(col("va"), col("vb"), round(col("cos_sim"), 4).as("cos_sim"))
     }, Some(
@@ -298,7 +298,7 @@ object TrainingQueries {
       // side on its own, and a production run draws queries from a bounded
       // query set. The BNLJ itself is the documented brute-force baseline.
       e.join(q, col("query_id") =!= col("vec_id"))
-        .withColumn("cos_raw", expr(Similarity.cosineSpark("qv", "embedding")))
+        .withColumn("cos_raw", GraftFunctions.cosine_sim(col("qv"), col("embedding")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -339,7 +339,7 @@ object TrainingQueries {
         .join(vecs, "vec_id")
       val w = Window.partitionBy(col("query_id")).orderBy(col("cos_raw").desc, col("vec_id"))
       candidates
-        .withColumn("cos_raw", expr(Similarity.cosineSpark("qv", "embedding")))
+        .withColumn("cos_raw", GraftFunctions.cosine_sim(col("qv"), col("embedding")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -385,7 +385,7 @@ object TrainingQueries {
         .select(col("vec_id"), col("embedding"), explode(col("cs")).as("c"))
         .select(col("vec_id"), col("embedding"),
           col("c.cell").as("cell"), col("c.cv").as("cv"))
-        .withColumn("cos_c", expr(Similarity.cosineSpark("embedding", "cv")))
+        .withColumn("cos_c", GraftFunctions.cosine_sim(col("embedding"), col("cv")))
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos_c").desc, col("cell"))
       val assigned = scored
@@ -398,7 +398,7 @@ object TrainingQueries {
         .orderBy(col("cos_raw").desc, col("vec_id"))
       assigned.join(qcells, Seq("cell"))
         .filter(col("query_id") =!= col("vec_id"))
-        .withColumn("cos_raw", expr(Similarity.cosineSpark("qv", "embedding")))
+        .withColumn("cos_raw", GraftFunctions.cosine_sim(col("qv"), col("embedding")))
         .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank").cast("long").as("rank"),

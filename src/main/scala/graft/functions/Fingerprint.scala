@@ -72,6 +72,10 @@ object GraftFunctions {
   def minhash_hex(c: Column, k: Int): Column =
     GraftShims.column(MinHashHex(GraftShims.expression(c), k))
 
+  /** Fused-loop cosine similarity of two vectors (see CosineSim). */
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftShims.column(CosineSim(GraftShims.expression(a), GraftShims.expression(b)))
+
   /** Register SQL names so `expr("rolling_hash(text)")` /
     * `expr("lsh_buckets(v, 8, 4)")` work too.
     */
@@ -84,6 +88,8 @@ object GraftFunctions {
       "simhash32", exprs => SimHash32(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_hex", exprs => minhashHexFromExprs(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
   }
 
   private[graft] def minhashHexFromExprs(

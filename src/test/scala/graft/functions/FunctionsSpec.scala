@@ -61,6 +61,27 @@ class FunctionsSpec extends SparkSpec {
     assert(native.forall(_.forall(b => b >= 0 && b < 16)))
   }
 
+  test("native cosine_sim is bit-identical to the zip_with/aggregate HOF twin") {
+    val rnd = new scala.util.Random(42)
+    val df = (1 to 50).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("id", "a", "b")
+    val native = df.select($"id", GraftFunctions.cosine_sim($"a", $"b").as("c"))
+      .as[(Long, Double)].collect().toMap
+    val hof = df.select($"id", expr(Similarity.cosineSpark("a", "b")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    // exact equality on the raw doubles — same fold order, same IEEE ops
+    assert(native == hof)
+  }
+
+  test("cosine_sim handles double arrays and mixed float/double sides") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0, 2.0, 3.0))).toDF("f", "d")
+    val c = df.select(GraftFunctions.cosine_sim($"f", $"d").as("c")).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-15)
+    val cd = df.select(GraftFunctions.cosine_sim($"d", $"d").as("c")).as[Double].head()
+    assert(cd == 1.0)
+  }
+
   test("lsh_buckets registers for SQL with literal args") {
     GraftFunctions.register(spark)
     val n = spark.sql(
