@@ -30,8 +30,13 @@ object ExplainAudit {
     * report used to live here too — both now reduce their small side to a
     * provable 1-row aggregate, so the structural bound covers them.
     */
-  private val intentionalCrossProducts =
-    Set("sim_cosine_topk_bruteforce", "join_cross_region_priority")
+  private[graft] val intentionalCrossProducts =
+    Set("sim_cosine_topk_bruteforce", "join_cross_region_priority",
+      // embeds the brute-force baseline as its ground truth (twice: once
+      // for the truth count, once for the hit semi-join), so its plan
+      // carries that query's documented non-equi BNLJ; its OWN final
+      // cross is two 1-row aggregates and needs no exemption
+      "sim_lsh_recall")
 
   /** Parquet table names scanned anywhere under a logical subtree. */
   private def scannedTables(

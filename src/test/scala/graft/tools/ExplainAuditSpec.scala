@@ -74,4 +74,14 @@ class ExplainAuditSpec extends SparkSpec {
       assert(bc.isEmpty, s"${q.name} forces broadcast of $bc")
     }
   }
+
+  test("no catalog query has an unexplained cross join outside the allowlist") {
+    graft.analytics.Catalog.all
+      .filterNot(q => ExplainAudit.intentionalCrossProducts.contains(q.name))
+      .foreach { q =>
+        val bad = ExplainAudit.unexplainedCrossJoins(
+          q.spark(spark, sf0001).queryExecution.executedPlan)
+        assert(bad.isEmpty, s"${q.name} has unexplained cross join(s): $bad")
+      }
+  }
 }
