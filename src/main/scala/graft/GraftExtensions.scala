@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{GraftFunctions, HyperplaneLshBuckets, MinHashHex, RollingHash, SimHash32}
+import graft.functions.{CosineSim, GraftFunctions, HyperplaneLshBuckets, MinHashHex, RollingHash, SimHash32}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_hex"),
       new ExpressionInfo(classOf[MinHashHex].getName, "minhash_hex"),
       (children: Seq[Expression]) => GraftFunctions.minhashHexFromExprs(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSim(children.head, children(1))))
   }
 }

@@ -276,6 +276,75 @@ object PrepQueries {
         |  FROM scored) t
         |WHERE rank <= 3""".stripMargin)),
 
+    // ---- BPE merge candidates -------------------------------------------
+    // The first step of byte-pair-encoding tokenizer training: count
+    // adjacent character pairs across the corpus (weighted by word
+    // frequency) and rank the top merge candidates. The expensive
+    // aggregation collapses to the DISTINCT WORD vocabulary first —
+    // vocabulary-bounded, not corpus-bounded, so at 100 TB the pair
+    // explosion runs over a small table while the corpus contributes only
+    // a word-count groupBy (one linear shuffle).
+    CatalogQuery("txt_bpe_merge_candidates", (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      val pairs = words
+        .select(col("wc"), explode(expr(
+          """transform(sequence(1, length(w) - 1),
+            | i -> substr(w, CAST(i AS INT), 2))""".stripMargin)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      val w = Window.orderBy(col("n").desc, col("pair"))
+      pairs.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("pair"), col("n"))
+    }, Some(
+      """WITH words AS (
+        |  SELECT w, count(*)::BIGINT AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE len(w) >= 2 GROUP BY 1),
+        |pairs AS (
+        |  SELECT substring(w, i, 2) AS pair, sum(wc)::BIGINT AS n
+        |  FROM words CROSS JOIN LATERAL (
+        |    SELECT unnest(range(1, len(w))) AS i) u
+        |  GROUP BY 1)
+        |SELECT rank, pair, n FROM (
+        |  SELECT pair, n,
+        |    row_number() OVER (ORDER BY n DESC, pair)::BIGINT AS rank
+        |  FROM pairs) t
+        |WHERE rank <= 20""".stripMargin)),
+
+    // ---- length curriculum staging --------------------------------------
+    // Curriculum learning's simplest schedule: short documents first.
+    // Documents are ranked by token count (doc_id tiebreak) and cut into
+    // 4 equal stages with ntile; per-stage doc and token totals verify
+    // the staging. SCALE NOTE: a global window ntile runs in ONE ordered
+    // partition in Spark — fine here, but the 100 TB path computes the
+    // 3 stage BOUNDARIES first (exact percentiles over (n_tok, doc_id) —
+    // a distributed aggregate) and assigns stages by range comparison;
+    // the window form is kept because the oracle requires ntile's exact
+    // equal-count tie handling and the aggregated output (4 rows) is
+    // identical either way.
+    CatalogQuery("prep_length_curriculum", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val w = Window.orderBy(col("n_tok"), col("doc_id"))
+      docs.withColumn("stage", ntile(4).over(w).cast("long"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents),
+        |st AS (
+        |  SELECT n_tok, ntile(4) OVER (ORDER BY n_tok, doc_id)::BIGINT AS stage
+        |  FROM t)
+        |SELECT stage, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+        |  min(n_tok) AS min_tok, max(n_tok) AS max_tok
+        |FROM st GROUP BY 1""".stripMargin)),
+
     // ---- ordered event funnel -------------------------------------------
     // view → click → purchase, each step strictly after the previous
     // one's FIRST occurrence and within a 24-hour conversion window
