@@ -114,6 +114,28 @@ object StreamingQueries {
         |   WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts) AS signup_ts
         |FROM events e WHERE e.event_type = 'error'""".stripMargin)),
 
+    // Same as-of semantics through the NATIVE operator (custom
+    // LogicalPlan + Strategy + co-partitioned sort-merge SparkPlan,
+    // graft.plans.AsOfJoin): one hash shuffle per side, no window state,
+    // O(1) merge memory per partition — the point-in-time lookup shape
+    // that survives 100 TB. Gated against the identical oracle as the
+    // carry-forward formulation above.
+    CatalogQuery("evt_asof_native", (s, d) => {
+      val errors = Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+      val signups = Tables.events(s, d) // fresh scan: distinct attr ids
+        .filter(col("event_type") === "signup")
+        .select(col("user_id").as("su_user"), col("ts").as("signup_ts"))
+      graft.plans.AsOf.join(errors, signups,
+        Seq("user_id"), Seq("su_user"), "ts", "signup_ts")
+        .select(col("error_id"), col("user_id"), col("signup_ts"))
+    }, Some(
+      """SELECT e.event_id AS error_id, e.user_id,
+        |  (SELECT max(s.ts) FROM events s
+        |   WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts) AS signup_ts
+        |FROM events e WHERE e.event_type = 'error'""".stripMargin)),
+
     // ---- pivot ------------------------------------------------------------
     CatalogQuery("evt_pivot_type_counts", (s, d) =>
       Tables.events(s, d)
