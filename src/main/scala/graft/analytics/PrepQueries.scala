@@ -183,6 +183,56 @@ object PrepQueries {
         |  round(pw::DOUBLE / (sum(pw) OVER ())::DOUBLE, 6) AS weight
         |FROM pwt""".stripMargin)),
 
+    // ---- token budget apportionment -------------------------------------
+    // Turn the alpha-smoothed mixture into an INTEGER per-source token
+    // budget that sums exactly to the global budget (1M here): the
+    // largest-remainder method. sqrt weights are scaled to integers with
+    // the engine-neutral floor(x*s + 0.5) half-up, then base share =
+    // B*pw div den, and the B - sum(base) leftover tokens go to the
+    // largest remainders (source-name tiebreak). Everything after the
+    // one sqrt is integer div/mod — bit-exact on both engines. At real
+    // budgets (1e12+ tokens) the B*pw product needs DECIMAL(38,0)
+    // accumulators; the shape is unchanged.
+    CatalogQuery("mix_token_budget_apportion", (s, d) => {
+      val budget = 1000000L
+      val bySrc = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("pw",
+          floor(sqrt(col("n_tokens")) * 1000000d + 0.5d).cast("long"))
+      val w = Window.partitionBy()
+      val based = bySrc
+        .withColumn("den", sum(col("pw")).over(w))
+        .withColumn("base", expr(s"$budget * pw div den"))
+        .withColumn("rem", expr(s"($budget * pw) % den"))
+      based
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+        .withColumn("leftover", lit(budget) - sum(col("base")).over(w))
+        .select(col("source"), col("n_tokens"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("alloc_tokens"))
+    }, Some(
+      """WITH bysrc AS (
+        |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |pwt AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(sqrt(n_tokens) * 1000000 + 0.5) AS BIGINT) AS pw
+        |  FROM bysrc),
+        |tot AS (SELECT *, (sum(pw) OVER ())::BIGINT AS den FROM pwt),
+        |based AS (
+        |  SELECT source, n_tokens, pw, den,
+        |    (1000000 * pw) // den AS base, (1000000 * pw) % den AS rem
+        |  FROM tot),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source)::BIGINT AS rk,
+        |    (1000000 - sum(base) OVER ())::BIGINT AS leftover
+        |  FROM based)
+        |SELECT source, n_tokens,
+        |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc_tokens
+        |FROM ranked""".stripMargin)),
+
     // ---- corpus bigram LM scoring ---------------------------------------
     // Train a bigram model ON the corpus, score each document's average
     // next-token predictability under it: boilerplate scores high,

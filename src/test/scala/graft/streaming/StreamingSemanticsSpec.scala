@@ -76,6 +76,69 @@ class StreamingSemanticsSpec extends SparkSpec {
       Set((1L, 2L), (2L, 1L)))
   }
 
+  test("flatMapGroupsWithState funnel matches the batch evt_funnel_stages result") {
+    // the streaming formulation of PrepQueries.evt_funnel_stages: a
+    // per-user state machine (first view, then first click within 24h,
+    // then first purchase within 24h) advanced incrementally across
+    // micro-batches; the final per-stage user counts must equal the
+    // batch query's on the same real events sample
+    implicit val sc = spark.sqlContext
+    val dayUs = 24L * 3600 * 1000000
+    val mem = MemoryStream[(Long, String, Long)] // user, type, epoch-micros
+    val staged = mem.toDS
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Option[Long], Option[Long], Option[Long]), (Long, Int)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[(Option[Long], Option[Long], Option[Long])]) =>
+          var (t1, t2, t3) = state.getOption
+            .getOrElse((Option.empty[Long], Option.empty[Long], Option.empty[Long]))
+          // events arrive in-order per user here; a production deployment
+          // sorts within the micro-batch and bounds lateness by watermark
+          rows.toSeq.sortBy(_._3).foreach { case (_, typ, t) =>
+            if (typ == "view" && t1.isEmpty) t1 = Some(t)
+            else if (typ == "click" && t2.isEmpty &&
+              t1.exists(a => t > a && t <= a + dayUs)) t2 = Some(t)
+            else if (typ == "purchase" && t3.isEmpty &&
+              t2.exists(a => t > a && t <= a + dayUs)) t3 = Some(t)
+          }
+          state.update((t1, t2, t3))
+          Iterator((user, Seq(t1, t2, t3).count(_.isDefined)))
+      }
+    // feed the real sf0.001 events in two ts-ordered batches
+    val evs = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        col("event_type"), unix_micros(col("ts").cast("timestamp")))
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val q = staged.toDF("user_id", "stage").writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_state").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    // last update per user = final stage reached
+    val finalStages = spark.table("funnel_state")
+      .groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+      .groupBy(col("stage")).agg(countDistinct(col("user_id")).as("n_users"))
+      .as[(Long, Long)].collect().toMap
+    // batch truth, restricted to users with at least one of the 3 events
+    // (streaming state only exists for observed users; the batch query
+    // also counts users whose events are all other types as stage 0)
+    val batch = graft.analytics.Catalog.queries("evt_funnel_stages")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val observedUsers = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(countDistinct(col("user_id"))).as[Long].head()
+    val allUsers = Tables.events(spark, sf0001)
+      .select(countDistinct(col("user_id"))).as[Long].head()
+    val batchAdj = batch.updated(0L,
+      batch.getOrElse(0L, 0L) - (allUsers - observedUsers))
+      .filter(_._2 > 0)
+    assert(finalStages.filter(_._2 > 0) == batchAdj)
+  }
+
   test("stream-stream interval join with watermarks (signup -> purchase within 1h)") {
     // the streaming formulation of evt_interval_join: both sides
     // watermarked, join condition = equi-key + event-time range, so state
