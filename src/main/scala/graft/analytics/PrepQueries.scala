@@ -61,8 +61,10 @@ object PrepQueries {
     // lands in bin floor(tokens-before-it / budget) — the standard
     // contiguous-fill approximation of first-fit (exactly reproducible,
     // no sequential bin state). The window prefix sum is PER SHARD, so no
-    // single ordered partition ever sees more than 1/8 of the corpus; at
-    // real scale K shards = K × executor parallelism.
+    // single ordered partition ever sees more than 1/K of the corpus.
+    // K = 8 here so the oracle stays small; it is pure config — a
+    // production run sets K to a multiple of the executor count so each
+    // packer partition stays at a bounded fraction of the data.
     CatalogQuery("prep_pack_sequences", (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
@@ -283,6 +285,11 @@ object PrepQueries {
     // label-noise / outlier sweep before contrastive training. The
     // explode → groupBy (label, dim) shuffle is linear in data; the
     // centroid table is labels × dims (vocabulary-bounded, broadcasts).
+    // SCALE NOTE: exact percentile buffers each (label, dim) group's
+    // values (N/labels doubles) on one executor — fine into the billions
+    // of rows, but the 100 TB path swaps in approx_percentile (mergeable
+    // sketch, constant memory) or a fixed-point search; exact median is
+    // kept here because the cross-engine oracle needs bit-equality.
     CatalogQuery("emb_label_centroid_outliers", (s, d) => {
       val e = Tables.embeddings(s, d)
       val med = e
