@@ -96,6 +96,34 @@ object StreamingQueries {
          |  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS
          |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- keyless time-range join via band bucketing ----------------------
+    // "views within ±30 min of each error, across ALL users" has no equi
+    // key, so a naive join is a cartesian (BNLJ). The standard OSS range-
+    // join rewrite: bucket time into 1 h bands, explode each probe row to
+    // its (at most 2) candidate bands, equi-join on the band, then apply
+    // the exact predicate. Shuffles on the band key; per-band fan-out is
+    // bounded by events-per-hour (data rate), never by corpus size.
+    CatalogQuery("evt_banded_time_range_join", (s, d) => {
+      val ue = unix_micros(col("ts").cast("timestamp"))
+      val errors = Tables.events(s, d).filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), ue.as("t"))
+        .select(col("error_id"), col("t"), explode(array_distinct(array(
+          expr("(t - 1800000000L) div 3600000000L"),
+          expr("(t + 1800000000L) div 3600000000L")))).as("bucket"))
+      val views = Tables.events(s, d).filter(col("event_type") === "view")
+        .select(ue.as("vt"))
+        .withColumn("bucket", expr("vt div 3600000000L"))
+      errors.join(views, Seq("bucket"))
+        .filter(abs(col("vt") - col("t")) <= 1800000000L)
+        .groupBy(col("error_id"))
+        .agg(count(lit(1)).as("n_views"))
+    }, Some(
+      """SELECT e.event_id AS error_id, count(*)::BIGINT AS n_views
+        |FROM events e JOIN events v
+        |  ON e.event_type = 'error' AND v.event_type = 'view'
+        |  AND abs(epoch_us(v.ts) - epoch_us(e.ts)) <= 1800000000
+        |GROUP BY 1""".stripMargin)),
+
     // ---- as-of join: latest signup at/before each error ------------------
     // Spark-side: union-and-carry-forward (one shuffle+sort, no NL join) —
     // the scalable as-of formulation
