@@ -97,6 +97,89 @@ object PrepQueries {
         |  count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
         |FROM c GROUP BY 1, 2""".stripMargin)),
 
+    // ---- capstone: CDC-replicated corpus → training batch ----------------
+    // The whole engine in one entry: a documents CHANGE LOG (inserts +
+    // duplicate-copy inserts + text revisions + deletes) is LWW-compacted
+    // per key (the CDC scheduler semantics), exact-deduped keep-first,
+    // length-gated, and packed into 2048-token shard/bin sequences — CDC
+    // replication feeding the training-batch prep as one dataflow, gated
+    // by one CTE-chain oracle. Every stage keeps the scale shape of its
+    // standalone entry (hash shuffles on doc_id / md5(text) / shard).
+    CatalogQuery("cdc_corpus_training_batch", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val log = docs
+        .select((col("doc_id") * 10).as("seq"), lit("insert").as("op"),
+          col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") * 10).as("seq"), lit("insert").as("op"),
+            (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") * 10 + 1).as("seq"), lit("update").as("op"),
+            col("doc_id"), concat(col("text"), lit(" updated revision")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") * 10 + 2).as("seq"), lit("delete").as("op"),
+            col("doc_id"), col("text")))
+      val wLww = Window.partitionBy(col("doc_id")).orderBy(col("seq").desc)
+      val live = log.withColumn("rn", row_number().over(wLww))
+        .filter(col("rn") === 1 && col("op") =!= "delete")
+        .select(col("doc_id"), col("text"))
+      val wDedup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = live.withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1)
+      val gated = deduped
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          md5(concat(lit("pack|"), col("doc_id").cast("string"))).as("k"))
+        .filter(col("n_tok") >= 5)
+        .withColumn("shard",
+          ((expr("instr('0123456789abcdef', substr(k, 1, 1))") - 1) % 8)
+            .cast("long"))
+      val wPack = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      gated
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(wPack), lit(0L)))
+        .withColumn("bin", expr("cum_before div 2048"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    }, Some(
+      """WITH log AS (
+        |  SELECT doc_id*10 AS seq, 'insert' AS op, doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id*10, 'insert', doc_id + 1000000, text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id*10+1, 'update', doc_id, text || ' updated revision'
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id*10+2, 'delete', doc_id, text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |live AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |    FROM log) t
+        |  WHERE rn = 1 AND op <> 'delete'),
+        |deduped AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM live) t
+        |  WHERE rn = 1),
+        |gated AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+        |    md5('pack|' || doc_id::VARCHAR) AS k
+        |  FROM deduped
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (
+        |  SELECT *, ((strpos('0123456789abcdef', substring(k, 1, 1)) - 1) % 8)::BIGINT AS shard
+        |  FROM gated),
+        |c AS (
+        |  SELECT shard, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+        |  FROM sh)
+        |SELECT shard, cum_before // 2048 AS bin,
+        |  count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin)),
+
     // ---- leakage-safe split ---------------------------------------------
     // Train/val split decided PER DEDUP CLUSTER (md5(text)), not per row:
     // exact duplicates always land on the same side, so the val set can
