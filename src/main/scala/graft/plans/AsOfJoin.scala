@@ -100,7 +100,15 @@ case class AsOfJoinExec(
         .createNaturalAscendingOrdering(keyTypes)
       val timeOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
         .createNaturalAscendingOrdering(Seq(timeType))
-      val resultProj = UnsafeProjection.create(leftOut ++ rightOut, leftOut ++ rightOut)
+      // bind by position over the joined (left ++ right) layout, but take
+      // nullability from the JOIN's output: every right column is nullable
+      // here even when the child attribute is not, or the projection would
+      // skip null checks and read the null-padding row as zeros
+      val resultProj = UnsafeProjection.create(
+        (leftOut ++ rightOut).zipWithIndex.map { case (a, i) =>
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            i, a.dataType, nullable = i >= leftOut.size || a.nullable)
+        })
       val nullRight = new GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
 

@@ -62,6 +62,25 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, 10L, None)))       // no right key at all
   }
 
+  test("randomized: native as-of equals brute-force max-at-or-before on 500 rows") {
+    val rnd = new scala.util.Random(20260812)
+    val lRows = Seq.fill(500)((rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
+    val rRows = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
+      .distinct.map { case (k, t) => (k, t, s"v$k-$t") }
+    val left = lRows.toDF("k", "t")
+    val right = rRows.toDF("rk", "rt", "v")
+    val got = AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("k"), col("t"), col("rt")).as[(Long, Long, Option[Long])]
+      .collect().sorted.toSeq
+    // brute force on the driver: newest right at-or-before, else None
+    val byKey = rRows.groupBy(_._1)
+    val want = lRows.map { case (k, t) =>
+      val m = byKey.getOrElse(k, Nil).filter(_._2 <= t)
+      (k, t, if (m.isEmpty) None else Some(m.map(_._2).max))
+    }.sorted
+    assert(got == want)
+  }
+
   test("multiple keys per partition do not bleed held state across keys") {
     // single shuffle partition forces every key through ONE merge pass
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
