@@ -180,6 +180,50 @@ object PrepQueries {
         |  count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
         |FROM c GROUP BY 1, 2""".stripMargin)),
 
+    // ---- training-batch manifest checksums ------------------------------
+    // The reproducibility artifact for a packed batch: per (shard, bin),
+    // an md5 over the ORDERED doc-id list. Re-running the pipeline on any
+    // cluster size must reproduce these exactly (the whole point of the
+    // deterministic shuffle + packing); a checksum mismatch pinpoints the
+    // first divergent bin. Aggregation state is one bin's doc list —
+    // bounded by the token budget, never the corpus.
+    CatalogQuery("prep_bin_manifest_checksums", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          md5(concat(lit("pack|"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("shard",
+          ((expr("instr('0123456789abcdef', substr(k, 1, 1))") - 1) % 8)
+            .cast("long"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("bin", expr("cum_before div 2048"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          collect_list(struct(col("k"), col("doc_id"))).as("members"))
+        .select(col("shard"), col("bin"), col("n_docs"),
+          md5(array_join(
+            expr("transform(array_sort(members), x -> CAST(x.doc_id AS STRING))"),
+            ",")).as("manifest_md5"))
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+        |    md5('pack|' || doc_id::VARCHAR) AS k
+        |  FROM documents),
+        |sh AS (
+        |  SELECT *, ((strpos('0123456789abcdef', substring(k, 1, 1)) - 1) % 8)::BIGINT AS shard
+        |  FROM t),
+        |c AS (
+        |  SELECT shard, doc_id, k, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+        |  FROM sh)
+        |SELECT shard, cum_before // 2048 AS bin, count(*)::BIGINT AS n_docs,
+        |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY k, doc_id)) AS manifest_md5
+        |FROM c GROUP BY 1, 2""".stripMargin)),
+
     // ---- leakage-safe split ---------------------------------------------
     // Train/val split decided PER DEDUP CLUSTER (md5(text)), not per row:
     // exact duplicates always land on the same side, so the val set can

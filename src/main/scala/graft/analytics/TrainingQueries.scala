@@ -287,6 +287,84 @@ object TrainingQueries {
          |  FROM ep a JOIN ep b ON a.label = b.label AND a.vec_id < b.vec_id) t
          |WHERE cos_sim >= 0.99""".stripMargin)),
 
+    // ---- dedup-threshold calibration sweep -------------------------------
+    // Band the LSH candidate pairs by cosine (<0.90 / 0.90 / 0.95 /
+    // 0.99+) in one pass — the measurement that picks the semantic-dedup
+    // threshold before a production run. Unlike ddp_embed_cosine_pairs
+    // (whose 0.99 threshold is lossless over the candidates), the sweep
+    // REPORTS ON the candidate set itself, so the oracle reproduces the
+    // same 8×4-bit bucket join in SQL rather than enumerating all pairs.
+    CatalogQuery("ddp_cosine_threshold_sweep", (s, d) => {
+      val e = embPlus(s, d).repartition(s.sessionState.conf.numShufflePartitions)
+      val b = e.withColumn("buckets", GraftFunctions.lsh_buckets(col("embedding"), 8, 4))
+        .select(col("vec_id"), col("label"), posexplode(col("buckets")))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      val cand = b.as("a").join(b.as("b"),
+          col("a.label") === col("b.label") && col("a.tbl") === col("b.tbl") &&
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .distinct()
+      val vecs = e.select(col("vec_id"), col("embedding"))
+      cand
+        .join(vecs.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+        .join(vecs.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+        .withColumn("cos_sim", GraftFunctions.cosine_sim(col("ea"), col("eb")))
+        .withColumn("band",
+          when(col("cos_sim") >= 0.99, "0.99+")
+            .when(col("cos_sim") >= 0.95, "0.95")
+            .when(col("cos_sim") >= 0.90, "0.90")
+            .otherwise("<0.90"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }, Some(
+      s"""WITH ep AS ($duckEmbPlus),
+         |b AS (
+         |  SELECT vec_id, label, embedding, t.tbl,
+         |    ${Similarity.lshBucketDuckOffset("embedding", 4, 64, "t.tbl * 4")} AS bucket
+         |  FROM ep CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl) t),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM b a JOIN b b ON a.label = b.label AND a.tbl = b.tbl
+         |    AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (
+         |  SELECT ${Similarity.cosineDuck("ea.embedding", "eb.embedding", 64)} AS cos_sim
+         |  FROM cand JOIN ep ea ON cand.va = ea.vec_id
+         |            JOIN ep eb ON cand.vb = eb.vec_id)
+         |SELECT CASE WHEN cos_sim >= 0.99 THEN '0.99+'
+         |            WHEN cos_sim >= 0.95 THEN '0.95'
+         |            WHEN cos_sim >= 0.90 THEN '0.90'
+         |            ELSE '<0.90' END AS band,
+         |  count(*)::BIGINT AS n_pairs
+         |FROM sc GROUP BY 1""".stripMargin)),
+
+    // ---- per-source quality gate (groupwise median filter) ---------------
+    // Keep documents at or above their SOURCE's median token count — the
+    // groupwise-relative quality filter (an absolute cutoff over mixed
+    // sources just deletes the short-form sources). Exact median per
+    // source (midpoint interpolation of two ints is IEEE-exact); at
+    // 100 TB the median table is source-vocabulary-bounded and the gate
+    // is one broadcast-joined scan.
+    CatalogQuery("txt_per_source_quality_gate", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val med = docs.groupBy(col("source"))
+        .agg(expr("percentile(n_tok, 0.5D)").as("med_tok"))
+      docs.join(med, Seq("source"))
+        .groupBy(col("source"), col("med_tok"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_tok") >= col("med_tok"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"), col("med_tok"))
+    }, Some(
+      """WITH t AS (
+        |  SELECT source, len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+        |med AS (
+        |  SELECT source, quantile_cont(n_tok, 0.5) AS med_tok FROM t GROUP BY 1)
+        |SELECT t.source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN t.n_tok >= med.med_tok THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  med.med_tok
+        |FROM t JOIN med ON t.source = med.source
+        |GROUP BY t.source, med.med_tok""".stripMargin)),
+
     // ---- similarity search: brute-force baseline -------------------------
     CatalogQuery("sim_cosine_topk_bruteforce", (s, d) => {
       val e = Tables.embeddings(s, d)
