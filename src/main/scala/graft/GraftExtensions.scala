@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, GraftFunctions, HyperplaneLshBuckets, MinHashHex, RollingHash, SimHash32}
+import graft.functions.{CosineSim, GraftFunctions, HyperplaneLshBuckets, MinHashHex, NormalizeText, RollingHash, SimHash32}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -37,5 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (children: Seq[Expression]) => NormalizeText(children.head)))
   }
 }

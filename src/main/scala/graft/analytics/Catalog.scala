@@ -18,7 +18,8 @@ object Catalog {
   def all: Seq[CatalogQuery] =
     CoreQueries.all ++ TpchQueries.all ++ TpchFullQueries.all ++
       CdcQueries.all ++ TrainingQueries.all ++ CorpusOpsQueries.all ++
-      PrepQueries.all ++ StreamingQueries.all ++ PipelineE2E.all
+      PrepQueries.all ++ StreamingQueries.all ++ PipelineE2E.all ++
+      IndexQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.spark).toMap

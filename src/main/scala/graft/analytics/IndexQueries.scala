@@ -1,0 +1,338 @@
+package graft.analytics
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fifth battery: corpus indexing and distribution diagnostics — the ops a
+  * pretraining pipeline runs AFTER dedup/quality to organize and inspect
+  * the corpus: TF-IDF term salience, an inverted shingle index (the
+  * retrieval building block for contamination audits and near-dup
+  * tracing), time-series gap-fill for metric streams, fixed-point
+  * PageRank over an entity co-occurrence graph (document/source authority
+  * weighting), mergeable-sketch distinct counting (the 100 TB cardinality
+  * primitive), key-skew profiling (the pre-flight for choosing salting /
+  * AQE levers), and unicode normalization (native codegen expression).
+  *
+  * Determinism notes (shared with the rest of the catalog): every double
+  * is produced by exactly-rounded IEEE ops (+,-,*,/) applied in the same
+  * shape by Spark and DuckDB — no transcendental functions cross the
+  * comparator (TF-IDF uses reciprocal-df weighting instead of log-idf;
+  * PageRank runs in scaled integer arithmetic), so hashes are bit-stable.
+  */
+object IndexQueries {
+
+  def all: Seq[CatalogQuery] = Seq(
+
+    // TF-IDF top term per document. tf = cnt/len; "idf" = N/df
+    // (reciprocal-df: rank-equivalent to log-idf for top-1-per-doc,
+    // and — unlike log — bit-identical across engines' libm). At scale:
+    // two shuffles (doc-term agg, term df agg) + a broadcast-able 1-row
+    // N; the df side is vocabulary-sized (sublinear in corpus), so AQE
+    // broadcasts it on its own.
+    CatalogQuery("txt_tfidf_top_terms", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val tf = docs
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+          explode(col("toks")).as("term"))
+        .groupBy("doc_id", "n_tok", "term").agg(count(lit(1)).as("cnt"))
+      val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfr, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("cnt").cast("double") / col("n_tok")) *
+            (col("n_docs").cast("double") / col("df")))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"), col("score"))
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tf AS (
+        |  SELECT doc_id, n_tok, term, count(*) AS cnt FROM (
+        |    SELECT doc_id, len(t)::BIGINT AS n_tok, unnest(t) AS term FROM toks)
+        |  GROUP BY 1, 2, 3),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    (CAST(cnt AS DOUBLE) / n_tok) * (CAST(n_docs AS DOUBLE) / df) AS score
+        |  FROM tf JOIN dfr USING (term) CROSS JOIN n)
+        |SELECT doc_id, term AS top_term, score FROM (
+        |  SELECT doc_id, term, score, row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored) r
+        |WHERE rn = 1""".stripMargin)),
+
+    // Inverted index over 3-word shingles (df >= 2): the retrieval
+    // structure behind contamination audits and near-dup tracing.
+    // Scale-honest two-pass shape: the stats pass never materializes
+    // posting lists (pure count/min/max partial aggregation); the
+    // collect_set pass runs ONLY on shingles whose df is already known
+    // <= 8, so no per-key state exceeds 8 entries — at 100 TB the
+    // unbounded-df heavy hitters (stopword shingles) never reach the
+    // list-building aggregation.
+    CatalogQuery("txt_inverted_index_shingles", (s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("s", explode(expr(
+          """transform(sequence(0, size(toks) - 3),
+            | i -> concat_ws(' ', slice(toks, CAST(i + 1 AS INT), 3)))"""
+            .stripMargin)))
+        .select(col("doc_id"), col("s"))
+      val stats = sh.groupBy("s").agg(
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tot"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+        .filter(col("df") >= 2)
+      val posts = sh.join(stats.filter(col("df") <= 8).select("s"), "s")
+        .groupBy("s")
+        .agg(array_join(sort_array(collect_set(col("doc_id"))), ",")
+          .as("postings"))
+      stats.join(posts, Seq("s"), "left")
+        .select(col("s").as("shingle"), col("df"), col("tot"),
+          col("min_doc"), col("max_doc"), col("postings"))
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |flat AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(t) - 2),
+        |    i -> array_to_string(t[i + 1:i + 3], ' '))) AS s
+        |  FROM toks),
+        |stats AS (
+        |  SELECT s, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS tot,
+        |    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |  FROM flat GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |posts AS (
+        |  SELECT s, array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+        |  FROM flat WHERE s IN (SELECT s FROM stats WHERE df <= 8)
+        |  GROUP BY 1)
+        |SELECT stats.s AS shingle, df, tot, min_doc, max_doc, postings
+        |FROM stats LEFT JOIN posts USING (s)""".stripMargin)),
+
+    // Hourly gap-fill + linear interpolation of a per-user metric stream
+    // (the time-series repair op before feeding metrics to training).
+    // Spine = sequence(min hour, max hour) per user (explode: row
+    // generation, no shuffle beyond the span agg); fill = two windows
+    // over (user, hour) — at scale this partitions by user exactly like
+    // any sessionization, no global sort. Interpolation arithmetic is
+    // pv + (nv-pv)*frac with frac a ratio of second-diffs — exactly
+    // the same IEEE shape on both engines.
+    CatalogQuery("evt_gapfill_linear_interpolation", (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id") < 30)
+        .withColumn("h", date_trunc("hour", col("ts")))
+      val known = ev.groupBy("user_id", "h").agg(Q.davg(col("value")).as("v"))
+      val spine = known.groupBy("user_id")
+        .agg(min("h").as("mn"), max("h").as("mx"))
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR")))
+            .as("h"))
+      val wAsc = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDesc = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(known, Seq("user_id", "h"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wAsc))
+        .withColumn("ph",
+          last(when(col("v").isNotNull, col("h")), ignoreNulls = true)
+            .over(wAsc))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wDesc))
+        .withColumn("nh",
+          first(when(col("v").isNotNull, col("h")), ignoreNulls = true)
+            .over(wDesc))
+        .select(col("user_id"),
+          // sequence() promotes NTZ to session-tz TIMESTAMP; fold back to
+          // the naive wall time every other entry emits
+          col("h").cast("timestamp_ntz").as("h"),
+          col("v").isNotNull.as("observed"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("nv").isNull, col("pv"))
+            .when(col("pv").isNull, col("nv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((unix_timestamp(col("h")) - unix_timestamp(col("ph")))
+                .cast("double") /
+               (unix_timestamp(col("nh")) - unix_timestamp(col("ph")))
+                .cast("double")))
+            .as("v_filled"))
+    }, Some(
+      s"""WITH ev AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, value FROM events
+        |  WHERE event_type = 'purchase' AND user_id < 30),
+        |known AS (
+        |  SELECT user_id, h, ${Q.oAvg("value")} AS v FROM ev GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM known GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        |  FROM span),
+        |j AS (
+        |  SELECT s.user_id, s.h, k.v FROM spine s
+        |  LEFT JOIN known k ON k.user_id = s.user_id AND k.h = s.h),
+        |f AS (
+        |  SELECT user_id, h, v,
+        |    last_value(v IGNORE NULLS) OVER wA AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wA AS ph,
+        |    first_value(v IGNORE NULLS) OVER wD AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wD AS nh
+        |  FROM j
+        |  WINDOW wA AS (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wD AS (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, h, v IS NOT NULL AS observed,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN nv IS NULL THEN pv
+        |       WHEN pv IS NULL THEN nv
+        |       ELSE pv + (nv - pv) *
+        |         (CAST(date_diff('second', ph, h) AS DOUBLE) /
+        |          CAST(date_diff('second', ph, nh) AS DOUBLE))
+        |  END AS v_filled
+        |FROM f""".stripMargin)),
+
+    // Fixed-point PageRank (3 iterations, damping 0.85) over the
+    // customer–supplier co-occurrence graph, undirected so no dangling
+    // mass. Ranks are scaled integers (SCALE = 1e6) and every step is
+    // integer div/mul/sum — deterministic across engines AND across
+    // Spark's unordered partial aggregation (a double PageRank's sum
+    // order would break hash equality). Per iteration: one join
+    // (edges × ranks, both partitioned by the join key) + one
+    // aggregation — the textbook distributed PR shape; 100 TB scaling
+    // is bounded by the edge shuffle, which AQE handles like any
+    // fact-fact join.
+    CatalogQuery("gph_pagerank_fixed_point", (s, d) => {
+      val co = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      val edges = co.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(co.select(col("b").as("src"), col("a").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      var state = deg.select(col("src").as("v"), col("deg"),
+        lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val sums = edges.join(state, edges("src") === state("v"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("sc"))
+        state = state.join(sums, state("v") === sums("dst"), "left")
+          .select(col("v"), col("deg"),
+            (lit(150000L) +
+              expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("r"))
+      }
+      state.select(col("v").as("node"), col("deg"), col("r").as("rank_fp"))
+    }, Some(
+      """WITH co AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT a AS src, b AS dst FROM co
+        |  UNION ALL SELECT b, a FROM co),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+        |r0 AS (SELECT src AS v, deg, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |s1 AS (SELECT e.dst, CAST(sum(r.r // r.deg) AS BIGINT) AS sc
+        |  FROM edges e JOIN r0 r ON e.src = r.v GROUP BY 1),
+        |r1 AS (SELECT v, deg,
+        |    CAST(150000 + (85 * coalesce(sc, 0)) // 100 AS BIGINT) AS r
+        |  FROM r0 LEFT JOIN s1 ON v = dst),
+        |s2 AS (SELECT e.dst, CAST(sum(r.r // r.deg) AS BIGINT) AS sc
+        |  FROM edges e JOIN r1 r ON e.src = r.v GROUP BY 1),
+        |r2 AS (SELECT v, deg,
+        |    CAST(150000 + (85 * coalesce(sc, 0)) // 100 AS BIGINT) AS r
+        |  FROM r1 LEFT JOIN s2 ON v = dst),
+        |s3 AS (SELECT e.dst, CAST(sum(r.r // r.deg) AS BIGINT) AS sc
+        |  FROM edges e JOIN r2 r ON e.src = r.v GROUP BY 1),
+        |r3 AS (SELECT v, deg,
+        |    CAST(150000 + (85 * coalesce(sc, 0)) // 100 AS BIGINT) AS r
+        |  FROM r2 LEFT JOIN s3 ON v = dst)
+        |SELECT v AS node, deg, r AS rank_fp FROM r3""".stripMargin)),
+
+    // Mergeable-sketch distinct counting: per-nation HLL sketches
+    // (datasketches, lgK=12) union-merged to a global estimate — the
+    // cardinality primitive that actually works at 100 TB (sketches
+    // merge associatively across partitions/days; exact countDistinct
+    // needs a full shuffle of the key universe). Gated like the other
+    // approx entries: the estimate must land within the sketch's
+    // advertised error of the exact count, and the exact count is what
+    // the oracle checks.
+    CatalogQuery("agg_hll_sketch_union", (s, d) => {
+      val perNation = Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(hll_sketch_agg(col("c_custkey"), lit(12)).as("sk"))
+      val merged = perNation.agg(
+        count(lit(1)).as("n_groups"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+      val exact = Tables.customer(s, d)
+        .agg(countDistinct(col("c_custkey")).as("exact_keys"))
+      merged.crossJoin(broadcast(exact))
+        .select(col("n_groups"), col("exact_keys"),
+          (abs(col("est") - col("exact_keys")).cast("double") /
+            col("exact_keys") <= 0.05).as("within_bound"))
+    }, Some(
+      """SELECT count(DISTINCT c_nationkey)::BIGINT AS n_groups,
+        |  count(DISTINCT c_custkey)::BIGINT AS exact_keys,
+        |  true AS within_bound
+        |FROM customer""".stripMargin)),
+
+    // Key-skew profiler: the pre-flight diagnostic for choosing salting
+    // factors / AQE skew thresholds before a big join. Buckets keys by
+    // frequency (power-of-2-ish bands) and reports per-band key and row
+    // mass — one aggregation over the fact keys, output is
+    // band-cardinality-bounded (tiny) regardless of input size.
+    CatalogQuery("skw_key_distribution_profile", (s, d) => {
+      val freq = Tables.orders(s, d)
+        .groupBy("o_custkey").agg(count(lit(1)).as("freq"))
+        .withColumn("bucket",
+          when(col("freq") === 1, "1").when(col("freq") === 2, "2")
+            .when(col("freq") <= 4, "3-4").when(col("freq") <= 8, "5-8")
+            .when(col("freq") <= 16, "9-16").otherwise("17+"))
+      freq.groupBy("bucket").agg(
+        count(lit(1)).as("n_keys"), sum(col("freq")).as("n_rows"),
+        min(col("freq")).as("min_freq"), max(col("freq")).as("max_freq"))
+        .withColumn("row_share",
+          col("n_rows").cast("double") /
+            sum(col("n_rows")).over(Window.partitionBy()).cast("double"))
+    }, Some(
+      """WITH freq AS (
+        |  SELECT o_custkey, count(*)::BIGINT AS freq FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT freq,
+        |    CASE WHEN freq = 1 THEN '1' WHEN freq = 2 THEN '2'
+        |         WHEN freq <= 4 THEN '3-4' WHEN freq <= 8 THEN '5-8'
+        |         WHEN freq <= 16 THEN '9-16' ELSE '17+' END AS bucket
+        |  FROM freq),
+        |g AS (
+        |  SELECT bucket, count(*)::BIGINT AS n_keys,
+        |    CAST(sum(freq) AS BIGINT) AS n_rows,
+        |    min(freq) AS min_freq, max(freq) AS max_freq
+        |  FROM b GROUP BY 1)
+        |SELECT bucket, n_keys, n_rows, min_freq, max_freq,
+        |  CAST(n_rows AS DOUBLE) / CAST(sum(n_rows) OVER () AS DOUBLE)
+        |    AS row_share
+        |FROM g""".stripMargin)),
+
+    // Unicode canonicalization via the native NormalizeText expression
+    // (NFD → strip combining marks → NFC → lowercase, ASCII fast path).
+    // The harness corpus is ASCII, so diacritics are planted
+    // deterministically (a→á, e→é via translate on both engines) and
+    // the normalizer must fold them back — exercising the real slow
+    // path, not just the fast one. Pure projection: no shuffle, stays
+    // inside whole-stage codegen.
+    CatalogQuery("txt_unicode_normalize", (s, d) => {
+      val planted = translate(col("text"), "ae", "áé")
+      Tables.documents(s, d).select(col("doc_id"),
+        GraftFunctions.normalize_text(planted).as("norm"),
+        (GraftFunctions.normalize_text(planted) =!= planted).as("changed"))
+    }, Some(
+      """SELECT doc_id,
+        |  lower(strip_accents(nfc_normalize(translate(text, 'ae', 'áé')))) AS norm,
+        |  lower(strip_accents(nfc_normalize(translate(text, 'ae', 'áé'))))
+        |    <> translate(text, 'ae', 'áé') AS changed
+        |FROM documents""".stripMargin))
+  )
+}

@@ -621,6 +621,68 @@ object TrainingQueries {
          |JOIN reach r ON r.src = v.src
          |GROUP BY v.src""".stripMargin)),
 
+    // Dedup RETENTION policy on top of the components: per near-dup
+    // cluster keep the best document (longest by n_chars, doc_id as the
+    // deterministic tie-break) and account the token cost of dropping the
+    // rest — the decision step a pipeline actually executes after
+    // clustering (reference analogue: none — gravity replicates rows, it
+    // never curates them; this is the training-data extension surface).
+    // Scale shape: reuses the CC labels (already bucketed), one join to
+    // doc stats, one window per cluster — all partitioned by cluster_id.
+    CatalogQuery("ddp_canonical_doc_selection", (s, d) => {
+      val comps = Catalog.queries("ddp_near_dup_components")(s, d)
+      val stats = docsPlus(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        col("n_chars"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      comps.join(stats, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("cluster_id").agg(
+          count(lit(1)).as("n_members"),
+          max(when(col("rn") === 1, col("doc_id"))).as("canonical_doc"),
+          sum(when(col("rn") === 1, col("n_tok")).otherwise(lit(0L)))
+            .as("tokens_kept"),
+          sum(when(col("rn") =!= 1, col("n_tok")).otherwise(lit(0L)))
+            .as("tokens_dropped"))
+    }, Some(
+      s"""WITH dp AS ($duckDocsPlus),
+         |sigs AS (SELECT doc_id, ${Similarity.minhashDuck("text", 9)} AS sig FROM dp),
+         |bands AS (SELECT doc_id, j AS band,
+         |    md5(sig[3*j+1] || sig[3*j+2] || sig[3*j+3]) AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2]) AS j) u),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT src, dst FROM edges
+         |    UNION
+         |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+         |  SELECT * FROM r),
+         |comp AS (
+         |  SELECT v.src AS doc_id, least(v.src, min(r.dst)) AS cluster_id
+         |  FROM (SELECT DISTINCT src FROM edges) v
+         |  JOIN reach r ON r.src = v.src
+         |  GROUP BY v.src),
+         |stats AS (
+         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok, n_chars
+         |  FROM dp),
+         |m AS (
+         |  SELECT c.cluster_id, c.doc_id, st.n_tok,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY st.n_chars DESC, c.doc_id) AS rn
+         |  FROM comp c JOIN stats st USING (doc_id))
+         |SELECT cluster_id, count(*)::BIGINT AS n_members,
+         |  max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+         |  CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tokens_kept,
+         |  CAST(sum(CASE WHEN rn <> 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tokens_dropped
+         |FROM m GROUP BY 1""".stripMargin)),
+
     // ---- text analysis ---------------------------------------------------
     CatalogQuery("txt_language_id", (s, d) => {
       val t = TextAnalysis.tokens(col("text"))

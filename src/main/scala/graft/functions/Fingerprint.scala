@@ -76,6 +76,10 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftShims.column(CosineSim(GraftShims.expression(a), GraftShims.expression(b)))
 
+  /** Unicode canonicalization: NFD → strip marks → NFC → lowercase. */
+  def normalize_text(c: Column): Column =
+    GraftShims.column(NormalizeText(GraftShims.expression(c)))
+
   /** Register SQL names so `expr("rolling_hash(text)")` /
     * `expr("lsh_buckets(v, 8, 4)")` work too.
     */
@@ -90,6 +94,8 @@ object GraftFunctions {
       "minhash_hex", exprs => minhashHexFromExprs(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "normalize_text", exprs => NormalizeText(exprs.head), "built-in")
   }
 
   private[graft] def minhashHexFromExprs(

@@ -147,4 +147,27 @@ class FunctionsSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(b.size == 8 && b.forall(x => x >= 0 && x < 16))
   }
+
+  test("normalize_text: ascii fast path lowercases, accents fold, nulls pass") {
+    val df = Seq(
+      Some("Hello WORLD"),      // pure-ASCII fast path
+      Some("\u00c1r\u00e9\u00e1 \u00ce\u0303"), // precomposed + combining tilde
+      Some(""),
+      None).toDF("t")
+    val got = df.select(GraftFunctions.normalize_text($"t")).as[Option[String]]
+      .collect().toSeq
+    assert(got == Seq(Some("hello world"), Some("area i"), Some(""), None))
+  }
+
+  test("normalize_text: codegen and interpreted paths agree, SQL name registers") {
+    GraftFunctions.register(spark)
+    val sql = spark.sql("SELECT normalize_text('\u00c7a Va Tr\u00e8s Bien') AS n")
+      .as[String].head()
+    assert(sql == "ca va tres bien")
+    // interpreted path (eval through a filter that defeats codegen is
+    // brittle; call the static helper directly instead)
+    val direct = graft.functions.NormalizeText.normalize(
+      org.apache.spark.unsafe.types.UTF8String.fromString("\u00c7a Va Tr\u00e8s Bien"))
+    assert(direct.toString == "ca va tres bien")
+  }
 }
