@@ -50,7 +50,12 @@ object Bench {
       (times, errs.toMap)
     }
 
-    val names = if (Catalog.benchNames.nonEmpty) Catalog.benchNames else Catalog.queries.keys.toSeq
+    // local iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the set
+    // (the driver never sets it, so the round bench always runs everything)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val allNames = if (Catalog.benchNames.nonEmpty) Catalog.benchNames else Catalog.queries.keys.toSeq
+    val names = only.fold(allNames)(o => allNames.filter(o))
     val (cold, coldErrs) = timed(names) // first run: listing + JIT + codegen compile
     // steady state = per-query MIN over two warm passes: a transient CPU
     // contention spike on the host (observed in round 4: same code, 4x

@@ -114,7 +114,7 @@ object IndexQueries {
         |  FROM flat WHERE s IN (SELECT s FROM stats WHERE df <= 8)
         |  GROUP BY 1)
         |SELECT stats.s AS shingle, df, tot, min_doc, max_doc, postings
-        |FROM stats LEFT JOIN posts USING (s)""".stripMargin)),
+        |FROM stats LEFT JOIN posts USING (s)""".stripMargin), bench = true),
 
     // Hourly gap-fill + linear interpolation of a per-user metric stream
     // (the time-series repair op before feeding metrics to training).
@@ -250,7 +250,8 @@ object IndexQueries {
         |r3 AS (SELECT v, deg,
         |    CAST(150000 + (85 * coalesce(sc, 0)) // 100 AS BIGINT) AS r
         |  FROM r2 LEFT JOIN s3 ON v = dst)
-        |SELECT v AS node, deg, r AS rank_fp FROM r3""".stripMargin)),
+        |SELECT v AS node, deg, r AS rank_fp FROM r3""".stripMargin),
+      bench = true),
 
     // Mergeable-sketch distinct counting: per-nation HLL sketches
     // (datasketches, lgK=12) union-merged to a global estimate — the
@@ -315,6 +316,157 @@ object IndexQueries {
         |  CAST(n_rows AS DOUBLE) / CAST(sum(n_rows) OVER () AS DOUBLE)
         |    AS row_share
         |FROM g""".stripMargin)),
+
+    // Chunk-level dedup with document rebuild (C4/Gopher-style repeated-
+    // passage removal): split every doc into 8-token chunks, keep each
+    // distinct chunk only at its FIRST occurrence (doc_id, pos order),
+    // re-assemble surviving chunks per doc. The dedup key is the chunk
+    // text; at 100 TB the window-over-chunk becomes a groupBy(chunk)
+    // min-struct aggregation — same shuffle key, no global sort; rebuild
+    // is partitioned by doc_id. The harness corpus produces ~5% organic
+    // chunk collisions, so the answer is non-trivial without planting.
+    CatalogQuery("ddp_chunk_dedup_rebuild", (s, d) => {
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, ((size(toks) + 7) div 8) - 1),
+            | i -> concat_ws(' ', slice(toks, CAST(i * 8 + 1 AS INT), 8)))"""
+            .stripMargin)))
+        .toDF("doc_id", "pos", "chunk")
+      val w = Window.partitionBy("chunk")
+        .orderBy(col("doc_id").asc, col("pos").asc)
+      val kept = chunks.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val before = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val after = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("rebuilt"))
+      before.join(after, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("rebuilt"))
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(t[i * 8 + 1:i * 8 + 8], ' ') AS chunk
+        |  FROM toks, unnest(range(0, (len(t) + 7) // 8)) u(i)),
+        |ranked AS (
+        |  SELECT doc_id, pos, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |  FROM chunks),
+        |kept AS (SELECT doc_id, pos, chunk FROM ranked WHERE rn = 1),
+        |bef AS (SELECT doc_id, count(*)::BIGINT AS n_chunks FROM chunks GROUP BY 1),
+        |aft AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |    array_to_string(list(chunk ORDER BY pos), ' ') AS rebuilt
+        |  FROM kept GROUP BY 1)
+        |SELECT bef.doc_id, n_chunks, coalesce(n_kept, 0) AS n_kept, rebuilt
+        |FROM bef LEFT JOIN aft USING (doc_id)""".stripMargin)),
+
+    // Filtered (hybrid) ANN: vector search under a metadata predicate —
+    // the vector-store staple (search only label=2 items). The predicate
+    // is applied to the corpus side BEFORE the bucket join, so candidate
+    // generation, dedup, and exact scoring only ever touch the filtered
+    // slice — at 100 TB the selectivity multiplies through the whole ANN
+    // pipeline instead of being a post-filter on scored results (which
+    // would also silently shrink top-k below k).
+    CatalogQuery("sim_filtered_ann_topk", (s, d) => {
+      import graft.functions.GraftFunctions.{cosine_sim, lsh_buckets}
+      val e0 = Tables.embeddings(s, d)
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val b = e0.withColumn("buckets", lsh_buckets(col("embedding"), 8, 4))
+        .select(col("vec_id"), col("label"), posexplode(col("buckets")))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      val q = b.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+      val candIds = b.filter(col("label") === 2) // predicate BEFORE the join
+        .join(q, Seq("tbl", "bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"))
+        .distinct()
+      val vecs = e0.select(col("vec_id"), col("embedding"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_raw").desc, col("vec_id"))
+      candIds
+        .join(vecs.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv")), "query_id")
+        .join(vecs, "vec_id")
+        .withColumn("cos_raw", cosine_sim(col("qv"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("neighbor_id"))
+    }, Some(
+      s"""WITH b AS (
+         |  SELECT vec_id, label, embedding, t.tbl,
+         |    ${graft.functions.Similarity.lshBucketDuckOffset(
+               "embedding", 4, 64, "t.tbl * 4")} AS bucket
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl) t),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, tbl, bucket
+         |  FROM b WHERE vec_id % 50 = 0),
+         |cand AS (SELECT DISTINCT q.query_id, q.qv, b.vec_id, b.embedding
+         |  FROM q JOIN b ON q.tbl = b.tbl AND q.bucket = b.bucket
+         |    AND q.query_id <> b.vec_id AND b.label = 2)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${graft.functions.Similarity.cosineDuck(
+               "qv", "embedding", 64)} DESC, vec_id) AS rank
+         |  FROM cand) t
+         |WHERE rank <= 3""".stripMargin)),
+
+    // Quartile winsorization (robust stats): clip each order's price to
+    // its priority group's [p25, p75] and report the winsorized mean
+    // next to the raw one — the outlier-robust aggregate a quality
+    // pipeline uses for per-source score calibration. Quartiles (not
+    // 5/95) on purpose: (n-1)·q has a DYADIC fractional part, so the
+    // interpolated percentile is bit-identical whichever algebraic form
+    // an engine uses (a + (b-a)·f vs (1-f)·a + f·b differ by an ulp for
+    // non-dyadic f); the clipped values are then rounded to 6 decimals
+    // and summed in DECIMAL — order-independent, hash-stable. One
+    // aggregation + one broadcast-sized join back (group cardinality).
+    CatalogQuery("agg_winsorized_stats", (s, d) => {
+      val qs = Tables.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, 0.25)").as("p25"),
+          expr("percentile(o_totalprice, 0.75)").as("p75"))
+      // no broadcast hint: qs is group-cardinality-sized (tiny at runtime)
+      // but derives from a fact scan — AQE broadcasts it on its own, and
+      // the audit bans HINTED fact-subtree broadcasts
+      val clip = Tables.orders(s, d)
+        .join(qs, "o_orderpriority")
+        .withColumn("cl",
+          when(col("o_totalprice") < col("p25"), col("p25"))
+            .when(col("o_totalprice") > col("p75"), col("p75"))
+            .otherwise(col("o_totalprice")))
+      clip.groupBy(col("o_orderpriority")).agg(
+        count(lit(1)).as("n"),
+        sum((col("o_totalprice") < col("p25")).cast("long")).as("n_low"),
+        sum((col("o_totalprice") > col("p75")).cast("long")).as("n_high"),
+        max(col("p25")).as("p25"), max(col("p75")).as("p75"),
+        (sum(round(col("cl"), 6).cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("wmean"),
+        Q.davg(col("o_totalprice")).as("raw_mean"))
+    }, Some(
+      s"""WITH qs AS (
+        |  SELECT o_orderpriority,
+        |    quantile_cont(o_totalprice, 0.25) AS p25,
+        |    quantile_cont(o_totalprice, 0.75) AS p75
+        |  FROM orders GROUP BY 1),
+        |clip AS (
+        |  SELECT o.o_orderpriority, o.o_totalprice, qs.p25, qs.p75,
+        |    CASE WHEN o.o_totalprice < qs.p25 THEN qs.p25
+        |         WHEN o.o_totalprice > qs.p75 THEN qs.p75
+        |         ELSE o.o_totalprice END AS cl
+        |  FROM orders o JOIN qs USING (o_orderpriority))
+        |SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |  CAST(sum(CASE WHEN o_totalprice < p25 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN o_totalprice > p75 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  max(p25) AS p25, max(p75) AS p75,
+        |  CAST(sum(round(cl, 6)::DECIMAL(18,6)) AS DOUBLE) / count(*) AS wmean,
+        |  ${Q.oAvg("o_totalprice")} AS raw_mean
+        |FROM clip GROUP BY 1""".stripMargin)),
 
     // Unicode canonicalization via the native NormalizeText expression
     // (NFD → strip combining marks → NFC → lowercase, ASCII fast path).

@@ -20,6 +20,7 @@ object ScaleStress {
       "ddp_ngram_jaccard_pairs", "ddp_simhash_hamming_pairs",
       "ddp_embed_cosine_pairs", "sim_ivf_ann_topk",
       "ddp_near_dup_components", // iterative CC: one action/iteration
+      "txt_tfidf_top_terms", "ddp_canonical_doc_selection",
       // write path: the Derby-backed upsert sink at scale
       "cdc_jdbc_sink_state", "cdc_conflict_sink_state")
     val names = if (args.length > 2) args.drop(2).toSeq else defaultNames

@@ -68,6 +68,33 @@ class IndexQueriesSpec extends SparkSpec {
     assert(math.abs(share - 1.0) < 1e-9)
   }
 
+  test("chunk dedup: kept <= before, rebuilt token count equals 8*(kept-1)..8*kept") {
+    val r = Catalog.queries("ddp_chunk_dedup_rebuild")(spark, sf0001)
+    assert(r.filter(col("n_kept") > col("n_chunks")).count() == 0)
+    val bad = r.filter(col("rebuilt").isNotNull).filter(
+      size(split(col("rebuilt"), " ")) > col("n_kept") * 8).count()
+    assert(bad == 0)
+    // dedup actually fires on the corpus (organic chunk collisions)
+    assert(r.filter(col("n_kept") < col("n_chunks")).count() > 0)
+  }
+
+  test("filtered ANN: every neighbor satisfies the metadata predicate") {
+    val r = Catalog.queries("sim_filtered_ann_topk")(spark, sf0001)
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"))
+    val offLabel = r.join(emb, r("neighbor_id") === emb("vec_id"))
+      .filter(col("label") =!= 2).count()
+    assert(offLabel == 0)
+    assert(r.filter(col("rank") > 3).count() == 0)
+  }
+
+  test("winsorized stats: wmean within [p25, p75], clip counts partition n") {
+    val r = Catalog.queries("agg_winsorized_stats")(spark, sf0001)
+    assert(r.filter(col("wmean") < col("p25") || col("wmean") > col("p75"))
+      .count() == 0)
+    assert(r.filter(col("n_low") + col("n_high") >= col("n")).count() == 0)
+  }
+
   test("canonical selection: members >= 2, canonical kept, token split consistent") {
     val r = Catalog.queries("ddp_canonical_doc_selection")(spark, sf0001)
     assert(r.filter(col("n_members") < 2).count() == 0)

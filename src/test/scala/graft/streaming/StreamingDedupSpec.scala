@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The streaming band-bucket dedup must emit, cumulatively, EXACTLY the
+  * candidate set of the batch band self-join on the same documents —
+  * independent of how the docs are split into micro-batches — and must
+  * not re-emit on replay.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batchPairs(docs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    val bands = StreamingDedup.bandKeys(docs).toDF("bucket", "doc_id")
+    bands.as("a").join(bands.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .distinct().as[(Long, Long)].collect().toSet
+  }
+
+  test("streaming LSH dedup emits the batch candidate set across micro-batches, replay-safe") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sc = spark.sqlContext
+
+    // sf0.001 docs + planted copies (the docsPlus shape) as plain rows
+    val base = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val rows = base.unionByName(planted).as[(Long, String)].collect().toSeq
+    val (firstHalf, secondHalf) = rows.splitAt(rows.length / 2)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDedup.candidatePairs(mem.toDS.toDF("doc_id", "text"))
+      .toDF("doc_a", "doc_b").writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("sdedup").start()
+
+    mem.addData(firstHalf)
+    q.processAllAvailable()
+    mem.addData(secondHalf)
+    q.processAllAvailable()
+
+    val expected = batchPairs(base.unionByName(planted))
+    def emitted(): Set[(Long, Long)] =
+      spark.table("sdedup").as[(Long, Long)].collect().toSet
+    assert(emitted() == expected,
+      "cumulative streamed candidates must equal the batch band join")
+
+    // replay the first half: no state regression, no new pairs
+    val before = spark.table("sdedup").count()
+    mem.addData(firstHalf)
+    q.processAllAvailable()
+    assert(emitted() == expected)
+    assert(spark.table("sdedup").count() == before, "replay must emit nothing")
+    q.stop()
+  }
+
+  test("band bucket cap stops state growth but still pairs against retained members") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sc = spark.sqlContext
+    // identical text => identical signature => one bucket per band
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDedup.candidatePairs(
+        mem.toDS.toDF("doc_id", "text"), maxBucket = 2)
+      .toDF("doc_a", "doc_b").writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("sdedup_cap").start()
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    mem.addData((1L, text), (2L, text))
+    q.processAllAvailable()
+    mem.addData((3L, text)) // bucket is at cap: 3 pairs with 1 and 2, not stored
+    q.processAllAvailable()
+    mem.addData((4L, text)) // still pairs against retained {1, 2} only
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdedup_cap").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
+  }
+}
