@@ -1,0 +1,140 @@
+package graft.analytics
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.functions._
+
+/** The scale CLAIMS of ScaleOpsQueries, asserted on real plans/data —
+  * correctness is already oracle-gated; this suite pins the physical
+  * properties that make each operator survive 100 TB.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  private def finalPlan(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val here = finalPlan(p)
+    here.collect(pf) ++ here.subqueries.flatMap(collectAll(_)(pf))
+  }
+
+  test("bucketed co-located join + agg runs with ZERO shuffle exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = ScaleOpsQueries.bucketedJoinAgg(spark, sf0001)
+      df.collect() // execute so AQE finalizes
+      val shuffles = collectAll(df.queryExecution.executedPlan) {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join/agg must be exchange-free, found: $shuffles")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("bloom routes only the maybe-dup fraction into the verify join") {
+    val docs = Tables.documents(spark, sf0001)
+    val existing = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val bits = ScaleOpsQueries.bloomBits(spark, existing)
+    val nBatch = batch.count()
+    val nCand = batch.filter(ScaleOpsQueries.mightContain(bits, col("text"))).count()
+    // no natural dups in the raw corpus: every candidate here is a false
+    // positive, so the candidate fraction IS the bloom's fp rate — the
+    // fraction of a new batch that would pay the corpus join at 100 TB
+    assert(nCand < nBatch / 10,
+      s"bloom should route <10% of the batch to the join, got $nCand/$nBatch")
+    // and zero false negatives by construction: every true dup is routed
+    val planted = batch.limit(50).select(col("text"))
+    val missed = planted.join(existing.select(col("text")), Seq("text"), "left_semi")
+      .filter(!ScaleOpsQueries.mightContain(bits, col("text"))).count()
+    assert(missed == 0, "bloom false negative — impossible by construction")
+  }
+
+  test("partitioned layout prunes the scan to the queried dates") {
+    val ev = Tables.events(spark, sf0001).withColumn("event_date", to_date(col("ts")))
+    val dir = java.nio.file.Files.createTempDirectory("scaleops-prune").toString + "/ev"
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val nDates = ev.select(col("event_date")).distinct().count()
+    val d0 = ev.agg(min(col("event_date"))).head.getDate(0)
+    val hi = java.sql.Date.valueOf(d0.toLocalDate.plusDays(2))
+    val pruned = spark.read.parquet(dir)
+      .filter(col("event_date").between(lit(d0), lit(hi)))
+    pruned.collect()
+    val scans = collectAll(pruned.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty, "scan must carry partition filters")
+    val selected = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).length
+    assert(selected == 3 && selected < nDates,
+      s"expected 3 of $nDates date partitions selected, got $selected")
+  }
+
+  test("z-order clusters a 2-D box into few coarse buckets") {
+    val df = Catalog.queries("opt_zorder_layout")(spark, sf0001)
+    // a 256x256 box in key space: under z-order its rows share the high
+    // interleaved bits, so the box touches a tiny fraction of the coarse
+    // zbuckets — the min/max file-skipping lever for two-column predicates
+    // bucket at 2^12 granularity (finer than the query's coarse zbucket,
+    // so the property is visible even at sf0.001's small key ranges)
+    val bucketed = df.withColumn("zb12", expr("zval >> 12"))
+    val box = bucketed.filter(col("l_orderkey") < 256 && col("l_partkey") < 256)
+    val totalBuckets = bucketed.select(col("zb12")).distinct().count()
+    val boxBuckets = box.select(col("zb12")).distinct().count()
+    assert(boxBuckets <= 16,
+      s"a 256x256 box spans z < 2^16 = at most 16 buckets of 2^12; got $boxBuckets")
+    assert(totalBuckets > 2 * boxBuckets,
+      s"box buckets ($boxBuckets) should be a small fraction of $totalBuckets")
+  }
+
+  test("k-means refinement moves centroids and keeps every vector assigned") {
+    val out = Catalog.queries("sim_ivf_kmeans_refined")(spark, sf0001)
+    val rows = out.collect()
+    val nVec = Tables.embeddings(spark, sf0001).count()
+    val dims = rows.map(_.getLong(1)).distinct
+    assert(dims.length == 64, s"expected 64 dims, got ${dims.length}")
+    // membership conserved: each dim row of a cell carries that cell's
+    // member count, so the per-dim sum over cells is the corpus size
+    val perDim = rows.groupBy(_.getLong(1)).map { case (_, rs) =>
+      rs.map(_.getLong(3)).sum
+    }.toSet
+    assert(perDim == Set(nVec), s"membership not conserved: $perDim vs $nVec")
+    // refinement must actually move at least one centroid off its seed
+    val seeds = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 16)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
+          .as("q"))
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "v")))
+      .select(col("vec_id").as("cell"), col("dim").cast("long").as("dim"),
+        (col("v") * 256).as("seed_q"))
+    val moved = out.join(seeds, Seq("cell", "dim"))
+      .filter(col("centroid_q") =!= col("seed_q")).count()
+    assert(moved > 0, "two Lloyd iterations left every centroid exactly on its seed")
+  }
+
+  test("streaming watermark gate actually drops late rows") {
+    val out = Catalog.queries("evt_stream_watermark_late_drop")(spark, sf0001)
+    val emitted = out.agg(sum(col("n"))).head.getLong(0)
+    val ev = Tables.events(spark, sf0001)
+    // total events falling in the emitted windows — what a batch engine
+    // (or a stream with no watermark discipline) would have counted
+    val windows = out.select(col("window_start"))
+    val inWindows = ev.select(date_trunc("hour", col("ts")).as("window_start"))
+      .join(windows, Seq("window_start"), "left_semi").count()
+    assert(emitted < inWindows,
+      s"no late rows were dropped: emitted $emitted of $inWindows")
+    assert(emitted > inWindows / 2, "late drop should be the exception, not the rule")
+  }
+}
