@@ -296,6 +296,89 @@ object ScaleOpsQueries {
         |FROM a2 CROSS JOIN range(0, 64) r(i)
         |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- frequent-items heavy hitters: sketch shortlist + exact verify ----
+    // The same routing philosophy as the Bloom entry, for frequency: a
+    // one-pass bounded-memory sketch (Spark's freqItems — Karp/Misra-Gries
+    // family, candidate set capped at 1/support, NO false negatives for
+    // items above support) shortlists candidates on the driver; an exact
+    // count over ONLY the shortlist confirms. At 100 TB the exact
+    // group-count of every key is a full shuffle of the keyspace; the
+    // sketch pass shuffles nothing and the verify aggregates a handful of
+    // keys. The hot key is synthesized (l_orderkey%7<2 → key 42, ~28% of
+    // rows) exactly like the salted-join battery, since the harness data
+    // is uniform.
+    CatalogQuery("agg_freq_items_heavy_hitters", (s, d) => {
+      val mixed = Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 7 < 2, lit(42L))
+          .otherwise(col("l_partkey")).as("k"))
+      val n = mixed.count()
+      val thresh = math.ceil(0.01 * n).toLong
+      // sketch pass: support 0.005 guarantees every key above 1% survives;
+      // candidate list is bounded by 1/support = 200 keys, whatever N is
+      val cands = mixed.stat.freqItems(Seq("k"), 0.005)
+        .head.getSeq[Long](0)
+      mixed.filter(col("k").isin(cands: _*))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_rows"))
+        .filter(col("n_rows") >= thresh)
+    }, Some(
+      """WITH mixed AS (
+        |  SELECT CASE WHEN l_orderkey % 7 < 2 THEN 42 ELSE l_partkey END AS k
+        |  FROM lineitem)
+        |SELECT k, count(*) AS n_rows FROM mixed GROUP BY 1
+        |HAVING count(*) >= ceil(0.01 * (SELECT count(*) FROM mixed))""".stripMargin)),
+
+    // ---- min/max skipping stats over the Z-ordered layout -----------------
+    // The per-file min/max stats a lakehouse keeps (Delta/Iceberg style),
+    // computed per coarse Z-bucket, plus the skip decision for a 2-D box
+    // predicate: a bucket is scanned iff its [min,max] ranges overlap the
+    // box on BOTH dimensions. Because the layout is Z-ordered, the box
+    // overlaps almost no buckets (ScaleOpsSpec pins the fraction) — this
+    // is the arithmetic that turns a 100 TB scan into a handful of files.
+    CatalogQuery("opt_minmax_skipping_stats", (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 2048)
+        .select(col("l_orderkey"), col("l_partkey"),
+          zOrderExpr("l_orderkey", "l_partkey").as("zval"))
+        .withColumn("zbucket", expr("zval >> 12"))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"))
+        .withColumn("scan_for_box_256",
+          col("min_ok") < 256 && col("max_ok") >= 0 &&
+            col("min_pk") < 256 && col("max_pk") >= 0),
+      Some(
+        """WITH z AS (
+          |  SELECT l_orderkey, l_partkey,
+          |    CAST(list_sum(list_transform(range(0, 16),
+          |      i -> (((l_orderkey >> i) & 1) << (2 * i))
+          |         + (((l_partkey >> i) & 1) << (2 * i + 1)))) AS BIGINT) >> 12 AS zbucket
+          |  FROM lineitem WHERE l_orderkey <= 2048)
+          |SELECT zbucket, count(*) AS n_rows,
+          |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+          |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+          |  (min(l_orderkey) < 256 AND max(l_orderkey) >= 0
+          |   AND min(l_partkey) < 256 AND max(l_partkey) >= 0) AS scan_for_box_256
+          |FROM z GROUP BY 1""".stripMargin)),
+
+    // ---- compression-aware layout: cluster before write -------------------
+    // Low-cardinality-first sort order (event_type, user_id, ts) lines up
+    // parquet dictionary/RLE runs; the gated result proves the clustered
+    // round-trip is lossless, and ScaleOpsSpec measures the on-disk byte
+    // win vs the unsorted layout. At 100 TB the compression ratio IS a
+    // first-order cost: the same rows, fewer bytes scanned forever after.
+    CatalogQuery("opt_sort_for_compression", (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+      val dir = tmpDir("graft-clustered") + "/events_clustered"
+      ev.repartitionByRange(4, col("event_type"), col("user_id"))
+        .sortWithinPartitions(col("event_type"), col("user_id"), col("ts"))
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+    }, Some(
+      "SELECT user_id, event_type, ts, value FROM events")),
+
     // ---- streaming watermark: late-data drop ------------------------------
     // A REAL three-batch file stream (file order pinned by modification
     // time): batch 0 = on-time traffic of the first 14 days, batch 1 = the

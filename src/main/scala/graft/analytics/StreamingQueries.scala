@@ -96,6 +96,53 @@ object StreamingQueries {
          |  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS
          |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- STREAM-stream interval join (symmetric hash join + watermarks) --
+    // The same signup→purchase interval join executed as a real
+    // stream-stream join: both sides arrive as streams, the time-range
+    // condition + both-side watermarks bound the join STATE (without them
+    // a stream-stream join buffers both streams forever — the difference
+    // between bounded memory and OOM at 100 TB). Each side arrives as one
+    // AvailableNow batch, so the emitted set equals the relational join
+    // the oracle runs; the watermark machinery (state eviction bounds) is
+    // still fully engaged in the plan.
+    CatalogQuery("evt_stream_interval_join", (s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+      val e = Tables.events(s, d)
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts").cast("timestamp").as("signup_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"),
+          col("ts").cast("timestamp").as("purchase_ts"), col("value"))
+      signups.write.mode("overwrite").parquet(s"$work/signups")
+      purchases.write.mode("overwrite").parquet(s"$work/purchases")
+      val sStream = s.readStream.schema(signups.schema).parquet(s"$work/signups")
+        .withWatermark("signup_ts", "1 hour")
+      val pStream = s.readStream.schema(purchases.schema).parquet(s"$work/purchases")
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = sStream.join(pStream,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 24 HOURS"))
+        .select(col("user_id"), col("signup_id"),
+          col("signup_ts").cast("timestamp_ntz").as("signup_ts"),
+          col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("value"))
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out")
+    }, Some(
+      """SELECT s.user_id, s.event_id AS signup_id, s.ts AS signup_ts,
+        |  p.ts AS purchase_ts, p.value
+        |FROM events s JOIN events p
+        |  ON s.user_id = p.user_id AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        |  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS""".stripMargin)),
+
     // ---- keyless time-range join via band bucketing ----------------------
     // "views within ±30 min of each error, across ALL users" has no equi
     // key, so a naive join is a cartesian (BNLJ). The standard OSS range-

@@ -287,6 +287,28 @@ object TrainingQueries {
          |  FROM ep a JOIN ep b ON a.label = b.label AND a.vec_id < b.vec_id) t
          |WHERE cos_sim >= 0.99""".stripMargin)),
 
+    // ---- semantic dedup at quantization granularity ----------------------
+    // SemDeDup-style exact grouping in quantized embedding space: vectors
+    // that collapse to the same int-lattice point (64 steps per unit) are
+    // semantic duplicates; keep the lowest id. One hash-groupBy on a
+    // 16-byte signature — shuffles digests, never vectors, and needs no
+    // pair enumeration at all: the cheapest rung of the dedup ladder,
+    // below cosine-pair LSH (exact quantized match vs near-match).
+    CatalogQuery("ddp_embed_quantized_dedup", (s, d) => {
+      val sig = md5(concat_ws(",",
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")))
+      embPlus(s, d)
+        .select(col("vec_id"), sig.as("qsig"))
+        .groupBy(col("qsig"))
+        .agg(min(col("vec_id")).as("keep_id"), count(lit(1)).as("n_members"))
+        .filter(col("n_members") > 1)
+    }, Some(
+      s"""WITH ep AS ($duckEmbPlus)
+         |SELECT md5(array_to_string(list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)), ',')) AS qsig,
+         |  min(vec_id) AS keep_id, count(*) AS n_members
+         |FROM ep GROUP BY 1 HAVING count(*) > 1""".stripMargin)),
+
     // ---- dedup-threshold calibration sweep -------------------------------
     // Band the LSH candidate pairs by cosine (<0.90 / 0.90 / 0.95 /
     // 0.99+) in one pass — the measurement that picks the semantic-dedup

@@ -124,6 +124,53 @@ class ScaleOpsSpec extends SparkSpec {
     assert(moved > 0, "two Lloyd iterations left every centroid exactly on its seed")
   }
 
+  test("clustered layout compresses smaller than the arrival layout") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+    def bytesOf(dir: String): Long =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    val base = java.nio.file.Files.createTempDirectory("scaleops-compress").toString
+    ev.repartition(4).write.mode("overwrite").parquet(s"$base/unsorted")
+    ev.repartitionByRange(4, col("event_type"), col("user_id"))
+      .sortWithinPartitions(col("event_type"), col("user_id"), col("ts"))
+      .write.mode("overwrite").parquet(s"$base/sorted")
+    val (u, s) = (bytesOf(s"$base/unsorted"), bytesOf(s"$base/sorted"))
+    assert(s < u, s"clustered layout ($s B) should beat unsorted ($u B)")
+  }
+
+  test("freqItems shortlist is bounded and contains every true heavy hitter") {
+    val mixed = Tables.lineitem(spark, sf0001).select(
+      when(col("l_orderkey") % 7 < 2, lit(42L)).otherwise(col("l_partkey")).as("k"))
+    val cands = mixed.stat.freqItems(Seq("k"), 0.005).head.getSeq[Long](0)
+    assert(cands.size <= 200, s"candidate list must be <= 1/support, got ${cands.size}")
+    val n = mixed.count()
+    val trueHH = mixed.groupBy(col("k")).count()
+      .filter(col("count") >= math.ceil(0.01 * n))
+      .collect().map(_.getLong(0)).toSet
+    assert(trueHH.subsetOf(cands.toSet),
+      s"sketch missed true heavy hitters: ${trueHH -- cands.toSet}")
+  }
+
+  test("min/max stats skip almost every z-bucket for the box predicate") {
+    val stats = Catalog.queries("opt_minmax_skipping_stats")(spark, sf0001).collect()
+    val needed = stats.count(_.getAs[Boolean]("scan_for_box_256"))
+    assert(needed * 4 <= stats.length,
+      s"box should scan <=25% of buckets, needs $needed of ${stats.length}")
+    // skip decisions must be sound: every bucket holding a box row is scanned
+    val zb = Tables.lineitem(spark, sf0001)
+      .filter(col("l_orderkey") < 256 && col("l_partkey") < 256)
+      .selectExpr(
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT),
+          | (acc, i) -> acc + shiftleft(CAST(((l_orderkey >> i) & 1) AS BIGINT), 2 * i)
+          |   + shiftleft(CAST(((l_partkey >> i) & 1) AS BIGINT), 2 * i + 1)) >> 12""".stripMargin
+          + " AS zb")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val scanned = stats.filter(_.getAs[Boolean]("scan_for_box_256"))
+      .map(_.getAs[Long]("zbucket")).toSet
+    assert(zb.subsetOf(scanned), s"unsound skip: box buckets ${zb -- scanned} skipped")
+  }
+
   test("streaming watermark gate actually drops late rows") {
     val out = Catalog.queries("evt_stream_watermark_late_drop")(spark, sf0001)
     val emitted = out.agg(sum(col("n"))).head.getLong(0)
