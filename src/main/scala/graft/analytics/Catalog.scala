@@ -19,7 +19,7 @@ object Catalog {
     CoreQueries.all ++ TpchQueries.all ++ TpchFullQueries.all ++
       CdcQueries.all ++ TrainingQueries.all ++ CorpusOpsQueries.all ++
       PrepQueries.all ++ StreamingQueries.all ++ PipelineE2E.all ++
-      IndexQueries.all ++ ScaleOpsQueries.all
+      IndexQueries.all ++ ScaleOpsQueries.all ++ QualityQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.spark).toMap

@@ -1,0 +1,142 @@
+package graft.analytics
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Data-quality / expectation operators (Deequ-style) — the audit pass a
+  * training pipeline runs over every ingested batch before it reaches the
+  * corpus. All single-scan shapes: a column profile is one aggregate over
+  * the table (the multi-distinct expand is Spark's exact-distinct plan),
+  * drift and outlier checks are one groupBy + one self-join-free window
+  * or broadcast of per-group bounds. The reference's analogue is the
+  * consistency checker (/root/reference cmd/verifier, pkg/position_repos)
+  * — these generalize "did replication corrupt the data" to "is the data
+  * itself healthy".
+  */
+object QualityQueries {
+
+  def all: Seq[CatalogQuery] = Seq(
+
+    // ---- per-column profile (completeness / cardinality / numeric range) --
+    // One scan computes every column's null count, exact distinct count,
+    // and numeric min/max. At 100 TB: nulls and min/max are map-side
+    // partials; the exact multi-column distinct is the one genuinely
+    // shuffle-heavy metric (Spark expands one row per distinct-column),
+    // which is the honest cost of EXACT profiles — approx_count_distinct
+    // is the documented lever when ±2% is acceptable.
+    CatalogQuery("qa_column_profile", (s, d) => {
+      val o = Tables.orders(s, d)
+      def numProf(c: String) = struct(lit(c).as("col_name"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("double").as("min_num"),
+        max(col(c)).cast("double").as("max_num"))
+      def strProf(c: String) = struct(lit(c).as("col_name"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"))
+      o.agg(array(
+        numProf("o_orderkey"), numProf("o_custkey"), numProf("o_totalprice"),
+        strProf("o_orderstatus"), strProf("o_orderpriority")).as("profiles"))
+        .select(explode(col("profiles")).as("p"))
+        .select(col("p.col_name"), col("p.n_nulls"), col("p.n_distinct"),
+          col("p.min_num"), col("p.max_num"))
+    }, Some(
+      """SELECT 'o_orderkey' AS col_name, count(*) - count(o_orderkey) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS DOUBLE) AS min_num, CAST(max(o_orderkey) AS DOUBLE) AS max_num
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*) - count(o_custkey), count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*) - count(o_totalprice), count(DISTINCT o_totalprice),
+        |  CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+        |  NULL::DOUBLE, NULL::DOUBLE FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+        |  NULL::DOUBLE, NULL::DOUBLE FROM orders""".stripMargin)),
+
+    // ---- drift: new-entity onboarding curve -------------------------------
+    // Entities (users) first seen per day — the batch-over-batch drift
+    // signal that catches an upstream id-space change (a re-keyed source
+    // suddenly makes EVERY user "new"). min-per-key then count-per-day:
+    // two map-side-partial aggregations, no join.
+    CatalogQuery("qa_new_entities_per_day", (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_day"))
+        .groupBy(col("first_day"))
+        .agg(count(lit(1)).as("n_new_users")),
+      Some(
+        """SELECT first_day, count(*) AS n_new_users FROM (
+          |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+          |  FROM events GROUP BY 1) t
+          |GROUP BY 1""".stripMargin)),
+
+    // ---- 3-sigma outliers with engine-stable arithmetic -------------------
+    // Per-type mean/variance from EXACT decimal sums (order-independent),
+    // then identical IEEE double steps on both engines: the threshold and
+    // the comparison are bit-reproducible, so the outlier SET is gated,
+    // not just its size. The per-type bounds are a tiny aggregate joined
+    // back broadcast-style — one scan + one broadcast join at any scale.
+    CatalogQuery("qa_value_outliers", (s, d) => {
+      val e = Tables.events(s, d)
+      val stats = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(Q.dec(col("value"))).as("s1"),
+        sum(Q.dec(col("value")) * Q.dec(col("value"))).as("s2"))
+        .select(col("event_type"),
+          (col("s1").cast("double") / col("n")).as("mean_v"),
+          sqrt(col("s2").cast("double") / col("n") -
+            (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")))
+            .as("sd_v"))
+      e.join(stats, Seq("event_type"))
+        .filter(col("value") > col("mean_v") + lit(3.0) * col("sd_v"))
+        .select(col("event_id"), col("event_type"), col("value"))
+    }, Some(
+      s"""WITH stats AS (
+         |  SELECT event_type,
+         |    CAST(sum(${Q.oDec("value")}) AS DOUBLE) / count(*) AS mean_v,
+         |    sqrt(CAST(sum(${Q.oDec("value")} * ${Q.oDec("value")}) AS DOUBLE) / count(*)
+         |      - (CAST(sum(${Q.oDec("value")}) AS DOUBLE) / count(*))
+         |        * (CAST(sum(${Q.oDec("value")}) AS DOUBLE) / count(*))) AS sd_v
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_id, e.event_type, e.value
+         |FROM events e JOIN stats s USING (event_type)
+         |WHERE e.value > s.mean_v + 3.0 * s.sd_v""".stripMargin)),
+
+    // ---- parse-and-quarantine routing -------------------------------------
+    // The ingest pattern for dirty data: rows whose payload fails to parse
+    // are routed to a quarantine label instead of poisoning the batch (or
+    // silently vanishing). Corruption is planted deterministically
+    // (event_id % 17 truncates the JSON), parse success is the route key.
+    CatalogQuery("qa_parse_quarantine", (s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("raw", when(col("event_id") % 17 === 0, lit("{"))
+          .otherwise(col("props")))
+      // PERMISSIVE from_json yields a struct of nulls for malformed input
+      // (never a null struct), so failure is detected the supported way:
+      // the corrupt-record side channel captures the unparseable payload
+      e.withColumn("parsed", from_json(col("raw"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, _corrupt STRING"),
+          Map("columnNameOfCorruptRecord" -> "_corrupt")))
+        .select(col("event_id"),
+          when(col("parsed._corrupt").isNotNull, lit("quarantine"))
+            .otherwise(lit("ok")).as("route"),
+          when(col("parsed._corrupt").isNull, col("parsed.k")).as("k"))
+    }, Some(
+      """SELECT event_id,
+        |  CASE WHEN raw_ok THEN 'ok' ELSE 'quarantine' END AS route,
+        |  CASE WHEN raw_ok
+        |    THEN CAST(json_extract(CASE WHEN event_id % 17 = 0 THEN '{' ELSE props END, '$.k') AS BIGINT)
+        |  END AS k
+        |FROM (
+        |  SELECT event_id, props,
+        |    json_valid(CASE WHEN event_id % 17 = 0 THEN '{' ELSE props END) AS raw_ok
+        |  FROM events) t""".stripMargin))
+  )
+}

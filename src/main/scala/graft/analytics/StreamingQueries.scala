@@ -143,6 +143,70 @@ object StreamingQueries {
         |  ON s.user_id = p.user_id AND s.event_type = 'signup' AND p.event_type = 'purchase'
         |  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS""".stripMargin)),
 
+    // ---- stream-stream LEFT OUTER join: expiry-driven null emission ------
+    // The outer half of the streaming join contract: matched pairs emit as
+    // they meet; an UNMATCHED signup emits its null-extended row only when
+    // the global watermark (min across both sides' 1 h delays, floored to
+    // the millisecond) passes the end of its 24 h match window — i.e. when
+    // the engine can PROVE no purchase can still arrive. Signups too close
+    // to the end of the stream stay buffered and never null-emit; the
+    // oracle encodes exactly that horizon.
+    CatalogQuery("evt_stream_outer_join_expiry", (s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft-ssoj").toString
+      val e = Tables.events(s, d)
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts").cast("timestamp").as("signup_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"),
+          col("ts").cast("timestamp").as("purchase_ts"), col("value"))
+      signups.write.mode("overwrite").parquet(s"$work/signups")
+      purchases.write.mode("overwrite").parquet(s"$work/purchases")
+      val sStream = s.readStream.schema(signups.schema).parquet(s"$work/signups")
+        .withWatermark("signup_ts", "1 hour")
+      val pStream = s.readStream.schema(purchases.schema).parquet(s"$work/purchases")
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = sStream.join(pStream,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 24 HOURS"),
+        "left_outer")
+        .select(col("user_id"), col("signup_id"),
+          col("signup_ts").cast("timestamp_ntz").as("signup_ts"),
+          col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("value"))
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out")
+    }, Some(
+      """WITH wm AS (
+        |  SELECT (least(
+        |      (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'signup'),
+        |      (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'purchase'))
+        |    - 3600000) * 1000 AS wmf_us),
+        |matched AS (
+        |  SELECT s.user_id, s.event_id AS signup_id, s.ts AS signup_ts,
+        |    p.ts AS purchase_ts, p.value
+        |  FROM events s JOIN events p
+        |    ON s.user_id = p.user_id AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        |    AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS),
+        |expired_unmatched AS (
+        |  SELECT s.user_id, s.event_id AS signup_id, s.ts AS signup_ts,
+        |    NULL::TIMESTAMP AS purchase_ts, NULL::DOUBLE AS value
+        |  FROM events s, wm
+        |  WHERE s.event_type = 'signup'
+        |    AND epoch_us(s.ts) + 86400000000::BIGINT < wm.wmf_us
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM events p
+        |      WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+        |        AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS))
+        |SELECT * FROM matched UNION ALL SELECT * FROM expired_unmatched""".stripMargin)),
+
     // ---- keyless time-range join via band bucketing ----------------------
     // "views within ±30 min of each error, across ALL users" has no equi
     // key, so a naive join is a cartesian (BNLJ). The standard OSS range-

@@ -22,7 +22,13 @@ object ScaleStress {
       "ddp_near_dup_components", // iterative CC: one action/iteration
       "txt_tfidf_top_terms", "ddp_canonical_doc_selection",
       // write path: the Derby-backed upsert sink at scale
-      "cdc_jdbc_sink_state", "cdc_conflict_sink_state")
+      "cdc_jdbc_sink_state", "cdc_conflict_sink_state",
+      // layout + sketch-routing ops: the bucketed join re-lays-out the
+      // scaled fact tables each run (write cost included — that is the
+      // honest price of the zero-shuffle read), bloom dedup re-builds the
+      // corpus filter, k-means re-runs both Lloyd passes
+      "opt_bucketed_join_colocated", "ddp_bloom_incremental_dedup",
+      "sim_ivf_kmeans_refined")
     val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
     val spark = Engine.session("scale-stress",
