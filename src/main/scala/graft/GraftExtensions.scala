@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, GraftFunctions, HyperplaneLshBuckets, MinHashHex, NormalizeText, RollingHash, SimHash32}
+import graft.functions.{CosineSim, GraftFunctions, HyperplaneLshBuckets, MinHashHex, NormalizeText, RollingHash, SimHash32, ZOrder2}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
       (children: Seq[Expression]) => NormalizeText(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
+      (children: Seq[Expression]) => ZOrder2(children.head, children(1))))
   }
 }

@@ -112,13 +112,35 @@ object ScaleOpsQueries {
     GraftShims.column(new BloomFilterMightContain(
       GraftShims.expression(lit(bits)), GraftShims.expression(xxhash64(c))))
 
+  /** The calendar dimension for the DPP entry: distinct event dates with a
+    * weekend flag — stands in for the bounded dim table (a real calendar)
+    * whose filter prunes the fact's partitions at runtime.
+    */
+  private def calendarDim(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(to_date(col("ts")).as("event_date"))
+      .distinct()
+      // Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday
+      .withColumn("is_weekend", dayofweek(col("event_date")).isin(1, 7))
+
+  /** Selective-dim join shape for the runtime bloom filter entry. */
+  private[analytics] def runtimeBloomJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"), Q.dsum(col("l_extendedprice")).as("order_revenue"))
+
   // ---- Z-order interleave ------------------------------------------------
 
-  /** 32-bit Morton code over two 16-bit key projections. */
-  private def zOrderExpr(x: String, y: String): Column = expr(
-    s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT),
-       | (acc, i) -> acc + shiftleft(CAST((($x >> i) & 1) AS BIGINT), 2 * i)
-       |                 + shiftleft(CAST((($y >> i) & 1) AS BIGINT), 2 * i + 1))""".stripMargin)
+  /** 32-bit Morton code over two 16-bit key projections — the native
+    * codegen'd `ZOrder2` expression (four shift-mask steps per operand in
+    * whole-stage codegen; the equivalent SQL higher-order `aggregate`
+    * lambda interprets 16 iterations per row). The oracle keeps the HOF
+    * form — `ZOrderSpec` proves the two formulations bit-identical.
+    */
+  private def zOrderExpr(x: String, y: String): Column =
+    graft.functions.GraftFunctions.zorder2(col(x), col(y))
 
   def all: Seq[CatalogQuery] = Seq(
 
@@ -295,6 +317,68 @@ object ScaleOpsQueries {
         |  count(*) AS n_members
         |FROM a2 CROSS JOIN range(0, 64) r(i)
         |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- dynamic partition pruning --------------------------------------
+    // The runtime sibling of static pruning: the date filter lives on a
+    // DIMENSION table, so no literal predicate exists at plan time —
+    // Catalyst injects a dynamic-pruning subquery that evaluates the dim
+    // filter first and prunes the fact's date partitions at runtime
+    // (ScaleOpsSpec asserts the subquery is in the scan). At 100 TB this
+    // is how "join against the calendar table, weekends only" reads 2/7
+    // of the partitions instead of all of them.
+    CatalogQuery("opt_dynamic_partition_pruning", (s, d) => {
+      val ev = Tables.events(s, d).withColumn("event_date", to_date(col("ts")))
+      val dir = tmpDir("graft-dpp") + "/events_by_date"
+      ev.write.mode("overwrite").partitionBy("event_date").parquet(dir)
+      val out = tmpDir("graft-dpp-out") + "/result"
+      withConf(s,
+        // the fact side is tiny at harness SF; force the exchange-reuse
+        // DPP path rather than having the whole dim broadcast-folded away
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "100.0") {
+        val dim = calendarDim(s, d)
+        s.read.parquet(dir)
+          .join(dim.filter(col("is_weekend")), Seq("event_date"))
+          .groupBy(col("event_date"))
+          .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("total_value"))
+          .write.mode("overwrite").parquet(out)
+      }
+      s.read.parquet(out)
+    }, Some(
+      s"""WITH dim AS (
+         |  SELECT DISTINCT CAST(ts AS DATE) AS event_date,
+         |    dayofweek(CAST(ts AS DATE)) IN (0, 6) AS is_weekend
+         |  FROM events)
+         |SELECT e.event_date, count(*) AS n, ${Q.oSum("e.value")} AS total_value
+         |FROM (SELECT CAST(ts AS DATE) AS event_date, value FROM events) e
+         |JOIN dim ON e.event_date = dim.event_date AND dim.is_weekend
+         |GROUP BY 1""".stripMargin)),
+
+    // ---- runtime bloom-filter join pruning --------------------------------
+    // Catalyst's InjectRuntimeFilter: a selective filter on one join side
+    // becomes a bloom filter built at runtime and pushed into the OTHER
+    // side's scan, cutting the probe-side shuffle before the join — the
+    // optimizer-automated version of ddp_bloom_incremental_dedup's manual
+    // routing. Size thresholds are lowered inside the eager block (the
+    // harness tables are far below the 10 MB production default);
+    // ScaleOpsSpec asserts the bloom probe is in the executed plan.
+    CatalogQuery("opt_runtime_bloom_join", (s, d) => {
+      val out = tmpDir("graft-rbf") + "/result"
+      withConf(s,
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+        runtimeBloomJoin(s, d).write.mode("overwrite").parquet(out)
+      }
+      s.read.parquet(out)
+    }, Some(
+      s"""SELECT l.l_orderkey, count(*) AS n_items,
+         |  ${Q.oSum("l.l_extendedprice")} AS order_revenue
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderpriority = '1-URGENT'
+         |GROUP BY 1""".stripMargin)),
 
     // ---- frequent-items heavy hitters: sketch shortlist + exact verify ----
     // The same routing philosophy as the Bloom entry, for frequency: a

@@ -80,6 +80,10 @@ object GraftFunctions {
   def normalize_text(c: Column): Column =
     GraftShims.column(NormalizeText(GraftShims.expression(c)))
 
+  /** Morton interleave of two keys' low 16 bits (see ZOrder2). */
+  def zorder2(a: Column, b: Column): Column =
+    GraftShims.column(ZOrder2(GraftShims.expression(a), GraftShims.expression(b)))
+
   /** Register SQL names so `expr("rolling_hash(text)")` /
     * `expr("lsh_buckets(v, 8, 4)")` work too.
     */
@@ -96,6 +100,8 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "normalize_text", exprs => NormalizeText(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder2", exprs => ZOrder2(exprs.head, exprs(1)), "built-in")
   }
 
   private[graft] def minhashHexFromExprs(

@@ -171,6 +171,63 @@ class ScaleOpsSpec extends SparkSpec {
     assert(zb.subsetOf(scanned), s"unsound skip: box buckets ${zb -- scanned} skipped")
   }
 
+  test("native zorder2 is bit-identical to the SQL HOF formulation") {
+    val li = Tables.lineitem(spark, sf0001).limit(2000)
+    val both = li.select(
+      graft.functions.GraftFunctions.zorder2(col("l_orderkey"), col("l_partkey")).as("native"),
+      expr(
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT),
+          | (acc, i) -> acc + shiftleft(CAST(((l_orderkey >> i) & 1) AS BIGINT), 2 * i)
+          |   + shiftleft(CAST(((l_partkey >> i) & 1) AS BIGINT), 2 * i + 1))""".stripMargin)
+        .as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // and via the SQL front door
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT zorder2(5L, 3L) AS z").head.getLong(0) ==
+      (1L | 16L | 2L | 8L)) // x=101 -> z bits 0,4; y=011 -> z bits 1,3 = 27
+  }
+
+  test("dim-filtered join over partitioned fact uses dynamic partition pruning") {
+    val ev = Tables.events(spark, sf0001).withColumn("event_date", to_date(col("ts")))
+    val dir = java.nio.file.Files.createTempDirectory("scaleops-dpp").toString + "/ev"
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val dim = ev.select(col("event_date")).distinct()
+      .withColumn("is_weekend", dayofweek(col("event_date")).isin(1, 7))
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "100.0")
+    try {
+      val q = spark.read.parquet(dir)
+        .join(dim.filter(col("is_weekend")), Seq("event_date"))
+        .groupBy(col("event_date")).agg(count(lit(1)).as("n"))
+      assert(q.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+        "fact scan should carry a dynamic-pruning subquery filter")
+      q.collect()
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+  }
+
+  test("selective dim join injects a runtime bloom filter into the fact scan") {
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = ScaleOpsQueries.runtimeBloomJoin(spark, sf0001)
+      q.collect()
+      assert(q.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "probe side should be pre-filtered by the runtime bloom filter")
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("streaming watermark gate actually drops late rows") {
     val out = Catalog.queries("evt_stream_watermark_late_drop")(spark, sf0001)
     val emitted = out.agg(sum(col("n"))).head.getLong(0)
