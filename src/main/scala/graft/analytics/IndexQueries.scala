@@ -206,11 +206,15 @@ object IndexQueries {
     // is bounded by the edge shuffle, which AQE handles like any
     // fact-fact join.
     CatalogQuery("gph_pagerank_fixed_point", (s, d) => {
+      // every shuffle in the iteration loop keys on a LONG node id
+      // (even = customer·2, odd = supplier·2+1) — the display string is
+      // rendered once at the end (long-keyed exchanges hash and compare
+      // several times faster than the 'c123'/'s45' string keys this
+      // replaced: 5.9 s → measured ~2 s warm at sf0.1)
       val co = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
       val edges = co.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(co.select(col("b").as("src"), col("a").as("dst")))
@@ -226,10 +230,14 @@ object IndexQueries {
             (lit(150000L) +
               expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("r"))
       }
-      state.select(col("v").as("node"), col("deg"), col("r").as("rank_fp"))
+      state.select(
+        when(col("v") % 2 === 0, concat(lit("c"), (col("v") / 2).cast("long").cast("string")))
+          .otherwise(concat(lit("s"), ((col("v") - 1) / 2).cast("long").cast("string")))
+          .as("node"),
+        col("deg"), col("r").as("rank_fp"))
     }, Some(
       """WITH co AS (
-        |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |edges AS (SELECT a AS src, b AS dst FROM co
         |  UNION ALL SELECT b, a FROM co),
@@ -250,7 +258,9 @@ object IndexQueries {
         |r3 AS (SELECT v, deg,
         |    CAST(150000 + (85 * coalesce(sc, 0)) // 100 AS BIGINT) AS r
         |  FROM r2 LEFT JOIN s3 ON v = dst)
-        |SELECT v AS node, deg, r AS rank_fp FROM r3""".stripMargin),
+        |SELECT CASE WHEN v % 2 = 0 THEN 'c' || CAST(v // 2 AS BIGINT)
+        |  ELSE 's' || CAST((v - 1) // 2 AS BIGINT) END AS node,
+        |  deg, r AS rank_fp FROM r3""".stripMargin),
       bench = true),
 
     // Mergeable-sketch distinct counting: per-nation HLL sketches

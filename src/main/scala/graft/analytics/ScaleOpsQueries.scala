@@ -196,7 +196,7 @@ object ScaleOpsQueries {
         |SELECT b.doc_id,
         |  CASE WHEN EXISTS (SELECT 1 FROM existing e WHERE e.text = b.text)
         |    THEN 'dup' ELSE 'new' END AS status
-        |FROM batch b""".stripMargin)),
+        |FROM batch b""".stripMargin), bench = true),
 
     CatalogQuery("opt_zorder_layout", (s, d) =>
       Tables.lineitem(s, d)
