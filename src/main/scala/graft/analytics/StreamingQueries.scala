@@ -207,6 +207,82 @@ object StreamingQueries {
         |        AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS))
         |SELECT * FROM matched UNION ALL SELECT * FROM expired_unmatched""".stripMargin)),
 
+    // ---- stream-stream FULL OUTER join: both sides' expiry horizons ------
+    // Completes the streaming join matrix: unmatched SIGNUPS null-emit
+    // when the watermark passes signup_ts + 24 h (no purchase can still
+    // match), unmatched PURCHASES when it passes purchase_ts (no
+    // later-arriving signup can precede them — the condition's lower
+    // bound). Each side's horizon is encoded in the oracle; rows inside
+    // their horizon at stream end stay buffered and never null-emit.
+    CatalogQuery("evt_stream_full_outer_expiry", (s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft-ssfo").toString
+      val e = Tables.events(s, d)
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts").cast("timestamp").as("signup_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"),
+          col("event_id").as("purchase_id"),
+          col("ts").cast("timestamp").as("purchase_ts"))
+      signups.write.mode("overwrite").parquet(s"$work/signups")
+      purchases.write.mode("overwrite").parquet(s"$work/purchases")
+      val sStream = s.readStream.schema(signups.schema).parquet(s"$work/signups")
+        .withWatermark("signup_ts", "1 hour")
+      val pStream = s.readStream.schema(purchases.schema).parquet(s"$work/purchases")
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = sStream.join(pStream,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 24 HOURS"),
+        "full_outer")
+        .select(coalesce(col("user_id"), col("p_user_id")).as("uid"),
+          col("signup_id"), col("purchase_id"),
+          col("signup_ts").cast("timestamp_ntz").as("signup_ts"),
+          col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"))
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out")
+    }, Some(
+      """WITH wm AS (
+        |  SELECT (least(
+        |      (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'signup'),
+        |      (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'purchase'))
+        |    - 3600000) * 1000 AS wmf_us),
+        |matched AS (
+        |  SELECT s.user_id AS uid, s.event_id AS signup_id, p.event_id AS purchase_id,
+        |    s.ts AS signup_ts, p.ts AS purchase_ts
+        |  FROM events s JOIN events p
+        |    ON s.user_id = p.user_id AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        |    AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS),
+        |left_expired AS (
+        |  SELECT s.user_id AS uid, s.event_id AS signup_id, NULL::BIGINT AS purchase_id,
+        |    s.ts AS signup_ts, NULL::TIMESTAMP AS purchase_ts
+        |  FROM events s, wm
+        |  WHERE s.event_type = 'signup'
+        |    AND epoch_us(s.ts) + 86400000000::BIGINT < wm.wmf_us
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM events p
+        |      WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+        |        AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS)),
+        |right_expired AS (
+        |  SELECT p.user_id AS uid, NULL::BIGINT AS signup_id, p.event_id AS purchase_id,
+        |    NULL::TIMESTAMP AS signup_ts, p.ts AS purchase_ts
+        |  FROM events p, wm
+        |  WHERE p.event_type = 'purchase'
+        |    AND epoch_us(p.ts) < wm.wmf_us
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM events s
+        |      WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+        |        AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS))
+        |SELECT * FROM matched
+        |UNION ALL SELECT * FROM left_expired
+        |UNION ALL SELECT * FROM right_expired""".stripMargin)),
+
     // ---- keyless time-range join via band bucketing ----------------------
     // "views within ±30 min of each error, across ALL users" has no equi
     // key, so a naive join is a cartesian (BNLJ). The standard OSS range-

@@ -17,7 +17,9 @@ class DeterminismSpec extends SparkSpec {
     "ddp_embed_cosine_pairs",      // LSH candidates + rounded cosine
     "evt_session_windows",         // session assembly + decimal sums
     "agg_two_phase_skew",          // salted partial aggregation
-    "agg_exact_percentiles")       // interpolated quantiles
+    "agg_exact_percentiles",       // interpolated quantiles
+    "qa_value_outliers",           // sqrt-derived 3-sigma threshold compare
+    "sim_ivf_kmeans_refined")      // integer Lloyd loop, window tie-breaks
 
   test("float-heavy queries collect identical results across independent runs") {
     floatHeavy.foreach { name =>

@@ -209,6 +209,7 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("selective dim join injects a runtime bloom filter into the fact scan") {
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
@@ -223,7 +224,7 @@ class ScaleOpsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
       spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
       spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
