@@ -91,8 +91,12 @@ object QualityQueries {
         sum(Q.dec(col("value")) * Q.dec(col("value"))).as("s2"))
         .select(col("event_type"),
           (col("s1").cast("double") / col("n")).as("mean_v"),
-          sqrt(col("s2").cast("double") / col("n") -
-            (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")))
+          // IEEE cancellation can push a ~0 variance fractionally negative:
+          // Spark's sqrt would return NaN but DuckDB ERRORS — clamp on
+          // both sides so near-constant groups degrade identically
+          sqrt(greatest(col("s2").cast("double") / col("n") -
+            (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")),
+            lit(0.0)))
             .as("sd_v"))
       e.join(stats, Seq("event_type"))
         .filter(col("value") > col("mean_v") + lit(3.0) * col("sd_v"))
@@ -101,9 +105,9 @@ object QualityQueries {
       s"""WITH stats AS (
          |  SELECT event_type,
          |    CAST(sum(${Q.oDec("value")}) AS DOUBLE) / count(*) AS mean_v,
-         |    sqrt(CAST(sum(${Q.oDec("value")} * ${Q.oDec("value")}) AS DOUBLE) / count(*)
+         |    sqrt(greatest(CAST(sum(${Q.oDec("value")} * ${Q.oDec("value")}) AS DOUBLE) / count(*)
          |      - (CAST(sum(${Q.oDec("value")}) AS DOUBLE) / count(*))
-         |        * (CAST(sum(${Q.oDec("value")}) AS DOUBLE) / count(*))) AS sd_v
+         |        * (CAST(sum(${Q.oDec("value")}) AS DOUBLE) / count(*)), 0.0)) AS sd_v
          |  FROM events GROUP BY 1)
          |SELECT e.event_id, e.event_type, e.value
          |FROM events e JOIN stats s USING (event_type)

@@ -97,16 +97,17 @@ object ScaleOpsQueries {
     * needed); only bloom-positive rows — true dups + the small FP
     * fraction — pay the verify join against the corpus.
     */
-  private[analytics] def bloomBits(s: SparkSession, existing: DataFrame): Array[Byte] = {
-    val nExist = existing.count()
+  private[analytics] def bloomBits(s: SparkSession, existing: DataFrame): Array[Byte] =
+    // expectedNumItems is a CONFIG constant, not a measured count — it only
+    // tunes numHashFunctions (false-negative-freedom never depends on it),
+    // and counting the corpus first would add a full extra scan per batch
     existing.select(GraftShims.column(
       new BloomFilterAggregate(
         GraftShims.expression(xxhash64(col("text"))),
-        Literal(math.max(nExist * 4, 1L << 16)), // expected items: headroom for growth
+        Literal(1L << 22), // ~4M expected items
         Literal(1L << 23)) // 8 Mbit = 1 MB — bounded by CONFIG, not corpus size
         .toAggregateExpression()).as("bf"))
       .head.getAs[Array[Byte]](0)
-  }
 
   private[analytics] def mightContain(bits: Array[Byte], c: Column): Column =
     GraftShims.column(new BloomFilterMightContain(
@@ -168,23 +169,28 @@ object ScaleOpsQueries {
       // arithmetic) so cross-batch dups deterministically exist
       val existing = docs.filter(col("doc_id") % 3 =!= 0)
       val donor = docs.select(col("doc_id").as("donor_id"), col("text").as("donor_text"))
-      val batch = docs.filter(col("doc_id") % 3 === 0)
+      // materialize the arriving batch once: both routing branches below
+      // read these files instead of re-running the donor join per branch
+      val batchDir = tmpDir("graft-bloom-batch") + "/batch"
+      docs.filter(col("doc_id") % 3 === 0)
         .join(donor, col("doc_id") + 1 === col("donor_id"), "left")
         .select(col("doc_id"),
           when(col("doc_id") % 2 === 0 && col("donor_text").isNotNull, col("donor_text"))
             .otherwise(col("text")).as("text"))
+        .write.mode("overwrite").parquet(batchDir)
+      val batch = s.read.parquet(batchDir)
       val bits = bloomBits(s, existing)
       val maybe = mightContain(bits, col("text"))
       // bloom-negative: definitely new, NO corpus join touches these rows
       val sureNew = batch.filter(!maybe)
         .select(col("doc_id"), lit("new").as("status"))
-      val candidates = batch.filter(maybe)
-      val corpusTexts = existing.select(col("text")).distinct()
-      val dups = candidates.join(corpusTexts, Seq("text"), "left_semi")
-        .select(col("doc_id"), lit("dup").as("status"))
-      val fpNew = candidates.join(corpusTexts, Seq("text"), "left_anti")
-        .select(col("doc_id"), lit("new").as("status"))
-      sureNew.unionByName(dups).unionByName(fpNew)
+      // one left join labels true dups AND the bloom's false positives
+      val labeled = batch.filter(maybe)
+        .join(existing.select(col("text")).distinct()
+          .withColumn("in_corpus", lit(true)), Seq("text"), "left")
+        .select(col("doc_id"),
+          when(col("in_corpus"), lit("dup")).otherwise(lit("new")).as("status"))
+      sureNew.unionByName(labeled)
     }, Some(
       """WITH existing AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
         |batch AS (

@@ -16,6 +16,41 @@ import Q._
   */
 object StreamingQueries {
 
+  /** Stage a bounded side as parquet and re-open it as a watermarked file
+    * stream — the shared scaffolding of the stream-stream join entries.
+    */
+  private def stagedStream(s: SparkSession, work: String, df: DataFrame,
+      name: String, watermarkCol: String): DataFrame = {
+    df.write.mode("overwrite").parquet(s"$work/$name")
+    s.readStream.schema(df.schema).parquet(s"$work/$name")
+      .withWatermark(watermarkCol, "1 hour")
+  }
+
+  /** Run a streaming DataFrame to completion (AvailableNow, append mode)
+    * and read the parquet result back as the gated answer.
+    */
+  private def runStreamToParquet(s: SparkSession, work: String,
+      joined: DataFrame): DataFrame = {
+    val q = joined.writeStream.format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+  }
+
+  private def signupSide(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").cast("timestamp").as("signup_ts"))
+
+  private val intervalCond =
+    col("user_id") === col("p_user_id") &&
+      col("purchase_ts") >= col("signup_ts") &&
+      col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 24 HOURS")
+
   def all: Seq[CatalogQuery] = Seq(
 
     // ---- tumbling window -------------------------------------------------
@@ -107,35 +142,16 @@ object StreamingQueries {
     // still fully engaged in the plan.
     CatalogQuery("evt_stream_interval_join", (s, d) => {
       val work = java.nio.file.Files.createTempDirectory("graft-ssj").toString
-      val e = Tables.events(s, d)
-      val signups = e.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("event_id").as("signup_id"),
-          col("ts").cast("timestamp").as("signup_ts"))
-      val purchases = e.filter(col("event_type") === "purchase")
+      val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user_id"),
           col("ts").cast("timestamp").as("purchase_ts"), col("value"))
-      signups.write.mode("overwrite").parquet(s"$work/signups")
-      purchases.write.mode("overwrite").parquet(s"$work/purchases")
-      val sStream = s.readStream.schema(signups.schema).parquet(s"$work/signups")
-        .withWatermark("signup_ts", "1 hour")
-      val pStream = s.readStream.schema(purchases.schema).parquet(s"$work/purchases")
-        .withWatermark("purchase_ts", "1 hour")
-      val joined = sStream.join(pStream,
-        col("user_id") === col("p_user_id") &&
-          col("purchase_ts") >= col("signup_ts") &&
-          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 24 HOURS"))
+      val joined = stagedStream(s, work, signupSide(s, d), "signups", "signup_ts")
+        .join(stagedStream(s, work, purchases, "purchases", "purchase_ts"), intervalCond)
         .select(col("user_id"), col("signup_id"),
           col("signup_ts").cast("timestamp_ntz").as("signup_ts"),
           col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
           col("value"))
-      val q = joined.writeStream.format("parquet")
-        .option("path", s"$work/out")
-        .option("checkpointLocation", s"$work/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$work/out")
+      runStreamToParquet(s, work, joined)
     }, Some(
       """SELECT s.user_id, s.event_id AS signup_id, s.ts AS signup_ts,
         |  p.ts AS purchase_ts, p.value
@@ -153,36 +169,17 @@ object StreamingQueries {
     // oracle encodes exactly that horizon.
     CatalogQuery("evt_stream_outer_join_expiry", (s, d) => {
       val work = java.nio.file.Files.createTempDirectory("graft-ssoj").toString
-      val e = Tables.events(s, d)
-      val signups = e.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("event_id").as("signup_id"),
-          col("ts").cast("timestamp").as("signup_ts"))
-      val purchases = e.filter(col("event_type") === "purchase")
+      val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user_id"),
           col("ts").cast("timestamp").as("purchase_ts"), col("value"))
-      signups.write.mode("overwrite").parquet(s"$work/signups")
-      purchases.write.mode("overwrite").parquet(s"$work/purchases")
-      val sStream = s.readStream.schema(signups.schema).parquet(s"$work/signups")
-        .withWatermark("signup_ts", "1 hour")
-      val pStream = s.readStream.schema(purchases.schema).parquet(s"$work/purchases")
-        .withWatermark("purchase_ts", "1 hour")
-      val joined = sStream.join(pStream,
-        col("user_id") === col("p_user_id") &&
-          col("purchase_ts") >= col("signup_ts") &&
-          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 24 HOURS"),
-        "left_outer")
+      val joined = stagedStream(s, work, signupSide(s, d), "signups", "signup_ts")
+        .join(stagedStream(s, work, purchases, "purchases", "purchase_ts"),
+          intervalCond, "left_outer")
         .select(col("user_id"), col("signup_id"),
           col("signup_ts").cast("timestamp_ntz").as("signup_ts"),
           col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
           col("value"))
-      val q = joined.writeStream.format("parquet")
-        .option("path", s"$work/out")
-        .option("checkpointLocation", s"$work/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$work/out")
+      runStreamToParquet(s, work, joined)
     }, Some(
       """WITH wm AS (
         |  SELECT (least(
@@ -216,37 +213,18 @@ object StreamingQueries {
     // their horizon at stream end stay buffered and never null-emit.
     CatalogQuery("evt_stream_full_outer_expiry", (s, d) => {
       val work = java.nio.file.Files.createTempDirectory("graft-ssfo").toString
-      val e = Tables.events(s, d)
-      val signups = e.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("event_id").as("signup_id"),
-          col("ts").cast("timestamp").as("signup_ts"))
-      val purchases = e.filter(col("event_type") === "purchase")
+      val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user_id"),
           col("event_id").as("purchase_id"),
           col("ts").cast("timestamp").as("purchase_ts"))
-      signups.write.mode("overwrite").parquet(s"$work/signups")
-      purchases.write.mode("overwrite").parquet(s"$work/purchases")
-      val sStream = s.readStream.schema(signups.schema).parquet(s"$work/signups")
-        .withWatermark("signup_ts", "1 hour")
-      val pStream = s.readStream.schema(purchases.schema).parquet(s"$work/purchases")
-        .withWatermark("purchase_ts", "1 hour")
-      val joined = sStream.join(pStream,
-        col("user_id") === col("p_user_id") &&
-          col("purchase_ts") >= col("signup_ts") &&
-          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 24 HOURS"),
-        "full_outer")
+      val joined = stagedStream(s, work, signupSide(s, d), "signups", "signup_ts")
+        .join(stagedStream(s, work, purchases, "purchases", "purchase_ts"),
+          intervalCond, "full_outer")
         .select(coalesce(col("user_id"), col("p_user_id")).as("uid"),
           col("signup_id"), col("purchase_id"),
           col("signup_ts").cast("timestamp_ntz").as("signup_ts"),
           col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"))
-      val q = joined.writeStream.format("parquet")
-        .option("path", s"$work/out")
-        .option("checkpointLocation", s"$work/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$work/out")
+      runStreamToParquet(s, work, joined)
     }, Some(
       """WITH wm AS (
         |  SELECT (least(

@@ -13,14 +13,18 @@ import org.apache.spark.sql.functions._
   */
 class ScaleOpsSpec extends SparkSpec {
 
-  private def finalPlan(p: SparkPlan): SparkPlan = p match {
-    case a: AdaptiveSparkPlanExec => a.executedPlan
-    case other => other
-  }
-
+  /** Walk the AQE-final plan INCLUDING query-stage subtrees and subqueries.
+    * QueryStageExec is leaf-like (its subtree hangs off a field, not
+    * `children`), so a naive plan.collect silently misses every exchange
+    * AQE has already wrapped — reuse ExplainAudit's stage-crossing walk.
+    */
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
-    val here = finalPlan(p)
-    here.collect(pf) ++ here.subqueries.flatMap(collectAll(_)(pf))
+    val here = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    graft.tools.ExplainAudit.collectPhysical(here)(pf) ++
+      here.subqueries.flatMap(collectAll(_)(pf))
   }
 
   test("bucketed co-located join + agg runs with ZERO shuffle exchanges") {
