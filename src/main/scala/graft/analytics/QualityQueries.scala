@@ -113,6 +113,60 @@ object QualityQueries {
          |FROM events e JOIN stats s USING (event_type)
          |WHERE e.value > s.mean_v + 3.0 * s.sd_v""".stripMargin)),
 
+    // ---- referential-integrity audit --------------------------------------
+    // FK orphan counts across the star schema's two load-bearing edges,
+    // via anti-joins (each a broadcast- or shuffle-pruned semi shape, no
+    // full materialization of the violating rows). The replication
+    // verifier's (/root/reference cmd/verifier) relational cousin: after
+    // replicating N tables, prove the keys still line up.
+    CatalogQuery("qa_referential_integrity", (s, d) => {
+      val orphanLineitems = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+      val orphanOrders = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+      orphanLineitems.agg(count(lit(1)).as("n_violations"))
+        .withColumn("fk_edge", lit("lineitem->orders"))
+        .unionByName(orphanOrders.agg(count(lit(1)).as("n_violations"))
+          .withColumn("fk_edge", lit("orders->customer")))
+        .select(col("fk_edge"), col("n_violations"))
+    }, Some(
+      """SELECT 'lineitem->orders' AS fk_edge, count(*) AS n_violations
+        |FROM lineitem WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT 'orders->customer', count(*)
+        |FROM orders WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer WHERE c_custkey = o_custkey)""".stripMargin)),
+
+    // ---- retention cohorts -------------------------------------------------
+    // The canonical product-analytics matrix: users grouped by first-seen
+    // day (cohort), counted distinct on each later activity day offset.
+    // Two aggregations, both keyed on user_id then (cohort, offset) — no
+    // self-join of the events table against itself.
+    CatalogQuery("evt_retention_cohorts", (s, d) => {
+      val firstDay = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("active_day"))
+        .distinct()
+        .join(firstDay, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("active_day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }, Some(
+      """WITH fd AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events)
+        |SELECT cohort_day, date_diff('day', cohort_day, active_day) AS day_offset,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM act JOIN fd USING (user_id)
+        |GROUP BY 1, 2""".stripMargin)),
+
     // ---- parse-and-quarantine routing -------------------------------------
     // The ingest pattern for dirty data: rows whose payload fails to parse
     // are routed to a quarantine label instead of poisoning the batch (or
