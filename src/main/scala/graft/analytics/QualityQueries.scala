@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality / expectation operators (Deequ-style) — the audit pass a
@@ -166,6 +167,44 @@ object QualityQueries {
         |  count(DISTINCT user_id) AS n_active
         |FROM act JOIN fd USING (user_id)
         |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- RFM segmentation --------------------------------------------------
+    // Recency/frequency/monetary quartiles per user over purchase events —
+    // the standard audience-segmentation op. Exact ntile quartiles over
+    // the per-user aggregate (15k rows per 10M events: the windowed stage
+    // runs on the REDUCED table, the wide stage is one keyed agg).
+    // Deterministic: every ntile orders by (metric, user_id).
+    CatalogQuery("evt_rfm_segmentation", (s, d) => {
+      val maxTs = Tables.events(s, d).agg(max(col("ts"))).head.getAs[Any](0)
+      val perUser = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(datediff(lit(maxTs).cast("date"), max(to_date(col("ts")))).cast("long")
+            .as("recency_days"),
+          count(lit(1)).as("frequency"),
+          Q.dsum(col("value")).as("monetary"))
+      perUser
+        .withColumn("r_q", ntile(4).over(
+          Window.orderBy(col("recency_days"), col("user_id"))).cast("long"))
+        .withColumn("f_q", ntile(4).over(
+          Window.orderBy(col("frequency").desc, col("user_id"))).cast("long"))
+        .withColumn("m_q", ntile(4).over(
+          Window.orderBy(col("monetary").desc, col("user_id"))).cast("long"))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"), col("r_q"), col("f_q"), col("m_q"))
+    }, Some(
+      """WITH mx AS (SELECT CAST(max(ts) AS DATE) AS max_day FROM events),
+        |per_user AS (
+        |  SELECT user_id,
+        |    date_diff('day', max(CAST(ts AS DATE)), (SELECT max_day FROM mx)) AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  ntile(4) OVER (ORDER BY recency_days, user_id) AS r_q,
+        |  ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+        |  ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+        |FROM per_user""".stripMargin)),
 
     // ---- parse-and-quarantine routing -------------------------------------
     // The ingest pattern for dirty data: rows whose payload fails to parse

@@ -469,6 +469,29 @@ object ScaleOpsQueries {
     }, Some(
       "SELECT user_id, event_type, ts, value FROM events")),
 
+    // ---- small-file compaction --------------------------------------------
+    // The operational half of layout management: a landing zone of many
+    // tiny files (one per micro-batch per partition — simulated by a
+    // 64-way split write) compacted to size-targeted files. The gate
+    // proves the rewrite lossless; ScaleOpsSpec asserts the file-count
+    // collapse. At 100 TB the small-file problem IS a throughput problem:
+    // every scan pays per-file open/footer costs, and the name node (or
+    // object-store listing) pays the metadata.
+    CatalogQuery("opt_small_file_compaction", (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val base = tmpDir("graft-compact")
+      ev.repartition(64).write.mode("overwrite").parquet(s"$base/landing")
+      // compaction = read landing zone, coalesce to the target file count
+      // (size-based in production: bytes/target ≈ files; AQE's coalesce
+      // does the same for shuffle outputs)
+      s.read.parquet(s"$base/landing")
+        .coalesce(2)
+        .write.mode("overwrite").parquet(s"$base/compacted")
+      s.read.parquet(s"$base/compacted")
+    }, Some(
+      "SELECT event_id, user_id, event_type, value FROM events")),
+
     // ---- streaming watermark: late-data drop ------------------------------
     // A REAL three-batch file stream (file order pinned by modification
     // time): batch 0 = on-time traffic of the first 14 days, batch 1 = the
