@@ -14,7 +14,17 @@ import Q._
   * StreamingSpec; batch and streaming share the event-time semantics, so
   * the oracle checks here cover both formulations.
   */
+/** Typed rows for the Dataset[T] sessionization entry (TimestampNTZ maps
+  * to java.time.LocalDateTime in the encoder).
+  */
+case class TypedEv(user_id: Long, ts: java.time.LocalDateTime, value: Double)
+case class TypedSession(user_id: Long, session_start: java.time.LocalDateTime,
+    n_events: Long, session_value: Double)
+
 object StreamingQueries {
+
+  private implicit val ldtOrdering: Ordering[java.time.LocalDateTime] =
+    Ordering.fromLessThan(_.isBefore(_))
 
   /** Stage a bounded side as parquet and re-open it as a watermarked file
     * stream — the shared scaffolding of the stream-stream join entries.
@@ -96,6 +106,58 @@ object StreamingQueries {
            |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
            |  ${oSum("value")} AS session_value
            |FROM sessions GROUP BY user_id, sess_id""".stripMargin), bench = true),
+
+    // ---- typed sessionization (Dataset[T] + groupByKey/flatMapGroups) -----
+    // The same 10-minute-gap sessions as evt_session_windows, computed on
+    // the TYPED API: case-class encoders, groupByKey on the user, one
+    // in-memory sort + linear walk per group (per-user event counts bound
+    // the buffer — the justified mapGroups case: genuinely imperative
+    // per-key logic). Money stays exact via BigDecimal inside the walk,
+    // surfaced as double once — the same decimal-then-double scheme as the
+    // declarative twin, so BOTH formulations gate against one oracle.
+    CatalogQuery("evt_session_typed_mapgroups", (s, d) => {
+      import s.implicits._
+      val gapUs = 600000000L
+      val typed = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("value")).as[TypedEv]
+      typed.groupByKey(_.user_id)
+        .flatMapGroups { (uid, evs) =>
+          val sorted = evs.toArray.sortBy(e => (e.ts, e.value))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TypedSession]
+          var start: java.time.LocalDateTime = null
+          var last: java.time.LocalDateTime = null
+          var n = 0L
+          var sum = BigDecimal(0)
+          def usBetween(a: java.time.LocalDateTime, b: java.time.LocalDateTime): Long =
+            java.time.Duration.between(a, b).toNanos / 1000L
+          def flush(): Unit = if (n > 0)
+            out += TypedSession(uid, start, n, sum.toDouble)
+          sorted.foreach { e =>
+            if (last == null || usBetween(last, e.ts) > gapUs) {
+              flush(); start = e.ts; n = 0; sum = BigDecimal(0)
+            }
+            last = e.ts; n += 1
+            sum += BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          }
+          flush()
+          out
+        }
+        .toDF()
+        .select(col("user_id"), col("session_start"), col("n_events"),
+          col("session_value"))
+    }, Some(
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000 THEN 1 ELSE 0 END AS new_sess
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sessions AS (
+         |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS sess_id
+         |  FROM flagged)
+         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+         |  ${oSum("value")} AS session_value
+         |FROM sessions GROUP BY user_id, sess_id""".stripMargin)),
 
     // ---- stream dedup (deterministic keep-first per key) ------------------
     CatalogQuery("evt_dedup_first_per_user_type", (s, d) => {
