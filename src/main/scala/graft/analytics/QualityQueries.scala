@@ -206,6 +206,34 @@ object QualityQueries {
         |  ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
         |FROM per_user""".stripMargin)),
 
+    // ---- language-ID confusion matrix --------------------------------------
+    // Declared label vs detected language cross-tab with per-cell share of
+    // the declared label's row mass — the eval that tells you whether the
+    // lang column upstream can be trusted before you filter 100 TB on it.
+    // One scan + one two-key aggregate + a window over the tiny cross-tab.
+    CatalogQuery("txt_langid_confusion", (s, d) => {
+      val pred = when(
+        graft.functions.TextAnalysis.stopwordRatio(col("text"), Seq("the", "a")) >= 0.08,
+        lit("enish")).otherwise(lit("other"))
+      val cells = Tables.documents(s, d)
+        .select(col("lang").as("declared"), pred.as("detected"))
+        .groupBy(col("declared"), col("detected"))
+        .agg(count(lit(1)).as("n"))
+      cells.withColumn("share_of_declared",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("declared"))).cast("double"))
+    }, Some(
+      """WITH cells AS (
+        |  SELECT lang AS declared,
+        |    CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) >= 0.08 THEN 'enish' ELSE 'other' END AS detected,
+        |    count(*) AS n
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT declared, detected, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY declared) AS DOUBLE)
+        |    AS share_of_declared
+        |FROM cells""".stripMargin)),
+
     // ---- parse-and-quarantine routing -------------------------------------
     // The ingest pattern for dirty data: rows whose payload fails to parse
     // are routed to a quarantine label instead of poisoning the batch (or

@@ -587,6 +587,58 @@ object TrainingQueries {
          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          |    / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.9""".stripMargin)),
 
+    // ---- dedup-pipeline evaluation against the planted ground truth ------
+    // The harness KNOWS which near-dup pairs exist (every 10th doc is
+    // re-inserted under id+1e6), so the whole LSH→verify pipeline gets an
+    // eval harness: recall = recovered planted pairs / planted pairs,
+    // plus the extra-pair count (organic near-dups surfaced beyond the
+    // planted set — not false positives, every output pair passed the
+    // exact Jaccard≥0.9 verify). The eval a production dedup run does
+    // against a labeled sample before trusting the pipeline on 100 TB.
+    CatalogQuery("ddp_dedup_eval", (s, d) => {
+      val recovered = Catalog.queries("ddp_near_dup_end2end")(s, d)
+      val planted = docsPlus(s, d)
+        .filter(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("doc_a"), col("doc_id").as("doc_b"))
+      val hit = recovered.join(planted, Seq("doc_a", "doc_b"), "left_semi")
+      val nPlanted = planted.agg(count(lit(1)).as("c"))
+      val nHit = hit.agg(count(lit(1)).as("c"))
+      val nOut = recovered.agg(count(lit(1)).as("c"))
+      nPlanted.select(col("c").as("n_planted"))
+        .crossJoin(nHit.select(col("c").as("n_recovered")))
+        .crossJoin(nOut.select(col("c").as("n_output_pairs")))
+        .select(col("n_planted"), col("n_recovered"), col("n_output_pairs"),
+          (col("n_recovered").cast("double") / col("n_planted")).as("recall"))
+    }, Some(
+      s"""WITH dp AS ($duckDocsPlus),
+         |sigs AS (SELECT doc_id, ${Similarity.minhashDuck("text", 9)} AS sig FROM dp),
+         |bands AS (SELECT doc_id, j AS band,
+         |    md5(sig[3*j+1] || sig[3*j+2] || sig[3*j+3]) AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2]) AS j) u),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sh AS (SELECT doc_id, list_distinct(${Similarity.shinglesDuck("text")}) AS sh FROM dp),
+         |recovered AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |    JOIN sh sa ON sa.doc_id = doc_a
+         |    JOIN sh sb ON sb.doc_id = doc_b
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.9),
+         |planted AS (
+         |  SELECT doc_id - 1000000 AS doc_a, doc_id AS doc_b FROM dp
+         |  WHERE doc_id >= 1000000)
+         |SELECT
+         |  (SELECT count(*) FROM planted) AS n_planted,
+         |  (SELECT count(*) FROM recovered r
+         |     WHERE EXISTS (SELECT 1 FROM planted p
+         |       WHERE p.doc_a = r.doc_a AND p.doc_b = r.doc_b)) AS n_recovered,
+         |  (SELECT count(*) FROM recovered) AS n_output_pairs,
+         |  CAST((SELECT count(*) FROM recovered r
+         |     WHERE EXISTS (SELECT 1 FROM planted p
+         |       WHERE p.doc_a = r.doc_a AND p.doc_b = r.doc_b)) AS DOUBLE)
+         |    / (SELECT count(*) FROM planted) AS recall""".stripMargin)),
+
     // ---- near-dup clustering: connected components over candidate pairs --
     // Dedup pipelines need CLUSTERS, not pairs: each component of the
     // near-dup graph keeps one representative. Spark side = iterative

@@ -170,4 +170,24 @@ class FunctionsSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("\u00c7a Va Tr\u00e8s Bien"))
     assert(direct.toString == "ca va tres bien")
   }
+  test("zorder2: randomized bit-by-bit reference agreement + monotone box bound") {
+    import org.scalacheck.Gen
+    def reference(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val gen = for {
+      x <- Gen.choose(0L, 65535L); y <- Gen.choose(0L, 65535L)
+    } yield (x, y)
+    val seed = org.scalacheck.rng.Seed(42L)
+    Iterator.iterate((seed, 0)) { case (sd, n) => (sd.next, n + 1) }
+      .take(500).foreach { case (sd, _) =>
+        val (x, y) = gen.pureApply(org.scalacheck.Gen.Parameters.default, sd)
+        assert(ZOrder2.interleave(x, y) == reference(x, y), s"($x, $y)")
+        // box bound: both coords < 2^k  =>  z < 2^(2k)
+        val k = 64 - java.lang.Long.numberOfLeadingZeros(math.max(x, y) | 1L)
+        assert(ZOrder2.interleave(x, y) < (1L << (2 * k)), s"box bound ($x, $y)")
+      }
+  }
+
 }
