@@ -175,14 +175,20 @@ object QualityQueries {
     // runs on the REDUCED table, the wide stage is one keyed agg).
     // Deterministic: every ntile orders by (metric, user_id).
     CatalogQuery("evt_rfm_segmentation", (s, d) => {
-      val maxTs = Tables.events(s, d).agg(max(col("ts"))).head.getAs[Any](0)
+      // the as-of day stays IN-PLAN as a broadcast 1-row aggregate (the
+      // same scalar-subquery shape the oracle uses) — no eager driver
+      // action, the whole entry remains one lazy plan
+      val maxDay = Tables.events(s, d).agg(max(to_date(col("ts"))).as("max_day"))
       val perUser = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
-        .agg(datediff(lit(maxTs).cast("date"), max(to_date(col("ts")))).cast("long")
-            .as("recency_days"),
+        .agg(max(to_date(col("ts"))).as("last_day"),
           count(lit(1)).as("frequency"),
           Q.dsum(col("value")).as("monetary"))
+        .crossJoin(broadcast(maxDay))
+        .select(col("user_id"),
+          datediff(col("max_day"), col("last_day")).cast("long").as("recency_days"),
+          col("frequency"), col("monetary"))
       perUser
         .withColumn("r_q", ntile(4).over(
           Window.orderBy(col("recency_days"), col("user_id"))).cast("long"))
@@ -212,9 +218,7 @@ object QualityQueries {
     // lang column upstream can be trusted before you filter 100 TB on it.
     // One scan + one two-key aggregate + a window over the tiny cross-tab.
     CatalogQuery("txt_langid_confusion", (s, d) => {
-      val pred = when(
-        graft.functions.TextAnalysis.stopwordRatio(col("text"), Seq("the", "a")) >= 0.08,
-        lit("enish")).otherwise(lit("other"))
+      val pred = graft.functions.TextAnalysis.predLangEnish(col("text"))
       val cells = Tables.documents(s, d)
         .select(col("lang").as("declared"), pred.as("detected"))
         .groupBy(col("declared"), col("detected"))

@@ -124,6 +124,24 @@ object ScaleOpsQueries {
       // Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday
       .withColumn("is_weekend", dayofweek(col("event_date")).isin(1, 7))
 
+  /** The compaction pipeline the catalog entry AND ScaleOpsSpec both
+    * drive: fragment the events into a 64-file landing zone, compact to
+    * the 2-file target. Returns the base dir (landing/ + compacted/).
+    * Compaction = read + coalesce to the target count (size-based in
+    * production: bytes/target ≈ files — the same move AQE's partition
+    * coalescing makes for shuffle outputs).
+    */
+  private[analytics] def compactionRun(s: SparkSession, d: String): String = {
+    val base = tmpDir("graft-compact")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(64).write.mode("overwrite").parquet(s"$base/landing")
+    s.read.parquet(s"$base/landing")
+      .coalesce(2)
+      .write.mode("overwrite").parquet(s"$base/compacted")
+    base
+  }
+
   /** Selective-dim join shape for the runtime bloom filter entry. */
   private[analytics] def runtimeBloomJoin(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -477,20 +495,9 @@ object ScaleOpsQueries {
     // collapse. At 100 TB the small-file problem IS a throughput problem:
     // every scan pays per-file open/footer costs, and the name node (or
     // object-store listing) pays the metadata.
-    CatalogQuery("opt_small_file_compaction", (s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      val base = tmpDir("graft-compact")
-      ev.repartition(64).write.mode("overwrite").parquet(s"$base/landing")
-      // compaction = read landing zone, coalesce to the target file count
-      // (size-based in production: bytes/target ≈ files; AQE's coalesce
-      // does the same for shuffle outputs)
-      s.read.parquet(s"$base/landing")
-        .coalesce(2)
-        .write.mode("overwrite").parquet(s"$base/compacted")
-      s.read.parquet(s"$base/compacted")
-    }, Some(
-      "SELECT event_id, user_id, event_type, value FROM events")),
+    CatalogQuery("opt_small_file_compaction", (s, d) =>
+      s.read.parquet(s"${compactionRun(s, d)}/compacted"),
+      Some("SELECT event_id, user_id, event_type, value FROM events")),
 
     // ---- streaming watermark: late-data drop ------------------------------
     // A REAL three-batch file stream (file order pinned by modification

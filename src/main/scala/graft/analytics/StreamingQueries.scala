@@ -128,8 +128,14 @@ object StreamingQueries {
           var last: java.time.LocalDateTime = null
           var n = 0L
           var sum = BigDecimal(0)
-          def usBetween(a: java.time.LocalDateTime, b: java.time.LocalDateTime): Long =
-            java.time.Duration.between(a, b).toNanos / 1000L
+          // micros from (seconds, nanos) directly: Duration.toNanos throws
+          // on gaps > ~292 years (a sentinel/corrupt timestamp would kill
+          // the query), and toMillis would drop the sub-ms precision the
+          // 600-second gap comparison is exact in
+          def usBetween(a: java.time.LocalDateTime, b: java.time.LocalDateTime): Long = {
+            val dur = java.time.Duration.between(a, b)
+            dur.getSeconds * 1000000L + dur.getNano / 1000L
+          }
           def flush(): Unit = if (n > 0)
             out += TypedSession(uid, start, n, sum.toDouble)
           sorted.foreach { e =>

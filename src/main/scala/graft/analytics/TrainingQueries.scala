@@ -596,17 +596,18 @@ object TrainingQueries {
     // exact Jaccard≥0.9 verify). The eval a production dedup run does
     // against a labeled sample before trusting the pipeline on 100 TB.
     CatalogQuery("ddp_dedup_eval", (s, d) => {
+      // ONE pass over the expensive LSH->verify chain: flag each output
+      // pair as planted-or-not via a left join, count both in one agg
       val recovered = Catalog.queries("ddp_near_dup_end2end")(s, d)
       val planted = docsPlus(s, d)
         .filter(col("doc_id") >= 1000000L)
         .select((col("doc_id") - 1000000L).as("doc_a"), col("doc_id").as("doc_b"))
-      val hit = recovered.join(planted, Seq("doc_a", "doc_b"), "left_semi")
-      val nPlanted = planted.agg(count(lit(1)).as("c"))
-      val nHit = hit.agg(count(lit(1)).as("c"))
-      val nOut = recovered.agg(count(lit(1)).as("c"))
-      nPlanted.select(col("c").as("n_planted"))
-        .crossJoin(nHit.select(col("c").as("n_recovered")))
-        .crossJoin(nOut.select(col("c").as("n_output_pairs")))
+      val counted = recovered
+        .join(planted.withColumn("is_planted", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        .agg(sum(coalesce(col("is_planted"), lit(0L))).as("n_recovered"),
+          count(lit(1)).as("n_output_pairs"))
+      planted.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(counted)
         .select(col("n_planted"), col("n_recovered"), col("n_output_pairs"),
           (col("n_recovered").cast("double") / col("n_planted")).as("recall"))
     }, Some(
@@ -763,9 +764,11 @@ object TrainingQueries {
       Tables.documents(s, d).select(
         col("doc_id"),
         size(t).cast("long").as("n_tokens"),
-        TextAnalysis.stopwordRatio(col("text"), Seq("the", "a")).as("stop_ratio"))
-        .withColumn("pred_lang",
-          when(col("stop_ratio") >= 0.08, lit("enish")).otherwise(lit("other")))
+        TextAnalysis.stopwordRatio(col("text"), TextAnalysis.enishStopwords)
+          .as("stop_ratio"),
+        // the one shipped detector definition — txt_langid_confusion
+        // scores exactly this predicate
+        TextAnalysis.predLangEnish(col("text")).as("pred_lang"))
     }, Some(
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,

@@ -40,6 +40,16 @@ object TextAnalysis {
     stopwordCount(t, set).cast("double") / size(t)
   }
 
+  /** THE shipped stopword language detector ('enish' vs 'other') — the
+    * single definition both the language-ID entry and its confusion-matrix
+    * eval score, so threshold/list changes cannot diverge them.
+    */
+  val enishStopwords: Seq[String] = Seq("the", "a")
+  val enishThreshold = 0.08
+  def predLangEnish(text: Column): Column =
+    when(stopwordRatio(text, enishStopwords) >= enishThreshold, lit("enish"))
+      .otherwise(lit("other"))
+
   /** Mean token length (exact int arithmetic, one double division). */
   def meanTokenLen(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)

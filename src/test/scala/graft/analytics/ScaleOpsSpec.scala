@@ -234,17 +234,15 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("compaction collapses the landing zone's file count losslessly") {
-    val ev = Tables.events(spark, sf0001)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    val base = java.nio.file.Files.createTempDirectory("scaleops-compact").toString
-    ev.repartition(64).write.mode("overwrite").parquet(s"$base/landing")
-    spark.read.parquet(s"$base/landing").coalesce(2)
-      .write.mode("overwrite").parquet(s"$base/compacted")
+    // drives the SHIPPED pipeline (same code path as the catalog entry),
+    // not a private re-implementation of it
+    val base = ScaleOpsQueries.compactionRun(spark, sf0001)
     def files(dir: String) = new java.io.File(dir).listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(files(s"$base/landing") >= 32, "landing zone should be fragmented")
     assert(files(s"$base/compacted") <= 2, "compaction should hit the target count")
-    assert(spark.read.parquet(s"$base/compacted").count() == ev.count())
+    assert(spark.read.parquet(s"$base/compacted").count() ==
+      Tables.events(spark, sf0001).count())
   }
 
   test("streaming watermark gate actually drops late rows") {
