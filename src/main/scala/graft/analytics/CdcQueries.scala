@@ -293,6 +293,46 @@ object CdcQueries {
     // SCD2 history materialization: each change becomes a validity
     // interval (valid_from_seq, valid_to_seq]; open interval = current —
     // the audit-trail twin of snapshot compaction
+    // ---- schema evolution mid-stream: ADD COLUMN then compact -------------
+    // The replication-side contract for in-stream DDL (SURVEY §1.2): rows
+    // emitted BEFORE the ALTER lack the new column, rows after carry it.
+    // The pre-DDL epoch is reconciled to the evolved schema by the SHIPPED
+    // AddMissingColumns operator (NULL-filled, reference
+    // add_missing_column.go:10-30), then the ordinary seq-LWW compaction
+    // produces the evolved snapshot: keys last written before the DDL show
+    // NULL, keys rewritten after show their value — exactly what a MySQL
+    // replica displays after ALTER TABLE ADD COLUMN.
+    CatalogQuery("cdc_schema_evolution_state", (s, d) => {
+      val preDdl = changeLog(s, d).filter(col("op") === "insert")
+      val evolved = org.apache.spark.sql.types.StructType(
+        preDdl.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "o_channel", org.apache.spark.sql.types.StringType))
+      val postDdl = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0).select(
+        (col("o_orderkey") * 10 + 1).as("seq"), lit("update").as("op"),
+        col("o_orderkey"), col("o_custkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 1000).as("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"),
+        when(col("o_orderkey") % 2 === 0, lit("web")).otherwise(lit("store"))
+          .as("o_channel"))
+      val log = AddMissingColumns(evolved)(preDdl).unionByName(postDdl)
+      ChangeLog.compact(log, Seq("o_orderkey")).drop("seq", "op")
+    }, Some(
+      """WITH log AS (
+        |  SELECT o_orderkey*10 AS seq, 'insert' AS op, o_orderkey, o_custkey,
+        |    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        |    NULL::VARCHAR AS o_channel
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey*10+1, 'update', o_orderkey, o_custkey, 'U',
+        |    o_totalprice + 1000, o_orderdate, o_orderpriority,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  o_orderpriority, o_channel
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |      FROM log) t
+        |WHERE rn = 1 AND op <> 'delete'""".stripMargin)),
+
     CatalogQuery("cdc_scd2_history", (s, d) => {
       val w = Window.partitionBy(col("o_orderkey")).orderBy(col("seq"))
       changeLog(s, d)
