@@ -36,18 +36,40 @@ object Bench {
 
     // a failing query is REPORTED, never silently timed as near-zero —
     // a swallowed throw would let a regression masquerade as a speedup
-    def timed(names: Seq[String]): (Seq[(String, Double)], Map[String, String]) = {
-      val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
-      val times = names.map { name =>
-        val t0 = System.nanoTime()
-        try run(name) catch {
-          case t: Throwable =>
-            errs(name) = t.getClass.getSimpleName + ": " +
-              Option(t.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def pass(name: String): Double = {
+      val t0 = System.nanoTime()
+      try run(name) catch {
+        case t: Throwable =>
+          errs(name) = t.getClass.getSimpleName + ": " +
+            Option(t.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)
       }
-      (times, errs.toMap)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Passes are INTERLEAVED per query (cold, warm, warm — then the next
+    // query) rather than three full sweeps. Two reasons, both observed in
+    // driver runs: (a) a transient host-contention phase poisons at most
+    // one query's triple, not a whole sweep (r05: q1 read 11.9 s on BOTH
+    // full warm sweeps vs 6.7 s cold — min-of-two can't save you when the
+    // contended window spans the sweep); (b) warm passes run before the
+    // process accumulates 18 queries' worth of shuffle files, codegen
+    // cache, and GC pressure. Between queries, cached data is dropped and
+    // a GC is requested so one query's working set can't tax the next.
+    // Warm stays the per-query MIN over the two back-to-back warm passes.
+    def timedInterleaved(names: Seq[String])
+        : (Seq[(String, Double)], Seq[(String, Double)]) = {
+      val cold = Seq.newBuilder[(String, Double)]
+      val warm = Seq.newBuilder[(String, Double)]
+      names.foreach { name =>
+        cold += name -> pass(name)
+        val w1 = pass(name)
+        val w2 = pass(name)
+        warm += name -> math.min(w1, w2)
+        spark.catalog.clearCache()
+        System.gc()
+      }
+      (cold.result(), warm.result())
     }
 
     // local iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the set
@@ -56,16 +78,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val allNames = if (Catalog.benchNames.nonEmpty) Catalog.benchNames else Catalog.queries.keys.toSeq
     val names = only.fold(allNames)(o => allNames.filter(o))
-    val (cold, coldErrs) = timed(names) // first run: listing + JIT + codegen compile
-    // steady state = per-query MIN over two warm passes: a transient CPU
-    // contention spike on the host (observed in round 4: same code, 4x
-    // inflated warm numbers, cold pass normal) cannot masquerade as a
-    // query regression, while a real regression shows up in every pass
-    val (warm1, warmErrs1) = timed(names)
-    val (warm2, warmErrs2) = timed(names)
-    val w2 = warm2.toMap
-    val warm = warm1.map { case (k, v) => k -> math.min(v, w2.getOrElse(k, v)) }
-    val allErrs = coldErrs ++ warmErrs1 ++ warmErrs2
+    val (cold, warm) = timedInterleaved(names)
+    val allErrs = errs.toMap
     def jstr(s: String): String = graft.core.JsonText.str(s)
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")

@@ -16,6 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * instead of per-session manual registration).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.arity
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
@@ -36,7 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+      (children: Seq[Expression]) => arity("cosine_sim", 2, children) {
+        case Seq(a, b) => CosineSim(a, b)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
@@ -44,6 +48,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("zorder2"),
       new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
-      (children: Seq[Expression]) => ZOrder2(children.head, children(1))))
+      (children: Seq[Expression]) => arity("zorder2", 2, children) {
+        case Seq(a, b) => ZOrder2(a, b)
+      }))
   }
+}
+
+object GraftExtensions {
+  /** Wrong-arity SQL calls fail with the standard WRONG_NUM_ARGS
+    * AnalysisException (what every built-in raises), not an
+    * IndexOutOfBoundsException from a bare `children(1)`.
+    */
+  private[graft] def arity(fn: String, expected: Int, children: Seq[Expression])(
+      build: PartialFunction[Seq[Expression], Expression]): Expression =
+    build.applyOrElse(children, (cs: Seq[Expression]) =>
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map(
+          "functionName" -> s"`$fn`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> cs.size.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest")))
 }

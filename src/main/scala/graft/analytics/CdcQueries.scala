@@ -455,7 +455,7 @@ object CdcQueries {
       s"""SELECT o_orderkey, o_orderstatus, o_totalprice
          |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
          |      FROM ($oracleLog) log WHERE o_orderkey % 5 = 0) t
-         |WHERE rn = 1 AND op <> 'delete'""".stripMargin)),
+         |WHERE rn = 1 AND op <> 'delete'""".stripMargin), bench = true),
 
     // BIDIRECTIONAL conflict loop, oracle-gated end to end: a change-log
     // applies through ConflictDetectBatchSink into Derby seeded with rows

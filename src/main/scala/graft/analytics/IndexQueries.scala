@@ -216,11 +216,22 @@ object IndexQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
+      // Lineage is TRUNCATED per iteration: without it the final action
+      // re-optimizes and re-schedules one ~7-shuffle growing chain (the
+      // exchange-reuse cache covers the edge shuffle but not the
+      // per-iteration join/agg stages — measured 12-16 s at sf0.1 for a
+      // loop whose isolated cost is ~2 s). `edges` is computed once and
+      // persisted (it feeds every iteration); `state` is eagerly
+      // localCheckpoint'ed so each iteration's plan starts from
+      // materialized partitions, the same shape an iterative graph job
+      // uses on a real cluster (persist + checkpoint every N steps).
       val edges = co.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(co.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       var state = deg.select(col("src").as("v"), col("deg"),
         lit(1000000L).as("r"))
+        .localCheckpoint()
       for (_ <- 1 to 3) {
         val sums = edges.join(state, edges("src") === state("v"))
           .select(col("dst"), expr("r div deg").as("c"))
@@ -229,7 +240,11 @@ object IndexQueries {
           .select(col("v"), col("deg"),
             (lit(150000L) +
               expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("r"))
+          .localCheckpoint()
       }
+      // final state is materialized (checkpointed) — the edge cache is no
+      // longer referenced by the returned plan
+      edges.unpersist(false)
       state.select(
         when(col("v") % 2 === 0, concat(lit("c"), (col("v") / 2).cast("long").cast("string")))
           .otherwise(concat(lit("s"), ((col("v") - 1) / 2).cast("long").cast("string")))

@@ -66,21 +66,64 @@ object ScaleOpsQueries {
     * ShuffleExchange. At 100 TB this is THE join lever: the layout cost
     * is paid once, every downstream join/agg on the key is exchange-free.
     */
+  // Each bucketedJoinAgg invocation registers generation-unique catalog
+  // names (concurrent runs in one session can't collide) and tears down
+  // the PREVIOUS generation's tables + temp warehouse — by the time a new
+  // layout is requested the prior returned frame has been consumed
+  // (Verify, Bench, and the spec all materialize each invocation before
+  // the next). The final generation is removed on JVM exit.
+  private val bucketedGen = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val bucketedLive =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+
+  private def deleteRecursively(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => () })
+    }
+  }
+
+  private lazy val bucketedExitHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var e = bucketedLive.poll()
+      while (e != null) { deleteRecursively(e._3); e = bucketedLive.poll() }
+    }))
+
+  private def drainPriorBucketed(s: SparkSession): Unit = {
+    var e = bucketedLive.poll()
+    while (e != null) {
+      try {
+        s.sql(s"DROP TABLE IF EXISTS ${e._1}")
+        s.sql(s"DROP TABLE IF EXISTS ${e._2}")
+      } catch { case _: Exception => () }
+      deleteRecursively(e._3)
+      e = bucketedLive.poll()
+    }
+  }
+
   private[analytics] def bucketedJoinAgg(s: SparkSession, d: String): DataFrame = {
     val nBuckets = 8
+    bucketedExitHook
+    drainPriorBucketed(s)
+    val gen = bucketedGen.incrementAndGet()
+    val ordersTbl = s"graft_opt_orders_b_$gen"
+    val custTbl = s"graft_opt_customer_b_$gen"
     val wh = tmpDir("graft-bucketed")
+    bucketedLive.add((ordersTbl, custTbl, wh))
     Tables.orders(s, d)
       .repartition(nBuckets, col("o_custkey"))
       .write.mode("overwrite")
       .bucketBy(nBuckets, "o_custkey").sortBy("o_custkey")
-      .option("path", s"$wh/orders_b").saveAsTable("graft_opt_orders_b")
+      .option("path", s"$wh/orders_b").saveAsTable(ordersTbl)
     Tables.customer(s, d)
       .repartition(nBuckets, col("c_custkey"))
       .write.mode("overwrite")
       .bucketBy(nBuckets, "c_custkey").sortBy("c_custkey")
-      .option("path", s"$wh/customer_b").saveAsTable("graft_opt_customer_b")
-    s.table("graft_opt_customer_b")
-      .join(s.table("graft_opt_orders_b"),
+      .option("path", s"$wh/customer_b").saveAsTable(custTbl)
+    s.table(custTbl)
+      .join(s.table(ordersTbl),
         col("c_custkey") === col("o_custkey"))
       .groupBy(col("c_custkey"))
       .agg(count(lit(1)).as("n_orders"), Q.dsum(col("o_totalprice")).as("total_spent"))
@@ -265,8 +308,8 @@ object ScaleOpsQueries {
     // embeddings quantize by a global power-of-two scale (float*64.0 is
     // IEEE-exact, so floor boundaries cannot flip between engines),
     // distances are integer sums of squares, and refined centroids live on
-    // a 1/256 lattice via floor(256*S/n) (the true quotient is never
-    // within one ulp of a different integer, so floor is stable). Fixed
+    // a 1/256 lattice via floor(256*S/n) evaluated in pure integer
+    // arithmetic (no double rounds at any corpus size). Fixed
     // C=16 seed cells keep the oracle exact; production trains C ≈ sqrt(N)
     // and the per-iteration shape is unchanged: broadcast C centroids,
     // one linear assignment scan, one groupBy — no pairwise blow-up.
@@ -292,19 +335,27 @@ object ScaleOpsQueries {
       val seeds = quant.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cell"), col("q").as("cv"))
       val a1 = assign(seeds, 1)
-      // refined centroids on the 1/256 lattice, rebuilt as ordered arrays
+      // refined centroids on the 1/256 lattice, rebuilt as ordered arrays.
+      // floor(256*S/n) is computed ENTIRELY in integer arithmetic:
+      // (256S - pmod(256S, n)) div n — the numerator is an exact multiple
+      // of n, so truncating division IS floor division regardless of sign,
+      // and the claim holds at any corpus size (a double 256.0*S/n starts
+      // rounding once 256|S| exceeds 2^53; the only remaining bound is
+      // bigint overflow of 256*S itself at |S| > 2^55).
+      def latticeFloor(sumName: String, nName: String): Column =
+        expr(s"(256 * $sumName - pmod(256 * $sumName, $nName)) div $nName")
       val cent1 = a1.select(col("cell"), posexplode(col("q")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
-        .agg(floor(lit(256.0) * sum(col("v")) / count(lit(1))).cast("long").as("c1"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("nm"))
+        .select(col("cell"), col("dim"), latticeFloor("sv", "nm").as("c1"))
         .groupBy(col("cell"))
         .agg(expr("transform(array_sort(collect_list(struct(dim, c1))), p -> p.c1)").as("cv"))
       val a2 = assign(cent1, 256)
       a2.select(col("cell"), posexplode(col("q")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
-        .agg(floor(lit(256.0) * sum(col("v")) / count(lit(1))).cast("long").as("centroid_q"),
-          count(lit(1)).as("n_members"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n_members"))
         .select(col("cell"), col("dim").cast("long").as("dim"),
-          col("centroid_q"), col("n_members"))
+          latticeFloor("sv", "n_members").as("centroid_q"), col("n_members"))
     }, Some(
       """WITH quant AS (
         |  SELECT vec_id,
@@ -322,7 +373,8 @@ object ScaleOpsQueries {
         |    FROM d1) t WHERE rn = 1),
         |c1dims AS (
         |  SELECT cell, i AS dim,
-        |    CAST(floor(256.0 * sum(q[i + 1]) / count(*)) AS BIGINT) AS c1
+        |    CAST((256 * sum(q[i + 1]) - ((256 * sum(q[i + 1]) % count(*)) + count(*)) % count(*))
+        |      // count(*) AS BIGINT) AS c1
         |  FROM a1 CROSS JOIN range(0, 64) r(i)
         |  GROUP BY cell, i),
         |c1 AS (
@@ -337,7 +389,8 @@ object ScaleOpsQueries {
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
         |    FROM d2) t WHERE rn = 1)
         |SELECT cell, CAST(i AS BIGINT) AS dim,
-        |  CAST(floor(256.0 * sum(q[i + 1]) / count(*)) AS BIGINT) AS centroid_q,
+        |  CAST((256 * sum(q[i + 1]) - ((256 * sum(q[i + 1]) % count(*)) + count(*)) % count(*))
+        |    // count(*) AS BIGINT) AS centroid_q,
         |  count(*) AS n_members
         |FROM a2 CROSS JOIN range(0, 64) r(i)
         |GROUP BY 1, 2""".stripMargin)),
@@ -511,7 +564,9 @@ object ScaleOpsQueries {
     // of batch 0, floored to the millisecond, minus the 30-min delay);
     // rows for still-live windows merge even when older than the current
     // watermark. A window is emitted (exactly once) when the final
-    // watermark passes its end.
+    // watermark passes its end. ScaleOpsSpec's "two-phase contract probe"
+    // pins this runtime contract with named assertions, so a Spark
+    // semantics shift surfaces there, not as an oracle hash mismatch.
     CatalogQuery("evt_stream_watermark_late_drop", (s, d) => {
       val work = tmpDir("graft-stream-late")
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"))

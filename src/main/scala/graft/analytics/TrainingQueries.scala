@@ -604,7 +604,10 @@ object TrainingQueries {
         .select((col("doc_id") - 1000000L).as("doc_a"), col("doc_id").as("doc_b"))
       val counted = recovered
         .join(planted.withColumn("is_planted", lit(1L)), Seq("doc_a", "doc_b"), "left")
-        .agg(sum(coalesce(col("is_planted"), lit(0L))).as("n_recovered"),
+        // outer coalesce: sum over ZERO pairs is NULL, but the oracle's
+        // scalar-subquery counts report 0 — the degenerate empty-pipeline
+        // case must read n_recovered=0, recall=0.0, not NULL (advice r05)
+        .agg(coalesce(sum(coalesce(col("is_planted"), lit(0L))), lit(0L)).as("n_recovered"),
           count(lit(1)).as("n_output_pairs"))
       planted.agg(count(lit(1)).as("n_planted"))
         .crossJoin(counted)

@@ -97,11 +97,15 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_hex", exprs => minhashHexFromExprs(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+      "cosine_sim", exprs => graft.GraftExtensions.arity("cosine_sim", 2, exprs) {
+        case Seq(a, b) => CosineSim(a, b)
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "normalize_text", exprs => NormalizeText(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "zorder2", exprs => ZOrder2(exprs.head, exprs(1)), "built-in")
+      "zorder2", exprs => graft.GraftExtensions.arity("zorder2", 2, exprs) {
+        case Seq(a, b) => ZOrder2(a, b)
+      }, "built-in")
   }
 
   private[graft] def minhashHexFromExprs(

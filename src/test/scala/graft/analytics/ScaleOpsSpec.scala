@@ -258,4 +258,60 @@ class ScaleOpsSpec extends SparkSpec {
       s"no late rows were dropped: emitted $emitted of $inWindows")
     assert(emitted > inWindows / 2, "late drop should be the exception, not the rule")
   }
+
+  // The evt_stream_watermark_late_drop ORACLE hard-codes the two-phase
+  // watermark contract (the late filter for batch N uses the watermark in
+  // effect during batch N-1; eviction happens by WINDOW END, not row
+  // time). If a Spark upgrade shifts that runtime contract, this probe
+  // fails with a named assertion instead of the catalog entry failing
+  // with an opaque oracle hash mismatch. Three one-row-scale batches:
+  //   batch a: 10:59 and 13:00  -> watermark after a = 12:30
+  //   batch b: 12:05 (late but window 12-13 still open -> MERGES)
+  //            10:05 (window 10-11 closed at 12:30    -> DROPPED)
+  //   batch c: 15:00            -> final watermark 14:30 flushes <=14:30
+  test("watermark two-phase contract probe: late row merges iff its window is still open") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Files.createTempDirectory("graft-wm-probe").toString
+    val mkTs = (s: String) => java.sql.Timestamp.valueOf(s)
+    def writeOne(name: String, modMs: Long, ts: String*): Unit = {
+      val stage = s"$work/stage_$name"
+      val rows = ts.map(t => Tuple1(mkTs(t)))
+      import spark.implicits._
+      rows.toDF("ts").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dest = Paths.get(s"$work/in/$name.parquet")
+      Files.createDirectories(dest.getParent)
+      Files.move(part.toPath, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(modMs))
+    }
+    writeOne("a", 1000000L, "2025-01-01 10:59:00", "2025-01-01 13:00:00")
+    writeOne("b", 2000000L, "2025-01-01 12:05:00", "2025-01-01 10:05:00")
+    writeOne("c", 3000000L, "2025-01-01 15:00:00")
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))))
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+    val agg = src.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$work/out")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(got == Map(
+      "2025-01-01 10:00:00.0" -> 1L, // late 10:05 DROPPED (window closed)
+      "2025-01-01 12:00:00.0" -> 1L, // late 12:05 KEPT (window still open)
+      "2025-01-01 13:00:00.0" -> 1L),
+      s"two-phase watermark contract shifted; emitted windows: $got")
+  }
 }
