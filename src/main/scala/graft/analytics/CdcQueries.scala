@@ -422,6 +422,31 @@ object CdcQueries {
          |  CASE WHEN o_orderstatus = 'O' THEN 'OPEN' ELSE o_orderstatus END AS o_orderstatus
          |FROM ($oracleLog) log""".stripMargin)),
 
+    // sidecar over gravity's OWN wire contract, oracle-gated: every row
+    // crosses into a separate JVM as protobuf msgpb FilterRequest bytes
+    // (protocol/msgpb/message.proto) and returns as FilterResponse —
+    // mutation (O -> OPEN) AND the continueNext=false drop path
+    // (op='delete') both exercised through real frames. The sidecar
+    // process speaks only the wire format; graft.operators.MsgPb is the
+    // hand-rolled codec (TidbProto-style, no protobuf dependency).
+    CatalogQuery("cdc_sidecar_msgpb", (s, d) => {
+      val filter = graft.operators.MsgPbSidecarFilter(Seq(
+        s"${sys.props("java.home")}/bin/java",
+        "-cp", sys.props("java.class.path"),
+        "graft.operators.MsgPbStatusSidecar"))
+      val env = changeLog(s, d).select(col("seq"), col("op"),
+        lit("db1").as("database"), lit("orders").as("table"),
+        map(lit("o_orderstatus"), col("o_orderstatus")).as("data"),
+        expr("map()").cast("map<string,string>").as("old"),
+        map(lit("o_orderkey"), col("o_orderkey").cast("string")).as("pks"))
+      filter(env).select(col("seq"), col("op"),
+        element_at(col("pks"), "o_orderkey").cast("long").as("o_orderkey"),
+        element_at(col("data"), "o_orderstatus").as("o_orderstatus"))
+    }, Some(
+      s"""SELECT seq, op, o_orderkey,
+         |  CASE WHEN o_orderstatus = 'O' THEN 'OPEN' ELSE o_orderstatus END AS o_orderstatus
+         |FROM ($oracleLog) log WHERE op <> 'delete'""".stripMargin)),
+
     // END-TO-END sink check: the synthesized change-log flows through the
     // assembled JdbcBatchSink (pk-partitioned order → delete isolation →
     // engine render → StatementExecutor) into an embedded Derby database,

@@ -190,3 +190,135 @@ object TransformChain {
   def apply(ops: Seq[TransformOp]): DataFrame => DataFrame =
     df => ops.foldLeft(df)((d, op) => op(d))
 }
+
+/** Sidecar filter speaking gravity's OWN filter-plugin wire contract
+  * (protocol/msgpb/message.proto): every row crosses the process boundary
+  * as a protobuf `FilterRequest{Msg}` frame and returns as a
+  * `FilterResponse{Msg, continueNext, error}` — the msgpb bytes a user
+  * filter binary written against gravity's schema exchanges, carried over
+  * varint-framed stdin/stdout instead of go-plugin's gRPC session
+  * (pkg/filters/grpc_sidecar_filter.go:83-133; [[MsgPb]] has the codec).
+  *
+  * Semantics match GRPCClient.Filter (pkg/filters/grpc/client.go:52-83):
+  * the response's DmlMsg replaces the row's op/data/old/pks; header and
+  * passthrough columns (seq, database, table, …) stay the ORIGINAL row's;
+  * continueNext=false drops the row; a response error fails the task.
+  *
+  * Expected envelope columns: `op` string, `data`/`old`/`pks`
+  * map<string,string>; `database`/`table` string if present ride the
+  * request header. Everything else passes through untouched.
+  */
+final case class MsgPbSidecarFilter(command: Seq[String],
+    version: String = "2.0.alpha") extends TransformOp {
+  def apply(df: DataFrame): DataFrame = {
+    import graft.operators.MsgPb
+    val schema = df.schema
+    val spark = df.sparkSession
+    val names = schema.fieldNames
+    def idxOf(n: String): Int = names.indexOf(n)
+    val (iDb, iTable, iOp) = (idxOf("database"), idxOf("table"), idxOf("op"))
+    val (iData, iOld, iPks) = (idxOf("data"), idxOf("old"), idxOf("pks"))
+    require(iOp >= 0 && iData >= 0 && iOld >= 0 && iPks >= 0,
+      "msgpb sidecar expects envelope columns op, data, old, pks")
+    val cmd = command
+    val ver = version
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val out = df.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        def strMap(row: Row, i: Int): MsgPb.PbMap =
+          if (i < 0 || row.isNullAt(i)) Seq.empty
+          else row.getMap[String, String](i).toSeq.map { case (k, v) =>
+            k -> (if (v == null) MsgPb.PbValue.Null else MsgPb.PbValue.Str(v))
+          }
+        def backToString(v: MsgPb.PbValue): String = v match {
+          case MsgPb.PbValue.Str(s) => s
+          case MsgPb.PbValue.Null => null
+          case MsgPb.PbValue.I32(x) => x.toString
+          case MsgPb.PbValue.I64(x) => x.toString
+          case MsgPb.PbValue.U32(x) => x.toString
+          case MsgPb.PbValue.U64(x) => java.lang.Long.toUnsignedString(x)
+          case MsgPb.PbValue.F32(x) => x.toString
+          case MsgPb.PbValue.F64(x) => x.toString
+          case MsgPb.PbValue.Bool(x) => x.toString
+          case MsgPb.PbValue.Bytes(x) => java.util.Base64.getEncoder.encodeToString(x.toArray)
+          case MsgPb.PbValue.Time(s, n) => java.time.Instant.ofEpochSecond(s, n.toLong).toString
+        }
+        val proc = new ProcessBuilder(cmd: _*)
+          .redirectError(ProcessBuilder.Redirect.INHERIT)
+          .start()
+        // one response per request, in order (the synchronous Filter rpc's
+        // contract) — original rows wait here for their response; the
+        // bound caps writer run-ahead so the queue can't grow unboundedly
+        val pending = new java.util.concurrent.LinkedBlockingQueue[Row](1024)
+        val taskCtx = org.apache.spark.TaskContext.get()
+        @volatile var writerFailure: Throwable = null
+        val writer = new Thread(() => {
+          if (taskCtx != null) org.apache.spark.graft.TaskContextBridge.set(taskCtx)
+          val os = new java.io.BufferedOutputStream(proc.getOutputStream)
+          try it.foreach { row =>
+            pending.put(row)
+            val msg = MsgPb.Msg(
+              version = ver,
+              database = if (iDb >= 0 && !row.isNullAt(iDb)) row.getString(iDb) else "",
+              table = if (iTable >= 0 && !row.isNullAt(iTable)) row.getString(iTable) else "",
+              msgType = "dml",
+              dml = Some(MsgPb.Dml(
+                op = if (row.isNullAt(iOp)) "" else row.getString(iOp),
+                data = strMap(row, iData), old = strMap(row, iOld),
+                pks = strMap(row, iPks))))
+            MsgPb.writeFrame(os, MsgPb.encodeFilterRequest(msg))
+          }
+          catch { case t: Throwable => writerFailure = t }
+          finally { try os.close() catch { case _: java.io.IOException => () } }
+        })
+        writer.setDaemon(true)
+        writer.start()
+        val is = new java.io.BufferedInputStream(proc.getInputStream)
+        new Iterator[Row] {
+          private var nextRow: Row = null
+          private var finished = false
+          private def advance(): Unit = {
+            while (nextRow == null && !finished) {
+              MsgPb.readFrame(is) match {
+                case None =>
+                  finished = true
+                  writer.join()
+                  val rc = proc.waitFor()
+                  val benignEarlyExit = rc == 0 &&
+                    writerFailure.isInstanceOf[java.io.IOException]
+                  if (writerFailure != null && !benignEarlyExit)
+                    throw new RuntimeException("msgpb sidecar writer failed", writerFailure)
+                  if (rc != 0) sys.error(s"msgpb sidecar ${cmd.mkString(" ")} exited $rc")
+                case Some(frame) =>
+                  val orig = pending.take()
+                  val rsp = MsgPb.decodeFilterResponse(frame)
+                  rsp.error.foreach(e => sys.error(s"msgpb sidecar filter error: $e"))
+                  if (rsp.continueNext) {
+                    val dml = rsp.msg.flatMap(_.dml).getOrElse(
+                      sys.error("msgpb sidecar: continueNext without a DmlMsg"))
+                    val vals = new Array[Any](names.length)
+                    var i = 0
+                    while (i < names.length) { vals(i) = orig.get(i); i += 1 }
+                    vals(iOp) = dml.op
+                    vals(iData) = dml.data.map { case (k, v) => k -> backToString(v) }.toMap
+                    vals(iOld) = dml.old.map { case (k, v) => k -> backToString(v) }.toMap
+                    vals(iPks) = dml.pks.map { case (k, v) => k -> backToString(v) }.toMap
+                    nextRow = Row.fromSeq(vals.toIndexedSeq)
+                  }
+              }
+            }
+          }
+          def hasNext: Boolean = { advance(); nextRow != null }
+          def next(): Row = {
+            advance()
+            val r = nextRow; nextRow = null
+            if (r == null) throw new NoSuchElementException
+            r
+          }
+        }
+      }
+    }(enc)
+    out
+  }
+}
