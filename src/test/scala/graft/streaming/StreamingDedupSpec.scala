@@ -84,4 +84,43 @@ class StreamingDedupSpec extends SparkSpec {
     val got = spark.table("sdedup_cap").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
   }
+
+  // State stays BOUNDED over an unbounded stream: members older than
+  // watermark - horizon are evicted and never pair again, while pairs
+  // inside the horizon are still emitted. Watermark delay 0s, horizon 1h;
+  // timestamps chosen so the two-phase watermark (batch N evicts with the
+  // watermark established after batch N-1) is pinned explicitly:
+  //   b1: doc1@10:00 doc2@10:30 -> pair (1,2);        wm after b1 = 10:30
+  //   b2: doc3@12:00  (threshold 9:30, both kept)  -> (1,3) (2,3); wm = 12:00
+  //   b3: doc4@12:30  (threshold 11:00: 1,2 EVICTED, 3 kept) -> (3,4) only
+  //   b4: doc5@12:40  (threshold 11:30: 3,4 kept)  -> (3,5) (4,5)
+  test("event-time horizon evicts old members; in-horizon pairs unchanged") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sc = spark.sqlContext
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s"2025-01-01 $s:00")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingDedup.expiringCandidatePairs(
+        mem.toDS.toDF("doc_id", "text", "ts"),
+        delay = "0 seconds", horizonMs = 3600000L)
+      .toDF("doc_a", "doc_b").writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("sdedup_ttl").start()
+    mem.addData((1L, text, ts("10:00")), (2L, text, ts("10:30")))
+    q.processAllAvailable()
+    mem.addData((3L, text, ts("12:00")))
+    q.processAllAvailable()
+    mem.addData((4L, text, ts("12:30")))
+    q.processAllAvailable()
+    mem.addData((5L, text, ts("12:40")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdedup_ttl").as[(Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L), (1L, 3L), (2L, 3L), // inside the horizon: the batch set
+      (3L, 4L), // 1 and 2 evicted before doc4 — no (1,4)/(2,4)
+      (3L, 5L), (4L, 5L)),
+      s"horizon eviction contract broken, emitted: $got")
+  }
 }
