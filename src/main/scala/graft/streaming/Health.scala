@@ -143,6 +143,14 @@ final class HealthServer(listener: HealthListener,
   })
   server.createContext("/status", (ex: com.sun.net.httpserver.HttpExchange) =>
     respond(ex, 200, statusJson, json = true))
+  server.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+    val body = listener.metrics.render().getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type",
+      "text/plain; version=0.0.4; charset=utf-8")
+    ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
+    if (body.nonEmpty) ex.getResponseBody.write(body)
+    ex.close()
+  })
   server.createContext("/reset", (ex: com.sun.net.httpserver.HttpExchange) =>
     // the reference exits the process after clearing; here the caller's
     // callback owns the consequence (stop query + delete checkpoint)
@@ -163,7 +171,13 @@ final class HealthServer(listener: HealthListener,
   * history and answers the healthy/lag questions.
   */
 final class HealthListener(historySize: Int = 64,
-    unhealthyAfterMs: Long = 30000) extends StreamingQueryListener {
+    unhealthyAfterMs: Long = 30000,
+    pipelineName: String = "graft") extends StreamingQueryListener {
+
+  /** Prometheus families (gravity's names) fed from progress events;
+    * served by HealthServer's /metrics.
+    */
+  val metrics = new MetricsRegistry(pipelineName)
 
   final case class BatchHealth(
       queryName: String,
@@ -185,6 +199,47 @@ final class HealthListener(historySize: Int = 64,
       p.batchDuration,
       Option(p.eventTime.get("watermark"))))
     while (history.size() > historySize) history.poll()
+
+    // ---- gravity metric families from the progress event ----
+    // stage counters: on Spark one micro-batch IS the
+    // input→emitter→scheduler→output conveyor, so each stage handoff
+    // counts the batch's rows (the reference increments per message at
+    // each handoff — same totals, coarser increments)
+    val rows = p.numInputRows
+    if (rows > 0) {
+      metrics.inc("gravity_input_counter",
+        Seq("db" -> "", "table" -> "", "type" -> "dml", "subtype" -> ""), rows)
+      metrics.inc("gravity_input_emitter_counter", Nil, rows)
+      metrics.inc("gravity_emitter_scheduler_counter", Nil, rows)
+      metrics.inc("gravity_scheduler_output_counter", Nil, rows)
+    }
+    val out = p.sink.numOutputRows
+    if (out > 0) metrics.inc("gravity_output_counter",
+      Seq("cat0" -> Option(p.name).getOrElse(""), "cat1" -> "", "cat2" -> "", "cat3" -> ""), out)
+    // stage latencies from the batch's duration breakdown (seconds)
+    val dur = p.durationMs
+    def obs(metric: String, keys: String*): Unit = {
+      val ms = keys.flatMap(k => Option(dur.get(k)).map(_.longValue())).sum
+      if (keys.exists(k => dur.containsKey(k)))
+        metrics.observe(metric, ms / 1000.0)
+    }
+    obs("gravity_input_latency", "getBatch", "latestOffset")
+    obs("gravity_emitter_latency", "queryPlanning")
+    obs("gravity_output_latency", "addBatch")
+    obs("gravity_scheduler_total_latency", "walCommit", "commitOffsets")
+    obs("gravity_process_time_latency", "triggerExecution")
+    // watermark lag = end-to-end event-time latency
+    Option(p.eventTime.get("watermark")).foreach { wm =>
+      try {
+        val lagS = (System.currentTimeMillis() -
+          java.time.Instant.parse(wm).toEpochMilli) / 1000.0
+        metrics.observe("gravity_event_time_latency", math.max(0.0, lagS))
+      } catch { case _: java.time.format.DateTimeParseException => () }
+    }
+    // state rows as the queue-depth gauge
+    val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+    if (p.stateOperators.nonEmpty) metrics.setGauge("gravity_queue_length",
+      stateRows.toDouble, Seq("type" -> "state", "subtype" -> Option(p.name).getOrElse("")))
   }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
