@@ -333,6 +333,95 @@ object CdcQueries {
         |      FROM log) t
         |WHERE rn = 1 AND op <> 'delete'""".stripMargin)),
 
+    // STREAMING consistency checker (dcp/checker/checker.go:11-150): two
+    // tagged change streams ride ONE real micro-batched file stream.
+    // Barriers are event-time windows (barrier n = second n) closed by
+    // the watermark — dcp's buffer.go segments at barrier messages; here
+    // a literal barrier-close sentinel at maxBarrier+1 flushes the last
+    // window. The checker's per-payload-id checksum-list compare and
+    // Same/Diff/Timeout verdicts are the batch rollup over the emitted
+    // segments; a target segment arriving only AFTER its window closed
+    // (injected via file modification order) stays late-dropped and
+    // reports `timeout`, like checker.go's time.After branch. Injected
+    // faults: dst drops keys %2111==7 (missing), corrupts checksums
+    // %1999==3 (diff), and delays ALL of barrier 5 (timeout).
+    CatalogQuery("vrf_stream_consistency", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = java.nio.file.Files.createTempDirectory("graft-dcp").toString
+      def writeOne(df: DataFrame, name: String, modMs: Long): Unit = {
+        val stage = s"$work/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        val dest = java.nio.file.Paths.get(s"$work/in/$name.parquet")
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(modMs))
+      }
+      val chk = md5(concat_ws("|", col("op"), col("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        col("o_orderdate").cast("string")))
+      val base = changeLog(s, d).select(
+        expr("seq div 2000").cast("long").as("barrier"),
+        col("o_orderkey").cast("string").as("payload_id"),
+        col("seq").as("ord"), chk.as("checksum"), col("o_orderkey"))
+      val cols = Seq(col("tag"), col("barrier"), col("payload_id"), col("ord"), col("checksum"))
+      val src = base.withColumn("tag", lit("src")).select(cols: _*)
+      val dstAll = base
+        .filter(col("o_orderkey") % 2111 =!= 7)
+        .withColumn("checksum",
+          when(col("o_orderkey") % 1999 === 3, md5(col("checksum")))
+            .otherwise(col("checksum")))
+        .withColumn("tag", lit("dst")).select(cols: _*)
+      val maxB = base.agg(max(col("barrier"))).head.getLong(0)
+      val sentinels = s.createDataFrame(Seq(
+        ("src", maxB + 1, "_close", 0L, "x"), ("dst", maxB + 1, "_close", 1L, "x")))
+        .toDF("tag", "barrier", "payload_id", "ord", "checksum")
+      writeOne(src.unionByName(dstAll.filter(col("barrier") =!= 5)), "a_msgs", 1000000L)
+      writeOne(sentinels, "b_barrier", 2000000L)
+      writeOne(dstAll.filter(col("barrier") === 5), "c_late", 3000000L)
+      val stream = s.readStream.schema(sentinels.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+      val q = graft.tools.StreamConsistency.segmentChecks(stream)
+        .writeStream.format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.tools.StreamConsistency.verdicts(
+        s.read.parquet(s"$work/out"), "src", "dst")
+    }, Some(
+      s"""WITH log AS ($oracleLog),
+         |m AS (SELECT seq // 2000 AS barrier, CAST(o_orderkey AS VARCHAR) AS payload_id,
+         |    seq AS ord,
+         |    md5(concat_ws('|', op, o_orderkey, o_orderstatus,
+         |      CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+         |      CAST(o_orderdate AS VARCHAR))) AS chk,
+         |    o_orderkey
+         |  FROM log),
+         |sA AS (SELECT barrier AS segment, payload_id, list(chk ORDER BY ord) AS sc
+         |  FROM m GROUP BY 1, 2),
+         |dA AS (SELECT barrier AS segment, payload_id,
+         |    list(CASE WHEN o_orderkey % 1999 = 3 THEN md5(chk) ELSE chk END ORDER BY ord) AS dc
+         |  FROM m WHERE o_orderkey % 2111 <> 7 AND barrier <> 5 GROUP BY 1, 2),
+         |j AS (SELECT coalesce(sA.segment, dA.segment) AS segment, sc, dc
+         |  FROM sA FULL JOIN dA ON sA.segment = dA.segment AND sA.payload_id = dA.payload_id)
+         |SELECT segment,
+         |  count(sc) AS n_ids, count(dc) AS n_target,
+         |  count(CASE WHEN sc IS NOT NULL AND dc IS NULL THEN 1 END) AS n_missing,
+         |  count(CASE WHEN sc IS NULL AND dc IS NOT NULL THEN 1 END) AS n_extra,
+         |  count(CASE WHEN sc IS NOT NULL AND dc IS NOT NULL AND sc <> dc THEN 1 END) AS n_diff,
+         |  CASE WHEN count(dc) = 0 AND count(sc) > 0 THEN 'timeout'
+         |       WHEN count(CASE WHEN sc IS NOT NULL AND dc IS NULL THEN 1 END)
+         |          + count(CASE WHEN sc IS NULL AND dc IS NOT NULL THEN 1 END)
+         |          + count(CASE WHEN sc IS NOT NULL AND dc IS NOT NULL AND sc <> dc THEN 1 END) = 0
+         |       THEN 'same' ELSE 'diff' END AS status
+         |FROM j GROUP BY segment""".stripMargin)),
+
     CatalogQuery("cdc_scd2_history", (s, d) => {
       val w = Window.partitionBy(col("o_orderkey")).orderBy(col("seq"))
       changeLog(s, d)
