@@ -333,6 +333,62 @@ object CdcQueries {
         |      FROM log) t
         |WHERE rn = 1 AND op <> 'delete'""".stripMargin)),
 
+    // In-stream schema evolution beyond ADD COLUMN: a RENAME epoch then a
+    // DROP epoch (reference ALTER handling pkg/outputs/mysql/mysql.go:
+    // 246-392 — rename preserves the stored values under the new name,
+    // drop discards the column for history and future alike). Three
+    // epochs with genuinely different physical schemas are reconciled to
+    // the final shape BEFORE seq-LWW compaction, each epoch's fixup
+    // expressed with the filter-chain operators themselves
+    // (RenameColumnsFilter / DeleteColumnsFilter): epoch-0 rows surface
+    // o_orderpriority as o_priority and lose o_orderdate; epoch-1 rows
+    // (post-rename) lose o_orderdate; epoch-2 rows are already final.
+    CatalogQuery("cdc_schema_evolution_drop_rename", (s, d) => {
+      val ddl1 = "ALTER TABLE orders RENAME COLUMN o_orderpriority TO o_priority"
+      val ddl2 = "ALTER TABLE orders DROP COLUMN o_orderdate"
+      require(graft.sinks.DdlRewriter.classify(ddl1) == graft.sinks.DdlRewriter.AlterTable
+        && graft.sinks.DdlRewriter.classify(ddl2) == graft.sinks.DdlRewriter.AlterTable)
+      val o = Tables.orders(s, d)
+      // epoch 0: original schema (inserts)
+      val e0 = o.select((col("o_orderkey") * 10).as("seq"), lit("insert").as("op"),
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      // epoch 1: after the RENAME (updates, %3 keys)
+      val e1 = o.filter(col("o_orderkey") % 3 === 0).select(
+        (col("o_orderkey") * 10 + 1).as("seq"), lit("update").as("op"),
+        col("o_orderkey"), col("o_custkey"), lit("U1").as("o_orderstatus"),
+        (col("o_totalprice") + 1000).as("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority").as("o_priority"))
+      // epoch 2: after the DROP too (updates, %5 keys)
+      val e2 = o.filter(col("o_orderkey") % 5 === 0).select(
+        (col("o_orderkey") * 10 + 2).as("seq"), lit("update").as("op"),
+        col("o_orderkey"), col("o_custkey"), lit("U2").as("o_orderstatus"),
+        (col("o_totalprice") + 2000).as("o_totalprice"),
+        col("o_orderpriority").as("o_priority"))
+      val rename = RenameColumnsFilter(Seq("o_orderpriority"), Seq("o_priority"))
+      val dropDate = DeleteColumnsFilter(Seq("o_orderdate"))
+      val log = dropDate(rename(e0))
+        .unionByName(dropDate(e1))
+        .unionByName(e2)
+      ChangeLog.compact(log, Seq("o_orderkey")).drop("seq", "op")
+    }, Some(
+      """WITH log AS (
+        |  SELECT o_orderkey*10 AS seq, 'insert' AS op, o_orderkey, o_custkey,
+        |    o_orderstatus, o_totalprice, o_orderpriority AS o_priority
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey*10+1, 'update', o_orderkey, o_custkey, 'U1',
+        |    o_totalprice + 1000, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey*10+2, 'update', o_orderkey, o_custkey, 'U2',
+        |    o_totalprice + 2000, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_priority
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |      FROM log) t
+        |WHERE rn = 1 AND op <> 'delete'""".stripMargin)),
+
     // STREAMING consistency checker (dcp/checker/checker.go:11-150): two
     // tagged change streams ride ONE real micro-batched file stream.
     // Barriers are event-time windows (barrier n = second n) closed by
