@@ -79,6 +79,11 @@ object PipelineConfig {
             parseMatchers(f), enveloped)
         case "expr" => ExprTransform(req(f, "column").asText(), req(f, "sql").asText())
         case "sidecar" => ProcessSidecarFilter(strList(req(f, "command")))
+        // gravity's grpc-sidecar contract over msgpb wire frames — the
+        // config name mirrors the reference's filter type string
+        // (pkg/filters/grpc_sidecar_filter.go:38 "grpc-sidecar")
+        case "grpc-sidecar" | "msgpb-sidecar" =>
+          MsgPbSidecarFilter(strList(req(f, "command")))
         case other => throw new IllegalArgumentException(s"unknown filter type '$other'")
       }
     }.toSeq

@@ -41,7 +41,8 @@ final class SnapshotBatchSink(spark: SparkSession, path: String, pkCols: Seq[Str
   * (batch_table_scheduler.go:246-258, defaults 3 x 1 s). Safe because
   * every graft sink is idempotent per key (REPLACE / seq-LWW semantics).
   */
-final class RetryingSink(inner: BatchSink, retries: Int = 3, sleepMs: Long = 1000)
+final class RetryingSink(inner: BatchSink, retries: Int = 3, sleepMs: Long = 1000,
+    metrics: Option[MetricsRegistry] = None)
     extends BatchSink {
   def write(batchId: Long, compacted: DataFrame): Unit = {
     var attempt = 0
@@ -51,6 +52,7 @@ final class RetryingSink(inner: BatchSink, retries: Int = 3, sleepMs: Long = 100
       catch {
         case e: Throwable if attempt < retries =>
           attempt += 1
+          metrics.foreach(_.inc("gravity_scheduler_retry_counter"))
           // a silent retry hides poisoned batches — always surface the cause
           System.err.println(
             s"[graft] sink retry $attempt/$retries for batch $batchId after: $e")

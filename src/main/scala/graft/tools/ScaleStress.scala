@@ -28,7 +28,13 @@ object ScaleStress {
       // honest price of the zero-shuffle read), bloom dedup re-builds the
       // corpus filter, k-means re-runs both Lloyd passes
       "opt_bucketed_join_colocated", "ddp_bloom_incremental_dedup",
-      "sim_ivf_kmeans_refined")
+      "sim_ivf_kmeans_refined",
+      // streaming state paths: the symmetric-hash full-outer join with
+      // expiry horizons, in-stream schema evolution (both epochs
+      // reconciled relationally), and the dcp barrier-matched checker —
+      // their state must scale with the horizon, not the stream length
+      "evt_stream_full_outer_expiry", "cdc_schema_evolution_state",
+      "cdc_schema_evolution_drop_rename", "vrf_stream_consistency")
     val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
     val spark = Engine.session("scale-stress",

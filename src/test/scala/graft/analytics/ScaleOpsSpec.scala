@@ -260,15 +260,22 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   // The evt_stream_watermark_late_drop ORACLE hard-codes the two-phase
-  // watermark contract (the late filter for batch N uses the watermark in
-  // effect during batch N-1; eviction happens by WINDOW END, not row
-  // time). If a Spark upgrade shifts that runtime contract, this probe
-  // fails with a named assertion instead of the catalog entry failing
-  // with an opaque oracle hash mismatch. Three one-row-scale batches:
-  //   batch a: 10:59 and 13:00  -> watermark after a = 12:30
-  //   batch b: 12:05 (late but window 12-13 still open -> MERGES)
-  //            10:05 (window 10-11 closed at 12:30    -> DROPPED)
-  //   batch c: 15:00            -> final watermark 14:30 flushes <=14:30
+  // watermark contract: the LATE FILTER for batch N uses the watermark
+  // that was in effect DURING batch N-1 (i.e. computed from data through
+  // batch N-2), while EVICTION/emission for batch N uses the watermark
+  // from data through N-1 — and a late row is judged by its WINDOW END,
+  // not its row time. If a Spark upgrade shifts that runtime contract,
+  // this probe fails with a named assertion instead of the catalog entry
+  // failing with an opaque oracle hash mismatch. Mirroring the entry's
+  // 3-batch shape (delay 30 min):
+  //   batch a: 10:59, 12:00  -> wm(a) = 11:30
+  //   batch b: 15:00         -> wm(b) = 14:30; eviction here uses wm(a),
+  //                             emitting [10:00,11:00) with n=1
+  //   batch c: 10:05 (window end 11:00 <= filter-wm 11:30 -> DROPPED)
+  //            12:05 (window end 13:00 >  filter-wm 11:30 -> MERGES into
+  //                   the still-open [12:00,13:00) alongside 12:00);
+  //            eviction uses wm(b)=14:30 -> [12:00,13:00) emits n=2
+  //   [15:00,16:00) never closes (wm stays 14:30) and is not emitted
   test("watermark two-phase contract probe: late row merges iff its window is still open") {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
@@ -287,9 +294,9 @@ class ScaleOpsSpec extends SparkSpec {
       Files.move(part.toPath, dest)
       Files.setLastModifiedTime(dest, FileTime.fromMillis(modMs))
     }
-    writeOne("a", 1000000L, "2025-01-01 10:59:00", "2025-01-01 13:00:00")
-    writeOne("b", 2000000L, "2025-01-01 12:05:00", "2025-01-01 10:05:00")
-    writeOne("c", 3000000L, "2025-01-01 15:00:00")
+    writeOne("a", 1000000L, "2025-01-01 10:59:00", "2025-01-01 12:00:00")
+    writeOne("b", 2000000L, "2025-01-01 15:00:00")
+    writeOne("c", 3000000L, "2025-01-01 10:05:00", "2025-01-01 12:05:00")
     val src = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("ts",
@@ -309,9 +316,8 @@ class ScaleOpsSpec extends SparkSpec {
     val got = spark.read.parquet(s"$work/out")
       .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
     assert(got == Map(
-      "2025-01-01 10:00:00.0" -> 1L, // late 10:05 DROPPED (window closed)
-      "2025-01-01 12:00:00.0" -> 1L, // late 12:05 KEPT (window still open)
-      "2025-01-01 13:00:00.0" -> 1L),
+      "2025-01-01 10:00:00.0" -> 1L, // late 10:05 DROPPED (end <= filter-wm)
+      "2025-01-01 12:00:00.0" -> 2L), // late 12:05 MERGED (window still open)
       s"two-phase watermark contract shifted; emitted windows: $got")
   }
 }
