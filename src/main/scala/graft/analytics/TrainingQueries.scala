@@ -587,6 +587,72 @@ object TrainingQueries {
          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          |    / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.9""".stripMargin)),
 
+    // ---- STREAMING near-dup pipeline, oracle-gated -----------------------
+    // The transformWithState band-bucket dedup (streaming.StreamingDedup,
+    // previously spec-gated only) as a full oracle entry: documents
+    // arrive over a REAL multi-micro-batch file stream (4-way split,
+    // maxFilesPerTrigger=1), candidate pairs accumulate across batches
+    // through per-bucket member state, and the cumulative candidate set
+    // -> exact Jaccard>=0.9 verify must hash-match the SAME DuckDB
+    // oracle as the batch band self-join — the incremental operator
+    // computes the batch answer independent of how the stream is
+    // micro-batched.
+    CatalogQuery("ddp_streaming_minhash_dedup", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = java.nio.file.Files.createTempDirectory("graft-sdd").toString
+      val docs = docsPlus(s, d).select(col("doc_id"), col("text"))
+      docs.repartition(4).write.mode("overwrite").parquet(s"$work/in")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+      val pairs = graft.streaming.StreamingDedup.candidatePairs(stream)
+        .toDF("doc_a", "doc_b")
+      // transformWithState needs the multi-column-family state store
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = pairs.writeStream
+          .foreachBatch((b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$work/out"))
+          .outputMode("update")
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      val candidates = s.read.parquet(s"$work/out").distinct()
+      val sh = docsPlus(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          expr(s"array_distinct(${Similarity.shinglesFromToks("toks")})").as("sh"))
+      candidates
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_union(col("sha"), col("shb"))))
+        .filter(col("jaccard") >= 0.9)
+        .select(col("doc_a"), col("doc_b"))
+    }, Some(
+      s"""WITH dp AS ($duckDocsPlus),
+         |sigs AS (SELECT doc_id, ${Similarity.minhashDuck("text", 9)} AS sig FROM dp),
+         |bands AS (SELECT doc_id, j AS band,
+         |    md5(sig[3*j+1] || sig[3*j+2] || sig[3*j+3]) AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2]) AS j) u),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sh AS (SELECT doc_id, list_distinct(${Similarity.shinglesDuck("text")}) AS sh FROM dp)
+         |SELECT doc_a, doc_b FROM cand
+         |  JOIN sh sa ON sa.doc_id = doc_a
+         |  JOIN sh sb ON sb.doc_id = doc_b
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.9""".stripMargin)),
+
     // ---- dedup-pipeline evaluation against the planted ground truth ------
     // The harness KNOWS which near-dup pairs exist (every 10th doc is
     // re-inserted under id+1e6), so the whole LSH→verify pipeline gets an
