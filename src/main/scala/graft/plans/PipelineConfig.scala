@@ -172,10 +172,24 @@ object PipelineConfig {
         "durable position store)")
     val source = parseSourceNode(spark, req(root, "input"))
     val output = req(root, "output")
-    val sink =
+    val baseSink =
       if (!output.isArray) parseSinkNode(spark, output, plan.pkCols)
       else new graft.streaming.CompositeSink(
         output.elements().asScala.map(parseSinkNode(spark, _, plan.pkCols)).toSeq)
+    // optional external position mirror — the reference's
+    // [input.config.position-repo] type = "mysql-repo" section
+    // (position_repos; checkpoint stays the source of truth)
+    val sink = Option(root.get("position-repo")).map { pr =>
+      require(pr.get("type") == null || pr.get("type").asText() == "jdbc-repo",
+        s"unknown position-repo type '${pr.get("type").asText()}'")
+      val repo = new graft.sources.JdbcPositionRepo(
+        req(pr, "url").asText(),
+        Option(pr.get("schema")).map(_.asText())
+          .getOrElse(graft.sources.PositionRepo.Database))
+      repo.init()
+      new graft.streaming.PositionMirrorSink(baseSink, repo, plan.name)
+        : graft.streaming.BatchSink
+    }.getOrElse(baseSink)
     graft.streaming.PipelineRunner.start(plan, source, sink, trigger)
   }
 

@@ -123,6 +123,22 @@ final class ProjectingSink(inner: BatchSink, columns: Seq[String]) extends Batch
   }
 }
 
+/** Mirror the committed position into an external PositionRepo AFTER the
+  * inner sink commits each batch — the reference persists positions to
+  * its gravity_positions table after apply (pkg/position_repos/
+  * mysql_repo.go:158-169). The streaming CHECKPOINT stays the source of
+  * truth: on a crash between sink commit and mirror put, the mirror lags
+  * by one batch — exactly the at-least-once window the idempotent sinks
+  * already absorb, and the same lag gravity's async position flush has.
+  */
+final class PositionMirrorSink(inner: BatchSink, repo: graft.sources.PositionRepo,
+    pipelineName: String) extends BatchSink {
+  def write(batchId: Long, compacted: DataFrame): Unit = {
+    inner.write(batchId, compacted)
+    repo.put(pipelineName, "stream", s"""{"batch_id":$batchId}""")
+  }
+}
+
 /** Fault injection for e2e checks: delegate, then fail the query exactly
   * once after `killAtBatch` has fully committed to the inner sink — the
   * deterministic "kill -9 mid-stream" the restart/replay path is graded

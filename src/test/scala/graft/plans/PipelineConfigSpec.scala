@@ -109,6 +109,31 @@ class PipelineConfigSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("position-repo section mirrors the committed position into the external store") {
+    val work = java.nio.file.Files.createTempDirectory("cfg-posrepo").toString
+    val url = "jdbc:derby:memory:cfgpos" +
+      java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
+    val q = PipelineConfig.launch(spark,
+      s"""{
+         |  "name": "mirrored-pipe",
+         |  "input": {"type": "cdc-rate", "max-seq": 300, "rows-per-batch": 100,
+         |            "num-keys": 25, "partitions": 2},
+         |  "pk": ["id"],
+         |  "checkpoint": "$work/ckpt",
+         |  "position-repo": {"type": "jdbc-repo", "url": "$url"},
+         |  "output": {"type": "snapshot", "path": "$work/state", "buckets": 4}
+         |}""".stripMargin)
+    q.awaitTermination()
+    val repo = new graft.sources.JdbcPositionRepo(url)
+    try {
+      val entry = repo.get("mirrored-pipe")
+      assert(entry.nonEmpty, "pipeline position must be mirrored externally")
+      assert(entry.get.stage == "stream")
+      // 300 seqs / 100 per batch = batches 0..2; the mirror holds the last
+      assert(entry.get.value == """{"batch_id":2}""", entry.get.value)
+    } finally repo.close()
+  }
+
   test("output config builds a kafka-file sink: v2.0 frame, per-key partition order") {
     val dir = java.nio.file.Files.createTempDirectory("cfg-kafka").toString
     val sink = PipelineConfig.parseSink(spark,
