@@ -22,7 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (children: Seq[Expression]) => RollingHash(children.head)))
+      (children: Seq[Expression]) => arity("rolling_hash", 1, children) {
+        case Seq(c) => RollingHash(c)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("lsh_buckets"),
       new ExpressionInfo(classOf[HyperplaneLshBuckets].getName, "lsh_buckets"),
@@ -30,7 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
-      (children: Seq[Expression]) => SimHash32(children.head)))
+      (children: Seq[Expression]) => arity("simhash32", 1, children) {
+        case Seq(c) => SimHash32(c)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_hex"),
       new ExpressionInfo(classOf[MinHashHex].getName, "minhash_hex"),
@@ -44,7 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
-      (children: Seq[Expression]) => NormalizeText(children.head)))
+      (children: Seq[Expression]) => arity("normalize_text", 1, children) {
+        case Seq(c) => NormalizeText(c)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("zorder2"),
       new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),

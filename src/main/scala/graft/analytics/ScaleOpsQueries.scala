@@ -67,11 +67,12 @@ object ScaleOpsQueries {
     * is paid once, every downstream join/agg on the key is exchange-free.
     */
   // Each bucketedJoinAgg invocation registers generation-unique catalog
-  // names (concurrent runs in one session can't collide) and tears down
-  // the PREVIOUS generation's tables + temp warehouse — by the time a new
-  // layout is requested the prior returned frame has been consumed
-  // (Verify, Bench, and the spec all materialize each invocation before
-  // the next). The final generation is removed on JVM exit.
+  // names, so concurrent (or merely interleaved) invocations in one
+  // session can never collide OR destroy each other's layout — a prior
+  // generation's frame may still be lazily pending, so nothing is torn
+  // down mid-JVM (a handful of MB per invocation, bounded by the few
+  // calls Verify/Bench/specs make); every staged warehouse is removed by
+  // the exit hook.
   private val bucketedGen = new java.util.concurrent.atomic.AtomicLong(0L)
   private val bucketedLive =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
@@ -80,8 +81,10 @@ object ScaleOpsQueries {
     val p = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => () })
+      finally walk.close()
     }
   }
 
@@ -91,22 +94,9 @@ object ScaleOpsQueries {
       while (e != null) { deleteRecursively(e._3); e = bucketedLive.poll() }
     }))
 
-  private def drainPriorBucketed(s: SparkSession): Unit = {
-    var e = bucketedLive.poll()
-    while (e != null) {
-      try {
-        s.sql(s"DROP TABLE IF EXISTS ${e._1}")
-        s.sql(s"DROP TABLE IF EXISTS ${e._2}")
-      } catch { case _: Exception => () }
-      deleteRecursively(e._3)
-      e = bucketedLive.poll()
-    }
-  }
-
   private[analytics] def bucketedJoinAgg(s: SparkSession, d: String): DataFrame = {
     val nBuckets = 8
     bucketedExitHook
-    drainPriorBucketed(s)
     val gen = bucketedGen.incrementAndGet()
     val ordersTbl = s"graft_opt_orders_b_$gen"
     val custTbl = s"graft_opt_customer_b_$gen"

@@ -89,11 +89,15 @@ object GraftFunctions {
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+      "rolling_hash", exprs => graft.GraftExtensions.arity("rolling_hash", 1, exprs) {
+        case Seq(c) => RollingHash(c)
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_buckets", exprs => lshBucketsFromExprs(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash32", exprs => SimHash32(exprs.head), "built-in")
+      "simhash32", exprs => graft.GraftExtensions.arity("simhash32", 1, exprs) {
+        case Seq(c) => SimHash32(c)
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_hex", exprs => minhashHexFromExprs(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -101,7 +105,9 @@ object GraftFunctions {
         case Seq(a, b) => CosineSim(a, b)
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "normalize_text", exprs => NormalizeText(exprs.head), "built-in")
+      "normalize_text", exprs => graft.GraftExtensions.arity("normalize_text", 1, exprs) {
+        case Seq(c) => NormalizeText(c)
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zorder2", exprs => graft.GraftExtensions.arity("zorder2", 2, exprs) {
         case Seq(a, b) => ZOrder2(a, b)

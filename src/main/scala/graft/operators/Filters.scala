@@ -126,6 +126,9 @@ final case class ProcessSidecarFilter(command: Seq[String]) extends TransformOp 
         // the thread, close stdin, and let the sidecar exit 0 having seen
         // a clean EOF after only part of the input (silent row loss)
         val taskCtx = org.apache.spark.TaskContext.get()
+        // a failed/killed/short-circuited task must not orphan the child
+        if (taskCtx != null)
+          taskCtx.addTaskCompletionListener[Unit](_ => proc.destroyForcibly())
         @volatile var writerFailure: Throwable = null
         val writer = new Thread(() => {
           if (taskCtx != null) org.apache.spark.graft.TaskContextBridge.set(taskCtx)
@@ -252,6 +255,10 @@ final case class MsgPbSidecarFilter(command: Seq[String],
         // bound caps writer run-ahead so the queue can't grow unboundedly
         val pending = new java.util.concurrent.LinkedBlockingQueue[Row](1024)
         val taskCtx = org.apache.spark.TaskContext.get()
+        // failure paths (response error, task kill, a downstream limit()
+        // that stops draining) must not orphan the child process
+        if (taskCtx != null)
+          taskCtx.addTaskCompletionListener[Unit](_ => proc.destroyForcibly())
         @volatile var writerFailure: Throwable = null
         val writer = new Thread(() => {
           if (taskCtx != null) org.apache.spark.graft.TaskContextBridge.set(taskCtx)
@@ -283,13 +290,27 @@ final case class MsgPbSidecarFilter(command: Seq[String],
               MsgPb.readFrame(is) match {
                 case None =>
                   finished = true
+                  // the writer may be parked in pending.put (sidecar died
+                  // with >capacity rows in flight) — drain until it exits
+                  // so join() can't hang, counting what was never answered
+                  var unanswered = 0
+                  while (writer.isAlive)
+                    if (pending.poll(50,
+                      java.util.concurrent.TimeUnit.MILLISECONDS) != null) unanswered += 1
                   writer.join()
+                  while (pending.poll() != null) unanswered += 1
                   val rc = proc.waitFor()
-                  val benignEarlyExit = rc == 0 &&
-                    writerFailure.isInstanceOf[java.io.IOException]
-                  if (writerFailure != null && !benignEarlyExit)
+                  // unlike the JSON sidecar there is NO benign early exit:
+                  // the msgpb contract is one response per request, so any
+                  // unanswered row is silent data loss, not sampling
+                  if (writerFailure != null &&
+                      !writerFailure.isInstanceOf[java.io.IOException])
                     throw new RuntimeException("msgpb sidecar writer failed", writerFailure)
                   if (rc != 0) sys.error(s"msgpb sidecar ${cmd.mkString(" ")} exited $rc")
+                  if (unanswered > 0 || writerFailure != null) sys.error(
+                    s"msgpb sidecar ${cmd.mkString(" ")} exited ($rc) leaving " +
+                      s"$unanswered request(s) unanswered — one-response-per-request " +
+                      "contract violated")
                 case Some(frame) =>
                   val orig = pending.take()
                   val rsp = MsgPb.decodeFilterResponse(frame)

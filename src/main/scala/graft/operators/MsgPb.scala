@@ -390,6 +390,11 @@ object MsgPb {
 
   // ------------------------------------------------------------- framing
 
+  /** Frames beyond this are protocol corruption, not data (a single Msg
+    * is a CDC row — even a pathological one fits well under 64 MB).
+    */
+  val MaxFrameBytes: Long = 64L * 1024 * 1024
+
   /** varint length prefix + body — the stream framing both sides of the
     * stdin/stdout transport use.
     */
@@ -411,6 +416,11 @@ object MsgPb {
       if (first < 0) throw new java.io.EOFException("msgpb: truncated frame length")
     }
     len |= (first & 0x7fL) << shift
+    // garbage on the pipe (stray println, crash dump) parsed as a varint
+    // must fail as a protocol error, not a negative-size allocation or a
+    // multi-GB OOM
+    if (len < 0 || len > MaxFrameBytes) throw new java.io.EOFException(
+      s"msgpb: implausible frame length $len (max $MaxFrameBytes)")
     val body = new Array[Byte](len.toInt)
     var off = 0
     while (off < body.length) {

@@ -163,7 +163,8 @@ object PipelineConfig {
     */
   def launch(spark: org.apache.spark.sql.SparkSession, json: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      metrics: Option[graft.streaming.MetricsRegistry] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val root = mapper.readTree(json)
     val plan = parsePlanNode(root)
@@ -173,13 +174,13 @@ object PipelineConfig {
     val source = parseSourceNode(spark, req(root, "input"))
     val output = req(root, "output")
     val baseSink =
-      if (!output.isArray) parseSinkNode(spark, output, plan.pkCols)
+      if (!output.isArray) parseSinkNode(spark, output, plan.pkCols, metrics)
       else new graft.streaming.CompositeSink(
-        output.elements().asScala.map(parseSinkNode(spark, _, plan.pkCols)).toSeq)
+        output.elements().asScala.map(parseSinkNode(spark, _, plan.pkCols, metrics)).toSeq)
     // optional external position mirror — the reference's
     // [input.config.position-repo] type = "mysql-repo" section
     // (position_repos; checkpoint stays the source of truth)
-    val sink = Option(root.get("position-repo")).map { pr =>
+    val repoOpt = Option(root.get("position-repo")).map { pr =>
       require(pr.get("type") == null || pr.get("type").asText() == "jdbc-repo",
         s"unknown position-repo type '${pr.get("type").asText()}'")
       val repo = new graft.sources.JdbcPositionRepo(
@@ -187,10 +188,30 @@ object PipelineConfig {
         Option(pr.get("schema")).map(_.asText())
           .getOrElse(graft.sources.PositionRepo.Database))
       repo.init()
+      repo
+    }
+    val sink = repoOpt.map(repo =>
       new graft.streaming.PositionMirrorSink(baseSink, repo, plan.name)
-        : graft.streaming.BatchSink
-    }.getOrElse(baseSink)
-    graft.streaming.PipelineRunner.start(plan, source, sink, trigger)
+        : graft.streaming.BatchSink).getOrElse(baseSink)
+    val q = graft.streaming.PipelineRunner.start(plan, source, sink, trigger)
+    // the repo's JDBC connection must not outlive the query — close it
+    // when THIS query terminates (and detach the listener)
+    repoOpt.foreach { repo =>
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            try repo.close() catch { case _: Exception => () }
+            spark.streams.removeListener(this)
+          }
+      }
+      spark.streams.addListener(listener)
+    }
+    q
   }
 
   /** Output section → BatchSink, completing config → runnable pipeline
@@ -208,23 +229,26 @@ object PipelineConfig {
     * RetryingSink (the scheduler's nr-retries × retry-sleep).
     */
   def parseSink(spark: org.apache.spark.sql.SparkSession, json: String,
-      pkCols: Seq[String]): graft.streaming.BatchSink =
-    parseSinkNode(spark, mapper.readTree(json), pkCols)
+      pkCols: Seq[String],
+      metrics: Option[graft.streaming.MetricsRegistry] = None): graft.streaming.BatchSink =
+    parseSinkNode(spark, mapper.readTree(json), pkCols, metrics)
 
   /** Multiple outputs off one pipeline: `[{...}, {...}]` → CompositeSink
     * (each JSON object is one `parseSink` config). A single object parses
     * as itself.
     */
   def parseSinks(spark: org.apache.spark.sql.SparkSession, json: String,
-      pkCols: Seq[String]): graft.streaming.BatchSink = {
+      pkCols: Seq[String],
+      metrics: Option[graft.streaming.MetricsRegistry] = None): graft.streaming.BatchSink = {
     val root = mapper.readTree(json)
-    if (!root.isArray) parseSinkNode(spark, root, pkCols)
+    if (!root.isArray) parseSinkNode(spark, root, pkCols, metrics)
     else new graft.streaming.CompositeSink(
-      root.elements().asScala.map(parseSinkNode(spark, _, pkCols)).toSeq)
+      root.elements().asScala.map(parseSinkNode(spark, _, pkCols, metrics)).toSeq)
   }
 
   private def parseSinkNode(spark: org.apache.spark.sql.SparkSession, o: JsonNode,
-      pkCols: Seq[String]): graft.streaming.BatchSink = {
+      pkCols: Seq[String],
+      metrics: Option[graft.streaming.MetricsRegistry] = None): graft.streaming.BatchSink = {
     // sink-level "pk" overrides the plan's (a snapshot keyed per
     // (target, pk) next to a per-table relational target)
     val pk = Option(o.get("pk")).map(strList).getOrElse(pkCols)
@@ -286,7 +310,7 @@ object PipelineConfig {
     }
     Option(o.get("retries")).map(_.asInt()) match {
       case Some(r) => new graft.streaming.RetryingSink(projected, r,
-        Option(o.get("retry-sleep-ms")).map(_.asLong()).getOrElse(1000L))
+        Option(o.get("retry-sleep-ms")).map(_.asLong()).getOrElse(1000L), metrics)
       case None => projected
     }
   }

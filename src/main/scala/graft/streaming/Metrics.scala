@@ -53,7 +53,10 @@ final class MetricsRegistry(val pipeline: String) {
 
   private val counters = TrieMap.empty[(String, String), LongAdder]
   private val histos = TrieMap.empty[(String, String), Histo]
-  private val gauges = TrieMap.empty[(String, String), DoubleAdder]
+  // gauge = atomically-replaced double bits: a reset()+add() pair on an
+  // adder would let a concurrent scrape observe 0 or a doubled value
+  private val gauges =
+    TrieMap.empty[(String, String), java.util.concurrent.atomic.AtomicLong]
 
   private def labelStr(labels: Seq[(String, String)]): String = {
     val all = ("pipeline" -> pipeline) +: labels
@@ -83,8 +86,9 @@ final class MetricsRegistry(val pipeline: String) {
 
   def setGauge(name: String, value: Double, labels: Seq[(String, String)] = Nil): Unit = {
     require(family(name).kind == "gauge", s"$name is not a gauge")
-    val g = gauges.getOrElseUpdate((name, labelStr(labels)), new DoubleAdder)
-    g.reset(); g.add(value)
+    gauges.getOrElseUpdate((name, labelStr(labels)),
+      new java.util.concurrent.atomic.AtomicLong)
+      .set(java.lang.Double.doubleToRawLongBits(value))
   }
 
   /** Prometheus text exposition, families sorted, series sorted. */
@@ -100,7 +104,8 @@ final class MetricsRegistry(val pipeline: String) {
           }
         case "gauge" =>
           gauges.toSeq.filter(_._1._1 == f.name).sortBy(_._1._2).map {
-            case ((_, ls), v) => s"${f.name}$ls ${fmt(v.sum())}"
+            case ((_, ls), v) =>
+              s"${f.name}$ls ${fmt(java.lang.Double.longBitsToDouble(v.get()))}"
           }
         case "histogram" =>
           histos.toSeq.filter(_._1._1 == f.name).sortBy(_._1._2).flatMap {

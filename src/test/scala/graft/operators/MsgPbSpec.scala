@@ -126,6 +126,32 @@ class MsgPbSpec extends SparkSpec {
     intercept[java.io.EOFException](readFrame(in2))
   }
 
+  test("implausible frame length is a protocol error, not an allocation crash") {
+    // varint 2^40 as a frame length
+    val bogus = Array[Byte](0x80.toByte, 0x80.toByte, 0x80.toByte,
+      0x80.toByte, 0x80.toByte, 0x10)
+    val in = new java.io.ByteArrayInputStream(bogus)
+    val e = intercept[java.io.EOFException](readFrame(in))
+    assert(e.getMessage.contains("implausible"))
+  }
+
+  test("a sidecar that exits without answering every request fails the task (no silent loss)") {
+    import spark.implicits._
+    val env = (1L to 50L).map(i => (i, "insert", "O")).toDF("seq", "op", "status")
+      .select(col("seq"), col("op"),
+        map(lit("o_orderstatus"), col("status")).as("data"),
+        expr("map()").cast("map<string,string>").as("old"),
+        map(lit("k"), col("seq").cast("string")).as("pks"))
+    // `true` exits 0 immediately: stdout EOF with every request unanswered
+    val filter = MsgPbSidecarFilter(Seq("true"))
+    val e = intercept[Exception] {
+      filter(env).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    assert(causes(e).exists(_.contains("unanswered")), causes(e).mkString(" | "))
+  }
+
   test("msgpb sidecar end-to-end: mutation + continueNext drop through a real process") {
     import spark.implicits._
     val env = Seq(
