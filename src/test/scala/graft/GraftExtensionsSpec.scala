@@ -33,6 +33,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
               org.apache.spark.unsafe.types.UTF8String.fromString("b")))))
       assert(spark.sql("SELECT size(minhash_hex(array('s1','s2'), 9))")
         .as[Int].head() == 9)
+      // wrong arity surfaces as the standard WRONG_NUM_ARGS analysis
+      // error for every registered function — 2-arg AND 1-arg shapes
+      // (a bare children(1)/children.head would throw IndexOutOfBounds/
+      // NoSuchElement, and extra args would be silently discarded)
+      for (sql <- Seq(
+          "SELECT cosine_sim(array(CAST(1.0 AS FLOAT)))", // 1 of 2
+          "SELECT zorder2(1)", // 1 of 2
+          "SELECT normalize_text()", // 0 of 1
+          "SELECT rolling_hash('a', 'b')", // 2 of 1
+          "SELECT simhash32(array('a'), 1)")) { // 2 of 1
+        val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql).collect())
+        assert(e.getErrorClass == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", s"$sql -> ${e.getMessage}")
+      }
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
