@@ -1,0 +1,498 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputStream}
+
+/** MySQL client/server + replication (binlog) wire protocol, hand-rolled
+  * from the public protocol documentation — the network layer the
+  * reference gets from go-mysql's replication.BinlogSyncer
+  * (pkg/inputs/mysqlstream/binlog_tailer.go:153-577 consumes it; this
+  * closes the one layer that module delegated to a library). Same
+  * no-dependency approach as [[TidbProto]] and [[graft.operators.MsgPb]].
+  *
+  * Covered: packet framing, HandshakeV10 / HandshakeResponse41 with
+  * mysql_native_password auth, COM_QUERY with OK/ERR, COM_BINLOG_DUMP,
+  * and the v4 binlog event stream: FORMAT_DESCRIPTION, ROTATE, QUERY,
+  * TABLE_MAP, WRITE/UPDATE/DELETE_ROWS v1+v2, XID. Row values decode for
+  * the core type set (TINY/SHORT/INT24/LONG/LONGLONG, FLOAT/DOUBLE,
+  * VARCHAR/VAR_STRING/STRING, BLOB, DATE, NULL); signedness is NOT on
+  * the binlog wire — it comes from the schema store, exactly why the
+  * reference pairs the tailer with one (MySqlTypes.unsignedFixup is the
+  * downstream fixup). Unsupported column types fail loudly with the
+  * type id, never decode garbage. Checksums: the client pins
+  * @master_binlog_checksum='NONE' at registration like real replicas.
+  */
+object BinlogWire {
+
+  // ------------------------------------------------------------ buffers
+
+  final class ByteReader(val buf: Array[Byte], var pos: Int = 0) {
+    def remaining: Int = buf.length - pos
+    def u8(): Int = { val v = buf(pos) & 0xff; pos += 1; v }
+    def u16(): Int = u8() | (u8() << 8)
+    def u24(): Int = u8() | (u8() << 8) | (u8() << 16)
+    def u32(): Long = u24().toLong | ((u8().toLong) << 24)
+    def u48(): Long = u32() | (u8().toLong << 32) | (u8().toLong << 40)
+    def u64(): Long = u32() | (u32() << 32)
+    def i8(): Int = { val v = buf(pos).toInt; pos += 1; v }
+    def i16(): Int = u16().toShort.toInt
+    def i24(): Int = { val v = u24(); if ((v & 0x800000) != 0) v | 0xff000000 else v }
+    def i32(): Int = u32().toInt
+    def bytes(n: Int): Array[Byte] = {
+      val out = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; out
+    }
+    def strN(n: Int): String = new String(bytes(n), "UTF-8")
+    def strNul(): String = {
+      val start = pos
+      while (buf(pos) != 0) pos += 1
+      val s = new String(buf, start, pos - start, "UTF-8"); pos += 1; s
+    }
+    def strEof(): String = { val s = new String(buf, pos, buf.length - pos, "UTF-8"); pos = buf.length; s }
+    /** length-encoded integer */
+    def lenenc(): Long = u8() match {
+      case 0xfb => -1L // NULL marker in result contexts
+      case 0xfc => u16().toLong
+      case 0xfd => u24().toLong
+      case 0xfe => u64()
+      case v => v.toLong
+    }
+  }
+
+  final class ByteWriter {
+    private val out = new java.io.ByteArrayOutputStream(64)
+    def result(): Array[Byte] = out.toByteArray
+    def u8(v: Int): this.type = { out.write(v & 0xff); this }
+    def u16(v: Int): this.type = { u8(v); u8(v >> 8) }
+    def u24(v: Int): this.type = { u8(v); u8(v >> 8); u8(v >> 16) }
+    def u32(v: Long): this.type = { u24(v.toInt); u8((v >> 24).toInt) }
+    def u48(v: Long): this.type = { u32(v); u8((v >> 32).toInt); u8((v >> 40).toInt) }
+    def u64(v: Long): this.type = { u32(v & 0xffffffffL); u32(v >>> 32) }
+    def bytes(b: Array[Byte]): this.type = { out.write(b); this }
+    def strNul(s: String): this.type = { bytes(s.getBytes("UTF-8")); u8(0) }
+    def str(s: String): this.type = bytes(s.getBytes("UTF-8"))
+    def lenenc(v: Long): this.type =
+      if (v < 251) u8(v.toInt)
+      else if (v < (1 << 16)) { u8(0xfc); u16(v.toInt) }
+      else if (v < (1 << 24)) { u8(0xfd); u24(v.toInt) }
+      else { u8(0xfe); u64(v) }
+  }
+
+  // ----------------------------------------------------- packet framing
+
+  /** 3-byte LE length + 1-byte sequence, then the payload. */
+  def readPacket(in: InputStream): (Int, Array[Byte]) = {
+    def b(): Int = {
+      val v = in.read()
+      if (v < 0) throw new java.io.EOFException("mysql: connection closed")
+      v
+    }
+    val len = b() | (b() << 8) | (b() << 16)
+    val seq = b()
+    val payload = new Array[Byte](len)
+    var off = 0
+    while (off < len) {
+      val n = in.read(payload, off, len - off)
+      if (n < 0) throw new java.io.EOFException("mysql: truncated packet")
+      off += n
+    }
+    (seq, payload)
+  }
+
+  def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {
+    out.write(payload.length & 0xff)
+    out.write((payload.length >> 8) & 0xff)
+    out.write((payload.length >> 16) & 0xff)
+    out.write(seq & 0xff)
+    out.write(payload)
+    out.flush()
+  }
+
+  // --------------------------------------------------------- handshake
+
+  final case class Handshake(
+      serverVersion: String, threadId: Long, scramble: Array[Byte], authPlugin: String)
+
+  val CapProtocol41 = 0x00000200L
+  val CapSecureConnection = 0x00008000L
+  val CapPluginAuth = 0x00080000L
+
+  /** Initial HandshakeV10 (server → client). */
+  def parseHandshake(p: Array[Byte]): Handshake = {
+    val r = new ByteReader(p)
+    val proto = r.u8()
+    require(proto == 10, s"mysql: unsupported protocol version $proto")
+    val serverVersion = r.strNul()
+    val threadId = r.u32()
+    val scramble1 = r.bytes(8)
+    r.u8() // filler
+    r.u16() // capability low
+    if (r.remaining == 0) return Handshake(serverVersion, threadId, scramble1, "")
+    r.u8() // charset
+    r.u16() // status
+    r.u16() // capability high
+    val authDataLen = r.u8()
+    r.bytes(10) // reserved
+    // part 2: max(13, len-8) bytes, last is a NUL
+    val part2Len = math.max(13, authDataLen - 8) - 1
+    val scramble2 = r.bytes(part2Len)
+    r.u8() // trailing NUL
+    val plugin = if (r.remaining > 0) r.strNul() else ""
+    Handshake(serverVersion, threadId, scramble1 ++ scramble2, plugin)
+  }
+
+  /** mysql_native_password: SHA1(pwd) XOR SHA1(scramble + SHA1(SHA1(pwd))). */
+  def nativePassword(password: String, scramble: Array[Byte]): Array[Byte] = {
+    if (password.isEmpty) return Array.emptyByteArray
+    val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+    val p1 = sha1.digest(password.getBytes("UTF-8"))
+    sha1.reset()
+    val p2 = sha1.digest(p1)
+    sha1.reset()
+    sha1.update(scramble)
+    sha1.update(p2)
+    val mix = sha1.digest()
+    p1.indices.map(i => (p1(i) ^ mix(i)).toByte).toArray
+  }
+
+  /** HandshakeResponse41 (client → server). */
+  def handshakeResponse(user: String, password: String, scramble: Array[Byte]): Array[Byte] = {
+    val auth = nativePassword(password, scramble)
+    val caps = CapProtocol41 | CapSecureConnection | CapPluginAuth
+    new ByteWriter()
+      .u32(caps)
+      .u32(1L << 24) // max packet
+      .u8(33) // utf8_general_ci
+      .bytes(new Array[Byte](23))
+      .strNul(user)
+      .u8(auth.length).bytes(auth)
+      .strNul("mysql_native_password")
+      .result()
+  }
+
+  // ---------------------------------------------------------- commands
+
+  def comQuery(sql: String): Array[Byte] =
+    new ByteWriter().u8(0x03).str(sql).result()
+
+  /** COM_BINLOG_DUMP: start streaming from (file, pos). */
+  def comBinlogDump(file: String, pos: Long, slaveServerId: Long): Array[Byte] =
+    new ByteWriter().u8(0x12).u32(pos).u16(0).u32(slaveServerId).str(file).result()
+
+  final case class ServerError(errno: Int, message: String)
+      extends RuntimeException(s"mysql error $errno: $message")
+
+  /** OK (0x00) / ERR (0xff) / EOF (0xfe, len<9). */
+  def checkOk(p: Array[Byte]): Unit = (p(0) & 0xff) match {
+    case 0x00 | 0xfe => ()
+    case 0xff =>
+      val r = new ByteReader(p, 1)
+      val errno = r.u16()
+      if (r.remaining > 0 && (p(r.pos) & 0xff) == '#') { r.u8(); r.bytes(5) } // sqlstate
+      throw ServerError(errno, r.strEof())
+    case other => throw new IllegalStateException(f"mysql: unexpected response 0x$other%02x")
+  }
+
+  // ------------------------------------------------------ binlog events
+
+  // event type ids (binlog v4)
+  val QUERY_EVENT = 2
+  val ROTATE_EVENT = 4
+  val XID_EVENT = 16
+  val FORMAT_DESCRIPTION_EVENT = 15
+  val TABLE_MAP_EVENT = 19
+  val WRITE_ROWS_V1 = 23
+  val UPDATE_ROWS_V1 = 24
+  val DELETE_ROWS_V1 = 25
+  val WRITE_ROWS_V2 = 30
+  val UPDATE_ROWS_V2 = 31
+  val DELETE_ROWS_V2 = 32
+
+  final case class EventHeader(
+      timestamp: Long, eventType: Int, serverId: Long,
+      eventSize: Long, logPos: Long, flags: Int)
+
+  sealed trait BinlogEvent { def header: EventHeader }
+  final case class FormatDescription(header: EventHeader, binlogVersion: Int,
+      serverVersion: String) extends BinlogEvent
+  final case class Rotate(header: EventHeader, position: Long, nextFile: String)
+      extends BinlogEvent
+  final case class Query(header: EventHeader, database: String, sql: String)
+      extends BinlogEvent
+  final case class TableMap(header: EventHeader, tableId: Long,
+      database: String, table: String,
+      columnTypes: Array[Int], columnMeta: Array[Int],
+      nullable: Array[Boolean]) extends BinlogEvent
+  /** op ∈ insert|update|delete; update rows carry (before, after). */
+  final case class Rows(header: EventHeader, op: String, tableId: Long,
+      table: Option[TableMap],
+      rows: Seq[(Option[IndexedSeq[Any]], IndexedSeq[Any])]) extends BinlogEvent
+  final case class Xid(header: EventHeader, xid: Long) extends BinlogEvent
+  final case class Unknown(header: EventHeader) extends BinlogEvent
+
+  def parseHeader(r: ByteReader): EventHeader =
+    EventHeader(r.u32(), r.u8(), r.u32(), r.u32(), r.u32(), r.u16())
+
+  // column type ids
+  private val TINY = 1; private val SHORT = 2; private val LONG = 3
+  private val FLOAT = 4; private val DOUBLE = 5; private val NULLT = 6
+  private val LONGLONG = 8; private val INT24 = 9; private val DATE = 10
+  private val VARCHAR = 15; private val BLOB = 252
+  private val VAR_STRING = 253; private val STRING = 254
+
+  /** Parse one binlog event body (no packet 0x00 marker, no checksum).
+    * `tableMaps` accumulates TABLE_MAP events so ROWS events resolve.
+    */
+  def parseEvent(body: Array[Byte],
+      tableMaps: scala.collection.mutable.Map[Long, TableMap]): BinlogEvent = {
+    val r = new ByteReader(body)
+    val h = parseHeader(r)
+    h.eventType match {
+      case FORMAT_DESCRIPTION_EVENT =>
+        val ver = r.u16()
+        val serverVersion = {
+          val raw = r.strN(50); val nul = raw.indexOf(' ')
+          if (nul >= 0) raw.substring(0, nul) else raw
+        }
+        FormatDescription(h, ver, serverVersion)
+      case ROTATE_EVENT =>
+        val pos = r.u64()
+        Rotate(h, pos, r.strEof())
+      case QUERY_EVENT =>
+        r.u32() // thread id
+        r.u32() // exec time
+        val dbLen = r.u8()
+        r.u16() // error code
+        val statusLen = r.u16()
+        r.bytes(statusLen)
+        val db = r.strN(dbLen); r.u8() // NUL
+        Query(h, db, r.strEof())
+      case XID_EVENT =>
+        Xid(h, r.u64())
+      case TABLE_MAP_EVENT =>
+        val tableId = r.u48()
+        r.u16() // flags
+        val db = r.strN(r.u8()); r.u8()
+        val tbl = r.strN(r.u8()); r.u8()
+        val nCols = r.lenenc().toInt
+        val types = Array.fill(nCols)(r.u8())
+        val metaLen = r.lenenc().toInt
+        val metaEnd = r.pos + metaLen
+        val meta = types.map {
+          case VARCHAR | VAR_STRING => r.u16()
+          case STRING => (r.u8() << 8) | r.u8() // real-type byte, length byte
+          case BLOB | FLOAT | DOUBLE => r.u8()
+          case _ => 0
+        }
+        require(r.pos == metaEnd, s"table-map metadata length mismatch")
+        val nullBytes = r.bytes((nCols + 7) / 8)
+        val nullable = Array.tabulate(nCols)(i => (nullBytes(i / 8) & (1 << (i % 8))) != 0)
+        val tm = TableMap(h, tableId, db, tbl, types, meta, nullable)
+        tableMaps(tableId) = tm
+        tm
+      case t @ (WRITE_ROWS_V1 | WRITE_ROWS_V2 | UPDATE_ROWS_V1 | UPDATE_ROWS_V2 |
+          DELETE_ROWS_V1 | DELETE_ROWS_V2) =>
+        val tableId = r.u48()
+        r.u16() // flags
+        if (t >= WRITE_ROWS_V2) { val extraLen = r.u16(); r.bytes(extraLen - 2) }
+        val nCols = r.lenenc().toInt
+        val present1 = r.bytes((nCols + 7) / 8)
+        val isUpdate = t == UPDATE_ROWS_V1 || t == UPDATE_ROWS_V2
+        val present2 = if (isUpdate) r.bytes((nCols + 7) / 8) else present1
+        val tm = tableMaps.get(tableId)
+        val op = t match {
+          case WRITE_ROWS_V1 | WRITE_ROWS_V2 => "insert"
+          case UPDATE_ROWS_V1 | UPDATE_ROWS_V2 => "update"
+          case _ => "delete"
+        }
+        val table = tm.getOrElse(
+          throw new IllegalStateException(s"rows event for unmapped table id $tableId"))
+        def presentCols(bm: Array[Byte]): IndexedSeq[Int] =
+          (0 until nCols).filter(i => (bm(i / 8) & (1 << (i % 8))) != 0)
+        def readRow(bm: Array[Byte]): IndexedSeq[Any] = {
+          val cols = presentCols(bm)
+          val nullBm = r.bytes((cols.size + 7) / 8)
+          cols.zipWithIndex.map { case (ci, bi) =>
+            if ((nullBm(bi / 8) & (1 << (bi % 8))) != 0) null
+            else decodeValue(r, table.columnTypes(ci), table.columnMeta(ci))
+          }
+        }
+        val rows = Seq.newBuilder[(Option[IndexedSeq[Any]], IndexedSeq[Any])]
+        while (r.remaining > 0) {
+          if (isUpdate) {
+            val before = readRow(present1)
+            val after = readRow(present2)
+            rows += ((Some(before), after))
+          } else {
+            rows += ((None, readRow(present1)))
+          }
+        }
+        Rows(h, op, tableId, tm, rows.result())
+      case _ => Unknown(h)
+    }
+  }
+
+  /** Decode one non-null value. Signedness comes from the SCHEMA STORE,
+    * not the wire — integers decode signed here and callers apply
+    * MySqlTypes.unsignedFixup when the source column is UNSIGNED.
+    */
+  private def decodeValue(r: ByteReader, colType: Int, meta: Int): Any = colType match {
+    case TINY => r.i8()
+    case SHORT => r.i16()
+    case INT24 => r.i24()
+    case LONG => r.i32()
+    case LONGLONG => r.u64()
+    case FLOAT => java.lang.Float.intBitsToFloat(r.u32().toInt)
+    case DOUBLE => java.lang.Double.longBitsToDouble(r.u64())
+    case NULLT => null
+    case DATE =>
+      val v = r.u24()
+      val (d, m, y) = (v & 31, (v >> 5) & 15, v >> 9)
+      if (y == 0) null else java.time.LocalDate.of(y, m, d)
+    case VARCHAR | VAR_STRING =>
+      val len = if (meta < 256) r.u8() else r.u16()
+      r.strN(len)
+    case STRING =>
+      // meta = (real-type byte << 8) | length byte; CHAR(n) with
+      // n*charlen > 255 steals two length bits from the type byte
+      val maxLen = {
+        val b0 = (meta >> 8) & 0xff
+        val b1 = meta & 0xff
+        if (b0 == 0) b1
+        else if ((b0 & 0x30) != 0x30) b1 | (((b0 & 0x30) ^ 0x30) << 4)
+        else b1
+      }
+      val actual = if (maxLen < 256) r.u8() else r.u16()
+      r.strN(actual)
+    case BLOB =>
+      val lenBytes = meta
+      var len = 0L
+      var i = 0
+      while (i < lenBytes) { len |= (r.u8().toLong << (8 * i)); i += 1 }
+      r.bytes(len.toInt)
+    case other => throw new UnsupportedOperationException(
+      s"binlog column type $other not supported by this decoder " +
+        "(core set: ints, float/double, varchar/char, blob, date)")
+  }
+
+  // ----------------------------------------------------------- client
+
+  /** Replication client: handshake → auth → checksum pin → dump stream.
+    * One socket, blocking reads — run it on the source-tailer thread the
+    * way the reference runs its syncer goroutine.
+    */
+  final class BinlogClient(host: String, port: Int, user: String,
+      password: String, slaveServerId: Long = 1001L) extends AutoCloseable {
+
+    private var socket: java.net.Socket = _
+    private var in: InputStream = _
+    private var out: OutputStream = _
+    private val tableMaps = scala.collection.mutable.Map.empty[Long, TableMap]
+
+    /** Connected server version (after connect()). */
+    var serverVersion: String = ""
+
+    def connect(): this.type = {
+      socket = new java.net.Socket(host, port)
+      in = new BufferedInputStream(socket.getInputStream)
+      out = new BufferedOutputStream(socket.getOutputStream)
+      val (seq, payload) = readPacket(in)
+      val hs = parseHandshake(payload)
+      serverVersion = hs.serverVersion
+      writePacket(out, seq + 1, handshakeResponse(user, password, hs.scramble))
+      val (_, reply) = readPacket(in)
+      checkOk(reply)
+      // real replicas pin the checksum before dumping so event framing
+      // is unambiguous (go-mysql does the same dance)
+      query("SET @master_binlog_checksum='NONE'")
+      this
+    }
+
+    def query(sql: String): Unit = {
+      writePacket(out, 0, comQuery(sql))
+      val (_, reply) = readPacket(in)
+      checkOk(reply)
+    }
+
+    /** Stream events from (file, pos) until server EOF. */
+    def dump(file: String, pos: Long): Iterator[BinlogEvent] = {
+      writePacket(out, 0, comBinlogDump(file, pos, slaveServerId))
+      new Iterator[BinlogEvent] {
+        private var nextEvent: BinlogEvent = _
+        private var done = false
+        private def advance(): Unit = {
+          while (nextEvent == null && !done) {
+            val (_, p) = readPacket(in)
+            (p(0) & 0xff) match {
+              case 0x00 =>
+                nextEvent = parseEvent(java.util.Arrays.copyOfRange(p, 1, p.length), tableMaps)
+              case 0xfe if p.length < 9 => done = true
+              case 0xff => checkOk(p) // throws ServerError
+              case other => throw new IllegalStateException(
+                f"binlog stream: unexpected marker 0x$other%02x")
+            }
+          }
+        }
+        def hasNext: Boolean = { advance(); nextEvent != null }
+        def next(): BinlogEvent = {
+          advance()
+          if (nextEvent == null) throw new NoSuchElementException
+          val e = nextEvent; nextEvent = null; e
+        }
+      }
+    }
+
+    def close(): Unit = if (socket != null) socket.close()
+  }
+
+  /** Events → the change-log envelope rows the pipeline consumes
+    * (seq = logPos, op, database, table, typed values by column index) —
+    * the RowsEvent→Msg conversion seat (binlog_tailer.go:280-470),
+    * with the reference's skip of the `mysql` system schema. Updates stay
+    * whole (before+after); the PK-update split is a downstream operator
+    * (core.ChangeLog.pkUpdateSplit).
+    */
+  final case class ChangeRow(seq: Long, op: String, database: String,
+      table: String, before: Option[IndexedSeq[Any]], values: IndexedSeq[Any])
+
+  def changeRows(events: Iterator[BinlogEvent]): Iterator[ChangeRow] =
+    events.flatMap {
+      case Rows(h, op, _, Some(tm), rows) if tm.database != "mysql" =>
+        rows.map { case (before, after) =>
+          ChangeRow(h.logPos, op, tm.database, tm.table, before, after)
+        }
+      case _ => Nil
+    }
+
+  /** Change rows → the ENVELOPED frame the filter/router/sink surface
+    * consumes (seq, op, database, table, data/old map<string,string>).
+    * Column NAMES are not on the binlog wire — they come from the schema
+    * store (`names`), exactly the tailer+SchemaStore pairing the
+    * reference uses; positional c0..cN is the fallback when the store
+    * has no entry yet.
+    */
+  def envelopeFrame(spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[ChangeRow],
+      names: (String, String) => Option[Seq[String]] = (_, _) => None,
+      pkOf: (String, String) => Seq[String] = (_, _) => Nil)
+      : org.apache.spark.sql.DataFrame = {
+    def render(v: Any): String = v match {
+      case null => null
+      case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+      case other => other.toString
+    }
+    def toMap(db: String, tbl: String, vs: IndexedSeq[Any]): Map[String, String] = {
+      val ns = names(db, tbl).getOrElse(vs.indices.map(i => s"c$i"))
+      ns.zip(vs.map(render)).toMap
+    }
+    val tuples = rows.map { c =>
+      val data = toMap(c.database, c.table, c.values)
+      // pk values come from the BEFORE image when present (a PK update's
+      // identity is the old key — msg.go Pks semantics), else the row
+      val pkSource = c.before.map(b => toMap(c.database, c.table, b)).getOrElse(data)
+      (c.seq, c.op, c.database, c.table, data,
+        c.before.map(b => toMap(c.database, c.table, b)).getOrElse(Map.empty[String, String]),
+        pkOf(c.database, c.table).flatMap(k => pkSource.get(k).map(k -> _)).toMap)
+    }
+    spark.createDataFrame(tuples)
+      .toDF("seq", "op", "database", "table", "data", "old", "pks")
+  }
+}
