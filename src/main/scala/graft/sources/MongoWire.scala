@@ -1,0 +1,318 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputStream}
+
+/** MongoDB wire protocol (OP_MSG) + the BSON subset an oplog tail needs,
+  * hand-rolled from the public specifications — the network layer the
+  * reference's mongo-stream input gets from mgo/gtm
+  * (pkg/inputs/mongostream/oplog_tailer.go:95-226 consumes a driver
+  * session; this closes that delegated layer, completing the TidbProto /
+  * MsgPb / BinlogWire set).
+  *
+  * Covered: OP_MSG framing (opcode 2013, kind-0 body section), a BSON
+  * codec for double/string/document/array/ObjectId/bool/datetime/null/
+  * int32/timestamp/int64 (unknown element types fail loudly with the
+  * type id), the `hello` handshake, and the tailable find/getMore cursor
+  * loop over `local.oplog.rs`. Oplog entries convert to change records
+  * with the reference's delta posture (UpdateDataAsDelta: $set/$unset
+  * ride through as partial images; replacement updates carry the full
+  * document) — the downstream delta algebra is core.ChangeLog's.
+  */
+object MongoWire {
+
+  // --------------------------------------------------------------- BSON
+
+  sealed trait BVal
+  object BVal {
+    final case class BDouble(v: Double) extends BVal
+    final case class BStr(v: String) extends BVal
+    final case class BDoc(fields: Seq[(String, BVal)]) extends BVal {
+      def get(name: String): Option[BVal] = fields.find(_._1 == name).map(_._2)
+      def str(name: String): Option[String] = get(name).collect { case BStr(s) => s }
+      def doc(name: String): Option[BDoc] = get(name).collect { case d: BDoc => d }
+      def long(name: String): Option[Long] = get(name).collect {
+        case BLong(v) => v
+        case BInt(v) => v.toLong
+        case BDouble(v) => v.toLong
+      }
+    }
+    final case class BArr(items: Seq[BVal]) extends BVal
+    final case class BObjId(bytes: Vector[Byte]) extends BVal
+    final case class BBool(v: Boolean) extends BVal
+    final case class BDate(ms: Long) extends BVal
+    case object BNull extends BVal
+    final case class BInt(v: Int) extends BVal
+    /** oplog `ts`: (seconds << 32) | increment on the wire. */
+    final case class BTs(seconds: Long, inc: Long) extends BVal
+    final case class BLong(v: Long) extends BVal
+
+    def doc(fields: (String, BVal)*): BDoc = BDoc(fields)
+  }
+  import BVal._
+
+  def encodeDoc(d: BDoc): Array[Byte] = {
+    val e = new java.io.ByteArrayOutputStream(64)
+    val w = new BsonElemWriter(e)
+    d.fields.foreach { case (n, v) => w.el(n, v) }
+    val elems = e.toByteArray
+    val out = new java.io.ByteArrayOutputStream(elems.length + 5)
+    val total = elems.length + 5
+    out.write(total & 0xff); out.write((total >> 8) & 0xff)
+    out.write((total >> 16) & 0xff); out.write((total >> 24) & 0xff)
+    out.write(elems, 0, elems.length)
+    out.write(0)
+    out.toByteArray
+  }
+
+  /** Element writer — the single source of truth for element rendering. */
+  private final class BsonElemWriter(out: java.io.ByteArrayOutputStream) {
+    private def i32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    private def i64(v: Long): Unit = { i32(v.toInt); i32((v >> 32).toInt) }
+    private def cstr(s: String): Unit = { out.write(s.getBytes("UTF-8")); out.write(0) }
+    private def bstr(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); i32(b.length + 1); out.write(b); out.write(0)
+    }
+    def el(name: String, v: BVal): Unit = v match {
+      case BDouble(x) => out.write(0x01); cstr(name); i64(java.lang.Double.doubleToLongBits(x))
+      case BStr(x) => out.write(0x02); cstr(name); bstr(x)
+      case d: BDoc => out.write(0x03); cstr(name); out.write(encodeDoc(d))
+      case BArr(items) =>
+        out.write(0x04); cstr(name)
+        out.write(encodeDoc(BDoc(items.zipWithIndex.map { case (it, i) => i.toString -> it })))
+      case BObjId(b) => out.write(0x07); cstr(name); out.write(b.toArray)
+      case BBool(x) => out.write(0x08); cstr(name); out.write(if (x) 1 else 0)
+      case BDate(ms) => out.write(0x09); cstr(name); i64(ms)
+      case BNull => out.write(0x0a); cstr(name)
+      case BInt(x) => out.write(0x10); cstr(name); i32(x)
+      case BTs(s, i) => out.write(0x11); cstr(name); i32(i.toInt); i32(s.toInt)
+      case BLong(x) => out.write(0x12); cstr(name); i64(x)
+    }
+  }
+
+  def decodeDoc(b: Array[Byte], start: Int = 0): BDoc = {
+    var pos = start
+    def u8(): Int = { val v = b(pos) & 0xff; pos += 1; v }
+    def i32(): Int = u8() | (u8() << 8) | (u8() << 16) | (u8() << 24)
+    def i64(): Long = (i32().toLong & 0xffffffffL) | (i32().toLong << 32)
+    def cstr(): String = {
+      val s = pos
+      while (b(pos) != 0) pos += 1
+      val r = new String(b, s, pos - s, "UTF-8"); pos += 1; r
+    }
+    def bstr(): String = {
+      val len = i32()
+      val r = new String(b, pos, len - 1, "UTF-8"); pos += len; r
+    }
+    val total = i32()
+    val end = start + total - 1 // position of the terminating 0x00
+    val fields = Seq.newBuilder[(String, BVal)]
+    while (pos < end) {
+      val t = u8()
+      val name = cstr()
+      val v: BVal = t match {
+        case 0x01 => BDouble(java.lang.Double.longBitsToDouble(i64()))
+        case 0x02 => BStr(bstr())
+        case 0x03 =>
+          val d = decodeDoc(b, pos); val len = docLen(b, pos); pos += len; d
+        case 0x04 =>
+          val d = decodeDoc(b, pos); val len = docLen(b, pos); pos += len
+          BArr(d.fields.map(_._2))
+        case 0x07 => BObjId((0 until 12).map(i => b(pos + i)).toVector).tap(_ => pos += 12)
+        case 0x08 => BBool(u8() != 0)
+        case 0x09 => BDate(i64())
+        case 0x0a => BNull
+        case 0x10 => BInt(i32())
+        case 0x11 => val inc = i32().toLong & 0xffffffffL; val sec = i32().toLong & 0xffffffffL; BTs(sec, inc)
+        case 0x12 => BLong(i64())
+        case other => throw new UnsupportedOperationException(
+          f"bson element type 0x$other%02x not supported (field '$name')")
+      }
+      fields += name -> v
+    }
+    BDoc(fields.result())
+  }
+
+  private def docLen(b: Array[Byte], start: Int): Int =
+    (b(start) & 0xff) | ((b(start + 1) & 0xff) << 8) |
+      ((b(start + 2) & 0xff) << 16) | ((b(start + 3) & 0xff) << 24)
+
+  private implicit final class Tap[A](private val a: A) {
+    def tap(f: A => Unit): A = { f(a); a }
+  }
+
+  // ------------------------------------------------------------- OP_MSG
+
+  val OpMsg = 2013
+
+  /** OP_MSG with one kind-0 body section, flagBits 0. */
+  def writeOpMsg(out: OutputStream, requestId: Int, responseTo: Int, body: BDoc): Unit = {
+    val doc = encodeDoc(body)
+    val len = 16 + 4 + 1 + doc.length
+    val w = new java.io.ByteArrayOutputStream(len)
+    def i32(v: Int): Unit = {
+      w.write(v & 0xff); w.write((v >> 8) & 0xff)
+      w.write((v >> 16) & 0xff); w.write((v >> 24) & 0xff)
+    }
+    i32(len); i32(requestId); i32(responseTo); i32(OpMsg)
+    i32(0) // flagBits
+    w.write(0) // section kind 0
+    w.write(doc)
+    out.write(w.toByteArray)
+    out.flush()
+  }
+
+  /** Read one OP_MSG; returns (requestId, responseTo, body). */
+  def readOpMsg(in: InputStream): (Int, Int, BDoc) = {
+    def b(): Int = {
+      val v = in.read()
+      if (v < 0) throw new java.io.EOFException("mongo: connection closed")
+      v
+    }
+    def i32(): Int = b() | (b() << 8) | (b() << 16) | (b() << 24)
+    val len = i32()
+    val requestId = i32()
+    val responseTo = i32()
+    val opCode = i32()
+    require(opCode == OpMsg, s"mongo: unsupported opcode $opCode (only OP_MSG)")
+    val rest = new Array[Byte](len - 16)
+    var off = 0
+    while (off < rest.length) {
+      val n = in.read(rest, off, rest.length - off)
+      if (n < 0) throw new java.io.EOFException("mongo: truncated message")
+      off += n
+    }
+    // flagBits(4) + kind byte; checksum absent with flagBits 0
+    val kind = rest(4) & 0xff
+    require(kind == 0, s"mongo: unsupported section kind $kind")
+    (requestId, responseTo, decodeDoc(rest, 5))
+  }
+
+  // ------------------------------------------------------------- client
+
+  final class MongoClient(host: String, port: Int) extends AutoCloseable {
+    private var socket: java.net.Socket = _
+    private var in: InputStream = _
+    private var out: OutputStream = _
+    private var nextId = 1
+
+    var serverMaxWireVersion: Long = -1L
+
+    def connect(): this.type = {
+      socket = new java.net.Socket(host, port)
+      in = new BufferedInputStream(socket.getInputStream)
+      out = new BufferedOutputStream(socket.getOutputStream)
+      val reply = runCommand("admin", BVal.doc("hello" -> BInt(1)))
+      serverMaxWireVersion = reply.long("maxWireVersion").getOrElse(-1L)
+      this
+    }
+
+    def runCommand(db: String, cmd: BDoc): BDoc = {
+      val id = nextId; nextId += 1
+      writeOpMsg(out, id, 0, BDoc(cmd.fields :+ ("$db" -> BStr(db))))
+      val (_, _, reply) = readOpMsg(in)
+      reply.get("ok") match {
+        case Some(BDouble(1.0)) | Some(BInt(1)) | Some(BLong(1L)) => reply
+        case _ => throw new RuntimeException(
+          s"mongo command failed: ${reply.str("errmsg").getOrElse(reply.toString)}")
+      }
+    }
+
+    /** Tail `local.oplog.rs` from `afterTs` (exclusive) — the find +
+      * getMore cursor loop (gtm's After option). Ends when the cursor id
+      * goes 0 (a capped non-awaitData stub drains; a real deployment
+      * keeps the cursor alive).
+      */
+    def tailOplog(afterTs: BTs): Iterator[BDoc] = {
+      val first = runCommand("local", BVal.doc(
+        "find" -> BStr("oplog.rs"),
+        "filter" -> BVal.doc("ts" -> BVal.doc("$gt" -> afterTs)),
+        "tailable" -> BBool(true),
+        "oplogReplay" -> BBool(true)))
+      new Iterator[BDoc] {
+        private var cursor = first.doc("cursor").getOrElse(
+          sys.error("mongo: find reply without cursor"))
+        private var cursorId = cursor.long("id").getOrElse(0L)
+        private var batch: Seq[BDoc] =
+          cursor.get("firstBatch").collect { case BArr(items) =>
+            items.collect { case d: BDoc => d } }.getOrElse(Nil)
+        private def refill(): Unit =
+          while (batch.isEmpty && cursorId != 0L) {
+            val more = runCommand("local", BVal.doc(
+              "getMore" -> BLong(cursorId),
+              "collection" -> BStr("oplog.rs")))
+            cursor = more.doc("cursor").getOrElse(sys.error("mongo: getMore without cursor"))
+            cursorId = cursor.long("id").getOrElse(0L)
+            batch = cursor.get("nextBatch").collect { case BArr(items) =>
+              items.collect { case d: BDoc => d } }.getOrElse(Nil)
+          }
+        def hasNext: Boolean = { refill(); batch.nonEmpty }
+        def next(): BDoc = {
+          refill()
+          val h = batch.head; batch = batch.tail; h
+        }
+      }
+    }
+
+    def close(): Unit = if (socket != null) socket.close()
+  }
+
+  // ------------------------------------------- oplog → change records
+
+  /** One oplog entry as a change record: insert carries the full doc,
+    * delta update carries $set/$unset partial images (UpdateDataAsDelta
+    * — oplog_tailer.go:138), replacement update carries the full new
+    * doc, delete carries the id. seq = (ts.seconds << 32) | ts.inc, the
+    * oplog's own total order.
+    */
+  final case class OplogChange(seq: Long, op: String, database: String,
+      collection: String, id: String, data: Map[String, String],
+      unsetKeys: Seq[String])
+
+  private def render(v: BVal): String = v match {
+    case BStr(s) => s
+    case BInt(i) => i.toString
+    case BLong(l) => l.toString
+    case BDouble(d) => d.toString
+    case BBool(b) => b.toString
+    case BDate(ms) => java.time.Instant.ofEpochMilli(ms).toString
+    case BObjId(b) => b.map("%02x".format(_)).mkString
+    case BNull => null
+    case BTs(s, i) => s"$s.$i"
+    case d: BDoc => d.fields.map { case (k, x) => s"$k=${render(x)}" }.mkString("{", ",", "}")
+    case BArr(items) => items.map(render).mkString("[", ",", "]")
+  }
+
+  def oplogChanges(entries: Iterator[BDoc]): Iterator[OplogChange] =
+    entries.flatMap { e =>
+      val ts = e.get("ts").collect { case t: BTs => t }.getOrElse(BTs(0, 0))
+      val seq = (ts.seconds << 32) | ts.inc
+      val ns = e.str("ns").getOrElse("")
+      val (db, coll) = ns.span(_ != '.') match { case (d, c) => (d, c.drop(1)) }
+      val o = e.doc("o").getOrElse(BVal.doc())
+      def idOf(d: BDoc): String = d.get("_id").map(render).getOrElse("")
+      e.str("op") match {
+        case Some("i") =>
+          Some(OplogChange(seq, "insert", db, coll, idOf(o),
+            o.fields.map { case (k, v) => k -> render(v) }.toMap, Nil))
+        case Some("d") =>
+          Some(OplogChange(seq, "delete", db, coll, idOf(o), Map.empty, Nil))
+        case Some("u") =>
+          val id = e.doc("o2").map(idOf).getOrElse("")
+          val set = o.doc("$set")
+          val unset = o.doc("$unset")
+          if (set.isEmpty && unset.isEmpty)
+            // replacement update: full new image
+            Some(OplogChange(seq, "update", db, coll, id,
+              o.fields.map { case (k, v) => k -> render(v) }.toMap, Nil))
+          else
+            Some(OplogChange(seq, "update", db, coll, id,
+              set.map(_.fields.map { case (k, v) => k -> render(v) }.toMap)
+                .getOrElse(Map.empty),
+              unset.map(_.fields.map(_._1)).getOrElse(Nil)))
+        case _ => None // noop ("n"), commands ("c") — not row changes
+      }
+    }
+}
