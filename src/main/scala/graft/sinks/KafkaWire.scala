@@ -1,0 +1,250 @@
+package graft.sinks
+
+import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputStream}
+
+/** Kafka wire protocol producer — the broker transport the reference's
+  * async-kafka output gets from sarama (pkg/outputs/async_kafka/
+  * async_kafka.go:150-226 wraps an AsyncProducer; this closes that
+  * delegated layer, completing the TidbProto / MsgPb / BinlogWire /
+  * MongoWire set). Hand-rolled from the public protocol spec.
+  *
+  * Scope: ProduceRequest v2 with MessageSet v1 (magic 1: CRC32 over
+  * magic..value, create-time timestamps) and ProduceResponse v2 —
+  * the classic framing every broker still accepts. Kafka is BIG-endian
+  * on the wire, unlike MySQL/Mongo. Partitioning stays the caller's
+  * (the sink computes pk-hash sticky partitions exactly like
+  * KafkaJson.partitionFor); acks=-1 waits for full ISR like the
+  * reference's WaitForAll default.
+  */
+object KafkaWire {
+
+  // ----------------------------------------------------- BE primitives
+
+  final class Writer {
+    private val out = new java.io.ByteArrayOutputStream(256)
+    def result(): Array[Byte] = out.toByteArray
+    def i8(v: Int): this.type = { out.write(v & 0xff); this }
+    def i16(v: Int): this.type = { i8(v >> 8); i8(v) }
+    def i32(v: Int): this.type = { i16(v >> 16); i16(v) }
+    def i64(v: Long): this.type = { i32((v >> 32).toInt); i32(v.toInt) }
+    def raw(b: Array[Byte]): this.type = { out.write(b, 0, b.length); this }
+    def str(s: String): this.type = {
+      val b = s.getBytes("UTF-8"); i16(b.length); raw(b)
+    }
+    def bytes(b: Array[Byte]): this.type =
+      if (b == null) i32(-1) else { i32(b.length); raw(b) }
+  }
+
+  final class Reader(b: Array[Byte], var pos: Int = 0) {
+    def remaining: Int = b.length - pos
+    def i8(): Int = { val v = b(pos) & 0xff; pos += 1; v }
+    def i16(): Int = ((i8() << 8) | i8()).toShort.toInt
+    def i32(): Int = (i16() << 16) | (i16() & 0xffff)
+    def i64(): Long = (i32().toLong << 32) | (i32().toLong & 0xffffffffL)
+    def str(): String = { val n = i16(); val s = new String(b, pos, n, "UTF-8"); pos += n; s }
+    def bytes(): Array[Byte] = {
+      val n = i32()
+      if (n < 0) null
+      else { val r = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; r }
+    }
+  }
+
+  // ------------------------------------------------------- message set
+
+  /** One MessageSet v1 entry: offset(0) + size + message(crc, magic 1,
+    * attrs 0, timestamp, key, value). CRC32 covers magic..value.
+    */
+  def messageSet(records: Seq[(Array[Byte], Array[Byte])], timestampMs: Long): Array[Byte] = {
+    val w = new Writer
+    records.foreach { case (key, value) =>
+      val body = new Writer()
+        .i8(1) // magic 1
+        .i8(0) // attributes: no compression
+        .i64(timestampMs)
+        .bytes(key)
+        .bytes(value)
+        .result()
+      val crc = new java.util.zip.CRC32
+      crc.update(body)
+      val msg = new Writer().i32(crc.getValue.toInt).raw(body).result()
+      w.i64(0L) // offset: producer sends 0, broker assigns
+      w.i32(msg.length)
+      w.raw(msg)
+    }
+    w.result()
+  }
+
+  /** Parse a MessageSet v1, VALIDATING each CRC (what a broker does). */
+  def parseMessageSet(b: Array[Byte]): Seq[(Long, Array[Byte], Array[Byte])] = {
+    val r = new Reader(b)
+    val out = Seq.newBuilder[(Long, Array[Byte], Array[Byte])]
+    while (r.remaining > 0) {
+      val offset = r.i64()
+      val size = r.i32()
+      val start = r.pos
+      val crc = r.i32().toLong & 0xffffffffL
+      val check = new java.util.zip.CRC32
+      check.update(b, r.pos, size - 4)
+      require(check.getValue == crc, s"kafka: message CRC mismatch at offset $offset")
+      val magic = r.i8()
+      require(magic == 1, s"kafka: unsupported message magic $magic")
+      r.i8() // attributes
+      r.i64() // timestamp
+      val key = r.bytes()
+      val value = r.bytes()
+      require(r.pos == start + size, "kafka: message size mismatch")
+      out += ((offset, key, value))
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------ produce v2
+
+  val ApiProduce = 0
+
+  def produceRequest(correlationId: Int, clientId: String, topic: String,
+      partition: Int, recordSet: Array[Byte], acks: Int = -1,
+      timeoutMs: Int = 10000): Array[Byte] =
+    new Writer()
+      .i16(ApiProduce).i16(2) // api key, version
+      .i32(correlationId).str(clientId)
+      .i16(acks).i32(timeoutMs)
+      .i32(1).str(topic) // one topic
+      .i32(1).i32(partition) // one partition
+      .bytes(recordSet)
+      .result()
+
+  final case class ProduceResult(topic: String, partition: Int,
+      errorCode: Int, baseOffset: Long)
+
+  def parseProduceResponse(b: Array[Byte]): (Int, Seq[ProduceResult]) = {
+    val r = new Reader(b)
+    val correlationId = r.i32()
+    val results = Seq.newBuilder[ProduceResult]
+    val nTopics = r.i32()
+    (0 until nTopics).foreach { _ =>
+      val topic = r.str()
+      val nParts = r.i32()
+      (0 until nParts).foreach { _ =>
+        val partition = r.i32()
+        val err = r.i16()
+        val baseOffset = r.i64()
+        r.i64() // log append time (v2)
+        results += ProduceResult(topic, partition, err, baseOffset)
+      }
+    }
+    r.i32() // throttle time (v2)
+    (correlationId, results.result())
+  }
+
+  /** Length-prefixed framing (i32 BE). */
+  def writeFrame(out: OutputStream, body: Array[Byte]): Unit = {
+    out.write((body.length >> 24) & 0xff); out.write((body.length >> 16) & 0xff)
+    out.write((body.length >> 8) & 0xff); out.write(body.length & 0xff)
+    out.write(body)
+    out.flush()
+  }
+
+  def readFrame(in: InputStream): Array[Byte] = {
+    def b(): Int = {
+      val v = in.read()
+      if (v < 0) throw new java.io.EOFException("kafka: connection closed")
+      v
+    }
+    val len = (b() << 24) | (b() << 16) | (b() << 8) | b()
+    require(len >= 0 && len <= 128 * 1024 * 1024, s"kafka: implausible frame length $len")
+    val body = new Array[Byte](len)
+    var off = 0
+    while (off < len) {
+      val n = in.read(body, off, len - off)
+      if (n < 0) throw new java.io.EOFException("kafka: truncated frame")
+      off += n
+    }
+    body
+  }
+
+  final case class BrokerError(code: Int)
+      extends RuntimeException(s"kafka: produce failed with error code $code")
+
+  /** Synchronous wire producer: one broker connection, acks awaited per
+    * batch — the delivery-report loop the reference runs on sarama's
+    * Successes/Errors channels (async_kafka.go:150-226), collapsed to
+    * the synchronous micro-batch shape the Spark sink needs (a batch is
+    * committed only after its records are acked).
+    */
+  final class KafkaWireProducer(host: String, port: Int,
+      clientId: String = "graft") extends AutoCloseable {
+    private var socket: java.net.Socket = _
+    private var in: InputStream = _
+    private var out: OutputStream = _
+    private var correlation = 0
+
+    def connect(): this.type = {
+      socket = new java.net.Socket(host, port)
+      in = new BufferedInputStream(socket.getInputStream)
+      out = new BufferedOutputStream(socket.getOutputStream)
+      this
+    }
+
+    /** Send one record batch to (topic, partition); returns the broker's
+      * base offset. Throws BrokerError on a non-zero error code.
+      */
+    def produce(topic: String, partition: Int,
+        records: Seq[(Array[Byte], Array[Byte])],
+        timestampMs: Long = 0L): Long = {
+      correlation += 1
+      writeFrame(out, produceRequest(correlation, clientId, topic, partition,
+        messageSet(records, timestampMs)))
+      val (cid, results) = parseProduceResponse(readFrame(in))
+      require(cid == correlation, s"kafka: correlation mismatch ($cid != $correlation)")
+      val res = results.headOption.getOrElse(sys.error("kafka: empty produce response"))
+      if (res.errorCode != 0) throw BrokerError(res.errorCode)
+      res.baseOffset
+    }
+
+    def close(): Unit = if (socket != null) socket.close()
+  }
+}
+
+/** Kafka output over the REAL wire producer: renders each compacted
+  * batch to the same frame KafkaFileBatchSink produces (2.0.alpha typed
+  * value, pk dependency-hash key) and produces it to
+  * `hash(key) % numPartitions` — sarama's hash partitioner, the same
+  * sticky rule [[FileKafkaSink]] uses, so per-key total order holds
+  * across batches on a real broker too. Batches collect per partition
+  * on the driver (a micro-batch's Kafka payload is bounded by the batch,
+  * not the table) and each partition's records are acked before the
+  * batch commits — the reference's delivery-report loop collapsed to
+  * the synchronous micro-batch shape.
+  */
+final class KafkaWireBatchSink(host: String, port: Int, numPartitions: Int,
+    topic: String, pkCols: Seq[String],
+    payloadColumns: Option[Seq[String]] = None)
+    extends graft.streaming.BatchSink {
+
+  def write(batchId: Long, compacted: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val cols = compacted.columns.toSet
+    val bookkeeping = Set("op", "seq", "database", "table", "type",
+      "ddl_statement", "tgt_schema", "tgt_table", "tgt_topic", "tgt_index")
+    val payloadCols = payloadColumns.getOrElse(
+      compacted.columns.filterNot(bookkeeping).toSeq)
+    val hasEnvelope = cols("database") && cols("table") && cols("op")
+    val value =
+      if (hasEnvelope) KafkaJson.valueV20(payloadCols, pkCols)
+      else to_json(struct(payloadCols.map(col): _*))
+    val frame = KafkaJson.toKafkaFrame(compacted, value, pkCols, lit(topic))
+    val ordered =
+      if (frame.columns.contains("seq")) frame.orderBy(col("seq")) else frame
+    val rows = ordered.select(col("key"), col("value")).collect()
+    val byPartition = rows.groupBy { r =>
+      math.floorMod(java.util.Arrays.hashCode(r.getString(0).getBytes("UTF-8")),
+        numPartitions)
+    }
+    val producer = new KafkaWire.KafkaWireProducer(host, port).connect()
+    try byPartition.toSeq.sortBy(_._1).foreach { case (p, rs) =>
+      producer.produce(topic, p, rs.toSeq.map(r =>
+        (r.getString(0).getBytes("UTF-8"), r.getString(1).getBytes("UTF-8"))))
+    } finally producer.close()
+  }
+}

@@ -1,0 +1,159 @@
+package graft.sinks
+
+import graft.sinks.KafkaWire._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A stub Kafka broker: accepts framed ProduceRequest v2, parses the
+  * header + topic data, CRC-validates every message (rejecting corrupt
+  * batches with error 2, the broker's CORRUPT_MESSAGE), appends to an
+  * in-memory partition log, and answers ProduceResponse v2 with the
+  * assigned base offset.
+  */
+final class StubKafkaBroker extends AutoCloseable {
+  private val server = new java.net.ServerSocket(0, 1,
+    java.net.InetAddress.getLoopbackAddress)
+  def port: Int = server.getLocalPort
+
+  val log = new java.util.concurrent.ConcurrentHashMap[(String, Int),
+    scala.collection.mutable.ArrayBuffer[(Array[Byte], Array[Byte])]]()
+  @volatile var lastClientId = ""
+
+  private val thread = new Thread(() => {
+    try while (!server.isClosed) {
+      val sock = server.accept()
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      var open = true
+      while (open) {
+        val frame = try readFrame(in) catch { case _: java.io.EOFException => open = false; Array.emptyByteArray }
+        if (open) {
+          val r = new Reader(frame)
+          val apiKey = r.i16(); val apiVersion = r.i16()
+          val correlationId = r.i32(); lastClientId = r.str()
+          require(apiKey == 0 && apiVersion == 2, s"stub broker: only produce v2 ($apiKey/$apiVersion)")
+          r.i16() // acks
+          r.i32() // timeout
+          val nTopics = r.i32()
+          val w = new Writer().i32(correlationId).i32(nTopics)
+          (0 until nTopics).foreach { _ =>
+            val topic = r.str()
+            val nParts = r.i32()
+            w.str(topic).i32(nParts)
+            (0 until nParts).foreach { _ =>
+              val partition = r.i32()
+              val recordSet = r.bytes()
+              val (err, baseOffset) =
+                try {
+                  val msgs = parseMessageSet(recordSet)
+                  val buf = log.computeIfAbsent((topic, partition),
+                    _ => scala.collection.mutable.ArrayBuffer.empty)
+                  val base = buf.size.toLong
+                  buf ++= msgs.map { case (_, k, v) => (k, v) }
+                  (0, base)
+                } catch { case _: IllegalArgumentException => (2, -1L) } // CORRUPT_MESSAGE
+              w.i32(partition).i16(err).i64(baseOffset).i64(-1L)
+            }
+          }
+          w.i32(0) // throttle
+          writeFrame(out, w.result())
+        }
+      }
+      sock.close()
+    } catch { case _: Exception => () }
+  })
+  thread.setDaemon(true)
+  thread.start()
+  def close(): Unit = server.close()
+}
+
+class KafkaWireSpec extends AnyFunSuite {
+
+  test("KafkaWireBatchSink ships a CDC batch to the broker: v2.0 frames, per-key partition order") {
+    val spark = graft.core.Engine.local("kafka-wire-sink", cores = 2)
+    import spark.implicits._
+    val broker = new StubKafkaBroker
+    try {
+      val sink = new KafkaWireBatchSink("127.0.0.1", broker.port,
+        numPartitions = 2, topic = "t-orders", pkCols = Seq("id"))
+      val b0 = Seq(
+        (1L, "insert", "db0", "orders", 1L, "a"),
+        (2L, "update", "db0", "orders", 1L, "a2"),
+        (3L, "insert", "db0", "orders", 2L, "b"))
+        .toDF("seq", "op", "database", "table", "id", "v")
+      sink.write(0L, b0)
+      val b1 = Seq((4L, "update", "db0", "orders", 1L, "a3"))
+        .toDF("seq", "op", "database", "table", "id", "v")
+      sink.write(1L, b1)
+      import scala.jdk.CollectionConverters._
+      val all = broker.log.asScala.toSeq.flatMap { case ((_, p), buf) =>
+        buf.toSeq.map { case (k, v) =>
+          (p, new String(k, "UTF-8"), new String(v, "UTF-8")) }
+      }
+      assert(all.size == 4)
+      assert(all.forall(_._3.contains("\"version\":\"2.0.alpha\"")))
+      // all of key 1's changes share one partition, in seq order
+      val k1 = all.filter(_._3.contains("\"id\":1"))
+      assert(k1.map(_._1).distinct.size == 1, "key 1 must be partition-sticky")
+      assert(k1.map(_._3).map(v => "\"v\":\"(a[0-9]*)\"".r
+        .findFirstMatchIn(v).get.group(1)) == Seq("a", "a2", "a3"))
+    } finally { broker.close() }
+  }
+
+  test("message set v1 round-trips with valid CRCs; corruption is detected") {
+    val records = Seq(
+      ("k1".getBytes("UTF-8"), "v1".getBytes("UTF-8")),
+      (null, "tombstone-less".getBytes("UTF-8")),
+      ("k3".getBytes("UTF-8"), null))
+    val set = messageSet(records, 1700000000000L)
+    val parsed = parseMessageSet(set)
+    assert(parsed.size == 3)
+    assert(new String(parsed.head._2, "UTF-8") == "k1" &&
+      new String(parsed.head._3, "UTF-8") == "v1")
+    assert(parsed(1)._2 == null && parsed(2)._3 == null)
+    // flip one payload byte: the CRC check must catch it
+    val corrupt = set.clone()
+    corrupt(corrupt.length - 3) = (corrupt(corrupt.length - 3) ^ 0x01).toByte
+    intercept[IllegalArgumentException](parseMessageSet(corrupt))
+  }
+
+  test("produce session against the stub broker: acks, offsets advance, per-key order kept") {
+    val broker = new StubKafkaBroker
+    try {
+      val p = new KafkaWireProducer("127.0.0.1", broker.port, clientId = "graft-test")
+      p.connect()
+      def rec(k: String, v: String) = (k.getBytes("UTF-8"), v.getBytes("UTF-8"))
+      val off0 = p.produce("t-orders", 0, Seq(rec("1", "a"), rec("2", "b")))
+      val off1 = p.produce("t-orders", 0, Seq(rec("1", "a2")))
+      val offOther = p.produce("t-orders", 1, Seq(rec("3", "c")))
+      p.close()
+      assert(off0 == 0L && off1 == 2L, "broker-assigned base offsets must advance")
+      assert(offOther == 0L, "partitions have independent logs")
+      assert(broker.lastClientId == "graft-test")
+      val part0 = broker.log.get(("t-orders", 0)).toVector
+        .map { case (k, v) => (new String(k, "UTF-8"), new String(v, "UTF-8")) }
+      // per-key total order across produce calls (the sink's pk-sticky
+      // partitioning + acked batches give cross-batch order)
+      assert(part0 == Vector(("1", "a"), ("2", "b"), ("1", "a2")))
+    } finally broker.close()
+  }
+
+  test("a corrupt record set surfaces as the broker's CORRUPT_MESSAGE, not a silent ack") {
+    val broker = new StubKafkaBroker
+    try {
+      // bypass the producer's encoder: hand the broker a message set with
+      // a broken CRC over a raw socket and read the response back
+      val set = messageSet(Seq(("k".getBytes("UTF-8"), "v".getBytes("UTF-8"))), 0L)
+      set(set.length - 1) = (set(set.length - 1) ^ 0x01).toByte
+      val sock = new java.net.Socket("127.0.0.1", broker.port)
+      try {
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        writeFrame(out, produceRequest(1, "raw", "t", 0, set))
+        val (_, results) = parseProduceResponse(readFrame(in))
+        assert(results.head.errorCode == 2, "broker must reject the corrupt batch")
+        assert(results.head.baseOffset == -1L)
+        assert(!broker.log.containsKey(("t", 0)), "nothing may be appended")
+      } finally sock.close()
+    } finally broker.close()
+  }
+}
