@@ -236,11 +236,14 @@ final class KafkaWireBatchSink(host: String, port: Int, numPartitions: Int,
     val frame = KafkaJson.toKafkaFrame(compacted, value, pkCols, lit(topic))
     val ordered =
       if (frame.columns.contains("seq")) frame.orderBy(col("seq")) else frame
-    val rows = ordered.select(col("key"), col("value")).collect()
-    val byPartition = rows.groupBy { r =>
-      math.floorMod(java.util.Arrays.hashCode(r.getString(0).getBytes("UTF-8")),
-        numPartitions)
-    }
+    // partition with the SAME expression FileKafkaSink uses
+    // (pmod(xxhash64(key), n)) so a key lands on the same partition no
+    // matter which transport carries it
+    val rows = ordered
+      .select(col("key"), col("value"),
+        pmod(xxhash64(col("key")), lit(numPartitions)).cast("int").as("part"))
+      .collect()
+    val byPartition = rows.groupBy(_.getInt(2))
     val producer = new KafkaWire.KafkaWireProducer(host, port).connect()
     try byPartition.toSeq.sortBy(_._1).foreach { case (p, rs) =>
       producer.produce(topic, p, rs.toSeq.map(r =>
