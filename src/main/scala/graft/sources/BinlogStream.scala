@@ -2,8 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
 import org.apache.spark.sql.types._
@@ -14,26 +14,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * plugged into the DataSourceV2 `MicroBatchStream` seat that
   * [[CdcRateSource]] proves with a generator — together they are the
   * reference's mysql-stream input (pkg/inputs/mysqlstream/
-  * binlog_tailer.go:153-577 + the position/sliding-window machinery):
-  * a driver-side tailer thread drains the replication stream into a
-  * bounded buffer; micro-batch offsets are binlog log positions; commit
-  * prunes the buffer (the ack of the reference's sliding window).
-  *
-  * Resume semantics are the CDC contract: on restart the client re-dumps
-  * from the CONFIGURED position and every row with logPos ≤ the
-  * checkpointed offset is dropped before it enters a batch — replayed
-  * history is absorbed, never duplicated (binlog positions are strictly
-  * monotone within a file). Backpressure: when the buffer holds
-  * `maxBuffered` rows the tailer thread blocks until a commit prunes —
-  * the stream never accumulates unbounded driver state.
+  * binlog_tailer.go:153-577 + the position/sliding-window machinery).
+  * The buffering/offset/commit/backpressure contract lives in
+  * [[BufferedTailerStream]]; this class contributes the wire client,
+  * the schema-store seat (column names/pks per table), and the
+  * envelope rendering.
   *
   * Options (case-insensitive): `host`, `port`, `user`, `password`,
   * `file`, `pos`, `serverId`, `rowsPerBatch` (admission control),
-  * `maxBuffered`, `partitions`, and per-table column names / pks from
-  * the schema store seat: `names.<db>.<table>` = "c1,c2,…",
-  * `pks.<db>.<table>` = "c1[,c2]" (binlog row events carry positional
-  * values only — names live in the schema store, exactly why the
-  * reference pairs its tailer with one).
+  * `maxBuffered` (backpressure bound), `partitions`, `drainWaitMs`
+  * (AvailableNow wait), and per-table column names / pks:
+  * `names.<db>.<table>` = "c1,c2,…", `pks.<db>.<table>` = "c1[,c2]"
+  * (binlog row events carry positional values only — names live in the
+  * schema store, exactly why the reference pairs its tailer with one).
   *
   * Usage: `spark.readStream.format("graft.sources.BinlogStreamSource")
   * .option("host", …).load()`.
@@ -59,6 +52,14 @@ object BinlogStreamSource {
     StructField("data", MapType(StringType, StringType), nullable = false),
     StructField("old", MapType(StringType, StringType), nullable = false),
     StructField("pks", MapType(StringType, StringType), nullable = false)))
+
+  def mapData(m: Map[String, String]): MapData = {
+    val entries = m.toSeq
+    new ArrayBasedMapData(
+      new GenericArrayData(entries.map(e => UTF8String.fromString(e._1)).toArray[Any]),
+      new GenericArrayData(entries.map(e =>
+        if (e._2 == null) null else UTF8String.fromString(e._2)).toArray[Any]))
+  }
 }
 
 final class BinlogStreamTable(options: CaseInsensitiveStringMap)
@@ -77,15 +78,19 @@ final class BinlogStreamTable(options: CaseInsensitiveStringMap)
     }
 }
 
-/** One enveloped change, rendered driver-side (all-serializable). */
+/** One enveloped change, rendered driver-side. */
 final case class BinlogEnvelope(seq: Long, op: String, database: String,
     table: String, data: Map[String, String], old: Map[String, String],
     pks: Map[String, String])
 
-final case class BinlogSlice(rows: Seq[BinlogEnvelope]) extends InputPartition
-
 final class BinlogMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream with SupportsTriggerAvailableNow {
+    extends BufferedTailerStream[BinlogEnvelope](
+      startSeq = options.getLong("pos", 4L),
+      rowsPerBatch = options.getInt("rowsPerBatch", 10000),
+      maxBuffered = options.getInt("maxBuffered", 100000),
+      numPartitions = options.getInt("partitions", 2),
+      drainWaitMs = options.getLong("drainWaitMs", 30000L),
+      threadName = "graft-binlog-tailer") {
 
   private val host = {
     val h = options.get("host")
@@ -98,23 +103,12 @@ final class BinlogMicroBatchStream(options: CaseInsensitiveStringMap)
   private val file = Option(options.get("file")).getOrElse("binlog.000001")
   private val startPos = options.getLong("pos", 4L)
   private val serverId = options.getLong("serverId", 1001L)
-  private val rowsPerBatch = options.getInt("rowsPerBatch", 10000)
-  private val maxBuffered = options.getInt("maxBuffered", 100000)
-  private val numPartitions = options.getInt("partitions", 2)
 
   // schema-store seat: names.<db>.<table> / pks.<db>.<table>
   private def tableOpt(prefix: String, db: String, tbl: String): Seq[String] =
     Option(options.get(s"$prefix.$db.$tbl"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-
-  // ---- the tailer: one thread, one socket, bounded buffer -------------
-  private val buffer = new java.util.ArrayDeque[BinlogEnvelope]()
-  private val lock = new Object
-  @volatile private var tailerDone = false
-  @volatile private var tailerError: Throwable = null
-  private var highWater = startPos // max logPos buffered (under lock)
-  private var pruned = startPos // rows ≤ this are gone from the buffer
 
   private def render(v: Any): String = v match {
     case null => null
@@ -140,155 +134,22 @@ final class BinlogMicroBatchStream(options: CaseInsensitiveStringMap)
   }
 
   private val client = new BinlogWire.BinlogClient(host, port, user, password, serverId)
-  private val tailer = new Thread(() => {
-    try {
-      client.connect()
-      val rows = BinlogWire.changeRows(client.dump(file, startPos))
-      rows.foreach { c =>
-        val env = toEnvelope(c)
-        lock.synchronized {
-          while (buffer.size >= maxBuffered && !tailerDone) lock.wait(1000)
-          if (!tailerDone) {
-            buffer.addLast(env)
-            if (env.seq > highWater) highWater = env.seq
-            lock.notifyAll()
-          }
-        }
-      }
-    } catch {
-      case _: java.io.EOFException => () // server closed the dump: bounded stream
-      case t: Throwable => tailerError = t
-    } finally {
-      lock.synchronized { tailerDone = true; lock.notifyAll() }
-      try client.close() catch { case _: Exception => () }
-    }
-  }, "graft-binlog-tailer")
-  tailer.setDaemon(true)
-  tailer.start()
 
-  private def raise(): Unit = {
-    val t = tailerError
-    if (t != null) throw new IllegalStateException("binlog tailer failed", t)
+  override protected def seqOf(e: BinlogEnvelope): Long = e.seq
+
+  override protected def toRow(r: BinlogEnvelope): InternalRow =
+    InternalRow(r.seq, UTF8String.fromString(r.op),
+      UTF8String.fromString(r.database), UTF8String.fromString(r.table),
+      BinlogStreamSource.mapData(r.data), BinlogStreamSource.mapData(r.old),
+      BinlogStreamSource.mapData(r.pks))
+
+  override protected def tail(emit: BinlogEnvelope => Unit): Unit = {
+    client.connect()
+    BinlogWire.changeRows(client.dump(file, startPos))
+      .foreach(c => emit(toEnvelope(c)))
   }
 
-  // ---- MicroBatchStream ----------------------------------------------
-  // AvailableNow on a CDC tail = "drain what the master has": wait for a
-  // bounded dump to complete (or drainWaitMs on an unbounded one), pin
-  // the high-water mark, and serve batches only up to it.
-  @volatile private var availableNowTarget: Long = Long.MaxValue
-  override def prepareForTriggerAvailableNow(): Unit = {
-    val deadline = System.currentTimeMillis() + options.getLong("drainWaitMs", 30000L)
-    lock.synchronized {
-      // stop waiting early if the buffer fills: the tailer is blocked on
-      // backpressure and the high-water mark can't advance until batches
-      // commit — pin what's buffered; a later run resumes past it
-      while (!tailerDone && buffer.size < maxBuffered &&
-          System.currentTimeMillis() < deadline) lock.wait(200)
-      availableNowTarget = highWater
-    }
-  }
+  override protected def closeClient(): Unit = client.close()
 
-  override def initialOffset(): Offset = CdcOffset(startPos)
-
-  override def reportLatestOffset(): Offset = {
-    raise()
-    lock.synchronized(CdcOffset(highWater))
-  }
-
-  override def latestOffset(): Offset =
-    throw new UnsupportedOperationException("admission-control form only")
-
-  /** Admission control: serve at most rowsPerBatch buffered rows past
-    * `start`. Under AvailableNow the wrapper keeps triggering until the
-    * prepared end, so a long catch-up drains as N bounded batches.
-    */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    raise()
-    val s = start.asInstanceOf[CdcOffset].seq
-    lock.synchronized {
-      var n = 0
-      var end = s
-      val it = buffer.iterator()
-      while (it.hasNext && n < rowsPerBatch) {
-        val e = it.next()
-        if (e.seq > s && e.seq <= availableNowTarget) { n += 1; end = e.seq }
-      }
-      CdcOffset(math.max(end, s))
-    }
-  }
-
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-
-  override def deserializeOffset(json: String): Offset = {
-    // fail LOUDLY on an unreadable position — silently restarting from
-    // the configured pos would replay history as duplicates
-    val m = """"seq"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
-    CdcOffset(m.map(_.group(1).toLong).getOrElse(
-      throw new IllegalArgumentException(s"unreadable binlog offset: '$json'")))
-  }
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    raise()
-    val s = start.asInstanceOf[CdcOffset].seq
-    val e = end.asInstanceOf[CdcOffset].seq
-    if (e <= s) return Array.empty
-    val slice = lock.synchronized {
-      // rows in (s, e]; anything ≤ s is replayed history (resume) — absorbed
-      val b = Seq.newBuilder[BinlogEnvelope]
-      val it = buffer.iterator()
-      while (it.hasNext) {
-        val r = it.next()
-        if (r.seq > s && r.seq <= e) b += r
-      }
-      b.result()
-    }
-    if (slice.isEmpty) return Array.empty
-    val per = math.max(1, (slice.size + numPartitions - 1) / numPartitions)
-    slice.grouped(per).map(g => BinlogSlice(g): InputPartition).toArray
-  }
-
-  /** The ack of the reference's sliding window: prune ≤ end. */
-  override def commit(end: Offset): Unit = {
-    val e = end.asInstanceOf[CdcOffset].seq
-    lock.synchronized {
-      while (!buffer.isEmpty && buffer.peekFirst().seq <= e) buffer.removeFirst()
-      if (e > pruned) pruned = e
-      lock.notifyAll() // unblock a backpressured tailer
-    }
-  }
-
-  override def stop(): Unit = {
-    lock.synchronized { tailerDone = true; lock.notifyAll() }
-    try client.close() catch { case _: Exception => () }
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val rows = p.asInstanceOf[BinlogSlice].rows
-        new PartitionReader[InternalRow] {
-          private var i = -1
-          override def next(): Boolean = { i += 1; i < rows.size }
-          override def get(): InternalRow = {
-            val r = rows(i)
-            InternalRow(r.seq, UTF8String.fromString(r.op),
-              UTF8String.fromString(r.database), UTF8String.fromString(r.table),
-              BinlogMicroBatchStream.mapData(r.data),
-              BinlogMicroBatchStream.mapData(r.old),
-              BinlogMicroBatchStream.mapData(r.pks))
-          }
-          override def close(): Unit = ()
-        }
-      }
-    }
-}
-
-object BinlogMicroBatchStream {
-  def mapData(m: Map[String, String]): MapData = {
-    val entries = m.toSeq
-    new ArrayBasedMapData(
-      new GenericArrayData(entries.map(e => UTF8String.fromString(e._1)).toArray[Any]),
-      new GenericArrayData(entries.map(e =>
-        if (e._2 == null) null else UTF8String.fromString(e._2)).toArray[Any]))
-  }
+  startTailer()
 }

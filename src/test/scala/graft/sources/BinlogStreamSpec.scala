@@ -148,7 +148,7 @@ class BinlogStreamSpec extends SparkSpec {
     def chain(t: Throwable): Seq[Throwable] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
     assert(chain(e).exists(c => Option(c.getMessage).exists(
-      _.contains("binlog tailer failed"))),
+      _.contains("graft-binlog-tailer failed"))),
       s"expected the tailer failure in the cause chain: ${chain(e).map(_.getMessage)}")
   }
 }

@@ -4,66 +4,6 @@ import graft.sources.MongoWire._
 import graft.sources.MongoWire.BVal._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** A stub mongod: OP_MSG server answering hello, find on local.oplog.rs,
-  * and getMore with canned batches — the server side of the cursor
-  * protocol the tailer drives.
-  */
-final class StubMongod(oplog: Seq[BDoc], batchSize: Int = 2) extends AutoCloseable {
-  private val server = new java.net.ServerSocket(0, 1,
-    java.net.InetAddress.getLoopbackAddress)
-  def port: Int = server.getLocalPort
-  @volatile var sawTailableFind = false
-  @volatile var findFilterTs: Option[BTs] = None
-  @volatile var getMores = 0
-
-  private val thread = new Thread(() => {
-    try {
-      val sock = server.accept()
-      val in = new java.io.BufferedInputStream(sock.getInputStream)
-      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
-      var remaining = oplog
-      var cursorId = 7777L
-      var open = true
-      while (open) {
-        val (reqId, _, body) =
-          try readOpMsg(in) catch { case _: java.io.EOFException => open = false; (0, 0, BVal.doc()) }
-        if (open) {
-          val cmd = body.fields.headOption.map(_._1).getOrElse("")
-          val reply: BDoc = cmd match {
-            case "hello" =>
-              BVal.doc("ok" -> BDouble(1.0), "maxWireVersion" -> BInt(17))
-            case "find" =>
-              sawTailableFind = body.get("tailable").contains(BBool(true))
-              findFilterTs = body.doc("filter").flatMap(_.doc("ts"))
-                .flatMap(_.get("$gt")).collect { case t: BTs => t }
-              val (batch, rest) = remaining.splitAt(batchSize)
-              remaining = rest
-              BVal.doc("ok" -> BDouble(1.0), "cursor" -> BVal.doc(
-                "id" -> BLong(if (remaining.isEmpty) 0L else cursorId),
-                "ns" -> BStr("local.oplog.rs"),
-                "firstBatch" -> BArr(batch)))
-            case "getMore" =>
-              getMores += 1
-              val (batch, rest) = remaining.splitAt(batchSize)
-              remaining = rest
-              BVal.doc("ok" -> BDouble(1.0), "cursor" -> BVal.doc(
-                "id" -> BLong(if (remaining.isEmpty) 0L else cursorId),
-                "ns" -> BStr("local.oplog.rs"),
-                "nextBatch" -> BArr(batch)))
-            case other =>
-              BVal.doc("ok" -> BDouble(0.0), "errmsg" -> BStr(s"no such command: $other"))
-          }
-          writeOpMsg(out, 1000 + reqId, reqId, reply)
-        }
-      }
-      sock.close()
-    } catch { case _: Exception => () }
-  })
-  thread.setDaemon(true)
-  thread.start()
-  def close(): Unit = server.close()
-}
-
 class MongoWireSpec extends AnyFunSuite {
 
   private def unhex(s: String): Array[Byte] =
