@@ -245,9 +245,14 @@ final class KafkaWireBatchSink(host: String, port: Int, numPartitions: Int,
       .collect()
     val byPartition = rows.groupBy(_.getInt(2))
     val producer = new KafkaWire.KafkaWireProducer(host, port).connect()
+    // real create-time: magic-1 timestamps feed the broker's time-based
+    // retention and time-index — 0 would make every segment instantly
+    // past any retention window
+    val now = System.currentTimeMillis()
     try byPartition.toSeq.sortBy(_._1).foreach { case (p, rs) =>
       producer.produce(topic, p, rs.toSeq.map(r =>
-        (r.getString(0).getBytes("UTF-8"), r.getString(1).getBytes("UTF-8"))))
+        (r.getString(0).getBytes("UTF-8"), r.getString(1).getBytes("UTF-8"))),
+        timestampMs = now)
     } finally producer.close()
   }
 }

@@ -78,14 +78,14 @@ final class BinlogStreamTable(options: CaseInsensitiveStringMap)
     }
 }
 
-/** One enveloped change, rendered driver-side. */
-final case class BinlogEnvelope(seq: Long, op: String, database: String,
-    table: String, data: Map[String, String], old: Map[String, String],
-    pks: Map[String, String])
-
 final class BinlogMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends BufferedTailerStream[BinlogEnvelope](
-      startSeq = options.getLong("pos", 4L),
+    extends BufferedTailerStream[BinlogWire.Envelope](
+      // offsets are COMPOSED (file index << 32 | logPos): logPos alone
+      // resets on binlog rotation — see BinlogWire.changeRows
+      startSeq = BinlogWire.composedSeq(
+        BinlogWire.fileIndexOf(
+          Option(options.get("file")).getOrElse("binlog.000001")),
+        options.getLong("pos", 4L)),
       rowsPerBatch = options.getInt("rowsPerBatch", 10000),
       maxBuffered = options.getInt("maxBuffered", 100000),
       numPartitions = options.getInt("partitions", 2),
@@ -105,48 +105,27 @@ final class BinlogMicroBatchStream(options: CaseInsensitiveStringMap)
   private val serverId = options.getLong("serverId", 1001L)
 
   // schema-store seat: names.<db>.<table> / pks.<db>.<table>
-  private def tableOpt(prefix: String, db: String, tbl: String): Seq[String] =
+  private def tableOpt(prefix: String, db: String, tbl: String): Option[Seq[String]] =
     Option(options.get(s"$prefix.$db.$tbl"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Nil)
-
-  private def render(v: Any): String = v match {
-    case null => null
-    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
-    case other => other.toString
-  }
-
-  private def toEnvelope(c: BinlogWire.ChangeRow): BinlogEnvelope = {
-    def toMap(vs: IndexedSeq[Any]): Map[String, String] = {
-      val ns = tableOpt("names", c.database, c.table) match {
-        case Nil => vs.indices.map(i => s"c$i")
-        case ns => ns
-      }
-      ns.zip(vs.map(render)).toMap
-    }
-    val data = toMap(c.values)
-    val old = c.before.map(toMap).getOrElse(Map.empty[String, String])
-    // a PK update's identity is the OLD key (msg.go Pks semantics)
-    val pkSource = if (old.nonEmpty) old else data
-    val pks = tableOpt("pks", c.database, c.table)
-      .flatMap(k => pkSource.get(k).map(k -> _)).toMap
-    BinlogEnvelope(c.seq, c.op, c.database, c.table, data, old, pks)
-  }
 
   private val client = new BinlogWire.BinlogClient(host, port, user, password, serverId)
 
-  override protected def seqOf(e: BinlogEnvelope): Long = e.seq
+  override protected def seqOf(e: BinlogWire.Envelope): Long = e.seq
 
-  override protected def toRow(r: BinlogEnvelope): InternalRow =
+  override protected def toRow(r: BinlogWire.Envelope): InternalRow =
     InternalRow(r.seq, UTF8String.fromString(r.op),
       UTF8String.fromString(r.database), UTF8String.fromString(r.table),
       BinlogStreamSource.mapData(r.data), BinlogStreamSource.mapData(r.old),
       BinlogStreamSource.mapData(r.pks))
 
-  override protected def tail(emit: BinlogEnvelope => Unit): Unit = {
+  override protected def tail(emit: BinlogWire.Envelope => Unit): Unit = {
     client.connect()
-    BinlogWire.changeRows(client.dump(file, startPos))
-      .foreach(c => emit(toEnvelope(c)))
+    BinlogWire
+      .changeRows(client.dump(file, startPos), BinlogWire.fileIndexOf(file))
+      .foreach(c => emit(BinlogWire.envelopeOf(c,
+        names = tableOpt("names", _, _),
+        pkOf = (d, t) => tableOpt("pks", d, t).getOrElse(Nil))))
   }
 
   override protected def closeClient(): Unit = client.close()

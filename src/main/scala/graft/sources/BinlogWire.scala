@@ -249,7 +249,7 @@ object BinlogWire {
       case FORMAT_DESCRIPTION_EVENT =>
         val ver = r.u16()
         val serverVersion = {
-          val raw = r.strN(50); val nul = raw.indexOf(' ')
+          val raw = r.strN(50); val nul = raw.indexOf('\u0000')
           if (nul >= 0) raw.substring(0, nul) else raw
         }
         FormatDescription(h, ver, serverVersion)
@@ -444,23 +444,81 @@ object BinlogWire {
   }
 
   /** Events → the change-log envelope rows the pipeline consumes
-    * (seq = logPos, op, database, table, typed values by column index) —
+    * (seq, op, database, table, typed values by column index) —
     * the RowsEvent→Msg conversion seat (binlog_tailer.go:280-470),
     * with the reference's skip of the `mysql` system schema. Updates stay
     * whole (before+after); the PK-update split is a downstream operator
     * (core.ChangeLog.pkUpdateSplit).
+    *
+    * seq = (binlog file index << 32) | logPos: logPos alone RESETS on
+    * file rotation, so the file's numeric suffix (tracked from ROTATE
+    * events — the master sends one at dump start and on every rotation)
+    * rides the high bits to keep positions monotone across files. A
+    * resumed dump replays from the configured file and the composed
+    * position absorbs the overlap.
     */
   final case class ChangeRow(seq: Long, op: String, database: String,
       table: String, before: Option[IndexedSeq[Any]], values: IndexedSeq[Any])
 
-  def changeRows(events: Iterator[BinlogEvent]): Iterator[ChangeRow] =
+  /** Numeric suffix of a binlog file name ("mysql-bin.000007" → 7). */
+  def fileIndexOf(name: String): Long = {
+    val digits = name.reverse.takeWhile(_.isDigit).reverse
+    if (digits.isEmpty) 0L else digits.takeRight(9).toLong
+  }
+
+  def composedSeq(fileIndex: Long, logPos: Long): Long =
+    (fileIndex << 32) | (logPos & 0xffffffffL)
+
+  def changeRows(events: Iterator[BinlogEvent],
+      initialFileIndex: Long = 0L): Iterator[ChangeRow] = {
+    var fileIdx = initialFileIndex
     events.flatMap {
+      case r: Rotate =>
+        fileIdx = fileIndexOf(r.nextFile); Nil
       case Rows(h, op, _, Some(tm), rows) if tm.database != "mysql" =>
+        val seq = composedSeq(fileIdx, h.logPos)
         rows.map { case (before, after) =>
-          ChangeRow(h.logPos, op, tm.database, tm.table, before, after)
+          ChangeRow(seq, op, tm.database, tm.table, before, after)
         }
       case _ => Nil
     }
+  }
+
+  /** One enveloped change (string-rendered maps) — the single rendering
+    * of the envelope shared by the batch frame and the streaming source.
+    */
+  final case class Envelope(seq: Long, op: String, database: String,
+      table: String, data: Map[String, String], old: Map[String, String],
+      pks: Map[String, String])
+
+  def renderValue(v: Any): String = v match {
+    case null => null
+    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    case other => other.toString
+  }
+
+  /** Render one change row with schema-store names/pks. Fails LOUDLY on
+    * a name/width mismatch (a stale store after DDL must never silently
+    * drop column values).
+    */
+  def envelopeOf(c: ChangeRow,
+      names: (String, String) => Option[Seq[String]],
+      pkOf: (String, String) => Seq[String]): Envelope = {
+    def toMap(vs: IndexedSeq[Any]): Map[String, String] = {
+      val ns = names(c.database, c.table).getOrElse(vs.indices.map(i => s"c$i"))
+      require(ns.size == vs.size,
+        s"schema store has ${ns.size} column names for " +
+          s"${c.database}.${c.table} but the row image has ${vs.size} values")
+      ns.zip(vs.map(renderValue)).toMap
+    }
+    val data = toMap(c.values)
+    val old = c.before.map(toMap).getOrElse(Map.empty[String, String])
+    // a PK update's identity is the OLD key (msg.go Pks semantics)
+    val pkSource = if (old.nonEmpty) old else data
+    val pks = pkOf(c.database, c.table)
+      .flatMap(k => pkSource.get(k).map(k -> _)).toMap
+    Envelope(c.seq, c.op, c.database, c.table, data, old, pks)
+  }
 
   /** Change rows → the ENVELOPED frame the filter/router/sink surface
     * consumes (seq, op, database, table, data/old map<string,string>).
@@ -474,23 +532,9 @@ object BinlogWire {
       names: (String, String) => Option[Seq[String]] = (_, _) => None,
       pkOf: (String, String) => Seq[String] = (_, _) => Nil)
       : org.apache.spark.sql.DataFrame = {
-    def render(v: Any): String = v match {
-      case null => null
-      case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
-      case other => other.toString
-    }
-    def toMap(db: String, tbl: String, vs: IndexedSeq[Any]): Map[String, String] = {
-      val ns = names(db, tbl).getOrElse(vs.indices.map(i => s"c$i"))
-      ns.zip(vs.map(render)).toMap
-    }
     val tuples = rows.map { c =>
-      val data = toMap(c.database, c.table, c.values)
-      // pk values come from the BEFORE image when present (a PK update's
-      // identity is the old key — msg.go Pks semantics), else the row
-      val pkSource = c.before.map(b => toMap(c.database, c.table, b)).getOrElse(data)
-      (c.seq, c.op, c.database, c.table, data,
-        c.before.map(b => toMap(c.database, c.table, b)).getOrElse(Map.empty[String, String]),
-        pkOf(c.database, c.table).flatMap(k => pkSource.get(k).map(k -> _)).toMap)
+      val e = envelopeOf(c, names, pkOf)
+      (e.seq, e.op, e.database, e.table, e.data, e.old, e.pks)
     }
     spark.createDataFrame(tuples)
       .toDF("seq", "op", "database", "table", "data", "old", "pks")

@@ -226,10 +226,14 @@ object MongoWire {
       * keeps the cursor alive).
       */
     def tailOplog(afterTs: BTs): Iterator[BDoc] = {
+      // tailable + awaitData: an up-to-date cursor BLOCKS server-side
+      // (bounded by getMore maxTimeMS) instead of busy-spinning empty
+      // getMore round-trips against a live primary
       val first = runCommand("local", BVal.doc(
         "find" -> BStr("oplog.rs"),
         "filter" -> BVal.doc("ts" -> BVal.doc("$gt" -> afterTs)),
         "tailable" -> BBool(true),
+        "awaitData" -> BBool(true),
         "oplogReplay" -> BBool(true)))
       new Iterator[BDoc] {
         private var cursor = first.doc("cursor").getOrElse(
@@ -242,7 +246,8 @@ object MongoWire {
           while (batch.isEmpty && cursorId != 0L) {
             val more = runCommand("local", BVal.doc(
               "getMore" -> BLong(cursorId),
-              "collection" -> BStr("oplog.rs")))
+              "collection" -> BStr("oplog.rs"),
+              "maxTimeMS" -> BInt(1000)))
             cursor = more.doc("cursor").getOrElse(sys.error("mongo: getMore without cursor"))
             cursorId = cursor.long("id").getOrElse(0L)
             batch = cursor.get("nextBatch").collect { case BArr(items) =>

@@ -66,7 +66,9 @@ abstract class BufferedTailerStream[E <: AnyRef](
         }
       }
     } catch {
-      case _: java.io.EOFException => () // peer closed: bounded stream
+      // EOFException is NOT a clean end: the genuine end-of-stream paths
+      // (binlog 0xfe EOF packet, oplog cursor id 0) return normally, so
+      // a mid-stream EOF means the peer or network died — surface it
       case t: Throwable => tailerError = t
     } finally {
       lock.synchronized { tailerDone = true; lock.notifyAll() }
@@ -111,10 +113,25 @@ abstract class BufferedTailerStream[E <: AnyRef](
     * (rows sharing the end position ride along — positions, not row
     * counts, are the offset unit).
     */
+  /** Drop buffered rows ≤ `upTo` (committed history / replayed resume
+    * prefix) and wake a backpressured tailer. Caller holds `lock`.
+    */
+  private def pruneUpTo(upTo: Long): Unit = {
+    var freed = false
+    while (!buffer.isEmpty && seqOf(buffer.peekFirst()) <= upTo) {
+      buffer.removeFirst(); freed = true
+    }
+    if (freed) lock.notifyAll()
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     raise()
     val s = start.asInstanceOf[CdcOffset].seq
     lock.synchronized {
+      // `start` is durable — anything at or below it is replayed
+      // history; dropping it here both absorbs the replay and frees
+      // buffer space so a backpressured re-tail can make progress
+      pruneUpTo(s)
       var n = 0
       var end = s
       val it = buffer.iterator()
@@ -143,6 +160,28 @@ abstract class BufferedTailerStream[E <: AnyRef](
     val e = end.asInstanceOf[CdcOffset].seq
     if (e <= s) return Array.empty
     val slice = lock.synchronized {
+      // CRASH RECOVERY: this batch may be restored from the offset WAL
+      // on a fresh instance whose tailer is still re-tailing toward it.
+      // Serving only what happens to be buffered would commit an EMPTY
+      // batch and permanently lose the rows (they'd later be absorbed as
+      // replayed history) — so wait until the tailer has re-reached
+      // `end`, pruning the committed prefix as it streams in so a full
+      // buffer can't wedge the refill. Fail LOUDLY if it can't get
+      // there: an unrecoverable position must never be silent data loss.
+      val deadline = System.currentTimeMillis() + drainWaitMs
+      while (highWater < e && !tailerDone &&
+          System.currentTimeMillis() < deadline) {
+        raise()
+        pruneUpTo(s)
+        lock.wait(200)
+      }
+      raise()
+      pruneUpTo(s)
+      if (highWater < e)
+        throw new IllegalStateException(
+          s"$threadName cannot re-reach restored offset $e " +
+            s"(high water $highWater, tailer done: $tailerDone) — " +
+            "the upstream log may have been purged past the checkpoint")
       // rows in (s, e]; anything ≤ s is replayed history (resume) — absorbed
       val b = Seq.newBuilder[E]
       val it = buffer.iterator()

@@ -157,4 +157,37 @@ class BinlogWireSpec extends AnyFunSuite {
       parseEvent(unhex(goldenWriteRows), maps))
     assert(e.getMessage.contains("246"))
   }
+
+  test("binlog rotation keeps composed positions monotone (logPos resets per file)") {
+    val h = EventHeader(0L, 0, 99L, 0L, 0L, 0)
+    val tm = TableMap(h.copy(logPos = 400L), 42L, "db1", "t",
+      Array(3), Array(0), Array(false))
+    val events: Iterator[BinlogEvent] = Iterator(
+      Rotate(h.copy(eventType = ROTATE_EVENT), 4L, "mysql-bin.000002"),
+      tm,
+      Rows(h.copy(logPos = 500L), "insert", 42L, Some(tm),
+        Seq((None, IndexedSeq(1)))),
+      // rotation: the next file starts over near 4
+      Rotate(h.copy(eventType = ROTATE_EVENT), 4L, "mysql-bin.000003"),
+      Rows(h.copy(logPos = 120L), "insert", 42L, Some(tm),
+        Seq((None, IndexedSeq(2)))))
+    val seqs = changeRows(events).map(_.seq).toVector
+    assert(seqs == Vector(composedSeq(2L, 500L), composedSeq(3L, 120L)))
+    assert(seqs == seqs.sorted && seqs.distinct.size == 2,
+      "post-rotation rows must NOT sort before pre-rotation rows")
+    assert(fileIndexOf("mysql-bin.000007") == 7L && fileIndexOf("nodigits") == 0L)
+  }
+
+  test("a stale schema store (wrong name count) fails loudly instead of dropping columns") {
+    val row = ChangeRow(1L, "insert", "db1", "t", None, IndexedSeq(7, "x", "extra"))
+    val e = intercept[IllegalArgumentException] {
+      envelopeOf(row, names = (_, _) => Some(Seq("id", "name")), pkOf = (_, _) => Nil)
+    }
+    assert(e.getMessage.contains("2 column names") && e.getMessage.contains("3 values"))
+    // correct arity renders all columns
+    val ok = envelopeOf(row, names = (_, _) => Some(Seq("id", "name", "k")),
+      pkOf = (_, _) => Seq("id"))
+    assert(ok.data == Map("id" -> "7", "name" -> "x", "k" -> "extra") &&
+      ok.pks == Map("id" -> "7"))
+  }
 }
