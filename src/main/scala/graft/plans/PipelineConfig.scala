@@ -154,8 +154,53 @@ object PipelineConfig {
           }
         graft.sources.FileChangeLogSource.readStream(spark, path, schema,
           Option(o.get("max-files-per-trigger")).map(_.asInt()))
+      case "mysql-stream" =>
+        // the WIRE tailer in the MicroBatchStream seat (the reference's
+        // [input] mysql-stream block) — host/user/etc forwarded verbatim,
+        // plus any names.<db>.<table> / pks.<db>.<table> schema-store keys
+        forwardOptions(spark.readStream.format("graft.sources.BinlogStreamSource"), o,
+          Seq("host" -> "host", "port" -> "port", "user" -> "user",
+            "password" -> "password", "file" -> "file", "pos" -> "pos",
+            "server-id" -> "serverId", "rows-per-batch" -> "rowsPerBatch",
+            "max-buffered" -> "maxBuffered", "partitions" -> "partitions",
+            "drain-wait-ms" -> "drainWaitMs"))
+      case "kafka-stream" =>
+        // the wire consumer seat (tidbkafka input transport); payload
+        // stays raw — pair with an expr filter / KafkaCdc decode
+        forwardOptions(spark.readStream.format("graft.sources.KafkaStreamSource"), o,
+          Seq("host" -> "host", "port" -> "port", "topic" -> "topic",
+            "partition" -> "partition", "offset" -> "offset",
+            "stop-at-high-water" -> "stopAtHighWater",
+            "rows-per-batch" -> "rowsPerBatch", "max-buffered" -> "maxBuffered",
+            "partitions" -> "partitions", "drain-wait-ms" -> "drainWaitMs",
+            "poll-wait-ms" -> "pollWaitMs"))
+      case "mongo-stream" =>
+        forwardOptions(spark.readStream.format("graft.sources.OplogStreamSource"), o,
+          Seq("host" -> "host", "port" -> "port",
+            "after-sec" -> "afterSec", "after-inc" -> "afterInc",
+            "rows-per-batch" -> "rowsPerBatch", "max-buffered" -> "maxBuffered",
+            "partitions" -> "partitions", "drain-wait-ms" -> "drainWaitMs"))
       case other => throw new IllegalArgumentException(s"unknown input type '$other'")
     }
+
+  /** Forward only options present in the document (the source owns its
+    * defaults) plus every dotted schema-store key (`names.db.table`,
+    * `pks.db.table`) verbatim.
+    */
+  private def forwardOptions(
+      reader: org.apache.spark.sql.streaming.DataStreamReader,
+      o: JsonNode, keys: Seq[(String, String)])
+      : org.apache.spark.sql.DataFrame = {
+    val base = keys.foldLeft(reader) { case (r, (k, opt)) =>
+      Option(o.get(k)).map(v => r.option(opt, v.asText())).getOrElse(r)
+    }
+    val withStore = o.fields().asScala.foldLeft(base) { (r, e) =>
+      if (e.getKey.startsWith("names.") || e.getKey.startsWith("pks."))
+        r.option(e.getKey, e.getValue.asText())
+      else r
+    }
+    withStore.load()
+  }
 
   /** The whole deployment from ONE document — input + filters + routes +
     * output(s) + checkpoint, started as a streaming query (the reference

@@ -54,9 +54,15 @@ object KafkaWire {
   /** One MessageSet v1 entry: offset(0) + size + message(crc, magic 1,
     * attrs 0, timestamp, key, value). CRC32 covers magic..value.
     */
-  def messageSet(records: Seq[(Array[Byte], Array[Byte])], timestampMs: Long): Array[Byte] = {
+  def messageSet(records: Seq[(Array[Byte], Array[Byte])], timestampMs: Long): Array[Byte] =
+    // offset 0: producer sends 0, broker assigns
+    messageSetAt(records.map { case (k, v) => (0L, k, v) }, timestampMs)
+
+  /** MessageSet v1 with explicit offsets (broker side of a fetch). */
+  def messageSetAt(records: Seq[(Long, Array[Byte], Array[Byte])],
+      timestampMs: Long): Array[Byte] = {
     val w = new Writer
-    records.foreach { case (key, value) =>
+    records.foreach { case (offset, key, value) =>
       val body = new Writer()
         .i8(1) // magic 1
         .i8(0) // attributes: no compression
@@ -67,20 +73,27 @@ object KafkaWire {
       val crc = new java.util.zip.CRC32
       crc.update(body)
       val msg = new Writer().i32(crc.getValue.toInt).raw(body).result()
-      w.i64(0L) // offset: producer sends 0, broker assigns
+      w.i64(offset)
       w.i32(msg.length)
       w.raw(msg)
     }
     w.result()
   }
 
-  /** Parse a MessageSet v1, VALIDATING each CRC (what a broker does). */
-  def parseMessageSet(b: Array[Byte]): Seq[(Long, Array[Byte], Array[Byte])] = {
+  /** Parse a MessageSet v1, VALIDATING each CRC (what a broker does).
+    * With `tolerateTruncation` a trailing partial message (a fetch cut
+    * at max_bytes mid-message — normal broker behavior) is ignored
+    * instead of failing; produce validation stays strict.
+    */
+  def parseMessageSet(b: Array[Byte],
+      tolerateTruncation: Boolean = false): Seq[(Long, Array[Byte], Array[Byte])] = {
     val r = new Reader(b)
     val out = Seq.newBuilder[(Long, Array[Byte], Array[Byte])]
     while (r.remaining > 0) {
+      if (tolerateTruncation && r.remaining < 12) return out.result()
       val offset = r.i64()
       val size = r.i32()
+      if (tolerateTruncation && r.remaining < size) return out.result()
       val start = r.pos
       val crc = r.i32().toLong & 0xffffffffL
       val check = new java.util.zip.CRC32
@@ -134,6 +147,55 @@ object KafkaWire {
       }
     }
     r.i32() // throttle time (v2)
+    (correlationId, results.result())
+  }
+
+  // -------------------------------------------------------- fetch v2
+
+  val ApiFetch = 1
+
+  /** FetchRequest v2: one (topic, partition) from `offset`. max_wait_ms
+    * lets the broker BLOCK when caught up (min_bytes 1) — the long-poll
+    * that keeps a tailing consumer from busy-spinning.
+    */
+  def fetchRequest(correlationId: Int, clientId: String, topic: String,
+      partition: Int, offset: Long, maxBytes: Int = 1 << 20,
+      maxWaitMs: Int = 500): Array[Byte] =
+    new Writer()
+      .i16(ApiFetch).i16(2) // api key, version
+      .i32(correlationId).str(clientId)
+      .i32(-1) // replica_id: ordinary consumer
+      .i32(maxWaitMs).i32(1) // min_bytes
+      .i32(1).str(topic) // one topic
+      .i32(1).i32(partition).i64(offset).i32(maxBytes)
+      .result()
+
+  final case class FetchResult(topic: String, partition: Int, errorCode: Int,
+      highWatermark: Long, records: Seq[(Long, Array[Byte], Array[Byte])])
+
+  /** FetchResponse v2: throttle, then per-partition error/high-water and
+    * a CRC-validated MessageSet v1 (broker-assigned offsets).
+    */
+  def parseFetchResponse(b: Array[Byte]): (Int, Seq[FetchResult]) = {
+    val r = new Reader(b)
+    val correlationId = r.i32()
+    r.i32() // throttle time
+    val results = Seq.newBuilder[FetchResult]
+    val nTopics = r.i32()
+    (0 until nTopics).foreach { _ =>
+      val topic = r.str()
+      val nParts = r.i32()
+      (0 until nParts).foreach { _ =>
+        val partition = r.i32()
+        val err = r.i16()
+        val hw = r.i64()
+        val recordSet = r.bytes()
+        val records =
+          if (recordSet == null || recordSet.isEmpty) Nil
+          else parseMessageSet(recordSet, tolerateTruncation = true)
+        results += FetchResult(topic, partition, err, hw, records)
+      }
+    }
     (correlationId, results.result())
   }
 
@@ -200,6 +262,46 @@ object KafkaWire {
       val res = results.headOption.getOrElse(sys.error("kafka: empty produce response"))
       if (res.errorCode != 0) throw BrokerError(res.errorCode)
       res.baseOffset
+    }
+
+    def close(): Unit = if (socket != null) socket.close()
+  }
+
+  /** Synchronous wire consumer: one broker connection, long-poll fetch
+    * from an explicit offset — the input half of the transport (the
+    * reference's tidbkafka input consumes through sarama the same way,
+    * offset-managed externally; here the offset is the streaming
+    * checkpoint's job).
+    */
+  final class KafkaWireConsumer(host: String, port: Int,
+      clientId: String = "graft-consumer") extends AutoCloseable {
+    private var socket: java.net.Socket = _
+    private var in: InputStream = _
+    private var out: OutputStream = _
+    private var correlation = 0
+
+    def connect(): this.type = {
+      socket = new java.net.Socket(host, port)
+      in = new BufferedInputStream(socket.getInputStream)
+      out = new BufferedOutputStream(socket.getOutputStream)
+      this
+    }
+
+    /** One fetch round-trip; returns (highWatermark, records at ≥ offset).
+      * Empty records with hw == offset means caught-up (the broker held
+      * the request max_wait_ms first).
+      */
+    def poll(topic: String, partition: Int, offset: Long,
+        maxWaitMs: Int = 500): (Long, Seq[(Long, Array[Byte], Array[Byte])]) = {
+      correlation += 1
+      writeFrame(out, fetchRequest(correlation, clientId, topic, partition,
+        offset, maxWaitMs = maxWaitMs))
+      val (cid, results) = parseFetchResponse(readFrame(in))
+      require(cid == correlation, s"kafka: correlation mismatch ($cid != $correlation)")
+      val res = results.headOption.getOrElse(sys.error("kafka: empty fetch response"))
+      if (res.errorCode != 0) throw BrokerError(res.errorCode)
+      // brokers may resend from an earlier segment boundary: trim < offset
+      (res.highWatermark, res.records.filter(_._1 >= offset))
     }
 
     def close(): Unit = if (socket != null) socket.close()

@@ -178,4 +178,44 @@ class PipelineConfigSpec extends SparkSpec {
       assert(rs.getString(1) == "b")
     } finally c2.close()
   }
+
+  test("one config document launches the WIRE pipeline: mysql-stream input -> filters -> snapshot") {
+    import graft.sources.{StubBinlog, StubMySqlServer}
+    val cols = Seq((3, 0, false), (15, 40, true)) // LONG id, VARCHAR(40) name
+    val colMeta = cols.map { case (t, m, _) => (t, m) }
+    val events = Seq(
+      StubBinlog.fde(),
+      StubBinlog.tableMap(72L, "shop", "orders", cols),
+      StubBinlog.writeRows(72L, colMeta, Seq(Seq(1, "alice"), Seq(2, "bob"))),
+      StubBinlog.updateRows(72L, colMeta, Seq((Seq(1, "alice"), Seq(1, "carol")))),
+      StubBinlog.deleteRows(72L, colMeta, Seq(Seq(2, "bob"))),
+      StubBinlog.xid(99L))
+    val srv = new StubMySqlServer("repl", "replpass", events)
+    val work = java.nio.file.Files.createTempDirectory("cfg-wire").toString
+    try {
+      val q = PipelineConfig.launch(spark,
+        s"""{
+           |  "name": "wire-deployment",
+           |  "input": {"type": "mysql-stream", "host": "127.0.0.1",
+           |            "port": ${srv.port}, "user": "repl", "password": "replpass",
+           |            "names.shop.orders": "id,name", "pks.shop.orders": "id"},
+           |  "filters": [
+           |    {"type": "accept", "match-schema": "shop"},
+           |    {"type": "expr", "column": "id", "sql": "element_at(data, 'id')"},
+           |    {"type": "expr", "column": "name", "sql": "upper(element_at(data, 'name'))"}
+           |  ],
+           |  "pk": ["id"],
+           |  "checkpoint": "$work/ckpt",
+           |  "output": {"type": "snapshot", "path": "$work/state", "buckets": 2,
+           |             "pk": ["id"]}
+           |}""".stripMargin)
+      q.awaitTermination()
+      val state = new graft.sinks.SnapshotSink(spark, s"$work/state", Seq("id"), 2)
+        .read()
+      // LWW compaction over the tailed changes: 1 updated to carol, 2 deleted
+      val got = state.select("id", "name").as[(String, String)].collect().toSet
+      assert(got == Set(("1", "CAROL")))
+      assert(srv.authOk && srv.sawChecksumPin)
+    } finally srv.close()
+  }
 }

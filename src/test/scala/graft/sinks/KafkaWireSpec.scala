@@ -21,46 +21,88 @@ final class StubKafkaBroker extends AutoCloseable {
   private val thread = new Thread(() => {
     try while (!server.isClosed) {
       val sock = server.accept()
-      val in = new java.io.BufferedInputStream(sock.getInputStream)
-      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
-      var open = true
-      while (open) {
-        val frame = try readFrame(in) catch { case _: java.io.EOFException => open = false; Array.emptyByteArray }
-        if (open) {
-          val r = new Reader(frame)
-          val apiKey = r.i16(); val apiVersion = r.i16()
-          val correlationId = r.i32(); lastClientId = r.str()
-          require(apiKey == 0 && apiVersion == 2, s"stub broker: only produce v2 ($apiKey/$apiVersion)")
-          r.i16() // acks
-          r.i32() // timeout
-          val nTopics = r.i32()
-          val w = new Writer().i32(correlationId).i32(nTopics)
-          (0 until nTopics).foreach { _ =>
-            val topic = r.str()
-            val nParts = r.i32()
-            w.str(topic).i32(nParts)
-            (0 until nParts).foreach { _ =>
-              val partition = r.i32()
-              val recordSet = r.bytes()
-              val (err, baseOffset) =
-                try {
-                  val msgs = parseMessageSet(recordSet)
-                  val buf = log.computeIfAbsent((topic, partition),
-                    _ => scala.collection.mutable.ArrayBuffer.empty)
-                  val base = buf.size.toLong
-                  buf ++= msgs.map { case (_, k, v) => (k, v) }
-                  (0, base)
-                } catch { case _: IllegalArgumentException => (2, -1L) } // CORRUPT_MESSAGE
-              w.i32(partition).i16(err).i64(baseOffset).i64(-1L)
-            }
-          }
-          w.i32(0) // throttle
-          writeFrame(out, w.result())
-        }
-      }
-      sock.close()
+      // a dropped client must not kill the accept loop
+      try serve(sock) catch { case _: Exception => () }
+      finally { try sock.close() catch { case _: Exception => () } }
     } catch { case _: Exception => () }
   })
+
+  private def serve(sock: java.net.Socket): Unit = {
+    val in = new java.io.BufferedInputStream(sock.getInputStream)
+    val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    var open = true
+    while (open) {
+      val frame = try readFrame(in) catch { case _: java.io.EOFException => open = false; Array.emptyByteArray }
+      if (open) {
+        val r = new Reader(frame)
+        val apiKey = r.i16(); val apiVersion = r.i16()
+        val correlationId = r.i32(); lastClientId = r.str()
+        require(apiVersion == 2, s"stub broker: only v2 apis (got $apiVersion)")
+        apiKey match {
+          case 0 => writeFrame(out, produceReply(r, correlationId))
+          case 1 => writeFrame(out, fetchReply(r, correlationId))
+          case other => sys.error(s"stub broker: unsupported api key $other")
+        }
+      }
+    }
+  }
+
+  private def produceReply(r: Reader, correlationId: Int): Array[Byte] = {
+    r.i16() // acks
+    r.i32() // timeout
+    val nTopics = r.i32()
+    val w = new Writer().i32(correlationId).i32(nTopics)
+    (0 until nTopics).foreach { _ =>
+      val topic = r.str()
+      val nParts = r.i32()
+      w.str(topic).i32(nParts)
+      (0 until nParts).foreach { _ =>
+        val partition = r.i32()
+        val recordSet = r.bytes()
+        val (err, baseOffset) =
+          try {
+            val msgs = parseMessageSet(recordSet)
+            val buf = log.computeIfAbsent((topic, partition),
+              _ => scala.collection.mutable.ArrayBuffer.empty)
+            val base = buf.size.toLong
+            buf ++= msgs.map { case (_, k, v) => (k, v) }
+            (0, base)
+          } catch { case _: IllegalArgumentException => (2, -1L) } // CORRUPT_MESSAGE
+        w.i32(partition).i16(err).i64(baseOffset).i64(-1L)
+      }
+    }
+    w.i32(0) // throttle
+    w.result()
+  }
+
+  private def fetchReply(r: Reader, correlationId: Int): Array[Byte] = {
+    r.i32() // replica id
+    r.i32() // max wait (stub answers immediately)
+    r.i32() // min bytes
+    val nTopics = r.i32()
+    val w = new Writer().i32(correlationId).i32(0) // throttle
+    w.i32(nTopics)
+    (0 until nTopics).foreach { _ =>
+      val topic = r.str()
+      val nParts = r.i32()
+      w.str(topic).i32(nParts)
+      (0 until nParts).foreach { _ =>
+        val partition = r.i32()
+        val offset = r.i64()
+        val maxBytes = r.i32()
+        val buf = Option(log.get((topic, partition)))
+          .getOrElse(scala.collection.mutable.ArrayBuffer.empty)
+        val hw = buf.size.toLong
+        val slice = buf.zipWithIndex.drop(offset.toInt)
+          .map { case ((k, v), i) => (i.toLong, k, v) }.toSeq
+        val set = messageSetAt(slice, 1700000000000L)
+        // honor max_bytes like a broker: truncate mid-message if needed
+        val capped = if (set.length > maxBytes) set.take(maxBytes) else set
+        w.i32(partition).i16(0).i64(hw).bytes(capped)
+      }
+    }
+    w.result()
+  }
   thread.setDaemon(true)
   thread.start()
   def close(): Unit = server.close()
@@ -155,5 +197,40 @@ class KafkaWireSpec extends AnyFunSuite {
         assert(!broker.log.containsKey(("t", 0)), "nothing may be appended")
       } finally sock.close()
     } finally broker.close()
+  }
+
+  test("wire consumer fetches back what the producer shipped, from any offset") {
+    val broker = new StubKafkaBroker
+    try {
+      val producer = new KafkaWire.KafkaWireProducer("127.0.0.1", broker.port).connect()
+      val records = (0 until 5).map(i =>
+        (s"k$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8")))
+      producer.produce("t", 0, records, timestampMs = 1700000000000L)
+      producer.close()
+      val consumer = new KafkaWire.KafkaWireConsumer("127.0.0.1", broker.port).connect()
+      val (hw, got) = consumer.poll("t", 0, 0L)
+      assert(hw == 5L)
+      assert(got.map { case (o, k, v) =>
+        (o, new String(k, "UTF-8"), new String(v, "UTF-8")) } ==
+        (0 until 5).map(i => (i.toLong, s"k$i", s"v$i")))
+      // resume mid-log: only offsets >= 3
+      val (hw2, tail) = consumer.poll("t", 0, 3L)
+      assert(hw2 == 5L && tail.map(_._1) == Seq(3L, 4L))
+      // caught up: empty records, hw unchanged
+      val (hw3, empty) = consumer.poll("t", 0, 5L)
+      assert(hw3 == 5L && empty.isEmpty)
+      consumer.close()
+    } finally broker.close()
+  }
+
+  test("a fetch truncated at max_bytes mid-message is tolerated, produce validation stays strict") {
+    // build a set of two messages and cut it mid-second-message
+    val set = KafkaWire.messageSetAt(Seq(
+      (0L, "a".getBytes, "aaaa".getBytes), (1L, "b".getBytes, "bbbb".getBytes)),
+      1700000000000L)
+    val cut = set.take(set.length - 3)
+    val lenient = KafkaWire.parseMessageSet(cut, tolerateTruncation = true)
+    assert(lenient.map(_._1) == Seq(0L), "only the complete first message survives")
+    intercept[Exception](KafkaWire.parseMessageSet(cut))
   }
 }
