@@ -13,8 +13,10 @@ import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputSt
   * mysql_native_password auth, COM_QUERY with OK/ERR, COM_BINLOG_DUMP,
   * and the v4 binlog event stream: FORMAT_DESCRIPTION, ROTATE, QUERY,
   * TABLE_MAP, WRITE/UPDATE/DELETE_ROWS v1+v2, XID. Row values decode for
-  * the core type set (TINY/SHORT/INT24/LONG/LONGLONG, FLOAT/DOUBLE,
-  * VARCHAR/VAR_STRING/STRING, BLOB, DATE, NULL); signedness is NOT on
+  * the production type set (TINY/SHORT/INT24/LONG/LONGLONG, FLOAT/
+  * DOUBLE, NEWDECIMAL packed groups, VARCHAR/VAR_STRING/STRING, BLOB,
+  * DATE, YEAR, DATETIME2/TIMESTAMP2/TIME2 incl. fractional seconds and
+  * TIME2's negative borrow form, NULL); signedness is NOT on
   * the binlog wire — it comes from the schema store, exactly why the
   * reference pairs the tailer with one (MySqlTypes.unsignedFixup is the
   * downstream fixup). Unsupported column types fail loudly with the
@@ -235,7 +237,9 @@ object BinlogWire {
   private val TINY = 1; private val SHORT = 2; private val LONG = 3
   private val FLOAT = 4; private val DOUBLE = 5; private val NULLT = 6
   private val LONGLONG = 8; private val INT24 = 9; private val DATE = 10
-  private val VARCHAR = 15; private val BLOB = 252
+  private val YEAR = 13; private val VARCHAR = 15
+  private val TIMESTAMP2 = 17; private val DATETIME2 = 18; private val TIME2 = 19
+  private val NEWDECIMAL = 246; private val BLOB = 252
   private val VAR_STRING = 253; private val STRING = 254
 
   /** Parse one binlog event body (no packet 0x00 marker, no checksum).
@@ -279,7 +283,9 @@ object BinlogWire {
         val meta = types.map {
           case VARCHAR | VAR_STRING => r.u16()
           case STRING => (r.u8() << 8) | r.u8() // real-type byte, length byte
+          case NEWDECIMAL => (r.u8() << 8) | r.u8() // precision, scale
           case BLOB | FLOAT | DOUBLE => r.u8()
+          case TIMESTAMP2 | DATETIME2 | TIME2 => r.u8() // fsp
           case _ => 0
         }
         require(r.pos == metaEnd, s"table-map metadata length mismatch")
@@ -330,6 +336,24 @@ object BinlogWire {
     }
   }
 
+  /** Big-endian read of `n` bytes (the DATETIME2/TIMESTAMP2/TIME2/
+    * NEWDECIMAL family is stored big-endian, unlike the rest of the
+    * little-endian protocol — memcmp-able keys were the design goal).
+    */
+  private def beN(r: ByteReader, n: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < n) { v = (v << 8) | r.u8(); i += 1 }
+    v
+  }
+
+  /** Fractional-seconds part: ceil(fsp/2) BE bytes scaled to micros. */
+  private def fracMicros(r: ByteReader, fsp: Int): Long = {
+    val n = (fsp + 1) / 2
+    if (n == 0) 0L
+    else beN(r, n) * math.pow(10, 6 - 2 * n).toLong
+  }
+
   /** Decode one non-null value. Signedness comes from the SCHEMA STORE,
     * not the wire — integers decode signed here and callers apply
     * MySqlTypes.unsignedFixup when the source column is UNSIGNED.
@@ -347,6 +371,47 @@ object BinlogWire {
       val v = r.u24()
       val (d, m, y) = (v & 31, (v >> 5) & 15, v >> 9)
       if (y == 0) null else java.time.LocalDate.of(y, m, d)
+    case YEAR =>
+      val v = r.u8()
+      if (v == 0) 0 else v + 1900
+    case DATETIME2 =>
+      // 5 BE bytes: 1 sign bit | 17 bits year*13+month | 5 day |
+      // 5 hour | 6 minute | 6 second, then fsp fraction
+      val packed = beN(r, 5) - 0x8000000000L
+      val micros = fracMicros(r, meta)
+      val ym = (packed >> 22) & 0x1ffff
+      val (y, mo) = ((ym / 13).toInt, (ym % 13).toInt)
+      val d = ((packed >> 17) & 0x1f).toInt
+      val (h, mi, s) =
+        (((packed >> 12) & 0x1f).toInt, ((packed >> 6) & 0x3f).toInt, (packed & 0x3f).toInt)
+      if (y == 0) null
+      else java.time.LocalDateTime.of(y, mo, d, h, mi, s, (micros * 1000).toInt)
+    case TIMESTAMP2 =>
+      // 4 BE bytes epoch seconds, then fsp fraction
+      val sec = beN(r, 4)
+      val micros = fracMicros(r, meta)
+      java.time.Instant.ofEpochSecond(sec, micros * 1000)
+    case TIME2 =>
+      // 3 BE bytes offset-binary (sign | 10-bit hour | 6 min | 6 sec)
+      // plus ceil(fsp/2) fraction bytes; a NEGATIVE time stores the
+      // fraction complement-adjusted against the integer part (borrow),
+      // and fsp 5-6 stores the whole 6 bytes as one offset quantity
+      val n = (meta + 1) / 2
+      val tmp: Long =
+        if (n == 3) beN(r, 6) - 0x800000000000L
+        else {
+          var intPart = beN(r, 3) - 0x800000L
+          var frac = if (n > 0) beN(r, n) else 0L
+          if (intPart < 0 && frac > 0) { intPart += 1; frac -= 1L << (8 * n) }
+          (intPart << 24) + frac * math.pow(10, 6 - 2 * n).toLong
+        }
+      val a = math.abs(tmp)
+      val (v, usec) = (a >> 24, a & 0xffffff)
+      val (h, mi, s) = ((v >> 12) & 0x3ff, (v >> 6) & 0x3f, v & 0x3f)
+      val d = java.time.Duration.ofHours(h).plusMinutes(mi).plusSeconds(s)
+        .plusNanos(usec * 1000)
+      if (tmp < 0) d.negated() else d
+    case NEWDECIMAL => decodeDecimal(r, precision = meta >> 8, scale = meta & 0xff)
     case VARCHAR | VAR_STRING =>
       val len = if (meta < 256) r.u8() else r.u16()
       r.strN(len)
@@ -370,7 +435,42 @@ object BinlogWire {
       r.bytes(len.toInt)
     case other => throw new UnsupportedOperationException(
       s"binlog column type $other not supported by this decoder " +
-        "(core set: ints, float/double, varchar/char, blob, date)")
+        "(set: ints, float/double, decimal, varchar/char, blob, " +
+        "date/datetime2/timestamp2/time2/year)")
+  }
+
+  // bytes needed for a partial group of d decimal digits (decimal.c)
+  private val dig2bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+
+  /** NEWDECIMAL: digits in groups of 9, each full group 4 BE bytes,
+    * leading/trailing partial groups in dig2bytes(d); sign rides the
+    * first byte's MSB (XOR 0x80), negatives store the complement.
+    */
+  private def decodeDecimal(r: ByteReader, precision: Int, scale: Int): java.math.BigDecimal = {
+    val intDigits = precision - scale
+    val intFull = intDigits / 9; val intRem = intDigits % 9
+    val fracFull = scale / 9; val fracRem = scale % 9
+    val size = intFull * 4 + dig2bytes(intRem) + fracFull * 4 + dig2bytes(fracRem)
+    val raw = r.bytes(size)
+    val neg = (raw(0) & 0x80) == 0
+    raw(0) = (raw(0) ^ 0x80).toByte
+    if (neg) { var i = 0; while (i < raw.length) { raw(i) = (~raw(i)).toByte; i += 1 } }
+    var pos = 0
+    def take(nb: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < nb) { v = (v << 8) | (raw(pos + i) & 0xff); i += 1 }
+      pos += nb; v
+    }
+    val sb = new StringBuilder
+    if (neg) sb.append('-')
+    sb.append(take(dig2bytes(intRem)).toString)
+    (0 until intFull).foreach(_ => sb.append("%09d".format(take(4))))
+    if (scale > 0) {
+      sb.append('.')
+      (0 until fracFull).foreach(_ => sb.append("%09d".format(take(4))))
+      if (fracRem > 0) sb.append(s"%0${fracRem}d".format(take(dig2bytes(fracRem))))
+    }
+    new java.math.BigDecimal(sb.toString())
   }
 
   // ----------------------------------------------------------- client

@@ -150,12 +150,12 @@ class BinlogWireSpec extends AnyFunSuite {
   test("unsupported column types fail loudly instead of decoding garbage") {
     val maps = scala.collection.mutable.Map.empty[Long, TableMap]
     parseEvent(unhex(goldenTableMap), maps)
-    // rewrite the table map to claim NEWDECIMAL (246) for column 0
+    // rewrite the table map to claim MYSQL_TYPE_JSON (245) for column 0
     val tm = maps(42L)
-    maps(42L) = tm.copy(columnTypes = Array(246, 15))
+    maps(42L) = tm.copy(columnTypes = Array(245, 15))
     val e = intercept[UnsupportedOperationException](
       parseEvent(unhex(goldenWriteRows), maps))
-    assert(e.getMessage.contains("246"))
+    assert(e.getMessage.contains("245"))
   }
 
   test("binlog rotation keeps composed positions monotone (logPos resets per file)") {
@@ -189,5 +189,63 @@ class BinlogWireSpec extends AnyFunSuite {
       pkOf = (_, _) => Seq("id"))
     assert(ok.data == Map("id" -> "7", "name" -> "x", "k" -> "extra") &&
       ok.pks == Map("id" -> "7"))
+  }
+
+  test("temporal + decimal column types decode against hand-derived golden bytes") {
+    // values hand-packed from the public storage formats (BE family):
+    // YEAR 2024; DATETIME2(2) 2023-11-15 10:30:45.25;
+    // TIMESTAMP2(6) 2023-11-15T10:30:45.123456Z; TIME2(2) 838:59:58.5;
+    // TIME2(2) -00:00:01.01 (borrow form); DECIMAL(10,4) ±123456.7891;
+    // DECIMAL(20,6) 12345678901234.567891 (full 9-digit group + partials)
+    val golden = "7c" + "99b19ea7ad19" + "65549dd501e240" + "b46efa32" +
+      "7ffffeff" + "81e2401ed3" + "7e1dbfe12c" + "803039287735f208aa53"
+    val cols = Seq( // (type, meta)
+      (13, 0), (18, 2), (17, 6), (19, 2), (19, 2),
+      (246, (10 << 8) | 4), (246, (10 << 8) | 4), (246, (20 << 8) | 6))
+    val body = new ByteWriter()
+      .u48(77L).u16(1).u16(2) // tableId, flags, v2 extra len
+      .lenenc(cols.size.toLong)
+      .u8(0xff) // present bitmap: all 8
+      .u8(0x00) // null bitmap: none
+      .bytes(unhex(golden))
+      .result()
+    val header = new ByteWriter()
+      .u32(1700000000L).u8(WRITE_ROWS_V2).u32(99L)
+      .u32(19L + body.length).u32(5000L).u16(0)
+      .result()
+    val maps = scala.collection.mutable.Map.empty[Long, TableMap]
+    maps(77L) = TableMap(EventHeader(0L, TABLE_MAP_EVENT, 99L, 0L, 0L, 0),
+      77L, "db1", "wide", cols.map(_._1).toArray, cols.map(_._2).toArray,
+      Array.fill(cols.size)(false))
+    val ev = parseEvent(header ++ body, maps).asInstanceOf[Rows]
+    val row = ev.rows.head._2
+    assert(row(0) == 2024)
+    assert(row(1) == java.time.LocalDateTime.of(2023, 11, 15, 10, 30, 45, 250000000))
+    assert(row(2) == java.time.Instant.ofEpochSecond(1700044245L, 123456000L))
+    assert(row(3) == java.time.Duration.ofSeconds(838L * 3600 + 59 * 60 + 58, 500000000L))
+    assert(row(4) == java.time.Duration.ofMillis(-1010L))
+    assert(row(5) == new java.math.BigDecimal("123456.7891"))
+    assert(row(6) == new java.math.BigDecimal("-123456.7891"))
+    assert(row(7) == new java.math.BigDecimal("12345678901234.567891"))
+  }
+
+  test("table-map metadata widths parse for the temporal/decimal family") {
+    // TABLE_MAP with YEAR, DATETIME2(fsp), NEWDECIMAL(precision,scale):
+    // the metadata length check proves each type consumes its exact width
+    val w = new ByteWriter()
+      .u48(88L).u16(1)
+      .u8(3).str("db1").u8(0)
+      .u8(1).str("t").u8(0)
+      .lenenc(4L)
+      .u8(13).u8(18).u8(246).u8(19) // YEAR, DATETIME2, NEWDECIMAL, TIME2
+    val meta = new ByteWriter().u8(4).u8(12).u8(6).u8(3).result() // fsp4; (12,6); fsp3
+    w.lenenc(meta.length.toLong).bytes(meta)
+    w.u8(0x00) // null bitmap
+    val header = new ByteWriter()
+      .u32(1700000000L).u8(TABLE_MAP_EVENT).u32(99L).u32(0L).u32(0L).u16(0)
+      .result()
+    val maps = scala.collection.mutable.Map.empty[Long, TableMap]
+    val tm = parseEvent(header ++ w.result(), maps).asInstanceOf[TableMap]
+    assert(tm.columnMeta.toSeq == Seq(0, 4, (12 << 8) | 6, 3))
   }
 }
