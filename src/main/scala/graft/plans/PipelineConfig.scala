@@ -161,7 +161,8 @@ object PipelineConfig {
         forwardOptions(spark.readStream.format("graft.sources.BinlogStreamSource"), o,
           Seq("host" -> "host", "port" -> "port", "user" -> "user",
             "password" -> "password", "file" -> "file", "pos" -> "pos",
-            "server-id" -> "serverId", "rows-per-batch" -> "rowsPerBatch",
+            "gtid" -> "gtid", "server-id" -> "serverId",
+            "rows-per-batch" -> "rowsPerBatch",
             "max-buffered" -> "maxBuffered", "partitions" -> "partitions",
             "drain-wait-ms" -> "drainWaitMs"))
       case "kafka-stream" =>

@@ -119,10 +119,18 @@ final class BinlogMicroBatchStream(options: CaseInsensitiveStringMap)
       BinlogStreamSource.mapData(r.data), BinlogStreamSource.mapData(r.old),
       BinlogStreamSource.mapData(r.pks))
 
+  // GTID resume: `gtid` = the executed set ("uuid:1-5,…"); the master
+  // replays only what's missing from it (COM_BINLOG_DUMP_GTID), while
+  // file+pos remains the offset unit for batch absorption
+  private val gtid = Option(options.get("gtid")).filter(_.nonEmpty)
+
   override protected def tail(emit: BinlogWire.Envelope => Unit): Unit = {
     client.connect()
-    BinlogWire
-      .changeRows(client.dump(file, startPos), BinlogWire.fileIndexOf(file))
+    val events = gtid match {
+      case Some(g) => client.dumpGtid(GtidSet.parse(g))
+      case None => client.dump(file, startPos)
+    }
+    BinlogWire.changeRows(events, BinlogWire.fileIndexOf(file))
       .foreach(c => emit(BinlogWire.envelopeOf(c,
         names = tableOpt("names", _, _),
         pkOf = (d, t) => tableOpt("pks", d, t).getOrElse(Nil))))

@@ -179,6 +179,64 @@ object BinlogWire {
   def comBinlogDump(file: String, pos: Long, slaveServerId: Long): Array[Byte] =
     new ByteWriter().u8(0x12).u32(pos).u16(0).u32(slaveServerId).str(file).result()
 
+  /** uuid string ("3e11fa47-71ca-11e1-9e33-c80aa9429562") → 16 bytes. */
+  def uuidBytes(u: String): Array[Byte] = {
+    val hex = u.replace("-", "")
+    require(hex.length == 32, s"gtid: malformed server uuid '$u'")
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  }
+
+  def uuidString(b: Array[Byte]): String = {
+    val h = b.map("%02x".format(_)).mkString
+    s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+      s"${h.substring(16, 20)}-${h.substring(20)}"
+  }
+
+  /** The GTID-set wire form (n_sids, then per sid: 16-byte uuid,
+    * n_intervals, [start, end) — wire ends are EXCLUSIVE while
+    * [[GtidSet]] carries inclusive ends).
+    */
+  def encodeGtidSet(set: GtidSet): Array[Byte] = {
+    val w = new ByteWriter()
+    w.u64(set.intervals.size.toLong)
+    set.intervals.toSeq.sortBy(_._1).foreach { case (uuid, ivs) =>
+      w.bytes(uuidBytes(uuid))
+      w.u64(ivs.size.toLong)
+      ivs.foreach { case (s, e) => w.u64(s); w.u64(e + 1) }
+    }
+    w.result()
+  }
+
+  def decodeGtidSet(b: Array[Byte]): GtidSet = {
+    val r = new ByteReader(b)
+    val nSids = r.u64()
+    val m = (0L until nSids).map { _ =>
+      val uuid = uuidString(r.bytes(16))
+      val nIvs = r.u64()
+      uuid -> (0L until nIvs).map(_ => (r.u64(), r.u64() - 1)).toVector
+    }.toMap
+    GtidSet(m)
+  }
+
+  val BinlogThroughGtid = 0x04
+
+  /** COM_BINLOG_DUMP_GTID: stream everything NOT in `executed` — the
+    * GTID-position resume the reference uses (its position values are
+    * GTID sets; [[GtidSet]] is the matching algebra).
+    */
+  def comBinlogDumpGtid(executed: GtidSet, slaveServerId: Long,
+      file: String = "", pos: Long = 4L): Array[Byte] = {
+    val data = encodeGtidSet(executed)
+    new ByteWriter()
+      .u8(0x1e)
+      .u16(BinlogThroughGtid)
+      .u32(slaveServerId)
+      .u32(file.getBytes("UTF-8").length.toLong).str(file)
+      .u64(pos)
+      .u32(data.length.toLong).bytes(data)
+      .result()
+  }
+
   final case class ServerError(errno: Int, message: String)
       extends RuntimeException(s"mysql error $errno: $message")
 
@@ -201,6 +259,7 @@ object BinlogWire {
   val XID_EVENT = 16
   val FORMAT_DESCRIPTION_EVENT = 15
   val TABLE_MAP_EVENT = 19
+  val GTID_EVENT = 33
   val WRITE_ROWS_V1 = 23
   val UPDATE_ROWS_V1 = 24
   val DELETE_ROWS_V1 = 25
@@ -228,6 +287,9 @@ object BinlogWire {
       table: Option[TableMap],
       rows: Seq[(Option[IndexedSeq[Any]], IndexedSeq[Any])]) extends BinlogEvent
   final case class Xid(header: EventHeader, xid: Long) extends BinlogEvent
+  /** GTID_LOG_EVENT: the transaction about to follow is (uuid, gno). */
+  final case class Gtid(header: EventHeader, uuid: String, gno: Long)
+      extends BinlogEvent
   final case class Unknown(header: EventHeader) extends BinlogEvent
 
   def parseHeader(r: ByteReader): EventHeader =
@@ -271,6 +333,10 @@ object BinlogWire {
         Query(h, db, r.strEof())
       case XID_EVENT =>
         Xid(h, r.u64())
+      case GTID_EVENT =>
+        r.u8() // flags (commit yes/no)
+        val uuid = uuidString(r.bytes(16))
+        Gtid(h, uuid, r.u64())
       case TABLE_MAP_EVENT =>
         val tableId = r.u48()
         r.u16() // flags
@@ -515,6 +581,18 @@ object BinlogWire {
     /** Stream events from (file, pos) until server EOF. */
     def dump(file: String, pos: Long): Iterator[BinlogEvent] = {
       writePacket(out, 0, comBinlogDump(file, pos, slaveServerId))
+      eventStream()
+    }
+
+    /** Stream everything not in `executed` (GTID resume — the position
+      * form the reference checkpoints).
+      */
+    def dumpGtid(executed: GtidSet): Iterator[BinlogEvent] = {
+      writePacket(out, 0, comBinlogDumpGtid(executed, slaveServerId))
+      eventStream()
+    }
+
+    private def eventStream(): Iterator[BinlogEvent] = {
       new Iterator[BinlogEvent] {
         private var nextEvent: BinlogEvent = _
         private var done = false

@@ -151,4 +151,31 @@ class BinlogStreamSpec extends SparkSpec {
       _.contains("graft-binlog-tailer failed"))),
       s"expected the tailer failure in the cause chain: ${chain(e).map(_.getMessage)}")
   }
+
+  test("gtid option dumps via COM_BINLOG_DUMP_GTID with the executed set on the wire") {
+    val sid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val events = Seq(
+      StubBinlog.fde(),
+      StubBinlog.gtid(sid, 6L),
+      StubBinlog.tableMap(61L, "shop", "t", cols),
+      StubBinlog.writeRows(61L, colMeta, Seq(Seq(9, "zoe"))),
+      StubBinlog.xid(5L))
+    val srv = new StubMySqlServer("repl", "replpass", events)
+    try {
+      val out = "binlog_stream_gtid"
+      val q = spark.readStream.format(fmt)
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "repl").option("password", "replpass")
+        .option("gtid", s"$sid:1-5")
+        .load()
+        .writeStream.format("memory").queryName(out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(srv.dumpGtid.contains(GtidSet.parse(s"$sid:1-5")),
+        "the configured executed set must reach the master on the wire")
+      val got = spark.table(out).selectExpr("op", "element_at(data, 'c0')")
+        .as[(String, String)].collect().toSeq
+      assert(got == Seq(("insert", "9")))
+    } finally srv.close()
+  }
 }

@@ -248,4 +248,39 @@ class BinlogWireSpec extends AnyFunSuite {
     val tm = parseEvent(header ++ w.result(), maps).asInstanceOf[TableMap]
     assert(tm.columnMeta.toSeq == Seq(0, 4, (12 << 8) | 6, 3))
   }
+
+  test("GTID resume: the executed set rides COM_BINLOG_DUMP_GTID and GTID events replay into the algebra") {
+    val sid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val sid2 = "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"
+    // wire form round-trips through the codec pair (exclusive wire ends
+    // vs inclusive GtidSet ends)
+    val executed = GtidSet.parse(s"$sid:1-5:9,$sid2:1-3")
+    assert(decodeGtidSet(encodeGtidSet(executed)) == executed)
+    val cols = Seq((3, 0, false))
+    val colMeta = cols.map { case (t, m, _) => (t, m) }
+    val events = Seq(
+      StubBinlog.fde(),
+      StubBinlog.gtid(sid, 10L),
+      StubBinlog.tableMap(91L, "db1", "t", cols),
+      StubBinlog.writeRows(91L, colMeta, Seq(Seq(1))),
+      StubBinlog.xid(1L),
+      StubBinlog.gtid(sid, 11L),
+      StubBinlog.writeRows(91L, colMeta, Seq(Seq(2))),
+      StubBinlog.xid(2L))
+    val srv = new StubMySqlServer("repl", "replpass", events)
+    try {
+      val client = new BinlogClient("127.0.0.1", srv.port, "repl", "replpass")
+      client.connect()
+      val got = client.dumpGtid(executed).toVector
+      client.close()
+      // the stub decoded the dumped set SERVER-side — byte-level contract
+      assert(srv.dumpGtid.contains(executed))
+      // streamed GTID events accumulate into the executed algebra — the
+      // position value the reference checkpoints
+      val advanced = got.collect { case g: Gtid => g }
+        .foldLeft(executed)((acc, g) => acc.add(g.uuid, g.gno))
+      assert(advanced == GtidSet.parse(s"$sid:1-5:9-11,$sid2:1-3"))
+      assert(got.collect { case r: Rows => r }.size == 2)
+    } finally srv.close()
+  }
 }
