@@ -298,11 +298,15 @@ object BinlogWire {
   // column type ids
   private val TINY = 1; private val SHORT = 2; private val LONG = 3
   private val FLOAT = 4; private val DOUBLE = 5; private val NULLT = 6
-  private val LONGLONG = 8; private val INT24 = 9; private val DATE = 10
-  private val YEAR = 13; private val VARCHAR = 15
+  private val LEGACY_TIMESTAMP = 7; private val LONGLONG = 8
+  private val INT24 = 9; private val DATE = 10
+  private val LEGACY_TIME = 11; private val LEGACY_DATETIME = 12
+  private val YEAR = 13; private val VARCHAR = 15; private val BIT = 16
   private val TIMESTAMP2 = 17; private val DATETIME2 = 18; private val TIME2 = 19
-  private val NEWDECIMAL = 246; private val BLOB = 252
+  private val JSON = 245; private val NEWDECIMAL = 246
+  private val ENUM = 247; private val SET = 248; private val BLOB = 252
   private val VAR_STRING = 253; private val STRING = 254
+  private val GEOMETRY = 255
 
   /** Parse one binlog event body (no packet 0x00 marker, no checksum).
     * `tableMaps` accumulates TABLE_MAP events so ROWS events resolve.
@@ -350,8 +354,9 @@ object BinlogWire {
           case VARCHAR | VAR_STRING => r.u16()
           case STRING => (r.u8() << 8) | r.u8() // real-type byte, length byte
           case NEWDECIMAL => (r.u8() << 8) | r.u8() // precision, scale
-          case BLOB | FLOAT | DOUBLE => r.u8()
+          case BLOB | JSON | GEOMETRY | FLOAT | DOUBLE => r.u8()
           case TIMESTAMP2 | DATETIME2 | TIME2 => r.u8() // fsp
+          case BIT => r.u8() | (r.u8() << 8) // bits%8, then bits/8 (LE pair)
           case _ => 0
         }
         require(r.pos == metaEnd, s"table-map metadata length mismatch")
@@ -482,27 +487,65 @@ object BinlogWire {
       val len = if (meta < 256) r.u8() else r.u16()
       r.strN(len)
     case STRING =>
-      // meta = (real-type byte << 8) | length byte; CHAR(n) with
-      // n*charlen > 255 steals two length bits from the type byte
-      val maxLen = {
-        val b0 = (meta >> 8) & 0xff
-        val b1 = meta & 0xff
-        if (b0 == 0) b1
-        else if ((b0 & 0x30) != 0x30) b1 | (((b0 & 0x30) ^ 0x30) << 4)
-        else b1
+      // meta = (real-type byte << 8) | length byte. ENUM/SET ride the
+      // STRING slot with the real type in the high byte and NO length
+      // prefix in the row image — the value IS the index / bitmask
+      // (schema_store/utils.go:194-196 resolves the symbolic names).
+      val b0 = (meta >> 8) & 0xff
+      val b1 = meta & 0xff
+      if (b0 == ENUM) { if (b1 == 1) r.u8() else r.u16() }
+      else if (b0 == SET) {
+        var v = 0L; var i = 0
+        while (i < b1) { v |= (r.u8().toLong << (8 * i)); i += 1 }
+        v
+      } else {
+        // CHAR(n) with n*charlen > 255 steals two length bits from the
+        // type byte
+        val maxLen =
+          if (b0 == 0) b1
+          else if ((b0 & 0x30) != 0x30) b1 | (((b0 & 0x30) ^ 0x30) << 4)
+          else b1
+        val actual = if (maxLen < 256) r.u8() else r.u16()
+        r.strN(actual)
       }
-      val actual = if (maxLen < 256) r.u8() else r.u16()
-      r.strN(actual)
-    case BLOB =>
+    case BIT =>
+      // meta (LE pair) = bits%8 | (bits/8)<<8; value is BE-packed
+      val nbits = ((meta >> 8) & 0xff) * 8 + (meta & 0xff)
+      beN(r, (nbits + 7) / 8)
+    case LEGACY_TIMESTAMP => // pre-5.6: 4 LE bytes epoch seconds
+      java.time.Instant.ofEpochSecond(r.u32())
+    case LEGACY_DATETIME => // pre-5.6: u64 YYYYMMDDHHMMSS
+      val v = r.u64()
+      if (v == 0L) null
+      else {
+        val (d, t) = (v / 1000000L, v % 1000000L)
+        java.time.LocalDateTime.of((d / 10000L).toInt, ((d / 100L) % 100L).toInt,
+          (d % 100L).toInt, (t / 10000L).toInt, ((t / 100L) % 100L).toInt,
+          (t % 100L).toInt)
+      }
+    case LEGACY_TIME => // pre-5.6: u24 HHMMSS
+      val v = r.u24()
+      java.time.Duration.ofHours(v / 10000).plusMinutes((v / 100) % 100)
+        .plusSeconds(v % 100)
+    case BLOB | GEOMETRY =>
       val lenBytes = meta
       var len = 0L
       var i = 0
       while (i < lenBytes) { len |= (r.u8().toLong << (8 * i)); i += 1 }
       r.bytes(len.toInt)
+    case JSON =>
+      // length-prefixed (meta len-bytes, like BLOB) binary-JSON document,
+      // decoded to JSON text — the form the reference emits downstream
+      // (msg.go:239 passes JSON columns through as strings)
+      val lenBytes = meta
+      var len = 0L
+      var i = 0
+      while (i < lenBytes) { len |= (r.u8().toLong << (8 * i)); i += 1 }
+      JsonBinary.text(r.bytes(len.toInt))
     case other => throw new UnsupportedOperationException(
       s"binlog column type $other not supported by this decoder " +
-        "(set: ints, float/double, decimal, varchar/char, blob, " +
-        "date/datetime2/timestamp2/time2/year)")
+        "(set: ints, float/double, decimal, bit, enum, set, varchar/char, " +
+        "blob/geometry, json, date/datetime/timestamp/time both gens, year)")
   }
 
   // bytes needed for a partial group of d decimal digits (decimal.c)
@@ -512,7 +555,7 @@ object BinlogWire {
     * leading/trailing partial groups in dig2bytes(d); sign rides the
     * first byte's MSB (XOR 0x80), negatives store the complement.
     */
-  private def decodeDecimal(r: ByteReader, precision: Int, scale: Int): java.math.BigDecimal = {
+  private[sources] def decodeDecimal(r: ByteReader, precision: Int, scale: Int): java.math.BigDecimal = {
     val intDigits = precision - scale
     val intFull = intDigits / 9; val intRem = intDigits % 9
     val fracFull = scale / 9; val fracRem = scale % 9

@@ -150,12 +150,13 @@ class BinlogWireSpec extends AnyFunSuite {
   test("unsupported column types fail loudly instead of decoding garbage") {
     val maps = scala.collection.mutable.Map.empty[Long, TableMap]
     parseEvent(unhex(goldenTableMap), maps)
-    // rewrite the table map to claim MYSQL_TYPE_JSON (245) for column 0
+    // rewrite the table map to claim MYSQL_TYPE_TYPED_ARRAY (20, a
+    // replication-internal type this decoder does not speak) for column 0
     val tm = maps(42L)
-    maps(42L) = tm.copy(columnTypes = Array(245, 15))
+    maps(42L) = tm.copy(columnTypes = Array(20, 15))
     val e = intercept[UnsupportedOperationException](
       parseEvent(unhex(goldenWriteRows), maps))
-    assert(e.getMessage.contains("245"))
+    assert(e.getMessage.contains("20"))
   }
 
   test("binlog rotation keeps composed positions monotone (logPos resets per file)") {
@@ -282,5 +283,47 @@ class BinlogWireSpec extends AnyFunSuite {
       assert(advanced == GtidSet.parse(s"$sid:1-5:9-11,$sid2:1-3"))
       assert(got.collect { case r: Rows => r }.size == 2)
     } finally srv.close()
+  }
+
+  test("enum/set/bit/json/geometry and pre-5.6 temporals decode from row images") {
+    // ENUM and SET ride MYSQL_TYPE_STRING with the real type in the meta
+    // high byte and no length prefix — the regression this test pins is
+    // that they must NOT take the string path (which would misread the
+    // index byte as a length)
+    val cols = Seq( // (type, meta, nullable)
+      (254, (247 << 8) | 1, false), // ENUM, 1-byte index
+      (254, (247 << 8) | 2, false), // ENUM, 2-byte index
+      (254, (248 << 8) | 2, false), // SET, 2-byte bitmask
+      (16, (1 << 8) | 2, false), // BIT(10): bits/8=1, bits%8=2
+      (245, 4, false), // JSON, 4 length bytes
+      (7, 0, false), // pre-5.6 TIMESTAMP
+      (12, 0, false), // pre-5.6 DATETIME
+      (11, 0, false), // pre-5.6 TIME
+      (255, 2, false)) // GEOMETRY, blob-form
+    val colMeta = cols.map { case (t, m, _) => (t, m) }
+    // {"a":7,"bc":"x"} — golden bytes shared with JsonBinarySpec
+    val jsonb = ("00 0200 1700 1200 0100 1300 0200 05 0700 0c 1500 61 6263 01 78")
+      .replaceAll("\\s+", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val wkb = Array[Byte](1, 2, 3, 4)
+    val values = Seq(
+      2, 300, 0x0105L, 0x2abL, jsonb,
+      java.time.Instant.ofEpochSecond(1700000123L),
+      java.time.LocalDateTime.of(2024, 5, 6, 7, 8, 9),
+      134530, // 13:45:30
+      wkb)
+    val maps = scala.collection.mutable.Map.empty[Long, TableMap]
+    parseEvent(StubBinlog.tableMap(91L, "db1", "t", cols), maps)
+    val ev = parseEvent(
+      StubBinlog.writeRows(91L, colMeta, Seq(values)), maps).asInstanceOf[Rows]
+    val row = ev.rows.head._2
+    assert(row(0) == 2)
+    assert(row(1) == 300)
+    assert(row(2) == 0x0105L)
+    assert(row(3) == 0x2abL)
+    assert(row(4) == "{\"a\":7,\"bc\":\"x\"}")
+    assert(row(5) == java.time.Instant.ofEpochSecond(1700000123L))
+    assert(row(6) == java.time.LocalDateTime.of(2024, 5, 6, 7, 8, 9))
+    assert(row(7) == java.time.Duration.ofHours(13).plusMinutes(45).plusSeconds(30))
+    assert(row(8).asInstanceOf[Array[Byte]].toSeq == wkb.toSeq)
   }
 }
