@@ -510,6 +510,143 @@ object IndexQueries {
         |  lower(strip_accents(nfc_normalize(translate(text, 'ae', 'áé')))) AS norm,
         |  lower(strip_accents(nfc_normalize(translate(text, 'ae', 'áé'))))
         |    <> translate(text, 'ae', 'áé') AS changed
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    // BM25 ranked retrieval (k1 = 6/5, b = 3/4) with every intermediate an
+    // INTEGER — the rational form of Robertson's formula: with tf, len,
+    // df, N, totLen all bigints,
+    //   idf      = (2N - 2df + 1) / (2df + 1)
+    //   tf-part  = 22·tf·totLen / (10·tf·totLen + 3·totLen + 9·len·N)
+    // and the score is two exactly-rounded IEEE divisions and one multiply
+    // in the same shape on both engines — log-free, so bit-stable (the
+    // same trick as reciprocal-df TF-IDF above; rank-equivalent to the
+    // log form for fixed N). The 3-term sum pivots through fixed-order
+    // additions, never an unordered double aggregate. Top-10 is
+    // TakeOrdered (orderBy+limit) — O(n) with no global sort; the final
+    // row_number runs over 10 rows. 22·tf·totLen stays under 2^63 until
+    // tf·totLen > 4·10^17 — beyond any single corpus this engine targets.
+    CatalogQuery("txt_bm25_topk", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val tf = docs
+        .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+          explode(col("toks")).as("term"))
+        .groupBy("doc_id", "len", "term").agg(count(lit(1)).as("tf"))
+      val qterms = Seq("spark", "customer", "window")
+      val tfq = tf.filter(col("term").isin(qterms: _*))
+      val dfr = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = docs.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("tot_len"))
+      val scored = tfq.join(dfr, "term").crossJoin(broadcast(stats))
+        .withColumn("s",
+          ((lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)).cast("double")
+            / (lit(2) * col("df") + lit(1))) *
+            ((lit(22) * col("tf") * col("tot_len")).cast("double")
+              / (lit(10) * col("tf") * col("tot_len") + lit(3) * col("tot_len")
+                + lit(9) * col("len") * col("n_docs"))))
+      val perDoc = scored.groupBy("doc_id").agg(
+        (coalesce(max(when(col("term") === "spark", col("s"))), lit(0.0))
+          + coalesce(max(when(col("term") === "customer", col("s"))), lit(0.0))
+          + coalesce(max(when(col("term") === "window", col("s"))), lit(0.0)))
+          .as("score"))
+      val top = perDoc.orderBy(col("score").desc, col("doc_id").asc).limit(10)
+      top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+          .cast("long"))
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tf AS (
+        |  SELECT doc_id, len, term, count(*) AS tf FROM (
+        |    SELECT doc_id, len(t)::BIGINT AS len, unnest(t) AS term FROM toks)
+        |  WHERE term IN ('spark', 'customer', 'window')
+        |  GROUP BY 1, 2, 3),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*)::BIGINT AS n_docs, sum(len(t))::BIGINT AS tot_len
+        |  FROM toks),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    (CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / (2 * df + 1)) *
+        |    (CAST(22 * tf * tot_len AS DOUBLE)
+        |      / (10 * tf * tot_len + 3 * tot_len + 9 * len * n_docs)) AS s
+        |  FROM tf JOIN dfr USING (term) CROSS JOIN stats),
+        |per_doc AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN term = 'spark' THEN s END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'customer' THEN s END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'window' THEN s END), 0.0) AS score
+        |  FROM scored GROUP BY 1)
+        |SELECT doc_id, score,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |FROM per_doc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    // MOSS algorithm): k-token shingles → rolling hash → the MINIMUM hash
+    // of each w-wide window is a selected fingerprint. Guarantees every
+    // shared run of k+w-1 tokens yields at least one shared fingerprint,
+    // while keeping ~2/(w+1) of positions — a density-bounded substring
+    // near-dup detector (the gap between MinHash whole-doc similarity and
+    // exact suffix-array substring dedup). Candidate pairs then join on
+    // shared fingerprints with the same heavy-hitter guard as the
+    // inverted index (df ≤ 8): boilerplate fingerprints shared by
+    // everything never fan out quadratically at 100 TB.
+    CatalogQuery("txt_winnowing_candidates", (s, d) => {
+      val k = 4; val winw = 4
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= k + winw - 1)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+          posexplode(expr(
+            s"""transform(sequence(0, size(toks) - $k),
+               | i -> concat_ws(' ', slice(toks, CAST(i + 1 AS INT), $k)))"""
+              .stripMargin)).as(Seq("pos", "sh")))
+      val wMin = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, winw - 1)
+      val fps = sh
+        .select(col("doc_id"), col("pos"),
+          (col("n_tok") - k + 1).as("m"),
+          GraftFunctions.rolling_hash(col("sh")).as("h"))
+        .withColumn("fp", min(col("h")).over(wMin))
+        .filter(col("pos") <= col("m") - winw) // full windows only
+        .select(col("doc_id"), col("fp")).distinct()
+      val dfq = fps.groupBy("fp").agg(count(lit(1)).as("c"))
+        .filter(col("c").between(2, 8)).select("fp")
+      val cand = fps.join(dfq, "fp")
+      cand.as("a").join(cand.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 7),
+        |sh AS (
+        |  SELECT doc_id, len(t) - 3 AS m,
+        |    unnest(list_transform(range(0, len(t) - 3),
+        |      i -> {'pos': i, 's': array_to_string(t[i + 1:i + 4], ' ')})) AS e
+        |  FROM toks),
+        |hashed AS (
+        |  SELECT doc_id, m, e.pos AS pos,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, length(e.s) + 1),
+        |        j -> ascii(substring(e.s, j, 1))::BIGINT)),
+        |      (a, c) -> (a * 31 + c) % 2147483648) AS h
+        |  FROM sh),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id, pos, m,
+        |      min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |    FROM hashed) t WHERE pos <= m - 4),
+        |dfq AS (
+        |  SELECT fp FROM (SELECT fp, count(*) AS c FROM fps GROUP BY 1) t
+        |  WHERE c BETWEEN 2 AND 8),
+        |cand AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfq USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*)::BIGINT AS n_shared
+        |FROM cand a JOIN cand b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin))
   )
 }

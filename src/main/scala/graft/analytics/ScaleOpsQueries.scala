@@ -385,6 +385,75 @@ object ScaleOpsQueries {
         |FROM a2 CROSS JOIN range(0, 64) r(i)
         |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- SemDeDup: cluster-then-pairwise semantic dedup ------------------
+    // The Abbas et al. 2023 shape: partition the embedding space into
+    // cells, compare pairs ONLY within a cell, drop all but one member of
+    // each ε-ball. Reuses the IVF quantize/assign machinery (integer
+    // distances, exact across engines); closeness is quantized squared L2
+    // ≤ 5500 at scale 64 (≈ L2 1.16 on the raw vectors). A vector is a
+    // dup if a lower-id cell-mate sits within ε; canonical = the smallest
+    // such id (one-hop, not transitive closure — SemDeDup's own
+    // semantics: each cluster keeps its ε-representatives, chains are
+    // re-examined next epoch). Scale: the pairwise stage is
+    // O(Σ|cell|²) — bounded by training C ∝ √N cells so cells stay
+    // ~√N-sized; the harness pins C = 16 seed cells for oracle exactness,
+    // and the per-cell join shape (shuffle on cell, no cross-cell pairs)
+    // is unchanged at any C.
+    CatalogQuery("ddp_semdedup_embeddings", (s, d) => {
+      val quant = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
+          .as("q"))
+      val seeds = quant.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("q").as("cv"))
+      val seedsOne = seeds.agg(collect_list(struct(col("cell"), col("cv"))).as("cs"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+      val assigned = quant.crossJoin(broadcast(seedsOne))
+        .select(col("vec_id"), col("q"), explode(col("cs")).as("c"))
+        .select(col("vec_id"), col("q"), col("c.cell").as("cell"), col("c.cv").as("cv"))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(q, cv, (a, b) -> (a - b) * (a - b)),
+            | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("q"), col("cell"))
+      val dups = assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("d", expr(
+          """aggregate(zip_with(a.q, b.q, (x, y) -> (x - y) * (x - y)),
+            | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+        .filter(col("d") <= 5500L)
+        .groupBy(col("b.vec_id").as("vec_id"))
+        .agg(min(col("a.vec_id")).as("canon"))
+      assigned.join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          when(col("canon").isNotNull, lit("dup")).otherwise(lit("kept"))
+            .as("status"),
+          coalesce(col("canon"), col("vec_id")).as("canonical_id"))
+    }, Some(
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS cell, q AS cv FROM q WHERE vec_id < 16),
+        |d1 AS (
+        |  SELECT v.vec_id, v.q, s.cell,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      k -> (v.q[k] - s.cv[k]) * (v.q[k] - s.cv[k]))) AS BIGINT) AS dist
+        |  FROM q v CROSS JOIN seeds s),
+        |a1 AS (
+        |  SELECT vec_id, q, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM d1) t WHERE rn = 1),
+        |dups AS (
+        |  SELECT b.vec_id, min(a.vec_id) AS canon
+        |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE CAST(list_sum(list_transform(range(1, 65),
+        |    k -> (a.q[k] - b.q[k]) * (a.q[k] - b.q[k]))) AS BIGINT) <= 5500
+        |  GROUP BY 1)
+        |SELECT a1.vec_id, a1.cell,
+        |  CASE WHEN dups.canon IS NOT NULL THEN 'dup' ELSE 'kept' END AS status,
+        |  coalesce(dups.canon, a1.vec_id) AS canonical_id
+        |FROM a1 LEFT JOIN dups ON a1.vec_id = dups.vec_id""".stripMargin)),
+
     // ---- dynamic partition pruning --------------------------------------
     // The runtime sibling of static pruning: the date filter lives on a
     // DIMENSION table, so no literal predicate exists at plan time —

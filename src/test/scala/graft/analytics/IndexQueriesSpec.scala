@@ -107,4 +107,86 @@ class IndexQueriesSpec extends SparkSpec {
         r("cluster_id") === comps("cluster_id"), "left_anti").count()
     assert(orphans == 0)
   }
+
+  test("bm25: matches a driver-side brute-force scorer exactly") {
+    val r = Catalog.queries("txt_bm25_topk")(spark, sf0001)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(2)))
+    // independent reimplementation with plain Scala collections — same
+    // rational formula, so doubles must agree BIT-exactly
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1).split(" ").toSeq))
+    val qterms = Seq("spark", "customer", "window")
+    val nDocs = docs.size.toLong
+    val totLen = docs.map(_._2.size.toLong).sum
+    val dfm = qterms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val scores = docs.flatMap { case (id, toks) =>
+      val len = toks.size.toLong
+      val s = qterms.map { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) 0.0
+        else {
+          val df = dfm(t)
+          ((2 * nDocs - 2 * df + 1).toDouble / (2 * df + 1)) *
+            ((22 * tf * totLen).toDouble /
+              (10 * tf * totLen + 3 * totLen + 9 * len * nDocs))
+        }
+      }.sum
+      if (s > 0.0) Some((id, s)) else None
+    }
+    val expected = scores.sortBy { case (id, s) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s), i) => (id, s, (i + 1).toLong) }
+    assert(r.sortBy(_._3).toSeq == expected.toSeq)
+  }
+
+  test("winnowing: guarantee holds vs a brute-force reimplementation") {
+    val r = Catalog.queries("txt_winnowing_candidates")(spark, sf0001)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1).split(" ").toSeq))
+    def hash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483648L)
+    val k = 4; val w = 4
+    val fps = docs.map { case (id, toks) =>
+      val hs = toks.sliding(k).map(g => hash(g.mkString(" "))).toVector
+      id -> (0 to hs.size - w).map(i => hs.slice(i, i + w).min).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val dfm = fps.toSeq.flatMap { case (_, s) => s.toSeq }
+      .groupBy(identity).map { case (h, xs) => h -> xs.size }
+    val expected = (for {
+      (a, fa) <- fps.toSeq; (b, fb) <- fps.toSeq if a < b
+      shared = (fa intersect fb).filter(h => dfm(h) >= 2 && dfm(h) <= 8)
+      if shared.size >= 2
+    } yield ((a, b), shared.size.toLong)).toMap
+    assert(r == expected)
+  }
+
+  test("semdedup: dup classification is exactly the within-cell epsilon rule") {
+    val r = Catalog.queries("ddp_semdedup_embeddings")(spark, sf0001)
+      .collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getString(2), x.getLong(3))))
+      .toMap
+    val vecs = graft.core.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(x => (x.getLong(0),
+        x.getSeq[Float](1).map(v => math.floor(v.toDouble * 64.0 + 0.5).toLong).toVector))
+    def d2(a: Vector[Long], b: Vector[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seeds = vecs.filter(_._1 < 16)
+    val cellOf = vecs.map { case (id, q) =>
+      id -> seeds.map { case (c, cv) => (d2(q, cv), c) }.min._2
+    }.toMap
+    val qOf = vecs.toMap
+    vecs.foreach { case (id, q) =>
+      val (cell, status, canon) = r(id)
+      assert(cell == cellOf(id), s"cell mismatch for $id")
+      val lower = vecs.filter { case (o, oq) =>
+        o < id && cellOf(o) == cell && d2(oq, q) <= 5500L
+      }.map(_._1)
+      if (lower.isEmpty) assert(status == "kept" && canon == id)
+      else assert(status == "dup" && canon == lower.min)
+    }
+    assert(r.values.count(_._2 == "dup") > 0, "tau must flag some dups at sf0.001")
+  }
 }
