@@ -34,7 +34,13 @@ object ScaleStress {
       // reconciled relationally), and the dcp barrier-matched checker —
       // their state must scale with the horizon, not the stream length
       "evt_stream_full_outer_expiry", "cdc_schema_evolution_state",
-      "cdc_schema_evolution_drop_rename", "vrf_stream_consistency")
+      "cdc_schema_evolution_drop_rename", "vrf_stream_consistency",
+      // r06 retrieval/dedup wave: winnowing + BM25 are candidate-join /
+      // agg shaped (linear); semdedup's within-cell pairwise grows
+      // quadratically AT FIXED C=16 — the documented trade, since
+      // production trains C ∝ √N (the stress number is the honest price
+      // of pinning C for the oracle)
+      "txt_bm25_topk", "txt_winnowing_candidates", "ddp_semdedup_embeddings")
     val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
     val spark = Engine.session("scale-stress",
