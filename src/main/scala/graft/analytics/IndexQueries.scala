@@ -647,6 +647,105 @@ object IndexQueries {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  count(*)::BIGINT AS n_shared
         |FROM cand a JOIN cand b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin))
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
+
+    // ---- maximal shared spans (substring-level dedup output) -------------
+    // The suffix-array substring-dedup result (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better", ACL'22) approximated
+    // with k-shingle anchors: matched shingle positions between a doc
+    // pair lie on a DIAGONAL (pos_a - pos_b constant) exactly when they
+    // belong to one contiguous shared substring, so maximal shared spans
+    // are maximal consecutive runs per (pair, diagonal) — the classic
+    // islands trick (pos - row_number is constant within a run). A run of
+    // c consecutive k-shingles certifies a shared span of c+k-1 tokens;
+    // runs >= 2 (spans >= 5 tokens) are reported with per-pair span
+    // count, longest span, and total duplicated tokens — the actionable
+    // output for span EXCISION (cut the repeated region, keep the doc),
+    // which whole-doc dedup (MinHash) and fingerprint sampling
+    // (winnowing) cannot give. Every 2m/2m+1 doc pair gets a planted
+    // 6-token shared tail unique to the pair, so the detector provably
+    // fires pairwise without tripping the df guard.
+    //
+    // Scale shape: one shingle explode, a df<=8 guard identical to the
+    // inverted index (boilerplate shingles never fan out), an equi-join
+    // on the 31-bit anchor hash, and windows partitioned by (pair,
+    // diagonal) — state per window is the matched-anchor count of ONE
+    // diagonal of ONE pair, never corpus-sized. Everything downstream of
+    // the explode carries (doc_id, pos, h) triples, not text.
+    CatalogQuery("ddp_maximal_shared_spans", (s, d) => {
+      val k = 4
+      val mStr = expr("CAST(doc_id div 2 AS STRING)")
+      val planted = concat(col("text"),
+        lit(" sp"), mStr, lit(" qq"), mStr, lit(" rr"), mStr,
+        lit(" ss"), mStr, lit(" tt"), mStr, lit(" uu"), mStr)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(planted, " ").as("toks"))
+        .filter(size(col("toks")) >= k)
+      val sh = docs.select(col("doc_id"),
+          posexplode(expr(
+            s"""transform(sequence(0, size(toks) - $k),
+               | i -> concat_ws(' ', slice(toks, CAST(i + 1 AS INT), $k)))"""
+              .stripMargin)).as(Seq("pos", "sh")))
+        .select(col("doc_id"), col("pos"),
+          GraftFunctions.rolling_hash(col("sh")).as("h"))
+      val dfq = sh.select(col("doc_id"), col("h")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c").between(2, 8)).select("h")
+      val cand = sh.join(dfq, "h")
+      val matches = cand.as("a").join(cand.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.pos").as("pa"), col("b.pos").as("pb"))
+        .withColumn("diag", col("pa") - col("pb"))
+      val wRun = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+        .orderBy(col("pa"))
+      matches
+        .withColumn("grp", col("pa") - row_number().over(wRun))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_spans"),
+          (max(col("cnt")) + lit(k - 1)).as("max_span_tokens"),
+          (sum(col("cnt")) + lit(k - 1) * count(lit(1))).as("dup_tokens"))
+    }, Some(
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text
+        |    || ' sp' || (doc_id // 2)::VARCHAR || ' qq' || (doc_id // 2)::VARCHAR
+        |    || ' rr' || (doc_id // 2)::VARCHAR || ' ss' || (doc_id // 2)::VARCHAR
+        |    || ' tt' || (doc_id // 2)::VARCHAR || ' uu' || (doc_id // 2)::VARCHAR,
+        |    ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, e.pos AS pos,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, length(e.s) + 1),
+        |        j -> ascii(substring(e.s, j, 1))::BIGINT)),
+        |      (a, c) -> (a * 31 + c) % 2147483648) AS h
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(0, len(t) - 3),
+        |      i -> {'pos': i, 's': array_to_string(t[i + 1:i + 4], ' ')})) AS e
+        |    FROM docs WHERE len(t) >= 4) s0),
+        |dfq AS (
+        |  SELECT h FROM (
+        |    SELECT h, count(*) AS c FROM (SELECT DISTINCT doc_id, h FROM sh) u
+        |    GROUP BY 1) g
+        |  WHERE c BETWEEN 2 AND 8),
+        |cand AS (SELECT sh.doc_id, sh.pos, sh.h FROM sh JOIN dfq USING (h)),
+        |m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+        |    a.pos - b.pos AS diag
+        |  FROM cand a JOIN cand b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT doc_a, doc_b, diag,
+        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT doc_a, doc_b, diag, grp, count(*)::BIGINT AS cnt
+        |  FROM runs GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+        |SELECT doc_a, doc_b, count(*)::BIGINT AS n_spans,
+        |  (max(cnt) + 3)::BIGINT AS max_span_tokens,
+        |  (sum(cnt) + 3 * count(*))::BIGINT AS dup_tokens
+        |FROM spans GROUP BY 1, 2""".stripMargin))
   )
 }

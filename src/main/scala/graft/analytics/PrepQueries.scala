@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.core.Tables
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -584,6 +585,101 @@ object PrepQueries {
         |  LEFT JOIN t2 ON u.user_id = t2.user_id
         |  LEFT JOIN t3 ON u.user_id = t3.user_id)
         |SELECT stage, count(DISTINCT user_id)::BIGINT AS n_users
-        |FROM st GROUP BY 1""".stripMargin))
+        |FROM st GROUP BY 1""".stripMargin)),
+
+    // ---- DSIR-style importance selection --------------------------------
+    // Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+    // score each raw document by how much more likely its hashed-n-gram
+    // features are under a TARGET distribution (here: the English slice)
+    // than under the RAW pool, then keep the high-importance documents.
+    // Features are word bigrams hashed into B=64 buckets (the paper's
+    // hashed n-gram trick — the feature space stays config-bounded no
+    // matter the corpus); both bucket distributions get Laplace +1
+    // smoothing. The textbook score is sum_b n_b·log(p_t(b)/p_r(b));
+    // log is NOT bit-portable across engines, so the ratio is carried as
+    // an integer-scaled rational instead: with per-1e9 integer
+    // probabilities pt = (1e9·(ct+1)) div (nt+B) and pr likewise, the
+    // bucket ratio r_b = least((1e6·pt) div max(pr,1), 1e9) is pure int64
+    // arithmetic, and the document score sum_b n_b·r_b is an exact
+    // integer aggregate — a linearized importance weight, monotone in the
+    // per-bucket probability ratios (the cap keeps n_b·r_b far from
+    // overflow; int64 holds until the corpus exceeds ~9e9 bigrams, after
+    // which the same shape runs in DECIMAL(38,0)).
+    //
+    // Scale shape: one bigram explode feeds three aggregates — the
+    // per-doc bucket counts (linear shuffle on doc_id,b) and the two
+    // 64-row bucket tables (map-side partial agg collapses them before
+    // the shuffle). The ratio table is B rows — always a broadcast — and
+    // the selection gate compares against the corpus-mean score (one
+    // 1-row global agg, broadcast back): no global sort/row_number at any
+    // point, so nothing here has a 100 TB choke point. DSIR's final
+    // gumbel-top-k draw is a weighted sample; the deterministic
+    // above-mean gate stands in for it so the oracle can replay the
+    // selection exactly.
+    CatalogQuery("mix_dsir_importance_select", (s, d) => {
+      val nBuckets = 64
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bg = docs.select(col("doc_id"), col("lang"),
+        explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            | i -> concat_ws(' ', element_at(toks, CAST(i AS INT)),
+            |   element_at(toks, CAST(i + 1 AS INT))))""".stripMargin)).as("bigram"))
+        .withColumn("b", GraftFunctions.rolling_hash(col("bigram")) % nBuckets)
+      val perDoc = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      val tgt = bg.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val raw = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tot = bg.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+        count(lit(1)).as("nr"))
+      val ratio = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
+        .withColumn("pt", expr(s"(1000000000L * (coalesce(ct, 0L) + 1)) div (nt + $nBuckets)"))
+        .withColumn("pr", expr(s"(1000000000L * (cr + 1)) div (nr + $nBuckets)"))
+        .withColumn("r", least(expr("(1000000L * pt) div greatest(pr, 1L)"), lit(1000000000L)))
+        .select(col("b"), col("r"))
+      // no broadcast hint on the 64-row ratio table: the auditor can't
+      // structurally bound a groupBy's cardinality, and AQE broadcasts a
+      // 64-row side on its own (the hint would force-broadcast a plan
+      // subtree rooted at a fact scan — the exact anti-pattern the audit
+      // exists to catch, even when the human knows the domain is tiny)
+      val scores = perDoc.join(ratio, "b")
+        .groupBy(col("doc_id")).agg(sum(col("n") * col("r")).as("score"))
+      val thr = scores.agg(expr("sum(score) div count(*)").as("thr"))
+      scores.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("score"), (col("score") > col("thr")).as("selected"))
+    }, Some(
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, length(bigram) + 1),
+        |        j -> ascii(substring(bigram, j, 1))::BIGINT)),
+        |      (a, c) -> (a * 31 + c) % 2147483648) % 64 AS b
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |    FROM docs)),
+        |per_doc AS (SELECT doc_id, b, count(*)::BIGINT AS n FROM bg GROUP BY 1, 2),
+        |tgt AS (SELECT b, count(*)::BIGINT AS ct FROM bg WHERE lang = 'en' GROUP BY 1),
+        |raw AS (SELECT b, count(*)::BIGINT AS cr FROM bg GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS nt,
+        |    count(*)::BIGINT AS nr
+        |  FROM bg),
+        |ratio AS (
+        |  SELECT raw.b,
+        |    least((1000000 * ((1000000000 * (coalesce(ct, 0) + 1)) // (nt + 64)))
+        |      // greatest((1000000000 * (cr + 1)) // (nr + 64), 1), 1000000000) AS r
+        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+        |scores AS (
+        |  SELECT doc_id, sum(n * r)::BIGINT AS score
+        |  FROM per_doc JOIN ratio ON per_doc.b = ratio.b GROUP BY 1),
+        |thr AS (SELECT sum(score) // count(*) AS thr FROM scores)
+        |SELECT doc_id, score, score > thr AS selected
+        |FROM scores CROSS JOIN thr""".stripMargin))
   )
 }

@@ -678,6 +678,77 @@ object ScaleOpsQueries {
         |SELECT window_start, count(*) AS n
         |FROM kept, wm
         |GROUP BY window_start, wm.wmf_us
-        |HAVING epoch_us(window_start) + 3600000000::BIGINT <= wm.wmf_us""".stripMargin))
+        |HAVING epoch_us(window_start) + 3600000000::BIGINT <= wm.wmf_us""".stripMargin)),
+
+    // ---- PQ/ADC ranked scan over compressed codes ------------------------
+    // Product-quantization-style ANN in the 1-bit-per-dim lattice limit
+    // (asymmetric hashing): each 64-dim float vector is compressed to a
+    // 64-BIT SIGN CODE (two 32-bit words — 32x smaller than the raw
+    // vector), and queries rank candidates by the ASYMMETRIC distance
+    // between the full-precision query and the code's lattice centroid
+    // (±0.25 per dim — with sign codes the induced ranking reduces to
+    // sign-correlation, so the centroid magnitude is reporting-only; the
+    // trained-codebook refinement seat is sim_ivf_kmeans_refined). The
+    // 100 TB story is the scan side: the ranked pass reads (vec_id, lo,
+    // hi) = 24 bytes/row instead of 256-byte vectors — the corpus's
+    // vectors are never shuffled or re-read, exactly how a production
+    // IVF-PQ index scans its packed code lists. Distance terms are
+    // IEEE-exact (float→double, subtract of an exact constant, multiply)
+    // folded in a FIXED sequential order, so both engines round
+    // identically at every step; codes are exact integer sums.
+    CatalogQuery("sim_pq_adc_topk", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      def codeWord(lo: Int): Column = expr(
+        s"""aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT), (acc, k) ->
+           | acc + CASE WHEN CAST(element_at(embedding, CAST(k + 1 AS INT)) AS DOUBLE) > 0
+           |   THEN shiftleft(CAST(1 AS BIGINT), CAST(k - $lo AS INT))
+           |   ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+      val codes = e.select(col("vec_id"), codeWord(0).as("lo"), codeWord(32).as("hi"))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), x => x.cast("double")).as("qv"))
+      val cent =
+        """CASE WHEN (CASE WHEN k < 32 THEN shiftright(lo, CAST(k AS INT))
+          |     ELSE shiftright(hi, CAST(k - 32 AS INT)) END) % 2 = 1
+          |   THEN 0.25D ELSE -0.25D END""".stripMargin
+      val adc = expr(
+        s"""aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (acc, k) ->
+           | acc + (element_at(qv, CAST(k + 1 AS INT)) - $cent)
+           |     * (element_at(qv, CAST(k + 1 AS INT)) - $cent))""".stripMargin)
+      val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id").asc)
+      // no broadcast hint: queries are a corpus fraction (%50) — AQE
+      // size-gates the join side, same rationale as the brute-force entry
+      codes.join(q, col("query_id") =!= col("vec_id"))
+        .withColumn("adc", adc)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("neighbor_id"), round(col("adc"), 4).as("adc_dist"))
+    }, Some(
+      """WITH codes AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(range(0, 32), k ->
+        |      CASE WHEN embedding[k + 1]::DOUBLE > 0
+        |        THEN (1::BIGINT << k) ELSE 0::BIGINT END))::BIGINT AS lo,
+        |    list_sum(list_transform(range(32, 64), k ->
+        |      CASE WHEN embedding[k + 1]::DOUBLE > 0
+        |        THEN (1::BIGINT << (k - 32)) ELSE 0::BIGINT END))::BIGINT AS hi
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(0, 64), k ->
+        |      (qv[k + 1] - (CASE WHEN ((CASE WHEN k < 32 THEN (lo >> k)
+        |           ELSE (hi >> (k - 32)) END) % 2) = 1 THEN 0.25 ELSE -0.25 END))
+        |      * (qv[k + 1] - (CASE WHEN ((CASE WHEN k < 32 THEN (lo >> k)
+        |           ELSE (hi >> (k - 32)) END) % 2) = 1 THEN 0.25 ELSE -0.25 END)))) AS adc
+        |  FROM q JOIN codes c ON q.query_id <> c.vec_id)
+        |SELECT query_id, rank, neighbor_id, round(adc, 4) AS adc_dist FROM (
+        |  SELECT query_id, neighbor_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin))
   )
 }

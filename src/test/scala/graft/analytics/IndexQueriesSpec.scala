@@ -189,4 +189,29 @@ class IndexQueriesSpec extends SparkSpec {
     }
     assert(r.values.count(_._2 == "dup") > 0, "tau must flag some dups at sf0.001")
   }
+
+  test("shared spans: every planted 2m/2m+1 pair surfaces with span >= 6 tokens") {
+    val r = Catalog.queries("ddp_maximal_shared_spans")(spark, sf0001)
+      .collect()
+      .map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getLong(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    val maxId = graft.core.Tables.documents(spark, sf0001)
+      .agg(max(col("doc_id"))).head.getLong(0)
+    // each even/odd pair shares a planted 6-token tail unique to the pair:
+    // 3 consecutive 4-shingles → one run of 3 → span 3 + 4 - 1 = 6
+    (0L to maxId by 2).filter(_ + 1 <= maxId).foreach { a =>
+      val got = r.get((a, a + 1))
+      assert(got.isDefined, s"planted pair ($a, ${a + 1}) missing")
+      val (nSpans, maxSpan, dupTokens) = got.get
+      assert(maxSpan >= 6, s"pair ($a, ${a + 1}) max span $maxSpan < 6")
+      assert(nSpans >= 1 && dupTokens >= maxSpan)
+    }
+    // structural sanity on every reported pair
+    r.foreach { case ((a, b), (nSpans, maxSpan, dupTokens)) =>
+      assert(a < b)
+      assert(maxSpan >= 5, "runs >= 2 certify spans >= k+1 = 5 tokens")
+      assert(dupTokens >= maxSpan && nSpans >= 1)
+    }
+  }
 }

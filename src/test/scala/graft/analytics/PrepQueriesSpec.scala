@@ -1,0 +1,69 @@
+package graft.analytics
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Semantic invariants for the prep/mixture battery; exact values are
+  * gated by the DuckDB oracle, these specs re-derive the math
+  * independently driver-side.
+  */
+class PrepQueriesSpec extends SparkSpec {
+
+  test("dsir: scores and selection match an independent integer reimplementation") {
+    // full re-derivation of the linearized importance weight from the raw
+    // table — same hash, same smoothing, same integer scaling, different
+    // code path (plain Scala, no Spark/DuckDB)
+    def rh(s: String): Long = {
+      var acc = 0L
+      s.getBytes("UTF-8").foreach(b => acc = (acc * 31 + (b & 0xff)) % (1L << 31))
+      acc
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2).split(" ").toSeq))
+      .filter(_._3.size >= 2)
+    val bigrams = docs.map { case (id, lang, toks) =>
+      (id, lang, toks.sliding(2).map(p => rh(p.mkString(" ")) % 64).toSeq)
+    }
+    val ct = Array.fill(64)(0L)
+    val cr = Array.fill(64)(0L)
+    var nt = 0L; var nr = 0L
+    bigrams.foreach { case (_, lang, bs) =>
+      bs.foreach { b =>
+        cr(b.toInt) += 1; nr += 1
+        if (lang == "en") { ct(b.toInt) += 1; nt += 1 }
+      }
+    }
+    val r = (0 until 64).map { b =>
+      val pt = (1000000000L * (ct(b) + 1)) / (nt + 64)
+      val pr = (1000000000L * (cr(b) + 1)) / (nr + 64)
+      math.min((1000000L * pt) / math.max(pr, 1L), 1000000000L)
+    }
+    val expScore = bigrams.map { case (id, _, bs) =>
+      id -> bs.map(b => r(b.toInt)).sum
+    }.toMap
+    val thr = expScore.values.sum / expScore.size
+    val got = Catalog.queries("mix_dsir_importance_select")(spark, sf0001)
+      .collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getBoolean(2)))).toMap
+    assert(got.keySet == expScore.keySet)
+    expScore.foreach { case (id, s) =>
+      assert(got(id) == ((s, s > thr)), s"doc $id: ${got(id)} != ($s, ${s > thr})")
+    }
+    // the gate must actually split the corpus, and the target slice must
+    // carry higher PER-BIGRAM importance than the rest (the whole point
+    // of DSIR; per-doc means would be confounded by document length,
+    // since the score sums over bigram occurrences)
+    val sel = got.values.count(_._2)
+    assert(sel > 0 && sel < got.size)
+    val perBigram = bigrams.map { case (id, lang, bs) =>
+      (lang, expScore(id), bs.size.toLong)
+    }
+    def ratio(p: (String, Long, Long) => Boolean): Double = {
+      val xs = perBigram.filter(t => p(t._1, t._2, t._3))
+      xs.map(_._2).sum.toDouble / xs.map(_._3).sum
+    }
+    assert(ratio((l, _, _) => l == "en") > ratio((l, _, _) => l != "en"),
+      "target-language bigrams must carry higher mean importance")
+  }
+}

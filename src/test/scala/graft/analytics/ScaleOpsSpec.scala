@@ -320,4 +320,34 @@ class ScaleOpsSpec extends SparkSpec {
       "2025-01-01 12:00:00.0" -> 2L), // late 12:05 MERGED (window still open)
       s"two-phase watermark contract shifted; emitted windows: $got")
   }
+
+  test("pq/adc: reported top-5 equals a driver-side asymmetric-distance scan") {
+    val vecs = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+      .collect()
+      .map(x => (x.getLong(0), x.getSeq[Float](1).map(_.toDouble).toVector))
+    // lattice centroid of a sign code: ±0.25 per dim
+    val cent = vecs.map { case (id, v) =>
+      id -> v.map(x => if (x > 0) 0.25 else -0.25)
+    }.toMap
+    val got = Catalog.queries("sim_pq_adc_topk")(spark, sf0001).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .groupBy(_._1)
+    val queries = vecs.filter(_._1 % 50 == 0)
+    assert(got.keySet == queries.map(_._1).toSet)
+    queries.foreach { case (qid, qv) =>
+      val exp = vecs.filter(_._1 != qid).map { case (nid, _) =>
+        val c = cent(nid)
+        var d = 0.0
+        var k = 0
+        while (k < 64) { val t = qv(k) - c(k); d += t * t; k += 1 }
+        (d, nid)
+      }.sortBy(identity).take(5)
+      val rows = got(qid).sortBy(_._2)
+      assert(rows.map(_._2).toSeq == (1L to 5L).toSeq)
+      rows.zip(exp).foreach { case ((_, _, nid, dist), (ed, eid)) =>
+        assert(nid == eid, s"query $qid: neighbor $nid != expected $eid")
+        assert(math.abs(dist - ed) < 1e-3, s"query $qid: adc $dist vs $ed")
+      }
+    }
+  }
 }
