@@ -627,13 +627,23 @@ object PrepQueries {
             | i -> concat_ws(' ', element_at(toks, CAST(i AS INT)),
             |   element_at(toks, CAST(i + 1 AS INT))))""".stripMargin)).as("bigram"))
         .withColumn("b", GraftFunctions.rolling_hash(col("bigram")) % nBuckets)
-      val perDoc = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
-      val tgt = bg.filter(col("lang") === "en")
-        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      val raw = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-      val tot = bg.agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
-        count(lit(1)).as("nr"))
+      // ONE corpus explode: the per-(doc, bucket) count table is
+      // materialized (localCheckpoint — the PageRank discipline) and
+      // every downstream distribution derives from it; without this the
+      // four aggregate branches + the threshold's second reference each
+      // re-explode the corpus (8 scans at 100 TB). lang rides along for
+      // free — it is functionally dependent on doc_id, so (doc_id, b)
+      // stays the grouping grain.
+      val perDocLang = bg.groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val tgt = perDocLang.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(sum(col("n")).as("ct"))
+      val raw = perDocLang.groupBy(col("b")).agg(sum(col("n")).as("cr"))
+      val tot = perDocLang.agg(
+        sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("nt"),
+        sum(col("n")).as("nr"))
+      val perDoc = perDocLang.select(col("doc_id"), col("b"), col("n"))
       val ratio = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
         .withColumn("pt", expr(s"(1000000000L * (coalesce(ct, 0L) + 1)) div (nt + $nBuckets)"))
         .withColumn("pr", expr(s"(1000000000L * (cr + 1)) div (nr + $nBuckets)"))
@@ -646,6 +656,7 @@ object PrepQueries {
       // exists to catch, even when the human knows the domain is tiny)
       val scores = perDoc.join(ratio, "b")
         .groupBy(col("doc_id")).agg(sum(col("n") * col("r")).as("score"))
+        .localCheckpoint() // read twice: threshold agg + output rows
       val thr = scores.agg(expr("sum(score) div count(*)").as("thr"))
       scores.crossJoin(broadcast(thr))
         .select(col("doc_id"), col("score"), (col("score") > col("thr")).as("selected"))
