@@ -153,6 +153,74 @@ object CorpusOpsQueries {
         |SELECT f.doc_id, count(DISTINCT f.s) AS n_hits
         |FROM flat f JOIN probes USING (s)
         |WHERE f.doc_id % 101 <> 0
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    // ---- hard-negative mining (contrastive training pairs) ---------------
+    // For each anchor, the most-similar vector with a DIFFERENT label —
+    // the "hard negative" a contrastive embedding run trains against
+    // (SimCLR/DPR practice: negatives near the decision boundary carry
+    // the gradient signal; random negatives are trivially separable).
+    // Candidates come from the same 8-table × 4-bit hyperplane LSH as
+    // the ANN entries, so mining stays an equi-join on (table, bucket) —
+    // the label filter multiplies selectivity INSIDE the candidate set
+    // and nothing is all-pairs. Shape notes: the bucket join carries ids
+    // and labels only; vectors re-join after the distinct (same
+    // bytes-through-shuffle discipline as sim_lsh_ann_topk); top-1 is a
+    // per-anchor window over the candidate fraction. An anchor whose
+    // buckets hold no opposite-label member yields no row — at
+    // production bit-widths the LSH tables are sized so that happens
+    // with vanishing probability.
+    CatalogQuery("emb_hard_negative_mining", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.GraftFunctions
+      val e0 = Tables.embeddings(s, d)
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val b = e0.withColumn("buckets", GraftFunctions.lsh_buckets(col("embedding"), 8, 4))
+        .select(col("vec_id"), col("label"), posexplode(col("buckets")))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      val anchors = b.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+          col("tbl"), col("bucket"))
+      val candIds = b.join(anchors, Seq("tbl", "bucket"))
+        .filter(col("label") =!= col("anchor_label"))
+        .select(col("anchor_id"), col("anchor_label"),
+          col("vec_id"), col("label"))
+        .distinct()
+      val vecs = e0.select(col("vec_id"), col("embedding"))
+      val w = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("cos_raw").desc, col("vec_id"))
+      candIds
+        .join(vecs.select(col("vec_id").as("anchor_id"), col("embedding").as("av")),
+          "anchor_id")
+        .join(vecs, "vec_id")
+        .withColumn("cos_raw", GraftFunctions.cosine_sim(col("av"), col("embedding")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("anchor_id"), col("anchor_label"),
+          col("vec_id").as("negative_id"), col("label").as("negative_label"),
+          round(col("cos_raw"), 4).as("cos_sim"))
+    }, Some(
+      s"""WITH b AS (
+         |  SELECT vec_id, label, embedding, t.tbl,
+         |    ${graft.functions.Similarity.lshBucketDuckOffset("embedding", 4, 64, "t.tbl * 4")} AS bucket
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl) t),
+         |a AS (
+         |  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS av,
+         |    tbl, bucket
+         |  FROM b WHERE vec_id % 25 = 0),
+         |cand AS (
+         |  SELECT DISTINCT a.anchor_id, a.anchor_label, a.av,
+         |    b.vec_id, b.label, b.embedding
+         |  FROM a JOIN b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |    AND b.label <> a.anchor_label)
+         |SELECT anchor_id, anchor_label, vec_id AS negative_id,
+         |  label AS negative_label, round(cos_raw, 4) AS cos_sim
+         |FROM (
+         |  SELECT anchor_id, anchor_label, vec_id, label,
+         |    ${graft.functions.Similarity.cosineDuck("av", "embedding", 64)} AS cos_raw,
+         |    row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY ${graft.functions.Similarity.cosineDuck("av", "embedding", 64)} DESC, vec_id) AS rn
+         |  FROM cand) t
+         |WHERE rn = 1""".stripMargin))
   )
 }

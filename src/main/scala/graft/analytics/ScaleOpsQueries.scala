@@ -707,19 +707,14 @@ object ScaleOpsQueries {
       val q = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"),
           transform(col("embedding"), x => x.cast("double")).as("qv"))
-      val cent =
-        """CASE WHEN (CASE WHEN k < 32 THEN shiftright(lo, CAST(k AS INT))
-          |     ELSE shiftright(hi, CAST(k - 32 AS INT)) END) % 2 = 1
-          |   THEN 0.25D ELSE -0.25D END""".stripMargin
-      val adc = expr(
-        s"""aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (acc, k) ->
-           | acc + (element_at(qv, CAST(k + 1 AS INT)) - $cent)
-           |     * (element_at(qv, CAST(k + 1 AS INT)) - $cent))""".stripMargin)
       val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id").asc)
       // no broadcast hint: queries are a corpus fraction (%50) — AQE
-      // size-gates the join side, same rationale as the brute-force entry
+      // size-gates the join side, same rationale as the brute-force entry.
+      // adc_dist is the native fused-loop kernel (bit-identical to the
+      // HOF aggregate(sequence(0,63),...) fold — FunctionsSpec asserts it)
       codes.join(q, col("query_id") =!= col("vec_id"))
-        .withColumn("adc", adc)
+        .withColumn("adc",
+          graft.functions.GraftFunctions.adc_dist(col("qv"), col("lo"), col("hi")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),

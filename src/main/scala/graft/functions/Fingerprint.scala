@@ -76,6 +76,11 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftShims.column(CosineSim(GraftShims.expression(a), GraftShims.expression(b)))
 
+  /** PQ/ADC lattice distance of a query vector vs a sign code (see AdcDist). */
+  def adc_dist(qv: Column, lo: Column, hi: Column): Column =
+    GraftShims.column(AdcDist(GraftShims.expression(qv),
+      GraftShims.expression(lo), GraftShims.expression(hi)))
+
   /** Unicode canonicalization: NFD → strip marks → NFC → lowercase. */
   def normalize_text(c: Column): Column =
     GraftShims.column(NormalizeText(GraftShims.expression(c)))
@@ -103,6 +108,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => graft.GraftExtensions.arity("cosine_sim", 2, exprs) {
         case Seq(a, b) => CosineSim(a, b)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "adc_dist", exprs => graft.GraftExtensions.arity("adc_dist", 3, exprs) {
+        case Seq(q, lo, hi) => AdcDist(q, lo, hi)
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "normalize_text", exprs => graft.GraftExtensions.arity("normalize_text", 1, exprs) {

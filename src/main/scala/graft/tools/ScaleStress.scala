@@ -40,7 +40,13 @@ object ScaleStress {
       // quadratically AT FIXED C=16 — the documented trade, since
       // production trains C ∝ √N (the stress number is the honest price
       // of pinning C for the oracle)
-      "txt_bm25_topk", "txt_winnowing_candidates", "ddp_semdedup_embeddings")
+      "txt_bm25_topk", "txt_winnowing_candidates", "ddp_semdedup_embeddings",
+      // r06 second wave: DSIR + spans are explode/candidate-join shaped
+      // (linear); the PQ/ADC ranked scan and hard-negative mining scale
+      // with queries × corpus at FIXED query fraction (%50 / %25) — the
+      // harness scales both sides, production holds the query set fixed
+      "mix_dsir_importance_select", "sim_pq_adc_topk",
+      "ddp_maximal_shared_spans", "emb_hard_negative_mining")
     val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
     val spark = Engine.session("scale-stress",

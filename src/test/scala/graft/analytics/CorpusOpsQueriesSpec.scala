@@ -1,0 +1,53 @@
+package graft.analytics
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.functions.Similarity
+
+/** Semantic invariants for the corpus-ops battery. */
+class CorpusOpsQueriesSpec extends SparkSpec {
+
+  test("hard negatives: exactly the most-similar opposite-label LSH candidate") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding", "label").collect()
+      .map(x => (x.getLong(0), x.getSeq[Float](1).map(_.toDouble).toVector,
+        x.getInt(2)))
+    // re-derive the 8-table x 4-bit buckets from the md5 hyperplane signs
+    def buckets(v: Vector[Double]): Seq[(Int, Long)] =
+      (0 until 8).map { t =>
+        val b = (0 until 4).foldLeft(0L) { (acc, j) =>
+          val dot = v.indices.foldLeft(0.0)((a, k) =>
+            a + Similarity.hyperplaneSign(t * 4 + j, k) * v(k))
+          if (dot > 0) acc + (1L << j) else acc
+        }
+        (t, b)
+      }
+    def cos(a: Vector[Double], b: Vector[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+      while (k < a.size) { d += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k); k += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bk = vecs.map { case (id, v, l) => (id, v, l, buckets(v).toSet) }
+    val got = Catalog.queries("emb_hard_negative_mining")(spark, sf0001)
+      .collect()
+      .map(x => (x.getLong(0), (x.getInt(1), x.getLong(2), x.getInt(3), x.getDouble(4))))
+      .toMap
+    val anchors = bk.filter(_._1 % 25 == 0)
+    anchors.foreach { case (aid, av, al, ab) =>
+      val cands = bk.filter { case (id, _, l, b) =>
+        l != al && b.intersect(ab).nonEmpty
+      }
+      if (cands.isEmpty) assert(!got.contains(aid))
+      else {
+        val best = cands.map { case (id, v, l, _) => ((-cos(av, v), id), (id, l)) }
+          .minBy(_._1)._2
+        val (gl, gid, gnl, gcos) = got(aid)
+        assert(gl == al && gid == best._1 && gnl == best._2,
+          s"anchor $aid: got ($gid, $gnl), expected $best")
+        assert(math.abs(gcos - cos(av, bk.find(_._1 == gid).get._2)) < 1e-3)
+        assert(gnl != al, "negative must carry a different label")
+      }
+    }
+    assert(got.nonEmpty, "mining must produce pairs at sf0.001")
+  }
+}

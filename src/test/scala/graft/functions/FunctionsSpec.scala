@@ -74,6 +74,27 @@ class FunctionsSpec extends SparkSpec {
     assert(native == hof)
   }
 
+  test("native adc_dist is bit-identical to the aggregate-HOF formulation") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() - 0.5),
+        rnd.nextInt().toLong & 0xffffffffL, rnd.nextInt().toLong & 0xffffffffL)
+    }.toDF("id", "qv", "lo", "hi")
+    val native = df.select($"id", GraftFunctions.adc_dist($"qv", $"lo", $"hi").as("d"))
+      .as[(Long, Double)].collect().toMap
+    val cent =
+      """CASE WHEN (CASE WHEN k < 32 THEN shiftright(lo, CAST(k AS INT))
+        |     ELSE shiftright(hi, CAST(k - 32 AS INT)) END) % 2 = 1
+        |   THEN 0.25D ELSE -0.25D END""".stripMargin
+    val hof = df.select($"id", expr(
+      s"""aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (acc, k) ->
+         | acc + (element_at(qv, CAST(k + 1 AS INT)) - $cent)
+         |     * (element_at(qv, CAST(k + 1 AS INT)) - $cent))""".stripMargin).as("d"))
+      .as[(Long, Double)].collect().toMap
+    // exact equality on the raw doubles — same fold order, same IEEE ops
+    assert(native == hof)
+  }
+
   test("cosine_sim handles double arrays and mixed float/double sides") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0, 2.0, 3.0))).toDF("f", "d")
     val c = df.select(GraftFunctions.cosine_sim($"f", $"d").as("c")).as[Double].head()
