@@ -447,6 +447,62 @@ object StreamingQueries {
       Some(
         """SELECT event_type, count(DISTINCT user_id) AS exact_users,
           |  true AS within_bound
-          |FROM events GROUP BY event_type""".stripMargin))
+          |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ---- STREAMING heavy hitters (space-saving sketch), oracle-gated -----
+    // The transformWithState space-saving top-k (streaming.StreamingTopK)
+    // over a real multi-micro-batch file stream: per-(event_type) sketch
+    // state accumulates across batches, each batch re-emits the updated
+    // groups' snapshots, and the LAST emission per group (cumulative
+    // state) is ranked for the top-3. Capacity 512 ≥ the 256-wide item
+    // domain, so the sketch is provably in its EXACT regime — the oracle
+    // is plain GROUP BY counts and the emitted err column must be 0
+    // everywhere; StreamingTopKSpec exercises the lossy regime
+    // (capacity 8) and asserts the space-saving bounds instead.
+    CatalogQuery("evt_streaming_topk_heavy_hitters", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = java.nio.file.Files.createTempDirectory("graft-topk").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("grp"),
+          (col("user_id") % 256).as("item"))
+      ev.repartition(4).write.mode("overwrite").parquet(s"$work/in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+      val sk = graft.streaming.StreamingTopK.sketch(stream, 512)
+        .toDF("grp", "item", "est", "err")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = sk.writeStream
+          .foreachBatch((b: DataFrame, id: Long) =>
+            b.withColumn("batch", lit(id)).write.mode("append")
+              .parquet(s"$work/out"))
+          .outputMode("update")
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      val snaps = s.read.parquet(s"$work/out")
+      val lastB = snaps.groupBy("grp").agg(max(col("batch")).as("batch"))
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("est").desc, col("item").asc)
+      snaps.join(lastB, Seq("grp", "batch"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("grp").as("event_type"), col("rank").cast("long").as("rank"),
+          col("item"), col("est").as("cnt"), col("err"))
+    }, Some(
+      """SELECT event_type, rank, item, cnt, 0::BIGINT AS err FROM (
+        |  SELECT event_type, user_id % 256 AS item, count(*)::BIGINT AS cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY count(*) DESC, user_id % 256) AS rank
+        |  FROM events GROUP BY 1, 2) t
+        |WHERE rank <= 3""".stripMargin))
   )
 }
