@@ -691,6 +691,116 @@ object PrepQueries {
         |  FROM per_doc JOIN ratio ON per_doc.b = ratio.b GROUP BY 1),
         |thr AS (SELECT sum(score) // count(*) AS thr FROM scores)
         |SELECT doc_id, score, score > thr AS selected
-        |FROM scores CROSS JOIN thr""".stripMargin))
+        |FROM scores CROSS JOIN thr""".stripMargin)),
+
+    // ---- DSIR resampling budget (two-level exact apportionment) ----------
+    // Complete the DSIR pipeline: the selected docs get an INTEGER token
+    // budget proportional to importance that sums EXACTLY to the global
+    // budget — with NO global sort. The classic largest-remainder method
+    // needs a total order over remainders; ranking a 100 TB corpus
+    // globally is the anti-pattern, so the apportionment runs TWICE:
+    // level 1 splits the budget over 8 md5 shards proportional to shard
+    // score mass (8-row window — trivially exact), level 2 splits each
+    // shard's budget over its docs (windows PARTITIONED BY SHARD — the
+    // same 1/K-bounded ordered-partition discipline as
+    // prep_pack_sequences). Both levels are integer div/mod + a bounded
+    // row_number, so Σ doc budgets = shard budget and Σ shard budgets =
+    // B hold by construction (PrepQueriesSpec asserts both); everything
+    // is bit-exact on both engines. At real budgets (1e12+ tokens) the
+    // B·score products move to DECIMAL(38,0) accumulators, shape
+    // unchanged — same note as mix_token_budget_apportion.
+    CatalogQuery("mix_dsir_resample_budget", (s, d) => {
+      val budget = 1000000L
+      val sel = Catalog.queries("mix_dsir_importance_select")(s, d)
+        .filter(col("selected"))
+      val sh = sel
+        .withColumn("k", md5(concat(lit("rs|"), col("doc_id").cast("string"))))
+        .withColumn("shard",
+          ((expr("instr('0123456789abcdef', substr(k, 1, 1))") - 1) % 8)
+            .cast("long"))
+      val w8 = Window.partitionBy()
+      val l1 = sh.groupBy(col("shard")).agg(sum(col("score")).as("mass"))
+        .withColumn("den", sum(col("mass")).over(w8))
+        .withColumn("base", expr(s"$budget * mass div den"))
+        .withColumn("rem", expr(s"($budget * mass) % den"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("shard"))).cast("long"))
+        .withColumn("leftover", lit(budget) - sum(col("base")).over(w8))
+        .select(col("shard"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("shard_budget"))
+      val wSh = Window.partitionBy(col("shard"))
+      sh.join(l1, "shard")
+        .withColumn("den", sum(col("score")).over(wSh))
+        .withColumn("base", expr("shard_budget * score div den"))
+        .withColumn("rem", expr("(shard_budget * score) % den"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("rem").desc, col("doc_id"))).cast("long"))
+        .withColumn("leftover", col("shard_budget") - sum(col("base")).over(wSh))
+        .select(col("doc_id"), col("shard"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("token_budget"))
+    }, Some(
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, length(bigram) + 1),
+        |        j -> ascii(substring(bigram, j, 1))::BIGINT)),
+        |      (a, c) -> (a * 31 + c) % 2147483648) % 64 AS b
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |    FROM docs)),
+        |per_doc AS (SELECT doc_id, b, count(*)::BIGINT AS n FROM bg GROUP BY 1, 2),
+        |tgt AS (SELECT b, count(*)::BIGINT AS ct FROM bg WHERE lang = 'en' GROUP BY 1),
+        |raw AS (SELECT b, count(*)::BIGINT AS cr FROM bg GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS nt,
+        |    count(*)::BIGINT AS nr
+        |  FROM bg),
+        |ratio AS (
+        |  SELECT raw.b,
+        |    least((1000000 * ((1000000000 * (coalesce(ct, 0) + 1)) // (nt + 64)))
+        |      // greatest((1000000000 * (cr + 1)) // (nr + 64), 1), 1000000000) AS r
+        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+        |scores AS (
+        |  SELECT doc_id, sum(n * r)::BIGINT AS score
+        |  FROM per_doc JOIN ratio ON per_doc.b = ratio.b GROUP BY 1),
+        |thr AS (SELECT sum(score) // count(*) AS thr FROM scores),
+        |sel AS (
+        |  SELECT doc_id, score,
+        |    ((strpos('0123456789abcdef',
+        |        substring(md5('rs|' || doc_id::VARCHAR), 1, 1)) - 1) % 8)::BIGINT AS shard
+        |  FROM scores CROSS JOIN thr WHERE score > thr),
+        |l1a AS (
+        |  SELECT shard, mass, sum(mass) OVER () AS den
+        |  FROM (SELECT shard, sum(score)::BIGINT AS mass FROM sel GROUP BY 1) m),
+        |l1b AS (
+        |  SELECT shard, 1000000 * mass // den AS base,
+        |    (1000000 * mass) % den AS rem
+        |  FROM l1a),
+        |l1 AS (
+        |  SELECT shard, base, rem, 1000000 - sum(base) OVER () AS lo FROM l1b),
+        |sb AS (
+        |  SELECT shard,
+        |    (base + CASE WHEN row_number() OVER (ORDER BY rem DESC, shard) <= lo
+        |       THEN 1 ELSE 0 END)::BIGINT AS shard_budget
+        |  FROM l1),
+        |l2 AS (
+        |  SELECT doc_id, sel.shard, shard_budget, score,
+        |    sum(score) OVER (PARTITION BY sel.shard) AS den
+        |  FROM sel JOIN sb ON sel.shard = sb.shard)
+        |SELECT doc_id, shard,
+        |  (shard_budget * score // den
+        |    + CASE WHEN row_number() OVER (PARTITION BY shard
+        |        ORDER BY (shard_budget * score) % den DESC, doc_id)
+        |      <= shard_budget - sum(shard_budget * score // den)
+        |           OVER (PARTITION BY shard)
+        |      THEN 1 ELSE 0 END)::BIGINT AS token_budget
+        |FROM l2""".stripMargin))
   )
 }

@@ -66,4 +66,38 @@ class PrepQueriesSpec extends SparkSpec {
     assert(ratio((l, _, _) => l == "en") > ratio((l, _, _) => l != "en"),
       "target-language bigrams must carry higher mean importance")
   }
+
+  test("dsir resample: budgets sum EXACTLY to B globally and per shard, cover all selected docs") {
+    val budget = 1000000L
+    val sel = Catalog.queries("mix_dsir_importance_select")(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("selected"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = Catalog.queries("mix_dsir_resample_budget")(spark, sf0001)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(rows.map(_._1).toSet == sel, "exactly the selected docs get budgets")
+    assert(rows.map(_._3).sum == budget,
+      s"global sum ${rows.map(_._3).sum} != $budget — largest-remainder exactness broken")
+    // per-shard sums must each be a fixed integer (level-1 apportionment):
+    // re-derive level 1 from the shard masses and compare
+    val scores = Catalog.queries("mix_dsir_importance_select")(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("selected"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    def shardOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rs|$id".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString
+      ("0123456789abcdef".indexOf(hex.charAt(0)) % 8).toLong
+    }
+    val mass = scores.toSeq.groupBy { case (id, _) => shardOf(id) }
+      .map { case (sh, xs) => sh -> xs.map(_._2).sum }
+    val den = mass.values.sum
+    val base = mass.map { case (sh, m) => sh -> budget * m / den }
+    val lo = budget - base.values.sum
+    val order = mass.toSeq.map { case (sh, m) => ((-(budget * m % den), sh), sh) }
+      .sortBy(_._1).map(_._2)
+    val expShard = base ++ order.take(lo.toInt).map(sh => sh -> (base(sh) + 1L))
+    val gotShard = rows.groupBy(_._2).map { case (sh, xs) => sh -> xs.map(_._3).sum }
+    assert(gotShard == expShard, s"per-shard budgets $gotShard != $expShard")
+    assert(rows.forall(_._3 >= 0))
+  }
 }
