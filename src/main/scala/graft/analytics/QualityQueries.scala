@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.core.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -266,6 +267,114 @@ object QualityQueries {
         |FROM (
         |  SELECT event_id, props,
         |    json_valid(CASE WHEN event_id % 17 = 0 THEN '{' ELSE props END) AS raw_ok
-        |  FROM events) t""".stripMargin))
+        |  FROM events) t""".stripMargin)),
+
+    // ---- schema / distribution drift between replica epochs --------------
+    // The monitoring op a continuously-replicated table needs: profile
+    // epoch A vs epoch B per column (null rate as an exact ppm integer,
+    // distinct count, values new in B) and raise typed drift verdicts.
+    // Drift is INJECTED deterministically so every verdict fires: lang
+    // nulled on doc_id%10 (null-rate drift), source rewritten to a new
+    // category on %13 (domain drift), n_chars shifted on %7 (distinct /
+    // domain shift on a numeric). Scale shape: each epoch's profile is
+    // ONE single-pass multi-metric aggregate (1 row — the crossJoins are
+    // all scalar-bounded, auditor-proof), and the new-value diffs are
+    // per-column anti-joins over column-pruned DISTINCT sets — map-side
+    // partial distinct bounds the shuffle by column cardinality, never
+    // corpus size. The 3-row report assembles via explode of a literal
+    // struct array.
+    CatalogQuery("qa_schema_drift_detect", (s, d) => {
+      val a = Tables.documents(s, d)
+      val b = a
+        .withColumn("lang",
+          when(col("doc_id") % 10 === 0, lit(null: String)).otherwise(col("lang")))
+        .withColumn("source",
+          when(col("doc_id") % 13 === 0, lit("src_new")).otherwise(col("source")))
+        .withColumn("n_chars",
+          when(col("doc_id") % 7 === 0, col("n_chars") + 500).otherwise(col("n_chars")))
+      def profile(df: DataFrame, tag: String): DataFrame = df.agg(
+        count(lit(1)).as(s"cnt_$tag"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as(s"nl_lang_$tag"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as(s"nl_source_$tag"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as(s"nl_n_chars_$tag"),
+        countDistinct(col("lang")).as(s"d_lang_$tag"),
+        countDistinct(col("source")).as(s"d_source_$tag"),
+        countDistinct(col("n_chars")).as(s"d_n_chars_$tag"))
+      def newValues(c: String): DataFrame = {
+        val da = a.select(col(c).cast("string").as("v"))
+          .filter(col("v").isNotNull).distinct()
+        val db = b.select(col(c).cast("string").as("v"))
+          .filter(col("v").isNotNull).distinct()
+        db.join(da, Seq("v"), "left_anti")
+          .agg(count(lit(1)).as(s"nv_$c"))
+      }
+      val one = profile(a, "a").crossJoin(profile(b, "b"))
+        .crossJoin(newValues("lang")).crossJoin(newValues("source"))
+        .crossJoin(newValues("n_chars"))
+      val rows = one.select(explode(array(Seq("lang", "source", "n_chars").map(c =>
+        struct(lit(c).as("col_name"),
+          expr(s"(1000000 * nl_${c}_a) div cnt_a").as("null_ppm_a"),
+          expr(s"(1000000 * nl_${c}_b) div cnt_b").as("null_ppm_b"),
+          col(s"d_${c}_a").as("distinct_a"), col(s"d_${c}_b").as("distinct_b"),
+          col(s"nv_$c").as("new_values"))): _*)).as("r"))
+      rows.select(col("r.*"))
+        .withColumn("null_drift",
+          abs(col("null_ppm_b") - col("null_ppm_a")) > 10000L)
+        .withColumn("domain_drift",
+          col("new_values") > 0L || col("distinct_b") =!= col("distinct_a"))
+    }, Some(
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'src_new' ELSE source END AS source,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 500 ELSE n_chars END AS n_chars
+        |  FROM documents),
+        |pa AS (
+        |  SELECT count(*)::BIGINT AS cnt_a,
+        |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS nl_lang_a,
+        |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT AS nl_source_a,
+        |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT AS nl_n_chars_a,
+        |    count(DISTINCT lang)::BIGINT AS d_lang_a,
+        |    count(DISTINCT source)::BIGINT AS d_source_a,
+        |    count(DISTINCT n_chars)::BIGINT AS d_n_chars_a
+        |  FROM documents),
+        |pb AS (
+        |  SELECT count(*)::BIGINT AS cnt_b,
+        |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS nl_lang_b,
+        |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT AS nl_source_b,
+        |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT AS nl_n_chars_b,
+        |    count(DISTINCT lang)::BIGINT AS d_lang_b,
+        |    count(DISTINCT source)::BIGINT AS d_source_b,
+        |    count(DISTINCT n_chars)::BIGINT AS d_n_chars_b
+        |  FROM b),
+        |nv AS (
+        |  SELECT
+        |    (SELECT count(*) FROM (SELECT DISTINCT lang::VARCHAR AS v FROM b WHERE lang IS NOT NULL) x
+        |      WHERE v NOT IN (SELECT DISTINCT lang::VARCHAR FROM documents WHERE lang IS NOT NULL))::BIGINT AS nv_lang,
+        |    (SELECT count(*) FROM (SELECT DISTINCT source::VARCHAR AS v FROM b WHERE source IS NOT NULL) x
+        |      WHERE v NOT IN (SELECT DISTINCT source::VARCHAR FROM documents WHERE source IS NOT NULL))::BIGINT AS nv_source,
+        |    (SELECT count(*) FROM (SELECT DISTINCT n_chars::VARCHAR AS v FROM b WHERE n_chars IS NOT NULL) x
+        |      WHERE v NOT IN (SELECT DISTINCT n_chars::VARCHAR FROM documents WHERE n_chars IS NOT NULL))::BIGINT AS nv_n_chars),
+        |rep AS (
+        |  SELECT 'lang' AS col_name,
+        |    (1000000 * nl_lang_a) // cnt_a AS null_ppm_a,
+        |    (1000000 * nl_lang_b) // cnt_b AS null_ppm_b,
+        |    d_lang_a AS distinct_a, d_lang_b AS distinct_b, nv_lang AS new_values
+        |  FROM pa, pb, nv
+        |  UNION ALL
+        |  SELECT 'source',
+        |    (1000000 * nl_source_a) // cnt_a, (1000000 * nl_source_b) // cnt_b,
+        |    d_source_a, d_source_b, nv_source
+        |  FROM pa, pb, nv
+        |  UNION ALL
+        |  SELECT 'n_chars',
+        |    (1000000 * nl_n_chars_a) // cnt_a, (1000000 * nl_n_chars_b) // cnt_b,
+        |    d_n_chars_a, d_n_chars_b, nv_n_chars
+        |  FROM pa, pb, nv)
+        |SELECT col_name, null_ppm_a, null_ppm_b, distinct_a, distinct_b,
+        |  new_values,
+        |  abs(null_ppm_b - null_ppm_a) > 10000 AS null_drift,
+        |  new_values > 0 OR distinct_b <> distinct_a AS domain_drift
+        |FROM rep""".stripMargin))
   )
 }
