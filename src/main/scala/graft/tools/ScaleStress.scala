@@ -46,7 +46,11 @@ object ScaleStress {
       // with queries × corpus at FIXED query fraction (%50 / %25) — the
       // harness scales both sides, production holds the query set fixed
       "mix_dsir_importance_select", "sim_pq_adc_topk",
-      "ddp_maximal_shared_spans", "emb_hard_negative_mining")
+      "ddp_maximal_shared_spans", "emb_hard_negative_mining",
+      // streaming space-saving sketch: state is capacity-bounded per
+      // group by construction; the stress proves drain time tracks input
+      // volume, not key-universe size
+      "evt_streaming_topk_heavy_hitters")
     val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
     val spark = Engine.session("scale-stress",
