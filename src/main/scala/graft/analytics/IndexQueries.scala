@@ -672,6 +672,10 @@ object IndexQueries {
     // diagonal) — state per window is the matched-anchor count of ONE
     // diagonal of ONE pair, never corpus-sized. Everything downstream of
     // the explode carries (doc_id, pos, h) triples, not text.
+    // NB the oracle's per-character ascii() fold equals RollingHash's
+    // per-BYTE fold only for ASCII text (one byte per char) — the same
+    // bound as the winnowing/inverted-index oracles; the harness corpus
+    // is ASCII, and the Spark side hashes raw UTF-8 bytes at any scale.
     CatalogQuery("ddp_maximal_shared_spans", (s, d) => {
       val k = 4
       val mStr = expr("CAST(doc_id div 2 AS STRING)")

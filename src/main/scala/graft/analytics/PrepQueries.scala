@@ -616,6 +616,10 @@ object PrepQueries {
     // gumbel-top-k draw is a weighted sample; the deterministic
     // above-mean gate stands in for it so the oracle can replay the
     // selection exactly.
+    // NB the oracle's per-character ascii() fold equals RollingHash's
+    // per-BYTE fold only for ASCII text (one byte per char) — the same
+    // bound as the winnowing/inverted-index oracles; the harness corpus
+    // is ASCII, and the Spark side hashes raw UTF-8 bytes at any scale.
     CatalogQuery("mix_dsir_importance_select", (s, d) => {
       val nBuckets = 64
       val docs = Tables.documents(s, d)
@@ -706,9 +710,12 @@ object PrepQueries {
     // prep_pack_sequences). Both levels are integer div/mod + a bounded
     // row_number, so Σ doc budgets = shard budget and Σ shard budgets =
     // B hold by construction (PrepQueriesSpec asserts both); everything
-    // is bit-exact on both engines. At real budgets (1e12+ tokens) the
-    // B·score products move to DECIMAL(38,0) accumulators, shape
-    // unchanged — same note as mix_token_budget_apportion.
+    // is bit-exact on both engines. The B·mass / budget·score products
+    // run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): with r_b scaled
+    // ~1e6, shard mass passes 2^63/B at only ~1e7 bigrams per shard —
+    // barely above the oracle scale — so int64 would be a cliff (ANSI
+    // Spark throws, DuckDB silently promotes); 128-bit intermediates
+    // keep both engines exact and identical at any corpus size.
     CatalogQuery("mix_dsir_resample_budget", (s, d) => {
       val budget = 1000000L
       val sel = Catalog.queries("mix_dsir_importance_select")(s, d)
@@ -721,8 +728,9 @@ object PrepQueries {
       val w8 = Window.partitionBy()
       val l1 = sh.groupBy(col("shard")).agg(sum(col("score")).as("mass"))
         .withColumn("den", sum(col("mass")).over(w8))
-        .withColumn("base", expr(s"$budget * mass div den"))
-        .withColumn("rem", expr(s"($budget * mass) % den"))
+        .withColumn("base",
+          expr(s"CAST((CAST($budget AS DECIMAL(38,0)) * mass) div den AS BIGINT)"))
+        .withColumn("rem", expr(s"(CAST($budget AS DECIMAL(38,0)) * mass) % den"))
         .withColumn("rk", row_number().over(
           Window.orderBy(col("rem").desc, col("shard"))).cast("long"))
         .withColumn("leftover", lit(budget) - sum(col("base")).over(w8))
@@ -732,8 +740,9 @@ object PrepQueries {
       val wSh = Window.partitionBy(col("shard"))
       sh.join(l1, "shard")
         .withColumn("den", sum(col("score")).over(wSh))
-        .withColumn("base", expr("shard_budget * score div den"))
-        .withColumn("rem", expr("(shard_budget * score) % den"))
+        .withColumn("base",
+          expr("CAST((CAST(shard_budget AS DECIMAL(38,0)) * score) div den AS BIGINT)"))
+        .withColumn("rem", expr("(CAST(shard_budget AS DECIMAL(38,0)) * score) % den"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("shard"))
             .orderBy(col("rem").desc, col("doc_id"))).cast("long"))
@@ -780,8 +789,8 @@ object PrepQueries {
         |  SELECT shard, mass, sum(mass) OVER () AS den
         |  FROM (SELECT shard, sum(score)::BIGINT AS mass FROM sel GROUP BY 1) m),
         |l1b AS (
-        |  SELECT shard, 1000000 * mass // den AS base,
-        |    (1000000 * mass) % den AS rem
+        |  SELECT shard, (1000000::HUGEINT * mass) // den AS base,
+        |    (1000000::HUGEINT * mass) % den AS rem
         |  FROM l1a),
         |l1 AS (
         |  SELECT shard, base, rem, 1000000 - sum(base) OVER () AS lo FROM l1b),
@@ -795,10 +804,10 @@ object PrepQueries {
         |    sum(score) OVER (PARTITION BY sel.shard) AS den
         |  FROM sel JOIN sb ON sel.shard = sb.shard)
         |SELECT doc_id, shard,
-        |  (shard_budget * score // den
+        |  ((shard_budget::HUGEINT * score) // den
         |    + CASE WHEN row_number() OVER (PARTITION BY shard
-        |        ORDER BY (shard_budget * score) % den DESC, doc_id)
-        |      <= shard_budget - sum(shard_budget * score // den)
+        |        ORDER BY (shard_budget::HUGEINT * score) % den DESC, doc_id)
+        |      <= shard_budget - sum((shard_budget::HUGEINT * score) // den)
         |           OVER (PARTITION BY shard)
         |      THEN 1 ELSE 0 END)::BIGINT AS token_budget
         |FROM l2""".stripMargin))

@@ -43,13 +43,24 @@ case class AdcDist(first: Expression, second: Expression, third: Expression)
           s"adc_dist requires (ARRAY<FLOAT|DOUBLE>, BIGINT, BIGINT), got (${f.sql}, ${s.sql}, ${t.sql})")
     }
 
+  // a NULL array element propagates to a NULL distance — the same
+  // semantics as the HOF fold (acc + (NULL - c)² = NULL) and DuckDB's
+  // list_sum, so the bit-identity claim covers nullable arrays too
+  override def nullable: Boolean = true
+
   override def nullSafeEval(qv: Any, lo: Any, hi: Any): Any =
-    AdcDist.compute(qv.asInstanceOf[ArrayData],
+    AdcDist.computeBoxed(qv.asInstanceOf[ArrayData],
       lo.asInstanceOf[Long], hi.asInstanceOf[Long], qvIsFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (q, lo, hi) =>
-      s"graft.functions.AdcDist.compute($q, $lo, $hi, $qvIsFloat)")
+    nullSafeCodeGen(ctx, ev, (q, lo, hi) => s"""
+      java.lang.Double ${ev.value}_r =
+        graft.functions.AdcDist.computeBoxed($q, $lo, $hi, $qvIsFloat);
+      if (${ev.value}_r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}_r.doubleValue();
+      }""")
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): AdcDist =
@@ -59,17 +70,22 @@ case class AdcDist(first: Expression, second: Expression, third: Expression)
 }
 
 object AdcDist {
-  def compute(qv: ArrayData, lo: Long, hi: Long, qvIsFloat: Boolean): Double = {
+  /** Boxed result: null iff any array element is null (matching the HOF
+    * fold and DuckDB list_sum, which both propagate NULL).
+    */
+  def computeBoxed(qv: ArrayData, lo: Long, hi: Long,
+      qvIsFloat: Boolean): java.lang.Double = {
     val n = qv.numElements()
     var acc = 0.0
     var k = 0
     while (k < n) {
+      if (qv.isNullAt(k)) return null
       val q = if (qvIsFloat) qv.getFloat(k).toDouble else qv.getDouble(k)
       val bit = if (k < 32) (lo >> k) & 1L else (hi >> (k - 32)) & 1L
       val d = q - (if (bit == 1L) 0.25 else -0.25)
       acc += d * d
       k += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 }

@@ -50,7 +50,12 @@ object ScaleStress {
       // streaming space-saving sketch: state is capacity-bounded per
       // group by construction; the stress proves drain time tracks input
       // volume, not key-universe size
-      "evt_streaming_topk_heavy_hitters")
+      "evt_streaming_topk_heavy_hitters",
+      // the resample budget's B*mass products run in DECIMAL(38,0)/
+      // HUGEINT — stressing it proves the 128-bit path at volumes where
+      // int64 would already be near its cliff; drift profiles are
+      // single-pass aggregates (linear)
+      "mix_dsir_resample_budget", "qa_schema_drift_detect")
     val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
     val spark = Engine.session("scale-stress",

@@ -8,4 +8,21 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Engine.local("graft-test", cores = 4)
   def sf0001 = "/root/testdata/sf0.001"
+
+  /** transformWithState tests need the multi-column-family RocksDB state
+    * store. The session is a shared getOrCreate singleton across suites
+    * in one JVM, so the conf MUST be restored — a leaked provider would
+    * silently move later suites' streaming tests onto RocksDB.
+    */
+  def withRocksDbStateStore[T](f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -20,7 +20,9 @@ class PrepQueriesSpec extends SparkSpec {
     }
     val docs = Tables.documents(spark, sf0001)
       .select("doc_id", "lang", "text").collect()
-      .map(x => (x.getLong(0), x.getString(1), x.getString(2).split(" ").toSeq))
+      // split limit -1: Java's default drops trailing empty tokens,
+      // Spark's split()/DuckDB's string_split keep them
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2).split(" ", -1).toSeq))
       .filter(_._3.size >= 2)
     val bigrams = docs.map { case (id, lang, toks) =>
       (id, lang, toks.sliding(2).map(p => rh(p.mkString(" ")) % 64).toSeq)

@@ -82,6 +82,9 @@ class FunctionsSpec extends SparkSpec {
     }.toDF("id", "qv", "lo", "hi")
     val native = df.select($"id", GraftFunctions.adc_dist($"qv", $"lo", $"hi").as("d"))
       .as[(Long, Double)].collect().toMap
+    // null element propagates to a null distance, same as the HOF fold
+    val withNull = Seq((Array[java.lang.Double](1.0, null, 2.0), 5L, 9L)).toDF("qv", "lo", "hi")
+    assert(withNull.select(GraftFunctions.adc_dist($"qv", $"lo", $"hi")).head().isNullAt(0))
     val cent =
       """CASE WHEN (CASE WHEN k < 32 THEN shiftright(lo, CAST(k AS INT))
         |     ELSE shiftright(hi, CAST(k - 32 AS INT)) END) % 2 = 1

@@ -11,7 +11,14 @@ import org.apache.spark.sql.streaming.OutputMode
   * independent of how the docs are split into micro-batches — and must
   * not re-emit on replay.
   */
-class StreamingDedupSpec extends SparkSpec {
+class StreamingDedupSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  // every test here sets the RocksDB provider; restore the shared
+  // session's default after the suite so later suites run on the
+  // provider they were written against
+  override def afterAll(): Unit =
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
   import spark.implicits._
 
   private def batchPairs(docs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {

@@ -15,9 +15,8 @@ class StreamingTopKSpec extends SparkSpec {
   import spark.implicits._
 
   test("space-saving bounds hold under capacity pressure, across micro-batches") {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     implicit val sc = spark.sqlContext
+    withRocksDbStateStore {
 
     val capacity = 8
     // skewed synthetic stream: items 0..2 carry ~60% of the mass, the
@@ -73,6 +72,7 @@ class StreamingTopKSpec extends SparkSpec {
           s"group $g: true heavy hitter $it (> n/m) missing from sketch"))
       // capacity pressure actually happened: some error terms are nonzero
       assert(entries.exists(_._5 > 0), s"group $g: lossy regime not exercised")
+    }
     }
   }
 }

@@ -35,7 +35,14 @@ private[streaming] class LwwProcessor
     }
 }
 
-class TransformWithStateSpec extends SparkSpec {
+class TransformWithStateSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  // every test here sets the RocksDB provider; restore the shared
+  // session's default after the suite so later suites run on the
+  // provider they were written against
+  override def afterAll(): Unit =
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
   import spark.implicits._
 
   test("transformWithState LWW compaction converges under replay and out-of-order seqs") {

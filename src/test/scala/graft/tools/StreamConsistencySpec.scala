@@ -8,7 +8,14 @@ import org.apache.spark.sql.streaming.OutputMode
 /** dcp checker semantics: per-segment verdicts (Same/Diff/Timeout) and
   * the streaming barrier-close emission.
   */
-class StreamConsistencySpec extends SparkSpec {
+class StreamConsistencySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  // every test here sets the RocksDB provider; restore the shared
+  // session's default after the suite so later suites run on the
+  // provider they were written against
+  override def afterAll(): Unit =
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
   import spark.implicits._
 
   test("verdicts: same / diff (corrupt, missing, extra) / timeout") {
