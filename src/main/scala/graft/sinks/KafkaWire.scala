@@ -101,7 +101,13 @@ object KafkaWire {
       require(check.getValue == crc, s"kafka: message CRC mismatch at offset $offset")
       val magic = r.i8()
       require(magic == 1, s"kafka: unsupported message magic $magic")
-      r.i8() // attributes
+      // attributes low bits = compression codec; a compressed wrapper's
+      // value is an INNER message set — surfacing it as one raw record
+      // would be silent corruption, so fail loudly (posture of
+      // JsonBinary/BinlogWire: decode exactly or refuse)
+      val attrs = r.i8()
+      require((attrs & 0x07) == 0,
+        s"kafka: compressed message sets unsupported (attributes=$attrs)")
       r.i64() // timestamp
       val key = r.bytes()
       val value = r.bytes()
@@ -292,10 +298,11 @@ object KafkaWire {
       * the request max_wait_ms first).
       */
     def poll(topic: String, partition: Int, offset: Long,
-        maxWaitMs: Int = 500): (Long, Seq[(Long, Array[Byte], Array[Byte])]) = {
+        maxWaitMs: Int = 500, maxBytes: Int = 1 << 20)
+        : (Long, Seq[(Long, Array[Byte], Array[Byte])]) = {
       correlation += 1
       writeFrame(out, fetchRequest(correlation, clientId, topic, partition,
-        offset, maxWaitMs = maxWaitMs))
+        offset, maxBytes = maxBytes, maxWaitMs = maxWaitMs))
       val (cid, results) = parseFetchResponse(readFrame(in))
       require(cid == correlation, s"kafka: correlation mismatch ($cid != $correlation)")
       val res = results.headOption.getOrElse(sys.error("kafka: empty fetch response"))

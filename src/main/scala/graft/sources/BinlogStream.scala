@@ -81,11 +81,18 @@ final class BinlogStreamTable(options: CaseInsensitiveStringMap)
 final class BinlogMicroBatchStream(options: CaseInsensitiveStringMap)
     extends BufferedTailerStream[BinlogWire.Envelope](
       // offsets are COMPOSED (file index << 32 | logPos): logPos alone
-      // resets on binlog rotation — see BinlogWire.changeRows
-      startSeq = BinlogWire.composedSeq(
-        BinlogWire.fileIndexOf(
-          Option(options.get("file")).getOrElse("binlog.000001")),
-        options.getLong("pos", 4L)),
+      // resets on binlog rotation — see BinlogWire.changeRows. In GTID
+      // mode the MASTER decides the replay point (it may start in a file
+      // BEFORE the configured one), so the file/pos gate must not drop
+      // replayed history: admit everything the master sends (startSeq 0
+      // sits below any composed seq; the fake Rotate event that opens a
+      // GTID dump re-seeds the true file index before any row arrives).
+      startSeq =
+        if (Option(options.get("gtid")).exists(_.nonEmpty)) 0L
+        else BinlogWire.composedSeq(
+          BinlogWire.fileIndexOf(
+            Option(options.get("file")).getOrElse("binlog.000001")),
+          options.getLong("pos", 4L)),
       rowsPerBatch = options.getInt("rowsPerBatch", 10000),
       maxBuffered = options.getInt("maxBuffered", 100000),
       numPartitions = options.getInt("partitions", 2),

@@ -458,10 +458,13 @@ object BinlogWire {
       if (y == 0) null
       else java.time.LocalDateTime.of(y, mo, d, h, mi, s, (micros * 1000).toInt)
     case TIMESTAMP2 =>
-      // 4 BE bytes epoch seconds, then fsp fraction
+      // 4 BE bytes epoch seconds, then fsp fraction; sec == 0 is the
+      // '0000-00-00 00:00:00' sentinel -> null like the DATE/DATETIME
+      // zero-dates (NOT epoch 1970)
       val sec = beN(r, 4)
       val micros = fracMicros(r, meta)
-      java.time.Instant.ofEpochSecond(sec, micros * 1000)
+      if (sec == 0L && micros == 0L) null
+      else java.time.Instant.ofEpochSecond(sec, micros * 1000)
     case TIME2 =>
       // 3 BE bytes offset-binary (sign | 10-bit hour | 6 min | 6 sec)
       // plus ceil(fsp/2) fraction bytes; a NEGATIVE time stores the
@@ -513,7 +516,9 @@ object BinlogWire {
       val nbits = ((meta >> 8) & 0xff) * 8 + (meta & 0xff)
       beN(r, (nbits + 7) / 8)
     case LEGACY_TIMESTAMP => // pre-5.6: 4 LE bytes epoch seconds
-      java.time.Instant.ofEpochSecond(r.u32())
+      // 0 is the zero-date sentinel -> null, consistent with the v2 path
+      val legacyTs = r.u32()
+      if (legacyTs == 0L) null else java.time.Instant.ofEpochSecond(legacyTs)
     case LEGACY_DATETIME => // pre-5.6: u64 YYYYMMDDHHMMSS
       val v = r.u64()
       if (v == 0L) null
@@ -523,25 +528,26 @@ object BinlogWire {
           (d % 100L).toInt, (t / 10000L).toInt, ((t / 100L) % 100L).toInt,
           (t % 100L).toInt)
       }
-    case LEGACY_TIME => // pre-5.6: u24 HHMMSS
-      val v = r.u24()
-      java.time.Duration.ofHours(v / 10000).plusMinutes((v / 100) % 100)
-        .plusSeconds(v % 100)
-    case BLOB | GEOMETRY =>
+    case LEGACY_TIME => // pre-5.6: SIGNED int24 of +-HHMMSS
+      // negative times ('-01:00:00'..'-838:59:59') store a negative
+      // signed int24; unsigned reads would turn them into garbage
+      // thousand-hour durations
+      val raw = r.u24()
+      val v = if ((raw & 0x800000L) != 0) raw - 0x1000000L else raw
+      val a = math.abs(v)
+      val dur = java.time.Duration.ofHours(a / 10000)
+        .plusMinutes((a / 100) % 100).plusSeconds(a % 100)
+      if (v < 0) dur.negated() else dur
+    case BLOB | GEOMETRY | JSON =>
+      // meta little-endian length-prefix bytes; JSON additionally decodes
+      // the binary-JSON document to JSON text — the form the reference
+      // emits downstream (msg.go:239 passes JSON columns as strings)
       val lenBytes = meta
       var len = 0L
       var i = 0
       while (i < lenBytes) { len |= (r.u8().toLong << (8 * i)); i += 1 }
-      r.bytes(len.toInt)
-    case JSON =>
-      // length-prefixed (meta len-bytes, like BLOB) binary-JSON document,
-      // decoded to JSON text — the form the reference emits downstream
-      // (msg.go:239 passes JSON columns through as strings)
-      val lenBytes = meta
-      var len = 0L
-      var i = 0
-      while (i < lenBytes) { len |= (r.u8().toLong << (8 * i)); i += 1 }
-      JsonBinary.text(r.bytes(len.toInt))
+      val payload = r.bytes(len.toInt)
+      if (colType == JSON) JsonBinary.text(payload) else payload
     case other => throw new UnsupportedOperationException(
       s"binlog column type $other not supported by this decoder " +
         "(set: ints, float/double, decimal, bit, enum, set, varchar/char, " +

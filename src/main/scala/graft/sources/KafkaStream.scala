@@ -103,13 +103,26 @@ final class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
     client.connect()
     var next = startOffset
     var caughtUp = false
+    var fetchBytes = 1 << 20
+    val maxFetchBytes = 1 << 26 // 64 MiB: hard cap, then fail loudly
     while (!caughtUp || !stopAtHighWater) {
-      val (hw, records) = client.poll(topic, partition, next, pollWaitMs)
+      val (hw, records) = client.poll(topic, partition, next, pollWaitMs,
+        maxBytes = fetchBytes)
       records.foreach { case (off, k, v) =>
         emit(KafkaRecord(off, partition,
           if (k == null) null else new String(k, "UTF-8"),
           if (v == null) null else new String(v, "UTF-8")))
         next = off + 1
+      }
+      if (records.nonEmpty) fetchBytes = 1 << 20 // progress: reset
+      else if (hw > next) {
+        // data exists but none parsed: the record at `next` is larger
+        // than the fetch size (v2 brokers return a truncated partial).
+        // Grow and retry instead of busy-spinning at the same offset
+        // forever; past the cap, fail loudly.
+        if (fetchBytes >= maxFetchBytes) sys.error(
+          s"kafka: record at offset $next exceeds max fetch size $maxFetchBytes")
+        fetchBytes = math.min(fetchBytes * 2, maxFetchBytes)
       }
       caughtUp = next >= hw
       // the broker already held the request max_wait_ms when empty —

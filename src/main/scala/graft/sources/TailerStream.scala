@@ -149,7 +149,7 @@ abstract class BufferedTailerStream[E <: AnyRef](
   override def deserializeOffset(json: String): Offset = {
     // fail LOUDLY on an unreadable position — silently restarting from
     // the configured start would replay history as duplicates
-    val m = """"seq"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+    val m = """"seq"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
     CdcOffset(m.map(_.group(1).toLong).getOrElse(
       throw new IllegalArgumentException(s"unreadable CDC offset: '$json'")))
   }

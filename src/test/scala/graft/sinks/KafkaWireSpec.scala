@@ -223,6 +223,26 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("a compressed message set is refused loudly, never surfaced as one raw record") {
+    // attributes low bits = codec; a gzip wrapper's value is an INNER
+    // message set — decoding it as a single record would be silent
+    // corruption. Build a valid-CRC message with attributes = 1.
+    import KafkaWire._
+    val body = new Writer()
+      .i8(1) // magic 1
+      .i8(1) // attributes: gzip
+      .i64(1700000000123L)
+      .bytes("k".getBytes("UTF-8"))
+      .bytes("gzip-blob".getBytes("UTF-8"))
+      .result()
+    val crc = new java.util.zip.CRC32
+    crc.update(body)
+    val set = new Writer().i64(0L).i32(body.length + 4)
+      .i32(crc.getValue.toInt).raw(body).result()
+    val e = intercept[IllegalArgumentException](parseMessageSet(set))
+    assert(e.getMessage.contains("compressed"))
+  }
+
   test("a fetch truncated at max_bytes mid-message is tolerated, produce validation stays strict") {
     // build a set of two messages and cut it mid-second-message
     val set = KafkaWire.messageSetAt(Seq(

@@ -326,4 +326,34 @@ class BinlogWireSpec extends AnyFunSuite {
     assert(row(7) == java.time.Duration.ofHours(13).plusMinutes(45).plusSeconds(30))
     assert(row(8).asInstanceOf[Array[Byte]].toSeq == wkb.toSeq)
   }
+
+  test("zero-date timestamps decode to null; negative pre-5.6 TIME keeps its sign") {
+    // TIMESTAMP2(0) with sec=0 is the '0000-00-00 00:00:00' sentinel ->
+    // null (NOT epoch 1970); same for the pre-5.6 4-byte form; pre-5.6
+    // TIME stores a SIGNED int24 of +-HHMMSS, so '-01:00:00' is the
+    // two's-complement of 10000 (0xffd8f0 LE = f0 d8 ff)
+    val golden = "00000000" + "00000000" + "f0d8ff"
+    val cols = Seq((17, 0), (7, 0), (11, 0))
+    val body = new ByteWriter()
+      .u48(78L).u16(1).u16(2)
+      .lenenc(cols.size.toLong)
+      .u8(0x07) // present bitmap: all 3
+      .u8(0x00) // null bitmap: none
+      .bytes(unhex(golden))
+      .result()
+    val header = new ByteWriter()
+      .u32(1700000000L).u8(WRITE_ROWS_V2).u32(99L)
+      .u32(19L + body.length).u32(6000L).u16(0)
+      .result()
+    val maps = scala.collection.mutable.Map.empty[Long, TableMap]
+    maps(78L) = TableMap(EventHeader(0L, TABLE_MAP_EVENT, 99L, 0L, 0L, 0),
+      78L, "db1", "zt", cols.map(_._1).toArray, cols.map(_._2).toArray,
+      Array.fill(cols.size)(false))
+    val ev = parseEvent(header ++ body, maps).asInstanceOf[Rows]
+    val row = ev.rows.head._2
+    assert(row(0) == null, "TIMESTAMP2 zero-date must be null")
+    assert(row(1) == null, "pre-5.6 TIMESTAMP zero-date must be null")
+    assert(row(2) == java.time.Duration.ofHours(-1),
+      s"negative TIME decoded as ${row(2)}")
+  }
 }

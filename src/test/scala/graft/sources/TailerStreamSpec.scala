@@ -33,6 +33,18 @@ class TailerStreamSpec extends AnyFunSuite {
     s.latestOffset(CdcOffset(from), ReadLimit.allAvailable())
       .asInstanceOf[CdcOffset].seq
 
+  test("a negative checkpoint offset round-trips (Kafka start-below-zero sentinel)") {
+    // a Kafka stream starting at offset 0 checkpoints startSeq = -1
+    // (the (start, end] window must admit offset 0); the offset codec
+    // must read it back — regression: \d+ could not parse the sign and
+    // made the checkpoint permanently unreadable on restart
+    val s = new FakeStream(-1)
+    try {
+      val o = CdcOffset(-1L)
+      assert(s.deserializeOffset(o.json()) == o)
+    } finally s.stop()
+  }
+
   test("a WAL-restored batch waits for the re-tail to reach its end offset") {
     val s = new FakeStream(start = 0L)
     try {
