@@ -744,6 +744,6 @@ object ScaleOpsQueries {
         |  SELECT query_id, neighbor_id, adc,
         |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
         |  FROM scored) t
-        |WHERE rank <= 5""".stripMargin))
+        |WHERE rank <= 5""".stripMargin), bench = true)
   )
 }
