@@ -320,15 +320,25 @@ object KafkaWire {
   * value, pk dependency-hash key) and produces it to
   * `hash(key) % numPartitions` — sarama's hash partitioner, the same
   * sticky rule [[FileKafkaSink]] uses, so per-key total order holds
-  * across batches on a real broker too. Batches collect per partition
-  * on the driver (a micro-batch's Kafka payload is bounded by the batch,
-  * not the table) and each partition's records are acked before the
-  * batch commits — the reference's delivery-report loop collapsed to
-  * the synchronous micro-batch shape.
+  * across batches on a real broker too.
+  *
+  * Topology: the batch is repartitioned on the broker-partition
+  * expression and produced from EXECUTORS — one wire connection per
+  * task inside `foreachPartition`, the shape [[FileKafkaSink]] and
+  * [[JdbcBatchSink]] already use — so a backfill-sized micro-batch
+  * never transits the driver. All of one broker partition's rows land
+  * in one task (the repartition is deterministic on the partition id),
+  * sorted by `seq`, so per-key order within the batch is the task's
+  * sequential produce order; the streaming engine serializes batches,
+  * and every produce is acked (acks=-1) before `write` returns, so
+  * cross-batch order holds too — acks before batch commit. Requests
+  * are chunked to bound a single produce frame regardless of batch
+  * size.
   */
 final class KafkaWireBatchSink(host: String, port: Int, numPartitions: Int,
     topic: String, pkCols: Seq[String],
-    payloadColumns: Option[Seq[String]] = None)
+    payloadColumns: Option[Seq[String]] = None,
+    maxRecordsPerRequest: Int = 1000)
     extends graft.streaming.BatchSink {
 
   def write(batchId: Long, compacted: org.apache.spark.sql.DataFrame): Unit = {
@@ -343,25 +353,53 @@ final class KafkaWireBatchSink(host: String, port: Int, numPartitions: Int,
       if (hasEnvelope) KafkaJson.valueV20(payloadCols, pkCols)
       else to_json(struct(payloadCols.map(col): _*))
     val frame = KafkaJson.toKafkaFrame(compacted, value, pkCols, lit(topic))
-    val ordered =
-      if (frame.columns.contains("seq")) frame.orderBy(col("seq")) else frame
     // partition with the SAME expression FileKafkaSink uses
     // (pmod(xxhash64(key), n)) so a key lands on the same partition no
     // matter which transport carries it
-    val rows = ordered
-      .select(col("key"), col("value"),
-        pmod(xxhash64(col("key")), lit(numPartitions)).cast("int").as("part"))
-      .collect()
-    val byPartition = rows.groupBy(_.getInt(2))
-    val producer = new KafkaWire.KafkaWireProducer(host, port).connect()
+    val sortCols =
+      if (frame.columns.contains("seq")) Seq(col("__part"), col("seq"))
+      else Seq(col("__part"))
+    val prepared = frame
+      .withColumn("__part", pmod(xxhash64(col("key")), lit(numPartitions)))
+      // one shuffle partition per broker partition; a hash collision can
+      // co-locate two parts in one task — the sort keeps their runs
+      // contiguous and the producer rolls requests on the part boundary
+      .repartition(numPartitions, col("__part"))
+      .sortWithinPartitions(sortCols: _*)
+      .select(col("__part"), col("key"), col("value"))
+    // closure captures primitives only (the sink itself need not ship)
+    val (h, p, t, chunk) = (host, port, topic, maxRecordsPerRequest)
     // real create-time: magic-1 timestamps feed the broker's time-based
     // retention and time-index — 0 would make every segment instantly
     // past any retention window
     val now = System.currentTimeMillis()
-    try byPartition.toSeq.sortBy(_._1).foreach { case (p, rs) =>
-      producer.produce(topic, p, rs.toSeq.map(r =>
-        (r.getString(0).getBytes("UTF-8"), r.getString(1).getBytes("UTF-8"))),
-        timestampMs = now)
-    } finally producer.close()
+    prepared.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        // client id names the producing task — broker-side attribution
+        // that a support engineer reading the request log can use
+        val taskId = Option(org.apache.spark.TaskContext.get())
+          .map(_.partitionId()).getOrElse(-1)
+        val producer = new KafkaWire.KafkaWireProducer(h, p,
+          clientId = s"graft-exec-$taskId").connect()
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Array[Byte], Array[Byte])]
+        var cur = -1L
+        def flush(): Unit = if (buf.nonEmpty) {
+          // a failed ack throws -> task fails -> batch never commits
+          producer.produce(t, cur.toInt, buf.toSeq, timestampMs = now)
+          buf.clear()
+        }
+        try {
+          it.foreach { r =>
+            val part = r.getLong(0)
+            if (part != cur) { flush(); cur = part }
+            buf += ((r.getString(1).getBytes("UTF-8"),
+              r.getString(2).getBytes("UTF-8")))
+            if (buf.size >= chunk) flush()
+          }
+          flush()
+        } finally producer.close()
+      }
+    }
   }
 }

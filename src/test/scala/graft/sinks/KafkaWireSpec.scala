@@ -10,20 +10,30 @@ import org.scalatest.funsuite.AnyFunSuite
   * assigned base offset.
   */
 final class StubKafkaBroker extends AutoCloseable {
-  private val server = new java.net.ServerSocket(0, 1,
+  private val server = new java.net.ServerSocket(0, 16,
     java.net.InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
 
   val log = new java.util.concurrent.ConcurrentHashMap[(String, Int),
     scala.collection.mutable.ArrayBuffer[(Array[Byte], Array[Byte])]]()
   @volatile var lastClientId = ""
+  /** Every client id seen — lets a spec prove WHERE produce ran
+    * (executor tasks stamp their partition id into the client id).
+    */
+  val clientIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private val thread = new Thread(() => {
+    // executor tasks produce concurrently: serve each connection on its
+    // own thread, like a real broker
     try while (!server.isClosed) {
       val sock = server.accept()
-      // a dropped client must not kill the accept loop
-      try serve(sock) catch { case _: Exception => () }
-      finally { try sock.close() catch { case _: Exception => () } }
+      val worker = new Thread(() => {
+        // a dropped client must not kill the accept loop
+        try serve(sock) catch { case _: Exception => () }
+        finally { try sock.close() catch { case _: Exception => () } }
+      })
+      worker.setDaemon(true)
+      worker.start()
     } catch { case _: Exception => () }
   })
 
@@ -37,6 +47,7 @@ final class StubKafkaBroker extends AutoCloseable {
         val r = new Reader(frame)
         val apiKey = r.i16(); val apiVersion = r.i16()
         val correlationId = r.i32(); lastClientId = r.str()
+        clientIds.add(lastClientId)
         require(apiVersion == 2, s"stub broker: only v2 apis (got $apiVersion)")
         apiKey match {
           case 0 => writeFrame(out, produceReply(r, correlationId))
@@ -64,9 +75,13 @@ final class StubKafkaBroker extends AutoCloseable {
             val msgs = parseMessageSet(recordSet)
             val buf = log.computeIfAbsent((topic, partition),
               _ => scala.collection.mutable.ArrayBuffer.empty)
-            val base = buf.size.toLong
-            buf ++= msgs.map { case (_, k, v) => (k, v) }
-            (0, base)
+            // concurrent producers to one partition append atomically,
+            // like a broker's log lock
+            buf.synchronized {
+              val base = buf.size.toLong
+              buf ++= msgs.map { case (_, k, v) => (k, v) }
+              (0, base)
+            }
           } catch { case _: IllegalArgumentException => (2, -1L) } // CORRUPT_MESSAGE
         w.i32(partition).i16(err).i64(baseOffset).i64(-1L)
       }
@@ -138,7 +153,55 @@ class KafkaWireSpec extends AnyFunSuite {
       assert(k1.map(_._1).distinct.size == 1, "key 1 must be partition-sticky")
       assert(k1.map(_._3).map(v => "\"v\":\"(a[0-9]*)\"".r
         .findFirstMatchIn(v).get.group(1)) == Seq("a", "a2", "a3"))
+      // the produce must have run on EXECUTOR tasks, not the driver:
+      // every connection's client id carries a task partition id stamp
+      import scala.jdk.CollectionConverters._
+      val ids = broker.clientIds.asScala.toSet
+      assert(ids.nonEmpty && ids.forall(_.startsWith("graft-exec-")),
+        s"produce must run inside executor tasks, saw client ids $ids")
     } finally { broker.close() }
+  }
+
+  test("a backfill-sized batch ships from executors in bounded request chunks, per-key order intact") {
+    val spark = graft.core.Engine.local("kafka-wire-bulk", cores = 4)
+    import spark.implicits._
+    val broker = new StubKafkaBroker
+    try {
+      // small chunk cap -> many produce requests per partition; the
+      // broker CRC-validates every one and order must still hold
+      val sink = new KafkaWireBatchSink("127.0.0.1", broker.port,
+        numPartitions = 4, topic = "t-bulk", pkCols = Seq("id"),
+        maxRecordsPerRequest = 64)
+      val rows = (1 to 5000).map { i =>
+        (i.toLong, "insert", "db0", "t", (i % 500).toLong, s"v$i")
+      }
+      sink.write(0L, rows.toDF("seq", "op", "database", "table", "id", "v"))
+      import scala.jdk.CollectionConverters._
+      val all = broker.log.asScala.toSeq.flatMap { case ((_, p), buf) =>
+        buf.toSeq.map { case (k, v) =>
+          (p, new String(k, "UTF-8"), new String(v, "UTF-8")) }
+      }
+      assert(all.size == 5000, "every record must be acked and logged")
+      // each key maps to exactly one partition, and within it the key's
+      // records appear in seq order (seq == the v payload's number)
+      val byKey = all.groupBy(_._2)
+      assert(byKey.size == 500)
+      byKey.foreach { case (_, recs) =>
+        assert(recs.map(_._1).distinct.size == 1, "key must be partition-sticky")
+      }
+      // per-partition log order: for every key, the v-numbers ascend
+      broker.log.asScala.foreach { case (_, buf) =>
+        val seqsByKey = buf.toSeq
+          .map { case (k, v) => (new String(k, "UTF-8"),
+            "\"v\":\"v([0-9]+)\"".r.findFirstMatchIn(new String(v, "UTF-8")).get.group(1).toInt) }
+          .groupBy(_._1).values
+        seqsByKey.foreach { s =>
+          val nums = s.map(_._2)
+          assert(nums == nums.sorted, "per-key order must survive chunked produce")
+        }
+      }
+      assert(broker.clientIds.asScala.forall(_.startsWith("graft-exec-")))
+    } finally broker.close()
   }
 
   test("message set v1 round-trips with valid CRCs; corruption is detected") {
