@@ -592,6 +592,33 @@ object CdcQueries {
          |  CASE WHEN o_orderstatus = 'O' THEN 'OPEN' ELSE o_orderstatus END AS o_orderstatus
          |FROM ($oracleLog) log WHERE op <> 'delete'""".stripMargin)),
 
+    // the SAME filter contract over gravity's ACTUAL transport: the
+    // plugin binary is launched through the hashicorp go-plugin
+    // handshake (magic cookie env, `1|1|tcp|addr|grpc` stdout line,
+    // grpc_sidecar_filter.go:92-115) and every row is one synchronous
+    // gRPC Filter rpc over hand-rolled HTTP/2+HPACK (GrpcWire). Oracle
+    // identical to cdc_sidecar_msgpb — byte-identical msgpb messages,
+    // different wire. Coalesced to 2 partitions = 2 plugin processes,
+    // the per-task plugin topology the reference runs.
+    CatalogQuery("cdc_sidecar_grpc", (s, d) => {
+      val filter = graft.operators.GrpcSidecarFilter(Seq(
+        s"${sys.props("java.home")}/bin/java",
+        "-cp", sys.props("java.class.path"),
+        "graft.operators.MsgPbGrpcSidecar"),
+        configureData = Map("name" -> "status-rewriter"))
+      val env = changeLog(s, d).coalesce(2).select(col("seq"), col("op"),
+        lit("db1").as("database"), lit("orders").as("table"),
+        map(lit("o_orderstatus"), col("o_orderstatus")).as("data"),
+        expr("map()").cast("map<string,string>").as("old"),
+        map(lit("o_orderkey"), col("o_orderkey").cast("string")).as("pks"))
+      filter(env).select(col("seq"), col("op"),
+        element_at(col("pks"), "o_orderkey").cast("long").as("o_orderkey"),
+        element_at(col("data"), "o_orderstatus").as("o_orderstatus"))
+    }, Some(
+      s"""SELECT seq, op, o_orderkey,
+         |  CASE WHEN o_orderstatus = 'O' THEN 'OPEN' ELSE o_orderstatus END AS o_orderstatus
+         |FROM ($oracleLog) log WHERE op <> 'delete'""".stripMargin)),
+
     // END-TO-END sink check: the synthesized change-log flows through the
     // assembled JdbcBatchSink (pk-partitioned order → delete isolation →
     // engine render → StatementExecutor) into an embedded Derby database,

@@ -229,24 +229,9 @@ final case class MsgPbSidecarFilter(command: Seq[String],
     val out = df.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
-        def strMap(row: Row, i: Int): MsgPb.PbMap =
-          if (i < 0 || row.isNullAt(i)) Seq.empty
-          else row.getMap[String, String](i).toSeq.map { case (k, v) =>
-            k -> (if (v == null) MsgPb.PbValue.Null else MsgPb.PbValue.Str(v))
-          }
-        def backToString(v: MsgPb.PbValue): String = v match {
-          case MsgPb.PbValue.Str(s) => s
-          case MsgPb.PbValue.Null => null
-          case MsgPb.PbValue.I32(x) => x.toString
-          case MsgPb.PbValue.I64(x) => x.toString
-          case MsgPb.PbValue.U32(x) => x.toString
-          case MsgPb.PbValue.U64(x) => java.lang.Long.toUnsignedString(x)
-          case MsgPb.PbValue.F32(x) => x.toString
-          case MsgPb.PbValue.F64(x) => x.toString
-          case MsgPb.PbValue.Bool(x) => x.toString
-          case MsgPb.PbValue.Bytes(x) => java.util.Base64.getEncoder.encodeToString(x.toArray)
-          case MsgPb.PbValue.Time(s, n) => java.time.Instant.ofEpochSecond(s, n.toLong).toString
-        }
+        // shared with GrpcSidecarFilter — one conversion, two transports
+        def strMap(row: Row, i: Int): MsgPb.PbMap = MsgPb.rowStrMap(row, i)
+        def backToString(v: MsgPb.PbValue): String = MsgPb.valueToString(v)
         val proc = new ProcessBuilder(cmd: _*)
           .redirectError(ProcessBuilder.Redirect.INHERIT)
           .start()
@@ -341,5 +326,70 @@ final case class MsgPbSidecarFilter(command: Seq[String],
       }
     }(enc)
     out
+  }
+}
+
+/** Sidecar filter over gravity's ACTUAL plugin transport: per partition,
+  * launch the plugin binary through the go-plugin handshake
+  * ([[GrpcPluginClient]] — magic cookie env, handshake line, gRPC/h2c
+  * dial) and make one synchronous gRPC Filter call per row — exactly
+  * GRPCClient.Filter's shape (pkg/filters/grpc/client.go:52-83). Row
+  * semantics match [[MsgPbSidecarFilter]]: the response DmlMsg replaces
+  * op/data/old/pks, continueNext=false drops the row, a response error
+  * fails the task. Configure runs once per plugin launch with the
+  * filter's config map, as the reference host does on Dispense.
+  */
+final case class GrpcSidecarFilter(command: Seq[String],
+    version: String = "2.0.alpha",
+    configureData: Map[String, String] = Map.empty) extends TransformOp {
+  def apply(df: DataFrame): DataFrame = {
+    val schema = df.schema
+    val names = schema.fieldNames
+    def idxOf(n: String): Int = names.indexOf(n)
+    val (iDb, iTable, iOp) = (idxOf("database"), idxOf("table"), idxOf("op"))
+    val (iData, iOld, iPks) = (idxOf("data"), idxOf("old"), idxOf("pks"))
+    require(iOp >= 0 && iData >= 0 && iOld >= 0 && iPks >= 0,
+      "grpc sidecar expects envelope columns op, data, old, pks")
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val (cmd, ver, conf) = (command, version, configureData)
+    df.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val plugin = new GrpcPluginClient(cmd)
+        val taskCtx = org.apache.spark.TaskContext.get()
+        if (taskCtx != null)
+          taskCtx.addTaskCompletionListener[Unit](_ => plugin.destroy())
+        require(plugin.healthCheck(), "grpc sidecar health check not SERVING")
+        plugin.configure(conf.toSeq.map { case (k, v) =>
+          k -> (MsgPb.PbValue.Str(v): MsgPb.PbValue) })
+        it.flatMap { row =>
+          val msg = MsgPb.Msg(
+            version = ver,
+            database = if (iDb >= 0 && !row.isNullAt(iDb)) row.getString(iDb) else "",
+            table = if (iTable >= 0 && !row.isNullAt(iTable)) row.getString(iTable) else "",
+            msgType = "dml",
+            dml = Some(MsgPb.Dml(
+              op = if (row.isNullAt(iOp)) "" else row.getString(iOp),
+              data = MsgPb.rowStrMap(row, iData),
+              old = MsgPb.rowStrMap(row, iOld),
+              pks = MsgPb.rowStrMap(row, iPks))))
+          val rsp = plugin.filter(msg)
+          rsp.error.foreach(e => sys.error(s"grpc sidecar filter error: $e"))
+          if (!rsp.continueNext) None
+          else {
+            val dml = rsp.msg.flatMap(_.dml).getOrElse(
+              sys.error("grpc sidecar: continueNext without a DmlMsg"))
+            val vals = new Array[Any](names.length)
+            var i = 0
+            while (i < names.length) { vals(i) = row.get(i); i += 1 }
+            vals(iOp) = dml.op
+            vals(iData) = dml.data.map { case (k, v) => k -> MsgPb.valueToString(v) }.toMap
+            vals(iOld) = dml.old.map { case (k, v) => k -> MsgPb.valueToString(v) }.toMap
+            vals(iPks) = dml.pks.map { case (k, v) => k -> MsgPb.valueToString(v) }.toMap
+            Some(Row.fromSeq(vals.toIndexedSeq))
+          }
+        }
+      }
+    }(enc)
   }
 }

@@ -388,6 +388,80 @@ object MsgPb {
     FilterResponse(msg, cont, err)
   }
 
+  // --------------------------------- envelope row <-> PbValue helpers
+
+  /** A map<string,string> envelope column as an Any-wrapped PbMap —
+    * shared by the stdio and grpc sidecar filters.
+    */
+  def rowStrMap(row: org.apache.spark.sql.Row, i: Int): PbMap =
+    if (i < 0 || row.isNullAt(i)) Seq.empty
+    else row.getMap[String, String](i).toSeq.map { case (k, v) =>
+      k -> (if (v == null) PbValue.Null else PbValue.Str(v): PbValue)
+    }
+
+  /** Render any scalar a filter binary may answer with back into the
+    * string-typed envelope (mirrors pkg/core/encoding/pb.go's value set).
+    */
+  def valueToString(v: PbValue): String = v match {
+    case PbValue.Str(s) => s
+    case PbValue.Null => null
+    case PbValue.I32(x) => x.toString
+    case PbValue.I64(x) => x.toString
+    case PbValue.U32(x) => x.toString
+    case PbValue.U64(x) => java.lang.Long.toUnsignedString(x)
+    case PbValue.F32(x) => x.toString
+    case PbValue.F64(x) => x.toString
+    case PbValue.Bool(x) => x.toString
+    case PbValue.Bytes(x) => java.util.Base64.getEncoder.encodeToString(x.toArray)
+    case PbValue.Time(s, n) => java.time.Instant.ofEpochSecond(s, n.toLong).toString
+  }
+
+  // ------------------------------------------- Configure rpc (grpc only)
+
+  /** ConfigureRequest{ map<string, Any> data = 1 } — the first rpc
+    * go-plugin's host makes after Dispense (pkg/filters/grpc/client.go:35-50).
+    */
+  def encodeConfigureRequest(data: PbMap): Array[Byte] = {
+    val w = new Writer
+    data.foreach { case (k, v) => w.embedded(1, encodeMapEntry(k, v)) }
+    w.result()
+  }
+
+  def decodeConfigureRequest(b: Array[Byte]): PbMap = {
+    val r = new Reader(b, 0, b.length)
+    val data = Seq.newBuilder[(String, PbValue)]
+    while (r.hasNext) r.readTag() match {
+      case (1, 2) => val sp = r.readSpan(); data += decodeMapEntry(b, sp._1, sp._2)
+      case (_, w) => r.skip(w)
+    }
+    data.result()
+  }
+
+  /** ConfigureResponse{ StringValue error = 1 }. */
+  def encodeConfigureResponse(error: Option[String]): Array[Byte] = {
+    val w = new Writer
+    error.foreach { e =>
+      val ew = new Writer; ew.str(1, e); w.embedded(1, ew.result())
+    }
+    w.result()
+  }
+
+  def decodeConfigureResponse(b: Array[Byte]): Option[String] = {
+    val r = new Reader(b, 0, b.length)
+    var err: Option[String] = None
+    while (r.hasNext) r.readTag() match {
+      case (1, 2) =>
+        val sp = r.readSpan()
+        val er = new Reader(b, sp._1, sp._2)
+        while (er.hasNext) er.readTag() match {
+          case (1, 2) => err = Some(er.readString())
+          case (_, w) => er.skip(w)
+        }
+      case (_, w) => r.skip(w)
+    }
+    err
+  }
+
   // ------------------------------------------------------------- framing
 
   /** Frames beyond this are protocol corruption, not data (a single Msg

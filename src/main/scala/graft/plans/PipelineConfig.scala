@@ -79,10 +79,14 @@ object PipelineConfig {
             parseMatchers(f), enveloped)
         case "expr" => ExprTransform(req(f, "column").asText(), req(f, "sql").asText())
         case "sidecar" => ProcessSidecarFilter(strList(req(f, "command")))
-        // gravity's grpc-sidecar contract over msgpb wire frames — the
-        // config name mirrors the reference's filter type string
-        // (pkg/filters/grpc_sidecar_filter.go:38 "grpc-sidecar")
-        case "grpc-sidecar" | "msgpb-sidecar" =>
+        // gravity's grpc-sidecar filter type (grpc_sidecar_filter.go:38):
+        // the real go-plugin handshake + gRPC/h2c transport. `command`
+        // stands in for the reference's binary-url download step (no
+        // egress in this deployment); msgpb-sidecar keeps the stdio
+        // frame transport for environments without a plugin binary
+        case "grpc-sidecar" =>
+          GrpcSidecarFilter(strList(req(f, "command")))
+        case "msgpb-sidecar" =>
           MsgPbSidecarFilter(strList(req(f, "command")))
         case other => throw new IllegalArgumentException(s"unknown filter type '$other'")
       }
