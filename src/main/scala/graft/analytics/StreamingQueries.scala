@@ -503,6 +503,6 @@ object StreamingQueries {
         |    row_number() OVER (PARTITION BY event_type
         |      ORDER BY count(*) DESC, user_id % 256) AS rank
         |  FROM events GROUP BY 1, 2) t
-        |WHERE rank <= 3""".stripMargin))
+        |WHERE rank <= 3""".stripMargin), bench = true)
   )
 }

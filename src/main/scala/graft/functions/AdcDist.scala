@@ -76,6 +76,11 @@ object AdcDist {
   def computeBoxed(qv: ArrayData, lo: Long, hi: Long,
       qvIsFloat: Boolean): java.lang.Double = {
     val n = qv.numElements()
+    // two 64-bit code words span exactly 64 dims; past that the JVM's
+    // mod-64 shift would silently RECYCLE bits 0..63 — garbage distances
+    // dressed as numbers. Loud failure, like the codebase's other kernels.
+    require(n <= 64,
+      s"adc_dist: query vector has $n dims; the 2x64-bit sign code covers at most 64")
     var acc = 0.0
     var k = 0
     while (k < n) {

@@ -612,6 +612,15 @@ object BinlogWire {
       val (seq, payload) = readPacket(in)
       val hs = parseHandshake(payload)
       serverVersion = hs.serverVersion
+      // the response below answers mysql_native_password; against a
+      // server advertising anything else (MySQL 8 defaults to
+      // caching_sha2_password) the scramble math would be WRONG, so fail
+      // with the actionable message rather than a generic auth error
+      // (servers accept native auth when the account is created with it)
+      require(hs.authPlugin.isEmpty || hs.authPlugin == "mysql_native_password",
+        s"binlog client supports only mysql_native_password auth; server " +
+          s"advertised '${hs.authPlugin}' — create the replication user " +
+          "WITH mysql_native_password or enable it server-side")
       writePacket(out, seq + 1, handshakeResponse(user, password, hs.scramble))
       val (_, reply) = readPacket(in)
       checkOk(reply)

@@ -46,7 +46,16 @@ object PositionRepo {
 final class JdbcPositionRepo(url: String,
     schema: String = PositionRepo.Database) extends PositionRepo {
 
-  private def qualified = s"\"$schema\".\"${PositionRepo.Table}\""
+  // the schema name (_graft, gravity's _gravity) needs quoting — a
+  // leading underscore is illegal unquoted in standard SQL — but stock
+  // MySQL only honors double quotes under ANSI_QUOTES, so pick the
+  // dialect's own quote from the url: backticks for MySQL/MariaDB,
+  // standard double quotes for Derby/Postgres/everything ANSI
+  private val mysqlish =
+    url.startsWith("jdbc:mysql:") || url.startsWith("jdbc:mariadb:")
+  private def q(ident: String): String =
+    if (mysqlish) s"`$ident`" else s""""$ident""""
+  private def qualified = s"${q(schema)}.${q(PositionRepo.Table)}"
 
   private lazy val conn: java.sql.Connection =
     java.sql.DriverManager.getConnection(url)
@@ -60,13 +69,16 @@ final class JdbcPositionRepo(url: String,
   def init(): Unit = {
     val st = conn.createStatement()
     try {
-      try st.execute(s"""CREATE SCHEMA "$schema"""")
+      try st.execute(s"CREATE SCHEMA ${q(schema)}")
       catch { case e: java.sql.SQLException if ignorable(e) => () }
+      // VARCHAR(8192) is the Derby/MySQL/Postgres intersection (Derby has
+      // no TEXT; MySQL TEXT can't be a default; 8 KB comfortably holds
+      // any GTID-set/file+pos JSON the tailers checkpoint)
       try st.execute(
         s"""CREATE TABLE $qualified (
            |  name VARCHAR(255) NOT NULL PRIMARY KEY,
            |  stage VARCHAR(20) NOT NULL,
-           |  position LONG VARCHAR,
+           |  position VARCHAR(8192),
            |  created_at TIMESTAMP NOT NULL,
            |  updated_at TIMESTAMP NOT NULL
            |)""".stripMargin)

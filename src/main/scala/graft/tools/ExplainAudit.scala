@@ -36,13 +36,12 @@ object ExplainAudit {
       // for the truth count, once for the hit semi-join), so its plan
       // carries that query's documented non-equi BNLJ; its OWN final
       // cross is two 1-row aggregates and needs no exemption
-      "sim_lsh_recall",
-      // the PQ/ADC ranked scan IS a linear pass of queries over the
-      // compressed code list (24 B/row, 32x smaller than the vectors) —
-      // same documented-baseline shape as the brute-force entry, but
-      // over codes; the bucketed candidate generators remain the
-      // non-cross scale path
-      "sim_pq_adc_topk")
+      "sim_lsh_recall")
+      // sim_pq_adc_topk left this list in round 7: its query batch now
+      // collapses to a provable 1-row aggregate before the broadcast, so
+      // the structural bound covers it — and the composed
+      // sim_ivfpq_adc_topk replaces the flat scan with an equi-join on
+      // probed cells (no cross anywhere)
 
   /** Parquet table names scanned anywhere under a logical subtree. */
   private def scannedTables(
