@@ -623,6 +623,81 @@ object GrpcWire {
       } catch { case _: Exception => () }
       try socket.close() catch { case _: Exception => () }
     }
+
+    /** Open a SERVER-STREAMING rpc: one request message, many response
+      * messages (etcd's Watch shape). The client's send half stays OPEN
+      * (etcd cancels a watch whose client half-closes), so the stream
+      * owns this connection until [[GrpcServerStream.close]] — make no
+      * other calls on this client while a stream is live.
+      */
+    def serverStream(path: String, message: Array[Byte]): GrpcServerStream =
+      synchronized {
+        val st = new CallState(nextStream)
+        nextStream += 2
+        Http2.writeFrame(out, Http2.HEADERS, Http2.FlagEndHeaders, st.sid,
+          Hpack.encode(Seq(
+            ":method" -> "POST", ":scheme" -> "http", ":path" -> path,
+            ":authority" -> s"$host:$port",
+            "content-type" -> "application/grpc",
+            "user-agent" -> "graft-grpc-wire/0.1",
+            "te" -> "trailers")))
+        // request messages are small (a watch-create); windows suffice
+        Http2.writeFrame(out, Http2.DATA, 0, st.sid, grpcFrame(message))
+        out.flush()
+        new GrpcServerStream(st)
+      }
+
+    final class GrpcServerStream private[GrpcWireClient] (st: CallState) {
+      private var parsed = 0 // bytes of st.data already returned as messages
+
+      /** Blocking: the next response message, or None when the server
+        * closes the stream (trailers). Throws [[GrpcStatusException]] on
+        * a non-zero grpc-status close.
+        */
+      def next(): Option[Array[Byte]] = {
+        def extract(): Option[Array[Byte]] = {
+          val buf = st.data.toByteArray
+          if (buf.length - parsed < 5) None
+          else {
+            require(buf(parsed) == 0, "grpc: compressed stream message")
+            val len = ((buf(parsed + 1) & 0xff) << 24) | ((buf(parsed + 2) & 0xff) << 16) |
+              ((buf(parsed + 3) & 0xff) << 8) | (buf(parsed + 4) & 0xff)
+            if (buf.length - parsed - 5 < len) None
+            else {
+              val msg = java.util.Arrays.copyOfRange(buf, parsed + 5, parsed + 5 + len)
+              parsed += 5 + len
+              Some(msg)
+            }
+          }
+        }
+        var m = extract()
+        while (m.isEmpty && !st.done) {
+          processFrame(Http2.readFrame(in), st)
+          m = extract()
+        }
+        m match {
+          case some @ Some(_) => some
+          case None =>
+            val status = UnaryResult(st.headers, Array.emptyByteArray, st.trailers)
+              .header("grpc-status").map(_.toInt).getOrElse(
+                throw new java.io.IOException("grpc: stream closed with no grpc-status"))
+            if (status != 0) throw new GrpcStatusException(status,
+              UnaryResult(st.headers, Array.emptyByteArray, st.trailers)
+                .header("grpc-message").map(decodeGrpcMessage).getOrElse(""))
+            None
+        }
+      }
+
+      /** Tear the stream down (RST) — the watch-cancel shape. */
+      def close(): Unit = {
+        try {
+          val p = new Array[Byte](4)
+          p(3) = 8 // CANCEL
+          Http2.writeFrame(out, Http2.RST_STREAM, 0, st.sid, p)
+          out.flush()
+        } catch { case _: Exception => () }
+      }
+    }
   }
 
   // ===================================================================
@@ -636,7 +711,8 @@ object GrpcWire {
     * functions; a handler throw surfaces as grpc-status 2 (UNKNOWN), an
     * unknown path as 12 (UNIMPLEMENTED) — grpc-go's own mappings.
     */
-  final class GrpcWireServer(handlers: Map[String, Array[Byte] => Array[Byte]])
+  final class GrpcWireServer(handlers: Map[String, Array[Byte] => Array[Byte]],
+      streamHandlers: Map[String, (Array[Byte], Array[Byte] => Unit) => Unit] = Map.empty)
       extends AutoCloseable {
     private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
     def port: Int = server.getLocalPort
@@ -665,6 +741,22 @@ object GrpcWire {
       var headersEndStream = false
       val data = new java.io.ByteArrayOutputStream(64)
       var complete = false
+      var streamDispatched = false
+
+      /** First complete gRPC message in the buffer, if any — streaming
+        * rpcs dispatch on message arrival, not stream end (the client's
+        * send half stays open for the etcd Watch shape).
+        */
+      def firstMessage: Option[Array[Byte]] = {
+        val buf = data.toByteArray
+        if (buf.length < 5) None
+        else {
+          val len = ((buf(1) & 0xff) << 24) | ((buf(2) & 0xff) << 16) |
+            ((buf(3) & 0xff) << 8) | (buf(4) & 0xff)
+          if (buf.length - 5 < len) None
+          else Some(java.util.Arrays.copyOfRange(buf, 5, 5 + len))
+        }
+      }
     }
 
     private def serve(sock: Socket): Unit = {
@@ -715,6 +807,46 @@ object GrpcWire {
           true
         case _ => false
       }
+
+      /** Server-streaming dispatch: response headers, then one DATA frame
+        * per emitted message, then trailers. Emits skip send-window
+        * accounting — stream responses here are stub-scale (a few KB);
+        * a production watch hub would pump WINDOW_UPDATEs like the
+        * unary path does.
+        */
+      def respondStream(sid: Int, st: StreamState,
+          h: (Array[Byte], Array[Byte] => Unit) => Unit): Unit = {
+        calls.add(st.path)
+        st.streamDispatched = true
+        val req = st.firstMessage.get
+        Http2.writeFrame(out, Http2.HEADERS, Http2.FlagEndHeaders, sid,
+          Hpack.encode(Seq(
+            ":status" -> "200", "content-type" -> "application/grpc")))
+        try {
+          h(req, msg => {
+            Http2.writeFrame(out, Http2.DATA, 0, sid, grpcFrame(msg))
+            out.flush()
+          })
+          Http2.writeFrame(out, Http2.HEADERS,
+            Http2.FlagEndHeaders | Http2.FlagEndStream, sid,
+            Hpack.encode(Seq("grpc-status" -> "0")))
+        } catch {
+          case e: Exception =>
+            Http2.writeFrame(out, Http2.HEADERS,
+              Http2.FlagEndHeaders | Http2.FlagEndStream, sid,
+              Hpack.encode(Seq("grpc-status" -> "2",
+                "grpc-message" -> Option(e.getMessage).getOrElse(e.getClass.getName))))
+        }
+        out.flush()
+      }
+
+      def maybeDispatchStream(sid: Int, st: StreamState): Boolean =
+        if (!st.streamDispatched && st.path.nonEmpty &&
+            streamHandlers.contains(st.path) && st.firstMessage.isDefined) {
+          respondStream(sid, st, streamHandlers(st.path))
+          streams.remove(sid)
+          true
+        } else false
 
       def respond(sid: Int, st: StreamState): Unit = {
         calls.add(st.path)
@@ -799,10 +931,12 @@ object GrpcWire {
                 Http2.windowUpdate(out, f.streamId, f.payload.length)
               out.flush()
             }
-            if (f.flag(Http2.FlagEndStream)) {
-              st.complete = true
-              respond(f.streamId, st)
-              streams.remove(f.streamId)
+            if (!maybeDispatchStream(f.streamId, st)) {
+              if (f.flag(Http2.FlagEndStream)) {
+                st.complete = true
+                respond(f.streamId, st)
+                streams.remove(f.streamId)
+              }
             }
           case Http2.RST_STREAM => streams.remove(f.streamId)
           case Http2.GOAWAY => return
