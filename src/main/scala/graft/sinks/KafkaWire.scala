@@ -102,19 +102,101 @@ object KafkaWire {
       val magic = r.i8()
       require(magic == 1, s"kafka: unsupported message magic $magic")
       // attributes low bits = compression codec; a compressed wrapper's
-      // value is an INNER message set — surfacing it as one raw record
-      // would be silent corruption, so fail loudly (posture of
-      // JsonBinary/BinlogWire: decode exactly or refuse)
+      // value is an INNER message set. gzip and snappy decode (both
+      // codecs ship with the JVM/Spark runtime); lz4/zstd are refused
+      // loudly — surfacing a wrapper as one raw record would be silent
+      // corruption (posture of JsonBinary/BinlogWire: decode exactly or
+      // refuse)
       val attrs = r.i8()
-      require((attrs & 0x07) == 0,
-        s"kafka: compressed message sets unsupported (attributes=$attrs)")
+      val codec = attrs & 0x07
       r.i64() // timestamp
       val key = r.bytes()
       val value = r.bytes()
       require(r.pos == start + size, "kafka: message size mismatch")
-      out += ((offset, key, value))
+      if (codec == 0) out += ((offset, key, value))
+      else {
+        val inner = parseMessageSet(decompress(codec, value))
+        require(inner.nonEmpty, "kafka: compressed wrapper holds no messages")
+        // v1 wrappers carry the LAST inner message's absolute offset;
+        // inner offsets are relative 0..n-1 (KIP-31)
+        val lastRel = inner.last._1
+        inner.foreach { case (rel, k, v) => out += ((offset - lastRel + rel, k, v)) }
+      }
     }
     out.result()
+  }
+
+  /** Wrapper-value decompression, size-capped (a fetched set is bounded
+    * by max_bytes; a wrapper inflating past this is corruption or a
+    * decompression bomb, and either way not data).
+    */
+  val MaxDecompressedBytes: Int = 64 * 1024 * 1024
+
+  private def decompress(codec: Int, value: Array[Byte]): Array[Byte] = {
+    var in: InputStream = null
+    try {
+      // both stream constructors validate the header — corrupt input can
+      // throw HERE, so construction sits inside the protocol-error wrap
+      in = codec match {
+        case 1 => new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(value))
+        case 2 => new org.xerial.snappy.SnappyInputStream(
+          new java.io.ByteArrayInputStream(value))
+        case c => throw new IllegalArgumentException(
+          s"kafka: unsupported compression codec $c (gzip=1/snappy=2 decode; lz4/zstd do not)")
+      }
+      val out = new java.io.ByteArrayOutputStream(math.max(64, value.length * 2))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        require(out.size() <= MaxDecompressedBytes,
+          s"kafka: compressed wrapper inflates past $MaxDecompressedBytes bytes")
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch {
+      case e: java.io.IOException => throw new IllegalArgumentException(
+        s"kafka: corrupt compressed wrapper (codec $codec): ${e.getMessage}")
+    } finally if (in != null) in.close()
+  }
+
+  /** Build a COMPRESSED wrapper message around an inner set — the
+    * broker-side form a real topic with compression.type=gzip/snappy
+    * serves to fetchers. Inner records get relative offsets 0..n-1 and
+    * the wrapper carries the last record's absolute offset (KIP-31).
+    */
+  def compressedMessageSet(codec: Int,
+      records: Seq[(Long, Array[Byte], Array[Byte])],
+      timestampMs: Long): Array[Byte] = {
+    require(records.nonEmpty, "kafka: empty compressed set")
+    val relative = records.zipWithIndex.map { case ((_, k, v), i) => (i.toLong, k, v) }
+    val innerBytes = messageSetAt(relative, timestampMs)
+    val compressed = {
+      val bos = new java.io.ByteArrayOutputStream(innerBytes.length / 2 + 64)
+      val zos: OutputStream = codec match {
+        case 1 => new java.util.zip.GZIPOutputStream(bos)
+        case 2 => new org.xerial.snappy.SnappyOutputStream(bos)
+        case c => throw new IllegalArgumentException(s"kafka: codec $c not writable")
+      }
+      try { zos.write(innerBytes) } finally zos.close()
+      bos.toByteArray
+    }
+    val body = new Writer()
+      .i8(1) // magic 1
+      .i8(codec) // attributes: compression codec
+      .i64(timestampMs)
+      .bytes(null) // wrapper key is null
+      .bytes(compressed)
+      .result()
+    val crc = new java.util.zip.CRC32
+    crc.update(body)
+    val msg = new Writer().i32(crc.getValue.toInt).raw(body).result()
+    new Writer()
+      .i64(records.last._1) // wrapper offset = last inner absolute
+      .i32(msg.length)
+      .raw(msg)
+      .result()
   }
 
   // ------------------------------------------------------ produce v2

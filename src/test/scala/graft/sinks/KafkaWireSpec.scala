@@ -286,24 +286,47 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
-  test("a compressed message set is refused loudly, never surfaced as one raw record") {
-    // attributes low bits = codec; a gzip wrapper's value is an INNER
-    // message set — decoding it as a single record would be silent
-    // corruption. Build a valid-CRC message with attributes = 1.
+  test("gzip and snappy wrapper sets decode with correct absolute offsets") {
     import KafkaWire._
-    val body = new Writer()
-      .i8(1) // magic 1
-      .i8(1) // attributes: gzip
-      .i64(1700000000123L)
-      .bytes("k".getBytes("UTF-8"))
-      .bytes("gzip-blob".getBytes("UTF-8"))
-      .result()
-    val crc = new java.util.zip.CRC32
-    crc.update(body)
-    val set = new Writer().i64(0L).i32(body.length + 4)
-      .i32(crc.getValue.toInt).raw(body).result()
-    val e = intercept[IllegalArgumentException](parseMessageSet(set))
-    assert(e.getMessage.contains("compressed"))
+    val records = Seq(
+      (39L, "k1".getBytes("UTF-8"), "v1".getBytes("UTF-8")),
+      (40L, "k2".getBytes("UTF-8"), "v2".getBytes("UTF-8")),
+      (41L, "k3".getBytes("UTF-8"), "v3".getBytes("UTF-8")))
+    Seq(1, 2).foreach { codec => // gzip, snappy
+      val set = compressedMessageSet(codec, records, 1700000000123L)
+      val got = parseMessageSet(set)
+      // KIP-31: wrapper offset 41 + relative 0..2 -> absolutes 39..41
+      assert(got.map(_._1) == Seq(39L, 40L, 41L), s"codec $codec offsets")
+      assert(got.map(t => new String(t._3, "UTF-8")) == Seq("v1", "v2", "v3"))
+    }
+    // a compressed wrapper can ride alongside plain messages in one set
+    val mixed = messageSetAt(Seq((42L, "k4".getBytes("UTF-8"),
+      "v4".getBytes("UTF-8"))), 1700000000123L)
+    val both = compressedMessageSet(1, records, 1700000000123L) ++ mixed
+    assert(parseMessageSet(both).map(_._1) == Seq(39L, 40L, 41L, 42L))
+  }
+
+  test("unsupported codecs and corrupt compressed blobs are refused loudly") {
+    import KafkaWire._
+    // lz4 (codec 3) is not decodable here — refusal, never a raw record
+    def wrapper(codec: Int, blob: Array[Byte]): Array[Byte] = {
+      val body = new Writer()
+        .i8(1).i8(codec).i64(1700000000123L)
+        .bytes("k".getBytes("UTF-8")).bytes(blob)
+        .result()
+      val crc = new java.util.zip.CRC32
+      crc.update(body)
+      new Writer().i64(0L).i32(body.length + 4)
+        .i32(crc.getValue.toInt).raw(body).result()
+    }
+    val e = intercept[IllegalArgumentException](
+      parseMessageSet(wrapper(3, "lz4-blob".getBytes("UTF-8"))))
+    assert(e.getMessage.contains("codec 3"))
+    // valid CRC around an invalid gzip payload must be a loud protocol
+    // error, not an empty decode
+    val e2 = intercept[IllegalArgumentException](
+      parseMessageSet(wrapper(1, "not-gzip".getBytes("UTF-8"))))
+    assert(e2.getMessage.contains("corrupt compressed"))
   }
 
   test("a fetch truncated at max_bytes mid-message is tolerated, produce validation stays strict") {
