@@ -793,6 +793,10 @@ object ScaleOpsQueries {
       val seedsOne = base.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cell"), col("q").as("cv"))
         .agg(collect_list(struct(col("cell"), col("cv"))).as("cs"))
+      // nearest cell per vector via rank-1 window (measured FASTER than
+      // the min(struct(dist,cell)) argmin aggregate here: struct min is
+      // not hash-aggregable, so it falls back to sort-based aggregation
+      // and loses codegen — 9.8s vs 4.5s warm at 10x)
       val wv = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
       val codeList = base.crossJoin(broadcast(seedsOne))
         .select(col("vec_id"), col("q"), col("lo"), col("hi"), explode(col("cs")).as("c"))
@@ -813,7 +817,21 @@ object ScaleOpsQueries {
         .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 4)
         .select(col("query_id"), col("qv"), col("cell"))
       val wr = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id").asc)
-      probes.join(codeList, "cell")
+      // SALTED cell join: at the oracle's pinned C=16 a plain join on
+      // cell hashes into ≤16 shuffle keys and most cores idle (measured
+      // 16.9s vs 1.9s for the flat scan at 10x). Replicating each probe
+      // row across 32 salts and salting codes by vec_id spreads every
+      // cell over 32 keys — candidate volume is unchanged (each code row
+      // matches exactly one salt), the join stays an equi-join, and no
+      // fact-derived side is force-broadcast. Production C ∝ √N un-skews
+      // the join on its own; the salt just makes the pinned-C oracle
+      // entry honest about parallelism too.
+      val salts = 32
+      val saltedProbes = probes.withColumn("salt",
+        explode(expr(s"sequence(0, ${salts - 1})")))
+      val saltedCodes = codeList.withColumn("salt",
+        pmod(xxhash64(col("vec_id")), lit(salts)).cast("int"))
+      saltedProbes.join(saltedCodes, Seq("cell", "salt"))
         .filter(col("query_id") =!= col("vec_id"))
         .withColumn("adc",
           graft.functions.GraftFunctions.adc_dist(col("qv"), col("lo"), col("hi")))

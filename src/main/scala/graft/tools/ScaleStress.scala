@@ -57,6 +57,10 @@ object ScaleStress {
       // single-pass aggregates (linear)
       "mix_dsir_resample_budget", "qa_schema_drift_detect")
     val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
+    // the non-catalog blocks below (snapshot merge, pipeline, semdedup
+    // sqrt-N, fixed anchors, trickled dcp) run with the DEFAULT set only —
+    // a targeted `ScaleStress dir N query...` stays a targeted timing
+    val extras = args.length <= 2
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
     val spark = Engine.session("scale-stress",
       master = Some(s"local[${Engine.defaultShufflePartitions}]"))
@@ -105,7 +109,7 @@ object ScaleStress {
     // snapshot-sink write path: full initial merge, then an incremental
     // batch touching ~1% of keys — the second number must reflect
     // touched-buckets-only cost, not a full-table rewrite
-    {
+    if (extras) {
       val log = graft.analytics.CdcQueries.changeLog(spark, out)
       val sink = new graft.sinks.SnapshotSink(spark, out + "/snap_stress",
         Seq("o_orderkey"), numBuckets = 64)
@@ -130,7 +134,7 @@ object ScaleStress {
     // filters -> router -> Derby upsert + snapshot, drained in
     // rate-limited micro-batches (the flagship e2e shape, sized up,
     // no fault injection)
-    {
+    if (extras) {
       val changes = 200000L
       val t0 = System.nanoTime()
       val state = graft.analytics.PipelineE2E.runPipeline(
@@ -146,7 +150,7 @@ object ScaleStress {
     // default loop times the oracle's pinned C=16 (within-cell pairwise
     // = N^2/C there); this row proves the same code path at C ∝ sqrt(N)
     // keeps Σ|cell|² ≈ N^1.5 — the bounded-pairwise claim, measured
-    {
+    if (extras) {
       val n = Tables.load(spark, out, "embeddings").count()
       val c = math.ceil(math.sqrt(n.toDouble)).toInt
       val t0 = System.nanoTime()
@@ -159,7 +163,7 @@ object ScaleStress {
     // (base replica only — ids below the replication shift) while the
     // corpus grows `factor`x, so cost must track corpus size linearly;
     // the default loop's row times the harness regime (anchors scale too)
-    {
+    if (extras) {
       val t0 = System.nanoTime()
       val rows = graft.analytics.CorpusOpsQueries.hardNegatives(spark, out,
         col("vec_id") % 25 === 0 && col("vec_id") < shift).count()
@@ -172,7 +176,7 @@ object ScaleStress {
     // tracks the horizon (open windows), not the stream length — the
     // default loop's vrf_stream_consistency number, by construction,
     // holds every window open through one bulk batch
-    {
+    if (extras) {
       import org.apache.spark.sql.streaming.Trigger
       val work = java.nio.file.Files.createTempDirectory("graft-dcp-trickle").toString
       val chk = md5(concat_ws("|", col("op"), col("o_orderkey"),
