@@ -182,6 +182,8 @@ object PipelineConfig {
       case "mongo-stream" =>
         forwardOptions(spark.readStream.format("graft.sources.OplogStreamSource"), o,
           Seq("host" -> "host", "port" -> "port",
+            "user" -> "user", "password" -> "password",
+            "auth-mechanism" -> "authMechanism", "auth-source" -> "authSource",
             "after-sec" -> "afterSec", "after-inc" -> "afterInc",
             "rows-per-batch" -> "rowsPerBatch", "max-buffered" -> "maxBuffered",
             "partitions" -> "partitions", "drain-wait-ms" -> "drainWaitMs"))

@@ -9,7 +9,9 @@ import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputSt
   * MongoWire set). Hand-rolled from the public protocol spec.
   *
   * Scope: ProduceRequest v2 with MessageSet v1 (magic 1: CRC32 over
-  * magic..value, create-time timestamps) and ProduceResponse v2 —
+  * magic..value, create-time timestamps), fetch decode of BOTH v1 sets
+  * and v2 RecordBatches (magic 2: CRC32C, zigzag varints, zstd legal,
+  * control batches skipped), and ProduceResponse v2 —
   * the classic framing every broker still accepts. Kafka is BIG-endian
   * on the wire, unlike MySQL/Mongo. Partitioning stays the caller's
   * (the sink computes pk-hash sticky partitions exactly like
@@ -33,6 +35,16 @@ object KafkaWire {
     }
     def bytes(b: Array[Byte]): this.type =
       if (b == null) i32(-1) else { i32(b.length); raw(b) }
+    /** zigzag varint/varlong — the record-level framing of batch v2 */
+    def varlong(v: Long): this.type = {
+      var u = (v << 1) ^ (v >> 63)
+      while ((u & ~0x7fL) != 0) { i8(((u & 0x7f) | 0x80).toInt); u >>>= 7 }
+      i8(u.toInt)
+    }
+    def varint(v: Int): this.type = varlong(v.toLong)
+    /** varint-length-prefixed bytes (-1 = null), v2 record key/value form */
+    def varBytes(b: Array[Byte]): this.type =
+      if (b == null) varint(-1) else { varint(b.length); raw(b) }
   }
 
   final class Reader(b: Array[Byte], var pos: Int = 0) {
@@ -44,6 +56,21 @@ object KafkaWire {
     def str(): String = { val n = i16(); val s = new String(b, pos, n, "UTF-8"); pos += n; s }
     def bytes(): Array[Byte] = {
       val n = i32()
+      if (n < 0) null
+      else { val r = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; r }
+    }
+    def varlong(): Long = {
+      var u = 0L; var shift = 0; var x = 0
+      do {
+        x = i8()
+        require(shift <= 63, "kafka: varint overruns 64 bits")
+        u |= (x & 0x7fL) << shift; shift += 7
+      } while ((x & 0x80) != 0)
+      (u >>> 1) ^ -(u & 1)
+    }
+    def varint(): Int = varlong().toInt
+    def varBytes(): Array[Byte] = {
+      val n = varint()
       if (n < 0) null
       else { val r = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; r }
     }
@@ -90,10 +117,34 @@ object KafkaWire {
     val r = new Reader(b)
     val out = Seq.newBuilder[(Long, Array[Byte], Array[Byte])]
     while (r.remaining > 0) {
-      if (tolerateTruncation && r.remaining < 12) return out.result()
+      if (r.remaining < 17) {
+        if (tolerateTruncation) return out.result()
+        throw new IllegalArgumentException(
+          s"kafka: message set truncated at ${r.remaining} trailing bytes")
+      }
+      // both formats put the magic byte 16 bytes past the entry start
+      // (v1: offset+size+crc, v2: baseOffset+batchLength+leaderEpoch) —
+      // sniff it so a topic stored as v2 RecordBatches (any broker
+      // since 0.11 with message.format.version=2) decodes on the same
+      // fetch path as down-converted v1 sets
+      if ((b(r.pos + 16) & 0xff) == 2) {
+        if (!parseRecordBatch(b, r, tolerateTruncation, out)) return out.result()
+      } else parseV1Entry(b, r, tolerateTruncation, out) match {
+        case false => return out.result()
+        case true => ()
+      }
+    }
+    out.result()
+  }
+
+  private def parseV1Entry(b: Array[Byte], r: Reader,
+      tolerateTruncation: Boolean,
+      out: scala.collection.mutable.Builder[(Long, Array[Byte], Array[Byte]),
+        Seq[(Long, Array[Byte], Array[Byte])]]): Boolean = {
+    {
       val offset = r.i64()
       val size = r.i32()
-      if (tolerateTruncation && r.remaining < size) return out.result()
+      if (tolerateTruncation && r.remaining < size) return false
       val start = r.pos
       val crc = r.i32().toLong & 0xffffffffL
       val check = new java.util.zip.CRC32
@@ -102,11 +153,13 @@ object KafkaWire {
       val magic = r.i8()
       require(magic == 1, s"kafka: unsupported message magic $magic")
       // attributes low bits = compression codec; a compressed wrapper's
-      // value is an INNER message set. gzip and snappy decode (both
-      // codecs ship with the JVM/Spark runtime); lz4/zstd are refused
-      // loudly — surfacing a wrapper as one raw record would be silent
-      // corruption (posture of JsonBinary/BinlogWire: decode exactly or
-      // refuse)
+      // value is an INNER message set. gzip, snappy and lz4 decode (all
+      // three codecs ship with the JVM/Spark runtime; magic-1 lz4 is the
+      // standard LZ4 frame format per KIP-57). zstd is refused loudly —
+      // KIP-110 admits it only inside v2 record batches, so a zstd bit
+      // on a magic-1 message is a protocol violation, and surfacing a
+      // wrapper as one raw record would be silent corruption (posture of
+      // JsonBinary/BinlogWire: decode exactly or refuse)
       val attrs = r.i8()
       val codec = attrs & 0x07
       r.i64() // timestamp
@@ -123,7 +176,118 @@ object KafkaWire {
         inner.foreach { case (rel, k, v) => out += ((offset - lastRel + rel, k, v)) }
       }
     }
-    out.result()
+    true
+  }
+
+  /** RecordBatch v2 (magic 2, any broker since 0.11): CRC32C over
+    * attributes..records, zigzag-varint record framing, whole-records
+    * compression (gzip/snappy/lz4/zstd — zstd is LEGAL here, KIP-110),
+    * control batches (transaction markers) skipped. Returns false on a
+    * tolerated truncation.
+    */
+  private def parseRecordBatch(b: Array[Byte], r: Reader,
+      tolerateTruncation: Boolean,
+      out: scala.collection.mutable.Builder[(Long, Array[Byte], Array[Byte]),
+        Seq[(Long, Array[Byte], Array[Byte])]]): Boolean = {
+    val baseOffset = r.i64()
+    val batchLength = r.i32()
+    if (tolerateTruncation && r.remaining < batchLength) return false
+    val end = r.pos + batchLength
+    r.i32() // partitionLeaderEpoch — NOT covered by the crc
+    val magic = r.i8()
+    require(magic == 2, s"kafka: unsupported batch magic $magic")
+    val crc = r.i32().toLong & 0xffffffffL
+    val check = new java.util.zip.CRC32C
+    check.update(b, r.pos, end - r.pos)
+    require(check.getValue == crc,
+      s"kafka: record batch CRC32C mismatch at offset $baseOffset")
+    val attrs = r.i16()
+    val codec = attrs & 0x07
+    val isControl = (attrs & 0x20) != 0
+    r.i32() // lastOffsetDelta
+    r.i64(); r.i64() // first/max timestamp
+    r.i64() // producerId
+    r.i16() // producerEpoch
+    r.i32() // baseSequence
+    val recordCount = r.i32()
+    val payload = java.util.Arrays.copyOfRange(b, r.pos, end)
+    r.pos = end
+    val recBytes =
+      if (codec == 0) payload else decompress(codec, payload, zstdLegal = true)
+    val rr = new Reader(recBytes)
+    (0 until recordCount).foreach { _ =>
+      val len = rr.varint()
+      val recEnd = rr.pos + len
+      rr.i8() // record attributes (unused)
+      rr.varlong() // timestampDelta
+      val offsetDelta = rr.varint()
+      val key = rr.varBytes()
+      val value = rr.varBytes()
+      val headerCount = rr.varint()
+      (0 until headerCount).foreach { _ => rr.varBytes(); rr.varBytes() }
+      require(rr.pos == recEnd, "kafka: record length mismatch")
+      // control records (commit/abort markers) are broker metadata, not
+      // data — a consumer skips them (read_uncommitted semantics)
+      if (!isControl) out += ((baseOffset + offsetDelta, key, value))
+    }
+    true
+  }
+
+  /** Broker-side RecordBatch v2 builder — what a modern topic serves to
+    * fetchers without down-conversion.
+    */
+  def recordBatchAt(records: Seq[(Long, Array[Byte], Array[Byte])],
+      timestampMs: Long, codec: Int = 0, control: Boolean = false): Array[Byte] = {
+    require(records.nonEmpty, "kafka: empty record batch")
+    val baseOffset = records.head._1
+    val recs = new Writer
+    records.foreach { case (offset, key, value) =>
+      val body = new Writer()
+        .i8(0) // record attributes
+        .varlong(0L) // timestampDelta
+        .varint((offset - baseOffset).toInt)
+        .varBytes(key)
+        .varBytes(value)
+        .varint(0) // headers
+        .result()
+      recs.varint(body.length).raw(body)
+    }
+    val recBytes = recs.result()
+    val payload = if (codec == 0) recBytes else {
+      val bos = new java.io.ByteArrayOutputStream(recBytes.length / 2 + 64)
+      val zos: OutputStream = codec match {
+        case 1 => new java.util.zip.GZIPOutputStream(bos)
+        case 2 => new org.xerial.snappy.SnappyOutputStream(bos)
+        case 3 => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+        case 4 => new com.github.luben.zstd.ZstdOutputStream(bos)
+        case c => throw new IllegalArgumentException(s"kafka: codec $c not writable")
+      }
+      try { zos.write(recBytes) } finally zos.close()
+      bos.toByteArray
+    }
+    val afterCrc = new Writer()
+      .i16(codec | (if (control) 0x20 else 0)) // attributes
+      .i32((records.last._1 - baseOffset).toInt) // lastOffsetDelta
+      .i64(timestampMs).i64(timestampMs)
+      .i64(-1L) // producerId
+      .i16(-1) // producerEpoch
+      .i32(-1) // baseSequence
+      .i32(records.length)
+      .raw(payload)
+      .result()
+    val crc = new java.util.zip.CRC32C
+    crc.update(afterCrc)
+    val batchBody = new Writer()
+      .i32(0) // partitionLeaderEpoch
+      .i8(2) // magic
+      .i32(crc.getValue.toInt)
+      .raw(afterCrc)
+      .result()
+    new Writer()
+      .i64(baseOffset)
+      .i32(batchBody.length)
+      .raw(batchBody)
+      .result()
   }
 
   /** Wrapper-value decompression, size-capped (a fetched set is bounded
@@ -132,18 +296,24 @@ object KafkaWire {
     */
   val MaxDecompressedBytes: Int = 64 * 1024 * 1024
 
-  private def decompress(codec: Int, value: Array[Byte]): Array[Byte] = {
+  private def decompress(codec: Int, value: Array[Byte],
+      zstdLegal: Boolean = false): Array[Byte] = {
     var in: InputStream = null
     try {
-      // both stream constructors validate the header — corrupt input can
+      // the stream constructors validate the header — corrupt input can
       // throw HERE, so construction sits inside the protocol-error wrap
       in = codec match {
         case 1 => new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(value))
         case 2 => new org.xerial.snappy.SnappyInputStream(
           new java.io.ByteArrayInputStream(value))
+        case 3 => new net.jpountz.lz4.LZ4FrameInputStream(
+          new java.io.ByteArrayInputStream(value))
+        case 4 if zstdLegal => new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(value))
         case c => throw new IllegalArgumentException(
-          s"kafka: unsupported compression codec $c (gzip=1/snappy=2 decode; lz4/zstd do not)")
+          s"kafka: unsupported compression codec $c (gzip=1/snappy=2/lz4=3 " +
+            "decode; zstd=4 is v2-record-batch-only and never valid on magic-1 messages)")
       }
       val out = new java.io.ByteArrayOutputStream(math.max(64, value.length * 2))
       val buf = new Array[Byte](8192)
@@ -162,7 +332,7 @@ object KafkaWire {
   }
 
   /** Build a COMPRESSED wrapper message around an inner set — the
-    * broker-side form a real topic with compression.type=gzip/snappy
+    * broker-side form a real topic with compression.type=gzip/snappy/lz4
     * serves to fetchers. Inner records get relative offsets 0..n-1 and
     * the wrapper carries the last record's absolute offset (KIP-31).
     */
@@ -177,6 +347,7 @@ object KafkaWire {
       val zos: OutputStream = codec match {
         case 1 => new java.util.zip.GZIPOutputStream(bos)
         case 2 => new org.xerial.snappy.SnappyOutputStream(bos)
+        case 3 => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
         case c => throw new IllegalArgumentException(s"kafka: codec $c not writable")
       }
       try { zos.write(innerBytes) } finally zos.close()
@@ -203,17 +374,25 @@ object KafkaWire {
 
   val ApiProduce = 0
 
+  /** Produce v2 carries MessageSet v1; v3 (KIP-98) prefixes a nullable
+    * transactional_id and carries RecordBatch v2 — the ONLY produce form
+    * a 4.x broker still accepts (KIP-724 removed v0/v1 message formats).
+    */
   def produceRequest(correlationId: Int, clientId: String, topic: String,
       partition: Int, recordSet: Array[Byte], acks: Int = -1,
-      timeoutMs: Int = 10000): Array[Byte] =
-    new Writer()
-      .i16(ApiProduce).i16(2) // api key, version
+      timeoutMs: Int = 10000, apiVersion: Int = 2): Array[Byte] = {
+    require(apiVersion == 2 || apiVersion == 3,
+      s"kafka: produce api version $apiVersion not supported")
+    val w = new Writer()
+      .i16(ApiProduce).i16(apiVersion)
       .i32(correlationId).str(clientId)
-      .i16(acks).i32(timeoutMs)
+    if (apiVersion >= 3) w.i16(-1) // transactional_id: null
+    w.i16(acks).i32(timeoutMs)
       .i32(1).str(topic) // one topic
       .i32(1).i32(partition) // one partition
       .bytes(recordSet)
       .result()
+  }
 
   final case class ProduceResult(topic: String, partition: Int,
       errorCode: Int, baseOffset: Long)
@@ -323,7 +502,13 @@ object KafkaWire {
     * committed only after its records are acked).
     */
   final class KafkaWireProducer(host: String, port: Int,
-      clientId: String = "graft") extends AutoCloseable {
+      clientId: String = "graft",
+      /** 1 = MessageSet v1 over produce v2 (pre-4.x brokers, sarama-era
+        * default); 2 = RecordBatch v2 over produce v3 (required by 4.x
+        * brokers — KIP-724 dropped the v1 format) */
+      batchMagic: Int = 1) extends AutoCloseable {
+    require(batchMagic == 1 || batchMagic == 2,
+      s"kafka: batch magic $batchMagic not supported")
     private var socket: java.net.Socket = _
     private var in: InputStream = _
     private var out: OutputStream = _
@@ -343,8 +528,13 @@ object KafkaWire {
         records: Seq[(Array[Byte], Array[Byte])],
         timestampMs: Long = 0L): Long = {
       correlation += 1
+      val recordSet =
+        if (batchMagic == 2)
+          recordBatchAt(records.zipWithIndex.map { case ((k, v), i) =>
+            (i.toLong, k, v) }, timestampMs)
+        else messageSet(records, timestampMs)
       writeFrame(out, produceRequest(correlation, clientId, topic, partition,
-        messageSet(records, timestampMs)))
+        recordSet, apiVersion = if (batchMagic == 2) 3 else 2))
       val (cid, results) = parseProduceResponse(readFrame(in))
       require(cid == correlation, s"kafka: correlation mismatch ($cid != $correlation)")
       val res = results.headOption.getOrElse(sys.error("kafka: empty produce response"))

@@ -155,9 +155,52 @@ object BinlogWire {
     p1.indices.map(i => (p1(i) ^ mix(i)).toByte).toArray
   }
 
+  /** caching_sha2_password scramble (MySQL 8's default plugin):
+    * XOR(SHA256(pwd), SHA256(SHA256(SHA256(pwd)) + nonce)).
+    */
+  def sha256Password(password: String, nonce: Array[Byte]): Array[Byte] = {
+    if (password.isEmpty) return Array.emptyByteArray
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val p1 = md.digest(password.getBytes("UTF-8"))
+    md.reset()
+    val p2 = md.digest(p1)
+    md.reset()
+    md.update(p2)
+    md.update(nonce)
+    val mix = md.digest()
+    p1.indices.map(i => (p1(i) ^ mix(i)).toByte).toArray
+  }
+
+  /** Per-plugin auth response bytes for the handshake / auth-switch. */
+  def authResponse(plugin: String, password: String, nonce: Array[Byte]): Array[Byte] =
+    plugin match {
+      case "caching_sha2_password" => sha256Password(password, nonce)
+      case _ => nativePassword(password, nonce)
+    }
+
+  /** caching_sha2 full-auth password blob for a non-TLS connection:
+    * (pwd + NUL) XOR nonce-cycled, RSA-OAEP(SHA-1)-encrypted under the
+    * server's public key — the exact exchange MySQL 8 performs when the
+    * fast-path cache misses on a plaintext channel.
+    */
+  def rsaEncryptedPassword(password: String, nonce: Array[Byte],
+      publicKeyPem: String): Array[Byte] = {
+    val pwd = password.getBytes("UTF-8") :+ 0.toByte
+    val xored = pwd.indices.map(i => (pwd(i) ^ nonce(i % nonce.length)).toByte).toArray
+    val der = java.util.Base64.getMimeDecoder.decode(
+      publicKeyPem.replace("-----BEGIN PUBLIC KEY-----", "")
+        .replace("-----END PUBLIC KEY-----", "").trim)
+    val key = java.security.KeyFactory.getInstance("RSA")
+      .generatePublic(new java.security.spec.X509EncodedKeySpec(der))
+    val c = javax.crypto.Cipher.getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE, key)
+    c.doFinal(xored)
+  }
+
   /** HandshakeResponse41 (client → server). */
-  def handshakeResponse(user: String, password: String, scramble: Array[Byte]): Array[Byte] = {
-    val auth = nativePassword(password, scramble)
+  def handshakeResponse(user: String, password: String, scramble: Array[Byte],
+      plugin: String = "mysql_native_password"): Array[Byte] = {
+    val auth = authResponse(plugin, password, scramble)
     val caps = CapProtocol41 | CapSecureConnection | CapPluginAuth
     new ByteWriter()
       .u32(caps)
@@ -166,7 +209,7 @@ object BinlogWire {
       .bytes(new Array[Byte](23))
       .strNul(user)
       .u8(auth.length).bytes(auth)
-      .strNul("mysql_native_password")
+      .strNul(plugin)
       .result()
   }
 
@@ -612,22 +655,72 @@ object BinlogWire {
       val (seq, payload) = readPacket(in)
       val hs = parseHandshake(payload)
       serverVersion = hs.serverVersion
-      // the response below answers mysql_native_password; against a
-      // server advertising anything else (MySQL 8 defaults to
-      // caching_sha2_password) the scramble math would be WRONG, so fail
-      // with the actionable message rather than a generic auth error
-      // (servers accept native auth when the account is created with it)
-      require(hs.authPlugin.isEmpty || hs.authPlugin == "mysql_native_password",
-        s"binlog client supports only mysql_native_password auth; server " +
-          s"advertised '${hs.authPlugin}' — create the replication user " +
-          "WITH mysql_native_password or enable it server-side")
-      writePacket(out, seq + 1, handshakeResponse(user, password, hs.scramble))
-      val (_, reply) = readPacket(in)
-      checkOk(reply)
+      // answer whichever plugin the server advertised — native (the
+      // pre-8.0 default) or caching_sha2 (the 8.0 default, fast path +
+      // non-TLS RSA full auth). Anything else fails with an actionable
+      // message rather than wrong-scramble garbage.
+      val plugin =
+        if (hs.authPlugin.isEmpty) "mysql_native_password" else hs.authPlugin
+      require(plugin == "mysql_native_password" || plugin == "caching_sha2_password",
+        s"binlog client supports mysql_native_password and caching_sha2_password " +
+          s"auth; server advertised '$plugin' — create the replication user " +
+          "with a supported plugin")
+      writePacket(out, seq + 1, handshakeResponse(user, password, hs.scramble, plugin))
+      authConversation(plugin, hs.scramble)
       // real replicas pin the checksum before dumping so event framing
       // is unambiguous (go-mysql does the same dance)
       query("SET @master_binlog_checksum='NONE'")
       this
+    }
+
+    /** Drive the post-handshake auth exchange to its OK: fast-path
+      * success (0x01 0x03 then OK), full auth (0x01 0x04 → public-key
+      * request → RSA blob → OK), or an AuthSwitchRequest (0xfe, new
+      * plugin + new nonce → recomputed scramble). ERR throws ServerError.
+      */
+    private def authConversation(startPlugin: String,
+        startNonce: Array[Byte]): Unit = {
+      var activePlugin = startPlugin
+      var nonce = startNonce
+      var done = false
+      while (!done) {
+        val (s, reply) = readPacket(in)
+        (reply(0) & 0xff) match {
+          case 0x00 => done = true // OK
+          case 0xff => checkOk(reply) // throws ServerError
+          case 0x01 => // AuthMoreData
+            if (reply.length == 2 && reply(1) == 0x03) {
+              // caching_sha2 fast-auth success; the OK packet follows
+              ()
+            } else if (reply.length == 2 && reply(1) == 0x04) {
+              // full auth on a plaintext channel: fetch the server's RSA
+              // public key, send the OAEP-encrypted XOR'd password
+              writePacket(out, s + 1, Array(0x02.toByte))
+              val (s2, keyPkt) = readPacket(in)
+              require((keyPkt(0) & 0xff) == 0x01,
+                "mysql: expected AuthMoreData carrying the RSA public key")
+              val pem = new String(keyPkt, 1, keyPkt.length - 1, "UTF-8")
+              writePacket(out, s2 + 1, rsaEncryptedPassword(password, nonce, pem))
+            } else throw new IllegalStateException(
+              s"mysql: unexpected AuthMoreData during $activePlugin auth " +
+                s"(${reply.length - 1} bytes)")
+          case 0xfe if reply.length >= 9 => // AuthSwitchRequest
+            val r = new ByteReader(reply, 1)
+            val newPlugin = r.strNul()
+            require(newPlugin == "mysql_native_password" ||
+                newPlugin == "caching_sha2_password",
+              s"binlog client cannot switch to auth plugin '$newPlugin'")
+            // remainder is the new nonce; servers NUL-terminate it
+            var nn = r.bytes(r.remaining)
+            if (nn.nonEmpty && nn.last == 0) nn = nn.dropRight(1)
+            activePlugin = newPlugin
+            nonce = nn
+            writePacket(out, s + 1, authResponse(newPlugin, password, nonce))
+          case 0xfe => done = true // bare EOF: pre-4.1 servers signal OK this way
+          case other => throw new IllegalStateException(
+            f"mysql: unexpected auth response 0x$other%02x")
+        }
+      }
     }
 
     def query(sql: String): Unit = {

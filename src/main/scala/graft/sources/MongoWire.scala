@@ -41,6 +41,8 @@ object MongoWire {
     final case class BBool(v: Boolean) extends BVal
     final case class BDate(ms: Long) extends BVal
     case object BNull extends BVal
+    /** generic (subtype 0) binary — SASL payloads ride this type */
+    final case class BBin(bytes: Vector[Byte]) extends BVal
     final case class BInt(v: Int) extends BVal
     /** oplog `ts`: (seconds << 32) | increment on the wire. */
     final case class BTs(seconds: Long, inc: Long) extends BVal
@@ -82,6 +84,7 @@ object MongoWire {
       case BArr(items) =>
         out.write(0x04); cstr(name)
         out.write(encodeDoc(BDoc(items.zipWithIndex.map { case (it, i) => i.toString -> it })))
+      case BBin(b) => out.write(0x05); cstr(name); i32(b.length); out.write(0); out.write(b.toArray)
       case BObjId(b) => out.write(0x07); cstr(name); out.write(b.toArray)
       case BBool(x) => out.write(0x08); cstr(name); out.write(if (x) 1 else 0)
       case BDate(ms) => out.write(0x09); cstr(name); i64(ms)
@@ -120,6 +123,10 @@ object MongoWire {
         case 0x04 =>
           val d = decodeDoc(b, pos); val len = docLen(b, pos); pos += len
           BArr(d.fields.map(_._2))
+        case 0x05 =>
+          val len = i32(); val sub = u8()
+          require(sub == 0, f"bson binary subtype 0x$sub%02x not supported (field '$name')")
+          BBin((0 until len).map(i => b(pos + i)).toVector).tap(_ => pos += len)
         case 0x07 => BObjId((0 until 12).map(i => b(pos + i)).toVector).tap(_ => pos += 12)
         case 0x08 => BBool(u8() != 0)
         case 0x09 => BDate(i64())
@@ -190,6 +197,72 @@ object MongoWire {
     (requestId, responseTo, decodeDoc(rest, 5))
   }
 
+  // -------------------------------------------------------------- SCRAM
+
+  /** SCRAM-SHA-1 (RFC 5802) / SCRAM-SHA-256 (RFC 7677) primitives, with
+    * MongoDB's two quirks: SHA-1 salts the hex(MD5("user:mongo:pwd"))
+    * digest rather than the raw password, and the SASL conversation
+    * rides saslStart/saslContinue command payloads.
+    */
+  object Scram {
+    private def hashName(mech: String): (String, String, String, Int) = mech match {
+      case "SCRAM-SHA-256" => ("SHA-256", "HmacSHA256", "PBKDF2WithHmacSHA256", 32)
+      case "SCRAM-SHA-1" => ("SHA-1", "HmacSHA1", "PBKDF2WithHmacSHA1", 20)
+      case m => throw new IllegalArgumentException(s"mongo: unsupported SASL mechanism '$m'")
+    }
+
+    def h(mech: String, data: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance(hashName(mech)._1).digest(data)
+
+    def hmac(mech: String, key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val m = javax.crypto.Mac.getInstance(hashName(mech)._2)
+      m.init(new javax.crypto.spec.SecretKeySpec(key, hashName(mech)._2))
+      m.doFinal(data)
+    }
+
+    /** The password SCRAM actually salts: SHA-256 uses the plain
+      * password; SHA-1 uses hex(MD5(user + ":mongo:" + password)) —
+      * MONGODB-CR's legacy digest, kept by mongod for SCRAM-SHA-1.
+      */
+    def mongoPassword(mech: String, user: String, password: String): String =
+      if (mech == "SCRAM-SHA-1") {
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$user:mongo:$password".getBytes("UTF-8"))
+        md5.map("%02x".format(_)).mkString
+      } else password
+
+    def saltedPassword(mech: String, user: String, password: String,
+        salt: Array[Byte], iterations: Int): Array[Byte] = {
+      val (_, _, kdf, keyLen) = hashName(mech)
+      val spec = new javax.crypto.spec.PBEKeySpec(
+        mongoPassword(mech, user, password).toCharArray, salt, iterations, keyLen * 8)
+      javax.crypto.SecretKeyFactory.getInstance(kdf).generateSecret(spec).getEncoded
+    }
+
+    def clientKey(mech: String, salted: Array[Byte]): Array[Byte] =
+      hmac(mech, salted, "Client Key".getBytes("UTF-8"))
+
+    def storedKey(mech: String, cKey: Array[Byte]): Array[Byte] = h(mech, cKey)
+
+    def clientProof(mech: String, salted: Array[Byte], authMessage: String): Array[Byte] = {
+      val ck = clientKey(mech, salted)
+      val sig = hmac(mech, storedKey(mech, ck), authMessage.getBytes("UTF-8"))
+      ck.indices.map(i => (ck(i) ^ sig(i)).toByte).toArray
+    }
+
+    def serverSignature(mech: String, salted: Array[Byte], authMessage: String): Array[Byte] =
+      hmac(mech, hmac(mech, salted, "Server Key".getBytes("UTF-8")),
+        authMessage.getBytes("UTF-8"))
+
+    /** RFC 5802 attribute escaping for the username ("," and "="). */
+    def saslName(user: String): String =
+      user.replace("=", "=3D").replace(",", "=2C")
+
+    /** `r=...,s=...,i=...` → attribute map. */
+    def attrs(msg: String): Map[String, String] =
+      msg.split(",").filter(_.length >= 2).map(a => a.substring(0, 1) -> a.substring(2)).toMap
+  }
+
   // ------------------------------------------------------------- client
 
   final class MongoClient(host: String, port: Int) extends AutoCloseable {
@@ -206,6 +279,72 @@ object MongoWire {
       out = new BufferedOutputStream(socket.getOutputStream)
       val reply = runCommand("admin", BVal.doc("hello" -> BInt(1)))
       serverMaxWireVersion = reply.long("maxWireVersion").getOrElse(-1L)
+      this
+    }
+
+    /** SCRAM auth conversation (saslStart → saslContinue*): sends the
+      * client proof, and REFUSES the session unless the server's
+      * signature verifies — mutual authentication, not just a password
+      * check. `nonce` is injectable for deterministic tests.
+      */
+    def authenticate(user: String, password: String,
+        mechanism: String = "SCRAM-SHA-256", authDb: String = "admin",
+        nonce: String = null): this.type = {
+      import Scram._
+      val cnonce = if (nonce != null) nonce else {
+        val b = new Array[Byte](18)
+        new java.security.SecureRandom().nextBytes(b)
+        java.util.Base64.getEncoder.encodeToString(b)
+      }
+      val clientFirstBare = s"n=${saslName(user)},r=$cnonce"
+      val start = runCommand(authDb, BVal.doc(
+        "saslStart" -> BInt(1),
+        "mechanism" -> BStr(mechanism),
+        "payload" -> BBin(s"n,,$clientFirstBare".getBytes("UTF-8").toVector),
+        "options" -> BVal.doc("skipEmptyExchange" -> BBool(true))))
+      val convId = start.get("conversationId").getOrElse(BInt(1))
+      val serverFirst = new String(start.get("payload").collect {
+        case BBin(b) => b.toArray }.getOrElse(
+        sys.error("mongo: saslStart reply without payload")), "UTF-8")
+      val sf = attrs(serverFirst)
+      val snonce = sf.getOrElse("r", sys.error("mongo: server-first missing r="))
+      require(snonce.startsWith(cnonce),
+        "mongo: server nonce does not extend the client nonce (MITM?)")
+      val salt = java.util.Base64.getDecoder.decode(
+        sf.getOrElse("s", sys.error("mongo: server-first missing s=")))
+      val iters = sf.getOrElse("i", sys.error("mongo: server-first missing i=")).toInt
+      require(iters >= 4096, s"mongo: iteration count $iters below the RFC floor")
+      val salted = saltedPassword(mechanism, user, password, salt, iters)
+      val withoutProof = s"c=biws,r=$snonce"
+      val authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
+      val proof = java.util.Base64.getEncoder.encodeToString(
+        clientProof(mechanism, salted, authMessage))
+      var reply = runCommand(authDb, BVal.doc(
+        "saslContinue" -> BInt(1),
+        "conversationId" -> convId,
+        "payload" -> BBin(s"$withoutProof,p=$proof".getBytes("UTF-8").toVector)))
+      var verified = false
+      var rounds = 0
+      while (!verified || !reply.get("done").contains(BBool(true))) {
+        val payload = new String(reply.get("payload").collect {
+          case BBin(b) => b.toArray }.getOrElse(Array.emptyByteArray), "UTF-8")
+        attrs(payload).get("v").foreach { v =>
+          require(java.util.Arrays.equals(
+              java.util.Base64.getDecoder.decode(v),
+              serverSignature(mechanism, salted, authMessage)),
+            "mongo: SERVER signature mismatch — refusing the session")
+          verified = true
+        }
+        if (!reply.get("done").contains(BBool(true))) {
+          rounds += 1
+          require(rounds <= 3, "mongo: SASL conversation did not converge")
+          reply = runCommand(authDb, BVal.doc(
+            "saslContinue" -> BInt(1),
+            "conversationId" -> convId,
+            "payload" -> BBin(Vector.empty)))
+        } else require(verified,
+          "mongo: server finished SASL without proving its signature")
+      }
       this
     }
 

@@ -89,6 +89,15 @@ final class OplogMicroBatchStream(options: CaseInsensitiveStringMap)
 
   private val client = new MongoWire.MongoClient(host, port)
 
+  // SCRAM credentials: a deployment with auth enabled (the mongod
+  // default since 3.0 for exposed binds) sets user/password; mechanism
+  // and authSource mirror the driver-URI option names
+  private val authUser = options.get("user")
+  private val authPassword = Option(options.get("password")).getOrElse("")
+  private val authMechanism =
+    Option(options.get("authMechanism")).getOrElse("SCRAM-SHA-256")
+  private val authSource = Option(options.get("authSource")).getOrElse("admin")
+
   override protected def seqOf(e: MongoWire.OplogChange): Long = e.seq
 
   override protected def toRow(r: MongoWire.OplogChange): InternalRow =
@@ -99,6 +108,8 @@ final class OplogMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override protected def tail(emit: MongoWire.OplogChange => Unit): Unit = {
     client.connect()
+    if (authUser != null && authUser.nonEmpty)
+      client.authenticate(authUser, authPassword, authMechanism, authSource)
     MongoWire.oplogChanges(client.tailOplog(afterTs)).foreach(emit)
   }
 

@@ -9,7 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * in-memory partition log, and answers ProduceResponse v2 with the
   * assigned base offset.
   */
-final class StubKafkaBroker extends AutoCloseable {
+final class StubKafkaBroker(
+    /** serve fetches as RecordBatch v2 (magic 2) instead of
+      * down-converted v1 sets — what a modern topic returns — with the
+      * given batch codec (0=none … 4=zstd) */
+    serveV2Batches: Boolean = false, v2Codec: Int = 0) extends AutoCloseable {
   private val server = new java.net.ServerSocket(0, 16,
     java.net.InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
@@ -48,10 +52,17 @@ final class StubKafkaBroker extends AutoCloseable {
         val apiKey = r.i16(); val apiVersion = r.i16()
         val correlationId = r.i32(); lastClientId = r.str()
         clientIds.add(lastClientId)
-        require(apiVersion == 2, s"stub broker: only v2 apis (got $apiVersion)")
         apiKey match {
-          case 0 => writeFrame(out, produceReply(r, correlationId))
-          case 1 => writeFrame(out, fetchReply(r, correlationId))
+          case 0 =>
+            require(apiVersion == 2 || apiVersion == 3,
+              s"stub broker: produce v2/v3 only (got $apiVersion)")
+            if (apiVersion == 3) { // nullable transactional_id
+              val n = r.i16(); require(n == -1, "stub broker: transactions unsupported")
+            }
+            writeFrame(out, produceReply(r, correlationId))
+          case 1 =>
+            require(apiVersion == 2, s"stub broker: fetch v2 only (got $apiVersion)")
+            writeFrame(out, fetchReply(r, correlationId))
           case other => sys.error(s"stub broker: unsupported api key $other")
         }
       }
@@ -110,7 +121,10 @@ final class StubKafkaBroker extends AutoCloseable {
         val hw = buf.size.toLong
         val slice = buf.zipWithIndex.drop(offset.toInt)
           .map { case ((k, v), i) => (i.toLong, k, v) }.toSeq
-        val set = messageSetAt(slice, 1700000000000L)
+        val set =
+          if (slice.isEmpty) Array.emptyByteArray
+          else if (serveV2Batches) recordBatchAt(slice, 1700000000000L, v2Codec)
+          else messageSetAt(slice, 1700000000000L)
         // honor max_bytes like a broker: truncate mid-message if needed
         val capped = if (set.length > maxBytes) set.take(maxBytes) else set
         w.i32(partition).i16(0).i64(hw).bytes(capped)
@@ -286,13 +300,93 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
-  test("gzip and snappy wrapper sets decode with correct absolute offsets") {
+  test("produce v3 ships RecordBatch v2 — the only form a 4.x broker accepts") {
+    val broker = new StubKafkaBroker(serveV2Batches = true)
+    try {
+      val producer = new KafkaWire.KafkaWireProducer("127.0.0.1", broker.port,
+        batchMagic = 2).connect()
+      val base = producer.produce("t4", 0, (0 until 3).map(i =>
+        (s"k$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8"))),
+        timestampMs = 1700000000000L)
+      assert(base == 0L)
+      // appended again: offsets continue
+      assert(producer.produce("t4", 0,
+        Seq(("k9".getBytes("UTF-8"), "v9".getBytes("UTF-8"))),
+        timestampMs = 1700000000000L) == 3L)
+      producer.close()
+      val consumer = new KafkaWire.KafkaWireConsumer("127.0.0.1", broker.port).connect()
+      val (hw, got) = consumer.poll("t4", 0, 0L)
+      consumer.close()
+      assert(hw == 4L)
+      assert(got.map { case (o, k, v) =>
+        (o, new String(k, "UTF-8"), new String(v, "UTF-8")) } ==
+        Seq((0L, "k0", "v0"), (1L, "k1", "v1"), (2L, "k2", "v2"), (3L, "k9", "v9")))
+    } finally broker.close()
+  }
+
+  test("RecordBatch v2 round-trips through every codec, CRC32C validated") {
+    import KafkaWire._
+    val records = Seq(
+      (39L, "k1".getBytes("UTF-8"), "v1".getBytes("UTF-8")),
+      (40L, null: Array[Byte], "v2".getBytes("UTF-8")), // null key is legal
+      (41L, "k3".getBytes("UTF-8"), "v3".getBytes("UTF-8")))
+    Seq(0, 1, 2, 3, 4).foreach { codec => // none, gzip, snappy, lz4, zstd
+      val batch = recordBatchAt(records, 1700000000123L, codec)
+      val got = parseMessageSet(batch)
+      assert(got.map(_._1) == Seq(39L, 40L, 41L), s"codec $codec offsets")
+      assert(got.map(t => new String(t._3, "UTF-8")) == Seq("v1", "v2", "v3"))
+      assert(got(1)._2 == null)
+    }
+    // a flipped payload byte must fail the CRC32C loudly
+    val batch = recordBatchAt(records, 1700000000123L)
+    batch(batch.length - 1) = (batch(batch.length - 1) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException](parseMessageSet(batch))
+    assert(e.getMessage.contains("CRC32C"))
+  }
+
+  test("v2 control batches are skipped; v1 sets and v2 batches coexist in one fetch") {
+    import KafkaWire._
+    val data = recordBatchAt(Seq(
+      (10L, "a".getBytes("UTF-8"), "x".getBytes("UTF-8")),
+      (11L, "b".getBytes("UTF-8"), "y".getBytes("UTF-8"))), 1700000000123L)
+    // a transaction commit marker rides a CONTROL batch — metadata, not data
+    val marker = recordBatchAt(Seq(
+      (12L, Array[Byte](0, 0, 0, 1), Array.emptyByteArray)),
+      1700000000123L, control = true)
+    val v1 = messageSetAt(Seq(
+      (13L, "c".getBytes("UTF-8"), "z".getBytes("UTF-8"))), 1700000000123L)
+    val got = parseMessageSet(data ++ marker ++ v1)
+    assert(got.map(_._1) == Seq(10L, 11L, 13L), "control offset 12 skipped")
+    assert(got.map(t => new String(t._3, "UTF-8")) == Seq("x", "y", "z"))
+  }
+
+  test("wire consumer reads a broker serving v2 batches (zstd) unchanged") {
+    val broker = new StubKafkaBroker(serveV2Batches = true, v2Codec = 4)
+    try {
+      val producer = new KafkaWire.KafkaWireProducer("127.0.0.1", broker.port).connect()
+      val records = (0 until 5).map(i =>
+        (s"k$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8")))
+      producer.produce("t", 0, records, timestampMs = 1700000000000L)
+      producer.close()
+      val consumer = new KafkaWire.KafkaWireConsumer("127.0.0.1", broker.port).connect()
+      val (hw, got) = consumer.poll("t", 0, 0L)
+      assert(hw == 5L)
+      assert(got.map { case (o, k, v) =>
+        (o, new String(k, "UTF-8"), new String(v, "UTF-8")) } ==
+        (0 until 5).map(i => (i.toLong, s"k$i", s"v$i")))
+      val (hw2, tail) = consumer.poll("t", 0, 3L)
+      assert(hw2 == 5L && tail.map(_._1) == Seq(3L, 4L))
+      consumer.close()
+    } finally broker.close()
+  }
+
+  test("gzip, snappy and lz4 wrapper sets decode with correct absolute offsets") {
     import KafkaWire._
     val records = Seq(
       (39L, "k1".getBytes("UTF-8"), "v1".getBytes("UTF-8")),
       (40L, "k2".getBytes("UTF-8"), "v2".getBytes("UTF-8")),
       (41L, "k3".getBytes("UTF-8"), "v3".getBytes("UTF-8")))
-    Seq(1, 2).foreach { codec => // gzip, snappy
+    Seq(1, 2, 3).foreach { codec => // gzip, snappy, lz4 frame (KIP-57)
       val set = compressedMessageSet(codec, records, 1700000000123L)
       val got = parseMessageSet(set)
       // KIP-31: wrapper offset 41 + relative 0..2 -> absolutes 39..41
@@ -308,7 +402,7 @@ class KafkaWireSpec extends AnyFunSuite {
 
   test("unsupported codecs and corrupt compressed blobs are refused loudly") {
     import KafkaWire._
-    // lz4 (codec 3) is not decodable here — refusal, never a raw record
+    // zstd (codec 4) is v2-record-batch-only — refusal, never a raw record
     def wrapper(codec: Int, blob: Array[Byte]): Array[Byte] = {
       val body = new Writer()
         .i8(1).i8(codec).i64(1700000000123L)
@@ -320,8 +414,12 @@ class KafkaWireSpec extends AnyFunSuite {
         .i32(crc.getValue.toInt).raw(body).result()
     }
     val e = intercept[IllegalArgumentException](
-      parseMessageSet(wrapper(3, "lz4-blob".getBytes("UTF-8"))))
-    assert(e.getMessage.contains("codec 3"))
+      parseMessageSet(wrapper(4, "zstd-blob".getBytes("UTF-8"))))
+    assert(e.getMessage.contains("codec 4"))
+    // corrupt lz4 frame header: loud refusal, not an empty decode
+    val e3 = intercept[IllegalArgumentException](
+      parseMessageSet(wrapper(3, "not-lz4!".getBytes("UTF-8"))))
+    assert(e3.getMessage.contains("corrupt compressed"))
     // valid CRC around an invalid gzip payload must be a loud protocol
     // error, not an empty decode
     val e2 = intercept[IllegalArgumentException](

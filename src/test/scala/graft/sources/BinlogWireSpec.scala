@@ -147,6 +147,102 @@ class BinlogWireSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("caching_sha2_password produces the documented SHA256 xor") {
+    val scramble = (1 to 20).map(_.toByte).toArray
+    val auth = sha256Password("secret", scramble)
+    // independent recomputation straight from the definition:
+    // XOR(SHA256(pwd), SHA256(SHA256(SHA256(pwd)) + nonce))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val p1 = md.digest("secret".getBytes("UTF-8"))
+    md.reset(); val p2 = md.digest(p1)
+    md.reset(); val mix = md.digest(p2 ++ scramble)
+    assert(auth.toSeq == p1.zip(mix).map { case (a, b) => (a ^ b).toByte }.toSeq)
+    assert(auth.length == 32)
+    assert(sha256Password("", scramble).isEmpty)
+  }
+
+  test("caching_sha2 fast path: scramble verified server-side, dump proceeds") {
+    val events = Seq(StubBinlog.fde(), StubBinlog.xid(7L))
+    val srv = new StubMySqlServer("repl", "replpass", events, authMode = "sha2-fast")
+    try {
+      val client = new BinlogClient("127.0.0.1", srv.port, "repl", "replpass")
+      client.connect()
+      assert(srv.authOk, "server must verify the SHA256 scramble")
+      val got = client.dump("mysql-bin.000001", 4L).toVector
+      client.close()
+      assert(got.collect { case x: Xid => x.xid } == Vector(7L))
+    } finally srv.close()
+  }
+
+  test("caching_sha2 full auth: RSA public-key exchange recovers the password server-side") {
+    val events = Seq(StubBinlog.fde(), StubBinlog.xid(8L))
+    val srv = new StubMySqlServer("repl", "replpass", events, authMode = "sha2-full")
+    try {
+      val client = new BinlogClient("127.0.0.1", srv.port, "repl", "replpass")
+      client.connect()
+      assert(srv.authOk,
+        "server must decrypt the OAEP blob and recover password+NUL")
+      val got = client.dump("mysql-bin.000001", 4L).toVector
+      client.close()
+      assert(got.collect { case x: Xid => x.xid } == Vector(8L))
+    } finally srv.close()
+  }
+
+  test("caching_sha2 wrong password fails the scramble before any RSA round-trip") {
+    val srv = new StubMySqlServer("repl", "replpass", Seq.empty, authMode = "sha2-full")
+    try {
+      val client = new BinlogClient("127.0.0.1", srv.port, "repl", "WRONG")
+      val e = intercept[ServerError](client.connect())
+      assert(e.errno == 1045)
+      assert(!srv.authOk)
+    } finally srv.close()
+  }
+
+  test("AuthSwitchRequest back to native re-scrambles against the FRESH nonce") {
+    val events = Seq(StubBinlog.fde(), StubBinlog.xid(9L))
+    val srv = new StubMySqlServer("repl", "replpass", events, authMode = "switch-native")
+    try {
+      val client = new BinlogClient("127.0.0.1", srv.port, "repl", "replpass")
+      client.connect()
+      assert(srv.authOk, "server must verify the native scramble on the switch nonce")
+      val got = client.dump("mysql-bin.000001", 4L).toVector
+      client.close()
+      assert(got.collect { case x: Xid => x.xid } == Vector(9L))
+    } finally srv.close()
+  }
+
+  test("an unknown auth plugin is refused with the actionable message") {
+    // hand-build a handshake advertising an unsupported plugin
+    val payload = new ByteWriter()
+      .u8(10).strNul("8.0.0-x").u32(1L)
+      .bytes((1 to 8).map(_.toByte).toArray).u8(0)
+      .u16((CapProtocol41 | CapSecureConnection).toInt & 0xffff)
+      .u8(33).u16(2)
+      .u16((((CapProtocol41 | CapSecureConnection | CapPluginAuth) >> 16) & 0xffff).toInt)
+      .u8(21).bytes(new Array[Byte](10))
+      .bytes((9 to 20).map(_.toByte).toArray).u8(0)
+      .strNul("authentication_ldap_simple")
+      .result()
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try {
+        val s = server.accept()
+        writePacket(s.getOutputStream, 0, payload)
+        s.getOutputStream.flush()
+        Thread.sleep(500)
+        s.close()
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val client = new BinlogClient("127.0.0.1", server.getLocalPort, "u", "p")
+      val e = intercept[IllegalArgumentException](client.connect())
+      assert(e.getMessage.contains("authentication_ldap_simple"))
+      client.close()
+    } finally server.close()
+  }
+
   test("unsupported column types fail loudly instead of decoding garbage") {
     val maps = scala.collection.mutable.Map.empty[Long, TableMap]
     parseEvent(unhex(goldenTableMap), maps)

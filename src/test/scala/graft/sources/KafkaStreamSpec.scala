@@ -44,6 +44,24 @@ class KafkaStreamSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("the streaming seat reads a broker serving RecordBatch v2 (lz4) unchanged") {
+    val broker = new StubKafkaBroker(serveV2Batches = true, v2Codec = 3)
+    try {
+      produce(broker, "cdc", (0 until 5).map(i => (s"key$i", s"""{"n":$i}""")))
+      val out = "kafka_stream_v2"
+      val q = spark.readStream.format(fmt)
+        .option("host", "127.0.0.1").option("port", broker.port)
+        .option("topic", "cdc").option("stopAtHighWater", true)
+        .load()
+        .writeStream.format("memory").queryName(out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table(out).selectExpr("seq", "key", "value")
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      assert(got.toSeq == (0 until 5).map(i => (i.toLong, s"key$i", s"""{"n":$i}""")))
+    } finally broker.close()
+  }
+
   test("the checkpointed offset is the consumer position: restart reads only new records") {
     val broker = new StubKafkaBroker
     try {

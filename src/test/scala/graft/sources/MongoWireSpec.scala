@@ -35,12 +35,18 @@ class MongoWireSpec extends AnyFunSuite {
       "arr" -> BArr(Seq(BInt(1), BStr("two"), BNull)),
       "oid" -> BObjId((1 to 12).map(_.toByte).toVector),
       "b" -> BBool(true), "dt" -> BDate(123456789L), "n" -> BNull,
-      "i" -> BInt(Int.MinValue), "t" -> BTs(0xffffffffL, 1L), "l" -> BLong(Long.MinValue))
+      "i" -> BInt(Int.MinValue), "t" -> BTs(0xffffffffL, 1L), "l" -> BLong(Long.MinValue),
+      "bin" -> BBin((1 to 5).map(_.toByte).toVector))
     assert(decodeDoc(encodeDoc(all)) == all)
-    // element type 0x05 (binary) is outside the oplog subset
-    val bad = unhex("0c0000000562000000000000" + "0000")
-    val e = intercept[UnsupportedOperationException](decodeDoc(bad))
-    assert(e.getMessage.contains("0x05"))
+    // binary subtypes beyond generic (0x00) are outside the subset —
+    // 0x04 is the UUID subtype
+    val badSub = unhex("120000000562000500000004010203040500")
+    val e = intercept[IllegalArgumentException](decodeDoc(badSub))
+    assert(e.getMessage.contains("0x04"))
+    // element type 0x0b (regex) stays unsupported
+    val bad = unhex("0c0000000b62002e2a000000")
+    val e2 = intercept[UnsupportedOperationException](decodeDoc(bad))
+    assert(e2.getMessage.contains("0x0b"))
   }
 
   test("oplog tail against the stub mongod: hello, tailable find, getMore drain, delta conversion") {
@@ -85,5 +91,80 @@ class MongoWireSpec extends AnyFunSuite {
       assert(repl.id == "8" && repl.data("status") == "NEW" && repl.unsetKeys.isEmpty)
       assert(changes(3).op == "delete" && changes(3).id == "7")
     } finally srv.close()
+  }
+
+  test("SCRAM-SHA-256 RFC 7677 vectors: salted password, proof and server signature") {
+    // the RFC's example: user "user", pass "pencil", nonce rOprNGfwEbeRWgbNEkqO
+    val cnonce = "rOprNGfwEbeRWgbNEkqO"
+    val snonce = cnonce + "%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0"
+    val salt = java.util.Base64.getDecoder.decode("W22ZaJ0SNY7soEsUEjb6gQ==")
+    val salted = Scram.saltedPassword("SCRAM-SHA-256", "user", "pencil", salt, 4096)
+    val authMessage = s"n=user,r=$cnonce," +
+      s"r=$snonce,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096," +
+      s"c=biws,r=$snonce"
+    val proof = java.util.Base64.getEncoder.encodeToString(
+      Scram.clientProof("SCRAM-SHA-256", salted, authMessage))
+    assert(proof == "dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+    val v = java.util.Base64.getEncoder.encodeToString(
+      Scram.serverSignature("SCRAM-SHA-256", salted, authMessage))
+    assert(v == "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+  }
+
+  test("SCRAM-SHA-256 auth against the stub: unauthed find refused, proof verified server-side") {
+    val srv = new StubMongod(Seq(goldenDoc),
+      auth = Some(("tailer", "s3cret", "SCRAM-SHA-256")))
+    try {
+      val client = new MongoClient("127.0.0.1", srv.port).connect()
+      // before auth the oplog is off-limits — code 13 Unauthorized
+      val denied = intercept[RuntimeException](
+        client.tailOplog(BTs(0L, 0L)).toVector)
+      assert(denied.getMessage.contains("requires authentication"))
+      assert(srv.refusedUnauthed == 1)
+      client.authenticate("tailer", "s3cret")
+      assert(srv.authOk, "stub must verify the client proof from stored credentials")
+      val entries = client.tailOplog(BTs(0L, 0L)).toVector
+      client.close()
+      assert(entries.size == 1)
+    } finally srv.close()
+  }
+
+  test("SCRAM-SHA-1 salts the MONGODB-CR digest, not the raw password") {
+    // independent check of the md5 pre-hash quirk
+    assert(Scram.mongoPassword("SCRAM-SHA-1", "tailer", "s3cret") ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("tailer:mongo:s3cret".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    val srv = new StubMongod(Seq(goldenDoc),
+      auth = Some(("tailer", "s3cret", "SCRAM-SHA-1")))
+    try {
+      val client = new MongoClient("127.0.0.1", srv.port).connect()
+      client.authenticate("tailer", "s3cret", "SCRAM-SHA-1")
+      assert(srv.authOk)
+      assert(client.tailOplog(BTs(0L, 0L)).toVector.size == 1)
+      client.close()
+    } finally srv.close()
+  }
+
+  test("SCRAM wrong password fails; a tampered server signature is refused by the CLIENT") {
+    val srv = new StubMongod(Nil, auth = Some(("tailer", "s3cret", "SCRAM-SHA-256")))
+    try {
+      val client = new MongoClient("127.0.0.1", srv.port).connect()
+      val e = intercept[RuntimeException](client.authenticate("tailer", "WRONG"))
+      assert(e.getMessage.contains("Authentication failed"))
+      assert(!srv.authOk)
+      client.close()
+    } finally srv.close()
+    // server proves knowledge of the password too — a MITM that forwards
+    // the proof but forges the signature must be refused client-side
+    val mitm = new StubMongod(Nil,
+      auth = Some(("tailer", "s3cret", "SCRAM-SHA-256")),
+      tamperServerSignature = true)
+    try {
+      val client = new MongoClient("127.0.0.1", mitm.port).connect()
+      val e = intercept[IllegalArgumentException](
+        client.authenticate("tailer", "s3cret"))
+      assert(e.getMessage.contains("SERVER signature"))
+      client.close()
+    } finally mitm.close()
   }
 }

@@ -57,6 +57,24 @@ class OplogStreamSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("an auth-required mongod is tailed after SCRAM via the source's user/password options") {
+    val srv = new StubMongod(baseOplog, batchSize = 2,
+      auth = Some(("tailer", "s3cret", "SCRAM-SHA-256")))
+    try {
+      val out = "oplog_stream_scram"
+      val q = spark.readStream.format(fmt)
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "tailer").option("password", "s3cret")
+        .option("afterSec", 99).option("afterInc", 0)
+        .load()
+        .writeStream.format("memory").queryName(out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(srv.authOk, "the streaming seat must run the SCRAM conversation")
+      assert(spark.table(out).count() == 3)
+    } finally srv.close()
+  }
+
   test("restart absorbs the primary's replay and delivers only new entries") {
     val extra = Seq(
       BVal.doc("ts" -> BTs(104L, 1L), "op" -> BStr("i"), "ns" -> BStr("shop.orders"),

@@ -12,7 +12,15 @@ import graft.sources.MongoWire.BVal._
   * primary advanced while the client was away).
   */
 final class StubMongod(oplog: Seq[BDoc], batchSize: Int = 2,
-    moreOplog: Seq[BDoc] = Nil) extends AutoCloseable {
+    moreOplog: Seq[BDoc] = Nil,
+    /** when set (user, password, mechanism): find/getMore are refused
+      * until a SCRAM conversation proves the client holds the password —
+      * verification runs SERVER-side from the stored credentials, and
+      * the stub answers with its server signature like a real mongod */
+    auth: Option[(String, String, String)] = None,
+    /** corrupt the server signature — a client that fails to verify v=
+      * would silently trust a MITM */
+    tamperServerSignature: Boolean = false) extends AutoCloseable {
   private val server = new java.net.ServerSocket(0, 1,
     java.net.InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
@@ -20,6 +28,8 @@ final class StubMongod(oplog: Seq[BDoc], batchSize: Int = 2,
   @volatile var findFilterTs: Option[BTs] = None
   @volatile var getMores = 0
   @volatile var conns = 0
+  @volatile var authOk = false
+  @volatile var refusedUnauthed = 0
 
   private def tsOf(e: BDoc): (Long, Long) =
     e.get("ts").collect { case BTs(s, i) => (s, i) }.getOrElse((0L, 0L))
@@ -40,14 +50,85 @@ final class StubMongod(oplog: Seq[BDoc], batchSize: Int = 2,
     var remaining = entries
     var cursorId = 7777L
     var open = true
+    // per-connection SCRAM conversation state
+    var connAuthed = auth.isEmpty
+    var convSalted: Array[Byte] = null
+    var convAuthMessage: String = null
+    var convMech: String = null
+    val salt = (1 to 16).map(_.toByte).toArray
+    val iterations = 4096
     while (open) {
       val (reqId, _, body) =
         try readOpMsg(in) catch { case _: java.io.EOFException => open = false; (0, 0, BVal.doc()) }
       if (open) {
         val cmd = body.fields.headOption.map(_._1).getOrElse("")
+        def unauthorized(): BDoc = {
+          refusedUnauthed += 1
+          BVal.doc("ok" -> BDouble(0.0), "code" -> BInt(13),
+            "errmsg" -> BStr(s"command $cmd requires authentication"))
+        }
         val reply: BDoc = cmd match {
           case "hello" =>
             BVal.doc("ok" -> BDouble(1.0), "maxWireVersion" -> BInt(17))
+          case "saslStart" =>
+            val (user, _, mech) = auth.getOrElse(("", "", ""))
+            val gotMech = body.str("mechanism").getOrElse("")
+            val payload = new String(body.get("payload").collect {
+              case BBin(b) => b.toArray }.getOrElse(Array.emptyByteArray), "UTF-8")
+            if (auth.isEmpty || gotMech != mech)
+              BVal.doc("ok" -> BDouble(0.0),
+                "errmsg" -> BStr(s"unsupported mechanism $gotMech"))
+            else {
+              // client-first: gs2 header "n,," then n=<user>,r=<nonce>
+              require(payload.startsWith("n,,"), s"stub: bad gs2 header in '$payload'")
+              val bare = payload.drop(3)
+              val a = Scram.attrs(bare)
+              require(a.get("n").contains(Scram.saslName(user)),
+                s"stub: unexpected user ${a.get("n")}")
+              val cnonce = a("r")
+              val snonce = cnonce + "srvExt16"
+              val serverFirst =
+                s"r=$snonce,s=${java.util.Base64.getEncoder.encodeToString(salt)},i=$iterations"
+              convMech = mech
+              val (_, password, _) = auth.get
+              convSalted = Scram.saltedPassword(mech, user, password, salt, iterations)
+              convAuthMessage = s"$bare,$serverFirst,c=biws,r=$snonce"
+              BVal.doc("ok" -> BDouble(1.0), "conversationId" -> BInt(1),
+                "done" -> BBool(false),
+                "payload" -> BBin(serverFirst.getBytes("UTF-8").toVector))
+            }
+          case "saslContinue" =>
+            val payload = new String(body.get("payload").collect {
+              case BBin(b) => b.toArray }.getOrElse(Array.emptyByteArray), "UTF-8")
+            val a = Scram.attrs(payload)
+            if (convSalted == null || !a.contains("p"))
+              BVal.doc("ok" -> BDouble(0.0), "errmsg" -> BStr("no SASL conversation"))
+            else {
+              // verify the proof the RFC way: ClientKey' = proof XOR
+              // ClientSignature must hash to the stored key
+              val proof = java.util.Base64.getDecoder.decode(a("p"))
+              val stored = Scram.storedKey(convMech,
+                Scram.clientKey(convMech, convSalted))
+              val sig = Scram.hmac(convMech, stored,
+                convAuthMessage.getBytes("UTF-8"))
+              val ck = proof.indices.map(i => (proof(i) ^ sig(i)).toByte).toArray
+              val pass = proof.length == sig.length &&
+                java.util.Arrays.equals(Scram.h(convMech, ck), stored)
+              if (!pass)
+                BVal.doc("ok" -> BDouble(0.0), "code" -> BInt(18),
+                  "errmsg" -> BStr("Authentication failed"))
+              else {
+                connAuthed = true; authOk = true
+                var v = Scram.serverSignature(convMech, convSalted, convAuthMessage)
+                if (tamperServerSignature) v = v.map(b => (b ^ 0x5a).toByte)
+                BVal.doc("ok" -> BDouble(1.0), "conversationId" -> BInt(1),
+                  "done" -> BBool(true),
+                  "payload" -> BBin(
+                    s"v=${java.util.Base64.getEncoder.encodeToString(v)}"
+                      .getBytes("UTF-8").toVector))
+              }
+            }
+          case "find" | "getMore" if !connAuthed => unauthorized()
           case "find" =>
             sawTailableFind = body.get("tailable").contains(BBool(true))
             findFilterTs = body.doc("filter").flatMap(_.doc("ts"))

@@ -13,7 +13,13 @@ final class StubMySqlServer(user: String, password: String,
     events: Seq[Array[Byte]],
     /** extra events appended for the SECOND and later dumps — lets a
       * restart test see the master both replay history and advance */
-    moreEvents: Seq[Array[Byte]] = Nil) extends AutoCloseable {
+    moreEvents: Seq[Array[Byte]] = Nil,
+    /** auth flavor the master demands: "native" (pre-8.0 default),
+      * "sha2-fast" (caching_sha2 with the scramble cached), "sha2-full"
+      * (cache miss → RSA public-key exchange over the plaintext
+      * channel), or "switch-native" (advertise caching_sha2, then
+      * AuthSwitchRequest back to native with a FRESH nonce) */
+    authMode: String = "native") extends AutoCloseable {
 
   private val server = new java.net.ServerSocket(0, 1,
     java.net.InetAddress.getLoopbackAddress)
@@ -49,6 +55,8 @@ final class StubMySqlServer(user: String, password: String,
       val in = new java.io.BufferedInputStream(sock.getInputStream)
       val out = new java.io.BufferedOutputStream(sock.getOutputStream)
       // HandshakeV10
+      val advertised =
+        if (authMode == "native") "mysql_native_password" else "caching_sha2_password"
       val hs = new ByteWriter()
         .u8(10).strNul("8.0.0-stub").u32(42L)
         .bytes(scramble.take(8)).u8(0)
@@ -57,7 +65,7 @@ final class StubMySqlServer(user: String, password: String,
         .u16((((CapProtocol41 | CapSecureConnection | CapPluginAuth) >> 16) & 0xffff).toInt)
         .u8(21).bytes(new Array[Byte](10))
         .bytes(scramble.drop(8)).u8(0)
-        .strNul("mysql_native_password")
+        .strNul(advertised)
         .result()
       writePacket(out, 0, hs)
       val (_, resp) = readPacket(in)
@@ -67,14 +75,31 @@ final class StubMySqlServer(user: String, password: String,
       val gotUser = r.strNul()
       val authLen = r.u8()
       val gotAuth = r.bytes(authLen)
-      val want = nativePassword(password, scramble)
-      authOk = gotUser == user && java.util.Arrays.equals(gotAuth, want)
+      authOk = gotUser == user && (authMode match {
+        case "native" =>
+          java.util.Arrays.equals(gotAuth, nativePassword(password, scramble))
+        case "sha2-fast" =>
+          java.util.Arrays.equals(gotAuth, sha256Password(password, scramble))
+        case "sha2-full" => fullAuth(in, out, gotAuth)
+        case "switch-native" => switchAuth(in, out)
+        case m => throw new IllegalArgumentException(s"stub: unknown authMode $m")
+      })
       if (!authOk) {
-        writePacket(out, 2, new ByteWriter().u8(0xff).u16(1045)
+        writePacket(out, 4, new ByteWriter().u8(0xff).u16(1045)
           .u8('#').str("28000").str("Access denied").result())
         sock.close()
       }
-      if (authOk) writePacket(out, 2, okPacket())
+      if (authOk) {
+        // the fast path confirms with AuthMoreData 0x03 before its OK —
+        // exactly the packet a real 8.0 master emits on a cache hit
+        if (authMode == "sha2-fast")
+          writePacket(out, 2, Array(0x01.toByte, 0x03.toByte))
+        val okSeq = authMode match {
+          case "native" => 2; case "sha2-fast" => 3
+          case "sha2-full" => 6; case _ => 4
+        }
+        writePacket(out, okSeq, okPacket())
+      }
       // command loop
       var open = authOk
       while (open) {
@@ -127,6 +152,56 @@ final class StubMySqlServer(user: String, password: String,
   }
   thread.setDaemon(true)
   thread.start()
+
+  /** server RSA identity for the caching_sha2 full-auth exchange */
+  private lazy val rsaKeys: java.security.KeyPair = {
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
+  }
+
+  private def publicPem: String = {
+    val b64 = java.util.Base64.getMimeEncoder(64, "\n".getBytes("UTF-8"))
+      .encodeToString(rsaKeys.getPublic.getEncoded)
+    s"-----BEGIN PUBLIC KEY-----\n$b64\n-----END PUBLIC KEY-----\n"
+  }
+
+  /** caching_sha2 cache miss: demand full auth, serve the RSA public
+    * key on request, decrypt the client's OAEP blob and un-XOR the
+    * nonce to recover password+NUL — validating the client's side of
+    * the exchange end-to-end, server-side.
+    */
+  private def fullAuth(in: java.io.InputStream, out: java.io.OutputStream,
+      gotAuth: Array[Byte]): Boolean = {
+    // the scramble response must still be correct even when the cache
+    // misses — a wrong password fails before any RSA round-trip
+    if (!java.util.Arrays.equals(gotAuth, sha256Password(password, scramble)))
+      return false
+    writePacket(out, 2, Array(0x01.toByte, 0x04.toByte))
+    val (_, req) = readPacket(in)
+    if (req.length != 1 || req(0) != 0x02) return false
+    writePacket(out, 4, Array(0x01.toByte) ++ publicPem.getBytes("UTF-8"))
+    val (_, blob) = readPacket(in)
+    val cipher = javax.crypto.Cipher.getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    cipher.init(javax.crypto.Cipher.DECRYPT_MODE, rsaKeys.getPrivate)
+    val xored = cipher.doFinal(blob)
+    val pwd = xored.indices.map(i => (xored(i) ^ scramble(i % scramble.length)).toByte).toArray
+    pwd.nonEmpty && pwd.last == 0 &&
+      new String(pwd.dropRight(1), "UTF-8") == password
+  }
+
+  /** fresh nonce for the AuthSwitchRequest — DIFFERENT from the
+    * handshake scramble so a client that lazily reuses the old nonce
+    * fails auth */
+  private val scramble2: Array[Byte] = (101 to 120).map(_.toByte).toArray
+
+  private def switchAuth(in: java.io.InputStream,
+      out: java.io.OutputStream): Boolean = {
+    writePacket(out, 2, new ByteWriter().u8(0xfe)
+      .strNul("mysql_native_password").bytes(scramble2).u8(0).result())
+    val (_, resp2) = readPacket(in)
+    java.util.Arrays.equals(resp2, nativePassword(password, scramble2))
+  }
 
   private def okPacket(): Array[Byte] =
     new ByteWriter().u8(0x00).lenenc(0).lenenc(0).u16(2).u16(0).result()
