@@ -175,6 +175,7 @@ object PipelineConfig {
         forwardOptions(spark.readStream.format("graft.sources.KafkaStreamSource"), o,
           Seq("host" -> "host", "port" -> "port", "topic" -> "topic",
             "partition" -> "partition", "offset" -> "offset",
+            "fetch-version" -> "fetchVersion",
             "stop-at-high-water" -> "stopAtHighWater",
             "rows-per-batch" -> "rowsPerBatch", "max-buffered" -> "maxBuffered",
             "partitions" -> "partitions", "drain-wait-ms" -> "drainWaitMs",

@@ -425,25 +425,35 @@ object KafkaWire {
     * lets the broker BLOCK when caught up (min_bytes 1) — the long-poll
     * that keeps a tailing consumer from busy-spinning.
     */
+  /** Fetch v2 is the sarama-era request; v4 (KIP-98) adds the
+    * request-level max_bytes + isolation_level and is the floor a 4.x
+    * broker accepts (KIP-896 removed v0–v3).
+    */
   def fetchRequest(correlationId: Int, clientId: String, topic: String,
       partition: Int, offset: Long, maxBytes: Int = 1 << 20,
-      maxWaitMs: Int = 500): Array[Byte] =
-    new Writer()
-      .i16(ApiFetch).i16(2) // api key, version
+      maxWaitMs: Int = 500, apiVersion: Int = 2): Array[Byte] = {
+    require(apiVersion == 2 || apiVersion == 4,
+      s"kafka: fetch api version $apiVersion not supported")
+    val w = new Writer()
+      .i16(ApiFetch).i16(apiVersion)
       .i32(correlationId).str(clientId)
       .i32(-1) // replica_id: ordinary consumer
       .i32(maxWaitMs).i32(1) // min_bytes
-      .i32(1).str(topic) // one topic
+    if (apiVersion >= 4) w.i32(maxBytes) // request-level cap (v3+)
+      .i8(0) // isolation_level: read_uncommitted
+    w.i32(1).str(topic) // one topic
       .i32(1).i32(partition).i64(offset).i32(maxBytes)
       .result()
+  }
 
   final case class FetchResult(topic: String, partition: Int, errorCode: Int,
       highWatermark: Long, records: Seq[(Long, Array[Byte], Array[Byte])])
 
-  /** FetchResponse v2: throttle, then per-partition error/high-water and
-    * a CRC-validated MessageSet v1 (broker-assigned offsets).
+  /** FetchResponse v2/v4: throttle, then per-partition error/high-water
+    * (v4 adds last_stable_offset + aborted_transactions) and a
+    * CRC-validated record set (broker-assigned offsets).
     */
-  def parseFetchResponse(b: Array[Byte]): (Int, Seq[FetchResult]) = {
+  def parseFetchResponse(b: Array[Byte], apiVersion: Int = 2): (Int, Seq[FetchResult]) = {
     val r = new Reader(b)
     val correlationId = r.i32()
     r.i32() // throttle time
@@ -456,6 +466,11 @@ object KafkaWire {
         val partition = r.i32()
         val err = r.i16()
         val hw = r.i64()
+        if (apiVersion >= 4) {
+          r.i64() // last_stable_offset (read_uncommitted: unused)
+          val nAborted = r.i32() // nullable aborted_transactions
+          if (nAborted > 0) (0 until nAborted).foreach { _ => r.i64(); r.i64() }
+        }
         val recordSet = r.bytes()
         val records =
           if (recordSet == null || recordSet.isEmpty) Nil
@@ -552,7 +567,10 @@ object KafkaWire {
     * checkpoint's job).
     */
   final class KafkaWireConsumer(host: String, port: Int,
-      clientId: String = "graft-consumer") extends AutoCloseable {
+      clientId: String = "graft-consumer",
+      /** 2 = sarama-era fetch; 4 = the 4.x-broker floor (KIP-896) with
+        * isolation_level and transactional partition headers */
+      fetchVersion: Int = 2) extends AutoCloseable {
     private var socket: java.net.Socket = _
     private var in: InputStream = _
     private var out: OutputStream = _
@@ -574,8 +592,9 @@ object KafkaWire {
         : (Long, Seq[(Long, Array[Byte], Array[Byte])]) = {
       correlation += 1
       writeFrame(out, fetchRequest(correlation, clientId, topic, partition,
-        offset, maxBytes = maxBytes, maxWaitMs = maxWaitMs))
-      val (cid, results) = parseFetchResponse(readFrame(in))
+        offset, maxBytes = maxBytes, maxWaitMs = maxWaitMs,
+        apiVersion = fetchVersion))
+      val (cid, results) = parseFetchResponse(readFrame(in), fetchVersion)
       require(cid == correlation, s"kafka: correlation mismatch ($cid != $correlation)")
       val res = results.headOption.getOrElse(sys.error("kafka: empty fetch response"))
       if (res.errorCode != 0) throw BrokerError(res.errorCode)
@@ -610,7 +629,10 @@ object KafkaWire {
 final class KafkaWireBatchSink(host: String, port: Int, numPartitions: Int,
     topic: String, pkCols: Seq[String],
     payloadColumns: Option[Seq[String]] = None,
-    maxRecordsPerRequest: Int = 1000)
+    maxRecordsPerRequest: Int = 1000,
+    /** 1 = MessageSet v1 / produce v2 (pre-4.x default); 2 =
+      * RecordBatch v2 / produce v3 (required by 4.x brokers) */
+    batchMagic: Int = 1)
     extends graft.streaming.BatchSink {
 
   def write(batchId: Long, compacted: org.apache.spark.sql.DataFrame): Unit = {
@@ -640,7 +662,7 @@ final class KafkaWireBatchSink(host: String, port: Int, numPartitions: Int,
       .sortWithinPartitions(sortCols: _*)
       .select(col("__part"), col("key"), col("value"))
     // closure captures primitives only (the sink itself need not ship)
-    val (h, p, t, chunk) = (host, port, topic, maxRecordsPerRequest)
+    val (h, p, t, chunk, magic) = (host, port, topic, maxRecordsPerRequest, batchMagic)
     // real create-time: magic-1 timestamps feed the broker's time-based
     // retention and time-index — 0 would make every segment instantly
     // past any retention window
@@ -652,7 +674,7 @@ final class KafkaWireBatchSink(host: String, port: Int, numPartitions: Int,
         val taskId = Option(org.apache.spark.TaskContext.get())
           .map(_.partitionId()).getOrElse(-1)
         val producer = new KafkaWire.KafkaWireProducer(h, p,
-          clientId = s"graft-exec-$taskId").connect()
+          clientId = s"graft-exec-$taskId", batchMagic = magic).connect()
         val buf = scala.collection.mutable.ArrayBuffer
           .empty[(Array[Byte], Array[Byte])]
         var cur = -1L

@@ -90,7 +90,9 @@ final class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
   private val stopAtHighWater = options.getBoolean("stopAtHighWater", false)
   private val pollWaitMs = options.getInt("pollWaitMs", 500)
 
-  private val client = new graft.sinks.KafkaWire.KafkaWireConsumer(host, port)
+  private val client = new graft.sinks.KafkaWire.KafkaWireConsumer(host, port,
+    // fetch dialect: 2 (sarama-era default) or 4 (the 4.x-broker floor)
+    fetchVersion = options.getInt("fetchVersion", 2))
 
   override protected def seqOf(e: KafkaRecord): Long = e.offset
 

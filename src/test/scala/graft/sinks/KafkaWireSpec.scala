@@ -61,8 +61,9 @@ final class StubKafkaBroker(
             }
             writeFrame(out, produceReply(r, correlationId))
           case 1 =>
-            require(apiVersion == 2, s"stub broker: fetch v2 only (got $apiVersion)")
-            writeFrame(out, fetchReply(r, correlationId))
+            require(apiVersion == 2 || apiVersion == 4,
+              s"stub broker: fetch v2/v4 only (got $apiVersion)")
+            writeFrame(out, fetchReply(r, correlationId, apiVersion))
           case other => sys.error(s"stub broker: unsupported api key $other")
         }
       }
@@ -101,10 +102,16 @@ final class StubKafkaBroker(
     w.result()
   }
 
-  private def fetchReply(r: Reader, correlationId: Int): Array[Byte] = {
+  private def fetchReply(r: Reader, correlationId: Int,
+      apiVersion: Int = 2): Array[Byte] = {
     r.i32() // replica id
     r.i32() // max wait (stub answers immediately)
     r.i32() // min bytes
+    if (apiVersion >= 4) {
+      r.i32() // request-level max_bytes
+      val iso = r.i8()
+      require(iso == 0, s"stub broker: read_committed unsupported (iso $iso)")
+    }
     val nTopics = r.i32()
     val w = new Writer().i32(correlationId).i32(0) // throttle
     w.i32(nTopics)
@@ -127,7 +134,9 @@ final class StubKafkaBroker(
           else messageSetAt(slice, 1700000000000L)
         // honor max_bytes like a broker: truncate mid-message if needed
         val capped = if (set.length > maxBytes) set.take(maxBytes) else set
-        w.i32(partition).i16(0).i64(hw).bytes(capped)
+        w.i32(partition).i16(0).i64(hw)
+        if (apiVersion >= 4) w.i64(hw).i32(-1) // last_stable, no aborted txns
+        w.bytes(capped)
       }
     }
     w.result()
@@ -377,6 +386,14 @@ class KafkaWireSpec extends AnyFunSuite {
       val (hw2, tail) = consumer.poll("t", 0, 3L)
       assert(hw2 == 5L && tail.map(_._1) == Seq(3L, 4L))
       consumer.close()
+      // the full 4.x dialect: fetch v4 parses the transactional
+      // partition header (last_stable_offset, null aborted set) around
+      // the same batches
+      val modern = new KafkaWire.KafkaWireConsumer("127.0.0.1", broker.port,
+        fetchVersion = 4).connect()
+      val (hw4, got4) = modern.poll("t", 0, 0L)
+      assert(hw4 == 5L && got4.map(_._1) == (0L until 5L))
+      modern.close()
     } finally broker.close()
   }
 
