@@ -309,6 +309,7 @@ object BinlogWire {
   val WRITE_ROWS_V2 = 30
   val UPDATE_ROWS_V2 = 31
   val DELETE_ROWS_V2 = 32
+  val HEARTBEAT_EVENT = 27
 
   final case class EventHeader(
       timestamp: Long, eventType: Int, serverId: Long,
@@ -667,9 +668,10 @@ object BinlogWire {
           "with a supported plugin")
       writePacket(out, seq + 1, handshakeResponse(user, password, hs.scramble, plugin))
       authConversation(plugin, hs.scramble)
-      // real replicas pin the checksum before dumping so event framing
-      // is unambiguous (go-mysql does the same dance)
-      query("SET @master_binlog_checksum='NONE'")
+      // real replicas announce they can handle whatever checksum the
+      // master writes (passthrough assignment) — the actual algorithm
+      // is then read off the FDE and the trailer validated per event
+      query("SET @master_binlog_checksum = @@global.binlog_checksum")
       this
     }
 
@@ -747,12 +749,43 @@ object BinlogWire {
       new Iterator[BinlogEvent] {
         private var nextEvent: BinlogEvent = _
         private var done = false
+        /** 0 = none, 1 = CRC32 — announced by the FDE (5.6+ masters
+          * append a checksum-algorithm byte; binlog_checksum=CRC32 is
+          * the 5.6+ DEFAULT, so a real master's events all carry a
+          * 4-byte CRC32 trailer that must be validated and stripped) */
+        private var checksumAlg = 0
         private def advance(): Unit = {
           while (nextEvent == null && !done) {
             val (_, p) = readPacket(in)
             (p(0) & 0xff) match {
               case 0x00 =>
-                nextEvent = parseEvent(java.util.Arrays.copyOfRange(p, 1, p.length), tableMaps)
+                var ev = java.util.Arrays.copyOfRange(p, 1, p.length)
+                if ((ev(4) & 0xff) == FORMAT_DESCRIPTION_EVENT &&
+                    serverVersion.compareTo("5.6") >= 0 && ev.length >= 24) {
+                  // 5.6+ FDEs carry the alg byte at len-5 (before the
+                  // FDE's own checksum, present for every algorithm)
+                  val alg = ev(ev.length - 5) & 0xff
+                  require(alg <= 1,
+                    s"binlog: unsupported checksum algorithm $alg")
+                  checksumAlg = alg
+                  // the FDE always carries the 4 trailer bytes once the
+                  // alg byte exists; validated below only under CRC32
+                }
+                if (checksumAlg == 1) {
+                  val dataLen = ev.length - 4
+                  val crc = new java.util.zip.CRC32
+                  crc.update(ev, 0, dataLen)
+                  val want = (ev(dataLen) & 0xffL) |
+                    ((ev(dataLen + 1) & 0xffL) << 8) |
+                    ((ev(dataLen + 2) & 0xffL) << 16) |
+                    ((ev(dataLen + 3) & 0xffL) << 24)
+                  require(crc.getValue == want,
+                    f"binlog: event CRC32 mismatch (type 0x${ev(4) & 0xff}%02x)")
+                  ev = java.util.Arrays.copyOfRange(ev, 0, dataLen)
+                }
+                if ((ev(4) & 0xff) == HEARTBEAT_EVENT) {
+                  // idle keepalive from the master: not data, read on
+                } else nextEvent = parseEvent(ev, tableMaps)
               case 0xfe if p.length < 9 => done = true
               case 0xff => checkOk(p) // throws ServerError
               case other => throw new IllegalStateException(

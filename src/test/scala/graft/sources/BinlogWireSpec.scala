@@ -211,6 +211,64 @@ class BinlogWireSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("a binlog_checksum=CRC32 master's trailers are validated and stripped") {
+    val cols = Seq((3, 0, false), (15, 40, true))
+    val colMeta = cols.map { case (t, m, _) => (t, m) }
+    val events = Seq(
+      StubBinlog.fde(),
+      StubBinlog.tableMap(42L, "db1", "t", cols),
+      StubBinlog.writeRows(42L, colMeta, Seq(Seq(7, "alice"))),
+      StubBinlog.xid(1L))
+    val srv = new StubMySqlServer("repl", "replpass", events,
+      binlogChecksum = "CRC32")
+    try {
+      val client = new BinlogClient("127.0.0.1", srv.port, "repl", "replpass")
+      client.connect()
+      val got = client.dump("mysql-bin.000001", 4L).toVector
+      client.close()
+      // the stripped events decode exactly like a NONE-mode stream
+      assert(got.collect { case f: FormatDescription => f.binlogVersion } == Vector(4))
+      val rows = got.collect { case r: Rows => r }
+      assert(rows.map(_.op) == Vector("insert"))
+      assert(rows(0).rows == Seq((None, IndexedSeq(7, "alice"))))
+      assert(got.collect { case x: Xid => x.xid } == Vector(1L))
+    } finally srv.close()
+  }
+
+  test("a corrupt CRC32 trailer fails loudly instead of decoding garbage") {
+    val events = Seq(StubBinlog.fde(), StubBinlog.xid(2L))
+    val srv = new StubMySqlServer("repl", "replpass", events,
+      binlogChecksum = "CRC32-tamper")
+    try {
+      val client = new BinlogClient("127.0.0.1", srv.port, "repl", "replpass")
+      client.connect()
+      val e = intercept[IllegalArgumentException](
+        client.dump("mysql-bin.000001", 4L).toVector)
+      assert(e.getMessage.contains("CRC32 mismatch"))
+      client.close()
+    } finally srv.close()
+  }
+
+  test("heartbeat keepalives are consumed silently, in both checksum modes") {
+    Seq("NONE", "CRC32").foreach { mode =>
+      val events = Seq(
+        StubBinlog.fde(),
+        StubBinlog.heartbeat("mysql-bin.000001"), // idle master keepalive
+        StubBinlog.xid(3L),
+        StubBinlog.heartbeat("mysql-bin.000001"))
+      val srv = new StubMySqlServer("repl", "replpass", events,
+        binlogChecksum = mode)
+      try {
+        val client = new BinlogClient("127.0.0.1", srv.port, "repl", "replpass")
+        client.connect()
+        val got = client.dump("mysql-bin.000001", 4L).toVector
+        client.close()
+        assert(got.size == 2, s"mode $mode: heartbeats must not surface")
+        assert(got.collect { case x: Xid => x.xid } == Vector(3L), s"mode $mode")
+      } finally srv.close()
+    }
+  }
+
   test("an unknown auth plugin is refused with the actionable message") {
     // hand-build a handshake advertising an unsupported plugin
     val payload = new ByteWriter()

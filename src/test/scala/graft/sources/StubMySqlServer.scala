@@ -19,7 +19,11 @@ final class StubMySqlServer(user: String, password: String,
       * (cache miss → RSA public-key exchange over the plaintext
       * channel), or "switch-native" (advertise caching_sha2, then
       * AuthSwitchRequest back to native with a FRESH nonce) */
-    authMode: String = "native") extends AutoCloseable {
+    authMode: String = "native",
+    /** "NONE" streams bare events; "CRC32" appends the 5.6+-default
+      * 4-byte CRC32 trailer to every event (and the algorithm byte to
+      * the FDE) — the framing a stock master actually serves */
+    binlogChecksum: String = "NONE") extends AutoCloseable {
 
   private val server = new java.net.ServerSocket(0, 1,
     java.net.InetAddress.getLoopbackAddress)
@@ -116,7 +120,16 @@ final class StubMySqlServer(user: String, password: String,
             dumpFile = br.strEof()
             dumps += 1
             var seq = 1
-            val stream = if (dumps > 1) events ++ moreEvents else events
+            val raw = if (dumps > 1) events ++ moreEvents else events
+            val stream = binlogChecksum match {
+              case "CRC32" => StubBinlog.checksummed(raw)
+              case "CRC32-tamper" => // valid framing, one corrupt trailer
+                val cs = StubBinlog.checksummed(raw)
+                val t = cs.last.clone()
+                t(t.length - 1) = (t(t.length - 1) ^ 0x01).toByte
+                cs.init :+ t
+              case _ => raw
+            }
             stream.foreach { ev =>
               writePacket(out, seq, Array(0x00.toByte) ++ ev); seq += 1
             }
@@ -135,7 +148,16 @@ final class StubMySqlServer(user: String, password: String,
             }
             dumps += 1
             var seq = 1
-            val stream = if (dumps > 1) events ++ moreEvents else events
+            val raw = if (dumps > 1) events ++ moreEvents else events
+            val stream = binlogChecksum match {
+              case "CRC32" => StubBinlog.checksummed(raw)
+              case "CRC32-tamper" => // valid framing, one corrupt trailer
+                val cs = StubBinlog.checksummed(raw)
+                val t = cs.last.clone()
+                t(t.length - 1) = (t(t.length - 1) ^ 0x01).toByte
+                cs.init :+ t
+              case _ => raw
+            }
             stream.foreach { ev =>
               writePacket(out, seq, Array(0x00.toByte) ++ ev); seq += 1
             }
@@ -228,6 +250,44 @@ object StubBinlog {
   def fde(): Array[Byte] = event(FORMAT_DESCRIPTION_EVENT,
     new ByteWriter().u16(4).str("8.0.0-stub".padTo(50, '\u0000'))
       .u32(0L).u8(19).bytes(Array.fill[Byte](39)(0)).result())
+
+  /** HEARTBEAT_LOG_EVENT (type 27): the master's idle keepalive — body
+    * is just the current binlog file name, and it is NOT data.
+    */
+  def heartbeat(file: String): Array[Byte] =
+    event(HEARTBEAT_EVENT, new ByteWriter().str(file).result())
+
+  /** Re-frame a canned stream the way a binlog_checksum=CRC32 master
+    * (the 5.6+ DEFAULT) serves it: every event gains a little-endian
+    * CRC32 trailer over header+body, the FDE additionally gains the
+    * algorithm byte (1) before its trailer, and eventSize/logPos are
+    * rewritten for the growth — built server-side, independent of the
+    * client's stripping logic.
+    */
+  def checksummed(events: Seq[Array[Byte]]): Seq[Array[Byte]] = {
+    def readLE32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def writeLE32(b: Array[Byte], off: Int, v: Long): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    var delta = 0L
+    events.map { ev =>
+      val isFde = (ev(4) & 0xff) == FORMAT_DESCRIPTION_EVENT
+      val grown = if (isFde) ev :+ 1.toByte else ev.clone()
+      val add = if (isFde) 5 else 4
+      delta += add
+      // header offsets: eventSize at 9, logPos at 13 (both LE u32)
+      writeLE32(grown, 9, readLE32(ev, 9) + add)
+      writeLE32(grown, 13, readLE32(ev, 13) + delta)
+      val crc = new java.util.zip.CRC32
+      crc.update(grown)
+      val trailer = new Array[Byte](4)
+      writeLE32(trailer, 0, crc.getValue)
+      grown ++ trailer
+    }
+  }
 
   def rotate(next: String, position: Long): Array[Byte] =
     event(ROTATE_EVENT, new ByteWriter().u64(position).str(next).result())
