@@ -23,14 +23,31 @@ import java.time.Duration
   * bodies are EsBulk's rendered lines with the trailing newline _bulk
   * requires.
   */
-class EsRestSink(baseUrl: String, retries: Int = 3, retrySleepMs: Long = 50) {
+class EsRestSink(baseUrl: String, retries: Int = 3, retrySleepMs: Long = 50,
+    /** security credentials — ES 8 defaults to auth ON. basicAuth =
+      * (user, password) renders an RFC 7617 Basic header; apiKey is the
+      * base64 id:key form ("ApiKey …"). At most one may be set. */
+    basicAuth: Option[(String, String)] = None,
+    apiKey: Option[String] = None) {
+
+  require(basicAuth.isEmpty || apiKey.isEmpty,
+    "es: set basicAuth or apiKey, not both")
 
   private val client = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(5)).build()
 
-  private def req(path: String) =
-    HttpRequest.newBuilder(URI.create(baseUrl + path))
+  private val authHeader: Option[String] =
+    basicAuth.map { case (u, p) =>
+      "Basic " + java.util.Base64.getEncoder.encodeToString(
+        s"$u:$p".getBytes("UTF-8"))
+    }.orElse(apiKey.map("ApiKey " + _))
+
+  private def req(path: String) = {
+    val b = HttpRequest.newBuilder(URI.create(baseUrl + path))
       .timeout(Duration.ofSeconds(30))
+    authHeader.foreach(b.header("Authorization", _))
+    b
+  }
 
   private def send(r: HttpRequest): HttpResponse[String] =
     client.send(r, HttpResponse.BodyHandlers.ofString())

@@ -26,6 +26,10 @@ class EsRestSinkSpec extends AnyFunSuite {
     val requests = mutable.ArrayBuffer.empty[(String, String, String)] // method, path, body
     var bulkFailuresLeft = 0 // respond 503 to this many _bulk calls
     var failDocIds: Set[String] = Set.empty // item-level 409s
+    /** security on (the ES 8 default): exact Authorization header the
+      * cluster accepts; anything else is 401 before any processing */
+    var requireAuth: Option[String] = None
+    val authHeadersSeen = mutable.ArrayBuffer.empty[String]
 
     private def body(ex: HttpExchange): String =
       new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -42,7 +46,11 @@ class EsRestSinkSpec extends AnyFunSuite {
       val method = ex.getRequestMethod
       val b = body(ex)
       requests += ((method, path, b))
-      (method, path) match {
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      auth.foreach(authHeadersSeen += _)
+      if (requireAuth.nonEmpty && auth != requireAuth)
+        respond(ex, 401, """{"error":{"type":"security_exception"}}""")
+      else (method, path) match {
         case ("POST", "/_bulk") =>
           if (bulkFailuresLeft > 0) { bulkFailuresLeft -= 1; respond(ex, 503, "{}") }
           else {
@@ -126,6 +134,37 @@ class EsRestSinkSpec extends AnyFunSuite {
       stub.bulkFailuresLeft = 10
       val sink = new EsRestSink(url, retries = 1, retrySleepMs = 1)
       intercept[IllegalArgumentException](sink.bulk(Seq(EsBulk.indexAction("t", "1", "{}"))))
+    }
+  }
+
+  test("basic auth rides every request as the RFC 7617 header; 401 without it") {
+    withStub { (url, stub) =>
+      // "elastic:changeme" -> the exact base64 a real cluster verifies
+      stub.requireAuth = Some("Basic ZWxhc3RpYzpjaGFuZ2VtZQ==")
+      val sink = new EsRestSink(url, basicAuth = Some(("elastic", "changeme")),
+        retries = 0, retrySleepMs = 1)
+      assert(sink.checkAndSetIndex("orders", Seq("o_orderkey"), Nil, 1, 0) == "created")
+      val (n, failed) = sink.bulk(Seq(EsBulk.indexAction("orders", "1", "{}")))
+      assert(n == 1 && failed.isEmpty)
+      assert(stub.authHeadersSeen.nonEmpty &&
+        stub.authHeadersSeen.forall(_ == "Basic ZWxhc3RpYzpjaGFuZ2VtZQ=="))
+      // an unauthenticated sink is refused before any processing
+      val anon = new EsRestSink(url, retries = 0, retrySleepMs = 1)
+      intercept[IllegalArgumentException](
+        anon.bulk(Seq(EsBulk.indexAction("orders", "2", "{}"))))
+      assert(stub.indices("orders").nonEmpty, "401 must not have side effects")
+    }
+  }
+
+  test("api-key auth renders the ApiKey scheme; basic+apiKey together refuse") {
+    withStub { (url, stub) =>
+      stub.requireAuth = Some("ApiKey aWQ6c2VjcmV0")
+      val sink = new EsRestSink(url, apiKey = Some("aWQ6c2VjcmV0"),
+        retries = 0, retrySleepMs = 1)
+      val (n, failed) = sink.bulk(Seq(EsBulk.indexAction("t", "1", "{}")))
+      assert(n == 1 && failed.isEmpty)
+      intercept[IllegalArgumentException](new EsRestSink(url,
+        basicAuth = Some(("a", "b")), apiKey = Some("x")))
     }
   }
 }
