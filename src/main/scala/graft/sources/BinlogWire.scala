@@ -685,7 +685,10 @@ object BinlogWire {
       var activePlugin = startPlugin
       var nonce = startNonce
       var done = false
+      var rounds = 0
       while (!done) {
+        rounds += 1
+        require(rounds <= 8, "mysql: auth conversation did not converge")
         val (s, reply) = readPacket(in)
         (reply(0) & 0xff) match {
           case 0x00 => done = true // OK
@@ -771,17 +774,27 @@ object BinlogWire {
                   // the FDE always carries the 4 trailer bytes once the
                   // alg byte exists; validated below only under CRC32
                 }
-                if (checksumAlg == 1) {
-                  val dataLen = ev.length - 4
+                def crcOk(e: Array[Byte]): Boolean = {
+                  val dataLen = e.length - 4
                   val crc = new java.util.zip.CRC32
-                  crc.update(ev, 0, dataLen)
-                  val want = (ev(dataLen) & 0xffL) |
-                    ((ev(dataLen + 1) & 0xffL) << 8) |
-                    ((ev(dataLen + 2) & 0xffL) << 16) |
-                    ((ev(dataLen + 3) & 0xffL) << 24)
-                  require(crc.getValue == want,
+                  crc.update(e, 0, dataLen)
+                  crc.getValue == ((e(dataLen) & 0xffL) |
+                    ((e(dataLen + 1) & 0xffL) << 8) |
+                    ((e(dataLen + 2) & 0xffL) << 16) |
+                    ((e(dataLen + 3) & 0xffL) << 24))
+                }
+                if (checksumAlg == 1) {
+                  require(crcOk(ev),
                     f"binlog: event CRC32 mismatch (type 0x${ev(4) & 0xff}%02x)")
-                  ev = java.util.Arrays.copyOfRange(ev, 0, dataLen)
+                  ev = java.util.Arrays.copyOfRange(ev, 0, ev.length - 4)
+                } else if ((ev(4) & 0xff) == ROTATE_EVENT && ev.length > 23 &&
+                    crcOk(ev)) {
+                  // a CRC32 master's ARTIFICIAL rotate precedes the FDE
+                  // that announces the algorithm; a matching trailer
+                  // (2^-32 false-positive odds against filename bytes)
+                  // identifies it — otherwise 4 junk bytes would join
+                  // the next-file name
+                  ev = java.util.Arrays.copyOfRange(ev, 0, ev.length - 4)
                 }
                 if ((ev(4) & 0xff) == HEARTBEAT_EVENT) {
                   // idle keepalive from the master: not data, read on

@@ -235,6 +235,27 @@ class BinlogWireSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("the artificial rotate a CRC32 master sends BEFORE the FDE is stripped clean") {
+    // real dump streams open with an artificial ROTATE (already
+    // checksummed) and only THEN the FDE that announces the algorithm
+    val raw = Seq(
+      StubBinlog.rotate("mysql-bin.000009", 4L),
+      StubBinlog.fde(),
+      StubBinlog.xid(5L))
+    val srv = new StubMySqlServer("repl", "replpass", raw,
+      binlogChecksum = "CRC32")
+    try {
+      val client = new BinlogClient("127.0.0.1", srv.port, "repl", "replpass")
+      client.connect()
+      val got = client.dump("mysql-bin.000009", 4L).toVector
+      client.close()
+      // without the pre-FDE strip the filename would carry 4 junk bytes
+      assert(got.collect { case r: Rotate => r.nextFile } ==
+        Vector("mysql-bin.000009"))
+      assert(got.collect { case x: Xid => x.xid } == Vector(5L))
+    } finally srv.close()
+  }
+
   test("a corrupt CRC32 trailer fails loudly instead of decoding garbage") {
     val events = Seq(StubBinlog.fde(), StubBinlog.xid(2L))
     val srv = new StubMySqlServer("repl", "replpass", events,

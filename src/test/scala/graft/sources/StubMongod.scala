@@ -111,9 +111,10 @@ final class StubMongod(oplog: Seq[BDoc], batchSize: Int = 2,
                 Scram.clientKey(convMech, convSalted))
               val sig = Scram.hmac(convMech, stored,
                 convAuthMessage.getBytes("UTF-8"))
-              val ck = proof.indices.map(i => (proof(i) ^ sig(i)).toByte).toArray
-              val pass = proof.length == sig.length &&
+              val pass = proof.length == sig.length && {
+                val ck = proof.indices.map(i => (proof(i) ^ sig(i)).toByte).toArray
                 java.util.Arrays.equals(Scram.h(convMech, ck), stored)
+              }
               if (!pass)
                 BVal.doc("ok" -> BDouble(0.0), "code" -> BInt(18),
                   "errmsg" -> BStr("Authentication failed"))
