@@ -352,12 +352,27 @@ object PipelineConfig {
           Option(o.get("topic")).map(_.asText()),
           pk,
           payloadColumns = Option(o.get("columns")).map(strList))
+      case "kafka-wire" =>
+        // the real-broker seat: executor-side wire producers; batch-magic
+        // 2 selects RecordBatch v2 / produce v3 (the 4.x-broker dialect)
+        new graft.sinks.KafkaWireBatchSink(
+          req(o, "host").asText(),
+          Option(o.get("port")).map(_.asInt()).getOrElse(9092),
+          Option(o.get("partitions")).map(_.asInt()).getOrElse(4),
+          req(o, "topic").asText(),
+          pk,
+          payloadColumns = Option(o.get("columns")).map(strList),
+          maxRecordsPerRequest =
+            Option(o.get("max-records-per-request")).map(_.asInt()).getOrElse(1000),
+          batchMagic = Option(o.get("batch-magic")).map(_.asInt()).getOrElse(1))
       case other => throw new IllegalArgumentException(s"unknown output type '$other'")
     }
-    // "columns": output-side projection applied before the sink (kafka-file
-    // consumed it above as payload selection)
+    // "columns": output-side projection applied before the sink (the two
+    // kafka sinks consumed it above as payload selection — projecting
+    // would strip the database/table the envelope needs)
     val projected = Option(o.get("columns")).map(strList) match {
-      case Some(cols) if !base.isInstanceOf[graft.sinks.KafkaFileBatchSink] =>
+      case Some(cols) if !base.isInstanceOf[graft.sinks.KafkaFileBatchSink] &&
+          !base.isInstanceOf[graft.sinks.KafkaWireBatchSink] =>
         new graft.streaming.ProjectingSink(base, cols)
       case _ => base
     }

@@ -158,6 +158,30 @@ class PipelineConfigSpec extends SparkSpec {
       && k1.head(1).contains("\"type\":\"update\""))
   }
 
+  test("output config builds the kafka WIRE sink: executor produce to the stub broker") {
+    val broker = new graft.sinks.StubKafkaBroker
+    try {
+      val sink = PipelineConfig.parseSink(spark,
+        s"""{"type":"kafka-wire","host":"127.0.0.1","port":${broker.port},
+            "partitions":2,"topic":"t-orders","batch-magic":2}""",
+        Seq("id")).asInstanceOf[graft.sinks.KafkaWireBatchSink]
+      val env = Seq(
+        (1L, "insert", "db0", "orders", 1L, "a"),
+        (2L, "update", "db0", "orders", 1L, "a2"),
+        (3L, "insert", "db0", "orders", 2L, "b"))
+        .toDF("seq", "op", "database", "table", "id", "v")
+      sink.write(0L, env)
+      val all = scala.jdk.CollectionConverters.MapHasAsScala(broker.log)
+        .asScala.toSeq.flatMap { case ((t, _), buf) =>
+          buf.map { case (_, v) => (t, new String(v, "UTF-8")) } }
+      assert(all.size == 3 && all.forall(_._1 == "t-orders"))
+      assert(all.forall(_._2.contains("\"version\":\"2.0.alpha\"")))
+      // produce ran on executor tasks (client ids stamp the task id)
+      assert(scala.jdk.CollectionConverters.SetHasAsScala(broker.clientIds)
+        .asScala.forall(_.startsWith("graft-exec-")))
+    } finally broker.close()
+  }
+
   test("output config builds a retry-wrapped jdbc sink that writes through Derby") {
     val url = "jdbc:derby:memory:cfg" +
       java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
