@@ -51,6 +51,8 @@ class KafkaStreamSpec extends SparkSpec {
       val out = "kafka_stream_v2"
       val q = spark.readStream.format(fmt)
         .option("host", "127.0.0.1").option("port", broker.port)
+        // the 4.x dialect end-to-end: fetch v4 headers around v2 batches
+        .option("fetchVersion", 4)
         .option("topic", "cdc").option("stopAtHighWater", true)
         .load()
         .writeStream.format("memory").queryName(out)
