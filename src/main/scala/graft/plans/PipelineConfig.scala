@@ -176,6 +176,8 @@ object PipelineConfig {
           Seq("host" -> "host", "port" -> "port", "topic" -> "topic",
             "partition" -> "partition", "offset" -> "offset",
             "fetch-version" -> "fetchVersion",
+            "sasl-user" -> "saslUser", "sasl-password" -> "saslPassword",
+            "sasl-mechanism" -> "saslMechanism",
             "stop-at-high-water" -> "stopAtHighWater",
             "rows-per-batch" -> "rowsPerBatch", "max-buffered" -> "maxBuffered",
             "partitions" -> "partitions", "drain-wait-ms" -> "drainWaitMs",
@@ -364,7 +366,11 @@ object PipelineConfig {
           payloadColumns = Option(o.get("columns")).map(strList),
           maxRecordsPerRequest =
             Option(o.get("max-records-per-request")).map(_.asInt()).getOrElse(1000),
-          batchMagic = Option(o.get("batch-magic")).map(_.asInt()).getOrElse(1))
+          batchMagic = Option(o.get("batch-magic")).map(_.asInt()).getOrElse(1),
+          sasl = Option(o.get("sasl-user")).map(u => (u.asText(),
+            Option(o.get("sasl-password")).map(_.asText()).getOrElse(""),
+            Option(o.get("sasl-mechanism")).map(_.asText())
+              .getOrElse("SCRAM-SHA-256"))))
       case other => throw new IllegalArgumentException(s"unknown output type '$other'")
     }
     // "columns": output-side projection applied before the sink (the two

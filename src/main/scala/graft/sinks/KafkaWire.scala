@@ -510,6 +510,94 @@ object KafkaWire {
   final case class BrokerError(code: Int)
       extends RuntimeException(s"kafka: produce failed with error code $code")
 
+  // ------------------------------------------------------ SASL / SCRAM
+
+  val ApiSaslHandshake = 17
+  val ApiSaslAuthenticate = 36
+
+  def saslHandshakeRequest(correlationId: Int, clientId: String,
+      mechanism: String): Array[Byte] =
+    new Writer().i16(ApiSaslHandshake).i16(1)
+      .i32(correlationId).str(clientId).str(mechanism).result()
+
+  /** → (errorCode, enabled mechanisms) */
+  def parseSaslHandshakeResponse(b: Array[Byte]): (Int, Int, Seq[String]) = {
+    val r = new Reader(b)
+    val correlationId = r.i32()
+    val err = r.i16()
+    val n = r.i32()
+    (correlationId, err, (0 until n).map(_ => r.str()))
+  }
+
+  def saslAuthenticateRequest(correlationId: Int, clientId: String,
+      authBytes: Array[Byte]): Array[Byte] =
+    new Writer().i16(ApiSaslAuthenticate).i16(0)
+      .i32(correlationId).str(clientId).bytes(authBytes).result()
+
+  /** → (errorCode, errorMessage, authBytes) */
+  def parseSaslAuthenticateResponse(b: Array[Byte]): (Int, Int, String, Array[Byte]) = {
+    val r = new Reader(b)
+    val correlationId = r.i32()
+    val err = r.i16()
+    val msgLen = r.i16()
+    val msg = if (msgLen < 0) null
+      else { val raw = new Array[Byte](msgLen)
+        (0 until msgLen).foreach(i => raw(i) = r.i8().toByte)
+        new String(raw, "UTF-8") }
+    (correlationId, err, msg, r.bytes())
+  }
+
+  /** SASL/SCRAM session setup on a fresh connection (KIP-84/KIP-152:
+    * SaslHandshake v1 then SCRAM over SaslAuthenticate frames). The
+    * SCRAM math is the shared RFC 5802/7677 implementation
+    * ([[graft.sources.MongoWire.Scram]]); Kafka salts the RAW password
+    * for both mechanisms (no MD5 pre-hash), and the client verifies the
+    * broker's server-final signature — mutual auth, same posture as the
+    * Mongo seat.
+    */
+  def saslScramAuthenticate(in: InputStream, out: OutputStream,
+      clientId: String, user: String, password: String,
+      mechanism: String = "SCRAM-SHA-256", nonce: String = null): Unit = {
+    import graft.sources.MongoWire.Scram
+    writeFrame(out, saslHandshakeRequest(1, clientId, mechanism))
+    val (_, hsErr, enabled) = parseSaslHandshakeResponse(readFrame(in))
+    require(hsErr == 0,
+      s"kafka: broker refused SASL mechanism $mechanism (enabled: ${enabled.mkString(",")})")
+    val cnonce = if (nonce != null) nonce else {
+      val b = new Array[Byte](18)
+      new java.security.SecureRandom().nextBytes(b)
+      java.util.Base64.getEncoder.encodeToString(b)
+    }
+    val clientFirstBare = s"n=${Scram.saslName(user)},r=$cnonce"
+    writeFrame(out, saslAuthenticateRequest(2, clientId,
+      s"n,,$clientFirstBare".getBytes("UTF-8")))
+    val (_, e1, m1, serverFirstBytes) = parseSaslAuthenticateResponse(readFrame(in))
+    require(e1 == 0, s"kafka: SASL authentication failed: $m1")
+    val serverFirst = new String(serverFirstBytes, "UTF-8")
+    val sf = Scram.attrs(serverFirst)
+    val snonce = sf.getOrElse("r", sys.error("kafka: server-first missing r="))
+    require(snonce.startsWith(cnonce),
+      "kafka: server nonce does not extend the client nonce (MITM?)")
+    val salt = java.util.Base64.getDecoder.decode(
+      sf.getOrElse("s", sys.error("kafka: server-first missing s=")))
+    val iters = sf.getOrElse("i", sys.error("kafka: server-first missing i=")).toInt
+    require(iters >= 4096, s"kafka: iteration count $iters below the RFC floor")
+    val salted = Scram.saltedPasswordOf(mechanism, password, salt, iters)
+    val withoutProof = s"c=biws,r=$snonce"
+    val authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
+    val proof = java.util.Base64.getEncoder.encodeToString(
+      Scram.clientProof(mechanism, salted, authMessage))
+    writeFrame(out, saslAuthenticateRequest(3, clientId,
+      s"$withoutProof,p=$proof".getBytes("UTF-8")))
+    val (_, e2, m2, serverFinalBytes) = parseSaslAuthenticateResponse(readFrame(in))
+    require(e2 == 0, s"kafka: SASL authentication failed: $m2")
+    val v = Scram.attrs(new String(serverFinalBytes, "UTF-8")).getOrElse("v",
+      sys.error("kafka: server-final missing v="))
+    require(java.util.Arrays.equals(java.util.Base64.getDecoder.decode(v),
+        Scram.serverSignature(mechanism, salted, authMessage)),
+      "kafka: SERVER signature mismatch — refusing the session")
+  }
+
   /** Synchronous wire producer: one broker connection, acks awaited per
     * batch — the delivery-report loop the reference runs on sarama's
     * Successes/Errors channels (async_kafka.go:150-226), collapsed to
@@ -521,7 +609,10 @@ object KafkaWire {
       /** 1 = MessageSet v1 over produce v2 (pre-4.x brokers, sarama-era
         * default); 2 = RecordBatch v2 over produce v3 (required by 4.x
         * brokers — KIP-724 dropped the v1 format) */
-      batchMagic: Int = 1) extends AutoCloseable {
+      batchMagic: Int = 1,
+      /** (user, password, mechanism): run SASL/SCRAM before producing —
+        * what a security-enabled broker listener requires */
+      sasl: Option[(String, String, String)] = None) extends AutoCloseable {
     require(batchMagic == 1 || batchMagic == 2,
       s"kafka: batch magic $batchMagic not supported")
     private var socket: java.net.Socket = _
@@ -533,6 +624,10 @@ object KafkaWire {
       socket = new java.net.Socket(host, port)
       in = new BufferedInputStream(socket.getInputStream)
       out = new BufferedOutputStream(socket.getOutputStream)
+      sasl.foreach { case (u, p, m) =>
+        saslScramAuthenticate(in, out, clientId, u, p, m)
+      }
+      correlation = 10 // past the auth frames' correlation ids
       this
     }
 
@@ -570,7 +665,9 @@ object KafkaWire {
       clientId: String = "graft-consumer",
       /** 2 = sarama-era fetch; 4 = the 4.x-broker floor (KIP-896) with
         * isolation_level and transactional partition headers */
-      fetchVersion: Int = 2) extends AutoCloseable {
+      fetchVersion: Int = 2,
+      /** (user, password, mechanism): SASL/SCRAM before fetching */
+      sasl: Option[(String, String, String)] = None) extends AutoCloseable {
     private var socket: java.net.Socket = _
     private var in: InputStream = _
     private var out: OutputStream = _
@@ -580,6 +677,10 @@ object KafkaWire {
       socket = new java.net.Socket(host, port)
       in = new BufferedInputStream(socket.getInputStream)
       out = new BufferedOutputStream(socket.getOutputStream)
+      sasl.foreach { case (u, p, m) =>
+        saslScramAuthenticate(in, out, clientId, u, p, m)
+      }
+      correlation = 10
       this
     }
 
@@ -632,7 +733,9 @@ final class KafkaWireBatchSink(host: String, port: Int, numPartitions: Int,
     maxRecordsPerRequest: Int = 1000,
     /** 1 = MessageSet v1 / produce v2 (pre-4.x default); 2 =
       * RecordBatch v2 / produce v3 (required by 4.x brokers) */
-    batchMagic: Int = 1)
+    batchMagic: Int = 1,
+    /** (user, password, mechanism): SASL/SCRAM per executor connection */
+    sasl: Option[(String, String, String)] = None)
     extends graft.streaming.BatchSink {
 
   def write(batchId: Long, compacted: org.apache.spark.sql.DataFrame): Unit = {
@@ -662,7 +765,8 @@ final class KafkaWireBatchSink(host: String, port: Int, numPartitions: Int,
       .sortWithinPartitions(sortCols: _*)
       .select(col("__part"), col("key"), col("value"))
     // closure captures primitives only (the sink itself need not ship)
-    val (h, p, t, chunk, magic) = (host, port, topic, maxRecordsPerRequest, batchMagic)
+    val (h, p, t, chunk, magic, auth) =
+      (host, port, topic, maxRecordsPerRequest, batchMagic, sasl)
     // real create-time: magic-1 timestamps feed the broker's time-based
     // retention and time-index — 0 would make every segment instantly
     // past any retention window
@@ -674,7 +778,8 @@ final class KafkaWireBatchSink(host: String, port: Int, numPartitions: Int,
         val taskId = Option(org.apache.spark.TaskContext.get())
           .map(_.partitionId()).getOrElse(-1)
         val producer = new KafkaWire.KafkaWireProducer(h, p,
-          clientId = s"graft-exec-$taskId", batchMagic = magic).connect()
+          clientId = s"graft-exec-$taskId", batchMagic = magic,
+          sasl = auth).connect()
         val buf = scala.collection.mutable.ArrayBuffer
           .empty[(Array[Byte], Array[Byte])]
         var cur = -1L

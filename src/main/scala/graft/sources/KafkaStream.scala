@@ -92,7 +92,10 @@ final class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
 
   private val client = new graft.sinks.KafkaWire.KafkaWireConsumer(host, port,
     // fetch dialect: 2 (sarama-era default) or 4 (the 4.x-broker floor)
-    fetchVersion = options.getInt("fetchVersion", 2))
+    fetchVersion = options.getInt("fetchVersion", 2),
+    sasl = Option(options.get("saslUser")).filter(_.nonEmpty).map(u =>
+      (u, Option(options.get("saslPassword")).getOrElse(""),
+        Option(options.get("saslMechanism")).getOrElse("SCRAM-SHA-256"))))
 
   override protected def seqOf(e: KafkaRecord): Long = e.offset
 

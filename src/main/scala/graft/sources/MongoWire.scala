@@ -231,13 +231,21 @@ object MongoWire {
         md5.map("%02x".format(_)).mkString
       } else password
 
-    def saltedPassword(mech: String, user: String, password: String,
+    /** RFC 5802 Hi(): PBKDF2 over the effective password — callers
+      * apply any scheme-specific pre-hash first (Mongo's MD5 digest for
+      * SHA-1; Kafka salts the raw password for both mechanisms).
+      */
+    def saltedPasswordOf(mech: String, effectivePassword: String,
         salt: Array[Byte], iterations: Int): Array[Byte] = {
       val (_, _, kdf, keyLen) = hashName(mech)
       val spec = new javax.crypto.spec.PBEKeySpec(
-        mongoPassword(mech, user, password).toCharArray, salt, iterations, keyLen * 8)
+        effectivePassword.toCharArray, salt, iterations, keyLen * 8)
       javax.crypto.SecretKeyFactory.getInstance(kdf).generateSecret(spec).getEncoded
     }
+
+    def saltedPassword(mech: String, user: String, password: String,
+        salt: Array[Byte], iterations: Int): Array[Byte] =
+      saltedPasswordOf(mech, mongoPassword(mech, user, password), salt, iterations)
 
     def clientKey(mech: String, salted: Array[Byte]): Array[Byte] =
       hmac(mech, salted, "Client Key".getBytes("UTF-8"))

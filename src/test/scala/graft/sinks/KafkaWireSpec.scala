@@ -13,7 +13,12 @@ final class StubKafkaBroker(
     /** serve fetches as RecordBatch v2 (magic 2) instead of
       * down-converted v1 sets — what a modern topic returns — with the
       * given batch codec (0=none … 4=zstd) */
-    serveV2Batches: Boolean = false, v2Codec: Int = 0) extends AutoCloseable {
+    serveV2Batches: Boolean = false, v2Codec: Int = 0,
+    /** (user, password, mechanism): a security-enabled listener —
+      * produce/fetch are refused (connection closed, like a real
+      * broker) until SASL/SCRAM proves the client holds the password,
+      * verified server-side from stored credentials */
+    saslAuth: Option[(String, String, String)] = None) extends AutoCloseable {
   private val server = new java.net.ServerSocket(0, 16,
     java.net.InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
@@ -41,10 +46,18 @@ final class StubKafkaBroker(
     } catch { case _: Exception => () }
   })
 
+  @volatile var saslOk = false
+
   private def serve(sock: java.net.Socket): Unit = {
     val in = new java.io.BufferedInputStream(sock.getInputStream)
     val out = new java.io.BufferedOutputStream(sock.getOutputStream)
     var open = true
+    // per-connection SASL conversation state
+    var authed = saslAuth.isEmpty
+    var convSalted: Array[Byte] = null
+    var convAuthMessage: String = null
+    var convMech: String = null
+    val saslSalt = (21 to 36).map(_.toByte).toArray
     while (open) {
       val frame = try readFrame(in) catch { case _: java.io.EOFException => open = false; Array.emptyByteArray }
       if (open) {
@@ -53,6 +66,63 @@ final class StubKafkaBroker(
         val correlationId = r.i32(); lastClientId = r.str()
         clientIds.add(lastClientId)
         apiKey match {
+          case 17 => // SaslHandshake v1
+            val mech = r.str()
+            val want = saslAuth.map(_._3).getOrElse("")
+            val w = new Writer().i32(correlationId)
+            if (saslAuth.isEmpty || mech != want)
+              w.i16(33) // UNSUPPORTED_SASL_MECHANISM
+            else w.i16(0)
+            w.i32(1).str(if (want.isEmpty) "SCRAM-SHA-256" else want)
+            writeFrame(out, w.result())
+          case 36 => // SaslAuthenticate v0
+            import graft.sources.MongoWire.Scram
+            val payload = new String(r.bytes(), "UTF-8")
+            val (user, password, mech) = saslAuth.getOrElse(("", "", ""))
+            def fail(msg: String): Unit = writeFrame(out,
+              new Writer().i32(correlationId).i16(58) // SASL_AUTHENTICATION_FAILED
+                .str(msg).bytes(Array.emptyByteArray).result())
+            if (payload.startsWith("n,,")) {
+              val bare = payload.drop(3)
+              val a = Scram.attrs(bare)
+              if (!a.get("n").contains(Scram.saslName(user))) fail("unknown user")
+              else {
+                val snonce = a("r") + "kafkaSrvExt"
+                val serverFirst = s"r=$snonce,s=${java.util.Base64.getEncoder
+                  .encodeToString(saslSalt)},i=4096"
+                convMech = mech
+                // kafka salts the RAW password (no scheme pre-hash)
+                convSalted = Scram.saltedPasswordOf(mech, password, saslSalt, 4096)
+                convAuthMessage = s"$bare,$serverFirst,c=biws,r=$snonce"
+                writeFrame(out, new Writer().i32(correlationId).i16(0).i16(-1)
+                  .bytes(serverFirst.getBytes("UTF-8")).result())
+              }
+            } else {
+              val a = Scram.attrs(payload)
+              if (convSalted == null || !a.contains("p")) fail("no SASL conversation")
+              else {
+                val proof = java.util.Base64.getDecoder.decode(a("p"))
+                val stored = Scram.storedKey(convMech,
+                  Scram.clientKey(convMech, convSalted))
+                val sig = Scram.hmac(convMech, stored,
+                  convAuthMessage.getBytes("UTF-8"))
+                val pass = proof.length == sig.length && {
+                  val ck = proof.indices.map(i => (proof(i) ^ sig(i)).toByte).toArray
+                  java.util.Arrays.equals(Scram.h(convMech, ck), stored)
+                }
+                if (!pass) fail("Authentication failed")
+                else {
+                  authed = true; saslOk = true
+                  val v = Scram.serverSignature(convMech, convSalted, convAuthMessage)
+                  writeFrame(out, new Writer().i32(correlationId).i16(0).i16(-1)
+                    .bytes(s"v=${java.util.Base64.getEncoder.encodeToString(v)}"
+                      .getBytes("UTF-8")).result())
+                }
+              }
+            }
+          case (0 | 1) if !authed =>
+            // a real broker kills the connection on pre-auth data APIs
+            open = false
           case 0 =>
             require(apiVersion == 2 || apiVersion == 3,
               s"stub broker: produce v2/v3 only (got $apiVersion)")
@@ -306,6 +376,48 @@ class KafkaWireSpec extends AnyFunSuite {
       val (hw3, empty) = consumer.poll("t", 0, 5L)
       assert(hw3 == 5L && empty.isEmpty)
       consumer.close()
+    } finally broker.close()
+  }
+
+  test("SASL/SCRAM listener: produce+fetch after mutual auth, pre-auth connections killed") {
+    val broker = new StubKafkaBroker(
+      saslAuth = Some(("svc-cdc", "s3cret", "SCRAM-SHA-256")))
+    try {
+      // unauthenticated produce: the broker kills the connection
+      val anon = new KafkaWire.KafkaWireProducer("127.0.0.1", broker.port).connect()
+      intercept[java.io.IOException](anon.produce("t", 0,
+        Seq(("k".getBytes("UTF-8"), "v".getBytes("UTF-8"))), 1700000000000L))
+      anon.close()
+      assert(!broker.saslOk)
+      // authenticated produce + fetch round-trip
+      val producer = new KafkaWire.KafkaWireProducer("127.0.0.1", broker.port,
+        sasl = Some(("svc-cdc", "s3cret", "SCRAM-SHA-256"))).connect()
+      assert(broker.saslOk, "broker must verify the client proof server-side")
+      producer.produce("t", 0, (0 until 3).map(i =>
+        (s"k$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8"))), 1700000000000L)
+      producer.close()
+      val consumer = new KafkaWire.KafkaWireConsumer("127.0.0.1", broker.port,
+        sasl = Some(("svc-cdc", "s3cret", "SCRAM-SHA-256"))).connect()
+      val (hw, got) = consumer.poll("t", 0, 0L)
+      consumer.close()
+      assert(hw == 3L && got.map(t => new String(t._3, "UTF-8")) == Seq("v0", "v1", "v2"))
+    } finally broker.close()
+  }
+
+  test("SASL wrong password and unsupported mechanism are loud refusals") {
+    val broker = new StubKafkaBroker(
+      saslAuth = Some(("svc-cdc", "s3cret", "SCRAM-SHA-256")))
+    try {
+      val bad = new KafkaWire.KafkaWireProducer("127.0.0.1", broker.port,
+        sasl = Some(("svc-cdc", "WRONG", "SCRAM-SHA-256")))
+      val e = intercept[IllegalArgumentException](bad.connect())
+      assert(e.getMessage.contains("Authentication failed"))
+      assert(!broker.saslOk)
+      val wrongMech = new KafkaWire.KafkaWireProducer("127.0.0.1", broker.port,
+        sasl = Some(("svc-cdc", "s3cret", "SCRAM-SHA-512")))
+      val e2 = intercept[IllegalArgumentException](wrongMech.connect())
+      assert(e2.getMessage.contains("refused SASL mechanism"))
+      assert(e2.getMessage.contains("SCRAM-SHA-256"), "refusal lists enabled mechanisms")
     } finally broker.close()
   }
 
