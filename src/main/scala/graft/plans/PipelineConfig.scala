@@ -166,6 +166,7 @@ object PipelineConfig {
           Seq("host" -> "host", "port" -> "port", "user" -> "user",
             "password" -> "password", "file" -> "file", "pos" -> "pos",
             "gtid" -> "gtid", "server-id" -> "serverId",
+            "tls-truststore" -> "tlsTruststore", "tls-password" -> "tlsPassword",
             "rows-per-batch" -> "rowsPerBatch",
             "max-buffered" -> "maxBuffered", "partitions" -> "partitions",
             "drain-wait-ms" -> "drainWaitMs"))
@@ -178,6 +179,7 @@ object PipelineConfig {
             "fetch-version" -> "fetchVersion",
             "sasl-user" -> "saslUser", "sasl-password" -> "saslPassword",
             "sasl-mechanism" -> "saslMechanism",
+            "tls-truststore" -> "tlsTruststore", "tls-password" -> "tlsPassword",
             "stop-at-high-water" -> "stopAtHighWater",
             "rows-per-batch" -> "rowsPerBatch", "max-buffered" -> "maxBuffered",
             "partitions" -> "partitions", "drain-wait-ms" -> "drainWaitMs",
@@ -187,6 +189,8 @@ object PipelineConfig {
           Seq("host" -> "host", "port" -> "port",
             "user" -> "user", "password" -> "password",
             "auth-mechanism" -> "authMechanism", "auth-source" -> "authSource",
+            "tls-truststore" -> "tlsTruststore", "tls-password" -> "tlsPassword",
+            "compressors" -> "compressors",
             "after-sec" -> "afterSec", "after-inc" -> "afterInc",
             "rows-per-batch" -> "rowsPerBatch", "max-buffered" -> "maxBuffered",
             "partitions" -> "partitions", "drain-wait-ms" -> "drainWaitMs"))
@@ -370,7 +374,9 @@ object PipelineConfig {
           sasl = Option(o.get("sasl-user")).map(u => (u.asText(),
             Option(o.get("sasl-password")).map(_.asText()).getOrElse(""),
             Option(o.get("sasl-mechanism")).map(_.asText())
-              .getOrElse("SCRAM-SHA-256"))))
+              .getOrElse("SCRAM-SHA-256"))),
+          tls = Option(o.get("tls-truststore")).map(p => (p.asText(),
+            Option(o.get("tls-password")).map(_.asText()).getOrElse(""))))
       case other => throw new IllegalArgumentException(s"unknown output type '$other'")
     }
     // "columns": output-side projection applied before the sink (the two

@@ -28,13 +28,20 @@ class EsRestSink(baseUrl: String, retries: Int = 3, retrySleepMs: Long = 50,
       * (user, password) renders an RFC 7617 Basic header; apiKey is the
       * base64 id:key form ("ApiKey …"). At most one may be set. */
     basicAuth: Option[(String, String)] = None,
-    apiKey: Option[String] = None) {
+    apiKey: Option[String] = None,
+    /** TLS context for an https base URL (ES 8 serves HTTPS by
+      * default, self-signed out of the box — the context must trust
+      * the cluster's certificate; hostname verification stays ON) */
+    sslContext: Option[javax.net.ssl.SSLContext] = None) {
 
   require(basicAuth.isEmpty || apiKey.isEmpty,
     "es: set basicAuth or apiKey, not both")
 
-  private val client = HttpClient.newBuilder()
-    .connectTimeout(Duration.ofSeconds(5)).build()
+  private val client = {
+    val b = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(5))
+    sslContext.foreach(b.sslContext)
+    b.build()
+  }
 
   private val authHeader: Option[String] =
     basicAuth.map { case (u, p) =>

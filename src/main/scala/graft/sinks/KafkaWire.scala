@@ -612,7 +612,11 @@ object KafkaWire {
       batchMagic: Int = 1,
       /** (user, password, mechanism): run SASL/SCRAM before producing —
         * what a security-enabled broker listener requires */
-      sasl: Option[(String, String, String)] = None) extends AutoCloseable {
+      sasl: Option[(String, String, String)] = None,
+      /** TLS from byte zero (a broker SSL/SASL_SSL listener) — the
+        * context must trust the broker's certificate; hostname is
+        * verified against it */
+      tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
     require(batchMagic == 1 || batchMagic == 2,
       s"kafka: batch magic $batchMagic not supported")
     private var socket: java.net.Socket = _
@@ -621,7 +625,10 @@ object KafkaWire {
     private var correlation = 0
 
     def connect(): this.type = {
-      socket = new java.net.Socket(host, port)
+      socket = tls match {
+        case Some(ctx) => graft.sources.Tls.clientSocket(ctx, host, port)
+        case None => new java.net.Socket(host, port)
+      }
       in = new BufferedInputStream(socket.getInputStream)
       out = new BufferedOutputStream(socket.getOutputStream)
       sasl.foreach { case (u, p, m) =>
@@ -667,14 +674,19 @@ object KafkaWire {
         * isolation_level and transactional partition headers */
       fetchVersion: Int = 2,
       /** (user, password, mechanism): SASL/SCRAM before fetching */
-      sasl: Option[(String, String, String)] = None) extends AutoCloseable {
+      sasl: Option[(String, String, String)] = None,
+      /** TLS from byte zero (a broker SSL/SASL_SSL listener) */
+      tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
     private var socket: java.net.Socket = _
     private var in: InputStream = _
     private var out: OutputStream = _
     private var correlation = 0
 
     def connect(): this.type = {
-      socket = new java.net.Socket(host, port)
+      socket = tls match {
+        case Some(ctx) => graft.sources.Tls.clientSocket(ctx, host, port)
+        case None => new java.net.Socket(host, port)
+      }
       in = new BufferedInputStream(socket.getInputStream)
       out = new BufferedOutputStream(socket.getOutputStream)
       sasl.foreach { case (u, p, m) =>
@@ -735,7 +747,12 @@ final class KafkaWireBatchSink(host: String, port: Int, numPartitions: Int,
       * RecordBatch v2 / produce v3 (required by 4.x brokers) */
     batchMagic: Int = 1,
     /** (user, password, mechanism): SASL/SCRAM per executor connection */
-    sasl: Option[(String, String, String)] = None)
+    sasl: Option[(String, String, String)] = None,
+    /** (truststore path, password): TLS per executor connection. The
+      * path must resolve on every executor (ship the store with the
+      * job — `--files` — or a shared mount); an SSLContext itself is
+      * not serializable, so each task builds its own from the store. */
+    tls: Option[(String, String)] = None)
     extends graft.streaming.BatchSink {
 
   def write(batchId: Long, compacted: org.apache.spark.sql.DataFrame): Unit = {
@@ -765,8 +782,8 @@ final class KafkaWireBatchSink(host: String, port: Int, numPartitions: Int,
       .sortWithinPartitions(sortCols: _*)
       .select(col("__part"), col("key"), col("value"))
     // closure captures primitives only (the sink itself need not ship)
-    val (h, p, t, chunk, magic, auth) =
-      (host, port, topic, maxRecordsPerRequest, batchMagic, sasl)
+    val (h, p, t, chunk, magic, auth, tlsStore) =
+      (host, port, topic, maxRecordsPerRequest, batchMagic, sasl, tls)
     // real create-time: magic-1 timestamps feed the broker's time-based
     // retention and time-index — 0 would make every segment instantly
     // past any retention window
@@ -779,7 +796,9 @@ final class KafkaWireBatchSink(host: String, port: Int, numPartitions: Int,
           .map(_.partitionId()).getOrElse(-1)
         val producer = new KafkaWire.KafkaWireProducer(h, p,
           clientId = s"graft-exec-$taskId", batchMagic = magic,
-          sasl = auth).connect()
+          sasl = auth,
+          tls = tlsStore.map { case (path, pw) =>
+            graft.sources.Tls.clientContext(path, pw.toCharArray) }).connect()
         val buf = scala.collection.mutable.ArrayBuffer
           .empty[(Array[Byte], Array[Byte])]
         var cur = -1L

@@ -116,7 +116,11 @@ final class BinlogMicroBatchStream(options: CaseInsensitiveStringMap)
     Option(options.get(s"$prefix.$db.$tbl"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
-  private val client = new BinlogWire.BinlogClient(host, port, user, password, serverId)
+  private val client = new BinlogWire.BinlogClient(host, port, user, password, serverId,
+    // ssl-mode=REQUIRED: SSLRequest + channel upgrade before credentials
+    tls = Option(options.get("tlsTruststore")).filter(_.nonEmpty).map(p =>
+      Tls.clientContext(p,
+        Option(options.get("tlsPassword")).getOrElse("").toCharArray)))
 
   override protected def seqOf(e: BinlogWire.Envelope): Long = e.seq
 

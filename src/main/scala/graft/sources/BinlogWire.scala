@@ -111,9 +111,12 @@ object BinlogWire {
   // --------------------------------------------------------- handshake
 
   final case class Handshake(
-      serverVersion: String, threadId: Long, scramble: Array[Byte], authPlugin: String)
+      serverVersion: String, threadId: Long, scramble: Array[Byte], authPlugin: String,
+      /** low 16 capability bits (enough for the CLIENT_SSL check) */
+      capabilities: Long = 0L)
 
   val CapProtocol41 = 0x00000200L
+  val CapSsl = 0x00000800L
   val CapSecureConnection = 0x00008000L
   val CapPluginAuth = 0x00080000L
 
@@ -126,8 +129,9 @@ object BinlogWire {
     val threadId = r.u32()
     val scramble1 = r.bytes(8)
     r.u8() // filler
-    r.u16() // capability low
-    if (r.remaining == 0) return Handshake(serverVersion, threadId, scramble1, "")
+    val capLow = r.u16()
+    if (r.remaining == 0)
+      return Handshake(serverVersion, threadId, scramble1, "", capLow.toLong)
     r.u8() // charset
     r.u16() // status
     r.u16() // capability high
@@ -138,7 +142,7 @@ object BinlogWire {
     val scramble2 = r.bytes(part2Len)
     r.u8() // trailing NUL
     val plugin = if (r.remaining > 0) r.strNul() else ""
-    Handshake(serverVersion, threadId, scramble1 ++ scramble2, plugin)
+    Handshake(serverVersion, threadId, scramble1 ++ scramble2, plugin, capLow.toLong)
   }
 
   /** mysql_native_password: SHA1(pwd) XOR SHA1(scramble + SHA1(SHA1(pwd))). */
@@ -197,11 +201,16 @@ object BinlogWire {
     c.doFinal(xored)
   }
 
-  /** HandshakeResponse41 (client → server). */
+  /** HandshakeResponse41 (client → server). `withSsl` keeps CLIENT_SSL
+    * asserted in the response that follows an SSLRequest (the server
+    * checks the two flag sets agree).
+    */
   def handshakeResponse(user: String, password: String, scramble: Array[Byte],
-      plugin: String = "mysql_native_password"): Array[Byte] = {
+      plugin: String = "mysql_native_password",
+      withSsl: Boolean = false): Array[Byte] = {
     val auth = authResponse(plugin, password, scramble)
-    val caps = CapProtocol41 | CapSecureConnection | CapPluginAuth
+    val caps = CapProtocol41 | CapSecureConnection | CapPluginAuth |
+      (if (withSsl) CapSsl else 0L)
     new ByteWriter()
       .u32(caps)
       .u32(1L << 24) // max packet
@@ -212,6 +221,20 @@ object BinlogWire {
       .strNul(plugin)
       .result()
   }
+
+  /** SSLRequest: the 32-byte prefix of HandshakeResponse41 (caps with
+    * CLIENT_SSL, max packet, charset, 23 reserved zeros) sent BEFORE the
+    * channel upgrades — MySQL's STARTTLS. The server reads it, switches
+    * the socket to TLS, and expects the full HandshakeResponse (same
+    * flags) as the next packet on the encrypted channel.
+    */
+  def sslRequest(): Array[Byte] =
+    new ByteWriter()
+      .u32(CapProtocol41 | CapSecureConnection | CapPluginAuth | CapSsl)
+      .u32(1L << 24)
+      .u8(33)
+      .bytes(new Array[Byte](23))
+      .result()
 
   // ---------------------------------------------------------- commands
 
@@ -639,7 +662,12 @@ object BinlogWire {
     * way the reference runs its syncer goroutine.
     */
   final class BinlogClient(host: String, port: Int, user: String,
-      password: String, slaveServerId: Long = 1001L) extends AutoCloseable {
+      password: String, slaveServerId: Long = 1001L,
+      /** STARTTLS: after the plain-text server handshake the client
+        * sends SSLRequest and upgrades the channel before credentials
+        * move — MySQL's native TLS shape (--ssl-mode=REQUIRED). The
+        * context must trust the server's certificate. */
+      tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
 
     private var socket: java.net.Socket = _
     private var in: InputStream = _
@@ -653,9 +681,20 @@ object BinlogWire {
       socket = new java.net.Socket(host, port)
       in = new BufferedInputStream(socket.getInputStream)
       out = new BufferedOutputStream(socket.getOutputStream)
-      val (seq, payload) = readPacket(in)
+      val (seq0, payload) = readPacket(in)
       val hs = parseHandshake(payload)
       serverVersion = hs.serverVersion
+      var seq = seq0
+      tls.foreach { ctx =>
+        require((hs.capabilities & CapSsl) != 0,
+          "mysql: TLS requested but the server did not advertise CLIENT_SSL " +
+            "(ssl-mode=REQUIRED against a server without SSL configured)")
+        writePacket(out, seq + 1, sslRequest())
+        socket = Tls.upgradeClient(ctx, socket, host, port)
+        in = new BufferedInputStream(socket.getInputStream)
+        out = new BufferedOutputStream(socket.getOutputStream)
+        seq += 1 // sequence numbering continues across the upgrade
+      }
       // answer whichever plugin the server advertised — native (the
       // pre-8.0 default) or caching_sha2 (the 8.0 default, fast path +
       // non-TLS RSA full auth). Anything else fails with an actionable
@@ -666,7 +705,9 @@ object BinlogWire {
         s"binlog client supports mysql_native_password and caching_sha2_password " +
           s"auth; server advertised '$plugin' — create the replication user " +
           "with a supported plugin")
-      writePacket(out, seq + 1, handshakeResponse(user, password, hs.scramble, plugin))
+      writePacket(out, seq + 1,
+        handshakeResponse(user, password, hs.scramble, plugin,
+          withSsl = tls.isDefined))
       authConversation(plugin, hs.scramble)
       // real replicas announce they can handle whatever checksum the
       // master writes (passthrough assignment) — the actual algorithm

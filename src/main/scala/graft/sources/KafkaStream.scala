@@ -95,7 +95,11 @@ final class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
     fetchVersion = options.getInt("fetchVersion", 2),
     sasl = Option(options.get("saslUser")).filter(_.nonEmpty).map(u =>
       (u, Option(options.get("saslPassword")).getOrElse(""),
-        Option(options.get("saslMechanism")).getOrElse("SCRAM-SHA-256"))))
+        Option(options.get("saslMechanism")).getOrElse("SCRAM-SHA-256"))),
+    // an SSL/SASL_SSL listener: the truststore must hold the broker cert
+    tls = Option(options.get("tlsTruststore")).filter(_.nonEmpty).map(p =>
+      Tls.clientContext(p,
+        Option(options.get("tlsPassword")).getOrElse("").toCharArray)))
 
   override protected def seqOf(e: KafkaRecord): Long = e.offset
 

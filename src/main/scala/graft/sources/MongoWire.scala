@@ -153,6 +153,7 @@ object MongoWire {
   // ------------------------------------------------------------- OP_MSG
 
   val OpMsg = 2013
+  val OpCompressed = 2012
 
   /** OP_MSG with one kind-0 body section, flagBits 0. */
   def writeOpMsg(out: OutputStream, requestId: Int, responseTo: Int, body: BDoc): Unit = {
@@ -171,8 +172,111 @@ object MongoWire {
     out.flush()
   }
 
+  // ------------------------------------------------- OP_COMPRESSED
+
+  /** Wire compressor ids (OP_COMPRESSED spec). Mongo's snappy is the
+    * RAW block format (unlike Kafka's framed stream), zlib is a bare
+    * deflate stream with the zlib header, zstd a single frame.
+    */
+  def compressorId(name: String): Int = name match {
+    case "noop" => 0
+    case "snappy" => 1
+    case "zlib" => 2
+    case "zstd" => 3
+    case n => throw new IllegalArgumentException(
+      s"mongo: unknown compressor '$n' (noop/snappy/zlib/zstd)")
+  }
+
+  def compress(name: String, data: Array[Byte]): Array[Byte] = name match {
+    case "noop" => data
+    case "snappy" => org.xerial.snappy.Snappy.compress(data)
+    case "zlib" =>
+      val d = new java.util.zip.Deflater()
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 32)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    case "zstd" => com.github.luben.zstd.Zstd.compress(data)
+    case n => throw new IllegalArgumentException(s"mongo: unknown compressor '$n'")
+  }
+
+  def decompress(id: Int, data: Array[Byte], uncompressedSize: Int): Array[Byte] = {
+    require(uncompressedSize >= 0 && uncompressedSize <= 64 * 1024 * 1024,
+      s"mongo: implausible uncompressed size $uncompressedSize")
+    val out = id match {
+      case 0 => data
+      case 1 => org.xerial.snappy.Snappy.uncompress(data)
+      case 2 =>
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(data)
+        val res = new Array[Byte](uncompressedSize)
+        var off = 0
+        try {
+          while (off < uncompressedSize && !inf.finished()) {
+            val n = inf.inflate(res, off, uncompressedSize - off)
+            require(n > 0 || inf.finished(), "mongo: zlib stream stalled")
+            off += n
+          }
+          require(off == uncompressedSize, "mongo: zlib stream short")
+          // a stream holding MORE than the declared size is equally
+          // corrupt — inflating it would silently truncate the message
+          if (!inf.finished()) {
+            val probe = new Array[Byte](1)
+            require(inf.inflate(probe) == 0 && inf.finished(),
+              "mongo: zlib stream does not match the declared size")
+          }
+        } finally inf.end()
+        res
+      case 3 => com.github.luben.zstd.Zstd.decompress(data, uncompressedSize)
+      case other => throw new IllegalArgumentException(
+        s"mongo: unknown compressor id $other")
+    }
+    require(out.length == uncompressedSize,
+      s"mongo: decompressed ${out.length} bytes, header said $uncompressedSize")
+    out
+  }
+
+  /** OP_COMPRESSED wrapping one OP_MSG: header, original opcode,
+    * uncompressed size, compressor id, then the compressed OP_MSG body
+    * (everything after ITS 16-byte header: flagBits + sections).
+    */
+  def writeOpCompressed(out: OutputStream, requestId: Int, responseTo: Int,
+      body: BDoc, compressor: String): Unit = {
+    val doc = encodeDoc(body)
+    val inner = new java.io.ByteArrayOutputStream(5 + doc.length)
+    inner.write(0); inner.write(0); inner.write(0); inner.write(0) // flagBits
+    inner.write(0) // section kind 0
+    inner.write(doc)
+    val uncompressed = inner.toByteArray
+    val packed = compress(compressor, uncompressed)
+    val len = 16 + 4 + 4 + 1 + packed.length
+    val w = new java.io.ByteArrayOutputStream(len)
+    def i32(v: Int): Unit = {
+      w.write(v & 0xff); w.write((v >> 8) & 0xff)
+      w.write((v >> 16) & 0xff); w.write((v >> 24) & 0xff)
+    }
+    i32(len); i32(requestId); i32(responseTo); i32(OpCompressed)
+    i32(OpMsg) // original opcode
+    i32(uncompressed.length)
+    w.write(compressorId(compressor))
+    w.write(packed)
+    out.write(w.toByteArray)
+    out.flush()
+  }
+
   /** Read one OP_MSG; returns (requestId, responseTo, body). */
   def readOpMsg(in: InputStream): (Int, Int, BDoc) = {
+    val (id, to, body, _) = readMsg(in)
+    (id, to, body)
+  }
+
+  /** Read one OP_MSG or OP_COMPRESSED-wrapped OP_MSG; the fourth element
+    * reports whether the message arrived compressed (a server asserting
+    * its peer really negotiated needs to see the opcode).
+    */
+  def readMsg(in: InputStream): (Int, Int, BDoc, Boolean) = {
     def b(): Int = {
       val v = in.read()
       if (v < 0) throw new java.io.EOFException("mongo: connection closed")
@@ -183,18 +287,29 @@ object MongoWire {
     val requestId = i32()
     val responseTo = i32()
     val opCode = i32()
-    require(opCode == OpMsg, s"mongo: unsupported opcode $opCode (only OP_MSG)")
-    val rest = new Array[Byte](len - 16)
+    require(opCode == OpMsg || opCode == OpCompressed,
+      s"mongo: unsupported opcode $opCode (only OP_MSG / OP_COMPRESSED)")
+    var rest = new Array[Byte](len - 16)
     var off = 0
     while (off < rest.length) {
       val n = in.read(rest, off, rest.length - off)
       if (n < 0) throw new java.io.EOFException("mongo: truncated message")
       off += n
     }
+    if (opCode == OpCompressed) {
+      // originalOpcode(i32) + uncompressedSize(i32) + compressorId(u8)
+      def le32(o: Int): Int = (rest(o) & 0xff) | ((rest(o + 1) & 0xff) << 8) |
+        ((rest(o + 2) & 0xff) << 16) | ((rest(o + 3) & 0xff) << 24)
+      val original = le32(0)
+      require(original == OpMsg,
+        s"mongo: OP_COMPRESSED wraps opcode $original (only OP_MSG)")
+      rest = decompress(rest(8) & 0xff,
+        java.util.Arrays.copyOfRange(rest, 9, rest.length), le32(4))
+    }
     // flagBits(4) + kind byte; checksum absent with flagBits 0
     val kind = rest(4) & 0xff
     require(kind == 0, s"mongo: unsupported section kind $kind")
-    (requestId, responseTo, decodeDoc(rest, 5))
+    (requestId, responseTo, decodeDoc(rest, 5), opCode == OpCompressed)
   }
 
   // -------------------------------------------------------------- SCRAM
@@ -273,20 +388,52 @@ object MongoWire {
 
   // ------------------------------------------------------------- client
 
-  final class MongoClient(host: String, port: Int) extends AutoCloseable {
+  object MongoClient {
+    /** commands the OP_COMPRESSED spec forbids compressing (handshake
+      * + credential exchange) */
+    val Uncompressible: Set[String] = Set("hello", "isMaster", "ismaster",
+      "saslStart", "saslContinue", "getnonce", "authenticate",
+      "createUser", "updateUser", "copydbsaslstart", "copydbgetnonce", "copydb")
+  }
+
+  final class MongoClient(host: String, port: Int,
+      /** TLS from byte zero (mongod tlsMode=requireTLS) — the context
+        * must trust the server's certificate; hostname is verified */
+      tls: Option[javax.net.ssl.SSLContext] = None,
+      /** compressors to OFFER in the hello, preference order (the
+        * networkMessageCompressors client option); the first one the
+        * server echoes back is used for OP_COMPRESSED traffic both
+        * ways. Empty = no compression (the driver default). */
+      compressors: Seq[String] = Nil) extends AutoCloseable {
     private var socket: java.net.Socket = _
     private var in: InputStream = _
     private var out: OutputStream = _
     private var nextId = 1
 
     var serverMaxWireVersion: Long = -1L
+    /** the compressor agreed in the hello (None until negotiated) */
+    var negotiatedCompressor: Option[String] = None
 
     def connect(): this.type = {
-      socket = new java.net.Socket(host, port)
+      socket = tls match {
+        case Some(ctx) => Tls.clientSocket(ctx, host, port)
+        case None => new java.net.Socket(host, port)
+      }
       in = new BufferedInputStream(socket.getInputStream)
       out = new BufferedOutputStream(socket.getOutputStream)
-      val reply = runCommand("admin", BVal.doc("hello" -> BInt(1)))
+      compressors.foreach(c => compressorId(c)) // validate names up front
+      val hello =
+        if (compressors.isEmpty) BVal.doc("hello" -> BInt(1))
+        else BVal.doc("hello" -> BInt(1),
+          "compression" -> BArr(compressors.map(BStr(_))))
+      val reply = runCommand("admin", hello)
       serverMaxWireVersion = reply.long("maxWireVersion").getOrElse(-1L)
+      // the server echoes the subset it accepts, in ITS order; the spec
+      // says use the first of the CLIENT's list the server accepted
+      val serverAccepts = reply.get("compression").collect {
+        case BArr(items) => items.collect { case BStr(s) => s }.toSet
+      }.getOrElse(Set.empty[String])
+      negotiatedCompressor = compressors.find(serverAccepts)
       this
     }
 
@@ -358,7 +505,16 @@ object MongoWire {
 
     def runCommand(db: String, cmd: BDoc): BDoc = {
       val id = nextId; nextId += 1
-      writeOpMsg(out, id, 0, BDoc(cmd.fields :+ ("$db" -> BStr(db))))
+      val doc = BDoc(cmd.fields :+ ("$db" -> BStr(db)))
+      val cmdName = cmd.fields.headOption.map(_._1).getOrElse("")
+      // the OP_COMPRESSED spec excludes the handshake and auth commands
+      // from compression (credentials negotiate the channel, they don't
+      // ride it); everything else uses the negotiated compressor
+      negotiatedCompressor match {
+        case Some(c) if !MongoClient.Uncompressible(cmdName) =>
+          writeOpCompressed(out, id, 0, doc, c)
+        case _ => writeOpMsg(out, id, 0, doc)
+      }
       val (_, _, reply) = readOpMsg(in)
       reply.get("ok") match {
         case Some(BDouble(1.0)) | Some(BInt(1)) | Some(BLong(1L)) => reply

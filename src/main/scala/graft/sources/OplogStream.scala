@@ -87,7 +87,15 @@ final class OplogMicroBatchStream(options: CaseInsensitiveStringMap)
   private val afterTs = MongoWire.BVal.BTs(
     options.getLong("afterSec", 0L), options.getLong("afterInc", 0L))
 
-  private val client = new MongoWire.MongoClient(host, port)
+  private val client = new MongoWire.MongoClient(host, port,
+    // tlsMode=requireTLS deployments: truststore holds the mongod cert
+    tls = Option(options.get("tlsTruststore")).filter(_.nonEmpty).map(p =>
+      Tls.clientContext(p,
+        Option(options.get("tlsPassword")).getOrElse("").toCharArray)),
+    // networkMessageCompressors: offered in the hello, first server-
+    // accepted one compresses the cursor traffic both ways
+    compressors = Option(options.get("compressors")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
 
   // SCRAM credentials: a deployment with auth enabled (the mongod
   // default since 3.0 for exposed binds) sets user/password; mechanism

@@ -18,7 +18,10 @@ final class StubKafkaBroker(
       * produce/fetch are refused (connection closed, like a real
       * broker) until SASL/SCRAM proves the client holds the password,
       * verified server-side from stored credentials */
-    saslAuth: Option[(String, String, String)] = None) extends AutoCloseable {
+    saslAuth: Option[(String, String, String)] = None,
+    /** a TLS (SSL / SASL_SSL) listener: every accepted connection must
+      * complete a TLS handshake before any Kafka frame moves */
+    tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
   private val server = new java.net.ServerSocket(0, 16,
     java.net.InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
@@ -38,7 +41,8 @@ final class StubKafkaBroker(
       val sock = server.accept()
       val worker = new Thread(() => {
         // a dropped client must not kill the accept loop
-        try serve(sock) catch { case _: Exception => () }
+        try serve(tls.fold(sock)(ctx => graft.sources.Tls.upgradeServer(ctx, sock)))
+        catch { case _: Exception => () }
         finally { try sock.close() catch { case _: Exception => () } }
       })
       worker.setDaemon(true)

@@ -20,7 +20,14 @@ final class StubMongod(oplog: Seq[BDoc], batchSize: Int = 2,
     auth: Option[(String, String, String)] = None,
     /** corrupt the server signature — a client that fails to verify v=
       * would silently trust a MITM */
-    tamperServerSignature: Boolean = false) extends AutoCloseable {
+    tamperServerSignature: Boolean = false,
+    /** tlsMode=requireTLS: every accepted connection must complete a
+      * TLS handshake before any OP_MSG moves */
+    tls: Option[javax.net.ssl.SSLContext] = None,
+    /** networkMessageCompressors the server side accepts; the hello
+      * reply echoes the subset of the client's offer, and subsequent
+      * replies to a negotiated connection ride OP_COMPRESSED */
+    supportedCompressors: Seq[String] = Nil) extends AutoCloseable {
   private val server = new java.net.ServerSocket(0, 1,
     java.net.InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
@@ -30,6 +37,8 @@ final class StubMongod(oplog: Seq[BDoc], batchSize: Int = 2,
   @volatile var conns = 0
   @volatile var authOk = false
   @volatile var refusedUnauthed = 0
+  @volatile var compressedRequests = 0
+  @volatile var compressedReplies = 0
 
   private def tsOf(e: BDoc): (Long, Long) =
     e.get("ts").collect { case BTs(s, i) => (s, i) }.getOrElse((0L, 0L))
@@ -38,7 +47,8 @@ final class StubMongod(oplog: Seq[BDoc], batchSize: Int = 2,
     try while (!server.isClosed) {
       val sock = server.accept()
       conns += 1
-      try serve(sock, if (conns > 1) oplog ++ moreOplog else oplog)
+      try serve(tls.fold(sock)(ctx => Tls.upgradeServer(ctx, sock)),
+        if (conns > 1) oplog ++ moreOplog else oplog)
       catch { case _: Exception => () }
       finally { try sock.close() catch { case _: Exception => () } }
     } catch { case _: Exception => () }
@@ -57,9 +67,12 @@ final class StubMongod(oplog: Seq[BDoc], batchSize: Int = 2,
     var convMech: String = null
     val salt = (1 to 16).map(_.toByte).toArray
     val iterations = 4096
+    var connCompressor: Option[String] = None
     while (open) {
-      val (reqId, _, body) =
-        try readOpMsg(in) catch { case _: java.io.EOFException => open = false; (0, 0, BVal.doc()) }
+      val (reqId, _, body, wasCompressed) =
+        try readMsg(in) catch { case _: java.io.EOFException =>
+          open = false; (0, 0, BVal.doc(), false) }
+      if (wasCompressed) compressedRequests += 1
       if (open) {
         val cmd = body.fields.headOption.map(_._1).getOrElse("")
         def unauthorized(): BDoc = {
@@ -69,7 +82,15 @@ final class StubMongod(oplog: Seq[BDoc], batchSize: Int = 2,
         }
         val reply: BDoc = cmd match {
           case "hello" =>
-            BVal.doc("ok" -> BDouble(1.0), "maxWireVersion" -> BInt(17))
+            val offered = body.get("compression").collect {
+              case BArr(items) => items.collect { case BStr(s) => s } }
+              .getOrElse(Nil)
+            val agreed = offered.filter(supportedCompressors.contains)
+            connCompressor = agreed.headOption
+            val base = Seq[(String, BVal)]("ok" -> BDouble(1.0),
+              "maxWireVersion" -> BInt(17))
+            BDoc(if (agreed.isEmpty) base
+              else base :+ ("compression" -> BArr(agreed.map(BStr(_)))))
           case "saslStart" =>
             val (user, _, mech) = auth.getOrElse(("", "", ""))
             val gotMech = body.str("mechanism").getOrElse("")
@@ -158,7 +179,14 @@ final class StubMongod(oplog: Seq[BDoc], batchSize: Int = 2,
           case other =>
             BVal.doc("ok" -> BDouble(0.0), "errmsg" -> BStr(s"no such command: $other"))
         }
-        writeOpMsg(out, 1000 + reqId, reqId, reply)
+        // a negotiated connection's replies ride OP_COMPRESSED too
+        // (except the handshake/auth commands, per the spec)
+        connCompressor match {
+          case Some(c) if !MongoClient.Uncompressible(cmd) =>
+            compressedReplies += 1
+            writeOpCompressed(out, 1000 + reqId, reqId, reply, c)
+          case _ => writeOpMsg(out, 1000 + reqId, reqId, reply)
+        }
       }
     }
   }

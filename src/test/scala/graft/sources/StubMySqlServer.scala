@@ -23,7 +23,11 @@ final class StubMySqlServer(user: String, password: String,
     /** "NONE" streams bare events; "CRC32" appends the 5.6+-default
       * 4-byte CRC32 trailer to every event (and the algorithm byte to
       * the FDE) — the framing a stock master actually serves */
-    binlogChecksum: String = "NONE") extends AutoCloseable {
+    binlogChecksum: String = "NONE",
+    /** server TLS identity: advertise CLIENT_SSL and REQUIRE the
+      * client to upgrade (require_secure_transport=ON) — a plaintext
+      * HandshakeResponse is refused by closing the connection */
+    tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
 
   private val server = new java.net.ServerSocket(0, 1,
     java.net.InetAddress.getLoopbackAddress)
@@ -31,6 +35,8 @@ final class StubMySqlServer(user: String, password: String,
 
   @volatile var sawChecksumPin = false
   @volatile var authOk = false
+  @volatile var sawSslRequest = false
+  @volatile var plaintextRefused = 0
   @volatile var dumpFile: String = ""
   @volatile var dumpPos: Long = -1L
   @volatile var dumps = 0
@@ -54,17 +60,20 @@ final class StubMySqlServer(user: String, password: String,
     } catch { case _: Exception => () }
   })
 
-  private def serve(sock: java.net.Socket): Unit = {
+  private def serve(sock0: java.net.Socket): Unit = {
     {
-      val in = new java.io.BufferedInputStream(sock.getInputStream)
-      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      var sock = sock0
+      var in: java.io.InputStream = new java.io.BufferedInputStream(sock.getInputStream)
+      var out: java.io.OutputStream = new java.io.BufferedOutputStream(sock.getOutputStream)
       // HandshakeV10
       val advertised =
         if (authMode == "native") "mysql_native_password" else "caching_sha2_password"
+      val capLow = (CapProtocol41 | CapSecureConnection |
+        (if (tls.isDefined) CapSsl else 0L)).toInt & 0xffff
       val hs = new ByteWriter()
         .u8(10).strNul("8.0.0-stub").u32(42L)
         .bytes(scramble.take(8)).u8(0)
-        .u16((CapProtocol41 | CapSecureConnection).toInt & 0xffff)
+        .u16(capLow)
         .u8(33).u16(2)
         .u16((((CapProtocol41 | CapSecureConnection | CapPluginAuth) >> 16) & 0xffff).toInt)
         .u8(21).bytes(new Array[Byte](10))
@@ -72,7 +81,27 @@ final class StubMySqlServer(user: String, password: String,
         .strNul(advertised)
         .result()
       writePacket(out, 0, hs)
-      val (_, resp) = readPacket(in)
+      var (_, resp) = readPacket(in)
+      // STARTTLS: a 32-byte SSLRequest (caps with CLIENT_SSL, no user)
+      // upgrades the channel; the real HandshakeResponse follows on TLS
+      val respCaps = new ByteReader(resp).u32()
+      if ((respCaps & CapSsl) != 0 && resp.length == 32) {
+        tls match {
+          case Some(ctx) =>
+            sawSslRequest = true
+            sock = Tls.upgradeServer(ctx, sock)
+            in = new java.io.BufferedInputStream(sock.getInputStream)
+            out = new java.io.BufferedOutputStream(sock.getOutputStream)
+            resp = readPacket(in)._2
+          case None =>
+            // client demands TLS from a server without it: hang up
+            sock.close(); return
+        }
+      } else if (tls.isDefined) {
+        // require_secure_transport=ON: plaintext credentials refused
+        plaintextRefused += 1
+        sock.close(); return
+      }
       // verify the client's scramble: parse user + auth bytes
       val r = new ByteReader(resp)
       r.u32(); r.u32(); r.u8(); r.bytes(23)
