@@ -19,7 +19,8 @@ object Catalog {
     CoreQueries.all ++ TpchQueries.all ++ TpchFullQueries.all ++
       CdcQueries.all ++ TrainingQueries.all ++ CorpusOpsQueries.all ++
       PrepQueries.all ++ StreamingQueries.all ++ PipelineE2E.all ++
-      IndexQueries.all ++ ScaleOpsQueries.all ++ QualityQueries.all
+      IndexQueries.all ++ ScaleOpsQueries.all ++ QualityQueries.all ++
+      CurationQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.spark).toMap

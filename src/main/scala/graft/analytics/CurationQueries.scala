@@ -1,0 +1,345 @@
+package graft.analytics
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between raw ingestion and packing: tokenizer application (BPE merge
+  * replay), perplexity-based quality bucketing (the CCNet shape), HTML
+  * boilerplate stripping, entity resolution (blocked record linkage),
+  * product-quantization codebook TRAINING (per-subspace k-means — the
+  * sibling of the sim_pq_adc_topk SCAN, which consumes codebooks this
+  * op produces), and the covariance Gramian that feeds PCA whitening.
+  *
+  * All oracle-gated: arithmetic stays integer/exact wherever an
+  * aggregate crosses engines (the sim_ivf_kmeans_refined lattice
+  * discipline).
+  */
+object CurationQueries {
+
+  /** BPE merge table, rank order. Applying merges as sequential global
+    * string replaces over a space-separated token string is only
+    * equivalent to the token-array algorithm when no pattern can match
+    * ACROSS a token boundary — i.e. at each rank, no then-existing token
+    * (other than the pattern's own left part) ends with the pattern's
+    * left string, and none starts with its right string. This table is
+    * chosen to satisfy that invariant at every rank (checked exhaustively
+    * by CurationSpec against a driver-side token-array reimplementation);
+    * an arbitrary learned table would be applied per-token-array in a
+    * custom Expression instead.
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t h" -> "th", "th e" -> "the", "i n" -> "in", "o n" -> "on",
+    "a n" -> "an", "an d" -> "and", "r e" -> "re", "l l" -> "ll",
+    "s s" -> "ss")
+
+  /** 0-9a-z-only lowercase normal form, single-spaced (Spark side). */
+  private def normExpr: String =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ''), ' +', ' '))"
+
+  private def oracleNorm: String =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g'))"
+
+  def all: Seq[CatalogQuery] = Seq(
+
+    // ---- BPE encode: replay a merge table over the corpus ---------------
+    // The APPLY half of tokenizer training (txt_bpe_merge_candidates is
+    // the LEARN half): chars spaced out, word boundaries pinned as '|'
+    // sentinels (merge patterns are letter-only, so they can never cross
+    // one), merges replayed in rank order as global replaces — each one
+    // a codegen'd string op, no UDF, linear in corpus bytes. 100 TB: a
+    // pure map stage; the merge table is a broadcast-sized constant.
+    CatalogQuery("txt_bpe_encode", (s, d) => {
+      val spaced = "rtrim(regexp_replace(replace(norm, ' ', '|'), '(.)', '$1 '))"
+      val merged = BpeMerges.foldLeft("spaced") { case (acc, (from, to)) =>
+        s"replace($acc, '$from', '$to')"
+      }
+      Tables.documents(s, d)
+        .withColumn("norm", expr(normExpr))
+        .filter(length(col("norm")) > 0)
+        .withColumn("spaced", expr(spaced))
+        .withColumn("enc", expr(merged))
+        .select(col("doc_id"),
+          expr("CAST(size(filter(split(enc, ' '), x -> x != '|')) AS BIGINT)")
+            .as("n_tokens"),
+          expr("CAST(length(replace(norm, ' ', '')) AS BIGINT)").as("n_chars"))
+    }, Some {
+      val merged = BpeMerges.foldLeft("spaced") { case (acc, (from, to)) =>
+        s"replace($acc, '$from', '$to')"
+      }
+      s"""WITH n AS (
+         |  SELECT doc_id, $oracleNorm AS norm FROM documents),
+         |sp AS (
+         |  SELECT doc_id, norm,
+         |    rtrim(regexp_replace(replace(norm, ' ', '|'), '(.)', '\\1 ', 'g')) AS spaced
+         |  FROM n WHERE len(norm) > 0),
+         |enc AS (SELECT doc_id, norm, $merged AS enc FROM sp)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(str_split(enc, ' '), x -> x != '|')) AS BIGINT) AS n_tokens,
+         |  CAST(len(replace(norm, ' ', '')) AS BIGINT) AS n_chars
+         |FROM enc""".stripMargin
+    }),
+
+    // ---- CCNet-style perplexity buckets ---------------------------------
+    // Per-doc bigram-LM predictability (integer-scaled probabilities, the
+    // txt_bigram_predictability arithmetic) bucketed head/middle/tail by
+    // exact terciles. The global ntile is over DOC-level rows (corpus
+    // cardinality, not token cardinality) — at 100 TB the cutoffs come
+    // from approx quantiles instead of a global sort; the bucket-assign
+    // stage is unchanged.
+    CatalogQuery("txt_perplexity_buckets", (s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            | i -> struct(element_at(toks, CAST(i AS INT)) AS a,
+            |             element_at(toks, CAST(i + 1 AS INT)) AS b))""".stripMargin))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      val cntAb = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt_ab"))
+      val cntA = bg.groupBy(col("a")).agg(count(lit(1)).as("cnt_a"))
+      val perDoc = bg.join(cntAb, Seq("a", "b")).join(cntA, Seq("a"))
+        .withColumn("p_e9", expr("cnt_ab * 1000000000L div cnt_a"))
+        .groupBy(col("doc_id"))
+        .agg(expr("sum(p_e9) div count(1)").as("avg_p_e9"))
+      val w = Window.orderBy(col("avg_p_e9").desc, col("doc_id"))
+      perDoc.withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("avg_p_e9")).as("min_p_e9"),
+          max(col("avg_p_e9")).as("max_p_e9"))
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS a, t[i + 1] AS b
+        |  FROM toks CROSS JOIN LATERAL (
+        |    SELECT unnest(range(1, len(t))) AS i) u),
+        |cnt_ab AS (SELECT a, b, count(*)::BIGINT AS cnt_ab FROM bg GROUP BY 1, 2),
+        |cnt_a AS (SELECT a, count(*)::BIGINT AS cnt_a FROM bg GROUP BY 1),
+        |per_doc AS (
+        |  SELECT doc_id,
+        |    (sum((cnt_ab * 1000000000) // cnt_a) // count(*))::BIGINT AS avg_p_e9
+        |  FROM bg JOIN cnt_ab USING (a, b) JOIN cnt_a USING (a)
+        |  GROUP BY 1),
+        |bucketed AS (
+        |  SELECT CAST(ntile(3) OVER (ORDER BY avg_p_e9 DESC, doc_id) AS BIGINT)
+        |    AS bucket, avg_p_e9
+        |  FROM per_doc)
+        |SELECT bucket, count(*)::BIGINT AS n_docs,
+        |  min(avg_p_e9) AS min_p_e9, max(avg_p_e9) AS max_p_e9
+        |FROM bucketed GROUP BY 1""".stripMargin)),
+
+    // ---- HTML boilerplate strip -----------------------------------------
+    // Web-crawl cleaning: drop script/style blocks wholesale, then tags,
+    // then collapse whitespace — codegen'd regex chain, no UDF, a pure
+    // map stage at any scale. The harness wraps the synthetic docs in a
+    // deterministic page skeleton so the round-trip (strip(wrap(text)) ==
+    // text) is itself the checked output.
+    CatalogQuery("txt_html_strip", (s, d) => {
+      Tables.documents(s, d)
+        .withColumn("html", concat(
+          lit("<html><head><style>p{color:red}</style></head><body><h1>"),
+          col("source"), lit("</h1><div class=\"doc\"><p>"), col("text"),
+          lit("</p></div><script>var t=1;</script></body></html>")))
+        .withColumn("stripped", expr(
+          """trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+            |  '<script>.*?</script>', ''),
+            |  '<style>.*?</style>', ''),
+            |  '<[^>]*>', ' '),
+            |  ' +', ' '))""".stripMargin))
+        .select(col("doc_id"),
+          expr("CAST(length(html) AS BIGINT)").as("n_chars_html"),
+          expr("CAST(length(stripped) AS BIGINT)").as("n_chars_clean"),
+          expr("CAST(stripped = concat(source, ' ', trim(regexp_replace(text, ' +', ' '))) AS BOOLEAN)")
+            .as("round_trip_ok"))
+    }, Some(
+      """WITH h AS (
+        |  SELECT doc_id, source, text,
+        |    '<html><head><style>p{color:red}</style></head><body><h1>' || source ||
+        |    '</h1><div class="doc"><p>' || text ||
+        |    '</p></div><script>var t=1;</script></body></html>' AS html
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, source, text, html,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '<script>.*?</script>', '', 'g'),
+        |      '<style>.*?</style>', '', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS stripped
+        |  FROM h)
+        |SELECT doc_id, CAST(len(html) AS BIGINT) AS n_chars_html,
+        |  CAST(len(stripped) AS BIGINT) AS n_chars_clean,
+        |  stripped = (source || ' ' || trim(regexp_replace(text, ' +', ' ', 'g')))
+        |    AS round_trip_ok
+        |FROM st""".stripMargin)),
+
+    // ---- entity resolution: blocked record linkage ----------------------
+    // The master-vs-dirty incremental linkage shape: a variant feed
+    // (deterministic single-edit corruptions of customer names) is
+    // linked back to the master by (a) BLOCKING on a stable key — the
+    // first 7 digits of the name's numeric part, which every edit
+    // preserves — so candidate pairs are per-block, never corpus²;
+    // (b) edit-distance scoring inside the block; (c) best-match
+    // resolution (min distance, then min master id). 100 TB: the block
+    // join shuffles on the key, block sizes bound the quadratic term —
+    // the same discipline as the LSH band joins.
+    CatalogQuery("er_record_linkage", (s, d) => {
+      val master = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"))
+      val variants = master
+        .withColumn("vname", expr(
+          """CASE WHEN id % 3 = 0 THEN replace(name, '#', '')
+            |     WHEN id % 3 = 1 THEN concat(name, 'x')
+            |     ELSE replace(name, 'Customer', 'Custmer') END""".stripMargin))
+        .select((col("id") + 1000000L).as("id"), col("vname").as("name"))
+      def blk(c: Column): Column =
+        substring(regexp_replace(c, "[^0-9]", ""), 1, 7)
+      val cand = master.withColumn("blk", blk(col("name")))
+        .withColumnRenamed("id", "mid").withColumnRenamed("name", "mname")
+        .join(variants.withColumn("blk", blk(col("name"))), Seq("blk"))
+        .withColumn("dist", levenshtein(col("mname"), col("name")))
+        .filter(col("dist") <= 2)
+      val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("mid"))
+      val linked = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id").as("record_id"), col("mid").as("canonical_id"),
+          col("dist").cast("long").as("match_dist"))
+      master.select(col("id").as("record_id"), col("id").as("canonical_id"),
+        lit(0L).as("match_dist"))
+        .unionByName(linked)
+    }, Some(
+      """WITH master AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name FROM customer),
+        |variants AS (
+        |  SELECT id + 1000000 AS id,
+        |    CASE WHEN id % 3 = 0 THEN replace(name, '#', '')
+        |         WHEN id % 3 = 1 THEN name || 'x'
+        |         ELSE replace(name, 'Customer', 'Custmer') END AS name
+        |  FROM master),
+        |cand AS (
+        |  SELECT v.id, m.id AS mid,
+        |    levenshtein(m.name, v.name) AS dist
+        |  FROM master m JOIN variants v
+        |    ON substr(regexp_replace(m.name, '[^0-9]', '', 'g'), 1, 7)
+        |     = substr(regexp_replace(v.name, '[^0-9]', '', 'g'), 1, 7)
+        |  WHERE levenshtein(m.name, v.name) <= 2),
+        |linked AS (
+        |  SELECT id AS record_id, mid AS canonical_id,
+        |    CAST(dist AS BIGINT) AS match_dist
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY id ORDER BY dist, mid) AS rn FROM cand) t
+        |  WHERE rn = 1)
+        |SELECT id AS record_id, id AS canonical_id, CAST(0 AS BIGINT) AS match_dist
+        |FROM master
+        |UNION ALL SELECT * FROM linked""".stripMargin)),
+
+    // ---- PQ codebook training: per-subspace k-means ---------------------
+    // The TRAINING half of product quantization (sim_pq_adc_topk /
+    // sim_ivfpq_adc_topk consume codebooks; this produces them): the
+    // 64-dim space splits into 8 subspaces of 8 dims, each trained by
+    // one Lloyd round over the integer lattice (seed codes from the
+    // first 16 vectors, exact integer distances, refined centroids on
+    // the 1/256 lattice — the sim_ivf_kmeans_refined arithmetic, applied
+    // per subspace). Scale: assignment is a linear scan against a
+    // broadcast 8×16 codebook; the refine is one groupBy (subspace,
+    // code, dim) — M independent small k-means, never a pairwise join.
+    CatalogQuery("sim_pq_train_codebooks", (s, d) => {
+      val quant = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
+          .as("q"))
+      val sub = quant.select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m AS m, slice(q, m * 8 + 1, 8) AS qs))"))
+        .as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.qs").as("qs"))
+      val seeds = sub.filter(col("vec_id") < 16)
+        .select(col("m"), col("vec_id").as("code"), col("qs").as("cv"))
+      val seedsByM = seeds.groupBy(col("m"))
+        .agg(collect_list(struct(col("code"), col("cv"))).as("cs"))
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dist"), col("code"))
+      val a1 = sub.join(broadcast(seedsByM), Seq("m"))
+        .select(col("vec_id"), col("m"), col("qs"), explode(col("cs")).as("c"))
+        .select(col("vec_id"), col("m"), col("qs"),
+          col("c.code").as("code"), col("c.cv").as("cv"))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(qs, cv, (a, b) -> (a - b) * (a - b)),
+            | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("qs"), col("code"))
+      a1.select(col("m"), col("code"), posexplode(col("qs")).as(Seq("dim", "v")))
+        .groupBy(col("m"), col("code"), col("dim"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n_members"))
+        .select(col("m").cast("long").as("subspace"), col("code"),
+          col("dim").cast("long").as("dim"),
+          expr("(256 * sv - pmod(256 * sv, n_members)) div n_members")
+            .as("centroid_q"),
+          col("n_members"))
+    }, Some(
+      """WITH quant AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, m, q[m * 8 + 1 : m * 8 + 8] AS qs
+        |  FROM quant CROSS JOIN range(0, 8) r(m)),
+        |seeds AS (SELECT m, vec_id AS code, qs AS cv FROM sub WHERE vec_id < 16),
+        |d1 AS (
+        |  SELECT v.vec_id, v.m, v.qs, s.code,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      k -> (v.qs[k] - s.cv[k]) * (v.qs[k] - s.cv[k]))) AS BIGINT) AS dist
+        |  FROM sub v JOIN seeds s ON v.m = s.m),
+        |a1 AS (
+        |  SELECT vec_id, m, qs, code FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+        |    FROM d1) t WHERE rn = 1)
+        |SELECT CAST(m AS BIGINT) AS subspace, code, CAST(i AS BIGINT) AS dim,
+        |  CAST((256 * sum(qs[i + 1]) - ((256 * sum(qs[i + 1]) % count(*)) + count(*)) % count(*))
+        |    // count(*) AS BIGINT) AS centroid_q,
+        |  count(*) AS n_members
+        |FROM a1 CROSS JOIN range(0, 8) r(i)
+        |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // ---- covariance Gramian (the PCA-whitening input) -------------------
+    // The d×d second-moment matrix over quantized embeddings, in the
+    // sum form n·Σxy − Σx·Σy so every aggregate is an exact integer —
+    // the distributed half of PCA whitening (the d×d eigendecomposition
+    // is driver-sized at any corpus scale; CurationSpec checks symmetry
+    // + PSD on the assembled matrix). 100 TB: one scan, map-side partial
+    // aggregation into d(d+1)/2 cells — the textbook Gramian shape.
+    CatalogQuery("emb_covariance_gram", (s, d) => {
+      val quant = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
+          .as("q"))
+      quant.select(explode(expr(
+        """flatten(transform(sequence(0, 63), i ->
+          |  transform(sequence(i, 63), j -> struct(i AS i, j AS j,
+          |    element_at(q, CAST(i + 1 AS INT)) AS x,
+          |    element_at(q, CAST(j + 1 AS INT)) AS y))))""".stripMargin)).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"),
+          col("p.x").as("x"), col("p.y").as("y"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"))
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("n"), col("sxy"),
+          expr("n * sxy - sx * sy").as("cov_num"))
+    }, Some(
+      """WITH quant AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT vec_id, i, j, q[i + 1] AS x, q[j + 1] AS y
+        |  FROM quant CROSS JOIN range(0, 64) a(i) CROSS JOIN range(0, 64) b(j)
+        |  WHERE i <= j)
+        |SELECT i, j, count(*)::BIGINT AS n, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS cov_num
+        |FROM pairs GROUP BY 1, 2""".stripMargin))
+  )
+}

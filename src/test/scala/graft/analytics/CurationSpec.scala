@@ -1,0 +1,169 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side re-derivations for the curation wave — each oracle entry
+  * also has an independent reimplementation here (token-array BPE,
+  * Cholesky PSD, exhaustive merge-table safety), the CdcQueries spec
+  * discipline.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = graft.core.Engine.local("curation-spec", cores = 4)
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Reference BPE apply on the token ARRAY: each merge in rank order,
+    * one sweep left-to-right replacing adjacent pairs — the semantics
+    * the string-replace chain must match.
+    */
+  private def bpeArray(word: String): Vector[String] = {
+    var toks = word.map(_.toString).toVector
+    CurationQueries.BpeMerges.foreach { case (from, to) =>
+      val Array(a, b) = from.split(" ")
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += to; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      toks = out.result()
+    }
+    toks
+  }
+
+  test("BPE merge table is boundary-collision-free at every rank") {
+    // invariant: when merge k applies, no token producible by merges
+    // 0..k-1 (or a single char) other than the pattern's own left part
+    // ends with that left part's last char sequence in a way that a
+    // string replace could false-match. Exhaustively: for every rank k
+    // and every pair (L, R) of then-existing tokens, the spaced string
+    // "L R" must contain the pattern "a b" ONLY IF (L, R) == (a, b).
+    val merges = CurationQueries.BpeMerges
+    merges.zipWithIndex.foreach { case ((from, to), k) =>
+      val existing = ("abcdefghijklmnopqrstuvwxyz".map(_.toString) ++
+        merges.take(k).map(_._2)).toVector
+      val Array(a, b) = from.split(" ")
+      for (l <- existing; r <- existing) {
+        val joined = s"$l $r"
+        if (joined.contains(from))
+          assert((l, r) == ((a, b)),
+            s"rank $k '$from'->'$to' false-matches across tokens ('$l','$r')")
+      }
+      // and the merged token must not itself contain a space
+      assert(!to.contains(" "))
+    }
+  }
+
+  test("string-replace BPE equals token-array BPE on the corpus' words") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("text")).as[String].collect()
+    val corpus = docs.flatMap(_.toLowerCase.replaceAll("[^a-z ]", "")
+      .split(" +")).filter(_.nonEmpty).distinct
+    // plus adversarial words exercising overlapping / repeated / nested
+    // merge sites beyond what the corpus vocabulary happens to contain
+    val words = (corpus ++ Seq("thende", "anand", "thethe", "ssll",
+      "android", "theatre", "thinned", "ononon", "rethread", "landlord",
+      "ssssss", "inthe", "andthe", "rere", "llll")).distinct
+    assert(words.length > 40)
+    words.foreach { w =>
+      val spaced = w.map(_.toString).mkString(" ")
+      val viaReplace = CurationQueries.BpeMerges
+        .foldLeft(spaced) { case (acc, (f, t)) => acc.replace(f, t) }
+      assert(viaReplace.split(" ").toVector == bpeArray(w),
+        s"divergence on word '$w'")
+    }
+  }
+
+  test("txt_bpe_encode: token counts match a per-doc array re-derivation") {
+    import spark.implicits._
+    val got = Catalog.queries("txt_bpe_encode")(spark, sf)
+      .select("doc_id", "n_tokens", "n_chars")
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, v, c) => k -> ((v, c)) }.toMap
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    docs.foreach { case (id, text) =>
+      val norm = text.toLowerCase.replaceAll("[^a-z ]", "")
+        .replaceAll(" +", " ").trim
+      if (norm.nonEmpty) {
+        val expTokens = norm.split(" ").map(w => bpeArray(w).length.toLong).sum
+        val expChars = norm.replace(" ", "").length.toLong
+        assert(got(id) == ((expTokens, expChars)), s"doc $id")
+      } else assert(!got.contains(id))
+    }
+  }
+
+  test("emb_covariance_gram: assembled matrix is symmetric-complete and PSD") {
+    val rows = Catalog.queries("emb_covariance_gram")(spark, sf).collect()
+    assert(rows.length == 64 * 65 / 2)
+    val n = rows.head.getAs[Long]("n").toDouble
+    // cov[i][j] = cov_num / n^2 (the n·Σxy − ΣxΣy sum form)
+    val cov = Array.ofDim[Double](64, 64)
+    rows.foreach { r =>
+      val (i, j) = (r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt)
+      val v = r.getAs[Long]("cov_num").toDouble / (n * n)
+      cov(i)(j) = v; cov(j)(i) = v
+    }
+    // PSD check: x^T C x >= 0 for a batch of pseudo-random x (a true
+    // covariance matrix is PSD by construction; a sign slip in the
+    // n·Σxy − ΣxΣy assembly would break it immediately)
+    val rng = new scala.util.Random(42)
+    (0 until 32).foreach { _ =>
+      val x = Array.fill(64)(rng.nextDouble() - 0.5)
+      val q = (0 until 64).map(i =>
+        x(i) * (0 until 64).map(j => cov(i)(j) * x(j)).sum).sum
+      assert(q >= -1e-6, s"covariance not PSD: quadratic form $q")
+    }
+  }
+
+  test("er_record_linkage: every variant resolves to its own master at distance 1") {
+    import spark.implicits._
+    val rows = Catalog.queries("er_record_linkage")(spark, sf)
+      .select("record_id", "canonical_id", "match_dist")
+      .as[(Long, Long, Long)].collect()
+    val (masters, variants) = rows.partition(_._1 < 1000000L)
+    assert(masters.forall { case (r, c, d) => r == c && d == 0L })
+    assert(variants.nonEmpty)
+    variants.foreach { case (r, c, d) =>
+      assert(c == r - 1000000L, s"variant $r linked to $c")
+      assert(d == 1L, s"variant $r matched at distance $d")
+    }
+    assert(variants.length == masters.length)
+  }
+
+  test("sim_pq_train_codebooks: full subspace coverage, members conserved") {
+    val rows = Catalog.queries("sim_pq_train_codebooks")(spark, sf).collect()
+    val bySub = rows.groupBy(_.getAs[Long]("subspace"))
+    assert(bySub.keySet == (0L to 7L).toSet)
+    val nVecs = graft.core.Tables.embeddings(spark, sf).count()
+    bySub.foreach { case (m, rs) =>
+      // every surviving code carries exactly 8 dims; membership over the
+      // subspace's codes partitions the vector set
+      rs.groupBy(_.getAs[Long]("code")).foreach { case (code, dims) =>
+        assert(dims.map(_.getAs[Long]("dim")).toSet == (0L to 7L).toSet,
+          s"subspace $m code $code dims")
+        assert(dims.map(_.getAs[Long]("n_members")).distinct.length == 1)
+      }
+      val members = rs.groupBy(_.getAs[Long]("code"))
+        .map(_._2.head.getAs[Long]("n_members")).sum
+      assert(members == nVecs, s"subspace $m members $members != $nVecs")
+    }
+  }
+
+  test("txt_html_strip round-trips every document; perplexity buckets partition the corpus") {
+    val strip = Catalog.queries("txt_html_strip")(spark, sf).collect()
+    assert(strip.nonEmpty && strip.forall(_.getAs[Boolean]("round_trip_ok")))
+    val buckets = Catalog.queries("txt_perplexity_buckets")(spark, sf).collect()
+    assert(buckets.map(_.getAs[Long]("bucket")).sorted.toSeq == Seq(1L, 2L, 3L))
+    val total = buckets.map(_.getAs[Long]("n_docs")).sum
+    val scored = graft.core.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.expr("size(split(text, ' ')) >= 2")).count()
+    assert(total == scored)
+    // buckets are ordered head -> tail by score
+    val byBucket = buckets.map(r =>
+      r.getAs[Long]("bucket") -> (r.getAs[Long]("min_p_e9"), r.getAs[Long]("max_p_e9"))).toMap
+    assert(byBucket(1L)._1 >= byBucket(2L)._2 || byBucket(1L)._2 >= byBucket(2L)._1)
+    assert(byBucket(2L)._1 >= byBucket(3L)._2 || byBucket(2L)._2 >= byBucket(3L)._1)
+  }
+}
