@@ -305,6 +305,189 @@ object CurationQueries {
         |FROM a1 CROSS JOIN range(0, 8) r(i)
         |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // ---- trained-codebook ADC retrieval ---------------------------------
+    // Completes the PQ pipeline: TRAIN (sim_pq_train_codebooks) → ENCODE
+    // (assign every vector's subvectors to the trained centroids) → ADC
+    // top-k (query's exact subvector vs each vector's centroid, summed
+    // over subspaces). All arithmetic on the integer lattice so the
+    // whole train→encode→score chain crosses engines exactly. Scale:
+    // encode is a linear scan against a broadcast 8×16 codebook; the
+    // scoring join is (vec, subspace) × codebook equi-join — the memory
+    // win of PQ (8 bytes/vector) with no pairwise stage anywhere.
+    CatalogQuery("sim_trained_adc_topk", (s, d) => {
+      val quant = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
+          .as("q"))
+      val sub = quant.select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m AS m, slice(q, m * 8 + 1, 8) AS qs))"))
+        .as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.qs").as("qs"))
+      val seeds = sub.filter(col("vec_id") < 16)
+        .select(col("m"), col("vec_id").as("code"), col("qs").as("cv"))
+      val seedsByM = seeds.groupBy(col("m"))
+        .agg(collect_list(struct(col("code"), col("cv"))).as("cs"))
+      val w1 = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dist"), col("code"))
+      val a1 = sub.join(broadcast(seedsByM), Seq("m"))
+        .select(col("vec_id"), col("m"), col("qs"), explode(col("cs")).as("c"))
+        .select(col("vec_id"), col("m"), col("qs"),
+          col("c.code").as("code"), col("c.cv").as("cv"))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(qs, cv, (a, b) -> (a - b) * (a - b)),
+            | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+        .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("qs"), col("code"))
+      // trained codebook on the 1/256 lattice, as ordered arrays
+      val cb = a1.select(col("m"), col("code"), posexplode(col("qs")).as(Seq("dim", "v")))
+        .groupBy(col("m"), col("code"), col("dim"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("nm"))
+        .select(col("m"), col("code"), col("dim"),
+          expr("(256 * sv - pmod(256 * sv, nm)) div nm").as("cq"))
+        .groupBy(col("m"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cq))), p -> p.cq)").as("cv"))
+      // ENCODE against the trained centroids (×256 to the refined lattice)
+      val w2 = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dist"), col("code"))
+      val cbByM = cb.groupBy(col("m"))
+        .agg(collect_list(struct(col("code"), col("cv"))).as("cs"))
+      val enc = sub.join(broadcast(cbByM), Seq("m"))
+        .select(col("vec_id"), col("m"), col("qs"), explode(col("cs")).as("c"))
+        .select(col("vec_id"), col("m"), col("qs"),
+          col("c.code").as("code"), col("c.cv").as("cv"))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(qs, cv, (a, b) -> (256 * a - b) * (256 * a - b)),
+            | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+        .withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("code"))
+      // ADC: query vec 0's exact subvectors vs each vector's centroid
+      val qsub = sub.filter(col("vec_id") === 0)
+        .select(col("m"), col("qs").as("qq"))
+      val scored = enc.join(cb, Seq("m", "code"))
+        .join(broadcast(qsub), Seq("m"))
+        .withColumn("dm", expr(
+          """aggregate(zip_with(qq, cv, (a, b) -> (256 * a - b) * (256 * a - b)),
+            | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("dm")).as("adc_dist"))
+      val wr = Window.orderBy(col("adc_dist"), col("vec_id"))
+      scored.orderBy(col("adc_dist"), col("vec_id")).limit(10)
+        .withColumn("rank", row_number().over(wr).cast("long"))
+    }, Some(
+      """WITH quant AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, m, q[m * 8 + 1 : m * 8 + 8] AS qs
+        |  FROM quant CROSS JOIN range(0, 8) r(m)),
+        |seeds AS (SELECT m, vec_id AS code, qs AS cv FROM sub WHERE vec_id < 16),
+        |d1 AS (
+        |  SELECT v.vec_id, v.m, v.qs, s.code,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      k -> (v.qs[k] - s.cv[k]) * (v.qs[k] - s.cv[k]))) AS BIGINT) AS dist
+        |  FROM sub v JOIN seeds s ON v.m = s.m),
+        |a1 AS (
+        |  SELECT vec_id, m, qs, code FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+        |    FROM d1) t WHERE rn = 1),
+        |cbdims AS (
+        |  SELECT m, code, i AS dim,
+        |    CAST((256 * sum(qs[i + 1]) - ((256 * sum(qs[i + 1]) % count(*)) + count(*)) % count(*))
+        |      // count(*) AS BIGINT) AS cq
+        |  FROM a1 CROSS JOIN range(0, 8) r(i)
+        |  GROUP BY 1, 2, 3),
+        |cb AS (SELECT m, code, list(cq ORDER BY dim) AS cv FROM cbdims GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT v.vec_id, v.m, c.code,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      k -> (256 * v.qs[k] - c.cv[k]) * (256 * v.qs[k] - c.cv[k]))) AS BIGINT) AS dist
+        |  FROM sub v JOIN cb c ON v.m = c.m),
+        |enc AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+        |    FROM d2) t WHERE rn = 1),
+        |qsub AS (SELECT m, qs AS qq FROM sub WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CAST(list_sum(list_transform(range(1, 9),
+        |      k -> (256 * q.qq[k] - c.cv[k]) * (256 * q.qq[k] - c.cv[k]))) AS BIGINT)) AS BIGINT)
+        |      AS adc_dist
+        |  FROM enc e JOIN cb c ON e.m = c.m AND e.code = c.code
+        |  JOIN qsub q ON e.m = q.m
+        |  GROUP BY 1)
+        |SELECT vec_id, adc_dist,
+        |  CAST(row_number() OVER (ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+        |FROM scored ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- bounded-round min-label components -----------------------------
+    // Label propagation on the customer–supplier co-occurrence graph
+    // (gph_pagerank_fixed_point's edge set): every node starts labeled
+    // with its own id and takes the min of its neighborhood each round
+    // — after k rounds, labels agree within radius-k; run to diameter
+    // and it IS connected components. Fixed 4 rounds keep the oracle
+    // exact; production iterates to fixpoint with the same per-round
+    // shape (one join + one agg, lineage truncated per round — the
+    // PageRank discipline; large-star/small-star is the documented
+    // lever when diameters are large).
+    CatalogQuery("gph_min_label_components", (s, d) => {
+      val co = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = co.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(co.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      var state = edges.select(col("src").as("v")).distinct()
+        .withColumn("lbl", col("v"))
+        .localCheckpoint()
+      for (_ <- 1 to 4) {
+        val nb = edges.join(state, edges("src") === state("v"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("m"))
+        state = state.join(nb, state("v") === nb("dst"), "left")
+          .select(col("v"), least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+      }
+      edges.unpersist(false)
+      state.select(
+        when(col("v") % 2 === 0, concat(lit("c"), (col("v") / 2).cast("long").cast("string")))
+          .otherwise(concat(lit("s"), ((col("v") - 1) / 2).cast("long").cast("string")))
+          .as("node"),
+        col("lbl").as("component"))
+    }, Some(
+      """WITH co AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT a AS src, b AS dst FROM co
+        |          UNION ALL SELECT b AS src, a AS dst FROM co),
+        |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM edges),
+        |l1 AS (
+        |  SELECT l.v, least(l.lbl, coalesce(nb.m, l.lbl)) AS lbl
+        |  FROM l0 l LEFT JOIN (
+        |    SELECT e.dst AS v, min(l.lbl) AS m
+        |    FROM edges e JOIN l0 l ON e.src = l.v GROUP BY 1) nb USING (v)),
+        |l2 AS (
+        |  SELECT l.v, least(l.lbl, coalesce(nb.m, l.lbl)) AS lbl
+        |  FROM l1 l LEFT JOIN (
+        |    SELECT e.dst AS v, min(l.lbl) AS m
+        |    FROM edges e JOIN l1 l ON e.src = l.v GROUP BY 1) nb USING (v)),
+        |l3 AS (
+        |  SELECT l.v, least(l.lbl, coalesce(nb.m, l.lbl)) AS lbl
+        |  FROM l2 l LEFT JOIN (
+        |    SELECT e.dst AS v, min(l.lbl) AS m
+        |    FROM edges e JOIN l2 l ON e.src = l.v GROUP BY 1) nb USING (v)),
+        |l4 AS (
+        |  SELECT l.v, least(l.lbl, coalesce(nb.m, l.lbl)) AS lbl
+        |  FROM l3 l LEFT JOIN (
+        |    SELECT e.dst AS v, min(l.lbl) AS m
+        |    FROM edges e JOIN l3 l ON e.src = l.v GROUP BY 1) nb USING (v))
+        |SELECT CASE WHEN v % 2 = 0 THEN 'c' || CAST(v // 2 AS VARCHAR)
+        |            ELSE 's' || CAST((v - 1) // 2 AS VARCHAR) END AS node,
+        |  lbl AS component
+        |FROM l4""".stripMargin)),
+
     // ---- covariance Gramian (the PCA-whitening input) -------------------
     // The d×d second-moment matrix over quantized embeddings, in the
     // sum form n·Σxy − Σx·Σy so every aggregate is an exact integer —

@@ -151,6 +151,78 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_trained_adc_topk matches a full driver-side train→encode→ADC re-derivation") {
+    import spark.implicits._
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+    val q = vecs.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * 64.0 + 0.5).toLong) }.toMap
+    def sub(v: Array[Long], m: Int): Array[Long] = v.slice(m * 8, m * 8 + 8)
+    def d2(a: Array[Long], b: Array[Long], s: Long): Long =
+      a.indices.map(k => { val d = s * a(k) - b(k); d * d }).sum
+    // train: seed codes 0..15, one assignment, 1/256-lattice refine
+    val codebook = (0 until 8).map { m =>
+      val seeds = (0L until 16L).map(c => c -> sub(q(c), m)).toMap
+      val assign = q.keys.map { id =>
+        id -> seeds.minBy { case (c, cv) => (d2(sub(q(id), m), cv, 1L), c) }._1
+      }.toMap
+      val cb = assign.groupBy(_._2).map { case (code, members) =>
+        val qs = members.keys.map(id => sub(q(id), m)).toVector
+        val n = qs.length.toLong
+        code -> (0 until 8).map { k =>
+          val s = qs.map(_(k)).sum
+          val num = 256L * s
+          (num - (((num % n) + n) % n)) / n
+        }.toArray
+      }
+      m -> cb
+    }.toMap
+    // encode at the refined scale; ADC vs vec 0's exact subvectors
+    val dists = q.keys.map { id =>
+      id -> (0 until 8).map { m =>
+        val code = codebook(m).minBy { case (c, cv) =>
+          (d2(sub(q(id), m), cv, 256L), c) }._1
+        d2(sub(q(0L), m), codebook(m)(code), 256L)
+      }.sum
+    }.toMap
+    val expected = dists.toSeq.sortBy { case (id, dd) => (dd, id) }.take(10)
+      .zipWithIndex.map { case ((id, dd), i) => (id, dd, (i + 1).toLong) }
+    val got = Catalog.queries("sim_trained_adc_topk")(spark, sf)
+      .select("vec_id", "adc_dist", "rank").as[(Long, Long, Long)]
+      .collect().sortBy(_._3).toSeq
+    assert(got == expected)
+  }
+
+  test("gph_min_label_components matches 4-round min propagation on the collected graph") {
+    import spark.implicits._
+    val co = graft.core.Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .join(graft.core.Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey"),
+        org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey"))
+      .select(org.apache.spark.sql.functions.expr("o_custkey * 2").as("a"),
+        org.apache.spark.sql.functions.expr("l_suppkey * 2 + 1").as("b"))
+      .distinct().as[(Long, Long)].collect()
+    val adj = (co ++ co.map(_.swap)).groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).toSet }
+    var lbl = adj.keys.map(v => v -> v).toMap
+    (1 to 4).foreach { _ =>
+      lbl = lbl.map { case (v, l) =>
+        v -> math.min(l, adj(v).map(lbl).min)
+      }
+    }
+    val expected = lbl.map { case (v, l) =>
+      val node = if (v % 2 == 0) s"c${v / 2}" else s"s${(v - 1) / 2}"
+      node -> l
+    }
+    val got = Catalog.queries("gph_min_label_components")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(got == expected)
+    // the undirected co-occurrence graph is near-fully connected: after
+    // 4 rounds the dominant label must cover almost everything
+    val top = got.values.groupBy(identity).map(_._2.size).max
+    assert(top > got.size / 2)
+  }
+
   test("txt_html_strip round-trips every document; perplexity buckets partition the corpus") {
     val strip = Catalog.queries("txt_html_strip")(spark, sf).collect()
     assert(strip.nonEmpty && strip.forall(_.getAs[Boolean]("round_trip_ok")))
