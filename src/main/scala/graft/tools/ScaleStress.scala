@@ -55,7 +55,17 @@ object ScaleStress {
       // HUGEINT — stressing it proves the 128-bit path at volumes where
       // int64 would already be near its cliff; drift profiles are
       // single-pass aggregates (linear)
-      "mix_dsir_resample_budget", "qa_schema_drift_detect")
+      "mix_dsir_resample_budget", "qa_schema_drift_detect",
+      // r07 curation wave: BPE apply / HTML strip are pure map stages,
+      // perplexity buckets add one global doc-level ntile, linkage is
+      // block-bounded (customer names are re-derived from the SHIFTED
+      // key during staging so blocks stay organic instead of replica-
+      // multiplied), PQ train/encode/ADC are broadcast-codebook linear
+      // scans, the Gramian is a d²-cell map-side aggregate, and the
+      // min-label rounds are join+agg per round like PageRank
+      "txt_bpe_encode", "txt_perplexity_buckets", "txt_html_strip",
+      "er_record_linkage", "sim_pq_train_codebooks", "sim_trained_adc_topk",
+      "emb_covariance_gram", "gph_min_label_components")
     val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
     // the non-catalog blocks below (snapshot merge, pipeline, semdedup
     // sqrt-N, fixed anchors, trickled dcp) run with the DEFAULT set only —
@@ -93,7 +103,14 @@ object ScaleStress {
             val alpha = "abcdefghijklmnopqrstuvwxyz"
             val rot = alpha.drop(i % 25 + 1) + alpha.take(i % 25 + 1)
             keyed.withColumn("text", translate(col("text"), alpha, rot))
-          } else keyed
+          } else if (t == "customer" && i > 0)
+            // organic names: re-derive the digit part from the SHIFTED
+            // key so replicas don't carry identical names (identical
+            // names would multiply every linkage block by `factor` —
+            // the replicated-staging artifact, not the operator)
+            keyed.withColumn("c_name", concat(lit("Customer#"),
+              lpad(col("c_custkey").cast("string"), 9, "0")))
+          else keyed
         }.reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
