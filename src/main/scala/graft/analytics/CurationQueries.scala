@@ -501,6 +501,69 @@ object CurationQueries {
         |  lbl AS component
         |FROM l4""".stripMargin)),
 
+    // ---- SQL front door --------------------------------------------------
+    // The full Spark SQL surface over the replicated tables: registerAll
+    // publishes every table as a temp view plus graft's registered SQL
+    // functions, and the query exercises a custom codegen'd function
+    // (rolling_hash), a partitioned window and a rank filter purely
+    // through `spark.sql` — what a SQL-first user of the engine writes.
+    CatalogQuery("sql_front_door", (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT lang, doc_id, fingerprint, CAST(rank AS BIGINT) AS rank
+          |FROM (
+          |  SELECT lang, doc_id, rolling_hash(text) AS fingerprint,
+          |    row_number() OVER (
+          |      PARTITION BY lang ORDER BY rolling_hash(text), doc_id) AS rank
+          |  FROM documents)
+          |WHERE rank <= 5""".stripMargin)
+    }, Some(
+      """SELECT lang, doc_id, fingerprint, CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT lang, doc_id,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1),
+        |        i -> ascii(substring(text, i, 1))::BIGINT)),
+        |      (a, c) -> (a * 31 + c) % 2147483648) AS fingerprint,
+        |    row_number() OVER (
+        |      PARTITION BY lang ORDER BY
+        |        list_reduce(
+        |          list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1),
+        |            i -> ascii(substring(text, i, 1))::BIGINT)),
+        |          (a, c) -> (a * 31 + c) % 2147483648), doc_id) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 5""".stripMargin)),
+
+    // ---- multi-format scan round-trip -----------------------------------
+    // Source-format breadth: the same table written and read back through
+    // Spark's CSV (header + quoting), JSON-lines, and ORC readers, with
+    // identical content stats required per format — the "switch a feed
+    // from parquet to X" path. The oracle reads the parquet once and
+    // expects the same stats for every format tag.
+    CatalogQuery("scan_multiformat_roundtrip", (s, d) => {
+      val n = Tables.nation(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-formats").toString
+      n.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+      n.write.mode("overwrite").json(s"$dir/json")
+      n.write.mode("overwrite").orc(s"$dir/orc")
+      val back = Seq(
+        "csv" -> s.read.schema(n.schema).option("header", "true").csv(s"$dir/csv"),
+        "json" -> s.read.schema(n.schema).json(s"$dir/json"),
+        "orc" -> s.read.orc(s"$dir/orc"))
+      back.map { case (fmt, df) =>
+        df.select(lit(fmt).as("format"), col("n_nationkey"), col("n_name"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_nationkey")).as("key_sum"),
+          sum(length(col("n_name")).cast("long")).as("name_chars"))
+    }, Some(
+      """SELECT f.format, count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(length(n_name)) AS BIGINT) AS name_chars
+        |FROM nation CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) f(format)
+        |GROUP BY 1""".stripMargin)),
+
     // ---- covariance Gramian (the PCA-whitening input) -------------------
     // The d×d second-moment matrix over quantized embeddings, in the
     // sum form n·Σxy − Σx·Σy so every aggregate is an exact integer —

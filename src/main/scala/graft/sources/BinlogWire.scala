@@ -739,14 +739,23 @@ object BinlogWire {
               // caching_sha2 fast-auth success; the OK packet follows
               ()
             } else if (reply.length == 2 && reply(1) == 0x04) {
-              // full auth on a plaintext channel: fetch the server's RSA
-              // public key, send the OAEP-encrypted XOR'd password
-              writePacket(out, s + 1, Array(0x02.toByte))
-              val (s2, keyPkt) = readPacket(in)
-              require((keyPkt(0) & 0xff) == 0x01,
-                "mysql: expected AuthMoreData carrying the RSA public key")
-              val pem = new String(keyPkt, 1, keyPkt.length - 1, "UTF-8")
-              writePacket(out, s2 + 1, rsaEncryptedPassword(password, nonce, pem))
+              if (tls.isDefined) {
+                // full auth on a TLS channel: the password goes in the
+                // clear (NUL-terminated) — the channel is already
+                // encrypted, so MySQL skips the RSA exchange entirely
+                // (the server hashes and caches it)
+                writePacket(out, s + 1,
+                  password.getBytes("UTF-8") :+ 0.toByte)
+              } else {
+                // full auth on a plaintext channel: fetch the server's
+                // RSA public key, send the OAEP-encrypted XOR'd password
+                writePacket(out, s + 1, Array(0x02.toByte))
+                val (s2, keyPkt) = readPacket(in)
+                require((keyPkt(0) & 0xff) == 0x01,
+                  "mysql: expected AuthMoreData carrying the RSA public key")
+                val pem = new String(keyPkt, 1, keyPkt.length - 1, "UTF-8")
+                writePacket(out, s2 + 1, rsaEncryptedPassword(password, nonce, pem))
+              }
             } else throw new IllegalStateException(
               s"mysql: unexpected AuthMoreData during $activePlugin auth " +
                 s"(${reply.length - 1} bytes)")

@@ -37,6 +37,7 @@ final class StubMySqlServer(user: String, password: String,
   @volatile var authOk = false
   @volatile var sawSslRequest = false
   @volatile var plaintextRefused = 0
+  @volatile var sawCleartextFullAuth = false
   @volatile var dumpFile: String = ""
   @volatile var dumpPos: Long = -1L
   @volatile var dumps = 0
@@ -230,6 +231,13 @@ final class StubMySqlServer(user: String, password: String,
       return false
     writePacket(out, 2, Array(0x01.toByte, 0x04.toByte))
     val (_, req) = readPacket(in)
+    if (tls.isDefined) {
+      // on a TLS channel the client answers full auth with the
+      // NUL-terminated cleartext password — no RSA round-trip
+      sawCleartextFullAuth = true
+      return java.util.Arrays.equals(req,
+        password.getBytes("UTF-8") :+ 0.toByte)
+    }
     if (req.length != 1 || req(0) != 0x02) return false
     writePacket(out, 4, Array(0x01.toByte) ++ publicPem.getBytes("UTF-8"))
     val (_, blob) = readPacket(in)

@@ -133,6 +133,51 @@ class TlsTransportSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("mysql: caching_sha2 full auth on TLS sends the cleartext password, no RSA round-trip") {
+    val events = Seq(StubBinlog.fde(), StubBinlog.xid(5L))
+    val srv = new StubMySqlServer("repl", "replpass", events,
+      authMode = "sha2-full", tls = Some(TestTls.serverCtx))
+    try {
+      val client = new BinlogWire.BinlogClient("127.0.0.1", srv.port,
+        "repl", "replpass", tls = Some(TestTls.clientCtx))
+      client.connect()
+      assert(srv.sawSslRequest && srv.authOk)
+      assert(srv.sawCleartextFullAuth,
+        "a TLS channel must answer full auth with the cleartext form, not RSA")
+      val got = client.dump("mysql-bin.000001", 4L).toVector
+      client.close()
+      assert(got.collect { case x: BinlogWire.Xid => x.xid } == Vector(5L))
+    } finally srv.close()
+  }
+
+  test("kafka streaming seat reads a TLS listener via tlsTruststore options") {
+    val spark = graft.core.Engine.local("kafka-stream-tls", cores = 2)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val broker = new StubKafkaBroker(tls = Some(TestTls.serverCtx))
+    try {
+      val p = new KafkaWireProducer("127.0.0.1", broker.port,
+        tls = Some(TestTls.clientCtx)).connect()
+      p.produce("cdc", 0, (0 until 4).map(i =>
+        (s"k$i".getBytes("UTF-8"), s"""{"n":$i}""".getBytes("UTF-8"))),
+        timestampMs = 1700000000000L)
+      p.close()
+      val out = "kafka_stream_tls"
+      val q = spark.readStream.format("graft.sources.KafkaStreamSource")
+        .option("host", "127.0.0.1").option("port", broker.port)
+        .option("topic", "cdc").option("stopAtHighWater", true)
+        .option("tlsTruststore", TestTls.keystorePath)
+        .option("tlsPassword", TestTls.password)
+        .load()
+        .writeStream.format("memory").queryName(out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table(out).selectExpr("seq", "key", "value")
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      assert(got.toSeq == (0 until 4).map(i => (i.toLong, s"k$i", s"""{"n":$i}""")))
+    } finally broker.close()
+  }
+
   test("mysql: ssl-mode=REQUIRED against a server without SSL fails loudly, pre-credentials") {
     val srv = new StubMySqlServer("repl", "replpass", Seq(StubBinlog.fde()))
     try {
