@@ -501,6 +501,71 @@ object CurationQueries {
         |  lbl AS component
         |FROM l4""".stripMargin)),
 
+    // ---- k-center diversity selection ------------------------------------
+    // Greedy farthest-point selection (the diversity-sampling / coreset
+    // seed shape): start from vector 0, then k−1 rounds of "pick the
+    // vector farthest from everything selected so far" (max min-dist,
+    // ties to the smaller id). Every pick is a `limit(1)` — a provable
+    // 1-row side, so each round is one linear scan + one bounded
+    // broadcast, never pairwise; integer lattice distances keep the
+    // argmax exact across engines. Production runs the same per-round
+    // shape with k ∝ sample budget.
+    CatalogQuery("smp_kcenter_diversity", (s, d) => {
+      val quant = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
+          .as("q"))
+      val distTo = (qcol: String) => expr(
+        s"""aggregate(zip_with(q, $qcol, (a, b) -> (a - b) * (a - b)),
+           | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+      val seed = quant.filter(col("vec_id") === 0)
+        .agg(collect_list(col("q")).as("qs"))
+        .select(element_at(col("qs"), 1).as("pq")) // 1-row, auditor-bounded
+      var dists = quant.crossJoin(broadcast(seed))
+        .select(col("vec_id"), col("q"), distTo("pq").as("md"))
+      val picks = (2 to 4).map { rank =>
+        val p = dists.orderBy(col("md").desc, col("vec_id")).limit(1)
+        val pick = p.select(lit(rank.toLong).as("sel_rank"),
+          col("vec_id"), col("md").as("sep_dist"))
+        // the picked vector's own min-dist collapses to 0, so it can
+        // never win a later round — no explicit exclusion needed
+        dists = dists.crossJoin(broadcast(p.select(col("q").as("pq"))))
+          .select(col("vec_id"), col("q"),
+            least(col("md"), distTo("pq")).as("md"))
+        pick
+      }
+      val seedRow = quant.filter(col("vec_id") === 0)
+        .select(lit(1L).as("sel_rank"), col("vec_id"), lit(0L).as("sep_dist"))
+      picks.foldLeft(seedRow)(_ unionByName _)
+    }, Some(
+      """WITH quant AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |q0 AS (SELECT q AS pq FROM quant WHERE vec_id = 0),
+        |d1 AS (
+        |  SELECT v.vec_id, v.q,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      k -> (v.q[k] - s.pq[k]) * (v.q[k] - s.pq[k]))) AS BIGINT) AS md
+        |  FROM quant v CROSS JOIN q0 s),
+        |p2 AS (SELECT vec_id, q, md FROM d1 ORDER BY md DESC, vec_id LIMIT 1),
+        |d2 AS (
+        |  SELECT v.vec_id, v.q,
+        |    least(v.md, CAST(list_sum(list_transform(range(1, 65),
+        |      k -> (v.q[k] - p.q[k]) * (v.q[k] - p.q[k]))) AS BIGINT)) AS md
+        |  FROM d1 v CROSS JOIN p2 p),
+        |p3 AS (SELECT vec_id, q, md FROM d2 ORDER BY md DESC, vec_id LIMIT 1),
+        |d3 AS (
+        |  SELECT v.vec_id, v.q,
+        |    least(v.md, CAST(list_sum(list_transform(range(1, 65),
+        |      k -> (v.q[k] - p.q[k]) * (v.q[k] - p.q[k]))) AS BIGINT)) AS md
+        |  FROM d2 v CROSS JOIN p3 p),
+        |p4 AS (SELECT vec_id, q, md FROM d3 ORDER BY md DESC, vec_id LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, CAST(0 AS BIGINT) AS sep_dist
+        |FROM quant WHERE vec_id = 0
+        |UNION ALL SELECT 2, vec_id, md FROM p2
+        |UNION ALL SELECT 3, vec_id, md FROM p3
+        |UNION ALL SELECT 4, vec_id, md FROM p4""".stripMargin)),
+
     // ---- SQL front door --------------------------------------------------
     // The full Spark SQL surface over the replicated tables: registerAll
     // publishes every table as a temp view plus graft's registered SQL

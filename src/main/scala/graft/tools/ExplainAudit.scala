@@ -117,7 +117,16 @@ object ExplainAudit {
       // which makes every mode collapse to one row after the final step;
       // the spine above the final agg is what the join actually reads)
       case agg: BaseAggregateExec => agg.groupingExpressions.isEmpty
-      case _                      => false
+      // a GLOBAL limit ≤ 1 is exactly as provable: whatever the child
+      // produces, at most one row crosses it (argmax-style picks —
+      // orderBy.limit(1) compiles to TakeOrderedAndProject)
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+        t.limit <= 1
+      case g: org.apache.spark.sql.execution.GlobalLimitExec =>
+        g.limit <= 1
+      case c: org.apache.spark.sql.execution.CollectLimitExec =>
+        c.limit <= 1
+      case _ => false
     }
   }
 

@@ -223,6 +223,31 @@ class CurationSpec extends AnyFunSuite {
     assert(top > got.size / 2)
   }
 
+  test("smp_kcenter_diversity matches a driver-side greedy farthest-point re-derivation") {
+    import spark.implicits._
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val q = vecs.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * 64.0 + 0.5).toLong) }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(k => { val d = a(k) - b(k); d * d }).sum
+    var md = q.map { case (id, v) => id -> d2(v, q(0L)) }
+    val expected = Seq.newBuilder[(Long, Long, Long)]
+    expected += ((1L, 0L, 0L))
+    (2 to 4).foreach { rank =>
+      val (pick, dist) = md.toSeq.maxBy { case (id, m) => (m, -id) }
+      expected += ((rank.toLong, pick, dist))
+      md = md.map { case (id, m) => id -> math.min(m, d2(q(id), q(pick))) }
+    }
+    val got = Catalog.queries("smp_kcenter_diversity")(spark, sf)
+      .select("sel_rank", "vec_id", "sep_dist").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == expected.result())
+    // selections are genuinely spread: each new pick was farther than
+    // zero from everything before it
+    assert(got.drop(1).forall(_._3 > 0))
+  }
+
   test("txt_html_strip round-trips every document; perplexity buckets partition the corpus") {
     val strip = Catalog.queries("txt_html_strip")(spark, sf).collect()
     assert(strip.nonEmpty && strip.forall(_.getAs[Boolean]("round_trip_ok")))

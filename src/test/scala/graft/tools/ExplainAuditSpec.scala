@@ -62,6 +62,17 @@ class ExplainAuditSpec extends SparkSpec {
     assert(ExplainAudit.unexplainedCrossJoins(mixed.queryExecution.executedPlan).nonEmpty)
   }
 
+  test("a limit(1) argmax pick is a bounded cross side; limit(2) is not") {
+    val li = Tables.lineitem(spark, sf0001)
+    val o = Tables.orders(spark, sf0001)
+    val pick1 = li.orderBy(col("l_extendedprice").desc).limit(1)
+    val ok = o.crossJoin(broadcast(pick1))
+    assert(ExplainAudit.unexplainedCrossJoins(ok.queryExecution.executedPlan).isEmpty)
+    val pick2 = li.orderBy(col("l_extendedprice").desc).limit(2)
+    val bad = o.crossJoin(broadcast(pick2))
+    assert(ExplainAudit.unexplainedCrossJoins(bad.queryExecution.executedPlan).nonEmpty)
+  }
+
   test("factTables covers the corpus tables") {
     assert(Set("documents", "embeddings", "events")
       .subsetOf(ExplainAudit.factTables))
