@@ -471,9 +471,18 @@ object StreamingQueries {
       val sk = graft.streaming.StreamingTopK.sketch(stream, 512)
         .toDF("grp", "item", "est", "err")
       val key = "spark.sql.streaming.stateStore.providerClass"
+      val partKey = "spark.sql.shuffle.partitions"
       val prev = s.conf.getOption(key)
+      val prevParts = s.conf.getOption(partKey)
       s.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // state-partition count sizes to KEY cardinality (a handful of
+      // event types), not the batch shuffle default: every extra state
+      // partition is a RocksDB instance opened/checkpointed per batch,
+      // pure fixed cost at this key count. The conf is pinned at FIRST
+      // query start into the checkpoint, so it's a per-query decision —
+      // saved/restored around the stream like the provider class.
+      s.conf.set(partKey, "8")
       try {
         val q = sk.writeStream
           .foreachBatch((b: DataFrame, id: Long) =>
@@ -484,9 +493,15 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+        prevParts match {
+          case Some(v) => s.conf.set(partKey, v)
+          case None => s.conf.unset(partKey)
+        }
       }
       val snaps = s.read.parquet(s"$work/out")
       val lastB = snaps.groupBy("grp").agg(max(col("batch")).as("batch"))
