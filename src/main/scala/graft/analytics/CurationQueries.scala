@@ -566,6 +566,58 @@ object CurationQueries {
         |UNION ALL SELECT 3, vec_id, md FROM p3
         |UNION ALL SELECT 4, vec_id, md FROM p4""".stripMargin)),
 
+    // ---- corpus overlap via KMV sketches ---------------------------------
+    // Source-pair overlap estimation with the k-minimum-values sketch
+    // (graft.functions.KmvSketch — a mergeable TypedImperativeAggregate,
+    // O(k) state per group, map-side combinable): one scan builds a
+    // sketch per source, then all pairwise set algebra runs on ≤ k-long
+    // arrays. At 100 TB this replaces an exact distinct-intersection
+    // (a corpus-sized shuffle per pair) with one aggregate pass; the
+    // hash is the md5-prefix bigint both engines reproduce, so the
+    // oracle rebuilds the identical sketches exactly.
+    CatalogQuery("ddp_corpus_overlap_kmv", (s, d) => {
+      import graft.functions.GraftFunctions
+      val h = Tables.documents(s, d).select(col("source"),
+        expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      val sk = h.groupBy(col("source"))
+        .agg(GraftFunctions.kmv_sketch(col("h"), 16).as("kmv"))
+      // sketches collapse to ONE row (sources × k values — tiny), then
+      // pair via double explode: no join at all, auditor-bounded
+      val one = sk.agg(collect_list(struct(col("source"), col("kmv"))).as("ss"))
+      one.select(explode(col("ss")).as("a"), col("ss"))
+        .select(col("a.source").as("source_a"), col("a.kmv").as("ka"),
+          explode(col("ss")).as("b"))
+        .filter(col("source_a") < col("b.source"))
+        .select(col("source_a"), col("b.source").as("source_b"),
+          col("ka"), col("b.kmv").as("kb"))
+        .withColumn("uk", expr("slice(array_sort(array_distinct(concat(ka, kb))), 1, 16)"))
+        .select(col("source_a"), col("source_b"),
+          expr("element_at(uk, size(uk))").as("kth_min"),
+          expr("CAST(size(filter(uk, v -> array_contains(ka, v) AND array_contains(kb, v))) AS BIGINT)")
+            .as("inter_count"),
+          expr("CAST(size(uk) AS BIGINT)").as("union_size"))
+    }, Some(
+      """WITH h AS (
+        |  SELECT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |sk AS (
+        |  SELECT source, list_sort(list(DISTINCT h))[1:16] AS kmv
+        |  FROM h GROUP BY 1),
+        |p AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    a.kmv AS ka, b.kmv AS kb
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |u AS (
+        |  SELECT source_a, source_b, ka, kb,
+        |    list_sort(list_distinct(list_concat(ka, kb)))[1:16] AS uk
+        |  FROM p)
+        |SELECT source_a, source_b,
+        |  uk[len(uk)] AS kth_min,
+        |  CAST(len(list_filter(uk, v -> list_contains(ka, v) AND list_contains(kb, v))) AS BIGINT)
+        |    AS inter_count,
+        |  CAST(len(uk) AS BIGINT) AS union_size
+        |FROM u""".stripMargin)),
+
     // ---- SQL front door --------------------------------------------------
     // The full Spark SQL surface over the replicated tables: registerAll
     // publishes every table as a temp view plus graft's registered SQL

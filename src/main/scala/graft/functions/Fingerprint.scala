@@ -89,6 +89,13 @@ object GraftFunctions {
   def zorder2(a: Column, b: Column): Column =
     GraftShims.column(ZOrder2(GraftShims.expression(a), GraftShims.expression(b)))
 
+  /** KMV distinct sketch: k smallest distinct hashes, mergeable (see
+    * KmvSketch — a TypedImperativeAggregate, used like any agg column).
+    */
+  def kmv_sketch(c: Column, k: Int): Column =
+    GraftShims.column(
+      KmvSketch(GraftShims.expression(c), k).toAggregateExpression())
+
   /** Register SQL names so `expr("rolling_hash(text)")` /
     * `expr("lsh_buckets(v, 8, 4)")` work too.
     */
@@ -121,6 +128,19 @@ object GraftFunctions {
       "zorder2", exprs => graft.GraftExtensions.arity("zorder2", 2, exprs) {
         case Seq(a, b) => ZOrder2(a, b)
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_sketch", exprs => kmvFromExprs(exprs), "built-in")
+  }
+
+  private[graft] def kmvFromExprs(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    (exprs: @unchecked) match {
+      case Seq(c, Literal(k: Int, _)) => KmvSketch(c, k).toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "kmv_sketch(hash: bigint, k: int literal)")
+    }
   }
 
   private[graft] def minhashHexFromExprs(
