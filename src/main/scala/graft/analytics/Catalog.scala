@@ -20,7 +20,7 @@ object Catalog {
       CdcQueries.all ++ TrainingQueries.all ++ CorpusOpsQueries.all ++
       PrepQueries.all ++ StreamingQueries.all ++ PipelineE2E.all ++
       IndexQueries.all ++ ScaleOpsQueries.all ++ QualityQueries.all ++
-      CurationQueries.all
+      CurationQueries.all ++ MiningQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.spark).toMap

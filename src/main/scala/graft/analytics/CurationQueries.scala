@@ -659,7 +659,12 @@ object CurationQueries {
     // expects the same stats for every format tag.
     CatalogQuery("scan_multiformat_roundtrip", (s, d) => {
       val n = Tables.nation(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("graft-formats").toString
+      // one fixed scratch dir per sf (overwrite mode) — a fresh
+      // createTempDirectory per invocation would leak a dir every run
+      // (the returned frame reads these files lazily, so they cannot be
+      // deleted before the caller consumes it)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-formats-" +
+        Integer.toHexString(d.hashCode)
       n.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
       n.write.mode("overwrite").json(s"$dir/json")
       n.write.mode("overwrite").orc(s"$dir/orc")

@@ -1,0 +1,643 @@
+package graft.analytics
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+import graft.functions.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 second wave: corpus mining + training-set assembly operators —
+  * hybrid retrieval fusion (RRF), retrieval-quality evaluation (MRR of a
+  * quantized ranker against the exact one), train/test split leakage
+  * detection, shared-span EXCISION (the repair half of
+  * ddp_maximal_shared_spans' detection), context-window chunking with
+  * overlap, chat-template rendering with loss masks, weighted systematic
+  * sampling, event-sequence Markov transitions, and degree-ordered
+  * triangle counting.
+  *
+  * Determinism discipline: every cross-engine aggregate is integer /
+  * exact-decimal (reciprocal ranks and probabilities as scaled-integer
+  * divisions); doubles appear only in the BM25 leg, in the exact
+  * two-division form txt_bm25_topk already proved bit-stable.
+  */
+object MiningQueries {
+
+  /** Integer lattice quantization both engines reproduce exactly (the
+    * sim_ivf_kmeans_refined discipline). */
+  private val q64Spark =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))"
+  private val q64Duck =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))"
+
+  def all: Seq[CatalogQuery] = Seq(
+
+    // ---- event-sequence Markov transitions ------------------------------
+    // The behavioral-model input: per-user event sequences → first-order
+    // transition counts and probabilities (scaled-integer, exact across
+    // engines). The lag runs inside (user) partitions — corpus-sized
+    // shuffle on user_id, then the transition matrix is |types|² rows
+    // (dimension-sized). 100 TB: one shuffle, tiny result — the shape
+    // holds at any event volume.
+    CatalogQuery("evt_markov_transitions", (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tr = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val cnt = tr.groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy(col("prev_type"))
+      cnt.withColumn("total_from_prev", sum(col("n")).over(wp))
+        .withColumn("p_e6", expr("n * 1000000 div total_from_prev"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          col("total_from_prev"), col("p_e6"))
+    }, Some(
+      """WITH tr AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+        |  FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS total_from_prev,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_e6
+        |FROM cnt""".stripMargin)),
+
+    // ---- degree-ordered triangle counting -------------------------------
+    // Graph-structure profiling over the parts-bought-together graph
+    // (edge = two parts in the same order, both with quantity ≥ 25).
+    // The compact-forward algorithm: orient every edge from the
+    // lower-(degree, id) endpoint to the higher, so each triangle is
+    // counted exactly once as wedge a→b→c closed by a→c, and the wedge
+    // stage is bounded by Σ out-degree² — the orientation is WHY this
+    // survives skew at 100 TB (a hot vertex's edges all point outward
+    // from its low-degree neighbors; its own out-degree stays ~√m).
+    CatalogQuery("gph_triangle_count", (s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 25)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      val deg = e.select(col("u").as("x")).unionByName(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("dx"))
+      val ed = e
+        .join(deg.select(col("x").as("u"), col("dx").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("dx").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("s"),
+          when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("t"))
+      val wedges = ed.as("e1").join(ed.as("e2"), col("e1.t") === col("e2.s"))
+        .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+      val tri = wedges.join(ed.as("e3"),
+        col("a") === col("e3.s") && col("c") === col("e3.t"), "left_semi")
+      ed.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    }, Some(
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_quantity >= 25),
+        |e AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT x, count(*)::BIGINT AS dx FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) t GROUP BY 1),
+        |ed AS (
+        |  SELECT CASE WHEN (du.dx, e.u) < (dv.dx, e.v) THEN e.u ELSE e.v END AS s,
+        |         CASE WHEN (du.dx, e.u) < (dv.dx, e.v) THEN e.v ELSE e.u END AS t
+        |  FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x),
+        |wedges AS (
+        |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM ed e1 JOIN ed e2 ON e1.t = e2.s),
+        |tri AS (
+        |  SELECT w.a, w.b, w.c FROM wedges w
+        |  WHERE EXISTS (SELECT 1 FROM ed e3 WHERE e3.s = w.a AND e3.t = w.c))
+        |SELECT (SELECT count(*)::BIGINT FROM ed) AS n_edges,
+        |  (SELECT count(*)::BIGINT FROM wedges) AS n_wedges,
+        |  (SELECT count(*)::BIGINT FROM tri) AS n_triangles""".stripMargin),
+      bench = true),
+
+    // ---- context-window chunking with overlap ---------------------------
+    // Long-document splitting for a fixed context window: 50-token
+    // chunks, stride 40 (10-token overlap), last chunk short. The chunk
+    // count formula 1 + ceil(max(0, n-W)/S) is pure integer arithmetic;
+    // the whole op is a map stage (explode per doc, no shuffle) — at
+    // 100 TB it is embarrassingly parallel and the output feeds
+    // prep_pack_sequences.
+    CatalogQuery("prep_chunk_overlap", (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("n_chunks", expr("1 + (greatest(n - 50, 0) + 39) div 40"))
+        .select(col("doc_id"), col("n"),
+          posexplode(expr(
+            """transform(sequence(0, CAST(n_chunks - 1 AS INT)),
+              | i -> struct(
+              |   CAST(size(slice(toks, i * 40 + 1, 50)) AS BIGINT) AS ct,
+              |   concat_ws(' ', slice(toks, i * 40 + 1, 50)) AS cx))"""
+              .stripMargin)).as(Seq("chunk_id", "c")))
+        .select(col("doc_id"), col("n").as("n_doc_tokens"),
+          col("chunk_id").cast("long").as("chunk_id"),
+          col("c.ct").as("n_chunk_tokens"), col("c.cx").as("chunk_text"))
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' '))::BIGINT AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    1 + (greatest(n - 50, 0) + 39) // 40 AS nc
+        |  FROM t)
+        |SELECT doc_id, n AS n_doc_tokens, CAST(i AS BIGINT) AS chunk_id,
+        |  len(toks[i * 40 + 1 : i * 40 + 50])::BIGINT AS n_chunk_tokens,
+        |  array_to_string(toks[i * 40 + 1 : i * 40 + 50], ' ') AS chunk_text
+        |FROM c CROSS JOIN LATERAL (SELECT unnest(range(0, nc)) AS i) u"""
+        .stripMargin)),
+
+    // ---- chat-template rendering with loss masks ------------------------
+    // Instruction-tuning assembly: render (system, user, assistant)
+    // into the training string and emit the character span the loss is
+    // computed over (the assistant turn only). Pure codegen'd string
+    // concat/length — a map stage; the mask arithmetic is positional,
+    // so downstream token-level masks derive from it after tokenization.
+    CatalogQuery("prep_chat_template_render", (s, d) => {
+      val sys = "You are a helpful assistant."
+      Tables.documents(s, d)
+        .withColumn("reply", concat(lit("Summary: "), substring(col("text"), 1, 40)))
+        .withColumn("rendered", concat(
+          lit("<|system|>"), lit(sys), lit("<|user|>"), col("text"),
+          lit("<|assistant|>"), col("reply"), lit("<|end|>")))
+        .select(col("doc_id"), col("rendered"),
+          (lit(10L + sys.length + 8L) + length(col("text")).cast("long") + 13L)
+            .as("mask_start"),
+          (lit(10L + sys.length + 8L) + length(col("text")).cast("long") + 13L
+            + length(col("reply")).cast("long")).as("mask_end"),
+          length(col("reply")).cast("long").as("n_mask_chars"))
+    }, Some(
+      s"""WITH r AS (
+         |  SELECT doc_id, text,
+         |    'Summary: ' || substring(text, 1, 40) AS reply
+         |  FROM documents)
+         |SELECT doc_id,
+         |  '<|system|>You are a helpful assistant.<|user|>' || text ||
+         |    '<|assistant|>' || reply || '<|end|>' AS rendered,
+         |  CAST(${10 + 28 + 8} + length(text) + 13 AS BIGINT) AS mask_start,
+         |  CAST(${10 + 28 + 8} + length(text) + 13 + length(reply) AS BIGINT)
+         |    AS mask_end,
+         |  length(reply)::BIGINT AS n_mask_chars
+         |FROM r""".stripMargin)),
+
+    // ---- weighted systematic sampling -----------------------------------
+    // Exact weighted sampling without randomness: order docs, take the
+    // running weight sum, and select every doc whose cumulative-weight
+    // interval contains a multiple of step = total/50 — each unit of
+    // weight has identical selection density, heavy docs can absorb
+    // several picks (n_picks reports how many). All integer floor
+    // divisions on non-negative values (floor == truncate, so Spark's
+    // `div` and DuckDB's `//` agree). The cumsum is the TWO-LEVEL
+    // per-shard prefix sum (in-shard windows over contiguous doc_id
+    // ranges + shard offsets from a shard-cardinality window) — no
+    // corpus-sized global window anywhere; selection itself is a map
+    // over (cum, wgt).
+    CatalogQuery("smp_weighted_systematic", (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").as("wgt"))
+        .withColumn("shard", expr("doc_id div 64"))
+      val w1 = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inShard = base.withColumn("cum_in", sum(col("wgt")).over(w1))
+      // shard offsets: one row per shard (corpus/64 — the global window
+      // here runs over shard cardinality, not corpus cardinality)
+      val wOff = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = base.groupBy(col("shard")).agg(sum(col("wgt")).as("stot"))
+        .withColumn("off", coalesce(sum(col("stot")).over(wOff), lit(0L)))
+        .select(col("shard"), col("off"))
+      val tot = base.agg(sum(col("wgt")).as("total")) // 1-row, auditor-bounded
+      inShard.join(offs, "shard")
+        .withColumn("cum", col("off") + col("cum_in"))
+        .crossJoin(broadcast(tot))
+        .withColumn("step", expr("total div 50"))
+        .withColumn("n_picks", expr("cum div step - (cum - wgt) div step"))
+        .filter(col("n_picks") > 0)
+        .select(col("doc_id"), col("wgt"), col("cum"),
+          expr("(cum - wgt) div step + 1").as("first_pick"),
+          col("n_picks"))
+    }, Some(
+      """WITH c AS (
+        |  SELECT doc_id, n_chars AS wgt,
+        |    sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |  FROM documents),
+        |t AS (SELECT sum(n_chars)::BIGINT // 50 AS step FROM documents)
+        |SELECT doc_id, wgt, cum,
+        |  CAST((cum - wgt) // step + 1 AS BIGINT) AS first_pick,
+        |  CAST(cum // step - (cum - wgt) // step AS BIGINT) AS n_picks
+        |FROM c CROSS JOIN t
+        |WHERE cum // step - (cum - wgt) // step > 0""".stripMargin)),
+
+    // ---- mergeable quantile sketch (exact regime vs the oracle) ---------
+    // Per-type value percentiles through graft's KLL-style
+    // TypedImperativeAggregate (functions.QuantileSketch): map-side
+    // combinable, O(k·log(n/k)) state per group — the 100 TB replacement
+    // for exact percentile's per-group sort. The oracle runs the EXACT
+    // regime (k = 65536 ≥ any group here, so no compaction fires and the
+    // sketch is the multiset — the KmvSketch gating precedent); the
+    // lossy regime is spec-driven with the ε rank-error bound. Probes
+    // are dyadic (¼, ½, ¾) so ⌈q·n⌉ is bit-identical across engines.
+    CatalogQuery("evt_quantile_sketch", (s, d) => {
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          GraftFunctions.quantile_sketch(col("v"), 65536, Seq(0.25, 0.5, 0.75))
+            .as("qs"))
+        .select(col("event_type"), col("n"),
+          expr("element_at(qs, 1)").as("p25_cents"),
+          expr("element_at(qs, 2)").as("p50_cents"),
+          expr("element_at(qs, 3)").as("p75_cents"))
+    }, Some(
+      """WITH v AS (
+        |  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v)
+        |SELECT event_type, max(n)::BIGINT AS n,
+        |  min(CASE WHEN rk >= ceil(0.25 * n) THEN v END) AS p25_cents,
+        |  min(CASE WHEN rk >= ceil(0.5 * n) THEN v END) AS p50_cents,
+        |  min(CASE WHEN rk >= ceil(0.75 * n) THEN v END) AS p75_cents
+        |FROM r GROUP BY 1""".stripMargin)),
+
+    // ---- MRR of the quantized ranker vs the exact one -------------------
+    // Retrieval-quality evaluation: ground truth = exact-cosine nearest
+    // neighbor per query; candidate ranking = integer dot product on the
+    // 1/64 lattice (the memory-compressed ranker the ANN entries
+    // deploy). The reciprocal rank is a scaled-integer division — the
+    // whole eval is exact across engines. Query side is a corpus
+    // fraction (%50) like the brute-force baseline: no broadcast hint,
+    // production draws queries from a bounded eval set.
+    CatalogQuery("sim_quantized_mrr_eval", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          expr(q64Spark).as("qq"))
+      val joined = e.select(col("vec_id"), col("embedding"),
+          expr(q64Spark).as("vq"))
+        .join(q, col("query_id") =!= col("vec_id"))
+      val wc = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_raw").desc, col("vec_id"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("dot_q").desc, col("vec_id"))
+      val ranked = joined
+        .withColumn("cos_raw", GraftFunctions.cosine_sim(col("qv"), col("embedding")))
+        .withColumn("dot_q", expr(
+          """aggregate(zip_with(qq, vq, (a, b) -> a * b),
+            | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+        .withColumn("exact_rank", row_number().over(wc))
+        .withColumn("cand_rank", row_number().over(wq).cast("long"))
+      ranked.filter(col("exact_rank") === 1)
+        .select(col("query_id"), col("vec_id").as("true_nn"),
+          col("cand_rank"),
+          expr("1000000000 div cand_rank").as("rr_e9"))
+    }, Some(
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, $q64Duck AS qq
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |ranked AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${Similarity.cosineDuck("q.qv", "e.embedding", 64)} DESC,
+         |        e.vec_id) AS exact_rank,
+         |    CAST(row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY list_sum(list_transform(range(1, 65),
+         |        k -> q.qq[k] * ($q64Duck)[k])) DESC, e.vec_id) AS BIGINT)
+         |      AS cand_rank
+         |  FROM q JOIN embeddings e ON q.query_id <> e.vec_id)
+         |SELECT query_id, vec_id AS true_nn, cand_rank,
+         |  CAST(1000000000 // cand_rank AS BIGINT) AS rr_e9
+         |FROM ranked WHERE exact_rank = 1""".stripMargin)),
+
+    // ---- hybrid retrieval: reciprocal rank fusion -----------------------
+    // The sparse+dense fusion every retrieval-augmented pipeline runs:
+    // BM25 top-20 (txt_bm25_topk's rational form) fused with the dense
+    // top-20 (integer lattice dot against query vector 0, doc_id ≡
+    // vec_id in the harness mapping) by RRF with k=60 — each
+    // contribution 10⁶ div (60+rank), an exact integer, so the fused
+    // ordering crosses engines bit-stably. Both legs are top-k
+    // (TakeOrdered) before the join: the fusion joins two 20-row sides
+    // regardless of corpus size.
+    CatalogQuery("sim_hybrid_rrf", (s, d) => {
+      // sparse leg: BM25 over the query terms, top-20
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val tf = docs
+        .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+          explode(col("toks")).as("term"))
+        .groupBy("doc_id", "len", "term").agg(count(lit(1)).as("tf"))
+      val qterms = Seq("spark", "customer", "window")
+      val tfq = tf.filter(col("term").isin(qterms: _*))
+      val dfr = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = docs.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("tot_len"))
+      val scored = tfq.join(dfr, "term").crossJoin(broadcast(stats))
+        .withColumn("s",
+          ((lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)).cast("double")
+            / (lit(2) * col("df") + lit(1))) *
+            ((lit(22) * col("tf") * col("tot_len")).cast("double")
+              / (lit(10) * col("tf") * col("tot_len") + lit(3) * col("tot_len")
+                + lit(9) * col("len") * col("n_docs"))))
+      val perDoc = scored.groupBy("doc_id").agg(
+        (coalesce(max(when(col("term") === "spark", col("s"))), lit(0.0))
+          + coalesce(max(when(col("term") === "customer", col("s"))), lit(0.0))
+          + coalesce(max(when(col("term") === "window", col("s"))), lit(0.0)))
+          .as("score"))
+      val sp = perDoc.orderBy(col("score").desc, col("doc_id")).limit(20)
+        .withColumn("rank_s",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("long"))
+        .select(col("doc_id"), col("rank_s"))
+      // dense leg: integer lattice dot vs query vector 0, top-20
+      val e = Tables.embeddings(s, d).select(col("vec_id"), expr(q64Spark).as("vq"))
+      val q0 = e.filter(col("vec_id") === 0)
+        .agg(collect_list(col("vq")).as("qs"))
+        .select(element_at(col("qs"), 1).as("qq")) // 1-row, auditor-bounded
+      val dn = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+        .withColumn("dot_q", expr(
+          """aggregate(zip_with(qq, vq, (a, b) -> a * b),
+            | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+        .orderBy(col("dot_q").desc, col("vec_id")).limit(20)
+        .withColumn("rank_d",
+          row_number().over(Window.orderBy(col("dot_q").desc, col("vec_id")))
+            .cast("long"))
+        .select(col("vec_id").as("doc_id"), col("rank_d"))
+      val fused = sp.join(dn, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_e6",
+          coalesce(expr("1000000 div (60 + rank_s)"), lit(0L))
+            + coalesce(expr("1000000 div (60 + rank_d)"), lit(0L)))
+      fused.orderBy(col("rrf_e6").desc, col("doc_id")).limit(10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("rrf_e6").desc, col("doc_id")))
+            .cast("long"))
+    }, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |tf AS (
+         |  SELECT doc_id, len, term, count(*) AS tf FROM (
+         |    SELECT doc_id, len(t)::BIGINT AS len, unnest(t) AS term FROM toks)
+         |  WHERE term IN ('spark', 'customer', 'window')
+         |  GROUP BY 1, 2, 3),
+         |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (
+         |  SELECT count(*)::BIGINT AS n_docs, sum(len(t))::BIGINT AS tot_len
+         |  FROM toks),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    (CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / (2 * df + 1)) *
+         |    (CAST(22 * tf * tot_len AS DOUBLE)
+         |      / (10 * tf * tot_len + 3 * tot_len + 9 * len * n_docs)) AS s
+         |  FROM tf JOIN dfr USING (term) CROSS JOIN stats),
+         |per_doc AS (
+         |  SELECT doc_id,
+         |    coalesce(max(CASE WHEN term = 'spark' THEN s END), 0.0)
+         |    + coalesce(max(CASE WHEN term = 'customer' THEN s END), 0.0)
+         |    + coalesce(max(CASE WHEN term = 'window' THEN s END), 0.0) AS score
+         |  FROM scored GROUP BY 1),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         |      AS rank_s
+         |  FROM per_doc ORDER BY score DESC, doc_id LIMIT 20),
+         |q0 AS (SELECT $q64Duck AS qq FROM embeddings WHERE vec_id = 0),
+         |dn AS (
+         |  SELECT vec_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY dot_q DESC, vec_id) AS BIGINT)
+         |      AS rank_d
+         |  FROM (
+         |    SELECT e.vec_id,
+         |      list_sum(list_transform(range(1, 65),
+         |        k -> q0.qq[k] * ($q64Duck)[k])) AS dot_q
+         |    FROM embeddings e CROSS JOIN q0 WHERE e.vec_id <> 0) t
+         |  ORDER BY dot_q DESC, vec_id LIMIT 20),
+         |fused AS (
+         |  SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+         |    sp.rank_s, dn.rank_d,
+         |    CAST(coalesce(1000000 // (60 + sp.rank_s), 0)
+         |      + coalesce(1000000 // (60 + dn.rank_d), 0) AS BIGINT) AS rrf_e6
+         |  FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id)
+         |SELECT doc_id, rank_s, rank_d, rrf_e6,
+         |  CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS BIGINT)
+         |    AS rank
+         |FROM fused ORDER BY rrf_e6 DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ---- train/test split leakage ---------------------------------------
+    // Benchmark-contamination detection INSIDE the corpus: split by the
+    // deterministic md5 rule (the smp_hash_sample discipline — ~12.5%
+    // test), then run the MinHash-LSH band join ONLY across the split
+    // (train × test — never train × train), surfacing every near-dup
+    // pair that leaks test content into training. The staged corpus
+    // (docsPlus' +1000000 replicas) guarantees planted leaks whose hash
+    // lands the replica on the other side of the split from its source.
+    // 100 TB: identical shape to ddp_minhash_lsh_pairs — band-bucket
+    // equi-join, candidates meet only inside (band, key) partitions.
+    CatalogQuery("qa_split_leakage", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val staged = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val isTest =
+        expr("instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 < 2")
+      val bands = staged
+        .select(col("doc_id"), isTest.as("is_test"),
+          split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("is_test"),
+          expr(Similarity.shinglesFromToks("toks")).as("sh"))
+        .select(col("doc_id"), col("is_test"),
+          GraftFunctions.minhash_hex(col("sh"), 9).as("sig"))
+        .select(col("doc_id"), col("is_test"),
+          posexplode(expr(
+            """transform(sequence(0, 2), j -> md5(concat(
+              | element_at(sig, 3 * CAST(j AS INT) + 1),
+              | element_at(sig, 3 * CAST(j AS INT) + 2),
+              | element_at(sig, 3 * CAST(j AS INT) + 3))))""".stripMargin))
+            .as(Seq("band", "band_key")))
+      bands.filter(!col("is_test")).as("tr")
+        .join(bands.filter(col("is_test")).as("te"),
+          col("tr.band") === col("te.band") &&
+            col("tr.band_key") === col("te.band_key"))
+        .select(col("tr.doc_id").as("train_doc"), col("te.doc_id").as("test_doc"))
+        .distinct()
+    }, Some(
+      s"""WITH staged AS (
+         |  SELECT * FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    strpos('0123456789abcdef',
+         |      substring(md5(doc_id::VARCHAR), 1, 1)) - 1 < 2 AS is_test,
+         |    ${Similarity.minhashDuck("text", 9)} AS sig
+         |  FROM staged),
+         |bands AS (
+         |  SELECT doc_id, is_test, j AS band,
+         |    md5(sig[3*j+1] || sig[3*j+2] || sig[3*j+3]) AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2]) AS j) u)
+         |SELECT DISTINCT tr.doc_id AS train_doc, te.doc_id AS test_doc
+         |FROM bands tr JOIN bands te
+         |  ON tr.band = te.band AND tr.band_key = te.band_key
+         |WHERE NOT tr.is_test AND te.is_test""".stripMargin)),
+
+    // ---- shared-span EXCISION (the repair to spans' detection) ----------
+    // ddp_maximal_shared_spans DETECTS duplicated substrings; this op
+    // REMOVES them, keep-first: for every detected span the
+    // higher-doc_id member loses the duplicated token range, spans
+    // overlapping in one doc are interval-merged (the gaps-and-islands
+    // window), and the text is rebuilt from the surviving tokens in
+    // order. Per-doc state everywhere: runs/merges partition by doc,
+    // the rebuild is one ordered collect per doc — no corpus-sized
+    // window anywhere.
+    CatalogQuery("ddp_span_excision_rebuild", (s, d) => {
+      val k = 4
+      val mStr = expr("CAST(doc_id div 2 AS STRING)")
+      val planted = concat(col("text"),
+        lit(" sp"), mStr, lit(" qq"), mStr, lit(" rr"), mStr,
+        lit(" ss"), mStr, lit(" tt"), mStr, lit(" uu"), mStr)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(planted, " ").as("toks"))
+        .filter(size(col("toks")) >= k)
+      val sh = docs.select(col("doc_id"),
+          posexplode(expr(
+            s"""transform(sequence(0, size(toks) - $k),
+               | i -> concat_ws(' ', slice(toks, CAST(i + 1 AS INT), $k)))"""
+              .stripMargin)).as(Seq("pos", "sh")))
+        .select(col("doc_id"), col("pos"),
+          GraftFunctions.rolling_hash(col("sh")).as("h"))
+      val dfq = sh.select(col("doc_id"), col("h")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c").between(2, 8)).select("h")
+      val cand = sh.join(dfq, "h")
+      val matches = cand.as("a").join(cand.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.pos").as("pa"), col("b.pos").as("pb"))
+        .withColumn("diag", col("pa") - col("pb"))
+      val wRun = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+        .orderBy(col("pa"))
+      val spans = matches
+        .withColumn("grp", col("pa") - row_number().over(wRun))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+        .agg(count(lit(1)).as("cnt"), min(col("pb")).as("pb0"))
+        .filter(col("cnt") >= 2)
+        .select(col("doc_b").as("doc_id"), col("pb0").as("lo"),
+          (col("pb0") + col("cnt") + lit(k - 2)).as("hi"))
+      // interval merge per doc (gaps and islands on the running max end)
+      val wPrev = Window.partitionBy(col("doc_id"))
+        .orderBy(col("lo"), col("hi"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wIsl = Window.partitionBy(col("doc_id"))
+        .orderBy(col("lo"), col("hi"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val merged = spans
+        .withColumn("new_isl",
+          when(col("lo") > coalesce(max(col("hi")).over(wPrev), lit(-1L)), 1L)
+            .otherwise(0L))
+        .withColumn("isl", sum(col("new_isl")).over(wIsl))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+        .select(col("doc_id"), col("lo"), col("hi"))
+      val toks = docs.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_before"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      val kept = toks.join(merged,
+        toks("doc_id") === merged("doc_id") &&
+          col("pos") >= col("lo") && col("pos") <= col("hi"), "left_anti")
+      kept.groupBy(col("doc_id"))
+        .agg(max(col("n_before")).as("n_tokens_before"),
+          count(lit(1)).as("n_tokens_after"),
+          expr(
+            """concat_ws(' ', transform(
+              |  array_sort(collect_list(struct(pos, tok))), p -> p.tok))"""
+              .stripMargin).as("rebuilt"))
+    }, Some(
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text
+        |    || ' sp' || (doc_id // 2)::VARCHAR || ' qq' || (doc_id // 2)::VARCHAR
+        |    || ' rr' || (doc_id // 2)::VARCHAR || ' ss' || (doc_id // 2)::VARCHAR
+        |    || ' tt' || (doc_id // 2)::VARCHAR || ' uu' || (doc_id // 2)::VARCHAR,
+        |    ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, e.pos AS pos,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, length(e.s) + 1),
+        |        j -> ascii(substring(e.s, j, 1))::BIGINT)),
+        |      (a, c) -> (a * 31 + c) % 2147483648) AS h
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(0, len(t) - 3),
+        |      i -> {'pos': i, 's': array_to_string(t[i + 1:i + 4], ' ')})) AS e
+        |    FROM docs WHERE len(t) >= 4) s0),
+        |dfq AS (
+        |  SELECT h FROM (
+        |    SELECT h, count(*) AS c FROM (SELECT DISTINCT doc_id, h FROM sh) u
+        |    GROUP BY 1) g
+        |  WHERE c BETWEEN 2 AND 8),
+        |cand AS (SELECT sh.doc_id, sh.pos, sh.h FROM sh JOIN dfq USING (h)),
+        |m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+        |    a.pos - b.pos AS diag
+        |  FROM cand a JOIN cand b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT doc_a, doc_b, diag, pa, pb,
+        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+        |      AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT doc_b AS doc_id, min(pb) AS lo,
+        |    min(pb) + count(*) + 2 AS hi
+        |  FROM runs GROUP BY doc_a, doc_b, diag, grp HAVING count(*) >= 2),
+        |marked AS (
+        |  SELECT doc_id, lo, hi,
+        |    CASE WHEN lo > coalesce(max(hi) OVER (PARTITION BY doc_id
+        |      ORDER BY lo, hi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -1) THEN 1 ELSE 0 END AS new_isl
+        |  FROM spans),
+        |islands AS (
+        |  SELECT doc_id, lo, hi,
+        |    sum(new_isl) OVER (PARTITION BY doc_id ORDER BY lo, hi
+        |      ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM marked),
+        |merged AS (
+        |  SELECT doc_id, min(lo) AS lo, max(hi) AS hi
+        |  FROM islands GROUP BY doc_id, isl),
+        |toks AS (
+        |  SELECT doc_id, len(t)::BIGINT AS n_before, e.pos AS pos, e.tok AS tok
+        |  FROM (
+        |    SELECT doc_id, t, unnest(list_transform(range(0, len(t)),
+        |      i -> {'pos': i, 'tok': t[i + 1]})) AS e
+        |    FROM docs) s0),
+        |kept AS (
+        |  SELECT tk.doc_id, tk.n_before, tk.pos, tk.tok
+        |  FROM toks tk
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM merged mg
+        |    WHERE mg.doc_id = tk.doc_id AND tk.pos >= mg.lo AND tk.pos <= mg.hi))
+        |SELECT doc_id, max(n_before) AS n_tokens_before,
+        |  count(*)::BIGINT AS n_tokens_after,
+        |  array_to_string(list(tok ORDER BY pos), ' ') AS rebuilt
+        |FROM kept GROUP BY 1""".stripMargin))
+  )
+}

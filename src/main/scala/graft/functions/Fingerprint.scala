@@ -96,6 +96,14 @@ object GraftFunctions {
     GraftShims.column(
       KmvSketch(GraftShims.expression(c), k).toAggregateExpression())
 
+  /** Mergeable KLL-style quantile sketch: discrete quantiles at `probes`
+    * (see QuantileSketch — exact when k ≥ group size, ε-rank-bounded
+    * O(k·log(n/k)) state otherwise).
+    */
+  def quantile_sketch(c: Column, k: Int, probes: Seq[Double]): Column =
+    GraftShims.column(
+      QuantileSketch(GraftShims.expression(c), k, probes).toAggregateExpression())
+
   /** Register SQL names so `expr("rolling_hash(text)")` /
     * `expr("lsh_buckets(v, 8, 4)")` work too.
     */
@@ -130,6 +138,26 @@ object GraftFunctions {
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_sketch", exprs => kmvFromExprs(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantile_sketch", exprs => quantileSketchFromExprs(exprs), "built-in")
+  }
+
+  private[graft] def quantileSketchFromExprs(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    (exprs: @unchecked) match {
+      case Seq(c, Literal(k: Int, _), CreateArray(ps, _))
+          if ps.forall(_.isInstanceOf[Literal]) =>
+        QuantileSketch(c, k, ps.map {
+          case Literal(d: Double, _) => d
+          case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"quantile_sketch: probe must be a double literal, got $other")
+        }).toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "quantile_sketch(value: bigint, k: int literal, array(probe literals))")
+    }
   }
 
   private[graft] def kmvFromExprs(

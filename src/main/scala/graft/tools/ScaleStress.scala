@@ -65,7 +65,17 @@ object ScaleStress {
       // min-label rounds are join+agg per round like PageRank
       "txt_bpe_encode", "txt_perplexity_buckets", "txt_html_strip",
       "er_record_linkage", "sim_pq_train_codebooks", "sim_trained_adc_topk",
-      "emb_covariance_gram", "gph_min_label_components")
+      "emb_covariance_gram", "gph_min_label_components",
+      // r07 mining wave: leakage + excision are candidate-join shaped
+      // (band buckets / df-guarded fingerprints — linear); chunking,
+      // chat render and markov are map / one-shuffle stages; weighted
+      // sampling is the two-level prefix sum; the quantile sketch runs
+      // its LOSSY regime here (group size ≫ k, state O(k·log n/k));
+      // triangle counting is 10 disjoint copies of the base graph under
+      // key-shifted staging, so wedges/triangles must grow ~linearly
+      "qa_split_leakage", "ddp_span_excision_rebuild", "prep_chunk_overlap",
+      "prep_chat_template_render", "smp_weighted_systematic",
+      "evt_markov_transitions", "evt_quantile_sketch", "gph_triangle_count")
     val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
     // the non-catalog blocks below (snapshot merge, pipeline, semdedup
     // sqrt-N, fixed anchors, trickled dcp) run with the DEFAULT set only —

@@ -1,0 +1,206 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Independent driver-side re-derivations for the mining/assembly wave —
+  * each entry is additionally oracle-gated through Verify/DuckDB; these
+  * specs pin the SEMANTICS against brute-force reimplementations the way
+  * the BM25/winnowing/DSIR specs do.
+  */
+class MiningQueriesSpec extends SparkSpec {
+
+  private def q(name: String, d: String = sf0001) =
+    Catalog.queries(name)(spark, d)
+
+  test("triangle count matches a brute-force recount") {
+    val row = q("gph_triangle_count").head
+    val (nEdges, nWedges, nTri) = (row.getLong(0), row.getLong(1), row.getLong(2))
+
+    // brute force: rebuild the edge set in Scala, count triangles naively
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_quantity") >= 25)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+    }.toSet
+    assert(nEdges == edges.size.toLong)
+    val adj = edges.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val bruteTri = edges.toSeq.map { case (u, v) =>
+      adj(u).intersect(adj(v)).count(w => w > v) // u < v < w ordering
+    }.sum
+    // orientation-independent truth: every triangle {a<b<c} counted once
+    val allTri = edges.toSeq.map { case (u, v) =>
+      adj(u).intersect(adj(v)).size
+    }.sum / 3 * 1 // each triangle seen from 3 edges
+    assert(nTri == allTri.toLong, s"expected $allTri (one-sided $bruteTri)")
+    assert(nWedges >= nTri)
+  }
+
+  test("weighted systematic sampling: exactly 50 picks, monotone, exact ranks") {
+    val rows = q("smp_weighted_systematic")
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getAs[Long]("n_picks")).sum == 50L)
+    val firstPicks = rows.map(_.getAs[Long]("first_pick"))
+    assert(firstPicks.toSeq == firstPicks.toSeq.sorted)
+    // re-derive from the raw table: cumulative weights + step arithmetic
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = docs.map(_._2).sum
+    val step = total / 50
+    var cum = 0L
+    val expected = docs.flatMap { case (id, w) =>
+      val before = cum; cum += w
+      val n = cum / step - before / step
+      if (n > 0) Some((id, w, cum, before / step + 1, n)) else None
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == expected.toSeq)
+  }
+
+  test("chunk overlap: stride/window re-derivation for every doc") {
+    val got = q("prep_chunk_overlap").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("n_chunk_tokens"), r.getAs[String]("chunk_text"))).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    var checked = 0
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val n = toks.length
+      val nChunks = 1 + (math.max(n - 50, 0) + 39) / 40
+      (0 until nChunks).foreach { i =>
+        val chunk = toks.slice(i * 40, i * 40 + 50)
+        val (ct, cx) = got((id, i.toLong))
+        assert(ct == chunk.length.toLong && cx == chunk.mkString(" "),
+          s"doc $id chunk $i")
+        checked += 1
+      }
+    }
+    assert(checked == got.size, "no extra chunks beyond the formula")
+  }
+
+  test("markov transitions: counts re-derived, probabilities floor-sum to <= 1") {
+    val got = q("evt_markov_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // the canonical loader (nanos-long → micros NTZ); the re-derivation
+    // here is of the TRANSITION logic, not the parquet decode
+    val ev = graft.core.Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime]("ts"),
+        r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { g =>
+      val seq = g.sortBy(e =>
+        (e._2.toEpochSecond(java.time.ZoneOffset.UTC), e._2.getNano, e._3))
+        .map(_._4)
+      seq.zip(seq.tail)
+    }.toSeq
+    val cnt = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val totals = trans.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    assert(got.keySet == cnt.keySet)
+    cnt.foreach { case (k, n) =>
+      val (gn, gt, gp) = got(k)
+      assert(gn == n && gt == totals(k._1) && gp == n * 1000000L / totals(k._1), s"$k")
+    }
+    got.groupBy(_._1._1).foreach { case (prev, m) =>
+      val psum = m.values.map(_._3).sum
+      assert(psum <= 1000000L && psum > 1000000L - m.size, s"prev=$prev")
+    }
+  }
+
+  test("span excision: keep-first — later doc loses the planted span, first keeps it") {
+    val rebuilt = q("ddp_span_excision_rebuild").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens_before"), r.getAs[Long]("n_tokens_after"),
+          r.getAs[String]("rebuilt"))).toMap
+    // the staged pairs are (2m, 2m+1) sharing a 12-token planted suffix
+    val pairs = rebuilt.keys.filter(id => id % 2 == 0 && rebuilt.contains(id + 1))
+    assert(pairs.nonEmpty)
+    var excisedPairs = 0
+    pairs.foreach { m2 =>
+      val m = m2 / 2
+      val (bA, aA, txtA) = rebuilt(m2)
+      val (bB, aB, txtB) = rebuilt(m2 + 1)
+      assert(txtA.contains(s"sp$m "), s"first doc $m2 must KEEP its span")
+      if (!txtB.contains(s"sp$m")) {
+        assert(bB - aB >= 6, s"doc ${m2 + 1} excised fewer than the 6 planted tokens")
+        excisedPairs += 1
+      }
+      assert(aA <= bA && aB <= bB)
+    }
+    // the planted suffix guarantees detection wherever the df guard
+    // admits it — most pairs must actually excise
+    assert(excisedPairs > pairs.size / 2,
+      s"only $excisedPairs of ${pairs.size} pairs excised")
+  }
+
+  test("split leakage (sf0.01): every leaked pair is a genuine near-dup across the split") {
+    val d = "/root/testdata/sf0.01"
+    val leaks = q("qa_split_leakage", d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(leaks.nonEmpty)
+    def isTest(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "0123456789abcdef".indexOf(f"${md(0) & 0xff}%02x".charAt(0)) < 2
+    }
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def textOf(id: Long): String =
+      if (id >= 1000000L) texts(id - 1000000L) else texts(id)
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    leaks.foreach { case (tr, te) =>
+      assert(!isTest(tr) && isTest(te), s"($tr,$te) split sides")
+      val (sa, sb) = (shingles(textOf(tr)), shingles(textOf(te)))
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size.max(1)
+      assert(j > 0.3, s"pair ($tr,$te) jaccard $j not a near-dup")
+    }
+    // the planted replicas (id+1000000) straddling the split must be found
+    val planted = texts.keys.filter(id => id % 10 == 0)
+      .map(id => (id, id + 1000000L))
+      .filter { case (a, b) => isTest(a) != isTest(b) }
+      .map { case (a, b) => if (isTest(a)) (b, a) else (a, b) }.toSet
+    assert(planted.subsetOf(leaks.toSet),
+      s"missed planted leaks: ${planted -- leaks.toSet}")
+  }
+
+  test("hybrid RRF: fused ranks consistent with leg ranks") {
+    val rows = q("sim_hybrid_rrf").orderBy("rank").collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val rrfs = rows.map(_.getAs[Long]("rrf_e6"))
+    assert(rrfs.toSeq == rrfs.toSeq.sortBy(-_))
+    rows.foreach { r =>
+      val rs = Option(r.getAs[java.lang.Long]("rank_s")).map(_.toLong)
+      val rd = Option(r.getAs[java.lang.Long]("rank_d")).map(_.toLong)
+      val expected = rs.map(x => 1000000L / (60 + x)).getOrElse(0L) +
+        rd.map(x => 1000000L / (60 + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_e6") == expected)
+      assert(rs.nonEmpty || rd.nonEmpty)
+    }
+  }
+
+  test("quantized MRR: reciprocal ranks well-formed, exact-NN self-consistent") {
+    val rows = q("sim_quantized_mrr_eval").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rank = r.getAs[Long]("cand_rank")
+      assert(rank >= 1)
+      assert(r.getAs[Long]("rr_e9") == 1000000000L / rank)
+      assert(r.getAs[Long]("query_id") != r.getAs[Long]("true_nn"))
+    }
+    // every query id appears exactly once
+    val qs = rows.map(_.getAs[Long]("query_id"))
+    assert(qs.distinct.length == qs.length)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The KLL-style quantile sketch in both contract regimes: EXACT
+  * (k ≥ n — the regime the DuckDB oracle gates) against a driver-side
+  * re-derivation, and LOSSY (k ≪ n) against the ε rank-error bound,
+  * which must hold for ANY partition merge order. Plus buffer serde and
+  * SQL registration.
+  */
+class QuantileSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** min value whose rank ≥ ⌈q·n⌉ — the sketch's discrete-quantile
+    * contract, re-derived independently. */
+  private def exactQ(xs: Seq[Long], q: Double): Long = {
+    val sorted = xs.sorted
+    sorted((math.max(1L, math.ceil(q * xs.size).toLong) - 1).toInt)
+  }
+
+  test("exact regime: k >= n reproduces discrete quantiles under 32-way merge") {
+    val rng = new scala.util.Random(11)
+    val xs = Seq.fill(4000)(rng.nextLong() % 100000)
+    val got = xs.toDF("v").repartition(32)
+      .agg(GraftFunctions.quantile_sketch(col("v"), 4096,
+        Seq(0.25, 0.5, 0.75, 1.0)).as("q"))
+      .head.getSeq[Long](0)
+    assert(got == Seq(exactQ(xs, 0.25), exactQ(xs, 0.5),
+      exactQ(xs, 0.75), exactQ(xs, 1.0)))
+  }
+
+  test("lossy regime: rank error bounded at any merge order") {
+    // 100k distinct values => rank of an estimate is the value itself
+    val n = 100000
+    val xs = (0 until n).map(_.toLong)
+    val probes = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val got = xs.toDF("v").repartition(32)
+      .agg(GraftFunctions.quantile_sketch(col("v"), 256, probes).as("q"))
+      .head.getSeq[Long](0)
+    probes.zip(got).foreach { case (q, est) =>
+      val targetRank = math.ceil(q * n).toLong
+      // deterministic-sweep KLL at k=256 lands far inside 2% here; the
+      // 5% assert keeps the test merge-order-robust, not tight
+      assert(math.abs(est + 1 - targetRank) <= n * 0.05,
+        s"q=$q est=$est target=$targetRank")
+    }
+  }
+
+  test("state stays O(k log n/k): serialized buffer far below input size") {
+    val one = QuantileSketch(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.LongType, nullable = false), 64, Seq(0.5))
+    val b = one.createAggregationBuffer()
+    (0 until 100000).foreach(i =>
+      one.update(b, org.apache.spark.sql.catalyst.InternalRow(i.toLong)))
+    val ser = one.serialize(b)
+    // 100k longs would be 800 KB raw; levels hold ≤ 64·log2(100k/64)
+    assert(ser.length < 16 * 1024, s"buffer ${ser.length} bytes")
+    // serde round-trips to the same answer
+    val rt = one.deserialize(ser)
+    assert(rt.quantiles(Seq(0.25, 0.5, 0.75)).toSeq ==
+      b.quantiles(Seq(0.25, 0.5, 0.75)).toSeq)
+    assert(b.count == 100000L && rt.count == 100000L)
+  }
+
+  test("SQL registration, grouped, nulls skipped; arity guard") {
+    GraftFunctions.register(spark)
+    val rows = (0 until 300).map(i => (s"g${i % 3}", i.toLong))
+    rows.toDF("g", "v")
+      .withColumn("v", when(col("v") % 13 === 0, lit(null)).otherwise(col("v")))
+      .createOrReplaceTempView("qs_in")
+    val got = spark.sql(
+      "SELECT g, quantile_sketch(v, 1024, array(0.5D)) AS q FROM qs_in GROUP BY g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).head).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val vals = grp.map(_._2).filter(_ % 13 != 0)
+      assert(got(g) == exactQ(vals, 0.5), s"group $g")
+    }
+    val e = intercept[Exception] {
+      spark.sql("SELECT quantile_sketch(v) FROM qs_in").collect()
+    }
+    assert(e.getMessage.contains("quantile_sketch"))
+  }
+}
