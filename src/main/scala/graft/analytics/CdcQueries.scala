@@ -492,6 +492,45 @@ object CdcQueries {
          |FROM ($oracleLog) log
          |WINDOW w AS (PARTITION BY o_orderkey ORDER BY seq)""".stripMargin)),
 
+    // SCD2 point-in-time lookup: resolve each probe (key, position)
+    // against the version valid AT that position — the "what did this
+    // row look like when the fact happened" join every temporal pipeline
+    // runs, here through the NATIVE as-of operator (plans.AsOfJoin: one
+    // shuffle per side, sorted single-pass merge, O(1) memory per
+    // partition) on the version axis instead of a timestamp. Two probes
+    // per key straddle the history: 'mid' (after insert/update, before
+    // delete) and 'end' (after everything, so deleted keys surface their
+    // delete version — the caller's tombstone signal).
+    CatalogQuery("cdc_scd2_asof_lookup", (s, d) => {
+      val hist = changeLog(s, d).select(col("o_orderkey").as("h_key"),
+        col("seq").as("version_seq"), col("op"),
+        col("o_totalprice").as("price_at"))
+      val probes = Tables.orders(s, d).select(col("o_orderkey"),
+          (col("o_orderkey") * 10 + 1).as("probe_seq"), lit("mid").as("probe_tag"))
+        .unionByName(Tables.orders(s, d).select(col("o_orderkey"),
+          (col("o_orderkey") * 10 + 9).as("probe_seq"), lit("end").as("probe_tag")))
+      graft.plans.AsOf.join(probes, hist, Seq("o_orderkey"), Seq("h_key"),
+        "probe_seq", "version_seq")
+        .select(col("o_orderkey"), col("probe_tag"), col("probe_seq"),
+          col("version_seq"), col("op"), col("price_at"))
+    }, Some(
+      s"""WITH log AS ($oracleLog),
+         |probes AS (
+         |  SELECT o_orderkey, o_orderkey*10+1 AS probe_seq, 'mid' AS probe_tag
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderkey*10+9, 'end' FROM orders),
+         |v AS (
+         |  SELECT p.o_orderkey, p.probe_tag, p.probe_seq,
+         |    (SELECT max(l.seq) FROM log l
+         |     WHERE l.o_orderkey = p.o_orderkey AND l.seq <= p.probe_seq)
+         |      AS version_seq
+         |  FROM probes p)
+         |SELECT v.o_orderkey, v.probe_tag, v.probe_seq, v.version_seq,
+         |  l.op, l.o_totalprice AS price_at
+         |FROM v JOIN log l
+         |  ON l.o_orderkey = v.o_orderkey AND l.seq = v.version_seq""".stripMargin)),
+
     // consistency verifier (cmd/verifier / dcp analogue): full-outer keyed
     // diff of source vs a deterministically-perturbed target
     CatalogQuery("vrf_row_diff", (s, d) => {

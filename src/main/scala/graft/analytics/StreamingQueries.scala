@@ -518,6 +518,81 @@ object StreamingQueries {
         |    row_number() OVER (PARTITION BY event_type
         |      ORDER BY count(*) DESC, user_id % 256) AS rank
         |  FROM events GROUP BY 1, 2) t
-        |WHERE rank <= 3""".stripMargin), bench = true)
+        |WHERE rank <= 3""".stripMargin), bench = true),
+
+    // ---- streaming percentiles: the KLL sketch on transformWithState ----
+    // The quantile twin of the heavy-hitters entry: per-event-type value
+    // percentiles over a live feed through `streaming.StreamingQuantiles`
+    // (functions.QSketchBuf in ValueState — the SAME buffer the batch
+    // quantile_sketch aggregate exchanges, so batch and stream share one
+    // proven serde). Runs the EXACT regime here (k = 65536 ≥ any group):
+    // the last emission per group equals the batch entry's discrete
+    // quantiles over the whole stream, and the oracle is the same SQL as
+    // evt_quantile_sketch. StreamingQuantilesSpec drives the lossy
+    // regime (k = 128 across micro-batches) with the ε rank bound.
+    // 100 TB/day: O(k·log(n/k)) state per group, update-mode snapshots.
+    CatalogQuery("evt_streaming_quantile_sketch", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = java.nio.file.Files.createTempDirectory("graft-squant").toString
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type").as("grp"),
+          expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("v"))
+      ev.repartition(4).write.mode("overwrite").parquet(s"$work/in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+      val sk = graft.streaming.StreamingQuantiles
+        .sketch(stream, 65536, Seq(0.25, 0.5, 0.75))
+        .toDF("grp", "n", "qs")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val partKey = "spark.sql.shuffle.partitions"
+      val prev = s.conf.getOption(key)
+      val prevParts = s.conf.getOption(partKey)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // state partitions sized to key cardinality (the StreamingTopK
+      // rationale: every extra partition is a RocksDB instance per batch)
+      s.conf.set(partKey, "8")
+      try {
+        val q = sk.writeStream
+          .foreachBatch((b: DataFrame, id: Long) =>
+            b.withColumn("batch", lit(id)).write.mode("append")
+              .parquet(s"$work/out"))
+          .outputMode("update")
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+        prevParts match {
+          case Some(v) => s.conf.set(partKey, v)
+          case None => s.conf.unset(partKey)
+        }
+      }
+      val snaps = s.read.parquet(s"$work/out")
+      val lastB = snaps.groupBy("grp").agg(max(col("batch")).as("batch"))
+      snaps.join(lastB, Seq("grp", "batch"))
+        .select(col("grp").as("event_type"), col("n"),
+          expr("element_at(qs, 1)").as("p25_cents"),
+          expr("element_at(qs, 2)").as("p50_cents"),
+          expr("element_at(qs, 3)").as("p75_cents"))
+    }, Some(
+      """WITH v AS (
+        |  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v)
+        |SELECT event_type, max(n)::BIGINT AS n,
+        |  min(CASE WHEN rk >= ceil(0.25 * n) THEN v END) AS p25_cents,
+        |  min(CASE WHEN rk >= ceil(0.5 * n) THEN v END) AS p50_cents,
+        |  min(CASE WHEN rk >= ceil(0.75 * n) THEN v END) AS p75_cents
+        |FROM r GROUP BY 1""".stripMargin))
   )
 }

@@ -106,6 +106,46 @@ final class QSketchBuf(val k: Int) {
   }
 }
 
+object QSketchBuf {
+  /** Wire form shared by the aggregate's partial-buffer exchange and the
+    * streaming processor's ValueState: parity, count, then per-level
+    * value runs. */
+  def toBytes(buf: QSketchBuf): Array[Byte] = {
+    val n = buf.levels.iterator.map(_.size).sum
+    val bb = java.nio.ByteBuffer.allocate(1 + 8 + 4 + buf.levels.size * 4 + 8 * n)
+    bb.put(if (buf.parity) 1.toByte else 0.toByte)
+    bb.putLong(buf.count)
+    bb.putInt(buf.levels.size)
+    buf.levels.foreach { lvl =>
+      bb.putInt(lvl.size)
+      lvl.foreach(bb.putLong)
+    }
+    bb.array()
+  }
+
+  def fromBytes(k: Int, bytes: Array[Byte]): QSketchBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new QSketchBuf(k)
+    buf.parity = bb.get() == 1
+    buf.count = bb.getLong
+    val nLevels = bb.getInt
+    require(nLevels >= 1 && nLevels <= 64,
+      s"quantile_sketch: corrupt buffer ($nLevels levels)")
+    buf.levels = scala.collection.mutable.ArrayBuffer.fill(nLevels)(
+      scala.collection.mutable.ArrayBuffer.empty[Long])
+    var h = 0
+    while (h < nLevels) {
+      val sz = bb.getInt
+      require(sz >= 0 && sz <= 2 * k + 1,
+        s"quantile_sketch: corrupt buffer (level $h size $sz, k $k)")
+      var i = 0
+      while (i < sz) { buf.levels(h) += bb.getLong; i += 1 }
+      h += 1
+    }
+    buf
+  }
+}
+
 case class QuantileSketch(child: Expression, k: Int, probes: Seq[Double],
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
@@ -143,40 +183,11 @@ case class QuantileSketch(child: Expression, k: Int, probes: Seq[Double],
   override def eval(buf: QSketchBuf): Any =
     new GenericArrayData(buf.quantiles(probes))
 
-  override def serialize(buf: QSketchBuf): Array[Byte] = {
-    val n = buf.levels.iterator.map(_.size).sum
-    val bb = java.nio.ByteBuffer.allocate(1 + 8 + 4 + buf.levels.size * 4 + 8 * n)
-    bb.put(if (buf.parity) 1.toByte else 0.toByte)
-    bb.putLong(buf.count)
-    bb.putInt(buf.levels.size)
-    buf.levels.foreach { lvl =>
-      bb.putInt(lvl.size)
-      lvl.foreach(bb.putLong)
-    }
-    bb.array()
-  }
+  override def serialize(buf: QSketchBuf): Array[Byte] =
+    QSketchBuf.toBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): QSketchBuf = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val buf = new QSketchBuf(k)
-    buf.parity = bb.get() == 1
-    buf.count = bb.getLong
-    val nLevels = bb.getInt
-    require(nLevels >= 1 && nLevels <= 64,
-      s"quantile_sketch: corrupt buffer ($nLevels levels)")
-    buf.levels = scala.collection.mutable.ArrayBuffer.fill(nLevels)(
-      scala.collection.mutable.ArrayBuffer.empty[Long])
-    var h = 0
-    while (h < nLevels) {
-      val sz = bb.getInt
-      require(sz >= 0 && sz <= 2 * k + 1,
-        s"quantile_sketch: corrupt buffer (level $h size $sz, k $k)")
-      var i = 0
-      while (i < sz) { buf.levels(h) += bb.getLong; i += 1 }
-      h += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): QSketchBuf =
+    QSketchBuf.fromBytes(k, bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketch =
     copy(mutableAggBufferOffset = newOffset)

@@ -75,7 +75,11 @@ object ScaleStress {
       // key-shifted staging, so wedges/triangles must grow ~linearly
       "qa_split_leakage", "ddp_span_excision_rebuild", "prep_chunk_overlap",
       "prep_chat_template_render", "smp_weighted_systematic",
-      "evt_markov_transitions", "evt_quantile_sketch", "gph_triangle_count")
+      "evt_markov_transitions", "evt_quantile_sketch", "gph_triangle_count",
+      // wave-2: the streaming sketch drains the scaled feed through
+      // transformWithState (state O(k log n/k) per group); the as-of
+      // lookup is one shuffle+sort per side at any history length
+      "evt_streaming_quantile_sketch", "cdc_scd2_asof_lookup")
     val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
     // the non-catalog blocks below (snapshot merge, pipeline, semdedup
     // sqrt-N, fixed anchors, trickled dcp) run with the DEFAULT set only —
