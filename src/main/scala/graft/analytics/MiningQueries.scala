@@ -95,11 +95,18 @@ object MiningQueries {
             .otherwise(col("u")).as("t"))
       val wedges = ed.as("e1").join(ed.as("e2"), col("e1.t") === col("e2.s"))
         .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
-      val tri = wedges.join(ed.as("e3"),
-        col("a") === col("e3.s") && col("c") === col("e3.t"), "left_semi")
-      ed.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      // wedge+closure counts in ONE pass over the wedge join: (a,c) is
+      // unique in the oriented edge set, so a left join cannot fan out —
+      // counting wedges and closed wedges separately would run the
+      // Σ out-deg²-sized join twice
+      val closed = wedges.join(
+        ed.as("e3").select(col("e3.s").as("a"), col("e3.t").as("c"),
+          lit(1L).as("hit")),
+        Seq("a", "c"), "left")
+        .agg(count(lit(1)).as("n_wedges"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_triangles"))
+      ed.agg(count(lit(1)).as("n_edges")).crossJoin(closed)
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"))
     }, Some(
       """WITH li AS (
         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
