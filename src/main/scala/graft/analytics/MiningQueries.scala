@@ -645,6 +645,189 @@ object MiningQueries {
         |SELECT doc_id, max(n_before) AS n_tokens_before,
         |  count(*)::BIGINT AS n_tokens_after,
         |  array_to_string(list(tok ORDER BY pos), ' ') AS rebuilt
-        |FROM kept GROUP BY 1""".stripMargin))
+        |FROM kept GROUP BY 1""".stripMargin)),
+
+    // ---- packed-sequence attention boundaries (cu_seqlens) --------------
+    // The training artifact prep_pack_sequences stops short of: per
+    // packed bin, the ordered document boundary offsets a flash-attention
+    // kernel consumes as cu_seqlens (0, t1, t1+t2, …). Same per-shard
+    // two-level layout as packing (md5 shard key bounds every ordered
+    // window to 1/K of the corpus); boundaries come from a within-bin
+    // prefix sum and an ordered collect. Emitted as a comma-joined
+    // string — the comparator's sortable form of a ragged array.
+    CatalogQuery("prep_packed_attention_mask", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          md5(concat(lit("pack|"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("shard",
+          ((expr("instr('0123456789abcdef', substr(k, 1, 1))") - 1) % 8)
+            .cast("long"))
+      val wB = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val binned = docs
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(wB), lit(0L)))
+        .withColumn("bin", expr("cum_before div 2048"))
+      val wIn = Window.partitionBy(col("shard"), col("bin"))
+        .orderBy(col("k"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      binned.withColumn("boundary", sum(col("n_tok")).over(wIn))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), max(col("boundary")).as("n_tokens"),
+          concat(lit("0,"), concat_ws(",", expr(
+            """transform(array_sort(collect_list(struct(k, doc_id, boundary))),
+              | p -> CAST(p.boundary AS STRING))""".stripMargin))).as("cu_seqlens"))
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+        |    md5('pack|' || doc_id::VARCHAR) AS k
+        |  FROM documents),
+        |sh AS (
+        |  SELECT *, ((strpos('0123456789abcdef', substring(k, 1, 1)) - 1) % 8)::BIGINT AS shard
+        |  FROM t),
+        |c AS (
+        |  SELECT shard, k, doc_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+        |  FROM sh),
+        |b AS (SELECT *, cum_before // 2048 AS bin FROM c),
+        |r AS (
+        |  SELECT shard, bin, k, doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY shard, bin ORDER BY k, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS boundary
+        |  FROM b)
+        |SELECT shard, bin, count(*)::BIGINT AS n_docs,
+        |  max(boundary) AS n_tokens,
+        |  '0,' || array_to_string(list(boundary::VARCHAR ORDER BY k, doc_id), ',')
+        |    AS cu_seqlens
+        |FROM r GROUP BY 1, 2""".stripMargin)),
+
+    // ---- label-noise detection: kNN vote among LSH candidates -----------
+    // Dataset-quality audit (the Confident-Learning shape, kNN form):
+    // each vector's label is voted on by its 5 nearest LSH-candidate
+    // neighbors (integer lattice dot), majority with ties to the smaller
+    // label; a vote disagreeing with the vector's own label flags it as
+    // suspect. Candidates meet only inside (table, bucket) partitions —
+    // the sim_lsh_ann_topk shape, so no all-pairs stage at any corpus
+    // size; the vote is a per-vector top-5 window + a tiny group-by.
+    CatalogQuery("qa_label_noise_knn", (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val b = e.withColumn("buckets", GraftFunctions.lsh_buckets(col("embedding"), 8, 4))
+        .select(col("vec_id"), posexplode(col("buckets")))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      val candIds = b.as("x").join(b.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("vid"), col("y.vec_id").as("nid"))
+        .distinct()
+      val q = e.select(col("vec_id"), col("label").cast("long").as("label"),
+        expr(q64Spark).as("vq"))
+      val scored = candIds
+        .join(q.select(col("vec_id").as("vid"), col("vq").as("qv"),
+          col("label").as("own_label")), "vid")
+        .join(q.select(col("vec_id").as("nid"), col("vq").as("nv"),
+          col("label").as("n_label")), "nid")
+        .withColumn("dot", expr(
+          """aggregate(zip_with(qv, nv, (a, b) -> a * b),
+            | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      val wk = Window.partitionBy(col("vid")).orderBy(col("dot").desc, col("nid"))
+      val votes = scored.withColumn("rk", row_number().over(wk))
+        .filter(col("rk") <= 5)
+        .groupBy(col("vid"), col("own_label"), col("n_label"))
+        .agg(count(lit(1)).as("c"))
+      val ww = Window.partitionBy(col("vid")).orderBy(col("c").desc, col("n_label"))
+      votes.withColumn("r", row_number().over(ww)).filter(col("r") === 1)
+        .select(col("vid").as("vec_id"), col("own_label"),
+          col("n_label").as("vote_label"), col("c").as("n_votes"),
+          (col("n_label") =!= col("own_label")).as("suspect"))
+    }, Some(
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, t.tbl,
+         |    ${Similarity.lshBucketDuckOffset("embedding", 4, 64, "t.tbl * 4")} AS bucket
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl) t),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vid, y.vec_id AS nid
+         |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |    AND x.vec_id <> y.vec_id),
+         |q AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label, $q64Duck AS vq
+         |  FROM embeddings),
+         |sc AS (
+         |  SELECT c.vid, c.nid, a.label AS own_label, n.label AS n_label,
+         |    list_sum(list_transform(range(1, 65), k -> a.vq[k] * n.vq[k])) AS dot
+         |  FROM cand c JOIN q a ON c.vid = a.vec_id JOIN q n ON c.nid = n.vec_id),
+         |top AS (
+         |  SELECT vid, own_label, n_label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vid
+         |      ORDER BY dot DESC, nid) AS rk FROM sc) t
+         |  WHERE rk <= 5),
+         |votes AS (
+         |  SELECT vid, own_label, n_label, count(*)::BIGINT AS c
+         |  FROM top GROUP BY 1, 2, 3)
+         |SELECT vid AS vec_id, own_label, n_label AS vote_label, c AS n_votes,
+         |  n_label <> own_label AS suspect
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vid
+         |        ORDER BY c DESC, n_label) AS r FROM votes) w
+         |WHERE r = 1""".stripMargin)),
+
+    // ---- MAD anomaly flags via the quantile sketch ----------------------
+    // Robust outlier detection per event type: discrete median and
+    // median-absolute-deviation both computed through the mergeable
+    // quantile_sketch aggregate (exact regime — k ≥ group size), every
+    // comparison on integer cents, flag = dev > 3·MAD. The group-level
+    // medians join back at group cardinality (AQE broadcasts them
+    // unhinted); the 100 TB path swaps k down and keeps the same plan.
+    CatalogQuery("evt_anomaly_mad", (s, d) => {
+      val v = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("v"))
+      val med = v.groupBy(col("event_type"))
+        .agg(GraftFunctions.quantile_sketch(col("v"), 65536, Seq(0.5)).as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), expr("element_at(qs, 1)").as("med"), col("n"))
+      val dev = v.join(med, "event_type")
+        .withColumn("dev", abs(col("v") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(GraftFunctions.quantile_sketch(col("dev"), 65536, Seq(0.5)).as("qs2"))
+        .select(col("event_type"), expr("element_at(qs2, 1)").as("mad"))
+      dev.join(mad, "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("med")).as("med_cents"),
+          max(col("mad")).as("mad_cents"),
+          sum((col("dev") > lit(3) * col("mad")).cast("long")).as("n_anomalies"),
+          max(col("dev")).as("max_dev"))
+    }, Some(
+      """WITH v AS (
+        |  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |rk AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v),
+        |med AS (
+        |  SELECT event_type, min(CASE WHEN rk >= ceil(0.5 * n) THEN v END) AS med,
+        |    max(n)::BIGINT AS n
+        |  FROM rk GROUP BY 1),
+        |d AS (
+        |  SELECT v.event_type, med.n, med.med, abs(v.v - med.med) AS dev
+        |  FROM v JOIN med USING (event_type)),
+        |drk AS (
+        |  SELECT event_type, n, med, dev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS dn
+        |  FROM d),
+        |mad AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN rk >= ceil(0.5 * dn) THEN dev END) AS mad
+        |  FROM drk GROUP BY 1)
+        |SELECT d.event_type, max(d.n) AS n, max(d.med) AS med_cents,
+        |  max(mad.mad) AS mad_cents,
+        |  CAST(sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies,
+        |  max(d.dev) AS max_dev
+        |FROM d JOIN mad USING (event_type) GROUP BY 1""".stripMargin))
   )
 }

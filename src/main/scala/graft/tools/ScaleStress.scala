@@ -79,7 +79,11 @@ object ScaleStress {
       // wave-2: the streaming sketch drains the scaled feed through
       // transformWithState (state O(k log n/k) per group); the as-of
       // lookup is one shuffle+sort per side at any history length
-      "evt_streaming_quantile_sketch", "cdc_scd2_asof_lookup")
+      "evt_streaming_quantile_sketch", "cdc_scd2_asof_lookup",
+      // wave-3: cu_seqlens is the pack layout + an ordered per-bin
+      // collect; label-noise voting is the LSH bucket join + a top-5
+      // window; MAD runs two sketch aggregations + group-sized joins
+      "prep_packed_attention_mask", "qa_label_noise_knn", "evt_anomaly_mad")
     val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
     // the non-catalog blocks below (snapshot merge, pipeline, semdedup
     // sqrt-N, fixed anchors, trickled dcp) run with the DEFAULT set only —

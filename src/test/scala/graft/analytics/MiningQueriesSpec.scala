@@ -190,6 +190,90 @@ class MiningQueriesSpec extends SparkSpec {
     }
   }
 
+  test("packed attention mask: cu_seqlens parse, close, and agree with the pack layout") {
+    val masks = q("prep_packed_attention_mask").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[String]("cu_seqlens"))).toMap
+    val pack = q("prep_pack_sequences").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(masks.keySet == pack.keySet)
+    masks.foreach { case (key, (nDocs, nToks, cu)) =>
+      val bounds = cu.split(",").map(_.toLong)
+      assert(bounds.head == 0L && bounds.last == nToks, s"bin $key endpoints")
+      assert(bounds.length == nDocs + 1, s"bin $key boundary count")
+      assert(bounds.toSeq == bounds.toSeq.sorted, s"bin $key monotone")
+      assert(bounds.toSeq.distinct.size == bounds.length, s"bin $key empty doc")
+      assert(pack(key) == (nDocs, nToks), s"bin $key pack agreement")
+    }
+  }
+
+  test("label-noise kNN vote re-derived from hyperplane signs and integer dots") {
+    val got = q("qa_label_noise_knn").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("own_label"), r.getAs[Long]("vote_label"),
+          r.getAs[Long]("n_votes"), r.getAs[Boolean]("suspect"))).toMap
+    val raw = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2).toLong))
+    // kNN dots run on the 1/64 lattice; BUCKETS hash the raw floats (the
+    // lsh_buckets expression's input) — quantizing first would flip
+    // near-zero hyperplane signs
+    val vecs = raw.map { case (id, fs, l) =>
+      (id, fs.map(f => math.floor(f.toDouble * 64.0 + 0.5).toLong), l)
+    }
+    def buckets(v: Array[Float]): Seq[(Int, Int)] = (0 until 8).map { t =>
+      val b = (0 until 4).map { j =>
+        val dot = v.indices.map(k =>
+          graft.functions.Similarity.hyperplaneSign(t * 4 + j, k) * v(k).toDouble).sum
+        if (dot > 0) 1 else 0
+      }.foldLeft(0)((a, x) => 2 * a + x)
+      (t, b)
+    }
+    val bk = raw.map(v => v._1 -> buckets(v._2)).toMap
+    val byId = vecs.map(v => v._1 -> v).toMap
+    vecs.foreach { case (vid, vq, own) =>
+      val cands = vecs.filter(o => o._1 != vid &&
+        bk(o._1).toSet.intersect(bk(vid).toSet).nonEmpty).map(_._1)
+      if (cands.isEmpty) assert(!got.contains(vid), s"vec $vid has no candidates")
+      else {
+        val top5 = cands.map { nid =>
+          val nv = byId(nid)._2
+          (vq.indices.map(k => vq(k) * nv(k)).sum, nid)
+        }.sortBy { case (dot, nid) => (-dot, nid) }.take(5)
+        val counts = top5.groupBy(p => byId(p._2)._3)
+          .map { case (l, g) => (l, g.size.toLong) }
+        val (voteLabel, nVotes) =
+          counts.toSeq.sortBy { case (l, c) => (-c, l) }.head
+        assert(got(vid) == (own, voteLabel, nVotes, voteLabel != own), s"vec $vid")
+      }
+    }
+  }
+
+  test("MAD anomalies re-derived with discrete medians") {
+    val got = q("evt_anomaly_mad").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("med_cents"),
+        r.getAs[Long]("mad_cents"), r.getAs[Long]("n_anomalies"),
+        r.getAs[Long]("max_dev"))).toMap
+    val ev = graft.core.Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> math.floor(r.getDouble(1) * 100.0 + 0.5).toLong)
+    def discMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((math.ceil(0.5 * xs.size) - 1).toInt)
+    }
+    ev.groupBy(_._1).foreach { case (t, g) =>
+      val vs = g.map(_._2).toSeq
+      val med = discMedian(vs)
+      val devs = vs.map(v => math.abs(v - med))
+      val mad = discMedian(devs)
+      val expected = (vs.size.toLong, med, mad,
+        devs.count(_ > 3 * mad).toLong, devs.max)
+      assert(got(t) == expected, s"type $t")
+    }
+  }
+
   test("quantized MRR: reciprocal ranks well-formed, exact-NN self-consistent") {
     val rows = q("sim_quantized_mrr_eval").collect()
     assert(rows.nonEmpty)
