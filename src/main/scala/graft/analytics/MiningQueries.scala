@@ -828,6 +828,127 @@ object MiningQueries {
         |  CAST(sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_anomalies,
         |  max(d.dev) AS max_dev
-        |FROM d JOIN mad USING (event_type) GROUP BY 1""".stripMargin))
+        |FROM d JOIN mad USING (event_type) GROUP BY 1""".stripMargin)),
+
+    // ---- held-out perplexity: LM statistics from the TRAIN split only ---
+    // The eval-discipline twin of txt_bigram_predictability: bigram
+    // counts are estimated ONLY from the deterministic md5 train split,
+    // then TEST docs are scored against them — unseen bigrams count as
+    // OOV with probability 0 instead of leaking test statistics into the
+    // model (the held-out protocol itself, as a dataflow). Scaled-integer
+    // probabilities; the count tables are vocabulary²-bounded, the score
+    // join is a left join of test bigrams against them.
+    CatalogQuery("qa_heldout_perplexity", (s, d) => {
+      val isTest =
+        expr("instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 < 2")
+      val bg = Tables.documents(s, d)
+        .withColumn("is_test", isTest)
+        .select(col("doc_id"), col("is_test"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("is_test"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            | i -> struct(element_at(toks, CAST(i AS INT)) AS a,
+            |             element_at(toks, CAST(i + 1 AS INT)) AS b))""".stripMargin))
+          .as("bg"))
+        .select(col("doc_id"), col("is_test"),
+          col("bg.a").as("a"), col("bg.b").as("b"))
+      val train = bg.filter(!col("is_test"))
+      val cntAb = train.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt_ab"))
+      val cntA = train.groupBy(col("a")).agg(count(lit(1)).as("cnt_a"))
+      bg.filter(col("is_test"))
+        .join(cntAb, Seq("a", "b"), "left")
+        .join(cntA, Seq("a"), "left")
+        .withColumn("p_e9", coalesce(
+          expr("cnt_ab * 1000000000L div cnt_a"), lit(0L)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("cnt_ab").isNull.cast("long")).as("n_oov"),
+          expr("sum(p_e9) div count(1)").as("avg_p_e9"))
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), 1, 1)) - 1 < 2
+        |      AS is_test,
+        |    string_split(text, ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, is_test, t[i] AS a, t[i + 1] AS b
+        |  FROM toks CROSS JOIN LATERAL (
+        |    SELECT unnest(range(1, len(t))) AS i) u),
+        |cnt_ab AS (
+        |  SELECT a, b, count(*)::BIGINT AS cnt_ab FROM bg
+        |  WHERE NOT is_test GROUP BY 1, 2),
+        |cnt_a AS (
+        |  SELECT a, count(*)::BIGINT AS cnt_a FROM bg
+        |  WHERE NOT is_test GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  CAST(sum(CASE WHEN cnt_ab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  (sum(coalesce((cnt_ab * 1000000000) // cnt_a, 0)) // count(*))::BIGINT
+        |    AS avg_p_e9
+        |FROM bg LEFT JOIN cnt_ab USING (a, b) LEFT JOIN cnt_a USING (a)
+        |WHERE is_test GROUP BY 1""".stripMargin)),
+
+    // ---- k-core decomposition (bounded peeling rounds) ------------------
+    // Graph density profiling next to PageRank/components/triangles: peel
+    // vertices with degree < 3, drop their incident edges, repeat — after
+    // 4 fixed rounds (exact for the oracle) the survivors approximate the
+    // 3-core; production iterates to fixpoint with the same per-round
+    // shape (one degree agg + two semi-joins, lineage truncated per round
+    // — the PageRank discipline). Output: surviving vertices with their
+    // residual degree.
+    CatalogQuery("gph_kcore_decomposition", (s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      var ed = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+        .localCheckpoint()
+      for (_ <- 1 to 4) {
+        val deg = ed.select(col("u").as("x")).unionByName(ed.select(col("v").as("x")))
+          .groupBy(col("x")).agg(count(lit(1)).as("dx"))
+        val keep = deg.filter(col("dx") >= 3).select(col("x"))
+        ed = ed
+          .join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
+          .localCheckpoint()
+      }
+      ed.select(col("u").as("x")).unionByName(ed.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("degree"))
+        .select(col("x").as("part"), col("degree"))
+    }, Some(
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_quantity >= 45),
+        |e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |k0 AS (SELECT x FROM (
+        |  SELECT x, count(*) AS dx FROM (
+        |    SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0) t GROUP BY 1)
+        |  WHERE dx >= 3),
+        |e1 AS (SELECT u, v FROM e0
+        |  WHERE u IN (SELECT x FROM k0) AND v IN (SELECT x FROM k0)),
+        |k1 AS (SELECT x FROM (
+        |  SELECT x, count(*) AS dx FROM (
+        |    SELECT u AS x FROM e1 UNION ALL SELECT v AS x FROM e1) t GROUP BY 1)
+        |  WHERE dx >= 3),
+        |e2 AS (SELECT u, v FROM e1
+        |  WHERE u IN (SELECT x FROM k1) AND v IN (SELECT x FROM k1)),
+        |k2 AS (SELECT x FROM (
+        |  SELECT x, count(*) AS dx FROM (
+        |    SELECT u AS x FROM e2 UNION ALL SELECT v AS x FROM e2) t GROUP BY 1)
+        |  WHERE dx >= 3),
+        |e3 AS (SELECT u, v FROM e2
+        |  WHERE u IN (SELECT x FROM k2) AND v IN (SELECT x FROM k2)),
+        |k3 AS (SELECT x FROM (
+        |  SELECT x, count(*) AS dx FROM (
+        |    SELECT u AS x FROM e3 UNION ALL SELECT v AS x FROM e3) t GROUP BY 1)
+        |  WHERE dx >= 3),
+        |e4 AS (SELECT u, v FROM e3
+        |  WHERE u IN (SELECT x FROM k3) AND v IN (SELECT x FROM k3))
+        |SELECT x AS part, count(*)::BIGINT AS degree FROM (
+        |  SELECT u AS x FROM e4 UNION ALL SELECT v AS x FROM e4) t
+        |GROUP BY 1""".stripMargin))
   )
 }

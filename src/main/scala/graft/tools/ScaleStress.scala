@@ -83,7 +83,11 @@ object ScaleStress {
       // wave-3: cu_seqlens is the pack layout + an ordered per-bin
       // collect; label-noise voting is the LSH bucket join + a top-5
       // window; MAD runs two sketch aggregations + group-sized joins
-      "prep_packed_attention_mask", "qa_label_noise_knn", "evt_anomaly_mad")
+      "prep_packed_attention_mask", "qa_label_noise_knn", "evt_anomaly_mad",
+      // wave-4: heldout scoring is two train-side aggs + a left join of
+      // test bigrams; k-core is degree-agg + semi-joins per round with
+      // truncated lineage (the PageRank discipline)
+      "qa_heldout_perplexity", "gph_kcore_decomposition")
     val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
     // the non-catalog blocks below (snapshot merge, pipeline, semdedup
     // sqrt-N, fixed anchors, trickled dcp) run with the DEFAULT set only —

@@ -274,6 +274,58 @@ class MiningQueriesSpec extends SparkSpec {
     }
   }
 
+  test("k-core peeling re-derived: survivors and residual degrees match") {
+    val got = q("gph_kcore_decomposition").collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("degree")).toMap
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+    }.toSet
+    for (_ <- 1 to 4) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+    }
+    val expected = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == expected)
+    assert(got.nonEmpty, "peeling emptied the core — threshold lost its bite")
+  }
+
+  test("held-out perplexity: train-only statistics, OOV counted, no test leakage") {
+    val rows = q("qa_heldout_perplexity").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("avg_p_e9"))).toMap
+    assert(rows.nonEmpty)
+    def isTest(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "0123456789abcdef".indexOf(f"${md(0) & 0xff}%02x".charAt(0)) < 2
+    }
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 2)
+    assert(rows.keySet == docs.filter(d => isTest(d._1)).map(_._1).toSet)
+    val trainBg = docs.filterNot(d => isTest(d._1))
+      .flatMap(d => d._2.zip(d._2.tail))
+    val cntAb = trainBg.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cntA = trainBg.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    docs.filter(d => isTest(d._1)).foreach { case (id, toks) =>
+      val bgs = toks.zip(toks.tail)
+      val oov = bgs.count(b => !cntAb.contains(b)).toLong
+      val pSum = bgs.map(b => cntAb.get(b)
+        .map(ab => ab * 1000000000L / cntA(b._1)).getOrElse(0L)).sum
+      assert(rows(id) == (bgs.length.toLong, oov, pSum / bgs.length), s"doc $id")
+    }
+  }
+
   test("quantized MRR: reciprocal ranks well-formed, exact-NN self-consistent") {
     val rows = q("sim_quantized_mrr_eval").collect()
     assert(rows.nonEmpty)
