@@ -707,13 +707,16 @@ object MiningQueries {
     // each vector's label is voted on by its 5 nearest LSH-candidate
     // neighbors (integer lattice dot), majority with ties to the smaller
     // label; a vote disagreeing with the vector's own label flags it as
-    // suspect. Candidates meet only inside (table, bucket) partitions —
-    // the sim_lsh_ann_topk shape, so no all-pairs stage at any corpus
-    // size; the vote is a per-vector top-5 window + a tiny group-by.
+    // suspect. Candidates meet only inside (table, bucket) partitions;
+    // unlike the query-restricted ANN entries this op pairs EVERY vector
+    // with its bucket-mates, so bucket occupancy drives the cost — hence
+    // 8-bit buckets here (256 cells; bits scale as log₂N in production,
+    // keeping per-bucket pair work ~N·occupancy, never all-pairs: the
+    // 4-bit tables the query-side ANN uses cost 15× more at 10× stress).
     CatalogQuery("qa_label_noise_knn", (s, d) => {
       val e = Tables.embeddings(s, d)
         .repartition(s.sessionState.conf.numShufflePartitions)
-      val b = e.withColumn("buckets", GraftFunctions.lsh_buckets(col("embedding"), 8, 4))
+      val b = e.withColumn("buckets", GraftFunctions.lsh_buckets(col("embedding"), 8, 8))
         .select(col("vec_id"), posexplode(col("buckets")))
         .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
       val candIds = b.as("x").join(b.as("y"),
@@ -744,7 +747,7 @@ object MiningQueries {
     }, Some(
       s"""WITH b AS (
          |  SELECT vec_id, embedding, t.tbl,
-         |    ${Similarity.lshBucketDuckOffset("embedding", 4, 64, "t.tbl * 4")} AS bucket
+         |    ${Similarity.lshBucketDuckOffset("embedding", 8, 64, "t.tbl * 8")} AS bucket
          |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl) t),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS vid, y.vec_id AS nid

@@ -223,9 +223,9 @@ class MiningQueriesSpec extends SparkSpec {
       (id, fs.map(f => math.floor(f.toDouble * 64.0 + 0.5).toLong), l)
     }
     def buckets(v: Array[Float]): Seq[(Int, Int)] = (0 until 8).map { t =>
-      val b = (0 until 4).map { j =>
+      val b = (0 until 8).map { j =>
         val dot = v.indices.map(k =>
-          graft.functions.Similarity.hyperplaneSign(t * 4 + j, k) * v(k).toDouble).sum
+          graft.functions.Similarity.hyperplaneSign(t * 8 + j, k) * v(k).toDouble).sum
         if (dot > 0) 1 else 0
       }.foldLeft(0)((a, x) => 2 * a + x)
       (t, b)
