@@ -952,6 +952,111 @@ object MiningQueries {
         |  WHERE u IN (SELECT x FROM k3) AND v IN (SELECT x FROM k3))
         |SELECT x AS part, count(*)::BIGINT AS degree FROM (
         |  SELECT u AS x FROM e4 UNION ALL SELECT v AS x FROM e4) t
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    // ---- 3-step path mining (the Sankey/top-paths input) ----------------
+    // The n-step extension of evt_markov_transitions: per-user ordered
+    // 3-event windows (two lags inside the user partition — one shuffle,
+    // same as the 1-step op), counted and ranked globally; the path
+    // table is |types|³-bounded so the final rank runs on a
+    // dimension-sized input. Top-15 with deterministic tiebreak.
+    CatalogQuery("evt_path_mining_3step", (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val paths = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e1", lag(col("event_type"), 2).over(w))
+        .withColumn("e2", lag(col("event_type"), 1).over(w))
+        .filter(col("e1").isNotNull)
+        .select(concat_ws(">", col("e1"), col("e2"), col("event_type")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      paths.orderBy(col("n").desc, col("path")).limit(15)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("path")))
+            .cast("long"))
+    }, Some(
+      """WITH lagged AS (
+        |  SELECT event_type,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+        |  FROM events),
+        |paths AS (
+        |  SELECT e1 || '>' || e2 || '>' || event_type AS path,
+        |    count(*)::BIGINT AS n
+        |  FROM lagged WHERE e1 IS NOT NULL GROUP BY 1)
+        |SELECT path, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank
+        |FROM paths ORDER BY n DESC, path LIMIT 15""".stripMargin)),
+
+    // ---- RAKE keyword extraction ----------------------------------------
+    // Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+    // phrases are maximal stopword-free runs, each word scores
+    // degree/frequency (degree = Σ over phrase occurrences of
+    // (phrase_len − 1) co-occurrences + its own), a phrase scores the
+    // sum of its words — all in e6-scaled integer arithmetic so the
+    // ranking crosses engines exactly. Word stats are vocabulary-bounded
+    // (broadcast-sized at any corpus scale); the per-phrase score join
+    // is an equi-join on word. Top-20 phrases with deterministic ties.
+    CatalogQuery("txt_keyword_rake", (s, d) => {
+      val stop = Seq("the", "and", "of", "a", "in", "on", "to", "is", "for",
+        "with", "that", "this", "it", "as", "are", "was", "at", "by")
+      val stopArr = stop.map(w => s"'$w'").mkString("array(", ", ", ")")
+      val phrases = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        // stopwords become '|' sentinels; phrases = non-empty runs between
+        .select(col("doc_id"), explode(split(concat_ws(" ", expr(
+          s"transform(toks, t -> CASE WHEN array_contains($stopArr, t) OR t = '' THEN '|' ELSE t END)")),
+          "\\|")).as("phrase"))
+        .select(trim(col("phrase")).as("phrase"))
+        .filter(length(col("phrase")) > 0)
+      val occur = phrases.groupBy(col("phrase")).agg(count(lit(1)).as("cnt"))
+        .withColumn("words", split(col("phrase"), " "))
+        .withColumn("len", size(col("words")).cast("long"))
+      val wordStats = occur
+        .select(col("cnt"), col("len"), explode(col("words")).as("word"))
+        .groupBy(col("word"))
+        .agg(sum(col("cnt")).as("freq"),
+          sum(col("cnt") * col("len")).as("degree"))
+        .withColumn("score_e6", expr("degree * 1000000 div freq"))
+      val scored = occur
+        .select(col("phrase"), col("cnt"), explode(col("words")).as("word"))
+        .join(wordStats.select(col("word"), col("score_e6")), "word")
+        .groupBy(col("phrase"), col("cnt"))
+        .agg(sum(col("score_e6")).as("rake_e6"))
+      scored.orderBy(col("rake_e6").desc, col("phrase")).limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("rake_e6").desc, col("phrase")))
+            .cast("long"))
+        .select(col("rank"), col("phrase"), col("cnt"), col("rake_e6"))
+    }, Some {
+      val stop = Seq("the", "and", "of", "a", "in", "on", "to", "is", "for",
+        "with", "that", "this", "it", "as", "are", "was", "at", "by")
+      val stopList = stop.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH ph0 AS (
+         |  SELECT unnest(string_split(array_to_string(
+         |    list_transform(string_split(lower(text), ' '),
+         |      t -> CASE WHEN list_contains($stopList, t) OR t = ''
+         |           THEN '|' ELSE t END), ' '), '|')) AS phrase
+         |  FROM documents),
+         |ph AS (SELECT trim(phrase) AS phrase FROM ph0 WHERE len(trim(phrase)) > 0),
+         |occ AS (
+         |  SELECT phrase, count(*)::BIGINT AS cnt,
+         |    string_split(phrase, ' ') AS words,
+         |    len(string_split(phrase, ' '))::BIGINT AS len
+         |  FROM ph GROUP BY 1),
+         |ws AS (
+         |  SELECT word, CAST(sum(cnt) AS BIGINT) AS freq,
+         |    CAST(sum(cnt * len) AS BIGINT) AS degree
+         |  FROM (SELECT cnt, len, unnest(words) AS word FROM occ) t
+         |  GROUP BY 1),
+         |wsc AS (SELECT word, degree * 1000000 // freq AS score_e6 FROM ws),
+         |scored AS (
+         |  SELECT o.phrase, o.cnt, CAST(sum(w.score_e6) AS BIGINT) AS rake_e6
+         |  FROM (SELECT phrase, cnt, unnest(words) AS word FROM occ) o
+         |  JOIN wsc w USING (word)
+         |  GROUP BY 1, 2)
+         |SELECT CAST(row_number() OVER (ORDER BY rake_e6 DESC, phrase) AS BIGINT)
+         |    AS rank, phrase, cnt, rake_e6
+         |FROM scored ORDER BY rake_e6 DESC, phrase LIMIT 20""".stripMargin
+    })
   )
 }

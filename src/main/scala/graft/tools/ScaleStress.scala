@@ -87,7 +87,10 @@ object ScaleStress {
       // wave-4: heldout scoring is two train-side aggs + a left join of
       // test bigrams; k-core is degree-agg + semi-joins per round with
       // truncated lineage (the PageRank discipline)
-      "qa_heldout_perplexity", "gph_kcore_decomposition")
+      "qa_heldout_perplexity", "gph_kcore_decomposition",
+      // wave-5: path mining is two lags + a types³-bounded rank; RAKE's
+      // word stats are vocabulary-bounded with an equi-join score stage
+      "evt_path_mining_3step", "txt_keyword_rake")
     val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
     // the non-catalog blocks below (snapshot merge, pipeline, semdedup
     // sqrt-N, fixed anchors, trickled dcp) run with the DEFAULT set only —

@@ -326,6 +326,58 @@ class MiningQueriesSpec extends SparkSpec {
     }
   }
 
+  test("3-step path mining re-derived from per-user ordered sequences") {
+    val got = q("evt_path_mining_3step").orderBy("rank").collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n"), r.getAs[Long]("rank")))
+    val ev = graft.core.Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime]("ts"),
+        r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).values.flatMap { g =>
+      val seq = g.sortBy(e =>
+        (e._2.toEpochSecond(java.time.ZoneOffset.UTC), e._2.getNano, e._3))
+        .map(_._4)
+      seq.sliding(3).filter(_.size == 3).map(_.mkString(">"))
+    }.toSeq
+    val expected = paths.groupBy(identity)
+      .map { case (p, v) => (p, v.size.toLong) }.toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(15)
+      .zipWithIndex.map { case ((p, n), i) => (p, n, (i + 1).toLong) }
+    assert(got.toSeq == expected)
+  }
+
+  test("RAKE keywords re-derived: degree/frequency scores and ranking") {
+    val got = q("txt_keyword_rake").orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("phrase"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("rake_e6")))
+    val stop = Set("the", "and", "of", "a", "in", "on", "to", "is", "for",
+      "with", "that", "this", "it", "as", "are", "was", "at", "by")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val phrases = docs.flatMap { t =>
+      t.toLowerCase.split(" ", -1)
+        .map(w => if (stop(w) || w.isEmpty) "|" else w)
+        .mkString(" ").split("\\|").map(_.trim).filter(_.nonEmpty)
+    }
+    val occ = phrases.groupBy(identity).map { case (p, v) =>
+      (p, v.size.toLong, p.split(" ").length.toLong)
+    }
+    val wordFreq = scala.collection.mutable.Map.empty[String, Long]
+    val wordDeg = scala.collection.mutable.Map.empty[String, Long]
+    occ.foreach { case (p, cnt, len) =>
+      p.split(" ").foreach { w =>
+        wordFreq(w) = wordFreq.getOrElse(w, 0L) + cnt
+        wordDeg(w) = wordDeg.getOrElse(w, 0L) + cnt * len
+      }
+    }
+    val expected = occ.map { case (p, cnt, _) =>
+      val score = p.split(" ").map(w => wordDeg(w) * 1000000L / wordFreq(w)).sum
+      (p, cnt, score)
+    }.toSeq.sortBy { case (p, _, s) => (-s, p) }.take(20)
+      .zipWithIndex.map { case ((p, c, s), i) => ((i + 1).toLong, p, c, s) }
+    assert(got.toSeq == expected)
+  }
+
   test("quantized MRR: reciprocal ranks well-formed, exact-NN self-consistent") {
     val rows = q("sim_quantized_mrr_eval").collect()
     assert(rows.nonEmpty)
