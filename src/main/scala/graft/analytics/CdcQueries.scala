@@ -38,6 +38,10 @@ object CdcQueries {
     inserts.unionByName(updates).unionByName(deletes)
   }
 
+  /** The change log's oracle form, shared with entries in sibling files
+    * (the SQL front-door compaction gate re-uses it verbatim). */
+  private[analytics] def oracleLogSql: String = oracleLog
+
   private val oracleLog: String =
     """SELECT o_orderkey*10 AS seq, 'insert' AS op, o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders
       |UNION ALL

@@ -1057,6 +1057,67 @@ object MiningQueries {
          |SELECT CAST(row_number() OVER (ORDER BY rake_e6 DESC, phrase) AS BIGINT)
          |    AS rank, phrase, cnt, rake_e6
          |FROM scored ORDER BY rake_e6 DESC, phrase LIMIT 20""".stripMargin
-    })
+    }),
+
+    // ---- Benford first-digit profile ------------------------------------
+    // The classic fabricated-data screen: leading-digit distribution of
+    // order totals vs Benford's law. Expected shares are log₁₀(1+1/d) —
+    // irrational, so they enter as the SAME e9 literals on both engines
+    // (determinism by construction); observed shares are scaled-integer
+    // divisions. One scan + a 9-row aggregate at any volume.
+    CatalogQuery("qa_benford_profile", (s, d) => {
+      // round(1e9 * log10(1 + 1/d)) for d = 1..9
+      val benfordE9 = Seq(301029996L, 176091259L, 124938737L, 96910013L,
+        79181246L, 66946790L, 57991947L, 51152522L, 45757491L)
+      val expectedArr = benfordE9.mkString("array(", "L, ", "L)")
+      val digits = Tables.orders(s, d)
+        .select(substring(col("o_totalprice").cast("decimal(12,2)")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("total")) // 1-row, auditor-bounded
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000000 div total").as("observed_e9"),
+          expr(s"element_at($expectedArr, CAST(digit AS INT))").as("expected_e9"))
+        .withColumn("abs_dev_e9",
+          abs(col("observed_e9") - col("expected_e9")))
+    }, Some(
+      """WITH digits AS (
+        |  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1)
+        |    AS BIGINT) AS digit, count(*)::BIGINT AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM digits),
+        |exp9 AS (SELECT * FROM (VALUES (1, 301029996), (2, 176091259),
+        |  (3, 124938737), (4, 96910013), (5, 79181246), (6, 66946790),
+        |  (7, 57991947), (8, 51152522), (9, 45757491)) e(d, expected_e9))
+        |SELECT digit, n,
+        |  CAST(n * 1000000000 // total AS BIGINT) AS observed_e9,
+        |  CAST(expected_e9 AS BIGINT) AS expected_e9,
+        |  CAST(abs(n * 1000000000 // total - expected_e9) AS BIGINT) AS abs_dev_e9
+        |FROM digits CROSS JOIN t JOIN exp9 ON exp9.d = digits.digit""".stripMargin)),
+
+    // ---- CDC compaction through the SQL front door ----------------------
+    // The engine's core CDC semantic (last-writer-wins compaction,
+    // deletes dropped) expressed in PURE SQL over registered views — what
+    // a SQL-first consumer of the replicated tables writes. The change
+    // log is registered as a temp view; the compaction is the same
+    // window-rank shape the Scala path uses (one shuffle on the key).
+    CatalogQuery("sql_changelog_compact", (s, d) => {
+      Tables.registerAll(s, d)
+      CdcQueries.changeLog(s, d).createOrReplaceTempView("changelog")
+      s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice, seq AS last_seq
+          |FROM (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+          |  FROM changelog)
+          |WHERE rn = 1 AND op <> 'delete'""".stripMargin)
+    }, Some(
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice, seq AS last_seq
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+         |  FROM (${CdcQueries.oracleLogSql}) log) t
+         |WHERE rn = 1 AND op <> 'delete'""".stripMargin))
   )
 }

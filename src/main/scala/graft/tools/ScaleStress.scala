@@ -90,7 +90,10 @@ object ScaleStress {
       "qa_heldout_perplexity", "gph_kcore_decomposition",
       // wave-5: path mining is two lags + a types³-bounded rank; RAKE's
       // word stats are vocabulary-bounded with an equi-join score stage
-      "evt_path_mining_3step", "txt_keyword_rake")
+      "evt_path_mining_3step", "txt_keyword_rake",
+      // wave-6: Benford is one scan + a 9-row agg; the SQL front-door
+      // compaction is the same window-rank shuffle as the Scala path
+      "qa_benford_profile", "sql_changelog_compact")
     val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
     // the non-catalog blocks below (snapshot merge, pipeline, semdedup
     // sqrt-N, fixed anchors, trickled dcp) run with the DEFAULT set only —

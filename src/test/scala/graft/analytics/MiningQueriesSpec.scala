@@ -378,6 +378,38 @@ class MiningQueriesSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("Benford profile: e9 constants match log10, shares re-derived") {
+    val got = q("qa_benford_profile").collect()
+      .map(r => r.getAs[Long]("digit") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("observed_e9"),
+          r.getAs[Long]("expected_e9"), r.getAs[Long]("abs_dev_e9"))).toMap
+    (1 to 9).foreach { d =>
+      val exact = math.round(1e9 * math.log10(1.0 + 1.0 / d))
+      assert(got(d.toLong)._3 == exact, s"digit $d constant")
+    }
+    val prices = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_totalprice").collect()
+      .map(r => BigDecimal(r.getDouble(0)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).toString.head.asDigit.toLong)
+    val total = prices.length.toLong
+    prices.groupBy(identity).foreach { case (d, v) =>
+      val n = v.length.toLong
+      val obs = n * 1000000000L / total
+      assert(got(d) == (n, obs, got(d)._3, math.abs(obs - got(d)._3)), s"digit $d")
+    }
+  }
+
+  test("SQL front-door compaction equals the DataFrame-path compaction") {
+    val viaSql = q("sql_changelog_compact")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val viaScala = q("cdc_compact_snapshot")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(viaSql == viaScala)
+    assert(viaSql.nonEmpty)
+  }
+
   test("quantized MRR: reciprocal ranks well-formed, exact-NN self-consistent") {
     val rows = q("sim_quantized_mrr_eval").collect()
     assert(rows.nonEmpty)
