@@ -64,18 +64,33 @@ final class QSketchBuf(val k: Int) {
     while (h < levels.size) {
       if (levels(h).size > k) {
         val sorted = levels(h).sorted
+        // compact an EVEN count only — an odd item would break weight
+        // conservation (2·⌈n/2⌉·w ≠ n·w); the largest stays behind at
+        // this level, exactly the KLL leftover rule
+        val even = sorted.size - (sorted.size % 2)
         val keepOdd = parity
         parity = !parity
         val promoted = scala.collection.mutable.ArrayBuffer.empty[Long]
         var i = if (keepOdd) 1 else 0
-        while (i < sorted.size) { promoted += sorted(i); i += 2 }
-        levels(h) = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (i < even) { promoted += sorted(i); i += 2 }
+        val leftover = scala.collection.mutable.ArrayBuffer.empty[Long]
+        if (even < sorted.size) leftover += sorted.last
+        levels(h) = leftover
         if (h + 1 >= levels.size)
           levels += scala.collection.mutable.ArrayBuffer.empty[Long]
         levels(h + 1) ++= promoted
       }
       h += 1
     }
+  }
+
+  /** Σ level sizes · 2^h — equals `count` exactly (weight conservation,
+    * spec-asserted); the quantile scan normalizes against this. */
+  def totalWeight: Long = {
+    var w = 0L
+    var h = 0
+    while (h < levels.size) { w += levels(h).size.toLong << h; h += 1 }
+    w
   }
 
   /** Discrete quantile: min value v with weightedRank(v) ≥ ⌈q·W⌉. */

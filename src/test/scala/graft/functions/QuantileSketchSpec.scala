@@ -62,6 +62,8 @@ class QuantileSketchSpec extends SparkSpec {
     assert(rt.quantiles(Seq(0.25, 0.5, 0.75)).toSeq ==
       b.quantiles(Seq(0.25, 0.5, 0.75)).toSeq)
     assert(b.count == 100000L && rt.count == 100000L)
+    // weight conservation through every compaction: Σ size·2^h == count
+    assert(b.totalWeight == b.count && rt.totalWeight == rt.count)
   }
 
   test("SQL registration, grouped, nulls skipped; arity guard") {
