@@ -1118,6 +1118,123 @@ object MiningQueries {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
          |  FROM (${CdcQueries.oracleLogSql}) log) t
-         |WHERE rn = 1 AND op <> 'delete'""".stripMargin))
+         |WHERE rn = 1 AND op <> 'delete'""".stripMargin)),
+
+    // ---- deterministic random walks (the DeepWalk/node2vec prep) --------
+    // One 3-step walk per vertex over the sparse co-purchase graph, each
+    // hop chosen by an md5-derived index into the SORTED neighbor list —
+    // the hash replaces the RNG, so walks are reproducible across
+    // engines, runs, and cluster sizes (the smp_deterministic_shuffle
+    // discipline applied to graph sampling). Per step: one equi-join
+    // against the adjacency table (neighbor lists bounded by max degree);
+    // production runs K walks × L steps as K·L such joins with lineage
+    // truncated per step.
+    CatalogQuery("gph_random_walks", (s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      val adj = e.select(col("u").as("n"), col("v").as("m"))
+        .unionByName(e.select(col("v").as("n"), col("u").as("m")))
+        .groupBy(col("n"))
+        .agg(array_sort(collect_list(col("m"))).as("nbrs"),
+          count(lit(1)).as("deg"))
+      def hop(walks: DataFrame, step: Int): DataFrame =
+        walks.join(adj, walks("cur") === adj("n"))
+          .withColumn("idx", expr(
+            s"pmod(CAST(conv(substr(md5(concat(CAST(walk_id AS STRING), '|', '$step')), 1, 6), 16, 10) AS BIGINT), deg)"))
+          .select(col("walk_id"), col("path"),
+            expr("element_at(nbrs, CAST(idx + 1 AS INT))").as("cur"))
+          .withColumn("path", concat(col("path"), lit(">"), col("cur")))
+      val w0 = adj.select(col("n").as("walk_id"),
+        col("n").as("cur"), col("n").cast("string").as("path"))
+      val done = Seq(1, 2, 3).foldLeft(w0)(hop)
+      done.select(col("walk_id"), col("path"), col("cur").as("end_node"))
+    }, Some(
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_quantity >= 45),
+        |e AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (
+        |  SELECT n, list(m ORDER BY m) AS nbrs, count(*)::BIGINT AS deg
+        |  FROM (SELECT u AS n, v AS m FROM e
+        |        UNION ALL SELECT v AS n, u AS m FROM e) t
+        |  GROUP BY 1),
+        |w0 AS (SELECT n AS walk_id, n AS cur, n::VARCHAR AS path FROM adj),
+        |w1 AS (
+        |  SELECT walk_id,
+        |    path || '>' || nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '1'), 1, 6))::BIGINT % deg AS INT)]::VARCHAR AS path,
+        |    nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '1'), 1, 6))::BIGINT % deg AS INT)] AS cur
+        |  FROM w0 JOIN adj ON w0.cur = adj.n),
+        |w2 AS (
+        |  SELECT walk_id,
+        |    path || '>' || nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '2'), 1, 6))::BIGINT % deg AS INT)]::VARCHAR AS path,
+        |    nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '2'), 1, 6))::BIGINT % deg AS INT)] AS cur
+        |  FROM w1 JOIN adj ON w1.cur = adj.n),
+        |w3 AS (
+        |  SELECT walk_id,
+        |    path || '>' || nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '3'), 1, 6))::BIGINT % deg AS INT)]::VARCHAR AS path,
+        |    nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '3'), 1, 6))::BIGINT % deg AS INT)] AS cur
+        |  FROM w2 JOIN adj ON w2.cur = adj.n)
+        |SELECT walk_id, path, cur AS end_node FROM w3""".stripMargin)),
+
+    // ---- content-defined chunking (the FastCDC shape, token-granular) ---
+    // Variable-size chunk boundaries cut where the token's rolling hash
+    // satisfies hash % 4 == 0 — boundaries depend on CONTENT, not
+    // position, so an insertion re-chunks only its neighborhood while
+    // fixed-window chunking (ddp_chunk_dedup_rebuild) shifts every
+    // subsequent chunk. Chunk identity = md5 of the chunk text; the
+    // shared flag joins per-hash occurrence counts (chunk-vocabulary-
+    // bounded) back to chunks. Per-doc windows only; production drops
+    // to byte-granular gear hashing with the same dataflow.
+    CatalogQuery("ddp_content_defined_chunks", (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("flag",
+          (GraftFunctions.rolling_hash(col("tok")) % 4 === 0).cast("long"))
+      val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunks = toks
+        .withColumn("chunk_idx", coalesce(sum(col("flag")).over(wPrev), lit(0L)))
+        .groupBy(col("doc_id"), col("chunk_idx"))
+        .agg(count(lit(1)).as("n_chunk_toks"),
+          md5(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(pos, tok))), p -> p.tok)")))
+            .as("chunk_hash"))
+      val freq = chunks.groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      chunks.join(freq, "chunk_hash")
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_toks"),
+          col("chunk_hash"), (col("df") > 1).as("shared"))
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, e.pos AS pos, e.tok AS tok,
+        |    CASE WHEN list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, length(e.tok) + 1),
+        |        j -> ascii(substring(e.tok, j, 1))::BIGINT)),
+        |      (a, c) -> (a * 31 + c) % 2147483648) % 4 = 0
+        |      THEN 1 ELSE 0 END AS flag
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(0, len(t)),
+        |      i -> {'pos': i, 'tok': t[i + 1]})) AS e
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s0) s1),
+        |cidx AS (
+        |  SELECT doc_id, pos, tok,
+        |    coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS chunk_idx
+        |  FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, chunk_idx, count(*)::BIGINT AS n_chunk_toks,
+        |    md5(array_to_string(list(tok ORDER BY pos), ' ')) AS chunk_hash
+        |  FROM cidx GROUP BY 1, 2),
+        |freq AS (
+        |  SELECT chunk_hash, count(DISTINCT doc_id)::BIGINT AS df
+        |  FROM chunks GROUP BY 1)
+        |SELECT doc_id, chunk_idx, n_chunk_toks, chunk_hash, df > 1 AS shared
+        |FROM chunks JOIN freq USING (chunk_hash)""".stripMargin))
   )
 }

