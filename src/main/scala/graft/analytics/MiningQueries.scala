@@ -30,6 +30,37 @@ object MiningQueries {
   private val q64Duck =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))"
 
+  /** Walk-table CTE chain shared by gph_random_walks and its skip-gram
+    * consumer (ends in `w3(walk_id, path, cur)`). */
+  private val walksDuck =
+    """li AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |  WHERE l_quantity >= 45),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |adj AS (
+      |  SELECT n, list(m ORDER BY m) AS nbrs, count(*)::BIGINT AS deg
+      |  FROM (SELECT u AS n, v AS m FROM e
+      |        UNION ALL SELECT v AS n, u AS m FROM e) t
+      |  GROUP BY 1),
+      |w0 AS (SELECT n AS walk_id, n AS cur, n::VARCHAR AS path FROM adj),
+      |w1 AS (
+      |  SELECT walk_id,
+      |    path || '>' || nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '1'), 1, 6))::BIGINT % deg AS INT)]::VARCHAR AS path,
+      |    nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '1'), 1, 6))::BIGINT % deg AS INT)] AS cur
+      |  FROM w0 JOIN adj ON w0.cur = adj.n),
+      |w2 AS (
+      |  SELECT walk_id,
+      |    path || '>' || nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '2'), 1, 6))::BIGINT % deg AS INT)]::VARCHAR AS path,
+      |    nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '2'), 1, 6))::BIGINT % deg AS INT)] AS cur
+      |  FROM w1 JOIN adj ON w1.cur = adj.n),
+      |w3 AS (
+      |  SELECT walk_id,
+      |    path || '>' || nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '3'), 1, 6))::BIGINT % deg AS INT)]::VARCHAR AS path,
+      |    nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '3'), 1, 6))::BIGINT % deg AS INT)] AS cur
+      |  FROM w2 JOIN adj ON w2.cur = adj.n)""".stripMargin
+
   def all: Seq[CatalogQuery] = Seq(
 
     // ---- event-sequence Markov transitions ------------------------------
@@ -1152,34 +1183,40 @@ object MiningQueries {
       val done = Seq(1, 2, 3).foldLeft(w0)(hop)
       done.select(col("walk_id"), col("path"), col("cur").as("end_node"))
     }, Some(
-      """WITH li AS (
-        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-        |  WHERE l_quantity >= 45),
-        |e AS (
-        |  SELECT DISTINCT a.pk AS u, b.pk AS v
-        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-        |adj AS (
-        |  SELECT n, list(m ORDER BY m) AS nbrs, count(*)::BIGINT AS deg
-        |  FROM (SELECT u AS n, v AS m FROM e
-        |        UNION ALL SELECT v AS n, u AS m FROM e) t
-        |  GROUP BY 1),
-        |w0 AS (SELECT n AS walk_id, n AS cur, n::VARCHAR AS path FROM adj),
-        |w1 AS (
-        |  SELECT walk_id,
-        |    path || '>' || nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '1'), 1, 6))::BIGINT % deg AS INT)]::VARCHAR AS path,
-        |    nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '1'), 1, 6))::BIGINT % deg AS INT)] AS cur
-        |  FROM w0 JOIN adj ON w0.cur = adj.n),
-        |w2 AS (
-        |  SELECT walk_id,
-        |    path || '>' || nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '2'), 1, 6))::BIGINT % deg AS INT)]::VARCHAR AS path,
-        |    nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '2'), 1, 6))::BIGINT % deg AS INT)] AS cur
-        |  FROM w1 JOIN adj ON w1.cur = adj.n),
-        |w3 AS (
-        |  SELECT walk_id,
-        |    path || '>' || nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '3'), 1, 6))::BIGINT % deg AS INT)]::VARCHAR AS path,
-        |    nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '3'), 1, 6))::BIGINT % deg AS INT)] AS cur
-        |  FROM w2 JOIN adj ON w2.cur = adj.n)
-        |SELECT walk_id, path, cur AS end_node FROM w3""".stripMargin)),
+      s"""WITH $walksDuck
+         |SELECT walk_id, path, cur AS end_node FROM w3""".stripMargin)),
+
+    // ---- skip-gram pairs from the walk corpus ---------------------------
+    // The embedding-training input the walks exist for: window-≤2
+    // (center, context) co-occurrence pairs over every walk, directed
+    // with counts — explode per walk (length-bounded), then one
+    // vertex²-bounded aggregation.
+    CatalogQuery("gph_walk_skipgram_pairs", (s, d) => {
+      Catalog.queries("gph_random_walks")(s, d)
+        .select(split(col("path"), ">").as("ns"))
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ns)), i ->
+            |  flatten(transform(sequence(1, 2), w ->
+            |    CASE WHEN i + w <= size(ns)
+            |    THEN array(struct(
+            |      CAST(element_at(ns, CAST(i AS INT)) AS BIGINT) AS a,
+            |      CAST(element_at(ns, CAST(i + w AS INT)) AS BIGINT) AS b))
+            |    ELSE array() END))))""".stripMargin)).as("p"))
+        .select(col("p.a").as("center"), col("p.b").as("context"))
+        .groupBy(col("center"), col("context"))
+        .agg(count(lit(1)).as("n"))
+    }, Some(
+      s"""WITH $walksDuck,
+         |ns AS (SELECT string_split(path, '>') AS ns FROM w3),
+         |pairs AS (
+         |  SELECT CAST(ns[i] AS BIGINT) AS center,
+         |    CAST(ns[i + w] AS BIGINT) AS context
+         |  FROM ns
+         |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(ns) + 1)) AS i) u
+         |  CROSS JOIN LATERAL (SELECT unnest([1, 2]) AS w) v
+         |  WHERE i + w <= len(ns))
+         |SELECT center, context, count(*)::BIGINT AS n
+         |FROM pairs GROUP BY 1, 2""".stripMargin)),
 
     // ---- content-defined chunking (the FastCDC shape, token-granular) ---
     // Variable-size chunk boundaries cut where the token's rolling hash

@@ -443,6 +443,18 @@ class MiningQueriesSpec extends SparkSpec {
     }
   }
 
+  test("skip-gram pairs re-derived from the walk corpus") {
+    val got = q("gph_walk_skipgram_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val paths = q("gph_random_walks").collect().map(_.getAs[String]("path"))
+    val expected = paths.flatMap { p =>
+      val ns = p.split(">").map(_.toLong)
+      for (i <- ns.indices; w <- 1 to 2 if i + w < ns.length)
+        yield (ns(i), ns(i + w))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == expected)
+  }
+
   test("content-defined chunks: boundaries re-derived, shared flags correct") {
     val got = q("ddp_content_defined_chunks").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
