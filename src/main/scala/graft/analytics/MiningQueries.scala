@@ -1272,6 +1272,73 @@ object MiningQueries {
         |  SELECT chunk_hash, count(DISTINCT doc_id)::BIGINT AS df
         |  FROM chunks GROUP BY 1)
         |SELECT doc_id, chunk_idx, n_chunk_toks, chunk_hash, df > 1 AS shared
-        |FROM chunks JOIN freq USING (chunk_hash)""".stripMargin))
+        |FROM chunks JOIN freq USING (chunk_hash)""".stripMargin)),
+
+    // ---- histogram drift between periods (the PSI input) ----------------
+    // Distribution-shift monitoring: decile boundaries come from the
+    // BASELINE period (first half of January) through the quantile
+    // sketch's discrete quantiles; the comparison period (second half,
+    // with a planted +10% value drift so the signal deterministically
+    // exists) is bucketed against those SAME boundaries, and per-bucket
+    // mass ratios are scaled-integer divisions — the per-bucket inputs
+    // of a PSI/KS screen, minus the logarithm (irrational) the caller
+    // applies. Boundaries are a 1-row aggregate (auditor-bounded
+    // broadcast); both bucketing passes are pure maps.
+    CatalogQuery("qa_histogram_drift", (s, d) => {
+      val split = "TIMESTAMP '2024-01-16 00:00:00'"
+      val v = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("ts"),
+          expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("v"))
+      val a = v.filter(expr(s"ts < $split")).select(col("v"))
+      val b = v.filter(expr(s"ts >= $split"))
+        .select(expr("v * 11 div 10").as("v")) // planted +10% drift
+      val probes = (1 to 9).map(_ / 10.0)
+      val bnds = a.agg(GraftFunctions.quantile_sketch(col("v"), 1 << 20, probes)
+        .as("bnds")) // 1-row, auditor-bounded
+      def bucketed(df: DataFrame, name: String): DataFrame =
+        df.crossJoin(broadcast(bnds))
+          .select(expr("CAST(size(filter(bnds, b -> v > b)) AS BIGINT)").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as(name))
+      bucketed(a, "n_a").join(bucketed(b, "n_b"), Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"))
+        .withColumn("ratio_e6",
+          expr("CASE WHEN n_a = 0 THEN NULL ELSE n_b * 1000000 div n_a END"))
+    }, Some(
+      """WITH v AS (
+        |  SELECT ts, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT v FROM v WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |b AS (SELECT v * 11 // 10 AS v FROM v
+        |      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |rk AS (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM a),
+        |bnds AS (
+        |  -- q enters as a DOUBLE literal so ceil(q·n) reproduces the
+        |  -- sketch's exact IEEE product (non-dyadic probes: a DECIMAL
+        |  -- q or an integer q/10.0 rounds differently at e.g. n=5000)
+        |  SELECT list(bv ORDER BY q) AS bnds FROM (
+        |    SELECT q, min(CASE WHEN rk >= ceil(q * n) THEN v END) AS bv
+        |    FROM rk CROSS JOIN (SELECT unnest([0.1::DOUBLE, 0.2::DOUBLE,
+        |      0.3::DOUBLE, 0.4::DOUBLE, 0.5::DOUBLE, 0.6::DOUBLE,
+        |      0.7::DOUBLE, 0.8::DOUBLE, 0.9::DOUBLE]) AS q) qq
+        |    GROUP BY q) t),
+        |ba AS (
+        |  SELECT CAST(len(list_filter(bnds, b -> a.v > b)) AS BIGINT) AS bucket,
+        |    count(*)::BIGINT AS n_a
+        |  FROM a CROSS JOIN bnds GROUP BY 1),
+        |bb AS (
+        |  SELECT CAST(len(list_filter(bnds, bd -> b.v > bd)) AS BIGINT) AS bucket,
+        |    count(*)::BIGINT AS n_b
+        |  FROM b CROSS JOIN bnds GROUP BY 1)
+        |SELECT coalesce(ba.bucket, bb.bucket) AS bucket,
+        |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+        |  CASE WHEN coalesce(n_a, 0) = 0 THEN NULL
+        |       ELSE coalesce(n_b, 0) * 1000000 // coalesce(n_a, 0) END AS ratio_e6
+        |FROM ba FULL OUTER JOIN bb USING (bucket)""".stripMargin))
   )
 }

@@ -93,7 +93,7 @@ object ScaleStress {
       "evt_path_mining_3step", "txt_keyword_rake",
       // wave-6: Benford is one scan + a 9-row agg; the SQL front-door
       // compaction is the same window-rank shuffle as the Scala path
-      "qa_benford_profile", "sql_changelog_compact",
+      "qa_benford_profile", "sql_changelog_compact", "qa_histogram_drift",
       // wave-7: walks are one adjacency equi-join per step; CDC chunking
       // is per-doc windows + a chunk-vocabulary frequency join
       "gph_random_walks", "ddp_content_defined_chunks")

@@ -488,6 +488,28 @@ class MiningQueriesSpec extends SparkSpec {
     assert(expected.values.exists { case (_, h) => dfByHash(h) > 1 })
   }
 
+  test("histogram drift: baseline-decile invariants and planted-drift direction") {
+    val rows = q("qa_histogram_drift").orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"),
+        Option(r.getAs[java.lang.Long]("ratio_e6")).map(_.toLong)))
+    // baseline deciles: 10 buckets, each holding ~10% of period A
+    val totalA = rows.map(_._2).sum
+    val aBuckets = rows.filter(_._2 > 0)
+    assert(aBuckets.length == 10, s"expected 10 baseline buckets: $rows")
+    aBuckets.foreach { case (bk, na, _, _) =>
+      assert(math.abs(na - totalA / 10.0) <= totalA * 0.02 + 2,
+        s"bucket $bk not a decile: $na of $totalA")
+    }
+    // planted +10% drift: mass leaves the lowest buckets and piles at
+    // the top (ratio rises with bucket index at the extremes)
+    val first = rows.head._4.get
+    val last = rows.filter(_._2 > 0).last._4.get
+    assert(first < 1000000L, s"bottom bucket should lose mass: $first")
+    assert(last > 1000000L, s"top bucket should gain mass: $last")
+    assert(rows.map(_._3).sum > 0)
+  }
+
   test("quantized MRR: reciprocal ranks well-formed, exact-NN self-consistent") {
     val rows = q("sim_quantized_mrr_eval").collect()
     assert(rows.nonEmpty)
