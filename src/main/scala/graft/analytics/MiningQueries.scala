@@ -1339,6 +1339,74 @@ object MiningQueries {
         |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
         |  CASE WHEN coalesce(n_a, 0) = 0 THEN NULL
         |       ELSE coalesce(n_b, 0) * 1000000 // coalesce(n_a, 0) END AS ratio_e6
-        |FROM ba FULL OUTER JOIN bb USING (bucket)""".stripMargin))
+        |FROM ba FULL OUTER JOIN bb USING (bucket)""".stripMargin)),
+
+    // ---- Matryoshka truncation eval -------------------------------------
+    // The MRL deployment question: how much retrieval quality survives
+    // truncating embeddings to their first 16 of 64 dims (4× memory /
+    // bandwidth)? Per query: top-10 by full-dim integer dot vs top-10 by
+    // truncated-dim dot, overlap counted — all lattice integers, exact
+    // across engines. Eval ground truth is by definition the exact
+    // ranking (the sim_quantized_mrr_eval allowlist rationale; queries
+    // are a bounded eval set in production).
+    CatalogQuery("emb_matryoshka_eval", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), expr(q64Spark).as("qq"))
+      val joined = e.select(col("vec_id"), expr(q64Spark).as("vq"))
+        .join(q, col("query_id") =!= col("vec_id"))
+        .withColumn("dot_full", expr(
+          """aggregate(zip_with(qq, vq, (a, b) -> a * b),
+            | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+        .withColumn("dot_trunc", expr(
+          """aggregate(zip_with(slice(qq, 1, 16), slice(vq, 1, 16),
+            | (a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
+            .stripMargin))
+      val wf = Window.partitionBy(col("query_id"))
+        .orderBy(col("dot_full").desc, col("vec_id"))
+      val wt = Window.partitionBy(col("query_id"))
+        .orderBy(col("dot_trunc").desc, col("vec_id"))
+      val ranked = joined
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rt", row_number().over(wt))
+      val full10 = ranked.filter(col("rf") <= 10)
+        .select(col("query_id"), col("vec_id"), col("rf"))
+      val trunc10 = ranked.filter(col("rt") <= 10)
+        .select(col("query_id").as("q2"), col("vec_id").as("v2"), col("rt"))
+      full10.join(trunc10,
+          col("query_id") === col("q2") && col("vec_id") === col("v2"),
+          "full_outer")
+        .select(coalesce(col("query_id"), col("q2")).as("query_id"),
+          (col("rf").isNotNull && col("rt").isNotNull).cast("long").as("both"),
+          (col("rf") === 1 && col("rt") === 1).cast("long").as("top1"))
+        .groupBy(col("query_id"))
+        .agg(sum(col("both")).as("n_overlap_top10"),
+          (sum(coalesce(col("top1"), lit(0L))) > 0).as("top1_agrees"))
+    }, Some(
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, $q64Duck AS qq
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |j AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    list_sum(list_transform(range(1, 65),
+         |      k -> q.qq[k] * ($q64Duck)[k])) AS dot_full,
+         |    list_sum(list_transform(range(1, 17),
+         |      k -> q.qq[k] * ($q64Duck)[k])) AS dot_trunc
+         |  FROM q JOIN embeddings e ON q.query_id <> e.vec_id),
+         |r AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dot_full DESC, vec_id) AS rf,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dot_trunc DESC, vec_id) AS rt
+         |  FROM j),
+         |f AS (SELECT query_id, vec_id, rf FROM r WHERE rf <= 10),
+         |t AS (SELECT query_id AS q2, vec_id AS v2, rt FROM r WHERE rt <= 10)
+         |SELECT coalesce(query_id, q2) AS query_id,
+         |  CAST(sum(CASE WHEN rf IS NOT NULL AND rt IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap_top10,
+         |  sum(CASE WHEN rf = 1 AND rt = 1 THEN 1 ELSE 0 END) > 0 AS top1_agrees
+         |FROM f FULL OUTER JOIN t ON query_id = q2 AND vec_id = v2
+         |GROUP BY 1""".stripMargin))
   )
 }

@@ -37,12 +37,12 @@ object ExplainAudit {
       // carries that query's documented non-equi BNLJ; its OWN final
       // cross is two 1-row aggregates and needs no exemption
       "sim_lsh_recall",
-      // retrieval-quality eval: ground truth is BY DEFINITION the exact
+      // retrieval-quality evals: ground truth is BY DEFINITION the exact
       // brute-force ranking (queries × corpus, the
       // sim_cosine_topk_bruteforce regime — production draws queries
       // from a bounded eval set, and an eval harness that pruned its
       // own ground truth would measure nothing)
-      "sim_quantized_mrr_eval")
+      "sim_quantized_mrr_eval", "emb_matryoshka_eval")
       // sim_pq_adc_topk left this list in round 7: its query batch now
       // collapses to a provable 1-row aggregate before the broadcast, so
       // the structural bound covers it — and the composed

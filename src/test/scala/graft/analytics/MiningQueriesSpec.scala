@@ -510,6 +510,28 @@ class MiningQueriesSpec extends SparkSpec {
     assert(rows.map(_._3).sum > 0)
   }
 
+  test("Matryoshka eval re-derived: truncated-vs-full top-10 overlap per query") {
+    val got = q("emb_matryoshka_eval").collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_overlap_top10"), r.getAs[Boolean]("top1_agrees"))).toMap
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(f => math.floor(f.toDouble * 64.0 + 0.5).toLong).toArray))
+    val byId = vecs.toMap
+    val queries = vecs.map(_._1).filter(_ % 50 == 0)
+    assert(got.keySet == queries.toSet)
+    queries.foreach { qid =>
+      val qq = byId(qid)
+      def top10(dims: Int): Seq[Long] = vecs.filter(_._1 != qid)
+        .map { case (vid, vq) =>
+          ((0 until dims).map(k => qq(k) * vq(k)).sum, vid)
+        }.sortBy { case (dot, vid) => (-dot, vid) }.take(10).map(_._2)
+      val (full, trunc) = (top10(64), top10(16))
+      val overlap = full.toSet.intersect(trunc.toSet).size.toLong
+      assert(got(qid) == (overlap, full.head == trunc.head), s"query $qid")
+    }
+  }
+
   test("quantized MRR: reciprocal ranks well-formed, exact-NN self-consistent") {
     val rows = q("sim_quantized_mrr_eval").collect()
     assert(rows.nonEmpty)
