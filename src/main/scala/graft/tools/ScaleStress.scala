@@ -97,7 +97,10 @@ object ScaleStress {
       // wave-7: walks are one adjacency equi-join per step; CDC chunking
       // is per-doc windows + a chunk-vocabulary frequency join
       "gph_random_walks", "ddp_content_defined_chunks")
-    val names = if (args.length > 2) args.drop(2).toSeq else defaultNames
+    // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
+    // in the explicit write-path list — time each once
+    val names =
+      if (args.length > 2) args.drop(2).toSeq else defaultNames.distinct
     // the non-catalog blocks below (snapshot merge, pipeline, semdedup
     // sqrt-N, fixed anchors, trickled dcp) run with the DEFAULT set only —
     // a targeted `ScaleStress dir N query...` stays a targeted timing
