@@ -593,6 +593,43 @@ object StreamingQueries {
         |  min(CASE WHEN rk >= ceil(0.25 * n) THEN v END) AS p25_cents,
         |  min(CASE WHEN rk >= ceil(0.5 * n) THEN v END) AS p50_cents,
         |  min(CASE WHEN rk >= ceil(0.75 * n) THEN v END) AS p75_cents
-        |FROM r GROUP BY 1""".stripMargin))
+        |FROM r GROUP BY 1""".stripMargin)),
+
+    // ---- stream-static enrichment join ----------------------------------
+    // The dimension-lookup join every streaming pipeline runs: the event
+    // STREAM joins the static customer→nation dimension per micro-batch —
+    // Structured Streaming's stream-static join, stateless by design
+    // (the static side re-resolves each batch, so a dim refresh is
+    // picked up without restarts; no watermark, no state store). The
+    // drained result equals the batch join, which is the oracle.
+    CatalogQuery("evt_stream_static_enrich", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      ev.repartition(4).write.mode("overwrite").parquet(s"$work/in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+      val dim = Tables.customer(s, d)
+        .join(Tables.nation(s, d),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val joined = stream.join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("n_name").as("nation"))
+      val q = joined.writeStream
+        .foreachBatch((b: DataFrame, id: Long) =>
+          b.write.mode("append").parquet(s"$work/out"))
+        .outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out")
+    }, Some(
+      """SELECT e.event_id, e.user_id, e.event_type, n.n_name AS nation
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin))
   )
 }

@@ -96,7 +96,9 @@ object ScaleStress {
       "qa_benford_profile", "sql_changelog_compact", "qa_histogram_drift",
       // wave-7: walks are one adjacency equi-join per step; CDC chunking
       // is per-doc windows + a chunk-vocabulary frequency join
-      "gph_random_walks", "ddp_content_defined_chunks")
+      "gph_random_walks", "ddp_content_defined_chunks",
+      // wave-8/9: stream-static enrichment is a stateless per-batch join
+      "evt_stream_static_enrich")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =
