@@ -1407,6 +1407,99 @@ object MiningQueries {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap_top10,
          |  sum(CASE WHEN rf = 1 AND rt = 1 THEN 1 ELSE 0 END) > 0 AS top1_agrees
          |FROM f FULL OUTER JOIN t ON query_id = q2 AND vec_id = v2
-         |GROUP BY 1""".stripMargin))
+         |GROUP BY 1""".stripMargin)),
+
+    // ---- cumulative unique users (growth accounting) --------------------
+    // Exact running distinct without distinct-state: each user reduces to
+    // a FIRST-SEEN day (one groupBy), daily new-user counts follow, and
+    // the running total is a window over day cardinality (~30 rows) —
+    // the shape that replaces a per-day COUNT(DISTINCT) over expanding
+    // windows (which would rescan the whole history per day).
+    CatalogQuery("evt_cumulative_unique_users", (s, d) => {
+      val firstSeen = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fs"))
+        .select(col("user_id"), col("fs").cast("date").as("day"))
+      val daily = firstSeen.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cum_users", sum(col("n_new")).over(w))
+        .select(col("day"), col("n_new"), col("cum_users"))
+    }, Some(
+      """WITH fs AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS day
+        |  FROM events GROUP BY 1),
+        |daily AS (SELECT day, count(*)::BIGINT AS n_new FROM fs GROUP BY 1)
+        |SELECT day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM daily""".stripMargin)),
+
+    // ---- dataset card (the per-source reporting capstone) ---------------
+    // The summary table every published dataset ships: per source —
+    // volume, language mix with the dominant language (argmax, ties to
+    // the smaller name), exact-duplicate rate, and the discrete median
+    // length through the quantile sketch. Every stat is one of the
+    // catalog's proven shapes composed: hash-group dedup, argmax window,
+    // sketch median — so the card is a single pass over each shuffle
+    // family, all integer/exact.
+    CatalogQuery("prep_dataset_card", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          GraftFunctions.quantile_sketch(col("n_chars"), 65536, Seq(0.5))
+            .as("qs"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("n_langs"), expr("element_at(qs, 1)").as("median_chars"))
+      val wTop = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("lang"))
+      val topLang = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      val dups = docs.select(col("source"), md5(col("text")).as("h"))
+        .groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("n_dup_docs"))
+      base.join(topLang, "source").join(dups, "source")
+        .withColumn("dup_rate_e6", expr("n_dup_docs * 1000000 div n_docs"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("n_langs"), col("top_lang"), col("median_chars"),
+          col("n_dup_docs"), col("dup_rate_e6"))
+    }, Some(
+      """WITH base AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    count(DISTINCT lang)::BIGINT AS n_langs
+        |  FROM documents GROUP BY 1),
+        |med AS (
+        |  SELECT source,
+        |    min(CASE WHEN rk >= ceil(0.5 * n) THEN n_chars END) AS median_chars
+        |  FROM (
+        |    SELECT source, n_chars,
+        |      row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+        |      count(*) OVER (PARTITION BY source) AS n
+        |    FROM documents) t
+        |  GROUP BY 1),
+        |top AS (
+        |  SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang, row_number() OVER (PARTITION BY source
+        |      ORDER BY count(*) DESC, lang) AS rn
+        |    FROM documents GROUP BY source, lang) t
+        |  WHERE rn = 1),
+        |dups AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs
+        |  FROM (
+        |    SELECT source, md5(text) AS h, count(*)::BIGINT AS c
+        |    FROM documents GROUP BY 1, 2) t
+        |  GROUP BY 1)
+        |SELECT b.source, b.n_docs, b.total_chars, b.n_langs, top.top_lang,
+        |  med.median_chars, dups.n_dup_docs,
+        |  CAST(dups.n_dup_docs * 1000000 // b.n_docs AS BIGINT) AS dup_rate_e6
+        |FROM base b JOIN med USING (source) JOIN top USING (source)
+        |JOIN dups USING (source)""".stripMargin))
   )
 }

@@ -98,7 +98,8 @@ object ScaleStress {
       // is per-doc windows + a chunk-vocabulary frequency join
       "gph_random_walks", "ddp_content_defined_chunks",
       // wave-8/9: stream-static enrichment is a stateless per-batch join
-      "evt_stream_static_enrich")
+      "evt_stream_static_enrich", "evt_cumulative_unique_users",
+      "prep_dataset_card")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

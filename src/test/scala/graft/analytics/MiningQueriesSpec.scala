@@ -532,6 +532,50 @@ class MiningQueriesSpec extends SparkSpec {
     }
   }
 
+  test("cumulative unique users re-derived from first-seen days") {
+    val got = q("evt_cumulative_unique_users").orderBy("day").collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("n_new"), r.getAs[Long]("cum_users")))
+    val ev = graft.core.Tables.events(spark, sf0001)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime]("ts")))
+    val firstSeen = ev.groupBy(_._1).map { case (u, g) =>
+      u -> g.map(_._2).min(Ordering.by((t: java.time.LocalDateTime) =>
+        (t.toEpochSecond(java.time.ZoneOffset.UTC), t.getNano)))
+    }
+    val daily = firstSeen.values.map(_.toLocalDate.toString).toSeq
+      .groupBy(identity).map { case (d, v) => d -> v.size.toLong }
+      .toSeq.sortBy(_._1)
+    var cum = 0L
+    val expected = daily.map { case (d, n) => cum += n; (d, n, cum) }
+    assert(got.toSeq == expected)
+    assert(got.last._3 == firstSeen.size.toLong)
+  }
+
+  test("dataset card: every per-source stat re-derived") {
+    val got = q("prep_dataset_card").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars"),
+          r.getAs[Long]("n_langs"), r.getAs[String]("top_lang"),
+          r.getAs[Long]("median_chars"), r.getAs[Long]("n_dup_docs"),
+          r.getAs[Long]("dup_rate_e6"))).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "lang", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(got.keySet == docs.map(_._1).toSet)
+    docs.groupBy(_._1).foreach { case (src, g) =>
+      val nDocs = g.length.toLong
+      val chars = g.map(_._3)
+      val median = chars.sorted.apply((math.ceil(0.5 * chars.length) - 1).toInt)
+      val topLang = g.groupBy(_._2).map { case (l, v) => (l, v.size) }
+        .toSeq.sortBy { case (l, n) => (-n, l) }.head._1
+      val dupDocs = g.groupBy(_._4).valuesIterator
+        .map(_.size).filter(_ > 1).sum.toLong
+      assert(got(src) == (nDocs, chars.sum, g.map(_._2).distinct.length.toLong,
+        topLang, median, dupDocs, dupDocs * 1000000L / nDocs), s"source $src")
+    }
+  }
+
   test("quantized MRR: reciprocal ranks well-formed, exact-NN self-consistent") {
     val rows = q("sim_quantized_mrr_eval").collect()
     assert(rows.nonEmpty)
