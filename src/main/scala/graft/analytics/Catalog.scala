@@ -41,6 +41,47 @@ object Catalog {
   * order; a decimal sum's do not.)
   */
 object Q {
+  private val scratchRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchRoots.forEach { root =>
+        try {
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () } // best-effort at JVM exit
+      }))
+
+  /** Per-invocation scratch dir, removed by a JVM shutdown hook.
+    * Invocation-unique (so concurrent test suites can never tear down a
+    * directory another invocation is still lazily reading) yet leak-free
+    * past the process — the contract the staged-stream entries need,
+    * where a stale checkpoint from a previous run would silently skip
+    * every batch if the directory were reused.
+    */
+  def scratch(tag: String): String = {
+    cleanupHook
+    val p = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+    scratchRoots.add(p)
+    p.toString
+  }
+
+  /** Exact-regime tripwire for sketch-gated oracle entries: evaluates to
+    * 0 while `n <= k` (so `x + exactRegime(...)` leaves x unchanged) and
+    * raises a DESCRIPTIVE error the moment a group outgrows the sketch —
+    * at a larger correctness scale factor compaction would fire and the
+    * sketch legitimately diverge from the exact DuckDB oracle; without
+    * this the regime change surfaces as an opaque hash mismatch.
+    */
+  def exactRegime(n: Column, k: Long, entry: String): Column =
+    coalesce(
+      assert_true(n <= lit(k),
+        concat(lit(s"$entry: group size "), n.cast("string"),
+          lit(s" exceeds sketch k=$k — compaction regime, exact oracle gating invalid at this scale"))
+      ).cast("bigint"),
+      lit(0L))
+
   /** 2-decimal exact cast for money/qty columns. */
   def dec(c: Column): Column = c.cast(DecimalType(12, 2))
   /** Exact decimal sum surfaced as double. */

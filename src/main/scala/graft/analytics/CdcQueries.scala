@@ -407,7 +407,7 @@ object CdcQueries {
     // %1999==3 (diff), and delays ALL of barrier 5 (timeout).
     CatalogQuery("vrf_stream_consistency", (s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      val work = java.nio.file.Files.createTempDirectory("graft-dcp").toString
+      val work = Q.scratch("dcp")
       def writeOne(df: DataFrame, name: String, modMs: Long): Unit = {
         val stage = s"$work/stage_$name"
         df.coalesce(1).write.mode("overwrite").parquet(stage)

@@ -74,7 +74,8 @@ object CoreQueries {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin)),
     CatalogQuery("join_anti_parts_never_shipped", antiJoin, Some(
       """SELECT p_partkey, p_name FROM part
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin)),
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity >= 48)""".stripMargin)),
 
     // ---- distinct aggregation -------------------------------------------
     CatalogQuery("agg_distinct_counts", distinctAgg, Some(
@@ -260,9 +261,17 @@ object CoreQueries {
       .select(col("c_custkey"), col("c_name"))
   }
 
+  /** Anti-join over a FILTERED right side ("never shipped in bulk"):
+    * every part has some lineitem at harness scale, so the unfiltered
+    * variant would prove itself only on an empty set — the weakest
+    * possible oracle evidence. The qty >= 48 restriction leaves a
+    * non-trivial surviving set at every scale factor while keeping the
+    * anti-join mechanics (null-safe build side, no output dup) identical.
+    */
   private def antiJoin(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
-      .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_anti")
+      .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 48),
+        col("p_partkey") === col("l_partkey"), "left_anti")
       .select(col("p_partkey"), col("p_name"))
 
   private def distinctAgg(s: SparkSession, d: String): DataFrame =

@@ -300,7 +300,8 @@ object MiningQueries {
         .agg(count(lit(1)).as("n"),
           GraftFunctions.quantile_sketch(col("v"), 65536, Seq(0.25, 0.5, 0.75))
             .as("qs"))
-        .select(col("event_type"), col("n"),
+        .select(col("event_type"),
+          (col("n") + Q.exactRegime(col("n"), 65536L, "evt_quantile_sketch")).as("n"),
           expr("element_at(qs, 1)").as("p25_cents"),
           expr("element_at(qs, 2)").as("p50_cents"),
           expr("element_at(qs, 3)").as("p75_cents"))
@@ -407,12 +408,17 @@ object MiningQueries {
           row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
             .cast("long"))
         .select(col("doc_id"), col("rank_s"))
-      // dense leg: integer lattice dot vs query vector 0, top-20
+      // dense leg: integer lattice dot vs query vector 0, top-20. The
+      // query vector arrives via an INNER broadcast equi-join on the
+      // vec_id=0 row (not a collect_list aggregate): if vector 0 were
+      // absent the leg empties on BOTH engines, instead of Spark emitting
+      // NULL-dot candidates the oracle's CROSS JOIN against an empty q0
+      // would not produce.
       val e = Tables.embeddings(s, d).select(col("vec_id"), expr(q64Spark).as("vq"))
       val q0 = e.filter(col("vec_id") === 0)
-        .agg(collect_list(col("vq")).as("qs"))
-        .select(element_at(col("qs"), 1).as("qq")) // 1-row, auditor-bounded
-      val dn = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+        .select(lit(1).as("qkey"), col("vq").as("qq"))
+      val dn = e.filter(col("vec_id") =!= 0).withColumn("qkey", lit(1))
+        .join(broadcast(q0), Seq("qkey"))
         .withColumn("dot_q", expr(
           """aggregate(zip_with(qq, vq, (a, b) -> a * b),
             | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
@@ -828,7 +834,9 @@ object MiningQueries {
         .select(col("event_type"), expr("element_at(qs2, 1)").as("mad"))
       dev.join(mad, "event_type")
         .groupBy(col("event_type"))
-        .agg(max(col("n")).as("n"), max(col("med")).as("med_cents"),
+        .agg((max(col("n")) +
+            Q.exactRegime(max(col("n")), 65536L, "evt_anomaly_mad")).as("n"),
+          max(col("med")).as("med_cents"),
           max(col("mad")).as("mad_cents"),
           sum((col("dev") > lit(3) * col("mad")).cast("long")).as("n_anomalies"),
           max(col("dev")).as("max_dev"))
@@ -1295,10 +1303,15 @@ object MiningQueries {
         .select(expr("v * 11 div 10").as("v")) // planted +10% drift
       val probes = (1 to 9).map(_ / 10.0)
       val bnds = a.agg(GraftFunctions.quantile_sketch(col("v"), 1 << 20, probes)
-        .as("bnds")) // 1-row, auditor-bounded
+          .as("bnds"),
+        count(lit(1)).as("base_n")) // 1-row, auditor-bounded
       def bucketed(df: DataFrame, name: String): DataFrame =
         df.crossJoin(broadcast(bnds))
-          .select(expr("CAST(size(filter(bnds, b -> v > b)) AS BIGINT)").as("bucket"))
+          // the + exactRegime(base_n) term is 0 while the baseline fits
+          // the sketch and raises with a diagnostic once compaction would
+          // make these boundaries approximate
+          .select((expr("CAST(size(filter(bnds, b -> v > b)) AS BIGINT)") +
+            Q.exactRegime(col("base_n"), 1L << 20, "qa_histogram_drift")).as("bucket"))
           .groupBy(col("bucket")).agg(count(lit(1)).as(name))
       bucketed(a, "n_a").join(bucketed(b, "n_b"), Seq("bucket"), "full_outer")
         .select(col("bucket"),
@@ -1451,7 +1464,10 @@ object MiningQueries {
           countDistinct(col("lang")).as("n_langs"),
           GraftFunctions.quantile_sketch(col("n_chars"), 65536, Seq(0.5))
             .as("qs"))
-        .select(col("source"), col("n_docs"), col("total_chars"),
+        .select(col("source"),
+          (col("n_docs") +
+            Q.exactRegime(col("n_docs"), 65536L, "prep_dataset_card")).as("n_docs"),
+          col("total_chars"),
           col("n_langs"), expr("element_at(qs, 1)").as("median_chars"))
       val wTop = Window.partitionBy(col("source"))
         .orderBy(col("n").desc, col("lang"))

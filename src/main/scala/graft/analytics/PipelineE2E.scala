@@ -54,7 +54,7 @@ object PipelineE2E {
       rowsPerBatch: Long, injectKill: Boolean): DataFrame = {
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val url = s"jdbc:derby:memory:e2e$runId;create=true"
-    val work = java.nio.file.Files.createTempDirectory(s"graft-e2e").toString
+    val work = Q.scratch("e2e")
     val ckpt = s"$work/ckpt"
     val snapPath = s"$work/snapshot"
 

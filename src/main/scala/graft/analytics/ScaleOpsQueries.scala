@@ -51,8 +51,7 @@ object ScaleOpsQueries {
     }
   }
 
-  private def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  private def tmpDir(prefix: String): String = Q.scratch(prefix)
 
   // ---- bucketed co-located join -----------------------------------------
 

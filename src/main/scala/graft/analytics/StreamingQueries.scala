@@ -209,7 +209,7 @@ object StreamingQueries {
     // the oracle runs; the watermark machinery (state eviction bounds) is
     // still fully engaged in the plan.
     CatalogQuery("evt_stream_interval_join", (s, d) => {
-      val work = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+      val work = Q.scratch("ssj")
       val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user_id"),
           col("ts").cast("timestamp").as("purchase_ts"), col("value"))
@@ -236,7 +236,7 @@ object StreamingQueries {
     // to the end of the stream stay buffered and never null-emit; the
     // oracle encodes exactly that horizon.
     CatalogQuery("evt_stream_outer_join_expiry", (s, d) => {
-      val work = java.nio.file.Files.createTempDirectory("graft-ssoj").toString
+      val work = Q.scratch("ssoj")
       val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user_id"),
           col("ts").cast("timestamp").as("purchase_ts"), col("value"))
@@ -280,7 +280,7 @@ object StreamingQueries {
     // bound). Each side's horizon is encoded in the oracle; rows inside
     // their horizon at stream end stay buffered and never null-emit.
     CatalogQuery("evt_stream_full_outer_expiry", (s, d) => {
-      val work = java.nio.file.Files.createTempDirectory("graft-ssfo").toString
+      val work = Q.scratch("ssfo")
       val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user_id"),
           col("event_id").as("purchase_id"),
@@ -461,49 +461,41 @@ object StreamingQueries {
     // (capacity 8) and asserts the space-saving bounds instead.
     CatalogQuery("evt_streaming_topk_heavy_hitters", (s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      val work = java.nio.file.Files.createTempDirectory("graft-topk").toString
+      val work = Q.scratch("topk")
       val ev = Tables.events(s, d)
         .select(col("event_type").as("grp"),
           (col("user_id") % 256).as("item"))
       ev.repartition(4).write.mode("overwrite").parquet(s"$work/in")
-      val stream = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
-      val sk = graft.streaming.StreamingTopK.sketch(stream, 512)
-        .toDF("grp", "item", "est", "err")
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val partKey = "spark.sql.shuffle.partitions"
-      val prev = s.conf.getOption(key)
-      val prevParts = s.conf.getOption(partKey)
-      s.conf.set(key,
+      // the stream runs on a CLONED session (shared SparkContext, own
+      // SQLConf) so the state-store provider and shuffle-partition
+      // overrides are scoped to this query — nothing running concurrently
+      // on the caller's session can inherit them
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // state-partition count sizes to KEY cardinality (a handful of
       // event types), not the batch shuffle default: every extra state
       // partition is a RocksDB instance opened/checkpointed per batch,
       // pure fixed cost at this key count. The conf is pinned at FIRST
-      // query start into the checkpoint, so it's a per-query decision —
-      // saved/restored around the stream like the provider class.
-      s.conf.set(partKey, "8")
-      try {
-        val q = sk.writeStream
-          .foreachBatch((b: DataFrame, id: Long) =>
-            b.withColumn("batch", lit(id)).write.mode("append")
-              .parquet(s"$work/out"))
-          .outputMode("update")
-          .option("checkpointLocation", s"$work/ckpt")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally {
-        prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
-        prevParts match {
-          case Some(v) => s.conf.set(partKey, v)
-          case None => s.conf.unset(partKey)
-        }
-      }
-      val snaps = s.read.parquet(s"$work/out")
+      // query start into the checkpoint, so it's a per-query decision.
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = s2.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+      val sk = graft.streaming.StreamingTopK.sketch(stream, 512)
+        .toDF("grp", "item", "est", "err")
+      val q = sk.writeStream
+        .foreachBatch((b: DataFrame, id: Long) =>
+          b.withColumn("batch", lit(id)).write.mode("append")
+            .parquet(s"$work/out"))
+        .outputMode("update")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // full-row distinct: a foreachBatch task retry can append the same
+      // (grp, batch) snapshot twice; within one batch each (grp, item)
+      // row is unique, so distinct() removes exactly the retry copies
+      val snaps = s.read.parquet(s"$work/out").distinct()
       val lastB = snaps.groupBy("grp").agg(max(col("batch")).as("batch"))
       val w = Window.partitionBy(col("grp"))
         .orderBy(col("est").desc, col("item").asc)
@@ -533,50 +525,43 @@ object StreamingQueries {
     // 100 TB/day: O(k·log(n/k)) state per group, update-mode snapshots.
     CatalogQuery("evt_streaming_quantile_sketch", (s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      val work = java.nio.file.Files.createTempDirectory("graft-squant").toString
+      val work = Q.scratch("squant")
       val ev = Tables.events(s, d)
         .filter(col("value").isNotNull)
         .select(col("event_type").as("grp"),
           expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("v"))
       ev.repartition(4).write.mode("overwrite").parquet(s"$work/in")
-      val stream = s.readStream.schema(ev.schema)
+      // cloned session scopes the provider + partition overrides to this
+      // query (see evt_streaming_topk_heavy_hitters)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // state partitions sized to key cardinality (the StreamingTopK
+      // rationale: every extra partition is a RocksDB instance per batch)
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = s2.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
       val sk = graft.streaming.StreamingQuantiles
         .sketch(stream, 65536, Seq(0.25, 0.5, 0.75))
         .toDF("grp", "n", "qs")
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val partKey = "spark.sql.shuffle.partitions"
-      val prev = s.conf.getOption(key)
-      val prevParts = s.conf.getOption(partKey)
-      s.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // state partitions sized to key cardinality (the StreamingTopK
-      // rationale: every extra partition is a RocksDB instance per batch)
-      s.conf.set(partKey, "8")
-      try {
-        val q = sk.writeStream
-          .foreachBatch((b: DataFrame, id: Long) =>
-            b.withColumn("batch", lit(id)).write.mode("append")
-              .parquet(s"$work/out"))
-          .outputMode("update")
-          .option("checkpointLocation", s"$work/ckpt")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally {
-        prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
-        prevParts match {
-          case Some(v) => s.conf.set(partKey, v)
-          case None => s.conf.unset(partKey)
-        }
-      }
-      val snaps = s.read.parquet(s"$work/out")
+      val q = sk.writeStream
+        .foreachBatch((b: DataFrame, id: Long) =>
+          b.withColumn("batch", lit(id)).write.mode("append")
+            .parquet(s"$work/out"))
+        .outputMode("update")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // distinct() drops foreachBatch-retry copies: one snapshot row per
+      // (grp, batch) is the processor's contract, so duplicates can only
+      // be appended by a replayed task
+      val snaps = s.read.parquet(s"$work/out").distinct()
       val lastB = snaps.groupBy("grp").agg(max(col("batch")).as("batch"))
       snaps.join(lastB, Seq("grp", "batch"))
-        .select(col("grp").as("event_type"), col("n"),
+        .select(col("grp").as("event_type"),
+          (col("n") +
+            Q.exactRegime(col("n"), 65536L, "evt_streaming_quantile_sketch")).as("n"),
           expr("element_at(qs, 1)").as("p25_cents"),
           expr("element_at(qs, 2)").as("p50_cents"),
           expr("element_at(qs, 3)").as("p75_cents"))
@@ -604,7 +589,7 @@ object StreamingQueries {
     // drained result equals the batch join, which is the oracle.
     CatalogQuery("evt_stream_static_enrich", (s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      val work = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+      val work = Q.scratch("ssenrich")
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"))
       ev.repartition(4).write.mode("overwrite").parquet(s"$work/in")
@@ -625,7 +610,9 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$work/out")
+      // event_id is the stream's PK; a foreachBatch task retry would
+      // append the same batch's rows twice
+      s.read.parquet(s"$work/out").dropDuplicates("event_id")
     }, Some(
       """SELECT e.event_id, e.user_id, e.event_type, n.n_name AS nation
         |FROM events e

@@ -599,7 +599,7 @@ object TrainingQueries {
     // micro-batched.
     CatalogQuery("ddp_streaming_minhash_dedup", (s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      val work = java.nio.file.Files.createTempDirectory("graft-sdd").toString
+      val work = Q.scratch("sdd")
       val docs = docsPlus(s, d).select(col("doc_id"), col("text"))
       docs.repartition(4).write.mode("overwrite").parquet(s"$work/in")
       val stream = s.readStream.schema(docs.schema)

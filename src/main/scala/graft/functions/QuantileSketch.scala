@@ -93,7 +93,10 @@ final class QSketchBuf(val k: Int) {
     w
   }
 
-  /** Discrete quantile: min value v with weightedRank(v) ≥ ⌈q·W⌉. */
+  /** Discrete quantile: min value v with weightedRank(v) ≥ ⌈q·W⌉.
+    * Returns null on an empty sketch (no non-null input ever arrived) so
+    * the aggregate matches upstream percentile_approx semantics — a
+    * global aggregation over an empty relation yields NULL, not a crash. */
   def quantiles(probes: Seq[Double]): Array[Long] = {
     val items = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var h = 0
@@ -102,7 +105,7 @@ final class QSketchBuf(val k: Int) {
       levels(h).foreach(v => items += ((v, w)))
       h += 1
     }
-    require(items.nonEmpty, "quantile_sketch: empty group")
+    if (items.isEmpty) return null
     val sorted = items.sortBy(_._1)
     val total = sorted.iterator.map(_._2).sum
     probes.map { q =>
@@ -173,7 +176,9 @@ case class QuantileSketch(child: Expression, k: Int, probes: Seq[Double],
 
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
+  // NULL on an empty group / all-NULL input (percentile_approx parity);
+  // the array's own elements are never null.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -195,8 +200,10 @@ case class QuantileSketch(child: Expression, k: Int, probes: Seq[Double],
     buf
   }
 
-  override def eval(buf: QSketchBuf): Any =
-    new GenericArrayData(buf.quantiles(probes))
+  override def eval(buf: QSketchBuf): Any = {
+    val qs = buf.quantiles(probes)
+    if (qs == null) null else new GenericArrayData(qs)
+  }
 
   override def serialize(buf: QSketchBuf): Array[Byte] =
     QSketchBuf.toBytes(buf)

@@ -84,4 +84,19 @@ class QuantileSketchSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("quantile_sketch"))
   }
+
+  test("empty relation / all-NULL group yields NULL (percentile_approx parity)") {
+    GraftFunctions.register(spark)
+    Seq.empty[Long].toDF("v").createOrReplaceTempView("qs_empty")
+    val emptyRow = spark.sql(
+      "SELECT quantile_sketch(v, 64, array(0.5D)) AS q FROM qs_empty").head
+    assert(emptyRow.isNullAt(0), "global agg over empty relation must be NULL")
+    Seq(("a", Some(1L)), ("a", Some(2L)), ("b", None: Option[Long]))
+      .toDF("g", "v").createOrReplaceTempView("qs_nulls")
+    val byG = spark.sql(
+      "SELECT g, quantile_sketch(v, 64, array(0.5D)) AS q FROM qs_nulls GROUP BY g")
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(byG("a") == Seq(1L))
+    assert(byG("b") == null, "all-NULL group must be NULL, not a crash")
+  }
 }
