@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.core.Tables
-import graft.functions.{GraftFunctions, Similarity, TextAnalysis}
+import graft.functions.{GraftFunctions, ImageCodec, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1067,113 +1067,141 @@ object TrainingQueries {
           |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
           |FROM documents GROUP BY 1""".stripMargin)),
 
-    // ---- multimodal: image pipeline (typed metadata + batch resize) ------
-    // Opaque binary "image" + a typed metadata struct; the resize stub is
-    // deterministic arithmetic over the declared dimensions, processed in
-    // fixed-size batches inside each partition — the batch shape a real
-    // codec (JNI/native lib) needs. Only the stub body changes in prod.
-    CatalogQuery("mm_image_resize_stub", mmImageResize, Some(
-      """SELECT doc_id,
-        |  CAST(length(text) % 64 + 16 AS BIGINT) AS src_w,
-        |  CAST(length(text) % 48 + 16 AS BIGINT) AS src_h,
-        |  CAST(32 AS BIGINT) AS out_w,
-        |  CAST((length(text) % 48 + 16) * 32 // (length(text) % 64 + 16) AS BIGINT) AS out_h,
-        |  CAST(ascii(substring(text, 1, 1)) * (length(text) % 64 + 16) % 251 AS BIGINT) AS thumb_checksum
-        |FROM documents""".stripMargin)),
+    // ---- multimodal: image pipeline (REAL decode + exact resize) ---------
+    // Genuinely decoded pixels: the staged binary column holds real PNGs
+    // (javax.imageio), the decode stage reads them back through the real
+    // codec, resizes nearest-neighbor, and the oracle re-derives the
+    // SAME stats from the closed-form pixel source in pure SQL — an
+    // encode bug, a decode bug, or a non-exact resize all hash-mismatch.
+    CatalogQuery("mm_image_resize", mmImageResize, Some(
+      """WITH dims AS (
+        |  SELECT doc_id, n_chars % 48 + 8 AS w, n_chars % 32 + 8 AS h,
+        |    (n_chars % 32 + 8) * 16 // (n_chars % 48 + 8) AS oh
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+        |  CAST(16 AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
+        |  CAST(list_sum(list_transform(range(0, 16 * oh),
+        |    p -> (doc_id * 31 + ((p % 16) * w // 16) * 7 + ((p // 16) * h // oh) * 13) % 256)) AS BIGINT) AS r_sum,
+        |  CAST(list_sum(list_transform(range(0, 16 * oh),
+        |    p -> (doc_id * 17 + ((p % 16) * w // 16) * 11 + ((p // 16) * h // oh) * 5) % 256)) AS BIGINT) AS g_sum,
+        |  CAST(list_sum(list_transform(range(0, 16 * oh),
+        |    p -> (doc_id * 29 + ((p % 16) * w // 16) * 3 + ((p // 16) * h // oh) * 19) % 256)) AS BIGINT) AS b_sum
+        |FROM dims""".stripMargin)),
 
-    // ---- multimodal: video frame sampling (explode with stride) ----------
-    // "Video" = binary payload; frame count derives from length, sampling
-    // takes every 7th frame; per-frame fingerprint = the frame's first
-    // byte. The plumbing (binary column, per-frame explode, deterministic
-    // stride) is real; the frame decode is the stub.
-    CatalogQuery("mm_frame_sample_stub", mmFrameSample, Some(
+    // ---- multimodal: video frame sampling (container demux + decode) -----
+    // "Video" = a length-prefixed container of real PNG frames; the demux
+    // parses the container, SKIPS frames off-stride without decoding them
+    // (the selective-decode shape of real keyframe extraction), and
+    // decodes every 3rd frame through javax.imageio.
+    CatalogQuery("mm_frame_sample", mmFrameSample, Some(
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
-        |  CAST(ascii(substring(text, CAST(f * 16 + 1 AS INT), 1)) AS BIGINT) AS frame_byte
+        |  CAST(list_sum(list_transform(range(0, 64),
+        |    p -> (doc_id * 31 + f * 41 + (p % 8) * 7 + (p // 8) * 13) % 256)) AS BIGINT) AS r_sum,
+        |  CAST(list_sum(list_transform(range(0, 64),
+        |    p -> (doc_id * 17 + f * 23 + (p % 8) * 11 + (p // 8) * 5) % 256)) AS BIGINT) AS g_sum,
+        |  CAST(list_sum(list_transform(range(0, 64),
+        |    p -> (doc_id * 29 + f * 37 + (p % 8) * 3 + (p // 8) * 19) % 256)) AS BIGINT) AS b_sum
         |FROM documents
         |CROSS JOIN (SELECT unnest(range(0, 10000)) AS f) u
-        |WHERE f < length(text) // 16 AND f % 7 = 0""".stripMargin)),
+        |WHERE f < n_chars % 24 + 4 AND f % 3 = 0""".stripMargin)),
 
-    // ---- multimodal binary plumbing (decode stubbed) ---------------------
+    // ---- multimodal binary features (real PNG round-trip) ----------------
     CatalogQuery("mm_binary_features", mmBinary, Some(
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
-        |  CAST(list_sum(list_transform(range(1, length(text) + 1),
-        |    i -> ascii(substring(text, i, 1))::BIGINT)) % 997 AS BIGINT) AS checksum
+        |  CAST(n_chars % 48 + 8 AS BIGINT) AS width,
+        |  CAST(n_chars % 32 + 8 AS BIGINT) AS height,
+        |  CAST(list_sum(list_transform(range(0, (n_chars % 48 + 8) * (n_chars % 32 + 8)),
+        |    p -> (doc_id * 31 + (p % (n_chars % 48 + 8)) * 7 + (p // (n_chars % 48 + 8)) * 13) % 256)) AS BIGINT) AS r_sum,
+        |  CAST(list_sum(list_transform(range(0, (n_chars % 48 + 8) * (n_chars % 32 + 8)),
+        |    p -> (doc_id * 17 + (p % (n_chars % 48 + 8)) * 11 + (p // (n_chars % 48 + 8)) * 5) % 256)) AS BIGINT) AS g_sum,
+        |  CAST(list_sum(list_transform(range(0, (n_chars % 48 + 8) * (n_chars % 32 + 8)),
+        |    p -> (doc_id * 29 + (p % (n_chars % 48 + 8)) * 3 + (p // (n_chars % 48 + 8)) * 19) % 256)) AS BIGINT) AS b_sum
         |FROM documents""".stripMargin))
   )
 
-  /** Opaque-binary pipeline: text → binary payload column + per-partition
-    * imperative "decode"/feature-extract. The real decode (image/audio) is
-    * STUBBED with a deterministic fake — the Spark-side plumbing (binary
-    * schema, typed Dataset, partition-wise batch processing, stable output
-    * schema) is the real, tested part. In production the stub body is the
-    * only thing that changes (JNI codec / native lib per partition).
+  /** Opaque-binary pipeline, REAL codec: documents are staged as a binary
+    * column holding genuine PNG bytes (deterministic pixel source →
+    * javax.imageio encoder), then a SEPARATE decode stage reads the
+    * column back through ImageIO and derives stats from the decoded
+    * pixels. Nothing flows from synthesis to stats except the bytes: a
+    * lossy encode, a wrong decode, or a drifted resize all diverge from
+    * the oracle's closed-form re-derivation. Decode runs in fixed-size
+    * batches inside mapPartitions — the seam where a vectorized /
+    * hardware codec sits at 100 TB (per-task codec reuse, no driver
+    * bytes, partition-parallel).
     */
-  /** Image pipeline: binary payload + typed metadata struct, partition-wise
-    * BATCHED processing (grouped(64)) — the seat where a vectorized codec
-    * call sits in production. The "decode"/"resize" below is a
-    * deterministic stub over the metadata and first payload byte.
-    */
-  private def mmImageResize(s: SparkSession, d: String): DataFrame = {
+  private def stagedPngs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
-        struct(
-          (length(col("text")) % 64 + 16).cast("int").as("width"),
-          (length(col("text")) % 48 + 16).cast("int").as("height"),
-          lit("fake").as("format")).as("meta"))
-      .as[(Long, Array[Byte], (Int, Int, String))]
+      .select(col("doc_id"), col("n_chars").cast("int").as("nc"))
+      .as[(Long, Int)]
       .mapPartitions { it =>
-        // process in fixed-size batches: real codecs amortize per-call
-        // overhead over a batch, so the seam must be batch-shaped
-        it.grouped(64).flatMap { batch =>
-          batch.map { case (id, payload, (w, h, _)) =>
-            val outW = 32
-            val outH = h * outW / w // aspect-preserving stub "resize"
-            val first = if (payload.nonEmpty) payload(0) & 0xff else 0
-            val checksum = (first.toLong * w) % 251 // stub thumbnail digest
-            (id, w.toLong, h.toLong, outW.toLong, outH.toLong, checksum)
-          }
-        }
+        it.grouped(64).flatMap(_.map { case (id, nc) =>
+          val w = nc % 48 + 8
+          val h = nc % 32 + 8
+          (id, ImageCodec.encodePng(ImageCodec.synthImage(id, 0L, w, h)))
+        })
       }
-      .toDF("doc_id", "src_w", "src_h", "out_w", "out_h", "thumb_checksum")
+      .toDF("doc_id", "payload") // the opaque multimodal binary column
   }
 
-  /** Frame sampling: every 7th "frame" of a binary payload (frame = 16-byte
-    * stride window), exploded to (doc_id, frame_idx, fingerprint) rows —
-    * the shape of real video keyframe extraction with the codec stubbed.
+  private def mmImageResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    stagedPngs(s, d).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.map { case (id, png) =>
+          val img = ImageCodec.decodePng(png)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val outW = 16
+          val outH = h * outW / w // aspect-preserving, floor
+          val (r, g, b) =
+            ImageCodec.channelSums(ImageCodec.resizeNearest(img, outW, outH))
+          (id, w.toLong, h.toLong, outW.toLong, outH.toLong, r, g, b)
+        })
+      }
+      .toDF("doc_id", "src_w", "src_h", "out_w", "out_h",
+        "r_sum", "g_sum", "b_sum")
+  }
+
+  /** Frame sampling over the toy length-prefixed PNG container: the demux
+    * walks the length prefixes (never decoding skipped frames) and
+    * ImageIO-decodes every 3rd frame — real container parsing + real
+    * selective decode.
     */
   private def mmFrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      .flatMap { case (id, payload) =>
-        val nFrames = payload.length / 16
-        (0 until nFrames by 7).map { f =>
-          (id, f.toLong, (payload(f * 16) & 0xff).toLong)
+    val staged = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("int").as("nc"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, nc) =>
+          val nFrames = nc % 24 + 4
+          (id, ImageCodec.packFrames((0 until nFrames).map(f =>
+            ImageCodec.encodePng(ImageCodec.synthImage(id, f.toLong, 8, 8)))))
         }
       }
-      .toDF("doc_id", "frame_idx", "frame_byte")
+      .toDF("doc_id", "payload")
+    staged.as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        ImageCodec.unpackFrames(payload).collect {
+          case (f, png) if f % 3 == 0 =>
+            val (r, g, b) = ImageCodec.channelSums(ImageCodec.decodePng(png))
+            (id, f.toLong, r, g, b)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "r_sum", "g_sum", "b_sum")
   }
 
   private def mmBinary(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
+    stagedPngs(s, d).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          // STUB decode: deterministic fake features over the raw bytes
-          val n = payload.length
-          val first = if (n > 0) payload(0) & 0xff else 0
-          var cs = 0L
-          var i = 0
-          while (i < n) { cs = (cs + (payload(i) & 0xff)) % 997; i += 1 }
-          (id, n.toLong, first.toLong, cs)
-        }
+        it.grouped(64).flatMap(_.map { case (id, png) =>
+          val img = ImageCodec.decodePng(png)
+          val (r, g, b) = ImageCodec.channelSums(img)
+          (id, img.getWidth.toLong, img.getHeight.toLong, r, g, b)
+        })
       }
-      .toDF("doc_id", "n_bytes", "first_byte", "checksum")
+      .toDF("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")
   }
 }
