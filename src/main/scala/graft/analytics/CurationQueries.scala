@@ -27,8 +27,8 @@ object CurationQueries {
     * left string, and none starts with its right string. This table is
     * chosen to satisfy that invariant at every rank (checked exhaustively
     * by CurationSpec against a driver-side token-array reimplementation);
-    * an arbitrary learned table would be applied per-token-array in a
-    * custom Expression instead.
+    * an arbitrary learned table goes through the token-array
+    * `functions.BpeApply` expression instead (`txt_bpe_encode_learned`).
     */
   val BpeMerges: Seq[(String, String)] = Seq(
     "t h" -> "th", "th e" -> "the", "i n" -> "in", "o n" -> "on",
@@ -79,6 +79,88 @@ object CurationQueries {
          |SELECT doc_id,
          |  CAST(len(list_filter(str_split(enc, ' '), x -> x != '|')) AS BIGINT) AS n_tokens,
          |  CAST(len(replace(norm, ' ', '')) AS BIGINT) AS n_chars
+         |FROM enc""".stripMargin
+    }),
+
+    // ---- BPE learn→apply round trip via the token-array expression ------
+    // The composition a real tokenizer pipeline needs: the merge table is
+    // LEARNED from this corpus at runtime (top-8 character-pair
+    // candidates, the txt_bpe_merge_candidates arithmetic on the
+    // normalized corpus) and applied by the general token-array
+    // `bpe_apply` expression — rank-ordered greedy passes over whole
+    // tokens, valid for ARBITRARY tables including the boundary-colliding
+    // ones the curated global-replace entry cannot touch (e.g. 'th' and
+    // 'he' both learned). The oracle replays the same algorithm as
+    // chained whole-token-wrapped replaces (' a  b ' patterns can only
+    // match complete tokens) with the rules pulled from the same learn
+    // CTE. Gated on the full encoded token STRING, not just counts.
+    // 100 TB: learn = one bounded aggregate (vocabulary-sized), apply =
+    // pure map with a broadcast 1-row merge table.
+    CatalogQuery("txt_bpe_encode_learned", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("norm", expr(normExpr))
+        .filter(length(col("norm")) > 0)
+      val pairs = docs
+        .select(explode(split(col("norm"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        .select(col("wc"), explode(expr(
+          """transform(sequence(1, length(w) - 1),
+            | i -> substr(w, CAST(i AS INT), 2))""".stripMargin)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      val wr = Window.orderBy(col("n").desc, col("pair"))
+      val learned = pairs
+        .withColumn("rank", row_number().over(wr)).filter(col("rank") <= 8)
+        .agg(sort_array(collect_list(struct(col("rank").as("rank"),
+          col("pair").as("pair")))).as("ms")) // 1-row aggregate: provably broadcastable
+        .select(lit(1).as("qkey"), expr(
+          "transform(ms, m -> array(substring(m.pair, 1, 1), substring(m.pair, 2, 1)))")
+          .as("merges"))
+      val spaced = "rtrim(regexp_replace(replace(norm, ' ', '|'), '(.)', '$1 '))"
+      docs
+        .withColumn("toks", split(expr(spaced), " "))
+        .withColumn("qkey", lit(1))
+        .join(broadcast(learned), Seq("qkey"))
+        .withColumn("enc", graft.functions.GraftFunctions.bpe_apply(
+          col("toks"), col("merges")))
+        .select(col("doc_id"),
+          expr("CAST(size(filter(enc, x -> x != '|')) AS BIGINT)").as("n_tokens"),
+          expr("array_join(filter(enc, x -> x != '|'), ' ')").as("enc_str"))
+    }, Some {
+      // whole-token-wrapped replay: every token carries its own flanking
+      // spaces (' t ' each, so '  ' between tokens), and rank r's pattern
+      // ' l  r ' can only match complete adjacent tokens — the same
+      // greedy left-to-right pass the token-array expression runs
+      val applyChain = (1 to 8).foldLeft("s0") { (acc, r) =>
+        s"replace($acc, ' ' || (SELECT substring(pair, 1, 1) FROM ranked WHERE rank = $r)" +
+          s" || '  ' || (SELECT substring(pair, 2, 1) FROM ranked WHERE rank = $r) || ' '," +
+          s" ' ' || (SELECT pair FROM ranked WHERE rank = $r) || ' ')"
+      }
+      s"""WITH n AS (
+         |  SELECT doc_id, $oracleNorm AS norm FROM documents),
+         |nn AS (SELECT doc_id, norm FROM n WHERE len(norm) > 0),
+         |words AS (
+         |  SELECT w, count(*)::BIGINT AS wc FROM (
+         |    SELECT unnest(string_split(norm, ' ')) AS w FROM nn) t
+         |  WHERE len(w) >= 2 GROUP BY 1),
+         |pairs AS (
+         |  SELECT substring(w, i, 2) AS pair, sum(wc)::BIGINT AS n
+         |  FROM words CROSS JOIN LATERAL (
+         |    SELECT unnest(range(1, len(w))) AS i) u
+         |  GROUP BY 1),
+         |ranked AS (
+         |  SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rank
+         |  FROM pairs QUALIFY rank <= 8),
+         |wrapped AS (
+         |  SELECT doc_id,
+         |    ' ' || replace(rtrim(regexp_replace(replace(norm, ' ', '|'), '(.)', '\\1 ', 'g')), ' ', '  ') || ' ' AS s0
+         |  FROM nn),
+         |enc AS (SELECT doc_id, $applyChain AS s FROM wrapped)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(string_split(trim(replace(s, '  ', ' ')), ' '),
+         |    x -> x != '|')) AS BIGINT) AS n_tokens,
+         |  array_to_string(list_filter(string_split(trim(replace(s, '  ', ' ')), ' '),
+         |    x -> x != '|'), ' ') AS enc_str
          |FROM enc""".stripMargin
     }),
 

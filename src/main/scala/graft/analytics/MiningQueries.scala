@@ -417,8 +417,11 @@ object MiningQueries {
       val e = Tables.embeddings(s, d).select(col("vec_id"), expr(q64Spark).as("vq"))
       val q0 = e.filter(col("vec_id") === 0)
         .select(lit(1).as("qkey"), col("vq").as("qq"))
+      // no broadcast HINT: q0 is a 1-row filter, not a provable 1-row
+      // aggregate, so a forced hint would read as a fact broadcast to the
+      // plan auditor — AQE's size-gated runtime broadcast picks it up
       val dn = e.filter(col("vec_id") =!= 0).withColumn("qkey", lit(1))
-        .join(broadcast(q0), Seq("qkey"))
+        .join(q0, Seq("qkey"))
         .withColumn("dot_q", expr(
           """aggregate(zip_with(qq, vq, (a, b) -> a * b),
             | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** General token-array BPE apply as a native expression: for each merge
+  * rule [left, right] IN RANK ORDER, one greedy left-to-right pass over
+  * the token array replaces every adjacent (left, right) pair with
+  * left||right. A single pass per rank is a fixpoint: a merge's output
+  * token equals neither the rule's left nor right side (both are proper
+  * prefixes/suffixes of it), so no new in-rule pair can appear behind
+  * the scan head.
+  *
+  * This is the algorithm the global-string-replace formulation
+  * (`txt_bpe_encode`'s curated table) only approximates: replaces on a
+  * single-space token string can match ACROSS token boundaries (after
+  * "t h"→"th", the string "th e" contains "h e"), so that form is
+  * restricted to boundary-collision-free tables. Operating on the token
+  * ARRAY makes every comparison whole-token, so ARBITRARY learned
+  * tables — including collision-prone ones — round-trip learn→apply.
+  *
+  * `doGenCode` delegates to the static compute (the MinHashHex pattern)
+  * so the pass stays inside whole-stage codegen. Cost O(ranks · tokens)
+  * per row, zero shuffle — a pure map stage at 100 TB; the merge table
+  * rides a broadcast-joined 1-row aggregate.
+  */
+case class BpeApply(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(ArrayType(StringType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_apply requires (ARRAY<STRING>, ARRAY<ARRAY<STRING>>), got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(tokens: Any, merges: Any): Any =
+    BpeApply.compute(tokens.asInstanceOf[ArrayData], merges.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, m) => s"graft.functions.BpeApply.compute($t, $m)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeApply =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "bpe_apply"
+}
+
+object BpeApply {
+  def compute(tokens: ArrayData, merges: ArrayData): ArrayData = {
+    var n = tokens.numElements()
+    var cur = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      cur(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      i += 1
+    }
+    val nm = merges.numElements()
+    var m = 0
+    while (m < nm) {
+      if (merges.isNullAt(m))
+        throw new IllegalArgumentException(s"bpe_apply: null merge at rank ${m + 1}")
+      val rule = merges.getArray(m)
+      if (rule.numElements() != 2 || rule.isNullAt(0) || rule.isNullAt(1))
+        throw new IllegalArgumentException(
+          s"bpe_apply: merge at rank ${m + 1} must be [left, right]")
+      val l = rule.getUTF8String(0)
+      val r = rule.getUTF8String(1)
+      val lr = UTF8String.concat(l, r)
+      // greedy left-to-right pass, writing compacted output in place
+      var w = 0 // write head: cur[0, w) is this pass's output so far
+      var j = 0
+      while (j < n) {
+        val t = cur(j)
+        if (w > 0 && t != null && cur(w - 1) != null &&
+            cur(w - 1).equals(l) && t.equals(r)) {
+          cur(w - 1) = lr
+        } else {
+          cur(w) = t
+          w += 1
+        }
+        j += 1
+      }
+      n = w
+      m += 1
+    }
+    if (n == cur.length) new GenericArrayData(cur)
+    else new GenericArrayData(java.util.Arrays.copyOf(
+      cur.asInstanceOf[Array[AnyRef]], n))
+  }
+}

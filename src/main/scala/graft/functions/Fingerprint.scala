@@ -89,6 +89,14 @@ object GraftFunctions {
   def zorder2(a: Column, b: Column): Column =
     GraftShims.column(ZOrder2(GraftShims.expression(a), GraftShims.expression(b)))
 
+  /** General token-array BPE apply: merges in rank order, one greedy
+    * left-to-right pass each (see BpeApply — arbitrary learned tables,
+    * unlike the collision-free-only global-replace form).
+    */
+  def bpe_apply(tokens: Column, merges: Column): Column =
+    GraftShims.column(BpeApply(GraftShims.expression(tokens),
+      GraftShims.expression(merges)))
+
   /** KMV distinct sketch: k smallest distinct hashes, mergeable (see
     * KmvSketch — a TypedImperativeAggregate, used like any agg column).
     */
@@ -135,6 +143,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zorder2", exprs => graft.GraftExtensions.arity("zorder2", 2, exprs) {
         case Seq(a, b) => ZOrder2(a, b)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_apply", exprs => graft.GraftExtensions.arity("bpe_apply", 2, exprs) {
+        case Seq(t, m) => BpeApply(t, m)
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_sketch", exprs => kmvFromExprs(exprs), "built-in")

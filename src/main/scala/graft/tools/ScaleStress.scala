@@ -99,7 +99,13 @@ object ScaleStress {
       "gph_random_walks", "ddp_content_defined_chunks",
       // wave-8/9: stream-static enrichment is a stateless per-batch join
       "evt_stream_static_enrich", "evt_cumulative_unique_users",
-      "prep_dataset_card")
+      "prep_dataset_card",
+      // r08: learned-table BPE is a bounded learn aggregate + a pure map
+      // apply; the multimodal battery now runs REAL PNG encode+decode
+      // per row (partition-batched ImageIO) — growth must track corpus
+      // size, the codec cost being per-row constant
+      "txt_bpe_encode_learned", "mm_binary_features", "mm_image_resize",
+      "mm_frame_sample")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

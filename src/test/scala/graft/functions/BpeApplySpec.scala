@@ -1,0 +1,127 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.analytics.Catalog
+import org.apache.spark.sql.functions._
+
+/** The general token-array BPE expression vs an independent driver-side
+  * reimplementation — randomized tables INCLUDING boundary-colliding and
+  * multi-char rules (the cases the global-replace form cannot replay),
+  * SQL registration, malformed-rule failure, and the learned-table
+  * catalog entry re-derived end-to-end at sf0.001.
+  */
+class BpeApplySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference apply: for each rule in rank order, one left-to-right
+    * sweep merging adjacent (l, r) — written against Vectors, not the
+    * expression's in-place array walk.
+    */
+  private def ref(tokens: Vector[String], merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(tokens) { case (toks, (a, b)) =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+
+  private def applyViaExpr(tokens: Seq[Vector[String]],
+      merges: Seq[(String, String)]): Seq[Vector[String]] = {
+    val mArr = typedLit(merges.map { case (a, b) => Seq(a, b) })
+    tokens.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "toks")
+      .repartition(4)
+      .select(col("id"), GraftFunctions.bpe_apply(col("toks"), mArr).as("enc"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector)
+      .sortBy(_._1).map(_._2)
+  }
+
+  test("randomized tables (collision-prone, multi-char rules) match the reference") {
+    val rng = new scala.util.Random(42)
+    val alphabet = "abcd"
+    (0 until 30).foreach { trial =>
+      // random words as char arrays
+      val words = Vector.fill(20)(
+        Vector.fill(1 + rng.nextInt(12))(alphabet(rng.nextInt(4)).toString))
+      // random merge table built incrementally so later rules can
+      // reference EARLIER MERGE OUTPUTS (multi-char left/right sides)
+      var vocab = alphabet.map(_.toString).toVector
+      val merges = (0 until 6).map { _ =>
+        val l = vocab(rng.nextInt(vocab.length))
+        val r = vocab(rng.nextInt(vocab.length))
+        vocab :+= (l + r)
+        (l, r)
+      }
+      val got = applyViaExpr(words, merges)
+      words.zip(got).foreach { case (w, g) =>
+        assert(g == ref(w, merges), s"trial $trial word $w merges $merges")
+      }
+    }
+  }
+
+  test("the curated-table entry's semantics reproduce through the expression") {
+    // the collision-free table must give identical results either way
+    val merges = graft.analytics.CurationQueries.BpeMerges.map { m =>
+      val Array(a, b) = m._1.split(" "); (a, b)
+    }
+    val words = Seq("theatre", "inthe", "andthe", "thinned", "ssll", "rethread")
+      .map(_.map(_.toString).toVector)
+    assert(applyViaExpr(words, merges) == words.map(ref(_, merges)))
+    // and a COLLIDING table diverges from naive global replaces — the
+    // reason the expression exists (after 't o'->'to', 'a t' must not
+    // steal the t out of 'to')
+    val colliding = Seq("t" -> "o", "a" -> "t")
+    val w = "ato".map(_.toString).toVector
+    assert(ref(w, colliding) == Vector("a", "to"))
+    assert(applyViaExpr(Seq(w), colliding).head == Vector("a", "to"))
+    val naive = colliding.foldLeft(w.mkString(" ")) { case (acc, (a, b)) =>
+      acc.replace(s"$a $b", a + b)
+    }
+    assert(naive.split(" ").toVector != Vector("a", "to"),
+      "global replace should corrupt this table; if not, the test is vacuous")
+  }
+
+  test("SQL registration + malformed rules fail loudly") {
+    GraftFunctions.register(spark)
+    val got = Seq((1L, Seq("t", "h", "e"))).toDF("id", "toks")
+      .selectExpr("bpe_apply(toks, array(array('t', 'h'), array('th', 'e'))) AS enc")
+      .head.getSeq[String](0)
+    assert(got == Seq("the"))
+    val e = intercept[Exception] {
+      Seq((1L, Seq("a"))).toDF("id", "toks")
+        .selectExpr("bpe_apply(toks, array(array('a')))").collect()
+    }
+    assert(e.getMessage.contains("bpe_apply") ||
+      e.getCause != null && e.getCause.getMessage.contains("bpe_apply"))
+  }
+
+  test("txt_bpe_encode_learned at sf0.001 matches a full driver-side re-derivation") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val norms = docs.map { case (id, t) =>
+      id -> t.toLowerCase.replaceAll("[^a-z ]", "").replaceAll(" +", " ").trim
+    }.filter(_._2.nonEmpty)
+    // learn: char-pair counts weighted by word frequency, top-8
+    val wc = norms.flatMap(_._2.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val pairCounts = wc.toSeq.flatMap { case (w, c) =>
+      (0 until w.length - 1).map(i => w.substring(i, i + 2) -> c)
+    }.groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+    val learned = pairCounts.toSeq.sortBy { case (p, n) => (-n, p) }.take(8)
+      .map { case (p, _) => (p.substring(0, 1), p.substring(1, 2)) }
+    // apply: char tokens with '|' word sentinels
+    val exp = norms.map { case (id, norm) =>
+      val toks = norm.replace(' ', '|').map(_.toString).toVector
+      val enc = ref(toks, learned).filter(_ != "|")
+      id -> ((enc.length.toLong, enc.mkString(" ")))
+    }.toMap
+    val got = Catalog.queries("txt_bpe_encode_learned")(spark, sf0001)
+      .as[(Long, Long, String)].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    assert(got == exp)
+  }
+}
