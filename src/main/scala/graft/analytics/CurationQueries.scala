@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.core.Tables
+import graft.functions.Similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -717,19 +718,13 @@ object CurationQueries {
           |  FROM documents)
           |WHERE rank <= 5""".stripMargin)
     }, Some(
-      """SELECT lang, doc_id, fingerprint, CAST(rank AS BIGINT) AS rank
+      s"""SELECT lang, doc_id, fingerprint, CAST(rank AS BIGINT) AS rank
         |FROM (
         |  SELECT lang, doc_id,
-        |    list_reduce(
-        |      list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1),
-        |        i -> ascii(substring(text, i, 1))::BIGINT)),
-        |      (a, c) -> (a * 31 + c) % 2147483648) AS fingerprint,
+        |    ${Similarity.rollingHashDuck("text")} AS fingerprint,
         |    row_number() OVER (
         |      PARTITION BY lang ORDER BY
-        |        list_reduce(
-        |          list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1),
-        |            i -> ascii(substring(text, i, 1))::BIGINT)),
-        |          (a, c) -> (a * 31 + c) % 2147483648), doc_id) AS rank
+        |        ${Similarity.rollingHashDuck("text")}, doc_id) AS rank
         |  FROM documents) t
         |WHERE rank <= 5""".stripMargin)),
 

@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.core.Tables
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -593,8 +593,14 @@ object IndexQueries {
     // everything never fan out quadratically at 100 TB.
     CatalogQuery("txt_winnowing_candidates", (s, d) => {
       val k = 4; val winw = 4
+      // planted multibyte token (2- and 3-byte UTF-8) proves the hash
+      // gate is byte-exact, not merely ASCII-equivalent: the oracle's
+      // rollingHashDuck expands code points to UTF-8 bytes, so both
+      // engines fingerprint identical byte streams
+      val planted = concat(col("text"), lit(" ß中"),
+        (col("doc_id") % 5).cast("string"))
       val sh = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), split(planted, " ").as("toks"))
         .filter(size(col("toks")) >= k + winw - 1)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
           posexplode(expr(
@@ -619,9 +625,10 @@ object IndexQueries {
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)
     }, Some(
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 7),
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split(text || ' ß中' || (doc_id % 5)::VARCHAR, ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(text || ' ß中' || (doc_id % 5)::VARCHAR, ' ')) >= 7),
         |sh AS (
         |  SELECT doc_id, len(t) - 3 AS m,
         |    unnest(list_transform(range(0, len(t) - 3),
@@ -629,10 +636,7 @@ object IndexQueries {
         |  FROM toks),
         |hashed AS (
         |  SELECT doc_id, m, e.pos AS pos,
-        |    list_reduce(list_prepend(0::BIGINT,
-        |      list_transform(range(1, length(e.s) + 1),
-        |        j -> ascii(substring(e.s, j, 1))::BIGINT)),
-        |      (a, c) -> (a * 31 + c) % 2147483648) AS h
+        |    ${Similarity.rollingHashDuck("e.s")} AS h
         |  FROM sh),
         |fps AS (
         |  SELECT DISTINCT doc_id, fp FROM (
@@ -672,16 +676,16 @@ object IndexQueries {
     // diagonal) — state per window is the matched-anchor count of ONE
     // diagonal of ONE pair, never corpus-sized. Everything downstream of
     // the explode carries (doc_id, pos, h) triples, not text.
-    // NB the oracle's per-character ascii() fold equals RollingHash's
-    // per-BYTE fold only for ASCII text (one byte per char) — the same
-    // bound as the winnowing/inverted-index oracles; the harness corpus
-    // is ASCII, and the Spark side hashes raw UTF-8 bytes at any scale.
+    // The oracle hashes the SAME UTF-8 bytes as RollingHash
+    // (Similarity.rollingHashDuck expands code points to bytes), so the
+    // gate is byte-exact on any corpus — the planted tail includes a
+    // multibyte token ('é'-prefixed) to prove it.
     CatalogQuery("ddp_maximal_shared_spans", (s, d) => {
       val k = 4
       val mStr = expr("CAST(doc_id div 2 AS STRING)")
       val planted = concat(col("text"),
         lit(" sp"), mStr, lit(" qq"), mStr, lit(" rr"), mStr,
-        lit(" ss"), mStr, lit(" tt"), mStr, lit(" uu"), mStr)
+        lit(" ss"), mStr, lit(" tt"), mStr, lit(" é"), mStr)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(planted, " ").as("toks"))
         .filter(size(col("toks")) >= k)
@@ -713,19 +717,16 @@ object IndexQueries {
           (max(col("cnt")) + lit(k - 1)).as("max_span_tokens"),
           (sum(col("cnt")) + lit(k - 1) * count(lit(1))).as("dup_tokens"))
     }, Some(
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT doc_id, string_split(text
         |    || ' sp' || (doc_id // 2)::VARCHAR || ' qq' || (doc_id // 2)::VARCHAR
         |    || ' rr' || (doc_id // 2)::VARCHAR || ' ss' || (doc_id // 2)::VARCHAR
-        |    || ' tt' || (doc_id // 2)::VARCHAR || ' uu' || (doc_id // 2)::VARCHAR,
+        |    || ' tt' || (doc_id // 2)::VARCHAR || ' é' || (doc_id // 2)::VARCHAR,
         |    ' ') AS t
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id, e.pos AS pos,
-        |    list_reduce(list_prepend(0::BIGINT,
-        |      list_transform(range(1, length(e.s) + 1),
-        |        j -> ascii(substring(e.s, j, 1))::BIGINT)),
-        |      (a, c) -> (a * 31 + c) % 2147483648) AS h
+        |    ${Similarity.rollingHashDuck("e.s")} AS h
         |  FROM (
         |    SELECT doc_id, unnest(list_transform(range(0, len(t) - 3),
         |      i -> {'pos': i, 's': array_to_string(t[i + 1:i + 4], ' ')})) AS e

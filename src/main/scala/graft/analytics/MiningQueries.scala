@@ -620,7 +620,7 @@ object MiningQueries {
               |  array_sort(collect_list(struct(pos, tok))), p -> p.tok))"""
               .stripMargin).as("rebuilt"))
     }, Some(
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT doc_id, string_split(text
         |    || ' sp' || (doc_id // 2)::VARCHAR || ' qq' || (doc_id // 2)::VARCHAR
         |    || ' rr' || (doc_id // 2)::VARCHAR || ' ss' || (doc_id // 2)::VARCHAR
@@ -629,10 +629,7 @@ object MiningQueries {
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id, e.pos AS pos,
-        |    list_reduce(list_prepend(0::BIGINT,
-        |      list_transform(range(1, length(e.s) + 1),
-        |        j -> ascii(substring(e.s, j, 1))::BIGINT)),
-        |      (a, c) -> (a * 31 + c) % 2147483648) AS h
+        |    ${Similarity.rollingHashDuck("e.s")} AS h
         |  FROM (
         |    SELECT doc_id, unnest(list_transform(range(0, len(t) - 3),
         |      i -> {'pos': i, 's': array_to_string(t[i + 1:i + 4], ' ')})) AS e
@@ -1258,12 +1255,9 @@ object MiningQueries {
         .select(col("doc_id"), col("chunk_idx"), col("n_chunk_toks"),
           col("chunk_hash"), (col("df") > 1).as("shared"))
     }, Some(
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, e.pos AS pos, e.tok AS tok,
-        |    CASE WHEN list_reduce(list_prepend(0::BIGINT,
-        |      list_transform(range(1, length(e.tok) + 1),
-        |        j -> ascii(substring(e.tok, j, 1))::BIGINT)),
-        |      (a, c) -> (a * 31 + c) % 2147483648) % 4 = 0
+        |    CASE WHEN ${Similarity.rollingHashDuck("e.tok")} % 4 = 0
         |      THEN 1 ELSE 0 END AS flag
         |  FROM (
         |    SELECT doc_id, unnest(list_transform(range(0, len(t)),

@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.core.Tables
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -616,14 +616,16 @@ object PrepQueries {
     // gumbel-top-k draw is a weighted sample; the deterministic
     // above-mean gate stands in for it so the oracle can replay the
     // selection exactly.
-    // NB the oracle's per-character ascii() fold equals RollingHash's
-    // per-BYTE fold only for ASCII text (one byte per char) — the same
-    // bound as the winnowing/inverted-index oracles; the harness corpus
-    // is ASCII, and the Spark side hashes raw UTF-8 bytes at any scale.
+    // The oracle hashes the SAME UTF-8 bytes as RollingHash
+    // (Similarity.rollingHashDuck), so bucket assignment is byte-exact on
+    // any corpus; the planted multibyte token proves the gate exercises
+    // the non-ASCII path.
     CatalogQuery("mix_dsir_importance_select", (s, d) => {
       val nBuckets = 64
+      val planted = concat(col("text"), lit(" ß中"),
+        (col("doc_id") % 5).cast("string"))
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("lang"), split(planted, " ").as("toks"))
         .filter(size(col("toks")) >= 2)
       val bg = docs.select(col("doc_id"), col("lang"),
         explode(expr(
@@ -665,15 +667,14 @@ object PrepQueries {
       scores.crossJoin(broadcast(thr))
         .select(col("doc_id"), col("score"), (col("score") > col("thr")).as("selected"))
     }, Some(
-      """WITH docs AS (
-        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 2),
+      s"""WITH docs AS (
+        |  SELECT doc_id, lang,
+        |    string_split(text || ' ß中' || (doc_id % 5)::VARCHAR, ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(text || ' ß中' || (doc_id % 5)::VARCHAR, ' ')) >= 2),
         |bg AS (
         |  SELECT doc_id, lang,
-        |    list_reduce(list_prepend(0::BIGINT,
-        |      list_transform(range(1, length(bigram) + 1),
-        |        j -> ascii(substring(bigram, j, 1))::BIGINT)),
-        |      (a, c) -> (a * 31 + c) % 2147483648) % 64 AS b
+        |    ${Similarity.rollingHashDuck("bigram")} % 64 AS b
         |  FROM (
         |    SELECT doc_id, lang,
         |      unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
@@ -751,15 +752,14 @@ object PrepQueries {
           (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
             .as("token_budget"))
     }, Some(
-      """WITH docs AS (
-        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 2),
+      s"""WITH docs AS (
+        |  SELECT doc_id, lang,
+        |    string_split(text || ' ß中' || (doc_id % 5)::VARCHAR, ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(text || ' ß中' || (doc_id % 5)::VARCHAR, ' ')) >= 2),
         |bg AS (
         |  SELECT doc_id, lang,
-        |    list_reduce(list_prepend(0::BIGINT,
-        |      list_transform(range(1, length(bigram) + 1),
-        |        j -> ascii(substring(bigram, j, 1))::BIGINT)),
-        |      (a, c) -> (a * 31 + c) % 2147483648) % 64 AS b
+        |    ${Similarity.rollingHashDuck("bigram")} % 64 AS b
         |  FROM (
         |    SELECT doc_id, lang,
         |      unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram

@@ -1017,17 +1017,18 @@ object TrainingQueries {
          |  AND uniq_trigram_ratio >= 0.7
          |  AND n_tokens BETWEEN 5 AND 100000""".stripMargin)),
 
-    // rolling-hash fingerprint — graft's custom codegen Expression
+    // rolling-hash fingerprint — graft's custom codegen Expression. The
+    // oracle folds the same UTF-8 BYTES (Similarity.rollingHashDuck), and
+    // the planted multibyte suffix proves the byte-exactness is gated,
+    // not assumed.
     CatalogQuery("txt_fingerprint_rolling", (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        GraftFunctions.rolling_hash(col("text")).as("fingerprint")),
+        GraftFunctions.rolling_hash(concat(col("text"), lit(" ß中é"),
+          (col("doc_id") % 7).cast("string"))).as("fingerprint")),
       Some(
-        """SELECT doc_id,
-          |  list_reduce(
-          |    list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1),
-          |      i -> ascii(substring(text, i, 1))::BIGINT)),
-          |    (a, c) -> (a * 31 + c) % 2147483648) AS fingerprint
+        s"""SELECT doc_id,
+          |  ${Similarity.rollingHashDuck("text || ' ß中é' || (doc_id % 7)::VARCHAR")} AS fingerprint
           |FROM documents""".stripMargin)),
 
     // ---- deterministic sampling (the 100 TB-safe method) -----------------

@@ -122,6 +122,24 @@ object Similarity {
        | THEN (1::BIGINT << j) ELSE 0::BIGINT END))""".stripMargin
   }
 
+  /** Byte-exact DuckDB twin of `functions.RollingHash`: expand each code
+    * point to its UTF-8 bytes (1–4, the RFC 3629 ranges) and fold
+    * (acc·31 + byte) mod 2³¹ — bit-identical to the Spark expression's
+    * raw-byte fold on ANY text, not just ASCII. (DuckDB's ascii() returns
+    * the code point, so a per-character fold silently diverges on
+    * multibyte input; this closes the winnowing/DSIR/spans oracles'
+    * former ASCII bound.)
+    */
+  def rollingHashDuck(e: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT, flatten(list_transform(
+       |  list_transform(range(1, length($e) + 1), i -> ascii(substring($e, i, 1))::BIGINT),
+       |  u -> CASE WHEN u < 128 THEN [u]
+       |            WHEN u < 2048 THEN [192 + u // 64, 128 + u % 64]
+       |            WHEN u < 65536 THEN [224 + u // 4096, 128 + (u // 64) % 64, 128 + u % 64]
+       |            ELSE [240 + u // 262144, 128 + (u // 4096) % 64,
+       |                  128 + (u // 64) % 64, 128 + u % 64] END))),
+       |  (a, c) -> (a * 31 + c) % 2147483648)""".stripMargin
+
   /** Word 3-shingles, DuckDB SQL. */
   def shinglesDuck(text: String): String =
     s"""list_transform(range(1, len(string_split($text, ' ')) - 1),

@@ -144,9 +144,12 @@ class IndexQueriesSpec extends SparkSpec {
       .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
     val docs = graft.core.Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()
-      .map(x => (x.getLong(0), x.getString(1).split(" ").toSeq))
+      .map(x => (x.getLong(0),
+        (x.getString(1) + " ß中" + (x.getLong(0) % 5)).split(" ").toSeq))
+    // byte-level fold over UTF-8 bytes — the RollingHash contract (a
+    // per-char fold would diverge on the planted multibyte token)
     def hash(s: String): Long =
-      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483648L)
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 2147483648L)
     val k = 4; val w = 4
     val fps = docs.map { case (id, toks) =>
       val hs = toks.sliding(k).map(g => hash(g.mkString(" "))).toVector

@@ -21,8 +21,10 @@ class PrepQueriesSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001)
       .select("doc_id", "lang", "text").collect()
       // split limit -1: Java's default drops trailing empty tokens,
-      // Spark's split()/DuckDB's string_split keep them
-      .map(x => (x.getLong(0), x.getString(1), x.getString(2).split(" ", -1).toSeq))
+      // Spark's split()/DuckDB's string_split keep them; the ß中 suffix
+      // mirrors the entry's planted multibyte token (UTF-8 byte-hash gate)
+      .map(x => (x.getLong(0), x.getString(1),
+        (x.getString(2) + " ß中" + (x.getLong(0) % 5)).split(" ", -1).toSeq))
       .filter(_._3.size >= 2)
     val bigrams = docs.map { case (id, lang, toks) =>
       (id, lang, toks.sliding(2).map(p => rh(p.mkString(" ")) % 64).toSeq)
