@@ -892,6 +892,206 @@ object ScaleOpsQueries {
         |  SELECT query_id, neighbor_id, adc,
         |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
         |  FROM scored) t
-        |WHERE rank <= 5""".stripMargin), bench = true)
+        |WHERE rank <= 5""".stripMargin), bench = true),
+
+    // ---- incremental ANN index maintenance under CDC --------------------
+    // Production vector search over a REPLICATED table: embeddings
+    // insert/update/delete continuously, and the IVF index must follow
+    // without rebuilds. Composition of proven pieces: a deterministic
+    // 4-batch change stream (base + rotate-updates / tombstone-deletes /
+    // new-key inserts per batch) → per-batch seq-LWW compaction and
+    // incremental cell assignment (ONLY the batch's vectors score
+    // against the FROZEN coarse quantizer — the base corpus' first 16
+    // quantized vectors, trained once like any production quantizer) →
+    // merged into the pk-bucketed SnapshotSink, whose per-batch merge
+    // rewrites only the buckets the batch touches. The oracle rebuilds
+    // the index BATCH-WISE FROM SCRATCH in SQL (full log → LWW → assign
+    // every survivor), so the hash gate IS the proof that incremental
+    // maintenance converges to the batch-built index. 100 TB: per-batch
+    // cost ∝ batch size (assignment) + touched-bucket rewrite — never
+    // corpus size (ScaleStress's ann_incremental_batch row measures it).
+    CatalogQuery("ann_cdc_incremental_index", (s, d) => {
+      val (idx, _) = annMaintainedIndex(s, d)
+      idx.select(col("vec_id"), col("cell"),
+        expr("""aggregate(sequence(1, 64), CAST(0 AS BIGINT),
+          | (acc, k) -> acc + k * element_at(q, k))""".stripMargin).as("vchk"))
+    }, Some(
+      s"""$annFinalIndexDuck
+         |SELECT q.vec_id, a.cell,
+         |  CAST(list_sum(list_transform(range(1, 65), k -> k * q.q[k])) AS BIGINT) AS vchk
+         |FROM quant q JOIN assigned a USING (vec_id)""".stripMargin)),
+
+    // Probe the MAINTAINED index (not a fresh build): nprobe=2 cells per
+    // query, integer-lattice distance ranking over the probed cells'
+    // members only — the sim_ivfpq shape served from incrementally
+    // maintained state. Queries draw from the index's live rows, so a
+    // deleted query vector stops querying and an updated one probes with
+    // its new image — the contract a replicated eval set needs.
+    CatalogQuery("ann_cdc_incremental_probe", (s, d) => {
+      val (idx, seedsOne) = annMaintainedIndex(s, d)
+      val distExpr = expr(
+        "aggregate(zip_with(qq, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+      val qs = idx.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val wq = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
+      val probes = qs.crossJoin(broadcast(seedsOne))
+        .select(col("query_id"), col("qq"), explode(col("cs")).as("c"))
+        .select(col("query_id"), col("qq"), col("c.cell").as("cell"), col("c.cv").as("cv"))
+        .withColumn("dist", distExpr)
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 2)
+        .select(col("query_id"), col("qq"), col("cell"))
+      // 32-way salt against the pinned-C=16 shuffle skew (the
+      // sim_ivfpq_adc_topk measurement: ≤16 shuffle keys idle the
+      // cluster; the salt spreads cells without changing candidates)
+      val salts = 32
+      val saltedProbes = probes.withColumn("salt",
+        explode(expr(s"sequence(0, ${salts - 1})")))
+      val saltedIdx = idx.withColumn("salt",
+        pmod(xxhash64(col("vec_id")), lit(salts)).cast("int"))
+      val candDist = expr(
+        "aggregate(zip_with(qq, q, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+      val wr = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("vec_id"))
+      saltedProbes.join(saltedIdx, Seq("cell", "salt"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("dist2", candDist)
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("neighbor_id"), col("dist2").as("dist"))
+    }, Some(
+      s"""$annFinalIndexDuck,
+         |members AS (SELECT q.vec_id, q.q, a.cell FROM quant q JOIN assigned a USING (vec_id)),
+         |qs AS (SELECT vec_id AS query_id, q AS qq FROM quant WHERE vec_id % 50 = 0),
+         |pd AS (
+         |  SELECT qs.query_id, qs.qq, s.cell,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      k -> (qs.qq[k] - s.cv[k]) * (qs.qq[k] - s.cv[k]))) AS BIGINT) AS dist
+         |  FROM qs CROSS JOIN seeds s),
+         |probes AS (
+         |  SELECT query_id, qq, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+         |    FROM pd) t WHERE rn <= 2),
+         |scored AS (
+         |  SELECT p.query_id, m.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      k -> (p.qq[k] - m.q[k]) * (p.qq[k] - m.q[k]))) AS BIGINT) AS dist2
+         |  FROM probes p JOIN members m ON m.cell = p.cell
+         |  WHERE m.vec_id <> p.query_id)
+         |SELECT query_id, rank, neighbor_id, dist2 AS dist FROM (
+         |  SELECT query_id, neighbor_id, dist2,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3""".stripMargin))
   )
+
+  /** Deterministic CDC change stream over embeddings, maintained into a
+    * bucketed SnapshotSink index: batch 0 = the base corpus; batch b ∈
+    * {1,2,3} rotates (updates) vec_id % 10 == b, tombstones vec_id % 17
+    * == b (when not also updated — disjoint ops per key per batch keep
+    * seq-LWW unambiguous), and inserts new keys vec_id + 1_000_000·b for
+    * vec_id % 23 == b. Cell assignment runs per batch over ONLY the
+    * batch's vectors, against the frozen base quantizer. Returns the
+    * maintained live state (vec_id, q, cell) and the 1-row seeds frame.
+    */
+  /** Frozen coarse quantizer of dataset `d` as a 1-row frame (the base
+    * corpus' first 16 quantized vectors collapsed to one collect_list
+    * row — provably broadcastable).
+    */
+  private def annSeedsOne(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
+        .as("cv"))
+      .agg(collect_list(struct(col("cell"), col("cv"))).as("cs"))
+
+  /** Quantize + cell-assign `vecs` (vec_id, embedding) against dataset
+    * `d`'s frozen base quantizer → (vec_id, q, cell). Cost ∝ |vecs| —
+    * the incremental-maintenance unit ScaleStress times at a fixed batch
+    * size against a grown corpus.
+    */
+  def annAssignAgainstBase(s: SparkSession, d: String, vecs: DataFrame): DataFrame = {
+    val distExpr = expr(
+      "aggregate(zip_with(q, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    val wv = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    vecs.select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
+        .as("q"))
+      .crossJoin(broadcast(annSeedsOne(s, d)))
+      .select(col("vec_id"), col("q"), explode(col("cs")).as("c"))
+      .select(col("vec_id"), col("q"), col("c.cell").as("cell"), col("c.cv").as("cv"))
+      .withColumn("dist", distExpr)
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("q"), col("cell"))
+  }
+
+  private def annMaintainedIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, d)
+    def rot(b: Int) = expr(
+      s"concat(slice(embedding, ${b + 1}, ${64 - b}), slice(embedding, 1, $b))")
+    val sink = new graft.sinks.SnapshotSink(s, Q.scratch("annidx") + "/index",
+      Seq("vec_id"), numBuckets = 16)
+    sink.merge(annAssignAgainstBase(s, d, e.select(col("vec_id"), col("embedding")))
+      .withColumn("op", lit(graft.core.ChangeLog.Insert))
+      .withColumn("seq", lit(0L)))
+    (1 to 3).foreach { b =>
+      val ups = e.filter(col("vec_id") % 10 === b)
+        .select(col("vec_id"), rot(b).as("embedding"))
+      val ins = e.filter(col("vec_id") % 23 === b)
+        .select((col("vec_id") + lit(1000000L * b)).as("vec_id"),
+          rot(b + 3).as("embedding"))
+      val upserts = annAssignAgainstBase(s, d, ups.unionByName(ins))
+        .withColumn("op", lit(graft.core.ChangeLog.Update))
+      val dels = e.filter(col("vec_id") % 17 === b && col("vec_id") % 10 =!= b)
+        .select(col("vec_id"),
+          lit(null).cast("array<bigint>").as("q"),
+          lit(null).cast("bigint").as("cell"),
+          lit(graft.core.ChangeLog.Delete).as("op"))
+      sink.merge(upserts.unionByName(dels).withColumn("seq", lit(b.toLong)))
+    }
+    (sink.read(), annSeedsOne(s, d))
+  }
+
+  /** Oracle-side batch-built index: full change log → seq-LWW → quantize
+    * → assign against the frozen base quantizer. Shared CTE prefix of
+    * both incremental-ANN entries.
+    */
+  private val annFinalIndexDuck: String =
+    """WITH b3 AS (SELECT unnest(range(1, 4)) AS b),
+      |base AS (SELECT vec_id, embedding AS e, 0::BIGINT AS seq, 0 AS del FROM embeddings),
+      |ups AS (
+      |  SELECT vec_id, embedding[b + 1:64] || embedding[1:b] AS e, b::BIGINT AS seq, 0 AS del
+      |  FROM embeddings CROSS JOIN b3 WHERE vec_id % 10 = b),
+      |ins AS (
+      |  SELECT vec_id + 1000000 * b AS vec_id, embedding[b + 4:64] || embedding[1:b + 3] AS e,
+      |    b::BIGINT AS seq, 0 AS del
+      |  FROM embeddings CROSS JOIN b3 WHERE vec_id % 23 = b),
+      |dels AS (
+      |  SELECT vec_id, CAST(NULL AS FLOAT[]) AS e, b::BIGINT AS seq, 1 AS del
+      |  FROM embeddings CROSS JOIN b3 WHERE vec_id % 17 = b AND vec_id % 10 <> b),
+      |log AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM ups
+      |  UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM dels),
+      |fin AS (
+      |  SELECT vec_id, e FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY seq DESC) AS rn
+      |    FROM log) t
+      |  WHERE rn = 1 AND del = 0),
+      |quant AS (
+      |  SELECT vec_id,
+      |    list_transform(e, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)) AS q
+      |  FROM fin),
+      |seeds AS (
+      |  SELECT vec_id AS cell,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)) AS cv
+      |  FROM embeddings WHERE vec_id < 16),
+      |ad AS (
+      |  SELECT v.vec_id, s.cell,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      k -> (v.q[k] - s.cv[k]) * (v.q[k] - s.cv[k]))) AS BIGINT) AS dist
+      |  FROM quant v CROSS JOIN seeds s),
+      |assigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+      |    FROM ad) t WHERE rn = 1)""".stripMargin
 }

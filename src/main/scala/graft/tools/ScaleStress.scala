@@ -105,7 +105,10 @@ object ScaleStress {
       // per row (partition-batched ImageIO) — growth must track corpus
       // size, the codec cost being per-row constant
       "txt_bpe_encode_learned", "mm_binary_features", "mm_image_resize",
-      "mm_frame_sample")
+      "mm_frame_sample",
+      // incremental ANN under CDC: 4 sink merges + probe — growth must
+      // track corpus size (assignment is per-batch, merges bucket-pruned)
+      "ann_cdc_incremental_index", "ann_cdc_incremental_probe")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =
@@ -204,6 +207,37 @@ object ScaleStress {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[stress] pipeline_stream_${changes / 1000}%dk           $secs%8.2fs " +
         f"rows=$n (${(changes / secs).toInt}%d chg/s)")
+    }
+
+    // incremental ANN maintenance: base index build over the SCALED
+    // corpus, then ONE fixed-size change batch (base-replica keys
+    // confined to 4 of 64 buckets) — assignment cost ∝ batch, rewrite
+    // cost ∝ touched buckets; neither may track the grown corpus
+    if (extras) {
+      val sink = new graft.sinks.SnapshotSink(spark, out + "/ann_stress",
+        Seq("vec_id"), numBuckets = 64)
+      val all = Tables.load(spark, out, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val t0 = System.nanoTime()
+      sink.merge(graft.analytics.ScaleOpsQueries
+        .annAssignAgainstBase(spark, out, all)
+        .withColumn("op", lit(graft.core.ChangeLog.Insert))
+        .withColumn("seq", lit(0L)))
+      val full = (System.nanoTime() - t0) / 1e9
+      val batch = all
+        .filter(col("vec_id") < shift &&
+          pmod(xxhash64(col("vec_id")), lit(64)) < 4)
+        .select(col("vec_id"),
+          expr("concat(slice(embedding, 2, 63), slice(embedding, 1, 1))")
+            .as("embedding"))
+      val t1 = System.nanoTime()
+      sink.merge(graft.analytics.ScaleOpsQueries
+        .annAssignAgainstBase(spark, out, batch)
+        .withColumn("op", lit(graft.core.ChangeLog.Update))
+        .withColumn("seq", lit(1L)))
+      val inc = (System.nanoTime() - t1) / 1e9
+      println(f"[stress] ann_index_build_full             $full%8.2fs rows=${sink.read().count()}")
+      println(f"[stress] ann_index_incremental_batch      $inc%8.2fs (fixed batch, 4/64 buckets, ${factor}x corpus)")
     }
 
     // SemDeDup at the PRODUCTION cell count C = ceil(sqrt(N)): the

@@ -350,4 +350,56 @@ class ScaleOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("incremental ANN under CDC equals a full driver-side batch rebuild") {
+    val sf = sf0001
+    val got = Catalog.queries("ann_cdc_incremental_index")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // independent reimplementation: replay the change rules over plain
+    // Scala collections, LWW by seq, quantize, assign vs frozen seeds
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector)
+    def q64(e: Vector[Float]): Vector[Long] =
+      e.map(x => math.floor(x.toDouble * 64.0 + 0.5).toLong)
+    def rot(e: Vector[Float], b: Int): Vector[Float] = e.drop(b) ++ e.take(b)
+    val state = scala.collection.mutable.Map.empty[Long, Vector[Float]]
+    base.foreach { case (id, e) => state(id) = e }
+    (1 to 3).foreach { b =>
+      base.foreach { case (id, e) =>
+        if (id % 10 == b) state(id) = rot(e, b)
+        else if (id % 17 == b) state.remove(id)
+        if (id % 23 == b) state(id + 1000000L * b) = rot(e, b + 3)
+      }
+    }
+    val seeds = base.filter(_._1 < 16).map { case (c, e) => (c, q64(e)) }
+    def assign(q: Vector[Long]): Long = seeds.map { case (c, cv) =>
+      (q.zip(cv).map { case (a, bb) => (a - bb) * (a - bb) }.sum, c)
+    }.min._2
+    val exp = state.map { case (id, e) =>
+      val q = q64(e)
+      id -> ((assign(q), q.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum))
+    }.toMap
+    assert(got == exp, "maintained index must equal the batch rebuild")
+    // CDC semantics actually exercised: deletions absent, inserts
+    // present, at least one update changed its checksum vs the base
+    assert(base.exists { case (id, _) =>
+      id % 17 == 1 && id % 10 != 1 && !got.contains(id) })
+    assert(got.keys.exists(_ > 1000000L), "inserted keys must be present")
+    val updated = base.find { case (id, _) => id % 10 == 1 && id % 17 != 2 && id % 17 != 3 }.get
+    val baseChk = q64(updated._2).zipWithIndex.map { case (v, i) => (i + 1) * v }.sum
+    assert(got(updated._1)._2 != baseChk, "an update must change the stored image")
+  }
+
+  test("incremental ANN probe serves from the maintained state (live rows only)") {
+    val rows = Catalog.queries("ann_cdc_incremental_probe")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val idx = Catalog.queries("ann_cdc_incremental_index")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(idx.contains(r.getLong(0)), "query must be a live index row")
+      assert(idx.contains(r.getLong(2)), "neighbor must be a live index row")
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 3)
+    }
+  }
 }
