@@ -442,7 +442,18 @@ object CdcQueries {
       writeOne(src.unionByName(dstAll.filter(col("barrier") =!= 5)), "a_msgs", 1000000L)
       writeOne(sentinels, "b_barrier", 2000000L)
       writeOne(dstAll.filter(col("barrier") === 5), "c_late", 3000000L)
-      val stream = s.readStream.schema(sentinels.schema)
+      // tuned dcp state-store seat (DcpTrickleProbe measurement: RocksDB
+      // + changelog checkpointing + key-count-sized state partitions cut
+      // the per-batch commit floor 1.15 s -> 0.46 s at identical
+      // verdicts), scoped to a cloned session
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s2.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+      val stream = s2.readStream.schema(sentinels.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
       val q = graft.tools.StreamConsistency.segmentChecks(stream)
         .writeStream.format("parquet")

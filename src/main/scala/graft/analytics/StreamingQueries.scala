@@ -473,6 +473,12 @@ object StreamingQueries {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: per-batch commit appends a changelog
+      // instead of snapshotting every store (the DcpTrickleProbe floor
+      // measurement — 2.5x per-batch win on the trickled dcp path)
+      s2.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       // state-partition count sizes to KEY cardinality (a handful of
       // event types), not the batch shuffle default: every extra state
       // partition is a RocksDB instance opened/checkpointed per batch,
@@ -536,6 +542,9 @@ object StreamingQueries {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s2.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       // state partitions sized to key cardinality (the StreamingTopK
       // rationale: every extra partition is a RocksDB instance per batch)
       s2.conf.set("spark.sql.shuffle.partitions", "8")

@@ -602,28 +602,28 @@ object TrainingQueries {
       val work = Q.scratch("sdd")
       val docs = docsPlus(s, d).select(col("doc_id"), col("text"))
       docs.repartition(4).write.mode("overwrite").parquet(s"$work/in")
-      val stream = s.readStream.schema(docs.schema)
+      // transformWithState needs the multi-column-family state store;
+      // the provider + changelog-checkpointing overrides live on a CLONED
+      // session so nothing concurrent inherits them (the StreamingQueries
+      // scoping discipline)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s2.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+      val stream = s2.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
       val pairs = graft.streaming.StreamingDedup.candidatePairs(stream)
         .toDF("doc_a", "doc_b")
-      // transformWithState needs the multi-column-family state store
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val q = pairs.writeStream
-          .foreachBatch((b: DataFrame, _: Long) =>
-            b.write.mode("append").parquet(s"$work/out"))
-          .outputMode("update")
-          .option("checkpointLocation", s"$work/ckpt")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
+      val q = pairs.writeStream
+        .foreachBatch((b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$work/out"))
+        .outputMode("update")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
       val candidates = s.read.parquet(s"$work/out").distinct()
       val sh = docsPlus(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))

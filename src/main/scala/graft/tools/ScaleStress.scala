@@ -273,6 +273,16 @@ object ScaleStress {
     if (extras) {
       import org.apache.spark.sql.streaming.Trigger
       val work = java.nio.file.Files.createTempDirectory("graft-dcp-trickle").toString
+      // tuned dcp seat (see DcpTrickleProbe: 2.5x per-batch floor win at
+      // identical verdicts — RocksDB + changelog checkpointing + state
+      // partitions sized to useful parallelism)
+      val st = spark.newSession()
+      st.conf.set("spark.sql.shuffle.partitions", "8")
+      st.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      st.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       val chk = md5(concat_ws("|", col("op"), col("o_orderkey"),
         col("o_orderstatus")))
       val base = graft.analytics.CdcQueries.changeLog(spark, out).select(
@@ -315,7 +325,7 @@ object ScaleStress {
       java.nio.file.Files.move(sentPart.toPath, sentDest)
       java.nio.file.Files.setLastModifiedTime(sentDest,
         java.nio.file.attribute.FileTime.fromMillis(1000000L + grpDirs.length * 1000L + 1000L))
-      val stream = spark.readStream.schema(sentinels.schema)
+      val stream = st.readStream.schema(sentinels.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
       val t0 = System.nanoTime()
       val q = StreamConsistency.segmentChecks(stream)
