@@ -32,7 +32,11 @@ class EsRestSink(baseUrl: String, retries: Int = 3, retrySleepMs: Long = 50,
     /** TLS context for an https base URL (ES 8 serves HTTPS by
       * default, self-signed out of the box — the context must trust
       * the cluster's certificate; hostname verification stays ON) */
-    sslContext: Option[javax.net.ssl.SSLContext] = None) {
+    sslContext: Option[javax.net.ssl.SSLContext] = None,
+    /** per-request timeout: a stalled cluster surfaces as a (retried,
+      * then thrown) HttpTimeoutException instead of hanging a sink
+      * worker indefinitely */
+    requestTimeoutSeconds: Long = 30) {
 
   require(basicAuth.isEmpty || apiKey.isEmpty,
     "es: set basicAuth or apiKey, not both")
@@ -51,7 +55,7 @@ class EsRestSink(baseUrl: String, retries: Int = 3, retrySleepMs: Long = 50,
 
   private def req(path: String) = {
     val b = HttpRequest.newBuilder(URI.create(baseUrl + path))
-      .timeout(Duration.ofSeconds(30))
+      .timeout(Duration.ofSeconds(requestTimeoutSeconds))
     authHeader.foreach(b.header("Authorization", _))
     b
   }

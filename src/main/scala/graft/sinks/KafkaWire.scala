@@ -616,7 +616,11 @@ object KafkaWire {
       /** TLS from byte zero (a broker SSL/SASL_SSL listener) — the
         * context must trust the broker's certificate; hostname is
         * verified against it */
-      tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
+      tls: Option[javax.net.ssl.SSLContext] = None,
+      /** socket read timeout: every producer exchange is
+        * request/response, so a stalled broker fails loudly (and the
+        * batch retries) instead of wedging the sink's worker. */
+      readTimeoutMs: Int = 30000) extends AutoCloseable {
     require(batchMagic == 1 || batchMagic == 2,
       s"kafka: batch magic $batchMagic not supported")
     private var socket: java.net.Socket = _
@@ -629,6 +633,7 @@ object KafkaWire {
         case Some(ctx) => graft.sources.Tls.clientSocket(ctx, host, port)
         case None => new java.net.Socket(host, port)
       }
+      socket.setSoTimeout(readTimeoutMs)
       in = new BufferedInputStream(socket.getInputStream)
       out = new BufferedOutputStream(socket.getOutputStream)
       sasl.foreach { case (u, p, m) =>
@@ -676,7 +681,11 @@ object KafkaWire {
       /** (user, password, mechanism): SASL/SCRAM before fetching */
       sasl: Option[(String, String, String)] = None,
       /** TLS from byte zero (a broker SSL/SASL_SSL listener) */
-      tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
+      tls: Option[javax.net.ssl.SSLContext] = None,
+      /** socket read timeout — must exceed poll's max_wait_ms (the
+        * broker legitimately holds a caught-up fetch that long); beyond
+        * it a silent broker is a fault, not a quiet topic. */
+      readTimeoutMs: Int = 30000) extends AutoCloseable {
     private var socket: java.net.Socket = _
     private var in: InputStream = _
     private var out: OutputStream = _
@@ -687,6 +696,7 @@ object KafkaWire {
         case Some(ctx) => graft.sources.Tls.clientSocket(ctx, host, port)
         case None => new java.net.Socket(host, port)
       }
+      socket.setSoTimeout(readTimeoutMs)
       in = new BufferedInputStream(socket.getInputStream)
       out = new BufferedOutputStream(socket.getOutputStream)
       sasl.foreach { case (u, p, m) =>

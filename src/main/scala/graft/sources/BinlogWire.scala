@@ -667,7 +667,17 @@ object BinlogWire {
         * sends SSLRequest and upgrades the channel before credentials
         * move — MySQL's native TLS shape (--ssl-mode=REQUIRED). The
         * context must trust the server's certificate. */
-      tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
+      tls: Option[javax.net.ssl.SSLContext] = None,
+      /** socket read timeout while the connection is being ESTABLISHED
+        * (handshake, auth, checksum pin) — every step there is
+        * request/response, so a stalled peer must fail loudly, never
+        * hang the tailer thread. */
+      handshakeTimeoutMs: Int = 30000,
+      /** read timeout for the dump STREAM itself. 0 (infinite) is the
+        * correct default: a quiet master legitimately sends nothing
+        * between events, and liveness is the heartbeat/canary's job
+        * (streaming.Health), not the socket's. */
+      streamReadTimeoutMs: Int = 0) extends AutoCloseable {
 
     private var socket: java.net.Socket = _
     private var in: InputStream = _
@@ -679,6 +689,7 @@ object BinlogWire {
 
     def connect(): this.type = {
       socket = new java.net.Socket(host, port)
+      socket.setSoTimeout(handshakeTimeoutMs)
       in = new BufferedInputStream(socket.getInputStream)
       out = new BufferedOutputStream(socket.getOutputStream)
       val (seq0, payload) = readPacket(in)
@@ -691,6 +702,7 @@ object BinlogWire {
             "(ssl-mode=REQUIRED against a server without SSL configured)")
         writePacket(out, seq + 1, sslRequest())
         socket = Tls.upgradeClient(ctx, socket, host, port)
+        socket.setSoTimeout(handshakeTimeoutMs)
         in = new BufferedInputStream(socket.getInputStream)
         out = new BufferedOutputStream(socket.getOutputStream)
         seq += 1 // sequence numbering continues across the upgrade
@@ -713,6 +725,7 @@ object BinlogWire {
       // master writes (passthrough assignment) — the actual algorithm
       // is then read off the FDE and the trailer validated per event
       query("SET @master_binlog_checksum = @@global.binlog_checksum")
+      socket.setSoTimeout(streamReadTimeoutMs)
       this
     }
 

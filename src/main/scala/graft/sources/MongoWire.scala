@@ -284,6 +284,11 @@ object MongoWire {
     }
     def i32(): Int = b() | (b() << 8) | (b() << 16) | (b() << 24)
     val len = i32()
+    // bound BEFORE allocating: a negative or hostile length prefix must
+    // fail loudly, not throw NegativeArraySizeException or attempt a
+    // 2 GB buffer (48 MB is mongod's maxMessageSizeBytes)
+    require(len >= 16 && len <= 48 * 1024 * 1024,
+      s"mongo: implausible message length $len")
     val requestId = i32()
     val responseTo = i32()
     val opCode = i32()
@@ -404,7 +409,12 @@ object MongoWire {
         * networkMessageCompressors client option); the first one the
         * server echoes back is used for OP_COMPRESSED traffic both
         * ways. Empty = no compression (the driver default). */
-      compressors: Seq[String] = Nil) extends AutoCloseable {
+      compressors: Seq[String] = Nil,
+      /** socket read timeout — every operation is request/response
+        * (oplog tailing bounds its getMore server-side), so a silent
+        * peer is a fault, not a quiet stream: fail loudly instead of
+        * hanging the tailer thread forever. */
+      readTimeoutMs: Int = 30000) extends AutoCloseable {
     private var socket: java.net.Socket = _
     private var in: InputStream = _
     private var out: OutputStream = _
@@ -419,6 +429,7 @@ object MongoWire {
         case Some(ctx) => Tls.clientSocket(ctx, host, port)
         case None => new java.net.Socket(host, port)
       }
+      socket.setSoTimeout(readTimeoutMs)
       in = new BufferedInputStream(socket.getInputStream)
       out = new BufferedOutputStream(socket.getOutputStream)
       compressors.foreach(c => compressorId(c)) // validate names up front
@@ -515,7 +526,11 @@ object MongoWire {
           writeOpCompressed(out, id, 0, doc, c)
         case _ => writeOpMsg(out, id, 0, doc)
       }
-      val (_, _, reply) = readOpMsg(in)
+      val (_, to, reply) = readOpMsg(in)
+      // correlation: a reply to some OTHER request must not be consumed
+      // as this command's answer (out-of-sync framing otherwise goes
+      // silently re-aligned one reply late)
+      require(to == id, s"mongo: responseTo $to for request $id")
       reply.get("ok") match {
         case Some(BDouble(1.0)) | Some(BInt(1)) | Some(BLong(1L)) => reply
         case _ => throw new RuntimeException(
