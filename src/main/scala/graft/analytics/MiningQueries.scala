@@ -409,19 +409,18 @@ object MiningQueries {
             .cast("long"))
         .select(col("doc_id"), col("rank_s"))
       // dense leg: integer lattice dot vs query vector 0, top-20. The
-      // query vector arrives via an INNER broadcast equi-join on the
-      // vec_id=0 row (not a collect_list aggregate): if vector 0 were
-      // absent the leg empties on BOTH engines, instead of Spark emitting
-      // NULL-dot candidates the oracle's CROSS JOIN against an empty q0
-      // would not produce.
+      // query vector rides a PROVABLE 1-row aggregate (collect_list over
+      // the vec_id=0 filter — the auditor's structural broadcast bound),
+      // and the isNotNull filter after the join empties the leg when
+      // vector 0 is absent — matching the oracle, whose CROSS JOIN
+      // against an empty q0 yields an empty dense leg, instead of
+      // emitting NULL-dot candidates.
       val e = Tables.embeddings(s, d).select(col("vec_id"), expr(q64Spark).as("vq"))
       val q0 = e.filter(col("vec_id") === 0)
-        .select(lit(1).as("qkey"), col("vq").as("qq"))
-      // no broadcast HINT: q0 is a 1-row filter, not a provable 1-row
-      // aggregate, so a forced hint would read as a fact broadcast to the
-      // plan auditor — AQE's size-gated runtime broadcast picks it up
-      val dn = e.filter(col("vec_id") =!= 0).withColumn("qkey", lit(1))
-        .join(q0, Seq("qkey"))
+        .agg(collect_list(col("vq")).as("qs"))
+        .select(element_at(col("qs"), 1).as("qq")) // 1-row, auditor-bounded
+      val dn = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+        .filter(col("qq").isNotNull)
         .withColumn("dot_q", expr(
           """aggregate(zip_with(qq, vq, (a, b) -> a * b),
             | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
@@ -1513,6 +1512,136 @@ object MiningQueries {
         |  med.median_chars, dups.n_dup_docs,
         |  CAST(dups.n_dup_docs * 1000000 // b.n_docs AS BIGINT) AS dup_rate_e6
         |FROM base b JOIN med USING (source) JOIN top USING (source)
-        |JOIN dups USING (source)""".stripMargin))
+        |JOIN dups USING (source)""".stripMargin)),
+
+    // ---- 2-hop neighborhood profile (the HyperBall unit, exact seeds) ---
+    // Per-seed exact ball sizes over the customer↔supplier graph: 1-hop
+    // and ≤2-hop distinct-vertex counts for a deterministic seed sample
+    // (every 40th even node). Distributed shape: seed-filtered edge join
+    // → one more edge hop → distinct + count — the single iteration of
+    // HyperBall/neighborhood-function estimation. Exact distincts are
+    // the SEEDED eval; at 100 TB the all-vertex variant swaps the
+    // distinct for a mergeable HLL register per vertex (functions.HLL
+    // shape) and iterates — same joins, sketch state instead of sets.
+    // The seed sample keeps candidate volume Σ_seed deg·deḡ, never the
+    // full wedge count.
+    CatalogQuery("gph_2hop_neighborhood", (s, d) => {
+      val co = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val und = co.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(co.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = und.select(col("src")).distinct()
+        .filter(col("src") % 40 === 0)
+      val hop1 = seeds.join(und, "src")
+        .select(col("src").as("seed"), col("dst").as("v"))
+      val hop2 = hop1.join(und.select(col("src").as("v"), col("dst").as("w")), "v")
+        .select(col("seed"), col("w").as("v"))
+      val ball = hop1.unionByName(hop2)
+        .filter(col("v") =!= col("seed")) // open ball: self excluded
+      ball.groupBy(col("seed")).agg(countDistinct(col("v")).as("ball2"))
+        .join(hop1.groupBy(col("seed"))
+          .agg(countDistinct(col("v")).as("deg1")), "seed")
+        .select(col("seed"), col("deg1"), col("ball2"))
+    }, Some(
+      """WITH co AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |und AS (
+        |  SELECT a AS src, b AS dst FROM co
+        |  UNION ALL SELECT b, a FROM co),
+        |seeds AS (SELECT DISTINCT src FROM und WHERE src % 40 = 0),
+        |h1 AS (
+        |  SELECT s.src AS seed, u.dst AS v FROM seeds s JOIN und u ON u.src = s.src),
+        |h2 AS (
+        |  SELECT h1.seed, u.dst AS v FROM h1 JOIN und u ON u.src = h1.v),
+        |ball AS (
+        |  SELECT seed, v FROM h1 WHERE v <> seed
+        |  UNION ALL SELECT seed, v FROM h2 WHERE v <> seed)
+        |SELECT b.seed, d1.deg1, b.ball2 FROM (
+        |  SELECT seed, count(DISTINCT v)::BIGINT AS ball2 FROM ball GROUP BY 1) b
+        |JOIN (
+        |  SELECT seed, count(DISTINCT v)::BIGINT AS deg1 FROM h1 GROUP BY 1) d1
+        |USING (seed)""".stripMargin)),
+
+    // ---- fill-in-the-middle transform (the code-model training op) ------
+    // Deterministic FIM: each document with ≥ 8 tokens splits into
+    // prefix / middle / suffix at doc_id-derived cut points (all
+    // operands non-negative, so the div/mod arithmetic crosses engines)
+    // and re-emits in PSM order with sentinel tokens — the layout
+    // infill-trained models consume. Pure map stage; the cut arithmetic
+    // guarantees 1 ≤ p < suffix_start ≤ n−1, so all three parts are
+    // non-empty.
+    CatalogQuery("prep_fim_split", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") >= 8)
+        .withColumn("a", expr("n div 3"))
+        .withColumn("p", expr("doc_id % a + 1"))
+        .withColumn("ss", expr("n - (doc_id * 31 % a) - 1"))
+      docs.select(col("doc_id"), col("n").as("n_tokens"),
+        col("p").as("p_len"), (col("ss") - col("p")).as("m_len"),
+        (col("n") - col("ss")).as("s_len"),
+        expr(
+          """concat('<PRE> ',
+            |  concat_ws(' ', slice(toks, 1, CAST(p AS INT))), ' <SUF> ',
+            |  concat_ws(' ', slice(toks, CAST(ss + 1 AS INT), CAST(n - ss AS INT))), ' <MID> ',
+            |  concat_ws(' ', slice(toks, CAST(p + 1 AS INT), CAST(ss - p AS INT))))"""
+            .stripMargin).as("fim"))
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' '))::BIGINT AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n, n // 3 AS a,
+        |    doc_id % (n // 3) + 1 AS p,
+        |    n - (doc_id * 31 % (n // 3)) - 1 AS ss
+        |  FROM t WHERE n >= 8)
+        |SELECT doc_id, n AS n_tokens, p AS p_len, ss - p AS m_len,
+        |  n - ss AS s_len,
+        |  '<PRE> ' || array_to_string(toks[1:p], ' ')
+        |    || ' <SUF> ' || array_to_string(toks[ss + 1:n], ' ')
+        |    || ' <MID> ' || array_to_string(toks[p + 1:ss], ' ') AS fim
+        |FROM c""".stripMargin)),
+
+    // ---- vocabulary coverage / OOV rate ---------------------------------
+    // Tokenizer-ops telemetry: the corpus' top-64 words (frequency desc,
+    // word asc) form the in-vocabulary set; every document reports its
+    // out-of-vocabulary token rate as a scaled integer. Shape: one
+    // vocabulary-bounded word count, a 64-row rank cut, and a token↔vocab
+    // left join folded into a per-doc aggregate — AQE broadcasts the
+    // 64-row side unhinted. 100 TB: the vocab table is config-bounded;
+    // the scan is one explode + one shuffle on doc_id.
+    CatalogQuery("txt_vocab_coverage", (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val wv = Window.orderBy(col("n").desc, col("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(wv))
+        .filter(col("rank") <= 64)
+        .select(col("w"), lit(1L).as("in_vocab"))
+      toks.join(vocab, Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_e6", expr("n_oov * 1000000 div n_tokens"))
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rank
+        |    FROM toks GROUP BY w) t
+        |  WHERE rank <= 64)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS oov_e6
+        |FROM toks LEFT JOIN vocab ON toks.w = vocab.w
+        |GROUP BY doc_id""".stripMargin))
   )
 }

@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.core.Tables
-import graft.functions.{GraftFunctions, ImageCodec, Similarity, TextAnalysis}
+import graft.functions.{AudioCodec, GraftFunctions, ImageCodec, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1106,6 +1106,25 @@ object TrainingQueries {
         |CROSS JOIN (SELECT unnest(range(0, 10000)) AS f) u
         |WHERE f < n_chars % 24 + 4 AND f % 3 = 0""".stripMargin)),
 
+    // ---- multimodal: audio pipeline (REAL WAV decode) --------------------
+    // The audio twin of the PNG battery: staged binary column of genuine
+    // RIFF/WAVE bytes (deterministic integer PCM source →
+    // javax.sound.sampled encoder), decoded back through the real JDK
+    // codec in partition batches; the oracle evaluates the closed-form
+    // sample source independently, so a lossy encode, a wrong container
+    // parse, or a sample-order bug all hash-mismatch.
+    CatalogQuery("mm_audio_features", mmAudio, Some(
+      """SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(n_chars % 2000 + 100 AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(0, n_chars % 2000 + 100),
+        |    i -> (doc_id * 73 + i * 131) % 65536 - 32768)) AS BIGINT) AS sum_s,
+        |  CAST(list_sum(list_transform(range(0, n_chars % 2000 + 100),
+        |    i -> abs((doc_id * 73 + i * 131) % 65536 - 32768))) AS BIGINT) AS sum_abs,
+        |  CAST(list_max(list_transform(range(0, n_chars % 2000 + 100),
+        |    i -> abs((doc_id * 73 + i * 131) % 65536 - 32768))) AS BIGINT) AS peak
+        |FROM documents""".stripMargin)),
+
     // ---- multimodal binary features (real PNG round-trip) ----------------
     CatalogQuery("mm_binary_features", mmBinary, Some(
       """SELECT doc_id,
@@ -1191,6 +1210,38 @@ object TrainingQueries {
         }
       }
       .toDF("doc_id", "frame_idx", "r_sum", "g_sum", "b_sum")
+  }
+
+  private def mmAudio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val staged = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("int").as("nc"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.map { case (id, nc) =>
+          val n = nc % 2000 + 100
+          (id, AudioCodec.encodeWav(
+            Array.tabulate(n)(i => AudioCodec.synthSample(id, i))))
+        })
+      }
+      .toDF("doc_id", "payload") // opaque audio binary column
+    staged.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.map { case (id, wav) =>
+          val (rate, ss) = AudioCodec.decodeWav(wav)
+          var sum = 0L
+          var sabs = 0L
+          var peak = 0L
+          ss.foreach { v =>
+            sum += v
+            val a = math.abs(v.toLong)
+            sabs += a
+            if (a > peak) peak = a
+          }
+          (id, rate.toLong, ss.length.toLong, sum, sabs, peak)
+        })
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "sum_s", "sum_abs", "peak")
   }
 
   private def mmBinary(s: SparkSession, d: String): DataFrame = {

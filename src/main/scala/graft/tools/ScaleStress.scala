@@ -108,7 +108,13 @@ object ScaleStress {
       "mm_frame_sample",
       // incremental ANN under CDC: 4 sink merges + probe — growth must
       // track corpus size (assignment is per-batch, merges bucket-pruned)
-      "ann_cdc_incremental_index", "ann_cdc_incremental_probe")
+      "ann_cdc_incremental_index", "ann_cdc_incremental_probe",
+      // r08 wave 2: audio decode is per-row constant (like the PNG
+      // battery); FIM + vocab coverage are map / bounded-vocab stages;
+      // the seeded 2-hop profile is Σ_seed deg·deḡ — sub-wedge by
+      // construction, must not blow up as replicas multiply degrees
+      "mm_audio_features", "prep_fim_split", "txt_vocab_coverage",
+      "gph_2hop_neighborhood")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

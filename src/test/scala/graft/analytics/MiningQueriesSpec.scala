@@ -589,4 +589,66 @@ class MiningQueriesSpec extends SparkSpec {
     val qs = rows.map(_.getAs[Long]("query_id"))
     assert(qs.distinct.length == qs.length)
   }
+
+  test("2-hop neighborhood: seeded ball sizes match a BFS recount") {
+    val got = q("gph_2hop_neighborhood").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val co = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (co ++ co.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = adj.keySet.filter(_ % 40 == 0)
+    assert(got.keySet == seeds, "one row per seed")
+    seeds.foreach { s =>
+      val h1 = adj(s)
+      val h2 = h1.flatMap(adj(_))
+      val ball = (h1 ++ h2) - s
+      assert(got(s) == ((h1.size.toLong, ball.size.toLong)), s"seed $s")
+    }
+  }
+
+  test("FIM split: parts are non-empty, partition the doc, and PSM-render") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val rows = q("prep_fim_split").collect()
+    assert(rows.nonEmpty)
+    val seen = rows.map(_.getLong(0)).toSet
+    assert(seen == docs.filter(_._2.size >= 8).keySet)
+    rows.foreach { r =>
+      val (id, n, p, m, sfx) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val toks = docs(id)
+      assert(n == toks.size && p >= 1 && m >= 1 && sfx >= 1 && p + m + sfx == n)
+      val a = n / 3
+      assert(p == id % a + 1 && sfx == id * 31 % a + 1)
+      val exp = "<PRE> " + toks.take(p.toInt).mkString(" ") +
+        " <SUF> " + toks.drop((n - sfx).toInt).mkString(" ") +
+        " <MID> " + toks.slice(p.toInt, (n - sfx).toInt).mkString(" ")
+      assert(r.getString(5) == exp, s"doc $id")
+    }
+  }
+
+  test("vocab coverage: OOV rates match a driver-side recount") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val freq = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length }
+    val vocab = freq.toSeq.sortBy { case (w, n) => (-n, w) }.take(64)
+      .map(_._1).toSet
+    val got = q("txt_vocab_coverage").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    docs.foreach { case (id, toks) =>
+      val oov = toks.count(!vocab(_)).toLong
+      assert(got(id) == ((toks.size.toLong, oov, oov * 1000000L / toks.size)),
+        s"doc $id")
+    }
+  }
 }
