@@ -919,7 +919,7 @@ object ScaleOpsQueries {
       s"""$annFinalIndexDuck
          |SELECT q.vec_id, a.cell,
          |  CAST(list_sum(list_transform(range(1, 65), k -> k * q.q[k])) AS BIGINT) AS vchk
-         |FROM quant q JOIN assigned a USING (vec_id)""".stripMargin)),
+         |FROM quant q JOIN assigned a USING (vec_id)""".stripMargin), bench = true),
 
     // Probe the MAINTAINED index (not a fresh build): nprobe=2 cells per
     // query, integer-lattice distance ranking over the probed cells'

@@ -589,6 +589,86 @@ object StreamingQueries {
         |  min(CASE WHEN rk >= ceil(0.75 * n) THEN v END) AS p75_cents
         |FROM r GROUP BY 1""".stripMargin)),
 
+    // ---- STREAMING session windows (state-merged, watermark-closed) -----
+    // The sessionization state path Structured Streaming runs that the
+    // batch twin (evt_session_windows) cannot exercise: events arrive
+    // over multiple micro-batches, per-user session state MERGES as
+    // adjacent fragments land (a session split across batches must fuse
+    // into one), and a session only EMITS (append mode) once the global
+    // watermark passes its end + gap. A far-future sentinel event closes
+    // every real session at drain, so the emitted set equals the batch
+    // sessionization — which is the oracle (same SQL as the batch twin).
+    // 100 TB/day: state per open session, horizon-bounded by the gap.
+    CatalogQuery("evt_stream_session_windows", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = Q.scratch("sswin")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+      def writeOne(df: DataFrame, name: String, modMs: Long): Unit = {
+        val stage = s"$work/stage_$name"
+        df.write.mode("overwrite").parquet(stage)
+        val dir = java.nio.file.Paths.get(s"$work/in")
+        java.nio.file.Files.createDirectories(dir)
+        // part-file NAME order == range-partition order == event-time
+        // order; mtimes ascend with it so the file stream replays the
+        // feed in event-time order
+        new java.io.File(stage).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, i) =>
+            val dest = dir.resolve(s"${name}_$i.parquet")
+            java.nio.file.Files.move(f.toPath, dest)
+            java.nio.file.Files.setLastModifiedTime(dest,
+              java.nio.file.attribute.FileTime.fromMillis(modMs + i * 1000L))
+          }
+      }
+      // events arrive in EVENT-TIME-ordered micro-batches (range files):
+      // the watermark advances continuously between batches without ever
+      // marking a later file's rows late, and sessions that straddle a
+      // file boundary must MERGE in state; the sentinel lands last, 2
+      // days past the max event time, dragging the watermark beyond
+      // every real session's end + gap
+      writeOne(ev.repartitionByRange(4, col("ts")), "a_events", 1000000L)
+      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+      val sentinel = s.createDataFrame(
+        s.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+          -1L, new java.sql.Timestamp(maxTs.getTime + 2L * 86400 * 1000), 0.0))),
+        ev.schema)
+      writeOne(sentinel.coalesce(1), "z_sentinel", 9000000L)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("session_start"),
+          col("n_events"), col("session_value"))
+      val q = stream.writeStream
+        .foreachBatch((b: DataFrame, id: Long) =>
+          b.write.mode("append").parquet(s"$work/out"))
+        .outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // distinct() drops foreachBatch-retry copies (one row per closed
+      // session); the sentinel's own synthetic session is excluded
+      s.read.parquet(s"$work/out").distinct()
+        .filter(col("user_id") =!= -1L)
+    }, Some(
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000 THEN 1 ELSE 0 END AS new_sess
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sessions AS (
+         |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS sess_id
+         |  FROM flagged)
+         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+         |  ${oSum("value")} AS session_value
+         |FROM sessions GROUP BY user_id, sess_id""".stripMargin)),
+
     // ---- stream-static enrichment join ----------------------------------
     // The dimension-lookup join every streaming pipeline runs: the event
     // STREAM joins the static customer→nation dimension per micro-batch —

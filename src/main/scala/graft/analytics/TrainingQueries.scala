@@ -1136,7 +1136,7 @@ object TrainingQueries {
         |    p -> (doc_id * 17 + (p % (n_chars % 48 + 8)) * 11 + (p // (n_chars % 48 + 8)) * 5) % 256)) AS BIGINT) AS g_sum,
         |  CAST(list_sum(list_transform(range(0, (n_chars % 48 + 8) * (n_chars % 32 + 8)),
         |    p -> (doc_id * 29 + (p % (n_chars % 48 + 8)) * 3 + (p // (n_chars % 48 + 8)) * 19) % 256)) AS BIGINT) AS b_sum
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin), bench = true)
   )
 
   /** Opaque-binary pipeline, REAL codec: documents are staged as a binary

@@ -114,7 +114,10 @@ object ScaleStress {
       // the seeded 2-hop profile is Σ_seed deg·deḡ — sub-wedge by
       // construction, must not blow up as replicas multiply degrees
       "mm_audio_features", "prep_fim_split", "txt_vocab_coverage",
-      "gph_2hop_neighborhood")
+      "gph_2hop_neighborhood",
+      // streaming session windows: state merges across event-time-ordered
+      // micro-batches; per-batch state is open sessions, not stream length
+      "evt_stream_session_windows")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =
