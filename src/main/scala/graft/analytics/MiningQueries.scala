@@ -1642,6 +1642,65 @@ object MiningQueries {
         |  CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) * 1000000
         |    // count(*) AS BIGINT) AS oov_e6
         |FROM toks LEFT JOIN vocab ON toks.w = vocab.w
-        |GROUP BY doc_id""".stripMargin))
+        |GROUP BY doc_id""".stripMargin)),
+
+    // ---- spelling-variant pairs (SymSpell deletion-neighborhood join) ---
+    // The fuzzy dictionary join: vocabulary words within edit distance 1
+    // of each other, found WITHOUT an all-pairs scan via the SymSpell
+    // blocking identity — every distance-≤1 pair shares a key in
+    // {word} ∪ {its 1-deletions} (substitution → same deletion position;
+    // insert/delete → the shorter word IS a deletion of the longer).
+    // Candidates equi-join on the key (vocabulary-bounded fanout: each
+    // word emits len+1 keys), then the exact Levenshtein verifies —
+    // lossless blocking + cheap verify, the er_record_linkage discipline
+    // applied to strings. 100 TB: vocabulary table ≪ corpus; the deletion
+    // explode is linear in vocabulary bytes.
+    CatalogQuery("txt_spell_variant_pairs", (s, d) => {
+      // the synthetic corpus draws words from a clean vocabulary with no
+      // natural near-variants, so every 37th document plants an
+      // 'x'-prefixed copy of its first word — a deterministic distance-1
+      // insertion both engines construct identically; the operator must
+      // FIND them (a 0-row gate would prove nothing)
+      val planted = concat(col("text"),
+        when(col("doc_id") % 37 === 0,
+          concat(lit(" x"), expr("substring_index(text, ' ', 1)")))
+          .otherwise(lit("")))
+      val words = Tables.documents(s, d)
+        .select(planted.as("text"))
+        .withColumn("norm", expr(
+          "trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ''), ' +', ' '))"))
+        .select(explode(split(col("norm"), " ")).as("w"))
+        .filter(length(col("w")) >= 4)
+        .distinct()
+      val keys = words.select(col("w"), explode(expr(
+        """concat(array(w), transform(sequence(1, length(w)),
+          | i -> concat(substr(w, 1, CAST(i - 1 AS INT)),
+          |             substr(w, CAST(i + 1 AS INT)))))""".stripMargin)).as("k"))
+      val cand = keys.as("a").join(keys.as("b"),
+          col("a.k") === col("b.k") && col("a.w") < col("b.w"))
+        .select(col("a.w").as("w1"), col("b.w").as("w2"))
+        .distinct()
+      cand.filter(levenshtein(col("w1"), col("w2")) <= 1)
+        .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("long"))
+    }, Some(
+      """WITH planted AS (
+        |  SELECT text || CASE WHEN doc_id % 37 = 0
+        |    THEN ' x' || split_part(text, ' ', 1) ELSE '' END AS text
+        |  FROM documents),
+        |words AS (
+        |  SELECT DISTINCT w FROM (
+        |    SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS w
+        |    FROM planted) t
+        |  WHERE len(w) >= 4),
+        |keys AS (
+        |  SELECT w, unnest(list_prepend(w, list_transform(range(1, len(w) + 1),
+        |    i -> substring(w, 1, i - 1) || substring(w, i + 1)))) AS k
+        |  FROM words),
+        |cand AS (
+        |  SELECT DISTINCT a.w AS w1, b.w AS w2
+        |  FROM keys a JOIN keys b ON a.k = b.k AND a.w < b.w)
+        |SELECT w1, w2, CAST(levenshtein(w1, w2) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(w1, w2) <= 1""".stripMargin))
   )
 }

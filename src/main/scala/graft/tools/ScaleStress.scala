@@ -117,7 +117,10 @@ object ScaleStress {
       "gph_2hop_neighborhood",
       // streaming session windows: state merges across event-time-ordered
       // micro-batches; per-batch state is open sessions, not stream length
-      "evt_stream_session_windows")
+      "evt_stream_session_windows",
+      // SymSpell deletion-neighborhood fuzzy join: vocabulary-bounded
+      // key explode, candidate fanout per key bounded by variant counts
+      "txt_spell_variant_pairs")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

@@ -634,6 +634,38 @@ class MiningQueriesSpec extends SparkSpec {
     }
   }
 
+  test("spell variants: SymSpell blocking finds EXACTLY the brute-force d<=1 pairs") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val vocab = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val t = r.getString(1) + (if (r.getLong(0) % 37 == 0)
+          " x" + r.getString(1).split(" ", -1).head else "")
+        t.toLowerCase.replaceAll("[^a-z ]", "").split(" +")
+      }.filter(_.length >= 4).distinct.sorted
+    val exp = (for {
+      i <- vocab.indices; j <- (i + 1) until vocab.length
+      if math.abs(vocab(i).length - vocab(j).length) <= 1 &&
+        lev(vocab(i), vocab(j)) <= 1
+    } yield ((vocab(i), vocab(j)), lev(vocab(i), vocab(j)).toLong)).toMap
+    val got = q("txt_spell_variant_pairs").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == exp, s"got ${got.size} pairs, expected ${exp.size}")
+    assert(exp.nonEmpty, "corpus must contain at least one d<=1 variant pair")
+  }
+
   test("vocab coverage: OOV rates match a driver-side recount") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").collect()
