@@ -728,6 +728,32 @@ object CurationQueries {
         |  FROM documents) t
         |WHERE rank <= 5""".stripMargin)),
 
+    // ---- SQL front door: correlated LATERAL subquery --------------------
+    // The second SQL-surface probe: a correlated LATERAL top-k ("best 2
+    // nations per region by order volume") — the SQL-standard form of
+    // per-group top-k that Catalyst plans as a DomainJoin rewrite into a
+    // windowed rank, so the declarative text gets the same physical plan
+    // as the .withColumn(row_number) form. Identical SQL runs on both
+    // engines.
+    CatalogQuery("sql_lateral_topk", (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT r.r_name, t.n_name, t.total
+          |FROM region r, LATERAL (
+          |  SELECT n.n_name, CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+          |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+          |  JOIN orders o ON o.o_custkey = c.c_custkey
+          |  WHERE n.n_regionkey = r.r_regionkey
+          |  GROUP BY n.n_name ORDER BY total DESC, n.n_name LIMIT 2) t""".stripMargin)
+    }, Some(
+      """SELECT r.r_name, t.n_name, t.total
+        |FROM region r, LATERAL (
+        |  SELECT n.n_name, CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  JOIN orders o ON o.o_custkey = c.c_custkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name ORDER BY total DESC, n.n_name LIMIT 2) t""".stripMargin)),
+
     // ---- multi-format scan round-trip -----------------------------------
     // Source-format breadth: the same table written and read back through
     // Spark's CSV (header + quoting), JSON-lines, and ORC readers, with

@@ -669,6 +669,54 @@ object StreamingQueries {
          |  ${oSum("value")} AS session_value
          |FROM sessions GROUP BY user_id, sess_id""".stripMargin)),
 
+    // ---- at-least-once replay dedup (dropDuplicatesWithinWatermark) -----
+    // Gravity's delivery contract made streaming-native: the CDC
+    // transport is at-least-once (task retries / reconnects replay
+    // messages), and the consumer deduplicates within a bounded horizon
+    // instead of keeping every key forever. Every 13th event is fed
+    // TWICE; dropDuplicatesWithinWatermark(event_id) suppresses the
+    // replay with state that EXPIRES once the watermark passes — the
+    // bounded-memory form of exactly-once that a keep-all-keys
+    // dropDuplicates cannot give at 100 TB/day. Replays land within
+    // the horizon by construction (event-time-ordered staging), so the
+    // drained output equals the original event set — the oracle.
+    CatalogQuery("evt_stream_dedup_replays", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = Q.scratch("sdw")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"))
+      val feed = ev.unionByName(ev.filter(col("event_id") % 13 === 0))
+      val stage = s"$work/stage"
+      feed.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(stage)
+      val dir = java.nio.file.Paths.get(s"$work/in")
+      java.nio.file.Files.createDirectories(dir)
+      new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+          val dest = dir.resolve(s"ev_$i.parquet")
+          java.nio.file.Files.move(f.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 1000L))
+        }
+      val deduped = s.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = deduped.writeStream
+        .foreachBatch((b: DataFrame, id: Long) =>
+          b.write.mode("append").parquet(s"$work/out"))
+        .outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out").dropDuplicates("event_id") // task-retry copies
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("timestamp_ntz").as("ts"))
+    }, Some(
+      """SELECT event_id, user_id, event_type, ts FROM events""")),
+
     // ---- stream-static enrichment join ----------------------------------
     // The dimension-lookup join every streaming pipeline runs: the event
     // STREAM joins the static customer→nation dimension per micro-batch —

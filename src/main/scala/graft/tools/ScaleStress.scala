@@ -120,7 +120,10 @@ object ScaleStress {
       "evt_stream_session_windows",
       // SymSpell deletion-neighborhood fuzzy join: vocabulary-bounded
       // key explode, candidate fanout per key bounded by variant counts
-      "txt_spell_variant_pairs")
+      "txt_spell_variant_pairs",
+      // at-least-once replay dedup: state expires at the watermark, so
+      // per-batch state tracks the horizon, not distinct-key history
+      "evt_stream_dedup_replays")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

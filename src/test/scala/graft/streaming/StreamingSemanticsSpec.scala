@@ -253,4 +253,36 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(streamed.subsetOf(batch))
     assert(streamed.size >= batch.size / 2)
   }
+
+  test("replay dedup: the STREAM suppresses at-least-once duplicates itself") {
+    // the catalog entry's read-back dedups task-retry copies, which
+    // could mask a broken dropDuplicatesWithinWatermark — here the RAW
+    // emitted rows are counted: each event must emit exactly once even
+    // though every 13th is fed twice
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val work = graft.analytics.Q.scratch("sdw-spec")
+    val ev = graft.core.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
+    val feed = ev.unionByName(ev.filter(col("event_id") % 13 === 0))
+    val nFed = feed.count()
+    val nDistinct = ev.count()
+    assert(nFed > nDistinct, "replays must actually be planted")
+    feed.repartitionByRange(2, col("ts")).write.mode("overwrite")
+      .parquet(s"$work/in")
+    val q = spark.readStream.schema(feed.schema).parquet(s"$work/in")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val raw = spark.read.parquet(s"$work/out")
+    assert(raw.count() == nDistinct,
+      s"raw emitted ${raw.count()} rows, want $nDistinct (no replay leaks)")
+    assert(raw.select("event_id").distinct().count() == nDistinct)
+  }
 }
