@@ -629,6 +629,8 @@ object StreamingQueries {
       // days past the max event time, dragging the watermark beyond
       // every real session's end + gap
       writeOne(ev.repartitionByRange(4, col("ts")), "a_events", 1000000L)
+      // bounded driver-side collect: a 1-row global max (the sentinel's
+      // anchor), the canary-probe pattern
       val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
       val sentinel = s.createDataFrame(
         s.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
