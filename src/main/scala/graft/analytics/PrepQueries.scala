@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.core.Tables
-import graft.functions.{GraftFunctions, Similarity}
+import graft.functions.{GraftFunctions, Similarity, TarArchive}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -810,6 +810,42 @@ object PrepQueries {
         |      <= shard_budget - sum((shard_budget::HUGEINT * score) // den)
         |           OVER (PARTITION BY shard)
         |      THEN 1 ELSE 0 END)::BIGINT AS token_budget
-        |FROM l2""".stripMargin))
+        |FROM l2""".stripMargin)),
+
+    // ---- WebDataset-style tar shard export + re-ingest ------------------
+    // The training-data delivery format: bounded member groups (shard =
+    // doc_id div 100 — shard COUNT grows with the corpus, shard SIZE
+    // stays bounded) rendered as real POSIX ustar archives per group
+    // (functions.TarArchive, hand-rolled to spec and cross-checked
+    // against GNU tar in TarArchiveSpec), then UNPACKED again through
+    // the validating parser. The oracle gates per-member name/size/md5
+    // against the source table, so a header-layout, padding, or
+    // round-trip bug hash-mismatches. 100 TB: one shuffle on shard id,
+    // per-task memory bounded by shard size, export and ingest both
+    // embarrassingly parallel.
+    CatalogQuery("prep_tar_shards", (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(expr("doc_id div 100").as("shard"), col("doc_id"), col("text"))
+        .as[(Long, Long, String)]
+      val shards = docs.groupByKey(_._1)
+        .mapGroups { (shard, it) =>
+          val members = it.toArray.sortBy(_._2).toSeq
+            .map { case (_, id, text) => (s"doc$id.txt", text.getBytes("UTF-8")) }
+          (shard, TarArchive.pack(members))
+        }
+      shards.flatMap { case (shard, tar) =>
+        TarArchive.unpack(tar).map { case (name, data) =>
+          val md = java.security.MessageDigest.getInstance("MD5").digest(data)
+          (name.stripPrefix("doc").stripSuffix(".txt").toLong, shard,
+            data.length.toLong,
+            md.map(b => f"$b%02x").mkString)
+        }
+      }.toDF("doc_id", "shard", "n_bytes", "content_md5")
+    }, Some(
+      """SELECT doc_id, doc_id // 100 AS shard,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents""".stripMargin))
   )
 }

@@ -123,7 +123,10 @@ object ScaleStress {
       "txt_spell_variant_pairs",
       // at-least-once replay dedup: state expires at the watermark, so
       // per-batch state tracks the horizon, not distinct-key history
-      "evt_stream_dedup_replays")
+      "evt_stream_dedup_replays",
+      // tar shard export+ingest: bounded members per shard, shard count
+      // grows with the corpus — per-task memory must stay flat
+      "prep_tar_shards")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =
