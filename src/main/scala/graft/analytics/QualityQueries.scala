@@ -375,6 +375,57 @@ object QualityQueries {
         |  new_values,
         |  abs(null_ppm_b - null_ppm_a) > 10000 AS null_drift,
         |  new_values > 0 OR distinct_b <> distinct_a AS domain_drift
-        |FROM rep""".stripMargin))
+        |FROM rep""".stripMargin)),
+
+    // ---- exact ROC-AUC of a quality score (Mann-Whitney rank form) ------
+    // Classifier-eval plumbing for quality gates: how well does a score
+    // (here n_chars) rank the positive class (lang = 'en')? AUC is
+    // computed EXACTLY via the Mann-Whitney identity with midrank tie
+    // handling, doubled so every intermediate stays an integer:
+    //   2U = Σ_pos(2·minrank + ties − 1) − P(P+1),  AUC = U / (P·N).
+    // Scale shape: the per-ROW rank never materializes — scores
+    // aggregate to SCORE-LEVEL rows first (distinct-score cardinality,
+    // bounded like a histogram), the cumulative window runs over that
+    // bounded table, and Σ_pos·midrank is one weighted sum — the same
+    // two-level discipline as the drift/histogram entries. A global
+    // per-row rank() would be the 100 TB anti-pattern.
+    CatalogQuery("qa_auc_ranking", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("n_chars").cast("long").as("score"),
+          (col("lang") === "en").cast("long").as("pos"))
+      val byScore = docs.groupBy(col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      val w = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = byScore
+        .withColumn("below", coalesce(sum(col("n")).over(w), lit(0L)))
+        // 2·midrank = 2·(below + 1) + (n − 1)
+        .withColumn("mid2", lit(2L) * (col("below") + 1L) + col("n") - 1L)
+      ranked.agg(
+          sum(col("n_pos")).as("p"),
+          sum(col("n") - col("n_pos")).as("nn"),
+          sum(col("n_pos") * col("mid2")).as("sum_mid2"))
+        .select(col("p").as("n_pos"), col("nn").as("n_neg"),
+          expr("(sum_mid2 - p * (p + 1)) * 1000000 div (2 * p * nn)")
+            .as("auc_e6"))
+    }, Some(
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |by_score AS (
+        |  SELECT score, count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos
+        |  FROM d GROUP BY 1),
+        |ranked AS (
+        |  SELECT *, coalesce(sum(n) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS below
+        |  FROM by_score),
+        |agg AS (
+        |  SELECT sum(n_pos)::BIGINT AS p, sum(n - n_pos)::BIGINT AS nn,
+        |    sum(n_pos * (2 * (below + 1) + n - 1))::BIGINT AS sum_mid2
+        |  FROM ranked)
+        |SELECT p AS n_pos, nn AS n_neg,
+        |  CAST((sum_mid2 - p * (p + 1)) * 1000000 // (2 * p * nn) AS BIGINT) AS auc_e6
+        |FROM agg""".stripMargin))
   )
 }

@@ -126,7 +126,10 @@ object ScaleStress {
       "evt_stream_dedup_replays",
       // tar shard export+ingest: bounded members per shard, shard count
       // grows with the corpus — per-task memory must stay flat
-      "prep_tar_shards")
+      "prep_tar_shards",
+      // exact AUC in the score-level rank form: the window runs over
+      // distinct-score cardinality, never per-row
+      "qa_auc_ranking")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

@@ -666,6 +666,21 @@ class MiningQueriesSpec extends SparkSpec {
     assert(exp.nonEmpty, "corpus must contain at least one d<=1 variant pair")
   }
 
+  test("AUC: the rank form equals brute-force pairwise wins + half-ties") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("CAST(n_chars AS BIGINT) AS s", "lang = 'en' AS p").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val pos = docs.filter(_._2).map(_._1)
+    val neg = docs.filterNot(_._2).map(_._1)
+    val num2 = (for (a <- pos; b <- neg) yield
+      if (a > b) 2L else if (a == b) 1L else 0L).sum // 2·(wins + ties/2)
+    val expAuc = num2 * 1000000L / (2L * pos.length * neg.length)
+    val row = q("qa_auc_ranking").head
+    assert(row.getLong(0) == pos.length && row.getLong(1) == neg.length)
+    assert(row.getLong(2) == expAuc,
+      s"rank-form AUC ${row.getLong(2)} != pairwise $expAuc")
+  }
+
   test("vocab coverage: OOV rates match a driver-side recount") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").collect()
