@@ -846,6 +846,102 @@ object PrepQueries {
       """SELECT doc_id, doc_id // 100 AS shard,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    // ---- incremental dataset publishing: CDC-maintained tar shards ------
+    // The export twin of ann_cdc_incremental_index: a 4-batch document
+    // change stream (rev-updates / tombstones / new-key inserts) is
+    // LWW-compacted into a doc-state SnapshotSink, and per batch ONLY
+    // the shards containing changed keys re-render their tar archive
+    // into a second, shard-keyed sink (a shard emptied of members is
+    // tombstoned). The published shard set is then re-INGESTED through
+    // the validating parser, and the oracle rebuilds the final document
+    // state from the full log in SQL — so incremental publishing must
+    // converge to the from-scratch export. 100 TB: per-batch cost =
+    // changed docs (state merge) + touched shards (render), never the
+    // corpus; untouched shards' bytes are never rewritten (the sink's
+    // touched-bucket property).
+    CatalogQuery("cdc_incremental_shard_export", (s, d) => {
+      import s.implicits._
+      val work = Q.scratch("cdcshard")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      def batch(b: Int): DataFrame = {
+        if (b == 0)
+          docs.select(col("doc_id"), col("text"),
+            lit(graft.core.ChangeLog.Insert).as("op"), lit(0L).as("seq"))
+        else {
+          val ups = docs.filter(col("doc_id") % 10 === b)
+            .select(col("doc_id"), concat(col("text"), lit(s" rev$b")).as("text"))
+          val ins = docs.filter(col("doc_id") % 23 === b)
+            .select((col("doc_id") + lit(1000000L * b)).as("doc_id"),
+              concat(col("text"), lit(s" ins$b")).as("text"))
+          val dels = docs.filter(col("doc_id") % 17 === b && col("doc_id") % 10 =!= b)
+            .select(col("doc_id"), lit(null).cast("string").as("text"))
+          ups.unionByName(ins)
+            .withColumn("op", lit(graft.core.ChangeLog.Update))
+            .unionByName(dels.withColumn("op", lit(graft.core.ChangeLog.Delete)))
+            .withColumn("seq", lit(b.toLong))
+        }
+      }
+      val docState = new graft.sinks.SnapshotSink(s, s"$work/docs", Seq("doc_id"))
+      val shardSink = new graft.sinks.SnapshotSink(s, s"$work/shards", Seq("shard"))
+      (0 to 3).foreach { b =>
+        val ch = batch(b)
+        docState.merge(ch)
+        val touched = ch.select(expr("doc_id div 100").as("shard")).distinct()
+        val rendered = docState.read()
+          .withColumn("shard", expr("doc_id div 100"))
+          .join(touched, "shard") // touched is batch-bounded; AQE broadcasts
+          .select(col("shard"), col("doc_id"), col("text"))
+          .as[(Long, Long, String)]
+          .groupByKey(_._1)
+          .mapGroups { (shard, it) =>
+            val members = it.toArray.sortBy(_._2).toSeq
+              .map { case (_, id, t) => (s"doc$id.txt", t.getBytes("UTF-8")) }
+            (shard, TarArchive.pack(members))
+          }
+          .toDF("shard", "tar")
+        val emptied = touched.join(rendered.select("shard"), Seq("shard"), "left_anti")
+          .select(col("shard"), lit(null).cast("binary").as("tar"),
+            lit(graft.core.ChangeLog.Delete).as("op"))
+        shardSink.merge(rendered
+          .withColumn("op", lit(graft.core.ChangeLog.Update))
+          .unionByName(emptied)
+          .withColumn("seq", lit(b.toLong)))
+      }
+      shardSink.read().select(col("shard"), col("tar")).as[(Long, Array[Byte])]
+        .flatMap { case (shard, tar) =>
+          TarArchive.unpack(tar).map { case (name, data) =>
+            val md = java.security.MessageDigest.getInstance("MD5").digest(data)
+            (name.stripPrefix("doc").stripSuffix(".txt").toLong, shard,
+              data.length.toLong, md.map(x => f"$x%02x").mkString)
+          }
+        }
+        .toDF("doc_id", "shard", "n_bytes", "content_md5")
+    }, Some(
+      """WITH b3 AS (SELECT unnest(range(1, 4)) AS b),
+        |base AS (SELECT doc_id, text, 0::BIGINT AS seq, 0 AS del FROM documents),
+        |ups AS (
+        |  SELECT doc_id, text || ' rev' || b::VARCHAR AS text, b::BIGINT AS seq, 0 AS del
+        |  FROM documents CROSS JOIN b3 WHERE doc_id % 10 = b),
+        |ins AS (
+        |  SELECT doc_id + 1000000 * b AS doc_id, text || ' ins' || b::VARCHAR AS text,
+        |    b::BIGINT AS seq, 0 AS del
+        |  FROM documents CROSS JOIN b3 WHERE doc_id % 23 = b),
+        |dels AS (
+        |  SELECT doc_id, CAST(NULL AS VARCHAR) AS text, b::BIGINT AS seq, 1 AS del
+        |  FROM documents CROSS JOIN b3 WHERE doc_id % 17 = b AND doc_id % 10 <> b),
+        |log AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM ups
+        |  UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM dels),
+        |fin AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |    FROM log) t
+        |  WHERE rn = 1 AND del = 0)
+        |SELECT doc_id, doc_id // 100 AS shard,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM fin""".stripMargin))
   )
 }

@@ -129,7 +129,10 @@ object ScaleStress {
       "prep_tar_shards",
       // exact AUC in the score-level rank form: the window runs over
       // distinct-score cardinality, never per-row
-      "qa_auc_ranking")
+      "qa_auc_ranking",
+      // incremental dataset publishing: per-batch cost = changed docs +
+      // touched shards (8 sink merges total), never the corpus
+      "cdc_incremental_shard_export")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

@@ -104,4 +104,39 @@ class PrepQueriesSpec extends SparkSpec {
     assert(gotShard == expShard, s"per-shard budgets $gotShard != $expShard")
     assert(rows.forall(_._3 >= 0))
   }
+
+  test("incremental shard export equals a plain-Scala CDC replay") {
+    val got = Catalog.queries("cdc_incremental_shard_export")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val base = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val state = scala.collection.mutable.Map.empty[Long, String]
+    base.foreach { case (id, t) => state(id) = t }
+    (1 to 3).foreach { b =>
+      base.foreach { case (id, t) =>
+        if (id % 10 == b) state(id) = t + s" rev$b"
+        else if (id % 17 == b) state.remove(id)
+        if (id % 23 == b) state(id + 1000000L * b) = t + s" ins$b"
+      }
+    }
+    val exp = state.map { case (id, t) =>
+      val bts = t.getBytes("UTF-8")
+      val md = java.security.MessageDigest.getInstance("MD5").digest(bts)
+        .map(x => f"$x%02x").mkString
+      id -> ((id / 100, bts.length.toLong, md))
+    }.toMap
+    assert(got == exp, "published members must equal the replayed final state")
+    // the CDC semantics all fired: a delete absent, an insert present,
+    // a revision's checksum differs from the base text's
+    assert(base.exists { case (id, _) =>
+      id % 17 == 1 && id % 10 != 1 && !got.contains(id) })
+    assert(got.keys.exists(_ > 1000000L))
+    val revised = base.find { case (id, _) =>
+      id % 10 == 1 && id % 17 != 2 && id % 17 != 3 }.get
+    val baseMd = java.security.MessageDigest.getInstance("MD5")
+      .digest(revised._2.getBytes("UTF-8")).map(x => f"$x%02x").mkString
+    assert(got(revised._1)._3 != baseMd)
+  }
 }
