@@ -194,7 +194,7 @@ class WireNegativeSpec extends AnyFunSuite {
     val cases: Seq[(String, Array[Byte], Boolean)] = Seq(
       ("closed mid-body (Content-Length 100, 3 bytes arrive)",
         "HTTP/1.1 200 OK\r\nContent-Length: 100\r\n\r\nabc".getBytes, true),
-      ("garbage status line", "NOT-HTTP???\r\n\r\n".getBytes, true),
+      ("garbage status line", "NOT-HTTP!!!\r\n\r\n".getBytes, true),
       ("stall before response", Array.emptyByteArray, false))
     cases.foreach { case (name, resp, close) =>
       val e = withPeer(resp, close) { port =>
