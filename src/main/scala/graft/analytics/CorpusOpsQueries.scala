@@ -19,6 +19,33 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOpsQueries {
 
+  /** Per-source boilerplate prefix via the min/max LCP identity: the
+    * longest common prefix of a SET of strings equals the LCP of its
+    * lexicographic MIN and MAX alone — so the whole detection is one
+    * map-side-combinable min/max aggregate per source plus ONE pairwise
+    * LCP per group, no cross-document comparison anywhere. A planted
+    * per-source header makes the signal deterministic (the raw corpus
+    * has none); the crawl-pipeline use is stripping site templates.
+    * 100 TB: the min/max agg is the whole cost — one scan.
+    */
+  private val lcpHof =
+    """CAST(aggregate(sequence(1, CAST(least(length(lo), length(hi)) AS INT)),
+      | CAST(0 AS BIGINT),
+      | (acc, i) -> CASE WHEN substr(lo, 1, i) = substr(hi, 1, i)
+      |   THEN CAST(i AS BIGINT) ELSE acc END) AS BIGINT)""".stripMargin
+
+  private def boilerplatePrefix(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(lit("["), col("source"), lit("] "), col("text"))
+    Tables.documents(s, d)
+      .select(col("source"), planted.as("text"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("text")).as("lo"), max(col("text")).as("hi"))
+      .withColumn("lcp_len", expr(lcpHof))
+      .select(col("source"), col("n_docs"), col("lcp_len"),
+        expr("substr(lo, 1, CAST(lcp_len AS INT))").as("prefix"))
+  }
+
   /** Hard-negative mining with the ANCHOR SET as a parameter. The oracle
     * entry anchors on `vec_id % 25 == 0` (anchors scale with the corpus —
     * the harness regime); ScaleStress also runs the PRODUCTION regime, a
@@ -234,6 +261,25 @@ object CorpusOpsQueries {
          |    row_number() OVER (PARTITION BY anchor_id
          |      ORDER BY ${graft.functions.Similarity.cosineDuck("av", "embedding", 64)} DESC, vec_id) AS rn
          |  FROM cand) t
-         |WHERE rn = 1""".stripMargin))
+         |WHERE rn = 1""".stripMargin)),
+
+    // ---- per-source boilerplate prefix (min/max LCP identity) -----------
+    CatalogQuery("txt_boilerplate_prefix", boilerplatePrefix, Some(
+      """WITH p AS (
+        |  SELECT source, '[' || source || '] ' || text AS text FROM documents),
+        |mm AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    min(text) AS lo, max(text) AS hi
+        |  FROM p GROUP BY 1),
+        |l AS (
+        |  SELECT source, n_docs, lo,
+        |    coalesce(list_max(list_transform(
+        |      range(1, least(length(lo), length(hi)) + 1),
+        |      i -> CASE WHEN substring(lo, 1, i) = substring(hi, 1, i)
+        |        THEN i ELSE 0 END)), 0)::BIGINT AS lcp_len
+        |  FROM mm)
+        |SELECT source, n_docs, lcp_len,
+        |  substring(lo, 1, CAST(lcp_len AS INT)) AS prefix
+        |FROM l""".stripMargin))
   )
 }

@@ -132,7 +132,9 @@ object ScaleStress {
       "qa_auc_ranking",
       // incremental dataset publishing: per-batch cost = changed docs +
       // touched shards (8 sink merges total), never the corpus
-      "cdc_incremental_shard_export")
+      "cdc_incremental_shard_export",
+      // boilerplate prefix: one min/max agg + ONE pairwise LCP per group
+      "txt_boilerplate_prefix")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

@@ -50,4 +50,26 @@ class CorpusOpsQueriesSpec extends SparkSpec {
     }
     assert(got.nonEmpty, "mining must produce pairs at sf0.001")
   }
+
+  test("boilerplate prefix: min/max LCP equals the LCP over ALL documents") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), s"[${r.getString(0)}] ${r.getString(1)}"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+    def lcp2(a: String, b: String): Int = {
+      var i = 0
+      while (i < math.min(a.length, b.length) && a(i) == b(i)) i += 1
+      i
+    }
+    val got = graft.analytics.Catalog.queries("txt_boilerplate_prefix")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    docs.foreach { case (src, texts) =>
+      // ground truth the EXPENSIVE way: fold LCP over every doc
+      val full = texts.reduce((a, b) => a.take(lcp2(a, b)))
+      assert(got(src) == ((texts.size.toLong, full.length.toLong, full)),
+        s"source $src: min/max identity must equal the full fold")
+      assert(full.startsWith(s"[$src] "), "planted header must be detected")
+    }
+  }
 }
