@@ -263,6 +263,96 @@ object CorpusOpsQueries {
          |  FROM cand) t
          |WHERE rn = 1""".stripMargin)),
 
+    // ---- sparse cosine pairs (postings join, exact rational cos²) -------
+    // The SPARSE twin of the dense-embedding pair ops: documents as
+    // term-frequency vectors, candidate pairs via the inverted-postings
+    // equi-join (df ≤ 8 heavy-hitter guard — boilerplate terms never fan
+    // out), and similarity as cos² in EXACT rational form —
+    // cos² = dot² / (‖a‖²·‖b‖²) needs no square root, so the gate
+    // crosses engines as an integer-scaled division. Reported pairs:
+    // cos²·10⁶ ≥ 250000 (cos ≥ 0.5). docsPlus' synthetic duplicates give
+    // guaranteed cos = 1 pairs. 100 TB: postings join + per-pair
+    // aggregate; norms are per-doc aggregates joined back at pair
+    // cardinality.
+    CatalogQuery("sim_sparse_cosine_pairs", (s, d) => {
+      // the synthetic vocabulary is all high-df words, so every document
+      // plants one unique token (making dup pairs candidate-reachable
+      // through the rare-term guard), and two planted families give the
+      // gate both regimes: exact copies (cos² = 1e6 exactly) and near
+      // copies with drift tokens (cos² just under)
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" uq"), col("doc_id").cast("string")).as("text"))
+      val dp = base
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+        .unionByName(base.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" drifta driftb driftc")).as("text")))
+      val tf = dp
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val norms = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("tf")).as("n2"))
+      val dfq = tf.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .filter(col("c").between(2, 8)).select("w")
+      // candidate pairs: share at least one RARE term (lossy for pairs
+      // glued only by boilerplate — the deliberate trade every postings
+      // blocker makes); dot is then EXACT over ALL shared terms
+      val posts = tf.join(dfq, "w")
+      val cand = posts.as("a").join(posts.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val dots = cand
+        .join(tf.select(col("doc_id").as("doc_a"), col("w"), col("tf").as("tfa")), "doc_a")
+        .join(tf.select(col("doc_id").as("doc_b"), col("w"), col("tf").as("tfb")),
+          Seq("doc_b", "w"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(col("tfa") * col("tfb")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
+        .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+        .withColumn("cos2_e6", expr("dot * dot * 1000000 div (na2 * nb2)"))
+        .filter(col("cos2_e6") >= 250000)
+        .select(col("doc_a"), col("doc_b"), col("dot"), col("cos2_e6"))
+    }, Some(
+      """WITH base AS (
+        |  SELECT doc_id, text || ' uq' || doc_id::VARCHAR AS text FROM documents),
+        |dp AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' drifta driftb driftc'
+        |  FROM base WHERE doc_id % 15 = 0),
+        |tf AS (
+        |  SELECT doc_id, w, count(*)::BIGINT AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM dp) t
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM tf GROUP BY 1),
+        |dfq AS (
+        |  SELECT w FROM (
+        |    SELECT w, count(*) AS c FROM (SELECT DISTINCT doc_id, w FROM tf) u
+        |    GROUP BY 1) g
+        |  WHERE c BETWEEN 2 AND 8),
+        |posts AS (SELECT tf.doc_id, tf.w FROM tf JOIN dfq USING (w)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM posts a JOIN posts b ON a.w = b.w AND a.doc_id < b.doc_id),
+        |dots AS (
+        |  SELECT c.doc_a, c.doc_b, sum(ta.tf * tb.tf)::BIGINT AS dot
+        |  FROM cand c
+        |  JOIN tf ta ON ta.doc_id = c.doc_a
+        |  JOIN tf tb ON tb.doc_id = c.doc_b AND tb.w = ta.w
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, dot,
+        |  CAST(dot * dot * 1000000 // (na.n2 * nb.n2) AS BIGINT) AS cos2_e6
+        |FROM dots
+        |JOIN norms na ON na.doc_id = doc_a
+        |JOIN norms nb ON nb.doc_id = doc_b
+        |WHERE dot * dot * 1000000 // (na.n2 * nb.n2) >= 250000""".stripMargin)),
+
     // ---- per-source boilerplate prefix (min/max LCP identity) -----------
     CatalogQuery("txt_boilerplate_prefix", boilerplatePrefix, Some(
       """WITH p AS (

@@ -134,7 +134,9 @@ object ScaleStress {
       // touched shards (8 sink merges total), never the corpus
       "cdc_incremental_shard_export",
       // boilerplate prefix: one min/max agg + ONE pairwise LCP per group
-      "txt_boilerplate_prefix")
+      "txt_boilerplate_prefix",
+      // sparse cosine: rare-term candidate join + exact per-pair dot
+      "sim_sparse_cosine_pairs")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

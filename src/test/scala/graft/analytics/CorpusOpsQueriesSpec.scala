@@ -51,6 +51,36 @@ class CorpusOpsQueriesSpec extends SparkSpec {
     assert(got.nonEmpty, "mining must produce pairs at sf0.001")
   }
 
+  test("sparse cosine: planted pairs carry exact rational cos² values") {
+    val rows = graft.analytics.Catalog.queries("sim_sparse_cosine_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1) + " uq" + r.getLong(0))).toMap
+    def tf(t: String): Map[String, Long] =
+      t.split(" ", -1).groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    // exact copies: cos² must be exactly 1e6
+    docs.keys.filter(_ % 10 == 0).foreach { id =>
+      val got = rows.get((id, id + 1000000L))
+      assert(got.isDefined, s"exact dup pair for $id missing")
+      assert(got.get._2 == 1000000L, s"exact dup $id cos2 ${got.get._2}")
+    }
+    // near copies: re-derive dot and cos² against the drifted text
+    docs.keys.filter(_ % 15 == 0).take(10).foreach { id =>
+      val a = tf(docs(id))
+      val b = tf(docs(id) + " drifta driftb driftc")
+      val dot = a.keysIterator.filter(b.contains).map(w => a(w) * b(w)).sum
+      val na2 = a.values.map(v => v * v).sum
+      val nb2 = b.values.map(v => v * v).sum
+      val cos2 = dot * dot * 1000000L / (na2 * nb2)
+      val got = rows.get((id, id + 2000000L))
+      assert(got.isDefined && got.get == ((dot, cos2)), s"near dup $id: $got")
+      assert(cos2 < 1000000L, "drift must pull cos2 below exact")
+    }
+  }
+
   test("boilerplate prefix: min/max LCP equals the LCP over ALL documents") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("source", "text").collect()
