@@ -426,6 +426,45 @@ object QualityQueries {
         |  FROM ranked)
         |SELECT p AS n_pos, nn AS n_neg,
         |  CAST((sum_mid2 - p * (p + 1)) * 1000000 // (2 * p * nn) AS BIGINT) AS auc_e6
-        |FROM agg""".stripMargin))
+        |FROM agg""".stripMargin)),
+
+    // ---- calibration bins (the reliability-diagram / ECE input) ---------
+    // The companion eval to AUC: a classifier's CONFIDENCE must match its
+    // ACCURACY per confidence bin. The "prediction" is a deterministic
+    // pseudo-probability (rolling hash of the text, scaled to e6 — the
+    // harness stand-in for a model score, reproducible on both engines),
+    // the label is lang = 'en', and each decile bin reports count,
+    // positives, mean confidence and the |accuracy − confidence| gap as
+    // scaled integers — the per-bin inputs of ECE, minus the final
+    // weighted sum the caller applies. One scan + a 10-row aggregate.
+    CatalogQuery("qa_calibration_bins", (s, d) => {
+      val scored = Tables.documents(s, d)
+        .select((graft.functions.GraftFunctions.rolling_hash(col("text")) % 1000000L)
+          .as("p_e6"),
+          (col("lang") === "en").cast("long").as("pos"))
+      scored
+        .withColumn("bin", expr("p_e6 div 100000"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          sum(col("p_e6")).as("conf_sum"))
+        .withColumn("acc_e6", expr("n_pos * 1000000 div n"))
+        .withColumn("conf_e6", expr("conf_sum div n"))
+        .withColumn("gap_e6", abs(col("acc_e6") - col("conf_e6")))
+        .select(col("bin"), col("n"), col("n_pos"),
+          col("acc_e6"), col("conf_e6"), col("gap_e6"))
+    }, Some(
+      s"""WITH scored AS (
+         |  SELECT ${graft.functions.Similarity.rollingHashDuck("text")} % 1000000 AS p_e6,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents),
+         |b AS (
+         |  SELECT p_e6 // 100000 AS bin, count(*)::BIGINT AS n,
+         |    sum(pos)::BIGINT AS n_pos, sum(p_e6)::BIGINT AS conf_sum
+         |  FROM scored GROUP BY 1)
+         |SELECT bin, n, n_pos,
+         |  CAST(n_pos * 1000000 // n AS BIGINT) AS acc_e6,
+         |  CAST(conf_sum // n AS BIGINT) AS conf_e6,
+         |  CAST(abs(n_pos * 1000000 // n - conf_sum // n) AS BIGINT) AS gap_e6
+         |FROM b""".stripMargin))
   )
 }

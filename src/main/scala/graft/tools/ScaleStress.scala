@@ -136,7 +136,9 @@ object ScaleStress {
       // boilerplate prefix: one min/max agg + ONE pairwise LCP per group
       "txt_boilerplate_prefix",
       // sparse cosine: rare-term candidate join + exact per-pair dot
-      "sim_sparse_cosine_pairs")
+      "sim_sparse_cosine_pairs",
+      // calibration bins: one scan into a 10-row aggregate
+      "qa_calibration_bins")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

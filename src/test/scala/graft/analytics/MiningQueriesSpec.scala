@@ -681,6 +681,30 @@ class MiningQueriesSpec extends SparkSpec {
       s"rank-form AUC ${row.getLong(2)} != pairwise $expAuc")
   }
 
+  test("calibration bins: per-bin stats match a driver-side recount") {
+    def rh(s: String): Long = {
+      var acc = 0L
+      s.getBytes("UTF-8").foreach(b => acc = (acc * 31 + (b & 0xff)) % (1L << 31))
+      acc
+    }
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text", "lang").collect()
+      .map(r => (rh(r.getString(0)) % 1000000L, r.getString(1) == "en"))
+    val exp = docs.groupBy(_._1 / 100000).map { case (bin, xs) =>
+      val n = xs.length.toLong
+      val pos = xs.count(_._2).toLong
+      val confSum = xs.map(_._1).sum
+      val acc = pos * 1000000L / n
+      val conf = confSum / n
+      bin -> ((n, pos, acc, conf, math.abs(acc - conf)))
+    }
+    val got = q("qa_calibration_bins").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == exp)
+    assert(got.values.map(_._1).sum == docs.length.toLong)
+  }
+
   test("vocab coverage: OOV rates match a driver-side recount") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").collect()
