@@ -50,6 +50,23 @@ class TarArchiveSpec extends SparkSpec {
     }
   }
 
+  test("randomized member sets round-trip byte-exactly") {
+    val rng = new scala.util.Random(7)
+    (0 until 20).foreach { trial =>
+      val n = 1 + rng.nextInt(12)
+      val ms = (0 until n).map { i =>
+        val size = rng.nextInt(2000) // crosses 0/511/512/513 regions often
+        (f"m$trial%02d_$i%02d.bin",
+          Array.fill(size)(rng.nextInt(256).toByte))
+      }
+      val back = TarArchive.unpack(TarArchive.pack(ms))
+      assert(back.map(_._1) == ms.map(_._1), s"trial $trial names")
+      back.zip(ms).foreach { case ((nm, got), (_, exp)) =>
+        assert(java.util.Arrays.equals(got, exp), s"trial $trial member $nm")
+      }
+    }
+  }
+
   test("tampered checksum, bad magic, and truncation fail loudly") {
     val tar = TarArchive.pack(members)
     val tampered = tar.clone()
