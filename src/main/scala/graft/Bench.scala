@@ -44,7 +44,17 @@ object Bench {
           errs(name) = t.getClass.getSimpleName + ": " +
             Option(t.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Hygiene AFTER the clock stops, after EVERY pass (not just between
+      // queries — r08 shipped PageRank passes growing 5.94→8.01→11.03 s
+      // because each pass's localCheckpoint blocks survived into the next
+      // pass): drop SQL-cached relations and request a GC so the
+      // ContextCleaner releases this pass's persisted / localCheckpoint
+      // RDD blocks before the next pass starts. GC time is deliberately
+      // NOT charged to the pass.
+      spark.catalog.clearCache()
+      System.gc()
+      dt
     }
 
     // Passes are INTERLEAVED per query (cold, warm, warm — then the next
@@ -58,34 +68,44 @@ object Bench {
     // a GC is requested so one query's working set can't tax the next.
     //
     // Self-diagnosis (r07 verdict: a 2.3x contention outlier shipped
-    // silently as the number of record): every per-pass time is recorded
-    // in the artifact, and a query whose two warm passes disagree by
-    // more than 1.5x gets one extra tie-break pass and a `contended`
-    // marker — a disagreement that large is host noise, not the query.
+    // silently as the number of record; r08: a cold-faster-than-warm
+    // INVERSION went unflagged because only w1 vs w2 were compared):
+    // every per-pass time is recorded in the artifact, and two distinct
+    // anomaly shapes each trigger one extra tie-break pass plus a marker —
+    //   `contended`: the two warm passes disagree by more than 1.5x
+    //     (host noise spanning one pass, not the query);
+    //   `inverted`: the cold pass beat every warm pass (cold includes
+    //     codegen + file listing, so warm > cold means in-process
+    //     accumulation or a contended warm window — either way the warm
+    //     number is not steady-state).
     // Warm stays the per-query MIN over all warm passes.
     def timedInterleaved(names: Seq[String])
         : (Seq[(String, Double)], Seq[(String, Double)],
-           Seq[(String, Seq[Double])], Seq[String]) = {
+           Seq[(String, Seq[Double])], Seq[String], Seq[String]) = {
       val cold = Seq.newBuilder[(String, Double)]
       val warm = Seq.newBuilder[(String, Double)]
       val passes = Seq.newBuilder[(String, Seq[Double])]
       val contended = Seq.newBuilder[String]
+      val inverted = Seq.newBuilder[String]
       names.foreach { name =>
         val c = pass(name)
         val w1 = pass(name)
         val w2 = pass(name)
-        val ws =
-          if (math.max(w1, w2) > 1.5 * math.min(w1, w2)) {
-            contended += name
-            Seq(w1, w2, pass(name)) // tie-break pass
-          } else Seq(w1, w2)
+        var ws = Seq(w1, w2)
+        if (math.max(w1, w2) > 1.5 * math.min(w1, w2)) {
+          contended += name
+          ws = ws :+ pass(name) // tie-break pass
+        }
+        if (c < ws.min) {
+          inverted += name
+          ws = ws :+ pass(name) // one recovery attempt at a clean warm pass
+        }
         cold += name -> c
         warm += name -> ws.min
         passes += name -> (c +: ws)
-        spark.catalog.clearCache()
-        System.gc()
       }
-      (cold.result(), warm.result(), passes.result(), contended.result())
+      (cold.result(), warm.result(), passes.result(),
+        contended.result(), inverted.result())
     }
 
     // local iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the set
@@ -94,7 +114,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val allNames = if (Catalog.benchNames.nonEmpty) Catalog.benchNames else Catalog.queries.keys.toSeq
     val names = only.fold(allNames)(o => allNames.filter(o))
-    val (cold, warm, passes, contended) = timedInterleaved(names)
+    val (cold, warm, passes, contended, inverted) = timedInterleaved(names)
     val allErrs = errs.toMap
     def jstr(s: String): String = graft.core.JsonText.str(s)
     def obj(rs: Seq[(String, Double)]): String =
@@ -104,11 +124,12 @@ object Bench {
       jstr(k) + ":" + vs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val contArr = contended.map(jstr).mkString("[", ",", "]")
+    val invArr = inverted.map(jstr).mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${warm.map(_._2).sum},"unit":"sec",""" +
         s""""queries":${obj(warm)},"cold_total":${cold.map(_._2).sum},""" +
         s""""queries_cold":${obj(cold)},"passes":$passObj,""" +
-        s""""contended":$contArr,"ok":${allErrs.isEmpty},""" +
+        s""""contended":$contArr,"inverted":$invArr,"ok":${allErrs.isEmpty},""" +
         s""""failed":${allErrs.size},"errors":$errObj,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outFile), line + "\n")

@@ -82,6 +82,56 @@ object Q {
       ).cast("bigint"),
       lit(0L))
 
+  /** Exact global ntile(k) over a total order — WITHOUT the
+    * single-partition global sort `ntile(k).over(Window.orderBy(...))`
+    * compiles to (the driver-side-sort scale-killer class ExplainAudit
+    * flags). Shape: range-repartition on the sort keys so each partition
+    * owns a contiguous key range, rank within partitions with a
+    * PARTITIONED window, then add per-partition row-count offsets — the
+    * boundary aggregate is ≤ spark.sql.shuffle.partitions rows, so its
+    * own prefix-sum window is config-bounded, and AQE broadcasts it back
+    * unhinted. The range exchange is built once and reused by both the
+    * rank path and the offset path (identical canonicalized subtrees →
+    * ReusedExchange), so boundary sampling cannot diverge between them.
+    *
+    * Exactly reproduces SQL `ntile(k) OVER (ORDER BY keys)` provided
+    * `keys` is a total order (no ties): bucket sizes are
+    * ceil(n/k) for the first n mod k buckets, floor(n/k) after, assigned
+    * by global rank. All arithmetic is non-negative BIGINT (div/mod
+    * cross-engine safe).
+    */
+  def exactNtile(df: DataFrame, keys: Seq[Column], k: Int, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = df.repartitionByRange(p, keys: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val local = parts.withColumn("__lr",
+      row_number().over(Window.partitionBy(col("__pid")).orderBy(keys: _*)).cast("long"))
+    // per-partition counts → exclusive prefix sum = rank offset; the
+    // partitionless window here runs over the ≤ numShufflePartitions-row
+    // offset table (config-bounded, never data-bounded)
+    val offs = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__pid"), col("__off"), col("__n"))
+    // no broadcast hint: the offset side is tiny and AQE broadcasts it at
+    // runtime (size-gated — degrades to shuffle, never OOMs, at any scale)
+    // ntile bucket from global rank r, total n: the first n mod k buckets
+    // hold ceil(n/k) rows, the rest floor(n/k) — all operands non-negative
+    // BIGINT, so `div` truncation is identical across engines
+    local.join(offs, Seq("__pid"))
+      .withColumn("__r", col("__lr") + col("__off"))
+      .withColumn(out, expr(
+        s"""CAST(CASE WHEN __r <= (__n % $k) * (__n div $k + 1)
+           |  THEN (__r - 1) div (__n div $k + 1) + 1
+           |  ELSE (__n % $k) + (__r - (__n % $k) * (__n div $k + 1) - 1) div (__n div $k) + 1
+           |END AS BIGINT)""".stripMargin))
+      .drop("__pid", "__lr", "__off", "__n", "__r")
+  }
+
   /** 2-decimal exact cast for money/qty columns. */
   def dec(c: Column): Column = c.cast(DecimalType(12, 2))
   /** Exact decimal sum surfaced as double. */

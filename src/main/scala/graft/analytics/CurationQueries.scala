@@ -168,10 +168,9 @@ object CurationQueries {
     // ---- CCNet-style perplexity buckets ---------------------------------
     // Per-doc bigram-LM predictability (integer-scaled probabilities, the
     // txt_bigram_predictability arithmetic) bucketed head/middle/tail by
-    // exact terciles. The global ntile is over DOC-level rows (corpus
-    // cardinality, not token cardinality) — at 100 TB the cutoffs come
-    // from approx quantiles instead of a global sort; the bucket-assign
-    // stage is unchanged.
+    // exact terciles. The terciles come from Q.exactNtile (range-
+    // -repartition + partition-offset ranks) — never a single-partition
+    // global sort of the doc-level table.
     CatalogQuery("txt_perplexity_buckets", (s, d) => {
       val bg = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -188,8 +187,8 @@ object CurationQueries {
         .withColumn("p_e9", expr("cnt_ab * 1000000000L div cnt_a"))
         .groupBy(col("doc_id"))
         .agg(expr("sum(p_e9) div count(1)").as("avg_p_e9"))
-      val w = Window.orderBy(col("avg_p_e9").desc, col("doc_id"))
-      perDoc.withColumn("bucket", ntile(3).over(w).cast("long"))
+      Q.exactNtile(perDoc,
+          Seq(col("avg_p_e9").desc, col("doc_id")), 3, "bucket")
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("avg_p_e9")).as("min_p_e9"),

@@ -1619,10 +1619,14 @@ object MiningQueries {
     CatalogQuery("txt_vocab_coverage", (s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val wv = Window.orderBy(col("n").desc, col("w"))
+      // top-64 cut via orderBy.limit → TakeOrderedAndProject: each
+      // partition keeps its local top 64, the driver merges 64·P rows —
+      // never a single-partition global sort of the distinct-word table
+      // (10⁸+ rows at 100 TB). (n desc, w) is a total order, so the cut
+      // set is identical to the row_number() formulation the oracle uses.
       val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
-        .withColumn("rank", row_number().over(wv))
-        .filter(col("rank") <= 64)
+        .orderBy(col("n").desc, col("w"))
+        .limit(64)
         .select(col("w"), lit(1L).as("in_vocab"))
       toks.join(vocab, Seq("w"), "left")
         .groupBy(col("doc_id"))

@@ -297,6 +297,8 @@ object PrepQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
         .withColumn("pw", round(sqrt(col("n_tokens")), 6).cast("decimal(28,6)"))
+      // global windows here run over the per-SOURCE aggregate (config-
+      // -bounded row count), never the document table
       bySrc
         .withColumn("den", sum(col("pw")).over(Window.partitionBy()))
         .withColumn("weight",
@@ -330,6 +332,7 @@ object PrepQueries {
         .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
         .withColumn("pw",
           floor(sqrt(col("n_tokens")) * 1000000d + 0.5d).cast("long"))
+      // global windows run over the per-SOURCE aggregate (config-bounded)
       val w = Window.partitionBy()
       val based = bySrc
         .withColumn("den", sum(col("pw")).over(w))

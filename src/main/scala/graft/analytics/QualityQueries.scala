@@ -190,14 +190,17 @@ object QualityQueries {
         .select(col("user_id"),
           datediff(col("max_day"), col("last_day")).cast("long").as("recency_days"),
           col("frequency"), col("monetary"))
-      perUser
-        .withColumn("r_q", ntile(4).over(
-          Window.orderBy(col("recency_days"), col("user_id"))).cast("long"))
-        .withColumn("f_q", ntile(4).over(
-          Window.orderBy(col("frequency").desc, col("user_id"))).cast("long"))
-        .withColumn("m_q", ntile(4).over(
-          Window.orderBy(col("monetary").desc, col("user_id"))).cast("long"))
-        .select(col("user_id"), col("recency_days"), col("frequency"),
+      // quartiles via Q.exactNtile — range-repartition + partition-offset
+      // ranks, never `ntile().over(Window.orderBy(...))`'s single-partition
+      // global sort (10⁸-user table in one task at 100 TB); bit-identical
+      // to the oracle's ntile(4) because each key list is a total order
+      val q1 = Q.exactNtile(perUser,
+        Seq(col("recency_days"), col("user_id")), 4, "r_q")
+      val q2 = Q.exactNtile(q1,
+        Seq(col("frequency").desc, col("user_id")), 4, "f_q")
+      val q3 = Q.exactNtile(q2,
+        Seq(col("monetary").desc, col("user_id")), 4, "m_q")
+      q3.select(col("user_id"), col("recency_days"), col("frequency"),
           col("monetary"), col("r_q"), col("f_q"), col("m_q"))
     }, Some(
       """WITH mx AS (SELECT CAST(max(ts) AS DATE) AS max_day FROM events),

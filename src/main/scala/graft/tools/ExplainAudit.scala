@@ -89,34 +89,39 @@ object ExplainAudit {
     pf.lift(p).toSeq ++ kids.flatMap(collectPhysical(_)(pf))
   }
 
-  /** A physical join side that provably produces ≤ 1 row: unwrap the
-    * row-count-preserving spine (exchanges, stages, codegen wrappers,
-    * project/filter/sort — none of these can GROW the row count) and check
-    * whether it bottoms out at a global aggregate (no grouping keys → one
-    * row). This ties the proof to the NODE's own input, unlike a
-    * plan-global count of scalar joins, so a genuine fact×fact cartesian
+  /** Unwrap the row-count-preserving spine (exchanges, stages, codegen
+    * wrappers, project/filter/sort — none of these can GROW the row
+    * count) down to the first node that can change cardinality.
+    */
+  @annotation.tailrec
+  private[graft] def spine(
+      x: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan = {
+    import org.apache.spark.sql.execution.{FilterExec, InputAdapter, ProjectExec, SortExec, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    x match {
+      case a: AdaptiveSparkPlanExec  => spine(a.executedPlan)
+      case q: QueryStageExec         => spine(q.plan)
+      case r: ReusedExchangeExec     => spine(r.child)
+      case e: Exchange               => spine(e.child)
+      case w: WholeStageCodegenExec  => spine(w.child)
+      case i: InputAdapter           => spine(i.child)
+      case pr: ProjectExec           => spine(pr.child)
+      case f: FilterExec             => spine(f.child)
+      case s: SortExec               => spine(s.child)
+      case other                     => other
+    }
+  }
+
+  /** A physical join side that provably produces ≤ 1 row: walk the spine
+    * and check whether it bottoms out at a global aggregate (no grouping
+    * keys → one row). This ties the proof to the NODE's own input, unlike
+    * a plan-global count of scalar joins, so a genuine fact×fact cartesian
     * elsewhere in the same plan cannot hide behind it.
     */
   private[graft] def boundedPhysicalSide(
       p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
-    import org.apache.spark.sql.execution.{FilterExec, InputAdapter, ProjectExec, SortExec, WholeStageCodegenExec}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
-    @annotation.tailrec
-    def spine(x: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan =
-      x match {
-        case a: AdaptiveSparkPlanExec  => spine(a.executedPlan)
-        case q: QueryStageExec         => spine(q.plan)
-        case r: ReusedExchangeExec     => spine(r.child)
-        case e: Exchange               => spine(e.child)
-        case w: WholeStageCodegenExec  => spine(w.child)
-        case i: InputAdapter           => spine(i.child)
-        case pr: ProjectExec           => spine(pr.child)
-        case f: FilterExec             => spine(f.child)
-        case s: SortExec               => spine(s.child)
-        case other                     => other
-      }
     spine(p) match {
       // a global aggregate (final or complete mode included — partial-only
       // would still be ≤ numPartitions rows, so require empty grouping
@@ -134,6 +139,68 @@ object ExplainAudit {
         c.limit <= 1
       case _ => false
     }
+  }
+
+  /** Queries whose partitionless window runs over an input that is
+    * bounded by CONSTRUCTION but not structurally provable to the spine
+    * walk — every entry here must carry a comment at the window site
+    * stating the bound. (A partitionless `Window.orderBy` over an
+    * unbounded input is the driver-side-sort scale-killer class: the
+    * whole input lands in ONE task. Provably-bounded inputs — a global
+    * limit, a rank-pushdown WindowGroupLimit, a 1-row aggregate — pass
+    * the structural check and never need listing.)
+    */
+  private[graft] val boundedGlobalWindows: Set[String] = Set(
+    // per-SOURCE mixture/apportionment: every window input is the
+    // per-source aggregate — source count is config-bounded (a mixture
+    // has a handful of named sources), never data-bounded
+    "mix_source_alpha_weights", "mix_token_budget_apportion",
+    // per-SHARD largest-remainder apportionment: window input is the
+    // 8-row shard aggregate
+    "mix_dsir_resample_budget",
+    // frequency-band profile: window input is the ≤6-row band aggregate
+    "skw_key_distribution_profile",
+    // per-day cumulative: window input is the day-level aggregate
+    // (calendar-bounded)
+    "evt_cumulative_unique_users",
+    // two-level prefix sum: the global window runs over SHARD cardinality
+    // (corpus/64) — documented at the site; a third level bounds it
+    // further if shards outgrow one task
+    "smp_weighted_systematic",
+    // documented bound: the curriculum ramp is a one-off planning query
+    // over the per-doc token counts; the site carries the 100 TB
+    // alternative in comments (PrepQueries)
+    "prep_length_curriculum",
+    // score-level rank: input is the distinct-quantized-score aggregate
+    // (score domain is quantized → config-bounded), the exact-AUC shape
+    // that avoids the per-row global rank anti-pattern
+    "qa_auc_ranking",
+    // Q.exactNtile offset table: its prefix-sum window input is
+    // ≤ spark.sql.shuffle.partitions rows by construction
+    "evt_rfm_segmentation", "txt_perplexity_buckets")
+
+  /** Partitionless WindowExec nodes whose input is not provably bounded:
+    * a global limit (any constant), a rank-pushdown WindowGroupLimit
+    * (the optimizer already cut the input to ≤ limit rows per partition),
+    * or a global aggregate all bound the single task's input; anything
+    * else sorts the full input in one task and is flagged.
+    */
+  private[graft] def unboundedGlobalWindows(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def boundedInput(c: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      spine(c) match {
+        case agg: BaseAggregateExec => agg.groupingExpressions.isEmpty
+        case _: WindowGroupLimitExec => true
+        case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+        case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+        case _: org.apache.spark.sql.execution.CollectLimitExec => true
+        case _ => false
+      }
+    collectPhysical(p) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.collect { case w if !boundedInput(w.child) => w.nodeName }
   }
 
   /** BNLJ/cartesian nodes in the executed plan where NEITHER side is
@@ -196,8 +263,12 @@ object ExplainAudit {
       val badCross =
         if (intentionalCrossProducts.contains(n)) Seq.empty
         else unexplainedCrossJoins(df.queryExecution.executedPlan)
+      val badWin =
+        if (boundedGlobalWindows.contains(n)) Seq.empty
+        else unboundedGlobalWindows(df.queryExecution.executedPlan)
       val smells = Seq(
         s"unbounded cross join(s) ${badCross.mkString(",")}" -> badCross.nonEmpty,
+        s"single-partition global window(s) over unbounded input" -> badWin.nonEmpty,
         "no WholeStageCodegen" -> !simple.contains("*("),
         "scan without pushed filters" ->
           (plan.contains("PushedFilters: []") && plan.contains("Filter (")),

@@ -86,6 +86,45 @@ class ExplainAuditSpec extends SparkSpec {
     }
   }
 
+  test("unboundedGlobalWindows flags a partitionless window over a fact") {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sf0001)
+    val bad = o.withColumn("rk",
+      row_number().over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+    assert(ExplainAudit.unboundedGlobalWindows(bad.queryExecution.executedPlan).nonEmpty)
+  }
+
+  test("unboundedGlobalWindows passes rank-pushdown, limited, and scalar inputs") {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sf0001)
+    // rank <= k filter → InferWindowGroupLimit cuts the window input to
+    // ≤ k rows per partition before the single-partition final sort
+    val pushed = o.withColumn("rk",
+        row_number().over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .filter(col("rk") <= 10)
+    assert(ExplainAudit.unboundedGlobalWindows(pushed.queryExecution.executedPlan).isEmpty)
+    // an explicit global limit below the window is equally bounded
+    val limited = o.orderBy(col("o_totalprice")).limit(64)
+      .withColumn("cum", sum(col("o_totalprice")).over(
+        Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+    assert(ExplainAudit.unboundedGlobalWindows(limited.queryExecution.executedPlan).isEmpty)
+    // a partitioned window is never flagged regardless of input size
+    val partitioned = o.withColumn("rk",
+      row_number().over(Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))))
+    assert(ExplainAudit.unboundedGlobalWindows(partitioned.queryExecution.executedPlan).isEmpty)
+  }
+
+  test("no catalog query has a single-partition global window outside the allowlist") {
+    val bad = graft.analytics.Catalog.all
+      .filterNot(q => ExplainAudit.boundedGlobalWindows.contains(q.name))
+      .flatMap { q =>
+        val hits = ExplainAudit.unboundedGlobalWindows(
+          q.spark(spark, sf0001).queryExecution.executedPlan)
+        if (hits.isEmpty) Nil else Seq(q.name -> hits)
+      }
+    assert(bad.isEmpty, s"single-partition global windows: $bad")
+  }
+
   test("no catalog query has an unexplained cross join outside the allowlist") {
     graft.analytics.Catalog.all
       .filterNot(q => ExplainAudit.intentionalCrossProducts.contains(q.name))
