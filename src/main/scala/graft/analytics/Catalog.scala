@@ -82,6 +82,19 @@ object Q {
       ).cast("bigint"),
       lit(0L))
 
+  /** Overflow tripwire: 0 while `n <= bound`, a descriptive error the
+    * moment a value enters the regime where the entry's BIGINT arithmetic
+    * would silently wrap on Spark (DuckDB errors on BIGINT overflow, so
+    * without this the engines diverge silently at larger scale).
+    */
+  def overflowGuard(n: Column, bound: Long, entry: String): Column =
+    coalesce(
+      assert_true(n <= lit(bound),
+        concat(lit(s"$entry: value "), n.cast("string"),
+          lit(s" exceeds the BIGINT-exact bound $bound — widen to DECIMAL(38,0) at this scale"))
+      ).cast("bigint"),
+      lit(0L))
+
   /** Exact global ntile(k) over a total order — WITHOUT the
     * single-partition global sort `ntile(k).over(Window.orderBy(...))`
     * compiles to (the driver-side-sort scale-killer class ExplainAudit

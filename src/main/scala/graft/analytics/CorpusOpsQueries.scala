@@ -313,7 +313,17 @@ object CorpusOpsQueries {
       dots
         .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
         .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
-        .withColumn("cos2_e6", expr("dot * dot * 1000000 div (na2 * nb2)"))
+        // overflow tripwires: dot²·10⁶ stays in BIGINT only while
+        // dot ≤ 3·10⁶, and na2·nb2 only while each norm² ≤ 3·10⁹ —
+        // reachable for pathological term-frequency documents, where
+        // Spark would silently wrap Long while DuckDB errors. Fail
+        // loudly and descriptively on BOTH engines at the regime edge
+        // (the Q.exactRegime discipline) instead of silently diverging.
+        .withColumn("cos2_e6",
+          expr("dot * dot * 1000000 div (na2 * nb2)")
+            + Q.overflowGuard(col("dot"), 3000000L, "sim_sparse_cosine_pairs dot")
+            + Q.overflowGuard(greatest(col("na2"), col("nb2")), 3000000000L,
+                "sim_sparse_cosine_pairs norm2"))
         .filter(col("cos2_e6") >= 250000)
         .select(col("doc_a"), col("doc_b"), col("dot"), col("cos2_e6"))
     }, Some(

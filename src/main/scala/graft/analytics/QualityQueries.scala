@@ -409,7 +409,14 @@ object QualityQueries {
           sum(col("n") - col("n_pos")).as("nn"),
           sum(col("n_pos") * col("mid2")).as("sum_mid2"))
         .select(col("p").as("n_pos"), col("nn").as("n_neg"),
-          expr("(sum_mid2 - p * (p + 1)) * 1000000 div (2 * p * nn)")
+          // degenerate-corpus tripwire: with zero positives or zero
+          // negatives AUC is undefined, and the engines would otherwise
+          // disagree on the failure mode (Spark div → NULL, DuckDB // →
+          // error) — fail loudly and identically on both sides instead
+          (expr("(sum_mid2 - p * (p + 1)) * 1000000 div (2 * p * nn)")
+            + coalesce(assert_true(col("p") > 0 && col("nn") > 0,
+                lit("qa_auc_ranking: degenerate corpus (zero positives or zero negatives) — AUC undefined")
+              ).cast("bigint"), lit(0L)))
             .as("auc_e6"))
     }, Some(
       """WITH d AS (
@@ -428,7 +435,10 @@ object QualityQueries {
         |    sum(n_pos * (2 * (below + 1) + n - 1))::BIGINT AS sum_mid2
         |  FROM ranked)
         |SELECT p AS n_pos, nn AS n_neg,
-        |  CAST((sum_mid2 - p * (p + 1)) * 1000000 // (2 * p * nn) AS BIGINT) AS auc_e6
+        |  CASE WHEN p > 0 AND nn > 0
+        |    THEN CAST((sum_mid2 - p * (p + 1)) * 1000000 // (2 * p * nn) AS BIGINT)
+        |    ELSE error('qa_auc_ranking: degenerate corpus - AUC undefined')::BIGINT
+        |  END AS auc_e6
         |FROM agg""".stripMargin)),
 
     // ---- calibration bins (the reliability-diagram / ECE input) ---------

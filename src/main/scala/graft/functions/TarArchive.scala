@@ -80,7 +80,32 @@ object TarArchive {
         throw new IllegalArgumentException(
           s"tar: truncated header at offset $off (${bytes.length} bytes)")
       val h = java.util.Arrays.copyOfRange(bytes, off, off + BlockSize)
-      if (h.forall(_ == 0)) { done = true } // end-of-archive zero block
+      if (h.forall(_ == 0)) {
+        // ustar end-of-archive marker is TWO zero blocks — verify the
+        // second (a truncated-at-the-marker archive must fail loudly),
+        // and refuse nonzero trailing bytes after it (zero fill up to a
+        // blocking factor is spec-legal; anything else is garbage)
+        val second = off + BlockSize
+        if (second + BlockSize > bytes.length)
+          throw new IllegalArgumentException(
+            s"tar: truncated end-of-archive marker at offset $off " +
+              "(one zero block, second missing)")
+        var i = second
+        while (i < second + BlockSize) {
+          if (bytes(i) != 0)
+            throw new IllegalArgumentException(
+              s"tar: nonzero byte at offset $i inside the second " +
+                "end-of-archive block")
+          i += 1
+        }
+        while (i < bytes.length) {
+          if (bytes(i) != 0)
+            throw new IllegalArgumentException(
+              s"tar: trailing garbage at offset $i after end-of-archive marker")
+          i += 1
+        }
+        done = true
+      }
       else {
         val magic = new String(h, 257, 5, "US-ASCII")
         if (magic != "ustar")
@@ -92,9 +117,16 @@ object TarArchive {
           expected += (if (i >= 148 && i < 156) ' '.toInt else h(i) & 0xff)
           i += 1
         }
-        val stored = java.lang.Long.parseLong(
-          new String(h, 148, 8, "US-ASCII").takeWhile(c => c >= '0' && c <= '7'),
-          8)
+        // POSIX permits the chksum field to be space- OR NUL-terminated
+        // and some writers space-PREFIX the digits: normalize NULs to
+        // spaces and trim before parsing, and fail descriptively on a
+        // field with no octal digits at all
+        val csRaw = new String(h, 148, 8, "US-ASCII")
+          .replace('\u0000', ' ').trim
+        if (csRaw.isEmpty || !csRaw.forall(c => c >= '0' && c <= '7'))
+          throw new IllegalArgumentException(
+            s"tar: unparseable checksum field '$csRaw' at offset $off")
+        val stored = java.lang.Long.parseLong(csRaw, 8)
         if (stored != expected)
           throw new IllegalArgumentException(
             s"tar: header checksum mismatch at offset $off ($stored != $expected)")

@@ -713,6 +713,13 @@ object KafkaWire {
     def poll(topic: String, partition: Int, offset: Long,
         maxWaitMs: Int = 500, maxBytes: Int = 1 << 20)
         : (Long, Seq[(Long, Array[Byte], Array[Byte])]) = {
+      // enforce the documented invariant instead of trusting it: a
+      // max_wait_ms at or beyond the socket read timeout would turn a
+      // legitimately quiet, caught-up topic into spurious
+      // SocketTimeoutExceptions
+      require(maxWaitMs < readTimeoutMs,
+        s"kafka: poll maxWaitMs=$maxWaitMs must be < readTimeoutMs=$readTimeoutMs " +
+          "(the broker legitimately holds a caught-up fetch for max_wait_ms)")
       correlation += 1
       writeFrame(out, fetchRequest(correlation, clientId, topic, partition,
         offset, maxBytes = maxBytes, maxWaitMs = maxWaitMs,

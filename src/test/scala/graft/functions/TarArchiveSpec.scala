@@ -82,6 +82,47 @@ class TarArchiveSpec extends SparkSpec {
     assert(e3.getMessage.contains("truncated"))
   }
 
+  test("end-of-archive marker: one zero block, garbage tail, and garbage in block 2 all fail") {
+    val tar = TarArchive.pack(members)
+    // truncated AT the marker: drop the second zero block
+    val oneBlock = tar.dropRight(512)
+    val e1 = intercept[IllegalArgumentException](TarArchive.unpack(oneBlock))
+    assert(e1.getMessage.contains("end-of-archive"), e1.getMessage)
+    // nonzero byte inside the second zero block
+    val dirty = tar.clone()
+    dirty(tar.length - 100) = 0x41
+    val e2 = intercept[IllegalArgumentException](TarArchive.unpack(dirty))
+    assert(e2.getMessage.contains("second"), e2.getMessage)
+    // garbage appended after a valid two-block marker
+    val tail = tar ++ "JUNK".getBytes("US-ASCII")
+    val e3 = intercept[IllegalArgumentException](TarArchive.unpack(tail))
+    assert(e3.getMessage.contains("trailing garbage"), e3.getMessage)
+    // zero fill after the marker (blocking-factor padding) stays legal
+    val padded = tar ++ new Array[Byte](512 * 6)
+    assert(TarArchive.unpack(padded).map(_._1) == members.map(_._1))
+  }
+
+  test("space-prefixed checksum field (POSIX-legal writer variant) parses") {
+    val tar = TarArchive.pack(Seq("a.txt" -> "hi".getBytes("US-ASCII")))
+    // rewrite a "0006147<NUL><SP>"-style field as "  6147<NUL><SP>" with leading spaces:
+    // shift digits right, pad left with spaces (sum over the field bytes
+    // must stay equal: chksum is computed with the field AS spaces, so
+    // its own bytes never enter the sum)
+    val h = tar.clone()
+    val digits = new String(h, 148, 8, "US-ASCII")
+      .trim.dropWhile(_ == '0')
+    val repl = (" " * (6 - digits.length)) + digits + "\u0000 "
+    repl.getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) => h(148 + i) = b }
+    val back = TarArchive.unpack(h)
+    assert(back.map(_._1) == Seq("a.txt"))
+    // and an all-spaces checksum field fails with the descriptive error,
+    // not a bare NumberFormatException
+    val blank = tar.clone()
+    (148 until 156).foreach(i => blank(i) = ' ')
+    val e = intercept[IllegalArgumentException](TarArchive.unpack(blank))
+    assert(e.getMessage.contains("unparseable checksum"), e.getMessage)
+  }
+
   test("prep_tar_shards at sf0.001: members re-derive from the source table") {
     val got = Catalog.queries("prep_tar_shards")(spark, sf0001)
       .collect().map(r => r.getLong(0) ->

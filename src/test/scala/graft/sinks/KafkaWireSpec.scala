@@ -383,6 +383,21 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("poll enforces maxWaitMs < readTimeoutMs at the call site") {
+    val broker = new StubKafkaBroker
+    try {
+      val consumer = new KafkaWire.KafkaWireConsumer("127.0.0.1", broker.port,
+        readTimeoutMs = 1000).connect()
+      // a wait at or beyond the socket timeout would turn a quiet,
+      // caught-up topic into spurious SocketTimeoutExceptions — the
+      // invariant must fail loudly, not be documentation
+      val e = intercept[IllegalArgumentException](
+        consumer.poll("t", 0, 0L, maxWaitMs = 1000))
+      assert(e.getMessage.contains("readTimeoutMs"), e.getMessage)
+      consumer.close()
+    } finally broker.close()
+  }
+
   test("SASL/SCRAM listener: produce+fetch after mutual auth, pre-auth connections killed") {
     val broker = new StubKafkaBroker(
       saslAuth = Some(("svc-cdc", "s3cret", "SCRAM-SHA-256")))
