@@ -36,6 +36,22 @@ object CurationQueries {
     "a n" -> "an", "an d" -> "and", "r e" -> "re", "l l" -> "ll",
     "s s" -> "ss")
 
+  /** Rank-ordered whole-token replace chain over the double-spaced
+    * wrapped string `s0` (oracle side), robust to learned tables SHORTER
+    * than n ranks: every scalar-subquery leg is coalesced to chr(1) — a
+    * control char the a-z/| normal form can never contain — so a missing
+    * rank becomes a never-matching no-op pattern instead of a NULL that
+    * would collapse the whole encoded string (the r08 ADVICE divergence
+    * on tiny corpora).
+    */
+  private def bpeApplyChainSql(n: Int): String =
+    (1 to n).foldLeft("s0") { (acc, r) =>
+      val l = s"coalesce((SELECT substring(pair, 1, 1) FROM ranked WHERE rank = $r), chr(1))"
+      val rr = s"coalesce((SELECT substring(pair, 2, 1) FROM ranked WHERE rank = $r), chr(1))"
+      val p = s"coalesce((SELECT pair FROM ranked WHERE rank = $r), chr(1))"
+      s"replace($acc, ' ' || $l || '  ' || $rr || ' ', ' ' || $p || ' ')"
+    }
+
   /** 0-9a-z-only lowercase normal form, single-spaced (Spark side). */
   private def normExpr: String =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ''), ' +', ' '))"
@@ -132,11 +148,7 @@ object CurationQueries {
       // spaces (' t ' each, so '  ' between tokens), and rank r's pattern
       // ' l  r ' can only match complete adjacent tokens — the same
       // greedy left-to-right pass the token-array expression runs
-      val applyChain = (1 to 8).foldLeft("s0") { (acc, r) =>
-        s"replace($acc, ' ' || (SELECT substring(pair, 1, 1) FROM ranked WHERE rank = $r)" +
-          s" || '  ' || (SELECT substring(pair, 2, 1) FROM ranked WHERE rank = $r) || ' '," +
-          s" ' ' || (SELECT pair FROM ranked WHERE rank = $r) || ' ')"
-      }
+      val applyChain = bpeApplyChainSql(8)
       s"""WITH n AS (
          |  SELECT doc_id, $oracleNorm AS norm FROM documents),
          |nn AS (SELECT doc_id, norm FROM n WHERE len(norm) > 0),
@@ -162,6 +174,83 @@ object CurationQueries {
          |    x -> x != '|')) AS BIGINT) AS n_tokens,
          |  array_to_string(list_filter(string_split(trim(replace(s, '  ', ' ')), ' '),
          |    x -> x != '|'), ' ') AS enc_str
+         |FROM enc""".stripMargin
+    }),
+
+    // ---- BPE round trip: decode(encode(text)) = text --------------------
+    // The inverse gate a tokenizer pipeline ships with: encode through
+    // the runtime-LEARNED table (same learn CTE as txt_bpe_encode_learned),
+    // then detokenize through the validating `bpe_decode` expression —
+    // which first derives the legal-token closure from the table and
+    // fails loudly on any token outside it, so a corrupt stream can
+    // never silently "decode" — and gate the decoded string against the
+    // original normal form. `roundtrip_ok` is re-derived INDEPENDENTLY by
+    // the oracle (its own replace-chain encode + strip), so a one-sided
+    // encoder bug shows as a hash mismatch, not a matched `false`.
+    // n_merged > 0 rows prove merges actually fired (no 0-signal gate).
+    // 100 TB: learn is one vocabulary-bounded aggregate; encode+decode
+    // are a single map stage over a broadcast 1-row merge table.
+    CatalogQuery("txt_bpe_roundtrip", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("norm", expr(normExpr))
+        .filter(length(col("norm")) > 0)
+      val pairs = docs
+        .select(explode(split(col("norm"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        .select(col("wc"), explode(expr(
+          """transform(sequence(1, length(w) - 1),
+            | i -> substr(w, CAST(i AS INT), 2))""".stripMargin)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      val wr = Window.orderBy(col("n").desc, col("pair"))
+      val learned = pairs
+        .withColumn("rank", row_number().over(wr)).filter(col("rank") <= 8)
+        .agg(sort_array(collect_list(struct(col("rank").as("rank"),
+          col("pair").as("pair")))).as("ms"))
+        .select(lit(1).as("qkey"), expr(
+          "transform(ms, m -> array(substring(m.pair, 1, 1), substring(m.pair, 2, 1)))")
+          .as("merges"))
+      val spaced = "rtrim(regexp_replace(replace(norm, ' ', '|'), '(.)', '$1 '))"
+      docs
+        .withColumn("toks", split(expr(spaced), " "))
+        .withColumn("qkey", lit(1))
+        .join(broadcast(learned), Seq("qkey"))
+        .withColumn("enc", graft.functions.GraftFunctions.bpe_apply(
+          col("toks"), col("merges")))
+        .withColumn("dec", graft.functions.GraftFunctions.bpe_decode(
+          col("enc"), col("merges")))
+        .select(col("doc_id"),
+          expr("CAST(size(filter(enc, x -> x != '|')) AS BIGINT)").as("n_tokens"),
+          expr("CAST(size(filter(enc, x -> length(x) >= 2)) AS BIGINT)").as("n_merged"),
+          (replace(col("dec"), lit("|"), lit(" ")) === col("norm")).as("roundtrip_ok"))
+    }, Some {
+      val applyChain = bpeApplyChainSql(8)
+      s"""WITH n AS (
+         |  SELECT doc_id, $oracleNorm AS norm FROM documents),
+         |nn AS (SELECT doc_id, norm FROM n WHERE len(norm) > 0),
+         |words AS (
+         |  SELECT w, count(*)::BIGINT AS wc FROM (
+         |    SELECT unnest(string_split(norm, ' ')) AS w FROM nn) t
+         |  WHERE len(w) >= 2 GROUP BY 1),
+         |pairs AS (
+         |  SELECT substring(w, i, 2) AS pair, sum(wc)::BIGINT AS n
+         |  FROM words CROSS JOIN LATERAL (
+         |    SELECT unnest(range(1, len(w))) AS i) u
+         |  GROUP BY 1),
+         |ranked AS (
+         |  SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rank
+         |  FROM pairs QUALIFY rank <= 8),
+         |wrapped AS (
+         |  SELECT doc_id, norm,
+         |    ' ' || replace(rtrim(regexp_replace(replace(norm, ' ', '|'), '(.)', '\\1 ', 'g')), ' ', '  ') || ' ' AS s0
+         |  FROM nn),
+         |enc AS (SELECT doc_id, norm, $applyChain AS s FROM wrapped)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(string_split(trim(replace(s, '  ', ' ')), ' '),
+         |    x -> x != '|')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split(trim(replace(s, '  ', ' ')), ' '),
+         |    x -> len(x) >= 2)) AS BIGINT) AS n_merged,
+         |  replace(replace(s, ' ', ''), '|', ' ') = norm AS roundtrip_ok
          |FROM enc""".stripMargin
     }),
 

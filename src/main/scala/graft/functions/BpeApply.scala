@@ -54,6 +54,87 @@ case class BpeApply(left: Expression, right: Expression)
   override def prettyName: String = "bpe_apply"
 }
 
+/** BPE detokenization with stream validation: for the whole-token
+  * formulation a token IS its character string, so decode is
+  * concatenation — but a decoder that concatenates blindly would also
+  * "decode" a corrupt stream. This one first derives the legal-token
+  * closure from the merge table (a token is legal iff it is a single
+  * character or the product `left||right` of a rule whose sides are
+  * themselves legal — checkable in one rank-ordered pass, since BPE
+  * builds strictly bottom-up) and fails loudly on any token outside it.
+  *
+  * `decode(bpe_apply(toks, merges), merges)` is the identity on the
+  * joined input: bpe_apply only ever replaces adjacent (l, r) with
+  * l||r, which preserves the concatenation. Pure map stage at 100 TB;
+  * the table rides the same broadcast row as the encoder's.
+  */
+case class BpeDecode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(ArrayType(StringType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_decode requires (ARRAY<STRING>, ARRAY<ARRAY<STRING>>), got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(tokens: Any, merges: Any): Any =
+    BpeDecode.compute(tokens.asInstanceOf[ArrayData], merges.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, m) => s"graft.functions.BpeDecode.compute($t, $m)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeDecode =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "bpe_decode"
+}
+
+object BpeDecode {
+  def compute(tokens: ArrayData, merges: ArrayData): UTF8String = {
+    val legal = new java.util.HashSet[UTF8String]()
+    val nm = merges.numElements()
+    var m = 0
+    while (m < nm) {
+      if (merges.isNullAt(m))
+        throw new IllegalArgumentException(s"bpe_decode: null merge at rank ${m + 1}")
+      val rule = merges.getArray(m)
+      if (rule.numElements() != 2 || rule.isNullAt(0) || rule.isNullAt(1))
+        throw new IllegalArgumentException(
+          s"bpe_decode: merge at rank ${m + 1} must be [left, right]")
+      val l = rule.getUTF8String(0)
+      val r = rule.getUTF8String(1)
+      if ((l.numChars() != 1 && !legal.contains(l)) ||
+          (r.numChars() != 1 && !legal.contains(r)))
+        throw new IllegalArgumentException(
+          s"bpe_decode: merge rank ${m + 1} ('$l','$r') is not constructible " +
+            "from single characters and earlier ranks — malformed table")
+      legal.add(UTF8String.concat(l, r))
+      m += 1
+    }
+    val n = tokens.numElements()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i))
+        throw new IllegalArgumentException(s"bpe_decode: null token at index $i")
+      val t = tokens.getUTF8String(i)
+      if (t.numChars() > 1 && !legal.contains(t))
+        throw new IllegalArgumentException(
+          s"bpe_decode: token '$t' at index $i is not a product of the " +
+            "merge table — corrupt stream")
+      parts(i) = t
+      i += 1
+    }
+    UTF8String.concat(parts: _*)
+  }
+}
+
 object BpeApply {
   def compute(tokens: ArrayData, merges: ArrayData): ArrayData = {
     var n = tokens.numElements()

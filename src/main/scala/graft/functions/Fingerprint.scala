@@ -97,6 +97,14 @@ object GraftFunctions {
     GraftShims.column(BpeApply(GraftShims.expression(tokens),
       GraftShims.expression(merges)))
 
+  /** Validating BPE detokenization: concat of the token stream after
+    * checking every multi-char token is a product of the merge table
+    * (see BpeDecode — `bpe_decode(bpe_apply(t, m), m)` is the identity).
+    */
+  def bpe_decode(tokens: Column, merges: Column): Column =
+    GraftShims.column(BpeDecode(GraftShims.expression(tokens),
+      GraftShims.expression(merges)))
+
   /** KMV distinct sketch: k smallest distinct hashes, mergeable (see
     * KmvSketch — a TypedImperativeAggregate, used like any agg column).
     */
@@ -147,6 +155,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_apply", exprs => graft.GraftExtensions.arity("bpe_apply", 2, exprs) {
         case Seq(t, m) => BpeApply(t, m)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_decode", exprs => graft.GraftExtensions.arity("bpe_decode", 2, exprs) {
+        case Seq(t, m) => BpeDecode(t, m)
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_sketch", exprs => kmvFromExprs(exprs), "built-in")

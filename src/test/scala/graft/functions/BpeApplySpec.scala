@@ -99,6 +99,80 @@ class BpeApplySpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("bpe_apply"))
   }
 
+  test("bpe_decode(bpe_apply(toks, m), m) is the identity — planted multibyte") {
+    // ß (2 UTF-8 bytes), 中 (3), 𝄞 (4, a surrogate PAIR in UTF-16) force
+    // the byte-vs-char paths; numChars must treat each as ONE character
+    val alphabet = Vector("a", "b", "ß", "中", "𝄞")
+    val rng = new scala.util.Random(9)
+    (0 until 15).foreach { trial =>
+      var vocab = alphabet
+      val merges = (0 until 5).map { _ =>
+        val l = vocab(rng.nextInt(vocab.length))
+        val r = vocab(rng.nextInt(vocab.length))
+        vocab :+= (l + r)
+        (l, r)
+      }
+      val words = Vector.fill(12)(
+        Vector.fill(1 + rng.nextInt(10))(alphabet(rng.nextInt(alphabet.length))))
+      val mArr = typedLit(merges.map { case (a, b) => Seq(a, b) })
+      val rows = words.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "toks")
+        .repartition(3)
+        .select(col("id"), col("toks"),
+          GraftFunctions.bpe_decode(
+            GraftFunctions.bpe_apply(col("toks"), mArr), mArr).as("dec"))
+        .as[(Long, Seq[String], String)].collect().sortBy(_._1)
+      rows.foreach { case (i, toks, dec) =>
+        assert(dec == toks.mkString(""), s"trial $trial word $i")
+      }
+    }
+  }
+
+  test("bpe_decode rejects corrupt streams and malformed tables loudly") {
+    val m = typedLit(Seq(Seq("t", "h"), Seq("th", "e")))
+    // 'he' is not a product of this table — a corrupt stream
+    val e1 = intercept[Exception] {
+      Seq((1L, Seq("t", "he"))).toDF("id", "toks")
+        .select(GraftFunctions.bpe_decode(col("toks"), m)).collect()
+    }
+    assert((e1.getMessage + Option(e1.getCause).map(_.getMessage).getOrElse(""))
+      .contains("corrupt stream"))
+    // a table whose rank-2 rule references a never-built token
+    val bad = typedLit(Seq(Seq("t", "h"), Seq("xy", "e")))
+    val e2 = intercept[Exception] {
+      Seq((1L, Seq("t"))).toDF("id", "toks")
+        .select(GraftFunctions.bpe_decode(col("toks"), bad)).collect()
+    }
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse(""))
+      .contains("constructible"))
+    // SQL registration
+    GraftFunctions.register(spark)
+    val got = Seq((1L, Seq("th", "e", "|", "c"))).toDF("id", "toks")
+      .selectExpr("bpe_decode(toks, array(array('t','h'))) AS s")
+      .head.getString(0)
+    assert(got == "the|c")
+  }
+
+  test("txt_bpe_roundtrip at sf0.001: every doc round-trips, merges fired") {
+    val rows = Catalog.queries("txt_bpe_roundtrip")(spark, sf0001)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4), "every document must decode back to its normal form")
+    assert(rows.exists(_._3 > 0), "at least one document must contain merged tokens")
+    // n_tokens + n_merged re-derive: merged tokens each absorbed one
+    // extra char, so n_chars(norm incl sentinels) = n_tokens + n_merged
+    val norms = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.toLowerCase.replaceAll("[^a-z ]", "").replaceAll(" +", " ").trim
+      }.filter(_._2.nonEmpty).toMap
+    rows.foreach { case (id, nTok, nMerged, _) =>
+      val norm = norms(id)
+      val nonSentinel = norm.count(_ != ' ')
+      assert(nTok + nMerged == nonSentinel, s"doc $id")
+    }
+  }
+
   test("txt_bpe_encode_learned at sf0.001 matches a full driver-side re-derivation") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
