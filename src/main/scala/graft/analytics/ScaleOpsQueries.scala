@@ -981,6 +981,123 @@ object ScaleOpsQueries {
          |  SELECT query_id, neighbor_id, dist2,
          |    row_number() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id) AS rank
          |  FROM scored) t
+         |WHERE rank <= 3""".stripMargin)),
+
+    // ---- residual IVF-PQ maintained under CDC ----------------------------
+    // The missing rung between sim_ivfpq_adc_topk (batch IVF-PQ) and
+    // ann_cdc_incremental_index (maintained, uncompressed) — the
+    // production FAISS composition. Each maintained row stores ONLY
+    // (cell, packed 8×4-bit PQ word): the vector's RESIDUAL against its
+    // FROZEN coarse centroid is encoded per 8-dim subspace with
+    // codebooks TRAINED ONCE on the base corpus (the
+    // sim_pq_train_codebooks one-step-kmeans arithmetic over residuals;
+    // init codes are base vectors 16..31 — the seeds themselves have
+    // zero residual and would degenerate the codebook). Per batch, ONLY
+    // the changed vectors re-encode against the frozen quantizer +
+    // codebooks and merge into the pk-bucketed SnapshotSink (touched
+    // buckets only). The oracle rebuilds the code table FROM SCRATCH in
+    // SQL over the full change log, so the hash gate proves incremental
+    // code maintenance converges to the batch build. 100 TB: per-batch
+    // cost ∝ batch size; the index itself shrinks 64× (8 B codes vs
+    // 512 B vectors), which is the reason IVF-PQ exists.
+    CatalogQuery("ann_cdc_pq_codes", (s, d) => {
+      val (idx, _, _) = annMaintainedPqIndex(s, d)
+      idx.select(col("vec_id"), col("cell"),
+        expr("""aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, m) ->
+          | acc + element_at(codes, CAST(m + 1 AS INT))
+          |   * shiftleft(CAST(1 AS BIGINT), CAST(4 * m AS INT)))""".stripMargin)
+          .as("pq_word"))
+    }, Some(
+      s"""$annPqIndexDuck
+         |SELECT vec_id, cell,
+         |  CAST(sum(code * (1::BIGINT << (4 * m))) AS BIGINT) AS pq_word
+         |FROM fenc GROUP BY vec_id, cell""".stripMargin)),
+
+    // Probe the maintained PQ index with ADC over residuals: nprobe=2
+    // coarse cells per query, query residual taken against EACH probed
+    // cell's centroid (true IVF-PQ ADC — the lookup differs per probed
+    // cell), candidate distance = Σ_m (256·qr − codebook[m, code_m])²
+    // read from codes alone; the candidates' raw vectors are never
+    // touched. Queries are the live final images (external inputs — a
+    // deleted vector stops querying, an updated one probes with its new
+    // image); the INDEX side reads only the maintained (cell, codes)
+    // state. Salted ×32 against pinned-C=16 shuffle skew like the
+    // uncompressed probe.
+    CatalogQuery("ann_cdc_pq_probe", (s, d) => {
+      val (idx, seedsOne, cb) = annMaintainedPqIndex(s, d)
+      val qdist = expr(
+        "aggregate(zip_with(qq, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+      val qs = annFinalImage(s, d).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
+          .as("qq"))
+      val wq = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
+      // nprobe=2 cells; the query residual is taken against the PROBED
+      // cell (not the query's own), carried per (query, cell) row
+      val probes = qs.crossJoin(broadcast(seedsOne))
+        .select(col("query_id"), col("qq"), explode(col("cs")).as("c"))
+        .select(col("query_id"), col("qq"), col("c.cell").as("cell"), col("c.cv").as("cv"))
+        .withColumn("dist", qdist)
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 2)
+        .select(col("query_id"), col("cell"),
+          expr("zip_with(qq, cv, (a, b) -> a - b)").as("qr"))
+      val salts = 32
+      val saltedProbes = probes.withColumn("salt",
+        explode(expr(s"sequence(0, ${salts - 1})")))
+      val saltedIdx = idx.withColumn("salt",
+        pmod(xxhash64(col("vec_id")), lit(salts)).cast("int"))
+      // per-candidate ADC: explode the 8 codes, join the broadcast-sized
+      // trained codebook (an equi-join — AQE broadcasts the 128-row side
+      // at runtime, no hint), score each subspace on the ×16384 lattice
+      val wr = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+      saltedProbes.join(saltedIdx, Seq("cell", "salt"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("qr"), col("vec_id"),
+          posexplode(col("codes")).as(Seq("mi", "code")))
+        .select(col("query_id"), col("qr"), col("vec_id"),
+          col("mi").cast("long").as("m"), col("code"))
+        .join(cb, Seq("m", "code"))
+        .withColumn("dm", expr(
+          """aggregate(zip_with(slice(qr, CAST(m * 8 + 1 AS INT), 8), cv,
+            | (a, b) -> (256 * a - b) * (256 * a - b)),
+            | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("dm")).as("adc"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("neighbor_id"), col("adc").as("adc_dist"))
+    }, Some(
+      s"""$annPqIndexDuck,
+         |fcodes AS (
+         |  SELECT vec_id, cell, m, code FROM fenc),
+         |qs AS (SELECT vec_id AS query_id, q AS qq FROM quant WHERE vec_id % 50 = 0),
+         |qpd AS (
+         |  SELECT qs.query_id, qs.qq, s.cell, s.cv,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      k -> (qs.qq[k] - s.cv[k]) * (qs.qq[k] - s.cv[k]))) AS BIGINT) AS dist
+         |  FROM qs CROSS JOIN seeds s),
+         |qprobes AS (
+         |  SELECT query_id, cell,
+         |    list_transform(range(1, 65), k -> qq[k] - cv[k]) AS qr
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+         |    FROM qpd) t WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.query_id, f.vec_id, p.qr, f.m, f.code
+         |  FROM qprobes p JOIN fcodes f ON f.cell = p.cell
+         |  WHERE f.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    CAST(sum(CAST(list_sum(list_transform(range(1, 9), k ->
+         |      (256 * c.qr[c.m * 8 + k] - b.cv[k]) * (256 * c.qr[c.m * 8 + k] - b.cv[k])))
+         |      AS BIGINT)) AS BIGINT) AS adc
+         |  FROM cand c JOIN cb b ON b.m = c.m AND b.code = c.code
+         |  GROUP BY 1, 2)
+         |SELECT query_id, rank, neighbor_id, adc AS adc_dist FROM (
+         |  SELECT query_id, vec_id AS neighbor_id, adc,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+         |  FROM scored) t
          |WHERE rank <= 3""".stripMargin))
   )
 
@@ -1051,6 +1168,220 @@ object ScaleOpsQueries {
     }
     (sink.read(), annSeedsOne(s, d))
   }
+
+  /** Final live images of the ANN change stream as a lazy plan (no
+    * maintained state): base ∪ rotate-updates ∪ inserts ∪ tombstones →
+    * seq-LWW → survivors. The QUERY side of maintained-index probes
+    * reads this — queries are EXTERNAL inputs; only the index is
+    * maintained state.
+    */
+  private def annFinalImage(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    def rot(b: Int) = expr(
+      s"concat(slice(embedding, ${b + 1}, ${64 - b}), slice(embedding, 1, $b))")
+    val base = e.select(col("vec_id"), col("embedding"),
+      lit(0L).as("seq"), lit(0).as("del"))
+    val parts = (1 to 3).flatMap { b => Seq(
+      e.filter(col("vec_id") % 10 === b)
+        .select(col("vec_id"), rot(b).as("embedding"),
+          lit(b.toLong).as("seq"), lit(0).as("del")),
+      e.filter(col("vec_id") % 23 === b)
+        .select((col("vec_id") + lit(1000000L * b)).as("vec_id"),
+          rot(b + 3).as("embedding"), lit(b.toLong).as("seq"), lit(0).as("del")),
+      e.filter(col("vec_id") % 17 === b && col("vec_id") % 10 =!= b)
+        .select(col("vec_id"), lit(null).cast("array<float>").as("embedding"),
+          lit(b.toLong).as("seq"), lit(1).as("del"))) }
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("seq").desc)
+    parts.foldLeft(base)(_ unionByName _)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("del") === 0)
+      .select(col("vec_id"), col("embedding"))
+  }
+
+  /** Frozen residual-PQ codebooks trained once on the BASE corpus: one
+    * k-means assignment step from init codes (base vectors 16..31 — the
+    * coarse seeds' own residuals are zero and would degenerate the
+    * codebook) over residuals against the frozen coarse quantizer, then
+    * the exactly-divisible rounded mean on the ×16384 refined lattice
+    * (sim_pq_train_codebooks' arithmetic — negative-safe: the pmod
+    * subtraction makes the division exact, and exact division agrees
+    * across engines regardless of sign). Returns (codebook (m, code,
+    * cv), its 1-row collapse for broadcast).
+    */
+  private[graft] def annResidualCodebooks(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, d)
+    val assigned = annAssignAgainstBase(s, d,
+      e.select(col("vec_id"), col("embedding")))
+    val withR = assigned.crossJoin(broadcast(annSeedsOne(s, d)))
+      .select(col("vec_id"), col("q"), col("cell"), explode(col("cs")).as("c"))
+      .filter(col("c.cell") === col("cell"))
+      .select(col("vec_id"), expr("zip_with(q, c.cv, (a, b) -> a - b)").as("r"))
+    val sub = withR.select(col("vec_id"), explode(expr(
+        """transform(sequence(0, 7), m ->
+          | struct(m AS m, slice(r, CAST(m * 8 + 1 AS INT), 8) AS rs))""".stripMargin))
+        .as("s"))
+      .select(col("vec_id"), col("s.m").cast("long").as("m"), col("s.rs").as("rs"))
+    val initOne = sub.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+      .select(col("m"), (col("vec_id") - 16).as("code"), col("rs").as("cv"))
+      .agg(collect_list(struct(col("m").as("im"), col("code"), col("cv"))).as("cs"))
+    val w1 = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("code"))
+    val a1 = sub.crossJoin(broadcast(initOne))
+      .select(col("vec_id"), col("m"), col("rs"), explode(col("cs")).as("c"))
+      .filter(col("c.im") === col("m"))
+      .select(col("vec_id"), col("m"), col("rs"),
+        col("c.code").as("code"), col("c.cv").as("cv"))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(rs, cv, (a, b) -> (a - b) * (a - b)),
+          | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("m"), col("code"), col("rs"))
+    val cb = a1.select(col("m"), col("code"), posexplode(col("rs")).as(Seq("dim", "v")))
+      .groupBy(col("m"), col("code"), col("dim"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("nm"))
+      .select(col("m"), col("code"), col("dim"),
+        expr("(256 * sv - pmod(256 * sv, nm)) div nm").as("cq"))
+      .groupBy(col("m"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cq))), p -> p.cq)").as("cv"))
+    val cbOne = cb.agg(
+      collect_list(struct(col("m").as("cm"), col("code"), col("cv"))).as("cs"))
+    (cb, cbOne)
+  }
+
+  /** Quantize + coarse-assign + residual-PQ-encode `vecs` against the
+    * frozen base quantizer and codebooks. Cost ∝ |vecs| — the
+    * incremental-maintenance unit. Returns (vec_id, cell, codes[8]).
+    */
+  def annPqEncodeAgainstBase(s: SparkSession, d: String, vecs: DataFrame,
+      cbOne: DataFrame): DataFrame = {
+    val withR = annAssignAgainstBase(s, d, vecs)
+      .crossJoin(broadcast(annSeedsOne(s, d)))
+      .select(col("vec_id"), col("q"), col("cell"), explode(col("cs")).as("c"))
+      .filter(col("c.cell") === col("cell"))
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(q, c.cv, (a, b) -> a - b)").as("r"))
+    val sub = withR.select(col("vec_id"), col("cell"), explode(expr(
+        """transform(sequence(0, 7), m ->
+          | struct(m AS m, slice(r, CAST(m * 8 + 1 AS INT), 8) AS rs))""".stripMargin))
+        .as("s"))
+      .select(col("vec_id"), col("cell"),
+        col("s.m").cast("long").as("m"), col("s.rs").as("rs"))
+    val w2 = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("code"))
+    sub.crossJoin(broadcast(cbOne))
+      .select(col("vec_id"), col("cell"), col("m"), col("rs"),
+        explode(col("cs")).as("c"))
+      .filter(col("c.cm") === col("m"))
+      .select(col("vec_id"), col("cell"), col("m"), col("rs"),
+        col("c.code").as("code"), col("c.cv").as("cv"))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(rs, cv, (a, b) -> (256 * a - b) * (256 * a - b)),
+          | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), p -> p.code)")
+        .as("codes"))
+  }
+
+  /** The maintained residual-PQ index: same 4-batch change stream as
+    * annMaintainedIndex, but each batch encodes ONLY its own vectors to
+    * (cell, codes[8]) against the FROZEN quantizer + codebooks and
+    * merges into a pk-bucketed SnapshotSink (touched buckets only).
+    * Returns (live code table, 1-row seeds, codebook).
+    */
+  private def annMaintainedPqIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, d)
+    def rot(b: Int) = expr(
+      s"concat(slice(embedding, ${b + 1}, ${64 - b}), slice(embedding, 1, $b))")
+    val (cb, cbOne) = annResidualCodebooks(s, d)
+    val sink = new graft.sinks.SnapshotSink(s, Q.scratch("annpq") + "/index",
+      Seq("vec_id"), numBuckets = 16)
+    sink.merge(annPqEncodeAgainstBase(s, d,
+        e.select(col("vec_id"), col("embedding")), cbOne)
+      .withColumn("op", lit(graft.core.ChangeLog.Insert))
+      .withColumn("seq", lit(0L)))
+    (1 to 3).foreach { b =>
+      val ups = e.filter(col("vec_id") % 10 === b)
+        .select(col("vec_id"), rot(b).as("embedding"))
+      val ins = e.filter(col("vec_id") % 23 === b)
+        .select((col("vec_id") + lit(1000000L * b)).as("vec_id"),
+          rot(b + 3).as("embedding"))
+      val upserts = annPqEncodeAgainstBase(s, d, ups.unionByName(ins), cbOne)
+        .withColumn("op", lit(graft.core.ChangeLog.Update))
+      val dels = e.filter(col("vec_id") % 17 === b && col("vec_id") % 10 =!= b)
+        .select(col("vec_id"),
+          lit(null).cast("bigint").as("cell"),
+          lit(null).cast("array<bigint>").as("codes"),
+          lit(graft.core.ChangeLog.Delete).as("op"))
+      sink.merge(upserts.unionByName(dels).withColumn("seq", lit(b.toLong)))
+    }
+    (sink.read(), annSeedsOne(s, d), cb)
+  }
+
+  /** Oracle-side from-scratch residual-PQ rebuild: the annFinalIndexDuck
+    * LWW prefix (final-state quant/seeds/assigned) + frozen codebooks
+    * trained on the BASE corpus + final-state residual encode. Shared
+    * CTE prefix of both maintained-PQ entries.
+    */
+  // lazy: interpolates annFinalIndexDuck, which is declared further down
+  // the object body (vals initialize in declaration order)
+  private lazy val annPqIndexDuck: String =
+    s"""$annFinalIndexDuck,
+       |bq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |bad AS (
+       |  SELECT v.vec_id, s.cell, s.cv,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      k -> (v.q[k] - s.cv[k]) * (v.q[k] - s.cv[k]))) AS BIGINT) AS dist
+       |  FROM bq v CROSS JOIN seeds s),
+       |bassign AS (
+       |  SELECT vec_id, cell, cv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM bad) t WHERE rn = 1),
+       |bres AS (
+       |  SELECT b.vec_id, list_transform(range(1, 65), k -> q.q[k] - b.cv[k]) AS r
+       |  FROM bassign b JOIN bq q USING (vec_id)),
+       |bsub AS (
+       |  SELECT vec_id, m, r[m * 8 + 1 : m * 8 + 8] AS rs
+       |  FROM bres CROSS JOIN range(0, 8) rr(m)),
+       |initcb AS (
+       |  SELECT m, vec_id - 16 AS code, rs AS cv FROM bsub
+       |  WHERE vec_id >= 16 AND vec_id < 32),
+       |td AS (
+       |  SELECT v.vec_id, v.m, v.rs, c.code,
+       |    CAST(list_sum(list_transform(range(1, 9),
+       |      k -> (v.rs[k] - c.cv[k]) * (v.rs[k] - c.cv[k]))) AS BIGINT) AS dist
+       |  FROM bsub v JOIN initcb c ON v.m = c.m),
+       |ta AS (
+       |  SELECT m, code, rs FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+       |    FROM td) t WHERE rn = 1),
+       |cbdims AS (
+       |  SELECT m, code, i AS dim,
+       |    CAST((256 * sum(rs[i + 1]) - ((256 * sum(rs[i + 1]) % count(*)) + count(*)) % count(*))
+       |      // count(*) AS BIGINT) AS cq
+       |  FROM ta CROSS JOIN range(0, 8) ri(i)
+       |  GROUP BY 1, 2, 3),
+       |cb AS (SELECT m, code, list(cq ORDER BY dim) AS cv FROM cbdims GROUP BY 1, 2),
+       |fcv AS (
+       |  SELECT a.vec_id, a.cell, list_transform(range(1, 65), k -> q.q[k] - s.cv[k]) AS r
+       |  FROM assigned a JOIN quant q USING (vec_id) JOIN seeds s ON s.cell = a.cell),
+       |fsub AS (
+       |  SELECT vec_id, cell, m, r[m * 8 + 1 : m * 8 + 8] AS rs
+       |  FROM fcv CROSS JOIN range(0, 8) rf(m)),
+       |fd AS (
+       |  SELECT v.vec_id, v.cell, v.m, c.code,
+       |    CAST(list_sum(list_transform(range(1, 9),
+       |      k -> (256 * v.rs[k] - c.cv[k]) * (256 * v.rs[k] - c.cv[k]))) AS BIGINT) AS dist
+       |  FROM fsub v JOIN cb c ON v.m = c.m),
+       |fenc AS (
+       |  SELECT vec_id, cell, m, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+       |    FROM fd) t WHERE rn = 1)""".stripMargin
 
   /** Oracle-side batch-built index: full change log → seq-LWW → quantize
     * → assign against the frozen base quantizer. Shared CTE prefix of

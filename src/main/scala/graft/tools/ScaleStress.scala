@@ -138,7 +138,12 @@ object ScaleStress {
       // sparse cosine: rare-term candidate join + exact per-pair dot
       "sim_sparse_cosine_pairs",
       // calibration bins: one scan into a 10-row aggregate
-      "qa_calibration_bins")
+      "qa_calibration_bins",
+      // r09: residual IVF-PQ under CDC — codebook train is one bounded
+      // aggregate chain, per-batch encode ∝ batch, probe reads codes only
+      "ann_cdc_pq_codes", "ann_cdc_pq_probe",
+      // r09: BPE decode identity over the learned table (pure map)
+      "txt_bpe_roundtrip")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =
@@ -268,6 +273,40 @@ object ScaleStress {
       val inc = (System.nanoTime() - t1) / 1e9
       println(f"[stress] ann_index_build_full             $full%8.2fs rows=${sink.read().count()}")
       println(f"[stress] ann_index_incremental_batch      $inc%8.2fs (fixed batch, 4/64 buckets, ${factor}x corpus)")
+    }
+
+    // residual IVF-PQ maintenance: codebooks train once on the scaled
+    // corpus' base seeds, full code-table build, then ONE fixed-size
+    // change batch (base-replica keys confined to 4 of 64 buckets) —
+    // encode cost must track the batch, rewrite cost the touched
+    // buckets; the maintained table is codes (8 B) not vectors (512 B)
+    if (extras) {
+      val (_, cbOne) =
+        graft.analytics.ScaleOpsQueries.annResidualCodebooks(spark, out)
+      val sink = new graft.sinks.SnapshotSink(spark, out + "/annpq_stress",
+        Seq("vec_id"), numBuckets = 64)
+      val vecs = Tables.load(spark, out, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val t0 = System.nanoTime()
+      sink.merge(graft.analytics.ScaleOpsQueries
+        .annPqEncodeAgainstBase(spark, out, vecs, cbOne)
+        .withColumn("op", lit(graft.core.ChangeLog.Insert))
+        .withColumn("seq", lit(0L)))
+      val full = (System.nanoTime() - t0) / 1e9
+      val batch = vecs
+        .filter(col("vec_id") < shift &&
+          pmod(xxhash64(col("vec_id")), lit(64)) < 4)
+        .select(col("vec_id"),
+          expr("concat(slice(embedding, 2, 63), slice(embedding, 1, 1))")
+            .as("embedding"))
+      val t1 = System.nanoTime()
+      sink.merge(graft.analytics.ScaleOpsQueries
+        .annPqEncodeAgainstBase(spark, out, batch, cbOne)
+        .withColumn("op", lit(graft.core.ChangeLog.Update))
+        .withColumn("seq", lit(1L)))
+      val inc = (System.nanoTime() - t1) / 1e9
+      println(f"[stress] annpq_code_build_full            $full%8.2fs rows=${sink.read().count()}")
+      println(f"[stress] annpq_code_incremental_batch     $inc%8.2fs (fixed batch, 4/64 buckets, ${factor}x corpus)")
     }
 
     // SemDeDup at the PRODUCTION cell count C = ceil(sqrt(N)): the

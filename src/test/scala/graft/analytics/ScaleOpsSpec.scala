@@ -402,4 +402,119 @@ class ScaleOpsSpec extends SparkSpec {
       assert(r.getLong(1) >= 1 && r.getLong(1) <= 3)
     }
   }
+
+  /** Driver-side residual-IVF-PQ rebuild (plain Scala collections):
+    * replay the CDC rules → LWW final state, train codebooks on the BASE
+    * corpus (init codes = vectors 16..31, one assignment step, floorDiv
+    * rounded means on the ×16384 lattice), encode the final state.
+    * Returns (final state, seed map, codebook, per-vector (cell, codes)).
+    */
+  private def pqRebuild(sf: String): (
+      Map[Long, Vector[Float]], Map[Long, Vector[Long]],
+      Map[(Int, Long), Vector[Long]], Map[Long, (Long, Vector[Long])]) = {
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector)
+    def q64(e: Vector[Float]): Vector[Long] =
+      e.map(x => math.floor(x.toDouble * 64.0 + 0.5).toLong)
+    def rot(e: Vector[Float], b: Int): Vector[Float] = e.drop(b) ++ e.take(b)
+    val state = scala.collection.mutable.Map.empty[Long, Vector[Float]]
+    base.foreach { case (id, e) => state(id) = e }
+    (1 to 3).foreach { b =>
+      base.foreach { case (id, e) =>
+        if (id % 10 == b) state(id) = rot(e, b)
+        else if (id % 17 == b) state.remove(id)
+        if (id % 23 == b) state(id + 1000000L * b) = rot(e, b + 3)
+      }
+    }
+    val seedMap = base.filter(_._1 < 16)
+      .map { case (c, e) => c -> q64(e) }.toMap
+    def assign(q: Vector[Long]): Long = seedMap.toSeq.map { case (c, cv) =>
+      (q.zip(cv).map { case (a, bb) => (a - bb) * (a - bb) }.sum, c)
+    }.min._2
+    def residual(q: Vector[Long]): (Long, Vector[Long]) = {
+      val c = assign(q)
+      (c, q.zip(seedMap(c)).map { case (a, bb) => a - bb })
+    }
+    // train on BASE residuals: init codes = ids 16..31
+    val baseRes = base.map { case (id, e) => id -> residual(q64(e))._2 }
+    val init = baseRes.filter { case (id, _) => id >= 16 && id < 32 }
+      .flatMap { case (id, r) =>
+        (0 until 8).map(m => (m, id - 16) -> r.slice(m * 8, m * 8 + 8)) }
+      .toMap
+    def argminCode(rs: Vector[Long], cands: Map[(Int, Long), Vector[Long]],
+        m: Int, refine: Boolean): Long =
+      // .toSeq first: collect on a Map producing (d, code) pairs would
+      // re-key BY DISTANCE and silently drop tied candidates, breaking
+      // the (dist, code) tie-break
+      cands.toSeq.collect { case ((mm, code), cv) if mm == m =>
+        val d = rs.zip(cv).map { case (a, bb) =>
+          val x = if (refine) 256 * a - bb else a - bb; x * x }.sum
+        (d, code)
+      }.min._2
+    val assigned = baseRes.flatMap { case (id, r) =>
+      (0 until 8).map { m =>
+        val rs = r.slice(m * 8, m * 8 + 8)
+        (m, argminCode(rs, init, m, refine = false), rs)
+      } }
+    val cb = assigned.groupBy(t => (t._1, t._2)).map { case ((m, code), g) =>
+      val n = g.length.toLong
+      (m, code) -> (0 until 8).map { i =>
+        Math.floorDiv(256L * g.map(_._3(i)).sum, n) }.toVector
+    }
+    val codes = state.map { case (id, e) =>
+      val (c, r) = residual(q64(e))
+      id -> ((c, (0 until 8).map { m =>
+        argminCode(r.slice(m * 8, m * 8 + 8), cb, m, refine = true) }.toVector))
+    }.toMap
+    (state.toMap, seedMap, cb, codes)
+  }
+
+  test("maintained residual-PQ code table equals the full driver-side rebuild") {
+    val got = Catalog.queries("ann_cdc_pq_codes")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (_, seedMap, _, codes) = pqRebuild(sf0001)
+    val exp = codes.map { case (id, (c, cs)) =>
+      id -> ((c, cs.zipWithIndex.map { case (cd, m) => cd << (4 * m) }.sum))
+    }
+    assert(got == exp, "maintained PQ codes must equal the batch rebuild")
+    // the code space is actually used: >1 distinct word, inserts present,
+    // and the cells span more than one coarse centroid
+    assert(got.values.map(_._2).toSet.size > 1)
+    assert(got.keys.exists(_ > 1000000L))
+    assert(got.values.map(_._1).toSet.size > 1)
+    assert(seedMap.size == 16)
+  }
+
+  test("maintained residual-PQ ADC probe equals the driver-side rebuild") {
+    val got = Catalog.queries("ann_cdc_pq_probe")(spark, sf0001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val (state, seedMap, cb, codes) = pqRebuild(sf0001)
+    def q64(e: Vector[Float]): Vector[Long] =
+      e.map(x => math.floor(x.toDouble * 64.0 + 0.5).toLong)
+    val exp = state.keys.filter(_ % 50 == 0).flatMap { qid =>
+      val qq = q64(state(qid))
+      val probed = seedMap.toSeq.map { case (c, cv) =>
+        (qq.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.sorted.take(2)
+      val cand = probed.flatMap { case (_, cell) =>
+        val qr = qq.zip(seedMap(cell)).map { case (a, b) => a - b }
+        // .toSeq first — a Map.collect of (adc, vid) pairs would re-key
+        // by adc and drop tied candidates
+        codes.toSeq.collect { case (vid, (c, cs)) if c == cell && vid != qid =>
+          val adc = (0 until 8).map { m =>
+            val rs = qr.slice(m * 8, m * 8 + 8)
+            rs.zip(cb((m, cs(m)))).map { case (a, b) =>
+              (256 * a - b) * (256 * a - b) }.sum
+          }.sum
+          (adc, vid)
+        }
+      }.sorted.take(3)
+      cand.zipWithIndex.map { case ((adc, vid), i) =>
+        (qid, i + 1L) -> ((vid, adc)) }
+    }.toMap
+    assert(got == exp, "ADC probe must equal the driver-side rebuild")
+    assert(got.nonEmpty)
+  }
 }
