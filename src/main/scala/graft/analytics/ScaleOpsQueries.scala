@@ -1098,7 +1098,189 @@ object ScaleOpsQueries {
          |  SELECT query_id, vec_id AS neighbor_id, adc,
          |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
          |  FROM scored) t
-         |WHERE rank <= 3""".stripMargin))
+         |WHERE rank <= 3""".stripMargin)),
+
+    // ---- streaming ANN serving against the maintained index -------------
+    // The serving loop production vector search runs: ONE stream carries
+    // both the index CDC (pre-assigned change rows) and query traffic,
+    // tagged per row. Each micro-batch first merges its change rows into
+    // the bucketed SnapshotSink (idempotent under foreachBatch retries:
+    // same rows, same seq, LWW — so a retried batch re-probes IDENTICAL
+    // state), then serves its queries with a FRESH sink.read() — the
+    // static side genuinely re-resolves per micro-batch, the property a
+    // path-based stream-static join cannot give (its FileIndex is cached
+    // at plan time; evt_stream_static_enrich's catalog-dim refresh seam
+    // has the same motivation). Index updates therefore land between
+    // batches without restart: the SAME fixed query set gets different
+    // answers as the index evolves, and the oracle re-derives every
+    // batch's answers against the as-of-that-batch LWW state in SQL.
+    // 100 TB: per-batch cost = merge (touched buckets) + probe
+    // (nprobe/C of the index); the serving join is per-batch bounded.
+    CatalogQuery("ann_stream_serve", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = Q.scratch("annserve")
+      val e = Tables.embeddings(s, d)
+      def rot(b: Int) = expr(
+        s"concat(slice(embedding, ${b + 1}, ${64 - b}), slice(embedding, 1, $b))")
+      val seedsOne = annSeedsOne(s, d)
+      // fixed external query set: base vectors % 50, quantized once
+      val qset = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
+          .as("qq"))
+      def pad(df: DataFrame, kind: String, qb: Int): DataFrame = {
+        val dataCols = Seq("vec_id", "q", "cell", "op", "seq", "query_id", "qq")
+        df.select(lit(kind).as("kind") +: lit(qb.toLong).as("qb") +:
+          dataCols.map { n =>
+            (if (df.columns.contains(n)) col(n)
+             else typedLit(null).cast(n match {
+               case "q" | "qq" => "array<bigint>"
+               case "op" => "string"
+               case _ => "bigint"
+             })).as(n)
+          }: _*)
+      }
+      // batch b's file: its change rows (batch 0 = base inserts) + the
+      // full query set stamped qb = b
+      (0 to 3).foreach { b =>
+        val chg =
+          if (b == 0)
+            annAssignAgainstBase(s, d, e.select(col("vec_id"), col("embedding")))
+              .withColumn("op", lit(graft.core.ChangeLog.Insert))
+              .withColumn("seq", lit(0L))
+          else {
+            val ups = e.filter(col("vec_id") % 10 === b)
+              .select(col("vec_id"), rot(b).as("embedding"))
+            val ins = e.filter(col("vec_id") % 23 === b)
+              .select((col("vec_id") + lit(1000000L * b)).as("vec_id"),
+                rot(b + 3).as("embedding"))
+            annAssignAgainstBase(s, d, ups.unionByName(ins))
+              .withColumn("op", lit(graft.core.ChangeLog.Update))
+              .unionByName(e.filter(col("vec_id") % 17 === b && col("vec_id") % 10 =!= b)
+                .select(col("vec_id"),
+                  lit(null).cast("array<bigint>").as("q"),
+                  lit(null).cast("bigint").as("cell"),
+                  lit(graft.core.ChangeLog.Delete).as("op")))
+              .withColumn("seq", lit(b.toLong))
+          }
+        val stageDir = s"$work/stage$b"
+        pad(chg, "chg", b).unionByName(pad(qset, "qry", b))
+          .coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val src = new java.io.File(stageDir).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        val inDir = java.nio.file.Paths.get(s"$work/in")
+        java.nio.file.Files.createDirectories(inDir)
+        val dest = inDir.resolve(f"b$b%02d.parquet")
+        java.nio.file.Files.move(src.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
+      }
+      val sink = new graft.sinks.SnapshotSink(s, s"$work/index",
+        Seq("vec_id"), numBuckets = 16)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "kind STRING, qb BIGINT, vec_id BIGINT, q ARRAY<BIGINT>, cell BIGINT, " +
+          "op STRING, seq BIGINT, query_id BIGINT, qq ARRAY<BIGINT>")
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+      val qdist = expr(
+        "aggregate(zip_with(qq, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+      val candDist = expr(
+        "aggregate(zip_with(qq, q, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+      val q = stream.writeStream
+        .foreachBatch((batch: DataFrame, id: Long) => {
+          sink.merge(batch.filter(col("kind") === "chg")
+            .select(col("vec_id"), col("q"), col("cell"), col("op"), col("seq")))
+          val qrows = batch.filter(col("kind") === "qry")
+            .select(col("qb"), col("query_id"), col("qq"))
+          val wq = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qb"), col("query_id")).orderBy(col("dist"), col("cell"))
+          val probes = qrows.crossJoin(broadcast(seedsOne))
+            .select(col("qb"), col("query_id"), col("qq"), explode(col("cs")).as("c"))
+            .select(col("qb"), col("query_id"), col("qq"),
+              col("c.cell").as("cell"), col("c.cv").as("cv"))
+            .withColumn("dist", qdist)
+            .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 2)
+            .select(col("qb"), col("query_id"), col("qq"), col("cell"))
+          val wr = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qb"), col("query_id")).orderBy(col("dist2"), col("vec_id"))
+          probes.join(sink.read(), Seq("cell"))
+            .filter(col("query_id") =!= col("vec_id"))
+            .withColumn("dist2", candDist)
+            .withColumn("rank", row_number().over(wr))
+            .filter(col("rank") <= 3)
+            .select(col("qb"), col("query_id"), col("rank").cast("long").as("rank"),
+              col("vec_id").as("neighbor_id"), col("dist2").as("dist"))
+            .write.mode("append").parquet(s"$work/out")
+        })
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out")
+        .dropDuplicates(Seq("qb", "query_id", "rank")) // task-retry copies
+        .select(col("qb").as("qbatch"), col("query_id"), col("rank"),
+          col("neighbor_id"), col("dist"))
+    }, Some(
+      """WITH b3 AS (SELECT unnest(range(1, 4)) AS b),
+        |log AS (
+        |  SELECT vec_id, embedding AS e, 0::BIGINT AS seq, 0 AS del FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id, embedding[b + 1:64] || embedding[1:b], b::BIGINT, 0
+        |  FROM embeddings CROSS JOIN b3 WHERE vec_id % 10 = b
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 * b, embedding[b + 4:64] || embedding[1:b + 3], b::BIGINT, 0
+        |  FROM embeddings CROSS JOIN b3 WHERE vec_id % 23 = b
+        |  UNION ALL
+        |  SELECT vec_id, CAST(NULL AS FLOAT[]), b::BIGINT, 1
+        |  FROM embeddings CROSS JOIN b3 WHERE vec_id % 17 = b AND vec_id % 10 <> b),
+        |qb4 AS (SELECT unnest(range(0, 4)) AS qb),
+        |finb AS (
+        |  SELECT qb, vec_id, e FROM (
+        |    SELECT q4.qb, l.vec_id, l.e, l.del,
+        |      row_number() OVER (PARTITION BY q4.qb, l.vec_id ORDER BY l.seq DESC) AS rn
+        |    FROM qb4 q4 CROSS JOIN log l WHERE l.seq <= q4.qb) t
+        |  WHERE rn = 1 AND del = 0),
+        |quantb AS (
+        |  SELECT qb, vec_id,
+        |    list_transform(e, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)) AS q
+        |  FROM finb),
+        |seeds AS (
+        |  SELECT vec_id AS cell,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)) AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |adb AS (
+        |  SELECT v.qb, v.vec_id, v.q, s.cell,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      k -> (v.q[k] - s.cv[k]) * (v.q[k] - s.cv[k]))) AS BIGINT) AS dist
+        |  FROM quantb v CROSS JOIN seeds s),
+        |members AS (
+        |  SELECT qb, vec_id, q, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qb, vec_id ORDER BY dist, cell) AS rn
+        |    FROM adb) t WHERE rn = 1),
+        |qs AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)) AS qq
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |pd AS (
+        |  SELECT qs.query_id, qs.qq, s.cell,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      k -> (qs.qq[k] - s.cv[k]) * (qs.qq[k] - s.cv[k]))) AS BIGINT) AS dist
+        |  FROM qs CROSS JOIN seeds s),
+        |probes AS (
+        |  SELECT query_id, qq, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+        |    FROM pd) t WHERE rn <= 2),
+        |scored AS (
+        |  SELECT m.qb, p.query_id, m.vec_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      k -> (p.qq[k] - m.q[k]) * (p.qq[k] - m.q[k]))) AS BIGINT) AS dist2
+        |  FROM probes p JOIN members m ON m.cell = p.cell
+        |  WHERE m.vec_id <> p.query_id)
+        |SELECT qb AS qbatch, query_id, rank, neighbor_id, dist FROM (
+        |  SELECT qb, query_id, vec_id AS neighbor_id, dist2 AS dist,
+        |    row_number() OVER (PARTITION BY qb, query_id ORDER BY dist2, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3""".stripMargin))
   )
 
   /** Deterministic CDC change stream over embeddings, maintained into a

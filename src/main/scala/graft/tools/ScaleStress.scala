@@ -143,7 +143,10 @@ object ScaleStress {
       // aggregate chain, per-batch encode ∝ batch, probe reads codes only
       "ann_cdc_pq_codes", "ann_cdc_pq_probe",
       // r09: BPE decode identity over the learned table (pure map)
-      "txt_bpe_roundtrip")
+      "txt_bpe_roundtrip",
+      // r09: streaming ANN serving — per-batch merge + probe; cost per
+      // batch = touched buckets + nprobe/C of the index
+      "ann_stream_serve")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

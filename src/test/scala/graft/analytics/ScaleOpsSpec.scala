@@ -517,4 +517,53 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == exp, "ADC probe must equal the driver-side rebuild")
     assert(got.nonEmpty)
   }
+
+  test("streaming ANN serving equals per-batch driver rebuilds; mid-stream merges change answers") {
+    val sf = sf0001
+    val got = Catalog.queries("ann_stream_serve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector)
+    def q64(e: Vector[Float]): Vector[Long] =
+      e.map(x => math.floor(x.toDouble * 64.0 + 0.5).toLong)
+    def rot(e: Vector[Float], b: Int): Vector[Float] = e.drop(b) ++ e.take(b)
+    val seedMap = base.filter(_._1 < 16).map { case (c, e) => c -> q64(e) }.toMap
+    def dist(a: Vector[Long], b: Vector[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def stateAt(qb: Int): Map[Long, Vector[Float]] = {
+      val st = scala.collection.mutable.Map.empty[Long, Vector[Float]]
+      base.foreach { case (id, e) => st(id) = e }
+      (1 to qb).foreach { b => base.foreach { case (id, e) =>
+        if (id % 10 == b) st(id) = rot(e, b)
+        else if (id % 17 == b) st.remove(id)
+        if (id % 23 == b) st(id + 1000000L * b) = rot(e, b + 3)
+      } }
+      st.toMap
+    }
+    val queries = base.filter(_._1 % 50 == 0).map { case (id, e) => id -> q64(e) }
+    val exp = (0 to 3).flatMap { qb =>
+      val members = stateAt(qb).toSeq.map { case (id, e) =>
+        val q = q64(e)
+        (id, q, seedMap.toSeq.map { case (c, cv) => (dist(q, cv), c) }.min._2)
+      }
+      queries.flatMap { case (qid, qq) =>
+        val probed = seedMap.toSeq.map { case (c, cv) => (dist(qq, cv), c) }
+          .sorted.take(2).map(_._2).toSet
+        val cand = members.collect {
+          case (vid, q, c) if probed(c) && vid != qid => (dist(qq, q), vid)
+        }.sorted.take(3)
+        cand.zipWithIndex.map { case ((d2, vid), i) =>
+          (qb.toLong, qid, i + 1L) -> ((vid, d2)) }
+      }
+    }.toMap
+    assert(got == exp, "drained serving output must equal per-batch rebuilds")
+    // the serving property itself: the SAME query set gets different
+    // answers after mid-stream index merges
+    assert(queries.exists { case (qid, _) =>
+      (1 to 3).map(r => got.get((0L, qid, r.toLong))) !=
+        (1 to 3).map(r => got.get((3L, qid, r.toLong))) },
+      "index evolution must change some query's top-3 across batches")
+  }
 }
