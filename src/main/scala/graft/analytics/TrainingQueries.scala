@@ -1136,7 +1136,101 @@ object TrainingQueries {
         |    p -> (doc_id * 17 + (p % (n_chars % 48 + 8)) * 11 + (p // (n_chars % 48 + 8)) * 5) % 256)) AS BIGINT) AS g_sum,
         |  CAST(list_sum(list_transform(range(0, (n_chars % 48 + 8) * (n_chars % 32 + 8)),
         |    p -> (doc_id * 29 + (p % (n_chars % 48 + 8)) * 3 + (p // (n_chars % 48 + 8)) * 19) % 256)) AS BIGINT) AS b_sum
-        |FROM documents""".stripMargin), bench = true)
+        |FROM documents""".stripMargin), bench = true),
+
+    // ---- VLM sample assembly (interleaved image-text packing) ------------
+    // The multimodal capstone: every document becomes an interleaved
+    // training sample — an image span of <img> + one placeholder token
+    // per 4×4 ViT patch + </img>, followed by its text tokens — and the
+    // samples pack into fixed 2048-token sequences (prep_pack_sequences'
+    // shard/bin contiguous fill, seeded md5 order). Per (shard, bin) the
+    // entry emits cu_seqlens (cumulative segment offsets, leading 0) and
+    // the modality of every span — the attention-layout artifact a VLM
+    // trainer consumes (cross-doc attention masked at cu boundaries,
+    // image spans routed to the vision tower). The patch count derives
+    // from the REAL decoded PNG dims (javax.imageio over the staged
+    // binary column) while the oracle re-derives it from the closed-form
+    // dims — a decode bug breaks the hash. 100 TB: decode is the batched
+    // mapPartitions codec seam; packing is the per-shard prefix sum (no
+    // partition sees more than 1/K of the corpus); the per-bin windows
+    // are partitioned by (shard, bin).
+    CatalogQuery("prep_vlm_pack", (s, d) => {
+      import s.implicits._
+      val dims = stagedPngs(s, d).as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.grouped(64).flatMap(_.map { case (id, png) =>
+            val img = ImageCodec.decodePng(png)
+            (id, img.getWidth.toLong, img.getHeight.toLong)
+          })
+        }.toDF("doc_id", "w", "h")
+      val segs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_text"))
+        .join(dims, "doc_id")
+        .withColumn("n_img", expr("((w + 3) div 4) * ((h + 3) div 4) + 2"))
+        .withColumn("total", col("n_img") + col("n_text"))
+        .withColumn("k", md5(concat(lit("vlm|"), col("doc_id").cast("string"))))
+        .withColumn("shard",
+          ((expr("instr('0123456789abcdef', substr(k, 1, 1))") - 1) % 8)
+            .cast("long"))
+      val wPack = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val binned = segs
+        .withColumn("cum_before", coalesce(sum(col("total")).over(wPack), lit(0L)))
+        .withColumn("bin", expr("cum_before div 2048"))
+      val exploded = binned.select(col("shard"), col("bin"), col("k"),
+          col("doc_id"), explode(expr(
+            """array(struct(CAST(0 AS INT) AS seg, n_img AS len),
+              |      struct(CAST(1 AS INT) AS seg, n_text AS len))""".stripMargin))
+            .as("sg"))
+        .select(col("shard"), col("bin"), col("k"), col("doc_id"),
+          col("sg.seg").as("seg"), col("sg.len").as("len"))
+      val wCu = Window.partitionBy(col("shard"), col("bin"))
+        .orderBy(col("k"), col("doc_id"), col("seg"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      exploded.withColumn("cu", sum(col("len")).over(wCu))
+        .groupBy(col("shard"), col("bin"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("len")).as("n_tokens"),
+          concat(lit("0,"), array_join(expr(
+            "transform(array_sort(collect_list(struct(k, doc_id, seg, cu))), p -> CAST(p.cu AS STRING))"),
+            ",")).as("cu_seqlens"),
+          array_join(expr(
+            """transform(array_sort(collect_list(struct(k, doc_id, seg,
+              |  CASE WHEN seg = 0 THEN 'img' ELSE 'txt' END AS m))), p -> p.m)""".stripMargin),
+            ",").as("modalities"))
+    }, Some(
+      """WITH dims AS (
+        |  SELECT doc_id, n_chars % 48 + 8 AS w, n_chars % 32 + 8 AS h,
+        |    len(string_split(text, ' '))::BIGINT AS n_text
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, n_text,
+        |    CAST(((w + 3) // 4) * ((h + 3) // 4) + 2 AS BIGINT) AS n_img,
+        |    md5('vlm|' || doc_id::VARCHAR) AS k,
+        |    ((strpos('0123456789abcdef', substring(md5('vlm|' || doc_id::VARCHAR), 1, 1)) - 1) % 8)::BIGINT AS shard
+        |  FROM dims),
+        |c AS (
+        |  SELECT *, coalesce(sum(n_img + n_text) OVER (PARTITION BY shard
+        |      ORDER BY k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+        |  FROM sh),
+        |b AS (SELECT *, cum_before // 2048 AS bin FROM c),
+        |segs AS (
+        |  SELECT shard, bin, k, doc_id, u.seg,
+        |    CASE WHEN u.seg = 0 THEN n_img ELSE n_text END AS len
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 2)) AS seg) u),
+        |cu AS (
+        |  SELECT shard, bin, k, doc_id, seg, len,
+        |    CAST(sum(len) OVER (PARTITION BY shard, bin ORDER BY k, doc_id, seg
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cu
+        |  FROM segs)
+        |SELECT shard, bin, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  CAST(sum(len) AS BIGINT) AS n_tokens,
+        |  '0,' || string_agg(cu::VARCHAR, ',' ORDER BY k, doc_id, seg) AS cu_seqlens,
+        |  string_agg(CASE WHEN seg = 0 THEN 'img' ELSE 'txt' END, ','
+        |    ORDER BY k, doc_id, seg) AS modalities
+        |FROM cu GROUP BY 1, 2""".stripMargin))
   )
 
   /** Opaque-binary pipeline, REAL codec: documents are staged as a binary

@@ -146,7 +146,10 @@ object ScaleStress {
       "txt_bpe_roundtrip",
       // r09: streaming ANN serving — per-batch merge + probe; cost per
       // batch = touched buckets + nprobe/C of the index
-      "ann_stream_serve")
+      "ann_stream_serve",
+      // r09: VLM packing — batched PNG decode (per-row constant) + the
+      // per-shard prefix-sum pack; bin windows partitioned by (shard,bin)
+      "prep_vlm_pack")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

@@ -129,4 +129,48 @@ class ImageCodecSpec extends SparkSpec {
     }
     assert(fr.keys.count(_._1 == id0) == (0 until nFrames).count(_ % 3 == 0))
   }
+
+  test("prep_vlm_pack at sf0.001: placeholder counts and packed layout re-derive") {
+    val got = Catalog.queries("prep_vlm_pack")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS INT) AS nc",
+        "CAST(size(split(text, ' ')) AS LONG) AS n_text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(x => f"$x%02x").mkString
+    // per-doc sample: image span = <img> + ceil(w/4)*ceil(h/4) patches +
+    // </img> from the DECODED dims, then the text span
+    val samples = docs.map { case (id, nc, nText) =>
+      val (w, h) = (nc % 48 + 8, nc % 32 + 8)
+      val nImg = ((w + 3) / 4).toLong * ((h + 3) / 4).toLong + 2L
+      val k = md5hex(s"vlm|$id")
+      val shard = ("0123456789abcdef".indexOf(k.head)).toLong % 8
+      (shard, k, id, nImg, nText)
+    }
+    val exp = samples.groupBy(_._1).toSeq.flatMap { case (shard, g) =>
+      val ordered = g.sortBy(t => (t._2, t._3))
+      val totals = ordered.map(t => t._4 + t._5)
+      val cumBefore = totals.scanLeft(0L)(_ + _).init
+      val withBin = ordered.zip(cumBefore).map { case (t, cb) => (t, cb / 2048) }
+      withBin.groupBy(_._2).map { case (bin, docsIn) =>
+        val segs = docsIn.map(_._1).flatMap { case (_, k, id, nImg, nText) =>
+          Seq((k, id, 0, nImg, "img"), (k, id, 1, nText, "txt")) }
+        val cums = segs.map(_._4).scanLeft(0L)(_ + _).tail
+        (shard, bin) -> ((docsIn.map(_._1._3).distinct.size.toLong,
+          segs.map(_._4).sum,
+          ("0" +: cums.map(_.toString)).mkString(","),
+          segs.map(_._5).mkString(",")))
+      }
+    }.toMap
+    assert(got == exp, "packed VLM layout must re-derive from decoded dims")
+    // the layout is genuinely multimodal: every bin alternates img,txt
+    // per doc, and image spans dominated by patch counts vary per doc
+    assert(got.values.forall(_._4.split(",").grouped(2)
+      .forall(p => p.length == 2 && p(0) == "img" && p(1) == "txt")))
+    assert(samples.map(_._4).distinct.length > 1,
+      "patch counts must vary with decoded dims")
+  }
 }
