@@ -765,6 +765,122 @@ object CdcQueries {
          |WHERE rn = 1 AND op <> 'delete'
          |GROUP BY o_orderstatus""".stripMargin)),
 
+    // ---- stateful incremental view maintenance (maintained aggregates) --
+    // The MAINTAINED-STATE version of cdc_incremental_agg_maintenance:
+    // that entry derives retract/add deltas analytically in ONE plan;
+    // this one maintains a per-group (count, sum) AGGREGATE STATE through
+    // a 4-batch change stream with the production IVM discipline — each
+    // batch looks up the OLD images of its keys in the row-state sink
+    // (batch-bounded equi-join against bucketed state, BEFORE the merge),
+    // emits a retraction (-1, -cents) per old image and an addition
+    // (+1, +cents) per new image, folds the deltas into ONLY the touched
+    // groups' aggregate rows, and tombstones groups whose count reaches
+    // zero. Group-MOVING updates (the case naive delta-IVM gets wrong)
+    // are planted: every update relocates its key to a different group,
+    // which decomposes into retract-from-old + add-to-new via the same
+    // two delta legs. The oracle aggregates the from-scratch LWW final
+    // state, so the hash gate proves the maintained aggregate converges
+    // to the recomputed one across inserts, value updates, group moves,
+    // deletes and delete-then-reinsert. 100 TB: per-batch cost = batch
+    // size (old-image lookup + deltas) + touched groups (agg rewrite) —
+    // never the fact table; this is materialized-view maintenance as a
+    // dataflow, the thing a nightly full re-aggregation cannot give.
+    CatalogQuery("cdc_ivm_maintained_aggs", (s, d) => {
+      val work = Q.scratch("ivmagg")
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      def batch(b: Int): DataFrame =
+        if (b == 0)
+          o.select(col("o_orderkey"), (col("o_custkey") % 50).as("grp"),
+            col("cents"), lit(ChangeLog.Insert).as("op"), lit(0L).as("seq"))
+        else {
+          val ups = o.filter(col("o_orderkey") % 10 === b)
+            .select(col("o_orderkey"),
+              ((col("o_custkey") + b) % 50).as("grp"), // group MOVE
+              (col("cents") + 100000L * b).as("cents"))
+          val ins = o.filter(col("o_orderkey") % 23 === b)
+            .select((col("o_orderkey") + 1000000L * b).as("o_orderkey"),
+              ((col("o_custkey") + 7 * b) % 50).as("grp"),
+              (col("cents") + b).as("cents"))
+          val dels = o.filter(col("o_orderkey") % 17 === b && col("o_orderkey") % 10 =!= b)
+            .select(col("o_orderkey"), lit(null).cast("bigint").as("grp"),
+              lit(null).cast("bigint").as("cents"))
+          ups.unionByName(ins).withColumn("op", lit(ChangeLog.Update))
+            .unionByName(dels.withColumn("op", lit(ChangeLog.Delete)))
+            .withColumn("seq", lit(b.toLong))
+        }
+      val rowState = new graft.sinks.SnapshotSink(s, s"$work/rows", Seq("o_orderkey"))
+      val aggState = new graft.sinks.SnapshotSink(s, s"$work/aggs", Seq("grp"))
+      (0 to 3).foreach { b =>
+        val ch = batch(b)
+        val plus = ch.filter(col("op") =!= ChangeLog.Delete)
+          .select(col("grp"), lit(1L).as("dn"), col("cents").as("dc"))
+        val deltaIn =
+          if (b == 0) plus
+          else {
+            // retractions come from the OLD images, read before the merge
+            val keys = ch.select(col("o_orderkey")).distinct()
+            rowState.read().join(keys, Seq("o_orderkey"))
+              .select(col("grp"), lit(-1L).as("dn"), (-col("cents")).as("dc"))
+              .unionByName(plus)
+          }
+        val delta = deltaIn.groupBy(col("grp"))
+          .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+        val newAgg =
+          if (b == 0)
+            delta.select(col("grp"), col("dn").as("n_rows"), col("dc").as("sum_cents"))
+          else {
+            val oldAgg = aggState.read().join(delta.select("grp"), Seq("grp"))
+              .select(col("grp"), col("n_rows").as("o_n"), col("sum_cents").as("o_s"))
+            delta.join(oldAgg, Seq("grp"), "left")
+              .select(col("grp"),
+                (coalesce(col("o_n"), lit(0L)) + col("dn")).as("n_rows"),
+                (coalesce(col("o_s"), lit(0L)) + col("dc")).as("sum_cents"))
+          }
+        aggState.merge(newAgg.filter(col("n_rows") > 0)
+          .withColumn("op", lit(ChangeLog.Update))
+          .unionByName(newAgg.filter(col("n_rows") === 0)
+            .select(col("grp"), lit(null).cast("bigint").as("n_rows"),
+              lit(null).cast("bigint").as("sum_cents"),
+              lit(ChangeLog.Delete).as("op")))
+          .withColumn("seq", lit(b.toLong)))
+        rowState.merge(ch)
+      }
+      aggState.read().select(col("grp"), col("n_rows"), col("sum_cents"))
+    }, Some(
+      """WITH b3 AS (SELECT unnest(range(1, 4)) AS b),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |base AS (
+        |  SELECT o_orderkey AS k, (o_custkey % 50)::BIGINT AS grp, cents,
+        |    0::BIGINT AS seq, 0 AS del
+        |  FROM src),
+        |ups AS (
+        |  SELECT o_orderkey, ((o_custkey + b) % 50)::BIGINT, cents + 100000 * b,
+        |    b::BIGINT, 0
+        |  FROM src CROSS JOIN b3 WHERE o_orderkey % 10 = b),
+        |ins AS (
+        |  SELECT o_orderkey + 1000000 * b, ((o_custkey + 7 * b) % 50)::BIGINT,
+        |    cents + b, b::BIGINT, 0
+        |  FROM src CROSS JOIN b3 WHERE o_orderkey % 23 = b),
+        |dels AS (
+        |  SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |    b::BIGINT, 1
+        |  FROM src CROSS JOIN b3 WHERE o_orderkey % 17 = b AND o_orderkey % 10 <> b),
+        |log AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM ups
+        |  UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM dels),
+        |fin AS (
+        |  SELECT k, grp, cents FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |    FROM log) t
+        |  WHERE rn = 1 AND del = 0)
+        |SELECT grp, count(*)::BIGINT AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY 1""".stripMargin)),
+
     // flagship composite: replicate (compact) then analyze (agg) — §7.2
     CatalogQuery("cdc_apply_then_agg", (s, d) =>
       ChangeLog.compact(changeLog(s, d), Seq("o_orderkey"))

@@ -751,6 +751,124 @@ object IndexQueries {
         |SELECT doc_a, doc_b, count(*)::BIGINT AS n_spans,
         |  (max(cnt) + 3)::BIGINT AS max_span_tokens,
         |  (sum(cnt) + 3 * count(*))::BIGINT AS dup_tokens
-        |FROM spans GROUP BY 1, 2""".stripMargin))
+        |FROM spans GROUP BY 1, 2""".stripMargin)),
+
+    // ---- CDC-maintained inverted index (segmented postings) -------------
+    // The text twin of ann_cdc_incremental_index: a full-text inverted
+    // index that FOLLOWS a document change stream instead of being
+    // rebuilt. Posting rows are keyed (term, segment = doc_id div 1000)
+    // — the Lucene-segment discipline made relational: a posting row is
+    // bounded by the segment's doc span, so a stopword's corpus-sized
+    // list never concentrates in one row, and a changed doc rewrites
+    // ONLY its own (term, segment) rows. Per batch: the batch's OLD
+    // images (row-state lookup, pre-merge) and NEW images both
+    // tokenize; their (term, segment) pairs are the touched set; each
+    // touched row rebuilds as old-entries − changed-docs + new-entries
+    // and merges into the postings sink (emptied rows tombstoned). The
+    // oracle builds the postings from the from-scratch LWW final state,
+    // so the hash gate proves the maintained index converges across
+    // revisions (old terms vanish, new terms appear), inserts and
+    // deletes. 100 TB: per-batch cost = changed docs' tokens + touched
+    // segments (each ≤ segment span), never the corpus; serving reads
+    // are term-bucketed point lookups.
+    CatalogQuery("idx_cdc_maintained_postings", (s, d) => {
+      val work = Q.scratch("ivmidx")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      def batch(b: Int): org.apache.spark.sql.DataFrame =
+        if (b == 0)
+          docs.select(col("doc_id"), col("text"),
+            lit(graft.core.ChangeLog.Insert).as("op"), lit(0L).as("seq"))
+        else {
+          val ups = docs.filter(col("doc_id") % 10 === b)
+            .select(col("doc_id"), concat(col("text"), lit(s" rev$b")).as("text"))
+          val ins = docs.filter(col("doc_id") % 23 === b)
+            .select((col("doc_id") + lit(1000000L * b)).as("doc_id"),
+              concat(col("text"), lit(s" ins$b")).as("text"))
+          val dels = docs.filter(col("doc_id") % 17 === b && col("doc_id") % 10 =!= b)
+            .select(col("doc_id"), lit(null).cast("string").as("text"))
+          ups.unionByName(ins)
+            .withColumn("op", lit(graft.core.ChangeLog.Update))
+            .unionByName(dels.withColumn("op", lit(graft.core.ChangeLog.Delete)))
+            .withColumn("seq", lit(b.toLong))
+        }
+      def entries(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .withColumn("seg", expr("doc_id div 1000"))
+      val docState = new graft.sinks.SnapshotSink(s, s"$work/docs", Seq("doc_id"))
+      val postings = new graft.sinks.SnapshotSink(s, s"$work/postings",
+        Seq("term", "seg"))
+      (0 to 3).foreach { b =>
+        val ch = batch(b)
+        val newEntries = entries(ch.filter(col("op") =!= graft.core.ChangeLog.Delete))
+        val (touched, carried) =
+          if (b == 0) (newEntries.select("term", "seg").distinct(), newEntries)
+          else {
+            val keys = ch.select(col("doc_id")).distinct()
+            val oldEntries = entries(docState.read().join(keys, Seq("doc_id")))
+            val t = newEntries.select("term", "seg")
+              .unionByName(oldEntries.select("term", "seg")).distinct()
+            // old posting rows of the touched (term, seg) pairs, with the
+            // changed docs' entries dropped, then the new images added
+            val old = postings.read().join(t, Seq("term", "seg"))
+              .select(col("term"), col("seg"), explode(col("plist")).as("p"))
+              .select(col("term"), col("seg"),
+                col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+              .join(keys, Seq("doc_id"), "left_anti")
+              .select(col("term"), col("doc_id"), col("tf"), col("seg"))
+            (t, old.unionByName(newEntries))
+          }
+        val rebuilt = carried.groupBy(col("term"), col("seg"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sort_array(collect_list(struct(doc_id, tf)))").as("plist"))
+        val dropped = touched.join(rebuilt.select("term", "seg"),
+            Seq("term", "seg"), "left_anti")
+          .select(col("term"), col("seg"), lit(null).cast("bigint").as("n_docs"),
+            lit(null).cast("array<struct<doc_id:bigint,tf:bigint>>").as("plist"),
+            lit(graft.core.ChangeLog.Delete).as("op"))
+        postings.merge(rebuilt
+          .withColumn("op", lit(graft.core.ChangeLog.Update))
+          .unionByName(dropped)
+          .withColumn("seq", lit(b.toLong)))
+        docState.merge(ch)
+      }
+      // serve shape: segments concatenate per term in seg order (plist
+      // entries are already doc-sorted within a segment, and segments
+      // partition the doc-id space in order)
+      postings.read()
+        .select(col("term"), col("seg"), col("n_docs"), col("plist"))
+        .groupBy(col("term"))
+        .agg(sum(col("n_docs")).as("df"),
+          expr("""array_join(flatten(transform(
+            |  array_sort(collect_list(struct(seg, plist))),
+            |  sp -> transform(sp.plist,
+            |    p -> concat(CAST(p.doc_id AS STRING), ':', CAST(p.tf AS STRING))))), ',')""".stripMargin)
+            .as("plist_str"))
+    }, Some(
+      """WITH b3 AS (SELECT unnest(range(1, 4)) AS b),
+        |base AS (SELECT doc_id, text, 0::BIGINT AS seq, 0 AS del FROM documents),
+        |ups AS (
+        |  SELECT doc_id, text || ' rev' || b::VARCHAR, b::BIGINT, 0
+        |  FROM documents CROSS JOIN b3 WHERE doc_id % 10 = b),
+        |ins AS (
+        |  SELECT doc_id + 1000000 * b, text || ' ins' || b::VARCHAR, b::BIGINT, 0
+        |  FROM documents CROSS JOIN b3 WHERE doc_id % 23 = b),
+        |dels AS (
+        |  SELECT doc_id, CAST(NULL AS VARCHAR), b::BIGINT, 1
+        |  FROM documents CROSS JOIN b3 WHERE doc_id % 17 = b AND doc_id % 10 <> b),
+        |log AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM ups
+        |  UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM dels),
+        |fin AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |    FROM log) t
+        |  WHERE rn = 1 AND del = 0),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM fin),
+        |tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)
+        |SELECT term, count(*)::BIGINT AS df,
+        |  string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, ',' ORDER BY doc_id)
+        |    AS plist_str
+        |FROM tf GROUP BY term""".stripMargin))
   )
 }

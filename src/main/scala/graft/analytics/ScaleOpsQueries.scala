@@ -929,35 +929,7 @@ object ScaleOpsQueries {
     // its new image — the contract a replicated eval set needs.
     CatalogQuery("ann_cdc_incremental_probe", (s, d) => {
       val (idx, seedsOne) = annMaintainedIndex(s, d)
-      val distExpr = expr(
-        "aggregate(zip_with(qq, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
-      val qs = idx.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"))
-      val wq = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
-      val probes = qs.crossJoin(broadcast(seedsOne))
-        .select(col("query_id"), col("qq"), explode(col("cs")).as("c"))
-        .select(col("query_id"), col("qq"), col("c.cell").as("cell"), col("c.cv").as("cv"))
-        .withColumn("dist", distExpr)
-        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 2)
-        .select(col("query_id"), col("qq"), col("cell"))
-      // 32-way salt against the pinned-C=16 shuffle skew (the
-      // sim_ivfpq_adc_topk measurement: ≤16 shuffle keys idle the
-      // cluster; the salt spreads cells without changing candidates)
-      val salts = 32
-      val saltedProbes = probes.withColumn("salt",
-        explode(expr(s"sequence(0, ${salts - 1})")))
-      val saltedIdx = idx.withColumn("salt",
-        pmod(xxhash64(col("vec_id")), lit(salts)).cast("int"))
-      val candDist = expr(
-        "aggregate(zip_with(qq, q, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
-      val wr = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("vec_id"))
-      saltedProbes.join(saltedIdx, Seq("cell", "salt"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .withColumn("dist2", candDist)
-        .withColumn("rank", row_number().over(wr))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("vec_id").as("neighbor_id"), col("dist2").as("dist"))
+      annProbeMaintained(idx, seedsOne, col("vec_id") % 50 === 0)
     }, Some(
       s"""$annFinalIndexDuck,
          |members AS (SELECT q.vec_id, q.q, a.cell FROM quant q JOIN assigned a USING (vec_id)),
@@ -1323,7 +1295,47 @@ object ScaleOpsQueries {
       .select(col("vec_id"), col("q"), col("cell"))
   }
 
-  private def annMaintainedIndex(s: SparkSession, d: String)
+  /** Probe a maintained (vec_id, q, cell) index: queries = the live rows
+    * matching `queryFilter`, nprobe=2 coarse cells per query, exact
+    * integer-lattice ranking over the probed cells' members, top-3.
+    * Salted ×32 against the pinned-C=16 shuffle skew (the
+    * sim_ivfpq_adc_topk measurement: ≤16 shuffle keys idle the cluster;
+    * the salt spreads cells without changing candidates). Parameterized
+    * on the query filter so ScaleStress can measure the PRODUCTION
+    * regime (fixed query set, corpus grows) next to the harness regime
+    * (queries scale with the corpus).
+    */
+  private[graft] def annProbeMaintained(idx: DataFrame, seedsOne: DataFrame,
+      queryFilter: Column): DataFrame = {
+    val distExpr = expr(
+      "aggregate(zip_with(qq, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    val qs = idx.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
+    val probes = qs.crossJoin(broadcast(seedsOne))
+      .select(col("query_id"), col("qq"), explode(col("cs")).as("c"))
+      .select(col("query_id"), col("qq"), col("c.cell").as("cell"), col("c.cv").as("cv"))
+      .withColumn("dist", distExpr)
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 2)
+      .select(col("query_id"), col("qq"), col("cell"))
+    val salts = 32
+    val saltedProbes = probes.withColumn("salt",
+      explode(expr(s"sequence(0, ${salts - 1})")))
+    val saltedIdx = idx.withColumn("salt",
+      pmod(xxhash64(col("vec_id")), lit(salts)).cast("int"))
+    val candDist = expr(
+      "aggregate(zip_with(qq, q, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("vec_id"))
+    saltedProbes.join(saltedIdx, Seq("cell", "salt"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("dist2", candDist)
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("dist2").as("dist"))
+  }
+
+  private[graft] def annMaintainedIndex(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, d)
     def rot(b: Int) = expr(

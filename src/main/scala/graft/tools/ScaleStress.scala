@@ -149,7 +149,11 @@ object ScaleStress {
       "ann_stream_serve",
       // r09: VLM packing — batched PNG decode (per-row constant) + the
       // per-shard prefix-sum pack; bin windows partitioned by (shard,bin)
-      "prep_vlm_pack")
+      "prep_vlm_pack",
+      // r09 maintained-state wave: stateful IVM aggregate (per-batch cost
+      // = batch + touched groups) and the segmented maintained inverted
+      // index (changed docs' tokens + touched segments)
+      "cdc_ivm_maintained_aggs", "idx_cdc_maintained_postings")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =
@@ -279,6 +283,24 @@ object ScaleStress {
       val inc = (System.nanoTime() - t1) / 1e9
       println(f"[stress] ann_index_build_full             $full%8.2fs rows=${sink.read().count()}")
       println(f"[stress] ann_index_incremental_batch      $inc%8.2fs (fixed batch, 4/64 buckets, ${factor}x corpus)")
+    }
+
+    // maintained-ANN probe in the PRODUCTION regime: the query set stays
+    // FIXED (base-replica live rows only) while the corpus grows
+    // factor×, so probe cost must track corpus size ~linearly. The
+    // default-loop catalog row scales queries WITH the corpus at pinned
+    // C=16 — candidates ∝ N²/C, the documented semdedup-style harness
+    // trade (measured: 15.4 s at 10× → 75.3 s at 30×); production holds
+    // the eval set fixed and trains C ∝ √N
+    if (extras) {
+      val (idx, seedsOne) =
+        graft.analytics.ScaleOpsQueries.annMaintainedIndex(spark, out)
+      val t0 = System.nanoTime()
+      val rows = graft.analytics.ScaleOpsQueries.annProbeMaintained(
+        idx, seedsOne,
+        col("vec_id") % 50 === 0 && col("vec_id") < shift).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] ann_probe_fixed_queries          $secs%8.2fs rows=$rows")
     }
 
     // residual IVF-PQ maintenance: codebooks train once on the scaled

@@ -217,4 +217,65 @@ class IndexQueriesSpec extends SparkSpec {
       assert(dupTokens >= maxSpan && nSpans >= 1)
     }
   }
+
+  test("CDC-maintained postings equal a full driver-side rebuild; revisions reindex") {
+    val got = Catalog.queries("idx_cdc_maintained_postings")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // replay the change rules → LWW final doc state
+    val state = scala.collection.mutable.Map.empty[Long, String]
+    base.foreach { case (id, t) => state(id) = t }
+    (1 to 3).foreach { b =>
+      base.foreach { case (id, t) =>
+        if (id % 10 == b) state(id) = s"$t rev$b"
+        else if (id % 17 == b) state.remove(id)
+        if (id % 23 == b) state(id + 1000000L * b) = s"$t ins$b"
+      }
+    }
+    // postings from the final state, doc-sorted
+    val exp = state.toSeq.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, g) => (w, id, g.length.toLong) }
+    }.groupBy(_._1).map { case (term, es) =>
+      val sorted = es.sortBy(_._2)
+      term -> ((sorted.size.toLong, sorted.map(e => s"${e._2}:${e._3}").mkString(",")))
+    }
+    assert(got == exp, "maintained postings must equal the rebuild")
+    // the maintenance actually reindexed: revision terms exist (rev1..3),
+    // inserted docs appear in lists, and a deleted doc appears in none
+    (1 to 3).foreach(b => assert(got.contains(s"rev$b") && got.contains(s"ins$b")))
+    assert(got.keys.nonEmpty && got("rev1")._1 > 0)
+    val deleted = base.collectFirst {
+      case (id, _) if id % 17 == 1 && id % 10 != 1 && id % 10 != 2 && id % 10 != 3 => id }
+    deleted.foreach { id =>
+      assert(!got.values.exists(_._2.split(",").exists(_.startsWith(s"$id:"))),
+        s"deleted doc $id must vanish from every posting list") }
+  }
+
+  test("cdc_ivm_maintained_aggs equals a full driver-side recompute; group moves happen") {
+    val got = Catalog.queries("cdc_ivm_maintained_aggs")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val base = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val state = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    base.foreach { case (k, c, v) => state(k) = (c % 50, v) }
+    var moved = false
+    (1 to 3).foreach { b =>
+      base.foreach { case (k, c, v) =>
+        if (k % 10 == b) {
+          if (state.get(k).exists(_._1 != (c + b) % 50)) moved = true
+          state(k) = ((c + b) % 50, v + 100000L * b)
+        } else if (k % 17 == b) state.remove(k)
+        if (k % 23 == b) state(k + 1000000L * b) = ((c + 7 * b) % 50, v + b)
+      }
+    }
+    val exp = state.values.groupBy(_._1).map { case (g, vs) =>
+      g -> ((vs.size.toLong, vs.map(_._2).sum)) }
+    assert(got == exp, "maintained aggregate must equal the recompute")
+    assert(moved, "the change stream must contain group-moving updates")
+    assert(got.values.map(_._1).sum == state.size)
+  }
 }
