@@ -772,70 +772,11 @@ object IndexQueries {
     // segments (each ≤ segment span), never the corpus; serving reads
     // are term-bucketed point lookups.
     CatalogQuery("idx_cdc_maintained_postings", (s, d) => {
-      val work = Q.scratch("ivmidx")
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      def batch(b: Int): org.apache.spark.sql.DataFrame =
-        if (b == 0)
-          docs.select(col("doc_id"), col("text"),
-            lit(graft.core.ChangeLog.Insert).as("op"), lit(0L).as("seq"))
-        else {
-          val ups = docs.filter(col("doc_id") % 10 === b)
-            .select(col("doc_id"), concat(col("text"), lit(s" rev$b")).as("text"))
-          val ins = docs.filter(col("doc_id") % 23 === b)
-            .select((col("doc_id") + lit(1000000L * b)).as("doc_id"),
-              concat(col("text"), lit(s" ins$b")).as("text"))
-          val dels = docs.filter(col("doc_id") % 17 === b && col("doc_id") % 10 =!= b)
-            .select(col("doc_id"), lit(null).cast("string").as("text"))
-          ups.unionByName(ins)
-            .withColumn("op", lit(graft.core.ChangeLog.Update))
-            .unionByName(dels.withColumn("op", lit(graft.core.ChangeLog.Delete)))
-            .withColumn("seq", lit(b.toLong))
-        }
-      def entries(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-        .withColumn("seg", expr("doc_id div 1000"))
-      val docState = new graft.sinks.SnapshotSink(s, s"$work/docs", Seq("doc_id"))
-      val postings = new graft.sinks.SnapshotSink(s, s"$work/postings",
-        Seq("term", "seg"))
-      (0 to 3).foreach { b =>
-        val ch = batch(b)
-        val newEntries = entries(ch.filter(col("op") =!= graft.core.ChangeLog.Delete))
-        val (touched, carried) =
-          if (b == 0) (newEntries.select("term", "seg").distinct(), newEntries)
-          else {
-            val keys = ch.select(col("doc_id")).distinct()
-            val oldEntries = entries(docState.read().join(keys, Seq("doc_id")))
-            val t = newEntries.select("term", "seg")
-              .unionByName(oldEntries.select("term", "seg")).distinct()
-            // old posting rows of the touched (term, seg) pairs, with the
-            // changed docs' entries dropped, then the new images added
-            val old = postings.read().join(t, Seq("term", "seg"))
-              .select(col("term"), col("seg"), explode(col("plist")).as("p"))
-              .select(col("term"), col("seg"),
-                col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
-              .join(keys, Seq("doc_id"), "left_anti")
-              .select(col("term"), col("doc_id"), col("tf"), col("seg"))
-            (t, old.unionByName(newEntries))
-          }
-        val rebuilt = carried.groupBy(col("term"), col("seg"))
-          .agg(count(lit(1)).as("n_docs"),
-            expr("sort_array(collect_list(struct(doc_id, tf)))").as("plist"))
-        val dropped = touched.join(rebuilt.select("term", "seg"),
-            Seq("term", "seg"), "left_anti")
-          .select(col("term"), col("seg"), lit(null).cast("bigint").as("n_docs"),
-            lit(null).cast("array<struct<doc_id:bigint,tf:bigint>>").as("plist"),
-            lit(graft.core.ChangeLog.Delete).as("op"))
-        postings.merge(rebuilt
-          .withColumn("op", lit(graft.core.ChangeLog.Update))
-          .unionByName(dropped)
-          .withColumn("seq", lit(b.toLong)))
-        docState.merge(ch)
-      }
+      val (post, _) = maintainedPostingsState(s, d)
       // serve shape: segments concatenate per term in seg order (plist
       // entries are already doc-sorted within a segment, and segments
       // partition the doc-id space in order)
-      postings.read()
+      post
         .select(col("term"), col("seg"), col("n_docs"), col("plist"))
         .groupBy(col("term"))
         .agg(sum(col("n_docs")).as("df"),
@@ -869,6 +810,171 @@ object IndexQueries {
         |SELECT term, count(*)::BIGINT AS df,
         |  string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, ',' ORDER BY doc_id)
         |    AS plist_str
-        |FROM tf GROUP BY term""".stripMargin))
+        |FROM tf GROUP BY term""".stripMargin)),
+
+    // ---- BM25 served FROM the maintained index ---------------------------
+    // The retrieval serving loop closed over maintained state: the query
+    // ['spark', 'rev1', 'ins2'] mixes base-vocabulary and
+    // maintenance-PLANTED terms (rev1/ins2 only exist because the index
+    // followed revisions and inserts), tf and df come from the maintained
+    // posting rows (term-keyed point reads + a per-term segment sum —
+    // never a corpus scan), doc lengths from the maintained doc-state's
+    // n_tok column (column-pruned read; the global (N, totLen) stat pair
+    // is one aggregate over it — maintainable by the cdc_ivm discipline
+    // if even that scan must go). Scoring is txt_bm25_topk's rational
+    // integer form (log-free, bit-stable), top-10 by TakeOrdered. The
+    // oracle recomputes BM25 from the from-scratch LWW document state,
+    // so the gate proves serving from the maintained index equals
+    // recomputation over the corpus.
+    CatalogQuery("idx_cdc_maintained_bm25", (s, d) => {
+      val (post, docState) = maintainedPostingsState(s, d)
+      val qterms = Seq("spark", "rev1", "ins2")
+      val qpost = post.filter(col("term").isin(qterms: _*))
+      val tfq = qpost
+        .select(col("term"), explode(col("plist")).as("p"))
+        .select(col("term"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+      val dfr = qpost.groupBy(col("term")).agg(sum(col("n_docs")).as("df"))
+      val lens = docState.select(col("doc_id"), col("n_tok").as("len"))
+      val stats = lens.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("len")).as("tot_len"))
+      val scored = tfq.join(dfr, "term").join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("s",
+          ((lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)).cast("double")
+            / (lit(2) * col("df") + lit(1))) *
+            ((lit(22) * col("tf") * col("tot_len")).cast("double")
+              / (lit(10) * col("tf") * col("tot_len") + lit(3) * col("tot_len")
+                + lit(9) * col("len") * col("n_docs"))))
+      val perDoc = scored.groupBy("doc_id").agg(
+        (coalesce(max(when(col("term") === "spark", col("s"))), lit(0.0))
+          + coalesce(max(when(col("term") === "rev1", col("s"))), lit(0.0))
+          + coalesce(max(when(col("term") === "ins2", col("s"))), lit(0.0)))
+          .as("score"))
+      val top = perDoc.orderBy(col("score").desc, col("doc_id").asc).limit(10)
+      top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+          .cast("long"))
+    }, Some(
+      s"""WITH b3 AS (SELECT unnest(range(1, 4)) AS b),
+         |base AS (SELECT doc_id, text, 0::BIGINT AS seq, 0 AS del FROM documents),
+         |ups AS (
+         |  SELECT doc_id, text || ' rev' || b::VARCHAR, b::BIGINT, 0
+         |  FROM documents CROSS JOIN b3 WHERE doc_id % 10 = b),
+         |ins AS (
+         |  SELECT doc_id + 1000000 * b, text || ' ins' || b::VARCHAR, b::BIGINT, 0
+         |  FROM documents CROSS JOIN b3 WHERE doc_id % 23 = b),
+         |dels AS (
+         |  SELECT doc_id, CAST(NULL AS VARCHAR), b::BIGINT, 1
+         |  FROM documents CROSS JOIN b3 WHERE doc_id % 17 = b AND doc_id % 10 <> b),
+         |log AS (
+         |  SELECT * FROM base UNION ALL SELECT * FROM ups
+         |  UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM dels),
+         |fin AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+         |    FROM log) t
+         |  WHERE rn = 1 AND del = 0),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM fin),
+         |tf AS (
+         |  SELECT doc_id, len, term, count(*) AS tf FROM (
+         |    SELECT doc_id, len(t)::BIGINT AS len, unnest(t) AS term FROM toks)
+         |  WHERE term IN ('spark', 'rev1', 'ins2')
+         |  GROUP BY 1, 2, 3),
+         |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (
+         |  SELECT count(*)::BIGINT AS n_docs, sum(len(t))::BIGINT AS tot_len
+         |  FROM toks),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    (CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / (2 * df + 1)) *
+         |    (CAST(22 * tf * tot_len AS DOUBLE)
+         |      / (10 * tf * tot_len + 3 * tot_len + 9 * len * n_docs)) AS s
+         |  FROM tf JOIN dfr USING (term) CROSS JOIN stats),
+         |per_doc AS (
+         |  SELECT doc_id,
+         |    coalesce(max(CASE WHEN term = 'spark' THEN s END), 0.0)
+         |    + coalesce(max(CASE WHEN term = 'rev1' THEN s END), 0.0)
+         |    + coalesce(max(CASE WHEN term = 'ins2' THEN s END), 0.0) AS score
+         |  FROM scored GROUP BY 1)
+         |SELECT doc_id, score,
+         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |FROM per_doc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
   )
+
+  /** The 4-batch maintained inverted index shared by the postings and
+    * BM25 entries: a document change stream (revisions / inserts /
+    * tombstones) LWW-maintains a doc-state sink (with n_tok for serving)
+    * and a (term, segment)-keyed postings sink where each batch rewrites
+    * ONLY the (term, segment) rows its changed docs touch. Returns
+    * (postings read, doc-state read).
+    */
+  private def maintainedPostingsState(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val work = Q.scratch("ivmidx")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def batch(b: Int): org.apache.spark.sql.DataFrame = {
+      val raw =
+        if (b == 0)
+          docs.select(col("doc_id"), col("text"),
+            lit(graft.core.ChangeLog.Insert).as("op"), lit(0L).as("seq"))
+        else {
+          val ups = docs.filter(col("doc_id") % 10 === b)
+            .select(col("doc_id"), concat(col("text"), lit(s" rev$b")).as("text"))
+          val ins = docs.filter(col("doc_id") % 23 === b)
+            .select((col("doc_id") + lit(1000000L * b)).as("doc_id"),
+              concat(col("text"), lit(s" ins$b")).as("text"))
+          val dels = docs.filter(col("doc_id") % 17 === b && col("doc_id") % 10 =!= b)
+            .select(col("doc_id"), lit(null).cast("string").as("text"))
+          ups.unionByName(ins)
+            .withColumn("op", lit(graft.core.ChangeLog.Update))
+            .unionByName(dels.withColumn("op", lit(graft.core.ChangeLog.Delete)))
+            .withColumn("seq", lit(b.toLong))
+        }
+      raw.withColumn("n_tok",
+        when(col("text").isNotNull, size(split(col("text"), " ")).cast("long")))
+    }
+    def entries(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("seg", expr("doc_id div 1000"))
+    val docState = new graft.sinks.SnapshotSink(s, s"$work/docs", Seq("doc_id"))
+    val postings = new graft.sinks.SnapshotSink(s, s"$work/postings",
+      Seq("term", "seg"))
+    (0 to 3).foreach { b =>
+      val ch = batch(b)
+      val newEntries = entries(ch.filter(col("op") =!= graft.core.ChangeLog.Delete))
+      val (touched, carried) =
+        if (b == 0) (newEntries.select("term", "seg").distinct(), newEntries)
+        else {
+          val keys = ch.select(col("doc_id")).distinct()
+          val oldEntries = entries(docState.read().join(keys, Seq("doc_id")))
+          val t = newEntries.select("term", "seg")
+            .unionByName(oldEntries.select("term", "seg")).distinct()
+          // old posting rows of the touched (term, seg) pairs, with the
+          // changed docs' entries dropped, then the new images added
+          val old = postings.read().join(t, Seq("term", "seg"))
+            .select(col("term"), col("seg"), explode(col("plist")).as("p"))
+            .select(col("term"), col("seg"),
+              col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+            .join(keys, Seq("doc_id"), "left_anti")
+            .select(col("term"), col("doc_id"), col("tf"), col("seg"))
+          (t, old.unionByName(newEntries))
+        }
+      val rebuilt = carried.groupBy(col("term"), col("seg"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sort_array(collect_list(struct(doc_id, tf)))").as("plist"))
+      val dropped = touched.join(rebuilt.select("term", "seg"),
+          Seq("term", "seg"), "left_anti")
+        .select(col("term"), col("seg"), lit(null).cast("bigint").as("n_docs"),
+          lit(null).cast("array<struct<doc_id:bigint,tf:bigint>>").as("plist"),
+          lit(graft.core.ChangeLog.Delete).as("op"))
+      postings.merge(rebuilt
+        .withColumn("op", lit(graft.core.ChangeLog.Update))
+        .unionByName(dropped)
+        .withColumn("seq", lit(b.toLong)))
+      docState.merge(ch)
+    }
+    (postings.read(), docState.read())
+  }
 }

@@ -153,7 +153,8 @@ object ScaleStress {
       // r09 maintained-state wave: stateful IVM aggregate (per-batch cost
       // = batch + touched groups) and the segmented maintained inverted
       // index (changed docs' tokens + touched segments)
-      "cdc_ivm_maintained_aggs", "idx_cdc_maintained_postings")
+      "cdc_ivm_maintained_aggs", "idx_cdc_maintained_postings",
+      "idx_cdc_maintained_bm25")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

@@ -253,6 +253,47 @@ class IndexQueriesSpec extends SparkSpec {
         s"deleted doc $id must vanish from every posting list") }
   }
 
+  test("BM25 served from the maintained index equals a driver recompute; planted terms rank") {
+    val got = Catalog.queries("idx_cdc_maintained_bm25")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.nonEmpty && got.map(_._3).toSeq == (1L to got.length.toLong))
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val state = scala.collection.mutable.Map.empty[Long, String]
+    base.foreach { case (id, t) => state(id) = t }
+    (1 to 3).foreach { b =>
+      base.foreach { case (id, t) =>
+        if (id % 10 == b) state(id) = s"$t rev$b"
+        else if (id % 17 == b) state.remove(id)
+        if (id % 23 == b) state(id + 1000000L * b) = s"$t ins$b"
+      }
+    }
+    val qterms = Seq("spark", "rev1", "ins2")
+    val toks = state.toSeq.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val n = toks.size.toLong
+    val totLen = toks.map(_._2.length.toLong).sum
+    val dfm = qterms.map(q => q -> toks.count(_._2.contains(q)).toLong).toMap
+    val scores = toks.map { case (id, ts) =>
+      val len = ts.length.toLong
+      id -> qterms.map { q =>
+        val tf = ts.count(_ == q).toLong
+        if (tf == 0 || dfm(q) == 0) 0.0
+        else ((2.0 * n - 2 * dfm(q) + 1) / (2 * dfm(q) + 1)) *
+          (22.0 * tf * totLen /
+            (10 * tf * totLen + 3 * totLen + 9 * len * n))
+      }.sum
+    }.filter(_._2 > 0.0)
+    val expTop = scores.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      expTop.map { case (id, sc) => (id, sc) }.toSeq,
+      "served top-10 must equal the driver recompute")
+    // the maintenance-planted terms genuinely contribute: some top doc
+    // contains rev1 or ins2
+    assert(got.exists { case (id, _, _) =>
+      val t = state(id); t.contains("rev1") || t.contains("ins2") })
+  }
+
   test("cdc_ivm_maintained_aggs equals a full driver-side recompute; group moves happen") {
     val got = Catalog.queries("cdc_ivm_maintained_aggs")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
