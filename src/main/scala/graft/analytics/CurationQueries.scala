@@ -912,6 +912,116 @@ object CurationQueries {
         |  WHERE i <= j)
         |SELECT i, j, count(*)::BIGINT AS n, CAST(sum(x * y) AS BIGINT) AS sxy,
         |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS cov_num
-        |FROM pairs GROUP BY 1, 2""".stripMargin))
+        |FROM pairs GROUP BY 1, 2""".stripMargin)),
+
+    // ---- int8 embedding quantization with per-dim calibration -----------
+    // The CALIBRATED post-training-quantization shape (the complement of
+    // sim_embed_quantize_int8's per-VECTOR symmetric abs-max scale):
+    // per-DIMENSION (min, max) calibration over the whole corpus — one
+    // 64-row aggregate, the pass a PTQ calibration run makes — then
+    // affine int8 codes
+    //   c = (v − lo)·255 div (hi − lo)
+    // and the round-trip reconstruction error per vector, all on the
+    // integer lattice (non-negative div operands, so truncation crosses
+    // engines). Constant dimensions (hi = lo) pin c = 0 via CASE on both
+    // sides — Spark's div-by-zero NULL and DuckDB's error never fire.
+    // The gated `oob` column proves every code fits [0, 255] rather than
+    // assuming it. 100 TB: calibration is a map-side-combinable 64-row
+    // aggregate; encode is one scan joined to the broadcast-sized
+    // calibration table; nothing pairwise anywhere.
+    CatalogQuery("emb_int8_quantize_calibrated", (s, d) => {
+      val q = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
+          .as("q"))
+      val dims = q.select(col("vec_id"), posexplode(col("q")).as(Seq("k", "v")))
+        .select(col("vec_id"), col("k").cast("long").as("k"), col("v"))
+      val cal = dims.groupBy(col("k"))
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      dims.join(cal, Seq("k")) // 64-row side; AQE broadcasts unhinted
+        .withColumn("c", expr(
+          "CASE WHEN hi > lo THEN (v - lo) * 255 div (hi - lo) ELSE CAST(0 AS BIGINT) END"))
+        .withColumn("err", expr(
+          "abs(v - (CASE WHEN hi > lo THEN lo + (c * (hi - lo) + 127) div 255 ELSE lo END))"))
+        .groupBy(col("vec_id"))
+        .agg(sum(expr("(k + 1) * c")).as("code_chk"),
+          sum(col("err")).as("abs_err_sum"),
+          max(col("err")).as("max_err"),
+          sum(expr("CASE WHEN c < 0 OR c > 255 THEN 1 ELSE 0 END")).as("oob"))
+    }, Some(
+      """WITH quant AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT vec_id, k, q[k + 1] AS v
+        |  FROM quant CROSS JOIN range(0, 64) r(k)),
+        |cal AS (SELECT k, min(v) AS lo, max(v) AS hi FROM dims GROUP BY 1),
+        |cd AS (
+        |  SELECT vec_id, k, v, lo, hi,
+        |    CASE WHEN hi > lo THEN (v - lo) * 255 // (hi - lo) ELSE 0 END AS c
+        |  FROM dims JOIN cal USING (k)),
+        |ce AS (
+        |  SELECT vec_id, k, c,
+        |    abs(v - (CASE WHEN hi > lo THEN lo + (c * (hi - lo) + 127) // 255 ELSE lo END)) AS err
+        |  FROM cd)
+        |SELECT vec_id, CAST(sum((k + 1) * c) AS BIGINT) AS code_chk,
+        |  CAST(sum(err) AS BIGINT) AS abs_err_sum,
+        |  CAST(max(err) AS BIGINT) AS max_err,
+        |  CAST(sum(CASE WHEN c < 0 OR c > 255 THEN 1 ELSE 0 END) AS BIGINT) AS oob
+        |FROM ce GROUP BY 1""".stripMargin)),
+
+    // ---- Kneser-Ney smoothed bigram LM ----------------------------------
+    // The classic interpolated-KN estimate with absolute discount
+    // D = 3/4, in the all-integer rational form (×4 clears the discount,
+    // ×1e9 scales the probability):
+    //   P_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    //               + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    // — the continuation-probability backoff that plain MLE bigrams
+    // (txt_bigram_predictability) lack, and the reason "francisco" gets
+    // low unigram-continuation mass despite high raw frequency. Every
+    // operand is a non-negative BIGINT, so the stacked `div` truncations
+    // replay identically on both engines; the cb overflow guard trips
+    // loudly before 4·cb·1e9 could wrap at larger scale. 100 TB: three
+    // hash aggregations over the bigram table + one 1-row type count —
+    // no window, no pairwise stage.
+    CatalogQuery("txt_kneser_ney_bigram", (s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            | i -> struct(element_at(toks, CAST(i AS INT)) AS w1,
+            |             element_at(toks, CAST(i + 1 AS INT)) AS w2))""".stripMargin))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val lft = cb.groupBy(col("w1"))
+        .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1l"))
+      val rgt = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+      val ntOne = cb.agg(count(lit(1)).as("nt")) // 1-row: total bigram types
+      cb.join(lft, Seq("w1")).join(rgt, Seq("w2")).crossJoin(broadcast(ntOne))
+        .withColumn("pkn_e9",
+          expr("greatest(4 * cb - 3, CAST(0 AS BIGINT)) * 1000000000 div (4 * c1)" +
+            " + 3 * n1l * (n1r * 1000000000 div nt) div (4 * c1)")
+            + Q.overflowGuard(col("cb"), 2000000000L, "txt_kneser_ney_bigram cb"))
+        .select(col("w1"), col("w2"), col("cb"), col("pkn_e9"))
+    }, Some(
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |  FROM t CROSS JOIN LATERAL (
+        |    SELECT unnest(range(1, len(tk))) AS i) u),
+        |cbt AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bg GROUP BY 1, 2),
+        |lft AS (
+        |  SELECT w1, CAST(sum(cb) AS BIGINT) AS c1, count(*)::BIGINT AS n1l
+        |  FROM cbt GROUP BY 1),
+        |rgt AS (SELECT w2, count(*)::BIGINT AS n1r FROM cbt GROUP BY 1),
+        |nt AS (SELECT count(*)::BIGINT AS nt FROM cbt)
+        |SELECT w1, w2, cb,
+        |  CAST(greatest(4 * cb - 3, 0) * 1000000000 // (4 * c1)
+        |    + 3 * n1l * (n1r * 1000000000 // nt) // (4 * c1) AS BIGINT) AS pkn_e9
+        |FROM cbt JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN nt""".stripMargin))
   )
 }

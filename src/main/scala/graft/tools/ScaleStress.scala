@@ -154,7 +154,11 @@ object ScaleStress {
       // = batch + touched groups) and the segmented maintained inverted
       // index (changed docs' tokens + touched segments)
       "cdc_ivm_maintained_aggs", "idx_cdc_maintained_postings",
-      "idx_cdc_maintained_bm25")
+      "idx_cdc_maintained_bm25",
+      // r09 wave 3: calibrated int8 PTQ (one 64-row calibration agg +
+      // a map-stage encode) and Kneser-Ney bigrams (three hash aggs over
+      // the bigram table, no windows)
+      "emb_int8_quantize_calibrated", "txt_kneser_ney_bigram")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

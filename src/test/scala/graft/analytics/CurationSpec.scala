@@ -263,4 +263,62 @@ class CurationSpec extends AnyFunSuite {
     assert(byBucket(1L)._1 >= byBucket(2L)._2 || byBucket(1L)._2 >= byBucket(2L)._1)
     assert(byBucket(2L)._1 >= byBucket(3L)._2 || byBucket(2L)._2 >= byBucket(3L)._1)
   }
+
+  test("emb_int8_quantize_calibrated matches a driver re-derivation; codes in range") {
+    val got = Catalog.queries("emb_int8_quantize_calibrated")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 64.0 + 0.5).toLong).toVector)
+    val lo = (0 until 64).map(k => vecs.map(_._2(k)).min)
+    val hi = (0 until 64).map(k => vecs.map(_._2(k)).max)
+    val exp = vecs.map { case (id, q) =>
+      val cs = (0 until 64).map { k =>
+        if (hi(k) > lo(k)) (q(k) - lo(k)) * 255 / (hi(k) - lo(k)) else 0L }
+      val errs = (0 until 64).map { k =>
+        val deq = if (hi(k) > lo(k)) lo(k) + (cs(k) * (hi(k) - lo(k)) + 127) / 255
+                  else lo(k)
+        math.abs(q(k) - deq) }
+      id -> ((cs.zipWithIndex.map { case (c, k) => (k + 1) * c }.sum,
+        errs.sum, errs.max, 0L))
+    }.toMap
+    assert(got == exp)
+    // every code in [0,255] (gated oob = 0) and the codebook is used
+    // broadly, not collapsed to a corner
+    assert(got.values.forall(_._4 == 0L))
+    assert(vecs.flatMap { case (_, q) => (0 until 64).map { k =>
+      if (hi(k) > lo(k)) (q(k) - lo(k)) * 255 / (hi(k) - lo(k)) else 0L } }
+      .distinct.length > 32, "codes must span the int8 range")
+  }
+
+  test("txt_kneser_ney_bigram matches a driver re-derivation; backoff mass flows") {
+    val got = Catalog.queries("txt_kneser_ney_bigram")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val bg = texts.flatMap { t =>
+      val tk = t.split(" ", -1)
+      if (tk.length < 2) Nil else tk.sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val cb = bg.groupBy(identity).map { case (p, g) => p -> g.length.toLong }
+    val c1 = cb.toSeq.groupBy(_._1._1).map { case (w, g) => w -> g.map(_._2).sum }
+    val n1l = cb.toSeq.groupBy(_._1._1).map { case (w, g) => w -> g.size.toLong }
+    val n1r = cb.toSeq.groupBy(_._1._2).map { case (w, g) => w -> g.size.toLong }
+    val nt = cb.size.toLong
+    val exp = cb.map { case ((w1, w2), c) =>
+      val t1 = math.max(4 * c - 3, 0L) * 1000000000L / (4 * c1(w1))
+      val t2 = 3 * n1l(w1) * (n1r(w2) * 1000000000L / nt) / (4 * c1(w1))
+      (w1, w2) -> ((c, t1 + t2))
+    }
+    assert(got == exp)
+    // the KN structure is real: probabilities are proper (≤ 1e9), and
+    // the continuation term contributes for singleton bigrams (where the
+    // discounted MLE term is max(4·1−3,0)/4c1 — tiny)
+    assert(got.values.forall(_._2 <= 1000000000L))
+    val singleton = exp.collectFirst { case (k, (c, p)) if c == 1 && p > 0 => k }
+    assert(singleton.isDefined, "singleton bigrams must carry backoff mass")
+  }
 }
