@@ -366,6 +366,89 @@ object PrepQueries {
         |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc_tokens
         |FROM ranked""".stripMargin)),
 
+    // ---- budget-enforcing mixture selection ------------------------------
+    // The step that turns mix_token_budget_apportion's INTEGER budgets
+    // into the actual training-mix document list: within each source,
+    // docs order by a seeded md5 shuffle key and are taken while the
+    // RUNNING token total stays within the source's allocation — the
+    // deterministic, coordination-free materialization of a mixture plan
+    // (re-runnable to the same list on any cluster). The cumulative sum
+    // is a PARTITIONED window (per source); the only global windows are
+    // the apportionment's own, over the per-source aggregate
+    // (config-bounded, the mix_token_budget_apportion allowlist class).
+    // Output is the per-source selection report: docs taken, tokens
+    // spent, and utilization of the allocation in ppm.
+    CatalogQuery("mix_budget_enforce_selection", (s, d) => {
+      val budget = 1000000L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val bySrc = docs.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("n_tokens"))
+        .withColumn("pw",
+          floor(sqrt(col("n_tokens")) * 1000000d + 0.5d).cast("long"))
+      // global windows run over the per-SOURCE aggregate (config-bounded)
+      val w = Window.partitionBy()
+      val based = bySrc
+        .withColumn("den", sum(col("pw")).over(w))
+        .withColumn("base", expr(s"$budget * pw div den"))
+        .withColumn("rem", expr(s"($budget * pw) % den"))
+      val alloc = based
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+        .withColumn("leftover", lit(budget) - sum(col("base")).over(w))
+        .select(col("source"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("alloc_tokens"))
+      val wSel = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("sel|"), col("doc_id").cast("string"))), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("cum", sum(col("n_tok")).over(wSel))
+        .join(alloc, Seq("source"))
+        .filter(col("cum") <= col("alloc_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_selected"),
+          sum(col("n_tok")).as("tokens_selected"),
+          max(col("alloc_tokens")).as("alloc_tokens"))
+        .withColumn("util_ppm",
+          expr("tokens_selected * 1000000 div alloc_tokens"))
+    }, Some(
+      """WITH docs AS (
+        |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents),
+        |bysrc AS (
+        |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM docs GROUP BY 1),
+        |pwt AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(sqrt(n_tokens) * 1000000 + 0.5) AS BIGINT) AS pw
+        |  FROM bysrc),
+        |tot AS (SELECT *, (sum(pw) OVER ())::BIGINT AS den FROM pwt),
+        |based AS (
+        |  SELECT source, pw, den,
+        |    (1000000 * pw) // den AS base, (1000000 * pw) % den AS rem
+        |  FROM tot),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source)::BIGINT AS rk,
+        |    (1000000 - sum(base) OVER ())::BIGINT AS leftover
+        |  FROM based),
+        |alloc AS (
+        |  SELECT source,
+        |    (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc_tokens
+        |  FROM ranked),
+        |sel AS (
+        |  SELECT d.source, d.n_tok, a.alloc_tokens,
+        |    CAST(sum(d.n_tok) OVER (PARTITION BY d.source
+        |      ORDER BY md5('sel|' || d.doc_id::VARCHAR), d.doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM docs d JOIN alloc a USING (source))
+        |SELECT source, count(*)::BIGINT AS n_docs_selected,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens_selected,
+        |  max(alloc_tokens) AS alloc_tokens,
+        |  CAST(sum(n_tok) * 1000000 // max(alloc_tokens) AS BIGINT) AS util_ppm
+        |FROM sel WHERE cum <= alloc_tokens
+        |GROUP BY 1""".stripMargin)),
+
     // ---- corpus bigram LM scoring ---------------------------------------
     // Train a bigram model ON the corpus, score each document's average
     // next-token predictability under it: boilerplate scores high,

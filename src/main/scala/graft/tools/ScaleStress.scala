@@ -162,11 +162,13 @@ object ScaleStress {
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =
-      if (args.length > 2) args.drop(2).toSeq else defaultNames.distinct
+      if (args.length > 2) args.drop(2).toSeq.filterNot(_ == "+extras")
+      else defaultNames.distinct
     // the non-catalog blocks below (snapshot merge, pipeline, semdedup
-    // sqrt-N, fixed anchors, trickled dcp) run with the DEFAULT set only —
-    // a targeted `ScaleStress dir N query...` stays a targeted timing
-    val extras = args.length <= 2
+    // sqrt-N, fixed anchors, trickled dcp) run with the DEFAULT set, or
+    // when a targeted invocation passes the literal "+extras" (so a
+    // fix to one extras row can re-measure without the full hour)
+    val extras = args.length <= 2 || args.drop(2).contains("+extras")
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
     val spark = Engine.session("scale-stress",
       master = Some(s"local[${Engine.defaultShufflePartitions}]"))

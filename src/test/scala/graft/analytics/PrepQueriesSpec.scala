@@ -139,4 +139,46 @@ class PrepQueriesSpec extends SparkSpec {
       .digest(revised._2.getBytes("UTF-8")).map(x => f"$x%02x").mkString
     assert(got(revised._1)._3 != baseMd)
   }
+
+  test("budget-enforcing selection: within allocation, maximal, and re-derivable") {
+    val got = Catalog.queries("mix_budget_enforce_selection")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "source", "CAST(size(split(text, ' ')) AS LONG) AS n_tok")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(x => f"$x%02x").mkString
+    // apportion (largest remainder over sqrt weights)
+    val budget = 1000000L
+    val bySrc = docs.groupBy(_._2).map { case (src, g) => src -> g.map(_._3).sum }
+    val pw = bySrc.map { case (s0, n) =>
+      s0 -> math.floor(math.sqrt(n.toDouble) * 1000000d + 0.5d).toLong }
+    val den = pw.values.sum
+    val base = pw.map { case (s0, p) => s0 -> budget * p / den }
+    val rem = pw.map { case (s0, p) => s0 -> budget * p % den }
+    val leftover = budget - base.values.sum
+    val ranked = rem.toSeq.sortBy { case (s0, r) => (-r, s0) }.map(_._1).zipWithIndex
+    val alloc = ranked.map { case (s0, i) =>
+      s0 -> (base(s0) + (if (i + 1 <= leftover) 1L else 0L)) }.toMap
+    // selection: per source, md5 order, take while cum <= alloc
+    val exp = docs.groupBy(_._2).map { case (src, g) =>
+      val ordered = g.sortBy(t => (md5hex(s"sel|${t._1}"), t._1))
+      val cums = ordered.map(_._3).scanLeft(0L)(_ + _).tail
+      val taken = ordered.zip(cums).takeWhile(_._2 <= alloc(src))
+      src -> ((taken.size.toLong, taken.map(_._1._3).sum, alloc(src),
+        taken.map(_._1._3).sum * 1000000L / alloc(src)))
+    }
+    assert(got == exp)
+    // spend is within allocation and MAXIMAL in the shuffle order: the
+    // next doc (if any) would overspend
+    got.foreach { case (src, (nSel, spent, al, _)) =>
+      assert(spent <= al, s"$src overspent")
+      val ordered = docs.filter(_._2 == src)
+        .sortBy(t => (md5hex(s"sel|${t._1}"), t._1))
+      if (nSel < ordered.size)
+        assert(spent + ordered(nSel.toInt)._3 > al, s"$src not maximal")
+    }
+  }
 }

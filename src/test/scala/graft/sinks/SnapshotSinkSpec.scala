@@ -31,6 +31,23 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(sink.read().columns.toSet == Set("id", "v"))
   }
 
+  test("re-merging the same batch is idempotent (the foreachBatch-retry contract)") {
+    // ann_stream_serve and the IVM entries rely on this: a retried
+    // micro-batch re-merges identical (rows, seq) and must leave the
+    // state byte-for-byte unchanged, so a post-merge probe re-reads
+    // IDENTICAL state
+    val path = tmp()
+    val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
+    sink.merge(log((1, "insert", 1, "a"), (1, "insert", 2, "b")))
+    val b2 = log((2, "update", 1, "a2"), (2, "delete", 2, "b"),
+      (2, "insert", 3, "c"))
+    sink.merge(b2)
+    val once = sink.read().select("id", "v").as[(Long, String)].collect().toMap
+    sink.merge(b2) // the retry
+    val twice = sink.read().select("id", "v").as[(Long, String)].collect().toMap
+    assert(once == twice && once == Map(1L -> "a2", 3L -> "c"))
+  }
+
   test("late lower-seq change cannot resurrect a delete or roll back an image") {
     val path = tmp()
     val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
