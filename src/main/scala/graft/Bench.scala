@@ -15,6 +15,22 @@ import java.nio.file.{Files, Paths}
   * parse it even when a build tool prefixes or swallows stdout.
   */
 object Bench {
+
+  /** Two warm passes disagreeing by > 1.5× is host noise spanning one
+    * pass, not the query — the `contended` marker (pure, unit-tested).
+    */
+  private[graft] def isContended(w1: Double, w2: Double): Boolean =
+    math.max(w1, w2) > 1.5 * math.min(w1, w2)
+
+  /** The cold pass beating every warm pass is impossible for a healthy
+    * steady state (cold includes codegen + file listing): it means
+    * in-process accumulation or a contended warm window — the r08
+    * artifact shape (5.94 → 8.01 → 11.03) that the w1-vs-w2 check alone
+    * could not flag. The `inverted` marker (pure, unit-tested).
+    */
+  private[graft] def isInverted(cold: Double, warms: Seq[Double]): Boolean =
+    cold < warms.min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -92,11 +108,11 @@ object Bench {
         val w1 = pass(name)
         val w2 = pass(name)
         var ws = Seq(w1, w2)
-        if (math.max(w1, w2) > 1.5 * math.min(w1, w2)) {
+        if (isContended(w1, w2)) {
           contended += name
           ws = ws :+ pass(name) // tie-break pass
         }
-        if (c < ws.min) {
+        if (isInverted(c, ws)) {
           inverted += name
           ws = ws :+ pass(name) // one recovery attempt at a clean warm pass
         }

@@ -899,8 +899,11 @@ object MiningQueries {
       bg.filter(col("is_test"))
         .join(cntAb, Seq("a", "b"), "left")
         .join(cntA, Seq("a"), "left")
+        // overflow tripwire: cnt_ab·1e9 wraps BIGINT past cnt_ab ≈ 9.2e9
         .withColumn("p_e9", coalesce(
-          expr("cnt_ab * 1000000000L div cnt_a"), lit(0L)))
+          expr("cnt_ab * 1000000000L div cnt_a"), lit(0L))
+          + Q.overflowGuard(coalesce(col("cnt_ab"), lit(0L)), 9000000000L,
+            "qa_heldout_perplexity cnt_ab"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           sum(col("cnt_ab").isNull.cast("long")).as("n_oov"),

@@ -472,7 +472,9 @@ object PrepQueries {
       val cntAb = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt_ab"))
       val cntA = bg.groupBy(col("a")).agg(count(lit(1)).as("cnt_a"))
       bg.join(cntAb, Seq("a", "b")).join(cntA, Seq("a"))
-        .withColumn("p_e9", expr("cnt_ab * 1000000000L div cnt_a"))
+        // overflow tripwire: cnt_ab·1e9 wraps BIGINT past cnt_ab ≈ 9.2e9
+        .withColumn("p_e9", expr("cnt_ab * 1000000000L div cnt_a")
+          + Q.overflowGuard(col("cnt_ab"), 9000000000L, "txt_bigram_predictability cnt_ab"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           expr("sum(p_e9) div count(1)").as("avg_p_e9"))

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's anomaly classifiers, pinned to the artifact shapes that
+  * motivated them — in particular the r08 PageRank triple that the
+  * w1-vs-w2 contention check alone could not flag.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("contended: warm passes disagreeing > 1.5x flag; close passes don't") {
+    assert(Bench.isContended(1.0, 1.6))
+    assert(Bench.isContended(11.9, 6.7))
+    assert(!Bench.isContended(1.0, 1.4))
+    assert(!Bench.isContended(4.78, 4.56))
+  }
+
+  test("inverted: the r08 PageRank shape flags; healthy shapes don't") {
+    // the shipped r08 artifact: 5.94 cold, warm passes 8.01 / 11.03 —
+    // warm SLOWER than cold, growing. w1/w2 disagree by only 1.38x, so
+    // the contention check stayed silent; the inversion check must fire.
+    assert(!Bench.isContended(8.01, 11.03))
+    assert(Bench.isInverted(5.94, Seq(8.01, 11.03)))
+    // the healthy post-fix shape: cold pays codegen, warms settle below
+    assert(!Bench.isInverted(11.6, Seq(4.17, 4.35)))
+    assert(!Bench.isInverted(6.75, Seq(4.78, 4.56)))
+    // a tie-break pass that recovers below cold clears nothing
+    // retroactively — inversion is judged on the warms present at check
+    // time, and a later recovery pass only improves the reported MIN
+    assert(Bench.isInverted(3.0, Seq(3.5, 3.4, 3.6)))
+  }
+}
