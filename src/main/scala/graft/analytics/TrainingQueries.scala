@@ -109,6 +109,122 @@ object TrainingQueries {
          |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin),
       bench = true),
 
+    // ---- CDC-maintained MinHash-LSH dedup index -------------------------
+    // The dedup family joins the maintained-state axis: the LSH bucket
+    // index FOLLOWS a document change stream instead of being rebuilt
+    // per scan. Buckets are keyed (band, band_key) in a SnapshotSink;
+    // per batch, the changed docs' OLD bands (row-state lookup,
+    // pre-merge) and NEW bands form the touched set, each touched bucket
+    // rebuilds as old-members − changed-docs + new-bands, and emptied
+    // buckets tombstone — a revision moves its doc between buckets, a
+    // delete vanishes from all of them. Inserted keys carry their source
+    // doc's UNCHANGED text, so the planted near-dup pairs exist ONLY
+    // because maintenance indexed the inserts; candidate pairs serve
+    // straight from the maintained buckets (band-key equi-join, the
+    // ddp_minhash_lsh_pairs shape). Oracle: signatures + bands over the
+    // from-scratch LWW final state. 100 TB: per-batch cost = changed
+    // docs' signatures + touched buckets; the serve join never re-reads
+    // the corpus.
+    CatalogQuery("ddp_cdc_maintained_lsh", (s, d) => {
+      val work = Q.scratch("lshidx")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      def batch(b: Int): DataFrame =
+        if (b == 0)
+          docs.select(col("doc_id"), col("text"),
+            lit(graft.core.ChangeLog.Insert).as("op"), lit(0L).as("seq"))
+        else {
+          val ups = docs.filter(col("doc_id") % 10 === b)
+            .select(col("doc_id"), concat(col("text"), lit(s" rev$b")).as("text"))
+          val ins = docs.filter(col("doc_id") % 23 === b)
+            .select((col("doc_id") + lit(1000000L * b)).as("doc_id"), col("text"))
+          val dels = docs.filter(col("doc_id") % 17 === b && col("doc_id") % 10 =!= b)
+            .select(col("doc_id"), lit(null).cast("string").as("text"))
+          ups.unionByName(ins)
+            .withColumn("op", lit(graft.core.ChangeLog.Update))
+            .unionByName(dels.withColumn("op", lit(graft.core.ChangeLog.Delete)))
+            .withColumn("seq", lit(b.toLong))
+        }
+      def bandsOf(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), expr(Similarity.shinglesFromToks("toks")).as("sh"))
+        .select(col("doc_id"), GraftFunctions.minhash_hex(col("sh"), 9).as("sig"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, 2), j -> md5(concat(
+            | element_at(sig, 3 * CAST(j AS INT) + 1),
+            | element_at(sig, 3 * CAST(j AS INT) + 2),
+            | element_at(sig, 3 * CAST(j AS INT) + 3))))""".stripMargin)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+        .filter(col("band_key").isNotNull) // < 3-token docs have no bands
+        .select(col("band").cast("long").as("band"), col("band_key"), col("doc_id"))
+      val docState = new graft.sinks.SnapshotSink(s, s"$work/docs", Seq("doc_id"))
+      val buckets = new graft.sinks.SnapshotSink(s, s"$work/buckets",
+        Seq("band", "band_key"))
+      (0 to 3).foreach { b =>
+        val ch = batch(b)
+        val newBands = bandsOf(ch.filter(col("op") =!= graft.core.ChangeLog.Delete))
+        val (touched, carried) =
+          if (b == 0) (newBands.select("band", "band_key").distinct(), newBands)
+          else {
+            val keys = ch.select(col("doc_id")).distinct()
+            val oldBands = bandsOf(docState.read().join(keys, Seq("doc_id")))
+            val t = newBands.select("band", "band_key")
+              .unionByName(oldBands.select("band", "band_key")).distinct()
+            val old = buckets.read().join(t, Seq("band", "band_key"))
+              .select(col("band"), col("band_key"),
+                explode(col("members")).as("doc_id"))
+              .join(keys, Seq("doc_id"), "left_anti")
+              .select(col("band"), col("band_key"), col("doc_id"))
+            (t, old.unionByName(newBands.select("band", "band_key", "doc_id")))
+          }
+        val rebuilt = carried.groupBy(col("band"), col("band_key"))
+          .agg(expr("sort_array(collect_list(doc_id))").as("members"))
+        val dropped = touched.join(rebuilt.select("band", "band_key"),
+            Seq("band", "band_key"), "left_anti")
+          .select(col("band"), col("band_key"),
+            lit(null).cast("array<bigint>").as("members"),
+            lit(graft.core.ChangeLog.Delete).as("op"))
+        buckets.merge(rebuilt
+          .withColumn("op", lit(graft.core.ChangeLog.Update))
+          .unionByName(dropped)
+          .withColumn("seq", lit(b.toLong)))
+        docState.merge(ch)
+      }
+      val m = buckets.read()
+        .select(col("band"), col("band_key"), explode(col("members")).as("doc_id"))
+      m.as("a").join(m.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }, Some(
+      s"""WITH b3 AS (SELECT unnest(range(1, 4)) AS b),
+         |base AS (SELECT doc_id, text, 0::BIGINT AS seq, 0 AS del FROM documents),
+         |ups AS (
+         |  SELECT doc_id, text || ' rev' || b::VARCHAR, b::BIGINT, 0
+         |  FROM documents CROSS JOIN b3 WHERE doc_id % 10 = b),
+         |ins AS (
+         |  SELECT doc_id + 1000000 * b, text, b::BIGINT, 0
+         |  FROM documents CROSS JOIN b3 WHERE doc_id % 23 = b),
+         |dels AS (
+         |  SELECT doc_id, CAST(NULL AS VARCHAR), b::BIGINT, 1
+         |  FROM documents CROSS JOIN b3 WHERE doc_id % 17 = b AND doc_id % 10 <> b),
+         |log AS (
+         |  SELECT * FROM base UNION ALL SELECT * FROM ups
+         |  UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM dels),
+         |fin AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+         |    FROM log) t
+         |  WHERE rn = 1 AND del = 0),
+         |sigs AS (SELECT doc_id, ${Similarity.minhashDuck("text", 9)} AS sig FROM fin),
+         |bands AS (SELECT doc_id, j AS band,
+         |    md5(sig[3*j+1] || sig[3*j+2] || sig[3*j+3]) AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2]) AS j) u)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin)),
+
     // ---- sketch-quality evaluation: estimated vs exact Jaccard ----------
     // MinHash's whole point is estimating Jaccard from k component
     // agreements without touching the shingle sets — this gates the

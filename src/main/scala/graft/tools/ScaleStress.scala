@@ -158,7 +158,10 @@ object ScaleStress {
       // r09 wave 3: calibrated int8 PTQ (one 64-row calibration agg +
       // a map-stage encode) and Kneser-Ney bigrams (three hash aggs over
       // the bigram table, no windows)
-      "emb_int8_quantize_calibrated", "txt_kneser_ney_bigram")
+      "emb_int8_quantize_calibrated", "txt_kneser_ney_bigram",
+      // r09: maintained LSH dedup index — per-batch signatures of the
+      // changed docs + touched-bucket rewrites; serve join reads buckets
+      "ddp_cdc_maintained_lsh", "mix_budget_enforce_selection")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

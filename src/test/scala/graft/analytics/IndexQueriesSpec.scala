@@ -294,6 +294,55 @@ class IndexQueriesSpec extends SparkSpec {
       val t = state(id); t.contains("rev1") || t.contains("ins2") })
   }
 
+  test("CDC-maintained LSH buckets equal a driver rebuild; inserts pair, deletes vanish") {
+    val got = Catalog.queries("ddp_cdc_maintained_lsh")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val state = scala.collection.mutable.Map.empty[Long, String]
+    base.foreach { case (id, t) => state(id) = t }
+    (1 to 3).foreach { b =>
+      base.foreach { case (id, t) =>
+        if (id % 10 == b) state(id) = s"$t rev$b"
+        else if (id % 17 == b) state.remove(id)
+        if (id % 23 == b) state(id + 1000000L * b) = t // unchanged copy
+      }
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(x => f"$x%02x").mkString
+    // pure-Scala minhash: sig[i] = min md5("i|" + shingle); 3x3 bands
+    def bandsOf(t: String): Seq[(Int, String)] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Nil
+      else {
+        val sh = toks.sliding(3).map(_.mkString(" ")).toVector
+        val sig = (0 until 9).map(i => sh.map(s => md5hex(s"$i|$s")).min)
+        (0 until 3).map(j => j -> md5hex(sig(3 * j) + sig(3 * j + 1) + sig(3 * j + 2)))
+      }
+    }
+    val bands = state.toSeq.flatMap { case (id, t) =>
+      bandsOf(t).map { case (b, k) => (b, k, id) } }
+    val exp = bands.groupBy(t => (t._1, t._2)).values.flatMap { g =>
+      val ids = g.map(_._3).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    assert(got == exp, "maintained buckets must reproduce the rebuilt candidates")
+    // the planted structure: an inserted unchanged copy pairs with its
+    // surviving, un-revised source; and no pair references a deleted doc
+    val planted = base.collectFirst { case (id, _)
+      if id % 23 == 2 && id % 10 != 1 && id % 10 != 2 && id % 10 != 3 &&
+        !(id % 17 == 1 || id % 17 == 2 || id % 17 == 3) &&
+        state.contains(id) && base.find(_._1 == id).exists(_._2.split(" ").length >= 3) => id }
+    planted.foreach { id =>
+      assert(got.contains((id, id + 2000000L)), s"planted copy pair for $id missing") }
+    val gone = base.map(_._1).filterNot(state.contains).toSet
+    assert(got.forall { case (a, b) => !gone(a) && !gone(b) },
+      "deleted docs must vanish from every candidate pair")
+    assert(got.nonEmpty)
+  }
+
   test("cdc_ivm_maintained_aggs equals a full driver-side recompute; group moves happen") {
     val got = Catalog.queries("cdc_ivm_maintained_aggs")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
