@@ -19,7 +19,10 @@ class DeterminismSpec extends SparkSpec {
     "agg_two_phase_skew",          // salted partial aggregation
     "agg_exact_percentiles",       // interpolated quantiles
     "qa_value_outliers",           // sqrt-derived 3-sigma threshold compare
-    "sim_ivf_kmeans_refined")      // integer Lloyd loop, window tie-breaks
+    "sim_ivf_kmeans_refined",      // integer Lloyd loop, window tie-breaks
+    "idx_cdc_maintained_bm25")     // double BM25 scores + rank ties over
+                                   // state rebuilt in a fresh scratch sink
+                                   // per invocation
 
   test("float-heavy queries collect identical results across independent runs") {
     floatHeavy.foreach { name =>
