@@ -1160,7 +1160,9 @@ object ScaleOpsQueries {
         "aggregate(zip_with(qq, q, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
       val q = stream.writeStream
         .foreachBatch((batch: DataFrame, id: Long) => {
-          sink.merge(batch.filter(col("kind") === "chg")
+          // batch-id-guarded: a foreachBatch replay is a structural no-op
+          // (mergeOnce), on top of the seq-LWW idempotency of the rows
+          sink.mergeOnce(id, batch.filter(col("kind") === "chg")
             .select(col("vec_id"), col("q"), col("cell"), col("op"), col("seq")))
           val qrows = batch.filter(col("kind") === "qry")
             .select(col("qb"), col("query_id"), col("qq"))

@@ -93,6 +93,29 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     if (fs.exists(p(stagingPath))) fs.delete(p(stagingPath), true)
   }
 
+  /** Batch-id-guarded merge — the foreachBatch idempotent-sink pattern
+    * the Structured Streaming guide prescribes: the batch id is recorded
+    * in a marker directory AFTER the merge completes, and a replay of an
+    * already-applied id is a no-op EVEN IF the replayed DataFrame would
+    * compute different rows (a retraction/delta stream whose inputs read
+    * state that has since advanced — seq-LWW alone only makes
+    * identical-row replays convergent). Returns true iff the batch was
+    * applied. The residual window (merge committed, marker not yet
+    * written, crash) degrades to the plain seq-LWW replay contract;
+    * closing it entirely needs the marker inside the same atomic swap —
+    * a commit log, the documented production step.
+    */
+  def mergeOnce(batchId: Long, batch: DataFrame): Boolean = swapLock.synchronized {
+    val fs = hfs
+    val marker = p(s"$path.applied/$batchId")
+    if (fs.exists(marker)) false
+    else {
+      merge(batch)
+      fs.mkdirs(marker)
+      true
+    }
+  }
+
   /** Apply one change batch (typed log with op/seq) to the snapshot. */
   def merge(batch: DataFrame): Unit = swapLock.synchronized {
     recover()

@@ -48,6 +48,22 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(once == twice && once == Map(1L -> "a2", 3L -> "c"))
   }
 
+  test("mergeOnce skips a replayed batch id even when the replay differs") {
+    // seq-LWW covers identical-row replays; the batch-id guard covers the
+    // harder case — a recomputed delta/retraction batch whose inputs read
+    // state that already advanced would produce DIFFERENT rows on retry
+    val path = tmp()
+    val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
+    assert(sink.mergeOnce(1L, log((1, "insert", 1, "a"))))
+    assert(!sink.mergeOnce(1L, log((9, "update", 1, "POISON"))),
+      "replayed id must be a no-op")
+    assert(sink.read().select("id", "v").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a"))
+    assert(sink.mergeOnce(2L, log((2, "update", 1, "b"))))
+    assert(sink.read().select("id", "v").as[(Long, String)].collect().toMap ==
+      Map(1L -> "b"))
+  }
+
   test("late lower-seq change cannot resurrect a delete or roll back an image") {
     val path = tmp()
     val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
