@@ -441,6 +441,53 @@ object QualityQueries {
         |  END AS auc_e6
         |FROM agg""".stripMargin)),
 
+    // ---- n-gram diversity profile (distinct-n) --------------------------
+    // The corpus diversity telemetry (the distinct-1/2/3 family used to
+    // audit generation diversity and template-heavy scrapes): per source
+    // and n ∈ {1,2,3}, total n-grams, distinct n-grams, and the
+    // distinct/total ratio as ppm — a template-dominated source shows a
+    // collapsing distinct-3 ratio long before exact dedup fires. Pure
+    // hash aggregations (one explode per n), no pairwise stage; at
+    // 100 TB exact countDistinct becomes the HLL sketch rung with the
+    // same report shape.
+    CatalogQuery("qa_ngram_diversity", (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("tk"))
+      def grams(n: Int): DataFrame = toks
+        .filter(size(col("tk")) >= n)
+        .select(col("source"), lit(n.toLong).as("n"), explode(expr(
+          s"""transform(sequence(1, size(tk) - ${n - 1}), i ->
+             | concat_ws(' ', slice(tk, CAST(i AS INT), $n)))""".stripMargin))
+          .as("g"))
+      grams(1).unionByName(grams(2)).unionByName(grams(3))
+        .groupBy(col("source"), col("n"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("g")).as("distinct_ngrams"))
+        .withColumn("diversity_ppm",
+          expr("distinct_ngrams * 1000000 div total_ngrams"))
+    }, Some(
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS tk FROM documents),
+        |g1 AS (
+        |  SELECT source, 1 AS n, unnest(tk) AS g FROM toks WHERE len(tk) >= 1),
+        |g2 AS (
+        |  SELECT source, 2 AS n, array_to_string(tk[i : i + 1], ' ') AS g
+        |  FROM toks CROSS JOIN LATERAL (
+        |    SELECT unnest(range(1, len(tk))) AS i) v
+        |  WHERE len(tk) >= 2),
+        |g3 AS (
+        |  SELECT source, 3 AS n, array_to_string(tk[i : i + 2], ' ') AS g
+        |  FROM toks CROSS JOIN LATERAL (
+        |    SELECT unnest(range(1, len(tk) - 1)) AS i) v
+        |  WHERE len(tk) >= 3),
+        |grams AS (
+        |  SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  count(*)::BIGINT AS total_ngrams,
+        |  count(DISTINCT g)::BIGINT AS distinct_ngrams,
+        |  CAST(count(DISTINCT g) * 1000000 // count(*) AS BIGINT) AS diversity_ppm
+        |FROM grams GROUP BY 1, 2""".stripMargin)),
+
     // ---- calibration bins (the reliability-diagram / ECE input) ---------
     // The companion eval to AUC: a classifier's CONFIDENCE must match its
     // ACCURACY per confidence bin. The "prediction" is a deterministic

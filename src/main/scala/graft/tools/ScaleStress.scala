@@ -161,7 +161,9 @@ object ScaleStress {
       "emb_int8_quantize_calibrated", "txt_kneser_ney_bigram",
       // r09: maintained LSH dedup index — per-batch signatures of the
       // changed docs + touched-bucket rewrites; serve join reads buckets
-      "ddp_cdc_maintained_lsh", "mix_budget_enforce_selection")
+      "ddp_cdc_maintained_lsh", "mix_budget_enforce_selection",
+      // r09: distinct-n diversity — three explodes into hash aggregates
+      "qa_ngram_diversity")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

@@ -722,4 +722,29 @@ class MiningQueriesSpec extends SparkSpec {
         s"doc $id")
     }
   }
+
+  test("qa_ngram_diversity matches a driver re-derivation; diversity rises with n") {
+    val got = q("qa_ngram_diversity").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val exp = (for {
+      n <- 1 to 3
+      (src, grams) <- docs.groupBy(_._1).map { case (s0, g) =>
+        s0 -> g.flatMap { case (_, t) =>
+          val tk = t.split(" ", -1)
+          if (tk.length < n) Nil
+          else tk.sliding(n).map(_.mkString(" ")).toSeq
+        } }
+    } yield (src, n.toLong) -> ((grams.size.toLong, grams.distinct.size.toLong,
+      grams.distinct.size.toLong * 1000000L / grams.size))).toMap
+    assert(got == exp)
+    // longer n-grams are strictly more diverse on natural-ish text
+    got.keys.map(_._1).foreach { src =>
+      assert(got((src, 1L))._3 <= got((src, 2L))._3 &&
+        got((src, 2L))._3 <= got((src, 3L))._3, src)
+    }
+  }
 }
