@@ -26,10 +26,43 @@ object Bench {
     * steady state (cold includes codegen + file listing): it means
     * in-process accumulation or a contended warm window — the r08
     * artifact shape (5.94 → 8.01 → 11.03) that the w1-vs-w2 check alone
-    * could not flag. The `inverted` marker (pure, unit-tested).
+    * could not flag. A 5% relative margin keeps ordinary run-to-run
+    * noise on negligible-codegen queries (cold ≈ warm ± ε) from burning
+    * a recovery pass — only a genuine inversion fires. The `inverted`
+    * marker (pure, unit-tested).
     */
   private[graft] def isInverted(cold: Double, warms: Seq[Double]): Boolean =
-    cold < warms.min
+    cold < 0.95 * warms.min
+
+  /** Host-calibration probe: a fixed synthetic shuffle+agg over
+    * `spark.range` — constant row count, zero file I/O, independent of
+    * the SF dir — so its wall time measures only how fast THIS host runs
+    * a shuffle this session. Round-over-round artifact deltas divide out
+    * host drift via the ratio of `calib_sec` values (r09's 39.1 s warm
+    * vs r08's 33.6 s was pure host drift — the unchanged q1 control
+    * inflated 1.43× — and nothing in the artifact could show it).
+    */
+  private[graft] def calibFrame(
+      spark: SparkSession,
+      rows: Long = 20000000L,
+      keys: Long = 1000000L,
+      parts: Int = 32): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.range(0L, rows, 1L, parts)
+      .select((org.apache.spark.sql.functions.col("id") % keys).as("k"),
+        org.apache.spark.sql.functions.col("id").as("v"))
+      .groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+  }
+
+  /** The calibration number: first pass pays codegen and is discarded;
+    * the min of the remaining passes is the host-speed measurement
+    * (pure, unit-tested).
+    */
+  private[graft] def calibSummary(passes: Seq[Double]): Double = {
+    require(passes.size >= 2, "calibration needs a warmup pass plus one measured")
+    passes.drop(1).min
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -124,6 +157,22 @@ object Bench {
         contended.result(), inverted.result())
     }
 
+    // calibration runs BEFORE the query clock starts, on a clean process:
+    // one discarded codegen pass, then the min of two measured passes.
+    // It reads no files and touches no SQL cache, so it perturbs nothing
+    // the queries measure.
+    val calibSec = {
+      def onePass(): Double = {
+        val t0 = System.nanoTime()
+        calibFrame(spark).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val ps = Seq(onePass(), onePass(), onePass())
+      spark.catalog.clearCache()
+      System.gc()
+      calibSummary(ps)
+    }
+
     // local iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the set
     // (the driver never sets it, so the round bench always runs everything)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -145,7 +194,8 @@ object Bench {
       s"""{"metric":"total","value":${warm.map(_._2).sum},"unit":"sec",""" +
         s""""queries":${obj(warm)},"cold_total":${cold.map(_._2).sum},""" +
         s""""queries_cold":${obj(cold)},"passes":$passObj,""" +
-        s""""contended":$contArr,"inverted":$invArr,"ok":${allErrs.isEmpty},""" +
+        s""""contended":$contArr,"inverted":$invArr,"calib_sec":$calibSec,""" +
+        s""""ok":${allErrs.isEmpty},""" +
         s""""failed":${allErrs.size},"errors":$errObj,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outFile), line + "\n")

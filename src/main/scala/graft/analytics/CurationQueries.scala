@@ -983,8 +983,9 @@ object CurationQueries {
     // (txt_bigram_predictability) lack, and the reason "francisco" gets
     // low unigram-continuation mass despite high raw frequency. Every
     // operand is a non-negative BIGINT, so the stacked `div` truncations
-    // replay identically on both engines; the cb overflow guard trips
-    // loudly before 4·cb·1e9 could wrap at larger scale. 100 TB: three
+    // replay identically on both engines; overflow guards on cb, n1l and
+    // n1r trip loudly before 4·cb·1e9, 3·n1l·1e9 or n1r·1e9 could wrap
+    // at larger scale. 100 TB: three
     // hash aggregations over the bigram table + one 1-row type count —
     // no window, no pairwise stage.
     CatalogQuery("txt_kneser_ney_bigram", (s, d) => {
@@ -1006,7 +1007,13 @@ object CurationQueries {
         .withColumn("pkn_e9",
           expr("greatest(4 * cb - 3, CAST(0 AS BIGINT)) * 1000000000 div (4 * c1)" +
             " + 3 * n1l * (n1r * 1000000000 div nt) div (4 * c1)")
-            + Q.overflowGuard(col("cb"), 2000000000L, "txt_kneser_ney_bigram cb"))
+            + Q.overflowGuard(col("cb"), 2000000000L, "txt_kneser_ney_bigram cb")
+            // the continuation term 3·n1l·(n1r·1e9 div nt): the inner div
+            // is ≤1e9 (n1r ≤ nt), so 3·n1l·1e9 wraps past n1l ≈ 3.07e9
+            // and n1r·1e9 itself wraps past n1r ≈ 9.2e9 — guard both at
+            // the same discipline as cb
+            + Q.overflowGuard(col("n1l"), 3000000000L, "txt_kneser_ney_bigram n1l")
+            + Q.overflowGuard(col("n1r"), 9000000000L, "txt_kneser_ney_bigram n1r"))
         .select(col("w1"), col("w2"), col("cb"), col("pkn_e9"))
     }, Some(
       """WITH t AS (

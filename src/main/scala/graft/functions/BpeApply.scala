@@ -96,7 +96,59 @@ case class BpeDecode(left: Expression, right: Expression)
 }
 
 object BpeDecode {
-  def compute(tokens: ArrayData, merges: ArrayData): UTF8String = {
+
+  /** One-entry per-thread cache of the derived legal-token closure. The
+    * merge table is row-invariant (it rides a broadcast 1-row aggregate),
+    * but codegen hands `compute` a FRESH ArrayData view per row — so
+    * without a cache the closure is rebuilt per row and decode degrades
+    * to O(rows × vocabulary). The cache key is a defensive `copy()` of
+    * the table (an incoming view may alias a reused column buffer; the
+    * stored key must not), compared by value; the cached set's entries
+    * are all `UTF8String.concat` products, i.e. freshly allocated, so
+    * they cannot alias a reused buffer either. A value-compare is
+    * O(table bytes) with zero allocation — the rebuild it replaces was
+    * O(table) hashing plus a full HashSet allocation per row.
+    */
+  private final class TableCache {
+    var key: ArrayData = _
+    var legal: java.util.HashSet[UTF8String] = _
+  }
+  private val cache = new ThreadLocal[TableCache] {
+    override def initialValue(): TableCache = new TableCache
+  }
+
+  private def sameTable(a: ArrayData, b: ArrayData): Boolean = {
+    if (a eq b) return true
+    (a, b) match {
+      case (x: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData,
+            y: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) =>
+        x.equals(y) // bytewise memcmp over the unsafe buffers
+      case _ =>
+        val n = a.numElements()
+        if (n != b.numElements()) return false
+        var i = 0
+        while (i < n) {
+          if (a.isNullAt(i) != b.isNullAt(i)) return false
+          if (!a.isNullAt(i)) {
+            val ra = a.getArray(i)
+            val rb = b.getArray(i)
+            val m = ra.numElements()
+            if (m != rb.numElements()) return false
+            var j = 0
+            while (j < m) {
+              if (ra.isNullAt(j) != rb.isNullAt(j)) return false
+              if (!ra.isNullAt(j) &&
+                  !ra.getUTF8String(j).equals(rb.getUTF8String(j))) return false
+              j += 1
+            }
+          }
+          i += 1
+        }
+        true
+    }
+  }
+
+  private def buildLegal(merges: ArrayData): java.util.HashSet[UTF8String] = {
     val legal = new java.util.HashSet[UTF8String]()
     val nm = merges.numElements()
     var m = 0
@@ -117,6 +169,19 @@ object BpeDecode {
       legal.add(UTF8String.concat(l, r))
       m += 1
     }
+    legal
+  }
+
+  def compute(tokens: ArrayData, merges: ArrayData): UTF8String = {
+    val c = cache.get()
+    val legal =
+      if (c.key != null && sameTable(c.key, merges)) c.legal
+      else {
+        val s = buildLegal(merges)
+        c.key = merges.copy()
+        c.legal = s
+        s
+      }
     val n = tokens.numElements()
     val parts = new Array[UTF8String](n)
     var i = 0

@@ -28,5 +28,32 @@ class BenchSpec extends AnyFunSuite {
     // retroactively — inversion is judged on the warms present at check
     // time, and a later recovery pass only improves the reported MIN
     assert(Bench.isInverted(3.0, Seq(3.5, 3.4, 3.6)))
+    // 5% margin: cold a hair under warm (negligible-codegen query noise)
+    // must NOT burn a recovery pass; past the margin it must
+    assert(!Bench.isInverted(3.9, Seq(4.0, 4.1)))
+    assert(Bench.isInverted(3.7, Seq(4.0, 4.1)))
+  }
+
+  test("calibSummary: warmup discarded, min of measured passes; needs >= 2") {
+    assert(Bench.calibSummary(Seq(2.5, 1.1, 1.3)) == 1.1)
+    assert(Bench.calibSummary(Seq(0.9, 1.1, 1.0)) == 1.0) // warmup ignored even if fastest
+    intercept[IllegalArgumentException] { Bench.calibSummary(Seq(1.0)) }
+  }
+
+  test("calibFrame: fixed synthetic shuffle+agg with a closed-form total") {
+    val spark = graft.core.Engine.local("graft-test", cores = 4)
+    // small instance of the same plan: R rows over K keys — sum of all
+    // per-key sums is R(R-1)/2 and every key carries R/K values
+    val rows = 120000L
+    val keys = 1000L
+    val got = Bench.calibFrame(spark, rows = rows, keys = keys, parts = 4)
+      .agg(org.apache.spark.sql.functions.sum("s").as("ts"),
+        org.apache.spark.sql.functions.sum("c").as("tc"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("nk"))
+      .head()
+    assert(got.getLong(0) == rows * (rows - 1) / 2)
+    assert(got.getLong(1) == rows)
+    assert(got.getLong(2) == keys)
   }
 }

@@ -4,8 +4,12 @@ import graft.core.Engine
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared local session for specs (one per suite via lazy val). */
-trait SparkSpec extends AnyFunSuite {
+/** Shared local session for specs (one per suite via lazy val). Mixes in
+  * [[DerbyEngineIsolation]]: several catalog entries and sink specs run
+  * against embedded Derby, and the engine must not carry state across
+  * suites (see that trait's doc for the flake it closes).
+  */
+trait SparkSpec extends AnyFunSuite with DerbyEngineIsolation {
   lazy val spark: SparkSession = Engine.local("graft-test", cores = 4)
   def sf0001 = "/root/testdata/sf0.001"
 

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * DatabaseMetaData walk (PK, nullability, defaults, generated columns,
   * unique keys), plus DDL-invalidation re-fetch through SchemaCatalog.
   */
-class JdbcSchemaIntrospectorSpec extends AnyFunSuite {
+class JdbcSchemaIntrospectorSpec extends AnyFunSuite with graft.DerbyEngineIsolation {
 
   private def freshDb(): String =
     "jdbc:derby:memory:introspect" +

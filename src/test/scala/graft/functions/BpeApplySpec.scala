@@ -153,6 +153,31 @@ class BpeApplySpec extends SparkSpec {
     assert(got == "the|c")
   }
 
+  test("bpe_decode legal-set cache keys on table VALUE: interleaved tables stay correct") {
+    // two different tables alternate row-by-row in ONE partition (one
+    // executor thread), so the per-thread closure cache must miss on every
+    // switch — a fingerprint collision or stale hit would either accept a
+    // corrupt stream or reject a legal one
+    val tA = Seq(Seq("t", "h")) // closure {th}
+    val tB = Seq(Seq("h", "e")) // closure {he}
+    val got = Seq(
+      (1L, Seq("th"), tA), (2L, Seq("he"), tB),
+      (3L, Seq("th"), tA), (4L, Seq("he"), tB)
+    ).toDF("id", "toks", "m").coalesce(1)
+      .select(col("id"), GraftFunctions.bpe_decode(col("toks"), col("m")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "th", 2L -> "he", 3L -> "th", 4L -> "he"))
+    // a corrupt token still throws on the row AFTER a cached hit of the
+    // same table (the cached closure must be the one consulted)
+    val e = intercept[Exception] {
+      Seq((1L, Seq("th"), tA), (2L, Seq("he"), tA)).toDF("id", "toks", "m")
+        .coalesce(1)
+        .select(GraftFunctions.bpe_decode(col("toks"), col("m"))).collect()
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("corrupt stream"))
+  }
+
   test("txt_bpe_roundtrip at sf0.001: every doc round-trips, merges fired") {
     val rows = Catalog.queries("txt_bpe_roundtrip")(spark, sf0001)
       .as[(Long, Long, Long, Boolean)].collect()

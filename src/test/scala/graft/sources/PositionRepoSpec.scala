@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * upsert round-trip, updated_at advance on overwrite, delete, the
   * empty-value guard, and position-store internal-traffic detection.
   */
-class PositionRepoSpec extends AnyFunSuite {
+class PositionRepoSpec extends AnyFunSuite with graft.DerbyEngineIsolation {
 
   private def freshRepo(): JdbcPositionRepo = {
     val url = "jdbc:derby:memory:posrepo" +
