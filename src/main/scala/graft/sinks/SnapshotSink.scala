@@ -16,32 +16,55 @@ import org.apache.spark.sql.functions._
   * cluster requires (and what the reference's per-key latch ordering
   * guarantees row-at-a-time, batch_table_scheduler.go:61-73).
   *
-  * Layout: pk-hash bucketed (`__bucket = pmod(xxhash64(pk), numBuckets)`
-  * partition directories). A merge reads and rewrites ONLY the buckets the
-  * batch touches — at 100 TB a micro-batch touching k of N buckets costs
-  * O(k/N) of the snapshot, not a full-table rewrite. Each bucket swaps
-  * crash-safely (live → backup, staging → live, drop backup; `recover()`
-  * heals interrupted swaps and stale staging on the next call). Swaps are
-  * atomic per bucket, not across buckets: a crash mid-merge leaves some
-  * buckets a batch ahead, and the foreachBatch replay re-merges the same
-  * batch — idempotent by seq-LWW — converging all buckets.
+  * Layout — a manifest commit log over immutable bucket generations (the
+  * Delta/Iceberg discipline at sink scale):
+  *
+  * {{{
+  *   <path>/data/__bucket=<b>/__gen=<g>/part-*.parquet   immutable
+  *   <path>/manifest/v<g>                                the commit log
+  *   <path>/.staging                                     scratch, disposable
+  * }}}
+  *
+  * Rows are pk-hash bucketed (`__bucket = pmod(xxhash64(pk), numBuckets)`);
+  * a merge reads and rewrites ONLY the buckets the batch touches — at
+  * 100 TB a micro-batch touching k of N buckets costs O(k/N) of the
+  * snapshot, not a full-table rewrite. A merge stages each touched
+  * bucket's next state as a NEW generation directory (never mutating the
+  * live one), then commits by writing manifest v(n+1) — bucket→generation
+  * map PLUS the applied-batch-id set — via one atomic tmp→final rename.
+  * That single rename is the only commit point: a crash on either side
+  * of it leaves data and applied-ids consistent BY CONSTRUCTION (both
+  * advance, or neither does), which is what closes the r09 window where
+  * the batch-id marker was written after the swap. Uncommitted
+  * generations and staging are garbage, reaped by `recover()`; old
+  * generations and old manifests are garbage-collected after commit.
+  * Applied ids are stored as compacted inclusive ranges (sequential
+  * foreachBatch ids collapse to a single range), so the manifest stays
+  * O(numBuckets), never O(batches) — this also retires the unbounded
+  * `.applied` marker-directory-per-batch of the previous design.
   */
 final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     numBuckets: Int = 16) {
 
-  private val stagingPath = path + ".staging"
-  private val backupPath = path + ".backup"
+  private val dataPath = path + "/data"
+  private val manifestPath = path + "/manifest"
+  private val stagingPath = path + "/.staging"
+
+  /** Test-only crash-injection seam: called at the named protocol points
+    * ("staged", "before-commit", "after-commit"); a hook that throws
+    * simulates a crash there. Production leaves the no-op.
+    */
+  private[sinks] var faultHook: String => Unit = _ => ()
 
   /** merge() and read()/readInternal() are serialized on this: a read
-    * arriving mid-swap must not run recover() while the merge is still
-    * swapping buckets (recover would restore a backup bucket under the
-    * merge's feet and the subsequent stag→live rename would fail).
-    * Keyed by PATH and JVM-global — readers routinely construct their own
-    * SnapshotSink over the same directory, and a per-instance monitor
-    * would not serialize them against the writer's instance.
-    * Cross-process single-writer is the streaming-checkpoint contract
-    * (one foreachBatch writer per sink path), same as the reference's
-    * single scheduler per output.
+    * must not run recover()'s garbage collection while a merge is staging
+    * generations, and must not race the post-commit GC of the generation
+    * set it is about to read. Keyed by PATH and JVM-global — readers
+    * routinely construct their own SnapshotSink over the same directory,
+    * and a per-instance monitor would not serialize them against the
+    * writer's instance. Cross-process single-writer is the
+    * streaming-checkpoint contract (one foreachBatch writer per sink
+    * path), same as the reference's single scheduler per output.
     */
   private val swapLock = SnapshotSink.lockFor(path)
 
@@ -50,110 +73,228 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
   private def p(s: String) = new org.apache.hadoop.fs.Path(s)
 
   /** HDFS rename reports failure by returning false, not by throwing —
-    * an unchecked swap rename would silently drop the batch's changes for
-    * that bucket while foreachBatch still commits the offset. Throwing
-    * makes the batch fail and retry (idempotent by seq-LWW).
+    * an unchecked rename would silently drop the batch's changes while
+    * foreachBatch still commits the offset. Throwing makes the batch
+    * fail and retry.
     */
   private def renameOrFail(fs: org.apache.hadoop.fs.FileSystem,
       src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
     if (!fs.rename(src, dst))
-      sys.error(s"snapshot swap rename failed: $src -> $dst")
+      sys.error(s"snapshot rename failed: $src -> $dst")
 
-  def exists: Boolean = hfs.exists(p(path))
+  /** A snapshot exists iff a manifest version has COMMITTED — staged data
+    * without a manifest is invisible garbage, exactly like an uncommitted
+    * transaction.
+    */
+  def exists: Boolean = currentManifest().isDefined
 
   private def bucketCol = pmod(xxhash64(pkCols.map(col): _*), lit(numBuckets)).cast("int")
+
+  // ---- manifest ----------------------------------------------------------
+
+  private[sinks] case class Manifest(
+      version: Long,
+      buckets: Map[Int, Long], // bucket id -> committed generation
+      applied: List[(Long, Long)]) // applied batch ids, inclusive ranges
+
+  private def currentManifest(): Option[Manifest] = {
+    val fs = hfs
+    if (!fs.exists(p(manifestPath))) return None
+    val versions = fs.listStatus(p(manifestPath)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && !n.endsWith(".tmp") => n.drop(1).toLong }
+    if (versions.isEmpty) None
+    else Some(readManifest(versions.max))
+  }
+
+  private def readManifest(version: Long): Manifest = {
+    val fs = hfs
+    val in = fs.open(new org.apache.hadoop.fs.Path(p(manifestPath), s"v$version"))
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    var v = -1L
+    val buckets = Map.newBuilder[Int, Long]
+    val applied = List.newBuilder[(Long, Long)]
+    text.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
+      line.split(" ") match {
+        case Array("version", n) => v = n.toLong
+        case Array("bucket", b, g) => buckets += b.toInt -> g.toLong
+        case Array("applied", lo, hi) => applied += ((lo.toLong, hi.toLong))
+        case other => sys.error(s"corrupt snapshot manifest v$version: line '$line'")
+      }
+    }
+    require(v == version, s"snapshot manifest v$version declares version $v")
+    Manifest(v, buckets.result(), applied.result())
+  }
+
+  /** THE commit point: stage the manifest text, then one atomic rename.
+    * Everything before this is invisible; everything after is durable.
+    */
+  private def commitManifest(m: Manifest): Unit = {
+    val fs = hfs
+    fs.mkdirs(p(manifestPath))
+    val tmp = new org.apache.hadoop.fs.Path(p(manifestPath), s"v${m.version}.tmp")
+    val fin = new org.apache.hadoop.fs.Path(p(manifestPath), s"v${m.version}")
+    val sb = new StringBuilder
+    sb.append("version ").append(m.version).append('\n')
+    m.buckets.toSeq.sortBy(_._1).foreach { case (b, g) =>
+      sb.append("bucket ").append(b).append(' ').append(g).append('\n')
+    }
+    m.applied.foreach { case (lo, hi) =>
+      sb.append("applied ").append(lo).append(' ').append(hi).append('\n')
+    }
+    val out = fs.create(tmp, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    faultHook("before-commit")
+    renameOrFail(fs, tmp, fin)
+    faultHook("after-commit")
+  }
+
+  // ---- read --------------------------------------------------------------
 
   /** Live rows (tombstones and bookkeeping hidden). */
   def read(): DataFrame =
     readInternal().filter(!col("__deleted")).drop("__seq", "__deleted", "__bucket")
 
-  /** Full state including tombstones and bucket ids. Recovers first: a
-    * reader arriving after a crash mid-swap must not silently serve a
-    * snapshot with a bucket sitting in .backup.
+  /** Full state including tombstones and bucket ids, as of the current
+    * committed manifest. Recovers first so uncommitted garbage from a
+    * crashed merge never accumulates unbounded.
     */
   def readInternal(): DataFrame = swapLock.synchronized {
     recover()
-    spark.read.parquet(path)
+    val m = currentManifest().getOrElse(sys.error(s"snapshot at $path does not exist"))
+    readCommitted(m)
   }
 
-  /** Heal an interrupted swap: a bucket sitting in backup with no live
-    * twin is restored; completed swaps drop their backup; stale staging
-    * from a crashed write is removed.
-    */
-  def recover(): Unit = {
-    val fs = hfs
-    if (fs.exists(p(backupPath))) {
-      fs.listStatus(p(backupPath)).foreach { st =>
-        val live = new org.apache.hadoop.fs.Path(p(path), st.getPath.getName)
-        if (!fs.exists(live)) renameOrFail(fs, st.getPath, live)
-        else fs.delete(st.getPath, true)
-      }
-      fs.delete(p(backupPath), true)
+  private def readCommitted(m: Manifest): DataFrame = {
+    val dirs = m.buckets.toSeq.sortBy(_._1).map { case (b, g) =>
+      s"$dataPath/__bucket=$b/__gen=$g"
     }
-    if (fs.exists(p(stagingPath))) fs.delete(p(stagingPath), true)
+    require(dirs.nonEmpty, s"snapshot at $path committed with zero buckets")
+    spark.read.option("basePath", dataPath).parquet(dirs: _*).drop("__gen")
   }
 
-  /** Batch-id-guarded merge — the foreachBatch idempotent-sink pattern
-    * the Structured Streaming guide prescribes: the batch id is recorded
-    * in a marker directory AFTER the merge completes, and a replay of an
-    * already-applied id is a no-op EVEN IF the replayed DataFrame would
-    * compute different rows (a retraction/delta stream whose inputs read
-    * state that has since advanced — seq-LWW alone only makes
-    * identical-row replays convergent). Returns true iff the batch was
-    * applied. The residual window (merge committed, marker not yet
-    * written, crash) degrades to the plain seq-LWW replay contract;
-    * closing it entirely needs the marker inside the same atomic swap —
-    * a commit log, the documented production step.
+  /** Reap uncommitted garbage: staging, manifest tmps, and generation
+    * directories the current manifest does not reference (a crashed
+    * merge's staged generations, and committed merges' pre-GC leftovers
+    * — with a commit LOG these are the same thing: not-current). With no
+    * committed manifest at all, ALL data is uncommitted garbage.
     */
-  def mergeOnce(batchId: Long, batch: DataFrame): Boolean = swapLock.synchronized {
+  def recover(): Unit = swapLock.synchronized {
     val fs = hfs
-    val marker = p(s"$path.applied/$batchId")
-    if (fs.exists(marker)) false
-    else {
-      merge(batch)
-      fs.mkdirs(marker)
+    if (fs.exists(p(stagingPath))) fs.delete(p(stagingPath), true)
+    if (fs.exists(p(manifestPath)))
+      fs.listStatus(p(manifestPath)).filter(_.getPath.getName.endsWith(".tmp"))
+        .foreach(st => fs.delete(st.getPath, true))
+    val cur = currentManifest()
+    if (fs.exists(p(dataPath))) {
+      fs.listStatus(p(dataPath)).foreach { bst =>
+        val name = bst.getPath.getName // __bucket=<b>
+        val b = name.stripPrefix("__bucket=").toInt
+        val keep = cur.flatMap(_.buckets.get(b))
+        fs.listStatus(bst.getPath).foreach { gst =>
+          val g = gst.getPath.getName.stripPrefix("__gen=").toLong
+          if (!keep.contains(g)) fs.delete(gst.getPath, true)
+        }
+      }
+      if (cur.isEmpty) fs.delete(p(dataPath), true)
+    }
+  }
+
+  /** Post-commit GC — same reaping as recover (everything not referenced
+    * by the just-committed manifest is garbage now), plus manifest
+    * retention: keep the current version and its predecessor.
+    */
+  private def gc(m: Manifest): Unit = {
+    recover()
+    val fs = hfs
+    fs.listStatus(p(manifestPath)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && !n.endsWith(".tmp") && n.drop(1).toLong < m.version - 1)
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  // ---- merge -------------------------------------------------------------
+
+  /** Batch-id-guarded merge — exactly-once per batch id. The id is
+    * recorded in the SAME manifest commit as the data it guards, so a
+    * replay of an already-applied id is a no-op EVEN IF the replayed
+    * DataFrame would compute different rows (a recomputed delta /
+    * retraction stream whose inputs read state that has since advanced —
+    * seq-LWW alone only makes identical-row replays convergent), and
+    * there is no crash point at which the data is applied but the id is
+    * not (the r09 marker-after-merge window). Returns true iff the batch
+    * was applied.
+    */
+  def mergeOnce(batchId: Long, batch: DataFrame): Boolean =
+    mergeInternal(batch, Some(batchId))
+
+  /** Apply one change batch (typed log with op/seq) to the snapshot.
+    * Replays converge by seq-LWW; use [[mergeOnce]] when the stream
+    * recomputes deltas against advancing state.
+    */
+  def merge(batch: DataFrame): Unit = { mergeInternal(batch, None); () }
+
+  private def mergeInternal(batch: DataFrame, batchId: Option[Long]): Boolean =
+    swapLock.synchronized {
+      recover()
+      val cur = currentManifest()
+      batchId.foreach { id =>
+        if (cur.exists(m => SnapshotSink.Ranges.contains(m.applied, id)))
+          return false
+      }
+      val dataCols = batch.columns.filterNot(c => c == "op" || c == "seq").toSeq
+      val normalized = batch.select(
+        (dataCols.map(col) :+ col("seq").as("__seq") :+
+          (col("op") === ChangeLog.Delete).as("__deleted")): _*)
+        .withColumn("__bucket", bucketCol)
+      val fs = hfs
+      val newVersion = cur.map(_.version + 1).getOrElse(1L)
+      val newApplied = batchId.fold(cur.map(_.applied).getOrElse(Nil))(id =>
+        SnapshotSink.Ranges.add(cur.map(_.applied).getOrElse(Nil), id))
+
+      val next = cur match {
+        case None =>
+          ChangeLog.lastPerKey(normalized, pkCols, seqCol = "__seq")
+        case Some(m) =>
+          // touched bucket ids: bounded by numBuckets, driver-safe to collect
+          val touched = normalized.select(col("__bucket")).distinct()
+            .collect().map(_.getInt(0)).sorted
+          if (touched.isEmpty) {
+            // nothing to stage — but an id-carrying empty batch still
+            // commits its id (a replayed empty delta must stay a no-op)
+            if (batchId.isDefined)
+              commitManifest(Manifest(newVersion, m.buckets, newApplied))
+            return true
+          }
+          // manifest pruning keeps the read to the touched generations only
+          val existing = readCommitted(m)
+            .filter(col("__bucket").isin(touched.map(Int.box): _*))
+          ChangeLog.lastPerKey(
+            existing.unionByName(normalized), pkCols, seqCol = "__seq")
+      }
+      next.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(stagingPath)
+      // stage each written bucket as generation <newVersion> — never
+      // touching the live generation; invisible until the manifest commits
+      val staged = fs.listStatus(p(stagingPath)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("__bucket="))
+        .map(_.stripPrefix("__bucket=").toInt).sorted
+      staged.foreach { b =>
+        val dst = p(s"$dataPath/__bucket=$b/__gen=$newVersion")
+        if (fs.exists(dst)) fs.delete(dst, true) // crashed prior attempt
+        fs.mkdirs(dst.getParent)
+        renameOrFail(fs, p(s"$stagingPath/__bucket=$b"), dst)
+      }
+      faultHook("staged")
+      val newBuckets =
+        cur.map(_.buckets).getOrElse(Map.empty) ++ staged.map(_ -> newVersion)
+      commitManifest(Manifest(newVersion, newBuckets, newApplied))
+      gc(Manifest(newVersion, newBuckets, newApplied))
       true
     }
-  }
-
-  /** Apply one change batch (typed log with op/seq) to the snapshot. */
-  def merge(batch: DataFrame): Unit = swapLock.synchronized {
-    recover()
-    val dataCols = batch.columns.filterNot(c => c == "op" || c == "seq").toSeq
-    val normalized = batch.select(
-      (dataCols.map(col) :+ col("seq").as("__seq") :+
-        (col("op") === ChangeLog.Delete).as("__deleted")): _*)
-      .withColumn("__bucket", bucketCol)
-    val fs = hfs
-    if (!exists) {
-      val next = ChangeLog.lastPerKey(normalized, pkCols, seqCol = "__seq")
-      next.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(stagingPath)
-      renameOrFail(fs, p(stagingPath), p(path))
-      return
-    }
-    // touched bucket ids: bounded by numBuckets, driver-safe to collect
-    val touched = normalized.select(col("__bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) return
-    // partition pruning keeps the read to the touched directories only
-    val existing = readInternal()
-      .filter(col("__bucket").isin(touched.map(Int.box): _*))
-    val next = ChangeLog.lastPerKey(
-      existing.unionByName(normalized), pkCols, seqCol = "__seq")
-    next.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(stagingPath)
-    fs.mkdirs(p(backupPath))
-    touched.foreach { b =>
-      val dir = s"__bucket=$b"
-      val live = new org.apache.hadoop.fs.Path(p(path), dir)
-      val stag = new org.apache.hadoop.fs.Path(p(stagingPath), dir)
-      val bak = new org.apache.hadoop.fs.Path(p(backupPath), dir)
-      if (fs.exists(live)) renameOrFail(fs, live, bak)
-      if (fs.exists(stag)) renameOrFail(fs, stag, live)
-      if (fs.exists(bak)) fs.delete(bak, true)
-    }
-    fs.delete(p(backupPath), true)
-    fs.delete(p(stagingPath), true)
-  }
 }
 
 object SnapshotSink {
@@ -161,6 +302,23 @@ object SnapshotSink {
     scala.collection.concurrent.TrieMap.empty[String, Object]
   private def lockFor(path: String): Object =
     locks.getOrElseUpdate(path, new Object)
+
+  /** Compacted inclusive id ranges — the applied-batch-id set in O(gaps)
+    * space (sequential foreachBatch ids collapse to one range). Pure,
+    * unit-tested.
+    */
+  private[sinks] object Ranges {
+    def contains(rs: List[(Long, Long)], id: Long): Boolean =
+      rs.exists(r => id >= r._1 && id <= r._2)
+
+    def add(rs: List[(Long, Long)], id: Long): List[(Long, Long)] =
+      if (contains(rs, id)) rs
+      else ((id, id) :: rs).sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+        case ((lo, hi) :: acc, (nlo, nhi)) if nlo <= hi + 1 =>
+          (lo, math.max(hi, nhi)) :: acc
+        case (acc, r) => r :: acc
+      }.reverse
+  }
 }
 
 /** Elasticsearch-shaped sink helpers: the reference bulk-upserts with

@@ -82,52 +82,124 @@ class SnapshotSinkSpec extends SparkSpec {
     // which bucket holds key 42?
     val touchedBucket = sink.readInternal()
       .filter($"id" === 42L).select("__bucket").as[Int].head()
-    val before = fingerprint(Paths.get(path))
+    def dataOnly(fp: Map[String, Int]): Map[String, Int] =
+      fp.filter(_._1.startsWith("data/"))
+    val before = dataOnly(fingerprint(Paths.get(path)))
     sink.merge(log((1000, "update", 42, "updated")))
-    val after = fingerprint(Paths.get(path))
-    val untouchedBefore = before.filter(!_._1.startsWith(s"__bucket=$touchedBucket/"))
-    val untouchedAfter = after.filter(!_._1.startsWith(s"__bucket=$touchedBucket/"))
-    assert(untouchedBefore == untouchedAfter, "untouched bucket files changed")
-    assert(before.keySet.filter(_.startsWith(s"__bucket=$touchedBucket/")) !=
-      after.keySet.filter(_.startsWith(s"__bucket=$touchedBucket/")) ||
-      before != after, "touched bucket was not rewritten")
+    val after = dataOnly(fingerprint(Paths.get(path)))
+    val pre = s"data/__bucket=$touchedBucket/"
+    assert(before.filter(!_._1.startsWith(pre)) == after.filter(!_._1.startsWith(pre)),
+      "untouched bucket files changed")
+    assert(before.keySet.filter(_.startsWith(pre)) != after.keySet.filter(_.startsWith(pre)),
+      "touched bucket must move to a new generation")
     assert(sink.read().filter($"id" === 42L).select("v").as[String].head() == "updated")
   }
 
-  test("a read after an interrupted swap self-heals (recover on read path)") {
+  test("a read after a crashed merge serves the committed state and reaps garbage") {
     val path = tmp()
     val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
     sink.merge((1L to 50L).map(i => (i, "insert", i, s"v$i")).toDF("seq", "op", "id", "v"))
     val all = sink.read().count()
-    // simulate a crash window: one live bucket moved to backup, staging left over
-    val bucket = Files.list(Paths.get(path)).iterator().asScala
+    // simulate a merge that crashed AFTER staging new generations but
+    // BEFORE the manifest commit: an uncommitted __gen dir with poison
+    // content, stale staging, and a manifest tmp
+    val bucketDir = Files.list(Paths.get(path, "data")).iterator().asScala
       .find(_.getFileName.toString.startsWith("__bucket=")).get
-    val backup = Paths.get(path + ".backup")
-    Files.createDirectories(backup)
-    Files.move(bucket, backup.resolve(bucket.getFileName))
-    Files.createDirectories(Paths.get(path + ".staging", "junk"))
-    assert(!Files.exists(Paths.get(path, bucket.getFileName.toString))) // really gone
-    // read() recovers before serving — no window where a consumer sees a
-    // snapshot missing a bucket
+    Files.createDirectories(bucketDir.resolve("__gen=99"))
+    Files.write(bucketDir.resolve("__gen=99").resolve("poison.parquet"),
+      Array[Byte](1, 2, 3))
+    Files.createDirectories(Paths.get(path, ".staging", "junk"))
+    Files.write(Paths.get(path, "manifest", "v99.tmp"), Array[Byte](9))
+    // read() serves the committed manifest — uncommitted generations are
+    // invisible — and recover() reaps them
     assert(sink.read().count() == all)
-    assert(!Files.exists(backup))
-    assert(!Files.exists(Paths.get(path + ".staging")))
+    assert(!Files.exists(bucketDir.resolve("__gen=99")))
+    assert(!Files.exists(Paths.get(path, ".staging")))
+    assert(!Files.exists(Paths.get(path, "manifest", "v99.tmp")))
   }
 
-  test("a merge after an interrupted swap converges (replay idempotence)") {
+  test("a merge after a crashed merge converges (replay idempotence)") {
     val path = tmp()
     val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
     val batch1 = (1L to 50L).map(i => (i, "insert", i, s"v$i")).toDF("seq", "op", "id", "v")
     sink.merge(batch1)
-    val bucket = Files.list(Paths.get(path)).iterator().asScala
-      .find(_.getFileName.toString.startsWith("__bucket=")).get
-    val backup = Paths.get(path + ".backup")
-    Files.createDirectories(backup)
-    Files.move(bucket, backup.resolve(bucket.getFileName))
-    // foreachBatch replays the same batch after the crash; merge() first
-    // recovers, then re-applies — seq-LWW makes it converge
-    sink.merge(batch1)
+    val batch2 = (51L to 80L).map(i => (i, "insert", i, s"v$i")).toDF("seq", "op", "id", "v")
+    // crash between staging and commit: the manifest never advances
+    sink.faultHook = pt => if (pt == "before-commit") sys.error("injected crash")
+    intercept[Exception] { sink.merge(batch2) }
+    sink.faultHook = _ => ()
+    // state is UNCHANGED (the crash point is pre-commit by construction)
+    assert(sink.read().count() == 50)
+    // foreachBatch replays the batch; the replay applies cleanly
+    sink.merge(batch2)
     val got = sink.read().select("id", "v").as[(Long, String)].collect().toMap
-    assert(got == (1L to 50L).map(i => i -> s"v$i").toMap)
+    assert(got == (1L to 80L).map(i => i -> s"v$i").toMap)
+  }
+
+  test("crash injection: data and applied-id commit ATOMICALLY at every fault point") {
+    // The r09 design wrote the applied-batch marker AFTER the bucket swap,
+    // leaving a window (merge committed, marker missing, crash) where a
+    // replayed RECOMPUTED delta would re-apply — this spec is RED on that
+    // path: a "crash" between data-commit and marker-write leaves poison
+    // re-appliable. With the manifest commit log there is no such point:
+    // at every injectable crash site either BOTH the data and the id are
+    // committed, or NEITHER is.
+    for (crashAt <- Seq("staged", "before-commit", "after-commit")) {
+      val path = tmp()
+      val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
+      assert(sink.mergeOnce(0L, log((1, "insert", 1, "base"))))
+      sink.faultHook = pt => if (pt == crashAt) sys.error(s"injected crash at $pt")
+      intercept[Exception] { sink.mergeOnce(1L, log((2, "update", 1, "delta"))) }
+      sink.faultHook = _ => ()
+      val applied = sink.read().select("v").as[String].head() == "delta"
+      // the invariant the commit log buys: applied-state and applied-id
+      // advance together. A POISON replay of the same id must be a no-op
+      // iff the data landed; a clean replay must apply iff it didn't.
+      if (applied) {
+        assert(!sink.mergeOnce(1L, log((9, "update", 1, "POISON"))),
+          s"crash at $crashAt: id must be recorded with the data")
+        assert(sink.read().select("v").as[String].head() == "delta")
+      } else {
+        assert(sink.mergeOnce(1L, log((2, "update", 1, "delta"))),
+          s"crash at $crashAt: unapplied id must replay")
+        assert(sink.read().select("v").as[String].head() == "delta")
+      }
+      // and the crash points behave as designed: pre-commit crashes leave
+      // state untouched, post-commit crashes (GC lost) leave it applied
+      assert(applied == (crashAt == "after-commit"), s"crash at $crashAt")
+    }
+  }
+
+  test("manifest retention: applied ids compact to ranges, old manifests reaped") {
+    val path = tmp()
+    val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
+    (0L to 6L).foreach { b =>
+      assert(sink.mergeOnce(b, log((b + 1, "insert", b, s"v$b"))))
+    }
+    assert(sink.read().count() == 7)
+    // manifest dir holds a bounded window (current + predecessor), not
+    // one file per batch; no `.applied` sibling dir exists at all
+    val manifests = Files.list(Paths.get(path, "manifest")).iterator().asScala
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSeq // drop local-FS .crc sidecars
+    assert(manifests.toSet == Set("v6", "v7"), s"got $manifests")
+    assert(!Files.exists(Paths.get(path + ".applied")))
+    // the 7 sequential ids collapsed to one range line
+    val text = new String(Files.readAllBytes(Paths.get(path, "manifest", "v7")))
+    assert(text.linesIterator.count(_.startsWith("applied")) == 1)
+    assert(text.contains("applied 0 6"))
+  }
+
+  test("Ranges: add/contains compact adjacent and out-of-order ids") {
+    import SnapshotSink.Ranges
+    var rs = List.empty[(Long, Long)]
+    Seq(3L, 4L, 5L, 9L, 7L, 8L, 1L).foreach(id => rs = Ranges.add(rs, id))
+    assert(rs == List((1L, 1L), (3L, 5L), (7L, 9L)))
+    rs = Ranges.add(rs, 2L) // bridges 1 and 3-5
+    assert(rs == List((1L, 5L), (7L, 9L)))
+    rs = Ranges.add(rs, 6L) // bridges everything
+    assert(rs == List((1L, 9L)))
+    assert(Ranges.contains(rs, 1L) && Ranges.contains(rs, 9L) && Ranges.contains(rs, 5L))
+    assert(!Ranges.contains(rs, 0L) && !Ranges.contains(rs, 10L))
+    assert(Ranges.add(rs, 5L) == rs, "re-adding a contained id is a no-op")
   }
 }
