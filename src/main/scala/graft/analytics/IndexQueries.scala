@@ -828,28 +828,7 @@ object IndexQueries {
     // recomputation over the corpus.
     CatalogQuery("idx_cdc_maintained_bm25", (s, d) => {
       val (post, docState) = maintainedPostingsState(s, d)
-      val qterms = Seq("spark", "rev1", "ins2")
-      val qpost = post.filter(col("term").isin(qterms: _*))
-      val tfq = qpost
-        .select(col("term"), explode(col("plist")).as("p"))
-        .select(col("term"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
-      val dfr = qpost.groupBy(col("term")).agg(sum(col("n_docs")).as("df"))
-      val lens = docState.select(col("doc_id"), col("n_tok").as("len"))
-      val stats = lens.agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(col("len")).as("tot_len"))
-      val scored = tfq.join(dfr, "term").join(lens, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("s",
-          ((lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)).cast("double")
-            / (lit(2) * col("df") + lit(1))) *
-            ((lit(22) * col("tf") * col("tot_len")).cast("double")
-              / (lit(10) * col("tf") * col("tot_len") + lit(3) * col("tot_len")
-                + lit(9) * col("len") * col("n_docs"))))
-      val perDoc = scored.groupBy("doc_id").agg(
-        (coalesce(max(when(col("term") === "spark", col("s"))), lit(0.0))
-          + coalesce(max(when(col("term") === "rev1", col("s"))), lit(0.0))
-          + coalesce(max(when(col("term") === "ins2", col("s"))), lit(0.0)))
-          .as("score"))
+      val perDoc = bm25Scores(post, docState, Seq("spark", "rev1", "ins2"))
       val top = perDoc.orderBy(col("score").desc, col("doc_id").asc).limit(10)
       top.withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
@@ -898,8 +877,262 @@ object IndexQueries {
          |  FROM scored GROUP BY 1)
          |SELECT doc_id, score,
          |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-         |FROM per_doc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
+         |FROM per_doc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ---- streaming BM25 serving against the maintained index ------------
+    // The text twin of ann_stream_serve, closing the retrieval loop in
+    // streaming: ONE tagged stream carries both the document CDC and the
+    // query traffic. Each micro-batch first runs the postings/doc-state
+    // maintenance step (old-image lookup BEFORE merge; both merges
+    // mergeOnce-guarded by the batch id), then serves BM25 for the
+    // batch's query terms from a FRESH read of the maintained state —
+    // answers evolve as revisions land (the planted rev1/ins2 terms only
+    // score once batches 1/2 have merged, and rev1's hit set shifts when
+    // later revisions overwrite " rev1" suffixes). The oracle re-derives
+    // every batch's as-of answers from the LWW document state in SQL, so
+    // the gate proves serving from maintained state equals recomputation
+    // at every point in stream time. 100 TB: per-batch cost = maintenance
+    // (changed docs' tokens + touched segments) + term-keyed point reads
+    // for the query set; never a corpus scan.
+    CatalogQuery("idx_stream_serve_bm25", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val work = Q.scratch("bm25serve")
+      val qterms = Seq("ins2", "rev1", "spark") // fold order: sorted, see below
+      // batch b's file: its change rows + the query terms stamped qb = b
+      (0 to 3).foreach { b =>
+        val chg = docChangeBatch(s, d, b)
+          .select(lit("chg").as("kind"), lit(b.toLong).as("qb"), col("doc_id"),
+            col("text"), col("n_tok"), col("op"), col("seq"),
+            lit(null).cast("string").as("term"))
+        val qry = qterms.toDF("term")
+          .select(lit("qry").as("kind"), lit(b.toLong).as("qb"),
+            lit(null).cast("bigint").as("doc_id"), lit(null).cast("string").as("text"),
+            lit(null).cast("bigint").as("n_tok"), lit(null).cast("string").as("op"),
+            lit(null).cast("bigint").as("seq"), col("term"))
+        val stageDir = s"$work/stage$b"
+        chg.unionByName(qry).coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val src = new java.io.File(stageDir).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        val inDir = java.nio.file.Paths.get(s"$work/in")
+        java.nio.file.Files.createDirectories(inDir)
+        val dest = inDir.resolve(f"b$b%02d.parquet")
+        java.nio.file.Files.move(src.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
+      }
+      val docState = new graft.sinks.SnapshotSink(s, s"$work/docs", Seq("doc_id"))
+      val postings = new graft.sinks.SnapshotSink(s, s"$work/postings",
+        Seq("term", "seg"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "kind STRING, qb BIGINT, doc_id BIGINT, text STRING, n_tok BIGINT, " +
+          "op STRING, seq BIGINT, term STRING")
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+      val q = stream.writeStream
+        .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) => {
+          val ch = batch.filter(col("kind") === "chg")
+            .select(col("doc_id"), col("text"), col("n_tok"), col("op"), col("seq"))
+          // control reads: 1-row seq stamp + the bounded query-term set
+          val seqNo = ch.agg(max(col("seq"))).head.getLong(0)
+          maintainPostingsBatch(docState, postings, ch, seqNo, batchId = Some(id))
+          val qrows = batch.filter(col("kind") === "qry")
+            .select(col("qb"), col("term"))
+          val qbv = qrows.agg(max(col("qb"))).head.getLong(0)
+          // the terms COME FROM the stream; sorted so the double-addition
+          // fold order is deterministic (and matched by the oracle)
+          val terms = qrows.select(col("term")).distinct()
+            .collect().map(_.getString(0)).sorted.toSeq
+          val perDoc = bm25Scores(postings.read(), docState.read(), terms)
+          val top = perDoc.orderBy(col("score").desc, col("doc_id").asc).limit(10)
+          top.withColumn("rank",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+              .cast("long"))
+            .select(lit(qbv).as("qbatch"), col("doc_id"), col("score"), col("rank"))
+            .write.mode("append").parquet(s"$work/out")
+        })
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out")
+        .dropDuplicates(Seq("qbatch", "rank")) // task-retry copies
+        .select(col("qbatch"), col("doc_id"), col("score"), col("rank"))
+    }, Some(
+      """WITH b3 AS (SELECT unnest(range(1, 4)) AS b),
+        |base AS (SELECT doc_id, text, 0::BIGINT AS seq, 0 AS del FROM documents),
+        |ups AS (
+        |  SELECT doc_id, text || ' rev' || b::VARCHAR, b::BIGINT, 0
+        |  FROM documents CROSS JOIN b3 WHERE doc_id % 10 = b),
+        |ins AS (
+        |  SELECT doc_id + 1000000 * b, text || ' ins' || b::VARCHAR, b::BIGINT, 0
+        |  FROM documents CROSS JOIN b3 WHERE doc_id % 23 = b),
+        |dels AS (
+        |  SELECT doc_id, CAST(NULL AS VARCHAR), b::BIGINT, 1
+        |  FROM documents CROSS JOIN b3 WHERE doc_id % 17 = b AND doc_id % 10 <> b),
+        |log AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM ups
+        |  UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM dels),
+        |qb4 AS (SELECT unnest(range(0, 4)) AS qb),
+        |finb AS (
+        |  SELECT qb, doc_id, text FROM (
+        |    SELECT q4.qb, l.doc_id, l.text, l.del,
+        |      row_number() OVER (PARTITION BY q4.qb, l.doc_id ORDER BY l.seq DESC) AS rn
+        |    FROM qb4 q4 CROSS JOIN log l WHERE l.seq <= q4.qb) t
+        |  WHERE rn = 1 AND del = 0),
+        |toks AS (SELECT qb, doc_id, string_split(text, ' ') AS t FROM finb),
+        |tfb AS (
+        |  SELECT qb, doc_id, len, term, count(*) AS tf FROM (
+        |    SELECT qb, doc_id, len(t)::BIGINT AS len, unnest(t) AS term FROM toks)
+        |  WHERE term IN ('spark', 'rev1', 'ins2')
+        |  GROUP BY 1, 2, 3, 4),
+        |dfr AS (SELECT qb, term, count(*) AS df FROM tfb GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT qb, count(*)::BIGINT AS n_docs, sum(len(t))::BIGINT AS tot_len
+        |  FROM toks GROUP BY 1),
+        |scored AS (
+        |  SELECT tfb.qb, tfb.doc_id, tfb.term,
+        |    (CAST(2 * st.n_docs - 2 * df + 1 AS DOUBLE) / (2 * df + 1)) *
+        |    (CAST(22 * tf * tot_len AS DOUBLE)
+        |      / (10 * tf * tot_len + 3 * tot_len + 9 * len * st.n_docs)) AS s
+        |  FROM tfb JOIN dfr ON dfr.qb = tfb.qb AND dfr.term = tfb.term
+        |  JOIN stats st ON st.qb = tfb.qb),
+        |per_doc AS (
+        |  SELECT qb, doc_id,
+        |    coalesce(max(CASE WHEN term = 'ins2' THEN s END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'rev1' THEN s END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'spark' THEN s END), 0.0) AS score
+        |  FROM scored GROUP BY 1, 2)
+        |SELECT qb AS qbatch, doc_id, score, rank FROM (
+        |  SELECT qb, doc_id, score,
+        |    row_number() OVER (PARTITION BY qb ORDER BY score DESC, doc_id) AS rank
+        |  FROM per_doc) t
+        |WHERE rank <= 10""".stripMargin))
   )
+
+  /** Document change batch `b` shared by the maintained-index family:
+    * batch 0 = base corpus inserts; batch b ≥ 1 = revisions
+    * (doc_id % 10 == b, text + " rev<b>"), inserts (doc_id % 23 == b,
+    * shifted ids, text + " ins<b>") and tombstones (doc_id % 17 == b,
+    * non-revised). Columns (doc_id, text, n_tok, op, seq).
+    */
+  private def docChangeBatch(
+      s: org.apache.spark.sql.SparkSession, d: String, b: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val raw =
+      if (b == 0)
+        docs.select(col("doc_id"), col("text"),
+          lit(graft.core.ChangeLog.Insert).as("op"), lit(0L).as("seq"))
+      else {
+        val ups = docs.filter(col("doc_id") % 10 === b)
+          .select(col("doc_id"), concat(col("text"), lit(s" rev$b")).as("text"))
+        val ins = docs.filter(col("doc_id") % 23 === b)
+          .select((col("doc_id") + lit(1000000L * b)).as("doc_id"),
+            concat(col("text"), lit(s" ins$b")).as("text"))
+        val dels = docs.filter(col("doc_id") % 17 === b && col("doc_id") % 10 =!= b)
+          .select(col("doc_id"), lit(null).cast("string").as("text"))
+        ups.unionByName(ins)
+          .withColumn("op", lit(graft.core.ChangeLog.Update))
+          .unionByName(dels.withColumn("op", lit(graft.core.ChangeLog.Delete)))
+          .withColumn("seq", lit(b.toLong))
+      }
+    raw.withColumn("n_tok",
+      when(col("text").isNotNull, size(split(col("text"), " ")).cast("long")))
+  }
+
+  /** (term, doc, tf, seg) posting entries of a set of live documents. */
+  private def docEntries(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = df
+    .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    .withColumn("seg", expr("doc_id div 1000"))
+
+  /** One maintenance step of the (term, segment)-keyed postings + the
+    * doc-state sink for change batch `ch`. Old images are looked up
+    * BEFORE any merge; only the (term, seg) rows the changed docs touch
+    * are rebuilt. Postings merge FIRST, doc-state second — a crash
+    * between the two replays against an UNCHANGED doc-state, so the
+    * recomputed postings batch is identical (the reverse order would
+    * recompute old images from already-advanced state). `batchId`
+    * engages the mergeOnce exactly-once guard (the streaming serving
+    * loop); None = plain seq-LWW merges (the batch harness).
+    */
+  private def maintainPostingsBatch(
+      docState: graft.sinks.SnapshotSink, postings: graft.sinks.SnapshotSink,
+      ch: org.apache.spark.sql.DataFrame, seqNo: Long,
+      batchId: Option[Long]): Unit = {
+    val newEntries = docEntries(ch.filter(col("op") =!= graft.core.ChangeLog.Delete))
+    val (touched, carried) =
+      if (!docState.exists) (newEntries.select("term", "seg").distinct(), newEntries)
+      else {
+        val keys = ch.select(col("doc_id")).distinct()
+        val oldEntries = docEntries(docState.read().join(keys, Seq("doc_id")))
+        val t = newEntries.select("term", "seg")
+          .unionByName(oldEntries.select("term", "seg")).distinct()
+        // old posting rows of the touched (term, seg) pairs, with the
+        // changed docs' entries dropped, then the new images added
+        val old = postings.read().join(t, Seq("term", "seg"))
+          .select(col("term"), col("seg"), explode(col("plist")).as("p"))
+          .select(col("term"), col("seg"),
+            col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+          .join(keys, Seq("doc_id"), "left_anti")
+          .select(col("term"), col("doc_id"), col("tf"), col("seg"))
+        (t, old.unionByName(newEntries))
+      }
+    val rebuilt = carried.groupBy(col("term"), col("seg"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sort_array(collect_list(struct(doc_id, tf)))").as("plist"))
+    val dropped = touched.join(rebuilt.select("term", "seg"),
+        Seq("term", "seg"), "left_anti")
+      .select(col("term"), col("seg"), lit(null).cast("bigint").as("n_docs"),
+        lit(null).cast("array<struct<doc_id:bigint,tf:bigint>>").as("plist"),
+        lit(graft.core.ChangeLog.Delete).as("op"))
+    val postBatch = rebuilt
+      .withColumn("op", lit(graft.core.ChangeLog.Update))
+      .unionByName(dropped)
+      .withColumn("seq", lit(seqNo))
+    batchId match {
+      case Some(id) =>
+        postings.mergeOnce(id, postBatch)
+        docState.mergeOnce(id, ch)
+        ()
+      case None =>
+        postings.merge(postBatch)
+        docState.merge(ch)
+    }
+  }
+
+  /** BM25 per-doc scores served from the maintained index reads: tf/df
+    * from term-keyed posting point reads, doc lengths from the doc
+    * state's n_tok, the global (N, totLen) pair one broadcast aggregate.
+    * Scoring is txt_bm25_topk's rational integer form (log-free,
+    * bit-stable); per-term contributions are summed in `qterms` ORDER so
+    * the double addition order is pinned on both engines.
+    */
+  private def bm25Scores(post: org.apache.spark.sql.DataFrame,
+      docState: org.apache.spark.sql.DataFrame, qterms: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    val qpost = post.filter(col("term").isin(qterms: _*))
+    val tfq = qpost
+      .select(col("term"), explode(col("plist")).as("p"))
+      .select(col("term"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+    val dfr = qpost.groupBy(col("term")).agg(sum(col("n_docs")).as("df"))
+    val lens = docState.select(col("doc_id"), col("n_tok").as("len"))
+    val stats = lens.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("len")).as("tot_len"))
+    val scored = tfq.join(dfr, "term").join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        ((lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)).cast("double")
+          / (lit(2) * col("df") + lit(1))) *
+          ((lit(22) * col("tf") * col("tot_len")).cast("double")
+            / (lit(10) * col("tf") * col("tot_len") + lit(3) * col("tot_len")
+              + lit(9) * col("len") * col("n_docs"))))
+    scored.groupBy("doc_id").agg(
+      qterms.map(t => coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
+        .reduce(_ + _).as("score"))
+  }
 
   /** The 4-batch maintained inverted index shared by the postings and
     * BM25 entries: a document change stream (revisions / inserts /
@@ -912,68 +1145,12 @@ object IndexQueries {
       s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val work = Q.scratch("ivmidx")
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    def batch(b: Int): org.apache.spark.sql.DataFrame = {
-      val raw =
-        if (b == 0)
-          docs.select(col("doc_id"), col("text"),
-            lit(graft.core.ChangeLog.Insert).as("op"), lit(0L).as("seq"))
-        else {
-          val ups = docs.filter(col("doc_id") % 10 === b)
-            .select(col("doc_id"), concat(col("text"), lit(s" rev$b")).as("text"))
-          val ins = docs.filter(col("doc_id") % 23 === b)
-            .select((col("doc_id") + lit(1000000L * b)).as("doc_id"),
-              concat(col("text"), lit(s" ins$b")).as("text"))
-          val dels = docs.filter(col("doc_id") % 17 === b && col("doc_id") % 10 =!= b)
-            .select(col("doc_id"), lit(null).cast("string").as("text"))
-          ups.unionByName(ins)
-            .withColumn("op", lit(graft.core.ChangeLog.Update))
-            .unionByName(dels.withColumn("op", lit(graft.core.ChangeLog.Delete)))
-            .withColumn("seq", lit(b.toLong))
-        }
-      raw.withColumn("n_tok",
-        when(col("text").isNotNull, size(split(col("text"), " ")).cast("long")))
-    }
-    def entries(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .withColumn("seg", expr("doc_id div 1000"))
     val docState = new graft.sinks.SnapshotSink(s, s"$work/docs", Seq("doc_id"))
     val postings = new graft.sinks.SnapshotSink(s, s"$work/postings",
       Seq("term", "seg"))
     (0 to 3).foreach { b =>
-      val ch = batch(b)
-      val newEntries = entries(ch.filter(col("op") =!= graft.core.ChangeLog.Delete))
-      val (touched, carried) =
-        if (b == 0) (newEntries.select("term", "seg").distinct(), newEntries)
-        else {
-          val keys = ch.select(col("doc_id")).distinct()
-          val oldEntries = entries(docState.read().join(keys, Seq("doc_id")))
-          val t = newEntries.select("term", "seg")
-            .unionByName(oldEntries.select("term", "seg")).distinct()
-          // old posting rows of the touched (term, seg) pairs, with the
-          // changed docs' entries dropped, then the new images added
-          val old = postings.read().join(t, Seq("term", "seg"))
-            .select(col("term"), col("seg"), explode(col("plist")).as("p"))
-            .select(col("term"), col("seg"),
-              col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
-            .join(keys, Seq("doc_id"), "left_anti")
-            .select(col("term"), col("doc_id"), col("tf"), col("seg"))
-          (t, old.unionByName(newEntries))
-        }
-      val rebuilt = carried.groupBy(col("term"), col("seg"))
-        .agg(count(lit(1)).as("n_docs"),
-          expr("sort_array(collect_list(struct(doc_id, tf)))").as("plist"))
-      val dropped = touched.join(rebuilt.select("term", "seg"),
-          Seq("term", "seg"), "left_anti")
-        .select(col("term"), col("seg"), lit(null).cast("bigint").as("n_docs"),
-          lit(null).cast("array<struct<doc_id:bigint,tf:bigint>>").as("plist"),
-          lit(graft.core.ChangeLog.Delete).as("op"))
-      postings.merge(rebuilt
-        .withColumn("op", lit(graft.core.ChangeLog.Update))
-        .unionByName(dropped)
-        .withColumn("seq", lit(b.toLong)))
-      docState.merge(ch)
+      maintainPostingsBatch(docState, postings, docChangeBatch(s, d, b),
+        seqNo = b.toLong, batchId = None)
     }
     (postings.read(), docState.read())
   }

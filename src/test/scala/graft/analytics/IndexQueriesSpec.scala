@@ -294,6 +294,54 @@ class IndexQueriesSpec extends SparkSpec {
       val t = state(id); t.contains("rev1") || t.contains("ins2") })
   }
 
+  test("streaming BM25 serving: every batch's answers equal the as-of driver recompute") {
+    val got = Catalog.queries("idx_stream_serve_bm25")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L),
+      "one answer set per micro-batch")
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // the serving loop folds terms in sorted order — the recompute must too
+    val qterms = Seq("ins2", "rev1", "spark")
+    (0 to 3).foreach { qb =>
+      // as-of state: only batches <= qb have landed when qb's queries serve
+      val state = scala.collection.mutable.Map.empty[Long, String]
+      base.foreach { case (id, t) => state(id) = t }
+      (1 to qb).foreach { b =>
+        base.foreach { case (id, t) =>
+          if (id % 10 == b) state(id) = s"$t rev$b"
+          else if (id % 17 == b) state.remove(id)
+          if (id % 23 == b) state(id + 1000000L * b) = s"$t ins$b"
+        }
+      }
+      val toks = state.toSeq.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      val n = toks.size.toLong
+      val totLen = toks.map(_._2.length.toLong).sum
+      val dfm = qterms.map(q => q -> toks.count(_._2.contains(q)).toLong).toMap
+      val scores = toks.map { case (id, ts) =>
+        val len = ts.length.toLong
+        id -> qterms.map { q =>
+          val tf = ts.count(_ == q).toLong
+          if (tf == 0 || dfm(q) == 0) 0.0
+          else ((2.0 * n - 2 * dfm(q) + 1) / (2 * dfm(q) + 1)) *
+            (22.0 * tf * totLen /
+              (10 * tf * totLen + 3 * totLen + 9 * len * n))
+        }.sum
+      }.filter(_._2 > 0.0)
+      val expTop = scores.sortBy { case (id, sc) => (-sc, id) }.take(10)
+      val gb = got.filter(_._1 == qb).sortBy(_._4)
+      assert(gb.map(_._4).toSeq == (1L to gb.length.toLong), s"qb=$qb ranks")
+      assert(gb.map(t => (t._2, t._3)).toSeq == expTop.toSeq,
+        s"qb=$qb served answers must equal the as-of recompute")
+    }
+    // the SAME query set gets different answers as the index evolves: the
+    // planted rev1/ins2 terms only score once their batches have merged
+    val s0 = got.filter(_._1 == 0L).map(t => (t._2, t._3)).toSet
+    val s3 = got.filter(_._1 == 3L).map(t => (t._2, t._3)).toSet
+    assert(s0 != s3, "answers must evolve with the index")
+  }
+
   test("CDC-maintained LSH buckets equal a driver rebuild; inserts pair, deletes vanish") {
     val got = Catalog.queries("ddp_cdc_maintained_lsh")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
