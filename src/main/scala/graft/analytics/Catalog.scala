@@ -95,6 +95,22 @@ object Q {
       ).cast("bigint"),
       lit(0L))
 
+  /** Operating-regime tripwire — the drift twin of [[overflowGuard]]: a
+    * measured per-row statistic (e.g. PQ reconstruction error) must stay
+    * within the bound DECLARED for the trained/calibrated regime, and
+    * drifting past it fails loudly with the remediation lever in the
+    * message instead of silently degrading quality. Folded assert: adds
+    * 0 when in regime, so `x + regimeGuard(x, …)` gates without changing
+    * the value.
+    */
+  def regimeGuard(n: Column, bound: Long, entry: String, lever: String): Column =
+    coalesce(
+      assert_true(n <= lit(bound),
+        concat(lit(s"$entry: measured "), n.cast("string"),
+          lit(s" exceeds the declared operating bound $bound — $lever"))
+      ).cast("bigint"),
+      lit(0L))
+
   /** Exact global ntile(k) over a total order — WITHOUT the
     * single-partition global sort `ntile(k).over(Window.orderBy(...))`
     * compiles to (the driver-side-sort scale-killer class ExplainAudit

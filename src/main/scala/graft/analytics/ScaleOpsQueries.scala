@@ -978,11 +978,20 @@ object ScaleOpsQueries {
         expr("""aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, m) ->
           | acc + element_at(codes, CAST(m + 1 AS INT))
           |   * shiftleft(CAST(1 AS BIGINT), CAST(4 * m AS INT)))""".stripMargin)
-          .as("pq_word"))
+          .as("pq_word"),
+        // the maintained per-vector reconstruction error, re-gated at
+        // serve time (encode-time gating alone would miss state written
+        // before the bound was declared); the oracle recomputes the same
+        // measurement from scratch, so drift accounting is hash-checked
+        (col("recon_err") + Q.regimeGuard(col("recon_err"), PqDriftBound,
+          "ann_cdc_pq_codes recon_err",
+          "codebook drift past the trained regime: retrain the residual " +
+            "codebooks on the live corpus and re-encode")).as("recon_err"))
     }, Some(
       s"""$annPqIndexDuck
          |SELECT vec_id, cell,
-         |  CAST(sum(code * (1::BIGINT << (4 * m))) AS BIGINT) AS pq_word
+         |  CAST(sum(code * (1::BIGINT << (4 * m))) AS BIGINT) AS pq_word,
+         |  CAST(sum(dist) AS BIGINT) AS recon_err
          |FROM fenc GROUP BY vec_id, cell""".stripMargin)),
 
     // Probe the maintained PQ index with ADC over residuals: nprobe=2
@@ -1484,14 +1493,47 @@ object ScaleOpsQueries {
       .withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
       .groupBy(col("vec_id"), col("cell"))
       .agg(expr("transform(array_sort(collect_list(struct(m, code))), p -> p.code)")
-        .as("codes"))
+        .as("codes"),
+        // measured per-vector reconstruction error (sum over subspaces of
+        // the chosen code's squared distance on the ×16384 lattice) — the
+        // codebook-drift signal, gated per batch by the regime tripwire
+        sum(col("dist")).as("recon_err"))
   }
+
+  /** Declared operating bound for the frozen residual-PQ codebooks, on
+    * the per-vector reconstruction-error scale annPqEncodeAgainstBase
+    * emits (Σ over 8 subspaces of the chosen code's squared ×16384-
+    * lattice distance). Measured envelope on the base corpus and every
+    * in-regime change batch (rotations, sf0.001 AND sf0.01): max ≈
+    * 3.4e8, mean ≈ 2.4e8; an out-of-regime batch (embeddings scaled ×8)
+    * measures ≈ 1.5e10. The bound sits ~3× above the trained envelope
+    * and ~15× below the drifted regime, so ordinary corpus evolution
+    * passes and genuine distribution shift trips.
+    */
+  private[graft] val PqDriftBound: Long = 1000000000L
+
+  /** Gate an encode batch with the codebook-drift tripwire: production
+    * IVF-PQ retrains when residual quantization error drifts as the
+    * corpus evolves; a FROZEN codebook otherwise degrades silently (ADC
+    * distances stay numbers, recall quietly rots). Folded into the
+    * recon_err column so every batch merge evaluates it — the retrain
+    * lever is in the failure message.
+    */
+  private[graft] def pqDriftGuarded(enc: DataFrame): DataFrame =
+    enc.withColumn("recon_err",
+      col("recon_err") + Q.regimeGuard(col("recon_err"), PqDriftBound,
+        "ann_cdc_pq recon_err",
+        "codebook drift past the trained regime: retrain the residual " +
+          "codebooks on the live corpus (annResidualCodebooks over current " +
+          "state) and re-encode"))
 
   /** The maintained residual-PQ index: same 4-batch change stream as
     * annMaintainedIndex, but each batch encodes ONLY its own vectors to
-    * (cell, codes[8]) against the FROZEN quantizer + codebooks and
-    * merges into a pk-bucketed SnapshotSink (touched buckets only).
-    * Returns (live code table, 1-row seeds, codebook).
+    * (cell, codes[8], recon_err) against the FROZEN quantizer +
+    * codebooks and merges into a pk-bucketed SnapshotSink (touched
+    * buckets only). Every batch's recon_err passes the drift tripwire
+    * ([[pqDriftGuarded]]) at merge time. Returns (live code table,
+    * 1-row seeds, codebook).
     */
   private def annMaintainedPqIndex(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -1501,8 +1543,8 @@ object ScaleOpsQueries {
     val (cb, cbOne) = annResidualCodebooks(s, d)
     val sink = new graft.sinks.SnapshotSink(s, Q.scratch("annpq") + "/index",
       Seq("vec_id"), numBuckets = 16)
-    sink.merge(annPqEncodeAgainstBase(s, d,
-        e.select(col("vec_id"), col("embedding")), cbOne)
+    sink.merge(pqDriftGuarded(annPqEncodeAgainstBase(s, d,
+        e.select(col("vec_id"), col("embedding")), cbOne))
       .withColumn("op", lit(graft.core.ChangeLog.Insert))
       .withColumn("seq", lit(0L)))
     (1 to 3).foreach { b =>
@@ -1511,12 +1553,14 @@ object ScaleOpsQueries {
       val ins = e.filter(col("vec_id") % 23 === b)
         .select((col("vec_id") + lit(1000000L * b)).as("vec_id"),
           rot(b + 3).as("embedding"))
-      val upserts = annPqEncodeAgainstBase(s, d, ups.unionByName(ins), cbOne)
+      val upserts = pqDriftGuarded(
+          annPqEncodeAgainstBase(s, d, ups.unionByName(ins), cbOne))
         .withColumn("op", lit(graft.core.ChangeLog.Update))
       val dels = e.filter(col("vec_id") % 17 === b && col("vec_id") % 10 =!= b)
         .select(col("vec_id"),
           lit(null).cast("bigint").as("cell"),
           lit(null).cast("array<bigint>").as("codes"),
+          lit(null).cast("bigint").as("recon_err"),
           lit(graft.core.ChangeLog.Delete).as("op"))
       sink.merge(upserts.unionByName(dels).withColumn("seq", lit(b.toLong)))
     }
@@ -1582,7 +1626,7 @@ object ScaleOpsQueries {
        |      k -> (256 * v.rs[k] - c.cv[k]) * (256 * v.rs[k] - c.cv[k]))) AS BIGINT) AS dist
        |  FROM fsub v JOIN cb c ON v.m = c.m),
        |fenc AS (
-       |  SELECT vec_id, cell, m, code FROM (
+       |  SELECT vec_id, cell, m, code, dist FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
        |    FROM fd) t WHERE rn = 1)""".stripMargin
 

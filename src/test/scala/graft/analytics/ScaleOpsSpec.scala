@@ -486,6 +486,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(seedMap.size == 16)
   }
 
+  test("PQ codebook drift tripwire: in-regime batches pass, a drifted batch trips") {
+    // the entry's gated recon_err column is populated and inside the
+    // declared operating bound for every live vector
+    val errs = Catalog.queries("ann_cdc_pq_codes")(spark, sf0001)
+      .select(col("recon_err")).collect().map(_.getLong(0))
+    assert(errs.nonEmpty &&
+      errs.forall(e => e >= 0 && e <= ScaleOpsQueries.PqDriftBound))
+    // plant a drifted batch: embeddings scaled ×8 sit far outside the
+    // trained residual regime (measured ~1.5e10 vs the 1e9 bound); the
+    // per-batch gate must fail LOUDLY with the retrain lever, not encode
+    // silently-degraded codes
+    val (_, cbOne) = ScaleOpsQueries.annResidualCodebooks(spark, sf0001)
+    val drifted = graft.core.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> x * CAST(8.0 AS FLOAT))").as("embedding"))
+    val e = intercept[Exception] {
+      ScaleOpsQueries.pqDriftGuarded(
+        ScaleOpsQueries.annPqEncodeAgainstBase(spark, sf0001, drifted, cbOne))
+        .collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(e).contains("operating bound") && msgs(e).contains("retrain"))
+  }
+
   test("maintained residual-PQ ADC probe equals the driver-side rebuild") {
     val got = Catalog.queries("ann_cdc_pq_probe")(spark, sf0001)
       .collect().map(r =>
