@@ -935,7 +935,8 @@ object IndexQueries {
             .select(col("doc_id"), col("text"), col("n_tok"), col("op"), col("seq"))
           // control reads: 1-row seq stamp + the bounded query-term set
           val seqNo = ch.agg(max(col("seq"))).head.getLong(0)
-          maintainPostingsBatch(docState, postings, ch, seqNo, batchId = Some(id))
+          maintainPostingsBatch(docState, postings, ch, seqNo, batchId = Some(id),
+            auditSite = "idx_stream_serve_bm25")
           val qrows = batch.filter(col("kind") === "qry")
             .select(col("qb"), col("term"))
           val qbv = qrows.agg(max(col("qb"))).head.getLong(0)
@@ -945,10 +946,11 @@ object IndexQueries {
             .collect().map(_.getString(0)).sorted.toSeq
           val perDoc = bm25Scores(postings.read(), docState.read(), terms)
           val top = perDoc.orderBy(col("score").desc, col("doc_id").asc).limit(10)
-          top.withColumn("rank",
-            row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
-              .cast("long"))
-            .select(lit(qbv).as("qbatch"), col("doc_id"), col("score"), col("rank"))
+          graft.core.AuditSeam.report("idx_stream_serve_bm25/serve",
+            top.withColumn("rank",
+              row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+                .cast("long"))
+              .select(lit(qbv).as("qbatch"), col("doc_id"), col("score"), col("rank")))
             .write.mode("append").parquet(s"$work/out")
         })
         .option("checkpointLocation", s"$work/ckpt")
@@ -1061,7 +1063,7 @@ object IndexQueries {
   private def maintainPostingsBatch(
       docState: graft.sinks.SnapshotSink, postings: graft.sinks.SnapshotSink,
       ch: org.apache.spark.sql.DataFrame, seqNo: Long,
-      batchId: Option[Long]): Unit = {
+      batchId: Option[Long], auditSite: String): Unit = {
     val newEntries = docEntries(ch.filter(col("op") =!= graft.core.ChangeLog.Delete))
     val (touched, carried) =
       if (!docState.exists) (newEntries.select("term", "seg").distinct(), newEntries)
@@ -1088,10 +1090,10 @@ object IndexQueries {
       .select(col("term"), col("seg"), lit(null).cast("bigint").as("n_docs"),
         lit(null).cast("array<struct<doc_id:bigint,tf:bigint>>").as("plist"),
         lit(graft.core.ChangeLog.Delete).as("op"))
-    val postBatch = rebuilt
+    val postBatch = graft.core.AuditSeam.report(s"$auditSite/postings", rebuilt
       .withColumn("op", lit(graft.core.ChangeLog.Update))
       .unionByName(dropped)
-      .withColumn("seq", lit(seqNo))
+      .withColumn("seq", lit(seqNo)))
     batchId match {
       case Some(id) =>
         postings.mergeOnce(id, postBatch)
@@ -1150,7 +1152,7 @@ object IndexQueries {
       Seq("term", "seg"))
     (0 to 3).foreach { b =>
       maintainPostingsBatch(docState, postings, docChangeBatch(s, d, b),
-        seqNo = b.toLong, batchId = None)
+        seqNo = b.toLong, batchId = None, auditSite = "idx_cdc_maintained_postings")
     }
     (postings.read(), docState.read())
   }

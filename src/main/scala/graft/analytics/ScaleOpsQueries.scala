@@ -1171,8 +1171,9 @@ object ScaleOpsQueries {
         .foreachBatch((batch: DataFrame, id: Long) => {
           // batch-id-guarded: a foreachBatch replay is a structural no-op
           // (mergeOnce), on top of the seq-LWW idempotency of the rows
-          sink.mergeOnce(id, batch.filter(col("kind") === "chg")
-            .select(col("vec_id"), col("q"), col("cell"), col("op"), col("seq")))
+          sink.mergeOnce(id, graft.core.AuditSeam.report("ann_stream_serve/merge",
+            batch.filter(col("kind") === "chg")
+              .select(col("vec_id"), col("q"), col("cell"), col("op"), col("seq"))))
           val qrows = batch.filter(col("kind") === "qry")
             .select(col("qb"), col("query_id"), col("qq"))
           val wq = org.apache.spark.sql.expressions.Window
@@ -1186,13 +1187,14 @@ object ScaleOpsQueries {
             .select(col("qb"), col("query_id"), col("qq"), col("cell"))
           val wr = org.apache.spark.sql.expressions.Window
             .partitionBy(col("qb"), col("query_id")).orderBy(col("dist2"), col("vec_id"))
-          probes.join(sink.read(), Seq("cell"))
-            .filter(col("query_id") =!= col("vec_id"))
-            .withColumn("dist2", candDist)
-            .withColumn("rank", row_number().over(wr))
-            .filter(col("rank") <= 3)
-            .select(col("qb"), col("query_id"), col("rank").cast("long").as("rank"),
-              col("vec_id").as("neighbor_id"), col("dist2").as("dist"))
+          graft.core.AuditSeam.report("ann_stream_serve/serve",
+            probes.join(sink.read(), Seq("cell"))
+              .filter(col("query_id") =!= col("vec_id"))
+              .withColumn("dist2", candDist)
+              .withColumn("rank", row_number().over(wr))
+              .filter(col("rank") <= 3)
+              .select(col("qb"), col("query_id"), col("rank").cast("long").as("rank"),
+                col("vec_id").as("neighbor_id"), col("dist2").as("dist")))
             .write.mode("append").parquet(s"$work/out")
         })
         .option("checkpointLocation", s"$work/ckpt")

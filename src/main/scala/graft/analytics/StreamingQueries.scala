@@ -491,7 +491,8 @@ object StreamingQueries {
         .toDF("grp", "item", "est", "err")
       val q = sk.writeStream
         .foreachBatch((b: DataFrame, id: Long) =>
-          b.withColumn("batch", lit(id)).write.mode("append")
+          graft.core.AuditSeam.report("evt_streaming_topk_heavy_hitters/batch",
+            b.withColumn("batch", lit(id))).write.mode("append")
             .parquet(s"$work/out"))
         .outputMode("update")
         .option("checkpointLocation", s"$work/ckpt")
@@ -555,7 +556,8 @@ object StreamingQueries {
         .toDF("grp", "n", "qs")
       val q = sk.writeStream
         .foreachBatch((b: DataFrame, id: Long) =>
-          b.withColumn("batch", lit(id)).write.mode("append")
+          graft.core.AuditSeam.report("evt_streaming_quantile_sketch/batch",
+            b.withColumn("batch", lit(id))).write.mode("append")
             .parquet(s"$work/out"))
         .outputMode("update")
         .option("checkpointLocation", s"$work/ckpt")
@@ -647,7 +649,8 @@ object StreamingQueries {
           col("n_events"), col("session_value"))
       val q = stream.writeStream
         .foreachBatch((b: DataFrame, id: Long) =>
-          b.write.mode("append").parquet(s"$work/out"))
+          graft.core.AuditSeam.report("evt_stream_session_windows/batch", b)
+            .write.mode("append").parquet(s"$work/out"))
         .outputMode("append")
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(Trigger.AvailableNow())
@@ -707,7 +710,8 @@ object StreamingQueries {
         .dropDuplicatesWithinWatermark("event_id")
       val q = deduped.writeStream
         .foreachBatch((b: DataFrame, id: Long) =>
-          b.write.mode("append").parquet(s"$work/out"))
+          graft.core.AuditSeam.report("evt_stream_dedup_replays/batch", b)
+            .write.mode("append").parquet(s"$work/out"))
         .outputMode("append")
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(Trigger.AvailableNow())
@@ -743,7 +747,8 @@ object StreamingQueries {
           col("n_name").as("nation"))
       val q = joined.writeStream
         .foreachBatch((b: DataFrame, id: Long) =>
-          b.write.mode("append").parquet(s"$work/out"))
+          graft.core.AuditSeam.report("evt_stream_static_enrich/batch", b)
+            .write.mode("append").parquet(s"$work/out"))
         .outputMode("append")
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(Trigger.AvailableNow())

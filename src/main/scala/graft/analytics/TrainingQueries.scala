@@ -734,7 +734,8 @@ object TrainingQueries {
         .toDF("doc_a", "doc_b")
       val q = pairs.writeStream
         .foreachBatch((b: DataFrame, _: Long) =>
-          b.write.mode("append").parquet(s"$work/out"))
+          graft.core.AuditSeam.report("ddp_streaming_minhash_dedup/batch", b)
+            .write.mode("append").parquet(s"$work/out"))
         .outputMode("update")
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(Trigger.AvailableNow())

@@ -202,7 +202,8 @@ object PipelineRunner {
     val keyCols =
       (if (dml.columns.contains("tgt_schema")) Seq("tgt_schema", "tgt_table") else Nil) ++
         plan.pkCols
-    val compacted = ChangeLog.lastPerKey(dml, keyCols)
+    val compacted = graft.core.AuditSeam.report(s"pipeline:${plan.name}/compact",
+      ChangeLog.lastPerKey(dml, keyCols))
     sink.write(batchId, compacted)
   }
 

@@ -237,12 +237,42 @@ object ExplainAudit {
     }.flatten.toSet
   }
 
+  /** Structural checks on one foreachBatch inner frame — the same three
+    * scale classes the entry-level audit flags (single-partition windows
+    * over unbounded input, BNLJ/cartesian with no provable 1-row side,
+    * forced fact broadcasts). Runs SYNCHRONOUSLY inside the probe: the
+    * frame's lazy plan can reference snapshot generations a later merge
+    * garbage-collects.
+    */
+  private def auditInnerFrame(site: String,
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    df.queryExecution.executedPlan.execute().foreachPartition(_ => ())
+    val badCross = unexplainedCrossJoins(df.queryExecution.executedPlan)
+    val badWin = unboundedGlobalWindows(df.queryExecution.executedPlan)
+    val factBc = forcedFactBroadcasts(df.queryExecution.optimizedPlan)
+    Seq(
+      s"unbounded cross join(s) ${badCross.mkString(",")}" -> badCross.nonEmpty,
+      "single-partition global window(s) over unbounded input" -> badWin.nonEmpty,
+      s"forced broadcast of fact table(s) ${factBc.mkString(",")}" -> factBc.nonEmpty
+    ).collect { case (s, true) => s }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else Catalog.benchNames
     val spark = Engine.local("explain-audit", cores = 4)
     names.foreach { n =>
-      val df = Catalog.queries(n)(spark, sfDir)
+      // foreachBatch seam: audit the FIRST micro-batch frame per site as
+      // the stream runs during entry construction — inner serving/merge
+      // plans are otherwise invisible to the entry-level audit below
+      val innerResults =
+        scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+      graft.core.AuditSeam.install { (site, bdf) =>
+        if (!innerResults.contains(site))
+          innerResults(site) = auditInnerFrame(site, bdf)
+      }
+      val df = try Catalog.queries(n)(spark, sfDir)
+        finally graft.core.AuditSeam.uninstall()
       // execute THIS plan instance so its AQE finalizes (df.count()/write
       // build a fresh QueryExecution and leave this one isFinalPlan=false)
       df.queryExecution.executedPlan.execute().foreachPartition(_ => ())
@@ -284,6 +314,10 @@ object ExplainAudit {
         else ""
       println(if (smells.isEmpty) s"[audit] $n: clean$note"
         else s"[audit] $n: SMELLS: ${smells.mkString(", ")}")
+      innerResults.foreach { case (site, inner) =>
+        println(if (inner.isEmpty) s"[audit] $n [$site]: clean"
+          else s"[audit] $n [$site]: SMELLS: ${inner.mkString(", ")}")
+      }
     }
     spark.stop()
   }

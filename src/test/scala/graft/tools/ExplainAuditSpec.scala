@@ -6,6 +6,43 @@ import org.apache.spark.sql.functions._
 
 class ExplainAuditSpec extends SparkSpec {
 
+  test("AuditSeam: probe sees reported inner frames; uninstalled seam is a pass-through") {
+    import graft.core.AuditSeam
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    AuditSeam.install((site, df) => { seen += s"$site:${df.columns.mkString(",")}"; () })
+    try {
+      val df = Tables.nation(spark, sf0001).select(col("n_nationkey"))
+      val out = AuditSeam.report("x/stage", df)
+      assert(out eq df, "report must be a pass-through")
+      assert(seen.toSeq == Seq("x/stage:n_nationkey"))
+      // a poison inner frame — partitionless window over an unbounded scan,
+      // the class the seam exists to catch — is visible to the probe and
+      // flagged by the same structural check the entry-level audit uses
+      val poison = Tables.orders(spark, sf0001).withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("o_orderkey"))))
+      AuditSeam.report("x/poison", poison)
+      assert(seen.size == 2)
+      assert(ExplainAudit.unboundedGlobalWindows(
+        poison.queryExecution.executedPlan).nonEmpty)
+    } finally AuditSeam.uninstall()
+    seen.clear()
+    AuditSeam.report("y", Tables.nation(spark, sf0001))
+    assert(seen.isEmpty, "uninstalled seam must not fire")
+  }
+
+  test("every foreachBatch body in the catalog reports through the seam") {
+    // run one representative streaming entry and one pipeline entry; the
+    // full per-site clean sweep is the ExplainAudit main run (SURVEY §8)
+    import graft.core.AuditSeam
+    val sites = scala.collection.mutable.LinkedHashSet.empty[String]
+    AuditSeam.install((site, _) => { sites += site; () })
+    try graft.analytics.Catalog.queries("idx_stream_serve_bm25")(spark, sf0001).collect()
+    finally AuditSeam.uninstall()
+    assert(sites.contains("idx_stream_serve_bm25/postings") &&
+      sites.contains("idx_stream_serve_bm25/serve"), s"got $sites")
+  }
+
   test("forcedFactBroadcasts flags a broadcast hint over a fact scan") {
     val li = Tables.lineitem(spark, sf0001)
     val o = Tables.orders(spark, sf0001)
