@@ -47,6 +47,26 @@ object MongoWire {
     /** oplog `ts`: (seconds << 32) | increment on the wire. */
     final case class BTs(seconds: Long, inc: Long) extends BVal
     final case class BLong(v: Long) extends BVal
+    /** deprecated symbol (0x0e) — wire-identical to string; kept a
+      * DISTINCT type so goldens pin the tag and round-trips preserve it
+      * (old mongo exports still carry symbols).
+      */
+    final case class BSymbol(v: String) extends BVal
+    /** deprecated DBPointer (0x0c): namespace string + 12-byte oid. */
+    final case class BDbPointer(ns: String, oid: Vector[Byte]) extends BVal
+    /** decimal128 (0x13), IEEE 754-2008 BID encoding. Decoded to
+      * (negative, coefficient, exponent) with NaN/Inf flagged; the raw
+      * (hi, lo) words are kept so re-encode is bit-lossless even for
+      * non-canonical payloads.
+      */
+    final case class BDec128(negative: Boolean, coefficient: BigInt,
+        exponent: Int, isNaN: Boolean, isInf: Boolean,
+        rawHi: Long, rawLo: Long) extends BVal {
+      def renderString: String =
+        if (isNaN) "NaN"
+        else if (isInf) { if (negative) "-Infinity" else "Infinity" }
+        else s"${if (negative) "-" else ""}${coefficient}E$exponent"
+    }
 
     def doc(fields: (String, BVal)*): BDoc = BDoc(fields)
   }
@@ -92,6 +112,39 @@ object MongoWire {
       case BInt(x) => out.write(0x10); cstr(name); i32(x)
       case BTs(s, i) => out.write(0x11); cstr(name); i32(i.toInt); i32(s.toInt)
       case BLong(x) => out.write(0x12); cstr(name); i64(x)
+      case BSymbol(x) => out.write(0x0e); cstr(name); bstr(x)
+      case BDbPointer(ns, oid) =>
+        out.write(0x0c); cstr(name); bstr(ns); out.write(oid.toArray)
+      case d: BDec128 =>
+        // raw words re-emitted: bit-lossless round-trip by construction
+        out.write(0x13); cstr(name); i64(d.rawLo); i64(d.rawHi)
+    }
+  }
+
+  /** Decode the BID (binary integer decimal) layout of decimal128:
+    * sign(1) then either exponent(14) + coefficient(113), or — when the
+    * two bits after the sign are 11 — the shifted high form, whose
+    * implicit '100' coefficient prefix always exceeds the 10^34-1
+    * coefficient domain and therefore decodes as ZERO (the libbson /
+    * driver-spec convention for non-canonical payloads; same for a
+    * directly-encoded out-of-domain coefficient). Combination 11111 is
+    * NaN, 11110 is ±Infinity. Exponent bias 6176.
+    */
+  private[sources] def decodeDec128(hi: Long, lo: Long): BVal.BDec128 = {
+    val neg = (hi >>> 63) == 1L
+    val comb = ((hi >>> 58) & 0x1f).toInt
+    val maxCoeff = BigInt("9999999999999999999999999999999999") // 10^34 - 1
+    if (comb == 0x1f) BVal.BDec128(neg, 0, 0, isNaN = true, isInf = false, hi, lo)
+    else if (comb == 0x1e) BVal.BDec128(neg, 0, 0, isNaN = false, isInf = true, hi, lo)
+    else if (((hi >>> 61) & 0x3) == 0x3) {
+      val exp = (((hi >>> 47) & 0x3fff) - 6176).toInt
+      BVal.BDec128(neg, 0, exp, isNaN = false, isInf = false, hi, lo)
+    } else {
+      val exp = (((hi >>> 49) & 0x3fff) - 6176).toInt
+      val coeff = (BigInt(hi & 0x0001ffffffffffffL) << 64) |
+        (BigInt(lo >>> 1) << 1) | BigInt(lo & 1L)
+      val c = if (coeff > maxCoeff) BigInt(0) else coeff
+      BVal.BDec128(neg, c, exp, isNaN = false, isInf = false, hi, lo)
     }
   }
 
@@ -134,6 +187,11 @@ object MongoWire {
         case 0x10 => BInt(i32())
         case 0x11 => val inc = i32().toLong & 0xffffffffL; val sec = i32().toLong & 0xffffffffL; BTs(sec, inc)
         case 0x12 => BLong(i64())
+        case 0x0c =>
+          val ns = bstr()
+          BDbPointer(ns, (0 until 12).map(i => b(pos + i)).toVector).tap(_ => pos += 12)
+        case 0x0e => BSymbol(bstr())
+        case 0x13 => val lo = i64(); val hi = i64(); decodeDec128(hi, lo)
         case other => throw new UnsupportedOperationException(
           f"bson element type 0x$other%02x not supported (field '$name')")
       }
@@ -604,6 +662,9 @@ object MongoWire {
     case BObjId(b) => b.map("%02x".format(_)).mkString
     case BNull => null
     case BTs(s, i) => s"$s.$i"
+    case BSymbol(s) => s // symbols flow like strings (reference decodes them as values)
+    case BDbPointer(ns, oid) => s"$ns:${oid.map("%02x".format(_)).mkString}"
+    case d: BDec128 => d.renderString
     case d: BDoc => d.fields.map { case (k, x) => s"$k=${render(x)}" }.mkString("{", ",", "}")
     case BArr(items) => items.map(render).mkString("[", ",", "]")
   }

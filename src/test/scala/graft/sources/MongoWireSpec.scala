@@ -49,6 +49,58 @@ class MongoWireSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("0x0b"))
   }
 
+  test("exotic BSON tags decode from golden bytes: symbol, DBPointer, decimal128") {
+    // hand-derived (python struct-packed, independent of the Scala codec):
+    // {sym: Symbol("legacy"), ptr: DBPointer("db.coll", 000102..0b),
+    //  d1: Decimal128(1.5), dneg: Decimal128(-0.5), dnan: NaN,
+    //  dinf: -Infinity, dhi: non-canonical high form (coeff -> 0),
+    //  dbig: out-of-domain 113-bit coefficient (coeff -> 0)}
+    val golden =
+      "b30000000e73796d00070000006c6567616379000c707472000800000064622e636f" +
+      "6c6c00000102030405060708090a0b136431000f000000000000000000000000003e" +
+      "3013646e65670005000000000000000000000000003eb013646e616e000000000000" +
+      "000000000000000000007c1364696e6600000000000000000000000000000000f813" +
+      "646869000700000000000000000000000000106c136462696700ffffffffffffffff" +
+      "ffffffffffff413000"
+    val d = decodeDoc(unhex(golden))
+    assert(d.get("sym").contains(BSymbol("legacy")))
+    assert(d.get("ptr").contains(
+      BDbPointer("db.coll", (0 until 12).map(_.toByte).toVector)))
+    def dec(n: String): BDec128 = d.get(n).collect { case x: BDec128 => x }.get
+    // 1.5 = 15 x 10^-1; -0.5 = 5 x 10^-1 with the sign bit
+    assert(dec("d1") == BDec128(negative = false, BigInt(15), -1,
+      isNaN = false, isInf = false, 6175L << 49, 15L))
+    assert(dec("dneg").negative && dec("dneg").coefficient == BigInt(5) &&
+      dec("dneg").exponent == -1)
+    assert(dec("d1").renderString == "15E-1" && dec("dneg").renderString == "-5E-1")
+    assert(dec("dnan").isNaN && dec("dnan").renderString == "NaN")
+    assert(dec("dinf").isInf && dec("dinf").negative &&
+      dec("dinf").renderString == "-Infinity")
+    // the two non-canonical shapes both decode coefficient 0 (driver-spec
+    // convention), with the high form reading its SHIFTED exponent field
+    assert(dec("dhi").coefficient == BigInt(0) && dec("dhi").exponent == 0 &&
+      !dec("dhi").isNaN && !dec("dhi").isInf)
+    assert(dec("dbig").coefficient == BigInt(0) && dec("dbig").exponent == 0)
+    // re-encode is byte-identical (decimal128 re-emits its raw words, so
+    // even the non-canonical payloads round-trip losslessly)
+    assert(encodeDoc(d).map("%02x".format(_)).mkString == golden)
+  }
+
+  test("decimal128 coefficient spans both words; domain edge is exact") {
+    // 10^34 - 1 (max canonical coefficient) needs 113 bits: hi word bits
+    // carry the top of the coefficient
+    val maxC = BigInt("9999999999999999999999999999999999")
+    val hi = (6176L << 49) | (maxC >> 64).toLong
+    val lo = (maxC & BigInt("ffffffffffffffff", 16)).toLong
+    val got = decodeDec128(hi, lo)
+    assert(got.coefficient == maxC && got.exponent == 0 && !got.negative)
+    // one past the domain edge decodes as zero, not a wrapped value
+    val over = maxC + 1
+    val hi2 = (6176L << 49) | (over >> 64).toLong
+    val lo2 = (over & BigInt("ffffffffffffffff", 16)).toLong
+    assert(decodeDec128(hi2, lo2).coefficient == BigInt(0))
+  }
+
   test("oplog tail against the stub mongod: hello, tailable find, getMore drain, delta conversion") {
     val oplog = Seq(
       goldenDoc, // insert shop.orders {_id:7, status:OPEN, total:12.5}
