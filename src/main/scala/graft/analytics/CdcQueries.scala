@@ -82,6 +82,11 @@ object CdcQueries {
       .select(col("o_orderkey").as("O_ORDERKEY"),
         lit("X").as("O_ORDERSTATUS"), lit(0.0).as("O_TOTALPRICE"))
       .write.mode("append").format("jdbc")
+      // explicit driver: resolution via DriverManager.getDriver would hit
+      // Spark's stale DriverWrapper after a suite-level Derby engine
+      // shutdown (DerbyEngineIsolation) and mis-resolve the class name;
+      // the named EmbeddedDriver reboots the engine on connect
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       .option("url", url).option("dbtable", "conflict_target").save()
 
     val k = col("o_orderkey")
@@ -104,6 +109,7 @@ object CdcQueries {
     sink.write(0L, log)
 
     val state = s.read.format("jdbc").option("url", url)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       .option("dbtable", "conflict_target").load()
       .select(col("o_orderkey").cast("long").as("o_orderkey"),
         col("o_orderstatus"), col("o_totalprice").cast("double").as("o_totalprice"))
@@ -698,6 +704,7 @@ object CdcQueries {
         numWriters = Some(1)) // embedded Derby: MERGE is not concurrency-safe
       sink.write(0L, log)
       s.read.format("jdbc").option("url", url)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         .option("dbtable", "target_orders").load()
         .select(col("o_orderkey").cast("long").as("o_orderkey"),
           col("o_orderstatus").as("o_orderstatus"),
@@ -880,6 +887,199 @@ object CdcQueries {
         |SELECT grp, count(*)::BIGINT AS n_rows,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM fin GROUP BY 1""".stripMargin)),
+
+    // ---- stateful IVM: maintained JOIN view + maintained secondary index
+    // The join twin of cdc_ivm_maintained_aggs — the other classic
+    // materialized-view case: an orders ⋈ customer INNER-join view kept
+    // current through 4 change batches on BOTH inputs. The N:1 join's
+    // hard direction is the dimension side: a customer change must touch
+    // ALL that customer's order rows, which a naive scheme finds by
+    // scanning the fact state. Here a maintained SECONDARY INDEX
+    // (c_custkey → sorted order-key list, rebuilt per touched customer
+    // with the postings discipline: old list minus changed orders plus
+    // new live orders, empty list → tombstone) turns that into point
+    // reads, so per-batch cost = |Δorders| + |orders of Δcustomers| —
+    // never either corpus. Per batch: old-image lookups BEFORE any
+    // merge; base states merge first, then the index, then the view rows
+    // of exactly the touched order keys rebuild from POST-merge state
+    // (inner join: a deleted customer tombstones all its orders' view
+    // rows — planted via c%29; a later order insert against a deleted
+    // customer yields no row). The oracle recomputes the view from the
+    // from-scratch LWW of both logs, so convergence across inserts,
+    // updates, deletes, customer orphaning and delete-then-reinsert is
+    // hash-gated.
+    CatalogQuery("cdc_ivm_maintained_join", (s, d) => {
+      val work = Q.scratch("ivmjoin")
+      val osrc = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("o_orderstatus"))
+      val csrc = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"))
+      def oBatch(b: Int): DataFrame =
+        if (b == 0)
+          osrc.select(col("o_orderkey"), col("o_custkey"), col("cents"),
+            col("o_orderstatus"), lit(ChangeLog.Insert).as("op"), lit(0L).as("seq"))
+        else {
+          val ups = osrc.filter(col("o_orderkey") % 10 === b)
+            .select(col("o_orderkey"), col("o_custkey"),
+              (col("cents") + 100000L * b).as("cents"),
+              lit(s"U$b").as("o_orderstatus"))
+          val ins = osrc.filter(col("o_orderkey") % 23 === b)
+            .select((col("o_orderkey") + 1000000L * b).as("o_orderkey"),
+              col("o_custkey"), (col("cents") + b).as("cents"), col("o_orderstatus"))
+          val dels = osrc.filter(col("o_orderkey") % 17 === b && col("o_orderkey") % 10 =!= b)
+            .select(col("o_orderkey"), lit(null).cast("bigint").as("o_custkey"),
+              lit(null).cast("bigint").as("cents"),
+              lit(null).cast("string").as("o_orderstatus"))
+          ups.unionByName(ins).withColumn("op", lit(ChangeLog.Update))
+            .unionByName(dels.withColumn("op", lit(ChangeLog.Delete)))
+            .withColumn("seq", lit(b.toLong))
+        }
+      def cBatch(b: Int): DataFrame =
+        if (b == 0)
+          csrc.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            lit(ChangeLog.Insert).as("op"), lit(0L).as("seq"))
+        else {
+          val ups = csrc.filter(col("c_custkey") % 7 === b)
+            .select(col("c_custkey"),
+              concat(col("c_name"), lit(s" up$b")).as("c_name"), col("c_nationkey"))
+          val dels = csrc.filter(col("c_custkey") % 29 === b && col("c_custkey") % 7 =!= b)
+            .select(col("c_custkey"), lit(null).cast("string").as("c_name"),
+              lit(null).cast("bigint").as("c_nationkey"))
+          ups.withColumn("op", lit(ChangeLog.Update))
+            .unionByName(dels.withColumn("op", lit(ChangeLog.Delete)))
+            .withColumn("seq", lit(b.toLong))
+        }
+      val ordState = new graft.sinks.SnapshotSink(s, s"$work/ord", Seq("o_orderkey"))
+      val custState = new graft.sinks.SnapshotSink(s, s"$work/cust", Seq("c_custkey"))
+      val custIdx = new graft.sinks.SnapshotSink(s, s"$work/idx", Seq("c_custkey"))
+      val view = new graft.sinks.SnapshotSink(s, s"$work/view", Seq("o_orderkey"))
+      def viewRows(touched: DataFrame): DataFrame =
+        ordState.read().join(touched, Seq("o_orderkey"))
+          .join(custState.read(), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("cents"), col("o_orderstatus"),
+            col("c_custkey"), col("c_name"), col("c_nationkey"))
+      (0 to 3).foreach { b =>
+        val oCh = oBatch(b)
+        val cCh = cBatch(b)
+        if (b == 0) {
+          ordState.merge(oCh)
+          custState.merge(cCh)
+          custIdx.merge(oCh.groupBy(col("o_custkey").as("c_custkey"))
+            .agg(sort_array(collect_list(col("o_orderkey"))).as("okeys"))
+            .withColumn("op", lit(ChangeLog.Insert)).withColumn("seq", lit(0L)))
+          view.merge(viewRows(oCh.select("o_orderkey"))
+            .withColumn("op", lit(ChangeLog.Insert)).withColumn("seq", lit(0L)))
+        } else {
+          // -- pre-merge old-image lookups (batch-bounded point reads) --
+          val oKeys = oCh.select(col("o_orderkey")).distinct()
+          val oldOrd = ordState.read().join(oKeys, Seq("o_orderkey"))
+          val cKeys = cCh.select(col("c_custkey")).distinct()
+          // customers whose order SETS change: new images' custkeys plus
+          // the old images' custkeys (covers deletes and any key move)
+          val idxTouched = oCh.filter(col("op") =!= ChangeLog.Delete)
+            .select(col("o_custkey").as("c_custkey"))
+            .unionByName(oldOrd.select(col("o_custkey").as("c_custkey")))
+            .distinct()
+          val oldLists = custIdx.read().join(idxTouched, Seq("c_custkey"))
+            .select(col("c_custkey"), explode(col("okeys")).as("o_orderkey"))
+            .join(oKeys, Seq("o_orderkey"), "left_anti")
+          val newMembers = oCh.filter(col("op") =!= ChangeLog.Delete)
+            .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+          val rebuilt = oldLists.select("c_custkey", "o_orderkey")
+            .unionByName(newMembers)
+            .groupBy(col("c_custkey"))
+            .agg(sort_array(collect_list(col("o_orderkey"))).as("okeys"))
+          val droppedIdx = idxTouched
+            .join(rebuilt.select("c_custkey"), Seq("c_custkey"), "left_anti")
+            .select(col("c_custkey"),
+              lit(null).cast("array<bigint>").as("okeys"),
+              lit(ChangeLog.Delete).as("op"))
+          // -- merges, in DEPENDENCY order: every merge's input plan may
+          // only reference states not yet merged this batch (a merge
+          // garbage-collects the generations a pre-merge read() plan
+          // points at — evaluating such a plan after the state advanced
+          // reads deleted files). The index batch reads ordState+custIdx
+          // pre-merge, so it merges FIRST; the view rebuild reads
+          // post-merge state, so it goes last.
+          custIdx.merge(rebuilt.withColumn("op", lit(ChangeLog.Update))
+            .unionByName(droppedIdx).withColumn("seq", lit(b.toLong)))
+          // view rows to rebuild: the changed orders plus every order of
+          // a changed customer. POST-merge index reads are sufficient: a
+          // customer change never alters the index, and the orders a
+          // customer LOST this batch are already in oKeys
+          val custOrders = custIdx.read().join(cKeys, Seq("c_custkey"))
+            .select(explode(col("okeys")).as("o_orderkey"))
+          val touched = oKeys.unionByName(custOrders).distinct()
+          ordState.merge(oCh)
+          custState.merge(cCh)
+          val rebuiltView = viewRows(touched)
+          val viewDrops = touched
+            .join(rebuiltView.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+            .select(col("o_orderkey"), lit(null).cast("bigint").as("cents"),
+              lit(null).cast("string").as("o_orderstatus"),
+              lit(null).cast("bigint").as("c_custkey"),
+              lit(null).cast("string").as("c_name"),
+              lit(null).cast("bigint").as("c_nationkey"),
+              lit(ChangeLog.Delete).as("op"))
+          view.merge(rebuiltView.withColumn("op", lit(ChangeLog.Update))
+            .unionByName(viewDrops).withColumn("seq", lit(b.toLong)))
+        }
+      }
+      view.read().select(col("o_orderkey"), col("cents"), col("o_orderstatus"),
+        col("c_custkey"), col("c_name"), col("c_nationkey"))
+    }, Some(
+      """WITH b3 AS (SELECT unnest(range(1, 4)) AS b),
+        |osrc AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    o_orderstatus AS st
+        |  FROM orders),
+        |obase AS (
+        |  SELECT o_orderkey AS k, o_custkey, cents, st, 0::BIGINT AS seq, 0 AS del
+        |  FROM osrc),
+        |oups AS (
+        |  SELECT o_orderkey, o_custkey, cents + 100000 * b, 'U' || b::VARCHAR,
+        |    b::BIGINT, 0
+        |  FROM osrc CROSS JOIN b3 WHERE o_orderkey % 10 = b),
+        |oins AS (
+        |  SELECT o_orderkey + 1000000 * b, o_custkey, cents + b, st, b::BIGINT, 0
+        |  FROM osrc CROSS JOIN b3 WHERE o_orderkey % 23 = b),
+        |odels AS (
+        |  SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |    CAST(NULL AS VARCHAR), b::BIGINT, 1
+        |  FROM osrc CROSS JOIN b3 WHERE o_orderkey % 17 = b AND o_orderkey % 10 <> b),
+        |olog AS (
+        |  SELECT * FROM obase UNION ALL SELECT * FROM oups
+        |  UNION ALL SELECT * FROM oins UNION ALL SELECT * FROM odels),
+        |ofin AS (
+        |  SELECT k, o_custkey, cents, st FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |    FROM olog) t
+        |  WHERE rn = 1 AND del = 0),
+        |csrc AS (SELECT c_custkey, c_name, c_nationkey FROM customer),
+        |cbase AS (
+        |  SELECT c_custkey AS ck, c_name AS nm, c_nationkey AS nk,
+        |    0::BIGINT AS seq, 0 AS del
+        |  FROM csrc),
+        |cups AS (
+        |  SELECT c_custkey, c_name || ' up' || b::VARCHAR, c_nationkey, b::BIGINT, 0
+        |  FROM csrc CROSS JOIN b3 WHERE c_custkey % 7 = b),
+        |cdels AS (
+        |  SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        |    b::BIGINT, 1
+        |  FROM csrc CROSS JOIN b3 WHERE c_custkey % 29 = b AND c_custkey % 7 <> b),
+        |clog AS (
+        |  SELECT * FROM cbase UNION ALL SELECT * FROM cups
+        |  UNION ALL SELECT * FROM cdels),
+        |cfin AS (
+        |  SELECT ck, nm, nk FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY ck ORDER BY seq DESC) AS rn
+        |    FROM clog) t
+        |  WHERE rn = 1 AND del = 0)
+        |SELECT k AS o_orderkey, cents, st AS o_orderstatus,
+        |  ck AS c_custkey, nm AS c_name, nk::BIGINT AS c_nationkey
+        |FROM ofin JOIN cfin ON o_custkey = ck""".stripMargin)),
 
     // flagship composite: replicate (compact) then analyze (agg) — §7.2
     CatalogQuery("cdc_apply_then_agg", (s, d) =>

@@ -137,7 +137,9 @@ object PipelineE2E {
     }
 
     def derbyTable(t: String): DataFrame =
-      s.read.format("jdbc").option("url", url).option("dbtable", t).load()
+      s.read.format("jdbc").option("url", url)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver") // see CdcQueries: stale-wrapper resolution after engine shutdown
+        .option("dbtable", t).load()
         .select(lit(t).as("tgt_table"),
           col("id").cast("long").as("id"), col("v").as("v"))
     val derbyState = derbyTable("t_a").unionByName(derbyTable("t_b"))

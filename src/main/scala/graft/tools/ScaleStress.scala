@@ -163,17 +163,24 @@ object ScaleStress {
       // changed docs + touched-bucket rewrites; serve join reads buckets
       "ddp_cdc_maintained_lsh", "mix_budget_enforce_selection",
       // r09: distinct-n diversity — three explodes into hash aggregates
-      "qa_ngram_diversity")
+      "qa_ngram_diversity",
+      // r10: streaming BM25 serving — per-batch maintenance (changed
+      // docs' tokens + touched segments) + term-keyed point reads
+      "idx_stream_serve_bm25")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =
-      if (args.length > 2) args.drop(2).toSeq.filterNot(_ == "+extras")
+      if (args.length > 2) args.drop(2).toSeq.filterNot(_.startsWith("+extras"))
       else defaultNames.distinct
     // the non-catalog blocks below (snapshot merge, pipeline, semdedup
     // sqrt-N, fixed anchors, trickled dcp) run with the DEFAULT set, or
-    // when a targeted invocation passes the literal "+extras" (so a
-    // fix to one extras row can re-measure without the full hour)
-    val extras = args.length <= 2 || args.drop(2).contains("+extras")
+    // when a targeted invocation passes the literal "+extras" (all
+    // blocks) or "+extras:<tag>" (one block — so a fix to one extras row
+    // can re-measure without the full hour, and the 30x maintained-wave
+    // runs can take just their per-batch rows)
+    val extrasArgs = args.drop(2).filter(_.startsWith("+extras")).toSet
+    val extras = args.length <= 2 || extrasArgs("+extras")
+    def extrasOn(tag: String): Boolean = extras || extrasArgs(s"+extras:$tag")
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
     val spark = Engine.session("scale-stress",
       master = Some(s"local[${Engine.defaultShufflePartitions}]"))
@@ -229,7 +236,7 @@ object ScaleStress {
     // snapshot-sink write path: full initial merge, then an incremental
     // batch touching ~1% of keys — the second number must reflect
     // touched-buckets-only cost, not a full-table rewrite
-    if (extras) {
+    if (extrasOn("snapshot")) {
       val log = graft.analytics.CdcQueries.changeLog(spark, out)
       val sink = new graft.sinks.SnapshotSink(spark, out + "/snap_stress",
         Seq("o_orderkey"), numBuckets = 64)
@@ -254,7 +261,7 @@ object ScaleStress {
     // filters -> router -> Derby upsert + snapshot, drained in
     // rate-limited micro-batches (the flagship e2e shape, sized up,
     // no fault injection)
-    if (extras) {
+    if (extrasOn("pipeline")) {
       val changes = 200000L
       val t0 = System.nanoTime()
       val state = graft.analytics.PipelineE2E.runPipeline(
@@ -270,7 +277,7 @@ object ScaleStress {
     // corpus, then ONE fixed-size change batch (base-replica keys
     // confined to 4 of 64 buckets) — assignment cost ∝ batch, rewrite
     // cost ∝ touched buckets; neither may track the grown corpus
-    if (extras) {
+    if (extrasOn("ann")) {
       val sink = new graft.sinks.SnapshotSink(spark, out + "/ann_stress",
         Seq("vec_id"), numBuckets = 64)
       val all = Tables.load(spark, out, "embeddings")
@@ -304,7 +311,7 @@ object ScaleStress {
     // C=16 — candidates ∝ N²/C, the documented semdedup-style harness
     // trade (measured: 15.4 s at 10× → 75.3 s at 30×); production holds
     // the eval set fixed and trains C ∝ √N
-    if (extras) {
+    if (extrasOn("annprobe")) {
       val (idx, seedsOne) =
         graft.analytics.ScaleOpsQueries.annMaintainedIndex(spark, out)
       val t0 = System.nanoTime()
@@ -320,7 +327,7 @@ object ScaleStress {
     // change batch (base-replica keys confined to 4 of 64 buckets) —
     // encode cost must track the batch, rewrite cost the touched
     // buckets; the maintained table is codes (8 B) not vectors (512 B)
-    if (extras) {
+    if (extrasOn("annpq")) {
       val (_, cbOne) =
         graft.analytics.ScaleOpsQueries.annResidualCodebooks(spark, out)
       val sink = new graft.sinks.SnapshotSink(spark, out + "/annpq_stress",
@@ -353,7 +360,7 @@ object ScaleStress {
     // default loop times the oracle's pinned C=16 (within-cell pairwise
     // = N^2/C there); this row proves the same code path at C ∝ sqrt(N)
     // keeps Σ|cell|² ≈ N^1.5 — the bounded-pairwise claim, measured
-    if (extras) {
+    if (extrasOn("semdedup")) {
       val n = Tables.load(spark, out, "embeddings").count()
       val c = math.ceil(math.sqrt(n.toDouble)).toInt
       val t0 = System.nanoTime()
@@ -366,7 +373,7 @@ object ScaleStress {
     // (base replica only — ids below the replication shift) while the
     // corpus grows `factor`x, so cost must track corpus size linearly;
     // the default loop's row times the harness regime (anchors scale too)
-    if (extras) {
+    if (extrasOn("negatives")) {
       val t0 = System.nanoTime()
       val rows = graft.analytics.CorpusOpsQueries.hardNegatives(spark, out,
         col("vec_id") % 25 === 0 && col("vec_id") < shift).count()
@@ -379,7 +386,7 @@ object ScaleStress {
     // tracks the horizon (open windows), not the stream length — the
     // default loop's vrf_stream_consistency number, by construction,
     // holds every window open through one bulk batch
-    if (extras) {
+    if (extrasOn("dcp")) {
       import org.apache.spark.sql.streaming.Trigger
       val work = java.nio.file.Files.createTempDirectory("graft-dcp-trickle").toString
       // tuned dcp seat (see DcpTrickleProbe: 2.5x per-batch floor win at

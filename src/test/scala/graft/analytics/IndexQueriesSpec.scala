@@ -416,4 +416,57 @@ class IndexQueriesSpec extends SparkSpec {
     assert(moved, "the change stream must contain group-moving updates")
     assert(got.values.map(_._1).sum == state.size)
   }
+
+  test("cdc_ivm_maintained_join equals the recompute; dimension changes fan out via the index") {
+    val got = Catalog.queries("cdc_ivm_maintained_join")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getString(4), r.getLong(5)))).toMap
+    // replay both logs
+    val obase = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents", "o_orderstatus")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val cbase = spark.read.parquet(s"$sf0001/customer.parquet")
+      .selectExpr("c_custkey", "c_name", "CAST(c_nationkey AS BIGINT) AS c_nationkey")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ost = scala.collection.mutable.Map.empty[Long, (Long, Long, String)]
+    obase.foreach { case (k, c, v, st) => ost(k) = (c, v, st) }
+    val cst = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    cbase.foreach { case (k, n, nk) => cst(k) = (n, nk) }
+    (1 to 3).foreach { b =>
+      obase.foreach { case (k, c, v, st) =>
+        if (k % 10 == b) ost(k) = (c, v + 100000L * b, s"U$b")
+        else if (k % 17 == b) ost.remove(k)
+        if (k % 23 == b) ost(k + 1000000L * b) = (c, v + b, st)
+      }
+      cbase.foreach { case (k, n, nk) =>
+        if (k % 7 == b) cst(k) = (s"$n up$b", nk)
+        else if (k % 29 == b) cst.remove(k)
+      }
+    }
+    val exp = ost.flatMap { case (ok, (ck, cents, st)) =>
+      cst.get(ck).map { case (nm, nk) => ok -> ((cents, st, ck, nm, nk)) }
+    }.toMap
+    assert(got == exp, "maintained join view must equal the recompute")
+    // the planted dimension-side effects genuinely fired:
+    // (a) a customer UPDATE propagated to every one of its orders' rows
+    val updCust = cst.collectFirst {
+      case (k, (n, _)) if n.contains(" up") && ost.values.exists(_._1 == k) => k }
+    updCust.foreach { ck =>
+      val rows = got.filter(_._2._3 == ck)
+      assert(rows.nonEmpty && rows.values.forall(_._4.contains(" up")),
+        "customer update must reach all its orders' view rows")
+    }
+    // (b) a deleted customer orphans its orders — none of them in the view
+    val delCust = cbase.collectFirst {
+      case (k, _, _) if !cst.contains(k) && obase.exists(o => o._2 == k) => k }
+    delCust.foreach { ck =>
+      assert(!got.values.exists(_._3 == ck),
+        "orders of a deleted customer must vanish from the view")
+    }
+    // (c) deleted orders are gone even when their customer is live
+    val delOrd = obase.collectFirst {
+      case (k, c, _, _) if !ost.contains(k) && cst.contains(c) => k }
+    delOrd.foreach(ok => assert(!got.contains(ok)))
+  }
 }
