@@ -675,6 +675,86 @@ object CurationQueries {
         |  lbl AS component
         |FROM l4""".stripMargin)),
 
+    // ---- synchronous label-propagation communities -----------------------
+    // The MAJORITY twin of gph_min_label_components on the same
+    // customer–supplier co-occurrence edges: min-label converges to
+    // connected COMPONENTS; taking each node's most-frequent neighbor
+    // label instead (ties: count desc, then smaller label — a total
+    // order, so every round is deterministic) is synchronous label
+    // propagation, the classic community-detection baseline — dense
+    // neighborhoods agree on a label long before the whole component
+    // does. Fixed 3 rounds keep the oracle exact (production iterates
+    // to label stability with the same per-round shape). Per round: one
+    // equi-join + a (node, label)-grouped count + a PARTITIONED
+    // row_number — no global window, lineage truncated per round via
+    // localCheckpoint (the PageRank discipline).
+    CatalogQuery("gph_label_propagation_communities", (s, d) => {
+      val co = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = co.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(co.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      var state = edges.select(col("src").as("v")).distinct()
+        .withColumn("lbl", col("v"))
+        .localCheckpoint()
+      val w = Window.partitionBy(col("dst")).orderBy(col("c").desc, col("lbl").asc)
+      for (_ <- 1 to 3) {
+        val mode = edges.join(state, edges("src") === state("v"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("dst"), col("lbl").as("m"))
+        state = state.join(mode, state("v") === mode("dst"), "left")
+          .select(col("v"), coalesce(col("m"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+      }
+      edges.unpersist(false)
+      state.select(
+        when(col("v") % 2 === 0, concat(lit("c"), (col("v") / 2).cast("long").cast("string")))
+          .otherwise(concat(lit("s"), ((col("v") - 1) / 2).cast("long").cast("string")))
+          .as("node"),
+        col("lbl").as("community"))
+    }, Some(
+      """WITH co AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT a AS src, b AS dst FROM co
+        |          UNION ALL SELECT b AS src, a AS dst FROM co),
+        |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM edges),
+        |m1 AS (
+        |  SELECT v, lbl FROM (
+        |    SELECT e.dst AS v, l.lbl, count(*) AS c,
+        |      row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, l.lbl) AS rn
+        |    FROM edges e JOIN l0 l ON e.src = l.v GROUP BY e.dst, l.lbl) t
+        |  WHERE rn = 1),
+        |l1 AS (
+        |  SELECT l.v, coalesce(m.lbl, l.lbl) AS lbl
+        |  FROM l0 l LEFT JOIN m1 m USING (v)),
+        |m2 AS (
+        |  SELECT v, lbl FROM (
+        |    SELECT e.dst AS v, l.lbl, count(*) AS c,
+        |      row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, l.lbl) AS rn
+        |    FROM edges e JOIN l1 l ON e.src = l.v GROUP BY e.dst, l.lbl) t
+        |  WHERE rn = 1),
+        |l2 AS (
+        |  SELECT l.v, coalesce(m.lbl, l.lbl) AS lbl
+        |  FROM l1 l LEFT JOIN m2 m USING (v)),
+        |m3 AS (
+        |  SELECT v, lbl FROM (
+        |    SELECT e.dst AS v, l.lbl, count(*) AS c,
+        |      row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, l.lbl) AS rn
+        |    FROM edges e JOIN l2 l ON e.src = l.v GROUP BY e.dst, l.lbl) t
+        |  WHERE rn = 1),
+        |l3 AS (
+        |  SELECT l.v, coalesce(m.lbl, l.lbl) AS lbl
+        |  FROM l2 l LEFT JOIN m3 m USING (v))
+        |SELECT CASE WHEN v % 2 = 0 THEN 'c' || CAST(v // 2 AS VARCHAR)
+        |            ELSE 's' || CAST((v - 1) // 2 AS VARCHAR) END AS node,
+        |  lbl AS community
+        |FROM l3""".stripMargin)),
+
     // ---- k-center diversity selection ------------------------------------
     // Greedy farthest-point selection (the diversity-sampling / coreset
     // seed shape): start from vector 0, then k−1 rounds of "pick the

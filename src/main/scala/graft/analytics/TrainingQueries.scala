@@ -319,6 +319,76 @@ object TrainingQueries {
          |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.8""".stripMargin)),
 
+    // ---- asymmetric containment pairs (excerpt / quote detection) --------
+    // The directed twin of the Jaccard join: C(A→B) = |sh(A)∩sh(B)| /
+    // |sh(A)| catches a document CONTAINED in a much larger one — the
+    // excerpt/quote dup class where Jaccard collapses (J ≈ |A|/|B|).
+    // Planted signal: every doc_id % 37 == 0 with ≥ 10 tokens gains an
+    // excerpt twin (+5e6 id) carrying its first 3n/5 tokens, whose
+    // token-prefix shingles are a subset of the original's → containment
+    // 1.0. Candidates are lossless prefix-filtered ON THE CONTAINED SIDE
+    // only (if C ≥ t, one of A's first |A| − ⌈t|A|⌉ + 1 shingles in the
+    // global order must hit B — the containing side joins through its
+    // FULL shingle postings, since no |B|-based prefix bound exists for
+    // containment), blocked by (lang, source). Integer-exact: ⌈0.9n⌉ =
+    // (9n+9) div 10; the score is an int/int IEEE division. 100 TB: the
+    // posting-list join shuffles (shingle, doc_id) only; heavy-shingle
+    // skew is the documented lever (df-ascending global order shortens
+    // prefixes exactly where lists are long, plus AQE skew-join).
+    CatalogQuery("ddp_containment_pairs", (s, d) => {
+      val base = docsPlus(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val exc = base
+        .filter(col("doc_id") % 37 === 0 && size(split(col("text"), " ")) >= 10)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("lang"), col("source"),
+          expr("""array_join(slice(split(text, ' '), 1,
+            | CAST((3 * size(split(text, ' '))) div 5 AS INT)), ' ')""".stripMargin)
+            .as("text"))
+      val all = base.unionByName(exc)
+      val sh = all
+        .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr(s"array_sort(array_distinct(${Similarity.shinglesFromToks("toks")}))").as("sh"))
+        .filter(size(col("sh")) > 0)
+      val prefixes = sh.select(col("doc_id"), col("lang"), col("source"),
+        explode(expr(
+          "slice(sh, 1, size(sh) - CAST((9 * size(sh) + 9) div 10 AS INT) + 1)")).as("tok"))
+      val full = sh.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
+        explode(col("sh")).as("tok"))
+      val cand = prefixes.join(full, Seq("lang", "source", "tok"))
+        .filter(col("doc_id") =!= col("doc_b"))
+        .select(col("doc_id").as("contained"), col("doc_b").as("container"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("contained"), col("sh").as("sha")), "contained")
+        .join(sh.select(col("doc_id").as("container"), col("sh").as("shb")), "container")
+        .select(col("contained"), col("container"),
+          (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(col("sha"))).as("containment"))
+        .filter(col("containment") >= 0.9)
+    }, Some(
+      s"""WITH dp AS ($duckDocsPlus),
+         |exc AS (
+         |  SELECT doc_id + 5000000 AS doc_id, lang, source,
+         |    array_to_string(
+         |      string_split(text, ' ')[1:(3 * len(string_split(text, ' '))) // 5],
+         |      ' ') AS text
+         |  FROM dp WHERE doc_id % 37 = 0 AND len(string_split(text, ' ')) >= 10),
+         |alldocs AS (
+         |  SELECT doc_id, lang, source, text FROM dp
+         |  UNION ALL SELECT doc_id, lang, source, text FROM exc),
+         |sh AS (
+         |  SELECT doc_id, lang, source,
+         |    list_distinct(${Similarity.shinglesDuck("text")}) AS sh
+         |  FROM alldocs),
+         |shf AS (SELECT * FROM sh WHERE len(sh) > 0)
+         |SELECT contained, container, containment FROM (
+         |  SELECT a.doc_id AS contained, b.doc_id AS container,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
+         |  FROM shf a JOIN shf b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id) t
+         |WHERE containment >= 0.9""".stripMargin)),
+
     // ---- SimHash dup groups ---------------------------------------------
     CatalogQuery("ddp_simhash_groups", (s, d) =>
       docsPlus(s, d)

@@ -166,7 +166,16 @@ object ScaleStress {
       "qa_ngram_diversity",
       // r10: streaming BM25 serving — per-batch maintenance (changed
       // docs' tokens + touched segments) + term-keyed point reads
-      "idx_stream_serve_bm25")
+      "idx_stream_serve_bm25",
+      // r10: maintained join view — per-batch cost = batch + changed
+      // customers' orders via the maintained secondary index
+      "cdc_ivm_maintained_join",
+      // r10: containment pairs — contained-side prefix filter against
+      // full shingle postings (candidate-join shaped, like jaccard)
+      "ddp_containment_pairs",
+      // r10: label-propagation communities — 3 rounds of join + grouped
+      // count + PARTITIONED rank (the per-round PageRank discipline)
+      "gph_label_propagation_communities")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

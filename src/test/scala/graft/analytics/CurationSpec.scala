@@ -223,6 +223,72 @@ class CurationSpec extends AnyFunSuite {
     assert(top > got.size / 2)
   }
 
+  test("gph_label_propagation_communities matches 3-round synchronous majority propagation") {
+    import spark.implicits._
+    val co = graft.core.Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .join(graft.core.Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey"),
+        org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey"))
+      .select(org.apache.spark.sql.functions.expr("o_custkey * 2").as("a"),
+        org.apache.spark.sql.functions.expr("l_suppkey * 2 + 1").as("b"))
+      .distinct().as[(Long, Long)].collect()
+    val adj = (co ++ co.map(_.swap)).groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).toSeq }
+    var lbl = adj.keys.map(v => v -> v).toMap
+    (1 to 3).foreach { _ =>
+      val prev = lbl
+      lbl = prev.map { case (v, l) =>
+        // most-frequent neighbor label, ties broken by the SMALLER label —
+        // the same total order the entry and its oracle rank by
+        val counts = adj(v).map(prev).groupBy(identity)
+          .map { case (k, g) => (k, g.size) }
+        v -> counts.toSeq.sortBy { case (k, c) => (-c, k) }.head._1
+      }
+    }
+    val expected = lbl.map { case (v, l) =>
+      (if (v % 2 == 0) s"c${v / 2}" else s"s${(v - 1) / 2}") -> l }
+    val got = Catalog.queries("gph_label_propagation_communities")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(got == expected)
+    // majority propagation finds COMMUNITY structure: more than one label
+    // survives (where min-label would drain toward one component min)
+    assert(got.values.toSet.size > 1)
+  }
+
+  test("ddp_containment_pairs: planted excerpts score 1.0; scores equal the set ratio") {
+    import spark.implicits._
+    val got = Catalog.queries("ddp_containment_pairs")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got.nonEmpty)
+    // re-derive the shingle sets incl. the planted excerpts, quadratic
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "lang", "source", "text")
+      .as[(Long, String, String, String)].collect()
+    val plus = docs ++ docs.filter(_._1 % 10 == 0).map(d => d.copy(_1 = d._1 + 1000000L))
+    val withExc = plus ++ plus.collect {
+      case (id, lang, src, text) if id % 37 == 0 && text.split(" ", -1).length >= 10 =>
+        val toks = text.split(" ", -1)
+        (id + 5000000L, lang, src, toks.take(3 * toks.length / 5).mkString(" "))
+    }
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      (0 until math.max(0, toks.length - 2))
+        .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+    }
+    val sh = withExc.map(d => (d._1, d._2, d._3, shingles(d._4))).filter(_._4.nonEmpty)
+    val exp = (for {
+      a <- sh; b <- sh
+      if a._1 != b._1 && a._2 == b._2 && a._3 == b._3
+      c = (a._4 & b._4).size.toDouble / a._4.size
+      if c >= 0.9
+    } yield (a._1, b._1) -> c).toMap
+    assert(got == exp, "containment pairs must equal the quadratic recompute")
+    // the planted excerpt twins are found with containment exactly 1.0
+    val planted = got.filter { case ((a, b), _) => a >= 5000000L && a - 5000000L == b }
+    assert(planted.nonEmpty && planted.values.forall(_ == 1.0),
+      "every planted excerpt must be contained in its source at 1.0")
+  }
+
   test("smp_kcenter_diversity matches a driver-side greedy farthest-point re-derivation") {
     import spark.implicits._
     val vecs = graft.core.Tables.embeddings(spark, sf)
