@@ -1265,7 +1265,99 @@ object ScaleOpsQueries {
         |  SELECT qb, query_id, vec_id AS neighbor_id, dist2 AS dist,
         |    row_number() OVER (PARTITION BY qb, query_id ORDER BY dist2, vec_id) AS rank
         |  FROM scored) t
-        |WHERE rank <= 3""".stripMargin))
+        |WHERE rank <= 3""".stripMargin)),
+
+    // ---- IVF cell splitting (index rebalance maintenance) ---------------
+    // The operational form of the C ∝ √N lever the probe entries
+    // document: as a cell's population outgrows its capacity, probe cost
+    // inside it grows linearly, so production IVF SPLITS overflowing
+    // cells instead of retraining the whole quantizer. Deterministic
+    // one-round split: cells above the mean population (cap = N div C)
+    // split by one 2-means step — seed0 = the member with the SMALLEST
+    // vec_id, seed1 = the member farthest from seed0 (ties to the
+    // smaller id), members reassign to the nearer seed (ties to seed0);
+    // children get 1000 + 2*cell and 1001 + 2*cell (disjoint from the
+    // 0..15 parent id space), under-cap cells keep their id. Every distance is on the ×64 integer lattice and every
+    // tie-break is a total order, so the oracle replays the split
+    // bit-identically. 100 TB: per-split cost = the overflowing cell's
+    // members (2 scans + a partitioned argmax), cells split
+    // independently in parallel, and the declared cap bounds the
+    // per-task working set — the index never needs a global rebuild.
+    CatalogQuery("ann_ivf_cell_split", (s, d) => {
+      val assigned = annAssignAgainstBase(s, d,
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      val dist = (a: String, b: String) => expr(
+        s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+      // cap = mean cell population, as a provable 1-row aggregate
+      val capOne = assigned.agg((count(lit(1)) / 16).cast("long").as("cap"))
+      val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      val over = counts.crossJoin(broadcast(capOne))
+        .filter(col("n") > col("cap")).select(col("cell"))
+      val s0 = assigned.join(over, Seq("cell"))
+        .groupBy(col("cell")).agg(min(col("vec_id")).as("s0id"))
+      val q0 = s0.join(assigned.select(col("vec_id").as("s0id"), col("q").as("q0")),
+        Seq("s0id")).select(col("cell"), col("q0"))
+      val wFar = Window.partitionBy(col("cell")).orderBy(col("d0").desc, col("vec_id").asc)
+      val q1 = assigned.join(q0, Seq("cell"))
+        .withColumn("d0", dist("q", "q0"))
+        .withColumn("rn", row_number().over(wFar)).filter(col("rn") === 1)
+        .select(col("cell"), col("q").as("q1"))
+      val resplit = assigned.join(q0, Seq("cell")).join(q1, Seq("cell"))
+        .withColumn("d0", dist("q", "q0"))
+        .withColumn("d1", dist("q", "q1"))
+        .select(col("vec_id"),
+          when(col("d1") < col("d0"), col("cell") * 2 + 1001)
+            .otherwise(col("cell") * 2 + 1000).as("new_cell"))
+      val keep = assigned.join(over, Seq("cell"), "left_anti")
+        .select(col("vec_id"), col("cell").as("new_cell"))
+      resplit.unionByName(keep)
+    }, Some(
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS cell, q AS cv FROM q WHERE vec_id < 16),
+        |ad AS (
+        |  SELECT v.vec_id, v.q, s.cell,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      k -> (v.q[k] - s.cv[k]) * (v.q[k] - s.cv[k]))) AS BIGINT) AS dist
+        |  FROM q v CROSS JOIN seeds s),
+        |asg AS (
+        |  SELECT vec_id, q, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM ad) t WHERE rn = 1),
+        |cap AS (SELECT count(*) // 16 AS cap FROM asg),
+        |over AS (
+        |  SELECT cell FROM asg GROUP BY cell
+        |  HAVING count(*) > (SELECT cap FROM cap)),
+        |s0 AS (
+        |  SELECT a.cell, min(a.vec_id) AS s0id
+        |  FROM asg a JOIN over USING (cell) GROUP BY 1),
+        |q0 AS (
+        |  SELECT s0.cell, a.q AS q0 FROM s0 JOIN asg a ON a.vec_id = s0.s0id),
+        |far AS (
+        |  SELECT a.cell, a.vec_id, a.q,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      k -> (a.q[k] - q0.q0[k]) * (a.q[k] - q0.q0[k]))) AS BIGINT) AS d0
+        |  FROM asg a JOIN q0 USING (cell)),
+        |q1 AS (
+        |  SELECT cell, q AS q1 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cell ORDER BY d0 DESC, vec_id) AS rn
+        |    FROM far) t WHERE rn = 1),
+        |resplit AS (
+        |  SELECT a.vec_id,
+        |    CASE WHEN
+        |      CAST(list_sum(list_transform(range(1, 65),
+        |        k -> (a.q[k] - q1.q1[k]) * (a.q[k] - q1.q1[k]))) AS BIGINT) <
+        |      CAST(list_sum(list_transform(range(1, 65),
+        |        k -> (a.q[k] - q0.q0[k]) * (a.q[k] - q0.q0[k]))) AS BIGINT)
+        |    THEN a.cell * 2 + 1001 ELSE a.cell * 2 + 1000 END AS new_cell
+        |  FROM asg a JOIN q0 USING (cell) JOIN q1 USING (cell)),
+        |keep AS (
+        |  SELECT vec_id, cell AS new_cell FROM asg
+        |  WHERE cell NOT IN (SELECT cell FROM over))
+        |SELECT vec_id, new_cell FROM resplit
+        |UNION ALL SELECT vec_id, new_cell FROM keep""".stripMargin))
   )
 
   /** Deterministic CDC change stream over embeddings, maintained into a

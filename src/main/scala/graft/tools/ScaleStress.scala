@@ -175,7 +175,10 @@ object ScaleStress {
       "ddp_containment_pairs",
       // r10: label-propagation communities — 3 rounds of join + grouped
       // count + PARTITIONED rank (the per-round PageRank discipline)
-      "gph_label_propagation_communities")
+      "gph_label_propagation_communities",
+      // r10: IVF cell split — per-split cost = the overflowing cell's
+      // members (2 scans + a partitioned argmax); cells split in parallel
+      "ann_ivf_cell_split")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

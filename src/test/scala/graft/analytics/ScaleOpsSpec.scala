@@ -591,4 +591,46 @@ class ScaleOpsSpec extends SparkSpec {
         (1 to 3).map(r => got.get((3L, qid, r.toLong))) },
       "index evolution must change some query's top-3 across batches")
   }
+
+  test("IVF cell split equals the driver-side replay and rebalances overflow") {
+    val sf = sf0001
+    val got = Catalog.queries("ann_ivf_cell_split")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector)
+    def q64(e: Vector[Float]): Vector[Long] =
+      e.map(x => math.floor(x.toDouble * 64.0 + 0.5).toLong)
+    def dist(a: Vector[Long], b: Vector[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seeds = base.filter(_._1 < 16).map { case (c, e) => (c, q64(e)) }
+    val asg = base.map { case (id, e) =>
+      val q = q64(e)
+      (id, q, seeds.map { case (c, cv) => (dist(q, cv), c) }.min._2)
+    }
+    val cap = asg.length / 16
+    val over = asg.groupBy(_._3).filter(_._2.length > cap).keySet
+    val exp = asg.groupBy(_._3).toSeq.flatMap { case (cell, members) =>
+      if (!over(cell)) members.map { case (id, _, _) => id -> cell }
+      else {
+        val q0 = members.minBy(_._1)._2
+        val q1 = members.map { case (id, q, _) => ((-dist(q, q0), id), q) }
+          .minBy(_._1)._2
+        members.map { case (id, q, _) =>
+          id -> (if (dist(q, q1) < dist(q, q0)) cell * 2 + 1001
+                 else cell * 2 + 1000)
+        }
+      }
+    }.toMap
+    assert(got == exp, "split assignment must equal the driver replay")
+    // the rebalance property: at least one cell actually split, BOTH of
+    // its children are non-empty (the 2-means step separated members,
+    // not renamed them), and child ids never collide with kept ids
+    assert(over.nonEmpty, "sf0.001 must have at least one overflowing cell")
+    val childCells = got.values.filter(_ >= 1000L).toSet
+    assert(over.exists(c => childCells(c * 2 + 1000) && childCells(c * 2 + 1001)),
+      "a split must populate both children")
+    assert(got.values.toSet.intersect((0L until 16L).toSet).forall(!over.contains(_)),
+      "kept ids come only from under-cap cells")
+  }
 }
