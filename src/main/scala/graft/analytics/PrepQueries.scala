@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.core.Tables
 import graft.functions.{GraftFunctions, Similarity, TarArchive}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -364,6 +364,84 @@ object PrepQueries {
         |  FROM based)
         |SELECT source, n_tokens,
         |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc_tokens
+        |FROM ranked""".stripMargin)),
+
+    // ---- temperature-scaled sampling weights -----------------------------
+    // The multilingual-sampling classic (mBERT/XLM-R style): sampling
+    // weight ∝ n_i^(1/T). T=4 here — the heavy low-resource-upsampling
+    // regime that a plain sqrt (mix_source_alpha_weights' α=0.5) can't
+    // express. All-integer determinism: the fourth root is two nested
+    // EXACT integer square roots (floor(sqrt(floor(sqrt(n·1e6))·1e6)) =
+    // a ×~31623-scaled n^(1/4); the double-sqrt candidate is adjusted
+    // ±1 against the exact integer square, so both engines agree
+    // bit-for-bit at any magnitude), then weights normalize to EXACTLY
+    // 1e6 ppm by the largest-remainder method. Q.overflowGuard pins the
+    // n·1e6 product to the BIGINT-exact regime (9e12 tokens per source
+    // — beyond it, widen to DECIMAL(38,0)). 100 TB: one hash aggregate
+    // to the per-source table; every window runs over the config-
+    // bounded source list (the mix_* allowlist class).
+    CatalogQuery("mix_temperature_weights", (s, d) => {
+      def isqrt(x: Column): Column = {
+        val c0 = floor(sqrt(x.cast("double"))).cast("long")
+        val c1 = c0 - when(c0 * c0 > x, 1L).otherwise(0L)
+        c1 + when((c1 + lit(1L)) * (c1 + lit(1L)) <= x, 1L).otherwise(0L)
+      }
+      val bySrc = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("n_tokens", col("n_tokens") +
+          Q.overflowGuard(col("n_tokens"), 9000000000000L, "mix_temperature_weights"))
+      val w = Window.partitionBy()
+      val based = bySrc
+        .withColumn("r2", isqrt(col("n_tokens") * lit(1000000L)))
+        .withColumn("pw", isqrt(col("r2") * lit(1000000L)))
+        .withColumn("den", sum(col("pw")).over(w))
+        .withColumn("base", expr("1000000 * pw div den"))
+        .withColumn("rem", expr("(1000000 * pw) % den"))
+      based
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+        .withColumn("leftover", lit(1000000L) - sum(col("base")).over(w))
+        .select(col("source"), col("n_tokens"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("weight_ppm"))
+    }, Some(
+      """WITH bysrc AS (
+        |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |r2c AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens * 1000000 AS DOUBLE))) AS BIGINT) AS c0
+        |  FROM bysrc),
+        |r2a AS (
+        |  SELECT *, c0 - CASE WHEN c0 * c0 > n_tokens * 1000000 THEN 1 ELSE 0 END AS c1
+        |  FROM r2c),
+        |r2 AS (
+        |  SELECT source, n_tokens,
+        |    c1 + CASE WHEN (c1 + 1) * (c1 + 1) <= n_tokens * 1000000 THEN 1 ELSE 0 END AS r2
+        |  FROM r2a),
+        |pwc AS (
+        |  SELECT source, n_tokens, r2,
+        |    CAST(floor(sqrt(CAST(r2 * 1000000 AS DOUBLE))) AS BIGINT) AS c0
+        |  FROM r2),
+        |pwa AS (
+        |  SELECT *, c0 - CASE WHEN c0 * c0 > r2 * 1000000 THEN 1 ELSE 0 END AS c1
+        |  FROM pwc),
+        |pwt AS (
+        |  SELECT source, n_tokens,
+        |    c1 + CASE WHEN (c1 + 1) * (c1 + 1) <= r2 * 1000000 THEN 1 ELSE 0 END AS pw
+        |  FROM pwa),
+        |tot AS (SELECT *, (sum(pw) OVER ())::BIGINT AS den FROM pwt),
+        |based AS (
+        |  SELECT source, n_tokens, pw, den,
+        |    (1000000 * pw) // den AS base, (1000000 * pw) % den AS rem
+        |  FROM tot),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source)::BIGINT AS rk,
+        |    (1000000 - sum(base) OVER ())::BIGINT AS leftover
+        |  FROM based)
+        |SELECT source, n_tokens,
+        |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS weight_ppm
         |FROM ranked""".stripMargin)),
 
     // ---- budget-enforcing mixture selection ------------------------------

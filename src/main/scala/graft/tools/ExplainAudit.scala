@@ -155,7 +155,7 @@ object ExplainAudit {
     // per-source aggregate — source count is config-bounded (a mixture
     // has a handful of named sources), never data-bounded
     "mix_source_alpha_weights", "mix_token_budget_apportion",
-    "mix_budget_enforce_selection",
+    "mix_budget_enforce_selection", "mix_temperature_weights",
     // per-SHARD largest-remainder apportionment: window input is the
     // 8-row shard aggregate
     "mix_dsir_resample_budget",

@@ -178,7 +178,10 @@ object ScaleStress {
       "gph_label_propagation_communities",
       // r10: IVF cell split — per-split cost = the overflowing cell's
       // members (2 scans + a partitioned argmax); cells split in parallel
-      "ann_ivf_cell_split")
+      "ann_ivf_cell_split",
+      // r10: temperature weights — one hash agg to the per-source table,
+      // all windows over the config-bounded source list
+      "mix_temperature_weights")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

@@ -181,4 +181,42 @@ class PrepQueriesSpec extends SparkSpec {
         assert(spent + ordered(nSel.toInt)._3 > al, s"$src not maximal")
     }
   }
+
+  test("temperature weights: exact nested-isqrt replay, ppm-exact, flattening") {
+    val got = Catalog.queries("mix_temperature_weights")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("source", "CAST(size(split(text, ' ')) AS LONG) AS n_tok")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def isqrt(x: Long): Long = {
+      // independent exact integer sqrt (Newton), no double involved
+      var g = math.max(1L, math.sqrt(x.toDouble).toLong)
+      while (g * g > x) g = (g + x / g) / 2
+      while ((g + 1) * (g + 1) <= x) g += 1
+      g
+    }
+    val bySrc = docs.groupBy(_._1).map { case (s0, g) => s0 -> g.map(_._2).sum }
+    val pw = bySrc.map { case (s0, n) => s0 -> isqrt(isqrt(n * 1000000L) * 1000000L) }
+    val den = pw.values.sum
+    val base = pw.map { case (s0, p) => s0 -> 1000000L * p / den }
+    val rem = pw.map { case (s0, p) => s0 -> 1000000L * p % den }
+    val leftover = 1000000L - base.values.sum
+    val ranked = rem.toSeq.sortBy { case (s0, r) => (-r, s0) }.map(_._1).zipWithIndex
+    val exp = ranked.map { case (s0, i) =>
+      s0 -> ((bySrc(s0), base(s0) + (if (i + 1 <= leftover) 1L else 0L))) }.toMap
+    assert(got == exp, "weights must equal the exact-isqrt replay")
+    // normalization is EXACT: ppm weights sum to 1e6
+    assert(got.values.map(_._2).sum == 1000000L, "ppm must sum exactly to 1e6")
+    // the temperature property: T=4 flattens the mixture — the smallest
+    // source's weight EXCEEDS its proportional token share, the largest
+    // source's falls below it (this is why temperature sampling exists)
+    val totTok = bySrc.values.sum
+    val smallest = bySrc.minBy(_._2)._1
+    val largest = bySrc.maxBy(_._2)._1
+    assert(bySrc(smallest) < bySrc(largest), "need distinct source sizes")
+    assert(got(smallest)._2 > bySrc(smallest) * 1000000L / totTok,
+      "low-resource source must be upsampled past proportional")
+    assert(got(largest)._2 < bySrc(largest) * 1000000L / totTok,
+      "high-resource source must be downsampled below proportional")
+  }
 }
