@@ -1009,7 +1009,141 @@ object IndexQueries {
         |  SELECT qb, doc_id, score,
         |    row_number() OVER (PARTITION BY qb ORDER BY score DESC, doc_id) AS rank
         |  FROM per_doc) t
-        |WHERE rank <= 10""".stripMargin))
+        |WHERE rank <= 10""".stripMargin)),
+
+    // ---- segment compaction over the maintained index --------------------
+    // The Lucene TieredMergePolicy discipline made relational: after the
+    // 4 maintenance batches, segments whose live-doc count fell under
+    // HALF the 1000-doc segment capacity (revision-churned stragglers +
+    // the per-batch insert segments) are merge-eligible; the merge plan
+    // ranks them by (live_docs, seg) and packs up to 8 per tier
+    // (maxMergeAtOnce), emitting consolidated segments in the 1e6+ id
+    // space. ONLY merge-eligible segments' postings rewrite — full
+    // segments are untouched (verified in the spec) — and tiers merge
+    // independently in parallel. The plan window runs over segment
+    // METADATA (corpus/1000 rows — the same driver-side scale Lucene's
+    // merge policy operates at; a shard-level pre-pack bounds it further
+    // if segment metadata ever outgrows one task). The oracle rebuilds
+    // the final doc state from scratch and replays the same policy.
+    CatalogQuery("idx_cdc_segment_compaction", (s, d) => {
+      val (post, _) = maintainedPostingsState(s, d)
+      val entries = post
+        .select(col("term"), col("seg"), explode(col("plist")).as("p"))
+        .select(col("term"), col("seg"),
+          col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+      val segStats = entries.groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("live_docs"))
+      val small = segStats.filter(col("live_docs") < 500)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("live_docs"), col("seg"))))
+        .select(col("seg"),
+          expr("CAST(1000000 + ((rn - 1) div 8) AS BIGINT)").as("new_seg"))
+      entries.join(broadcast(small), Seq("seg"), "left")
+        .select(col("term"), coalesce(col("new_seg"), col("seg")).as("seg"),
+          col("doc_id"), col("tf"))
+        .groupBy(col("term"), col("seg"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("""array_join(transform(sort_array(collect_list(struct(doc_id, tf))),
+            |  p -> concat(CAST(p.doc_id AS STRING), ':', CAST(p.tf AS STRING))), ',')""".stripMargin)
+            .as("plist_str"))
+    }, Some(
+      """WITH b3 AS (SELECT unnest(range(1, 4)) AS b),
+        |base AS (SELECT doc_id, text, 0::BIGINT AS seq, 0 AS del FROM documents),
+        |ups AS (
+        |  SELECT doc_id, text || ' rev' || b::VARCHAR, b::BIGINT, 0
+        |  FROM documents CROSS JOIN b3 WHERE doc_id % 10 = b),
+        |ins AS (
+        |  SELECT doc_id + 1000000 * b, text || ' ins' || b::VARCHAR, b::BIGINT, 0
+        |  FROM documents CROSS JOIN b3 WHERE doc_id % 23 = b),
+        |dels AS (
+        |  SELECT doc_id, CAST(NULL AS VARCHAR), b::BIGINT, 1
+        |  FROM documents CROSS JOIN b3 WHERE doc_id % 17 = b AND doc_id % 10 <> b),
+        |log AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM ups
+        |  UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM dels),
+        |fin AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |    FROM log) t
+        |  WHERE rn = 1 AND del = 0),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM fin),
+        |tf AS (
+        |  SELECT term, doc_id, count(*)::BIGINT AS tf,
+        |    (doc_id // 1000)::BIGINT AS seg
+        |  FROM toks GROUP BY 1, 2),
+        |segstats AS (
+        |  SELECT seg, count(DISTINCT doc_id)::BIGINT AS live_docs
+        |  FROM tf GROUP BY 1),
+        |small AS (
+        |  SELECT seg,
+        |    (1000000 + ((row_number() OVER (ORDER BY live_docs, seg) - 1) // 8))::BIGINT
+        |      AS new_seg
+        |  FROM segstats WHERE live_docs < 500),
+        |mapped AS (
+        |  SELECT t.term, coalesce(sm.new_seg, t.seg)::BIGINT AS seg,
+        |    t.doc_id, t.tf
+        |  FROM tf t LEFT JOIN small sm ON sm.seg = t.seg)
+        |SELECT term, seg, count(*)::BIGINT AS n_docs,
+        |  string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, ',' ORDER BY doc_id)
+        |    AS plist_str
+        |FROM mapped GROUP BY 1, 2""".stripMargin)),
+
+    // ---- phrase search over positional postings --------------------------
+    // The inverted-index depth step term-keyed postings can't serve:
+    // PHRASE queries need token positions. The entry finds the corpus's
+    // most frequent bigram (a 1-row TakeOrdered plan — the "query"), then
+    // evaluates it the way a positional index does: read ONLY the two
+    // query terms' positional postings (term-filtered scan against the
+    // broadcast 1-row query — at 100 TB this is the postings point-read,
+    // never a corpus scan), intersect by doc with the adjacency
+    // constraint pos2 = pos1 + 1, count matches per doc, top-100 by
+    // (n_matches, doc_id) via TakeOrdered. Bigram derivation is a pure
+    // map stage (slice-zip, no self-join); every tie-break is a total
+    // order on both engines.
+    CatalogQuery("idx_phrase_search_positional", (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val pos = toks.select(col("doc_id"),
+        posexplode(col("tk")).as(Seq("pos", "term")))
+      val bg = toks.select(explode(expr(
+          """zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+            |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("z"))
+        .select(col("z.w1").as("w1"), col("z.w2").as("w2"))
+      val top1 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2")).limit(1)
+        .select(col("w1"), col("w2"))
+      val p1 = pos.join(broadcast(top1), col("term") === col("w1"))
+        .select(col("doc_id"), col("pos"))
+      val p2 = pos.join(broadcast(top1), col("term") === col("w2"))
+        .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
+      val m = p1.join(p2,
+          col("doc_id2") === col("doc_id") && col("pos2") === col("pos") + 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+      m.crossJoin(broadcast(top1))
+        .select(col("w1"), col("w2"), col("doc_id"), col("n_matches"))
+        .orderBy(col("n_matches").desc, col("doc_id")).limit(100)
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(tk) AS term,
+        |    unnest(range(0, len(tk))) AS pos
+        |  FROM toks),
+        |bg AS (
+        |  SELECT unnest(tk[1:len(tk) - 1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+        |  FROM toks),
+        |top1 AS (
+        |  SELECT w1, w2 FROM bg GROUP BY 1, 2
+        |  ORDER BY count(*) DESC, w1, w2 LIMIT 1),
+        |p1 AS (SELECT p.doc_id, p.pos FROM pos p JOIN top1 t ON p.term = t.w1),
+        |p2 AS (SELECT p.doc_id, p.pos FROM pos p JOIN top1 t ON p.term = t.w2),
+        |m AS (
+        |  SELECT p1.doc_id, count(*)::BIGINT AS n_matches
+        |  FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+        |  GROUP BY 1)
+        |SELECT t.w1, t.w2, m.doc_id, m.n_matches
+        |FROM m CROSS JOIN top1 t
+        |ORDER BY n_matches DESC, doc_id LIMIT 100""".stripMargin))
   )
 
   /** Document change batch `b` shared by the maintained-index family:

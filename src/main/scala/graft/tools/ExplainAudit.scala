@@ -168,6 +168,10 @@ object ExplainAudit {
     // (corpus/64) — documented at the site; a third level bounds it
     // further if shards outgrow one task
     "smp_weighted_systematic",
+    // merge-plan rank: the global window runs over segment METADATA
+    // (corpus/1000 rows — the scale Lucene's merge policy plans at on
+    // one node); a shard-level pre-pack bounds it further if needed
+    "idx_cdc_segment_compaction",
     // documented bound: the curriculum ramp is a one-off planning query
     // over the per-doc token counts; the site carries the 100 TB
     // alternative in comments (PrepQueries)

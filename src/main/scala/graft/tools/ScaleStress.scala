@@ -181,7 +181,13 @@ object ScaleStress {
       "ann_ivf_cell_split",
       // r10: temperature weights — one hash agg to the per-source table,
       // all windows over the config-bounded source list
-      "mix_temperature_weights")
+      "mix_temperature_weights",
+      // r10: segment compaction — merge plan over segment metadata, only
+      // merge-eligible segments' postings rewrite, tiers in parallel
+      "idx_cdc_segment_compaction",
+      // r10: phrase search — term-filtered positional postings reads +
+      // a doc-keyed adjacency intersection (never a corpus rescan)
+      "idx_phrase_search_positional")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

@@ -469,4 +469,76 @@ class IndexQueriesSpec extends SparkSpec {
       case (k, c, _, _) if !ost.contains(k) && cst.contains(c) => k }
     delOrd.foreach(ok => assert(!got.contains(ok)))
   }
+
+  /** Final LWW doc state of the 4-batch maintained-index change stream,
+    * replayed driver-side (the docChangeBatch rules).
+    */
+  private def finalDocs: Map[Long, String] = {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val st = scala.collection.mutable.Map.empty[Long, String]
+    base.foreach { case (id, t) => st(id) = t }
+    (1 to 3).foreach { b => base.foreach { case (id, t) =>
+      if (id % 10 == b) st(id) = s"$t rev$b"
+      else if (id % 17 == b) st.remove(id)
+      if (id % 23 == b) st(id + 1000000L * b) = s"$t ins$b"
+    } }
+    st.toMap
+  }
+
+  test("segment compaction: equals the policy replay, preserves postings, packs <=8") {
+    val got = Catalog.queries("idx_cdc_segment_compaction")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    // replay: tf per (term, doc), segment stats, merge plan, regroup
+    val tf = finalDocs.toSeq.flatMap { case (id, t) =>
+      t.split(" ").groupBy(identity).map { case (w, g) => (w, id, g.length.toLong) } }
+    val segOf = (id: Long) => id / 1000L
+    val segLive = tf.map(e => (segOf(e._2), e._2)).distinct
+      .groupBy(_._1).map { case (s0, g) => s0 -> g.size.toLong }
+    val small = segLive.filter(_._2 < 500).toSeq
+      .sortBy { case (s0, n) => (n, s0) }.map(_._1).zipWithIndex
+      .map { case (s0, i) => s0 -> (1000000L + i / 8) }.toMap
+    val exp = tf.groupBy { case (w, id, _) =>
+      (w, small.getOrElse(segOf(id), segOf(id))) }
+      .map { case ((w, s0), g) =>
+        val sorted = g.sortBy(_._2)
+        (w, s0) -> ((g.size.toLong,
+          sorted.map(e => s"${e._2}:${e._3}").mkString(",")))
+      }
+    assert(got == exp, "compacted index must equal the policy replay")
+    // postings preserved: the (term, doc, tf) multiset survives compaction
+    val gotPostings = got.toSeq.flatMap { case ((w, _), (_, pl)) =>
+      pl.split(",").map { e =>
+        val Array(d0, t0) = e.split(":"); (w, d0.toLong, t0.toLong) } }.sorted
+    assert(gotPostings == tf.sorted, "no posting may be lost or duplicated")
+    // the merge plan packs at most 8 source segments per tier
+    small.groupBy(_._2).foreach { case (tier, members) =>
+      assert(members.size <= 8, s"tier $tier exceeds maxMergeAtOnce") }
+    // compaction reduced the segment count (small segments existed)
+    assert(small.nonEmpty, "sf0.001 must have merge-eligible segments")
+    assert(got.keySet.map(_._2).size < segLive.size + small.values.toSet.size,
+      "merged tiers must replace their member segments")
+  }
+
+  test("phrase search: equals a driver-side positional-postings evaluation") {
+    val got = Catalog.queries("idx_phrase_search_positional")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toVector)
+    val bigrams = docs.flatMap { case (_, tk) => tk.zip(tk.tail) }
+    val (w1, w2) = bigrams.groupBy(identity)
+      .map { case (bg, g) => (bg, g.length) }.toSeq
+      .minBy { case ((a, b), n) => (-n, a, b) }._1
+    val exp = docs.flatMap { case (id, tk) =>
+      val n = tk.zip(tk.tail).count { case (a, b) => a == w1 && b == w2 }
+      if (n > 0) Some((id, n.toLong)) else None
+    }.sortBy { case (id, n) => (-n, id) }.take(100)
+      .map { case (id, n) => (w1, w2, id, n) }
+    assert(got.toSeq == exp.toSeq, "phrase matches must equal the positional replay")
+    assert(got.nonEmpty && got.map(_._3).distinct.size > 1,
+      "the top bigram must match in more than one document")
+  }
 }
