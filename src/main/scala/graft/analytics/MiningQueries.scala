@@ -3,7 +3,7 @@ package graft.analytics
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.functions.Similarity
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,6 +60,30 @@ object MiningQueries {
       |    path || '>' || nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '3'), 1, 6))::BIGINT % deg AS INT)]::VARCHAR AS path,
       |    nbrs[1 + CAST(('0x' || substr(md5(walk_id::VARCHAR || '|' || '3'), 1, 6))::BIGINT % deg AS INT)] AS cur
       |  FROM w2 JOIN adj ON w2.cur = adj.n)""".stripMargin
+
+  /** Triangles of `context` (undirected, both edge directions) containing
+    * at least one `delta` edge (canonical u < v), each triangle emitted
+    * exactly ONCE: a triangle whose edge set holds k > 1 delta edges is
+    * attributed to its lexicographically smallest one via two anti-join
+    * exclusion legs over the triangle's other two edges. One row per
+    * triangle, columns (u, v, w) = delta edge + closing vertex. Shape:
+    * the wedge join is key-partitioned on u then (v, w) — Σ_{e∈Δ} deg(e)
+    * work; the exclusion legs join against the (small) delta set and
+    * broadcast at scale. */
+  private[analytics] def attributedClosures(delta: DataFrame, context: DataFrame): DataFrame = {
+    val cu = context.select(col("x").as("u"), col("y").as("w"))
+    val cv = context.select(col("x").as("v"), col("y").as("w"))
+    val tris = delta.select(col("u"), col("v"))
+      .join(cu, Seq("u")).join(cv, Seq("v", "w"))
+    val dd = delta.select(col("u").as("du"), col("v").as("dv"))
+    def smallerDeltaEdge(a: Column, b: Column): Column =
+      col("du") === a && col("dv") === b &&
+        (col("du") < col("u") || (col("du") === col("u") && col("dv") < col("v")))
+    tris
+      .join(dd, smallerDeltaEdge(least(col("u"), col("w")), greatest(col("u"), col("w"))), "left_anti")
+      .join(dd, smallerDeltaEdge(least(col("v"), col("w")), greatest(col("v"), col("w"))), "left_anti")
+      .select(col("u"), col("v"), col("w"))
+  }
 
   def all: Seq[CatalogQuery] = Seq(
 
@@ -162,6 +186,113 @@ object MiningQueries {
         |  (SELECT count(*)::BIGINT FROM wedges) AS n_wedges,
         |  (SELECT count(*)::BIGINT FROM tri) AS n_triangles""".stripMargin),
       bench = true),
+
+    // ---- per-vertex triangle counts maintained under edge CDC ------------
+    // The graph twin of cdc_ivm_maintained_aggs: an edge change stream
+    // (batch 0 = the co-purchase base graph; batches 1-3 remove current
+    // edges by a hash rule and insert genuinely-new edges from the
+    // 20-24-quantity band) maintains per-VERTEX triangle counts without
+    // ever recounting the graph. Exactness under batch semantics is the
+    // subtle part: a triangle destroyed by k removed edges (or created
+    // by k added edges) must count ONCE, so each delta triangle is
+    // attributed to its lexicographically SMALLEST removed/added edge
+    // (attributedClosures: common-neighbor join with lex-order exclusion
+    // legs — removals evaluated against the pre-batch graph, additions
+    // against the post-removal graph, the sequential composition).
+    // Per-batch cost = Σ_{e∈ΔE} (deg(u)+deg(v)) key-partitioned joins +
+    // count updates for triangle-incident vertices only; the initial
+    // build is the generic add-path with an empty context graph. The
+    // oracle replays the 3-batch set algebra in SQL and recounts the
+    // FINAL graph's triangles from scratch — convergence of maintained
+    // state to ground truth is hash-gated, not asserted. 100 TB: edge
+    // and count state live in bucketed sinks; no stage touches more
+    // than batch × degree rows.
+    CatalogQuery("gph_cdc_maintained_triangles", (s, d) => {
+      import s.implicits._
+      val work = Q.scratch("tricdc")
+      val edges = new graft.sinks.SnapshotSink(s, s"$work/edges", Seq("u", "v"))
+      val counts = new graft.sinks.SnapshotSink(s, s"$work/tric", Seq("vtx"))
+      def pairs(qlo: Int, qhi: Int): DataFrame = {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_quantity") >= qlo && col("l_quantity") < qhi)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      }
+      val cand = pairs(20, 25)
+      val h17 = (col("u") * 31 + col("v")) % 17
+      val h3 = (col("u") * 31 + col("v")) % 3
+      (0 to 3).foreach { b =>
+        val gOld =
+          if (edges.exists) edges.read().select(col("u"), col("v"))
+          else Seq.empty[(Long, Long)].toDF("u", "v")
+        val rem = if (b == 0) gOld.limit(0) else gOld.filter(h17 === b)
+        val gMid = if (b == 0) gOld else gOld.filter(h17 =!= b)
+        val add =
+          if (b == 0) pairs(25, 1000)
+          else cand.filter(h3 === b - 1).join(gMid, Seq("u", "v"), "left_anti")
+        val gNew = gMid.unionByName(add)
+        def undirected(g: DataFrame): DataFrame =
+          g.select(col("u").as("x"), col("v").as("y"))
+            .unionByName(g.select(col("v").as("x"), col("u").as("y")))
+        val destroyed = attributedClosures(rem, undirected(gOld))
+        val created = attributedClosures(add, undirected(gNew))
+        val dlt = created.select(explode(array(col("u"), col("v"), col("w")))
+            .as("vtx")).withColumn("dd", lit(1L))
+          .unionByName(destroyed.select(explode(array(col("u"), col("v"),
+            col("w"))).as("vtx")).withColumn("dd", lit(-1L)))
+          .groupBy(col("vtx")).agg(sum(col("dd")).as("dd"))
+          .filter(col("dd") =!= 0L)
+        val cur =
+          if (counts.exists) counts.read().select(col("vtx"), col("n_tri"))
+          else Seq.empty[(Long, Long)].toDF("vtx", "n_tri")
+        val upd = dlt.join(cur, Seq("vtx"), "left")
+          .withColumn("nn", coalesce(col("n_tri"), lit(0L)) + col("dd"))
+        val cbatch = upd
+          .select(col("vtx"),
+            when(col("nn") > 0L, col("nn")).as("n_tri"),
+            when(col("nn") > 0L, lit(graft.core.ChangeLog.Update))
+              .otherwise(lit(graft.core.ChangeLog.Delete)).as("op"),
+            lit(b.toLong).as("seq"))
+        val ebatch = add
+          .withColumn("op", lit(graft.core.ChangeLog.Insert))
+          .unionByName(rem.withColumn("op", lit(graft.core.ChangeLog.Delete)))
+          .withColumn("seq", lit(b.toLong))
+        counts.merge(cbatch)
+        edges.merge(ebatch)
+      }
+      counts.read().select(col("vtx"), col("n_tri"))
+    }, Some(
+      """WITH li25 AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_quantity >= 25),
+        |base AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li25 a JOIN li25 b ON a.ok = b.ok AND a.pk < b.pk),
+        |li20 AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_quantity >= 20 AND l_quantity < 25),
+        |cand AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li20 a JOIN li20 b ON a.ok = b.ok AND a.pk < b.pk),
+        |g1 AS (
+        |  SELECT u, v FROM base WHERE (u * 31 + v) % 17 <> 1
+        |  UNION SELECT u, v FROM cand WHERE (u * 31 + v) % 3 = 0),
+        |g2 AS (
+        |  SELECT u, v FROM g1 WHERE (u * 31 + v) % 17 <> 2
+        |  UNION SELECT u, v FROM cand WHERE (u * 31 + v) % 3 = 1),
+        |g3 AS (
+        |  SELECT u, v FROM g2 WHERE (u * 31 + v) % 17 <> 3
+        |  UNION SELECT u, v FROM cand WHERE (u * 31 + v) % 3 = 2),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM g3 e1 JOIN g3 e2 ON e2.u = e1.v
+        |  JOIN g3 e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |verts AS (
+        |  SELECT a AS vtx FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT vtx, count(*)::BIGINT AS n_tri FROM verts GROUP BY 1""".stripMargin)),
 
     // ---- context-window chunking with overlap ---------------------------
     // Long-document splitting for a fixed context window: 50-token

@@ -187,7 +187,10 @@ object ScaleStress {
       "idx_cdc_segment_compaction",
       // r10: phrase search — term-filtered positional postings reads +
       // a doc-keyed adjacency intersection (never a corpus rescan)
-      "idx_phrase_search_positional")
+      "idx_phrase_search_positional",
+      // r10: maintained per-vertex triangle counts — per-batch cost =
+      // Σ_{e∈ΔE} deg(e) wedge joins + touched-vertex count rewrites
+      "gph_cdc_maintained_triangles")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

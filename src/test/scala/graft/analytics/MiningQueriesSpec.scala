@@ -747,4 +747,56 @@ class MiningQueriesSpec extends SparkSpec {
         got((src, 2L))._3 <= got((src, 3L))._3, src)
     }
   }
+
+  test("attributedClosures: multi-delta-edge triangles counted exactly once") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: four triangles. Delta = {(1,2),(1,3),(2,3),(3,4)}:
+    //  {1,2,3} holds THREE delta edges -> attributed to (1,2) only
+    //  {1,3,4} holds (1,3),(3,4)       -> attributed to (1,3) only
+    //  {2,3,4} holds (2,3),(3,4)       -> attributed to (2,3) only
+    //  {1,2,4} holds (1,2)             -> attributed to (1,2)
+    val ctx0 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val ctx = (ctx0 ++ ctx0.map(_.swap)).toDF("x", "y")
+    val delta = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = MiningQueries.attributedClosures(delta, ctx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 4, got.toSeq.toString)
+    val byTri = got.map { case (u, v, w) => (Seq(u, v, w).sorted, (u, v)) }.toMap
+    assert(byTri(Seq(1L, 2L, 3L)) == ((1L, 2L)))
+    assert(byTri(Seq(1L, 3L, 4L)) == ((1L, 3L)))
+    assert(byTri(Seq(2L, 3L, 4L)) == ((2L, 3L)))
+    assert(byTri(Seq(1L, 2L, 4L)) == ((1L, 2L)))
+    // a delta set disjoint from any triangle edge yields nothing
+    val far = Seq((9L, 10L)).toDF("u", "v")
+    assert(MiningQueries.attributedClosures(far, ctx).isEmpty)
+  }
+
+  test("maintained per-vertex triangle counts converge to a final-graph recount") {
+    val got = q("gph_cdc_maintained_triangles").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay the batch set algebra driver-side, then recount from scratch
+    def pairs(qlo: Int, qhi: Int): Set[(Long, Long)] = {
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .filter(col("l_quantity") >= qlo && col("l_quantity") < qhi)
+        .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      li.groupBy(_._1).values.flatMap { grp =>
+        val ps = grp.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+      }.toSet
+    }
+    val cand = pairs(20, 25)
+    var g = pairs(25, 1000)
+    (1 to 3).foreach { b =>
+      g = g.filterNot { case (u, v) => (u * 31 + v) % 17 == b } ++
+        cand.filter { case (u, v) => (u * 31 + v) % 3 == b - 1 }
+    }
+    val adj = g.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val exp = g.toSeq
+      .flatMap { case (u, v) => adj(u).intersect(adj(v)).toSeq.flatMap(w => Seq(u, v, w)) }
+      .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong / 3 }
+      .filter(_._2 > 0L)
+    assert(got == exp, s"got ${got.size} vertices, expected ${exp.size}")
+  }
 }
