@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.core.Tables
+import graft.functions.{GraftFunctions, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -1357,7 +1358,104 @@ object ScaleOpsQueries {
         |  SELECT vec_id, cell AS new_cell FROM asg
         |  WHERE cell NOT IN (SELECT cell FROM over))
         |SELECT vec_id, new_cell FROM resplit
-        |UNION ALL SELECT vec_id, new_cell FROM keep""".stripMargin))
+        |UNION ALL SELECT vec_id, new_cell FROM keep""".stripMargin)),
+
+    // ---- NN-Descent k-NN graph construction ------------------------------
+    // The graph-based ANN family's batch form (NN-Descent, Dong et al.
+    // WWW'11 — the construction step EFANNA/NSG/HNSW-style indexes build
+    // on): start from a cheap LSH guess, then twice refine by the
+    // local-join principle "a neighbor of my neighbor is likely my
+    // neighbor" — candidates(u) = current N(u) ∪ two-hop over the
+    // UNDIRECTED current graph (forward ∪ reverse edges, the reverse
+    // half being NN-Descent's key trick), keep the k=8 closest by exact
+    // integer-lattice L2 with (dist, id) total-order tie-breaks. The
+    // init MUST span multiple independent bucketings: a single-table
+    // init partitions the graph by bucket and two-hop candidates can
+    // never escape their component (measured: recall frozen at 0.10
+    // across rounds with 1 table; climbing 0.10 → 0.21 → 0.36 with 2) —
+    // so init pairs collide in EITHER of 2 tables × 6-bit hyperplane
+    // buckets, the cross-table union being what mixes the graph. All
+    // arithmetic is BIGINT on the ×64 lattice, so both engines rank
+    // bit-identically. Shape at 100 TB: the init join meets only inside
+    // (table, bucket) partitions (production caps bucket width), each
+    // round is Σ_u deg(u)² ≈ N·(2k)² candidate pairs — id-only joins,
+    // vectors re-join AFTER the distinct — and the top-k window is
+    // partitioned by u. No stage is ever N²; rounds are a fixed, small
+    // constant (empirically 4-6 to convergence; 2 here keeps the oracle
+    // replay bounded). The spec pins monotone recall improvement over
+    // rounds against the brute-force truth.
+    CatalogQuery("ann_nn_descent_graph", (s, d) => {
+      val dist = (a: String, b: String) => expr(
+        s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+      val qt = Tables.embeddings(s, d).select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))").as("q"))
+      val bk = Tables.embeddings(s, d).select(col("vec_id"),
+          posexplode(GraftFunctions.lsh_buckets(col("embedding"), 2, 6)))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      val init = bk.as("a").join(bk.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("u"), col("b.vec_id").as("v")).distinct()
+      def topk(cand: DataFrame): DataFrame = {
+        val scored = cand
+          .join(qt.select(col("vec_id").as("u"), col("q").as("qu")), Seq("u"))
+          .join(qt.select(col("vec_id").as("v"), col("q").as("qw")), Seq("v"))
+          .withColumn("dd", dist("qu", "qw"))
+        val w = Window.partitionBy(col("u")).orderBy(col("dd").asc, col("v").asc)
+        scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 8)
+          .select(col("u"), col("v"), col("rnk"))
+      }
+      var nbr = topk(init)
+      (1 to 2).foreach { _ =>
+        val adj = nbr.select(col("u"), col("v"))
+          .unionByName(nbr.select(col("v").as("u"), col("u").as("v"))).distinct()
+        val cand = adj.as("x").join(adj.as("y"),
+            col("x.v") === col("y.u") && col("y.v") =!= col("x.u"))
+          .select(col("x.u").as("u"), col("y.v").as("v"))
+          .unionByName(nbr.select(col("u"), col("v"))).distinct()
+        nbr = topk(cand)
+      }
+      nbr.select(col("u").as("vec_id"), col("rnk").cast("long").as("rank"),
+        col("v").as("neighbor_id"))
+    }, Some {
+      def round(in: String, r: Int, out: String): String =
+        s"""a$r AS (SELECT u, v FROM $in UNION SELECT v, u FROM $in),
+           |c$r AS (
+           |  SELECT DISTINCT x.u, y.v FROM a$r x JOIN a$r y
+           |    ON x.v = y.u AND y.v <> x.u
+           |  UNION SELECT u, v FROM $in),
+           |$out AS (
+           |  SELECT u, v, rnk FROM (
+           |    SELECT c.u, c.v, row_number() OVER (PARTITION BY c.u ORDER BY
+           |      CAST(list_sum(list_transform(range(1, 65),
+           |        k -> (qu.q[k] - qw.q[k]) * (qu.q[k] - qw.q[k]))) AS BIGINT), c.v) AS rnk
+           |    FROM c$r c JOIN qt qu ON qu.vec_id = c.u
+           |    JOIN qt qw ON qw.vec_id = c.v) t
+           |  WHERE rnk <= 8)""".stripMargin
+      s"""WITH qt AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |bk AS (
+         |  SELECT vec_id, t.tbl,
+         |    ${Similarity.lshBucketDuckOffset("embedding", 6, 64, "t.tbl * 6")} AS bucket
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 2)) AS tbl) t),
+         |i0 AS (
+         |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |    AND a.vec_id <> b.vec_id),
+         |n0 AS (
+         |  SELECT u, v, rnk FROM (
+         |    SELECT c.u, c.v, row_number() OVER (PARTITION BY c.u ORDER BY
+         |      CAST(list_sum(list_transform(range(1, 65),
+         |        k -> (qu.q[k] - qw.q[k]) * (qu.q[k] - qw.q[k]))) AS BIGINT), c.v) AS rnk
+         |    FROM i0 c JOIN qt qu ON qu.vec_id = c.u
+         |    JOIN qt qw ON qw.vec_id = c.v) t
+         |  WHERE rnk <= 8),
+         |${round("n0", 1, "n1")},
+         |${round("n1", 2, "n2")}
+         |SELECT u AS vec_id, rnk AS rank, v AS neighbor_id FROM n2""".stripMargin
+    })
   )
 
   /** Deterministic CDC change stream over embeddings, maintained into a

@@ -190,7 +190,10 @@ object ScaleStress {
       "idx_phrase_search_positional",
       // r10: maintained per-vertex triangle counts — per-batch cost =
       // Σ_{e∈ΔE} deg(e) wedge joins + touched-vertex count rewrites
-      "gph_cdc_maintained_triangles")
+      "gph_cdc_maintained_triangles",
+      // r10: NN-Descent — (table, bucket)-bounded init + two local-join
+      // rounds of N·(2k)² id-only candidates; must track corpus size
+      "ann_nn_descent_graph")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

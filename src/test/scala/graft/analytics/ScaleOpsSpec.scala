@@ -633,4 +633,57 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.values.toSet.intersect((0L until 16L).toSet).forall(!over.contains(_)),
       "kept ids come only from under-cap cells")
   }
+
+  test("NN-Descent graph equals a driver replay; recall improves monotonically") {
+    val sf = sf0001
+    val got = Catalog.queries("ann_nn_descent_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector)
+    val q = base.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * 64.0 + 0.5).toLong) }.toMap
+    def dist(a: Long, b: Long): Long =
+      q(a).zip(q(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    val buckets = (0 until 2).map { t =>
+      base.map { case (id, e) =>
+        id -> (0 until 6).map { j =>
+          val dot = (0 until 64).map(k =>
+            graft.functions.Similarity.hyperplaneSign(t * 6 + j, k) * e(k).toDouble).sum
+          if (dot > 0) 1L << j else 0L
+        }.sum }.toMap
+    }
+    def topk(cand: Map[Long, Set[Long]]): Map[Long, Seq[Long]] =
+      cand.map { case (u, vs) =>
+        u -> vs.toSeq.map(v => (dist(u, v), v)).sorted.take(8).map(_._2) }
+    val ids = base.map(_._1)
+    val init = topk(ids.map(u =>
+      u -> ids.filter(v => v != u && buckets.exists(bk => bk(v) == bk(u))).toSet).toMap
+      .filter(_._2.nonEmpty))
+    def round(n: Map[Long, Seq[Long]]): Map[Long, Seq[Long]] = {
+      val undirected = n.toSeq.flatMap { case (u, vs) =>
+        vs.flatMap(v => Seq(u -> v, v -> u)) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val cand = undirected.map { case (u, mids) =>
+        u -> (mids.flatMap(m => undirected.getOrElse(m, Set.empty)) - u ++
+          n.getOrElse(u, Nil).toSet) }.filter(_._2.nonEmpty)
+      topk(cand)
+    }
+    val n1 = round(init)
+    val n2 = round(n1)
+    val exp = n2.toSeq.flatMap { case (u, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (u, i + 1L, v) } }.toSet
+    assert(got == exp, s"got ${got.size} rows, expected ${exp.size}")
+    // quality: recall vs the brute-force 4-NN truth never degrades over
+    // rounds, and the final graph beats the LSH init outright
+    val truth = ids.map { u =>
+      u -> ids.filter(_ != u).map(v => (dist(u, v), v)).sorted.take(4).map(_._2).toSet
+    }.toMap
+    def recall(n: Map[Long, Seq[Long]]): Double =
+      ids.map(u => n.getOrElse(u, Nil).toSet.intersect(truth(u)).size).sum.toDouble /
+        (ids.length * 4.0)
+    val (r0, r1, r2) = (recall(init), recall(n1), recall(n2))
+    assert(r0 <= r1 && r1 <= r2, s"recall must not degrade: $r0 -> $r1 -> $r2")
+    assert(r2 > r0, s"two NN-Descent rounds must beat the LSH init ($r0 -> $r2)")
+  }
 }
