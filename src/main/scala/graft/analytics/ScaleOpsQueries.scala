@@ -1384,79 +1384,180 @@ object ScaleOpsQueries {
     // constant (empirically 4-6 to convergence; 2 here keeps the oracle
     // replay bounded). The spec pins monotone recall improvement over
     // rounds against the brute-force truth.
-    CatalogQuery("ann_nn_descent_graph", (s, d) => {
+    CatalogQuery("ann_nn_descent_graph", (s, d) =>
+      nnDescentGraph(s, d).select(col("u").as("vec_id"),
+        col("rnk").cast("long").as("rank"), col("v").as("neighbor_id")),
+      Some(s"""WITH $nnDescentDuckCtes
+         |SELECT u AS vec_id, rnk AS rank, v AS neighbor_id FROM n2""".stripMargin)),
+
+    // ---- greedy beam search over the k-NN graph --------------------------
+    // The SERVE half of the graph-ANN pair (ann_nn_descent_graph builds;
+    // this answers queries the NSW/HNSW way): from a single global entry
+    // point (min vec_id — HNSW's fixed entry), three expansion hops —
+    // candidates = beam ∪ out-neighbors of the beam over the UNDIRECTED
+    // graph, keep beam width 4 closest to the query by exact
+    // integer-lattice L2 with (dist, id) ties, self always excluded —
+    // then answer top-3 of the final beam with the distance emitted
+    // (hash-checked distance accounting). Beam quality is monotone by
+    // construction (candidates always include the previous beam; a true
+    // top-3 member has ≤2 closer vectors so once found it can never be
+    // evicted from a width-4 beam) — the spec pins recall vs the
+    // brute-force truth improving per hop. Shape at 100 TB: each hop is
+    // an id-only |Q|·B join against the edge table partitioned by u —
+    // per-query work B·(2k)·hops edges, independent of corpus size;
+    // vectors re-join AFTER the candidate distinct, and the rank window
+    // is partitioned by query. The graph build amortizes across the
+    // query stream exactly as the IVF probe entries' index does.
+    CatalogQuery("ann_graph_beam_search", (s, d) => {
       val dist = (a: String, b: String) => expr(
         s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
       val qt = Tables.embeddings(s, d).select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))").as("q"))
-      val bk = Tables.embeddings(s, d).select(col("vec_id"),
-          posexplode(GraftFunctions.lsh_buckets(col("embedding"), 2, 6)))
-        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-      val init = bk.as("a").join(bk.as("b"),
-          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("u"), col("b.vec_id").as("v")).distinct()
-      def topk(cand: DataFrame): DataFrame = {
-        val scored = cand
-          .join(qt.select(col("vec_id").as("u"), col("q").as("qu")), Seq("u"))
-          .join(qt.select(col("vec_id").as("v"), col("q").as("qw")), Seq("v"))
-          .withColumn("dd", dist("qu", "qw"))
-        val w = Window.partitionBy(col("u")).orderBy(col("dd").asc, col("v").asc)
-        scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 8)
-          .select(col("u"), col("v"), col("rnk"))
+      val nbr = nnDescentGraph(s, d)
+      val g = nbr.select(col("u"), col("v"))
+        .unionByName(nbr.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val qs = Tables.embeddings(s, d).filter(col("vec_id") % 11 === 0)
+        .select(col("vec_id").as("qid"))
+      // provable 1-row aggregate (ExplainAudit's bounded-crossJoin form)
+      val ep = Tables.embeddings(s, d).agg(min(col("vec_id")).as("v"))
+      def score(cand: DataFrame): DataFrame = cand
+        .join(qt.select(col("vec_id").as("qid"), col("q").as("qq")), Seq("qid"))
+        .join(qt.select(col("vec_id").as("v"), col("q").as("qv")), Seq("v"))
+        .withColumn("dd", dist("qq", "qv"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dd").asc, col("v").asc)))
+      // per-hop lineage truncation (the PageRank-loop discipline): the
+      // beam is ≤ |Q|·B rows; without it the beam ∪ expand union doubles
+      // the plan per hop (2^hops copies of the seed join) and the
+      // optimizer entangles the seed cross with the edge join
+      var beam = qs.crossJoin(ep).select(col("qid"), col("v")).localCheckpoint()
+      (1 to 3).foreach { _ =>
+        val cand = beam.unionByName(
+            beam.as("b").join(g.as("g"), col("b.v") === col("g.u"))
+              .select(col("b.qid").as("qid"), col("g.v").as("v")))
+          .filter(col("v") =!= col("qid")).distinct()
+        beam = score(cand).filter(col("rnk") <= 4).select(col("qid"), col("v"))
+          .localCheckpoint()
       }
-      var nbr = topk(init)
-      (1 to 2).foreach { _ =>
-        val adj = nbr.select(col("u"), col("v"))
-          .unionByName(nbr.select(col("v").as("u"), col("u").as("v"))).distinct()
-        val cand = adj.as("x").join(adj.as("y"),
-            col("x.v") === col("y.u") && col("y.v") =!= col("x.u"))
-          .select(col("x.u").as("u"), col("y.v").as("v"))
-          .unionByName(nbr.select(col("u"), col("v"))).distinct()
-        nbr = topk(cand)
-      }
-      nbr.select(col("u").as("vec_id"), col("rnk").cast("long").as("rank"),
-        col("v").as("neighbor_id"))
+      score(beam).filter(col("rnk") <= 3)
+        .select(col("qid").as("query_id"), col("rnk").cast("long").as("rank"),
+          col("v").as("neighbor_id"), col("dd").as("dist2"))
     }, Some {
-      def round(in: String, r: Int, out: String): String =
-        s"""a$r AS (SELECT u, v FROM $in UNION SELECT v, u FROM $in),
-           |c$r AS (
-           |  SELECT DISTINCT x.u, y.v FROM a$r x JOIN a$r y
-           |    ON x.v = y.u AND y.v <> x.u
-           |  UNION SELECT u, v FROM $in),
+      def hop(in: String, out: String, w: Int): String =
+        s"""c$out AS (
+           |  SELECT DISTINCT qid, v FROM (
+           |    SELECT qid, v FROM $in
+           |    UNION ALL SELECT b.qid, g.v FROM $in b JOIN g ON g.u = b.v) t
+           |  WHERE v <> qid),
            |$out AS (
-           |  SELECT u, v, rnk FROM (
-           |    SELECT c.u, c.v, row_number() OVER (PARTITION BY c.u ORDER BY
+           |  SELECT qid, v FROM (
+           |    SELECT c.qid, c.v, row_number() OVER (PARTITION BY c.qid ORDER BY
            |      CAST(list_sum(list_transform(range(1, 65),
            |        k -> (qu.q[k] - qw.q[k]) * (qu.q[k] - qw.q[k]))) AS BIGINT), c.v) AS rnk
-           |    FROM c$r c JOIN qt qu ON qu.vec_id = c.u
+           |    FROM c$out c JOIN qt qu ON qu.vec_id = c.qid
            |    JOIN qt qw ON qw.vec_id = c.v) t
-           |  WHERE rnk <= 8)""".stripMargin
-      s"""WITH qt AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |bk AS (
-         |  SELECT vec_id, t.tbl,
-         |    ${Similarity.lshBucketDuckOffset("embedding", 6, 64, "t.tbl * 6")} AS bucket
-         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 2)) AS tbl) t),
-         |i0 AS (
-         |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
-         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
-         |    AND a.vec_id <> b.vec_id),
-         |n0 AS (
+           |  WHERE rnk <= $w)""".stripMargin
+      s"""WITH $nnDescentDuckCtes,
+         |g AS (SELECT u, v FROM n2 UNION SELECT v, u FROM n2),
+         |qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 11 = 0),
+         |b0 AS (SELECT qid, (SELECT min(vec_id) FROM embeddings) AS v FROM qs),
+         |${hop("b0", "b1", 4)},
+         |${hop("b1", "b2", 4)},
+         |${hop("b2", "b3", 4)}
+         |SELECT qid AS query_id, rnk AS rank, v AS neighbor_id, dd AS dist2
+         |FROM (
+         |  SELECT b.qid, b.v,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      k -> (qu.q[k] - qw.q[k]) * (qu.q[k] - qw.q[k]))) AS BIGINT) AS dd,
+         |    row_number() OVER (PARTITION BY b.qid ORDER BY
+         |      CAST(list_sum(list_transform(range(1, 65),
+         |        k -> (qu.q[k] - qw.q[k]) * (qu.q[k] - qw.q[k]))) AS BIGINT), b.v) AS rnk
+         |  FROM b3 b JOIN qt qu ON qu.vec_id = b.qid
+         |  JOIN qt qw ON qw.vec_id = b.v) t
+         |WHERE rnk <= 3""".stripMargin
+    })
+  )
+
+  /** NN-Descent final k=8 graph as `(u, v, rnk)` — shared by the build
+    * entry and the beam-search serve entry. 2-table LSH init bounded to
+    * (table, bucket) partitions, two local-join rounds, integer-lattice
+    * L2 with total-order ties (see the entry scaladoc for the shape
+    * argument). */
+  private[analytics] def nnDescentGraph(s: SparkSession, d: String): DataFrame = {
+    val dist = (a: String, b: String) => expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    val qt = Tables.embeddings(s, d).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))").as("q"))
+    val bk = Tables.embeddings(s, d).select(col("vec_id"),
+        posexplode(GraftFunctions.lsh_buckets(col("embedding"), 2, 6)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val init = bk.as("a").join(bk.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("u"), col("b.vec_id").as("v")).distinct()
+    def topk(cand: DataFrame): DataFrame = {
+      val scored = cand
+        .join(qt.select(col("vec_id").as("u"), col("q").as("qu")), Seq("u"))
+        .join(qt.select(col("vec_id").as("v"), col("q").as("qw")), Seq("v"))
+        .withColumn("dd", dist("qu", "qw"))
+      val w = Window.partitionBy(col("u")).orderBy(col("dd").asc, col("v").asc)
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 8)
+        .select(col("u"), col("v"), col("rnk"))
+    }
+    var nbr = topk(init)
+    (1 to 2).foreach { _ =>
+      val adj = nbr.select(col("u"), col("v"))
+        .unionByName(nbr.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val cand = adj.as("x").join(adj.as("y"),
+          col("x.v") === col("y.u") && col("y.v") =!= col("x.u"))
+        .select(col("x.u").as("u"), col("y.v").as("v"))
+        .unionByName(nbr.select(col("u"), col("v"))).distinct()
+      nbr = topk(cand)
+    }
+    nbr
+  }
+
+  /** DuckDB CTE chain mirroring [[nnDescentGraph]], ending in
+    * `n2(u, v, rnk)`; WITH-body only (prepend `WITH `, append the
+    * consumer). */
+  private[analytics] lazy val nnDescentDuckCtes: String = {
+    def round(in: String, r: Int, out: String): String =
+      s"""a$r AS (SELECT u, v FROM $in UNION SELECT v, u FROM $in),
+         |c$r AS (
+         |  SELECT DISTINCT x.u, y.v FROM a$r x JOIN a$r y
+         |    ON x.v = y.u AND y.v <> x.u
+         |  UNION SELECT u, v FROM $in),
+         |$out AS (
          |  SELECT u, v, rnk FROM (
          |    SELECT c.u, c.v, row_number() OVER (PARTITION BY c.u ORDER BY
          |      CAST(list_sum(list_transform(range(1, 65),
          |        k -> (qu.q[k] - qw.q[k]) * (qu.q[k] - qw.q[k]))) AS BIGINT), c.v) AS rnk
-         |    FROM i0 c JOIN qt qu ON qu.vec_id = c.u
+         |    FROM c$r c JOIN qt qu ON qu.vec_id = c.u
          |    JOIN qt qw ON qw.vec_id = c.v) t
-         |  WHERE rnk <= 8),
-         |${round("n0", 1, "n1")},
-         |${round("n1", 2, "n2")}
-         |SELECT u AS vec_id, rnk AS rank, v AS neighbor_id FROM n2""".stripMargin
-    })
-  )
+         |  WHERE rnk <= 8)""".stripMargin
+    s"""qt AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |bk AS (
+       |  SELECT vec_id, t.tbl,
+       |    ${Similarity.lshBucketDuckOffset("embedding", 6, 64, "t.tbl * 6")} AS bucket
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 2)) AS tbl) t),
+       |i0 AS (
+       |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id <> b.vec_id),
+       |n0 AS (
+       |  SELECT u, v, rnk FROM (
+       |    SELECT c.u, c.v, row_number() OVER (PARTITION BY c.u ORDER BY
+       |      CAST(list_sum(list_transform(range(1, 65),
+       |        k -> (qu.q[k] - qw.q[k]) * (qu.q[k] - qw.q[k]))) AS BIGINT), c.v) AS rnk
+       |    FROM i0 c JOIN qt qu ON qu.vec_id = c.u
+       |    JOIN qt qw ON qw.vec_id = c.v) t
+       |  WHERE rnk <= 8),
+       |${round("n0", 1, "n1")},
+       |${round("n1", 2, "n2")}""".stripMargin
+  }
 
   /** Deterministic CDC change stream over embeddings, maintained into a
     * bucketed SnapshotSink index: batch 0 = the base corpus; batch b ∈

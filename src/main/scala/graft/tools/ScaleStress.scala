@@ -193,7 +193,10 @@ object ScaleStress {
       "gph_cdc_maintained_triangles",
       // r10: NN-Descent — (table, bucket)-bounded init + two local-join
       // rounds of N·(2k)² id-only candidates; must track corpus size
-      "ann_nn_descent_graph")
+      "ann_nn_descent_graph",
+      // r10: beam serve over the graph — per-query work is B·(2k)·hops
+      // edge lookups; total must track |Q| + the shared graph build
+      "ann_graph_beam_search")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

@@ -634,10 +634,11 @@ class ScaleOpsSpec extends SparkSpec {
       "kept ids come only from under-cap cells")
   }
 
-  test("NN-Descent graph equals a driver replay; recall improves monotonically") {
-    val sf = sf0001
-    val got = Catalog.queries("ann_nn_descent_graph")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  /** Driver replay of the NN-Descent construction: returns (quantized
+    * vectors, LSH-init graph, round-1 graph, final round-2 graph). */
+  private def nnDescentReplay(sf: String)
+    : (Map[Long, Vector[Long]], Map[Long, Seq[Long]], Map[Long, Seq[Long]],
+       Map[Long, Seq[Long]]) = {
     val base = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector)
@@ -670,12 +671,22 @@ class ScaleOpsSpec extends SparkSpec {
       topk(cand)
     }
     val n1 = round(init)
-    val n2 = round(n1)
+    (q, init, n1, round(n1))
+  }
+
+  test("NN-Descent graph equals a driver replay; recall improves monotonically") {
+    val sf = sf0001
+    val got = Catalog.queries("ann_nn_descent_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (q, init, n1, n2) = nnDescentReplay(sf)
+    def dist(a: Long, b: Long): Long =
+      q(a).zip(q(b)).map { case (x, y) => (x - y) * (x - y) }.sum
     val exp = n2.toSeq.flatMap { case (u, vs) =>
       vs.zipWithIndex.map { case (v, i) => (u, i + 1L, v) } }.toSet
     assert(got == exp, s"got ${got.size} rows, expected ${exp.size}")
     // quality: recall vs the brute-force 4-NN truth never degrades over
     // rounds, and the final graph beats the LSH init outright
+    val ids = q.keys.toSeq
     val truth = ids.map { u =>
       u -> ids.filter(_ != u).map(v => (dist(u, v), v)).sorted.take(4).map(_._2).toSet
     }.toMap
@@ -685,5 +696,41 @@ class ScaleOpsSpec extends SparkSpec {
     val (r0, r1, r2) = (recall(init), recall(n1), recall(n2))
     assert(r0 <= r1 && r1 <= r2, s"recall must not degrade: $r0 -> $r1 -> $r2")
     assert(r2 > r0, s"two NN-Descent rounds must beat the LSH init ($r0 -> $r2)")
+  }
+
+  test("beam search over the k-NN graph equals a driver replay; per-hop recall monotone") {
+    val sf = sf0001
+    val got = Catalog.queries("ann_graph_beam_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val (q, _, _, n2) = nnDescentReplay(sf)
+    def dist(a: Long, b: Long): Long =
+      q(a).zip(q(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    val g = n2.toSeq.flatMap { case (u, vs) => vs.flatMap(v => Seq(u -> v, v -> u)) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val ids = q.keys.toSeq
+    val queries = ids.filter(_ % 11 == 0)
+    val entry = ids.min
+    def hop(beams: Map[Long, Seq[Long]]): Map[Long, Seq[Long]] =
+      beams.map { case (qid, beam) =>
+        val cand = (beam.toSet ++ beam.flatMap(v => g.getOrElse(v, Set.empty))) - qid
+        qid -> cand.toSeq.map(v => (dist(qid, v), v)).sorted.take(4).map(_._2)
+      }
+    val b0 = queries.map(_ -> Seq(entry)).toMap
+    val b1 = hop(b0); val b2 = hop(b1); val b3 = hop(b2)
+    val exp = b3.toSeq.flatMap { case (qid, beam) =>
+      beam.take(3).zipWithIndex.map { case (v, i) =>
+        (qid, i + 1L, v, dist(qid, v)) } }.toSet
+    assert(got == exp, s"got ${got.size} rows, expected ${exp.size}")
+    // quality: recall@3 vs the brute-force truth is monotone per hop and
+    // the 3-hop answer strictly beats the entry-point-only baseline
+    val truth = queries.map { u =>
+      u -> ids.filter(_ != u).map(v => (dist(u, v), v)).sorted.take(3).map(_._2).toSet
+    }.toMap
+    def recall(b: Map[Long, Seq[Long]]): Double =
+      queries.map(u => b(u).take(3).toSet.intersect(truth(u)).size).sum.toDouble /
+        (queries.size * 3.0)
+    val (r0, r1, r2, r3) = (recall(b0), recall(b1), recall(b2), recall(b3))
+    assert(r1 <= r2 && r2 <= r3, s"beam recall must not degrade: $r1 -> $r2 -> $r3")
+    assert(r3 > r0, s"3-hop beam must beat the entry-point baseline ($r0 -> $r3)")
   }
 }
