@@ -196,7 +196,10 @@ object ScaleStress {
       "ann_nn_descent_graph",
       // r10: beam serve over the graph — per-query work is B·(2k)·hops
       // edge lookups; total must track |Q| + the shared graph build
-      "ann_graph_beam_search")
+      "ann_graph_beam_search",
+      // r10: maintained CC — batch-0 fixpoint + per-batch touched-label
+      // point rewrites; must track |ΔE| + merged-component sizes
+      "gph_cdc_maintained_components")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

@@ -799,4 +799,43 @@ class MiningQueriesSpec extends SparkSpec {
       .filter(_._2 > 0L)
     assert(got == exp, s"got ${got.size} vertices, expected ${exp.size}")
   }
+
+  test("mergeGroups: chained merges resolve to group minima, identities omitted") {
+    // chain 9-5-3 via (5,9),(9,3); disjoint pair (7,8); singleton identity
+    val m = MiningQueries.mergeGroups(Seq((5L, 9L), (9L, 3L), (7L, 8L), (4L, 4L)))
+    assert(m == Map(5L -> 3L, 9L -> 3L, 8L -> 7L), m.toString)
+    // order independence: reversed pair order, same roots
+    val m2 = MiningQueries.mergeGroups(Seq((9L, 3L), (7L, 8L), (5L, 9L)))
+    assert(m2 == m, m2.toString)
+    assert(MiningQueries.mergeGroups(Nil).isEmpty)
+  }
+
+  test("maintained components equal a from-scratch union-find; batches genuinely merge") {
+    val got = q("gph_cdc_maintained_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def pairs(t: Int): Set[(Long, Long)] = {
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .filter(col("l_quantity") >= t)
+        .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      li.groupBy(_._1).values.flatMap { grp =>
+        val ps = grp.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+      }.toSet
+    }
+    def components(es: Set[(Long, Long)]): Map[Long, Long] = {
+      val verts = es.flatMap(e => Seq(e._1, e._2))
+      val m = MiningQueries.mergeGroups(es.toSeq)
+      verts.map(v => v -> m.getOrElse(v, v)).toMap
+    }
+    val exp = components(pairs(41))
+    assert(got == exp, s"got ${got.size} vertices, expected ${exp.size}")
+    // incrementality signal: the widened bands must actually merge base
+    // components (otherwise the maintenance path was never exercised)
+    val baseCc = components(pairs(47))
+    val mergedSomething = baseCc.exists { case (v, lbl) => exp(v) != lbl }
+    assert(mergedSomething, "later batches must merge at least one base component")
+    // and must add genuinely-new vertices
+    assert(exp.keySet.diff(baseCc.keySet).nonEmpty, "batches must add new vertices")
+  }
 }
