@@ -1081,6 +1081,76 @@ object TrainingQueries {
         |  + 0.7 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS quality
         |FROM documents""".stripMargin)),
 
+    // ---- DPO preference-pair assembly ------------------------------------
+    // Preference-pair mining, the data-assembly step DPO/RLHF reward
+    // training consumes: within each candidate pool (source, lang) — the
+    // "same prompt" grouping — rank documents by an integer quality
+    // score (scaled type-token ratio + capped length; all-BIGINT so both
+    // engines rank bit-identically, doc_id total-order ties), then pair
+    // best-vs-worst: rank-i from the top against rank-i from the bottom
+    // (mirrored tie-breaks so an odd pool's middle element never pairs
+    // with itself), keep only pairs with strictly positive margin — the
+    // degenerate all-equal pool yields nothing rather than zero-signal
+    // pairs. Shape at 100 TB: one shuffle on the pool key, two
+    // PARTITIONED rank windows, and a rank equi-join — no global window,
+    // no cross product; pools scale independently.
+    CatalogQuery("prep_dpo_pairs", (s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          expr("""CAST(size(array_distinct(toks)) AS BIGINT) * 1000
+                 |  div CAST(size(toks) AS BIGINT)
+                 |  + least(CAST(size(toks) AS BIGINT), 100)""".stripMargin)
+            .as("score"))
+      val top = row_number().over(Window.partitionBy(col("source"), col("lang"))
+        .orderBy(col("score").desc, col("doc_id").asc))
+      val bot = row_number().over(Window.partitionBy(col("source"), col("lang"))
+        .orderBy(col("score").asc, col("doc_id").desc))
+      val a = scored.withColumn("pair_id", top.cast("long"))
+        .select(col("source"), col("lang"), col("pair_id"),
+          col("doc_id").as("chosen_doc"), col("score").as("chosen_score"))
+      val b = scored.withColumn("pair_id", bot.cast("long"))
+        .select(col("source"), col("lang"), col("pair_id"),
+          col("doc_id").as("rejected_doc"), col("score").as("rejected_score"))
+      val n = scored.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_pool"))
+      a.join(b, Seq("source", "lang", "pair_id"))
+        .join(n, Seq("source", "lang"))
+        .filter(col("pair_id") <= expr("n_pool div 2") &&
+          col("chosen_score") > col("rejected_score"))
+        .select(col("source"), col("lang"), col("pair_id"),
+          col("chosen_doc"), col("rejected_doc"), col("chosen_score"),
+          col("rejected_score"),
+          (col("chosen_score") - col("rejected_score")).as("margin"))
+    }, Some(
+      """WITH scored AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000
+        |      // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |      + least(CAST(len(string_split(text, ' ')) AS BIGINT), 100) AS score
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, lang,
+        |    CAST(row_number() OVER (PARTITION BY source, lang
+        |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS pair_id,
+        |    doc_id AS chosen_doc, score AS chosen_score
+        |  FROM scored),
+        |b AS (
+        |  SELECT source, lang,
+        |    CAST(row_number() OVER (PARTITION BY source, lang
+        |      ORDER BY score ASC, doc_id DESC) AS BIGINT) AS pair_id,
+        |    doc_id AS rejected_doc, score AS rejected_score
+        |  FROM scored),
+        |n AS (
+        |  SELECT source, lang, count(*)::BIGINT AS n_pool
+        |  FROM scored GROUP BY 1, 2)
+        |SELECT source, lang, pair_id, chosen_doc, rejected_doc,
+        |  chosen_score, rejected_score,
+        |  chosen_score - rejected_score AS margin
+        |FROM a JOIN b USING (source, lang, pair_id) JOIN n USING (source, lang)
+        |WHERE pair_id <= n_pool // 2 AND chosen_score > rejected_score""".stripMargin)),
+
     // repetition filter (Gopher-style): fraction of DUPLICATE word
     // trigrams per doc — boilerplate/spam detection for pretraining
     // corpora. Short docs (< 3 tokens) score 1.0 (nothing to repeat);

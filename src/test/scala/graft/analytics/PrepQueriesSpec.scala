@@ -219,4 +219,36 @@ class PrepQueriesSpec extends SparkSpec {
     assert(got(largest)._2 < bySrc(largest) * 1000000L / totTok,
       "high-resource source must be downsampled below proportional")
   }
+
+  test("DPO pairs: best-vs-worst pairing matches a driver replay, margins positive") {
+    val got = Catalog.queries("prep_dpo_pairs")(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "lang", "text").collect()
+      .map { r =>
+        val toks = r.getString(3).split(" ", -1)
+        val score = toks.distinct.length.toLong * 1000 / toks.length +
+          math.min(toks.length.toLong, 100)
+        (r.getString(1), r.getString(2)) -> (r.getLong(0), score)
+      }
+    val exp = docs.groupBy(_._1).flatMap { case ((src, lang), grp) =>
+      val pool = grp.map(_._2)
+      val best = pool.sortBy { case (id, sc) => (-sc, id) }
+      val worst = pool.sortBy { case (id, sc) => (sc, -id) }
+      (0 until pool.length / 2).flatMap { i =>
+        val (cd, cs) = best(i); val (rd, rs) = worst(i)
+        if (cs > rs) Some((src, lang, i + 1L) -> (cd, rd, cs, rs, cs - rs))
+        else None
+      }
+    }
+    assert(got == exp, s"got ${got.size} pairs, expected ${exp.size}")
+    assert(got.nonEmpty, "plant failure: no preference pairs produced")
+    // structural properties: positive margins; a doc never chosen AND
+    // rejected in the same pool at the same rank against itself
+    got.foreach { case ((src, lang, _), (cd, rd, cs, rs, m)) =>
+      assert(m > 0 && cs - rs == m && cd != rd, s"($src,$lang): $cd vs $rd")
+    }
+  }
 }
