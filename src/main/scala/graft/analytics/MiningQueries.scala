@@ -436,6 +436,161 @@ object MiningQueries {
         |SELECT vtx AS part_id, CAST(min(lbl) AS BIGINT) AS component
         |FROM lp GROUP BY 1""".stripMargin)),
 
+    // ---- streaming component serving against the maintained labels -------
+    // The graph twin of ann_stream_serve / idx_stream_serve_bm25, closing
+    // the third serving loop: ONE tagged stream carries edge-insert CDC
+    // (the quantity-threshold widening, batch 0 = the base graph) and
+    // component queries for a FIXED probe set (part ids ≡ 0 mod 13).
+    // Each micro-batch runs the union-find maintenance step, then serves
+    // component ids for the probes from a FRESH read — answers evolve as
+    // vertices appear and components merge (a probe absent from the graph
+    // at batch b simply has no row yet). Crash-atomicity needs NO merge
+    // ordering argument here: unlike the two-sink batch entry, ALL state
+    // lives in one (lbl, vtx) sink (vertex→label is its projection;
+    // label→members its key order), so the single mergeOnce's manifest
+    // rename advances data and applied-id together and a replayed batch
+    // recomputes against unchanged state or skips. Per-batch cost:
+    // endpoint-label lookups (key-pushdown point reads at scale),
+    // batch-bounded driver union-find (commented collect), point rewrites
+    // of merged components' members, probe-set point reads. The oracle
+    // re-derives every batch's as-of components from scratch (recursive
+    // min-label fixpoint per batch) — serving from maintained state is
+    // hash-gated against recomputation at every point in stream time.
+    CatalogQuery("gph_stream_serve_components", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val work = Q.scratch("ccserve")
+      def cpairs(t: Int): DataFrame = {
+        val li = Tables.lineitem(s, d).filter(col("l_quantity") >= t)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      }
+      val thresholds = Seq(47, 45, 43, 41)
+      val probes = cpairs(41)
+        .select(explode(array(col("u"), col("v"))).as("vtx")).distinct()
+        .filter(col("vtx") % 13 === 0)
+      (0 to 3).foreach { b =>
+        val delta =
+          if (b == 0) cpairs(47)
+          else cpairs(thresholds(b))
+            .join(cpairs(thresholds(b - 1)), Seq("u", "v"), "left_anti")
+        val chg = delta.select(lit("chg").as("kind"), lit(b.toLong).as("qb"),
+          col("u"), col("v"), lit(null).cast("bigint").as("probe"))
+        val qry = probes.select(lit("qry").as("kind"), lit(b.toLong).as("qb"),
+          lit(null).cast("bigint").as("u"), lit(null).cast("bigint").as("v"),
+          col("vtx").as("probe"))
+        val stageDir = s"$work/stage$b"
+        chg.unionByName(qry).coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val src = new java.io.File(stageDir).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        val inDir = java.nio.file.Paths.get(s"$work/in")
+        java.nio.file.Files.createDirectories(inDir)
+        val dest = inDir.resolve(f"b$b%02d.parquet")
+        java.nio.file.Files.move(src.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
+      }
+      val sink = new graft.sinks.SnapshotSink(s, s"$work/state", Seq("lbl", "vtx"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "kind STRING, qb BIGINT, u BIGINT, v BIGINT, probe BIGINT")
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+      val q = stream.writeStream
+        .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) => {
+          val delta = batch.filter(col("kind") === "chg").select(col("u"), col("v"))
+          val upd: DataFrame =
+            if (!sink.exists) {
+              // initial build: distributed min-label to an explicit fixpoint
+              val ue = delta.select(col("u").as("src"), col("v").as("dst"))
+                .unionByName(delta.select(col("v").as("src"), col("u").as("dst")))
+                .persist()
+              var state = ue.select(col("src").as("vtx")).distinct()
+                .withColumn("lbl", col("vtx")).localCheckpoint()
+              var changed = 1L
+              while (changed > 0) {
+                val nb = ue.join(state, ue("src") === state("vtx"))
+                  .groupBy(col("dst")).agg(min(col("lbl")).as("m"))
+                val next = state.join(nb, state("vtx") === nb("dst"), "left")
+                  .select(col("vtx"), col("lbl").as("lbl_old"),
+                    least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"))
+                  .localCheckpoint()
+                changed = next.filter(col("lbl") =!= col("lbl_old")).count()
+                state = next.select(col("vtx"), col("lbl"))
+              }
+              ue.unpersist(false)
+              state.select(col("lbl"), col("vtx"))
+                .withColumn("op", lit(graft.core.ChangeLog.Insert))
+            } else {
+              val lab = sink.read().select(col("vtx"), col("lbl"))
+              val lpairs = delta
+                .join(lab.select(col("vtx").as("u"), col("lbl").as("lu0")), Seq("u"), "left")
+                .join(lab.select(col("vtx").as("v"), col("lbl").as("lv0")), Seq("v"), "left")
+                .select(coalesce(col("lu0"), col("u")).as("lu"),
+                  coalesce(col("lv0"), col("v")).as("lv"))
+                .filter(col("lu") =!= col("lv"))
+                .select(least(col("lu"), col("lv")).as("la"),
+                  greatest(col("lu"), col("lv")).as("lb")).distinct()
+              // bounded collect: ≤ |ΔE| distinct touched-label pairs
+              val mapping = mergeGroups(
+                lpairs.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))))
+              val mdf = broadcast(mapping.toSeq.toDF("old_lbl", "new_lbl"))
+              val moved = lab.join(mdf, col("lbl") === col("old_lbl"))
+              val newRows = delta.select(explode(array(col("u"), col("v"))).as("vtx"))
+                .distinct().join(lab, Seq("vtx"), "left_anti")
+                .join(mdf, col("vtx") === col("old_lbl"), "left")
+                .select(coalesce(col("new_lbl"), col("vtx")).as("lbl"), col("vtx"))
+              moved.select(col("lbl"), col("vtx"))
+                .withColumn("op", lit(graft.core.ChangeLog.Delete))
+                .unionByName(moved.select(col("new_lbl").as("lbl"), col("vtx"))
+                  .withColumn("op", lit(graft.core.ChangeLog.Insert)))
+                .unionByName(newRows
+                  .withColumn("op", lit(graft.core.ChangeLog.Insert)))
+            }
+          sink.mergeOnce(id, graft.core.AuditSeam.report(
+            "gph_stream_serve_components/maintain",
+            upd.withColumn("seq", lit(id))).localCheckpoint())
+          // serve from FRESH maintained state; probes come from the stream
+          val qbv = batch.filter(col("kind") === "qry")
+            .agg(max(col("qb"))).head.getLong(0)
+          val pr = batch.filter(col("kind") === "qry")
+            .select(col("probe").as("vtx"))
+          graft.core.AuditSeam.report("gph_stream_serve_components/serve",
+            sink.read().join(pr, Seq("vtx"))
+              .select(lit(qbv).as("qbatch"), col("vtx").as("part_id"),
+                col("lbl").as("component")))
+            .write.mode("append").parquet(s"$work/out")
+        })
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out")
+        .dropDuplicates(Seq("qbatch", "part_id")) // task-retry copies
+        .select(col("qbatch"), col("part_id"), col("component"))
+    }, Some(
+      """WITH RECURSIVE qb4 AS (SELECT unnest(range(0, 4)) AS qb),
+        |th AS (SELECT qb, 47 - 2 * qb AS t FROM qb4),
+        |li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk, l_quantity AS qty
+        |  FROM lineitem WHERE l_quantity >= 41),
+        |e AS (
+        |  SELECT DISTINCT th.qb, a.pk AS u, b.pk AS v
+        |  FROM th, li a, li b
+        |  WHERE b.ok = a.ok AND a.pk < b.pk
+        |    AND a.qty >= th.t AND b.qty >= th.t),
+        |ue AS (SELECT qb, u AS src, v AS dst FROM e
+        |       UNION ALL SELECT qb, v AS src, u AS dst FROM e),
+        |lp AS (
+        |  SELECT qb, src AS vtx, src AS lbl FROM ue
+        |  UNION
+        |  SELECT e2.qb, e2.dst AS vtx, l.lbl AS lbl
+        |  FROM lp l JOIN ue e2 ON e2.qb = l.qb AND e2.src = l.vtx
+        |  WHERE l.lbl < e2.dst)
+        |SELECT qb AS qbatch, vtx AS part_id, CAST(min(lbl) AS BIGINT) AS component
+        |FROM lp WHERE vtx % 13 = 0 GROUP BY 1, 2""".stripMargin)),
+
     // ---- context-window chunking with overlap ---------------------------
     // Long-document splitting for a fixed context window: 50-token
     // chunks, stride 40 (10-token overlap), last chunk short. The chunk

@@ -199,7 +199,10 @@ object ScaleStress {
       "ann_graph_beam_search",
       // r10: maintained CC — batch-0 fixpoint + per-batch touched-label
       // point rewrites; must track |ΔE| + merged-component sizes
-      "gph_cdc_maintained_components")
+      "gph_cdc_maintained_components",
+      // r10: streaming component serving — single-sink union-find
+      // maintenance + probe point reads per micro-batch
+      "gph_stream_serve_components")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

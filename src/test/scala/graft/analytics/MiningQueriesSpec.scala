@@ -838,4 +838,35 @@ class MiningQueriesSpec extends SparkSpec {
     // and must add genuinely-new vertices
     assert(exp.keySet.diff(baseCc.keySet).nonEmpty, "batches must add new vertices")
   }
+
+  test("streaming component serving: per-batch answers equal as-of recomputation and evolve") {
+    val got = q("gph_stream_serve_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def pairs(t: Int): Set[(Long, Long)] = {
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .filter(col("l_quantity") >= t)
+        .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      li.groupBy(_._1).values.flatMap { grp =>
+        val ps = grp.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+      }.toSet
+    }
+    val exp = (0 to 3).flatMap { qb =>
+      val es = pairs(47 - 2 * qb)
+      val verts = es.flatMap(e => Seq(e._1, e._2))
+      val m = MiningQueries.mergeGroups(es.toSeq)
+      verts.filter(_ % 13 == 0).map(v => (qb.toLong, v) -> m.getOrElse(v, v))
+    }.toMap
+    assert(got == exp, s"got ${got.size} rows, expected ${exp.size}")
+    // the serving signal: at least one probe's component must CHANGE
+    // across batches (a merge landed) and at least one probe must APPEAR
+    // mid-stream (its vertex entered the graph after batch 0)
+    val probes = got.keys.map(_._2).toSet
+    assert(probes.exists(v =>
+      got.contains((0L, v)) && got.contains((3L, v)) && got((0L, v)) != got((3L, v))),
+      "some probe must change component as edges arrive")
+    assert(probes.exists(v => !got.contains((0L, v)) && got.contains((3L, v))),
+      "some probe must appear mid-stream")
+  }
 }
