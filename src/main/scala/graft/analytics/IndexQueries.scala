@@ -305,6 +305,61 @@ object IndexQueries {
         |  true AS within_bound
         |FROM customer""".stripMargin)),
 
+    // Count-Min sketch: the mergeable frequency sketch (Cormode &
+    // Muthukrishnan) — d=4 hash rows × w=64 cells of pure BIGINT counts,
+    // so unlike the HLL entry the ORACLE REBUILDS THE SKETCH ITSELF and
+    // the estimates are hash-gated, not just bounded. Cells aggregate by
+    // (row, cell) — map-side combinable, merge = cell-wise add across
+    // partitions/days, the property that makes it the streaming/
+    // distributed counter at 100 TB. Probes (part keys ≡ 0 mod 97) read
+    // d cells each (point reads) and take the min; the structural CMS
+    // guarantee estimate ≥ exact is emitted and gated per probe. Hashes
+    // are md5-derived (the house cross-engine idiom), not library
+    // internals, so both engines place every increment identically.
+    CatalogQuery("agg_count_min_sketch", (s, d) => {
+      def cellS(j: Int, k: String): String =
+        s"pmod(CAST(conv(substr(md5(concat(CAST($k AS STRING), '|', '$j')), 1, 8), 16, 10) AS BIGINT), 64)"
+      val rows = Tables.lineitem(s, d).select(col("l_partkey").as("k"))
+      val cells = rows.select(col("k"),
+          posexplode(array((0 to 3).map(j => expr(cellS(j, "k"))): _*)))
+        .groupBy(col("pos").cast("long").as("hrow"), col("col").as("cell"))
+        .agg(count(lit(1)).as("n"))
+      val probes = rows.filter(col("k") % 97 === 0).groupBy(col("k"))
+        .agg(count(lit(1)).as("exact_n"))
+      val probeCells = probes.select(col("k"), col("exact_n"),
+        posexplode(array((0 to 3).map(j => expr(cellS(j, "k"))): _*)))
+        .select(col("k"), col("exact_n"),
+          col("pos").cast("long").as("hrow"), col("col").as("cell"))
+      probeCells.join(cells, Seq("hrow", "cell"))
+        .groupBy(col("k").as("part_key"), col("exact_n"))
+        .agg(min(col("n")).as("cms_estimate"))
+        .withColumn("overestimate_ok", col("cms_estimate") >= col("exact_n"))
+        .select(col("part_key"), col("exact_n"), col("cms_estimate"),
+          col("overestimate_ok"))
+    }, Some {
+      def cellD(j: Int, k: String): String =
+        s"('0x' || substr(md5(CAST($k AS VARCHAR) || '|' || '$j'), 1, 8))::BIGINT % 64"
+      s"""WITH rows_in AS (SELECT l_partkey AS k FROM lineitem),
+         |cells AS (
+         |  SELECT hrow, cell, count(*)::BIGINT AS n FROM (
+         |    ${(0 to 3).map(j =>
+               s"SELECT ${j}::BIGINT AS hrow, ${cellD(j, "k")} AS cell FROM rows_in")
+               .mkString("\n    UNION ALL ")})
+         |  GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT k, count(*)::BIGINT AS exact_n FROM rows_in
+         |  WHERE k % 97 = 0 GROUP BY 1),
+         |pc AS (
+         |  ${(0 to 3).map(j =>
+             s"SELECT k, exact_n, ${j}::BIGINT AS hrow, ${cellD(j, "k")} AS cell FROM probes")
+             .mkString("\n  UNION ALL ")})
+         |SELECT pc.k AS part_key, pc.exact_n,
+         |  CAST(min(c.n) AS BIGINT) AS cms_estimate,
+         |  min(c.n) >= pc.exact_n AS overestimate_ok
+         |FROM pc JOIN cells c ON c.hrow = pc.hrow AND c.cell = pc.cell
+         |GROUP BY 1, 2""".stripMargin
+    }),
+
     // Key-skew profiler: the pre-flight diagnostic for choosing salting
     // factors / AQE skew thresholds before a big join. Buckets keys by
     // frequency (power-of-2-ish bands) and reports per-band key and row

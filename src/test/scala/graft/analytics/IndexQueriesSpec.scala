@@ -541,4 +541,31 @@ class IndexQueriesSpec extends SparkSpec {
     assert(got.nonEmpty && got.map(_._3).distinct.size > 1,
       "the top bigram must match in more than one document")
   }
+
+  test("count-min sketch matches a driver rebuild; estimates never undercount") {
+    val got = Catalog.queries("agg_count_min_sketch")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    def cell(j: Int, k: Long): (Long, Long) =
+      (j.toLong, java.lang.Long.parseLong(md5hex(s"$k|$j").take(8), 16) % 64)
+    val keys = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_partkey").cast("long")).collect().map(_.getLong(0))
+    val cells = keys.flatMap(k => (0 to 3).map(j => cell(j, k)))
+      .groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    val exact = keys.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val exp = exact.keys.filter(_ % 97 == 0).map { k =>
+      val est = (0 to 3).map(j => cells(cell(j, k))).min
+      k -> (exact(k), est, est >= exact(k))
+    }.toMap
+    assert(got == exp, s"got ${got.size} probes, expected ${exp.size}")
+    assert(got.nonEmpty && got.values.forall(_._3), "CMS must never undercount")
+    // the sketch is lossy by design: with ~hundreds of keys in 64 cells,
+    // at least one probe must show a genuine collision overestimate
+    assert(got.values.exists { case (ex, est, _) => est > ex },
+      "expected at least one collision overestimate at this density")
+  }
 }
