@@ -254,6 +254,49 @@ object PrepQueries {
            |  count(DISTINCT cluster)::BIGINT AS n_clusters
            |FROM cl GROUP BY 1""".stripMargin)),
 
+    // ---- entity-grouped k-fold assignment --------------------------------
+    // The CONSTRUCTION side of the leakage pair (qa_split_leakage detects;
+    // this builds): cross-validation folds decided per ENTITY (customer),
+    // never per row, so all of an entity's rows land in one fold and no
+    // fold ever trains on a validation entity's siblings. Fold = keyed
+    // md5 of the group key mod k (re-seeding via the 'fold3|' prefix
+    // reshuffles folds without touching group identity, the
+    // smp_cluster_safe_split discipline). The leak check is computed at
+    // ROW level and gated in the output — a bug that hashed the row key
+    // instead of the group key would flip leak_free, not just skew
+    // counts. Shape: one groupBy on the group key + one on fold; the two
+    // 1-row aggregates broadcast (documented bounded crosses).
+    CatalogQuery("smp_group_kfold", (s, d) => {
+      val rows = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .withColumn("fold", expr(
+          "pmod(CAST(conv(substr(md5(concat('fold3|', CAST(o_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT), 5)"))
+      val tot = rows.agg(count(lit(1)).as("n_tot"))
+      val leakFree = rows.groupBy(col("o_custkey"))
+        .agg(countDistinct(col("fold")).as("nf"))
+        .agg((max(col("nf")) === 1).as("leak_free"))
+      rows.groupBy(col("fold"))
+        .agg(countDistinct(col("o_custkey")).as("n_groups"),
+          count(lit(1)).as("n_rows"))
+        .crossJoin(tot).crossJoin(leakFree)
+        .select(col("fold"), col("n_groups"), col("n_rows"),
+          expr("n_rows * 1000000 div n_tot").as("row_ppm"), col("leak_free"))
+    }, Some(
+      """WITH r AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    ('0x' || substr(md5('fold3|' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold
+        |  FROM orders),
+        |tot AS (SELECT count(*)::BIGINT AS n_tot FROM r),
+        |lf AS (
+        |  SELECT max(nf) = 1 AS leak_free FROM (
+        |    SELECT o_custkey, count(DISTINCT fold) AS nf FROM r GROUP BY 1) t)
+        |SELECT fold, count(DISTINCT o_custkey)::BIGINT AS n_groups,
+        |  count(*)::BIGINT AS n_rows,
+        |  count(*)::BIGINT * 1000000 // n_tot AS row_ppm,
+        |  leak_free
+        |FROM r CROSS JOIN tot CROSS JOIN lf
+        |GROUP BY fold, n_tot, leak_free""".stripMargin)),
+
     // ---- deterministic seeded shuffle -----------------------------------
     // Global training order as a pure function of (seed, doc_id): shard =
     // first hex digit of the keyed md5 mod 16, position = rank within the

@@ -251,4 +251,25 @@ class PrepQueriesSpec extends SparkSpec {
       assert(m > 0 && cs - rs == m && cd != rd, s"($src,$lang): $cd vs $rd")
     }
   }
+
+  test("group k-fold: entity-pure folds matching a driver replay, every fold populated") {
+    val got = Catalog.queries("smp_group_kfold")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val rows = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("CAST(o_custkey AS BIGINT)").collect().map(_.getLong(0))
+    val folds = rows.map(c => c -> java.lang.Long.parseLong(
+      md5hex(s"fold3|$c").take(8), 16) % 5)
+    val nTot = rows.length.toLong
+    val exp = folds.groupBy(_._2).map { case (f, xs) =>
+      f -> (xs.map(_._1).distinct.length.toLong, xs.length.toLong,
+        xs.length.toLong * 1000000L / nTot, true)
+    }
+    assert(got == exp, s"got $got")
+    assert(got.keySet == (0L until 5L).toSet, "every fold must be populated")
+    assert(got.values.forall(_._4), "row-level leak check must pass")
+  }
 }
