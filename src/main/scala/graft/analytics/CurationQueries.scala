@@ -675,6 +675,85 @@ object CurationQueries {
         |  lbl AS component
         |FROM l4""".stripMargin)),
 
+    // ---- large-star / small-star connected components ---------------------
+    // The at-scale CC algorithm gph_min_label_components' scaladoc names
+    // as the lever when diameters are large (Kiveris et al., "Connected
+    // Components in MapReduce and Beyond"): alternate LARGE-STAR (every
+    // strictly-larger neighbor of u re-links to min(Γ⁺(u))) and
+    // SMALL-STAR (every ≤-neighbor re-links to the same min) until the
+    // edge set reaches a fixpoint — stars with component-min roots —
+    // in O(log² n) rounds regardless of diameter (min-label needs
+    // diameter rounds; a 100 TB web graph has diameter in the hundreds).
+    // Each round is two grouped mins + re-link joins, all key-partitioned
+    // on u, lineage truncated per round; convergence is an explicit
+    // edge-set-delta check (two anti-join counts), not a guessed round
+    // count. Output = per-node component label (root id = component min,
+    // roots label themselves). The oracle computes ground truth from
+    // scratch (recursive min-label fixpoint in SQL), so the star
+    // algebra's convergence to true components is hash-gated; the spec
+    // additionally union-finds the graph driver-side and pins a
+    // long-chain case where bounded-round min-label would still be
+    // unconverged but star rounds are done.
+    CatalogQuery("gph_largestar_smallstar_cc", (s, d) => {
+      val co = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      val verts = co.select(col("u").as("vtx"))
+        .unionByName(co.select(col("v").as("vtx"))).distinct().localCheckpoint()
+      def largeStar(e: DataFrame): DataFrame = {
+        val adj = e.select(col("u"), col("v"))
+          .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        val mins = adj.groupBy(col("u"))
+          .agg(least(min(col("v")), first(col("u"))).as("m"))
+        adj.filter(col("v") > col("u")).join(mins, Seq("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+      }
+      def smallStar(e: DataFrame): DataFrame = {
+        val dir = e.select(
+          greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+        val relink = dir.join(mins, Seq("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(mins.select(col("u"), col("m").as("v")))
+        relink.filter(col("u") =!= col("v")).distinct()
+      }
+      var edges = co.filter(col("u") =!= col("v")).localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val next = smallStar(largeStar(edges)).localCheckpoint()
+        changed = next.join(edges, Seq("u", "v"), "left_anti").count() +
+          edges.join(next, Seq("u", "v"), "left_anti").count()
+        edges = next
+      }
+      // fixpoint edges are (node, root) stars; roots label themselves
+      val lbl = verts.join(edges.select(col("u").as("vtx"), col("v").as("root")),
+          Seq("vtx"), "left")
+        .select(col("vtx"), coalesce(col("root"), col("vtx")).as("component"))
+      lbl.select(
+        when(col("vtx") % 2 === 0, concat(lit("c"), (col("vtx") / 2).cast("long").cast("string")))
+          .otherwise(concat(lit("s"), ((col("vtx") - 1) / 2).cast("long").cast("string")))
+          .as("node"),
+        col("component"))
+    }, Some(
+      """WITH RECURSIVE co AS (
+        |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |ue AS (SELECT u AS src, v AS dst FROM co
+        |       UNION ALL SELECT v AS src, u AS dst FROM co),
+        |lp AS (
+        |  SELECT src AS vtx, src AS lbl FROM ue
+        |  UNION
+        |  SELECT e2.dst AS vtx, l.lbl AS lbl
+        |  FROM lp l JOIN ue e2 ON e2.src = l.vtx
+        |  WHERE l.lbl < e2.dst)
+        |SELECT CASE WHEN vtx % 2 = 0 THEN 'c' || CAST(vtx // 2 AS VARCHAR)
+        |            ELSE 's' || CAST((vtx - 1) // 2 AS VARCHAR) END AS node,
+        |  CAST(min(lbl) AS BIGINT) AS component
+        |FROM lp GROUP BY 1""".stripMargin)),
+
     // ---- synchronous label-propagation communities -----------------------
     // The MAJORITY twin of gph_min_label_components on the same
     // customer–supplier co-occurrence edges: min-label converges to

@@ -202,7 +202,10 @@ object ScaleStress {
       "gph_cdc_maintained_components",
       // r10: streaming component serving — single-sink union-find
       // maintenance + probe point reads per micro-batch
-      "gph_stream_serve_components")
+      "gph_stream_serve_components",
+      // r10: star-contraction CC — rounds must stay O(log² n), cost per
+      // round tracks edges
+      "gph_largestar_smallstar_cc")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

@@ -387,4 +387,61 @@ class CurationSpec extends AnyFunSuite {
     val singleton = exp.collectFirst { case (k, (c, p)) if c == 1 && p > 0 => k }
     assert(singleton.isDefined, "singleton bigrams must carry backoff mass")
   }
+
+  /** Pure replica of the relational star rounds (same emit rules). */
+  private def largeStarRef(e: Set[(Long, Long)]): Set[(Long, Long)] = {
+    val adj = e ++ e.map(_.swap)
+    adj.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val vs = es.map(_._2)
+      val m = math.min(u, vs.min)
+      vs.filter(_ > u).map(v => (v, m))
+    }.filter(p => p._1 != p._2).toSet
+  }
+
+  private def smallStarRef(e: Set[(Long, Long)]): Set[(Long, Long)] = {
+    val dir = e.map(p => (math.max(p._1, p._2), math.min(p._1, p._2)))
+    dir.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val vs = es.map(_._2)
+      val m = vs.min
+      vs.toSeq.map(v => (v, m)) :+ ((u, m))
+    }.filter(p => p._1 != p._2).toSet
+  }
+
+  test("large-star/small-star CC: true components; chain converges in O(log^2) rounds") {
+    import spark.implicits._
+    // ground truth by union-find over the full co-occurrence graph
+    val co = graft.core.Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .join(graft.core.Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey"),
+        org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey"))
+      .select(org.apache.spark.sql.functions.expr("o_custkey * 2").as("a"),
+        org.apache.spark.sql.functions.expr("l_suppkey * 2 + 1").as("b"))
+      .distinct().as[(Long, Long)].collect()
+    val m = MiningQueries.mergeGroups(co.toSeq)
+    val verts = co.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = verts.map { v =>
+      val node = if (v % 2 == 0) s"c${v / 2}" else s"s${(v - 1) / 2}"
+      node -> m.getOrElse(v, v)
+    }.toMap
+    val got = Catalog.queries("gph_largestar_smallstar_cc")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(got == expected, s"got ${got.size} nodes, expected ${expected.size}")
+    // the round-count claim the entry rests on: a 40-edge path converges
+    // in a handful of star rounds where synchronous min-label needs 40
+    val chain = (0L until 40L).map(i => (i, i + 1)).toSet
+    var e = chain; var rounds = 0
+    while ({
+      val next = smallStarRef(largeStarRef(e)); val ch = next != e; e = next
+      rounds += 1; ch
+    }) ()
+    assert(e == (1L to 40L).map(v => (v, 0L)).toSet, s"fixpoint must be a 0-rooted star: $e")
+    assert(rounds <= 8, s"star rounds on the 40-chain must be O(log^2 n), got $rounds")
+    // synchronous min-label on the same chain is still unconverged at 8 rounds
+    val adj = (chain ++ chain.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    var lbl = adj.keys.map(v => v -> v).toMap
+    (1 to 8).foreach { _ =>
+      lbl = lbl.map { case (v, l) => v -> math.min(l, adj(v).map(lbl).min) }
+    }
+    assert(lbl.values.toSet.size > 1, "min-label must still be unconverged at 8 rounds")
+  }
 }
