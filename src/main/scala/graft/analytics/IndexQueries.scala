@@ -360,6 +360,50 @@ object IndexQueries {
          |GROUP BY 1, 2""".stripMargin
     }),
 
+    // Bitmap-index set intersection: the audience-overlap accelerator —
+    // each audience (customers active in an order-year) compacts into
+    // 64-bit words keyed by c_custkey div 64 via bit_or (idempotent, so
+    // no pre-distinct shuffle; repeat orders fold into the same bit),
+    // and pairwise overlaps come from popcount(a AND b) summed over a
+    // word-keyed equi-join — |universe|/64 rows per audience, never
+    // touching raw ids again. This is the precomputed-bitmap pattern
+    // OLAP engines (Druid/Pinot/ClickHouse roaring bitmaps) use for
+    // segment/audience intersections at scale; counts are EXACT (a
+    // bitmap of ids is not a sketch), so the oracle recomputes every
+    // pair via plain DISTINCT-set intersection — structurally different
+    // SQL, same integers. Jaccard in ppm by integer division.
+    CatalogQuery("agg_bitmap_overlap", (s, d) => {
+      val aud = Tables.orders(s, d)
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_custkey"))
+        .groupBy(col("yr"), expr("o_custkey div 64").as("word"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 64 AS INT)))")
+          .as("bits"))
+      val sizes = aud.groupBy(col("yr"))
+        .agg(sum(expr("bit_count(bits)")).cast("long").as("n"))
+      val ov = aud.as("a").join(aud.as("b"),
+          col("a.word") === col("b.word") && col("a.yr") < col("b.yr"))
+        .groupBy(col("a.yr").as("year_a"), col("b.yr").as("year_b"))
+        .agg(sum(expr("bit_count(a.bits & b.bits)")).cast("long").as("n_overlap"))
+      ov.join(sizes.select(col("yr").as("year_a"), col("n").as("n_a")), Seq("year_a"))
+        .join(sizes.select(col("yr").as("year_b"), col("n").as("n_b")), Seq("year_b"))
+        .select(col("year_a"), col("year_b"), col("n_a"), col("n_b"),
+          col("n_overlap"),
+          expr("n_overlap * 1000000 div (n_a + n_b - n_overlap)").as("jaccard_ppm"))
+    }, Some(
+      """WITH aud AS (
+        |  SELECT DISTINCT year(o_orderdate)::BIGINT AS yr, o_custkey AS c
+        |  FROM orders),
+        |sizes AS (SELECT yr, count(*)::BIGINT AS n FROM aud GROUP BY 1),
+        |ov AS (
+        |  SELECT a.yr AS year_a, b.yr AS year_b, count(*)::BIGINT AS n_overlap
+        |  FROM aud a JOIN aud b ON a.c = b.c AND a.yr < b.yr
+        |  GROUP BY 1, 2)
+        |SELECT year_a, year_b, sa.n AS n_a, sb.n AS n_b, n_overlap,
+        |  n_overlap * 1000000 // (sa.n + sb.n - n_overlap) AS jaccard_ppm
+        |FROM ov JOIN sizes sa ON sa.yr = year_a
+        |JOIN sizes sb ON sb.yr = year_b""".stripMargin)),
+
     // Key-skew profiler: the pre-flight diagnostic for choosing salting
     // factors / AQE skew thresholds before a big join. Buckets keys by
     // frequency (power-of-2-ish bands) and reports per-band key and row

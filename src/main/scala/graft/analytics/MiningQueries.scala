@@ -1429,6 +1429,50 @@ object MiningQueries {
     // same as the 1-step op), counted and ranked globally; the path
     // table is |types|³-bounded so the final rank runs on a
     // dimension-sized input. Top-15 with deterministic tiebreak.
+    // ---- event-pattern matching (MATCH_RECOGNIZE-lite) --------------------
+    // Variable-length event-pattern detection — the CEP primitive
+    // MATCH_RECOGNIZE / Flink CEP serve, which fixed-lag path mining
+    // (evt_path_mining_3step) cannot express: per user, the ordered
+    // event-type trace (one char per event, initials are unique here)
+    // is scanned for regex patterns with Kleene closure — the
+    // signup→browse*→purchase funnel s[cv]*p, the error-retry shape
+    // e[cv]*e, and the longest view run v+. Both engines use leftmost
+    // non-overlapping scan semantics and the regexes stay in the common
+    // Java/RE2 subset, so counts agree exactly. Shape: one shuffle on
+    // user_id and a per-user ordered fold (trace length = the user's
+    // activity; production windows the trace by session/day before
+    // folding — the evt_session_windows cut, documented bound); the
+    // regex scan is a pure map stage.
+    CatalogQuery("evt_pattern_match_regex", (s, d) => {
+      val trace = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ini"))
+        .groupBy(col("user_id"))
+        .agg(concat_ws("", expr(
+          "transform(sort_array(collect_list(struct(ts, event_id, ini))), x -> x.ini)"))
+          .as("trace"))
+      trace.select(col("user_id"), col("trace"),
+        expr("CAST(size(regexp_extract_all(trace, 's[cv]*p', 0)) AS BIGINT)")
+          .as("n_funnel"),
+        expr("CAST(size(regexp_extract_all(trace, 'e[cv]*e', 0)) AS BIGINT)")
+          .as("n_error_retry"),
+        expr("""coalesce(CAST(array_max(transform(
+               |  regexp_extract_all(trace, 'v+', 0), x -> length(x))) AS BIGINT),
+               |  CAST(0 AS BIGINT))""".stripMargin).as("longest_view_run"))
+    }, Some(
+      """WITH trace AS (
+        |  SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+        |      AS trace
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, trace,
+        |  CAST(len(regexp_extract_all(trace, 's[cv]*p')) AS BIGINT) AS n_funnel,
+        |  CAST(len(regexp_extract_all(trace, 'e[cv]*e')) AS BIGINT) AS n_error_retry,
+        |  coalesce(CAST(list_max(list_transform(
+        |    regexp_extract_all(trace, 'v+'), x -> length(x))) AS BIGINT),
+        |    CAST(0 AS BIGINT)) AS longest_view_run
+        |FROM trace""".stripMargin)),
+
     CatalogQuery("evt_path_mining_3step", (s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val paths = Tables.events(s, d)

@@ -205,7 +205,10 @@ object ScaleStress {
       "gph_stream_serve_components",
       // r10: star-contraction CC — rounds must stay O(log² n), cost per
       // round tracks edges
-      "gph_largestar_smallstar_cc")
+      "gph_largestar_smallstar_cc",
+      // r10: bitmap intersections — word tables are |universe|/64 rows;
+      // pair joins must track word count, not id count
+      "agg_bitmap_overlap")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

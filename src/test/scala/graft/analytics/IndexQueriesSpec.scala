@@ -568,4 +568,24 @@ class IndexQueriesSpec extends SparkSpec {
     assert(got.values.exists { case (ex, est, _) => est > ex },
       "expected at least one collision overestimate at this density")
   }
+
+  test("bitmap overlap equals plain set intersection; repeat customers produce overlap") {
+    val got = Catalog.queries("agg_bitmap_overlap")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val rows = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("CAST(year(o_orderdate) AS BIGINT) AS yr",
+        "CAST(o_custkey AS BIGINT) AS c").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byYear = rows.groupBy(_._1).map { case (y, xs) => y -> xs.map(_._2).toSet }
+    val years = byYear.keys.toSeq.sorted
+    val exp = (for {
+      i <- years.indices; j <- (i + 1) until years.length
+      (a, b) = (years(i), years(j))
+      ov = byYear(a).intersect(byYear(b)).size.toLong
+    } yield (a, b) -> (byYear(a).size.toLong, byYear(b).size.toLong, ov,
+      ov * 1000000L / (byYear(a).size + byYear(b).size - ov))).toMap
+    assert(got == exp, s"got ${got.size} pairs, expected ${exp.size}")
+    assert(got.values.exists(_._3 > 0), "repeat customers must produce overlap")
+  }
 }

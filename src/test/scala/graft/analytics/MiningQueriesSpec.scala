@@ -869,4 +869,28 @@ class MiningQueriesSpec extends SparkSpec {
     assert(probes.exists(v => !got.contains((0L, v)) && got.contains((3L, v))),
       "some probe must appear mid-stream")
   }
+
+  test("event-pattern regex: traces and Kleene-closure counts match a driver scan") {
+    val got = q("evt_pattern_match_regex").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val evs = graft.core.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "CAST(ts AS STRING) AS ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val exp = evs.groupBy(_._1).map { case (uid, rows) =>
+      // ISO timestamp strings sort identically to the timestamps
+      val trace = rows.sortBy(r => (r._2, r._3))
+        .map(_._4.head).mkString
+      def cnt(p: String): Long =
+        p.r.findAllMatchIn(trace).length.toLong
+      val runs = "v+".r.findAllIn(trace).map(_.length.toLong).toSeq
+      uid -> (trace, cnt("s[cv]*p"), cnt("e[cv]*e"),
+        if (runs.isEmpty) 0L else runs.max)
+    }
+    assert(got == exp, s"got ${got.size} users, expected ${exp.size}")
+    // natural signal: some user completed the funnel, some had a view run
+    assert(got.values.exists(_._2 > 0), "some funnel match expected")
+    assert(got.values.exists(_._4 >= 2), "some multi-view run expected")
+  }
 }
