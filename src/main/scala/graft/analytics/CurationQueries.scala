@@ -113,6 +113,111 @@ object CurationQueries {
     // CTE. Gated on the full encoded token STRING, not just counts.
     // 100 TB: learn = one bounded aggregate (vocabulary-sized), apply =
     // pure map with a broadcast 1-row merge table.
+    // ---- unigram-LM Viterbi tokenization ----------------------------------
+    // The OTHER major subword algorithm (SentencePiece unigram; BPE's
+    // learn/apply/decode siblings live above): per word, the min-cost
+    // segmentation over a corpus-derived piece vocabulary by Viterbi DP.
+    // Pieces are all substrings of length ≤4 of the (2..12-char) word
+    // set; vocabulary keeps pieces seen ≥3 times plus ALL single chars
+    // (feasibility: every word segments into chars), cost = 1e6 div
+    // freq (integer, both engines identical). The DP is a fixed
+    // 12-position unroll — each position joins the ≤4 incoming edges
+    // against the table of already-solved prefixes, so the plan depth
+    // is the max word length, NOT data-dependent — and the value is the
+    // single integer m = cost·17 + pieces (pieces ≤ 12 < 17, so the
+    // lexicographic (cost, pieces) order is additive and min(m) IS the
+    // Viterbi optimum with fewest-pieces tie-break; no backtrack state).
+    // Shape at 100 TB: everything is vocabulary-sized after the first
+    // distinct-word aggregate; the unroll is 12 joins over
+    // (word, position) tables with lineage truncated per step.
+    CatalogQuery("txt_unigram_viterbi_tokenize", (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")).between(2, 12))
+        .groupBy(col("word")).agg(count(lit(1)).as("wfreq"))
+        .localCheckpoint()
+      val vocab = words.select(col("word"))
+        .select(explode(expr(
+          """flatten(transform(filter(sequence(1, 4), L -> L <= length(word)),
+            |  L -> transform(sequence(1, length(word) - L + 1),
+            |    p -> substring(word, p, L))))""".stripMargin)).as("piece"))
+        .groupBy(col("piece")).agg(count(lit(1)).as("pfreq"))
+        .filter(col("pfreq") >= 3 || length(col("piece")) === 1)
+        .select(col("piece"), expr("1000000 div pfreq").as("cost"))
+      val edges = words.select(col("word"))
+        .select(col("word"), explode(expr(
+          """flatten(transform(sequence(0, length(word) - 1), j ->
+            |  transform(sequence(j + 1, least(j + 4, length(word))), i ->
+            |    named_struct('j', j, 'i', i,
+            |      'piece', substring(word, j + 1, i - j)))))""".stripMargin)).as("e"))
+        .select(col("word"), col("e.j").as("j"), col("e.i").as("i"),
+          col("e.piece").as("piece"))
+        .join(vocab, Seq("piece"))
+        .select(col("word"), col("j"), col("i"), col("cost"))
+        .localCheckpoint()
+      var dp = words.select(col("word"))
+        .withColumn("i", lit(0)).withColumn("m", lit(0L)).localCheckpoint()
+      (1 to 12).foreach { i =>
+        val nxt = edges.filter(col("i") === i).as("e")
+          .join(dp.select(col("word"), col("i").as("j"), col("m")).as("p"),
+            col("e.word") === col("p.word") && col("e.j") === col("p.j"))
+          .groupBy(col("e.word").as("word"))
+          .agg(min(col("p.m") + col("e.cost") * 17 + 1).as("m"))
+          .withColumn("i", lit(i))
+        dp = dp.unionByName(nxt.select(col("word"), col("i"), col("m")))
+          .localCheckpoint()
+      }
+      dp.join(words, Seq("word"))
+        .filter(col("i") === length(col("word")))
+        .select(col("word"), col("wfreq"),
+          expr("m div 17").as("min_cost"),
+          expr("CAST(m % 17 AS BIGINT)").as("n_pieces"))
+    }, Some {
+      // MATERIALIZED is load-bearing: each dp level is referenced by the
+      // next four, and inlined CTEs would expand 4^12-fold
+      def dpCte(i: Int): String = {
+        val js = (math.max(0, i - 4) until i)
+          .map(j => s"SELECT word, $j AS j, m FROM dp$j")
+          .mkString("\n    UNION ALL ")
+        s"""dp$i AS MATERIALIZED (
+           |  SELECT e.word, min(p.m + e.cost * 17 + 1) AS m
+           |  FROM edges e JOIN (
+           |    $js) p
+           |    ON p.word = e.word AND e.j = p.j
+           |  WHERE e.i = $i GROUP BY 1)""".stripMargin
+      }
+      val res = (2 to 12)
+        .map(l => s"SELECT w.word, w.wfreq, d.m FROM words w JOIN dp$l d ON d.word = w.word AND length(w.word) = $l")
+        .mkString("\n  UNION ALL ")
+      s"""WITH words AS MATERIALIZED (
+         |  SELECT word, count(*)::BIGINT AS wfreq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+         |  WHERE length(word) BETWEEN 2 AND 12 GROUP BY 1),
+         |pieces AS (
+         |  SELECT piece, count(*)::BIGINT AS pfreq FROM (
+         |    SELECT unnest(flatten(list_transform(
+         |      list_filter(range(1, 5), L -> L <= length(word)),
+         |      L -> list_transform(range(1, length(word) - L + 2),
+         |        p -> substring(word, CAST(p AS INT), CAST(L AS INT)))))) AS piece
+         |    FROM words) t GROUP BY 1),
+         |vocab AS (
+         |  SELECT piece, 1000000 // pfreq AS cost FROM pieces
+         |  WHERE pfreq >= 3 OR length(piece) = 1),
+         |edges AS MATERIALIZED (
+         |  SELECT t.word, t.e.j AS j, t.e.i AS i, v.cost FROM (
+         |    SELECT word, unnest(flatten(list_transform(range(0, length(word)), j ->
+         |      list_transform(range(j + 1, least(j + 4, length(word)) + 1), i ->
+         |        struct_pack(j := j, i := i,
+         |          piece := substring(word, CAST(j + 1 AS INT), CAST(i - j AS INT))))))) AS e
+         |    FROM words) t JOIN vocab v ON v.piece = t.e.piece),
+         |dp0 AS MATERIALIZED (SELECT word, 0::BIGINT AS m FROM words),
+         |${(1 to 12).map(dpCte).mkString(",\n")},
+         |res AS (
+         |  $res)
+         |SELECT word, wfreq, m // 17 AS min_cost, CAST(m % 17 AS BIGINT) AS n_pieces
+         |FROM res""".stripMargin
+    }),
+
     CatalogQuery("txt_bpe_encode_learned", (s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("norm", expr(normExpr))

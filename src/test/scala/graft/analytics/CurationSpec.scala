@@ -407,6 +407,43 @@ class CurationSpec extends AnyFunSuite {
     }.filter(p => p._1 != p._2).toSet
   }
 
+  test("unigram Viterbi tokenization matches an independent driver DP") {
+    import spark.implicits._
+    val got = Catalog.queries("txt_unigram_viterbi_tokenize")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val words = graft.core.Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .flatMap(_.split(" ", -1)).filter(w => w.length >= 2 && w.length <= 12)
+    val wfreq = words.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val pfreq = wfreq.keys.toSeq
+      .flatMap(w => for {
+        l <- 1 to 4; if l <= w.length
+        p <- 0 to (w.length - l)
+      } yield w.substring(p, p + l))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val vocab = pfreq.collect {
+      case (p, f) if f >= 3 || p.length == 1 => p -> 1000000L / f
+    }
+    val exp = wfreq.map { case (w, f) =>
+      val dp = Array.fill(w.length + 1)(Long.MaxValue)
+      dp(0) = 0L
+      for (i <- 1 to w.length; j <- math.max(0, i - 4) until i) {
+        vocab.get(w.substring(j, i)).foreach { c =>
+          if (dp(j) != Long.MaxValue)
+            dp(i) = math.min(dp(i), dp(j) + c * 17 + 1)
+        }
+      }
+      w -> (f, dp(w.length) / 17, dp(w.length) % 17)
+    }
+    assert(got == exp, s"got ${got.size} words, expected ${exp.size}")
+    // the vocabulary must genuinely compress: some word segments into
+    // fewer pieces than characters, and nothing segments into zero
+    assert(got.exists { case (w, (_, _, np)) => np < w.length },
+      "some word must use a multi-char piece")
+    assert(got.values.forall(_._3 >= 1))
+  }
+
   test("large-star/small-star CC: true components; chain converges in O(log^2) rounds") {
     import spark.implicits._
     // ground truth by union-find over the full co-occurrence graph
