@@ -208,7 +208,11 @@ object ScaleStress {
       "gph_largestar_smallstar_cc",
       // r10: bitmap intersections — word tables are |universe|/64 rows;
       // pair joins must track word count, not id count
-      "agg_bitmap_overlap")
+      "agg_bitmap_overlap",
+      // r10: light agg/map-shaped additions — pairs mining, entity
+      // k-fold, CMS cells, per-user trace regex, Viterbi DP unroll
+      "prep_dpo_pairs", "smp_group_kfold", "agg_count_min_sketch",
+      "evt_pattern_match_regex", "txt_unigram_viterbi_tokenize")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =
