@@ -404,6 +404,122 @@ object IndexQueries {
         |FROM ov JOIN sizes sa ON sa.yr = year_a
         |JOIN sizes sb ON sb.yr = year_b""".stripMargin)),
 
+    // ---- streaming CMS serving: additive state under retries -------------
+    // The fourth serving loop (ann / BM25 / components / now counters),
+    // and the one that NEEDS exactly-once most: CMS cells are ADDITIVE
+    // state, so an at-least-once replay that re-adds a batch's
+    // increments double-counts silently — seq-LWW can't save a counter.
+    // Each micro-batch computes its (hrow, cell) increments, point-reads
+    // the current cells, writes old+delta, and commits through
+    // mergeOnce(batchId): a foreachBatch retry AFTER the commit recomputes
+    // a double-counted frame but the applied-id guard drops it — the
+    // precise failure mergeOnce's manifest exists for. Then the batch's
+    // frequency queries (fixed probe set, streamed) are served from a
+    // FRESH read: d point reads per probe, min over rows, absent cell
+    // = 0. The oracle replays the cumulative cell algebra as-of every
+    // batch in SQL — integer-exact serving at every point in stream
+    // time. 100 TB: increments are map-side-combined counts; the state
+    // is d×w cells regardless of event volume.
+    CatalogQuery("agg_stream_serve_cms", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      def cellS(j: Int, k: String): String =
+        s"pmod(CAST(conv(substr(md5(concat(CAST($k AS STRING), '|', '$j')), 1, 8), 16, 10) AS BIGINT), 64)"
+      val work = Q.scratch("cmsserve")
+      val ev = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 1 && col("l_quantity") < 41)
+        .select(col("l_partkey").as("k"),
+          expr("CAST((CAST(l_quantity AS BIGINT) - 1) div 10 AS INT)").as("b"))
+      val probes = Tables.lineitem(s, d).filter(col("l_partkey") % 97 === 0)
+        .select(col("l_partkey").as("k")).distinct()
+      (0 to 3).foreach { b =>
+        val chg = ev.filter(col("b") === b)
+          .select(lit("chg").as("kind"), lit(b.toLong).as("qb"), col("k"))
+        val qry = probes
+          .select(lit("qry").as("kind"), lit(b.toLong).as("qb"), col("k"))
+        val stageDir = s"$work/stage$b"
+        chg.unionByName(qry).coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val src = new java.io.File(stageDir).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        val inDir = java.nio.file.Paths.get(s"$work/in")
+        java.nio.file.Files.createDirectories(inDir)
+        val dest = inDir.resolve(f"b$b%02d.parquet")
+        java.nio.file.Files.move(src.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
+      }
+      val sink = new graft.sinks.SnapshotSink(s, s"$work/cells", Seq("hrow", "cell"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "kind STRING, qb BIGINT, k BIGINT")
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+      val q = stream.writeStream
+        .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) => {
+          import s.implicits._
+          val inc = batch.filter(col("kind") === "chg")
+            .select(col("k"), posexplode(array((0 to 3).map(j => expr(cellS(j, "k"))): _*)))
+            .groupBy(col("pos").cast("long").as("hrow"), col("col").as("cell"))
+            .agg(count(lit(1)).as("dn"))
+          val cur =
+            if (sink.exists) sink.read().select(col("hrow"), col("cell"), col("n"))
+            else Seq.empty[(Long, Long, Long)].toDF("hrow", "cell", "n")
+          // old + delta, checkpointed BEFORE the merge (the plan reads the
+          // generation the merge replaces); a post-commit retry recomputes
+          // a double-counted frame — mergeOnce's applied-id guard drops it
+          val upd = inc.join(cur, Seq("hrow", "cell"), "left")
+            .select(col("hrow"), col("cell"),
+              (coalesce(col("n"), lit(0L)) + col("dn")).as("n"))
+            .withColumn("op", lit(graft.core.ChangeLog.Update))
+            .withColumn("seq", lit(id)).localCheckpoint()
+          sink.mergeOnce(id, graft.core.AuditSeam.report(
+            "agg_stream_serve_cms/maintain", upd))
+          val qbv = batch.filter(col("kind") === "qry")
+            .agg(max(col("qb"))).head.getLong(0)
+          val pc = batch.filter(col("kind") === "qry").select(col("k"))
+            .select(col("k"), posexplode(array((0 to 3).map(j => expr(cellS(j, "k"))): _*)))
+            .select(col("k"), col("pos").cast("long").as("hrow"), col("col").as("cell"))
+          graft.core.AuditSeam.report("agg_stream_serve_cms/serve",
+            pc.join(sink.read().select(col("hrow"), col("cell"), col("n")),
+                Seq("hrow", "cell"), "left")
+              .groupBy(col("k").as("part_key"))
+              .agg(min(coalesce(col("n"), lit(0L))).as("cms_estimate"))
+              .select(lit(qbv).as("qbatch"), col("part_key"), col("cms_estimate")))
+            .write.mode("append").parquet(s"$work/out")
+        })
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out")
+        .dropDuplicates(Seq("qbatch", "part_key")) // task-retry copies
+        .select(col("qbatch"), col("part_key"), col("cms_estimate"))
+    }, Some {
+      def cellD(j: Int, k: String): String =
+        s"('0x' || substr(md5(CAST($k AS VARCHAR) || '|' || '$j'), 1, 8))::BIGINT % 64"
+      s"""WITH qb4 AS (SELECT unnest(range(0, 4)) AS qb),
+         |ev AS (
+         |  SELECT l_partkey AS k, (CAST(l_quantity AS BIGINT) - 1) // 10 AS b
+         |  FROM lineitem WHERE l_quantity >= 1 AND l_quantity < 41),
+         |hashed AS (
+         |  ${(0 to 3).map(j =>
+             s"SELECT b, ${j}::BIGINT AS hrow, ${cellD(j, "k")} AS cell FROM ev")
+             .mkString("\n  UNION ALL ")}),
+         |cells AS (
+         |  SELECT q.qb, h.hrow, h.cell, count(*)::BIGINT AS n
+         |  FROM qb4 q JOIN hashed h ON h.b <= q.qb
+         |  GROUP BY 1, 2, 3),
+         |probes AS (
+         |  SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_partkey % 97 = 0),
+         |pc AS (
+         |  ${(0 to 3).map(j =>
+             s"SELECT qb, k, ${j}::BIGINT AS hrow, ${cellD(j, "k")} AS cell FROM probes CROSS JOIN qb4")
+             .mkString("\n  UNION ALL ")})
+         |SELECT pc.qb AS qbatch, pc.k AS part_key,
+         |  CAST(min(coalesce(c.n, 0)) AS BIGINT) AS cms_estimate
+         |FROM pc LEFT JOIN cells c
+         |  ON c.qb = pc.qb AND c.hrow = pc.hrow AND c.cell = pc.cell
+         |GROUP BY 1, 2""".stripMargin
+    }),
+
     // Key-skew profiler: the pre-flight diagnostic for choosing salting
     // factors / AQE skew thresholds before a big join. Buckets keys by
     // frequency (power-of-2-ish bands) and reports per-band key and row

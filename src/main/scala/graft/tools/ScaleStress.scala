@@ -212,7 +212,10 @@ object ScaleStress {
       // r10: light agg/map-shaped additions — pairs mining, entity
       // k-fold, CMS cells, per-user trace regex, Viterbi DP unroll
       "prep_dpo_pairs", "smp_group_kfold", "agg_count_min_sketch",
-      "evt_pattern_match_regex", "txt_unigram_viterbi_tokenize")
+      "evt_pattern_match_regex", "txt_unigram_viterbi_tokenize",
+      // r10: streaming CMS serving — additive-state maintenance;
+      // per-batch cost = map-side-combined increments + d×w-bounded merge
+      "agg_stream_serve_cms")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

@@ -588,4 +588,35 @@ class IndexQueriesSpec extends SparkSpec {
     assert(got == exp, s"got ${got.size} pairs, expected ${exp.size}")
     assert(got.values.exists(_._3 > 0), "repeat customers must produce overlap")
   }
+
+  test("streaming CMS serving: per-batch estimates equal cumulative replay and grow") {
+    val got = Catalog.queries("agg_stream_serve_cms")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    def cell(j: Int, k: Long): (Long, Long) =
+      (j.toLong, java.lang.Long.parseLong(md5hex(s"$k|$j").take(8), 16) % 64)
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("CAST(l_partkey AS BIGINT) AS k", "CAST(l_quantity AS BIGINT) AS q")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val probes = li.map(_._1).distinct.filter(_ % 97 == 0)
+    val exp = (0 to 3).flatMap { qb =>
+      val evs = li.filter { case (_, q) => q >= 1 && q < 41 && (q - 1) / 10 <= qb }
+      val cells = evs.flatMap { case (k, _) => (0 to 3).map(j => cell(j, k)) }
+        .groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+      probes.map { k =>
+        (qb.toLong, k) -> (0 to 3).map(j => cells.getOrElse(cell(j, k), 0L)).min
+      }
+    }.toMap
+    assert(got == exp, s"got ${got.size} rows, expected ${exp.size}")
+    // the serving signal: estimates are non-decreasing in stream time
+    // (additive state never shrinks) and some probe's estimate GROWS
+    probes.foreach { k =>
+      (1 to 3).foreach(qb =>
+        assert(got((qb.toLong, k)) >= got((qb - 1L, k)), s"probe $k shrank at $qb"))
+    }
+    assert(probes.exists(k => got((3L, k)) > got((0L, k))),
+      "some probe's count must grow as batches land")
+  }
 }
