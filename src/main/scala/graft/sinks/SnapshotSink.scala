@@ -154,7 +154,16 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
 
   // ---- read --------------------------------------------------------------
 
-  /** Live rows (tombstones and bookkeeping hidden). */
+  /** Live rows (tombstones and bookkeeping hidden).
+    *
+    * Lifetime contract: the returned DataFrame is LAZY and pinned to the
+    * current manifest's generation directories. Generation retention
+    * matches manifest retention (current + predecessor), so the plan
+    * survives exactly ONE subsequent merge; a second merge GCs the
+    * generations it reads. Callers that interleave more than one merge
+    * before evaluating must `localCheckpoint()` first (the in-tree
+    * foreachBatch bodies do, under the AuditSeam discipline).
+    */
   def read(): DataFrame =
     readInternal().filter(!col("__deleted")).drop("__seq", "__deleted", "__bucket")
 
@@ -177,10 +186,15 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
   }
 
   /** Reap uncommitted garbage: staging, manifest tmps, and generation
-    * directories the current manifest does not reference (a crashed
-    * merge's staged generations, and committed merges' pre-GC leftovers
-    * — with a commit LOG these are the same thing: not-current). With no
-    * committed manifest at all, ALL data is uncommitted garbage.
+    * directories NO retained manifest references (a crashed merge's staged
+    * generations, and committed merges' post-retention leftovers). A
+    * generation referenced by ANY still-present manifest version survives
+    * — with the current+predecessor manifest retention this means a lazy
+    * DataFrame obtained from read()/readInternal() under manifest v stays
+    * evaluable across ONE subsequent merge (which retains v) and dies only
+    * at v+2: external callers get one merge of grace instead of an
+    * immediate deleted-file failure. With no committed manifest at all,
+    * ALL data is uncommitted garbage.
     */
   def recover(): Unit = swapLock.synchronized {
     val fs = hfs
@@ -188,33 +202,40 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     if (fs.exists(p(manifestPath)))
       fs.listStatus(p(manifestPath)).filter(_.getPath.getName.endsWith(".tmp"))
         .foreach(st => fs.delete(st.getPath, true))
-    val cur = currentManifest()
+    val retained: Seq[Manifest] =
+      if (!fs.exists(p(manifestPath))) Nil
+      else fs.listStatus(p(manifestPath)).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && !n.endsWith(".tmp") => n.drop(1).toLong }
+        .map(readManifest)
     if (fs.exists(p(dataPath))) {
       fs.listStatus(p(dataPath)).foreach { bst =>
         val name = bst.getPath.getName // __bucket=<b>
         val b = name.stripPrefix("__bucket=").toInt
-        val keep = cur.flatMap(_.buckets.get(b))
+        val keep = retained.flatMap(_.buckets.get(b)).toSet
         fs.listStatus(bst.getPath).foreach { gst =>
           val g = gst.getPath.getName.stripPrefix("__gen=").toLong
           if (!keep.contains(g)) fs.delete(gst.getPath, true)
         }
       }
-      if (cur.isEmpty) fs.delete(p(dataPath), true)
+      if (retained.isEmpty) fs.delete(p(dataPath), true)
     }
   }
 
-  /** Post-commit GC — same reaping as recover (everything not referenced
-    * by the just-committed manifest is garbage now), plus manifest
-    * retention: keep the current version and its predecessor.
+  /** Post-commit GC: manifest retention FIRST (keep the just-committed
+    * version and its predecessor), then the same reaping as recover — the
+    * order matters: pruning a manifest is what makes its exclusively-held
+    * generations garbage, so reaping before pruning would retain them one
+    * commit too long, and pruning without reaping would leak them.
     */
   private def gc(m: Manifest): Unit = {
-    recover()
     val fs = hfs
     fs.listStatus(p(manifestPath)).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("v") && !n.endsWith(".tmp") && n.drop(1).toLong < m.version - 1)
         fs.delete(st.getPath, false)
     }
+    recover()
   }
 
   // ---- merge -------------------------------------------------------------
@@ -265,9 +286,15 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
             .collect().map(_.getInt(0)).sorted
           if (touched.isEmpty) {
             // nothing to stage — but an id-carrying empty batch still
-            // commits its id (a replayed empty delta must stay a no-op)
-            if (batchId.isDefined)
-              commitManifest(Manifest(newVersion, m.buckets, newApplied))
+            // commits its id (a replayed empty delta must stay a no-op);
+            // gc keeps manifest retention bounded across consecutive
+            // empty batches (they'd otherwise accumulate until the next
+            // non-empty merge)
+            if (batchId.isDefined) {
+              val mm = Manifest(newVersion, m.buckets, newApplied)
+              commitManifest(mm)
+              gc(mm)
+            }
             return true
           }
           // manifest pruning keeps the read to the touched generations only
@@ -279,9 +306,24 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
       next.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(stagingPath)
       // stage each written bucket as generation <newVersion> — never
       // touching the live generation; invisible until the manifest commits
-      val staged = fs.listStatus(p(stagingPath)).toSeq
+      val written = fs.listStatus(p(stagingPath)).toSeq
         .map(_.getPath.getName).filter(_.startsWith("__bucket="))
         .map(_.stripPrefix("__bucket=").toInt).sorted
+      val staged =
+        if (written.nonEmpty) written
+        else {
+          // Empty FIRST batch (cur == None; the Some branch early-returns on
+          // touched.isEmpty). partitionBy of a 0-row frame writes no bucket
+          // dirs, and committing a zero-bucket manifest would wedge the sink
+          // forever (readCommitted rejects it). Stage bucket 0 as an explicit
+          // empty generation instead — same file layout partitionBy produces
+          // (no __bucket column in the data; the read reconstitutes it from
+          // the dir name) — so reads see an empty snapshot with the batch's
+          // schema and later merges proceed normally.
+          next.drop("__bucket").write.mode(SaveMode.Overwrite)
+            .parquet(s"$stagingPath/__bucket=0")
+          Seq(0)
+        }
       staged.foreach { b =>
         val dst = p(s"$dataPath/__bucket=$b/__gen=$newVersion")
         if (fs.exists(dst)) fs.delete(dst, true) // crashed prior attempt

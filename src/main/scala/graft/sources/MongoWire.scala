@@ -114,6 +114,10 @@ object MongoWire {
       case BLong(x) => out.write(0x12); cstr(name); i64(x)
       case BSymbol(x) => out.write(0x0e); cstr(name); bstr(x)
       case BDbPointer(ns, oid) =>
+        // fail fast on programmatic construction: a non-12-byte oid would
+        // silently emit a structurally corrupt document (decode always
+        // produces exactly 12)
+        require(oid.length == 12, s"DBPointer oid must be 12 bytes, got ${oid.length}")
         out.write(0x0c); cstr(name); bstr(ns); out.write(oid.toArray)
       case d: BDec128 =>
         // raw words re-emitted: bit-lossless round-trip by construction

@@ -189,6 +189,59 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(text.contains("applied 0 6"))
   }
 
+  test("an empty FIRST batch does not wedge the sink (zero-bucket manifest)") {
+    // foreachBatch can legitimately deliver an empty micro-batch before any
+    // data batch; the sink must record the id, serve an empty snapshot, and
+    // accept later merges — not commit a zero-bucket manifest that every
+    // subsequent read/merge rejects
+    val path = tmp()
+    val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
+    assert(sink.mergeOnce(0L, log().limit(0)))
+    assert(sink.exists)
+    assert(sink.read().count() == 0, "empty first batch reads as empty snapshot")
+    assert(!sink.mergeOnce(0L, log((9, "insert", 1, "POISON"))),
+      "the empty batch's id must be recorded")
+    assert(sink.mergeOnce(1L, log((1, "insert", 1, "a"), (2, "insert", 2, "b"))))
+    assert(sink.read().select("id", "v").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b"))
+    // and the un-id'd merge() path too
+    val path2 = tmp()
+    val sink2 = new SnapshotSink(spark, path2, Seq("id"), numBuckets = 4)
+    sink2.merge(log().limit(0))
+    assert(sink2.read().count() == 0)
+    sink2.merge(log((1, "insert", 7, "x")))
+    assert(sink2.read().count() == 1)
+  }
+
+  test("consecutive empty id-carrying batches keep manifest retention bounded") {
+    val path = tmp()
+    val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
+    assert(sink.mergeOnce(0L, log((1, "insert", 1, "a"))))
+    (1L to 5L).foreach(b => assert(sink.mergeOnce(b, log().limit(0))))
+    val manifests = Files.list(Paths.get(path, "manifest")).iterator().asScala
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSeq
+    assert(manifests.toSet == Set("v5", "v6"),
+      s"empty-batch commits must gc old manifests, got $manifests")
+    assert(sink.read().select("v").as[String].head() == "a")
+  }
+
+  test("a pre-merge read() plan survives exactly one subsequent merge") {
+    // the documented external-caller contract: generation retention matches
+    // manifest retention (current + predecessor), so a lazy read taken
+    // under manifest v stays evaluable across the merge that commits v+1
+    // and serves v's state (immutable generations = snapshot isolation)
+    val path = tmp()
+    val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
+    sink.merge(log((1, "insert", 1, "a"), (2, "insert", 2, "b")))
+    val preMerge = sink.read()
+    sink.merge(log((3, "update", 1, "a2"), (4, "insert", 3, "c")))
+    assert(preMerge.select("id", "v").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b"),
+      "pre-merge plan must evaluate against its pinned (retained) generations")
+    assert(sink.read().select("id", "v").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+  }
+
   test("Ranges: add/contains compact adjacent and out-of-order ids") {
     import SnapshotSink.Ranges
     var rs = List.empty[(Long, Long)]

@@ -86,6 +86,15 @@ class MongoWireSpec extends AnyFunSuite {
     assert(encodeDoc(d).map("%02x".format(_)).mkString == golden)
   }
 
+  test("encoding a malformed DBPointer oid fails fast, not corrupt bytes") {
+    // decode always yields 12 bytes; only programmatic construction can
+    // produce another length — the encoder must reject it rather than emit
+    // a structurally corrupt document
+    val bad = BVal.doc("p" -> BDbPointer("db.coll", Vector[Byte](1, 2, 3)))
+    val e = intercept[IllegalArgumentException](encodeDoc(bad))
+    assert(e.getMessage.contains("12 bytes"))
+  }
+
   test("decimal128 coefficient spans both words; domain edge is exact") {
     // 10^34 - 1 (max canonical coefficient) needs 113 bits: hi word bits
     // carry the top of the coefficient
