@@ -61,7 +61,12 @@ final case class Router(routes: Seq[Route], passthrough: Map[String, Column]) {
     val targets =
       if (knownTargets.nonEmpty) knownTargets.distinct
       else if (configComplete) fromConfig
-      else assigned.select(c).distinct().collect().map(_.getString(0)).toSeq
+      else graft.core.Bounded.collect(
+        assigned.select(c).distinct(), 10000,
+        s"Router.fanOut($targetCol)/data-scan",
+        "name every route target in the config (or pass knownTargets) so " +
+          "fan-out is config-bounded; a poisoned stream must not mint targets")
+        .map(_.getString(0)).toSeq
     targets.map(t => t -> assigned.filter(col(c) === t))
   }
 }
