@@ -64,6 +64,38 @@ object Bench {
     passes.drop(1).min
   }
 
+  /** Second calibration probe — the FILE-I/O twin of [[calibFrame]]. The
+    * r10 verdict showed the pure shuffle+agg probe normalizes same-host
+    * drift almost exactly (totals ratio 1.178 vs calib ratio 1.188 on the
+    * driver-vs-judge pair) but does NOT extrapolate across hosts: the
+    * headliner set is dominated by parquet scan/decode and stream-start
+    * costs a shuffle probe never touches. This probe writes a FIXED
+    * synthetic parquet once (content deterministic, size independent of
+    * the SF dir) and times read+aggregate over it, so `calib_io_sec`
+    * measures the host's file-path speed (listing, footer decode,
+    * decompression, row-group decode) the same way `calib_sec` measures
+    * its shuffle speed. Scan-bound query deltas normalize against
+    * `calib_io_sec`; shuffle/agg-bound deltas against `calib_sec`
+    * (SURVEY §8 records which headliner is which).
+    */
+  private[graft] def calibIoSetup(spark: SparkSession, dir: String,
+      rows: Long = 20000000L, parts: Int = 32): Unit = {
+    import org.apache.spark.sql.functions._
+    // v is modular so sum(v) stays far under Long.Max at any probe size
+    // (ANSI sum overflow would throw); pmod keeps it closed-form testable
+    spark.range(0L, rows, 1L, parts)
+      .select(col("id").as("k"), pmod(col("id") * 31L, lit(1000000L)).as("v"))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  private[graft] def calibIoFrame(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    // sum both columns: every row group is read and decoded end-to-end,
+    // and the single-row aggregate keeps shuffle out of the measurement
+    spark.read.parquet(dir).agg(sum("k").as("sk"), sum("v").as("sv"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -173,6 +205,29 @@ object Bench {
       calibSummary(ps)
     }
 
+    // file-I/O calibration probe, also off the query clock: setup (the
+    // one-time synthetic parquet write) is not timed; passes time
+    // read+agg only. Same discipline: discard codegen pass, min of two.
+    val calibIoSec = {
+      val dir = Files.createTempDirectory("graft-calib-io").toString + "/probe"
+      calibIoSetup(spark, dir)
+      def onePass(): Double = {
+        val t0 = System.nanoTime()
+        calibIoFrame(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val ps = Seq(onePass(), onePass(), onePass())
+      spark.catalog.clearCache()
+      System.gc()
+      val s = calibSummary(ps)
+      try {
+        val p = Paths.get(dir).getParent
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Files.deleteIfExists(f); () })
+      } catch { case _: Exception => () }
+      s
+    }
+
     // local iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the set
     // (the driver never sets it, so the round bench always runs everything)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -195,6 +250,7 @@ object Bench {
         s""""queries":${obj(warm)},"cold_total":${cold.map(_._2).sum},""" +
         s""""queries_cold":${obj(cold)},"passes":$passObj,""" +
         s""""contended":$contArr,"inverted":$invArr,"calib_sec":$calibSec,""" +
+        s""""calib_io_sec":$calibIoSec,""" +
         s""""ok":${allErrs.isEmpty},""" +
         s""""failed":${allErrs.size},"errors":$errObj,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

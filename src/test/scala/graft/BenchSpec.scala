@@ -56,4 +56,24 @@ class BenchSpec extends AnyFunSuite {
     assert(got.getLong(1) == rows)
     assert(got.getLong(2) == keys)
   }
+
+  test("calibIo probe: deterministic parquet content with closed-form sums") {
+    // the file-I/O calibration twin: setup writes a fixed synthetic
+    // parquet, the timed frame is a scan+single-row aggregate whose
+    // values are closed-form — so the probe's correctness (it really read
+    // every row) is checkable, not just its wall time
+    val spark = graft.core.Engine.local("graft-test", cores = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-calib-io-spec")
+      .toString + "/probe"
+    val rows = 100000L
+    Bench.calibIoSetup(spark, dir, rows = rows, parts = 4)
+    val got = Bench.calibIoFrame(spark, dir).head()
+    assert(got.getLong(0) == rows * (rows - 1) / 2)
+    // independent driver-side re-derivation of sum(pmod(31*id, 1e6))
+    val expectV = (0L until rows).map(i => (i * 31L) % 1000000L).sum
+    assert(got.getLong(1) == expectV)
+    // setup is idempotent (mode=overwrite): a re-run measures the same bytes
+    Bench.calibIoSetup(spark, dir, rows = rows, parts = 4)
+    assert(Bench.calibIoFrame(spark, dir).head().getLong(0) == rows * (rows - 1) / 2)
+  }
 }
