@@ -218,6 +218,231 @@ object CurationQueries {
          |FROM res""".stripMargin
     }),
 
+    // ---- unigram-LM EM trainer (the SentencePiece learn side) -------------
+    // txt_unigram_viterbi_tokenize consumes a frequency-derived vocabulary;
+    // this entry LEARNS one — hard-EM (Viterbi-EM), the integer-exact
+    // variant of the SentencePiece trainer: E-step = Viterbi-segment every
+    // word under current piece costs and count wfreq-weighted piece USAGE
+    // along the chosen path; M-step = re-cost kept pieces at
+    // 1e6 div (usage + 1) and PRUNE the bottom 20% of multi-char pieces by
+    // (usage desc, piece) rank (single chars always survive — feasibility).
+    // Two EM rounds, then tokenize with the LEARNED table. Every step is
+    // integer arithmetic with deterministic tie-breaks, so the oracle
+    // replays the ENTIRE EM algebra and the final segmentation hash-gates
+    // every intermediate (a drifted usage count or pruning rank changes
+    // costs, hence segmentations). Backtracking without per-row state: the
+    // chosen edge into position i is the min-j edge satisfying the Viterbi
+    // optimality equation dp[j] + w = dp[i] (both engines see identical
+    // integers, so identical paths), and the backward walk is a fixed
+    // 8-step unroll, like the forward DP. Word domain 2..8 chars keeps the
+    // unroll at 8; pieces ≤ 4 chars as in the apply entry. 100 TB:
+    // everything after the first distinct-word aggregate is
+    // vocabulary-sized; EM rounds are a CONSTANT number of bounded joins —
+    // corpus size only enters through wfreq weights.
+    CatalogQuery("txt_unigram_em_learn", (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")).between(2, 8))
+        .groupBy(col("word")).agg(count(lit(1)).as("wfreq"))
+        .localCheckpoint()
+      val vocab0 = words.select(col("word"))
+        .select(explode(expr(
+          """flatten(transform(filter(sequence(1, 4), L -> L <= length(word)),
+            |  L -> transform(sequence(1, length(word) - L + 1),
+            |    p -> substring(word, p, L))))""".stripMargin)).as("piece"))
+        .groupBy(col("piece")).agg(count(lit(1)).as("pfreq"))
+        .filter(col("pfreq") >= 3 || length(col("piece")) === 1)
+        .select(col("piece"), expr("1000000 div pfreq").as("cost"))
+        .localCheckpoint()
+      val allEdges = words.select(col("word"))
+        .select(col("word"), explode(expr(
+          """flatten(transform(sequence(0, length(word) - 1), j ->
+            |  transform(sequence(j + 1, least(j + 4, length(word))), i ->
+            |    named_struct('j', j, 'i', i,
+            |      'piece', substring(word, j + 1, i - j)))))""".stripMargin)).as("e"))
+        .select(col("word"), col("e.j").as("j"), col("e.i").as("i"),
+          col("e.piece").as("piece"))
+        .localCheckpoint()
+      def viterbi(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        var dp = words.select(col("word"))
+          .withColumn("i", lit(0)).withColumn("m", lit(0L)).localCheckpoint()
+        (1 to 8).foreach { i =>
+          val nxt = edges.filter(col("i") === i).as("e")
+            .join(dp.select(col("word"), col("i").as("j"), col("m")).as("p"),
+              col("e.word") === col("p.word") && col("e.j") === col("p.j"))
+            .groupBy(col("e.word").as("word"))
+            .agg(min(col("p.m") + col("e.cost") * 17 + 1).as("m"))
+            .withColumn("i", lit(i))
+          dp = dp.unionByName(nxt.select(col("word"), col("i"), col("m")))
+            .localCheckpoint()
+        }
+        dp
+      }
+      // wfreq-weighted usage along each word's chosen (min-j) optimal path
+      def usageOf(edges: org.apache.spark.sql.DataFrame,
+          dp: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val chosen = edges.as("e")
+          .join(dp.select(col("word"), col("i").as("j"), col("m").as("mj")).as("pj"),
+            col("e.word") === col("pj.word") && col("e.j") === col("pj.j"))
+          .join(dp.select(col("word"), col("i"), col("m").as("mi")).as("pi"),
+            col("e.word") === col("pi.word") && col("e.i") === col("pi.i"))
+          .filter(col("mj") + col("e.cost") * 17 + 1 === col("mi"))
+          .groupBy(col("e.word").as("word"), col("e.i").as("i"))
+          .agg(min(col("e.j")).as("j"))
+          .join(edges, Seq("word", "j", "i"))
+          .select(col("word"), col("j"), col("i"), col("piece"))
+          .localCheckpoint()
+        var sel = words.select(col("word"), lit("").as("piece")).limit(0)
+          .localCheckpoint()
+        var onpath = words
+          .select(col("word"), length(col("word")).cast("int").as("i"))
+          .localCheckpoint()
+        (1 to 8).reverse.foreach { i =>
+          val hit = onpath.filter(col("i") === i)
+            .join(chosen.filter(col("i") === i), Seq("word", "i"))
+          sel = sel.unionByName(hit.select(col("word"), col("piece"))).localCheckpoint()
+          onpath = onpath.unionByName(
+            hit.filter(col("j") > 0).select(col("word"), col("j").cast("int").as("i")))
+            .localCheckpoint()
+        }
+        sel.join(words, Seq("word"))
+          .groupBy(col("piece")).agg(sum(col("wfreq")).as("usage"))
+      }
+      // re-cost + prune: single chars always kept; multi-char pieces keep
+      // the top floor(0.8 n) by (usage desc, piece) — 5*rnk <= 4*tot is
+      // the integer form, identical in both engines
+      def mstep(vocab: org.apache.spark.sql.DataFrame,
+          usage: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val wEm = Window.partitionBy(expr("length(piece) = 1"))
+        vocab.select(col("piece")).join(usage, Seq("piece"), "left")
+          .select(col("piece"), coalesce(col("usage"), lit(0L)).as("usage"))
+          .withColumn("rnk",
+            row_number().over(wEm.orderBy(col("usage").desc, col("piece"))).cast("long"))
+          .withColumn("tot", count(lit(1)).over(wEm).cast("long"))
+          .filter(length(col("piece")) === 1 || col("rnk") * 5 <= col("tot") * 4)
+          .select(col("piece"), expr("1000000 div (usage + 1)").as("cost"))
+          .localCheckpoint()
+      }
+      def withCosts(vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        allEdges.join(vocab, Seq("piece"))
+          .select(col("word"), col("j"), col("i"), col("piece"), col("cost"))
+          .localCheckpoint()
+      val e0 = withCosts(vocab0)
+      val vocab1 = mstep(vocab0, usageOf(e0, viterbi(e0)))
+      val e1 = withCosts(vocab1)
+      val vocab2 = mstep(vocab1, usageOf(e1, viterbi(e1)))
+      val dpF = viterbi(withCosts(vocab2))
+      dpF.join(words, Seq("word"))
+        .filter(col("i") === length(col("word")))
+        .select(col("word"), col("wfreq"),
+          expr("m div 17").as("min_cost"),
+          expr("CAST(m % 17 AS BIGINT)").as("n_pieces"))
+    }, Some {
+      // the full EM algebra replayed: three Viterbi chains (8 materialized
+      // levels each — inlining would expand 4^8-fold per chain), two
+      // backward walks, two M-steps. Every tie-break is the entry's.
+      def dpChain(tag: String, et: String): String = {
+        def lvl(i: Int): String = {
+          val js = (math.max(0, i - 4) until i)
+            .map(j => s"SELECT word, $j AS j, m FROM d${tag}_$j")
+            .mkString("\n    UNION ALL ")
+          s"""d${tag}_$i AS MATERIALIZED (
+             |  SELECT e.word, min(p.m + e.cost * 17 + 1) AS m
+             |  FROM $et e JOIN (
+             |    $js) p
+             |    ON p.word = e.word AND e.j = p.j
+             |  WHERE e.i = $i GROUP BY 1)""".stripMargin
+        }
+        s"""d${tag}_0 AS MATERIALIZED (SELECT word, 0::BIGINT AS m FROM words),
+           |${(1 to 8).map(lvl).mkString(",\n")},
+           |dp$tag AS MATERIALIZED (
+           |  ${(0 to 8).map(i => s"SELECT word, $i AS i, m FROM d${tag}_$i")
+                .mkString("\n  UNION ALL ")})""".stripMargin
+      }
+      def walk(tag: String, et: String): String = {
+        val sels = (1 to 8).reverse.map { i =>
+          val src =
+            if (i == 8) s"SELECT word, 8 AS i FROM words WHERE length(word) = 8"
+            else
+              s"""SELECT word, $i AS i FROM words WHERE length(word) = $i
+                 |    UNION ALL ${((i + 1) to 8).map(k =>
+                      s"SELECT word, $i FROM sel${tag}_$k WHERE j = $i")
+                      .mkString("\n    UNION ALL ")}""".stripMargin
+          s"""sel${tag}_$i AS MATERIALIZED (
+             |  SELECT o.word, c.j, c.piece FROM (
+             |    $src) o JOIN chp$tag c ON c.word = o.word AND c.i = $i)""".stripMargin
+        }
+        s"""ch$tag AS MATERIALIZED (
+           |  SELECT e.word, e.i, min(e.j) AS j
+           |  FROM $et e
+           |  JOIN dp$tag pj ON pj.word = e.word AND pj.i = e.j
+           |  JOIN dp$tag pi ON pi.word = e.word AND pi.i = e.i
+           |  WHERE pj.m + e.cost * 17 + 1 = pi.m
+           |  GROUP BY 1, 2),
+           |chp$tag AS MATERIALIZED (
+           |  SELECT c.word, c.j, c.i, e.piece
+           |  FROM ch$tag c JOIN $et e
+           |    ON e.word = c.word AND e.j = c.j AND e.i = c.i),
+           |${sels.mkString(",\n")},
+           |usage$tag AS MATERIALIZED (
+           |  SELECT piece, CAST(sum(wfreq) AS BIGINT) AS usage FROM (
+           |    ${(1 to 8).map(i => s"SELECT word, piece FROM sel${tag}_$i")
+                  .mkString("\n    UNION ALL ")}) s
+           |  JOIN words USING (word) GROUP BY 1)""".stripMargin
+      }
+      def mstepSql(out: String, vin: String, utag: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT piece, 1000000 // (usage + 1) AS cost FROM (
+           |    SELECT v.piece, coalesce(u.usage, 0) AS usage,
+           |      row_number() OVER (PARTITION BY (length(v.piece) = 1)
+           |        ORDER BY coalesce(u.usage, 0) DESC, v.piece) AS rnk,
+           |      count(*) OVER (PARTITION BY (length(v.piece) = 1)) AS tot
+           |    FROM $vin v LEFT JOIN usage$utag u ON u.piece = v.piece) t
+           |  WHERE length(piece) = 1 OR rnk * 5 <= tot * 4)""".stripMargin
+      def edgesSql(out: String, vin: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT a.word, a.j, a.i, a.piece, v.cost
+           |  FROM alledges a JOIN $vin v USING (piece))""".stripMargin
+      val res = (2 to 8)
+        .map(l => s"SELECT w.word, w.wfreq, d.m FROM words w JOIN dF_$l d ON d.word = w.word AND length(w.word) = $l")
+        .mkString("\n  UNION ALL ")
+      s"""WITH words AS MATERIALIZED (
+         |  SELECT word, count(*)::BIGINT AS wfreq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+         |  WHERE length(word) BETWEEN 2 AND 8 GROUP BY 1),
+         |pieces AS (
+         |  SELECT piece, count(*)::BIGINT AS pfreq FROM (
+         |    SELECT unnest(flatten(list_transform(
+         |      list_filter(range(1, 5), L -> L <= length(word)),
+         |      L -> list_transform(range(1, length(word) - L + 2),
+         |        p -> substring(word, CAST(p AS INT), CAST(L AS INT)))))) AS piece
+         |    FROM words) t GROUP BY 1),
+         |vocab0 AS MATERIALIZED (
+         |  SELECT piece, 1000000 // pfreq AS cost FROM pieces
+         |  WHERE pfreq >= 3 OR length(piece) = 1),
+         |alledges AS MATERIALIZED (
+         |  SELECT t.word, t.e.j AS j, t.e.i AS i, t.e.piece AS piece FROM (
+         |    SELECT word, unnest(flatten(list_transform(range(0, length(word)), j ->
+         |      list_transform(range(j + 1, least(j + 4, length(word)) + 1), i ->
+         |        struct_pack(j := j, i := i,
+         |          piece := substring(word, CAST(j + 1 AS INT), CAST(i - j AS INT))))))) AS e
+         |    FROM words) t),
+         |${edgesSql("e0", "vocab0")},
+         |${dpChain("0", "e0")},
+         |${walk("0", "e0")},
+         |${mstepSql("vocab1", "vocab0", "0")},
+         |${edgesSql("e1", "vocab1")},
+         |${dpChain("1", "e1")},
+         |${walk("1", "e1")},
+         |${mstepSql("vocab2", "vocab1", "1")},
+         |${edgesSql("eF", "vocab2")},
+         |${dpChain("F", "eF")},
+         |res AS (
+         |  $res)
+         |SELECT word, wfreq, m // 17 AS min_cost, CAST(m % 17 AS BIGINT) AS n_pieces
+         |FROM res""".stripMargin
+    }),
+
     CatalogQuery("txt_bpe_encode_learned", (s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("norm", expr(normExpr))

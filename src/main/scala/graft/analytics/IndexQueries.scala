@@ -520,6 +520,147 @@ object IndexQueries {
          |GROUP BY 1, 2""".stripMargin
     }),
 
+    // ---- time-decayed CMS serving: counts age out -------------------------
+    // The production heavy-hitters shape: recent traffic matters, stale
+    // counts decay away. Exponential decay is factored as INTEGER
+    // per-batch halving — at every micro-batch boundary EVERY cell ages
+    // n -> n div 2 before the batch's increments add — so the oracle
+    // replays the exact fold (floor-div on non-negative BIGINTs crosses
+    // engines bit-exactly; a float λ would not). Batch 3 carries ONLY
+    // queries (an idle window): its estimates are served from purely
+    // decayed state, provably BELOW the batch-2 answers (spec-gated).
+    // Decay makes the state non-idempotent in a stronger sense than
+    // additive counters — a replayed batch would decay AGAIN, so even an
+    // increment-free replay corrupts state; mergeOnce's applied-id guard
+    // (recorded in the same manifest rename as the data) is again the
+    // precise fix. 100 TB: the decay rewrite touches d×w = 256 cells —
+    // the whole point of a sketch is that "full state" is a constant —
+    // while increments stay map-side-combined counts of the batch.
+    CatalogQuery("agg_stream_serve_cms_decay", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      def cellS(j: Int, k: String): String =
+        s"pmod(CAST(conv(substr(md5(concat(CAST($k AS STRING), '|', '$j')), 1, 8), 16, 10) AS BIGINT), 64)"
+      val work = Q.scratch("cmsdecay")
+      val ev = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 1 && col("l_quantity") < 31)
+        .select(col("l_partkey").as("k"),
+          expr("CAST((CAST(l_quantity AS BIGINT) - 1) div 10 AS INT)").as("b"))
+      val probes = Tables.lineitem(s, d).filter(col("l_partkey") % 97 === 0)
+        .select(col("l_partkey").as("k")).distinct()
+      (0 to 3).foreach { b =>
+        // batch 3 is the idle window: no changes, queries only
+        val chg = ev.filter(col("b") === b && lit(b < 3))
+          .select(lit("chg").as("kind"), lit(b.toLong).as("qb"), col("k"))
+        val qry = probes
+          .select(lit("qry").as("kind"), lit(b.toLong).as("qb"), col("k"))
+        val stageDir = s"$work/stage$b"
+        chg.unionByName(qry).coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val src = new java.io.File(stageDir).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        val inDir = java.nio.file.Paths.get(s"$work/in")
+        java.nio.file.Files.createDirectories(inDir)
+        val dest = inDir.resolve(f"b$b%02d.parquet")
+        java.nio.file.Files.move(src.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
+      }
+      val sink = new graft.sinks.SnapshotSink(s, s"$work/cells", Seq("hrow", "cell"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "kind STRING, qb BIGINT, k BIGINT")
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+      val q = stream.writeStream
+        .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) => {
+          import s.implicits._
+          val inc = batch.filter(col("kind") === "chg")
+            .select(col("k"), posexplode(array((0 to 3).map(j => expr(cellS(j, "k"))): _*)))
+            .groupBy(col("pos").cast("long").as("hrow"), col("col").as("cell"))
+            .agg(count(lit(1)).as("dn"))
+          val cur =
+            if (sink.exists) sink.read().select(col("hrow"), col("cell"), col("n"))
+            else Seq.empty[(Long, Long, Long)].toDF("hrow", "cell", "n")
+          // decay EVERY live cell, then add this batch's increments; full
+          // outer so increment-only cells are born and idle cells still
+          // age. Checkpointed before the merge (plan reads the generation
+          // the merge replaces); a post-commit retry would decay TWICE —
+          // the applied-id guard drops it.
+          val upd = cur.join(inc, Seq("hrow", "cell"), "full")
+            .select(col("hrow"), col("cell"),
+              (expr("coalesce(n, CAST(0 AS BIGINT)) div 2") +
+                coalesce(col("dn"), lit(0L))).as("n"))
+            .withColumn("op", lit(graft.core.ChangeLog.Update))
+            .withColumn("seq", lit(id)).localCheckpoint()
+          sink.mergeOnce(id, graft.core.AuditSeam.report(
+            "agg_stream_serve_cms_decay/maintain", upd))
+          val qbv = batch.filter(col("kind") === "qry")
+            .agg(max(col("qb"))).head.getLong(0)
+          val pc = batch.filter(col("kind") === "qry").select(col("k"))
+            .select(col("k"), posexplode(array((0 to 3).map(j => expr(cellS(j, "k"))): _*)))
+            .select(col("k"), col("pos").cast("long").as("hrow"), col("col").as("cell"))
+          graft.core.AuditSeam.report("agg_stream_serve_cms_decay/serve",
+            pc.join(sink.read().select(col("hrow"), col("cell"), col("n")),
+                Seq("hrow", "cell"), "left")
+              .groupBy(col("k").as("part_key"))
+              .agg(min(coalesce(col("n"), lit(0L))).as("cms_estimate"))
+              .select(lit(qbv).as("qbatch"), col("part_key"), col("cms_estimate")))
+            .write.mode("append").parquet(s"$work/out")
+        })
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out")
+        .dropDuplicates(Seq("qbatch", "part_key")) // task-retry copies
+        .select(col("qbatch"), col("part_key"), col("cms_estimate"))
+    }, Some {
+      def cellD(j: Int, k: String): String =
+        s"('0x' || substr(md5(CAST($k AS VARCHAR) || '|' || '$j'), 1, 8))::BIGINT % 64"
+      // the decay fold unrolls batch-by-batch; each level references the
+      // previous, so the chain is MATERIALIZED (inlining would expand the
+      // FULL-JOIN chain exponentially)
+      s"""WITH ev AS (
+         |  SELECT l_partkey AS k, (CAST(l_quantity AS BIGINT) - 1) // 10 AS b
+         |  FROM lineitem WHERE l_quantity >= 1 AND l_quantity < 31),
+         |hashed AS (
+         |  ${(0 to 3).map(j =>
+             s"SELECT b, ${j}::BIGINT AS hrow, ${cellD(j, "k")} AS cell FROM ev")
+             .mkString("\n  UNION ALL ")}),
+         |incs AS MATERIALIZED (
+         |  SELECT b, hrow, cell, count(*)::BIGINT AS dn
+         |  FROM hashed GROUP BY 1, 2, 3),
+         |c0 AS MATERIALIZED (
+         |  SELECT hrow, cell, dn AS n FROM incs WHERE b = 0),
+         |c1 AS MATERIALIZED (
+         |  SELECT coalesce(a.hrow, i.hrow) AS hrow, coalesce(a.cell, i.cell) AS cell,
+         |    coalesce(a.n, 0) // 2 + coalesce(i.dn, 0) AS n
+         |  FROM c0 a FULL JOIN (SELECT * FROM incs WHERE b = 1) i
+         |    ON a.hrow = i.hrow AND a.cell = i.cell),
+         |c2 AS MATERIALIZED (
+         |  SELECT coalesce(a.hrow, i.hrow) AS hrow, coalesce(a.cell, i.cell) AS cell,
+         |    coalesce(a.n, 0) // 2 + coalesce(i.dn, 0) AS n
+         |  FROM c1 a FULL JOIN (SELECT * FROM incs WHERE b = 2) i
+         |    ON a.hrow = i.hrow AND a.cell = i.cell),
+         |c3 AS MATERIALIZED (
+         |  SELECT hrow, cell, n // 2 AS n FROM c2),
+         |cells AS (
+         |  SELECT 0::BIGINT AS qb, * FROM c0 UNION ALL
+         |  SELECT 1::BIGINT, * FROM c1 UNION ALL
+         |  SELECT 2::BIGINT, * FROM c2 UNION ALL
+         |  SELECT 3::BIGINT, * FROM c3),
+         |probes AS (
+         |  SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_partkey % 97 = 0),
+         |qb4 AS (SELECT unnest(range(0, 4)) AS qb),
+         |pc AS (
+         |  ${(0 to 3).map(j =>
+             s"SELECT qb, k, ${j}::BIGINT AS hrow, ${cellD(j, "k")} AS cell FROM probes CROSS JOIN qb4")
+             .mkString("\n  UNION ALL ")})
+         |SELECT pc.qb AS qbatch, pc.k AS part_key,
+         |  CAST(min(coalesce(c.n, 0)) AS BIGINT) AS cms_estimate
+         |FROM pc LEFT JOIN cells c
+         |  ON c.qb = pc.qb AND c.hrow = pc.hrow AND c.cell = pc.cell
+         |GROUP BY 1, 2""".stripMargin
+    }),
+
     // Key-skew profiler: the pre-flight diagnostic for choosing salting
     // factors / AQE skew thresholds before a big join. Buckets keys by
     // frequency (power-of-2-ish bands) and reports per-band key and row
@@ -1156,9 +1297,14 @@ object IndexQueries {
             .select(col("qb"), col("term"))
           val qbv = qrows.agg(max(col("qb"))).head.getLong(0)
           // the terms COME FROM the stream; sorted so the double-addition
-          // fold order is deterministic (and matched by the oracle)
-          val terms = qrows.select(col("term")).distinct()
-            .collect().map(_.getString(0)).sorted.toSeq
+          // fold order is deterministic (and matched by the oracle). A
+          // query batch carries a few terms by construction — enforced:
+          val terms = graft.core.Bounded.collect(
+            qrows.select(col("term")).distinct(), 10000,
+            "idx_stream_serve_bm25/query-terms",
+            "a query batch must stay a bounded term set; split oversized " +
+              "query traffic into smaller micro-batches")
+            .map(_.getString(0)).sorted.toSeq
           val perDoc = bm25Scores(postings.read(), docState.read(), terms)
           val top = perDoc.orderBy(col("score").desc, col("doc_id").asc).limit(10)
           graft.core.AuditSeam.report("idx_stream_serve_bm25/serve",
@@ -1392,12 +1538,14 @@ object IndexQueries {
       when(col("text").isNotNull, size(split(col("text"), " ")).cast("long")))
   }
 
-  /** (term, doc, tf, seg) posting entries of a set of live documents. */
-  private def docEntries(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = df
+  /** (term, doc, tf, seg) posting entries of a set of live documents;
+    * `segDiv` sets the birth-segment granularity (doc_id div segDiv).
+    */
+  private def docEntries(df: org.apache.spark.sql.DataFrame,
+      segDiv: Long = 1000L): org.apache.spark.sql.DataFrame = df
     .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-    .withColumn("seg", expr("doc_id div 1000"))
+    .withColumn("seg", expr(s"doc_id div $segDiv"))
 
   /** One maintenance step of the (term, segment)-keyed postings + the
     * doc-state sink for change batch `ch`. Old images are looked up

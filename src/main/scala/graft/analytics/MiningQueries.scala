@@ -388,9 +388,14 @@ object MiningQueries {
             greatest(col("lu"), col("lv")).as("lb")).distinct()
         // bounded collect: distinct label pairs touched by THIS batch,
         // ≤ |ΔE| rows — the merge-group graph production union-finds on
-        // the driver too (GraphX IncrementalCC does the same)
+        // the driver too (GraphX IncrementalCC does the same); the bound
+        // is ENFORCED, not just commented
         val mapping = mergeGroups(
-          lpairs.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))))
+          graft.core.Bounded.collect(lpairs, 1 << 20,
+            "gph_cdc_maintained_components/label-pairs",
+            "shard the edge delta into smaller micro-batches, or rebuild " +
+              "distributed via gph_largestar_smallstar_cc")
+            .toSeq.map(r => (r.getLong(0), r.getLong(1))))
         val newV = delta.select(explode(array(col("u"), col("v"))).as("vtx"))
           .distinct().join(lab, Seq("vtx"), "left_anti")
         val mdf = broadcast(
@@ -533,8 +538,13 @@ object MiningQueries {
                 .select(least(col("lu"), col("lv")).as("la"),
                   greatest(col("lu"), col("lv")).as("lb")).distinct()
               // bounded collect: ≤ |ΔE| distinct touched-label pairs
+              // (enforced — an unbounded delta raises a diagnostic, not OOM)
               val mapping = mergeGroups(
-                lpairs.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))))
+                graft.core.Bounded.collect(lpairs, 1 << 20,
+                  "gph_stream_serve_components/label-pairs",
+                  "shard the edge delta into smaller micro-batches, or " +
+                    "rebuild distributed via gph_largestar_smallstar_cc")
+                  .toSeq.map(r => (r.getLong(0), r.getLong(1))))
               val mdf = broadcast(mapping.toSeq.toDF("old_lbl", "new_lbl"))
               val moved = lab.join(mdf, col("lbl") === col("old_lbl"))
               val newRows = delta.select(explode(array(col("u"), col("v"))).as("vtx"))
@@ -1442,7 +1452,10 @@ object MiningQueries {
     // user_id and a per-user ordered fold (trace length = the user's
     // activity; production windows the trace by session/day before
     // folding — the evt_session_windows cut, documented bound); the
-    // regex scan is a pure map stage.
+    // regex scan is a pure map stage. PRODUCTION FORM: this entry folds
+    // each user's FULL trace — unbounded state for a long-lived user; use
+    // evt_pattern_match_sessions (below), which bounds the folded trace
+    // by the 10-minute-gap session cut, at scale.
     CatalogQuery("evt_pattern_match_regex", (s, d) => {
       val trace = Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"),
@@ -1466,6 +1479,66 @@ object MiningQueries {
         |      AS trace
         |  FROM events GROUP BY 1)
         |SELECT user_id, trace,
+        |  CAST(len(regexp_extract_all(trace, 's[cv]*p')) AS BIGINT) AS n_funnel,
+        |  CAST(len(regexp_extract_all(trace, 'e[cv]*e')) AS BIGINT) AS n_error_retry,
+        |  coalesce(CAST(list_max(list_transform(
+        |    regexp_extract_all(trace, 'v+'), x -> length(x))) AS BIGINT),
+        |    CAST(0 AS BIGINT)) AS longest_view_run
+        |FROM trace""".stripMargin)),
+
+    // ---- session-bounded event-pattern matching ---------------------------
+    // The production form of evt_pattern_match_regex: the same three
+    // Kleene patterns, but the folded trace is a SESSION (10-minute gap —
+    // the evt_session_windows cut), not the user's lifetime. State per
+    // fold is gap-bounded (a session ends after 10 idle minutes, so trace
+    // length is bounded by sustained activity inside one session — the
+    // Flink-CEP within-window discipline), which is what makes the
+    // operator safe for a multi-year 100 TB event log: a power user's
+    // trace never grows beyond their busiest session. Shape: one shuffle
+    // on user_id (the session cut and the per-session fold share it),
+    // then a pure regex map stage. Session identity = its start ts.
+    CatalogQuery("evt_pattern_match_sessions", (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ini"))
+        .withColumn("us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+        .withColumn("new_sess",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > lit(600000000L),
+            lit(1)).otherwise(lit(0)))
+        .withColumn("sess_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val trace = flagged
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("ts")).as("session_start"),
+          concat_ws("", expr(
+            "transform(sort_array(collect_list(struct(ts, event_id, ini))), x -> x.ini)"))
+            .as("trace"))
+      trace.select(col("user_id"), col("session_start"), col("trace"),
+        expr("CAST(size(regexp_extract_all(trace, 's[cv]*p', 0)) AS BIGINT)")
+          .as("n_funnel"),
+        expr("CAST(size(regexp_extract_all(trace, 'e[cv]*e', 0)) AS BIGINT)")
+          .as("n_error_retry"),
+        expr("""coalesce(CAST(array_max(transform(
+               |  regexp_extract_all(trace, 'v+', 0), x -> length(x))) AS BIGINT),
+               |  CAST(0 AS BIGINT))""".stripMargin).as("longest_view_run"))
+    }, Some(
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS ini,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged),
+        |trace AS (
+        |  SELECT user_id, sess_id, min(ts) AS session_start,
+        |    string_agg(ini, '' ORDER BY ts, event_id) AS trace
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT user_id, session_start, trace,
         |  CAST(len(regexp_extract_all(trace, 's[cv]*p')) AS BIGINT) AS n_funnel,
         |  CAST(len(regexp_extract_all(trace, 'e[cv]*e')) AS BIGINT) AS n_error_retry,
         |  coalesce(CAST(list_max(list_transform(

@@ -444,6 +444,76 @@ class CurationSpec extends AnyFunSuite {
     assert(got.values.forall(_._3 >= 1))
   }
 
+  test("unigram EM learn: full hard-EM replay matches; pruning drops genuinely-redundant pieces") {
+    import spark.implicits._
+    val got = Catalog.queries("txt_unigram_em_learn")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val wordsArr = graft.core.Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .flatMap(_.split(" ", -1)).filter(w => w.length >= 2 && w.length <= 8)
+    val wfreq = wordsArr.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val pfreq = wfreq.keys.toSeq
+      .flatMap(w => for { l <- 1 to 4; if l <= w.length; p <- 0 to (w.length - l) }
+        yield w.substring(p, p + l))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val vocab0 = pfreq.collect {
+      case (p, f) if f >= 3 || p.length == 1 => p -> 1000000L / f
+    }.toMap
+    def dpOf(w: String, vocab: Map[String, Long]): Array[Long] = {
+      val dp = Array.fill(w.length + 1)(Long.MaxValue)
+      dp(0) = 0L
+      for (i <- 1 to w.length; j <- math.max(0, i - 4) until i)
+        vocab.get(w.substring(j, i)).foreach { c =>
+          if (dp(j) != Long.MaxValue) dp(i) = math.min(dp(i), dp(j) + c * 17 + 1)
+        }
+      dp
+    }
+    // the entry's backtrack rule: at each position the chosen edge is the
+    // MIN-J edge satisfying the Viterbi optimality equation
+    def chosenPath(w: String, vocab: Map[String, Long]): Seq[String] = {
+      val dp = dpOf(w, vocab)
+      var i = w.length
+      val out = Seq.newBuilder[String]
+      while (i > 0) {
+        val j = (math.max(0, i - 4) until i).find { j =>
+          vocab.get(w.substring(j, i))
+            .exists(c => dp(j) != Long.MaxValue && dp(j) + c * 17 + 1 == dp(i))
+        }.get
+        out += w.substring(j, i)
+        i = j
+      }
+      out.result()
+    }
+    def usageOf(vocab: Map[String, Long]): Map[String, Long] =
+      wfreq.toSeq.flatMap { case (w, f) => chosenPath(w, vocab).map(_ -> f) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    def mstep(vocab: Map[String, Long], usage: Map[String, Long]): Map[String, Long] = {
+      val u = vocab.keys.map(p => p -> usage.getOrElse(p, 0L)).toMap
+      val multi = u.filter(_._1.length >= 2).toSeq
+        .sortBy { case (p, us) => (-us, p) }
+      val kept = multi.take(multi.size * 4 / 5) ++ u.filter(_._1.length == 1)
+      kept.map { case (p, us) => p -> 1000000L / (us + 1) }.toMap
+    }
+    val u1 = usageOf(vocab0)
+    val vocab1 = mstep(vocab0, u1)
+    val vocab2 = mstep(vocab1, usageOf(vocab1))
+    val exp = wfreq.map { case (w, f) =>
+      val m = dpOf(w, vocab2)(w.length)
+      w -> (f, m / 17, m % 17)
+    }
+    assert(got == exp, s"got ${got.size} words, expected ${exp.size}")
+    // the pruning pin: round 1 must drop a piece that is corpus-frequent
+    // (it EARNED a vocab0 slot, pfreq >= 3) yet never chosen by any
+    // optimal segmentation — the genuinely-redundant case EM exists for
+    val pruned = vocab0.keySet.filter(_.length >= 2) -- vocab1.keySet
+    assert(pruned.nonEmpty, "EM round 1 must prune some multi-char piece")
+    assert(pruned.exists(p => u1.getOrElse(p, 0L) == 0L && pfreq(p) >= 3),
+      "some pruned piece must be corpus-frequent but never used")
+    // and feasibility survives pruning: every word still segments
+    assert(got.values.forall(_._3 >= 1))
+  }
+
   test("large-star/small-star CC: true components; chain converges in O(log^2) rounds") {
     import spark.implicits._
     // ground truth by union-find over the full co-occurrence graph

@@ -619,4 +619,42 @@ class IndexQueriesSpec extends SparkSpec {
     assert(probes.exists(k => got((3L, k)) > got((0L, k))),
       "some probe's count must grow as batches land")
   }
+
+  test("time-decayed CMS serving: per-batch estimates equal the decay-fold replay and shrink when idle") {
+    val got = Catalog.queries("agg_stream_serve_cms_decay")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    def cell(j: Int, k: Long): (Long, Long) =
+      (j.toLong, java.lang.Long.parseLong(md5hex(s"$k|$j").take(8), 16) % 64)
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("CAST(l_partkey AS BIGINT) AS k", "CAST(l_quantity AS BIGINT) AS q")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val probes = li.map(_._1).distinct.filter(_ % 97 == 0)
+    // the independent decay fold: state_b = (state_{b-1} div 2) + inc_b,
+    // batch 3 increment-free — exactly the entry's per-batch algebra
+    var state = Map.empty[(Long, Long), Long]
+    val exp = (0 to 3).flatMap { qb =>
+      val inc =
+        if (qb == 3) Map.empty[(Long, Long), Long]
+        else li.filter { case (_, q) => q >= 1 && q < 31 && (q - 1) / 10 == qb }
+          .flatMap { case (k, _) => (0 to 3).map(j => cell(j, k)) }
+          .groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+      state = (state.keySet ++ inc.keySet).map(c =>
+        c -> (state.getOrElse(c, 0L) / 2 + inc.getOrElse(c, 0L))).toMap
+      probes.map { k =>
+        (qb.toLong, k) -> (0 to 3).map(j => state.getOrElse(cell(j, k), 0L)).min
+      }
+    }.toMap
+    assert(got == exp, s"got ${got.size} rows, expected ${exp.size}")
+    // the decay signal: after the idle batch every probe's estimate is at
+    // most half its previous answer, and some nonzero probe genuinely DROPS
+    probes.foreach { k =>
+      assert(got((3L, k)) <= got((2L, k)) / 2,
+        s"probe $k must decay through the idle window")
+    }
+    assert(probes.exists(k => got((2L, k)) > 0 && got((3L, k)) < got((2L, k))),
+      "some live probe's estimate must decrease after the idle window")
+  }
 }

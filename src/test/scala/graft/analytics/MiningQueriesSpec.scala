@@ -893,4 +893,43 @@ class MiningQueriesSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0), "some funnel match expected")
     assert(got.values.exists(_._4 >= 2), "some multi-view run expected")
   }
+
+  test("session-bounded event-pattern matching: gap cut + per-session Kleene counts match a driver fold") {
+    val got = q("evt_pattern_match_sessions")
+      .selectExpr("user_id", "CAST(session_start AS STRING) AS ss", "trace",
+        "n_funnel", "n_error_retry", "longest_view_run")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val evs = graft.core.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us", "CAST(ts AS STRING) AS tss",
+        "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getString(4)))
+    val exp = evs.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._4)) // (micros, event_id)
+      // 10-minute-gap session fold — the independent re-derivation of the cut
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Long, String, Long, String)]]) {
+        case (acc, e) => acc match {
+          case cur :: rest if e._2 - cur.head._2 <= 600000000L => (e :: cur) :: rest
+          case _ => List(e) :: acc
+        }
+      }.map(_.reverse).reverse
+      sessions.map { sess =>
+        val trace = sess.map(_._5.head).mkString
+        def cnt(p: String): Long = p.r.findAllMatchIn(trace).length.toLong
+        val runs = "v+".r.findAllIn(trace).map(_.length.toLong).toSeq
+        (uid, sess.head._3) -> (trace, cnt("s[cv]*p"), cnt("e[cv]*e"),
+          if (runs.isEmpty) 0L else runs.max)
+      }
+    }.toMap
+    assert(got == exp, s"got ${got.size} sessions, expected ${exp.size}")
+    // the bound is REAL: sessionization must split at least one user's
+    // lifetime trace (more sessions than users), and signal survives the
+    // cut (some in-session funnel match)
+    val users = exp.keys.map(_._1).toSet
+    assert(exp.size > users.size, "the 10-minute gap must split some user's trace")
+    assert(got.values.exists(_._2 > 0), "some in-session funnel match expected")
+  }
 }
