@@ -1449,6 +1449,99 @@ object IndexQueries {
         |    AS plist_str
         |FROM mapped GROUP BY 1, 2""".stripMargin)),
 
+    // ---- compaction INSIDE the maintenance loop ---------------------------
+    // idx_cdc_segment_compaction runs the tiered policy once, post-hoc;
+    // this entry runs it per-batch through [[maintainCompactingBatch]]:
+    // each change batch merges its touched rows AND, when small segments
+    // pile past the trigger, the merge plan packs them in the SAME commit.
+    // Segment identity is tracked via the in-sink remap (see the
+    // maintenance step's scaladoc); the gated max_batch_segs column
+    // carries the bound the loop exists to enforce — segment count stays
+    // bounded across batches (regimeGuard trips past 16), while the
+    // naive loop would accrue ~5 birth segments per insert batch forever.
+    // The oracle replays the full per-batch remap fold (live counts →
+    // eligibility → rank-packed merge targets) and the final postings.
+    CatalogQuery("idx_cdc_compacted_postings", (s, d) => {
+      val work = Q.scratch("cmpidx")
+      val docState = new graft.sinks.SnapshotSink(s, s"$work/docs", Seq("doc_id"))
+      val postings = new graft.sinks.SnapshotSink(s, s"$work/postings",
+        Seq("term", "seg"))
+      var maxSegs = 0L
+      (0 to 3).foreach { b =>
+        val n = maintainCompactingBatch(docState, postings,
+          docChangeBatch(s, d, b), b.toLong, "idx_cdc_compacted_postings")
+        maxSegs = math.max(maxSegs, n)
+      }
+      postings.read().filter(col("seg") >= 0)
+        .select(col("term"), col("seg"), col("n_docs"),
+          expr("""array_join(transform(plist,
+            |  p -> concat(CAST(p.doc_id AS STRING), ':', CAST(p.tf AS STRING))), ',')""".stripMargin)
+            .as("plist_str"))
+        .withColumn("max_batch_segs", lit(maxSegs) +
+          Q.regimeGuard(lit(maxSegs), 16L, "idx_cdc_compacted_postings",
+            "segment count must stay bounded — lower the small-segment " +
+              "threshold or raise the pack factor"))
+    }, Some {
+      def dCte(b: Int): String =
+        s"""d$b AS MATERIALIZED (
+           |  SELECT doc_id, text FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+           |    FROM log WHERE seq <= $b) t
+           |  WHERE rn = 1 AND del = 0)""".stripMargin
+      def foldCte(b: Int): String = {
+        val pre =
+          if (b == 0) s"pre0 AS (SELECT DISTINCT doc_id // 100 AS orig, doc_id // 100 AS cur FROM d0)"
+          else
+            s"""pre$b AS (
+               |  SELECT o.orig, coalesce(m.cur, o.orig) AS cur
+               |  FROM (SELECT DISTINCT doc_id // 100 AS orig FROM d$b) o
+               |  LEFT JOIN mm${b - 1} m ON m.orig = o.orig)""".stripMargin
+        s"""$pre,
+           |lv$b AS MATERIALIZED (
+           |  SELECT p.cur, count(*)::BIGINT AS live
+           |  FROM d$b d JOIN pre$b p ON p.orig = d.doc_id // 100 GROUP BY 1),
+           |el$b AS (
+           |  SELECT cur,
+           |    (${1000000L * (b + 1)} + (row_number() OVER (ORDER BY live, cur) - 1) // 8)::BIGINT
+           |      AS new_seg,
+           |    count(*) OVER () AS ne
+           |  FROM lv$b WHERE live < 40),
+           |mm$b AS MATERIALIZED (
+           |  SELECT p.orig,
+           |    CASE WHEN e.new_seg IS NOT NULL AND e.ne >= 6 THEN e.new_seg
+           |         ELSE p.cur END AS cur
+           |  FROM pre$b p LEFT JOIN el$b e ON e.cur = p.cur),
+           |ns$b AS (SELECT count(DISTINCT cur)::BIGINT AS n FROM mm$b)""".stripMargin
+      }
+      s"""WITH b3 AS (SELECT unnest(range(1, 4)) AS b),
+         |base AS (SELECT doc_id, text, 0::BIGINT AS seq, 0 AS del FROM documents),
+         |ups AS (
+         |  SELECT doc_id, text || ' rev' || b::VARCHAR, b::BIGINT, 0
+         |  FROM documents CROSS JOIN b3 WHERE doc_id % 10 = b),
+         |ins AS (
+         |  SELECT doc_id + 1000000 * b, text || ' ins' || b::VARCHAR, b::BIGINT, 0
+         |  FROM documents CROSS JOIN b3 WHERE doc_id % 23 = b),
+         |dels AS (
+         |  SELECT doc_id, CAST(NULL AS VARCHAR), b::BIGINT, 1
+         |  FROM documents CROSS JOIN b3 WHERE doc_id % 17 = b AND doc_id % 10 <> b),
+         |log AS (
+         |  SELECT * FROM base UNION ALL SELECT * FROM ups
+         |  UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM dels),
+         |${(0 to 3).map(dCte).mkString(",\n")},
+         |${(0 to 3).map(foldCte).mkString(",\n")},
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d3),
+         |tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |mapped AS (
+         |  SELECT t.term, m.cur AS seg, t.doc_id, t.tf
+         |  FROM tf t JOIN mm3 m ON m.orig = t.doc_id // 100)
+         |SELECT term, seg, count(*)::BIGINT AS n_docs,
+         |  string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, ',' ORDER BY doc_id)
+         |    AS plist_str,
+         |  greatest((SELECT n FROM ns0), (SELECT n FROM ns1),
+         |    (SELECT n FROM ns2), (SELECT n FROM ns3)) AS max_batch_segs
+         |FROM mapped GROUP BY 1, 2""".stripMargin
+    }),
+
     // ---- phrase search over positional postings --------------------------
     // The inverted-index depth step term-keyed postings can't serve:
     // PHRASE queries need token positions. The entry finds the corpus's
@@ -1513,7 +1606,7 @@ object IndexQueries {
     * shifted ids, text + " ins<b>") and tombstones (doc_id % 17 == b,
     * non-revised). Columns (doc_id, text, n_tok, op, seq).
     */
-  private def docChangeBatch(
+  private[analytics] def docChangeBatch(
       s: org.apache.spark.sql.SparkSession, d: String, b: Int)
       : org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -1600,6 +1693,154 @@ object IndexQueries {
         postings.merge(postBatch)
         docState.merge(ch)
     }
+  }
+
+  /** One maintenance step of a postings index with TIERED COMPACTION
+    * inside the loop — idx_cdc_segment_compaction's policy wired into the
+    * per-batch merge instead of a post-hoc pass. The lifecycle problem a
+    * maintained index accrues: inserts land in small birth segments
+    * (doc_id div segDiv) and small segments pile up batch after batch.
+    * After computing the batch's touched-(term,seg) rebuild exactly like
+    * [[maintainPostingsBatch]], this step computes post-batch live-doc
+    * counts per CURRENT segment; when at least `trigger` segments fall
+    * under `thrLive` live docs, the merge plan packs them — ranked
+    * (live asc, seg asc), 8 per merged segment, ids 1000000·(seq+1)+g —
+    * and ONLY those merge-eligible segments rewrite, in the SAME
+    * mergeOnce commit as the batch's own rows, so a crash can never
+    * observe half a compaction.
+    *
+    * Segment identity is TRACKED, not derived: compaction moves whole
+    * segments, so a doc's postings live at remap(birth_seg), and the
+    * remap table (segment-count-sized) is stored IN the postings sink as
+    * sentinel rows with negative seg keys (term "@segmap", seg
+    * −orig−1, n_docs = current seg) — one sink, one manifest rename,
+    * postings + remap atomically consistent by construction. 100 TB: the
+    * remap is O(segments) and broadcast; stats are one column-pruned
+    * group-by of doc ids (production keeps per-segment metadata — this IS
+    * that metadata, recomputed because the harness corpus is small); the
+    * compaction rewrite reads only eligible segments, each under thrLive
+    * docs by definition. Returns the post-batch segment count (the bound
+    * the caller gates).
+    */
+  private[analytics] def maintainCompactingBatch(
+      docState: graft.sinks.SnapshotSink, postings: graft.sinks.SnapshotSink,
+      ch: org.apache.spark.sql.DataFrame, seqNo: Long, auditSite: String,
+      segDiv: Long = 100L, thrLive: Long = 40L, trigger: Long = 6L): Long = {
+    val s = ch.sparkSession
+    import s.implicits._
+    val state =
+      if (postings.exists) Some(postings.read())
+      else None
+    val remap = state.map(_.filter(col("seg") < 0)
+        .select((-col("seg") - 1).as("orig"), col("n_docs").as("cur")))
+      .getOrElse(Seq.empty[(Long, Long)].toDF("orig", "cur"))
+    val dataState = state.map(_.filter(col("seg") >= 0))
+    def remapSeg(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.withColumnRenamed("seg", "orig")
+        .join(broadcast(remap), Seq("orig"), "left")
+        .withColumn("seg", coalesce(col("cur"), col("orig")))
+        .drop("orig", "cur")
+    val newEntries = remapSeg(
+      docEntries(ch.filter(col("op") =!= graft.core.ChangeLog.Delete), segDiv))
+      .select(col("term"), col("doc_id"), col("tf"), col("seg"))
+    val keys = ch.select(col("doc_id")).distinct()
+    val (touched, carried) = dataState match {
+      case None => (newEntries.select("term", "seg").distinct(), newEntries)
+      case Some(ds) =>
+        val oldEntries = remapSeg(
+          docEntries(docState.read().join(keys, Seq("doc_id")), segDiv))
+        val t = newEntries.select("term", "seg")
+          .unionByName(oldEntries.select("term", "seg")).distinct()
+        val old = ds.join(t, Seq("term", "seg"))
+          .select(col("term"), col("seg"), explode(col("plist")).as("p"))
+          .select(col("term"), col("seg"),
+            col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+          .join(keys, Seq("doc_id"), "left_anti")
+          .select(col("term"), col("doc_id"), col("tf"), col("seg"))
+        (t, old.unionByName(newEntries))
+    }
+    val rebuilt = carried.groupBy(col("term"), col("seg"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sort_array(collect_list(struct(doc_id, tf)))").as("plist"))
+    val dropped = touched.join(rebuilt.select("term", "seg"),
+        Seq("term", "seg"), "left_anti")
+      .select(col("term"), col("seg"), lit(null).cast("bigint").as("n_docs"),
+        lit(null).cast("array<struct<doc_id:bigint,tf:bigint>>").as("plist"),
+        lit(graft.core.ChangeLog.Delete).as("op"))
+    // post-batch live docs per CURRENT segment — the merge-policy input
+    val liveAfter = (if (docState.exists)
+        docState.read().select(col("doc_id"))
+          .join(keys, Seq("doc_id"), "left_anti")
+      else Seq.empty[Long].toDF("doc_id"))
+      .unionByName(ch.filter(col("op") =!= graft.core.ChangeLog.Delete)
+        .select(col("doc_id")))
+    val segLive = remapSeg(liveAfter.withColumn("seg", expr(s"doc_id div $segDiv")))
+      .groupBy(col("seg")).agg(count(lit(1)).as("live"))
+      .localCheckpoint()
+    val elig = segLive.filter(col("live") < thrLive)
+      .withColumn("rn", row_number().over(Window.orderBy(col("live"), col("seg"))))
+      .select(col("seg"),
+        (lit(1000000L * (seqNo + 1)) + expr("CAST((rn - 1) div 8 AS BIGINT)"))
+          .as("new_seg"))
+      .localCheckpoint()
+    val nElig = elig.count()
+    val nSegsBefore = segLive.count()
+    val upserts = rebuilt
+      .withColumn("op", lit(graft.core.ChangeLog.Update))
+    val postCore =
+      if (nElig < trigger) upserts.unionByName(dropped)
+      else {
+        val eligB = broadcast(elig)
+        val ds = dataState.getOrElse(rebuilt.limit(0)) // first-batch compaction: no stored rows
+        // post-batch entries of merge-eligible segments: untouched rows
+        // as stored, touched rows from the batch's carried set
+        val untouchedElig = ds.join(eligB, Seq("seg"))
+          .join(touched, Seq("term", "seg"), "left_anti")
+          .select(col("term"), col("seg"), col("new_seg"), explode(col("plist")).as("p"))
+          .select(col("term"), col("new_seg"),
+            col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+          .join(keys, Seq("doc_id"), "left_anti")
+        val touchedElig = carried.join(eligB, Seq("seg"))
+          .select(col("term"), col("new_seg"), col("doc_id"), col("tf"))
+        val moved = untouchedElig.unionByName(touchedElig)
+          .groupBy(col("term"), col("new_seg").as("seg"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sort_array(collect_list(struct(doc_id, tf)))").as("plist"))
+          .withColumn("op", lit(graft.core.ChangeLog.Update))
+        // every pre-existing or batch-touched (term, seg) pair of an
+        // eligible segment is deleted — its rows moved wholesale
+        val eligPairs = ds.select(col("term"), col("seg"))
+          .join(eligB.select("seg"), Seq("seg"))
+          .unionByName(touched.join(eligB.select("seg"), Seq("seg"))
+            .select(col("term"), col("seg")))
+          .distinct()
+          .select(col("term"), col("seg"), lit(null).cast("bigint").as("n_docs"),
+            lit(null).cast("array<struct<doc_id:bigint,tf:bigint>>").as("plist"),
+            lit(graft.core.ChangeLog.Delete).as("op"))
+        // remap update: every birth segment currently mapping into an
+        // eligible segment now maps to its merged target
+        val remapUpd = liveAfter
+          .select(expr(s"doc_id div $segDiv").as("orig")).distinct()
+          .join(broadcast(remap), Seq("orig"), "left")
+          .withColumn("seg", coalesce(col("cur"), col("orig")))
+          .join(eligB, Seq("seg"))
+          .select(lit("@segmap").as("term"), (-col("orig") - 1).as("seg"),
+            col("new_seg").as("n_docs"),
+            lit(null).cast("array<struct<doc_id:bigint,tf:bigint>>").as("plist"),
+            lit(graft.core.ChangeLog.Update).as("op"))
+        upserts.join(eligB.select("seg"), Seq("seg"), "left_anti")
+          .unionByName(dropped.join(eligB.select("seg"), Seq("seg"), "left_anti"))
+          .unionByName(moved).unionByName(eligPairs).unionByName(remapUpd)
+      }
+    val postBatch = graft.core.AuditSeam.report(s"$auditSite/postings",
+      postCore.withColumn("seq", lit(seqNo)))
+      .select(col("term"), col("seg"), col("n_docs"), col("plist"),
+        col("op"), col("seq"))
+      .localCheckpoint()
+    postings.mergeOnce(seqNo, postBatch)
+    docState.mergeOnce(seqNo, ch)
+    if (nElig < trigger) nSegsBefore
+    else nSegsBefore - nElig + (nElig + 7) / 8
   }
 
   /** BM25 per-doc scores served from the maintained index reads: tf/df

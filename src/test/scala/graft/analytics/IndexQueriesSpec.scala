@@ -620,6 +620,43 @@ class IndexQueriesSpec extends SparkSpec {
       "some probe's count must grow as batches land")
   }
 
+  test("compacting maintenance: per-batch postings multiset invariance; segment count stays bounded") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val work = graft.analytics.Q.scratch("cmpidxspec")
+    val docState = new graft.sinks.SnapshotSink(spark, s"$work/docs", Seq("doc_id"))
+    val postings = new graft.sinks.SnapshotSink(spark, s"$work/postings",
+      Seq("term", "seg"))
+    val segCounts = (0 to 3).map { b =>
+      val ch = IndexQueries.docChangeBatch(spark, sf0001, b)
+      val n = IndexQueries.maintainCompactingBatch(docState, postings, ch,
+        b.toLong, "idx_cdc_compacted_postings_spec")
+      // invariance: whatever compaction moved around, the MULTISET of
+      // (term, doc_id, tf) postings equals a fresh derivation from the
+      // live doc state — compaction changes layout, never content
+      val stored = postings.read().filter(col("seg") >= 0)
+        .select(col("term"), explode(col("plist")).as("p"))
+        .select(col("term"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(identity).map { case (k, v) => k -> v.length }
+      val fresh = docState.read()
+        .select(col("doc_id"), explode(org.apache.spark.sql.functions
+          .split(col("text"), " ")).as("term"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(identity).map { case ((doc, term), v) => (term, doc, v.length.toLong) }
+        .toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+      assert(stored == fresh, s"batch $b: postings multiset diverged from doc state")
+      n
+    }
+    // the bound the loop exists for: compaction fired (merged segment ids
+    // present) and the per-batch segment count never exceeded the gate
+    assert(segCounts.max <= 16, s"segment counts $segCounts exceed the bound")
+    assert(segCounts.last < segCounts.max,
+      s"compaction must REDUCE segment count at some batch: $segCounts")
+    val finalSegs = postings.read().filter(col("seg") >= 0)
+      .select("seg").distinct().collect().map(_.getLong(0))
+    assert(finalSegs.exists(_ >= 1000000L), "some merged segment must exist")
+  }
+
   test("time-decayed CMS serving: per-batch estimates equal the decay-fold replay and shrink when idle") {
     val got = Catalog.queries("agg_stream_serve_cms_decay")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
