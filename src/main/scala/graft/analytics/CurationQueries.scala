@@ -1030,38 +1030,10 @@ object CurationQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
         .distinct()
-      val verts = co.select(col("u").as("vtx"))
-        .unionByName(co.select(col("v").as("vtx"))).distinct().localCheckpoint()
-      def largeStar(e: DataFrame): DataFrame = {
-        val adj = e.select(col("u"), col("v"))
-          .unionByName(e.select(col("v").as("u"), col("u").as("v")))
-        val mins = adj.groupBy(col("u"))
-          .agg(least(min(col("v")), first(col("u"))).as("m"))
-        adj.filter(col("v") > col("u")).join(mins, Seq("u"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .filter(col("u") =!= col("v")).distinct()
-      }
-      def smallStar(e: DataFrame): DataFrame = {
-        val dir = e.select(
-          greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-        val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
-        val relink = dir.join(mins, Seq("u"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .unionByName(mins.select(col("u"), col("m").as("v")))
-        relink.filter(col("u") =!= col("v")).distinct()
-      }
-      var edges = co.filter(col("u") =!= col("v")).localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
-        val next = smallStar(largeStar(edges)).localCheckpoint()
-        changed = next.join(edges, Seq("u", "v"), "left_anti").count() +
-          edges.join(next, Seq("u", "v"), "left_anti").count()
-        edges = next
-      }
-      // fixpoint edges are (node, root) stars; roots label themselves
-      val lbl = verts.join(edges.select(col("u").as("vtx"), col("v").as("root")),
-          Seq("vtx"), "left")
-        .select(col("vtx"), coalesce(col("root"), col("vtx")).as("component"))
+      // the star machinery is shared with the maintained-components
+      // deletion-rebuild path — see MiningQueries.starFixpoint
+      val lbl = MiningQueries.starFixpoint(co)
+        .select(col("vtx"), col("lbl").as("component"))
       lbl.select(
         when(col("vtx") % 2 === 0, concat(lit("c"), (col("vtx") / 2).cast("long").cast("string")))
           .otherwise(concat(lit("s"), ((col("vtx") - 1) / 2).cast("long").cast("string")))

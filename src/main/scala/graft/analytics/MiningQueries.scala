@@ -104,6 +104,51 @@ object MiningQueries {
       .map(k => k -> find(k)).filter { case (k, r) => k != r }.toMap
   }
 
+  /** Large-star/small-star connected components to an explicit edge-set
+    * fixpoint (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the shared machinery behind gph_largestar_smallstar_cc
+    * and the deletion-rebuild path of the maintained-components entries.
+    * Input: an undirected edge list (u, v). Output: (vtx, lbl) with
+    * lbl = component-min id, for every vertex incident to an edge
+    * (callers add isolated vertices as self-labeled singletons).
+    * O(log² n) rounds regardless of diameter; each round two grouped
+    * mins + re-link joins, lineage truncated per round.
+    */
+  private[analytics] def starFixpoint(edges0: DataFrame): DataFrame = {
+    val verts = edges0.select(col("u").as("vtx"))
+      .unionByName(edges0.select(col("v").as("vtx"))).distinct().localCheckpoint()
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      adj.filter(col("v") > col("u")).join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val relink = dir.join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+      relink.filter(col("u") =!= col("v")).distinct()
+    }
+    var edges = edges0.filter(col("u") =!= col("v")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      changed = next.join(edges, Seq("u", "v"), "left_anti").count() +
+        edges.join(next, Seq("u", "v"), "left_anti").count()
+      edges = next
+    }
+    // fixpoint edges are (node, root) stars; roots label themselves
+    verts.join(edges.select(col("u").as("vtx"), col("v").as("root")),
+        Seq("vtx"), "left")
+      .select(col("vtx"), coalesce(col("root"), col("vtx")).as("lbl"))
+  }
+
   def all: Seq[CatalogQuery] = Seq(
 
     // ---- event-sequence Markov transitions ------------------------------
@@ -333,8 +378,10 @@ object MiningQueries {
     // component's members already carry the surviving label and are
     // never rewritten). Insert-only is structural: edge DELETIONS can
     // split a component and force recomputing the affected component —
-    // the documented production lever is periodic rebuild of tombstoned
-    // components; this stream is append-only (the common case). The
+    // the rebuild lever is REAL in gph_cdc_components_with_deletes
+    // (below), which detects deletion batches and re-runs the star
+    // machinery scoped to affected components; this stream stays
+    // append-only (the common case). The
     // oracle computes ground-truth components of the FINAL graph from
     // scratch (recursive min-label fixpoint in SQL) — maintained-state
     // convergence is hash-gated, not asserted.
@@ -440,6 +487,160 @@ object MiningQueries {
         |  WHERE l.lbl < e2.dst)
         |SELECT vtx AS part_id, CAST(min(lbl) AS BIGINT) AS component
         |FROM lp GROUP BY 1""".stripMargin)),
+
+    // ---- maintained components under edge DELETES (scoped star rebuild) --
+    // The deletion story gph_cdc_maintained_components declares out of
+    // scope, made real: the change stream carries edge tombstones, and a
+    // deletion-bearing batch triggers a rebuild — but scoped to the
+    // AFFECTED components only, never the whole graph. Detection: the
+    // deleted edges' endpoint labels name the affected components (both
+    // endpoints share one — they shared an edge). Scope: those
+    // components' members via label point reads on the (lbl, vtx)
+    // postings sink; their post-delete edges via the maintained edge
+    // sink (an edge incident to a scoped vertex cannot leave the scope —
+    // components are closed under adjacency). Rebuild: the
+    // large-star/small-star machinery ([[starFixpoint]], shared with
+    // gph_largestar_smallstar_cc) on the scoped subgraph — O(log²)
+    // rounds in the size of the AFFECTED components; vertices stranded
+    // edgeless become self-labeled singletons. Only vertices whose label
+    // CHANGED rewrite (also what keeps delete/insert pks disjoint within
+    // the batch). Insert batches before and after use the incremental
+    // union-find step, so the entry exercises split-then-merge: b0 base
+    // (qty≥45), b1 inserts (→43), b2 deletes ((u·31+v)%3=0 — measured to
+    // split real components), b3 inserts (→41, reconnecting some). The
+    // oracle recomputes ground truth of the FINAL graph including splits
+    // (recursive min-label over surviving edges, isolated vertices
+    // self-labeled) — post-split correctness is hash-gated. 100 TB: cost
+    // scales with affected-component size, the irreducible unit (a split
+    // can move any member's label); unaffected components are untouched.
+    CatalogQuery("gph_cdc_components_with_deletes", (s, d) => {
+      import s.implicits._
+      val work = Q.scratch("ccdel")
+      val labels = new graft.sinks.SnapshotSink(s, s"$work/lbl", Seq("vtx"))
+      val postings = new graft.sinks.SnapshotSink(s, s"$work/post", Seq("lbl", "vtx"))
+      val edgeSink = new graft.sinks.SnapshotSink(s, s"$work/edges", Seq("u", "v"))
+      def cpairs(t: Int): DataFrame = {
+        val li = Tables.lineitem(s, d).filter(col("l_quantity") >= t)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      }
+      // batch 0: initial build through the same star machinery
+      val base = cpairs(45).localCheckpoint()
+      edgeSink.merge(base
+        .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
+      val l0 = starFixpoint(base).localCheckpoint()
+      labels.merge(l0
+        .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
+      postings.merge(l0.select(col("lbl"), col("vtx"))
+        .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
+      // insert batches: the incremental union-find step
+      def insertBatch(b: Long, delta0: DataFrame): Unit = {
+        val delta = delta0.localCheckpoint()
+        edgeSink.merge(delta
+          .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(b)))
+        val lab = labels.read().select(col("vtx"), col("lbl"))
+        val lpairs = delta
+          .join(lab.select(col("vtx").as("u"), col("lbl").as("lu0")), Seq("u"), "left")
+          .join(lab.select(col("vtx").as("v"), col("lbl").as("lv0")), Seq("v"), "left")
+          .select(coalesce(col("lu0"), col("u")).as("lu"),
+            coalesce(col("lv0"), col("v")).as("lv"))
+          .filter(col("lu") =!= col("lv"))
+          .select(least(col("lu"), col("lv")).as("la"),
+            greatest(col("lu"), col("lv")).as("lb")).distinct()
+        val mapping = mergeGroups(
+          graft.core.Bounded.collect(lpairs, 1 << 20,
+            "gph_cdc_components_with_deletes/label-pairs",
+            "shard the edge delta into smaller micro-batches, or rebuild " +
+              "distributed via gph_largestar_smallstar_cc")
+            .toSeq.map(r => (r.getLong(0), r.getLong(1))))
+        val newV = delta.select(explode(array(col("u"), col("v"))).as("vtx"))
+          .distinct().join(lab, Seq("vtx"), "left_anti")
+        val mdf = broadcast(mapping.toSeq.toDF("old_lbl", "new_lbl"))
+        val moved = postings.read().select(col("lbl"), col("vtx"))
+          .join(mdf, col("lbl") === col("old_lbl")).localCheckpoint()
+        val newRows = newV
+          .join(mdf, col("vtx") === col("old_lbl"), "left")
+          .select(col("vtx"), coalesce(col("new_lbl"), col("vtx")).as("lbl"))
+          .localCheckpoint()
+        labels.merge(moved.select(col("vtx"), col("new_lbl").as("lbl"))
+          .withColumn("op", lit(graft.core.ChangeLog.Update))
+          .unionByName(newRows.withColumn("op", lit(graft.core.ChangeLog.Insert)))
+          .withColumn("seq", lit(b)))
+        postings.merge(moved.select(col("lbl"), col("vtx"))
+          .withColumn("op", lit(graft.core.ChangeLog.Delete))
+          .unionByName(moved.select(col("new_lbl").as("lbl"), col("vtx"))
+            .withColumn("op", lit(graft.core.ChangeLog.Insert)))
+          .unionByName(newRows.select(col("lbl"), col("vtx"))
+            .withColumn("op", lit(graft.core.ChangeLog.Insert)))
+          .withColumn("seq", lit(b)))
+      }
+      insertBatch(1L, cpairs(43).join(cpairs(45), Seq("u", "v"), "left_anti"))
+      // batch 2: edge tombstones — detected, scoped star rebuild
+      val dels = cpairs(43).filter(expr("(u * 31 + v) % 3 = 0")).localCheckpoint()
+      edgeSink.merge(dels
+        .withColumn("op", lit(graft.core.ChangeLog.Delete)).withColumn("seq", lit(2L)))
+      val lab2 = labels.read().select(col("vtx"), col("lbl"))
+      val affected = dels.select(explode(array(col("u"), col("v"))).as("vtx"))
+        .distinct().join(lab2, Seq("vtx"))
+        .select(col("lbl")).distinct().localCheckpoint()
+      val scopeV = postings.read().join(broadcast(affected), Seq("lbl"))
+        .select(col("vtx"), col("lbl").as("old_lbl")).localCheckpoint()
+      val scopedE = edgeSink.read() // post-delete live edges
+        .join(scopeV.select(col("vtx").as("u")), Seq("u"))
+        .select(col("u"), col("v"))
+      val rebuilt = starFixpoint(scopedE)
+      // only CHANGED labels rewrite (keeps batch pks disjoint; the
+      // group-min members of an unsplit component are never touched)
+      val changedL = scopeV
+        .join(rebuilt, Seq("vtx"), "left")
+        .select(col("vtx"), col("old_lbl"),
+          coalesce(col("lbl"), col("vtx")).as("lbl")) // edgeless -> singleton
+        .filter(col("lbl") =!= col("old_lbl"))
+        .localCheckpoint()
+      labels.merge(changedL.select(col("vtx"), col("lbl"))
+        .withColumn("op", lit(graft.core.ChangeLog.Update)).withColumn("seq", lit(2L)))
+      postings.merge(changedL.select(col("old_lbl").as("lbl"), col("vtx"))
+        .withColumn("op", lit(graft.core.ChangeLog.Delete))
+        .unionByName(changedL.select(col("lbl"), col("vtx"))
+          .withColumn("op", lit(graft.core.ChangeLog.Insert)))
+        .withColumn("seq", lit(2L)))
+      // batch 3: inserts continue against post-split state
+      insertBatch(3L, cpairs(41).join(cpairs(43), Seq("u", "v"), "left_anti"))
+      labels.read().select(col("vtx").as("part_id"), col("lbl").as("component"))
+    }, Some(
+      """WITH RECURSIVE li43 AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_quantity >= 43),
+        |e43 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li43 a JOIN li43 b ON a.ok = b.ok AND a.pk < b.pk),
+        |li41 AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_quantity >= 41),
+        |e41 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li41 a JOIN li41 b ON a.ok = b.ok AND a.pk < b.pk),
+        |fin AS (
+        |  SELECT u, v FROM e41 t
+        |  WHERE NOT ((t.u * 31 + t.v) % 3 = 0 AND EXISTS (
+        |    SELECT 1 FROM e43 WHERE e43.u = t.u AND e43.v = t.v))),
+        |allv AS (
+        |  SELECT DISTINCT u AS vtx FROM e41
+        |  UNION SELECT DISTINCT v FROM e41),
+        |ue AS (SELECT u AS src, v AS dst FROM fin
+        |       UNION ALL SELECT v AS src, u AS dst FROM fin),
+        |lp AS (
+        |  SELECT src AS vtx, src AS lbl FROM ue
+        |  UNION
+        |  SELECT e2.dst AS vtx, l.lbl AS lbl
+        |  FROM lp l JOIN ue e2 ON e2.src = l.vtx
+        |  WHERE l.lbl < e2.dst)
+        |SELECT a.vtx AS part_id,
+        |  CAST(coalesce(min(l.lbl), a.vtx) AS BIGINT) AS component
+        |FROM allv a LEFT JOIN lp l ON l.vtx = a.vtx
+        |GROUP BY 1""".stripMargin)),
 
     // ---- streaming component serving against the maintained labels -------
     // The graph twin of ann_stream_serve / idx_stream_serve_bm25, closing

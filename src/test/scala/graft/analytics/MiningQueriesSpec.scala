@@ -894,6 +894,49 @@ class MiningQueriesSpec extends SparkSpec {
     assert(got.values.exists(_._4 >= 2), "some multi-view run expected")
   }
 
+  test("maintained components under deletes: scoped star rebuild serves true post-split answers") {
+    def pairs(t: Int): Set[(Long, Long)] = {
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .filter(col("l_quantity") >= t)
+        .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      li.groupBy(_._1).values.flatMap { grp =>
+        val ps = grp.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+      }.toSet
+    }
+    val e43 = pairs(43)
+    val e41 = pairs(41)
+    val deleted = e43.filter { case (u, v) => (u * 31 + v) % 3 == 0 }
+    val fin = e41 -- deleted
+    val allv = e41.flatMap(e => Seq(e._1, e._2))
+    def components(es: Set[(Long, Long)], vs: Set[Long]): Map[Long, Long] = {
+      val m = MiningQueries.mergeGroups(es.toSeq)
+      vs.map(v => v -> m.getOrElse(v, v)).toMap
+    }
+    val exp = components(fin, allv)
+    val got = Catalog.queries("gph_cdc_components_with_deletes")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp, s"got ${got.size} vertices, expected ${exp.size}")
+    // the data genuinely exercises a SPLIT: deleting the %3 edges from
+    // the batch-1 graph increases its component count, and some pair of
+    // vertices shares a component before the delete but not after
+    val before = components(e43, e43.flatMap(e => Seq(e._1, e._2)))
+    val after43 = components(e43 -- deleted, e43.flatMap(e => Seq(e._1, e._2)))
+    assert(after43.values.toSet.size > before.values.toSet.size,
+      "the delete batch must split at least one component")
+    val splitPair = before.keys.toSeq.sorted.combinations(2).take(2000000).find { p =>
+      before(p(0)) == before(p(1)) && after43(p(0)) != after43(p(1))
+    }
+    assert(splitPair.isDefined, "some vertex pair must be separated by the delete")
+    // vertices stranded edgeless by the delete survive as self-labeled
+    // singletons (unless batch 3 re-attaches them)
+    val finVerts = fin.flatMap(e => Seq(e._1, e._2))
+    val stranded = allv -- finVerts
+    assert(stranded.nonEmpty && stranded.forall(v => got(v) == v),
+      "stranded vertices must be self-labeled singletons")
+  }
+
   test("session-bounded event-pattern matching: gap cut + per-session Kleene counts match a driver fold") {
     val got = q("evt_pattern_match_sessions")
       .selectExpr("user_id", "CAST(session_start AS STRING) AS ss", "trace",
