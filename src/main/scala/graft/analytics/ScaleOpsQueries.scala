@@ -1360,6 +1360,63 @@ object ScaleOpsQueries {
         |SELECT vec_id, new_cell FROM resplit
         |UNION ALL SELECT vec_id, new_cell FROM keep""".stripMargin)),
 
+    // ---- auto-split maintained IVF index (C tracks N/cap) -----------------
+    // The composition the r10 verdict named top item: ann_ivf_cell_split's
+    // deterministic 2-means is WIRED INTO the CDC maintenance loop
+    // ([[annAutosplitIndex]]) instead of running pinned C=16 — the direct
+    // cause of the two documented quadratic 30× stress rows (cell
+    // population grew with the corpus, so every probe's candidate set
+    // did too). With maintenance splitting any cell past AnnSplitCap=36,
+    // C grows with N and per-cell population stays capped: probe cost is
+    // C + nprobe·cap per query — the operational C ∝ √N lever, live.
+    // The oracle rebuilds the ENTIRE split history from scratch (per
+    // batch: assign against previous centroids, LWW, one split round),
+    // so centroid evolution, member repartitions, and child ids are all
+    // hash-gated, not asserted.
+    CatalogQuery("ann_cdc_autosplit_index", (s, d) => {
+      val (idx, _) = annAutosplitIndex(s, d)
+      idx.select(col("vec_id"), col("cell"),
+        expr("""aggregate(sequence(1, 64), CAST(0 AS BIGINT),
+          | (acc, k) -> acc + k * element_at(q, k))""".stripMargin).as("vchk"))
+    }, Some(
+      s"""WITH $annAutosplitDuck
+         |SELECT vec_id, cell,
+         |  CAST(list_sum(list_transform(range(1, 65), k -> k * q[k])) AS BIGINT) AS vchk
+         |FROM st3""".stripMargin)),
+
+    // Probe the auto-split maintained index: same nprobe=2 / top-3 probe
+    // as ann_cdc_incremental_probe, but against the EVOLVED centroid set
+    // — candidate sets are cap-bounded regardless of corpus size, which
+    // is what turns the maintained-probe stress row near-linear
+    // (ScaleStress's ann_autosplit_probe row measures it next to the
+    // pinned-C twin).
+    CatalogQuery("ann_cdc_autosplit_probe", (s, d) => {
+      val (idx, centsOne) = annAutosplitIndex(s, d)
+      annProbeMaintained(idx, centsOne, col("vec_id") % 50 === 0)
+    }, Some(
+      s"""WITH $annAutosplitDuck,
+         |qs AS (SELECT vec_id AS query_id, q AS qq FROM st3 WHERE vec_id % 50 = 0),
+         |pd AS (
+         |  SELECT qs.query_id, qs.qq, c.cell,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      k -> (qs.qq[k] - c.cv[k]) * (qs.qq[k] - c.cv[k]))) AS BIGINT) AS dist
+         |  FROM qs CROSS JOIN ct3 c),
+         |probes AS (
+         |  SELECT query_id, qq, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+         |    FROM pd) t WHERE rn <= 2),
+         |scored AS (
+         |  SELECT p.query_id, m.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      k -> (p.qq[k] - m.q[k]) * (p.qq[k] - m.q[k]))) AS BIGINT) AS dist2
+         |  FROM probes p JOIN st3 m ON m.cell = p.cell
+         |  WHERE m.vec_id <> p.query_id)
+         |SELECT query_id, rank, neighbor_id, dist2 AS dist FROM (
+         |  SELECT query_id, neighbor_id, dist2,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3""".stripMargin)),
+
     // ---- NN-Descent k-NN graph construction ------------------------------
     // The graph-based ANN family's batch form (NN-Descent, Dong et al.
     // WWW'11 — the construction step EFANNA/NSG/HNSW-style indexes build
@@ -1667,6 +1724,131 @@ object ScaleOpsQueries {
     (sink.read(), annSeedsOne(s, d))
   }
 
+  /** Assign already-quantized vectors (vec_id, q) to the nearest of an
+    * ARBITRARY current centroid set (1-row collapsed (cell, cv) frame) —
+    * [[annAssignAgainstBase]] generalized away from the frozen base
+    * seeds, the assignment unit once the centroid set EVOLVES under
+    * auto-split. (dist, cell) tie-break, BIGINT lattice arithmetic.
+    */
+  private def annAssignQ(qvecs: DataFrame, centsOne: DataFrame): DataFrame = {
+    val distExpr = expr(
+      "aggregate(zip_with(q, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    val wv = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    qvecs.crossJoin(broadcast(centsOne))
+      .select(col("vec_id"), col("q"), explode(col("cs")).as("c"))
+      .select(col("vec_id"), col("q"), col("c.cell").as("cell"), col("c.cv").as("cv"))
+      .withColumn("dist", distExpr)
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("q"), col("cell"))
+  }
+
+  /** Declared per-cell population cap for the auto-split maintained
+    * index. Production sets cap ∝ √N so C tracks √N (probe cost
+    * C + nprobe·cap is then O(√N)); the harness pins the measured
+    * envelope: base-corpus cells run 21–44 members at sf0.01, so 36
+    * guarantees the split path exercises on every dataset.
+    */
+  private[graft] val AnnSplitCap: Long = 36L
+
+  /** The CDC-maintained IVF index with AUTO-SPLIT — ann_ivf_cell_split's
+    * deterministic 2-means wired INTO the maintenance loop, closing the
+    * pinned-C=16 regime the r10 verdict flagged (cell population grew
+    * with the corpus, so probe candidate sets — and the 30× stress rows
+    * — went quadratic). Two sinks: the pk-bucketed vector index
+    * (vec_id → q, cell) and the centroid set (cell → cv), seeded with
+    * the 16 base seeds. Per batch: (1) the batch's vectors assign
+    * against the CURRENT centroids (broadcast 1-row — C stays
+    * broadcast-sized at √N) and merge; (2) ONE split round — live cells
+    * over [[AnnSplitCap]] split by the cell-split rule (s0 = min-id
+    * member, q1 = farthest from s0, members repartition by pole
+    * distance, children cell·2+1000/1001 — injective across
+    * generations, parents retire) with the batch's seq+1 so LWW orders
+    * reassignment after assignment. One round per batch is the
+    * amortized tiered policy (an over-2·cap cell drains across
+    * batches). 100 TB: per-batch cost ∝ batch size + members of
+    * splitting cells (each ≤ the overflow just detected) — never corpus
+    * size; C ∝ N/cap keeps every probe's candidate set O(cap).
+    */
+  private[graft] def annAutosplitIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, d)
+    def rot(b: Int) = expr(
+      s"concat(slice(embedding, ${b + 1}, ${64 - b}), slice(embedding, 1, $b))")
+    def quant(vecs: DataFrame): DataFrame = vecs.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
+      .as("q"))
+    val work = Q.scratch("annsplit")
+    val idxSink = new graft.sinks.SnapshotSink(s, s"$work/index",
+      Seq("vec_id"), numBuckets = 16)
+    val cellSink = new graft.sinks.SnapshotSink(s, s"$work/cells", Seq("cell"))
+    cellSink.merge(quant(e.filter(col("vec_id") < 16))
+      .select(col("vec_id").as("cell"), col("q").as("cv"))
+      .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
+    val dist = (a: String, b: String) => expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    def applyBatch(b: Long, ups: DataFrame, dels: DataFrame): Unit = {
+      val centsOne = cellSink.read()
+        .agg(collect_list(struct(col("cell"), col("cv"))).as("cs"))
+      val asg = annAssignQ(quant(ups), centsOne)
+        .withColumn("op", lit(graft.core.ChangeLog.Update))
+      idxSink.merge(asg.unionByName(dels).withColumn("seq", lit(2 * b)))
+      // one split round over the post-merge live index
+      val live = idxSink.read()
+      val over = live.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > AnnSplitCap).select(col("cell")).localCheckpoint()
+      if (over.count() > 0) {
+        val members = live.join(broadcast(over), Seq("cell")).localCheckpoint()
+        val s0 = members.groupBy(col("cell")).agg(min(col("vec_id")).as("s0id"))
+        val q0 = s0.join(members.select(col("vec_id").as("s0id"), col("q").as("q0")),
+          Seq("s0id")).select(col("cell"), col("q0"))
+        val wFar = Window.partitionBy(col("cell"))
+          .orderBy(col("d0").desc, col("vec_id").asc)
+        val q1 = members.join(q0, Seq("cell"))
+          .withColumn("d0", dist("q", "q0"))
+          .withColumn("rn", row_number().over(wFar)).filter(col("rn") === 1)
+          .select(col("cell"), col("q").as("q1"))
+        val poles = q0.join(q1, Seq("cell")).localCheckpoint()
+        val re = members.join(broadcast(poles), Seq("cell"))
+          .withColumn("d0", dist("q", "q0"))
+          .withColumn("d1", dist("q", "q1"))
+          .select(col("vec_id"), col("q"),
+            when(col("d1") < col("d0"), col("cell") * 2 + 1001)
+              .otherwise(col("cell") * 2 + 1000).as("cell"))
+          .withColumn("op", lit(graft.core.ChangeLog.Update))
+          .localCheckpoint()
+        idxSink.merge(re.withColumn("seq", lit(2 * b + 1)))
+        cellSink.merge(poles
+          .select(col("cell"), lit(null).cast("array<bigint>").as("cv"),
+            lit(graft.core.ChangeLog.Delete).as("op"))
+          .unionByName(poles.select((col("cell") * 2 + 1000).as("cell"),
+            col("q0").as("cv"), lit(graft.core.ChangeLog.Insert).as("op")))
+          .unionByName(poles.select((col("cell") * 2 + 1001).as("cell"),
+            col("q1").as("cv"), lit(graft.core.ChangeLog.Insert).as("op")))
+          .withColumn("seq", lit(2 * b + 1)))
+      }
+    }
+    val emptyDels = e.limit(0)
+      .select(col("vec_id"), lit(null).cast("array<bigint>").as("q"),
+        lit(null).cast("bigint").as("cell"),
+        lit(graft.core.ChangeLog.Delete).as("op"))
+    applyBatch(0L, e.select(col("vec_id"), col("embedding")), emptyDels)
+    (1 to 3).foreach { b =>
+      val ups = e.filter(col("vec_id") % 10 === b)
+        .select(col("vec_id"), rot(b).as("embedding"))
+      val ins = e.filter(col("vec_id") % 23 === b)
+        .select((col("vec_id") + lit(1000000L * b)).as("vec_id"),
+          rot(b + 3).as("embedding"))
+      val dels = e.filter(col("vec_id") % 17 === b && col("vec_id") % 10 =!= b)
+        .select(col("vec_id"),
+          lit(null).cast("array<bigint>").as("q"),
+          lit(null).cast("bigint").as("cell"),
+          lit(graft.core.ChangeLog.Delete).as("op"))
+      applyBatch(b.toLong, ups.unionByName(ins), dels)
+    }
+    (idxSink.read(),
+      cellSink.read().agg(collect_list(struct(col("cell"), col("cv"))).as("cs")))
+  }
+
   /** Final live images of the ANN change stream as a lazy plan (no
     * maintained state): base ∪ rotate-updates ∪ inserts ∪ tombstones →
     * seq-LWW → survivors. The QUERY side of maintained-index probes
@@ -1927,6 +2109,87 @@ object ScaleOpsQueries {
     * → assign against the frozen base quantizer. Shared CTE prefix of
     * both incremental-ANN entries.
     */
+  /** Oracle-side from-scratch replay of the auto-split maintained index:
+    * per batch, assign the batch's vectors against the PREVIOUS centroid
+    * set, LWW-apply, then one split round (cells over [[AnnSplitCap]]:
+    * s0 = min-id member, q1 = farthest, repartition by pole distance,
+    * children cell·2+1000/1001, parents retire). Chained batch states
+    * are MATERIALIZED (each level feeds the next — inlining would
+    * re-expand the whole history per reference). Ends at st3 (vec_id,
+    * q, cell) and ct3 (cell, cv).
+    */
+  private lazy val annAutosplitDuck: String = {
+    val qx = "x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)"
+    def d64(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, 65), k -> ($a[k] - $b[k]) * ($a[k] - $b[k]))) AS BIGINT)"
+    def batch(b: Int): String = {
+      val prevCt = if (b == 0) "ct_init" else s"ct${b - 1}"
+      val chq =
+        if (b == 0)
+          s"""chq0 AS MATERIALIZED (
+             |  SELECT vec_id, list_transform(embedding, $qx) AS q FROM embeddings)""".stripMargin
+        else
+          s"""chq$b AS MATERIALIZED (
+             |  SELECT vec_id,
+             |    list_transform(embedding[${b + 1}:64] || embedding[1:$b], $qx) AS q
+             |  FROM embeddings WHERE vec_id % 10 = $b
+             |  UNION ALL
+             |  SELECT vec_id + ${1000000L * b},
+             |    list_transform(embedding[${b + 4}:64] || embedding[1:${b + 3}], $qx) AS q
+             |  FROM embeddings WHERE vec_id % 23 = $b)""".stripMargin
+      val stp =
+        if (b == 0) "stp0 AS MATERIALIZED (SELECT vec_id, q, cell FROM asg0)"
+        else
+          s"""keys$b AS (
+             |  SELECT vec_id FROM chq$b
+             |  UNION ALL
+             |  SELECT vec_id FROM embeddings WHERE vec_id % 17 = $b AND vec_id % 10 <> $b),
+             |stp$b AS MATERIALIZED (
+             |  SELECT vec_id, q, cell FROM st${b - 1}
+             |  WHERE vec_id NOT IN (SELECT vec_id FROM keys$b)
+             |  UNION ALL SELECT vec_id, q, cell FROM asg$b)""".stripMargin
+      s"""$chq,
+         |asg$b AS MATERIALIZED (
+         |  SELECT vec_id, q, cell FROM (
+         |    SELECT v.vec_id, v.q, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${d64("v.q", "c.cv")}, c.cell) AS rn
+         |    FROM chq$b v CROSS JOIN $prevCt c) t
+         |  WHERE rn = 1),
+         |$stp,
+         |ov$b AS (SELECT cell FROM stp$b GROUP BY cell HAVING count(*) > $AnnSplitCap),
+         |s0_$b AS (
+         |  SELECT cell, min(vec_id) AS s0id
+         |  FROM stp$b JOIN ov$b USING (cell) GROUP BY cell),
+         |q0_$b AS (
+         |  SELECT s.cell, p.q AS q0 FROM s0_$b s JOIN stp$b p ON p.vec_id = s.s0id),
+         |far$b AS MATERIALIZED (
+         |  SELECT m.cell, m.vec_id, m.q, ${d64("m.q", "q0.q0")} AS d0
+         |  FROM stp$b m JOIN q0_$b q0 USING (cell)),
+         |q1_$b AS (
+         |  SELECT cell, q AS q1 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cell ORDER BY d0 DESC, vec_id) AS rn
+         |    FROM far$b) t WHERE rn = 1),
+         |re$b AS (
+         |  SELECT f.vec_id, f.q,
+         |    CASE WHEN ${d64("f.q", "q1.q1")} < f.d0
+         |      THEN f.cell * 2 + 1001 ELSE f.cell * 2 + 1000 END AS cell
+         |  FROM far$b f JOIN q1_$b q1 USING (cell)),
+         |st$b AS MATERIALIZED (
+         |  SELECT vec_id, q, cell FROM stp$b
+         |  WHERE cell NOT IN (SELECT cell FROM ov$b)
+         |  UNION ALL SELECT vec_id, q, cell FROM re$b),
+         |ct$b AS MATERIALIZED (
+         |  SELECT cell, cv FROM $prevCt WHERE cell NOT IN (SELECT cell FROM ov$b)
+         |  UNION ALL SELECT cell * 2 + 1000 AS cell, q0 AS cv FROM q0_$b
+         |  UNION ALL SELECT cell * 2 + 1001 AS cell, q1 AS cv FROM q1_$b)""".stripMargin
+    }
+    s"""ct_init AS (
+       |  SELECT vec_id AS cell, list_transform(embedding, $qx) AS cv
+       |  FROM embeddings WHERE vec_id < 16),
+       |${(0 to 3).map(batch).mkString(",\n")}""".stripMargin
+  }
+
   private val annFinalIndexDuck: String =
     """WITH b3 AS (SELECT unnest(range(1, 4)) AS b),
       |base AS (SELECT vec_id, embedding AS e, 0::BIGINT AS seq, 0 AS del FROM embeddings),

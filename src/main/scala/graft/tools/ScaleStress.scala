@@ -215,7 +215,22 @@ object ScaleStress {
       "evt_pattern_match_regex", "txt_unigram_viterbi_tokenize",
       // r10: streaming CMS serving — additive-state maintenance;
       // per-batch cost = map-side-combined increments + d×w-bounded merge
-      "agg_stream_serve_cms")
+      "agg_stream_serve_cms",
+      // r11: auto-split maintained IVF — C tracks N/cap, so probe
+      // candidate sets stay cap-bounded; these rows are the near-linear
+      // twins of the documented pinned-C quadratic regime
+      "ann_cdc_autosplit_index", "ann_cdc_autosplit_probe",
+      // r11: compaction inside the maintenance loop — per-batch merge
+      // plan over segment metadata, eligible segments only rewrite
+      "idx_cdc_compacted_postings",
+      // r11: sessionized CEP (gap-bounded traces), decayed CMS serving
+      // (d×w-bounded state rewrite per batch), EM tokenizer trainer
+      // (vocabulary-sized after the first aggregate)
+      "evt_pattern_match_sessions", "agg_stream_serve_cms_decay",
+      "txt_unigram_em_learn",
+      // r11: maintained components under deletes — scoped star rebuild;
+      // cost tracks affected-component size
+      "gph_cdc_components_with_deletes")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

@@ -634,6 +634,68 @@ class ScaleOpsSpec extends SparkSpec {
       "kept ids come only from under-cap cells")
   }
 
+  test("auto-split maintained index equals the full driver replay; C grows, populations re-cap") {
+    val sf = sf0001
+    val got = Catalog.queries("ann_cdc_autosplit_index")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector)
+    def q64(e: Vector[Float]): Vector[Long] =
+      e.map(x => math.floor(x.toDouble * 64.0 + 0.5).toLong)
+    def rot(e: Vector[Float], b: Int): Vector[Float] = e.drop(b) ++ e.take(b)
+    def dist(a: Vector[Long], b: Vector[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cents: Map[Long, Vector[Long]] =
+      base.filter(_._1 < 16).map { case (c, e) => c -> q64(e) }.toMap
+    var state = Map.empty[Long, (Vector[Long], Long)]
+    var splitEvents = 0
+    def applyBatch(ups: Seq[(Long, Vector[Float])], delKeys: Set[Long]): Unit = {
+      state = state -- delKeys
+      ups.foreach { case (id, e) =>
+        val q = q64(e)
+        val cell = cents.toSeq.map { case (c, cv) => (dist(q, cv), c) }.min._2
+        state += id -> ((q, cell))
+      }
+      // one split round, the entry's exact rule
+      val over = state.values.groupBy(_._2).filter(_._2.size > 36).keySet
+      over.foreach { cell =>
+        val members = state.filter(_._2._2 == cell).toSeq
+        val q0 = members.minBy(_._1)._2._1
+        val q1 = members.map { case (id, (q, _)) => ((-dist(q, q0), id), q) }
+          .minBy(_._1)._2
+        members.foreach { case (id, (q, _)) =>
+          val nc = if (dist(q, q1) < dist(q, q0)) cell * 2 + 1001 else cell * 2 + 1000
+          state += id -> ((q, nc))
+        }
+        cents = cents - cell + ((cell * 2 + 1000) -> q0) + ((cell * 2 + 1001) -> q1)
+        splitEvents += 1
+      }
+    }
+    applyBatch(base.toSeq, Set.empty)
+    (1 to 3).foreach { b =>
+      val ups = base.collect { case (id, e) if id % 10 == b => (id, rot(e, b)) } ++
+        base.collect { case (id, e) if id % 23 == b => (id + 1000000L * b, rot(e, b + 3)) }
+      val dels = base.collect {
+        case (id, _) if id % 17 == b && id % 10 != b => id }.toSet
+      applyBatch(ups.toSeq, dels)
+    }
+    val exp = state.map { case (id, (q, cell)) =>
+      id -> ((cell, q.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum))
+    }
+    assert(got == exp, "auto-split maintained index must equal the driver replay")
+    // the lever is LIVE: splits fired, C grew past the seed count, split
+    // parents retired (no member carries a split cell id), and the probe
+    // entry serves from the same evolved state
+    assert(splitEvents > 0, "at least one cell must split at sf0.001")
+    assert(cents.size > 16, s"C must grow past the 16 seeds, got ${cents.size}")
+    val liveCells = got.values.map(_._1).toSet
+    assert(liveCells.subsetOf(cents.keySet), "members live only in current cells")
+    val probed = Catalog.queries("ann_cdc_autosplit_probe")(spark, sf).collect()
+    assert(probed.nonEmpty)
+    probed.foreach(r => assert(got.contains(r.getLong(0)), "query must be a live row"))
+  }
+
   /** Driver replay of the NN-Descent construction: returns (quantized
     * vectors, LSH-init graph, round-1 graph, final round-2 graph). */
   private def nnDescentReplay(sf: String)
