@@ -1366,7 +1366,8 @@ object ScaleOpsQueries {
     // ([[annAutosplitIndex]]) instead of running pinned C=16 — the direct
     // cause of the two documented quadratic 30× stress rows (cell
     // population grew with the corpus, so every probe's candidate set
-    // did too). With maintenance splitting any cell past AnnSplitCap=36,
+    // did too). With maintenance splitting any cell past the
+    // √N-tracking cap (max(36, ⌊√N_live⌋) — annSplitCapFor),
     // C grows with N and per-cell population stays capped: probe cost is
     // C + nprobe·cap per query — the operational C ∝ √N lever, live.
     // The oracle rebuilds the ENTIRE split history from scratch (per
@@ -1532,6 +1533,101 @@ object ScaleOpsQueries {
          |  FROM b3 b JOIN qt qu ON qu.vec_id = b.qid
          |  JOIN qt qw ON qw.vec_id = b.v) t
          |WHERE rnk <= 3""".stripMargin
+    }),
+
+    // ---- CDC-maintained k-NN graph (the NN-Descent delta step) -----------
+    // ann_nn_descent_graph builds; ann_graph_beam_search paid ~22 s of
+    // its 68.8 s at 10× REBUILDING that graph in-entry (r10 verdict #2).
+    // Here the graph is a MATERIALIZED artifact: built once into a
+    // SnapshotSink (one ranked-neighbor-array row per vertex), then
+    // maintained under vector CDC by the NN-Descent delta — only changed
+    // vectors' neighborhoods (their N(u) ∪ reverse edges) re-run the
+    // local join, with current-LSH bucket mates seeding inserts/moves
+    // (see [[buildKnnMaintained]] for the full rule). The oracle replays
+    // the base build AND all three delta batches from scratch, so the
+    // delta step's convergence is hash-gated. The serve entry below
+    // reads this sink — the build amortizes exactly like the IVF
+    // entries' index.
+    CatalogQuery("ann_cdc_maintained_knn_graph", (s, d) => {
+      val (graph, _) = annMaintainedKnnGraph(s, d)
+      graph.read()
+        .select(col("u").as("vec_id"), posexplode(col("nbrs")).as(Seq("pos", "neighbor_id")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("neighbor_id"))
+    }, Some(
+      s"""WITH $knnMaintainDuck
+         |SELECT u AS vec_id, CAST(rnk AS BIGINT) AS rank, v AS neighbor_id
+         |FROM g3""".stripMargin)),
+
+    // Beam search SERVED from the maintained k-NN graph: same 3-hop,
+    // width-4, top-3 greedy walk as ann_graph_beam_search, but the graph
+    // comes from the materialized sink (point reads at scale) and the
+    // entry point / query set are the LIVE vector state — a deleted
+    // vector stops querying, an updated one walks from its new position.
+    // When the graph entry has already built the sink this is pure
+    // serve cost (the ScaleStress pair measures both orders).
+    CatalogQuery("ann_graph_beam_serve_maintained", (s, d) => {
+      val (graphSink, vecSink) = annMaintainedKnnGraph(s, d)
+      val dist = (a: String, b: String) => expr(
+        s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+      val live = vecSink.read().localCheckpoint()
+      val qt = live.select(col("vec_id"), col("q"))
+      val flat = graphSink.read().select(col("u"), explode(col("nbrs")).as("v"))
+      val g = flat.unionByName(flat.select(col("v").as("u"), col("u").as("v")))
+        .distinct().localCheckpoint()
+      val qs = live.filter(col("vec_id") % 11 === 0).select(col("vec_id").as("qid"))
+      val ep = live.agg(min(col("vec_id")).as("v"))
+      def score(cand: DataFrame): DataFrame = cand
+        .join(qt.select(col("vec_id").as("qid"), col("q").as("qq")), Seq("qid"))
+        .join(qt.select(col("vec_id").as("v"), col("q").as("qv")), Seq("v"))
+        .withColumn("dd", dist("qq", "qv"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dd").asc, col("v").asc)))
+      var beam = qs.crossJoin(ep).select(col("qid"), col("v")).localCheckpoint()
+      (1 to 3).foreach { _ =>
+        val cand = beam.unionByName(
+            beam.as("b").join(g.as("g"), col("b.v") === col("g.u"))
+              .select(col("b.qid").as("qid"), col("g.v").as("v")))
+          .filter(col("v") =!= col("qid")).distinct()
+        beam = score(cand).filter(col("rnk") <= 4).select(col("qid"), col("v"))
+          .localCheckpoint()
+      }
+      score(beam).filter(col("rnk") <= 3)
+        .select(col("qid").as("query_id"), col("rnk").cast("long").as("rank"),
+          col("v").as("neighbor_id"), col("dd").as("dist2"))
+    }, Some {
+      def hop(in: String, out: String, w: Int): String =
+        s"""c$out AS (
+           |  SELECT DISTINCT qid, v FROM (
+           |    SELECT qid, v FROM $in
+           |    UNION ALL SELECT b.qid, gg.v FROM $in b JOIN gm gg ON gg.u = b.v) t
+           |  WHERE v <> qid),
+           |$out AS (
+           |  SELECT qid, v FROM (
+           |    SELECT c.qid, c.v, row_number() OVER (PARTITION BY c.qid ORDER BY
+           |      CAST(list_sum(list_transform(range(1, 65),
+           |        k -> (qu.q[k] - qw.q[k]) * (qu.q[k] - qw.q[k]))) AS BIGINT), c.v) AS rnk
+           |    FROM c$out c JOIN vq3 qu ON qu.vec_id = c.qid
+           |    JOIN vq3 qw ON qw.vec_id = c.v) t
+           |  WHERE rnk <= $w)""".stripMargin
+      s"""WITH $knnMaintainDuck,
+         |gm AS (SELECT u, v FROM g3 UNION SELECT v, u FROM g3),
+         |qsm AS (SELECT vec_id AS qid FROM v3 WHERE vec_id % 11 = 0),
+         |b0 AS (SELECT qid, (SELECT min(vec_id) FROM v3) AS v FROM qsm),
+         |${hop("b0", "b1", 4)},
+         |${hop("b1", "b2", 4)},
+         |${hop("b2", "b3", 4)}
+         |SELECT qid AS query_id, rnk AS rank, v AS neighbor_id, dd AS dist2
+         |FROM (
+         |  SELECT b.qid, b.v,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      k -> (qu.q[k] - qw.q[k]) * (qu.q[k] - qw.q[k]))) AS BIGINT) AS dd,
+         |    row_number() OVER (PARTITION BY b.qid ORDER BY
+         |      CAST(list_sum(list_transform(range(1, 65),
+         |        k -> (qu.q[k] - qw.q[k]) * (qu.q[k] - qw.q[k]))) AS BIGINT), b.v) AS rnk
+         |  FROM b3 b JOIN vq3 qu ON qu.vec_id = b.qid
+         |  JOIN vq3 qw ON qw.vec_id = b.v) t
+         |WHERE rnk <= 3""".stripMargin
     })
   )
 
@@ -1572,6 +1668,198 @@ object ScaleOpsQueries {
       nbr = topk(cand)
     }
     nbr
+  }
+
+  /** Oracle-side from-scratch replay of the maintained k-NN graph: the
+    * full NN-Descent base build (the nnDescentDuckCtes chain) then three
+    * CDC batches of the delta step — touched = changed ∪ old-adjacent,
+    * candidates = old N(u) ∪ two-hop ∪ current LSH bucket mates, top-8
+    * under current vectors. Ends at g3 (u, v, rnk) / v3 (live vectors) /
+    * vq3 (their lattice images).
+    */
+  private[analytics] lazy val knnMaintainDuck: String = {
+    val qx = "x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)"
+    def d64(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, 65), k -> ($a[k] - $b[k]) * ($a[k] - $b[k]))) AS BIGINT)"
+    def batch(b: Int): String =
+      s"""chg$b AS MATERIALIZED (
+         |  SELECT vec_id, embedding[${b + 1}:64] || embedding[1:$b] AS e
+         |  FROM embeddings WHERE vec_id % 10 = $b
+         |  UNION ALL
+         |  SELECT vec_id + ${1000000L * b}, embedding[${b + 4}:64] || embedding[1:${b + 3}]
+         |  FROM embeddings WHERE vec_id % 23 = $b),
+         |dl$b AS (
+         |  SELECT vec_id FROM embeddings WHERE vec_id % 17 = $b AND vec_id % 10 <> $b),
+         |v$b AS MATERIALIZED (
+         |  SELECT vec_id, e FROM v${b - 1}
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM chg$b)
+         |    AND vec_id NOT IN (SELECT vec_id FROM dl$b)
+         |  UNION ALL SELECT vec_id, e FROM chg$b),
+         |vq$b AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(e, $qx) AS q FROM v$b),
+         |u$b AS (SELECT u, v FROM g${b - 1} UNION SELECT v, u FROM g${b - 1}),
+         |tc$b AS MATERIALIZED (
+         |  SELECT DISTINCT t.u FROM (
+         |    SELECT vec_id AS u FROM chg$b
+         |    UNION ALL
+         |    SELECT ud.u FROM u$b ud
+         |    JOIN (SELECT vec_id FROM chg$b UNION ALL SELECT vec_id FROM dl$b) k
+         |      ON ud.v = k.vec_id) t
+         |  JOIN v$b lv ON lv.vec_id = t.u),
+         |bk$b AS MATERIALIZED (
+         |  SELECT vec_id, t.tbl,
+         |    ${Similarity.lshBucketDuckOffset("e", 6, 64, "t.tbl * 6")} AS bucket
+         |  FROM v$b CROSS JOIN (SELECT unnest(range(0, 2)) AS tbl) t),
+         |cn$b AS MATERIALIZED (
+         |  SELECT DISTINCT u, v FROM (
+         |    SELECT oh.u, oh.v FROM u$b oh JOIN tc$b t ON t.u = oh.u
+         |    UNION ALL
+         |    SELECT oh.u, y.v FROM u$b oh JOIN tc$b t ON t.u = oh.u
+         |      JOIN u$b y ON y.u = oh.v
+         |    UNION ALL
+         |    SELECT a.vec_id AS u, b2.vec_id AS v
+         |    FROM bk$b a JOIN tc$b t ON t.u = a.vec_id
+         |    JOIN bk$b b2 ON b2.tbl = a.tbl AND b2.bucket = a.bucket
+         |      AND b2.vec_id <> a.vec_id) t0
+         |  WHERE u <> v AND v IN (SELECT vec_id FROM v$b)),
+         |nw$b AS MATERIALIZED (
+         |  SELECT u, v, rnk FROM (
+         |    SELECT c.u, c.v, row_number() OVER (PARTITION BY c.u ORDER BY
+         |      ${d64("qu.q", "qw.q")}, c.v) AS rnk
+         |    FROM cn$b c JOIN vq$b qu ON qu.vec_id = c.u
+         |    JOIN vq$b qw ON qw.vec_id = c.v) t
+         |  WHERE rnk <= 8),
+         |g$b AS MATERIALIZED (
+         |  SELECT u, v, rnk FROM g${b - 1}
+         |  WHERE u NOT IN (SELECT u FROM tc$b)
+         |    AND u NOT IN (SELECT vec_id FROM dl$b)
+         |  UNION ALL SELECT u, v, rnk FROM nw$b)""".stripMargin
+    s"""$nnDescentDuckCtes,
+       |v0 AS MATERIALIZED (SELECT vec_id, embedding AS e FROM embeddings),
+       |g0 AS (SELECT u, v, rnk FROM n2),
+       |${(1 to 3).map(batch).mkString(",\n")}""".stripMargin
+  }
+
+  /** The maintained k-NN graph is built ONCE per dataset dir and served
+    * from its SnapshotSinks thereafter — the materialized-artifact shape
+    * the r10 verdict asked for (ann_graph_beam_search paid ~22 s of its
+    * 68.8 s at 10× rebuilding the graph in-entry; production amortizes
+    * the build across the query stream). The cache memoizes the sink
+    * PATHS (never DataFrames — reads must be fresh against the current
+    * manifest), so the first entry to touch a dataset pays the build +
+    * maintenance and every later serve is point reads.
+    */
+  private val knnGraphCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[analytics] def annMaintainedKnnGraph(s: SparkSession, d: String)
+      : (graft.sinks.SnapshotSink, graft.sinks.SnapshotSink) = {
+    val work = knnGraphCache.synchronized {
+      knnGraphCache.getOrElseUpdate(d, {
+        val w = Q.scratch("knncdc")
+        buildKnnMaintained(s, d, w)
+        w
+      })
+    }
+    (new graft.sinks.SnapshotSink(s, s"$work/graph", Seq("u"), numBuckets = 16),
+      new graft.sinks.SnapshotSink(s, s"$work/vecs", Seq("vec_id"), numBuckets = 16))
+  }
+
+  /** Build + CDC-maintain the NN-Descent k-NN graph. Batch 0: the full
+    * 2-round NN-Descent build ([[nnDescentGraph]]) materialized as one
+    * ranked-array row per vertex. Batches 1–3 (the ann change stream —
+    * rotations, inserts, tombstones): the NN-Descent DELTA step — only
+    * the changed vectors' neighborhoods re-run the local join. Touched =
+    * changed ∪ every live vertex adjacent (undirected) to a changed or
+    * deleted one; candidates(u) = old N(u) ∪ two-hop over the old
+    * undirected graph ∪ u's CURRENT 2-table LSH bucket mates (how an
+    * INSERT, which has no old edges, finds its first neighbors — and how
+    * a moved vector re-links to its new region), restricted to live
+    * vectors; keep top-8 by current integer-lattice L2 with (dist, id)
+    * ties. Untouched lists cannot reference deleted/moved vectors (that
+    * adjacency is what makes a vertex touched), so they carry over
+    * verbatim. 100 TB: per-batch cost ∝ Σ_{u∈touched} deg(u)² + the
+    * batch's bucket joins — never corpus size; the graph sink rewrites
+    * only touched buckets.
+    */
+  private def buildKnnMaintained(s: SparkSession, d: String, work: String): Unit = {
+    val e = Tables.embeddings(s, d)
+    def rot(b: Int) = expr(
+      s"concat(slice(embedding, ${b + 1}, ${64 - b}), slice(embedding, 1, $b))")
+    val qx = expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
+    val dist = (a: String, b: String) => expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    val vecs = new graft.sinks.SnapshotSink(s, s"$work/vecs", Seq("vec_id"), numBuckets = 16)
+    val graph = new graft.sinks.SnapshotSink(s, s"$work/graph", Seq("u"), numBuckets = 16)
+    vecs.merge(e.select(col("vec_id"), col("embedding"), qx.as("q"))
+      .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
+    graph.merge(nnDescentGraph(s, d).groupBy(col("u"))
+      .agg(expr("transform(array_sort(collect_list(struct(rnk, v))), p -> p.v)").as("nbrs"))
+      .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
+    (1 to 3).foreach { b =>
+      val ups = e.filter(col("vec_id") % 10 === b)
+        .select(col("vec_id"), rot(b).as("embedding"))
+      val ins = e.filter(col("vec_id") % 23 === b)
+        .select((col("vec_id") + lit(1000000L * b)).as("vec_id"),
+          rot(b + 3).as("embedding"))
+      val chg = ups.unionByName(ins)
+        .select(col("vec_id"), col("embedding"), qx.as("q")).localCheckpoint()
+      val delIds = e.filter(col("vec_id") % 17 === b && col("vec_id") % 10 =!= b)
+        .select(col("vec_id")).localCheckpoint()
+      // old undirected adjacency, pinned BEFORE any merge
+      val flat = graph.read()
+        .select(col("u"), explode(col("nbrs")).as("v"))
+      val und = flat.unionByName(flat.select(col("v").as("u"), col("u").as("v")))
+        .distinct().localCheckpoint()
+      vecs.merge(chg.withColumn("op", lit(graft.core.ChangeLog.Update))
+        .unionByName(delIds
+          .select(col("vec_id"), lit(null).cast("array<float>").as("embedding"),
+            lit(null).cast("array<bigint>").as("q"),
+            lit(graft.core.ChangeLog.Delete).as("op")))
+        .withColumn("seq", lit(b.toLong)))
+      val live = vecs.read().localCheckpoint()
+      val chKeys = chg.select(col("vec_id"))
+        .unionByName(delIds).distinct()
+      val touched = chg.select(col("vec_id").as("u"))
+        .unionByName(und.join(chKeys.withColumnRenamed("vec_id", "v"), Seq("v"))
+          .select(col("u")))
+        .distinct()
+        .join(live.select(col("vec_id").as("u")), Seq("u"))
+        .localCheckpoint()
+      val oneHop = und.join(touched, Seq("u"))
+      val twoHop = oneHop.as("x").join(und.as("y"), col("x.v") === col("y.u"))
+        .select(col("x.u").as("u"), col("y.v").as("v"))
+      val bk = live.select(col("vec_id"),
+          posexplode(GraftFunctions.lsh_buckets(col("embedding"), 2, 6)))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+        .localCheckpoint()
+      val lshMates = bk.join(touched.withColumnRenamed("u", "vec_id"), Seq("vec_id")).as("a")
+        .join(bk.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
+      val cand = oneHop.unionByName(twoHop).unionByName(lshMates)
+        .filter(col("u") =!= col("v")).distinct()
+        .join(live.select(col("vec_id").as("v")), Seq("v"))
+      val wK = Window.partitionBy(col("u")).orderBy(col("dd").asc, col("v").asc)
+      val scored = cand
+        .join(live.select(col("vec_id").as("u"), col("q").as("qu")), Seq("u"))
+        .join(live.select(col("vec_id").as("v"), col("q").as("qw")), Seq("v"))
+        .withColumn("dd", dist("qu", "qw"))
+        .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= 8)
+      val newRows = scored.groupBy(col("u"))
+        .agg(expr("transform(array_sort(collect_list(struct(rnk, v))), p -> p.v)").as("nbrs"))
+      val rows = touched.join(newRows, Seq("u"), "left")
+        .select(col("u"),
+          coalesce(col("nbrs"), expr("CAST(array() AS array<bigint>)")).as("nbrs"))
+        .localCheckpoint()
+      graph.merge(rows.withColumn("op", lit(graft.core.ChangeLog.Update))
+        .unionByName(delIds.select(col("vec_id").as("u"),
+          lit(null).cast("array<bigint>").as("nbrs"),
+          lit(graft.core.ChangeLog.Delete).as("op")))
+        .withColumn("seq", lit(b.toLong)))
+    }
   }
 
   /** DuckDB CTE chain mirroring [[nnDescentGraph]], ending in
@@ -1742,13 +2030,21 @@ object ScaleOpsQueries {
       .select(col("vec_id"), col("q"), col("cell"))
   }
 
-  /** Declared per-cell population cap for the auto-split maintained
-    * index. Production sets cap ∝ √N so C tracks √N (probe cost
-    * C + nprobe·cap is then O(√N)); the harness pins the measured
-    * envelope: base-corpus cells run 21–44 members at sf0.01, so 36
-    * guarantees the split path exercises on every dataset.
+  /** Floor of the per-cell population cap for the auto-split maintained
+    * index. The EFFECTIVE cap per batch is max(this, ⌊√N_live⌋), so C
+    * tracks √N — both assignment (N·C) and probing (C + nprobe·cap) stay
+    * O(N^1.5)/O(√N) instead of the fixed-cap N²/36 blowup. The floor
+    * pins the measured small-corpus envelope (base cells run 21–44
+    * members at sf0.01, so 36 guarantees the split path exercises on
+    * every dataset while √545 ≈ 23 would churn it). floor(sqrt(n)) on
+    * BIGINT-exact doubles is identical across engines (IEEE sqrt is
+    * correctly rounded; the k²−1 boundary rounds below k for all n in
+    * range).
     */
   private[graft] val AnnSplitCap: Long = 36L
+
+  private[graft] def annSplitCapFor(nLive: Long): Long =
+    math.max(AnnSplitCap, math.floor(math.sqrt(nLive.toDouble)).toLong)
 
   /** The CDC-maintained IVF index with AUTO-SPLIT — ann_ivf_cell_split's
     * deterministic 2-means wired INTO the maintenance loop, closing the
@@ -1759,7 +2055,8 @@ object ScaleOpsQueries {
     * the 16 base seeds. Per batch: (1) the batch's vectors assign
     * against the CURRENT centroids (broadcast 1-row — C stays
     * broadcast-sized at √N) and merge; (2) ONE split round — live cells
-    * over [[AnnSplitCap]] split by the cell-split rule (s0 = min-id
+    * over the √N-tracking cap ([[annSplitCapFor]]) split by the
+    * cell-split rule (s0 = min-id
     * member, q1 = farthest from s0, members repartition by pole
     * distance, children cell·2+1000/1001 — injective across
     * generations, parents retire) with the batch's seq+1 so LWW orders
@@ -1792,10 +2089,12 @@ object ScaleOpsQueries {
       val asg = annAssignQ(quant(ups), centsOne)
         .withColumn("op", lit(graft.core.ChangeLog.Update))
       idxSink.merge(asg.unionByName(dels).withColumn("seq", lit(2 * b)))
-      // one split round over the post-merge live index
+      // one split round over the post-merge live index; the cap tracks
+      // √N_live so C does too (the bounded .count() is a 1-row aggregate)
       val live = idxSink.read()
+      val cap = annSplitCapFor(live.count())
       val over = live.groupBy(col("cell")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > AnnSplitCap).select(col("cell")).localCheckpoint()
+        .filter(col("n") > cap).select(col("cell")).localCheckpoint()
       if (over.count() > 0) {
         val members = live.join(broadcast(over), Seq("cell")).localCheckpoint()
         val s0 = members.groupBy(col("cell")).agg(min(col("vec_id")).as("s0id"))
@@ -2111,7 +2410,7 @@ object ScaleOpsQueries {
     */
   /** Oracle-side from-scratch replay of the auto-split maintained index:
     * per batch, assign the batch's vectors against the PREVIOUS centroid
-    * set, LWW-apply, then one split round (cells over [[AnnSplitCap]]:
+    * set, LWW-apply, then one split round (cells over the √N cap:
     * s0 = min-id member, q1 = farthest, repartition by pole distance,
     * children cell·2+1000/1001, parents retire). Chained batch states
     * are MATERIALIZED (each level feeds the next — inlining would
@@ -2157,7 +2456,12 @@ object ScaleOpsQueries {
          |    FROM chq$b v CROSS JOIN $prevCt c) t
          |  WHERE rn = 1),
          |$stp,
-         |ov$b AS (SELECT cell FROM stp$b GROUP BY cell HAVING count(*) > $AnnSplitCap),
+         |cap$b AS (
+         |  SELECT greatest($AnnSplitCap, CAST(floor(sqrt(count(*))) AS BIGINT)) AS cap
+         |  FROM stp$b),
+         |ov$b AS (
+         |  SELECT cell FROM stp$b GROUP BY cell
+         |  HAVING count(*) > (SELECT cap FROM cap$b)),
          |s0_$b AS (
          |  SELECT cell, min(vec_id) AS s0id
          |  FROM stp$b JOIN ov$b USING (cell) GROUP BY cell),

@@ -230,7 +230,11 @@ object ScaleStress {
       "txt_unigram_em_learn",
       // r11: maintained components under deletes — scoped star rebuild;
       // cost tracks affected-component size
-      "gph_cdc_components_with_deletes")
+      "gph_cdc_components_with_deletes",
+      // r11: maintained k-NN graph (delta-scoped local joins) + beam
+      // serving from the materialized sink — the graph entry pays the
+      // build; the serve row right after it is the amortized serve cost
+      "ann_cdc_maintained_knn_graph", "ann_graph_beam_serve_maintained")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =

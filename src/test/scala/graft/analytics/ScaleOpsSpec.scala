@@ -657,8 +657,9 @@ class ScaleOpsSpec extends SparkSpec {
         val cell = cents.toSeq.map { case (c, cv) => (dist(q, cv), c) }.min._2
         state += id -> ((q, cell))
       }
-      // one split round, the entry's exact rule
-      val over = state.values.groupBy(_._2).filter(_._2.size > 36).keySet
+      // one split round, the entry's exact rule (cap tracks sqrt(N_live))
+      val cap = math.max(36L, math.floor(math.sqrt(state.size.toDouble)).toLong)
+      val over = state.values.groupBy(_._2).filter(_._2.size > cap).keySet
       over.foreach { cell =>
         val members = state.filter(_._2._2 == cell).toSeq
         val q0 = members.minBy(_._1)._2._1
@@ -734,6 +735,72 @@ class ScaleOpsSpec extends SparkSpec {
     }
     val n1 = round(init)
     (q, init, n1, round(n1))
+  }
+
+  test("maintained k-NN graph equals the delta-step replay; revisions update neighborhoods; beam serves from it") {
+    val sf = sf0001
+    val got = Catalog.queries("ann_cdc_maintained_knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector)
+    def q64(e: Vector[Float]): Vector[Long] =
+      e.map(x => math.floor(x.toDouble * 64.0 + 0.5).toLong)
+    def rot(e: Vector[Float], b: Int): Vector[Float] = e.drop(b) ++ e.take(b)
+    def buckets(e: Vector[Float]): Set[(Int, Long)] = (0 until 2).map { t =>
+      t -> (0 until 6).map { j =>
+        val dot = (0 until 64).map(k =>
+          graft.functions.Similarity.hyperplaneSign(t * 6 + j, k) * e(k).toDouble).sum
+        if (dot > 0) 1L << j else 0L
+      }.sum
+    }.toSet
+    val (_, _, _, g0) = nnDescentReplay(sf)
+    var vecs: Map[Long, Vector[Float]] = base.toMap
+    var graph: Map[Long, Seq[Long]] = g0
+    var bystanderUpdated = false
+    (1 to 3).foreach { b =>
+      val chg: Map[Long, Vector[Float]] =
+        base.collect { case (id, e) if id % 10 == b => id -> rot(e, b) }.toMap ++
+          base.collect { case (id, e) if id % 23 == b =>
+            (id + 1000000L * b) -> rot(e, b + 3) }.toMap
+      val dels = base.collect {
+        case (id, _) if id % 17 == b && id % 10 != b => id }.toSet
+      val und = graph.toSeq.flatMap { case (u, vs) => vs.flatMap(v => Seq(u -> v, v -> u)) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      vecs = vecs -- dels ++ chg
+      val qmap = vecs.map { case (id, e) => id -> q64(e) }
+      def dist(a: Long, bb: Long): Long =
+        qmap(a).zip(qmap(bb)).map { case (x, y) => (x - y) * (x - y) }.sum
+      val keys = chg.keySet ++ dels
+      val touched = (chg.keySet ++
+        und.collect { case (u, vs) if vs.exists(keys) => u }).filter(vecs.contains)
+      val bkts = vecs.map { case (id, e) => id -> buckets(e) }
+      val newLists = touched.map { u =>
+        val one = und.getOrElse(u, Set.empty)
+        val two = one.flatMap(m => und.getOrElse(m, Set.empty))
+        val lsh = vecs.keySet.filter(v => v != u && bkts(v).intersect(bkts(u)).nonEmpty)
+        val cand = (one ++ two ++ lsh - u).filter(vecs.contains)
+        u -> cand.toSeq.map(v => (dist(u, v), v)).sorted.take(8).map(_._2)
+      }.toMap
+      // the planted-revision signal: some vertex that did NOT itself
+      // change gets a different list because a neighbor moved/died
+      if (newLists.exists { case (u, l) =>
+        !keys(u) && graph.getOrElse(u, Nil) != l }) bystanderUpdated = true
+      graph = graph -- dels ++ newLists
+    }
+    val exp = graph.toSeq.flatMap { case (u, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (u, i + 1L, v) } }.toSet
+    assert(got == exp, s"got ${got.size} rows, expected ${exp.size}")
+    assert(bystanderUpdated,
+      "a vector revision must update some unchanged vertex's neighborhood")
+    assert(graph.keys.exists(_ > 1000000L), "inserted vectors must have lists")
+    // the serve entry walks the SAME maintained graph over live vectors
+    val served = Catalog.queries("ann_graph_beam_serve_maintained")(spark, sf).collect()
+    assert(served.nonEmpty)
+    served.foreach { r =>
+      assert(vecs.contains(r.getLong(0)), "query must be a live vector")
+      assert(vecs.contains(r.getLong(2)), "answer must be a live vector")
+    }
   }
 
   test("NN-Descent graph equals a driver replay; recall improves monotonically") {
