@@ -119,9 +119,15 @@ object Q {
     * PARTITIONED window, then add per-partition row-count offsets — the
     * boundary aggregate is ≤ spark.sql.shuffle.partitions rows, so its
     * own prefix-sum window is config-bounded, and AQE broadcasts it back
-    * unhinted. The range exchange is built once and reused by both the
-    * rank path and the offset path (identical canonicalized subtrees →
-    * ReusedExchange), so boundary sampling cannot diverge between them.
+    * unhinted. The range exchange is materialized ONCE (localCheckpoint)
+    * before the rank path and the offset path read it: the two paths'
+    * canonicalized subtrees are identical and USUALLY fold into one
+    * ReusedExchange, but under AQE that reuse is not guaranteed — when
+    * it misses, each path re-SAMPLES range boundaries and the offsets
+    * misalign with the local ranks (measured: 2431/2501/2610/2458
+    * "quartiles" over 10000 rows in the sessionized-CEP entry's context,
+    * while the same call standalone read 4×2500). Lineage truncation
+    * makes pid assignment a fact, not a plan.
     *
     * Exactly reproduces SQL `ntile(k) OVER (ORDER BY keys)` provided
     * `keys` is a total order (no ties): bucket sizes are
@@ -134,6 +140,7 @@ object Q {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val parts = df.repartitionByRange(p, keys: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint()
     val local = parts.withColumn("__lr",
       row_number().over(Window.partitionBy(col("__pid")).orderBy(keys: _*)).cast("long"))
     // per-partition counts → exclusive prefix sum = rank offset; the
