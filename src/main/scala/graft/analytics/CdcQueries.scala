@@ -908,6 +908,159 @@ object CdcQueries {
     // from-scratch LWW of both logs, so convergence across inserts,
     // updates, deletes, customer orphaning and delete-then-reinsert is
     // hash-gated.
+    // ---- maintained TOP-K view under CDC (the delete-refill problem) -----
+    // The third stateful-IVM entry (aggs, join, now ORDER BY ... LIMIT k):
+    // a top-k view is trivially maintainable under inserts (beat the
+    // buffer min or be ignored) but NOT under deletes — a delete inside
+    // the top-k needs a replacement no bounded state can name (Yi et al.,
+    // "Efficient Maintenance of Materialized Top-k Views": keep a top-B
+    // BUFFER, B > k, and REFILL from the base when deletes shrink it
+    // below k). Invariant: the buffer is a true PREFIX of the global
+    // (price desc, key) order — maintenance unions buffer survivors with
+    // the batch's live rows, keeps only rows tie-ranking at or above the
+    // OLD buffer min (anything unseen is strictly below it, so ranks
+    // among the kept rows are globally true), truncates to B; if fewer
+    // than k remain, ONE bounded rescan of the maintained row state
+    // rebuilds the buffer (counted — the amortized price of deletes).
+    // The change stream plants the hard case: batch 2 deletes most of
+    // the top price band, provably underflowing the buffer. The oracle
+    // replays the entire buffer fold including the refill decision;
+    // n_refills is part of the hash. 100 TB: per-batch cost = B + |batch|
+    // (the candidate union) except the rare refill's top-B scan — and
+    // the view serves top-k point reads from a B-row sink, never a scan.
+    CatalogQuery("cdc_ivm_maintained_topk", (s, d) => {
+      import s.implicits._
+      val K = 10
+      val B = 30
+      val work = Q.scratch("ivmtopk")
+      val rows = new graft.sinks.SnapshotSink(s, s"$work/rows", Seq("k"))
+      val buf = new graft.sinks.SnapshotSink(s, s"$work/topk", Seq("k"))
+      val osrc = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("p"))
+        .localCheckpoint()
+      var nRefills = 0L
+      def maintain(b: Long, batch: DataFrame): Unit = {
+        val bufRows = buf.exists match {
+          case true => graft.core.Bounded.collect(
+            buf.read().select(col("k"), col("p")), B + 1,
+            "cdc_ivm_maintained_topk/buffer",
+            "the top-k buffer must stay <= B rows by construction")
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq
+          case false => Seq.empty[(Long, Long)]
+        }
+        rows.merge(batch)
+        val finalBuf: DataFrame =
+          if (bufRows.isEmpty) {
+            // initial build — the one unavoidable full top-B scan
+            rows.read().select(col("k"), col("p"))
+              .orderBy(col("p").desc, col("k").asc).limit(B).localCheckpoint()
+          } else {
+            // old buffer min in (p desc, k asc) tie order
+            val (k0, p0) = bufRows.minBy { case (k, p) => (p, -k) }
+            val keys = batch.select(col("k")).distinct()
+            val survivors = bufRows.toDF("k", "p").join(keys, Seq("k"), "left_anti")
+            val live = batch.filter(col("op") =!= ChangeLog.Delete)
+              .select(col("k"), col("p"))
+            val valid = survivors.unionByName(live)
+              .filter(col("p") > p0 || (col("p") === p0 && col("k") <= k0))
+            val newBuf = valid.orderBy(col("p").desc, col("k").asc).limit(B)
+              .localCheckpoint()
+            if (newBuf.count() < K) {
+              // delete-induced underflow: the documented bounded rescan
+              nRefills += 1
+              rows.read().select(col("k"), col("p"))
+                .orderBy(col("p").desc, col("k").asc).limit(B).localCheckpoint()
+            } else newBuf
+          }
+        val dels = bufRows.toDF("k", "p").select(col("k"))
+          .join(finalBuf.select(col("k")), Seq("k"), "left_anti")
+          .select(col("k"), lit(null).cast("bigint").as("p"),
+            lit(ChangeLog.Delete).as("op"))
+        buf.merge(finalBuf
+          .withColumn("op", lit(ChangeLog.Update)).unionByName(dels)
+          .withColumn("seq", lit(b)))
+      }
+      maintain(0L, osrc.select(col("k"), col("p"),
+        lit(ChangeLog.Insert).as("op"), lit(0L).as("seq")))
+      maintain(1L, osrc.filter(col("k") % 7 === 1)
+        .select(col("k"), expr("p div 2").as("p"),
+          lit(ChangeLog.Update).as("op"), lit(1L).as("seq")))
+      val dels2 = rows.read()
+        .filter(col("p") > 40000000L && col("k") % 8 =!= 3)
+        .select(col("k"), lit(null).cast("bigint").as("p"),
+          lit(ChangeLog.Delete).as("op"), lit(2L).as("seq"))
+        .localCheckpoint()
+      maintain(2L, dels2)
+      maintain(3L, osrc.filter(col("k") % 11 === 2)
+        .select((col("k") + 1000000L).as("k"), expr("(p * 3) div 4").as("p"),
+          lit(ChangeLog.Update).as("op"), lit(3L).as("seq")))
+      buf.read().select(col("k"), col("p"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("p").desc, col("k").asc)).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("rank"), col("k").as("o_orderkey"), col("p").as("price_c"),
+          lit(nRefills).as("n_refills"))
+    }, Some(
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS p
+        |  FROM orders),
+        |st1 AS MATERIALIZED (
+        |  SELECT k, CASE WHEN k % 7 = 1 THEN p // 2 ELSE p END AS p FROM o),
+        |dl2 AS (SELECT k FROM st1 WHERE p > 40000000 AND k % 8 <> 3),
+        |st2 AS MATERIALIZED (
+        |  SELECT k, p FROM st1 WHERE k NOT IN (SELECT k FROM dl2)),
+        |in3 AS (SELECT k + 1000000 AS k, (p * 3) // 4 AS p FROM o WHERE k % 11 = 2),
+        |st3 AS MATERIALIZED (
+        |  SELECT k, p FROM st2 UNION ALL SELECT k, p FROM in3),
+        |bf0 AS MATERIALIZED (SELECT k, p FROM o ORDER BY p DESC, k LIMIT 30),
+        |m1 AS (SELECT k, p FROM bf0 ORDER BY p ASC, k DESC LIMIT 1),
+        |v1 AS MATERIALIZED (
+        |  SELECT c.k, c.p FROM (
+        |    SELECT k, p FROM bf0 WHERE k % 7 <> 1
+        |    UNION ALL SELECT k, p FROM st1 WHERE k % 7 = 1) c, m1 m
+        |  WHERE c.p > m.p OR (c.p = m.p AND c.k <= m.k)
+        |  ORDER BY c.p DESC, c.k LIMIT 30),
+        |r1 AS (SELECT count(*) < 10 AS rf FROM v1),
+        |bf1 AS MATERIALIZED (
+        |  SELECT k, p FROM v1 WHERE NOT (SELECT rf FROM r1)
+        |  UNION ALL
+        |  SELECT k, p FROM (SELECT k, p FROM st1 ORDER BY p DESC, k LIMIT 30) t
+        |  WHERE (SELECT rf FROM r1)),
+        |m2 AS (SELECT k, p FROM bf1 ORDER BY p ASC, k DESC LIMIT 1),
+        |v2 AS MATERIALIZED (
+        |  SELECT c.k, c.p FROM (
+        |    SELECT k, p FROM bf1 WHERE k NOT IN (SELECT k FROM dl2)) c, m2 m
+        |  WHERE c.p > m.p OR (c.p = m.p AND c.k <= m.k)
+        |  ORDER BY c.p DESC, c.k LIMIT 30),
+        |r2 AS (SELECT count(*) < 10 AS rf FROM v2),
+        |bf2 AS MATERIALIZED (
+        |  SELECT k, p FROM v2 WHERE NOT (SELECT rf FROM r2)
+        |  UNION ALL
+        |  SELECT k, p FROM (SELECT k, p FROM st2 ORDER BY p DESC, k LIMIT 30) t
+        |  WHERE (SELECT rf FROM r2)),
+        |m3 AS (SELECT k, p FROM bf2 ORDER BY p ASC, k DESC LIMIT 1),
+        |v3 AS MATERIALIZED (
+        |  SELECT c.k, c.p FROM (
+        |    SELECT k, p FROM bf2
+        |    UNION ALL SELECT k, p FROM in3) c, m3 m
+        |  WHERE c.p > m.p OR (c.p = m.p AND c.k <= m.k)
+        |  ORDER BY c.p DESC, c.k LIMIT 30),
+        |r3 AS (SELECT count(*) < 10 AS rf FROM v3),
+        |bf3 AS MATERIALIZED (
+        |  SELECT k, p FROM v3 WHERE NOT (SELECT rf FROM r3)
+        |  UNION ALL
+        |  SELECT k, p FROM (SELECT k, p FROM st3 ORDER BY p DESC, k LIMIT 30) t
+        |  WHERE (SELECT rf FROM r3)),
+        |nref AS (
+        |  SELECT CAST((CASE WHEN (SELECT rf FROM r1) THEN 1 ELSE 0 END) +
+        |    (CASE WHEN (SELECT rf FROM r2) THEN 1 ELSE 0 END) +
+        |    (CASE WHEN (SELECT rf FROM r3) THEN 1 ELSE 0 END) AS BIGINT) AS n)
+        |SELECT CAST(rank AS BIGINT) AS rank, k AS o_orderkey, p AS price_c,
+        |  (SELECT n FROM nref) AS n_refills
+        |FROM (SELECT k, p, row_number() OVER (ORDER BY p DESC, k) AS rank FROM bf3) t
+        |WHERE rank <= 10""".stripMargin)),
+
     CatalogQuery("cdc_ivm_maintained_join", (s, d) => {
       val work = Q.scratch("ivmjoin")
       val osrc = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),

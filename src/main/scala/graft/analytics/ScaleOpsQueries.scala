@@ -1710,6 +1710,10 @@ object ScaleOpsQueries {
          |  SELECT vec_id, t.tbl,
          |    ${Similarity.lshBucketDuckOffset("e", 6, 64, "t.tbl * 6")} AS bucket
          |  FROM v$b CROSS JOIN (SELECT unnest(range(0, 2)) AS tbl) t),
+         |bm$b AS MATERIALIZED (
+         |  SELECT vec_id, tbl, bucket FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS brn
+         |    FROM bk$b) t WHERE brn <= 64),
          |cn$b AS MATERIALIZED (
          |  SELECT DISTINCT u, v FROM (
          |    SELECT oh.u, oh.v FROM u$b oh JOIN tc$b t ON t.u = oh.u
@@ -1719,7 +1723,7 @@ object ScaleOpsQueries {
          |    UNION ALL
          |    SELECT a.vec_id AS u, b2.vec_id AS v
          |    FROM bk$b a JOIN tc$b t ON t.u = a.vec_id
-         |    JOIN bk$b b2 ON b2.tbl = a.tbl AND b2.bucket = a.bucket
+         |    JOIN bm$b b2 ON b2.tbl = a.tbl AND b2.bucket = a.bucket
          |      AND b2.vec_id <> a.vec_id) t0
          |  WHERE u <> v AND v IN (SELECT vec_id FROM v$b)),
          |nw$b AS MATERIALIZED (
@@ -1834,8 +1838,16 @@ object ScaleOpsQueries {
           posexplode(GraftFunctions.lsh_buckets(col("embedding"), 2, 6)))
         .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
         .localCheckpoint()
+      // the MATES side is width-capped (first 64 per bucket by id — the
+      // production bucket-width cap, deterministic): without it the
+      // bucket join is quadratic in bucket population (measured 1291 s
+      // at 30× = 60k vectors ≈ 940/bucket); the touched side stays
+      // uncapped so every touched vertex still draws candidates
+      val wB = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id"))
+      val bkCapped = bk.withColumn("brn", row_number().over(wB))
+        .filter(col("brn") <= 64).drop("brn")
       val lshMates = bk.join(touched.withColumnRenamed("u", "vec_id"), Seq("vec_id")).as("a")
-        .join(bk.as("b"),
+        .join(bkCapped.as("b"),
           col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))

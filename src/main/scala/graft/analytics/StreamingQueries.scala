@@ -685,6 +685,158 @@ object StreamingQueries {
     // dropDuplicates cannot give at 100 TB/day. Replays land within
     // the horizon by construction (event-time-ordered staging), so the
     // drained output equals the original event set — the oracle.
+    // ---- sessionized CEP serving (the fifth serving loop) -----------------
+    // evt_pattern_match_sessions is the BATCH form; this is the streaming
+    // production shape: per-user OPEN-SESSION state (gap-bounded — the
+    // Flink-CEP within-window discipline) maintained in a SnapshotSink,
+    // with CLOSED sessions emitted exactly-once carrying their Kleene
+    // pattern counts. The crash-consistency design applies the
+    // gph_stream_serve_components lesson: ALL state — open sessions AND
+    // the closed-session emissions — lives in ONE sink keyed
+    // (user_id, session_start), so the single mergeOnce manifest rename
+    // is the only commit point (an emit-then-merge dual write would
+    // either double-emit or lose closures under a crash between them;
+    // here a replayed batch recomputes against unchanged state or skips
+    // wholesale). Per batch: the carried open session enters the fold as
+    // a pseudo-event (event_id −1, its trace as the piece, its last_us
+    // as the timestamp), the 10-minute gap cut re-runs over pseudo ∪
+    // batch events — correct because sessionization is associative over
+    // time-ordered concatenation and the files are staged by EXACT
+    // global rank quartiles (Q.exactNtile, no single-partition sort) —
+    // and every session except the user's last flips to closed with
+    // qbatch = the batch that closed it; the last stays open (qbatch 99,
+    // overwritten at its true close). Output = one read of the sink.
+    // 100 TB: state per user is ONE open session bounded by the gap; the
+    // fold touches only users with batch events; closed rows are the
+    // output (production would TTL-export them from the sink).
+    CatalogQuery("evt_stream_sessionized_cep", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = Q.scratch("cepserve")
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+        col("event_id"), substring(col("event_type"), 1, 1).as("ini"))
+      // materialized ONCE: the 4 staging writes each re-evaluate a lazy
+      // plan, and exactNtile's range exchange SAMPLES per action — a
+      // boundary row could land in two files or neither (bit this entry:
+      // doubled single-event traces + 141 merged sessions at sf0.01)
+      val ranked = Q.exactNtile(ev,
+        Seq(col("us"), col("event_id"), col("user_id")), 4, "b")
+        .localCheckpoint()
+      (0 to 3).foreach { b =>
+        val part = ranked.filter(col("b") === (b + 1))
+          .select(col("user_id"), col("us"), col("event_id"), col("ini"))
+        val stageDir = s"$work/stage$b"
+        part.coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val src = new java.io.File(stageDir).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        val inDir = java.nio.file.Paths.get(s"$work/in")
+        java.nio.file.Files.createDirectories(inDir)
+        val dest = inDir.resolve(f"b$b%02d.parquet")
+        java.nio.file.Files.move(src.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
+      }
+      val sink = new graft.sinks.SnapshotSink(s, s"$work/sess",
+        Seq("user_id", "session_start"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, us BIGINT, event_id BIGINT, ini STRING")
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+      val q = stream.writeStream
+        .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) => {
+          import s.implicits._
+          val cur =
+            if (sink.exists)
+              sink.read().filter(col("qbatch") === 99L)
+                .select(col("user_id"), col("session_start"), col("last_us"), col("trace"))
+            else Seq.empty[(Long, Long, Long, String)]
+              .toDF("user_id", "session_start", "last_us", "trace")
+          val pseudo = cur
+            .join(batch.select(col("user_id")).distinct(), Seq("user_id"))
+            .select(col("user_id"), col("last_us").as("us"),
+              lit(-1L).as("event_id"), col("trace").as("piece"),
+              col("session_start").as("start0"))
+          val evs = batch.select(col("user_id"), col("us"), col("event_id"),
+            col("ini").as("piece"), col("us").as("start0"))
+          val wU = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+          val flagged = pseudo.unionByName(evs)
+            .withColumn("new_sess",
+              when(lag(col("us"), 1).over(wU).isNull ||
+                col("us") - lag(col("us"), 1).over(wU) > lit(600000000L),
+                lit(1)).otherwise(lit(0)))
+            .withColumn("sid", sum(col("new_sess"))
+              .over(wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          val sess = flagged.groupBy(col("user_id"), col("sid"))
+            .agg(min(col("start0")).as("session_start"),
+              max(col("us")).as("last_us"),
+              concat_ws("", expr(
+                "transform(sort_array(collect_list(struct(us, event_id, piece))), x -> x.piece)"))
+                .as("trace"))
+          val marked = sess.withColumn("mx",
+            max(col("sid")).over(Window.partitionBy(col("user_id"))))
+          // every session but the user's last closes THIS batch; the last
+          // stays open under the 99 sentinel until a later gap closes it
+          val upd = marked
+            .select(col("user_id"), col("session_start"), col("last_us"),
+              col("trace"),
+              when(col("sid") === col("mx"), lit(99L)).otherwise(lit(id)).as("qbatch"))
+            .withColumn("op", lit(graft.core.ChangeLog.Update))
+            .withColumn("seq", lit(id)).localCheckpoint()
+          sink.mergeOnce(id, graft.core.AuditSeam.report(
+            "evt_stream_sessionized_cep/maintain", upd))
+          ()
+        })
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sink.read()
+        .select(col("qbatch"), col("user_id"), col("session_start"), col("trace"),
+          expr("CAST(size(regexp_extract_all(trace, 's[cv]*p', 0)) AS BIGINT)")
+            .as("n_funnel"),
+          expr("CAST(size(regexp_extract_all(trace, 'e[cv]*e', 0)) AS BIGINT)")
+            .as("n_error_retry"),
+          expr("""coalesce(CAST(array_max(transform(
+                 |  regexp_extract_all(trace, 'v+', 0), x -> length(x))) AS BIGINT),
+                 |  CAST(0 AS BIGINT))""".stripMargin).as("longest_view_run"))
+    }, Some(
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    substring(event_type, 1, 1) AS ini
+        |  FROM events),
+        |rk AS (
+        |  SELECT *, ntile(4) OVER (ORDER BY us, event_id, user_id) AS bkt FROM ev),
+        |flagged AS (
+        |  SELECT user_id, us, event_id, ini, bkt,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 600000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM rk WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess0 AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, sid, min(us) AS session_start,
+        |    string_agg(ini, '' ORDER BY us, event_id) AS trace
+        |  FROM sess0 GROUP BY 1, 2),
+        |firsts AS (SELECT user_id, sid, min(bkt) AS fb FROM sess0 GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(sid) AS mxs FROM sess GROUP BY 1),
+        |outp AS (
+        |  SELECT s.user_id, s.session_start, s.trace,
+        |    CAST(f2.fb - 1 AS BIGINT) AS qbatch
+        |  FROM sess s JOIN firsts f2
+        |    ON f2.user_id = s.user_id AND f2.sid = s.sid + 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.session_start, s.trace, CAST(99 AS BIGINT)
+        |  FROM sess s JOIN mx ON mx.user_id = s.user_id AND s.sid = mx.mxs)
+        |SELECT qbatch, user_id, session_start, trace,
+        |  CAST(len(regexp_extract_all(trace, 's[cv]*p')) AS BIGINT) AS n_funnel,
+        |  CAST(len(regexp_extract_all(trace, 'e[cv]*e')) AS BIGINT) AS n_error_retry,
+        |  coalesce(CAST(list_max(list_transform(
+        |    regexp_extract_all(trace, 'v+'), x -> length(x))) AS BIGINT),
+        |    CAST(0 AS BIGINT)) AS longest_view_run
+        |FROM outp""".stripMargin)),
+
     CatalogQuery("evt_stream_dedup_replays", (s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val work = Q.scratch("sdw")

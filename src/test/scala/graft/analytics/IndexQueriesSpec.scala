@@ -391,6 +391,50 @@ class IndexQueriesSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("cdc_ivm_maintained_topk: buffer fold equals the replay; a delete-underflow refill fires exactly once") {
+    val got = Catalog.queries("cdc_ivm_maintained_topk")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver replay of the full buffer fold (state chain + valid-prefix
+    // truncation + refill rule)
+    val base = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("CAST(o_orderkey AS BIGINT) AS k",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS p")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ord = Ordering.by[(Long, Long), (Long, Long)] { case (k, p) => (-p, k) }
+    def topB(rows: Iterable[(Long, Long)]): Seq[(Long, Long)] =
+      rows.toSeq.sorted(ord).take(30)
+    val st1 = base.map { case (k, p) => (k, if (k % 7 == 1) p / 2 else p) }
+    val dl2 = st1.filter { case (k, p) => p > 40000000L && k % 8 != 3 }.map(_._1).toSet
+    val st2 = st1.filterNot(r => dl2(r._1))
+    val in3 = base.collect { case (k, p) if k % 11 == 2 => (k + 1000000L, p * 3 / 4) }
+    val st3 = st2 ++ in3
+    var refills = 0
+    def step(buf: Seq[(Long, Long)], keys: Set[Long], live: Seq[(Long, Long)],
+        state: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val (k0, p0) = buf.minBy { case (k, p) => (p, -k) }
+      val cand = buf.filterNot(r => keys(r._1)) ++ live
+      val valid = cand.filter { case (k, p) => p > p0 || (p == p0 && k <= k0) }
+      val nb = topB(valid)
+      if (nb.size < 10) { refills += 1; topB(state) } else nb
+    }
+    var buf = topB(base.toSeq)
+    buf = step(buf, base.collect { case (k, _) if k % 7 == 1 => k }.toSet,
+      st1.filter(_._1 % 7 == 1).toSeq, st1.toSeq)
+    buf = step(buf, dl2, Nil, st2.toSeq)
+    buf = step(buf, in3.map(_._1).toSet, in3.toSeq, st3.toSeq)
+    val exp = buf.take(10).zipWithIndex.map { case ((k, p), i) =>
+      (i + 1L, k, p, refills.toLong) }
+    assert(got.sortBy(_._1).toSeq == exp, s"got ${got.toSeq}")
+    // the planted shape: exactly ONE refill (the batch-2 delete wipes the
+    // top price band past the buffer's coverage), and the maintained
+    // answer equals the true top-10 of the FINAL state — the correctness
+    // a buffer without refill would lose
+    assert(refills == 1, s"expected exactly one refill, got $refills")
+    val truth = topB(st3.toSeq).take(10)
+    assert(got.sortBy(_._1).map(r => (r._2, r._3)).toSeq == truth,
+      "maintained top-k must equal the true top-k of the final state")
+  }
+
   test("cdc_ivm_maintained_aggs equals a full driver-side recompute; group moves happen") {
     val got = Catalog.queries("cdc_ivm_maintained_aggs")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap

@@ -975,4 +975,69 @@ class MiningQueriesSpec extends SparkSpec {
     assert(exp.size > users.size, "the 10-minute gap must split some user's trace")
     assert(got.values.exists(_._2 > 0), "some in-session funnel match expected")
   }
+
+  test("streaming sessionized CEP: closures land in their closing batch; open sessions carry across batches") {
+    val got = q("evt_stream_sessionized_cep").collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        (r.getLong(0), r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val evs = graft.core.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3).head.toString))
+    // ntile(4) replay over the global (us, event_id, user_id) order:
+    // first n%4 buckets get ceil(n/4) rows — the staging quartiles
+    val sortedAll = evs.sortBy(e => (e._2, e._3, e._1))
+    val n = sortedAll.length
+    val (qq, rr) = (n / 4, n % 4)
+    val batchOf = sortedAll.zipWithIndex.map { case (e, i) =>
+      val b = if (i < rr * (qq + 1)) i / (qq + 1) else rr + (i - rr * (qq + 1)) / qq
+      (e._1, e._2, e._3) -> b.toLong
+    }.toMap
+    val exp = evs.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Long, String)]]) {
+        case (acc, e) => acc match {
+          case cur :: rest if e._2 - cur.head._2 <= 600000000L => (e :: cur) :: rest
+          case _ => List(e) :: acc
+        }
+      }.map(_.reverse).reverse
+      sessions.zipWithIndex.map { case (sess, i) =>
+        val trace = sess.map(_._4).mkString
+        def cnt(p: String): Long = p.r.findAllMatchIn(trace).length.toLong
+        val runs = "v+".r.findAllIn(trace).map(_.length.toLong).toSeq
+        val qbatch =
+          if (i + 1 < sessions.size) {
+            val nx = sessions(i + 1).head
+            batchOf((nx._1, nx._2, nx._3))
+          } else 99L
+        (uid, sess.head._2) -> ((qbatch, trace, cnt("s[cv]*p"), cnt("e[cv]*e"),
+          if (runs.isEmpty) 0L else runs.max))
+      }
+    }.toMap
+    assert(got == exp, s"got ${got.size} sessions, expected ${exp.size}")
+    // serving signals: closures land in real batches AND at the end some
+    // sessions are still open; some closure is CROSS-batch (its session's
+    // last event sits in an earlier batch than the successor that closes
+    // it), proving the carried-open-state (pseudo-row) path ran
+    val qbs = got.values.map(_._1).toSet
+    assert(qbs.contains(99L) && (qbs - 99L).nonEmpty, s"qbatches: $qbs")
+    val crossBatchClose = evs.groupBy(_._1).exists { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Long, String)]]) {
+        case (acc, e) => acc match {
+          case cur :: rest if e._2 - cur.head._2 <= 600000000L => (e :: cur) :: rest
+          case _ => List(e) :: acc
+        }
+      }.map(_.reverse).reverse
+      sessions.zip(sessions.drop(1)).exists { case (a, b) =>
+        val last = a.last
+        val nxt = b.head
+        batchOf((last._1, last._2, last._3)) < batchOf((nxt._1, nxt._2, nxt._3))
+      }
+    }
+    assert(crossBatchClose,
+      "some closure must happen in a later batch than its session's last event")
+  }
 }

@@ -775,10 +775,15 @@ class ScaleOpsSpec extends SparkSpec {
       val touched = (chg.keySet ++
         und.collect { case (u, vs) if vs.exists(keys) => u }).filter(vecs.contains)
       val bkts = vecs.map { case (id, e) => id -> buckets(e) }
+      // the mates side is width-capped: first 64 members per (tbl, bucket)
+      // by id — the entry's production bucket-width cap (inert at this SF)
+      val bucketMembers = bkts.toSeq
+        .flatMap { case (id, bs) => bs.map(b => b -> id) }
+        .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sorted.take(64) }
       val newLists = touched.map { u =>
         val one = und.getOrElse(u, Set.empty)
         val two = one.flatMap(m => und.getOrElse(m, Set.empty))
-        val lsh = vecs.keySet.filter(v => v != u && bkts(v).intersect(bkts(u)).nonEmpty)
+        val lsh = bkts(u).flatMap(b => bucketMembers.getOrElse(b, Nil)).toSet - u
         val cand = (one ++ two ++ lsh - u).filter(vecs.contains)
         u -> cand.toSeq.map(v => (dist(u, v), v)).sorted.take(8).map(_._2)
       }.toMap
