@@ -994,10 +994,12 @@ object CdcQueries {
       maintain(3L, osrc.filter(col("k") % 11 === 2)
         .select((col("k") + 1000000L).as("k"), expr("(p * 3) div 4").as("p"),
           lit(ChangeLog.Update).as("op"), lit(3L).as("seq")))
+      // TakeOrdered FIRST so the rank window's input is provably K rows
+      // (the audit's bounded-input contract), then rank within them
       buf.read().select(col("k"), col("p"))
+        .orderBy(col("p").desc, col("k").asc).limit(K)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("p").desc, col("k").asc)).cast("long"))
-        .filter(col("rank") <= K)
         .select(col("rank"), col("k").as("o_orderkey"), col("p").as("price_c"),
           lit(nRefills).as("n_refills"))
     }, Some(

@@ -1644,7 +1644,14 @@ object ScaleOpsQueries {
     val bk = Tables.embeddings(s, d).select(col("vec_id"),
         posexplode(GraftFunctions.lsh_buckets(col("embedding"), 2, 6)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-    val init = bk.as("a").join(bk.as("b"),
+    // the mates side is width-capped (first 64 per bucket by id): the
+    // init join is otherwise quadratic in bucket population — the
+    // production bucket-width cap, deterministic, and inert below
+    // 64·128 vectors (the oracle and spec mirror the rule)
+    val wB = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id"))
+    val bkCap = bk.withColumn("brn", row_number().over(wB))
+      .filter(col("brn") <= 64).drop("brn")
+    val init = bk.as("a").join(bkCap.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("u"), col("b.vec_id").as("v")).distinct()
@@ -1900,9 +1907,13 @@ object ScaleOpsQueries {
        |  SELECT vec_id, t.tbl,
        |    ${Similarity.lshBucketDuckOffset("embedding", 6, 64, "t.tbl * 6")} AS bucket
        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 2)) AS tbl) t),
+       |bkcap AS (
+       |  SELECT vec_id, tbl, bucket FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS brn
+       |    FROM bk) t WHERE brn <= 64),
        |i0 AS (
        |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
-       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  FROM bk a JOIN bkcap b ON a.tbl = b.tbl AND a.bucket = b.bucket
        |    AND a.vec_id <> b.vec_id),
        |n0 AS (
        |  SELECT u, v, rnk FROM (

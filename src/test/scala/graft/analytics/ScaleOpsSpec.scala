@@ -721,8 +721,15 @@ class ScaleOpsSpec extends SparkSpec {
       cand.map { case (u, vs) =>
         u -> vs.toSeq.map(v => (dist(u, v), v)).sorted.take(8).map(_._2) }
     val ids = base.map(_._1)
+    // mates side width-capped: first 64 members per (table, bucket) by id
+    // — the entry's production bucket-width cap (inert at this SF)
+    val capped = buckets.zipWithIndex.map { case (bkm, _) =>
+      bkm.toSeq.groupBy(_._2).map { case (b, xs) =>
+        b -> xs.map(_._1).sorted.take(64).toSet }
+    }
     val init = topk(ids.map(u =>
-      u -> ids.filter(v => v != u && buckets.exists(bk => bk(v) == bk(u))).toSet).toMap
+      u -> ids.filter(v => v != u && buckets.indices.exists(t =>
+        capped(t).getOrElse(buckets(t)(u), Set.empty).contains(v))).toSet).toMap
       .filter(_._2.nonEmpty))
     def round(n: Map[Long, Seq[Long]]): Map[Long, Seq[Long]] = {
       val undirected = n.toSeq.flatMap { case (u, vs) =>
