@@ -234,7 +234,10 @@ object ScaleStress {
       // r11: maintained k-NN graph (delta-scoped local joins) + beam
       // serving from the materialized sink — the graph entry pays the
       // build; the serve row right after it is the amortized serve cost
-      "ann_cdc_maintained_knn_graph", "ann_graph_beam_serve_maintained")
+      "ann_cdc_maintained_knn_graph", "ann_graph_beam_serve_maintained",
+      // r11: sessionized CEP serving (single-sink open-session state)
+      // and the maintained top-k buffer (bounded refill on underflow)
+      "evt_stream_sessionized_cep", "cdc_ivm_maintained_topk")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =
