@@ -242,6 +242,54 @@ class SnapshotSinkSpec extends SparkSpec {
       Map(1L -> "a2", 2L -> "b", 3L -> "c"))
   }
 
+  test("generation retention tracks manifest retention exactly across merges") {
+    // after each committed merge: every bucket holds generations referenced
+    // by the CURRENT manifest or its predecessor — nothing older (no leak),
+    // nothing newer (no uncommitted residue)
+    val path = tmp()
+    val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 2)
+    (1L to 4L).foreach { b =>
+      sink.merge(log((b, "insert", 1, s"v$b"), (b, "insert", 2, s"w$b")))
+      val manifests = Files.list(Paths.get(path, "manifest")).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("v"))
+        .map(_.drop(1).toLong).toSet
+      assert(manifests == Set(b, b - 1).filter(_ >= 1), s"after merge $b: $manifests")
+      val gens = Files.list(Paths.get(path, "data")).iterator().asScala.flatMap { bd =>
+        Files.list(bd).iterator().asScala
+          .map(_.getFileName.toString.stripPrefix("__gen=").toLong)
+      }.toSeq
+      assert(gens.toSet.subsetOf(manifests),
+        s"after merge $b: generations $gens exceed retained manifests $manifests")
+      assert(gens.toSet.contains(b), s"after merge $b: current generation missing")
+    }
+  }
+
+  test("Ranges properties: random add orders compact minimally; contains = membership (randomized)") {
+    import SnapshotSink.Ranges
+    import org.scalacheck.{Gen, Prop}
+    val genIds: Gen[List[Long]] =
+      Gen.listOf(Gen.choose(0L, 40L)).map(_.take(30))
+    val p = Prop.forAll(genIds) { ids =>
+      val rs = ids.foldLeft(List.empty[(Long, Long)])(Ranges.add)
+      val members = ids.toSet
+      // membership agrees with the direct definition on the whole domain
+      val membershipOk = (0L to 41L).forall(i => Ranges.contains(rs, i) == members(i))
+      // minimal compaction: ranges are sorted, non-empty, and separated by
+      // gaps of at least one missing id (adjacent ranges must have merged)
+      val sortedOk = rs == rs.sortBy(_._1)
+      val wellFormed = rs.forall { case (lo, hi) => lo <= hi }
+      val gapsOk = rs.zip(rs.drop(1)).forall { case ((_, h1), (l2, _)) => l2 > h1 + 1 }
+      // size = number of maximal runs in the id set
+      val runs = members.toSeq.sorted.foldLeft(0 -> -2L) {
+        case ((n, prev), i) => (if (i == prev + 1) n else n + 1, i)
+      }._1
+      membershipOk && sortedOk && wellFormed && gapsOk && rs.size == runs
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(result.passed, result.status.toString)
+  }
+
   test("Ranges: add/contains compact adjacent and out-of-order ids") {
     import SnapshotSink.Ranges
     var rs = List.empty[(Long, Long)]
