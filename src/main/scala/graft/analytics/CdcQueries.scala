@@ -942,7 +942,7 @@ object CdcQueries {
       def maintain(b: Long, batch: DataFrame): Unit = {
         val bufRows = buf.exists match {
           case true => graft.core.Bounded.collect(
-            buf.read().select(col("k"), col("p")), B + 1,
+            buf.read().select(col("k"), col("p")), B,
             "cdc_ivm_maintained_topk/buffer",
             "the top-k buffer must stay <= B rows by construction")
             .map(r => (r.getLong(0), r.getLong(1))).toSeq

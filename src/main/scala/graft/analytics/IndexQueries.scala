@@ -472,18 +472,24 @@ object IndexQueries {
             .withColumn("seq", lit(id)).localCheckpoint()
           sink.mergeOnce(id, graft.core.AuditSeam.report(
             "agg_stream_serve_cms/maintain", upd))
-          val qbv = batch.filter(col("kind") === "qry")
-            .agg(max(col("qb"))).head.getLong(0)
-          val pc = batch.filter(col("kind") === "qry").select(col("k"))
-            .select(col("k"), posexplode(array((0 to 3).map(j => expr(cellS(j, "k"))): _*)))
-            .select(col("k"), col("pos").cast("long").as("hrow"), col("col").as("cell"))
-          graft.core.AuditSeam.report("agg_stream_serve_cms/serve",
-            pc.join(sink.read().select(col("hrow"), col("cell"), col("n")),
-                Seq("hrow", "cell"), "left")
-              .groupBy(col("k").as("part_key"))
-              .agg(min(coalesce(col("n"), lit(0L))).as("cms_estimate"))
-              .select(lit(qbv).as("qbatch"), col("part_key"), col("cms_estimate")))
-            .write.mode("append").parquet(s"$work/out")
+          // a probe-free micro-batch has nothing to serve: max(qb) over
+          // zero 'qry' rows is NULL — skip the serve step instead of an
+          // opaque NPE (entry: agg_stream_serve_cms)
+          val qbvBox = batch.filter(col("kind") === "qry")
+            .agg(max(col("qb"))).head.getAs[java.lang.Long](0)
+          if (qbvBox != null) {
+            val qbv = qbvBox.longValue
+            val pc = batch.filter(col("kind") === "qry").select(col("k"))
+              .select(col("k"), posexplode(array((0 to 3).map(j => expr(cellS(j, "k"))): _*)))
+              .select(col("k"), col("pos").cast("long").as("hrow"), col("col").as("cell"))
+            graft.core.AuditSeam.report("agg_stream_serve_cms/serve",
+              pc.join(sink.read().select(col("hrow"), col("cell"), col("n")),
+                  Seq("hrow", "cell"), "left")
+                .groupBy(col("k").as("part_key"))
+                .agg(min(coalesce(col("n"), lit(0L))).as("cms_estimate"))
+                .select(lit(qbv).as("qbatch"), col("part_key"), col("cms_estimate")))
+              .write.mode("append").parquet(s"$work/out")
+          }
         })
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(Trigger.AvailableNow())
@@ -592,18 +598,25 @@ object IndexQueries {
             .withColumn("seq", lit(id)).localCheckpoint()
           sink.mergeOnce(id, graft.core.AuditSeam.report(
             "agg_stream_serve_cms_decay/maintain", upd))
-          val qbv = batch.filter(col("kind") === "qry")
-            .agg(max(col("qb"))).head.getLong(0)
-          val pc = batch.filter(col("kind") === "qry").select(col("k"))
-            .select(col("k"), posexplode(array((0 to 3).map(j => expr(cellS(j, "k"))): _*)))
-            .select(col("k"), col("pos").cast("long").as("hrow"), col("col").as("cell"))
-          graft.core.AuditSeam.report("agg_stream_serve_cms_decay/serve",
-            pc.join(sink.read().select(col("hrow"), col("cell"), col("n")),
-                Seq("hrow", "cell"), "left")
-              .groupBy(col("k").as("part_key"))
-              .agg(min(coalesce(col("n"), lit(0L))).as("cms_estimate"))
-              .select(lit(qbv).as("qbatch"), col("part_key"), col("cms_estimate")))
-            .write.mode("append").parquet(s"$work/out")
+          // a probe-free micro-batch has nothing to serve: max(qb) over
+          // zero 'qry' rows is NULL — skip the serve step instead of an
+          // opaque NPE (entry: agg_stream_serve_cms_decay). The decay
+          // merge above still ran: idle cells age even with no probes.
+          val qbvBox = batch.filter(col("kind") === "qry")
+            .agg(max(col("qb"))).head.getAs[java.lang.Long](0)
+          if (qbvBox != null) {
+            val qbv = qbvBox.longValue
+            val pc = batch.filter(col("kind") === "qry").select(col("k"))
+              .select(col("k"), posexplode(array((0 to 3).map(j => expr(cellS(j, "k"))): _*)))
+              .select(col("k"), col("pos").cast("long").as("hrow"), col("col").as("cell"))
+            graft.core.AuditSeam.report("agg_stream_serve_cms_decay/serve",
+              pc.join(sink.read().select(col("hrow"), col("cell"), col("n")),
+                  Seq("hrow", "cell"), "left")
+                .groupBy(col("k").as("part_key"))
+                .agg(min(coalesce(col("n"), lit(0L))).as("cms_estimate"))
+                .select(lit(qbv).as("qbatch"), col("part_key"), col("cms_estimate")))
+              .write.mode("append").parquet(s"$work/out")
+          }
         })
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(Trigger.AvailableNow())
@@ -1289,30 +1302,37 @@ object IndexQueries {
         .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) => {
           val ch = batch.filter(col("kind") === "chg")
             .select(col("doc_id"), col("text"), col("n_tok"), col("op"), col("seq"))
-          // control reads: 1-row seq stamp + the bounded query-term set
-          val seqNo = ch.agg(max(col("seq"))).head.getLong(0)
-          maintainPostingsBatch(docState, postings, ch, seqNo, batchId = Some(id),
-            auditSite = "idx_stream_serve_bm25")
+          // control reads: 1-row seq stamp + the bounded query-term set.
+          // Either side of the mixed batch may be empty (a change-free or
+          // probe-free micro-batch): max() over zero rows is NULL — skip
+          // that half instead of an opaque NPE.
+          val seqBox = ch.agg(max(col("seq"))).head.getAs[java.lang.Long](0)
+          if (seqBox != null)
+            maintainPostingsBatch(docState, postings, ch, seqBox.longValue,
+              batchId = Some(id), auditSite = "idx_stream_serve_bm25")
           val qrows = batch.filter(col("kind") === "qry")
             .select(col("qb"), col("term"))
-          val qbv = qrows.agg(max(col("qb"))).head.getLong(0)
-          // the terms COME FROM the stream; sorted so the double-addition
-          // fold order is deterministic (and matched by the oracle). A
-          // query batch carries a few terms by construction — enforced:
-          val terms = graft.core.Bounded.collect(
-            qrows.select(col("term")).distinct(), 10000,
-            "idx_stream_serve_bm25/query-terms",
-            "a query batch must stay a bounded term set; split oversized " +
-              "query traffic into smaller micro-batches")
-            .map(_.getString(0)).sorted.toSeq
-          val perDoc = bm25Scores(postings.read(), docState.read(), terms)
-          val top = perDoc.orderBy(col("score").desc, col("doc_id").asc).limit(10)
-          graft.core.AuditSeam.report("idx_stream_serve_bm25/serve",
-            top.withColumn("rank",
-              row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
-                .cast("long"))
-              .select(lit(qbv).as("qbatch"), col("doc_id"), col("score"), col("rank")))
-            .write.mode("append").parquet(s"$work/out")
+          val qbvBox = qrows.agg(max(col("qb"))).head.getAs[java.lang.Long](0)
+          if (qbvBox != null) {
+            val qbv = qbvBox.longValue
+            // the terms COME FROM the stream; sorted so the double-addition
+            // fold order is deterministic (and matched by the oracle). A
+            // query batch carries a few terms by construction — enforced:
+            val terms = graft.core.Bounded.collect(
+              qrows.select(col("term")).distinct(), 10000,
+              "idx_stream_serve_bm25/query-terms",
+              "a query batch must stay a bounded term set; split oversized " +
+                "query traffic into smaller micro-batches")
+              .map(_.getString(0)).sorted.toSeq
+            val perDoc = bm25Scores(postings.read(), docState.read(), terms)
+            val top = perDoc.orderBy(col("score").desc, col("doc_id").asc).limit(10)
+            graft.core.AuditSeam.report("idx_stream_serve_bm25/serve",
+              top.withColumn("rank",
+                row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+                  .cast("long"))
+                .select(lit(qbv).as("qbatch"), col("doc_id"), col("score"), col("rank")))
+              .write.mode("append").parquet(s"$work/out")
+          }
         })
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(Trigger.AvailableNow())
@@ -1774,6 +1794,18 @@ object IndexQueries {
       else Seq.empty[Long].toDF("doc_id"))
       .unionByName(ch.filter(col("op") =!= graft.core.ChangeLog.Delete)
         .select(col("doc_id")))
+    val liveOrigs = liveAfter
+      .select(expr(s"doc_id div $segDiv").as("orig")).distinct()
+    // The oracle re-derives each batch's remap from LIVE docs only: a birth
+    // segment with zero live docs after this batch loses its mapping, so a
+    // later refill gets a fresh identity — not a retired merge target. Match
+    // it by tombstoning sentinels of emptied origins in the SAME commit
+    // (disjoint pks from remapUpd, which only touches live origins).
+    val staleSentinels = remap.join(liveOrigs, Seq("orig"), "left_anti")
+      .select(lit("@segmap").as("term"), (-col("orig") - 1).as("seg"),
+        lit(null).cast("bigint").as("n_docs"),
+        lit(null).cast("array<struct<doc_id:bigint,tf:bigint>>").as("plist"),
+        lit(graft.core.ChangeLog.Delete).as("op"))
     val segLive = remapSeg(liveAfter.withColumn("seg", expr(s"doc_id div $segDiv")))
       .groupBy(col("seg")).agg(count(lit(1)).as("live"))
       .localCheckpoint()
@@ -1788,7 +1820,7 @@ object IndexQueries {
     val upserts = rebuilt
       .withColumn("op", lit(graft.core.ChangeLog.Update))
     val postCore =
-      if (nElig < trigger) upserts.unionByName(dropped)
+      if (nElig < trigger) upserts.unionByName(dropped).unionByName(staleSentinels)
       else {
         val eligB = broadcast(elig)
         val ds = dataState.getOrElse(rebuilt.limit(0)) // first-batch compaction: no stored rows
@@ -1819,8 +1851,7 @@ object IndexQueries {
             lit(graft.core.ChangeLog.Delete).as("op"))
         // remap update: every birth segment currently mapping into an
         // eligible segment now maps to its merged target
-        val remapUpd = liveAfter
-          .select(expr(s"doc_id div $segDiv").as("orig")).distinct()
+        val remapUpd = liveOrigs
           .join(broadcast(remap), Seq("orig"), "left")
           .withColumn("seg", coalesce(col("cur"), col("orig")))
           .join(eligB, Seq("seg"))
@@ -1831,6 +1862,7 @@ object IndexQueries {
         upserts.join(eligB.select("seg"), Seq("seg"), "left_anti")
           .unionByName(dropped.join(eligB.select("seg"), Seq("seg"), "left_anti"))
           .unionByName(moved).unionByName(eligPairs).unionByName(remapUpd)
+          .unionByName(staleSentinels)
       }
     val postBatch = graft.core.AuditSeam.report(s"$auditSite/postings",
       postCore.withColumn("seq", lit(seqNo)))

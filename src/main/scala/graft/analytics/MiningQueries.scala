@@ -149,6 +149,236 @@ object MiningQueries {
       .select(col("vtx"), coalesce(col("root"), col("vtx")).as("lbl"))
   }
 
+  /** Distributed Borůvka spanning forest (public textbook algorithm; the
+    * standard O(log V)-round distributed MSF shape). Input: undirected
+    * edges (u, v); output: canonical (u < v) tree edges whose union spans
+    * every component of the input. Per round each current component picks
+    * its minimum incident CROSSING edge under the (u, v) total order —
+    * distinct "weights", so the round's picks are provably acyclic — then
+    * components contract via [[starFixpoint]] over the chosen edges'
+    * endpoint-label graph (component-count-sized, so contraction cost
+    * shrinks geometrically). Active components at least halve per round:
+    * ≤ log₂V rounds, each one E-sized join + a component-sized star
+    * fixpoint. 100 TB: the forest is V-sized state, the per-round shuffle
+    * is the edge list keyed by endpoint — the same plan class as the
+    * label rebuild it certifies.
+    */
+  private[analytics] def boruvkaForest(edges0: DataFrame): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    val canon = edges0
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var lbl = canon.select(col("u").as("vtx"))
+      .unionByName(canon.select(col("v").as("vtx"))).distinct()
+      .select(col("vtx"), col("vtx").as("lbl")).localCheckpoint()
+    var forest = Seq.empty[(Long, Long)].toDF("u", "v")
+    var n = 1L
+    while (n > 0) {
+      val crossed = canon
+        .join(lbl.select(col("vtx").as("u"), col("lbl").as("lu")), Seq("u"))
+        .join(lbl.select(col("vtx").as("v"), col("lbl").as("lv")), Seq("v"))
+        .filter(col("lu") =!= col("lv"))
+      val chosen = crossed.select(col("lu").as("l"), col("u"), col("v"))
+        .unionByName(crossed.select(col("lv").as("l"), col("u"), col("v")))
+        .groupBy(col("l")).agg(min(struct(col("u"), col("v"))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v")).distinct()
+        .localCheckpoint()
+      n = chosen.count()
+      if (n > 0) {
+        forest = forest.unionByName(chosen).localCheckpoint()
+        val lgraph = chosen
+          .join(lbl.select(col("vtx").as("u"), col("lbl").as("lu")), Seq("u"))
+          .join(lbl.select(col("vtx").as("v"), col("lbl").as("lv")), Seq("v"))
+          .select(col("lu").as("u"), col("lv").as("v"))
+        val lmap = starFixpoint(lgraph)
+          .select(col("vtx").as("old"), col("lbl").as("nl"))
+        lbl = lbl.join(lmap, col("lbl") === col("old"), "left")
+          .select(col("vtx"), coalesce(col("nl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+      }
+    }
+    forest
+  }
+
+  /** [[mergeGroups]] variant for forest maintenance: pairs carry a
+    * representative edge, are processed in sorted (a, b) order
+    * (deterministic), and the pairs whose union ACTUALLY merged two
+    * groups return their representatives — exactly the new tree edges
+    * (old forests span the old groups; one representative per merging
+    * pair spans the union).
+    */
+  private[analytics] def mergeGroupsMarked(
+      pairs: Seq[((Long, Long), (Long, Long))])
+      : (Map[Long, Long], Seq[(Long, Long)]) = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    val tree = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    pairs.sortBy(_._1).foreach { case ((a, b), rep) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(math.max(ra, rb)) = math.min(ra, rb); tree += rep }
+    }
+    val mapping = pairs.flatMap(p => Seq(p._1._1, p._1._2)).distinct
+      .map(k => k -> find(k)).filter { case (k, r) => k != r }.toMap
+    (mapping, tree.toSeq)
+  }
+
+  /** Maintained connected components under CDC with a spanning-forest CUT
+    * for deletions (the r11 verdict's top item). State: the same three
+    * sinks as [[gph_cdc_components_with_deletes]] (labels vtx→lbl,
+    * postings (lbl, vtx), live edges) plus a spanning FOREST of the live
+    * graph — a connectivity certificate. The cut: a deleted edge NOT in
+    * the forest provably cannot split its component (every forest edge is
+    * still live, so the forest still spans), so a non-tree deletion batch
+    * is edge-removal only — no rebuild, counted in `nSkipped`. Only a
+    * batch whose deletions hit tree edges pays the scoped star rebuild
+    * (which re-derives the scoped forest via [[boruvkaForest]]). Inserts
+    * extend the forest with one representative edge per MERGING label
+    * pair ([[mergeGroupsMarked]]) — old forests span the old components,
+    * one representative per merge spans the union. Invariant maintained
+    * everywhere: forest ⊆ live edges, spanning per component; it follows
+    * that a vertex's last live edge is always a tree edge, so non-tree
+    * deletes can never strand a vertex. 100 TB: most deletes in a dense
+    * graph are non-tree → FREE (the measured r11 worst case paid the
+    * affected component on every deletion batch); forest state is V-sized
+    * in a pk-bucketed sink; the rebuild, when a certificate edge actually
+    * dies, stays scoped to the affected components.
+    */
+  private[analytics] final class ForestCutCC(
+      s: org.apache.spark.sql.SparkSession, work: String) {
+    import s.implicits._
+    val labels = new graft.sinks.SnapshotSink(s, s"$work/lbl", Seq("vtx"))
+    val postings = new graft.sinks.SnapshotSink(s, s"$work/post", Seq("lbl", "vtx"))
+    val edgeSink = new graft.sinks.SnapshotSink(s, s"$work/edges", Seq("u", "v"))
+    val forest = new graft.sinks.SnapshotSink(s, s"$work/forest", Seq("u", "v"))
+    var nSkipped = 0L
+    var nRebuilds = 0L
+
+    def init(base0: DataFrame): Unit = {
+      val base = base0.localCheckpoint()
+      edgeSink.merge(base
+        .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
+      val l0 = starFixpoint(base).localCheckpoint()
+      labels.merge(l0
+        .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
+      postings.merge(l0.select(col("lbl"), col("vtx"))
+        .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
+      forest.merge(boruvkaForest(base).localCheckpoint()
+        .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
+    }
+
+    /** Incremental union-find insert step + forest extension. */
+    def insert(b: Long, delta0: DataFrame): Unit = {
+      val delta = delta0.localCheckpoint()
+      edgeSink.merge(delta
+        .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(b)))
+      val lab = labels.read().select(col("vtx"), col("lbl"))
+      // one representative (min) edge per distinct crossing label pair —
+      // the tree-edge candidates; which of them BECOME tree edges is the
+      // driver union-find's merge record
+      val lp = delta
+        .join(lab.select(col("vtx").as("u"), col("lbl").as("lu0")), Seq("u"), "left")
+        .join(lab.select(col("vtx").as("v"), col("lbl").as("lv0")), Seq("v"), "left")
+        .select(coalesce(col("lu0"), col("u")).as("lu"),
+          coalesce(col("lv0"), col("v")).as("lv"), col("u"), col("v"))
+        .filter(col("lu") =!= col("lv"))
+        .select(least(col("lu"), col("lv")).as("la"),
+          greatest(col("lu"), col("lv")).as("lb"), col("u"), col("v"))
+        .groupBy(col("la"), col("lb"))
+        .agg(min(struct(col("u"), col("v"))).as("rep"))
+      val pairRows = graft.core.Bounded.collect(lp, 1 << 20,
+        "gph_cdc_forest_cut_components/label-pairs",
+        "shard the edge delta into smaller micro-batches, or rebuild " +
+          "distributed via gph_largestar_smallstar_cc")
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getStruct(2).getLong(0), r.getStruct(2).getLong(1)))).toSeq
+      val (mapping, treeEdges) = mergeGroupsMarked(pairRows)
+      val newV = delta.select(explode(array(col("u"), col("v"))).as("vtx"))
+        .distinct().join(lab, Seq("vtx"), "left_anti")
+      val mdf = broadcast(mapping.toSeq.toDF("old_lbl", "new_lbl"))
+      val moved = postings.read().select(col("lbl"), col("vtx"))
+        .join(mdf, col("lbl") === col("old_lbl")).localCheckpoint()
+      val newRows = newV
+        .join(mdf, col("vtx") === col("old_lbl"), "left")
+        .select(col("vtx"), coalesce(col("new_lbl"), col("vtx")).as("lbl"))
+        .localCheckpoint()
+      labels.merge(moved.select(col("vtx"), col("new_lbl").as("lbl"))
+        .withColumn("op", lit(graft.core.ChangeLog.Update))
+        .unionByName(newRows.withColumn("op", lit(graft.core.ChangeLog.Insert)))
+        .withColumn("seq", lit(b)))
+      postings.merge(moved.select(col("lbl"), col("vtx"))
+        .withColumn("op", lit(graft.core.ChangeLog.Delete))
+        .unionByName(moved.select(col("new_lbl").as("lbl"), col("vtx"))
+          .withColumn("op", lit(graft.core.ChangeLog.Insert)))
+        .unionByName(newRows.select(col("lbl"), col("vtx"))
+          .withColumn("op", lit(graft.core.ChangeLog.Insert)))
+        .withColumn("seq", lit(b)))
+      forest.merge(treeEdges.toDF("u", "v")
+        .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(b)))
+    }
+
+    /** Deletion batch. Returns true iff the scoped rebuild fired — i.e.
+      * at least one deleted edge was a certificate (tree) edge.
+      */
+    def delete(b: Long, dels0: DataFrame): Boolean = {
+      val dels = dels0.localCheckpoint()
+      val fNow = forest.read().select(col("u"), col("v"))
+      val treeDel = dels.join(fNow, Seq("u", "v"), "left_semi").localCheckpoint()
+      edgeSink.merge(dels
+        .withColumn("op", lit(graft.core.ChangeLog.Delete)).withColumn("seq", lit(b)))
+      if (treeDel.isEmpty) {
+        // the cut: every deleted edge is non-tree — the live forest still
+        // spans every touched component, so no label can change
+        nSkipped += 1
+        false
+      } else {
+        nRebuilds += 1
+        val lab = labels.read().select(col("vtx"), col("lbl"))
+        val affected = treeDel.select(explode(array(col("u"), col("v"))).as("vtx"))
+          .distinct().join(lab, Seq("vtx"))
+          .select(col("lbl")).distinct().localCheckpoint()
+        val scopeV = postings.read().join(broadcast(affected), Seq("lbl"))
+          .select(col("vtx"), col("lbl").as("old_lbl")).localCheckpoint()
+        val scopedE = edgeSink.read() // post-delete live edges
+          .join(scopeV.select(col("vtx").as("u")), Seq("u"))
+          .select(col("u"), col("v"))
+        val rebuilt = starFixpoint(scopedE)
+        val changedL = scopeV
+          .join(rebuilt, Seq("vtx"), "left")
+          .select(col("vtx"), col("old_lbl"),
+            coalesce(col("lbl"), col("vtx")).as("lbl")) // edgeless -> singleton
+          .filter(col("lbl") =!= col("old_lbl"))
+          .localCheckpoint()
+        labels.merge(changedL.select(col("vtx"), col("lbl"))
+          .withColumn("op", lit(graft.core.ChangeLog.Update)).withColumn("seq", lit(b)))
+        postings.merge(changedL.select(col("old_lbl").as("lbl"), col("vtx"))
+          .withColumn("op", lit(graft.core.ChangeLog.Delete))
+          .unionByName(changedL.select(col("lbl"), col("vtx"))
+            .withColumn("op", lit(graft.core.ChangeLog.Insert)))
+          .withColumn("seq", lit(b)))
+        // re-derive the scoped forest (forest edges have both endpoints in
+        // scope: components are closed, a tree edge's endpoints share one);
+        // only CHANGED rows rewrite so batch pks stay disjoint
+        val newF = boruvkaForest(scopedE).localCheckpoint()
+        val oldF = fNow.join(scopeV.select(col("vtx").as("u")), Seq("u"), "left_semi")
+          .select(col("u"), col("v")).localCheckpoint()
+        forest.merge(oldF.join(newF, Seq("u", "v"), "left_anti")
+          .withColumn("op", lit(graft.core.ChangeLog.Delete))
+          .unionByName(newF.join(oldF, Seq("u", "v"), "left_anti")
+            .withColumn("op", lit(graft.core.ChangeLog.Insert)))
+          .withColumn("seq", lit(b)))
+        true
+      }
+    }
+
+    def components: DataFrame =
+      labels.read().select(col("vtx").as("part_id"), col("lbl").as("component"))
+  }
+
   def all: Seq[CatalogQuery] = Seq(
 
     // ---- event-sequence Markov transitions ------------------------------
@@ -609,6 +839,83 @@ object MiningQueries {
       // batch 3: inserts continue against post-split state
       insertBatch(3L, cpairs(41).join(cpairs(43), Seq("u", "v"), "left_anti"))
       labels.read().select(col("vtx").as("part_id"), col("lbl").as("component"))
+    }, Some(
+      """WITH RECURSIVE li43 AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_quantity >= 43),
+        |e43 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li43 a JOIN li43 b ON a.ok = b.ok AND a.pk < b.pk),
+        |li41 AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_quantity >= 41),
+        |e41 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li41 a JOIN li41 b ON a.ok = b.ok AND a.pk < b.pk),
+        |fin AS (
+        |  SELECT u, v FROM e41 t
+        |  WHERE NOT ((t.u * 31 + t.v) % 3 = 0 AND EXISTS (
+        |    SELECT 1 FROM e43 WHERE e43.u = t.u AND e43.v = t.v))),
+        |allv AS (
+        |  SELECT DISTINCT u AS vtx FROM e41
+        |  UNION SELECT DISTINCT v FROM e41),
+        |ue AS (SELECT u AS src, v AS dst FROM fin
+        |       UNION ALL SELECT v AS src, u AS dst FROM fin),
+        |lp AS (
+        |  SELECT src AS vtx, src AS lbl FROM ue
+        |  UNION
+        |  SELECT e2.dst AS vtx, l.lbl AS lbl
+        |  FROM lp l JOIN ue e2 ON e2.src = l.vtx
+        |  WHERE l.lbl < e2.dst)
+        |SELECT a.vtx AS part_id,
+        |  CAST(coalesce(min(l.lbl), a.vtx) AS BIGINT) AS component
+        |FROM allv a LEFT JOIN lp l ON l.vtx = a.vtx
+        |GROUP BY 1""".stripMargin)),
+
+    // ---- spanning-forest cut: non-tree deletes are FREE -------------------
+    // gph_cdc_components_with_deletes pays the scoped star rebuild for
+    // EVERY deletion batch; this entry maintains a spanning forest of the
+    // live graph alongside the labels ([[ForestCutCC]]) so a deletion
+    // batch whose edges all miss the forest provably cannot split any
+    // component and is edge-removal only. The same data-defined candidate
+    // set as the rebuild-always twin ((u·31+v)%3=0 over the b1 graph)
+    // splits into its two classes against the maintained forest and lands
+    // as two batches: b2 = the non-tree part (must SKIP — in-entry
+    // require), b3 = the tree part (must fire the scoped rebuild and
+    // split components — require). The union of the two batches is the
+    // twin's exact delete set, so the final graph is data-defined and the
+    // oracle recomputes ground-truth components from scratch (recursive
+    // min-label over surviving edges; isolated vertices self-labeled) —
+    // post-cut correctness is hash-gated, not asserted. 100 TB: dense
+    // graphs are mostly non-tree edges, so most deletion batches take the
+    // free path; the certificate costs V-sized state and one semi-join
+    // per deletion batch.
+    CatalogQuery("gph_cdc_forest_cut_components", (s, d) => {
+      val work = Q.scratch("ccforest")
+      val m = new ForestCutCC(s, work)
+      def cpairs(t: Int): DataFrame = {
+        val li = Tables.lineitem(s, d).filter(col("l_quantity") >= t)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      }
+      m.init(cpairs(45))
+      m.insert(1L, cpairs(43).join(cpairs(45), Seq("u", "v"), "left_anti"))
+      val cand = cpairs(43).filter(expr("(u * 31 + v) % 3 = 0")).localCheckpoint()
+      val fAtDelete = m.forest.read().select(col("u"), col("v"))
+      val nonTree = cand.join(fAtDelete, Seq("u", "v"), "left_anti").localCheckpoint()
+      val treeDels = cand.join(fAtDelete, Seq("u", "v"), "left_semi").localCheckpoint()
+      require(nonTree.count() > 0 && treeDels.count() > 0,
+        "gph_cdc_forest_cut_components: the planted candidate set must " +
+          "carry both edge classes (non-tree skip AND tree-edge split)")
+      val fired2 = m.delete(2L, nonTree)
+      val fired3 = m.delete(3L, treeDels)
+      require(!fired2 && fired3 && m.nSkipped == 1 && m.nRebuilds == 1,
+        s"gph_cdc_forest_cut_components: planted classes must take their " +
+          s"paths (skipped=${m.nSkipped}, rebuilds=${m.nRebuilds})")
+      m.insert(4L, cpairs(41).join(cpairs(43), Seq("u", "v"), "left_anti"))
+      m.components
     }, Some(
       """WITH RECURSIVE li43 AS (
         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem

@@ -49,10 +49,13 @@ final case class Router(routes: Seq[Route], passthrough: Map[String, Column]) {
     * target and the input is `exists`-filtered) or from `knownTargets`;
     * scanning the data for distinct targets is the last resort — it is
     * bounded only by what the stream contains, and an unexpected table in
-    * a poisoned stream would fan out unbounded work.
+    * a poisoned stream would fan out unbounded work. `maxScanTargets`
+    * bounds that last-resort scan (default 10000); a legitimate wide-target
+    * deployment raises it instead of enumerating `knownTargets`.
     */
   def fanOut(df: DataFrame, targetCol: String,
-      knownTargets: Seq[String] = Nil): Seq[(String, DataFrame)] = {
+      knownTargets: Seq[String] = Nil,
+      maxScanTargets: Int = 10000): Seq[(String, DataFrame)] = {
     val assigned = assign(df)
     val c = s"tgt_$targetCol"
     val fromConfig = routes.flatMap(_.targets.get(targetCol)).filter(_ != "*").distinct
@@ -62,10 +65,11 @@ final case class Router(routes: Seq[Route], passthrough: Map[String, Column]) {
       if (knownTargets.nonEmpty) knownTargets.distinct
       else if (configComplete) fromConfig
       else graft.core.Bounded.collect(
-        assigned.select(c).distinct(), 10000,
+        assigned.select(c).distinct(), maxScanTargets,
         s"Router.fanOut($targetCol)/data-scan",
-        "name every route target in the config (or pass knownTargets) so " +
-          "fan-out is config-bounded; a poisoned stream must not mint targets")
+        "name every route target in the config (or pass knownTargets), or " +
+          "raise maxScanTargets for a legitimately wide deployment; a " +
+          "poisoned stream must not mint targets")
         .map(_.getString(0)).toSeq
     targets.map(t => t -> assigned.filter(col(c) === t))
   }

@@ -701,6 +701,54 @@ class IndexQueriesSpec extends SparkSpec {
     assert(finalSegs.exists(_ >= 1000000L), "some merged segment must exist")
   }
 
+  test("compacting maintenance: an emptied birth segment loses its remap; a refill is born fresh, not at the retired target") {
+    import org.apache.spark.sql.functions.{col, explode, lit, when, size, split}
+    import spark.implicits._
+    val work = graft.analytics.Q.scratch("cmpremapspec")
+    val docState = new graft.sinks.SnapshotSink(spark, s"$work/docs", Seq("doc_id"))
+    val postings = new graft.sinks.SnapshotSink(spark, s"$work/postings",
+      Seq("term", "seg"))
+    def ch(rows: Seq[(Long, String, String)], seq: Long) =
+      rows.toDF("doc_id", "text", "op").withColumn("seq", lit(seq))
+        .withColumn("n_tok",
+          when(col("text").isNotNull, size(split(col("text"), " ")).cast("long")))
+    val I = graft.core.ChangeLog.Insert
+    val D = graft.core.ChangeLog.Delete
+    // batch 0: 8 birth segments x 10 docs, all under thrLive=40 — the
+    // trigger (6) fires immediately; every orig remaps to one merged seg
+    val b0 = for { o <- 0L to 7L; i <- 0L until 10L }
+      yield (o * 100 + i, s"tok${o}_$i common", I)
+    IndexQueries.maintainCompactingBatch(docState, postings, ch(b0, 0L), 0L,
+      "remapspec")
+    val sent0 = postings.read().filter(col("seg") < 0)
+      .select((-col("seg") - 1).as("orig"), col("n_docs").as("cur"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sent0.keySet == (0L to 7L).toSet, s"all 8 origins must remap: $sent0")
+    assert(sent0(3L) >= 1000000L, s"orig 3 must map to a merged target: $sent0")
+    // batch 1: delete EVERY doc of orig 3 — the sentinel must tombstone
+    // in the same commit (the oracle's remap is live-doc-derived; an
+    // emptied orig has no entry there)
+    val b1 = (0L until 10L).map(i => (300L + i, null: String, D))
+    IndexQueries.maintainCompactingBatch(docState, postings, ch(b1, 1L), 1L,
+      "remapspec")
+    val sent1 = postings.read().filter(col("seg") < 0)
+      .select((-col("seg") - 1).as("orig")).collect().map(_.getLong(0)).toSet
+    assert(sent1 == (0L to 7L).toSet - 3L,
+      s"emptied orig 3 must lose its sentinel, others keep theirs: $sent1")
+    // batch 2: orig 3 refills — the new docs are born at seg 3 (fresh
+    // identity), NOT at the retired merge target the stale sentinel named
+    val b2 = (0L until 6L).map(i => (300L + i, s"fresh_$i common", I))
+    IndexQueries.maintainCompactingBatch(docState, postings, ch(b2, 2L), 2L,
+      "remapspec")
+    val segsOfRefill = postings.read().filter(col("seg") >= 0)
+      .select(col("seg"), explode(col("plist")).as("p"))
+      .select(col("seg"), col("p.doc_id").as("doc_id"))
+      .filter(col("doc_id") >= 300L && col("doc_id") < 306L)
+      .collect().map(_.getLong(0)).toSet
+    assert(segsOfRefill == Set(3L),
+      s"refilled docs must be born at orig seg 3, got $segsOfRefill")
+  }
+
   test("time-decayed CMS serving: per-batch estimates equal the decay-fold replay and shrink when idle") {
     val got = Catalog.queries("agg_stream_serve_cms_decay")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

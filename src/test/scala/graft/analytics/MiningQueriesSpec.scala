@@ -937,6 +937,96 @@ class MiningQueriesSpec extends SparkSpec {
       "stranded vertices must be self-labeled singletons")
   }
 
+  test("boruvkaForest: forced picks on a triangle; random graphs get spanning acyclic forests") {
+    import spark.implicits._
+    // triangle 1-2-3: comp minima pick (1,2) twice and (1,3); (2,3) is
+    // the non-tree edge — the deterministic choice the cut relies on
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    val fTri = MiningQueries.boruvkaForest(tri).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fTri == Set((1L, 2L), (1L, 3L)), s"triangle forest: $fTri")
+    // randomized law: forest ⊆ edges, same components, and exactly
+    // (non-isolated vertices − components) edges — i.e. acyclic + spanning
+    val rnd = new scala.util.Random(42)
+    (0 until 4).foreach { trial =>
+      val n = 30 + trial * 17
+      val edges = (0 until (n * 2)).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val f = MiningQueries.boruvkaForest(edges.toDF("u", "v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(f.subsetOf(edges.toSet), s"trial $trial: forest must be ⊆ edges")
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      def comps(es: Iterable[(Long, Long)]): Map[Long, Long] = {
+        val m = MiningQueries.mergeGroups(es.toSeq)
+        verts.map(v => v -> m.getOrElse(v, v)).toMap
+      }
+      val cg = comps(edges)
+      assert(comps(f) == cg, s"trial $trial: forest must span every component")
+      val nComps = cg.values.toSet.size
+      assert(f.size == verts.size - nComps,
+        s"trial $trial: |forest|=${f.size} != ${verts.size} - $nComps (acyclic)")
+    }
+  }
+
+  test("forest cut: a planted non-tree delete skips the rebuild; a tree delete splits; re-insert re-merges") {
+    import spark.implicits._
+    val m = new MiningQueries.ForestCutCC(spark, graft.analytics.Q.scratch("fccspec"))
+    // triangle {1,2,3} + far pair {10,11}
+    m.init(Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)).toDF("u", "v"))
+    def labs(): Map[Long, Long] = m.components.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    assert(labs() == full)
+    assert(m.forest.read().select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (1L, 3L), (10L, 11L)), "certificate must be the Borůvka picks")
+    // non-tree delete: (2,3) misses the forest — MUST skip, labels frozen
+    val fired1 = m.delete(1L, Seq((2L, 3L)).toDF("u", "v"))
+    assert(!fired1 && m.nSkipped == 1 && m.nRebuilds == 0,
+      "a non-tree delete must take the free path")
+    assert(labs() == full, "a skipped batch must not move any label")
+    // tree delete: (1,2) is a certificate edge — rebuild fires, 2 strands
+    val fired2 = m.delete(2L, Seq((1L, 2L)).toDF("u", "v"))
+    assert(fired2 && m.nRebuilds == 1, "a tree delete must fire the scoped rebuild")
+    assert(labs() == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 10L -> 10L, 11L -> 10L),
+      s"split must strand vertex 2: ${labs()}")
+    // the far component was never in scope — its tree edge survives
+    val f2 = m.forest.read().select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(f2 == Set((1L, 3L), (10L, 11L)), s"post-rebuild forest: $f2")
+    // re-insert re-merges and extends the certificate
+    m.insert(3L, Seq((2L, 3L)).toDF("u", "v"))
+    assert(labs() == full, "re-insert must re-merge the split component")
+    assert(m.forest.read().select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet.contains((2L, 3L)),
+      "the merging edge must join the certificate")
+  }
+
+  test("forest-cut entry: final labels equal a from-scratch recompute of the surviving graph") {
+    def pairs(t: Int): Set[(Long, Long)] = {
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .filter(col("l_quantity") >= t)
+        .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      li.groupBy(_._1).values.flatMap { grp =>
+        val ps = grp.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+      }.toSet
+    }
+    val e43 = pairs(43)
+    val e41 = pairs(41)
+    val deleted = e43.filter { case (u, v) => (u * 31 + v) % 3 == 0 }
+    val fin = e41 -- deleted
+    val allv = e41.flatMap(e => Seq(e._1, e._2))
+    val mm = MiningQueries.mergeGroups(fin.toSeq)
+    val exp = allv.map(v => v -> mm.getOrElse(v, v)).toMap
+    val got = Catalog.queries("gph_cdc_forest_cut_components")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp, s"got ${got.size} vertices, expected ${exp.size}")
+  }
+
   test("session-bounded event-pattern matching: gap cut + per-session Kleene counts match a driver fold") {
     val got = q("evt_pattern_match_sessions")
       .selectExpr("user_id", "CAST(session_start AS STRING) AS ss", "trace",

@@ -38,5 +38,9 @@ class BoundedSpec extends SparkSpec {
     val e = intercept[RuntimeException] { r.fanOut(poisoned, "table") }
     assert(e.getMessage.contains("Router.fanOut(table)/data-scan"))
     assert(e.getMessage.contains("knownTargets"))
+    // the tuning knob: a legitimately wide deployment raises the bound
+    // instead of enumerating knownTargets — same stream, no trip
+    val wide = r.fanOut(poisoned, "table", maxScanTargets = 10001)
+    assert(wide.size == 10001)
   }
 }
