@@ -447,7 +447,9 @@ object IndexQueries {
         java.nio.file.Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
       }
-      val sink = new graft.sinks.SnapshotSink(s, s"$work/cells", Seq("hrow", "cell"))
+      // serving sink: one-merge read grace for external readers
+      val sink = new graft.sinks.SnapshotSink(s, s"$work/cells",
+        Seq("hrow", "cell"), readGrace = true)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "kind STRING, qb BIGINT, k BIGINT")
       val stream = s.readStream.schema(schema)
@@ -570,7 +572,9 @@ object IndexQueries {
         java.nio.file.Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
       }
-      val sink = new graft.sinks.SnapshotSink(s, s"$work/cells", Seq("hrow", "cell"))
+      // serving sink: one-merge read grace for external readers
+      val sink = new graft.sinks.SnapshotSink(s, s"$work/cells",
+        Seq("hrow", "cell"), readGrace = true)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "kind STRING, qb BIGINT, k BIGINT")
       val stream = s.readStream.schema(schema)
@@ -672,6 +676,134 @@ object IndexQueries {
          |FROM pc LEFT JOIN cells c
          |  ON c.qb = pc.qb AND c.hrow = pc.hrow AND c.cell = pc.cell
          |GROUP BY 1, 2""".stripMargin
+    }, bench = true),
+
+    // ---- TTL age-out: decayed-to-zero cells EXPORT, crash-consistently ----
+    // The r11 serving sinks accumulate dead state forever (closed
+    // sessions, zero cells, retired centroids); this entry adds the
+    // age-out rule to the decayed-CMS loop: a cell whose post-decay value
+    // hits 0 is DELETED from the sink and its (batch, hrow, cell) record
+    // exported — retention applied INSIDE the same mergeOnce commit. The
+    // crash protocol ([[cmsTtlBatch]]): export files land at a
+    // deterministic per-batch path BEFORE the manifest rename; a crash
+    // between export-write and commit replays against UNCHANGED state and
+    // overwrites identical rows; a replay AFTER the commit is cut off by
+    // the applied-id check BEFORE anything recomputes (its inputs would
+    // read advanced state — recomputing would corrupt the export the
+    // commit already covers). Neither loses nor double-exports — the
+    // crash spec drives both fault points. Increments are per-batch
+    // DISJOINT sparse key sets (k % 11 = b) so cells genuinely die
+    // between batches and some die-then-rebirth (the re-export case);
+    // batch 3 is increment-free, so every n ≤ 1 cell ages out. The
+    // oracle replays the decay fold and derives exports as value
+    // transitions (n > 0 → 0), so exported + live + served rows account
+    // exactly. 100 TB: the age-out scan is the d×w sketch rewrite the
+    // decay step already pays; exports append, never rewrite.
+    CatalogQuery("agg_stream_serve_cms_ttl", (s, d) => {
+      // w = 128 (vs the serving entries' 64): the TTL path is only
+      // interesting when cells MISS increments and die — the width is
+      // tuned (measured per SF) so deaths occur BOTH mid-stream and
+      // through the idle window AND some exported cell is re-born by a
+      // later increment, at every harness SF (still constant state)
+      def cellS(j: Int, k: String): String =
+        s"pmod(CAST(conv(substr(md5(concat(CAST($k AS STRING), '|', '$j')), 1, 8), 16, 10) AS BIGINT), 128)"
+      val work = Q.scratch("cmsttl")
+      val sink = new graft.sinks.SnapshotSink(s, s"$work/cells",
+        Seq("hrow", "cell"), readGrace = true)
+      val probes = Tables.lineitem(s, d).filter(col("l_partkey") % 97 === 0)
+        .select(col("l_partkey").as("k")).distinct().localCheckpoint()
+      (0 to 3).foreach { b =>
+        import s.implicits._
+        // DISTINCT keys per band: per-cell increments stay near 1, so a
+        // missed cell genuinely dies next batch (row-multiplicity counts
+        // would start cells at ~30 and nothing could decay to 0 in-stream)
+        val inc =
+          if (b < 3)
+            Tables.lineitem(s, d).filter(col("l_partkey") % 11 === b)
+              .select(col("l_partkey").as("k")).distinct()
+              .select(col("k"), posexplode(array((0 to 3).map(j => expr(cellS(j, "k"))): _*)))
+              .groupBy(col("pos").cast("long").as("hrow"), col("col").as("cell"))
+              .agg(count(lit(1)).as("dn"))
+          else Seq.empty[(Long, Long, Long)].toDF("hrow", "cell", "dn")
+        cmsTtlBatch(s, sink, s"$work/export", inc, b.toLong)
+        val pc = probes
+          .select(col("k"), posexplode(array((0 to 3).map(j => expr(cellS(j, "k"))): _*)))
+          .select(col("k"), col("pos").cast("long").as("hrow"), col("col").as("cell"))
+        graft.core.AuditSeam.report("agg_stream_serve_cms_ttl/serve",
+          pc.join(sink.read().select(col("hrow"), col("cell"), col("n")),
+              Seq("hrow", "cell"), "left")
+            .groupBy(col("k"))
+            .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+            .select(lit(b.toLong).as("qb"), col("k"), col("est")))
+          .write.mode("append").parquet(s"$work/out")
+      }
+      val served = s.read.parquet(s"$work/out")
+        .select(lit("probe").as("kind"), col("qb"), col("k").as("k1"),
+          lit(null).cast("bigint").as("k2"), col("est").as("v"))
+      val exported = s.read.option("recursiveFileLookup", "true")
+        .parquet(s"$work/export")
+        .select(lit("export").as("kind"), col("b").as("qb"),
+          col("hrow").as("k1"), col("cell").as("k2"),
+          lit(null).cast("bigint").as("v"))
+      val liveFinal = sink.read()
+        .select(lit("live").as("kind"), lit(null).cast("bigint").as("qb"),
+          col("hrow").as("k1"), col("cell").as("k2"), col("n").as("v"))
+      served.unionByName(exported).unionByName(liveFinal)
+    }, Some {
+      def cellD(j: Int, k: String): String =
+        s"('0x' || substr(md5(CAST($k AS VARCHAR) || '|' || '$j'), 1, 8))::BIGINT % 128"
+      def exb(b: Int): String =
+        s"""SELECT 'export' AS kind, ${b}::BIGINT AS qb, a.hrow AS k1,
+           |  a.cell AS k2, CAST(NULL AS BIGINT) AS v
+           |FROM c$b a JOIN c${b - 1} p ON p.hrow = a.hrow AND p.cell = a.cell
+           |WHERE a.n = 0 AND p.n > 0""".stripMargin
+      s"""WITH dk AS (
+         |  SELECT DISTINCT l_partkey AS k, l_partkey % 11 AS b
+         |  FROM lineitem WHERE l_partkey % 11 < 3),
+         |hashed AS (
+         |  ${(0 to 3).map(j =>
+             s"SELECT b, ${j}::BIGINT AS hrow, ${cellD(j, "k")} AS cell FROM dk")
+             .mkString("\n  UNION ALL ")}),
+         |incs AS MATERIALIZED (
+         |  SELECT b, hrow, cell, count(*)::BIGINT AS dn
+         |  FROM hashed GROUP BY 1, 2, 3),
+         |c0 AS MATERIALIZED (
+         |  SELECT hrow, cell, dn AS n FROM incs WHERE b = 0),
+         |c1 AS MATERIALIZED (
+         |  SELECT coalesce(a.hrow, i.hrow) AS hrow, coalesce(a.cell, i.cell) AS cell,
+         |    coalesce(a.n, 0) // 2 + coalesce(i.dn, 0) AS n
+         |  FROM c0 a FULL JOIN (SELECT * FROM incs WHERE b = 1) i
+         |    ON a.hrow = i.hrow AND a.cell = i.cell),
+         |c2 AS MATERIALIZED (
+         |  SELECT coalesce(a.hrow, i.hrow) AS hrow, coalesce(a.cell, i.cell) AS cell,
+         |    coalesce(a.n, 0) // 2 + coalesce(i.dn, 0) AS n
+         |  FROM c1 a FULL JOIN (SELECT * FROM incs WHERE b = 2) i
+         |    ON a.hrow = i.hrow AND a.cell = i.cell),
+         |c3 AS MATERIALIZED (
+         |  SELECT hrow, cell, n // 2 AS n FROM c2),
+         |cells AS (
+         |  SELECT 0::BIGINT AS qb, * FROM c0 UNION ALL
+         |  SELECT 1::BIGINT, * FROM c1 UNION ALL
+         |  SELECT 2::BIGINT, * FROM c2 UNION ALL
+         |  SELECT 3::BIGINT, * FROM c3),
+         |probes AS (
+         |  SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_partkey % 97 = 0),
+         |qb4 AS (SELECT unnest(range(0, 4)) AS qb),
+         |pc AS (
+         |  ${(0 to 3).map(j =>
+             s"SELECT qb, k, ${j}::BIGINT AS hrow, ${cellD(j, "k")} AS cell FROM probes CROSS JOIN qb4")
+             .mkString("\n  UNION ALL ")})
+         |SELECT 'probe' AS kind, pc.qb, pc.k AS k1, CAST(NULL AS BIGINT) AS k2,
+         |  CAST(min(coalesce(c.n, 0)) AS BIGINT) AS v
+         |FROM pc LEFT JOIN cells c
+         |  ON c.qb = pc.qb AND c.hrow = pc.hrow AND c.cell = pc.cell
+         |GROUP BY 1, 2, 3, 4
+         |UNION ALL ${exb(1)}
+         |UNION ALL ${exb(2)}
+         |UNION ALL ${exb(3)}
+         |UNION ALL
+         |SELECT 'live', CAST(NULL AS BIGINT), hrow, cell, CAST(n AS BIGINT)
+         |FROM c3 WHERE n > 0""".stripMargin
     }),
 
     // Key-skew profiler: the pre-flight diagnostic for choosing salting
@@ -1290,9 +1422,11 @@ object IndexQueries {
         java.nio.file.Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
       }
-      val docState = new graft.sinks.SnapshotSink(s, s"$work/docs", Seq("doc_id"))
+      // serving sinks: one-merge read grace for external readers
+      val docState = new graft.sinks.SnapshotSink(s, s"$work/docs", Seq("doc_id"),
+        readGrace = true)
       val postings = new graft.sinks.SnapshotSink(s, s"$work/postings",
-        Seq("term", "seg"))
+        Seq("term", "seg"), readGrace = true)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "kind STRING, qb BIGINT, doc_id BIGINT, text STRING, n_tok BIGINT, " +
           "op STRING, seq BIGINT, term STRING")
@@ -1560,7 +1694,7 @@ object IndexQueries {
          |  greatest((SELECT n FROM ns0), (SELECT n FROM ns1),
          |    (SELECT n FROM ns2), (SELECT n FROM ns3)) AS max_batch_segs
          |FROM mapped GROUP BY 1, 2""".stripMargin
-    }),
+    }, bench = true),
 
     // ---- phrase search over positional postings --------------------------
     // The inverted-index depth step term-keyed postings can't serve:
@@ -1873,6 +2007,54 @@ object IndexQueries {
     docState.mergeOnce(seqNo, ch)
     if (nElig < trigger) nSegsBefore
     else nSegsBefore - nElig + (nElig + 7) / 8
+  }
+
+  /** One TTL-exporting decayed-CMS maintenance step: decay every live
+    * cell (n → n div 2), add the batch's increments `inc` (hrow, cell,
+    * dn), then AGE OUT cells that hit 0 — Delete in the sink and a
+    * (b, hrow, cell) export record, all under ONE mergeOnce commit.
+    *
+    * Crash protocol, in order:
+    *   1. `sink.applied(id)` gate FIRST — a replay of an already-committed
+    *      batch must not recompute anything: its reads see state the
+    *      commit already advanced, so a recomputed export would overwrite
+    *      the committed artifact with rows from the WRONG snapshot.
+    *   2. export written to the deterministic per-batch dir `b<id>`
+    *      (mode overwrite) BEFORE the manifest rename — a crash between
+    *      export-write and commit replays with UNCHANGED inputs and
+    *      rewrites identical rows; a crash after the commit is caught by
+    *      gate 1 with the export already durable.
+    * Exactly-once for both the sink rows and the side artifact — the
+    * crash spec drives both fault points. 100 TB: the age-out predicate
+    * rides the d×w sketch rewrite the decay already pays; exports are
+    * append-only batch dirs.
+    */
+  private[graft] def cmsTtlBatch(s: org.apache.spark.sql.SparkSession,
+      sink: graft.sinks.SnapshotSink, exportDir: String,
+      inc: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+    import s.implicits._
+    if (sink.applied(id)) return
+    val cur =
+      if (sink.exists) sink.read().select(col("hrow"), col("cell"), col("n"))
+      else Seq.empty[(Long, Long, Long)].toDF("hrow", "cell", "n")
+    val upd = cur.join(inc, Seq("hrow", "cell"), "full")
+      .select(col("hrow"), col("cell"),
+        (expr("coalesce(n, CAST(0 AS BIGINT)) div 2") +
+          coalesce(col("dn"), lit(0L))).as("n"))
+      .localCheckpoint()
+    // a dead cell had n > 0 before (the sink never stores zeros) and got
+    // no increment — the TTL case
+    val dead = upd.filter(col("n") === 0).select(col("hrow"), col("cell"))
+      .localCheckpoint()
+    dead.withColumn("b", lit(id)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$exportDir/b$id")
+    sink.mergeOnce(id, upd.filter(col("n") > 0)
+      .withColumn("op", lit(graft.core.ChangeLog.Update))
+      .unionByName(dead
+        .select(col("hrow"), col("cell"), lit(null).cast("bigint").as("n"),
+          lit(graft.core.ChangeLog.Delete).as("op")))
+      .withColumn("seq", lit(id)))
+    ()
   }
 
   /** BM25 per-doc scores served from the maintained index reads: tf/df

@@ -201,6 +201,73 @@ object MiningQueries {
     forest
   }
 
+  /** Labels AND a spanning forest in ONE O(log V)-round loop:
+    * hook-and-compress union-by-min with real-edge WITNESSES (the
+    * Shiloach–Vishkin hooking idea in its MapReduce "hash-greater-to-min"
+    * form, Rastogi et al. ICDE'13 — public textbook machinery). Per
+    * round: every current label with a crossing edge hooks to its
+    * minimum counterpart label, RECORDING the minimum real edge that
+    * connects the two supervertices; hooks strictly decrease (big →
+    * small), so each round's hook graph is a forest on labels — pointer
+    * doubling compresses it to its roots, and every vertex relabels
+    * through it. Witness edges number exactly one per supervertex merge,
+    * so at every point |forest| = V − #components: acyclic AND spanning
+    * by induction. Labels converge to component minima (exactly
+    * [[starFixpoint]]'s contract). Per round: one edge-sized label join
+    * + a label-sized grouped min + label-sized doubling joins — the
+    * cheapest distributed forest builder we know; [[boruvkaForest]] is
+    * the classical per-component-min-edge alternative (kept as the
+    * cross-validating law twin). Returns (labels (vtx, lbl), forest
+    * (u, v) canonical u < v).
+    */
+  private[analytics] def hookForest(edges0: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    val canon = edges0
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var lbl = canon.select(col("u").as("vtx"))
+      .unionByName(canon.select(col("v").as("vtx"))).distinct()
+      .select(col("vtx"), col("vtx").as("lbl")).localCheckpoint()
+    var forest = Seq.empty[(Long, Long)].toDF("u", "v")
+    var n = 1L
+    while (n > 0) {
+      val cross = canon
+        .join(lbl.select(col("vtx").as("u"), col("lbl").as("lu")), Seq("u"))
+        .join(lbl.select(col("vtx").as("v"), col("lbl").as("lv")), Seq("v"))
+        .filter(col("lu") =!= col("lv"))
+        .select(least(col("lu"), col("lv")).as("la"),
+          greatest(col("lu"), col("lv")).as("lb"), col("u"), col("v"))
+      val hooks = cross.groupBy(col("lb"))
+        .agg(min(struct(col("la"), col("u"), col("v"))).as("h"))
+        .select(col("lb"), col("h.la").as("la"), col("h.u").as("u"), col("h.v").as("v"))
+        .localCheckpoint()
+      n = hooks.count()
+      if (n > 0) {
+        forest = forest.unionByName(hooks.select(col("u"), col("v")))
+          .localCheckpoint()
+        var ptr = hooks.select(col("lb").as("x"), col("la").as("p"))
+          .localCheckpoint()
+        var m = 1L
+        while (m > 0) {
+          val nxt = ptr.as("a")
+            .join(ptr.select(col("x").as("p"), col("p").as("pp")), Seq("p"), "left")
+            .select(col("x"), coalesce(col("pp"), col("p")).as("p"))
+            .localCheckpoint()
+          m = nxt.as("n").join(ptr.as("o"), Seq("x"))
+            .filter(col("n.p") =!= col("o.p")).count()
+          ptr = nxt
+        }
+        lbl = lbl.join(ptr.select(col("x").as("lbl"), col("p").as("nl")),
+            Seq("lbl"), "left")
+          .select(col("vtx"), coalesce(col("nl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+      }
+    }
+    (lbl.select(col("vtx"), col("lbl")), forest)
+  }
+
   /** [[mergeGroups]] variant for forest maintenance: pairs carry a
     * representative edge, are processed in sorted (a, b) order
     * (deterministic), and the pairs whose union ACTUALLY merged two
@@ -235,8 +302,10 @@ object MiningQueries {
     * the forest provably cannot split its component (every forest edge is
     * still live, so the forest still spans), so a non-tree deletion batch
     * is edge-removal only — no rebuild, counted in `nSkipped`. Only a
-    * batch whose deletions hit tree edges pays the scoped star rebuild
-    * (which re-derives the scoped forest via [[boruvkaForest]]). Inserts
+    * batch whose deletions hit tree edges pays the scoped rebuild —
+    * ONE [[hookForest]] loop yields both the post-delete labels and
+    * the re-derived scoped certificate ([[boruvkaForest]] is the
+    * log-round fallback for adversarial-diameter graphs). Inserts
     * extend the forest with one representative edge per MERGING label
     * pair ([[mergeGroupsMarked]]) — old forests span the old components,
     * one representative per merge spans the union. Invariant maintained
@@ -248,8 +317,9 @@ object MiningQueries {
     * in a pk-bucketed sink; the rebuild, when a certificate edge actually
     * dies, stays scoped to the affected components.
     */
-  private[analytics] final class ForestCutCC(
-      s: org.apache.spark.sql.SparkSession, work: String) {
+  private[graft] final class ForestCutCC(
+      s: org.apache.spark.sql.SparkSession, work: String,
+      cutEnabled: Boolean = true) {
     import s.implicits._
     val labels = new graft.sinks.SnapshotSink(s, s"$work/lbl", Seq("vtx"))
     val postings = new graft.sinks.SnapshotSink(s, s"$work/post", Seq("lbl", "vtx"))
@@ -262,12 +332,15 @@ object MiningQueries {
       val base = base0.localCheckpoint()
       edgeSink.merge(base
         .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
-      val l0 = starFixpoint(base).localCheckpoint()
+      // one loop yields labels AND the certificate (hookForest) —
+      // the forest costs a parent column, not a second graph pass
+      val (l0raw, f0raw) = hookForest(base)
+      val l0 = l0raw.localCheckpoint()
       labels.merge(l0
         .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
       postings.merge(l0.select(col("lbl"), col("vtx"))
         .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
-      forest.merge(boruvkaForest(base).localCheckpoint()
+      forest.merge(f0raw.localCheckpoint()
         .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
     }
 
@@ -327,7 +400,12 @@ object MiningQueries {
     def delete(b: Long, dels0: DataFrame): Boolean = {
       val dels = dels0.localCheckpoint()
       val fNow = forest.read().select(col("u"), col("v"))
-      val treeDel = dels.join(fNow, Seq("u", "v"), "left_semi").localCheckpoint()
+      // cutEnabled=false treats EVERY delete as a certificate hit — the
+      // rebuild-every-batch twin on identical inputs (the ScaleStress
+      // forestcut block measures the pair)
+      val treeDel =
+        (if (cutEnabled) dels.join(fNow, Seq("u", "v"), "left_semi") else dels)
+          .localCheckpoint()
       edgeSink.merge(dels
         .withColumn("op", lit(graft.core.ChangeLog.Delete)).withColumn("seq", lit(b)))
       if (treeDel.isEmpty) {
@@ -346,7 +424,9 @@ object MiningQueries {
         val scopedE = edgeSink.read() // post-delete live edges
           .join(scopeV.select(col("vtx").as("u")), Seq("u"))
           .select(col("u"), col("v"))
-        val rebuilt = starFixpoint(scopedE)
+        // one loop: post-delete labels AND the re-derived scoped forest
+        val (rebuiltRaw, newFRaw) = hookForest(scopedE)
+        val rebuilt = rebuiltRaw.localCheckpoint()
         val changedL = scopeV
           .join(rebuilt, Seq("vtx"), "left")
           .select(col("vtx"), col("old_lbl"),
@@ -360,10 +440,10 @@ object MiningQueries {
           .unionByName(changedL.select(col("lbl"), col("vtx"))
             .withColumn("op", lit(graft.core.ChangeLog.Insert)))
           .withColumn("seq", lit(b)))
-        // re-derive the scoped forest (forest edges have both endpoints in
-        // scope: components are closed, a tree edge's endpoints share one);
+        // the scoped forest rewrite: forest edges have both endpoints in
+        // scope (components are closed, a tree edge's endpoints share one);
         // only CHANGED rows rewrite so batch pks stay disjoint
-        val newF = boruvkaForest(scopedE).localCheckpoint()
+        val newF = newFRaw.localCheckpoint()
         val oldF = fNow.join(scopeV.select(col("vtx").as("u")), Seq("u"), "left_semi")
           .select(col("u"), col("v")).localCheckpoint()
         forest.merge(oldF.join(newF, Seq("u", "v"), "left_anti")
@@ -1005,7 +1085,9 @@ object MiningQueries {
         java.nio.file.Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
       }
-      val sink = new graft.sinks.SnapshotSink(s, s"$work/state", Seq("lbl", "vtx"))
+      // serving sink: one-merge read grace for external readers
+      val sink = new graft.sinks.SnapshotSink(s, s"$work/state", Seq("lbl", "vtx"),
+        readGrace = true)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "kind STRING, qb BIGINT, u BIGINT, v BIGINT, probe BIGINT")
       val stream = s.readStream.schema(schema)
@@ -2005,6 +2087,15 @@ object MiningQueries {
     // trace never grows beyond their busiest session. Shape: one shuffle
     // on user_id (the session cut and the per-session fold share it),
     // then a pure regex map stage. Session identity = its start ts.
+    // Skew lever: the gap cut partitions by user_id, so ONE task holds a
+    // user's whole batch trace — gap-bounding fixes STATE size, not
+    // compute skew if one key dominates a batch. When a hot key shows
+    // (the skw_key_distribution_profile pre-flight), pre-cut by
+    // (user_id, coarse-time) — e.g. day — run the gap cut inside each
+    // piece, then merge ONLY boundary sessions (last of piece k with
+    // first of piece k+1 when their gap is under the threshold): the
+    // same two-level shape the containment-pairs entry documents for its
+    // prefix skew.
     CatalogQuery("evt_pattern_match_sessions", (s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val flagged = Tables.events(s, d)

@@ -1157,8 +1157,10 @@ object ScaleOpsQueries {
         java.nio.file.Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
       }
+      // serving sink: external readers may hold a frame across a
+      // maintenance commit - one-merge read grace on
       val sink = new graft.sinks.SnapshotSink(s, s"$work/index",
-        Seq("vec_id"), numBuckets = 16)
+        Seq("vec_id"), numBuckets = 16, readGrace = true)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "kind STRING, qb BIGINT, vec_id BIGINT, q ARRAY<BIGINT>, cell BIGINT, " +
           "op STRING, seq BIGINT, query_id BIGINT, qq ARRAY<BIGINT>")
@@ -1416,7 +1418,7 @@ object ScaleOpsQueries {
          |  SELECT query_id, neighbor_id, dist2,
          |    row_number() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id) AS rank
          |  FROM scored) t
-         |WHERE rank <= 3""".stripMargin)),
+         |WHERE rank <= 3""".stripMargin), bench = true),
 
     // ---- NN-Descent k-NN graph construction ------------------------------
     // The graph-based ANN family's batch form (NN-Descent, Dong et al.
@@ -1435,7 +1437,10 @@ object ScaleOpsQueries {
     // buckets, the cross-table union being what mixes the graph. All
     // arithmetic is BIGINT on the ×64 lattice, so both engines rank
     // bit-identically. Shape at 100 TB: the init join meets only inside
-    // (table, bucket) partitions (production caps bucket width), each
+    // (table, nbits, bucket) partitions — dense buckets SPLIT by
+    // appended hyperplane bits with the cap tracking √N
+    // (lshAdaptiveBuckets; the r11 fixed 64 cap silently dropped
+    // dense-region candidates, and the residual is now gated) — each
     // round is Σ_u deg(u)² ≈ N·(2k)² candidate pairs — id-only joins,
     // vectors re-join AFTER the distinct — and the top-k window is
     // partitioned by u. No stage is ever N²; rounds are a fixed, small
@@ -1561,20 +1566,23 @@ object ScaleOpsQueries {
 
     // Beam search SERVED from the maintained k-NN graph: same 3-hop,
     // width-4, top-3 greedy walk as ann_graph_beam_search, but the graph
-    // comes from the materialized sink (point reads at scale) and the
-    // entry point / query set are the LIVE vector state — a deleted
+    // comes from the materialized sinks and each hop reads ONLY the
+    // frontier: the undirected adjacency index (one array row per
+    // vertex, pk-bucketed on u) is read via bucket-pruned point reads
+    // (SnapshotSink.readBuckets) and semi-joined to the hop's distinct
+    // beam vertices — serve cost is B·k·hops·|queries| edges,
+    // O(frontier), never O(graph) (the r11 verdict's full-flatten read).
+    // The entry point / query set are the LIVE vector state — a deleted
     // vector stops querying, an updated one walks from its new position.
     // When the graph entry has already built the sink this is pure
     // serve cost (the ScaleStress pair measures both orders).
     CatalogQuery("ann_graph_beam_serve_maintained", (s, d) => {
-      val (graphSink, vecSink) = annMaintainedKnnGraph(s, d)
+      val (_, vecSink) = annMaintainedKnnGraph(s, d)
+      val und = annMaintainedUndIndex(s, d)
       val dist = (a: String, b: String) => expr(
         s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
       val live = vecSink.read().localCheckpoint()
       val qt = live.select(col("vec_id"), col("q"))
-      val flat = graphSink.read().select(col("u"), explode(col("nbrs")).as("v"))
-      val g = flat.unionByName(flat.select(col("v").as("u"), col("u").as("v")))
-        .distinct().localCheckpoint()
       val qs = live.filter(col("vec_id") % 11 === 0).select(col("vec_id").as("qid"))
       val ep = live.agg(min(col("vec_id")).as("v"))
       def score(cand: DataFrame): DataFrame = cand
@@ -1585,8 +1593,12 @@ object ScaleOpsQueries {
           Window.partitionBy(col("qid")).orderBy(col("dd").asc, col("v").asc)))
       var beam = qs.crossJoin(ep).select(col("qid"), col("v")).localCheckpoint()
       (1 to 3).foreach { _ =>
+        val frontier = beam.select(col("v").as("u")).distinct().localCheckpoint()
+        val out = und.readBuckets(frontier)
+          .join(frontier, Seq("u"), "left_semi")
+          .select(col("u"), explode(col("nbrs")).as("v"))
         val cand = beam.unionByName(
-            beam.as("b").join(g.as("g"), col("b.v") === col("g.u"))
+            beam.as("b").join(out.as("g"), col("b.v") === col("g.u"))
               .select(col("b.qid").as("qid"), col("g.v").as("v")))
           .filter(col("v") =!= col("qid")).distinct()
         beam = score(cand).filter(col("rnk") <= 4).select(col("qid"), col("v"))
@@ -1628,12 +1640,83 @@ object ScaleOpsQueries {
          |  FROM b3 b JOIN vq3 qu ON qu.vec_id = b.qid
          |  JOIN vq3 qw ON qw.vec_id = b.v) t
          |WHERE rnk <= 3""".stripMargin
-    })
+    }, bench = true)
   )
 
+  /** √N-tracking LSH bucket capacity. Floor 64 keeps the r11 envelope —
+    * the rule is provably inert at every harness SF (max measured bucket
+    * 64 at sf0.1) and bites exactly where the fixed cap silently dropped
+    * candidates (30×: ~940/bucket). floor(sqrt) on a BIGINT-exact double
+    * is engine-identical (see [[annSplitCapFor]]).
+    */
+  private[graft] def lshBucketCapFor(n: Long): Long =
+    math.max(64L, math.floor(math.sqrt(n.toDouble)).toLong)
+
+  /** Adaptive LSH bucketing with auto-SPLIT — the r11 verdict's last
+    * fixed truncation, given the IVF cell-split discipline: a 6-bit
+    * hyperplane bucket over `cap` members splits by appending one
+    * hyperplane bit per level (bucket → bucket·2 + bit, re-bucketing
+    * ONLY that bucket's members), up to two levels (6 → 8 bits). Keys
+    * are (tbl, nbits, bucket) — nbits makes children injective across
+    * levels. Split planes: level l of table t is hyperplane 12 + 2t + l
+    * (the two tables own planes 0–11; lsh_buckets(e, 16, 1) exposes
+    * single-plane signs). The oracle mirrors the rule bit-for-bit
+    * (bucket counts and the √N cap are exact integers both sides). At
+    * 100 TB the depth is a config: levels ≈ log₂(N/cap²) keeps every
+    * bucket under cap; the residual truncation gate
+    * ([[lshMatesCapped]]) turns an under-provisioned depth into a loud
+    * diagnostic instead of silent recall loss.
+    */
+  private[analytics] def lshAdaptiveBuckets(vecs: DataFrame, cap: Long): DataFrame = {
+    var cur = vecs.select(col("vec_id"),
+        posexplode(GraftFunctions.lsh_buckets(col("embedding"), 2, 6)),
+        GraftFunctions.lsh_buckets(col("embedding"), 16, 1).as("sb"))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      .withColumn("nbits", lit(6))
+    (0 until 2).foreach { l =>
+      val over = cur.groupBy(col("tbl"), col("nbits"), col("bucket"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+        .select(col("tbl"), col("nbits"), col("bucket"), lit(1).as("ovr"))
+      cur = cur.join(broadcast(over), Seq("tbl", "nbits", "bucket"), "left")
+        .select(col("vec_id"), col("tbl"), col("sb"),
+          when(col("ovr").isNotNull, col("nbits") + 1)
+            .otherwise(col("nbits")).as("nbits"),
+          when(col("ovr").isNotNull, col("bucket") * 2 +
+            element_at(col("sb"), (lit(13 + l) + col("tbl") * 2).cast("int")))
+            .otherwise(col("bucket")).as("bucket"))
+        .localCheckpoint()
+    }
+    cur.select(col("vec_id"), col("tbl"), col("nbits"), col("bucket"))
+  }
+
+  /** Mates side of an LSH candidate join: first `cap` members per final
+    * (tbl, nbits, bucket) by id. With auto-split upstream this residual
+    * truncation is a DECLARED regime — the measured dropped-row fraction
+    * must stay under 5%, else a loud diagnostic names the lever (deepen
+    * the split) instead of silently losing recall.
+    */
+  private[analytics] def lshMatesCapped(bkf: DataFrame, cap: Long,
+      site: String): DataFrame = {
+    val stats = bkf.groupBy(col("tbl"), col("nbits"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(expr(s"greatest(n - $cap, CAST(0 AS BIGINT))")).as("dropped"),
+        sum(col("n")).as("total")).head()
+    val dropped = Option(stats.getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
+    val total = Option(stats.getAs[java.lang.Long](1)).map(_.longValue).getOrElse(0L)
+    require(dropped * 20 <= total,
+      s"$site: LSH bucket truncation $dropped/$total exceeds the declared 5% " +
+        "regime — deepen lshAdaptiveBuckets (one more split level) so dense " +
+        "regions split instead of dropping candidates")
+    val wB = Window.partitionBy(col("tbl"), col("nbits"), col("bucket"))
+      .orderBy(col("vec_id"))
+    bkf.withColumn("brn", row_number().over(wB))
+      .filter(col("brn") <= cap).drop("brn")
+  }
+
   /** NN-Descent final k=8 graph as `(u, v, rnk)` — shared by the build
-    * entry and the beam-search serve entry. 2-table LSH init bounded to
-    * (table, bucket) partitions, two local-join rounds, integer-lattice
+    * entry and the beam-search serve entry. 2-table adaptive-LSH init
+    * bounded to (table, nbits, bucket) partitions (dense buckets SPLIT,
+    * [[lshAdaptiveBuckets]]), two local-join rounds, integer-lattice
     * L2 with total-order ties (see the entry scaladoc for the shape
     * argument). */
   private[analytics] def nnDescentGraph(s: SparkSession, d: String): DataFrame = {
@@ -1641,18 +1724,16 @@ object ScaleOpsQueries {
       s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
     val qt = Tables.embeddings(s, d).select(col("vec_id"), expr(
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))").as("q"))
-    val bk = Tables.embeddings(s, d).select(col("vec_id"),
-        posexplode(GraftFunctions.lsh_buckets(col("embedding"), 2, 6)))
-      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-    // the mates side is width-capped (first 64 per bucket by id): the
-    // init join is otherwise quadratic in bucket population — the
-    // production bucket-width cap, deterministic, and inert below
-    // 64·128 vectors (the oracle and spec mirror the rule)
-    val wB = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id"))
-    val bkCap = bk.withColumn("brn", row_number().over(wB))
-      .filter(col("brn") <= 64).drop("brn")
-    val init = bk.as("a").join(bkCap.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+    val cap = lshBucketCapFor(Tables.embeddings(s, d).count())
+    val bkf = lshAdaptiveBuckets(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), cap)
+      .localCheckpoint()
+    // mates width-capped at the √N cap (residual truncation gated ≤ 5%):
+    // the init join is otherwise quadratic in bucket population
+    val bkCap = lshMatesCapped(bkf, cap, "nnDescentGraph/init")
+    val init = bkf.as("a").join(bkCap.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.nbits") === col("b.nbits") &&
+          col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("u"), col("b.vec_id").as("v")).distinct()
     def topk(cand: DataFrame): DataFrame = {
@@ -1713,14 +1794,7 @@ object ScaleOpsQueries {
          |    JOIN (SELECT vec_id FROM chg$b UNION ALL SELECT vec_id FROM dl$b) k
          |      ON ud.v = k.vec_id) t
          |  JOIN v$b lv ON lv.vec_id = t.u),
-         |bk$b AS MATERIALIZED (
-         |  SELECT vec_id, t.tbl,
-         |    ${Similarity.lshBucketDuckOffset("e", 6, 64, "t.tbl * 6")} AS bucket
-         |  FROM v$b CROSS JOIN (SELECT unnest(range(0, 2)) AS tbl) t),
-         |bm$b AS MATERIALIZED (
-         |  SELECT vec_id, tbl, bucket FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS brn
-         |    FROM bk$b) t WHERE brn <= 64),
+         |${lshAdaptiveDuck(s"v$b", "e", s"$b")},
          |cn$b AS MATERIALIZED (
          |  SELECT DISTINCT u, v FROM (
          |    SELECT oh.u, oh.v FROM u$b oh JOIN tc$b t ON t.u = oh.u
@@ -1730,8 +1804,8 @@ object ScaleOpsQueries {
          |    UNION ALL
          |    SELECT a.vec_id AS u, b2.vec_id AS v
          |    FROM bk$b a JOIN tc$b t ON t.u = a.vec_id
-         |    JOIN bm$b b2 ON b2.tbl = a.tbl AND b2.bucket = a.bucket
-         |      AND b2.vec_id <> a.vec_id) t0
+         |    JOIN bkcap$b b2 ON b2.tbl = a.tbl AND b2.nbits = a.nbits
+         |      AND b2.bucket = a.bucket AND b2.vec_id <> a.vec_id) t0
          |  WHERE u <> v AND v IN (SELECT vec_id FROM v$b)),
          |nw$b AS MATERIALIZED (
          |  SELECT u, v, rnk FROM (
@@ -1830,6 +1904,7 @@ object ScaleOpsQueries {
             lit(graft.core.ChangeLog.Delete).as("op")))
         .withColumn("seq", lit(b.toLong)))
       val live = vecs.read().localCheckpoint()
+      val nLive = live.count()
       val chKeys = chg.select(col("vec_id"))
         .unionByName(delIds).distinct()
       val touched = chg.select(col("vec_id").as("u"))
@@ -1841,21 +1916,21 @@ object ScaleOpsQueries {
       val oneHop = und.join(touched, Seq("u"))
       val twoHop = oneHop.as("x").join(und.as("y"), col("x.v") === col("y.u"))
         .select(col("x.u").as("u"), col("y.v").as("v"))
-      val bk = live.select(col("vec_id"),
-          posexplode(GraftFunctions.lsh_buckets(col("embedding"), 2, 6)))
-        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-        .localCheckpoint()
-      // the MATES side is width-capped (first 64 per bucket by id — the
-      // production bucket-width cap, deterministic): without it the
-      // bucket join is quadratic in bucket population (measured 1291 s
-      // at 30× = 60k vectors ≈ 940/bucket); the touched side stays
-      // uncapped so every touched vertex still draws candidates
-      val wB = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id"))
-      val bkCapped = bk.withColumn("brn", row_number().over(wB))
-        .filter(col("brn") <= 64).drop("brn")
-      val lshMates = bk.join(touched.withColumnRenamed("u", "vec_id"), Seq("vec_id")).as("a")
+      // adaptive buckets over the LIVE corpus, cap tracking √N_live —
+      // dense buckets SPLIT (lshAdaptiveBuckets) where the r11 fixed 64
+      // cap silently dropped candidates (measured 1291 s quadratic at
+      // 30× before ANY cap; the split keeps recall AND the linear-class
+      // join). The MATES side is width-capped at the same cap (residual
+      // truncation gated ≤ 5%); the touched side stays uncapped so every
+      // touched vertex still draws candidates.
+      val capB = lshBucketCapFor(nLive)
+      val bkf = lshAdaptiveBuckets(
+        live.select(col("vec_id"), col("embedding")), capB).localCheckpoint()
+      val bkCapped = lshMatesCapped(bkf, capB, "buildKnnMaintained/mates")
+      val lshMates = bkf.join(touched.withColumnRenamed("u", "vec_id"), Seq("vec_id")).as("a")
         .join(bkCapped.as("b"),
-          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.tbl") === col("b.tbl") && col("a.nbits") === col("b.nbits") &&
+            col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
       val cand = oneHop.unionByName(twoHop).unionByName(lshMates)
@@ -1879,6 +1954,82 @@ object ScaleOpsQueries {
           lit(graft.core.ChangeLog.Delete).as("op")))
         .withColumn("seq", lit(b.toLong)))
     }
+    // The UNDIRECTED serving index, derived once per maintenance epoch:
+    // beam search expands over forward ∪ reverse edges, and the graph
+    // sink alone can answer reverse lookups only by scanning every
+    // neighbor list — the O(graph)-per-serve read the r11 verdict
+    // flagged. One adjacency-array row per vertex, pk-bucketed on u, so
+    // a serve hop is a bucket-pruned point read of its frontier
+    // ([[graft.sinks.SnapshotSink.readBuckets]]). Production would
+    // delta-maintain it with the same touched-set rule as the graph
+    // itself (reverse edges of a touched vertex are exactly its old ∪
+    // new neighbor lists); the epoch rebuild here keeps the oracle
+    // replay one chain shorter.
+    val fFlat = graph.read().select(col("u"), explode(col("nbrs")).as("v"))
+    val undAll = fFlat
+      .unionByName(fFlat.select(col("v").as("u"), col("u").as("v"))).distinct()
+    val undSink = new graft.sinks.SnapshotSink(s, s"$work/und", Seq("u"),
+      numBuckets = 16)
+    undSink.merge(undAll.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      .withColumn("op", lit(graft.core.ChangeLog.Insert))
+      .withColumn("seq", lit(0L)))
+  }
+
+  /** The undirected beam-serving adjacency of the maintained k-NN graph
+    * (built by [[buildKnnMaintained]]'s epoch step; same per-dataset
+    * cache, so the graph/serve entry pair still shares one build).
+    */
+  private[analytics] def annMaintainedUndIndex(s: SparkSession, d: String)
+      : graft.sinks.SnapshotSink = {
+    annMaintainedKnnGraph(s, d)
+    new graft.sinks.SnapshotSink(s, s"${knnGraphCache(d)}/und", Seq("u"),
+      numBuckets = 16)
+  }
+
+  /** DuckDB twin of [[lshAdaptiveBuckets]] + the mates cap: a WITH-body
+    * CTE fragment over `table`.`vcol` ending in `bk<x>` (vec_id, tbl,
+    * nbits, bucket — final adaptive buckets) and `bkcap<x>` (mates side,
+    * first cap per final bucket, cap = greatest(64, floor(sqrt(N)))).
+    * `x` suffixes the CTE names so the maintained oracle can stamp one
+    * chain per batch. The split rule replays exactly: over-cap buckets
+    * gain the level's hyperplane bit (12 + 2·tbl + level), re-bucketing
+    * only their own members.
+    */
+  private def lshAdaptiveDuck(table: String, vcol: String, x: String): String = {
+    val b6 = Similarity.lshBucketDuckOffset(vcol, 6, 64, "t.tbl * 6")
+    val x1 = Similarity.lshBucketDuckOffset(vcol, 1, 64, "12 + t.tbl * 2")
+    val x2 = Similarity.lshBucketDuckOffset(vcol, 1, 64, "13 + t.tbl * 2")
+    s"""cap$x AS (
+       |  SELECT greatest(64, CAST(floor(sqrt(count(*)::DOUBLE)) AS BIGINT)) AS cap
+       |  FROM $table),
+       |k6$x AS MATERIALIZED (
+       |  SELECT vec_id, t.tbl, 6 AS nbits, $b6 AS bucket, $x1 AS x1, $x2 AS x2
+       |  FROM $table CROSS JOIN (SELECT unnest(range(0, 2)) AS tbl) t),
+       |o6$x AS (
+       |  SELECT tbl, nbits, bucket FROM k6$x, cap$x
+       |  GROUP BY tbl, nbits, bucket, cap HAVING count(*) > cap),
+       |k7$x AS MATERIALIZED (
+       |  SELECT b.vec_id, b.tbl,
+       |    CASE WHEN o.bucket IS NOT NULL THEN b.nbits + 1 ELSE b.nbits END AS nbits,
+       |    CASE WHEN o.bucket IS NOT NULL THEN b.bucket * 2 + b.x1 ELSE b.bucket END AS bucket,
+       |    b.x2
+       |  FROM k6$x b LEFT JOIN o6$x o
+       |    ON o.tbl = b.tbl AND o.nbits = b.nbits AND o.bucket = b.bucket),
+       |o7$x AS (
+       |  SELECT tbl, nbits, bucket FROM k7$x, cap$x
+       |  GROUP BY tbl, nbits, bucket, cap HAVING count(*) > cap),
+       |bk$x AS MATERIALIZED (
+       |  SELECT b.vec_id, b.tbl,
+       |    CASE WHEN o.bucket IS NOT NULL THEN b.nbits + 1 ELSE b.nbits END AS nbits,
+       |    CASE WHEN o.bucket IS NOT NULL THEN b.bucket * 2 + b.x2 ELSE b.bucket END AS bucket
+       |  FROM k7$x b LEFT JOIN o7$x o
+       |    ON o.tbl = b.tbl AND o.nbits = b.nbits AND o.bucket = b.bucket),
+       |bkcap$x AS (
+       |  SELECT vec_id, tbl, nbits, bucket FROM (
+       |    SELECT k.*, c.cap,
+       |      row_number() OVER (PARTITION BY tbl, nbits, bucket ORDER BY vec_id) AS brn
+       |    FROM bk$x k, cap$x c) t WHERE brn <= cap)""".stripMargin
   }
 
   /** DuckDB CTE chain mirroring [[nnDescentGraph]], ending in
@@ -1903,18 +2054,11 @@ object ScaleOpsQueries {
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT)) AS q
        |  FROM embeddings),
-       |bk AS (
-       |  SELECT vec_id, t.tbl,
-       |    ${Similarity.lshBucketDuckOffset("embedding", 6, 64, "t.tbl * 6")} AS bucket
-       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 2)) AS tbl) t),
-       |bkcap AS (
-       |  SELECT vec_id, tbl, bucket FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS brn
-       |    FROM bk) t WHERE brn <= 64),
+       |${lshAdaptiveDuck("embeddings", "embedding", "")},
        |i0 AS (
        |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
-       |  FROM bk a JOIN bkcap b ON a.tbl = b.tbl AND a.bucket = b.bucket
-       |    AND a.vec_id <> b.vec_id),
+       |  FROM bk a JOIN bkcap b ON a.tbl = b.tbl AND a.nbits = b.nbits
+       |    AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
        |n0 AS (
        |  SELECT u, v, rnk FROM (
        |    SELECT c.u, c.v, row_number() OVER (PARTITION BY c.u ORDER BY
@@ -2089,15 +2233,37 @@ object ScaleOpsQueries {
     * splitting cells (each ≤ the overflow just detected) — never corpus
     * size; C ∝ N/cap keeps every probe's candidate set O(cap).
     */
+  /** Path cache for the autosplit maintained index — the [[knnGraphCache]]
+    * treatment: the index/probe entry pair (and the stress rows) share ONE
+    * build per dataset dir; paths only, never DataFrames (reads must be
+    * fresh against the current manifest).
+    */
+  private val autosplitCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private[graft] def annAutosplitIndex(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
+    val work = autosplitCache.synchronized {
+      autosplitCache.getOrElseUpdate(d, {
+        val w = Q.scratch("annsplit")
+        buildAutosplit(s, d, w)
+        w
+      })
+    }
+    val idxSink = new graft.sinks.SnapshotSink(s, s"$work/index",
+      Seq("vec_id"), numBuckets = 16)
+    val cellSink = new graft.sinks.SnapshotSink(s, s"$work/cells", Seq("cell"))
+    (idxSink.read(),
+      cellSink.read().agg(collect_list(struct(col("cell"), col("cv"))).as("cs")))
+  }
+
+  private def buildAutosplit(s: SparkSession, d: String, work: String): Unit = {
     val e = Tables.embeddings(s, d)
     def rot(b: Int) = expr(
       s"concat(slice(embedding, ${b + 1}, ${64 - b}), slice(embedding, 1, $b))")
     def quant(vecs: DataFrame): DataFrame = vecs.select(col("vec_id"), expr(
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
       .as("q"))
-    val work = Q.scratch("annsplit")
     val idxSink = new graft.sinks.SnapshotSink(s, s"$work/index",
       Seq("vec_id"), numBuckets = 16)
     val cellSink = new graft.sinks.SnapshotSink(s, s"$work/cells", Seq("cell"))
@@ -2167,8 +2333,6 @@ object ScaleOpsQueries {
           lit(graft.core.ChangeLog.Delete).as("op"))
       applyBatch(b.toLong, ups.unionByName(ins), dels)
     }
-    (idxSink.read(),
-      cellSink.read().agg(collect_list(struct(col("cell"), col("cv"))).as("cs")))
   }
 
   /** Final live images of the ANN change stream as a lazy plan (no

@@ -708,7 +708,13 @@ object StreamingQueries {
     // overwritten at its true close). Output = one read of the sink.
     // 100 TB: state per user is ONE open session bounded by the gap; the
     // fold touches only users with batch events; closed rows are the
-    // output (production would TTL-export them from the sink).
+    // output (TTL-export machinery: agg_stream_serve_cms_ttl /
+    // IndexQueries.cmsTtlBatch — the same in-commit age-out applies to
+    // closed sessions). Skew lever: the fold keys by user_id, so a hot
+    // key serializes on one task — when skw_key_distribution_profile
+    // flags one, pre-cut by (user_id, coarse-time) and merge boundary
+    // sessions, exactly as evt_pattern_match_sessions' scaladoc lays out
+    // (Flink keyBy carries the same exposure).
     CatalogQuery("evt_stream_sessionized_cep", (s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val work = Q.scratch("cepserve")
@@ -736,8 +742,9 @@ object StreamingQueries {
         java.nio.file.Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
       }
+      // serving sink: one-merge read grace for external readers
       val sink = new graft.sinks.SnapshotSink(s, s"$work/sess",
-        Seq("user_id", "session_start"))
+        Seq("user_id", "session_start"), readGrace = true)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "user_id BIGINT, us BIGINT, event_id BIGINT, ini STRING")
       val stream = s.readStream.schema(schema)

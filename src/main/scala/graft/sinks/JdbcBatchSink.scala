@@ -59,11 +59,16 @@ final class JdbcBatchSink(
         "unrouted batch needs exactly one configured target")
       writeTable(targets.head, compacted)
     } else {
-      // targets come from the route CONFIG, not from the data — a
-      // distinct() over the batch would be unbounded on a poisoned stream
+      // targets come from the route CONFIG, not from the data — the
+      // data-scan fallback is Bounded so a poisoned stream cannot mint
+      // unbounded write targets (Router.fanOut's discipline)
       val tgts = if (targets.nonEmpty) targets
-        else compacted.select(col("tgt_schema"), col("tgt_table"))
-          .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        else graft.core.Bounded.collect(
+          compacted.select(col("tgt_schema"), col("tgt_table")).distinct(),
+          10000, "JdbcBatchSink/target-scan",
+          "configure the route targets so fan-out is config-bounded; a " +
+            "poisoned stream must not mint write targets")
+          .map(r => (r.getString(0), r.getString(1))).toSeq
       // materialize once: each target branch re-reads the batch (filter +
       // write), and without a cache that re-runs the upstream compaction
       // lineage per target

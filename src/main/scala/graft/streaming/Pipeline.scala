@@ -169,7 +169,12 @@ object PipelineRunner {
     // entry, then drop (checker.go observes-then-discards the same way)
     val afterCanary = canary match {
       case Some(tracker) if df.columns.contains("database") =>
-        val probes = df.filter(Canary.isProbe).select(col("seq")).collect()
+        val probes = graft.core.Bounded.collect(
+          df.filter(Canary.isProbe).select(col("seq")), 100000,
+          "PipelineRunner.applyBatch/canary-probes",
+          "probe traffic is heartbeat-rate by construction (one per check " +
+            "interval per source); a probe flood means a looping upstream — " +
+            "throttle the checker, do not raise the bound")
         probes.foreach(r => tracker.record(r.getLong(0)))
         // null-safe negation: a NULL database is NOT a probe — a plain
         // !(=== ...) evaluates NULL and filter would drop the row
@@ -184,9 +189,13 @@ object PipelineRunner {
     // SURVEY §7.4; reference replays DDL inline, mysql.go:246-392)
     val hasDdl = routed.columns.contains("type") && ddl.isDefined
     if (hasDdl) {
-      val stmts = routed.filter(col("type") === "ddl")
-        .select("ddl_statement", "tgt_schema", "tgt_table")
-        .collect() // control rows: rare and tiny by construction
+      val stmts = graft.core.Bounded.collect(
+        routed.filter(col("type") === "ddl")
+          .select("ddl_statement", "tgt_schema", "tgt_table"), 10000,
+        "PipelineRunner.applyBatch/ddl-control-rows",
+        "DDL rows are barrier-rare by construction; thousands in one " +
+          "micro-batch means a schema-storming upstream — shard the replay " +
+          "into smaller batches")
         .flatMap(r => graft.sinks.DdlRewriter.rewrite(
           r.getString(0), r.getString(1), r.getString(2), ddl.get.quote))
       if (stmts.nonEmpty) ddl.get.execute(stmts.toSeq)

@@ -237,7 +237,11 @@ object ScaleStress {
       "ann_cdc_maintained_knn_graph", "ann_graph_beam_serve_maintained",
       // r11: sessionized CEP serving (single-sink open-session state)
       // and the maintained top-k buffer (bounded refill on underflow)
-      "evt_stream_sessionized_cep", "cdc_ivm_maintained_topk")
+      "evt_stream_sessionized_cep", "cdc_ivm_maintained_topk",
+      // r12: spanning-forest cut — the non-tree deletion batch is
+      // edge-removal only, so this row must land well below the
+      // rebuild-every-batch twin right above it
+      "gph_cdc_forest_cut_components")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =
@@ -438,6 +442,48 @@ object ScaleStress {
       val rows = graft.analytics.ScaleOpsQueries.semDedup(spark, out, c).count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[stress] semdedup_sqrtN_C$c%-14d $secs%8.2fs rows=$rows")
+    }
+
+    // spanning-forest cut: the MARGINAL cost of non-tree deletion batches
+    // — the cut path classifies each batch against the certificate (one
+    // semi-join) and skips; the rebuild-every-batch twin pays the scoped
+    // label rebuild per batch. Identical delete sets (anti-joined against
+    // the cut instance's certificate so the skip path is provably taken)
+    // hit both instances; this pair is the r12 verdict-#1 evidence
+    if (extrasOn("forestcut")) {
+      def cpairs(t: Int) = {
+        val li = Tables.load(spark, out, "lineitem")
+          .filter(col("l_quantity") >= t)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      }
+      val base = cpairs(45).localCheckpoint()
+      val delta = cpairs(43).join(base, Seq("u", "v"), "left_anti").localCheckpoint()
+      val mCut = new graft.analytics.MiningQueries.ForestCutCC(
+        spark, out + "/fcut", cutEnabled = true)
+      val mAll = new graft.analytics.MiningQueries.ForestCutCC(
+        spark, out + "/fall", cutEnabled = false)
+      mCut.init(base); mCut.insert(1L, delta)
+      mAll.init(base); mAll.insert(1L, delta)
+      val fNow = mCut.forest.read().select(col("u"), col("v")).localCheckpoint()
+      val batches = (0 to 2).map { i =>
+        val d = cpairs(43).filter(expr(s"(u * 31 + v) % 9 = $i"))
+          .join(fNow, Seq("u", "v"), "left_anti").localCheckpoint()
+        require(d.count() > 0, s"forestcut stress: planted batch $i is empty")
+        d
+      }
+      val t0 = System.nanoTime()
+      batches.zipWithIndex.foreach { case (d, i) => mCut.delete(2L + i, d) }
+      val cutS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      batches.zipWithIndex.foreach { case (d, i) => mAll.delete(2L + i, d) }
+      val allS = (System.nanoTime() - t1) / 1e9
+      require(mCut.nSkipped == 3 && mAll.nRebuilds == 3,
+        s"forestcut stress: paths not taken (skips=${mCut.nSkipped}, rebuilds=${mAll.nRebuilds})")
+      println(f"[stress] forest_cut_nontree_batches_x3   $cutS%8.2fs (skips=${mCut.nSkipped})")
+      println(f"[stress] rebuild_every_batch_x3          $allS%8.2fs (rebuilds=${mAll.nRebuilds})")
     }
 
     // hard negatives in the PRODUCTION regime: the anchor set stays FIXED

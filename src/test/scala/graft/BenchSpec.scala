@@ -76,4 +76,16 @@ class BenchSpec extends AnyFunSuite {
     Bench.calibIoSetup(spark, dir, rows = rows, parts = 4)
     assert(Bench.calibIoFrame(spark, dir).head().getLong(0) == rows * (rows - 1) / 2)
   }
+
+  test("headliner list: the r12 maintained-family entries are benched") {
+    // the 25-entry list had been static since r09 while the engine's
+    // center of gravity moved to maintained state + serving loops (r11
+    // verdict #5) — pin the four additions and the overall floor so a
+    // refactor can't silently drop the new core from the round artifact
+    val names = graft.analytics.Catalog.benchNames.toSet
+    for (n <- Seq("ann_cdc_autosplit_probe", "ann_graph_beam_serve_maintained",
+        "idx_cdc_compacted_postings", "agg_stream_serve_cms_decay"))
+      assert(names.contains(n), s"maintained-family headliner missing: $n")
+    assert(names.size >= 29, s"headliner count regressed: ${names.size}")
+  }
 }

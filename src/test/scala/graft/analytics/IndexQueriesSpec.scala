@@ -749,6 +749,107 @@ class IndexQueriesSpec extends SparkSpec {
       s"refilled docs must be born at orig seg 3, got $segsOfRefill")
   }
 
+  test("cmsTtlBatch: a crash on either side of the commit neither loses nor double-exports") {
+    import spark.implicits._
+    val work = graft.analytics.Q.scratch("cmsttlcrash")
+    val sink = new graft.sinks.SnapshotSink(spark, s"$work/cells",
+      Seq("hrow", "cell"))
+    val exp = s"$work/export"
+    def inc(rows: (Long, Long, Long)*) = rows.toSeq.toDF("hrow", "cell", "dn")
+    def exportRows(b: Long): Set[(Long, Long)] =
+      spark.read.parquet(s"$exp/b$b").select("hrow", "cell")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def state(): Map[(Long, Long), Long] = sink.read()
+      .select("hrow", "cell", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    IndexQueries.cmsTtlBatch(spark, sink, exp, inc((0, 0, 1), (0, 1, 2), (0, 2, 4)), 0)
+    assert(state() == Map((0L, 0L) -> 1L, (0L, 1L) -> 2L, (0L, 2L) -> 4L))
+    assert(exportRows(0).isEmpty, "nothing dies on the first batch")
+    // batch 1 increments only cell (0,1): cell (0,0) decays 1 -> 0 and
+    // must export. Crash BEFORE the commit: export durable, state not
+    val base = state()
+    sink.faultHook = pt => if (pt == "before-commit") sys.error("injected crash")
+    intercept[Exception] {
+      IndexQueries.cmsTtlBatch(spark, sink, exp, inc((0, 1, 3)), 1)
+    }
+    sink.faultHook = _ => ()
+    assert(!sink.applied(1) && state() == base,
+      "pre-commit crash must leave the sink unchanged")
+    assert(exportRows(1) == Set((0L, 0L)),
+      "the export is already durable — and correct, since state is unchanged")
+    // the retry replays against UNCHANGED inputs: identical export, commit
+    IndexQueries.cmsTtlBatch(spark, sink, exp, inc((0, 1, 3)), 1)
+    assert(sink.applied(1) && exportRows(1) == Set((0L, 0L)))
+    assert(state() == Map((0L, 1L) -> 4L, (0L, 2L) -> 2L))
+    // batch 2: crash AFTER the commit, then a POISONED replay (the
+    // recompute-against-advanced-state case) — the applied-id gate must
+    // cut it off before it touches the export or the sink
+    sink.faultHook = pt => if (pt == "after-commit") sys.error("injected crash")
+    intercept[Exception] {
+      IndexQueries.cmsTtlBatch(spark, sink, exp, inc((0, 9, 5)), 2)
+    }
+    sink.faultHook = _ => ()
+    assert(sink.applied(2), "the commit landed before the crash")
+    val committed = state()
+    val exported2 = exportRows(2)
+    IndexQueries.cmsTtlBatch(spark, sink, exp, inc((0, 42, 1)), 2)
+    assert(state() == committed && exportRows(2) == exported2,
+      "a replayed committed batch must not recompute state or exports")
+  }
+
+  test("TTL CMS serving: exports equal value transitions; live = final nonzero; probes match the fold") {
+    val rows = Catalog.queries("agg_stream_serve_cms_ttl")(spark, sf0001).collect()
+    val gotProbe = rows.filter(_.getString(0) == "probe")
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(4)).toMap
+    val gotExport = rows.filter(_.getString(0) == "export")
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val gotLive = rows.filter(_.getString(0) == "live")
+      .map(r => (r.getLong(2), r.getLong(3)) -> r.getLong(4)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    def cell(j: Int, k: Long): (Long, Long) =
+      (j.toLong, java.lang.Long.parseLong(md5hex(s"$k|$j").take(8), 16) % 128)
+    val ks = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("CAST(l_partkey AS BIGINT) AS k").collect().map(_.getLong(0))
+    val probes = ks.distinct.filter(_ % 97 == 0)
+    var state = Map.empty[(Long, Long), Long]
+    val expExport = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val expProbe = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    (0 to 3).foreach { b =>
+      val inc =
+        if (b == 3) Map.empty[(Long, Long), Long]
+        else ks.distinct.filter(_ % 11 == b)
+          .flatMap(k => (0 to 3).map(j => cell(j, k)))
+          .groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+      val next = (state.keySet ++ inc.keySet).map(c =>
+        c -> (state.getOrElse(c, 0L) / 2 + inc.getOrElse(c, 0L))).toMap
+      expExport ++= next.collect {
+        case (c, 0L) if state.getOrElse(c, 0L) > 0 => (b.toLong, c._1, c._2)
+      }
+      state = next.filter(_._2 > 0)
+      probes.foreach { k =>
+        expProbe((b.toLong, k)) =
+          (0 to 3).map(j => state.getOrElse(cell(j, k), 0L)).min
+      }
+    }
+    assert(gotProbe == expProbe.toMap,
+      s"probes: got ${gotProbe.size}, expected ${expProbe.size}")
+    assert(gotExport == expExport.toSet,
+      s"exports: got ${gotExport.size}, expected ${expExport.size}")
+    assert(gotLive == state, s"live: got ${gotLive.size}, expected ${state.size}")
+    // the signals the entry exists for: cells genuinely die mid-stream
+    // AND after the idle batch, and at least one exported cell is REBORN
+    // by a later increment (the re-export-able case)
+    assert(expExport.exists(_._1 < 3) && expExport.exists(_._1 == 3L),
+      "deaths must occur both mid-stream and through the idle window")
+    val reborn = expExport.exists { case (b, hrow, c) =>
+      b < 3 && (gotLive.contains((hrow, c)) ||
+        expExport.exists(e => e._1 > b && e._2 == hrow && e._3 == c))
+    }
+    assert(reborn, "some exported cell must be re-born by a later increment")
+  }
+
   test("time-decayed CMS serving: per-batch estimates equal the decay-fold replay and shrink when idle") {
     val got = Catalog.queries("agg_stream_serve_cms_decay")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

@@ -954,20 +954,34 @@ class MiningQueriesSpec extends SparkSpec {
         val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
         (math.min(a, b), math.max(a, b))
       }.filter(e => e._1 != e._2).distinct
-      val f = MiningQueries.boruvkaForest(edges.toDF("u", "v")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(f.subsetOf(edges.toSet), s"trial $trial: forest must be ⊆ edges")
       val verts = edges.flatMap(e => Seq(e._1, e._2)).toSet
       def comps(es: Iterable[(Long, Long)]): Map[Long, Long] = {
         val m = MiningQueries.mergeGroups(es.toSeq)
         verts.map(v => v -> m.getOrElse(v, v)).toMap
       }
       val cg = comps(edges)
-      assert(comps(f) == cg, s"trial $trial: forest must span every component")
       val nComps = cg.values.toSet.size
-      assert(f.size == verts.size - nComps,
-        s"trial $trial: |forest|=${f.size} != ${verts.size} - $nComps (acyclic)")
+      // the same laws hold for BOTH builders (Borůvka = the log-round
+      // guarantee; hook-and-compress = the hot path, labels included)
+      val fB = MiningQueries.boruvkaForest(edges.toDF("u", "v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (lblDf, fDf) = MiningQueries.hookForest(edges.toDF("u", "v"))
+      val fM = fDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for ((name, f) <- Seq(("boruvka", fB), ("hook", fM))) {
+        assert(f.subsetOf(edges.toSet), s"trial $trial/$name: forest must be ⊆ edges")
+        assert(comps(f) == cg, s"trial $trial/$name: forest must span every component")
+        assert(f.size == verts.size - nComps,
+          s"trial $trial/$name: |forest|=${f.size} != ${verts.size} - $nComps (acyclic)")
+      }
+      val lbls = lblDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lbls == cg, s"trial $trial: hookForest labels must be component minima")
     }
+    // min-label triangle picks match the cut spec's forced expectations
+    val (lt, ft) = MiningQueries.hookForest(tri)
+    assert(ft.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (1L, 3L)))
+    assert(lt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
   test("forest cut: a planted non-tree delete skips the rebuild; a tree delete splits; re-insert re-merges") {

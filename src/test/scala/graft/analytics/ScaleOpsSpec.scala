@@ -697,6 +697,82 @@ class ScaleOpsSpec extends SparkSpec {
     probed.foreach(r => assert(got.contains(r.getLong(0)), "query must be a live row"))
   }
 
+  test("adaptive LSH buckets: dense buckets split by appended hyperplane bits; a truncated close neighbor becomes a candidate") {
+    import graft.functions.Similarity
+    val e = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    val cap = 4L // force density: real sf0.001 buckets run up to ~20 members
+    val got = ScaleOpsQueries.lshAdaptiveBuckets(e, cap).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    // full driver re-derivation of the split rule from raw hyperplane signs
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def bit(plane: Int, v: Array[Float]): Long = {
+      val dot = (0 until 64).map(k =>
+        Similarity.hyperplaneSign(plane, k) * v(k).toDouble).sum
+      if (dot > 0) 1L else 0L
+    }
+    def bucket6(t: Int, v: Array[Float]): Long =
+      (0 until 6).map(j => bit(t * 6 + j, v) << j).sum
+    var assign: Map[(Long, Int), (Int, Long)] =
+      (for ((id, v) <- vecs.toSeq; t <- 0 to 1)
+        yield (id, t) -> (6, bucket6(t, v))).toMap
+    (0 until 2).foreach { l =>
+      val cnt = assign.toSeq.groupBy { case ((_, t), (nb, b)) => (t, nb, b) }
+        .map { case (k, xs) => k -> xs.size }
+      assign = assign.map { case ((id, t), (nb, b)) =>
+        if (cnt((t, nb, b)) > cap)
+          ((id, t), (nb + 1, b * 2 + bit(12 + 2 * t + l, vecs(id))))
+        else ((id, t), (nb, b))
+      }
+    }
+    val exp = assign.map { case ((id, t), (nb, b)) => (id, t, nb, b) }.toSet
+    assert(got == exp, s"adaptive buckets diverged from the driver replay " +
+      s"(got ${got.size}, expected ${exp.size})")
+    assert(exp.exists(_._3 == 8), "a dense bucket must split through BOTH levels at cap=4")
+    assert(exp.exists(_._3 == 6), "sparse buckets must stay unsplit")
+    // the recall claim: candidate pairs under the OLD fixed rule (first
+    // cap per 6-bit bucket) vs the split rule — splitting must surface a
+    // previously-dropped pair that is genuinely CLOSE (closer than the
+    // old candidate set's farthest member for that vector)
+    def mates(groups: Map[(Int, Int, Long), Seq[Long]]): Set[(Long, Long)] =
+      groups.toSeq.flatMap { case (_, members) =>
+        val m = members.sorted.take(cap.toInt)
+        members.flatMap(u => m.filter(_ != u).map(u -> _))
+      }.toSet
+    val oldCands = mates(
+      (for ((id, v) <- vecs.toSeq; t <- 0 to 1) yield ((t, 6, bucket6(t, v)), id))
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) })
+    val newCands = mates(exp.toSeq.groupBy(x => (x._2, x._3, x._4))
+      .map { case (k, xs) => k -> xs.map(_._1).toSeq })
+    val gained = newCands -- oldCands
+    assert(gained.nonEmpty, "splitting must surface candidates the fixed cap dropped")
+    def d2(a: Long, b: Long): Long = {
+      def q(x: Float): Long = math.floor(x.toDouble * 64.0 + 0.5).toLong
+      vecs(a).zip(vecs(b)).map { case (x, y) => (q(x) - q(y)) * (q(x) - q(y)) }.sum
+    }
+    val gainedClose = gained.exists { case (u, v) =>
+      val old = oldCands.filter(_._1 == u).map(p => d2(u, p._2))
+      old.nonEmpty && d2(u, v) < old.max
+    }
+    assert(gainedClose,
+      "some surfaced candidate must be closer than the old set's farthest — " +
+        "the recall the fixed cap was silently dropping")
+    // the residual-truncation gate: a declared regime, not silence. The
+    // case splitting provably cannot fix — a cluster of IDENTICAL vectors
+    // shares every hyperplane bit, so both levels re-bucket it wholesale
+    // and the mates cap still drops most of it: the gate must trip loudly
+    val clones = e.limit(1).select(col("embedding"))
+      .crossJoin(spark.range(100).select(col("id").as("vec_id")))
+      .select(col("vec_id"), col("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      ScaleOpsQueries.lshMatesCapped(
+        ScaleOpsQueries.lshAdaptiveBuckets(clones, cap), cap, "spec")
+    }
+    assert(ex.getMessage.contains("split"), ex.getMessage)
+    val okCap = ScaleOpsQueries.lshBucketCapFor(vecs.size.toLong)
+    ScaleOpsQueries.lshMatesCapped(
+      ScaleOpsQueries.lshAdaptiveBuckets(e, okCap), okCap, "spec").count()
+  }
+
   /** Driver replay of the NN-Descent construction: returns (quantized
     * vectors, LSH-init graph, round-1 graph, final round-2 graph). */
   private def nnDescentReplay(sf: String)

@@ -177,11 +177,11 @@ class SnapshotSinkSpec extends SparkSpec {
       assert(sink.mergeOnce(b, log((b + 1, "insert", b, s"v$b"))))
     }
     assert(sink.read().count() == 7)
-    // manifest dir holds a bounded window (current + predecessor), not
-    // one file per batch; no `.applied` sibling dir exists at all
+    // manifest dir holds a bounded window (default retention: CURRENT
+    // only), not one file per batch; no `.applied` sibling dir at all
     val manifests = Files.list(Paths.get(path, "manifest")).iterator().asScala
       .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSeq // drop local-FS .crc sidecars
-    assert(manifests.toSet == Set("v6", "v7"), s"got $manifests")
+    assert(manifests.toSet == Set("v7"), s"got $manifests")
     assert(!Files.exists(Paths.get(path + ".applied")))
     // the 7 sequential ids collapsed to one range line
     val text = new String(Files.readAllBytes(Paths.get(path, "manifest", "v7")))
@@ -220,18 +220,20 @@ class SnapshotSinkSpec extends SparkSpec {
     (1L to 5L).foreach(b => assert(sink.mergeOnce(b, log().limit(0))))
     val manifests = Files.list(Paths.get(path, "manifest")).iterator().asScala
       .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSeq
-    assert(manifests.toSet == Set("v5", "v6"),
+    assert(manifests.toSet == Set("v6"),
       s"empty-batch commits must gc old manifests, got $manifests")
     assert(sink.read().select("v").as[String].head() == "a")
   }
 
-  test("a pre-merge read() plan survives exactly one subsequent merge") {
-    // the documented external-caller contract: generation retention matches
-    // manifest retention (current + predecessor), so a lazy read taken
-    // under manifest v stays evaluable across the merge that commits v+1
-    // and serves v's state (immutable generations = snapshot isolation)
+  test("readGrace: a pre-merge read() plan survives exactly one subsequent merge") {
+    // the external-caller contract of a SERVING sink: with readGrace on,
+    // generation retention matches manifest retention (current +
+    // predecessor), so a lazy read taken under manifest v stays evaluable
+    // across the merge that commits v+1 and serves v's state (immutable
+    // generations = snapshot isolation)
     val path = tmp()
-    val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
+    val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4,
+      readGrace = true)
     sink.merge(log((1, "insert", 1, "a"), (2, "insert", 2, "b")))
     val preMerge = sink.read()
     sink.merge(log((3, "update", 1, "a2"), (4, "insert", 3, "c")))
@@ -242,12 +244,40 @@ class SnapshotSinkSpec extends SparkSpec {
       Map(1L -> "a2", 2L -> "b", 3L -> "c"))
   }
 
-  test("generation retention tracks manifest retention exactly across merges") {
+  test("default retention is current-only: the next merge reaps a pre-merge plan's generations") {
+    // harness-internal sinks pay no grace tax (r11 measured ~+21% on the
+    // sink-heaviest bench line for a contract nothing internal used):
+    // after a merge, only the CURRENT manifest and its generations remain
+    val path = tmp()
+    val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
+    sink.merge(log((1, "insert", 1, "a"), (2, "insert", 2, "b")))
+    sink.merge(log((3, "update", 1, "a2")))
+    val manifests = Files.list(Paths.get(path, "manifest")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("v"))
+      .map(_.drop(1).toLong).toSet
+    assert(manifests == Set(2L), s"current-only manifests expected: $manifests")
+    // per bucket: exactly the ONE generation the current manifest names
+    // (untouched buckets legitimately keep their older generation; the
+    // touched bucket's superseded one is reaped at commit, not one merge
+    // later)
+    Files.list(Paths.get(path, "data")).iterator().asScala.foreach { bd =>
+      val gens = Files.list(bd).iterator().asScala
+        .map(_.getFileName.toString.stripPrefix("__gen=").toLong).toSeq
+      assert(gens.size == 1,
+        s"bucket ${bd.getFileName} must hold exactly its current generation: $gens")
+    }
+    // and the post-merge state is intact
+    assert(sink.read().select("id", "v").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a2", 2L -> "b"))
+  }
+
+  test("generation retention tracks manifest retention exactly across merges (grace mode)") {
     // after each committed merge: every bucket holds generations referenced
     // by the CURRENT manifest or its predecessor — nothing older (no leak),
     // nothing newer (no uncommitted residue)
     val path = tmp()
-    val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 2)
+    val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 2,
+      readGrace = true)
     (1L to 4L).foreach { b =>
       sink.merge(log((b, "insert", 1, s"v$b"), (b, "insert", 2, s"w$b")))
       val manifests = Files.list(Paths.get(path, "manifest")).iterator().asScala
@@ -262,6 +292,29 @@ class SnapshotSinkSpec extends SparkSpec {
         s"after merge $b: generations $gens exceed retained manifests $manifests")
       assert(gens.toSet.contains(b), s"after merge $b: current generation missing")
     }
+  }
+
+  test("readBuckets: keyed reads return exactly the keys' live rows and list only their buckets") {
+    val path = tmp()
+    val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 8)
+    sink.merge(log((0L until 64L).map(i => (1L, "insert", i, s"v$i")): _*))
+    sink.merge(log((5L, "delete", 3L, "x"), (6L, "update", 7L, "v7b")))
+    // bucket-pruned read semi-joined to the keys = the point-read path
+    val keys = Seq(3L, 7L, 11L).toDF("id")
+    val got = sink.readBuckets(keys)
+      .join(keys, Seq("id"), "left_semi")
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(7L -> "v7b", 11L -> "v11"),
+      s"point reads must see LWW-current live rows only: $got")
+    // the pruned frame is a strict subset of the full read (only the
+    // keys' hash buckets are listed), and agrees with it row-for-row
+    val full = sink.read().select("id", "v").as[(Long, String)].collect().toMap
+    val pruned = sink.readBuckets(keys)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(pruned.size < full.size, "pruning must skip unrelated buckets")
+    assert(pruned.forall { case (k, v) => full(k) == v })
+    // an empty key set reads nothing (an empty frontier ends the walk)
+    assert(sink.readBuckets(Seq.empty[Long].toDF("id")).isEmpty)
   }
 
   test("Ranges properties: random add orders compact minimally; contains = membership (randomized)") {

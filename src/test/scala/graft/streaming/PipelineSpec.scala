@@ -75,6 +75,30 @@ class PipelineSpec extends SparkSpec {
     assert(once == twice && once == Set((1L, "b")))
   }
 
+  test("a schema-storming batch trips the DDL control-row bound before any execute") {
+    // 10k+ DDL rows in one micro-batch must raise the Bounded diagnostic,
+    // not drive 10k rewrite+execute round-trips against the target
+    val sink = new SnapshotBatchSink(spark, tmp() + "/snap-storm", Seq("id"))
+    val plan = PipelinePlan(name = "p-storm", pkCols = Seq("id"),
+      router = Some(graft.operators.Router.mysql(Seq(graft.operators.Route(
+        Seq(graft.operators.SchemaMatcher("db*")),
+        Map("schema" -> "tgt", "table" -> "t2"))))),
+      checkpoint = tmp())
+    val ddlExec = new DdlExecutor {
+      def execute(st: Seq[String]): Unit =
+        sys.error("the bound must trip before any DDL executes")
+    }
+    val storm = spark.range(10001).selectExpr(
+      "id AS seq", "'ddl' AS op", "'db0' AS database", "'t' AS `table`",
+      "'ddl' AS type",
+      "concat('ALTER TABLE t ADD COLUMN c', id, ' INT') AS ddl_statement",
+      "id", "CAST(NULL AS STRING) AS v")
+    val e = intercept[RuntimeException] {
+      PipelineRunner.applyBatch(plan, sink, Some(ddlExec))(storm, 0)
+    }
+    assert(e.getMessage.contains("ddl-control-rows"), e.getMessage)
+  }
+
   test("ddl control rows execute rewritten statements before the batch's DML") {
     val snapPath = tmp() + "/snap3"
     val sink = new SnapshotBatchSink(spark, snapPath, Seq("id"))
