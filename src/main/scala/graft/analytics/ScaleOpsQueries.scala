@@ -1576,38 +1576,8 @@ object ScaleOpsQueries {
     // vector stops querying, an updated one walks from its new position.
     // When the graph entry has already built the sink this is pure
     // serve cost (the ScaleStress pair measures both orders).
-    CatalogQuery("ann_graph_beam_serve_maintained", (s, d) => {
-      val (_, vecSink) = annMaintainedKnnGraph(s, d)
-      val und = annMaintainedUndIndex(s, d)
-      val dist = (a: String, b: String) => expr(
-        s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
-      val live = vecSink.read().localCheckpoint()
-      val qt = live.select(col("vec_id"), col("q"))
-      val qs = live.filter(col("vec_id") % 11 === 0).select(col("vec_id").as("qid"))
-      val ep = live.agg(min(col("vec_id")).as("v"))
-      def score(cand: DataFrame): DataFrame = cand
-        .join(qt.select(col("vec_id").as("qid"), col("q").as("qq")), Seq("qid"))
-        .join(qt.select(col("vec_id").as("v"), col("q").as("qv")), Seq("v"))
-        .withColumn("dd", dist("qq", "qv"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("dd").asc, col("v").asc)))
-      var beam = qs.crossJoin(ep).select(col("qid"), col("v")).localCheckpoint()
-      (1 to 3).foreach { _ =>
-        val frontier = beam.select(col("v").as("u")).distinct().localCheckpoint()
-        val out = und.readBuckets(frontier)
-          .join(frontier, Seq("u"), "left_semi")
-          .select(col("u"), explode(col("nbrs")).as("v"))
-        val cand = beam.unionByName(
-            beam.as("b").join(out.as("g"), col("b.v") === col("g.u"))
-              .select(col("b.qid").as("qid"), col("g.v").as("v")))
-          .filter(col("v") =!= col("qid")).distinct()
-        beam = score(cand).filter(col("rnk") <= 4).select(col("qid"), col("v"))
-          .localCheckpoint()
-      }
-      score(beam).filter(col("rnk") <= 3)
-        .select(col("qid").as("query_id"), col("rnk").cast("long").as("rank"),
-          col("v").as("neighbor_id"), col("dd").as("dist2"))
-    }, Some {
+    CatalogQuery("ann_graph_beam_serve_maintained", (s, d) =>
+      beamServeMaintained(s, d, col("vec_id") % 11 === 0), Some {
       def hop(in: String, out: String, w: Int): String =
         s"""c$out AS (
            |  SELECT DISTINCT qid, v FROM (
@@ -1652,28 +1622,36 @@ object ScaleOpsQueries {
   private[graft] def lshBucketCapFor(n: Long): Long =
     math.max(64L, math.floor(math.sqrt(n.toDouble)).toLong)
 
+  /** Split levels for [[lshAdaptiveBuckets]]. Hyperplane splits are NOT
+    * even halves — correlated embeddings split 70/30 or worse — so the
+    * depth must out-run the skewed tail: 2 levels left 19.7% of rows
+    * truncated at 30× (the gate fired, which is its job); 6 levels
+    * (6 → 12 bits) take the measured worst chains under the √N cap.
+    * Production sizes this as levels ≈ log_{1/maxSkew}(bucket/cap).
+    */
+  private[analytics] val LshSplitLevels: Int = 6
+
   /** Adaptive LSH bucketing with auto-SPLIT — the r11 verdict's last
     * fixed truncation, given the IVF cell-split discipline: a 6-bit
     * hyperplane bucket over `cap` members splits by appending one
     * hyperplane bit per level (bucket → bucket·2 + bit, re-bucketing
-    * ONLY that bucket's members), up to two levels (6 → 8 bits). Keys
+    * ONLY that bucket's members), up to [[LshSplitLevels]] levels. Keys
     * are (tbl, nbits, bucket) — nbits makes children injective across
-    * levels. Split planes: level l of table t is hyperplane 12 + 2t + l
-    * (the two tables own planes 0–11; lsh_buckets(e, 16, 1) exposes
+    * levels. Split planes: level l of table t is hyperplane 12 + 6t + l
+    * (the two tables own planes 0–11; lsh_buckets(e, 24, 1) exposes
     * single-plane signs). The oracle mirrors the rule bit-for-bit
-    * (bucket counts and the √N cap are exact integers both sides). At
-    * 100 TB the depth is a config: levels ≈ log₂(N/cap²) keeps every
-    * bucket under cap; the residual truncation gate
+    * (bucket counts and the √N cap are exact integers both sides; an
+    * inert level is an identity CTE). The residual truncation gate
     * ([[lshMatesCapped]]) turns an under-provisioned depth into a loud
     * diagnostic instead of silent recall loss.
     */
   private[analytics] def lshAdaptiveBuckets(vecs: DataFrame, cap: Long): DataFrame = {
     var cur = vecs.select(col("vec_id"),
         posexplode(GraftFunctions.lsh_buckets(col("embedding"), 2, 6)),
-        GraftFunctions.lsh_buckets(col("embedding"), 16, 1).as("sb"))
+        GraftFunctions.lsh_buckets(col("embedding"), 24, 1).as("sb"))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
       .withColumn("nbits", lit(6))
-    (0 until 2).foreach { l =>
+    (0 until LshSplitLevels).foreach { l =>
       val over = cur.groupBy(col("tbl"), col("nbits"), col("bucket"))
         .agg(count(lit(1)).as("n")).filter(col("n") > cap)
         .select(col("tbl"), col("nbits"), col("bucket"), lit(1).as("ovr"))
@@ -1682,7 +1660,7 @@ object ScaleOpsQueries {
           when(col("ovr").isNotNull, col("nbits") + 1)
             .otherwise(col("nbits")).as("nbits"),
           when(col("ovr").isNotNull, col("bucket") * 2 +
-            element_at(col("sb"), (lit(13 + l) + col("tbl") * 2).cast("int")))
+            element_at(col("sb"), (lit(13 + l) + col("tbl") * 6).cast("int")))
             .otherwise(col("bucket")).as("bucket"))
         .localCheckpoint()
     }
@@ -1987,6 +1965,50 @@ object ScaleOpsQueries {
       numBuckets = 16)
   }
 
+  /** Frontier-pruned beam serve over the maintained graph: 3 hops, beam
+    * width 4, top-3 answers with distances, query set = live vectors
+    * matching `qpred`. Each hop reads ONLY the frontier's buckets of the
+    * undirected adjacency sink ([[graft.sinks.SnapshotSink.readBuckets]])
+    * and semi-joins the frontier — per-query cost B·k·hops edges,
+    * independent of corpus size (ScaleStress's `beamserve` extras row
+    * holds the query set FIXED while the corpus grows to show exactly
+    * that; the catalog row's query set grows with the corpus, so it
+    * scales ∝ |queries|).
+    */
+  private[graft] def beamServeMaintained(s: SparkSession, d: String,
+      qpred: Column): DataFrame = {
+    val (_, vecSink) = annMaintainedKnnGraph(s, d)
+    val und = annMaintainedUndIndex(s, d)
+    val dist = (a: String, b: String) => expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    val live = vecSink.read().localCheckpoint()
+    val qt = live.select(col("vec_id"), col("q"))
+    val qs = live.filter(qpred).select(col("vec_id").as("qid"))
+    val ep = live.agg(min(col("vec_id")).as("v"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(qt.select(col("vec_id").as("qid"), col("q").as("qq")), Seq("qid"))
+      .join(qt.select(col("vec_id").as("v"), col("q").as("qv")), Seq("v"))
+      .withColumn("dd", dist("qq", "qv"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dd").asc, col("v").asc)))
+    var beam = qs.crossJoin(ep).select(col("qid"), col("v")).localCheckpoint()
+    (1 to 3).foreach { _ =>
+      val frontier = beam.select(col("v").as("u")).distinct().localCheckpoint()
+      val out = und.readBuckets(frontier)
+        .join(frontier, Seq("u"), "left_semi")
+        .select(col("u"), explode(col("nbrs")).as("v"))
+      val cand = beam.unionByName(
+          beam.as("b").join(out.as("g"), col("b.v") === col("g.u"))
+            .select(col("b.qid").as("qid"), col("g.v").as("v")))
+        .filter(col("v") =!= col("qid")).distinct()
+      beam = score(cand).filter(col("rnk") <= 4).select(col("qid"), col("v"))
+        .localCheckpoint()
+    }
+    score(beam).filter(col("rnk") <= 3)
+      .select(col("qid").as("query_id"), col("rnk").cast("long").as("rank"),
+        col("v").as("neighbor_id"), col("dd").as("dist2"))
+  }
+
   /** DuckDB twin of [[lshAdaptiveBuckets]] + the mates cap: a WITH-body
     * CTE fragment over `table`.`vcol` ending in `bk<x>` (vec_id, tbl,
     * nbits, bucket — final adaptive buckets) and `bkcap<x>` (mates side,
@@ -1998,33 +2020,33 @@ object ScaleOpsQueries {
     */
   private def lshAdaptiveDuck(table: String, vcol: String, x: String): String = {
     val b6 = Similarity.lshBucketDuckOffset(vcol, 6, 64, "t.tbl * 6")
-    val x1 = Similarity.lshBucketDuckOffset(vcol, 1, 64, "12 + t.tbl * 2")
-    val x2 = Similarity.lshBucketDuckOffset(vcol, 1, 64, "13 + t.tbl * 2")
+    val L = LshSplitLevels
+    val bitCols = (0 until L).map(l =>
+      s"${Similarity.lshBucketDuckOffset(vcol, 1, 64, s"12 + t.tbl * 6 + $l")} AS x$l")
+    def lvl(l: Int): String = {
+      val in = s"k${6 + l}$x"
+      val out = s"k${7 + l}$x"
+      val carry = ((l + 1) until L).map(i => s"b.x$i")
+      val carrySql = if (carry.isEmpty) "" else ",\n       |    " + carry.mkString(", ")
+      s"""o${6 + l}$x AS (
+         |  SELECT tbl, nbits, bucket FROM $in, cap$x
+         |  GROUP BY tbl, nbits, bucket, cap HAVING count(*) > cap),
+         |$out AS MATERIALIZED (
+         |  SELECT b.vec_id, b.tbl,
+         |    CASE WHEN o.bucket IS NOT NULL THEN b.nbits + 1 ELSE b.nbits END AS nbits,
+         |    CASE WHEN o.bucket IS NOT NULL THEN b.bucket * 2 + b.x$l ELSE b.bucket END AS bucket$carrySql
+         |  FROM $in b LEFT JOIN o${6 + l}$x o
+         |    ON o.tbl = b.tbl AND o.nbits = b.nbits AND o.bucket = b.bucket)""".stripMargin
+    }
     s"""cap$x AS (
        |  SELECT greatest(64, CAST(floor(sqrt(count(*)::DOUBLE)) AS BIGINT)) AS cap
        |  FROM $table),
        |k6$x AS MATERIALIZED (
-       |  SELECT vec_id, t.tbl, 6 AS nbits, $b6 AS bucket, $x1 AS x1, $x2 AS x2
+       |  SELECT vec_id, t.tbl, 6 AS nbits, $b6 AS bucket,
+       |    ${bitCols.mkString(",\n       |    ")}
        |  FROM $table CROSS JOIN (SELECT unnest(range(0, 2)) AS tbl) t),
-       |o6$x AS (
-       |  SELECT tbl, nbits, bucket FROM k6$x, cap$x
-       |  GROUP BY tbl, nbits, bucket, cap HAVING count(*) > cap),
-       |k7$x AS MATERIALIZED (
-       |  SELECT b.vec_id, b.tbl,
-       |    CASE WHEN o.bucket IS NOT NULL THEN b.nbits + 1 ELSE b.nbits END AS nbits,
-       |    CASE WHEN o.bucket IS NOT NULL THEN b.bucket * 2 + b.x1 ELSE b.bucket END AS bucket,
-       |    b.x2
-       |  FROM k6$x b LEFT JOIN o6$x o
-       |    ON o.tbl = b.tbl AND o.nbits = b.nbits AND o.bucket = b.bucket),
-       |o7$x AS (
-       |  SELECT tbl, nbits, bucket FROM k7$x, cap$x
-       |  GROUP BY tbl, nbits, bucket, cap HAVING count(*) > cap),
-       |bk$x AS MATERIALIZED (
-       |  SELECT b.vec_id, b.tbl,
-       |    CASE WHEN o.bucket IS NOT NULL THEN b.nbits + 1 ELSE b.nbits END AS nbits,
-       |    CASE WHEN o.bucket IS NOT NULL THEN b.bucket * 2 + b.x2 ELSE b.bucket END AS bucket
-       |  FROM k7$x b LEFT JOIN o7$x o
-       |    ON o.tbl = b.tbl AND o.nbits = b.nbits AND o.bucket = b.bucket),
+       |${(0 until L).map(lvl).mkString(",\n")},
+       |bk$x AS (SELECT vec_id, tbl, nbits, bucket FROM k${6 + L}$x),
        |bkcap$x AS (
        |  SELECT vec_id, tbl, nbits, bucket FROM (
        |    SELECT k.*, c.cap,

@@ -486,6 +486,19 @@ object ScaleStress {
       println(f"[stress] rebuild_every_batch_x3          $allS%8.2fs (rebuilds=${mAll.nRebuilds})")
     }
 
+    // beam serve in the PRODUCTION regime: the query set stays FIXED
+    // (base-replica live rows only) while the corpus grows factor× — with
+    // the frontier-pruned per-hop reads, serve cost must stay ~flat
+    // (B·k·hops per query, corpus-independent); the catalog row's query
+    // set grows with the corpus, so its number scales ∝ |queries|
+    if (extrasOn("beamserve")) {
+      val t0 = System.nanoTime()
+      val rows = graft.analytics.ScaleOpsQueries.beamServeMaintained(spark, out,
+        col("vec_id") % 11 === 0 && col("vec_id") < shift).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] beam_serve_fixed_queries        $secs%8.2fs rows=$rows")
+    }
+
     // hard negatives in the PRODUCTION regime: the anchor set stays FIXED
     // (base replica only — ids below the replication shift) while the
     // corpus grows `factor`x, so cost must track corpus size linearly;

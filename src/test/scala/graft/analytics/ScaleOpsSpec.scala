@@ -715,19 +715,19 @@ class ScaleOpsSpec extends SparkSpec {
     var assign: Map[(Long, Int), (Int, Long)] =
       (for ((id, v) <- vecs.toSeq; t <- 0 to 1)
         yield (id, t) -> (6, bucket6(t, v))).toMap
-    (0 until 2).foreach { l =>
+    (0 until ScaleOpsQueries.LshSplitLevels).foreach { l =>
       val cnt = assign.toSeq.groupBy { case ((_, t), (nb, b)) => (t, nb, b) }
         .map { case (k, xs) => k -> xs.size }
       assign = assign.map { case ((id, t), (nb, b)) =>
         if (cnt((t, nb, b)) > cap)
-          ((id, t), (nb + 1, b * 2 + bit(12 + 2 * t + l, vecs(id))))
+          ((id, t), (nb + 1, b * 2 + bit(12 + 6 * t + l, vecs(id))))
         else ((id, t), (nb, b))
       }
     }
     val exp = assign.map { case ((id, t), (nb, b)) => (id, t, nb, b) }.toSet
     assert(got == exp, s"adaptive buckets diverged from the driver replay " +
       s"(got ${got.size}, expected ${exp.size})")
-    assert(exp.exists(_._3 == 8), "a dense bucket must split through BOTH levels at cap=4")
+    assert(exp.exists(_._3 >= 8), "a dense bucket must split through 2+ levels at cap=4")
     assert(exp.exists(_._3 == 6), "sparse buckets must stay unsplit")
     // the recall claim: candidate pairs under the OLD fixed rule (first
     // cap per 6-bit bucket) vs the split rule — splitting must surface a
