@@ -1623,8 +1623,10 @@ object IndexQueries {
       var maxSegs = 0L
       var excess = 0L
       (0 to 3).foreach { b =>
-        val n = maintainCompactingBatch(docState, postings,
-          docChangeBatch(s, d, b), b.toLong, "idx_cdc_compacted_postings")
+        val (n, live) = graft.core.Prof.time(s"cmpidx/batch$b") {
+          maintainCompactingBatch(docState, postings,
+            docChangeBatch(s, d, b), b.toLong, "idx_cdc_compacted_postings")
+        }
         maxSegs = math.max(maxSegs, n)
         // the gate is ACCRETION, not an absolute count: a healthy corpus
         // legitimately carries ~N/segDiv full birth segments (50 at
@@ -1634,7 +1636,6 @@ object IndexQueries {
         // (trigger-1 small leftovers + this batch's new births); the
         // naive no-compaction loop accretes ~5 small segments per batch
         // FOREVER and blows the slack in a few batches
-        val live = docState.read().count()
         excess = math.max(excess, n - live / 40L)
       }
       postings.read().filter(col("seg") >= 0)
@@ -1884,15 +1885,20 @@ object IndexQueries {
     * group-by of doc ids (production keeps per-segment metadata — this IS
     * that metadata, recomputed because the harness corpus is small); the
     * compaction rewrite reads only eligible segments, each under thrLive
-    * docs by definition. Returns the post-batch segment count (the bound
-    * the caller gates).
+    * docs by definition. Returns (post-batch segment count, post-batch
+    * live-doc count) — both already materialized in the checkpointed
+    * segLive, so the caller's accretion gate costs no extra state read.
     */
   private[analytics] def maintainCompactingBatch(
       docState: graft.sinks.SnapshotSink, postings: graft.sinks.SnapshotSink,
-      ch: org.apache.spark.sql.DataFrame, seqNo: Long, auditSite: String,
-      segDiv: Long = 100L, thrLive: Long = 40L, trigger: Long = 6L): Long = {
-    val s = ch.sparkSession
+      ch0: org.apache.spark.sql.DataFrame, seqNo: Long, auditSite: String,
+      segDiv: Long = 100L, thrLive: Long = 40L, trigger: Long = 6L)
+      : (Long, Long) = {
+    val s = ch0.sparkSession
     import s.implicits._
+    // the change batch feeds new entries, the touched-key set, the
+    // live-doc recount AND the doc-state merge — materialize it once
+    val ch = graft.core.Prof.time(s"$auditSite/chkptCh") { ch0.localCheckpoint() }
     val state =
       if (postings.exists) Some(postings.read())
       else None
@@ -1908,27 +1914,50 @@ object IndexQueries {
     val newEntries = remapSeg(
       docEntries(ch.filter(col("op") =!= graft.core.ChangeLog.Delete), segDiv))
       .select(col("term"), col("doc_id"), col("tf"), col("seg"))
-    val keys = ch.select(col("doc_id")).distinct()
-    val (touched, carried) = dataState match {
-      case None => (newEntries.select("term", "seg").distinct(), newEntries)
-      case Some(ds) =>
-        val oldEntries = remapSeg(
-          docEntries(docState.read().join(keys, Seq("doc_id")), segDiv))
-        val t = newEntries.select("term", "seg")
-          .unionByName(oldEntries.select("term", "seg")).distinct()
-        val old = ds.join(t, Seq("term", "seg"))
-          .select(col("term"), col("seg"), explode(col("plist")).as("p"))
-          .select(col("term"), col("seg"),
-            col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
-          .join(keys, Seq("doc_id"), "left_anti")
-          .select(col("term"), col("doc_id"), col("tf"), col("seg"))
-        (t, old.unionByName(newEntries))
+    // keys / touched / rebuilt feed 3-6 branches of the postings-batch
+    // union each; without materialization every branch recomputes the
+    // whole explode+aggregate upstream (measured: the dominant cost of
+    // this loop at sf0.1). Reuse-not-recompute is the same discipline a
+    // 1000-executor run needs — these are batch-/vocabulary-sized, never
+    // corpus-sized.
+    val keys = ch.select(col("doc_id")).distinct().localCheckpoint()
+    // ONE materialization job carries the whole touched-pair rebuild:
+    // touched pairs LEFT JOIN their re-aggregated postings (a null
+    // aggregate = the pair emptied → delete). The downstream postings
+    // batch references these frames 3-6 times across its union branches;
+    // materializing once is the reuse-not-recompute discipline a
+    // 1000-executor run needs, and collapsing the per-frame actions
+    // matters here because this loop's cost is per-JOB overhead, not
+    // data (measured at sf0.1: ~9 eager actions/batch dominated the
+    // wall). Batch-/vocabulary-sized, never corpus-sized.
+    val touchedState = graft.core.Prof.time(s"$auditSite/chkptTouchedState") {
+      val touched0 = dataState match {
+        case None => newEntries.select("term", "seg").distinct()
+        case Some(_) =>
+          val oldEntries = remapSeg(
+            docEntries(docState.read().join(keys, Seq("doc_id")), segDiv))
+          newEntries.select("term", "seg")
+            .unionByName(oldEntries.select("term", "seg")).distinct()
+      }
+      val carried = dataState match {
+        case None => newEntries
+        case Some(ds) =>
+          val old = ds.join(touched0, Seq("term", "seg"))
+            .select(col("term"), col("seg"), explode(col("plist")).as("p"))
+            .select(col("term"), col("seg"),
+              col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+            .join(keys, Seq("doc_id"), "left_anti")
+            .select(col("term"), col("doc_id"), col("tf"), col("seg"))
+          old.unionByName(newEntries)
+      }
+      val rebuilt0 = carried.groupBy(col("term"), col("seg"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sort_array(collect_list(struct(doc_id, tf)))").as("plist"))
+      touched0.join(rebuilt0, Seq("term", "seg"), "left").localCheckpoint()
     }
-    val rebuilt = carried.groupBy(col("term"), col("seg"))
-      .agg(count(lit(1)).as("n_docs"),
-        expr("sort_array(collect_list(struct(doc_id, tf)))").as("plist"))
-    val dropped = touched.join(rebuilt.select("term", "seg"),
-        Seq("term", "seg"), "left_anti")
+    val touched = touchedState.select(col("term"), col("seg"))
+    val rebuilt = touchedState.filter(col("n_docs").isNotNull)
+    val dropped = touchedState.filter(col("n_docs").isNull)
       .select(col("term"), col("seg"), lit(null).cast("bigint").as("n_docs"),
         lit(null).cast("array<struct<doc_id:bigint,tf:bigint>>").as("plist"),
         lit(graft.core.ChangeLog.Delete).as("op"))
@@ -1951,17 +1980,29 @@ object IndexQueries {
         lit(null).cast("bigint").as("n_docs"),
         lit(null).cast("array<struct<doc_id:bigint,tf:bigint>>").as("plist"),
         lit(graft.core.ChangeLog.Delete).as("op"))
-    val segLive = remapSeg(liveAfter.withColumn("seg", expr(s"doc_id div $segDiv")))
-      .groupBy(col("seg")).agg(count(lit(1)).as("live"))
-      .localCheckpoint()
-    val elig = segLive.filter(col("live") < thrLive)
-      .withColumn("rn", row_number().over(Window.orderBy(col("live"), col("seg"))))
-      .select(col("seg"),
-        (lit(1000000L * (seqNo + 1)) + expr("CAST((rn - 1) div 8 AS BIGINT)"))
-          .as("new_seg"))
-      .localCheckpoint()
-    val nElig = elig.count()
-    val nSegsBefore = segLive.count()
+    // Per-segment live-doc stats are O(segments) = O(N/segDiv) — the
+    // per-segment metadata every real index keeps in its manifest, and
+    // already assumed broadcast-sized by the remap design. ONE bounded
+    // driver collect replaces the former segLive/elig checkpoints plus
+    // three count actions; the merge plan (rank by (live asc, seg asc),
+    // pack 8 per target) is integer arithmetic the driver replays
+    // exactly as the former window did.
+    val segStats = graft.core.Prof.time(s"$auditSite/segStats") {
+      graft.core.Bounded.collect(
+        remapSeg(liveAfter.withColumn("seg", expr(s"doc_id div $segDiv")))
+          .groupBy(col("seg")).agg(count(lit(1)).as("live")),
+        1 << 20, auditSite,
+        "segment metadata must stay manifest-sized — raise segDiv so " +
+          "per-segment stats keep O(N/segDiv) driver-collectable")
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val eligPlan = segStats.filter(_._2 < thrLive)
+      .sortBy { case (seg, live) => (live, seg) }
+      .zipWithIndex
+      .map { case ((seg, _), i) => (seg, 1000000L * (seqNo + 1) + i / 8) }
+    val elig = eligPlan.toSeq.toDF("seg", "new_seg")
+    val nElig = eligPlan.length.toLong
+    val nSegsBefore = segStats.length.toLong
     val upserts = rebuilt
       .withColumn("op", lit(graft.core.ChangeLog.Update))
     val postCore =
@@ -1977,8 +2018,13 @@ object IndexQueries {
           .select(col("term"), col("new_seg"),
             col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
           .join(keys, Seq("doc_id"), "left_anti")
-        val touchedElig = carried.join(eligB, Seq("seg"))
-          .select(col("term"), col("new_seg"), col("doc_id"), col("tf"))
+        // same multiset as carried⋈elig: rebuilt IS carried grouped per
+        // (term, seg) — re-explode the checkpointed aggregate instead of
+        // recomputing the whole carried DAG a second time
+        val touchedElig = rebuilt.join(eligB, Seq("seg"))
+          .select(col("term"), col("new_seg"), explode(col("plist")).as("p"))
+          .select(col("term"), col("new_seg"),
+            col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
         val moved = untouchedElig.unionByName(touchedElig)
           .groupBy(col("term"), col("new_seg").as("seg"))
           .agg(count(lit(1)).as("n_docs"),
@@ -2009,15 +2055,24 @@ object IndexQueries {
           .unionByName(moved).unionByName(eligPairs).unionByName(remapUpd)
           .unionByName(staleSentinels)
       }
-    val postBatch = graft.core.AuditSeam.report(s"$auditSite/postings",
-      postCore.withColumn("seq", lit(seqNo)))
-      .select(col("term"), col("seg"), col("n_docs"), col("plist"),
-        col("op"), col("seq"))
-      .localCheckpoint()
-    postings.mergeOnce(seqNo, postBatch)
-    docState.mergeOnce(seqNo, ch)
-    if (nElig < trigger) nSegsBefore
-    else nSegsBefore - nElig + (nElig + 7) / 8
+    val postBatch = graft.core.Prof.time(s"$auditSite/postBatch") {
+      graft.core.AuditSeam.report(s"$auditSite/postings",
+        postCore.withColumn("seq", lit(seqNo)))
+        .select(col("term"), col("seg"), col("n_docs"), col("plist"),
+          col("op"), col("seq"))
+        .localCheckpoint()
+    }
+    graft.core.Prof.time(s"$auditSite/mergePostings") {
+      postings.mergeOnce(seqNo, postBatch)
+    }
+    graft.core.Prof.time(s"$auditSite/mergeDocs") {
+      docState.mergeOnce(seqNo, ch)
+    }
+    val nLive = segStats.map(_._2).sum
+    val nSegs =
+      if (nElig < trigger) nSegsBefore
+      else nSegsBefore - nElig + (nElig + 7) / 8
+    (nSegs, nLive)
   }
 
   /** One TTL-exporting decayed-CMS maintenance step: decay every live

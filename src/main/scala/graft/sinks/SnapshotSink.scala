@@ -53,6 +53,15 @@ import org.apache.spark.sql.functions._
   *   discipline), and universal grace measurably taxed the sink-heaviest
   *   maintenance loops (~+21% on ann_cdc_incremental_index at sf0.1, the
   *   r11 judge pair) for a contract nothing used there.
+  *
+  * A version-checked in-memory hot cache over read()/merge was built and
+  * A/B-measured in round 12 (per-path checkpointed full-state frame,
+  * invalidated by manifest version): NEUTRAL on this host at sf0.1 —
+  * the OS page cache already absorbs local parquet re-reads, and the
+  * residual cost is DAG/stage overhead the cache cannot remove. Removed
+  * rather than shipped unmeasurable; on a real cluster the equivalent
+  * lever is executor-side parquet caching (e.g. spark.io.cache), not
+  * sink-layer machinery.
   */
 final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     numBuckets: Int = 16, readGrace: Boolean = false) {
@@ -335,8 +344,10 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
           ChangeLog.lastPerKey(normalized, pkCols, seqCol = "__seq")
         case Some(m) =>
           // touched bucket ids: bounded by numBuckets, driver-safe to collect
-          val touched = normalized.select(col("__bucket")).distinct()
-            .collect().map(_.getInt(0)).sorted
+          val touched = graft.core.Prof.time(s"sink/touched") {
+            normalized.select(col("__bucket")).distinct()
+              .collect().map(_.getInt(0)).sorted
+          }
           if (touched.isEmpty) {
             // nothing to stage — but an id-carrying empty batch still
             // commits its id (a replayed empty delta must stay a no-op);
@@ -356,7 +367,17 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
           ChangeLog.lastPerKey(
             existing.unionByName(normalized), pkCols, seqCol = "__seq")
       }
-      next.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(stagingPath)
+      graft.core.Prof.time(s"sink/write") {
+        // the upstream lastPerKey window leaves rows pk-hash-partitioned,
+        // so a direct partitionBy write sprays every task's rows across
+        // every touched bucket dir — up to tasks×buckets tiny files PER
+        // GENERATION, the classic small-file pathology (it also taxes
+        // every later read's listing/open). Repartitioning on __bucket
+        // first writes one file per bucket per generation — the layout a
+        // 100 TB read wants.
+        next.repartition(numBuckets, col("__bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(stagingPath)
+      }
       // stage each written bucket as generation <newVersion> — never
       // touching the live generation; invisible until the manifest commits
       val written = fs.listStatus(p(stagingPath)).toSeq
@@ -387,7 +408,9 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
       val newBuckets =
         cur.map(_.buckets).getOrElse(Map.empty) ++ staged.map(_ -> newVersion)
       commitManifest(Manifest(newVersion, newBuckets, newApplied))
-      gc(Manifest(newVersion, newBuckets, newApplied))
+      graft.core.Prof.time(s"sink/gc") {
+        gc(Manifest(newVersion, newBuckets, newApplied))
+      }
       true
     }
 }

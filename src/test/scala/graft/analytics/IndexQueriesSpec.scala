@@ -672,7 +672,7 @@ class IndexQueriesSpec extends SparkSpec {
       Seq("term", "seg"))
     val segCounts = (0 to 3).map { b =>
       val ch = IndexQueries.docChangeBatch(spark, sf0001, b)
-      val n = IndexQueries.maintainCompactingBatch(docState, postings, ch,
+      val (n, _) = IndexQueries.maintainCompactingBatch(docState, postings, ch,
         b.toLong, "idx_cdc_compacted_postings_spec")
       // invariance: whatever compaction moved around, the MULTISET of
       // (term, doc_id, tf) postings equals a fresh derivation from the
