@@ -20,7 +20,7 @@ object Catalog {
       CdcQueries.all ++ TrainingQueries.all ++ CorpusOpsQueries.all ++
       PrepQueries.all ++ StreamingQueries.all ++ PipelineE2E.all ++
       IndexQueries.all ++ ScaleOpsQueries.all ++ QualityQueries.all ++
-      CurationQueries.all ++ MiningQueries.all
+      CurationQueries.all ++ MiningQueries.all ++ SuffixQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.spark).toMap
@@ -166,6 +166,36 @@ object Q {
            |  ELSE (__n % $k) + (__r - (__n % $k) * (__n div $k + 1) - 1) div (__n div $k) + 1
            |END AS BIGINT)""".stripMargin))
       .drop("__pid", "__lr", "__off", "__n", "__r")
+  }
+
+  /** Exact global row_number over a total order — `row_number() OVER
+    * (ORDER BY keys)` in its distributed shape (exactNtile's machinery
+    * without the bucket arithmetic): range-repartition on the keys,
+    * rank within partitions with a PARTITIONED window, add per-partition
+    * row-count offsets (the offset table is ≤ shuffle-partitions rows,
+    * config-bounded). The range exchange is localCheckpoint-ed before the
+    * rank and offset paths read it — same sampling-layout rule as
+    * exactNtile (an AQE reuse miss would re-sample boundaries per path).
+    * `keys` must be a total order (no ties), or tie order is undefined;
+    * callers ranking VALUES apply this to the distinct keys and join
+    * back — that composition is exactly `dense_rank()`.
+    */
+  def globalRowNumber(df: DataFrame, keys: Seq[Column], out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = df.repartitionByRange(p, keys: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint()
+    val local = parts.withColumn("__lr",
+      row_number().over(Window.partitionBy(col("__pid")).orderBy(keys: _*)).cast("long"))
+    val offs = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(offs, Seq("__pid"))
+      .withColumn(out, col("__lr") + col("__off"))
+      .drop("__pid", "__lr", "__off")
   }
 
   /** 2-decimal exact cast for money/qty columns. */
