@@ -425,12 +425,15 @@ object IndexQueries {
       def cellS(j: Int, k: String): String =
         s"pmod(CAST(conv(substr(md5(concat(CAST($k AS STRING), '|', '$j')), 1, 8), 16, 10) AS BIGINT), 64)"
       val work = Q.scratch("cmsserve")
+      // both frames feed all four staging writes — materialize the fact
+      // scan once instead of 4x (value-neutral; verify/bench-visible)
       val ev = Tables.lineitem(s, d)
         .filter(col("l_quantity") >= 1 && col("l_quantity") < 41)
         .select(col("l_partkey").as("k"),
           expr("CAST((CAST(l_quantity AS BIGINT) - 1) div 10 AS INT)").as("b"))
+        .localCheckpoint()
       val probes = Tables.lineitem(s, d).filter(col("l_partkey") % 97 === 0)
-        .select(col("l_partkey").as("k")).distinct()
+        .select(col("l_partkey").as("k")).distinct().localCheckpoint()
       (0 to 3).foreach { b =>
         val chg = ev.filter(col("b") === b)
           .select(lit("chg").as("kind"), lit(b.toLong).as("qb"), col("k"))
@@ -549,12 +552,15 @@ object IndexQueries {
       def cellS(j: Int, k: String): String =
         s"pmod(CAST(conv(substr(md5(concat(CAST($k AS STRING), '|', '$j')), 1, 8), 16, 10) AS BIGINT), 64)"
       val work = Q.scratch("cmsdecay")
+      // both frames feed all four staging writes — materialize the fact
+      // scan once instead of 4x (value-neutral; verify/bench-visible)
       val ev = Tables.lineitem(s, d)
         .filter(col("l_quantity") >= 1 && col("l_quantity") < 31)
         .select(col("l_partkey").as("k"),
           expr("CAST((CAST(l_quantity AS BIGINT) - 1) div 10 AS INT)").as("b"))
+        .localCheckpoint()
       val probes = Tables.lineitem(s, d).filter(col("l_partkey") % 97 === 0)
-        .select(col("l_partkey").as("k")).distinct()
+        .select(col("l_partkey").as("k")).distinct().localCheckpoint()
       (0 to 3).foreach { b =>
         // batch 3 is the idle window: no changes, queries only
         val chg = ev.filter(col("b") === b && lit(b < 3))
