@@ -330,10 +330,17 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
           return false
       }
       val dataCols = batch.columns.filterNot(c => c == "op" || c == "seq").toSeq
+      // materialized ONCE: the batch feeds the touched-bucket projection
+      // AND the merge window+write — without this every merge computes
+      // the caller's batch DAG twice (measured ~0.5s/merge on the ANN
+      // maintenance headliner at sf0.1). Also the standard stability
+      // discipline: the staged write below must not re-evaluate a lazy
+      // plan against generations a concurrent GC could reap.
       val normalized = batch.select(
         (dataCols.map(col) :+ col("seq").as("__seq") :+
           (col("op") === ChangeLog.Delete).as("__deleted")): _*)
         .withColumn("__bucket", bucketCol)
+        .localCheckpoint()
       val fs = hfs
       val newVersion = cur.map(_.version + 1).getOrElse(1L)
       val newApplied = batchId.fold(cur.map(_.applied).getOrElse(Nil))(id =>
