@@ -148,20 +148,32 @@ object SuffixQueries {
   }
 
   /** Per-dataset cache of the built artifacts (stream, SA, adjacent-LCP)
-    * — both entries read the same build, the knnGraphCache discipline:
-    * the first entry pays the construction, later ones reuse the
-    * checkpointed frames.
+    * as PARQUET paths, the knnGraphCache discipline: the first entry
+    * pays the construction, later ones read the written index. Paths —
+    * not DataFrames — because cached frames bind to the SparkSession
+    * that built them and die with it (a later reader in the same JVM
+    * under a fresh session would execute a plan whose session is gone);
+    * a path re-reads under WHATEVER session asks. It is also the honest
+    * shape: a suffix array is an offline INDEX artifact, written once
+    * and read by consumers.
     */
   private val saCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def built(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
-    saCache.getOrElseUpdate(d, {
+  private def built(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val dir = saCache.getOrElseUpdate(d, {
+      val work = Q.scratch("sfxidx")
       val stream = tokenStream(s, d).localCheckpoint()
       val (tables, _) = suffixRankTables(stream, "txt_suffix_array_lcp")
-      val lcp = adjacentLcp(tables).localCheckpoint()
-      (stream, tables.last, lcp)
+      val lcp = adjacentLcp(tables)
+      stream.write.parquet(s"$work/stream")
+      tables.last.write.parquet(s"$work/sa")
+      lcp.write.parquet(s"$work/lcp")
+      work
     })
+    (s.read.parquet(s"$dir/stream"), s.read.parquet(s"$dir/sa"),
+      s.read.parquet(s"$dir/lcp"))
+  }
 
   // ---- oracle SQL (generated, shared CTE prefix) ---------------------------
 

@@ -241,7 +241,13 @@ object ScaleStress {
       // r12: spanning-forest cut — the non-tree deletion batch is
       // edge-removal only, so this row must land well below the
       // rebuild-every-batch twin right above it
-      "gph_cdc_forest_cut_components")
+      "gph_cdc_forest_cut_components",
+      // r12: distributed suffix array — ⌈log2 n⌉ doubling rounds of
+      // sort-class shuffles (build cost must grow ~n·log n, rounds
+      // amortizing their fixed overhead); the excision row pays only
+      // the run-grouping CC + per-doc island merges over the COVERED
+      // set (grows with staged duplication, not the corpus)
+      "txt_suffix_array_lcp", "ddp_suffix_repeat_excision")
     // distinct: bench-flagged queries (cdc_jdbc_sink_state) also appear
     // in the explicit write-path list — time each once
     val names =
