@@ -357,6 +357,64 @@ object SuffixQueries {
          |  coalesce(p.n_spans, 0)::BIGINT AS n_spans,
          |  coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
          |  coalesce(p.max_span, 0)::BIGINT AS max_span
-         |FROM doc_tokens d LEFT JOIN per_doc p ON p.doc_id = d.doc_id""".stripMargin))
+         |FROM doc_tokens d LEFT JOIN per_doc p ON p.doc_id = d.doc_id""".stripMargin)),
+
+    // Corpus-level duplication report from the same index — the one-row
+    // summary a data engineer reads before deciding dedup policy: how
+    // much of the corpus sits inside an exact >= L-token repeat
+    // (covered_ppm), how many distinct repeat groups exist (each SA run
+    // of size k contributes k-1 adjacency edges, so runs = covered −
+    // edges — no grouping pass needed), and the longest exact repeat
+    // anywhere. All integer arithmetic over the cached artifacts; at
+    // 100 TB this is three aggregates over the (already-built) index.
+    CatalogQuery("txt_corpus_dup_stats", (s, d) => {
+      val (stream, sa, lcp) = built(s, d)
+      val withEdges = stream.join(sa, Seq("pos"))
+        .join(lcp.select(col("i").as("pos"), col("l").as("ln")), Seq("pos"), "left")
+        .join(lcp.select(col("j").as("pos"), col("l").as("lp")), Seq("pos"), "left")
+        .select(col("pos"), col("r"),
+          coalesce(col("ln"), lit(0L)).as("ln"),
+          coalesce(col("lp"), lit(0L)).as("lp"))
+        .withColumn("mr", greatest(col("ln"), col("lp")))
+      val covered = withEdges.filter(col("mr") >= minLen).localCheckpoint()
+      val nPos = stream.filter(!col("tok").startsWith("\u0001"))
+        .agg(count(lit(1)).as("c"))
+      val nCov = covered.agg(count(lit(1)).as("c"))
+      val nEdges = covered.as("a").join(covered.as("b"),
+          col("b.r") === col("a.r") + 1 && col("a.ln") >= minLen)
+        .agg(count(lit(1)).as("c"))
+      val maxLcp = lcp.agg(coalesce(max(col("l")), lit(0L)).as("c"))
+      nPos.select(col("c").as("n_positions"))
+        .crossJoin(nCov.select(col("c").as("covered_positions")))
+        .crossJoin(nEdges.select(col("c").as("e")))
+        .crossJoin(maxLcp.select(col("c").as("max_repeat_len")))
+        .select(col("n_positions"), col("covered_positions"),
+          (col("covered_positions") - col("e")).as("n_repeat_groups"),
+          col("max_repeat_len"),
+          expr("covered_positions * 1000000 div n_positions").as("covered_ppm"))
+    }, Some(
+      s"""WITH $saCtes,
+         |edged AS MATERIALIZED (
+         |  SELECT s.pos AS pos, r.r AS rnk,
+         |    coalesce(ln.l, 0) AS ln,
+         |    greatest(coalesce(ln.l, 0), coalesce(lp.l, 0)) AS mr
+         |  FROM stream s
+         |  JOIN r$oracleRounds r ON r.pos = s.pos
+         |  LEFT JOIN l0 ln ON ln.i = s.pos
+         |  LEFT JOIN l0 lp ON lp.j = s.pos),
+         |covered AS (SELECT * FROM edged WHERE mr >= $minLen),
+         |agg AS (
+         |  SELECT
+         |    (SELECT count(*) FROM stream
+         |     WHERE NOT starts_with(tok, chr(1)))::BIGINT AS n_positions,
+         |    (SELECT count(*) FROM covered)::BIGINT AS covered_positions,
+         |    (SELECT count(*) FROM covered a JOIN covered b
+         |     ON b.rnk = a.rnk + 1 AND a.ln >= $minLen)::BIGINT AS e,
+         |    (SELECT coalesce(max(l), 0) FROM l0)::BIGINT AS max_repeat_len)
+         |SELECT n_positions, covered_positions,
+         |  (covered_positions - e)::BIGINT AS n_repeat_groups,
+         |  max_repeat_len,
+         |  (covered_positions * 1000000 // n_positions)::BIGINT AS covered_ppm
+         |FROM agg""".stripMargin))
   )
 }

@@ -92,6 +92,19 @@ class SuffixQueriesSpec extends SparkSpec {
     }
   }
 
+  test("corpus dup stats are consistent with the per-doc excision report") {
+    val s = Catalog.queries("txt_corpus_dup_stats")(spark, sf0001).head()
+    val (nPos, cov, groups, maxRep, ppm) =
+      (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4))
+    assert(cov <= nPos && cov > 0, s"covered $cov out of range of $nPos")
+    assert(groups >= 1, "the planted paragraph alone forms a repeat group")
+    assert(maxRep >= 10L, s"planted 10-token repeat bounds max_repeat_len, got $maxRep")
+    assert(ppm == cov * 1000000L / nPos, "ppm must be the integer ratio")
+    val perDoc = Catalog.queries("ddp_suffix_repeat_excision")(spark, sf0001)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(perDoc == nPos, s"token universe mismatch: $perDoc vs $nPos")
+  }
+
   test("globalRowNumber equals a single-partition row_number over the same order") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
