@@ -33,11 +33,25 @@ class SuffixQueriesSpec extends SparkSpec {
     val stream = bruteStream()
     val toks = stream.map(_._3)
     val n = toks.size
+    // token order must be UTF-8 BINARY (what Spark and DuckDB both sort
+    // by) — String.compareTo is UTF-16 code-unit order, which diverges on
+    // supplementary-plane characters, so compare encoded bytes
+    def tokCmp(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
     // suffix order by direct token-sequence comparison (prefix < extension)
     def cmp(a: Int, b: Int): Boolean = {
       var i = a; var j = b
       while (i < n && j < n) {
-        val c = toks(i).compareTo(toks(j))
+        val c = tokCmp(toks(i), toks(j))
         if (c != 0) return c < 0
         i += 1; j += 1
       }
@@ -89,6 +103,29 @@ class SuffixQueriesSpec extends SparkSpec {
       assert(dup <= nTok, s"doc $id dup $dup > tokens $nTok")
       assert(maxSpan <= dup, s"doc $id maxSpan $maxSpan > dup $dup")
       assert((nSpans == 0) == (dup == 0), s"doc $id spans/dup inconsistent")
+    }
+  }
+
+  test("applied excision: the planted paragraph survives in exactly the minimum-position doc") {
+    val phrase = (0 to 9).map(i => s"xrep$i").mkString(" ")
+    val rows = Catalog.queries("ddp_suffix_excise_apply")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val report = Catalog.queries("ddp_suffix_repeat_excision")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val planted = rows.map(_._1).filter(_ % 28 == 0).sorted
+    assert(planted.size >= 3, s"need several planted docs, got ${planted.toSeq}")
+    val carriers = rows.collect { case (id, _, t) if t.contains(phrase) => id }
+    // keep-first: the doc at the minimum corpus position (min doc_id of
+    // the planted set) keeps the paragraph; every other planted doc had
+    // it excised from the rendered text
+    assert(carriers.toSet == Set(planted.min),
+      s"planted phrase must survive only in doc ${planted.min}, got ${carriers.toSeq}")
+    // conservation against the report: n_kept = n_tokens − dup_tokens
+    rows.foreach { case (id, kept, text) =>
+      val (nTok, dup) = report(id)
+      assert(kept == nTok - dup, s"doc $id kept $kept != $nTok - $dup")
+      val rendered = if (text.isEmpty) 0 else text.split(" ", -1).length
+      assert(rendered.toLong == kept, s"doc $id rendered $rendered != kept $kept")
     }
   }
 
