@@ -314,17 +314,29 @@ object MiningQueries {
     * deletes can never strand a vertex. 100 TB: most deletes in a dense
     * graph are non-tree → FREE (the measured r11 worst case paid the
     * affected component on every deletion batch); forest state is V-sized
-    * in a pk-bucketed sink; the rebuild, when a certificate edge actually
-    * dies, stays scoped to the affected components.
+    * in a u-bucketed sink but the certificate PROBE is bucket-pruned to
+    * the deletion batch's own buckets (readBuckets), so the fast path
+    * reads ∝ batch, never ∝ V; the rebuild, when a certificate edge
+    * actually dies, stays scoped to the affected components with every
+    * state read (labels, postings, edges, forest) bucket-pruned to that
+    * scope.
     */
   private[graft] final class ForestCutCC(
       s: org.apache.spark.sql.SparkSession, work: String,
       cutEnabled: Boolean = true) {
     import s.implicits._
+    // Prefix bucketing makes every maintenance read a POINT read:
+    // edges/forest bucket on u (probe "edges of this vertex set"),
+    // postings on lbl (probe "vertices of this component set"). The
+    // deletion fast path then costs ∝ batch — a batch-sized probe of the
+    // certificate — not a V-/E-sized scan per batch (r12 verdict #3).
     val labels = new graft.sinks.SnapshotSink(s, s"$work/lbl", Seq("vtx"))
-    val postings = new graft.sinks.SnapshotSink(s, s"$work/post", Seq("lbl", "vtx"))
-    val edgeSink = new graft.sinks.SnapshotSink(s, s"$work/edges", Seq("u", "v"))
-    val forest = new graft.sinks.SnapshotSink(s, s"$work/forest", Seq("u", "v"))
+    val postings = new graft.sinks.SnapshotSink(s, s"$work/post", Seq("lbl", "vtx"),
+      bucketBy = Seq("lbl"))
+    val edgeSink = new graft.sinks.SnapshotSink(s, s"$work/edges", Seq("u", "v"),
+      bucketBy = Seq("u"))
+    val forest = new graft.sinks.SnapshotSink(s, s"$work/forest", Seq("u", "v"),
+      bucketBy = Seq("u"))
     var nSkipped = 0L
     var nRebuilds = 0L
 
@@ -349,7 +361,11 @@ object MiningQueries {
       val delta = delta0.localCheckpoint()
       edgeSink.merge(delta
         .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(b)))
-      val lab = labels.read().select(col("vtx"), col("lbl"))
+      // labels of the delta's endpoints only — a batch-sized point read
+      val dv = delta.select(explode(array(col("u"), col("v"))).as("vtx"))
+        .distinct().localCheckpoint()
+      val lab = labels.readBuckets(dv).join(dv, Seq("vtx"), "left_semi")
+        .select(col("vtx"), col("lbl"))
       // one representative (min) edge per distinct crossing label pair —
       // the tree-edge candidates; which of them BECOME tree edges is the
       // driver union-find's merge record
@@ -370,10 +386,12 @@ object MiningQueries {
         .map(r => ((r.getLong(0), r.getLong(1)),
           (r.getStruct(2).getLong(0), r.getStruct(2).getLong(1)))).toSeq
       val (mapping, treeEdges) = mergeGroupsMarked(pairRows)
-      val newV = delta.select(explode(array(col("u"), col("v"))).as("vtx"))
-        .distinct().join(lab, Seq("vtx"), "left_anti")
+      val newV = dv.join(lab, Seq("vtx"), "left_anti")
       val mdf = broadcast(mapping.toSeq.toDF("old_lbl", "new_lbl"))
-      val moved = postings.read().select(col("lbl"), col("vtx"))
+      // postings of the merging labels only (bucketed on lbl): the moved
+      // set is ∝ the merging components, read via their buckets
+      val moved = postings.readBuckets(mapping.keys.toSeq.toDF("lbl"))
+        .select(col("lbl"), col("vtx"))
         .join(mdf, col("lbl") === col("old_lbl")).localCheckpoint()
       val newRows = newV
         .join(mdf, col("vtx") === col("old_lbl"), "left")
@@ -399,7 +417,11 @@ object MiningQueries {
       */
     def delete(b: Long, dels0: DataFrame): Boolean = {
       val dels = dels0.localCheckpoint()
-      val fNow = forest.read().select(col("u"), col("v"))
+      // certificate probe ∝ batch: only the deleted edges' u-buckets of
+      // the forest are read (the sink buckets on u for exactly this) —
+      // the fast path never scans V-sized certificate state
+      val fNow = forest.readBuckets(dels.select(col("u")))
+        .select(col("u"), col("v"))
       // cutEnabled=false treats EVERY delete as a certificate hit — the
       // rebuild-every-batch twin on identical inputs (the ScaleStress
       // forestcut block measures the pair)
@@ -415,14 +437,21 @@ object MiningQueries {
         false
       } else {
         nRebuilds += 1
-        val lab = labels.read().select(col("vtx"), col("lbl"))
-        val affected = treeDel.select(explode(array(col("u"), col("v"))).as("vtx"))
-          .distinct().join(lab, Seq("vtx"))
+        // the rebuild is scoped to the AFFECTED components; every state
+        // read below is bucket-pruned to that scope (endpoints → labels,
+        // labels → postings, scope vertices → edges/forest) — the
+        // rebuild's reads are ∝ affected components, not V/E
+        val endp = treeDel.select(explode(array(col("u"), col("v"))).as("vtx"))
+          .distinct().localCheckpoint()
+        val lab = labels.readBuckets(endp).select(col("vtx"), col("lbl"))
+        val affected = endp.join(lab, Seq("vtx"))
           .select(col("lbl")).distinct().localCheckpoint()
-        val scopeV = postings.read().join(broadcast(affected), Seq("lbl"))
+        val scopeV = postings.readBuckets(affected)
+          .join(broadcast(affected), Seq("lbl"))
           .select(col("vtx"), col("lbl").as("old_lbl")).localCheckpoint()
-        val scopedE = edgeSink.read() // post-delete live edges
-          .join(scopeV.select(col("vtx").as("u")), Seq("u"))
+        val scopeU = scopeV.select(col("vtx").as("u")).localCheckpoint()
+        val scopedE = edgeSink.readBuckets(scopeU) // post-delete live edges
+          .join(scopeU, Seq("u"), "left_semi")
           .select(col("u"), col("v"))
         // one loop: post-delete labels AND the re-derived scoped forest
         val (rebuiltRaw, newFRaw) = hookForest(scopedE)
@@ -444,7 +473,7 @@ object MiningQueries {
         // scope (components are closed, a tree edge's endpoints share one);
         // only CHANGED rows rewrite so batch pks stay disjoint
         val newF = newFRaw.localCheckpoint()
-        val oldF = fNow.join(scopeV.select(col("vtx").as("u")), Seq("u"), "left_semi")
+        val oldF = forest.readBuckets(scopeU).join(scopeU, Seq("u"), "left_semi")
           .select(col("u"), col("v")).localCheckpoint()
         forest.merge(oldF.join(newF, Seq("u", "v"), "left_anti")
           .withColumn("op", lit(graft.core.ChangeLog.Delete))
@@ -968,8 +997,9 @@ object MiningQueries {
     // min-label over surviving edges; isolated vertices self-labeled) —
     // post-cut correctness is hash-gated, not asserted. 100 TB: dense
     // graphs are mostly non-tree edges, so most deletion batches take the
-    // free path; the certificate costs V-sized state and one semi-join
-    // per deletion batch.
+    // free path; the certificate costs V-sized STATE but each deletion
+    // batch probes only its own u-buckets of it (readBuckets), so the
+    // fast path's read is batch-sized.
     CatalogQuery("gph_cdc_forest_cut_components", (s, d) => {
       val work = Q.scratch("ccforest")
       val m = new ForestCutCC(s, work)
@@ -983,7 +1013,8 @@ object MiningQueries {
       m.init(cpairs(45))
       m.insert(1L, cpairs(43).join(cpairs(45), Seq("u", "v"), "left_anti"))
       val cand = cpairs(43).filter(expr("(u * 31 + v) % 3 = 0")).localCheckpoint()
-      val fAtDelete = m.forest.read().select(col("u"), col("v"))
+      val fAtDelete = m.forest.readBuckets(cand.select(col("u")))
+        .select(col("u"), col("v"))
       val nonTree = cand.join(fAtDelete, Seq("u", "v"), "left_anti").localCheckpoint()
       val treeDels = cand.join(fAtDelete, Seq("u", "v"), "left_semi").localCheckpoint()
       require(nonTree.count() > 0 && treeDels.count() > 0,

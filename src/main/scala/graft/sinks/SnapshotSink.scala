@@ -63,8 +63,20 @@ import org.apache.spark.sql.functions._
   * lever is executor-side parquet caching (e.g. spark.io.cache), not
   * sink-layer machinery.
   */
+/** @param bucketBy columns the bucket hash is computed from; default =
+  *   the full pk. Passing a PREFIX of the row's identity (e.g. `u` for an
+  *   edge sink keyed (u, v)) makes [[readBuckets]] answer prefix point
+  *   reads — "every edge whose u is in this vertex set" prunes to the
+  *   vertex set's buckets instead of scanning the sink — at the cost of
+  *   coarser write locality (a batch touching few distinct prefixes
+  *   rewrites few buckets either way). Row identity, LWW, and tombstones
+  *   stay on the full pk.
+  */
 final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
-    numBuckets: Int = 16, readGrace: Boolean = false) {
+    numBuckets: Int = 16, readGrace: Boolean = false,
+    bucketBy: Seq[String] = Nil) {
+
+  private val bucketCols: Seq[String] = if (bucketBy.isEmpty) pkCols else bucketBy
 
   private val dataPath = path + "/data"
   private val manifestPath = path + "/manifest"
@@ -108,7 +120,7 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     */
   def exists: Boolean = currentManifest().isDefined
 
-  private def bucketCol = pmod(xxhash64(pkCols.map(col): _*), lit(numBuckets)).cast("int")
+  private def bucketCol = pmod(xxhash64(bucketCols.map(col): _*), lit(numBuckets)).cast("int")
 
   // ---- manifest ----------------------------------------------------------
 
@@ -188,11 +200,12 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
   def read(): DataFrame =
     readInternal().filter(!col("__deleted")).drop("__seq", "__deleted", "__bucket")
 
-  /** Live state restricted to the pk-hash buckets `keys` can live in —
-    * the bucket-pruned POINT-READ path: only bucket directories whose id
-    * appears among the keys' hashes are listed and read, so a
+  /** Live state restricted to the bucket-hash buckets `keys` can live in
+    * — the bucket-pruned POINT-READ path: only bucket directories whose
+    * id appears among the keys' hashes are listed and read, so a
     * frontier/probe-sized key set reads O(|keys|) buckets, not the whole
-    * sink. The bucket-id projection of `keys` is a ≤ numBuckets-row
+    * sink. `keys` must carry the sink's `bucketBy` columns (default: the
+    * full pk). The bucket-id projection of `keys` is a ≤ numBuckets-row
     * driver collect (same bound as merge's touched-bucket list). Callers
     * still equi-/semi-join the exact keys — this prunes I/O, it does not
     * filter rows. Same one-merge read grace as read().
@@ -201,7 +214,7 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     recover()
     val m = currentManifest().getOrElse(sys.error(s"snapshot at $path does not exist"))
     val wanted = keys
-      .select(pmod(xxhash64(pkCols.map(col): _*), lit(numBuckets)).cast("int").as("__b"))
+      .select(pmod(xxhash64(bucketCols.map(col): _*), lit(numBuckets)).cast("int").as("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val dirs = m.buckets.toSeq.sortBy(_._1)
       .filter { case (b, _) => wanted(b) }
