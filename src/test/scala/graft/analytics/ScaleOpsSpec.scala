@@ -891,6 +891,34 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("delta-maintained reverse adjacency equals the from-scratch reverse of the final graph") {
+    // The rev sink is maintained per batch by the touched-endpoint delta
+    // rule (never rebuilt from a graph flatten); equality with the
+    // reverse adjacency DERIVED from the final forward graph pins every
+    // row — including bystanders: a vertex that never changed its own
+    // vector must still see its reverse list updated when a neighbor's
+    // rewritten list starts or stops naming it.
+    val sf = sf0001
+    val (g, _) = ScaleOpsQueries.annMaintainedKnnGraph(spark, sf)
+    val rev = ScaleOpsQueries.annMaintainedRevIndex(spark, sf)
+    val fwd = g.read().collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val gotRev = rev.read().collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val expRev: Map[Long, Vector[Long]] = fwd.toSeq
+      .flatMap { case (w, vs) => vs.map(v => v -> w) }
+      .groupBy(_._1).map { case (a, xs) => a -> xs.map(_._2).distinct.sorted.toVector }
+    expRev.foreach { case (a, exp) =>
+      assert(gotRev.getOrElse(a, Vector()) == exp, s"rev($a) diverged") }
+    gotRev.foreach { case (a, got) =>
+      if (got.nonEmpty) assert(expRev.get(a).contains(got), s"stale rev($a)") }
+    // the delta rule must have produced updates for vertices that never
+    // themselves changed (the bystander signal: reverse edges exist for
+    // inserted vectors' neighbors, which only batch >= 1 could write)
+    assert(expRev.keys.exists(_ > 1000000L) || gotRev.keys.exists(_ > 1000000L),
+      "inserted vectors must appear in someone's reverse list eventually")
+  }
+
   test("NN-Descent graph equals a driver replay; recall improves monotonically") {
     val sf = sf0001
     val got = Catalog.queries("ann_nn_descent_graph")(spark, sf).collect()
