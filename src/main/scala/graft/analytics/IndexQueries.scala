@@ -1623,14 +1623,13 @@ object IndexQueries {
     // eligibility → rank-packed merge targets) and the final postings.
     CatalogQuery("idx_cdc_compacted_postings", (s, d) => {
       val work = Q.scratch("cmpidx")
-      val docState = new graft.sinks.SnapshotSink(s, s"$work/docs", Seq("doc_id"))
-      val postings = new graft.sinks.SnapshotSink(s, s"$work/postings",
+      val postings = new graft.sinks.SnapshotSink(s, s"$work/idx",
         Seq("term", "seg"))
       var maxSegs = 0L
       var excess = 0L
       (0 to 3).foreach { b =>
         val (n, live) = graft.core.Prof.time(s"cmpidx/batch$b") {
-          maintainCompactingBatch(docState, postings,
+          maintainCompactingBatch(postings,
             docChangeBatch(s, d, b), b.toLong, "idx_cdc_compacted_postings")
         }
         maxSegs = math.max(maxSegs, n)
@@ -1886,7 +1885,17 @@ object IndexQueries {
     * remap table (segment-count-sized) is stored IN the postings sink as
     * sentinel rows with negative seg keys (term "@segmap", seg
     * −orig−1, n_docs = current seg) — one sink, one manifest rename,
-    * postings + remap atomically consistent by construction. 100 TB: the
+    * postings + remap atomically consistent by construction. DOC STATE
+    * lives in the SAME sink under a second reserved key space (term
+    * "@doc", seg = −doc_id−1, n_docs = n_tok, text in the `text`
+    * payload column that posting rows carry as null), so each batch is
+    * ONE mergeOnce — postings, remap, AND doc images commit under a
+    * single manifest rename, and the former two-commit crash-ordering
+    * argument (postings first, doc-state second) is gone because the
+    * window no longer exists (r12 verdict #4). Reserved keys cannot
+    * collide with corpus terms: a literal token "@doc"/"@segmap" births
+    * posting rows at seg >= 0, while every sentinel/doc row has seg < 0.
+    * 100 TB: the
     * remap is O(segments) and broadcast; stats are one column-pruned
     * group-by of doc ids (production keeps per-segment metadata — this IS
     * that metadata, recomputed because the harness corpus is small); the
@@ -1894,23 +1903,36 @@ object IndexQueries {
     * docs by definition. Returns (post-batch segment count, post-batch
     * live-doc count) — both already materialized in the checkpointed
     * segLive, so the caller's accretion gate costs no extra state read.
+    *
+    * PRECONDITION: `ch` carries AT MOST ONE op per doc_id (a per-key
+    * last-image change batch, which is what [[docChangeBatch]] and every
+    * CDC scheduler upstream emit — gravity's per-key latch guarantees
+    * it). The liveAfter/segStats derivation counts ch's non-delete rows
+    * as live; a multi-op batch (update then delete of one key) would
+    * double-count or count a dead doc and skew the accretion gate.
+    * Callers with raw multi-op logs must collapse first
+    * (ChangeLog.lastPerKey) — not done here because same-seq multi-op
+    * rows have no defined order to collapse BY.
     */
   private[analytics] def maintainCompactingBatch(
-      docState: graft.sinks.SnapshotSink, postings: graft.sinks.SnapshotSink,
+      index: graft.sinks.SnapshotSink,
       ch0: org.apache.spark.sql.DataFrame, seqNo: Long, auditSite: String,
       segDiv: Long = 100L, thrLive: Long = 40L, trigger: Long = 6L)
       : (Long, Long) = {
     val s = ch0.sparkSession
     import s.implicits._
     // the change batch feeds new entries, the touched-key set, the
-    // live-doc recount AND the doc-state merge — materialize it once
+    // live-doc recount AND the doc-image rows — materialize it once
     val ch = graft.core.Prof.time(s"$auditSite/chkptCh") { ch0.localCheckpoint() }
     val state =
-      if (postings.exists) Some(postings.read())
+      if (index.exists) Some(index.read())
       else None
-    val remap = state.map(_.filter(col("seg") < 0)
+    val remap = state.map(_.filter(col("term") === "@segmap" && col("seg") < 0)
         .select((-col("seg") - 1).as("orig"), col("n_docs").as("cur")))
       .getOrElse(Seq.empty[(Long, Long)].toDF("orig", "cur"))
+    val docView = state.map(_.filter(col("term") === "@doc" && col("seg") < 0)
+      .select((-col("seg") - 1).as("doc_id"), col("text"),
+        col("n_docs").as("n_tok")))
     val dataState = state.map(_.filter(col("seg") >= 0))
     def remapSeg(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       df.withColumnRenamed("seg", "orig")
@@ -1937,11 +1959,11 @@ object IndexQueries {
     // data (measured at sf0.1: ~9 eager actions/batch dominated the
     // wall). Batch-/vocabulary-sized, never corpus-sized.
     val touchedState = graft.core.Prof.time(s"$auditSite/chkptTouchedState") {
-      val touched0 = dataState match {
+      val touched0 = docView match {
         case None => newEntries.select("term", "seg").distinct()
-        case Some(_) =>
+        case Some(dv) =>
           val oldEntries = remapSeg(
-            docEntries(docState.read().join(keys, Seq("doc_id")), segDiv))
+            docEntries(dv.join(keys, Seq("doc_id")), segDiv))
           newEntries.select("term", "seg")
             .unionByName(oldEntries.select("term", "seg")).distinct()
       }
@@ -1968,10 +1990,9 @@ object IndexQueries {
         lit(null).cast("array<struct<doc_id:bigint,tf:bigint>>").as("plist"),
         lit(graft.core.ChangeLog.Delete).as("op"))
     // post-batch live docs per CURRENT segment — the merge-policy input
-    val liveAfter = (if (docState.exists)
-        docState.read().select(col("doc_id"))
-          .join(keys, Seq("doc_id"), "left_anti")
-      else Seq.empty[Long].toDF("doc_id"))
+    val liveAfter = docView
+      .map(_.select(col("doc_id")).join(keys, Seq("doc_id"), "left_anti"))
+      .getOrElse(Seq.empty[Long].toDF("doc_id"))
       .unionByName(ch.filter(col("op") =!= graft.core.ChangeLog.Delete)
         .select(col("doc_id")))
     val liveOrigs = liveAfter
@@ -2061,18 +2082,23 @@ object IndexQueries {
           .unionByName(moved).unionByName(eligPairs).unionByName(remapUpd)
           .unionByName(staleSentinels)
       }
+    // doc images under the reserved "@doc" key space — same batch, same
+    // commit as the postings/remap rows (delete rows carry nulls)
+    val docRows = ch.select(lit("@doc").as("term"), (-col("doc_id") - 1).as("seg"),
+      col("n_tok").as("n_docs"),
+      lit(null).cast("array<struct<doc_id:bigint,tf:bigint>>").as("plist"),
+      col("text"), col("op"))
     val postBatch = graft.core.Prof.time(s"$auditSite/postBatch") {
       graft.core.AuditSeam.report(s"$auditSite/postings",
-        postCore.withColumn("seq", lit(seqNo)))
+        postCore.withColumn("text", lit(null).cast("string"))
+          .unionByName(docRows)
+          .withColumn("seq", lit(seqNo)))
         .select(col("term"), col("seg"), col("n_docs"), col("plist"),
-          col("op"), col("seq"))
+          col("text"), col("op"), col("seq"))
         .localCheckpoint()
     }
-    graft.core.Prof.time(s"$auditSite/mergePostings") {
-      postings.mergeOnce(seqNo, postBatch)
-    }
-    graft.core.Prof.time(s"$auditSite/mergeDocs") {
-      docState.mergeOnce(seqNo, ch)
+    graft.core.Prof.time(s"$auditSite/merge") {
+      index.mergeOnce(seqNo, postBatch)
     }
     val nLive = segStats.map(_._2).sum
     val nSegs =

@@ -667,24 +667,27 @@ class IndexQueriesSpec extends SparkSpec {
   test("compacting maintenance: per-batch postings multiset invariance; segment count stays bounded") {
     import org.apache.spark.sql.functions.{col, explode}
     val work = graft.analytics.Q.scratch("cmpidxspec")
-    val docState = new graft.sinks.SnapshotSink(spark, s"$work/docs", Seq("doc_id"))
-    val postings = new graft.sinks.SnapshotSink(spark, s"$work/postings",
+    val postings = new graft.sinks.SnapshotSink(spark, s"$work/idx",
       Seq("term", "seg"))
     val segCounts = (0 to 3).map { b =>
       val ch = IndexQueries.docChangeBatch(spark, sf0001, b)
-      val (n, _) = IndexQueries.maintainCompactingBatch(docState, postings, ch,
+      val (n, _) = IndexQueries.maintainCompactingBatch(postings, ch,
         b.toLong, "idx_cdc_compacted_postings_spec")
       // invariance: whatever compaction moved around, the MULTISET of
       // (term, doc_id, tf) postings equals a fresh derivation from the
-      // live doc state — compaction changes layout, never content
+      // live doc state — compaction changes layout, never content (the
+      // doc state now lives IN the same sink under the "@doc" key space,
+      // committed by the SAME manifest rename as the postings)
       val stored = postings.read().filter(col("seg") >= 0)
         .select(col("term"), explode(col("plist")).as("p"))
         .select(col("term"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .groupBy(identity).map { case (k, v) => k -> v.length }
-      val fresh = docState.read()
-        .select(col("doc_id"), explode(org.apache.spark.sql.functions
-          .split(col("text"), " ")).as("term"))
+      val fresh = postings.read()
+        .filter(col("term") === "@doc" && col("seg") < 0)
+        .select((-col("seg") - 1).as("doc_id"),
+          explode(org.apache.spark.sql.functions
+            .split(col("text"), " ")).as("term"))
         .collect().map(r => (r.getLong(0), r.getString(1)))
         .groupBy(identity).map { case ((doc, term), v) => (term, doc, v.length.toLong) }
         .toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
@@ -705,8 +708,7 @@ class IndexQueriesSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col, explode, lit, when, size, split}
     import spark.implicits._
     val work = graft.analytics.Q.scratch("cmpremapspec")
-    val docState = new graft.sinks.SnapshotSink(spark, s"$work/docs", Seq("doc_id"))
-    val postings = new graft.sinks.SnapshotSink(spark, s"$work/postings",
+    val postings = new graft.sinks.SnapshotSink(spark, s"$work/idx",
       Seq("term", "seg"))
     def ch(rows: Seq[(Long, String, String)], seq: Long) =
       rows.toDF("doc_id", "text", "op").withColumn("seq", lit(seq))
@@ -718,9 +720,9 @@ class IndexQueriesSpec extends SparkSpec {
     // trigger (6) fires immediately; every orig remaps to one merged seg
     val b0 = for { o <- 0L to 7L; i <- 0L until 10L }
       yield (o * 100 + i, s"tok${o}_$i common", I)
-    IndexQueries.maintainCompactingBatch(docState, postings, ch(b0, 0L), 0L,
+    IndexQueries.maintainCompactingBatch(postings, ch(b0, 0L), 0L,
       "remapspec")
-    val sent0 = postings.read().filter(col("seg") < 0)
+    val sent0 = postings.read().filter(col("term") === "@segmap" && col("seg") < 0)
       .select((-col("seg") - 1).as("orig"), col("n_docs").as("cur"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sent0.keySet == (0L to 7L).toSet, s"all 8 origins must remap: $sent0")
@@ -729,16 +731,16 @@ class IndexQueriesSpec extends SparkSpec {
     // in the same commit (the oracle's remap is live-doc-derived; an
     // emptied orig has no entry there)
     val b1 = (0L until 10L).map(i => (300L + i, null: String, D))
-    IndexQueries.maintainCompactingBatch(docState, postings, ch(b1, 1L), 1L,
+    IndexQueries.maintainCompactingBatch(postings, ch(b1, 1L), 1L,
       "remapspec")
-    val sent1 = postings.read().filter(col("seg") < 0)
+    val sent1 = postings.read().filter(col("term") === "@segmap" && col("seg") < 0)
       .select((-col("seg") - 1).as("orig")).collect().map(_.getLong(0)).toSet
     assert(sent1 == (0L to 7L).toSet - 3L,
       s"emptied orig 3 must lose its sentinel, others keep theirs: $sent1")
     // batch 2: orig 3 refills — the new docs are born at seg 3 (fresh
     // identity), NOT at the retired merge target the stale sentinel named
     val b2 = (0L until 6L).map(i => (300L + i, s"fresh_$i common", I))
-    IndexQueries.maintainCompactingBatch(docState, postings, ch(b2, 2L), 2L,
+    IndexQueries.maintainCompactingBatch(postings, ch(b2, 2L), 2L,
       "remapspec")
     val segsOfRefill = postings.read().filter(col("seg") >= 0)
       .select(col("seg"), explode(col("plist")).as("p"))
