@@ -1420,6 +1420,40 @@ object ScaleOpsQueries {
          |  FROM scored) t
          |WHERE rank <= 3""".stripMargin), bench = true),
 
+    // ---- retired-centroid archive of the auto-split index -----------------
+    // Split parents leave the centroid serving sink in the retiring
+    // commit (retention predicate inside the merge — no tombstone-only
+    // accumulation of dead serving keys), archived per batch before the
+    // rename (the cmsTtlBatch/cepTtlBatch export discipline applied to
+    // the third forever-growing sink the r12 verdict named). One row per
+    // retirement: the batch, the cell id, the centroid's weighted
+    // checksum. The oracle re-derives every batch's over-cap set AND the
+    // pre-split centroid table from scratch, so the archive is
+    // hash-gated against the replay — archived + live centroids exactly
+    // partition the centroid history.
+    CatalogQuery("ann_autosplit_retired_cells", (s, d) => {
+      annAutosplitIndex(s, d)
+      val work = autosplitCache(d)
+      (0 to 3).map(b => s.read.parquet(s"$work/retired/b$b"))
+        .reduce(_ unionByName _)
+        .select(col("xbatch"), col("cell"),
+          expr("""aggregate(sequence(1, 64), CAST(0 AS BIGINT),
+            | (acc, k) -> acc + k * element_at(cv, k))""".stripMargin).as("cchk"))
+    }, Some(
+      s"""WITH $annAutosplitDuck,
+         |ret AS (
+         |  SELECT CAST(0 AS BIGINT) AS xbatch, c.cell, c.cv
+         |  FROM ct_init c JOIN ov0 USING (cell)
+         |  UNION ALL SELECT CAST(1 AS BIGINT), c.cell, c.cv
+         |  FROM ct0 c JOIN ov1 USING (cell)
+         |  UNION ALL SELECT CAST(2 AS BIGINT), c.cell, c.cv
+         |  FROM ct1 c JOIN ov2 USING (cell)
+         |  UNION ALL SELECT CAST(3 AS BIGINT), c.cell, c.cv
+         |  FROM ct2 c JOIN ov3 USING (cell))
+         |SELECT xbatch, cell,
+         |  CAST(list_sum(list_transform(range(1, 65), k -> k * cv[k])) AS BIGINT) AS cchk
+         |FROM ret""".stripMargin)),
+
     // ---- NN-Descent k-NN graph construction ------------------------------
     // The graph-based ANN family's batch form (NN-Descent, Dong et al.
     // WWW'11 — the construction step EFANNA/NSG/HNSW-style indexes build
@@ -2372,6 +2406,19 @@ object ScaleOpsQueries {
       val cap = annSplitCapFor(live.count())
       val over = live.groupBy(col("cell")).agg(count(lit(1)).as("n"))
         .filter(col("n") > cap).select(col("cell")).localCheckpoint()
+      // retired-centroid archive (the TTL-export discipline): the split
+      // parents' centroid images leave the serving sink in the SAME
+      // merge that retires them (the Delete rows below — retention
+      // predicate inside the commit), and are archived to the per-batch
+      // export dir BEFORE that commit, cmsTtlBatch's order (the
+      // applied-id-gated streaming twin is cepTtlBatch; this builder is
+      // a one-shot harness behind the path cache). Written every batch,
+      // empty when nothing split, so the archive reader needs no
+      // existence probes.
+      val retired = cellSink.read().join(broadcast(over), Seq("cell"))
+        .select(col("cell"), col("cv")).withColumn("xbatch", lit(b))
+        .localCheckpoint()
+      retired.coalesce(1).write.mode("overwrite").parquet(s"$work/retired/b$b")
       if (over.count() > 0) {
         val members = live.join(broadcast(over), Seq("cell")).localCheckpoint()
         val s0 = members.groupBy(col("cell")).agg(min(col("vec_id")).as("s0id"))

@@ -51,6 +51,128 @@ object StreamingQueries {
     s.read.parquet(s"$work/out")
   }
 
+  /** Stage the event stream as 4 exact-global-quartile parquet files
+    * under `$work/in` (mtime-ordered, so maxFilesPerTrigger=1 replays
+    * them as batches 0..3) — the shared file queue of the CEP serving
+    * entries. Quartiles are EXACT ranks (Q.exactNtile, no
+    * single-partition sort), and the ranked frame is materialized once
+    * because exactNtile's range exchange samples per action.
+    */
+  private def stageEventQuartiles(s: SparkSession, d: String, work: String): Unit = {
+    val ev = graft.core.Tables.events(s, d).select(col("user_id"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+      col("event_id"), substring(col("event_type"), 1, 1).as("ini"))
+    val ranked = Q.exactNtile(ev,
+      Seq(col("us"), col("event_id"), col("user_id")), 4, "b")
+      .localCheckpoint()
+    (0 to 3).foreach { b =>
+      val part = ranked.filter(col("b") === (b + 1))
+        .select(col("user_id"), col("us"), col("event_id"), col("ini"))
+      val stageDir = s"$work/stage$b"
+      part.coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val src = new java.io.File(stageDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val inDir = java.nio.file.Paths.get(s"$work/in")
+      java.nio.file.Files.createDirectories(inDir)
+      val dest = inDir.resolve(f"b$b%02d.parquet")
+      java.nio.file.Files.move(src.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
+    }
+  }
+
+  /** One CEP session fold (the evt_stream_sessionized_cep batch body up
+    * to the merge): carried open sessions enter as pseudo-events, the
+    * 10-minute gap cut re-runs over pseudo ∪ batch, every session but
+    * the user's last closes with qbatch = id, the last stays open under
+    * the 99 sentinel. Returns the checkpointed upsert rows
+    * (user_id, session_start, last_us, trace, qbatch, op, seq).
+    */
+  private def cepFoldUpd(s: SparkSession, sink: graft.sinks.SnapshotSink,
+      batch: DataFrame, id: Long): DataFrame = {
+    import s.implicits._
+    val cur =
+      if (sink.exists)
+        sink.read().filter(col("qbatch") === 99L)
+          .select(col("user_id"), col("session_start"), col("last_us"), col("trace"))
+      else Seq.empty[(Long, Long, Long, String)]
+        .toDF("user_id", "session_start", "last_us", "trace")
+    val pseudo = cur
+      .join(batch.select(col("user_id")).distinct(), Seq("user_id"))
+      .select(col("user_id"), col("last_us").as("us"),
+        lit(-1L).as("event_id"), col("trace").as("piece"),
+        col("session_start").as("start0"))
+    val evs = batch.select(col("user_id"), col("us"), col("event_id"),
+      col("ini").as("piece"), col("us").as("start0"))
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val flagged = pseudo.unionByName(evs)
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(wU).isNull ||
+          col("us") - lag(col("us"), 1).over(wU) > lit(600000000L),
+          lit(1)).otherwise(lit(0)))
+      .withColumn("sid", sum(col("new_sess"))
+        .over(wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = flagged.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("start0")).as("session_start"),
+        max(col("us")).as("last_us"),
+        concat_ws("", expr(
+          "transform(sort_array(collect_list(struct(us, event_id, piece))), x -> x.piece)"))
+          .as("trace"))
+    val marked = sess.withColumn("mx",
+      max(col("sid")).over(Window.partitionBy(col("user_id"))))
+    // every session but the user's last closes THIS batch; the last
+    // stays open under the 99 sentinel until a later gap closes it
+    marked
+      .select(col("user_id"), col("session_start"), col("last_us"),
+        col("trace"),
+        when(col("sid") === col("mx"), lit(99L)).otherwise(lit(id)).as("qbatch"))
+      .withColumn("op", lit(graft.core.ChangeLog.Update))
+      .withColumn("seq", lit(id)).localCheckpoint()
+  }
+
+  /** TTL age-out maintenance step for the CEP serving sink: after the
+    * batch's session fold, closed sessions that have stayed closed for
+    * >= 2 batches LEAVE the sink — exported to the deterministic
+    * per-batch dir `b<id>` BEFORE the manifest rename, with their
+    * Delete rows in the SAME mergeOnce commit as the fold's upserts.
+    * Protocol identical to [[IndexQueries.cmsTtlBatch]], in order:
+    * applied-id gate FIRST (a replayed committed batch must recompute
+    * nothing — its reads would see advanced state), export write, ONE
+    * commit. The crash spec drives both fault points. 100 TB: serving
+    * state stays O(open sessions + 2 batches of closures) instead of
+    * growing with every closure forever; the closed-session archive is
+    * append-only batch dirs, and the age-out predicate rides the sink
+    * read the fold already performs. No upsert/delete pk can collide:
+    * aged rows closed >= 2 batches ago, while the fold only writes
+    * sessions with events or opens in this batch (event time is
+    * monotone across the staged quartiles).
+    */
+  private[graft] def cepTtlBatch(s: SparkSession, sink: graft.sinks.SnapshotSink,
+      exportDir: String, batch: DataFrame, id: Long): Unit = {
+    import s.implicits._
+    if (sink.applied(id)) return
+    val upd = cepFoldUpd(s, sink, batch, id)
+    val aged = (if (sink.exists)
+        sink.read().filter(col("qbatch") =!= 99L && col("qbatch") <= lit(id - 2))
+          .select(col("user_id"), col("session_start"), col("last_us"),
+            col("trace"), col("qbatch"))
+      else Seq.empty[(Long, Long, Long, String, Long)]
+        .toDF("user_id", "session_start", "last_us", "trace", "qbatch"))
+      .localCheckpoint()
+    aged.withColumn("xbatch", lit(id)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$exportDir/b$id")
+    sink.mergeOnce(id, graft.core.AuditSeam.report(
+      "evt_stream_cep_ttl/maintain",
+      upd.unionByName(aged
+        .select(col("user_id"), col("session_start"),
+          lit(null).cast("bigint").as("last_us"),
+          lit(null).cast("string").as("trace"),
+          lit(null).cast("bigint").as("qbatch"),
+          lit(graft.core.ChangeLog.Delete).as("op"),
+          lit(id).as("seq")))))
+    ()
+  }
+
   private def signupSide(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).filter(col("event_type") === "signup")
       .select(col("user_id"), col("event_id").as("signup_id"),
@@ -718,30 +840,7 @@ object StreamingQueries {
     CatalogQuery("evt_stream_sessionized_cep", (s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val work = Q.scratch("cepserve")
-      val ev = Tables.events(s, d).select(col("user_id"),
-        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
-        col("event_id"), substring(col("event_type"), 1, 1).as("ini"))
-      // materialized ONCE: the 4 staging writes each re-evaluate a lazy
-      // plan, and exactNtile's range exchange SAMPLES per action — a
-      // boundary row could land in two files or neither (bit this entry:
-      // doubled single-event traces + 141 merged sessions at sf0.01)
-      val ranked = Q.exactNtile(ev,
-        Seq(col("us"), col("event_id"), col("user_id")), 4, "b")
-        .localCheckpoint()
-      (0 to 3).foreach { b =>
-        val part = ranked.filter(col("b") === (b + 1))
-          .select(col("user_id"), col("us"), col("event_id"), col("ini"))
-        val stageDir = s"$work/stage$b"
-        part.coalesce(1).write.mode("overwrite").parquet(stageDir)
-        val src = new java.io.File(stageDir).listFiles()
-          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
-        val inDir = java.nio.file.Paths.get(s"$work/in")
-        java.nio.file.Files.createDirectories(inDir)
-        val dest = inDir.resolve(f"b$b%02d.parquet")
-        java.nio.file.Files.move(src.toPath, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
-      }
+      stageEventQuartiles(s, d, work)
       // serving sink: one-merge read grace for external readers
       val sink = new graft.sinks.SnapshotSink(s, s"$work/sess",
         Seq("user_id", "session_start"), readGrace = true)
@@ -751,44 +850,7 @@ object StreamingQueries {
         .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
       val q = stream.writeStream
         .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) => {
-          import s.implicits._
-          val cur =
-            if (sink.exists)
-              sink.read().filter(col("qbatch") === 99L)
-                .select(col("user_id"), col("session_start"), col("last_us"), col("trace"))
-            else Seq.empty[(Long, Long, Long, String)]
-              .toDF("user_id", "session_start", "last_us", "trace")
-          val pseudo = cur
-            .join(batch.select(col("user_id")).distinct(), Seq("user_id"))
-            .select(col("user_id"), col("last_us").as("us"),
-              lit(-1L).as("event_id"), col("trace").as("piece"),
-              col("session_start").as("start0"))
-          val evs = batch.select(col("user_id"), col("us"), col("event_id"),
-            col("ini").as("piece"), col("us").as("start0"))
-          val wU = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-          val flagged = pseudo.unionByName(evs)
-            .withColumn("new_sess",
-              when(lag(col("us"), 1).over(wU).isNull ||
-                col("us") - lag(col("us"), 1).over(wU) > lit(600000000L),
-                lit(1)).otherwise(lit(0)))
-            .withColumn("sid", sum(col("new_sess"))
-              .over(wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          val sess = flagged.groupBy(col("user_id"), col("sid"))
-            .agg(min(col("start0")).as("session_start"),
-              max(col("us")).as("last_us"),
-              concat_ws("", expr(
-                "transform(sort_array(collect_list(struct(us, event_id, piece))), x -> x.piece)"))
-                .as("trace"))
-          val marked = sess.withColumn("mx",
-            max(col("sid")).over(Window.partitionBy(col("user_id"))))
-          // every session but the user's last closes THIS batch; the last
-          // stays open under the 99 sentinel until a later gap closes it
-          val upd = marked
-            .select(col("user_id"), col("session_start"), col("last_us"),
-              col("trace"),
-              when(col("sid") === col("mx"), lit(99L)).otherwise(lit(id)).as("qbatch"))
-            .withColumn("op", lit(graft.core.ChangeLog.Update))
-            .withColumn("seq", lit(id)).localCheckpoint()
+          val upd = cepFoldUpd(s, sink, batch, id)
           sink.mergeOnce(id, graft.core.AuditSeam.report(
             "evt_stream_sessionized_cep/maintain", upd))
           ()
@@ -842,6 +904,80 @@ object StreamingQueries {
         |  coalesce(CAST(list_max(list_transform(
         |    regexp_extract_all(trace, 'v+'), x -> length(x))) AS BIGINT),
         |    CAST(0 AS BIGINT)) AS longest_view_run
+        |FROM outp""".stripMargin)),
+
+    // ---- CEP serving with TTL age-out (retention in the commit) -----------
+    // evt_stream_sessionized_cep accumulates every closed session in the
+    // serving sink forever; this entry runs the same fold through
+    // [[cepTtlBatch]]: sessions closed for >= 2 batches leave the sink —
+    // exported to the per-batch archive dir BEFORE the manifest rename,
+    // tombstoned in the SAME mergeOnce commit (the cmsTtlBatch protocol;
+    // the crash spec drives both fault points). The output accounts
+    // exported + live EXACTLY: every session appears once, xbatch = the
+    // batch that archived it (closed at c ⇒ archived at c+2) or −1 while
+    // still in the sink — so the oracle's from-scratch sessionization
+    // hash-gates the retention arithmetic itself. 100 TB: serving state
+    // is O(open sessions + 2 batches of closures); the archive is
+    // append-only.
+    CatalogQuery("evt_stream_cep_ttl", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = Q.scratch("cepttl")
+      stageEventQuartiles(s, d, work)
+      val sink = new graft.sinks.SnapshotSink(s, s"$work/sess",
+        Seq("user_id", "session_start"), readGrace = true)
+      val exportDir = s"$work/export"
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, us BIGINT, event_id BIGINT, ini STRING")
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+      val q = stream.writeStream
+        .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          cepTtlBatch(s, sink, exportDir, batch, id))
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val live = sink.read()
+        .select(lit(-1L).as("xbatch"), col("qbatch"), col("user_id"),
+          col("session_start"), col("trace"))
+      val exported = (0 to 3).map(i => s.read.parquet(s"$exportDir/b$i"))
+        .reduce(_ unionByName _)
+        .select(col("xbatch"), col("qbatch"), col("user_id"),
+          col("session_start"), col("trace"))
+      live.unionByName(exported)
+    }, Some(
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    substring(event_type, 1, 1) AS ini
+        |  FROM events),
+        |rk AS (
+        |  SELECT *, ntile(4) OVER (ORDER BY us, event_id, user_id) AS bkt FROM ev),
+        |flagged AS (
+        |  SELECT user_id, us, event_id, ini, bkt,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 600000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM rk WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess0 AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, sid, min(us) AS session_start,
+        |    string_agg(ini, '' ORDER BY us, event_id) AS trace
+        |  FROM sess0 GROUP BY 1, 2),
+        |firsts AS (SELECT user_id, sid, min(bkt) AS fb FROM sess0 GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(sid) AS mxs FROM sess GROUP BY 1),
+        |outp AS (
+        |  SELECT s.user_id, s.session_start, s.trace,
+        |    CAST(f2.fb - 1 AS BIGINT) AS qbatch
+        |  FROM sess s JOIN firsts f2
+        |    ON f2.user_id = s.user_id AND f2.sid = s.sid + 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.session_start, s.trace, CAST(99 AS BIGINT)
+        |  FROM sess s JOIN mx ON mx.user_id = s.user_id AND s.sid = mx.mxs)
+        |SELECT CASE WHEN qbatch <= 1 THEN qbatch + 2
+        |            ELSE CAST(-1 AS BIGINT) END AS xbatch,
+        |  qbatch, user_id, session_start, trace
         |FROM outp""".stripMargin)),
 
     CatalogQuery("evt_stream_dedup_replays", (s, d) => {

@@ -1080,6 +1080,65 @@ class MiningQueriesSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0), "some in-session funnel match expected")
   }
 
+  test("cepTtlBatch: a crash on either side of the commit neither loses nor double-archives sessions") {
+    import spark.implicits._
+    val work = graft.analytics.Q.scratch("cepttlcrash")
+    val sink = new graft.sinks.SnapshotSink(spark, s"$work/sess",
+      Seq("user_id", "session_start"))
+    val exp = s"$work/export"
+    def batch(rows: (Long, Long, Long, String)*) =
+      rows.toSeq.toDF("user_id", "us", "event_id", "ini")
+    def state(): Map[(Long, Long), (String, Long)] = sink.read()
+      .select("user_id", "session_start", "trace", "qbatch").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    def exported(b: Long): Set[(Long, Long, Long)] = spark.read.parquet(s"$exp/b$b")
+      .select("user_id", "session_start", "qbatch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val M = 600000000L // the 10-minute session gap in micros
+    // batch 0: user 1 has two gap-separated sessions — the first closes
+    StreamingQueries.cepTtlBatch(spark, sink, exp,
+      batch((1, 0, 1, "s"), (1, 2 * M, 2, "p")), 0)
+    assert(state() == Map((1L, 0L) -> ("s", 0L), (1L, 2 * M) -> ("p", 99L)))
+    assert(exported(0).isEmpty, "nothing is old enough to archive at batch 0")
+    // batch 1: the open session closes (gap), a new one opens; the
+    // batch-0 closure is only 1 batch old — still under the horizon
+    StreamingQueries.cepTtlBatch(spark, sink, exp, batch((1, 4 * M, 3, "c")), 1)
+    assert(state() == Map((1L, 0L) -> ("s", 0L), (1L, 2 * M) -> ("p", 1L),
+      (1L, 4 * M) -> ("c", 99L)))
+    assert(exported(1).isEmpty)
+    // batch 2: the batch-0 closure ages out. Crash BEFORE the commit:
+    // archive durable, sink unchanged
+    val base = state()
+    sink.faultHook = pt => if (pt == "before-commit") sys.error("injected crash")
+    intercept[Exception] {
+      StreamingQueries.cepTtlBatch(spark, sink, exp, batch((2, 9 * M, 4, "e")), 2)
+    }
+    sink.faultHook = _ => ()
+    assert(!sink.applied(2) && state() == base,
+      "pre-commit crash must leave the sink unchanged")
+    assert(exported(2) == Set((1L, 0L, 0L)),
+      "the archive is already durable — and correct, since state is unchanged")
+    // the retry replays against UNCHANGED inputs: identical archive, commit
+    StreamingQueries.cepTtlBatch(spark, sink, exp, batch((2, 9 * M, 4, "e")), 2)
+    assert(sink.applied(2) && exported(2) == Set((1L, 0L, 0L)))
+    assert(!state().contains((1L, 0L)), "the aged closure left the sink")
+    assert(state()((2L, 9 * M)) == ("e", 99L))
+    // batch 3: crash AFTER the commit, then a POISONED replay — the
+    // applied-id gate must cut it off before it touches archive or sink
+    sink.faultHook = pt => if (pt == "after-commit") sys.error("injected crash")
+    intercept[Exception] {
+      StreamingQueries.cepTtlBatch(spark, sink, exp, batch((2, 11 * M, 5, "v")), 3)
+    }
+    sink.faultHook = _ => ()
+    assert(sink.applied(3), "the commit landed before the crash")
+    val committed = state()
+    val e3 = exported(3)
+    assert(e3 == Set((1L, 2 * M, 1L)), "the batch-1 closure archived at 3")
+    StreamingQueries.cepTtlBatch(spark, sink, exp, batch((9, 1, 9, "x")), 3)
+    assert(state() == committed && exported(3) == e3,
+      "a replayed committed batch must not recompute state or archives")
+  }
+
   test("streaming sessionized CEP: closures land in their closing batch; open sessions carry across batches") {
     val got = q("evt_stream_sessionized_cep").collect()
       .map(r => (r.getLong(1), r.getLong(2)) ->

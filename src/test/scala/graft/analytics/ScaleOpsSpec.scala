@@ -891,6 +891,29 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("retired-centroid archive and live centroids partition the split history") {
+    val rows = Catalog.queries("ann_autosplit_retired_cells")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty, "splits must retire some parents at this SF")
+    val retired = rows.map(_._2).toSet
+    val (_, centsOne) = ScaleOpsQueries.annAutosplitIndex(spark, sf0001)
+    val live = centsOne.select(explode(col("cs")).as("c"))
+      .select(col("c.cell")).collect().map(_.getLong(0)).toSet
+    assert(retired.intersect(live).isEmpty, "a retired cell cannot still serve")
+    // lineage: every live child's parent is exactly a retired cell
+    live.filter(_ >= 1000L).foreach { c =>
+      val p = if ((c - 1000L) % 2 == 0) (c - 1000L) / 2 else (c - 1001L) / 2
+      assert(retired.contains(p), s"live child $c's parent $p must be archived")
+    }
+    // and every retired cell actually has both children somewhere in the
+    // history (live or themselves later retired)
+    val all = live ++ retired
+    retired.foreach { p =>
+      assert(all.contains(p * 2 + 1000) && all.contains(p * 2 + 1001),
+        s"retired $p must have split into two children")
+    }
+  }
+
   test("delta-maintained reverse adjacency equals the from-scratch reverse of the final graph") {
     // The rev sink is maintained per batch by the touched-endpoint delta
     // rule (never rebuilt from a graph flatten); equality with the
