@@ -1060,6 +1060,71 @@ object MiningQueries {
         |FROM allv a LEFT JOIN lp l ON l.vtx = a.vtx
         |GROUP BY 1""".stripMargin)),
 
+    // ---- the forest cut's MARGINAL-delete regime, benched ------------------
+    // gph_cdc_forest_cut_components' cost is dominated by certificate
+    // construction (init + insert); the cut's PRODUCTION claim — a
+    // non-tree deletion batch is nearly free — lived only in the
+    // ScaleStress forestcut pair. This bounded entry is that claim as a
+    // bench headliner: one init, two non-tree deletion batches (must
+    // SKIP — in-entry require), one tree batch (must fire the scoped
+    // rebuild), so a regression in the certificate probe or the skip
+    // path moves a BENCH_rN line instead of hiding in stress extras.
+    // The whole candidate set deletes, so the oracle recomputes final
+    // components from scratch (recursive min-label over the surviving
+    // graph; isolated vertices self-labeled) — post-cut correctness
+    // hash-gated, the fast path's batch-sized probe timed.
+    CatalogQuery("gph_forest_cut_marginal_deletes", (s, d) => {
+      val work = Q.scratch("ccfmarg")
+      val m = new ForestCutCC(s, work)
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 43)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e43 = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+        .localCheckpoint()
+      m.init(e43)
+      val cand = e43.filter(expr("(u * 31 + v) % 5 = 0")).localCheckpoint()
+      val fAtDelete = m.forest.readBuckets(cand.select(col("u")))
+        .select(col("u"), col("v"))
+      val nonTree = cand.join(fAtDelete, Seq("u", "v"), "left_anti")
+      val nt1 = nonTree.filter(expr("(u + v) % 2 = 0")).localCheckpoint()
+      val nt2 = nonTree.filter(expr("(u + v) % 2 = 1")).localCheckpoint()
+      val treeDels = cand.join(fAtDelete, Seq("u", "v"), "left_semi").localCheckpoint()
+      require(nt1.count() > 0 && nt2.count() > 0 && treeDels.count() > 0,
+        "gph_forest_cut_marginal_deletes: the candidate set must carry " +
+          "two non-tree batches and a tree batch")
+      val f1 = m.delete(1L, nt1)
+      val f2 = m.delete(2L, nt2)
+      val f3 = m.delete(3L, treeDels)
+      require(!f1 && !f2 && f3 && m.nSkipped == 2 && m.nRebuilds == 1,
+        s"gph_forest_cut_marginal_deletes: planted classes must take " +
+          s"their paths (skipped=${m.nSkipped}, rebuilds=${m.nRebuilds})")
+      m.components
+    }, Some(
+      """WITH RECURSIVE li43 AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_quantity >= 43),
+        |e43 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li43 a JOIN li43 b ON a.ok = b.ok AND a.pk < b.pk),
+        |fin AS (
+        |  SELECT u, v FROM e43 t WHERE NOT ((t.u * 31 + t.v) % 5 = 0)),
+        |allv AS (
+        |  SELECT DISTINCT u AS vtx FROM e43
+        |  UNION SELECT DISTINCT v FROM e43),
+        |ue AS (SELECT u AS src, v AS dst FROM fin
+        |       UNION ALL SELECT v AS src, u AS dst FROM fin),
+        |lp AS (
+        |  SELECT src AS vtx, src AS lbl FROM ue
+        |  UNION
+        |  SELECT e2.dst AS vtx, l.lbl AS lbl
+        |  FROM lp l JOIN ue e2 ON e2.src = l.vtx
+        |  WHERE l.lbl < e2.dst)
+        |SELECT a.vtx AS part_id,
+        |  CAST(coalesce(min(l.lbl), a.vtx) AS BIGINT) AS component
+        |FROM allv a LEFT JOIN lp l ON l.vtx = a.vtx
+        |GROUP BY 1""".stripMargin), bench = true),
+
     // ---- streaming component serving against the maintained labels -------
     // The graph twin of ann_stream_serve / idx_stream_serve_bm25, closing
     // the third serving loop: ONE tagged stream carries edge-insert CDC

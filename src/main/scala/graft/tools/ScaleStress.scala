@@ -505,6 +505,21 @@ object ScaleStress {
       println(f"[stress] beam_serve_fixed_queries        $secs%8.2fs rows=$rows")
     }
 
+    // suffix-index rebuild at scale — the price behind the staleness
+    // contract (SuffixQueries scaladoc: rebuild-on-growth at ~+25%,
+    // consumers read the previous index until the new path commits).
+    // The doubling chain is O(log n) rounds of O(n) shuffles, so the
+    // rebuild must grow ~linear·log in the corpus (the round count adds
+    // 1 per stream doubling); this row at 10× vs 30× is the measured
+    // cadence evidence. The entry's per-dataset path cache makes the
+    // FIRST timed call the full rebuild on the scaled dir.
+    if (extrasOn("sfxrebuild")) {
+      val t0 = System.nanoTime()
+      val rows = Catalog.queries("txt_suffix_array_lcp")(spark, out).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] suffix_index_rebuild            $secs%8.2fs rows=$rows")
+    }
+
     // hard negatives in the PRODUCTION regime: the anchor set stays FIXED
     // (base replica only — ids below the replication shift) while the
     // corpus grows `factor`x, so cost must track corpus size linearly;

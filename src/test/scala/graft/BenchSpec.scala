@@ -84,8 +84,11 @@ class BenchSpec extends AnyFunSuite {
     // refactor can't silently drop the new core from the round artifact
     val names = graft.analytics.Catalog.benchNames.toSet
     for (n <- Seq("ann_cdc_autosplit_probe", "ann_graph_beam_serve_maintained",
-        "idx_cdc_compacted_postings", "agg_stream_serve_cms_decay"))
+        "idx_cdc_compacted_postings", "agg_stream_serve_cms_decay",
+        // r13: the forest cut's marginal-delete regime — the certificate
+        // fast path timed per round, not only in stress extras
+        "gph_forest_cut_marginal_deletes"))
       assert(names.contains(n), s"maintained-family headliner missing: $n")
-    assert(names.size >= 29, s"headliner count regressed: ${names.size}")
+    assert(names.size >= 30, s"headliner count regressed: ${names.size}")
   }
 }
