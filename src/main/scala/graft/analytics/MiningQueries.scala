@@ -1076,6 +1076,17 @@ object MiningQueries {
     CatalogQuery("gph_forest_cut_marginal_deletes", (s, d) => {
       val work = Q.scratch("ccfmarg")
       val m = new ForestCutCC(s, work)
+      // a DENSE graph is the regime the cut exists for (most edges
+      // non-tree), and shrinking it distorts exactly that regime —
+      // measured wrong turns: a t=45 graph is sparser, nearly every
+      // edge is a tree edge, and the tree batch's scoped rebuild spans
+      // the graph (77 s vs 25 s); an edge-parity half thins every
+      // clique the same way (85% of candidates landed ON the forest);
+      // an order-parity half fragments connectivity and the rebuild
+      // explodes (264 s). So the line keeps the full t=43 graph: ~80%
+      // of its cost is the ONE unavoidable certificate build, the
+      // marginal batches ride on top, and the ScaleStress forestcut
+      // pair stays the isolated marginal-vs-rebuild evidence.
       val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 43)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       val e43 = li.as("a").join(li.as("b"),
@@ -1086,13 +1097,17 @@ object MiningQueries {
       val cand = e43.filter(expr("(u * 31 + v) % 5 = 0")).localCheckpoint()
       val fAtDelete = m.forest.readBuckets(cand.select(col("u")))
         .select(col("u"), col("v"))
+      // nonlinear split hash: linear (u, v) combos mod small primes can
+      // collapse on hash-restricted candidate sets (measured: a parity
+      // split was empty because cand's own hash forced 31u+v ≡ 0 mod 10)
       val nonTree = cand.join(fAtDelete, Seq("u", "v"), "left_anti")
-      val nt1 = nonTree.filter(expr("(u + v) % 2 = 0")).localCheckpoint()
-      val nt2 = nonTree.filter(expr("(u + v) % 2 = 1")).localCheckpoint()
+      val nt1 = nonTree.filter(expr("pmod(xxhash64(u, v), 2) = 0")).localCheckpoint()
+      val nt2 = nonTree.filter(expr("pmod(xxhash64(u, v), 2) = 1")).localCheckpoint()
       val treeDels = cand.join(fAtDelete, Seq("u", "v"), "left_semi").localCheckpoint()
       require(nt1.count() > 0 && nt2.count() > 0 && treeDels.count() > 0,
         "gph_forest_cut_marginal_deletes: the candidate set must carry " +
-          "two non-tree batches and a tree batch")
+          s"two non-tree batches and a tree batch (nt1=${nt1.count()} " +
+          s"nt2=${nt2.count()} tree=${treeDels.count()} cand=${cand.count()})")
       val f1 = m.delete(1L, nt1)
       val f2 = m.delete(2L, nt2)
       val f3 = m.delete(3L, treeDels)

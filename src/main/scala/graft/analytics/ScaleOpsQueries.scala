@@ -1914,12 +1914,14 @@ object ScaleOpsQueries {
     rev.merge(g0.select(col("u").as("w"), explode(col("nbrs")).as("u"))
       .groupBy(col("u")).agg(sort_array(collect_set(col("w"))).as("rnbrs"))
       .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
-    // undirected edges (u, v) for u in `keys` — two point reads, no scan
+    // undirected edges (u, v) for u in `keys` — two point reads sharing
+    // one bucket-id job (identical sink layouts), no scan
     def undFor(keys: DataFrame): DataFrame = {
       val k = keys.select(col("u")).distinct().localCheckpoint()
-      graph.readBuckets(k).join(k, Seq("u"), "left_semi")
+      val wanted = graph.bucketIds(k)
+      graph.readBucketIds(wanted).join(k, Seq("u"), "left_semi")
         .select(col("u"), explode(col("nbrs")).as("v"))
-        .unionByName(rev.readBuckets(k).join(k, Seq("u"), "left_semi")
+        .unionByName(rev.readBucketIds(wanted).join(k, Seq("u"), "left_semi")
           .select(col("u"), explode(col("rnbrs")).as("v")))
         .distinct()
     }
@@ -2072,11 +2074,19 @@ object ScaleOpsQueries {
     // #2). A deleted vector stops querying AND stops scoring (readBuckets
     // returns live rows only), same semantics as the former full read.
     val liveScan = vecSink.read()
-    val qvec = liveScan.filter(qpred)
-      .select(col("vec_id").as("qid"), col("q").as("qq")).localCheckpoint()
-    val ep = liveScan.agg(min(col("vec_id")).as("v")).localCheckpoint()
-    def score(cand: DataFrame): DataFrame = {
-      val cids = cand.select(col("v").as("vec_id")).distinct().localCheckpoint()
+    val qvec = graft.core.Prof.time("beamserve/qvec") {
+      liveScan.filter(qpred)
+        .select(col("vec_id").as("qid"), col("q").as("qq")).localCheckpoint()
+    }
+    val ep = graft.core.Prof.time("beamserve/ep") {
+      liveScan.agg(min(col("vec_id")).as("v")).localCheckpoint()
+    }
+    def score(cand0: DataFrame): DataFrame = {
+      // one materialization: cand feeds the candidate-bucket projection
+      // AND the scoring join — without it each consumer re-reads the
+      // hop's pruned parquet frames (measured ~2 s/round at sf0.1)
+      val cand = cand0.localCheckpoint()
+      val cids = cand.select(col("v").as("vec_id")).distinct()
       val cvec = vecSink.readBuckets(cids).join(cids, Seq("vec_id"), "left_semi")
         .select(col("vec_id").as("v"), col("q").as("qv"))
       cand.join(qvec, Seq("qid"))
@@ -2087,22 +2097,31 @@ object ScaleOpsQueries {
     }
     var beam = qvec.select(col("qid")).crossJoin(ep)
       .select(col("qid"), col("v")).localCheckpoint()
-    (1 to 3).foreach { _ =>
-      val frontier = beam.select(col("v").as("u")).distinct().localCheckpoint()
+    (1 to 3).foreach { h =>
+      val frontier = graft.core.Prof.time(s"beamserve/frontier$h") {
+        beam.select(col("v").as("u")).distinct().localCheckpoint()
+      }
       // undirected hop = forward lists ∪ reverse lists of the frontier,
-      // both bucket-pruned point reads (no epoch-rebuilt und artifact)
-      val out = graphSink.readBuckets(frontier)
+      // both bucket-pruned point reads (no epoch-rebuilt und artifact);
+      // the two sinks share one (bucketBy, numBuckets) layout, so the
+      // frontier's bucket-id projection is ONE job shared by both
+      val wanted = graft.core.Prof.time(s"beamserve/wanted$h") {
+        graphSink.bucketIds(frontier)
+      }
+      val out = graphSink.readBucketIds(wanted)
         .join(frontier, Seq("u"), "left_semi")
         .select(col("u"), explode(col("nbrs")).as("v"))
-        .unionByName(rev.readBuckets(frontier)
+        .unionByName(rev.readBucketIds(wanted)
           .join(frontier, Seq("u"), "left_semi")
           .select(col("u"), explode(col("rnbrs")).as("v")))
       val cand = beam.unionByName(
           beam.as("b").join(out.as("g"), col("b.v") === col("g.u"))
             .select(col("b.qid").as("qid"), col("g.v").as("v")))
         .filter(col("v") =!= col("qid")).distinct()
-      beam = score(cand).filter(col("rnk") <= 4).select(col("qid"), col("v"))
-        .localCheckpoint()
+      beam = graft.core.Prof.time(s"beamserve/score$h") {
+        score(cand).filter(col("rnk") <= 4).select(col("qid"), col("v"))
+          .localCheckpoint()
+      }
     }
     score(beam).filter(col("rnk") <= 3)
       .select(col("qid").as("query_id"), col("rnk").cast("long").as("rank"),

@@ -210,12 +210,25 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     * still equi-/semi-join the exact keys — this prunes I/O, it does not
     * filter rows. Same one-merge read grace as read().
     */
-  def readBuckets(keys: DataFrame): DataFrame = swapLock.synchronized {
+  def readBuckets(keys: DataFrame): DataFrame =
+    readBucketIds(bucketIds(keys))
+
+  /** The bucket ids `keys` hash to — ONE driver collect (≤ numBuckets
+    * rows). Computable once and shared across sinks with an identical
+    * (bucketBy-arity, numBuckets) layout: a graph sink and its
+    * reverse-adjacency twin read with the same frontier pay one job,
+    * not two.
+    */
+  def bucketIds(keys: DataFrame): Set[Int] = keys
+    .select(pmod(xxhash64(bucketCols.map(col): _*), lit(numBuckets)).cast("int").as("__b"))
+    .distinct().collect().map(_.getInt(0)).toSet
+
+  /** [[readBuckets]] with a precomputed bucket-id set (from
+    * [[bucketIds]] on this or a layout-identical sink).
+    */
+  def readBucketIds(wanted: Set[Int]): DataFrame = swapLock.synchronized {
     recover()
     val m = currentManifest().getOrElse(sys.error(s"snapshot at $path does not exist"))
-    val wanted = keys
-      .select(pmod(xxhash64(bucketCols.map(col): _*), lit(numBuckets)).cast("int").as("__b"))
-      .distinct().collect().map(_.getInt(0)).toSet
     val dirs = m.buckets.toSeq.sortBy(_._1)
       .filter { case (b, _) => wanted(b) }
       .map { case (b, g) => s"$dataPath/__bucket=$b/__gen=$g" }
