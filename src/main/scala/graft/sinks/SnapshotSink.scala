@@ -361,12 +361,21 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
       // the caller's batch DAG twice (measured ~0.5s/merge on the ANN
       // maintenance headliner at sf0.1). Also the standard stability
       // discipline: the staged write below must not re-evaluate a lazy
-      // plan against generations a concurrent GC could reap.
-      val normalized = batch.select(
+      // plan against generations a concurrent GC could reap. EXCEPT:
+      // when the caller already materialized the batch (every in-tree
+      // maintenance loop checkpoints it — the plan is only narrow ops
+      // over localCheckpoint RDD leaves), both reasons vanish: the
+      // leaves are stable in-memory blocks with no file reads to race
+      // GC, and re-evaluating a Project twice is cheaper than writing a
+      // second full copy of the batch. Detected structurally, never
+      // trusted from the caller.
+      val normalized0 = batch.select(
         (dataCols.map(col) :+ col("seq").as("__seq") :+
           (col("op") === ChangeLog.Delete).as("__deleted")): _*)
         .withColumn("__bucket", bucketCol)
-        .localCheckpoint()
+      val normalized =
+        if (SnapshotSink.isMaterializedShallow(batch)) normalized0
+        else normalized0.localCheckpoint()
       val fs = hfs
       val newVersion = cur.map(_.version + 1).getOrElse(1L)
       val newApplied = batchId.fold(cur.map(_.applied).getOrElse(Nil))(id =>
@@ -453,6 +462,27 @@ object SnapshotSink {
     scala.collection.concurrent.TrieMap.empty[String, Object]
   private def lockFor(path: String): Object =
     locks.getOrElseUpdate(path, new Object)
+
+  /** True iff the frame's plan is only narrow, deterministic operators
+    * (Project/Filter/Union/aliases) over already-materialized leaves
+    * (localCheckpoint RDDs or local relations) — re-evaluation is cheap
+    * and stable, so merge's defensive copy can be skipped. Anything
+    * else (a file scan, join, aggregate, window, generator) returns
+    * false and keeps the checkpoint.
+    */
+  private[sinks] def isMaterializedShallow(
+      df: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def ok(p: LogicalPlan): Boolean = p match {
+      case _: LocalRelation => true
+      case _: Project | _: Filter | _: Union | _: SubqueryAlias =>
+        p.children.forall(ok)
+      case leaf if leaf.children.isEmpty =>
+        leaf.getClass.getSimpleName == "LogicalRDD"
+      case _ => false
+    }
+    ok(df.queryExecution.analyzed)
+  }
 
   /** Compacted inclusive id ranges — the applied-batch-id set in O(gaps)
     * space (sequential foreachBatch ids collapse to one range). Pure,

@@ -343,6 +343,27 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("isMaterializedShallow: narrow ops over materialized leaves skip the merge copy; scans/joins don't") {
+    import spark.implicits._
+    val ck = Seq((1L, "a"), (2L, "b")).toDF("k", "s").localCheckpoint()
+    assert(SnapshotSink.isMaterializedShallow(ck), "a checkpointed frame")
+    assert(SnapshotSink.isMaterializedShallow(
+      ck.withColumn("op", org.apache.spark.sql.functions.lit("I"))
+        .unionByName(ck.withColumn("op", org.apache.spark.sql.functions.lit("D")))
+        .filter($"k" > 0)),
+      "projections/filters/unions over checkpointed leaves")
+    assert(SnapshotSink.isMaterializedShallow(
+      Seq((1L, "x")).toDF("k", "s")), "a local relation")
+    val dir = graft.analytics.Q.scratch("shallowspec")
+    ck.write.parquet(s"$dir/p")
+    assert(!SnapshotSink.isMaterializedShallow(spark.read.parquet(s"$dir/p")),
+      "a file scan must keep the defensive copy")
+    assert(!SnapshotSink.isMaterializedShallow(ck.join(ck.select($"k"), Seq("k"))),
+      "a join must keep the defensive copy")
+    assert(!SnapshotSink.isMaterializedShallow(ck.groupBy($"k").count()),
+      "an aggregate must keep the defensive copy")
+  }
+
   test("Ranges: add/contains compact adjacent and out-of-order ids") {
     import SnapshotSink.Ranges
     var rs = List.empty[(Long, Long)]
