@@ -340,7 +340,7 @@ object MiningQueries {
     var nSkipped = 0L
     var nRebuilds = 0L
 
-    def init(base0: DataFrame): Unit = {
+    def init(base0: DataFrame): Unit = graft.core.Prof.time("forestcut/init") {
       val base = base0.localCheckpoint()
       edgeSink.merge(base
         .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
@@ -357,7 +357,7 @@ object MiningQueries {
     }
 
     /** Incremental union-find insert step + forest extension. */
-    def insert(b: Long, delta0: DataFrame): Unit = {
+    def insert(b: Long, delta0: DataFrame): Unit = graft.core.Prof.time("forestcut/insert") {
       val delta = delta0.localCheckpoint()
       edgeSink.merge(delta
         .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(b)))
@@ -415,7 +415,7 @@ object MiningQueries {
     /** Deletion batch. Returns true iff the scoped rebuild fired — i.e.
       * at least one deleted edge was a certificate (tree) edge.
       */
-    def delete(b: Long, dels0: DataFrame): Boolean = {
+    def delete(b: Long, dels0: DataFrame): Boolean = graft.core.Prof.time("forestcut/delete") {
       val dels = dels0.localCheckpoint()
       // certificate probe ∝ batch: only the deleted edges' u-buckets of
       // the forest are read (the sink buckets on u for exactly this) —
