@@ -1428,11 +1428,14 @@ object IndexQueries {
         java.nio.file.Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
       }
-      // serving sinks: one-merge read grace for external readers
+      // serving sinks: one-merge read grace for external readers; the
+      // postings bucket on TERM so a probe reads only its query terms'
+      // buckets (the real index's term-keyed point read) — all segments
+      // of a term co-locate in its bucket by construction
       val docState = new graft.sinks.SnapshotSink(s, s"$work/docs", Seq("doc_id"),
         readGrace = true)
       val postings = new graft.sinks.SnapshotSink(s, s"$work/postings",
-        Seq("term", "seg"), readGrace = true)
+        Seq("term", "seg"), readGrace = true, bucketBy = Seq("term"))
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "kind STRING, qb BIGINT, doc_id BIGINT, text STRING, n_tok BIGINT, " +
           "op STRING, seq BIGINT, term STRING")
@@ -1464,7 +1467,14 @@ object IndexQueries {
               "a query batch must stay a bounded term set; split oversized " +
                 "query traffic into smaller micro-batches")
               .map(_.getString(0)).sorted.toSeq
-            val perDoc = bm25Scores(postings.read(), docState.read(), terms)
+            // postings point-read: only the query terms' buckets are
+            // listed and scanned — never the vocabulary-sized sink (the
+            // doc-state read stays full but column-pruned: it feeds the
+            // global (N, totLen) statistics, which production would keep
+            // as a maintained aggregate)
+            val perDoc = bm25Scores(
+              postings.readBuckets(qrows.select(col("term"))),
+              docState.read(), terms)
             val top = perDoc.orderBy(col("score").desc, col("doc_id").asc).limit(10)
             graft.core.AuditSeam.report("idx_stream_serve_bm25/serve",
               top.withColumn("rank",
@@ -1831,11 +1841,15 @@ object IndexQueries {
       else {
         val keys = ch.select(col("doc_id")).distinct()
         val oldEntries = docEntries(docState.read().join(keys, Seq("doc_id")))
+        // materialized: t feeds the bucket-id projection AND the rebuild
         val t = newEntries.select("term", "seg")
           .unionByName(oldEntries.select("term", "seg")).distinct()
-        // old posting rows of the touched (term, seg) pairs, with the
-        // changed docs' entries dropped, then the new images added
-        val old = postings.read().join(t, Seq("term", "seg"))
+          .localCheckpoint()
+        // old posting rows of the touched (term, seg) pairs — a
+        // bucket-pruned point read of the touched keys' buckets (works
+        // under either pk or term bucketing) — with the changed docs'
+        // entries dropped, then the new images added
+        val old = postings.readBuckets(t).join(t, Seq("term", "seg"))
           .select(col("term"), col("seg"), explode(col("plist")).as("p"))
           .select(col("term"), col("seg"),
             col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
