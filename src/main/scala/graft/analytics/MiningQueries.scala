@@ -1196,9 +1196,16 @@ object MiningQueries {
         java.nio.file.Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
       }
-      // serving sink: one-merge read grace for external readers
+      // serving sink: one-merge read grace for external readers. Bucket
+      // on vtx — three of the loop's four state lookups are vertex-keyed
+      // (endpoint labels, new-vertex anti-join, probe serve) and become
+      // batch-/probe-sized point reads; only the moved-members lookup
+      // (label-keyed, fires when components merge) stays a full read —
+      // the dual-keyed twin that prunes BOTH sides is ForestCutCC's
+      // labels+postings pair, at the price of a second sink this loop's
+      // one-commit atomicity argument deliberately avoids.
       val sink = new graft.sinks.SnapshotSink(s, s"$work/state", Seq("lbl", "vtx"),
-        readGrace = true)
+        readGrace = true, bucketBy = Seq("vtx"))
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "kind STRING, qb BIGINT, u BIGINT, v BIGINT, probe BIGINT")
       val stream = s.readStream.schema(schema)
@@ -1229,7 +1236,11 @@ object MiningQueries {
               state.select(col("lbl"), col("vtx"))
                 .withColumn("op", lit(graft.core.ChangeLog.Insert))
             } else {
-              val lab = sink.read().select(col("vtx"), col("lbl"))
+              // endpoint labels: a point read of the delta's own buckets
+              val dv = delta.select(explode(array(col("u"), col("v"))).as("vtx"))
+                .distinct().localCheckpoint()
+              val lab = sink.readBuckets(dv).join(dv, Seq("vtx"), "left_semi")
+                .select(col("vtx"), col("lbl"))
               val lpairs = delta
                 .join(lab.select(col("vtx").as("u"), col("lbl").as("lu0")), Seq("u"), "left")
                 .join(lab.select(col("vtx").as("v"), col("lbl").as("lv0")), Seq("v"), "left")
@@ -1247,9 +1258,11 @@ object MiningQueries {
                     "rebuild distributed via gph_largestar_smallstar_cc")
                   .toSeq.map(r => (r.getLong(0), r.getLong(1))))
               val mdf = broadcast(mapping.toSeq.toDF("old_lbl", "new_lbl"))
-              val moved = lab.join(mdf, col("lbl") === col("old_lbl"))
-              val newRows = delta.select(explode(array(col("u"), col("v"))).as("vtx"))
-                .distinct().join(lab, Seq("vtx"), "left_anti")
+              // moved = EVERY member of a merging label — label-keyed, the
+              // one full read this loop keeps (see the sink comment)
+              val moved = sink.read().select(col("vtx"), col("lbl"))
+                .join(mdf, col("lbl") === col("old_lbl"))
+              val newRows = dv.join(lab, Seq("vtx"), "left_anti")
                 .join(mdf, col("vtx") === col("old_lbl"), "left")
                 .select(coalesce(col("new_lbl"), col("vtx")).as("lbl"), col("vtx"))
               moved.select(col("lbl"), col("vtx"))
@@ -1262,13 +1275,14 @@ object MiningQueries {
           sink.mergeOnce(id, graft.core.AuditSeam.report(
             "gph_stream_serve_components/maintain",
             upd.withColumn("seq", lit(id))).localCheckpoint())
-          // serve from FRESH maintained state; probes come from the stream
+          // serve from FRESH maintained state; probes come from the
+          // stream and read only their own buckets
           val qbv = batch.filter(col("kind") === "qry")
             .agg(max(col("qb"))).head.getLong(0)
           val pr = batch.filter(col("kind") === "qry")
-            .select(col("probe").as("vtx"))
+            .select(col("probe").as("vtx")).localCheckpoint()
           graft.core.AuditSeam.report("gph_stream_serve_components/serve",
-            sink.read().join(pr, Seq("vtx"))
+            sink.readBuckets(pr).join(pr, Seq("vtx"))
               .select(lit(qbv).as("qbatch"), col("vtx").as("part_id"),
                 col("lbl").as("component")))
             .write.mode("append").parquet(s"$work/out")
