@@ -160,6 +160,18 @@ object SuffixQueries {
   private val saCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Drop the cached index path for dataset `d`, forcing the next
+    * [[built]] call to pay the full doubling-chain rebuild. This is the
+    * measurement hook behind ScaleStress's `sfxrebuild` row: in a default
+    * stress run the names loop has already built (and cached) the scaled
+    * dir's index, so without eviction the "rebuild" timing would measure
+    * a cached parquet re-read. It is also the session-level lever the
+    * refresh contract names — production's rebuild-on-growth trigger is
+    * exactly "evict, then rebuild on next read".
+    */
+  private[graft] def evictIndexCache(d: String): Unit =
+    saCache.synchronized { saCache.remove(d); () }
+
   /** Refresh contract (the index's STALENESS semantics under CDC): the
     * suffix array is a build-once OFFLINE index — it answers as-of its
     * build, and the cache never invalidates within a session. Production
@@ -234,20 +246,24 @@ object SuffixQueries {
     // Convergence tripwire: a corpus whose distinguishing prefixes exceed
     // 2^oracleRounds tokens would leave duplicate ranks in the last table,
     // fan out the adj join, and surface as an opaque hash mismatch blaming
-    // the Spark side. conv has 1 row iff max(rank) == stream length (dense
-    // ranks ⇒ all-distinct) and raises a DIAGNOSTIC error otherwise; every
-    // consumer chains through adj, so an unconverged oracle fails loudly.
-    // (The WHERE .. OR error(..) shape is load-bearing: a CASE inside an
-    // unreferenced column gets pruned before the error can fire.)
+    // the Spark side. conv is one row whose `ok` is 1 iff max(rank) ==
+    // stream length (dense ranks ⇒ all-distinct) and raises a DIAGNOSTIC
+    // error otherwise; every consumer chains through adj, which REFERENCES
+    // conv.ok in its WHERE — an unreferenced column would be pruned before
+    // the error could fire. The CASE shape (not `cond OR error(..)`) is
+    // deliberate: SQL does not guarantee OR operand order or laziness, but
+    // CASE branches are conditionally evaluated by contract, so a converged
+    // run can never trip the error under operand reordering.
     val adj =
       s"""conv AS (
-         |  SELECT 1 AS ok
-         |  WHERE (SELECT max(r) FROM r$oracleRounds) = (SELECT count(*) FROM stream)
-         |    OR error('suffix oracle: dense-rank chain not converged after $oracleRounds rounds — stream has a distinguishing prefix > 2^$oracleRounds tokens; raise oracleRounds') IS NOT NULL),
+         |  SELECT CASE
+         |    WHEN (SELECT max(r) FROM r$oracleRounds) = (SELECT count(*) FROM stream) THEN 1
+         |    ELSE error('suffix oracle: dense-rank chain not converged after $oracleRounds rounds — stream has a distinguishing prefix > 2^$oracleRounds tokens; raise oracleRounds')
+         |  END AS ok),
          |adj AS (
          |  SELECT a.r AS t, a.pos AS i, b.pos AS j, 0::BIGINT AS l
          |  FROM r$oracleRounds a JOIN r$oracleRounds b ON b.r = a.r + 1
-         |  CROSS JOIN conv)""".stripMargin
+         |  CROSS JOIN conv WHERE conv.ok = 1)""".stripMargin
     val lcpLevels = (oracleRounds to 0 by -1).map { j =>
       val g = 1L << j
       val prev = if (j == oracleRounds) "adj" else s"l${j + 1}"

@@ -468,7 +468,17 @@ object SnapshotSink {
     * (localCheckpoint RDDs or local relations) — re-evaluation is cheap
     * and stable, so merge's defensive copy can be skipped. Anything
     * else (a file scan, join, aggregate, window, generator) returns
-    * false and keeps the checkpoint.
+    * false and keeps the checkpoint. Two hazards are checked explicitly
+    * because merge evaluates the batch plan at least twice (the
+    * touched-bucket collect, then the lastPerKey + staged write) and a
+    * disagreement between evaluations could drop a bucket's existing
+    * rows from the staged generation:
+    *   - every expression must be DETERMINISTIC (a rand()/uuid() Project
+    *     over a checkpointed leaf would re-roll between evaluations);
+    *   - a LogicalRDD leaf only counts as materialized when its RDD
+    *     actually holds computed blocks (checkpointed or persisted) —
+    *     spark.createDataFrame(lazyRdd) also plans as LogicalRDD but
+    *     re-runs arbitrary upstream code on every evaluation.
     */
   private[sinks] def isMaterializedShallow(
       df: org.apache.spark.sql.DataFrame): Boolean = {
@@ -476,9 +486,10 @@ object SnapshotSink {
     def ok(p: LogicalPlan): Boolean = p match {
       case _: LocalRelation => true
       case _: Project | _: Filter | _: Union | _: SubqueryAlias =>
-        p.children.forall(ok)
-      case leaf if leaf.children.isEmpty =>
-        leaf.getClass.getSimpleName == "LogicalRDD"
+        p.expressions.forall(_.deterministic) && p.children.forall(ok)
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.isCheckpointed ||
+          l.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
       case _ => false
     }
     ok(df.queryExecution.analyzed)

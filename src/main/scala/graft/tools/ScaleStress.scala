@@ -511,9 +511,13 @@ object ScaleStress {
     // The doubling chain is O(log n) rounds of O(n) shuffles, so the
     // rebuild must grow ~linear·log in the corpus (the round count adds
     // 1 per stream doubling); this row at 10× vs 30× is the measured
-    // cadence evidence. The entry's per-dataset path cache makes the
-    // FIRST timed call the full rebuild on the scaled dir.
+    // cadence evidence. The index cache for the scaled dir is EVICTED
+    // first so the timed call is the full rebuild in EVERY invocation
+    // mode — a default run's names loop has already built (and cached)
+    // this dir's index via txt_suffix_array_lcp, and without eviction
+    // the timing would measure a cached parquet re-read.
     if (extrasOn("sfxrebuild")) {
+      graft.analytics.SuffixQueries.evictIndexCache(out)
       val t0 = System.nanoTime()
       val rows = Catalog.queries("txt_suffix_array_lcp")(spark, out).count()
       val secs = (System.nanoTime() - t0) / 1e9

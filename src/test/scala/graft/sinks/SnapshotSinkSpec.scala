@@ -362,6 +362,26 @@ class SnapshotSinkSpec extends SparkSpec {
       "a join must keep the defensive copy")
     assert(!SnapshotSink.isMaterializedShallow(ck.groupBy($"k").count()),
       "an aggregate must keep the defensive copy")
+    // merge evaluates the batch plan at least twice; a nondeterministic
+    // expression over a checkpointed leaf can DISAGREE between the
+    // touched-bucket collect and the staged write — must keep the copy
+    assert(!SnapshotSink.isMaterializedShallow(
+      ck.withColumn("r", org.apache.spark.sql.functions.rand())),
+      "a nondeterministic projection must keep the defensive copy")
+    assert(!SnapshotSink.isMaterializedShallow(
+      ck.filter(org.apache.spark.sql.functions.rand() > 0.0)),
+      "a nondeterministic filter must keep the defensive copy")
+    // createDataFrame over a lazily-recomputed RDD also plans as a
+    // LogicalRDD leaf, but its blocks are NOT materialized — every
+    // evaluation re-runs the upstream computation
+    val lazyRdd = spark.sparkContext
+      .parallelize(Seq(org.apache.spark.sql.Row(1L, "a")))
+    val lazyDf = spark.createDataFrame(lazyRdd,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, s STRING"))
+    assert(!SnapshotSink.isMaterializedShallow(lazyDf),
+      "a non-checkpointed LogicalRDD leaf must keep the defensive copy")
+    assert(SnapshotSink.isMaterializedShallow(lazyDf.localCheckpoint()),
+      "the same leaf, checkpointed, skips the copy")
   }
 
   test("Ranges: add/contains compact adjacent and out-of-order ids") {
