@@ -852,12 +852,19 @@ object MiningQueries {
     // self-labeled) — post-split correctness is hash-gated. 100 TB: cost
     // scales with affected-component size, the irreducible unit (a split
     // can move any member's label); unaffected components are untouched.
+    // Every per-batch read is a bucket-pruned point read (the ForestCutCC
+    // prefix-bucketing discipline retrofitted, r13 verdict #3): labels by
+    // the batch's endpoint vertices, postings by the moved/affected
+    // labels, edges by the scoped vertices — no state read is ever
+    // O(graph) per batch.
     CatalogQuery("gph_cdc_components_with_deletes", (s, d) => {
       import s.implicits._
       val work = Q.scratch("ccdel")
       val labels = new graft.sinks.SnapshotSink(s, s"$work/lbl", Seq("vtx"))
-      val postings = new graft.sinks.SnapshotSink(s, s"$work/post", Seq("lbl", "vtx"))
-      val edgeSink = new graft.sinks.SnapshotSink(s, s"$work/edges", Seq("u", "v"))
+      val postings = new graft.sinks.SnapshotSink(s, s"$work/post",
+        Seq("lbl", "vtx"), bucketBy = Seq("lbl"))
+      val edgeSink = new graft.sinks.SnapshotSink(s, s"$work/edges",
+        Seq("u", "v"), bucketBy = Seq("u"))
       def cpairs(t: Int): DataFrame = {
         val li = Tables.lineitem(s, d).filter(col("l_quantity") >= t)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -879,7 +886,14 @@ object MiningQueries {
         val delta = delta0.localCheckpoint()
         edgeSink.merge(delta
           .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(b)))
-        val lab = labels.read().select(col("vtx"), col("lbl"))
+        // labels of the delta's endpoints only — a vtx-bucket point read,
+        // not an O(graph) scan (the anti-join below is complete over the
+        // restricted read: any existing row for these keys is in their
+        // buckets by construction)
+        val dv = delta.select(explode(array(col("u"), col("v"))).as("vtx"))
+          .distinct().localCheckpoint()
+        val lab = labels.readBuckets(dv).join(dv, Seq("vtx"), "left_semi")
+          .select(col("vtx"), col("lbl"))
         val lpairs = delta
           .join(lab.select(col("vtx").as("u"), col("lbl").as("lu0")), Seq("u"), "left")
           .join(lab.select(col("vtx").as("v"), col("lbl").as("lv0")), Seq("v"), "left")
@@ -894,10 +908,11 @@ object MiningQueries {
             "shard the edge delta into smaller micro-batches, or rebuild " +
               "distributed via gph_largestar_smallstar_cc")
             .toSeq.map(r => (r.getLong(0), r.getLong(1))))
-        val newV = delta.select(explode(array(col("u"), col("v"))).as("vtx"))
-          .distinct().join(lab, Seq("vtx"), "left_anti")
+        val newV = dv.join(lab, Seq("vtx"), "left_anti")
         val mdf = broadcast(mapping.toSeq.toDF("old_lbl", "new_lbl"))
-        val moved = postings.read().select(col("lbl"), col("vtx"))
+        // members of the merged labels only — an lbl-bucket point read
+        val moved = postings.readBuckets(mapping.keys.toSeq.toDF("lbl"))
+          .select(col("lbl"), col("vtx"))
           .join(mdf, col("lbl") === col("old_lbl")).localCheckpoint()
         val newRows = newV
           .join(mdf, col("vtx") === col("old_lbl"), "left")
@@ -920,13 +935,20 @@ object MiningQueries {
       val dels = cpairs(43).filter(expr("(u * 31 + v) % 3 = 0")).localCheckpoint()
       edgeSink.merge(dels
         .withColumn("op", lit(graft.core.ChangeLog.Delete)).withColumn("seq", lit(2L)))
-      val lab2 = labels.read().select(col("vtx"), col("lbl"))
-      val affected = dels.select(explode(array(col("u"), col("v"))).as("vtx"))
-        .distinct().join(lab2, Seq("vtx"))
+      // detection + scope via point reads: endpoint labels from the
+      // deletion batch's vtx buckets, members from the affected labels'
+      // postings buckets, scoped edges from the members' u buckets
+      val delV = dels.select(explode(array(col("u"), col("v"))).as("vtx"))
+        .distinct().localCheckpoint()
+      val lab2 = labels.readBuckets(delV).join(delV, Seq("vtx"), "left_semi")
+        .select(col("vtx"), col("lbl"))
+      val affected = delV.join(lab2, Seq("vtx"))
         .select(col("lbl")).distinct().localCheckpoint()
-      val scopeV = postings.read().join(broadcast(affected), Seq("lbl"))
+      val scopeV = postings.readBuckets(affected)
+        .join(broadcast(affected), Seq("lbl"))
         .select(col("vtx"), col("lbl").as("old_lbl")).localCheckpoint()
-      val scopedE = edgeSink.read() // post-delete live edges
+      val scopedE = edgeSink // post-delete live edges of scoped vertices
+        .readBuckets(scopeV.select(col("vtx").as("u")))
         .join(scopeV.select(col("vtx").as("u")), Seq("u"))
         .select(col("u"), col("v"))
       val rebuilt = starFixpoint(scopedE)

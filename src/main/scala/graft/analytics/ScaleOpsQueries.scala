@@ -1879,8 +1879,18 @@ object ScaleOpsQueries {
     * vectors; keep top-8 by current integer-lattice L2 with (dist, id)
     * ties. Untouched lists cannot reference deleted/moved vectors (that
     * adjacency is what makes a vertex touched), so they carry over
-    * verbatim. 100 TB: per-batch cost ∝ Σ_{u∈touched} deg(u)² + the
-    * batch's bucket joins — never corpus size; the graph sink rewrites
+    * verbatim.
+    *
+    * NO read in this loop is corpus-sized (r13 verdict #1): the adaptive
+    * LSH bucket assignment is DELTA-MAINTAINED sink state ([[LshIndex]] —
+    * splits/merges/cap-drift re-shape only the touched regions, mates
+    * come from bucket point reads of the touched vertices' own leaves),
+    * and every liveness check and scoring join point-reads the
+    * pk-bucketed vector sink for exactly the batch's neighborhood keys.
+    * The live count feeding the √N cap is maintained by insert/delete
+    * arithmetic, never recounted. 100 TB: per-batch cost ∝
+    * Σ_{u∈touched} deg(u)² + the batch's bucket point reads + the
+    * O(√N) leaf-count table — never corpus size; the graph sink rewrites
     * only touched buckets.
     */
   private def buildKnnMaintained(s: SparkSession, d: String, work: String): Unit = {
@@ -1904,8 +1914,22 @@ object ScaleOpsQueries {
     // or died — so rev rows rewrite for exactly the endpoints of old/new
     // edges of changed vertices, ∝ touched neighborhood, never ∝ graph.
     val rev = new graft.sinks.SnapshotSink(s, s"$work/rev", Seq("u"), numBuckets = 16)
+    // the maintained adaptive-LSH bucket index: member rows point-readable
+    // by (tbl, nbits, bucket) prefix, plus the O(√N) leaf-count table
+    val lshb = new graft.sinks.SnapshotSink(s, s"$work/lshb",
+      Seq("tbl", "nbits", "bucket", "vec_id"), numBuckets = 16,
+      bucketBy = Seq("tbl", "nbits", "bucket"))
+    val lshcnt = new graft.sinks.SnapshotSink(s, s"$work/lshcnt",
+      Seq("tbl", "nbits", "bucket"))
+    assert(LshIndex.MaxDepth == LshSplitLevels,
+      "LshIndex and lshAdaptiveBuckets must agree on split depth")
     vecs.merge(e.select(col("vec_id"), col("embedding"), qx.as("q"))
       .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
+    // live count maintained by batch arithmetic — the √N cap's input,
+    // never recounted from state
+    var nLive = e.count()
+    LshIndex.initFromScratch(s, lshb, lshcnt,
+      e.select(col("vec_id"), col("embedding")), lshBucketCapFor(nLive))
     val g0 = nnDescentGraph(s, d).groupBy(col("u"))
       .agg(expr("transform(array_sort(collect_list(struct(rnk, v))), p -> p.v)").as("nbrs"))
       .localCheckpoint()
@@ -1936,22 +1960,38 @@ object ScaleOpsQueries {
       val delIds = e.filter(col("vec_id") % 17 === b && col("vec_id") % 10 =!= b)
         .select(col("vec_id")).localCheckpoint()
       val chKeys = chg.select(col("vec_id"))
-        .unionByName(delIds).distinct()
+        .unionByName(delIds).distinct().localCheckpoint()
       // old undirected edges at the change keys, pinned BEFORE any merge
       val undCh = undFor(chKeys.withColumnRenamed("vec_id", "u")).localCheckpoint()
+      // PRE-merge point read of the change keys' old images: these are
+      // the LSH index's departures (old positions vacate), and the
+      // previously-live/new split drives the maintained live count
+      val oldImgs = vecs.readBuckets(chKeys)
+        .join(chKeys, Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val nNew = chg.join(oldImgs.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+      val nDel = delIds.join(oldImgs.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+      nLive = nLive + nNew - nDel
+      val capB = lshBucketCapFor(nLive)
       vecs.merge(chg.withColumn("op", lit(graft.core.ChangeLog.Update))
         .unionByName(delIds
           .select(col("vec_id"), lit(null).cast("array<float>").as("embedding"),
             lit(null).cast("array<bigint>").as("q"),
             lit(graft.core.ChangeLog.Delete).as("op")))
         .withColumn("seq", lit(b.toLong)))
-      val live = vecs.read().localCheckpoint()
-      val nLive = live.count()
-      val touched = chg.select(col("vec_id").as("u"))
+      val leaves = LshIndex.maintainBatch(s, lshb, lshcnt,
+        arrivals = chg.select(col("vec_id"), col("embedding")),
+        departures = oldImgs, cap = capB, seqNo = b.toLong)
+      val touched0 = chg.select(col("vec_id").as("u"))
         .unionByName(undCh.select(col("v").as("u")))
-        .distinct()
-        .join(live.select(col("vec_id").as("u")), Seq("u"))
+        .distinct().localCheckpoint()
+      // post-merge point read of the touched keys: liveness filter AND
+      // the current (embedding, q) images the mates/scoring need — one
+      // bucket-pruned read, no live-state scan
+      val tvec = vecs.readBuckets(touched0.select(col("u").as("vec_id")))
+        .join(touched0.select(col("u").as("vec_id")), Seq("vec_id"), "left_semi")
         .localCheckpoint()
+      val touched = tvec.select(col("vec_id").as("u")).localCheckpoint()
       // old forward lists of every vertex whose list will change —
       // pinned pre-merge; these edges' endpoints are the rev delta scope
       val changedV = touched
@@ -1964,30 +2004,30 @@ object ScaleOpsQueries {
         .join(undFor(oneHop.select(col("v").as("u"))).as("y"),
           col("x.v") === col("y.u"))
         .select(col("x.u").as("u"), col("y.v").as("v"))
-      // adaptive buckets over the LIVE corpus, cap tracking √N_live —
-      // dense buckets SPLIT (lshAdaptiveBuckets) where the r11 fixed 64
-      // cap silently dropped candidates (measured 1291 s quadratic at
-      // 30× before ANY cap; the split keeps recall AND the linear-class
-      // join). The MATES side is width-capped at the same cap (residual
-      // truncation gated ≤ 5%); the touched side stays uncapped so every
-      // touched vertex still draws candidates.
-      val capB = lshBucketCapFor(nLive)
-      val bkf = lshAdaptiveBuckets(
-        live.select(col("vec_id"), col("embedding")), capB).localCheckpoint()
-      val bkCapped = lshMatesCapped(bkf, capB, "buildKnnMaintained/mates")
-      val lshMates = bkf.join(touched.withColumnRenamed("u", "vec_id"), Seq("vec_id")).as("a")
-        .join(bkCapped.as("b"),
-          col("a.tbl") === col("b.tbl") && col("a.nbits") === col("b.nbits") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
+      // LSH mates from the MAINTAINED bucket index: the touched vertices'
+      // own leaves, point-read — cap tracking √N_live exactly like the
+      // from-scratch build (dense buckets split; the mates side is
+      // width-capped at the same cap with the ≤ 5% truncation gate, now
+      // evaluated from the maintained leaf counts for free). The touched
+      // side stays uncapped so every touched vertex still draws
+      // candidates.
+      val lshMates = LshIndex.matesFor(s, lshb, leaves,
+        tvec.select(col("vec_id"), col("embedding")), capB,
+        "buildKnnMaintained/mates")
       val cand = oneHop.unionByName(twoHop).unionByName(lshMates)
         .filter(col("u") =!= col("v")).distinct()
-        .join(live.select(col("vec_id").as("v")), Seq("v"))
+      // candidate liveness + lattice images in ONE bucket-pruned point
+      // read of the candidates' keys (the inner joins below drop dead
+      // vectors exactly like the former full-live join)
+      val candIds = cand.select(col("u").as("vec_id"))
+        .unionByName(cand.select(col("v").as("vec_id"))).distinct()
+        .localCheckpoint()
+      val qv = vecs.readBuckets(candIds).join(candIds, Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("q")).localCheckpoint()
       val wK = Window.partitionBy(col("u")).orderBy(col("dd").asc, col("v").asc)
       val scored = cand
-        .join(live.select(col("vec_id").as("u"), col("q").as("qu")), Seq("u"))
-        .join(live.select(col("vec_id").as("v"), col("q").as("qw")), Seq("v"))
+        .join(qv.select(col("vec_id").as("u"), col("q").as("qu")), Seq("u"))
+        .join(qv.select(col("vec_id").as("v"), col("q").as("qw")), Seq("v"))
         .withColumn("dd", dist("qu", "qw"))
         .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= 8)
       val newRows = scored.groupBy(col("u"))
@@ -2009,9 +2049,13 @@ object ScaleOpsQueries {
       // vertices lose their rev row (touched neighbors already dropped
       // them from forward lists; untouched lists cannot reference them).
       val fwdNew = rows.select(col("u").as("w"), explode(col("nbrs")).as("a"))
-      val affected = fwdOld.select(col("a"))
-        .unionByName(fwdNew.select(col("a"))).distinct()
-        .join(live.select(col("vec_id").as("a")), Seq("a"))
+      val affected0 = fwdOld.select(col("a"))
+        .unionByName(fwdNew.select(col("a"))).distinct().localCheckpoint()
+      // liveness via a point read of the affected keys' buckets
+      val affected = affected0.join(
+          vecs.readBuckets(affected0.select(col("a").as("vec_id")))
+            .select(col("vec_id").as("a")),
+          Seq("a"), "left_semi")
         .localCheckpoint()
       val affKeys = affected.select(col("a").as("u"))
       val revOld = rev.readBuckets(affKeys).join(affKeys, Seq("u"), "left_semi")
