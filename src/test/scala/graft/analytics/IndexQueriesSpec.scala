@@ -668,7 +668,7 @@ class IndexQueriesSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col, explode}
     val work = graft.analytics.Q.scratch("cmpidxspec")
     val postings = new graft.sinks.SnapshotSink(spark, s"$work/idx",
-      Seq("term", "seg"))
+      Seq("term", "seg"), bucketBy = Seq("seg"))
     val segCounts = (0 to 3).map { b =>
       val ch = IndexQueries.docChangeBatch(spark, sf0001, b)
       val (n, _) = IndexQueries.maintainCompactingBatch(postings, ch,
@@ -709,7 +709,7 @@ class IndexQueriesSpec extends SparkSpec {
     import spark.implicits._
     val work = graft.analytics.Q.scratch("cmpremapspec")
     val postings = new graft.sinks.SnapshotSink(spark, s"$work/idx",
-      Seq("term", "seg"))
+      Seq("term", "seg"), bucketBy = Seq("seg"))
     def ch(rows: Seq[(Long, String, String)], seq: Long) =
       rows.toDF("doc_id", "text", "op").withColumn("seq", lit(seq))
         .withColumn("n_tok",
@@ -722,21 +722,23 @@ class IndexQueriesSpec extends SparkSpec {
       yield (o * 100 + i, s"tok${o}_$i common", I)
     IndexQueries.maintainCompactingBatch(postings, ch(b0, 0L), 0L,
       "remapspec")
-    val sent0 = postings.read().filter(col("term") === "@segmap" && col("seg") < 0)
-      .select((-col("seg") - 1).as("orig"), col("n_docs").as("cur"))
+    def remapRow(): Map[Long, Long] = postings.read()
+      .filter(col("term") === "@segremap" && col("seg") === -1L)
+      .select(explode(col("plist")).as("p"))
+      .select(col("p.doc_id").as("orig"), col("p.tf").as("cur"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sent0 = remapRow()
     assert(sent0.keySet == (0L to 7L).toSet, s"all 8 origins must remap: $sent0")
     assert(sent0(3L) >= 1000000L, s"orig 3 must map to a merged target: $sent0")
-    // batch 1: delete EVERY doc of orig 3 — the sentinel must tombstone
-    // in the same commit (the oracle's remap is live-doc-derived; an
-    // emptied orig has no entry there)
+    // batch 1: delete EVERY doc of orig 3 — its mapping must drop from
+    // the metadata row in the same commit (the oracle's remap is
+    // live-doc-derived; an emptied orig has no entry there)
     val b1 = (0L until 10L).map(i => (300L + i, null: String, D))
     IndexQueries.maintainCompactingBatch(postings, ch(b1, 1L), 1L,
       "remapspec")
-    val sent1 = postings.read().filter(col("term") === "@segmap" && col("seg") < 0)
-      .select((-col("seg") - 1).as("orig")).collect().map(_.getLong(0)).toSet
+    val sent1 = remapRow().keySet
     assert(sent1 == (0L to 7L).toSet - 3L,
-      s"emptied orig 3 must lose its sentinel, others keep theirs: $sent1")
+      s"emptied orig 3 must lose its mapping, others keep theirs: $sent1")
     // batch 2: orig 3 refills — the new docs are born at seg 3 (fresh
     // identity), NOT at the retired merge target the stale sentinel named
     val b2 = (0L until 6L).map(i => (300L + i, s"fresh_$i common", I))
