@@ -1921,6 +1921,24 @@ object ScaleOpsQueries {
       bucketBy = Seq("tbl", "nbits", "bucket"))
     val lshcnt = new graft.sinks.SnapshotSink(s, s"$work/lshcnt",
       Seq("tbl", "nbits", "bucket"))
+    // serve metadata (r13 verdict #5): the bottom-64 live vec ids as ONE
+    // reserved row — the beam serve's entry point becomes a 1-row point
+    // read instead of a corpus-sized min() aggregate. The buffer is the
+    // delete-refill-bounded min-buffer (the cdc_ivm_maintained_topk
+    // discipline): bottom-B live ids stay exact under deletes because
+    // every live id outside the buffer exceeds the buffer's old max; a
+    // fully-emptied buffer (B deletes of exactly the B smallest, never
+    // at harness scale) refills with one declared scan.
+    val meta = new graft.sinks.SnapshotSink(s, s"$work/meta", Seq("k"),
+      numBuckets = 1)
+    def entryBuffer(cands: DataFrame, seqNo: Long): Unit = {
+      val bottom = cands.distinct().orderBy(col("vec_id")).limit(64)
+        .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+        .select(lit("entry").as("k"), col("ids"))
+        .withColumn("op", lit(graft.core.ChangeLog.Update))
+        .withColumn("seq", lit(seqNo)).localCheckpoint()
+      meta.merge(bottom)
+    }
     assert(LshIndex.MaxDepth == LshSplitLevels,
       "LshIndex and lshAdaptiveBuckets must agree on split depth")
     vecs.merge(e.select(col("vec_id"), col("embedding"), qx.as("q"))
@@ -1930,6 +1948,7 @@ object ScaleOpsQueries {
     var nLive = e.count()
     LshIndex.initFromScratch(s, lshb, lshcnt,
       e.select(col("vec_id"), col("embedding")), lshBucketCapFor(nLive))
+    entryBuffer(e.select(col("vec_id")), 0L)
     val g0 = nnDescentGraph(s, d).groupBy(col("u"))
       .agg(expr("transform(array_sort(collect_list(struct(rnk, v))), p -> p.v)").as("nbrs"))
       .localCheckpoint()
@@ -1982,6 +2001,16 @@ object ScaleOpsQueries {
       val leaves = LshIndex.maintainBatch(s, lshb, lshcnt,
         arrivals = chg.select(col("vec_id"), col("embedding")),
         departures = oldImgs, cap = capB, seqNo = b.toLong)
+      // entry-point buffer: (buffer ∖ deletes) ∪ arrivals, re-truncated
+      // to the bottom 64 — exact-min preserving (see the sink's comment);
+      // an emptied buffer refills from the one declared scan
+      val bufOld = meta.read().select(explode(col("ids")).as("vec_id"))
+        .join(delIds, Seq("vec_id"), "left_anti")
+        .unionByName(chg.select(col("vec_id")))
+      val bufSrc =
+        if (bufOld.isEmpty) vecs.read().select(col("vec_id")) // refill (rare)
+        else bufOld
+      entryBuffer(bufSrc, b.toLong)
       val touched0 = chg.select(col("vec_id").as("u"))
         .unionByName(undCh.select(col("v").as("u")))
         .distinct().localCheckpoint()
@@ -2107,6 +2136,14 @@ object ScaleOpsQueries {
       qpred: Column): DataFrame = {
     val (graphSink, vecSink) = annMaintainedKnnGraph(s, d)
     val rev = annMaintainedRevIndex(s, d)
+    val metaSink = new graft.sinks.SnapshotSink(s, s"${knnGraphCache(d)}/meta",
+      Seq("k"), numBuckets = 1)
+    // the sinks are immutable generations under one committed manifest —
+    // PIN each once at serve start, so the dozen-plus point reads below
+    // pay zero per-read lock/recovery/manifest overhead (r13 verdict #4)
+    val graph = graphSink.pin()
+    val revP = rev.pin()
+    val vecP = vecSink.pin()
     val dist = (a: String, b: String) => expr(
       s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
     // Query discovery is the serve's ONLY live-state scan (the qpred
@@ -2115,15 +2152,19 @@ object ScaleOpsQueries {
     // hop — is a bucket-pruned point read of the pk-bucketed vector
     // sink, so per-query serve cost is O(frontier·k) reads, with no
     // corpus-sized vector scan in the hop/scoring frames (r12 verdict
-    // #2). A deleted vector stops querying AND stops scoring (readBuckets
-    // returns live rows only), same semantics as the former full read.
-    val liveScan = vecSink.read()
+    // #2). A deleted vector stops querying AND stops scoring (point
+    // reads return live rows only), same semantics as the former full
+    // read.
     val qvec = graft.core.Prof.time("beamserve/qvec") {
-      liveScan.filter(qpred)
+      vecP.readAll().filter(qpred)
         .select(col("vec_id").as("qid"), col("q").as("qq")).localCheckpoint()
     }
+    // entry point from the maintained bottom-ids metadata row — a 1-row
+    // point read, not a corpus aggregate (r13 verdict #5); ids are
+    // sorted ascending, so ids[0] IS min(vec_id) over live state
     val ep = graft.core.Prof.time("beamserve/ep") {
-      liveScan.agg(min(col("vec_id")).as("v")).localCheckpoint()
+      metaSink.read().filter(col("k") === "entry")
+        .select(expr("ids[0]").as("v")).localCheckpoint()
     }
     def score(cand0: DataFrame): DataFrame = {
       // one materialization: cand feeds the candidate-bucket projection
@@ -2131,11 +2172,15 @@ object ScaleOpsQueries {
       // hop's pruned parquet frames (measured ~2 s/round at sf0.1)
       val cand = cand0.localCheckpoint()
       val cids = cand.select(col("v").as("vec_id")).distinct()
-      val cvec = vecSink.readBuckets(cids).join(cids, Seq("vec_id"), "left_semi")
+      val cvec = vecP.readBuckets(cids).join(cids, Seq("vec_id"), "left_semi")
         .select(col("vec_id").as("v"), col("q").as("qv"))
       cand.join(qvec, Seq("qid"))
         .join(cvec, Seq("v"))
         .withColumn("dd", dist("qq", "qv"))
+        // project the 64-element lattice arrays away BEFORE the ranking
+        // window — otherwise they ride its shuffle (measured: a large
+        // share of each scoring round at sf0.1)
+        .select(col("qid"), col("v"), col("dd"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("dd").asc, col("v").asc)))
     }
@@ -2150,12 +2195,12 @@ object ScaleOpsQueries {
       // the two sinks share one (bucketBy, numBuckets) layout, so the
       // frontier's bucket-id projection is ONE job shared by both
       val wanted = graft.core.Prof.time(s"beamserve/wanted$h") {
-        graphSink.bucketIds(frontier)
+        graph.bucketIds(frontier)
       }
-      val out = graphSink.readBucketIds(wanted)
+      val out = graph.readBucketIds(wanted)
         .join(frontier, Seq("u"), "left_semi")
         .select(col("u"), explode(col("nbrs")).as("v"))
-        .unionByName(rev.readBucketIds(wanted)
+        .unionByName(revP.readBucketIds(wanted)
           .join(frontier, Seq("u"), "left_semi")
           .select(col("u"), explode(col("rnbrs")).as("v")))
       val cand = beam.unionByName(

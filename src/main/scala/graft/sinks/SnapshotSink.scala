@@ -223,6 +223,22 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     .select(pmod(xxhash64(bucketCols.map(col): _*), lit(numBuckets)).cast("int").as("__b"))
     .distinct().collect().map(_.getInt(0)).toSet
 
+  /** Pin the CURRENT manifest once and serve every later point read from
+    * it without re-taking the lock, re-running recovery, or re-reading
+    * the manifest file — the multi-read serve-path fast path (a 3-hop
+    * beam serve issues ~a dozen bucket reads against one immutable
+    * snapshot; paying recover + manifest-decode per read is pure fixed
+    * overhead). Lifetime contract: same as read() — the pinned
+    * generations survive until the next merge (plus one more with
+    * `readGrace`), so a pin taken for one serve call over a quiescent
+    * sink is always safe; pinning across a maintenance commit is not.
+    */
+  def pin(): SnapshotSink.Pinned = swapLock.synchronized {
+    recover()
+    val m = currentManifest().getOrElse(sys.error(s"snapshot at $path does not exist"))
+    new SnapshotSink.Pinned(spark, dataPath, m.buckets, bucketCols, numBuckets)
+  }
+
   /** [[readBuckets]] with a precomputed bucket-id set (from
     * [[bucketIds]] on this or a layout-identical sink).
     */
@@ -462,6 +478,42 @@ object SnapshotSink {
     scala.collection.concurrent.TrieMap.empty[String, Object]
   private def lockFor(path: String): Object =
     locks.getOrElseUpdate(path, new Object)
+
+  /** A read-only view over ONE committed manifest (see [[SnapshotSink.pin]]).
+    * Every read here is lock-free and filesystem-metadata-free: the
+    * bucket→generation map was captured at pin time and the generation
+    * directories are immutable.
+    */
+  final class Pinned private[sinks] (spark: SparkSession, dataPath: String,
+      buckets: Map[Int, Long], bucketCols: Seq[String], numBuckets: Int) {
+
+    /** Same hash as the owning sink's [[SnapshotSink.bucketIds]] — ONE
+      * driver collect, shareable across layout-identical pinned sinks.
+      */
+    def bucketIds(keys: DataFrame): Set[Int] = keys
+      .select(pmod(xxhash64(bucketCols.map(col): _*), lit(numBuckets)).cast("int").as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
+    def readBucketIds(wanted: Set[Int]): DataFrame = {
+      val dirs = buckets.toSeq.sortBy(_._1)
+        .filter { case (b, _) => wanted(b) }
+        .map { case (b, g) => s"$dataPath/__bucket=$b/__gen=$g" }
+      val pruned =
+        if (dirs.isEmpty) readAll().filter(lit(false))
+        else spark.read.option("basePath", dataPath).parquet(dirs: _*).drop("__gen")
+      pruned.filter(!col("__deleted")).drop("__seq", "__deleted", "__bucket")
+    }
+
+    def readBuckets(keys: DataFrame): DataFrame = readBucketIds(bucketIds(keys))
+
+    def readAll(): DataFrame = {
+      val dirs = buckets.toSeq.sortBy(_._1).map { case (b, g) =>
+        s"$dataPath/__bucket=$b/__gen=$g"
+      }
+      spark.read.option("basePath", dataPath).parquet(dirs: _*).drop("__gen")
+        .filter(!col("__deleted")).drop("__seq", "__deleted", "__bucket")
+    }
+  }
 
   /** True iff the frame's plan is only narrow, deterministic operators
     * (Project/Filter/Union/aliases) over already-materialized leaves
