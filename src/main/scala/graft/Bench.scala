@@ -16,6 +16,14 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
+  /** Prof-label prefixes whose per-phase times the bench artifact carries
+    * (for the warm pass of record): lines whose cost is phase-structured,
+    * so a probe/skip-path regression is separable from init drift without
+    * a ProfileOne session. BenchSpec pins that the forest-cut line
+    * actually produces these keys.
+    */
+  private[graft] val benchPhasePrefixes: Seq[String] = Seq("forestcut/")
+
   /** Two warm passes disagreeing by > 1.5× is host noise spanning one
     * pass, not the query — the `contended` marker (pure, unit-tested).
     */
@@ -118,13 +126,19 @@ object Bench {
     // a failing query is REPORTED, never silently timed as near-zero —
     // a swallowed throw would let a regression masquerade as a speedup
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per-phase Prof totals captured per pass — emitted (filtered to the
+    // declared phase-structured prefixes) so a phase regression is
+    // separable from init drift in the artifact itself
+    var lastPhases: Map[String, Double] = Map.empty
     def pass(name: String): Double = {
+      graft.core.Prof.captureStart()
       val t0 = System.nanoTime()
       try run(name) catch {
         case t: Throwable =>
           errs(name) = t.getClass.getSimpleName + ": " +
             Option(t.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)
       }
+      lastPhases = graft.core.Prof.captureStop()
       val dt = (System.nanoTime() - t0) / 1e9
       // Hygiene AFTER the clock stops, after EVERY pass (not just between
       // queries — r08 shipped PageRank passes growing 5.94→8.01→11.03 s
@@ -162,31 +176,39 @@ object Bench {
     // Warm stays the per-query MIN over all warm passes.
     def timedInterleaved(names: Seq[String])
         : (Seq[(String, Double)], Seq[(String, Double)],
-           Seq[(String, Seq[Double])], Seq[String], Seq[String]) = {
+           Seq[(String, Seq[Double])], Seq[String], Seq[String],
+           Map[String, Map[String, Double]]) = {
       val cold = Seq.newBuilder[(String, Double)]
       val warm = Seq.newBuilder[(String, Double)]
       val passes = Seq.newBuilder[(String, Seq[Double])]
       val contended = Seq.newBuilder[String]
       val inverted = Seq.newBuilder[String]
+      val phases = Map.newBuilder[String, Map[String, Double]]
       names.foreach { name =>
         val c = pass(name)
-        val w1 = pass(name)
-        val w2 = pass(name)
-        var ws = Seq(w1, w2)
+        val w1 = pass(name); val p1 = lastPhases
+        val w2 = pass(name); val p2 = lastPhases
+        var ws = Seq((w1, p1), (w2, p2))
         if (isContended(w1, w2)) {
           contended += name
-          ws = ws :+ pass(name) // tie-break pass
+          ws = ws :+ (pass(name) -> lastPhases) // tie-break pass
         }
-        if (isInverted(c, ws)) {
+        if (isInverted(c, ws.map(_._1))) {
           inverted += name
-          ws = ws :+ pass(name) // one recovery attempt at a clean warm pass
+          // one recovery attempt at a clean warm pass
+          ws = ws :+ (pass(name) -> lastPhases)
         }
         cold += name -> c
-        warm += name -> ws.min
-        passes += name -> (c +: ws)
+        val (wMin, pMin) = ws.minBy(_._1)
+        warm += name -> wMin
+        passes += name -> (c +: ws.map(_._1))
+        // per-phase decomposition of the pass of record (the warm min),
+        // restricted to the declared phase-structured lines' prefixes
+        val kept = pMin.filter { case (k, _) => benchPhasePrefixes.exists(k.startsWith) }
+        if (kept.nonEmpty) phases += name -> kept
       }
       (cold.result(), warm.result(), passes.result(),
-        contended.result(), inverted.result())
+        contended.result(), inverted.result(), phases.result())
     }
 
     // calibration runs BEFORE the query clock starts, on a clean process:
@@ -234,7 +256,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val allNames = if (Catalog.benchNames.nonEmpty) Catalog.benchNames else Catalog.queries.keys.toSeq
     val names = only.fold(allNames)(o => allNames.filter(o))
-    val (cold, warm, passes, contended, inverted) = timedInterleaved(names)
+    val (cold, warm, passes, contended, inverted, phases) = timedInterleaved(names)
     val allErrs = errs.toMap
     def jstr(s: String): String = graft.core.JsonText.str(s)
     def obj(rs: Seq[(String, Double)]): String =
@@ -245,12 +267,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val contArr = contended.map(jstr).mkString("[", ",", "]")
     val invArr = inverted.map(jstr).mkString("[", ",", "]")
+    val phaseObj = phases.toSeq.sortBy(_._1).map { case (q, ps) =>
+      jstr(q) + ":" + ps.toSeq.sorted
+        .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${warm.map(_._2).sum},"unit":"sec",""" +
         s""""queries":${obj(warm)},"cold_total":${cold.map(_._2).sum},""" +
         s""""queries_cold":${obj(cold)},"passes":$passObj,""" +
         s""""contended":$contArr,"inverted":$invArr,"calib_sec":$calibSec,""" +
-        s""""calib_io_sec":$calibIoSec,""" +
+        s""""calib_io_sec":$calibIoSec,"phases":$phaseObj,""" +
         s""""ok":${allErrs.isEmpty},""" +
         s""""failed":${allErrs.size},"errors":$errObj,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

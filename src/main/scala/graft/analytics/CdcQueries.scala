@@ -826,18 +826,22 @@ object CdcQueries {
           if (b == 0) plus
           else {
             // retractions come from the OLD images, read before the merge
-            val keys = ch.select(col("o_orderkey")).distinct()
-            rowState.read().join(keys, Seq("o_orderkey"))
+            // — a point read of exactly the batch keys' buckets
+            val keys = ch.select(col("o_orderkey")).distinct().localCheckpoint()
+            rowState.readBuckets(keys).join(keys, Seq("o_orderkey"))
               .select(col("grp"), lit(-1L).as("dn"), (-col("cents")).as("dc"))
               .unionByName(plus)
           }
         val delta = deltaIn.groupBy(col("grp"))
           .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+          .localCheckpoint()
         val newAgg =
           if (b == 0)
             delta.select(col("grp"), col("dn").as("n_rows"), col("dc").as("sum_cents"))
           else {
-            val oldAgg = aggState.read().join(delta.select("grp"), Seq("grp"))
+            // touched groups' old aggregates — a grp-bucket point read
+            val oldAgg = aggState.readBuckets(delta.select(col("grp")))
+              .join(delta.select("grp"), Seq("grp"))
               .select(col("grp"), col("n_rows").as("o_n"), col("sum_cents").as("o_s"))
             delta.join(oldAgg, Seq("grp"), "left")
               .select(col("grp"),

@@ -1853,7 +1853,7 @@ object ScaleOpsQueries {
   private val knnGraphCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private[analytics] def annMaintainedKnnGraph(s: SparkSession, d: String)
+  private[graft] def annMaintainedKnnGraph(s: SparkSession, d: String)
       : (graft.sinks.SnapshotSink, graft.sinks.SnapshotSink) = {
     val work = knnGraphCache.synchronized {
       knnGraphCache.getOrElseUpdate(d, {
@@ -2070,42 +2070,78 @@ object ScaleOpsQueries {
           lit(null).cast("array<bigint>").as("nbrs"),
           lit(graft.core.ChangeLog.Delete).as("op")))
         .withColumn("seq", lit(b.toLong)))
-      // ---- the rev delta (same commit cadence as the graph merge) ----
-      // a's reverse set changes iff some changed vertex w had or has
-      // a ∈ N(w): affected = endpoints of fwdOld ∪ fwdNew. For each
-      // live affected a: keep old contributors that did NOT change,
-      // re-add changed contributors from their NEW lists. Deleted
-      // vertices lose their rev row (touched neighbors already dropped
-      // them from forward lists; untouched lists cannot reference them).
-      val fwdNew = rows.select(col("u").as("w"), explode(col("nbrs")).as("a"))
-      val affected0 = fwdOld.select(col("a"))
-        .unionByName(fwdNew.select(col("a"))).distinct().localCheckpoint()
-      // liveness via a point read of the affected keys' buckets
-      val affected = affected0.join(
-          vecs.readBuckets(affected0.select(col("a").as("vec_id")))
-            .select(col("vec_id").as("a")),
-          Seq("a"), "left_semi")
-        .localCheckpoint()
-      val affKeys = affected.select(col("a").as("u"))
-      val revOld = rev.readBuckets(affKeys).join(affKeys, Seq("u"), "left_semi")
-        .select(col("u").as("a"), explode(col("rnbrs")).as("w"))
-      val kept = revOld.join(changedV.select(col("u").as("w")), Seq("w"), "left_anti")
-      val contrib = kept.select(col("a"), col("w"))
-        .unionByName(fwdNew.select(col("a"), col("w")))
-      val revAgg = contrib.groupBy(col("a"))
-        .agg(sort_array(collect_set(col("w"))).as("rnbrs"))
-      val revBatch = affected
-        .join(revAgg, Seq("a"), "left")
-        .select(col("a").as("u"),
-          coalesce(col("rnbrs"), expr("CAST(array() AS array<bigint>)")).as("rnbrs"))
-        .withColumn("op", lit(graft.core.ChangeLog.Update))
-        .unionByName(delIds.select(col("vec_id").as("u"),
-          lit(null).cast("array<bigint>").as("rnbrs"),
-          lit(graft.core.ChangeLog.Delete).as("op")))
-        .withColumn("seq", lit(b.toLong))
-        .localCheckpoint()
-      rev.merge(revBatch)
+      // rev delta, same commit cadence as the graph merge (see
+      // [[revDeltaBatch]] — shared with the ScaleStress pair that
+      // measures it against the epoch-rebuild twin)
+      revDeltaBatch(rev, vecs, fwdOld, rows, changedV, delIds, b.toLong)
     }
+  }
+
+  /** One reverse-adjacency delta step. a's reverse set changes iff some
+    * changed vertex w had or has a ∈ N(w): affected = endpoints of
+    * `fwdOld` (pre-merge lists of the changed vertices, (w, a) pairs) ∪
+    * fwdNew (their rewritten lists in `rows`). For each live affected a:
+    * keep old contributors that did NOT change, re-add changed
+    * contributors from their NEW lists. Deleted vertices (`delIds`) lose
+    * their rev row (touched neighbors already dropped them from forward
+    * lists; untouched lists cannot reference them). Cost ∝ the touched
+    * neighborhood — point reads of the affected keys' rev/vector
+    * buckets — never ∝ the graph; ScaleStress's `revadj` pair measures
+    * this against the flatten-the-whole-graph epoch rebuild it replaced
+    * (r13 verdict #6).
+    */
+  private[graft] def revDeltaBatch(rev: graft.sinks.SnapshotSink,
+      vecs: graft.sinks.SnapshotSink, fwdOld: DataFrame, rows: DataFrame,
+      changedV: DataFrame, delIds: DataFrame, seqNo: Long): Unit = {
+    val fwdNew = rows.select(col("u").as("w"), explode(col("nbrs")).as("a"))
+    val affected0 = fwdOld.select(col("a"))
+      .unionByName(fwdNew.select(col("a"))).distinct().localCheckpoint()
+    // liveness via a point read of the affected keys' buckets
+    val affected = affected0.join(
+        vecs.readBuckets(affected0.select(col("a").as("vec_id")))
+          .select(col("vec_id").as("a")),
+        Seq("a"), "left_semi")
+      .localCheckpoint()
+    val affKeys = affected.select(col("a").as("u"))
+    val revOld = rev.readBuckets(affKeys).join(affKeys, Seq("u"), "left_semi")
+      .select(col("u").as("a"), explode(col("rnbrs")).as("w"))
+    val kept = revOld.join(changedV.select(col("u").as("w")), Seq("w"), "left_anti")
+    val contrib = kept.select(col("a"), col("w"))
+      .unionByName(fwdNew.select(col("a"), col("w")))
+    val revAgg = contrib.groupBy(col("a"))
+      .agg(sort_array(collect_set(col("w"))).as("rnbrs"))
+    val revBatch = affected
+      .join(revAgg, Seq("a"), "left")
+      .select(col("a").as("u"),
+        coalesce(col("rnbrs"), expr("CAST(array() AS array<bigint>)")).as("rnbrs"))
+      .withColumn("op", lit(graft.core.ChangeLog.Update))
+      .unionByName(delIds.select(col("vec_id").as("u"),
+        lit(null).cast("array<bigint>").as("rnbrs"),
+        lit(graft.core.ChangeLog.Delete).as("op")))
+      .withColumn("seq", lit(seqNo))
+      .localCheckpoint()
+    rev.merge(revBatch)
+  }
+
+  /** The epoch-rebuild twin of [[revDeltaBatch]] — flatten the WHOLE
+    * forward graph and rewrite every reverse row (plus tombstones for
+    * vertices that lost their last referrer). Stress-only: this is the
+    * O(graph)-per-epoch shape the delta rule replaced; ScaleStress's
+    * `revadj` pair runs both on identical inputs and asserts equal end
+    * states.
+    */
+  private[graft] def revEpochRebuild(rev: graft.sinks.SnapshotSink,
+      fwd: DataFrame, seqNo: Long): Unit = {
+    val full = fwd.select(col("u").as("w"), explode(col("nbrs")).as("u"))
+      .groupBy(col("u")).agg(sort_array(collect_set(col("w"))).as("rnbrs"))
+      .localCheckpoint()
+    val stale = rev.read().select(col("u"))
+      .join(full.select(col("u")), Seq("u"), "left_anti")
+      .select(col("u"), lit(null).cast("array<bigint>").as("rnbrs"),
+        lit(graft.core.ChangeLog.Delete).as("op"))
+    rev.merge(full.withColumn("op", lit(graft.core.ChangeLog.Update))
+      .unionByName(stale)
+      .withColumn("seq", lit(seqNo)))
   }
 
   /** The reverse-adjacency serving index of the maintained k-NN graph —
@@ -2115,7 +2151,7 @@ object ScaleOpsQueries {
     * reads. Same per-dataset cache, so the graph/serve entry pair still
     * shares one build.
     */
-  private[analytics] def annMaintainedRevIndex(s: SparkSession, d: String)
+  private[graft] def annMaintainedRevIndex(s: SparkSession, d: String)
       : graft.sinks.SnapshotSink = {
     annMaintainedKnnGraph(s, d)
     new graft.sinks.SnapshotSink(s, s"${knnGraphCache(d)}/rev", Seq("u"),

@@ -389,8 +389,10 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
         (dataCols.map(col) :+ col("seq").as("__seq") :+
           (col("op") === ChangeLog.Delete).as("__deleted")): _*)
         .withColumn("__bucket", bucketCol)
+      val shallow = SnapshotSink.isMaterializedShallow(batch)
+      SnapshotSink.elisionProbe.foreach(_(path, shallow))
       val normalized =
-        if (SnapshotSink.isMaterializedShallow(batch)) normalized0
+        if (shallow) normalized0
         else normalized0.localCheckpoint()
       val fs = hfs
       val newVersion = cur.map(_.version + 1).getOrElse(1L)
@@ -478,6 +480,15 @@ object SnapshotSink {
     scala.collection.concurrent.TrieMap.empty[String, Object]
   private def lockFor(path: String): Object =
     locks.getOrElseUpdate(path, new Object)
+
+  /** Test-only observation point: called once per merge with (sink path,
+    * elision fired). JVM-global because maintenance loops construct their
+    * own sink instances — MergeElisionSpec uses it to assert the elision
+    * still fires on every in-tree loop's ACTUAL batch plans, so a Spark
+    * upgrade (or refactor) that changes plan shapes fails a test instead
+    * of silently degrading every merge into a defensive copy.
+    */
+  @volatile private[graft] var elisionProbe: Option[(String, Boolean) => Unit] = None
 
   /** A read-only view over ONE committed manifest (see [[SnapshotSink.pin]]).
     * Every read here is lock-free and filesystem-metadata-free: the

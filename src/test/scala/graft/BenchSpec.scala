@@ -91,4 +91,26 @@ class BenchSpec extends AnyFunSuite {
       assert(names.contains(n), s"maintained-family headliner missing: $n")
     assert(names.size >= 30, s"headliner count regressed: ${names.size}")
   }
+
+  test("bench phases: the forest-cut line decomposes into its lifecycle keys") {
+    // the 22 s line is ~80% certificate construction by design (r13
+    // verdict #8): the artifact must carry the per-phase split so a
+    // probe/skip-path regression is separable from init drift without a
+    // ProfileOne session. Pin (a) the prefix list and (b) that the entry
+    // actually emits the lifecycle phases under capture.
+    assert(Bench.benchPhasePrefixes.contains("forestcut/"))
+    val spark = graft.core.Engine.local("graft-test", cores = 4)
+    graft.core.Prof.captureStart()
+    val n = graft.analytics.Catalog
+      .queries("gph_forest_cut_marginal_deletes")(spark, "/root/testdata/sf0.001")
+      .count()
+    val phases = graft.core.Prof.captureStop()
+    assert(n > 0)
+    val keys = phases.keySet.filter(_.startsWith("forestcut/"))
+    // the marginal-deletes entry's lifecycle is init + delete batches
+    // (no insert batch by construction)
+    for (k <- Seq("forestcut/init", "forestcut/delete"))
+      assert(keys.contains(k), s"missing lifecycle phase $k in $keys")
+    assert(phases("forestcut/init") > 0.0)
+  }
 }
