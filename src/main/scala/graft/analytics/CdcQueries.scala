@@ -1113,11 +1113,19 @@ object CdcQueries {
       val custState = new graft.sinks.SnapshotSink(s, s"$work/cust", Seq("c_custkey"))
       val custIdx = new graft.sinks.SnapshotSink(s, s"$work/idx", Seq("c_custkey"))
       val view = new graft.sinks.SnapshotSink(s, s"$work/view", Seq("o_orderkey"))
-      def viewRows(touched: DataFrame): DataFrame =
-        ordState.read().join(touched, Seq("o_orderkey"))
-          .join(custState.read(), col("o_custkey") === col("c_custkey"))
+      // touched orders' rows and THEIR customers' rows, both bucket
+      // point reads (the order rows are checkpointed once: they feed the
+      // customer-side bucket projection and the join)
+      def viewRows(touched: DataFrame): DataFrame = {
+        val ordRows = ordState.readBuckets(touched)
+          .join(touched, Seq("o_orderkey")).localCheckpoint()
+        ordRows
+          .join(custState.readBuckets(
+              ordRows.select(col("o_custkey").as("c_custkey"))),
+            col("o_custkey") === col("c_custkey"))
           .select(col("o_orderkey"), col("cents"), col("o_orderstatus"),
             col("c_custkey"), col("c_name"), col("c_nationkey"))
+      }
       (0 to 3).foreach { b =>
         val oCh = oBatch(b)
         val cCh = cBatch(b)
@@ -1130,17 +1138,19 @@ object CdcQueries {
           view.merge(viewRows(oCh.select("o_orderkey"))
             .withColumn("op", lit(ChangeLog.Insert)).withColumn("seq", lit(0L)))
         } else {
-          // -- pre-merge old-image lookups (batch-bounded point reads) --
-          val oKeys = oCh.select(col("o_orderkey")).distinct()
-          val oldOrd = ordState.read().join(oKeys, Seq("o_orderkey"))
-          val cKeys = cCh.select(col("c_custkey")).distinct()
+          // -- pre-merge old-image lookups (bucket point reads of the
+          // batch's own keys) --
+          val oKeys = oCh.select(col("o_orderkey")).distinct().localCheckpoint()
+          val oldOrd = ordState.readBuckets(oKeys).join(oKeys, Seq("o_orderkey"))
+          val cKeys = cCh.select(col("c_custkey")).distinct().localCheckpoint()
           // customers whose order SETS change: new images' custkeys plus
           // the old images' custkeys (covers deletes and any key move)
           val idxTouched = oCh.filter(col("op") =!= ChangeLog.Delete)
             .select(col("o_custkey").as("c_custkey"))
             .unionByName(oldOrd.select(col("o_custkey").as("c_custkey")))
-            .distinct()
-          val oldLists = custIdx.read().join(idxTouched, Seq("c_custkey"))
+            .distinct().localCheckpoint()
+          val oldLists = custIdx.readBuckets(idxTouched)
+            .join(idxTouched, Seq("c_custkey"))
             .select(col("c_custkey"), explode(col("okeys")).as("o_orderkey"))
             .join(oKeys, Seq("o_orderkey"), "left_anti")
           val newMembers = oCh.filter(col("op") =!= ChangeLog.Delete)
@@ -1167,9 +1177,9 @@ object CdcQueries {
           // a changed customer. POST-merge index reads are sufficient: a
           // customer change never alters the index, and the orders a
           // customer LOST this batch are already in oKeys
-          val custOrders = custIdx.read().join(cKeys, Seq("c_custkey"))
+          val custOrders = custIdx.readBuckets(cKeys).join(cKeys, Seq("c_custkey"))
             .select(explode(col("okeys")).as("o_orderkey"))
-          val touched = oKeys.unionByName(custOrders).distinct()
+          val touched = oKeys.unionByName(custOrders).distinct().localCheckpoint()
           ordState.merge(oCh)
           custState.merge(cCh)
           val rebuiltView = viewRows(touched)

@@ -26,11 +26,16 @@ import org.apache.spark.sql.functions._
   * depth). Prefix counts at or above the current leaves are rollups of
   * leaf counts (every live vector sits in exactly one leaf on its own
   * path); counts below a leaf need member sign bits, which the index
-  * stores per row. So a change batch updates the structure EXACTLY by:
+  * stores per row — PACKED: a row carries only its own table's six
+  * split-plane signs as one long (`sbits`, bit d = depth-d plane), not
+  * the 24-value array, so the member sink stays 5 scalar columns and its
+  * scans/merges stay cheap. A change batch updates the structure EXACTLY
+  * by:
   *
-  *   1. descend arrivals/departures through the old leaf set (a
-  *      broadcast join against O(#leaves) rows) → per-node count deltas
-  *      (an arrival whose path exits the structure lands on its first
+  *   1. descend arrivals/departures through the old leaf set (one
+  *      broadcast join against O(#leaves) rows, arrivals and departures
+  *      tagged through a single pass) → per-node count deltas (an
+  *      arrival whose path exits the structure lands on its first
   *      UNCOVERED prefix — a virtual zero-count leaf, disjoint from all
   *      existing leaves, so the handed-to-solve partition stays exact);
   *   2. a driver-side trie solve over the new counts + their rollups
@@ -42,16 +47,16 @@ import org.apache.spark.sql.functions._
   *      cascades locally (≤ 6 bounded rounds over one bucket's members),
   *      a merge re-keys the gathered members at the target.
   *
-  * State: `lshb` rows (tbl, nbits, bucket, vec_id, sb) pk-keyed on all
-  * four, bucket-hashed on the (tbl, nbits, bucket) PREFIX so "members of
-  * this bucket" is a point read; `lshcnt` one row per leaf (tbl, nbits,
-  * bucket, n). 100 TB: #leaves ≈ 2N/cap = 2√N under the √N cap — the
-  * same manifest-sized metadata class as per-segment index stats — and
-  * per-batch cost is O(batch·7 descent rows + √N counts + changed-region
-  * members), never O(corpus). The from-scratch build stays what the
-  * oracle replays per batch; equality is pinned by LshIndexSpec
-  * (including forced splits, merges, and cap drift) and hash-gated by
-  * the maintained-graph entries.
+  * State: `lshb` rows (tbl, nbits, bucket, vec_id, sbits) pk-keyed on
+  * the first four, bucket-hashed on the (tbl, nbits, bucket) PREFIX so
+  * "members of this bucket" is a point read; `lshcnt` one row per leaf
+  * (tbl, nbits, bucket, n). 100 TB: #leaves ≈ 2N/cap = 2√N under the √N
+  * cap — the same manifest-sized metadata class as per-segment index
+  * stats — and per-batch cost is O(batch·7 descent rows + √N counts +
+  * changed-region members), never O(corpus). The from-scratch build
+  * stays what the oracle replays per batch; equality is pinned by
+  * LshIndexSpec (including forced splits, merges, and cap drift) and
+  * hash-gated by the maintained-graph entries.
   */
 private[analytics] object LshIndex {
 
@@ -127,44 +132,47 @@ private[analytics] object LshIndex {
     Solution(stable.result(), merges.result(), splits.result(), gone)
   }
 
-  /** (vec_id, tbl, b0, sb) for both tables: b0 the 6-bit root bucket, sb
-    * the 24 single-plane signs (planes 0–11 compose the two roots;
-    * 12–23 are the split planes).
+  /** (vec_id, tbl, b0, sbits) for both tables: b0 the 6-bit root bucket,
+    * sbits this table's six split-plane signs packed bit-d-at-depth-d
+    * (planes 12 + 6·tbl + d of the 24-plane sign vector).
     */
   private def signRows(vecs: DataFrame): DataFrame =
     vecs.select(col("vec_id"),
         posexplode(GraftFunctions.lsh_buckets(col("embedding"), 2, 6)),
         GraftFunctions.lsh_buckets(col("embedding"), 24, 1).as("sb"))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "b0")
+      .withColumn("sbits", expr(
+        """aggregate(sequence(0, 5), CAST(0 AS BIGINT), (acc, d) ->
+          |  acc + shiftleft(element_at(sb, CAST(13 + tbl * 6 + d AS INT)),
+          |                  CAST(d AS INT)))""".stripMargin))
+      .drop("sb")
 
   /** The 7 path prefixes as struct(nbits, bucket): shift the root left
-    * and fold in split-plane signs, LSB-appended exactly like
-    * lshAdaptiveBuckets' bucket·2+bit (d is a lambda var in `transform`).
+    * and fold in split-plane signs MSB-first, exactly lshAdaptiveBuckets'
+    * bucket·2+bit (d, j are lambda vars in `transform`/`aggregate`).
     */
   private val pathExpr: Column = expr(
     """transform(sequence(0, 6), d -> struct(
       |  CAST(d + 6 AS INT) AS nbits,
       |  shiftleft(b0, CAST(d AS INT)) + CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
-      |    ELSE aggregate(slice(sb, 13 + tbl * 6, CAST(d AS INT)),
-      |                   CAST(0 AS BIGINT),
-      |                   (acc, bit) -> acc * 2 + bit) END AS bucket))""".stripMargin)
-
-  private def pathsOf(rows: DataFrame): DataFrame =
-    rows.select(col("vec_id"), col("tbl"), col("b0"), col("sb"),
-        explode(pathExpr).as("p"))
-      .select(col("vec_id"), col("tbl"), col("b0"), col("sb"),
-        col("p.nbits").as("nbits"), col("p.bucket").as("bucket"))
+      |    ELSE aggregate(sequence(0, CAST(d - 1 AS INT)), CAST(0 AS BIGINT),
+      |                   (acc, j) -> acc * 2 +
+      |                     (shiftright(sbits, CAST(j AS INT)) & 1)) END
+      |    AS bucket))""".stripMargin)
 
   private def nodeDf(s: SparkSession, ns: Iterable[Node]): DataFrame = {
     import s.implicits._
     ns.toSeq.map(n => (n.tbl, n.nbits, n.bucket)).toDF("tbl", "nbits", "bucket")
   }
 
-  /** Assign each (vec_id, tbl, b0, sb) row its region key under the old
-    * structure: the unique leaf on its path, or — when its path exits the
-    * structure — its first prefix that is neither a leaf nor an ancestor
-    * of one (a virtual zero-count leaf, disjoint from every existing
-    * leaf by construction). Output: (vec_id, tbl, sb, nbits, bucket).
+  /** Assign each (vec_id, tbl, b0, sbits, t) row its region key under the
+    * old structure: the unique leaf on its path, or — when its path exits
+    * the structure — its first prefix that is neither a leaf nor an
+    * ancestor of one (a virtual zero-count leaf, disjoint from every
+    * existing leaf by construction). The `t` tag column rides along and
+    * participates in row identity (one vector can descend twice in one
+    * call: once as a departure at its old signs, once as an arrival at
+    * its new ones). Output: (vec_id, tbl, t, sbits, nbits, bucket).
     */
   private def descend(s: SparkSession, rows: DataFrame,
       leaves: Iterable[Node]): DataFrame = {
@@ -172,19 +180,23 @@ private[analytics] object LshIndex {
     val covered: Set[Node] =
       leafSeq.flatMap(l => (0 to l.depth).map(l.prefix)).toSet
     val leafDf = broadcast(nodeDf(s, leafSeq))
-    val paths = pathsOf(rows)
+    val paths = rows.select(col("vec_id"), col("tbl"), col("t"), col("b0"),
+        col("sbits"), explode(pathExpr).as("p"))
+      .select(col("vec_id"), col("tbl"), col("t"), col("b0"), col("sbits"),
+        col("p.nbits").as("nbits"), col("p.bucket").as("bucket"))
     val matched = paths.join(leafDf, Seq("tbl", "nbits", "bucket"))
-      .select(col("vec_id"), col("tbl"), col("sb"), col("nbits"), col("bucket"))
+      .select(col("vec_id"), col("tbl"), col("t"), col("sbits"),
+        col("nbits"), col("bucket"))
     val coveredDf = broadcast(nodeDf(s, covered).withColumn("cov", lit(1)))
     val unmatched = paths
-      .join(matched.select(col("vec_id"), col("tbl")),
-        Seq("vec_id", "tbl"), "left_anti")
+      .join(matched.select(col("vec_id"), col("tbl"), col("t")),
+        Seq("vec_id", "tbl", "t"), "left_anti")
       .join(coveredDf, Seq("tbl", "nbits", "bucket"), "left")
       .filter(col("cov").isNull)
-      .groupBy(col("vec_id"), col("tbl"))
+      .groupBy(col("vec_id"), col("tbl"), col("t"))
       .agg(min(struct(col("nbits"), col("bucket"))).as("m"),
-        first(col("sb")).as("sb"))
-      .select(col("vec_id"), col("tbl"), col("sb"),
+        first(col("sbits")).as("sbits"))
+      .select(col("vec_id"), col("tbl"), col("t"), col("sbits"),
         col("m.nbits").as("nbits"), col("m.bucket").as("bucket"))
     matched.unionByName(unmatched)
   }
@@ -192,9 +204,9 @@ private[analytics] object LshIndex {
   /** Local split cascade over the gathered members of over-cap region
     * keys — the same rule as the from-scratch build, restricted to
     * exactly these rows: while any (tbl, nbits, bucket) holds more than
-    * `cap` members below depth 6, append that depth's split-plane sign.
-    * Bounded by [[MaxDepth]] rounds, each a broadcast join over the
-    * gathered members only.
+    * `cap` members below depth 6, append that depth's split-plane sign
+    * (bit nbits−6 of the member's packed sbits). Bounded by [[MaxDepth]]
+    * rounds, each a broadcast join over the gathered members only.
     */
   private def splitCascade(members0: DataFrame, cap: Long): DataFrame = {
     var cur = members0.localCheckpoint()
@@ -209,12 +221,11 @@ private[analytics] object LshIndex {
       if (over.isEmpty) done = true
       else {
         cur = cur.join(broadcast(over), Seq("tbl", "nbits", "bucket"), "left")
-          .select(col("vec_id"), col("tbl"), col("sb"),
+          .select(col("vec_id"), col("tbl"), col("sbits"),
             when(col("ovr").isNotNull, col("nbits") + 1)
               .otherwise(col("nbits")).cast("int").as("nbits"),
             when(col("ovr").isNotNull, col("bucket") * 2 +
-              element_at(col("sb"),
-                (col("nbits") - 6 + 13 + col("tbl") * 6).cast("int")))
+              expr("shiftright(sbits, nbits - 6) & CAST(1 AS BIGINT)"))
               .otherwise(col("bucket")).as("bucket"))
           .localCheckpoint()
         rounds += 1
@@ -236,16 +247,18 @@ private[analytics] object LshIndex {
       .toMap
 
   /** Build the index from scratch (batch 0) — the same assignment as the
-    * base build's lshAdaptiveBuckets pass, with the sign vectors attached
-    * for future splits. Returns the leaf-count map.
+    * base build's lshAdaptiveBuckets pass (pass the base build's OWN
+    * checkpointed bkf via `bkf0` to avoid recomputing it), with the
+    * packed sign bits attached for future splits. Returns the leaf-count
+    * map.
     */
   def initFromScratch(s: SparkSession, lshb: graft.sinks.SnapshotSink,
-      cnt: graft.sinks.SnapshotSink, vecs: DataFrame, cap: Long)
-      : Map[Node, Long] = {
-    val bkf = ScaleOpsQueries.lshAdaptiveBuckets(
-      vecs.select(col("vec_id"), col("embedding")), cap)
+      cnt: graft.sinks.SnapshotSink, vecs: DataFrame, cap: Long,
+      bkf0: Option[DataFrame] = None): Map[Node, Long] = {
+    val bkf = bkf0.getOrElse(ScaleOpsQueries.lshAdaptiveBuckets(
+      vecs.select(col("vec_id"), col("embedding")), cap))
     val rows = bkf.join(signRows(vecs).drop("b0"), Seq("vec_id", "tbl"))
-      .select(col("tbl"), col("nbits"), col("bucket"), col("vec_id"), col("sb"))
+      .select(col("tbl"), col("nbits"), col("bucket"), col("vec_id"), col("sbits"))
       .localCheckpoint()
     lshb.merge(rows
       .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
@@ -271,16 +284,25 @@ private[analytics] object LshIndex {
       cnt: graft.sinks.SnapshotSink, arrivals: DataFrame, departures: DataFrame,
       cap: Long, seqNo: Long): Map[Node, Long] = {
     import s.implicits._
-    val oldLeaves = readLeaves(cnt)
-    val arr = descend(s, signRows(arrivals), oldLeaves.keys).localCheckpoint()
-    val dep = descend(s, signRows(departures), oldLeaves.keys).localCheckpoint()
-    def deltasOf(df: DataFrame, sign: Long): Seq[(Node, Long)] =
-      df.groupBy(col("tbl"), col("nbits"), col("bucket"))
+    val oldLeaves = graft.core.Prof.time("lshidx/leaves") { readLeaves(cnt) }
+    // ONE descend pass over the tagged union (a vector can appear twice:
+    // as a departure at its old signs and an arrival at its new ones)
+    val ad = graft.core.Prof.time("lshidx/descend") {
+      descend(s,
+        signRows(arrivals).withColumn("t", lit("a"))
+          .unionByName(signRows(departures).withColumn("t", lit("d"))),
+        oldLeaves.keys).localCheckpoint()
+    }
+    val arr = ad.filter(col("t") === "a")
+    val dep = ad.filter(col("t") === "d")
+    // per-leaf deltas: ONE batch-sized aggregation collect
+    val deltas: Map[Node, Long] = graft.core.Prof.time("lshidx/deltas") {
+      ad.groupBy(col("tbl"), col("nbits"), col("bucket"), col("t"))
         .agg(count(lit(1)).as("n")).collect()
-        .map(r => Node(r.getInt(0), r.getInt(1), r.getLong(2)) -> sign * r.getLong(3))
-        .toSeq
-    val deltas = (deltasOf(arr, 1L) ++ deltasOf(dep, -1L))
-      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        .map(r => (Node(r.getInt(0), r.getInt(1), r.getLong(2)),
+          if (r.getString(3) == "a") r.getLong(4) else -r.getLong(4)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    }
     val newCounts = (oldLeaves.keySet ++ deltas.keySet).map { n =>
       n -> (oldLeaves.getOrElse(n, 0L) + deltas.getOrElse(n, 0L))
     }.toMap
@@ -296,23 +318,27 @@ private[analytics] object LshIndex {
       val stored = region.filter(oldLeaves.contains)
       val base =
         if (stored.isEmpty)
-          arr.limit(0)
+          ad.limit(0).select(col("vec_id"), col("tbl"), col("sbits"),
+            col("nbits"), col("bucket"))
         else {
           val keys = nodeDf(s, stored)
           lshb.readBuckets(keys)
             .join(broadcast(keys), Seq("tbl", "nbits", "bucket"), "left_semi")
-            .select(col("vec_id"), col("tbl"), col("sb"), col("nbits"), col("bucket"))
+            .select(col("vec_id"), col("tbl"), col("sbits"),
+              col("nbits"), col("bucket"))
         }
       base.join(dep.select(col("vec_id"), col("tbl")),
         Seq("vec_id", "tbl"), "left_anti")
     }
     def arrivalsAt(region: Seq[Node]): DataFrame =
       arr.join(broadcast(nodeDf(s, region)),
-        Seq("tbl", "nbits", "bucket"), "left_semi")
+          Seq("tbl", "nbits", "bucket"), "left_semi")
+        .select(col("vec_id"), col("tbl"), col("sbits"),
+          col("nbits"), col("bucket"))
 
     // ---- new row placements -----------------------------------------------
     val stableArr = arrivalsAt(sol.stable.keys.toSeq)
-      .select(col("tbl"), col("nbits"), col("bucket"), col("vec_id"), col("sb"))
+      .select(col("tbl"), col("nbits"), col("bucket"), col("vec_id"), col("sbits"))
     val mergeRegion = sol.merges.flatMap(_._2)
     val mergedRows =
       if (sol.merges.isEmpty) None
@@ -324,15 +350,17 @@ private[analytics] object LshIndex {
         Some(membersOf(mergeRegion).unionByName(arrivalsAt(mergeRegion))
           .join(mapDf, Seq("tbl", "nbits", "bucket"))
           .select(col("tbl"), col("t_nbits").as("nbits"),
-            col("t_bucket").as("bucket"), col("vec_id"), col("sb")))
+            col("t_bucket").as("bucket"), col("vec_id"), col("sbits")))
       }
     val splitRows =
       if (sol.splits.isEmpty) None
       else Some(splitCascade(
         membersOf(sol.splits).unionByName(arrivalsAt(sol.splits)), cap)
-        .select(col("tbl"), col("nbits"), col("bucket"), col("vec_id"), col("sb")))
-    val placed = (Seq(stableArr) ++ mergedRows ++ splitRows)
-      .reduce(_ unionByName _).localCheckpoint()
+        .select(col("tbl"), col("nbits"), col("bucket"), col("vec_id"), col("sbits")))
+    val placed = graft.core.Prof.time("lshidx/placed") {
+      (Seq(stableArr) ++ mergedRows ++ splitRows)
+        .reduce(_ unionByName _).localCheckpoint()
+    }
 
     // ---- vacated keys -------------------------------------------------------
     // every key that held a row and is not re-placed identically:
@@ -341,7 +369,7 @@ private[analytics] object LshIndex {
     val changedOld = (mergeRegion ++ sol.splits).filter(oldLeaves.contains)
     val storedChanged =
       if (changedOld.isEmpty)
-        dep.limit(0).select(col("tbl"), col("nbits"), col("bucket"), col("vec_id"))
+        ad.limit(0).select(col("tbl"), col("nbits"), col("bucket"), col("vec_id"))
       else {
         val keys = nodeDf(s, changedOld)
         lshb.readBuckets(keys)
@@ -355,12 +383,14 @@ private[analytics] object LshIndex {
       .join(placed.select(col("tbl"), col("nbits"), col("bucket"), col("vec_id")),
         Seq("tbl", "nbits", "bucket", "vec_id"), "left_anti")
 
-    lshb.merge(placed.withColumn("op", lit(graft.core.ChangeLog.Update))
-      .unionByName(vacated
-        .withColumn("sb", lit(null).cast("array<bigint>"))
-        .select(col("tbl"), col("nbits"), col("bucket"), col("vec_id"), col("sb"))
-        .withColumn("op", lit(graft.core.ChangeLog.Delete)))
-      .withColumn("seq", lit(seqNo)))
+    graft.core.Prof.time("lshidx/merge") {
+      lshb.merge(placed.withColumn("op", lit(graft.core.ChangeLog.Update))
+        .unionByName(vacated
+          .withColumn("sbits", lit(null).cast("bigint"))
+          .select(col("tbl"), col("nbits"), col("bucket"), col("vec_id"), col("sbits"))
+          .withColumn("op", lit(graft.core.ChangeLog.Delete)))
+        .withColumn("seq", lit(seqNo)))
+    }
 
     // ---- leaf counts ---------------------------------------------------------
     val cascadeCounts: Map[Node, Long] = splitRows match {
@@ -377,7 +407,7 @@ private[analytics] object LshIndex {
     val changedRows = newLeaves.toSeq
       .filter { case (n, c) => !oldLeaves.get(n).contains(c) }
       .map { case (n, c) => (n.tbl, n.nbits, n.bucket, c, graft.core.ChangeLog.Update) }
-    val removedRows = (sol.removed ++ sol.stable.filter(_._2 == 0L).keys)
+    val removedRows = sol.removed
       .filterNot(newLeaves.contains).distinct
       .map(n => (n.tbl, n.nbits, n.bucket, 0L, graft.core.ChangeLog.Delete))
     cnt.merge((changedRows ++ removedRows)
@@ -404,7 +434,8 @@ private[analytics] object LshIndex {
       s"$site: LSH bucket truncation $dropped/$total exceeds the declared 5% " +
         "regime — deepen the split depth so dense regions split instead of " +
         "dropping candidates")
-    val tRows = descend(s, signRows(touched), leaves.keys).localCheckpoint()
+    val tRows = descend(s, signRows(touched).withColumn("t", lit("q")),
+      leaves.keys).localCheckpoint()
     val leafKeys = tRows.select(col("tbl"), col("nbits"), col("bucket")).distinct()
       .localCheckpoint()
     val members = lshb.readBuckets(leafKeys)

@@ -728,7 +728,8 @@ object MiningQueries {
       import s.implicits._
       val work = Q.scratch("cccdc")
       val labels = new graft.sinks.SnapshotSink(s, s"$work/lbl", Seq("vtx"))
-      val postings = new graft.sinks.SnapshotSink(s, s"$work/post", Seq("lbl", "vtx"))
+      val postings = new graft.sinks.SnapshotSink(s, s"$work/post",
+        Seq("lbl", "vtx"), bucketBy = Seq("lbl"))
       def cpairs(t: Int): DataFrame = {
         val li = Tables.lineitem(s, d).filter(col("l_quantity") >= t)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -763,7 +764,14 @@ object MiningQueries {
       (1 to 3).foreach { b =>
         val delta = cpairs(thresholds(b))
           .join(cpairs(thresholds(b - 1)), Seq("u", "v"), "left_anti")
-        val lab = labels.read().select(col("vtx"), col("lbl"))
+          .localCheckpoint()
+        // endpoint labels via a vtx-bucket point read (the anti-join
+        // below is complete over the restricted read — any existing row
+        // for these keys lives in their buckets)
+        val dv = delta.select(explode(array(col("u"), col("v"))).as("vtx"))
+          .distinct().localCheckpoint()
+        val lab = labels.readBuckets(dv).join(dv, Seq("vtx"), "left_semi")
+          .select(col("vtx"), col("lbl"))
         val lpairs = delta
           .join(lab.select(col("vtx").as("u"), col("lbl").as("lu0")), Seq("u"), "left")
           .join(lab.select(col("vtx").as("v"), col("lbl").as("lv0")), Seq("v"), "left")
@@ -782,15 +790,16 @@ object MiningQueries {
             "shard the edge delta into smaller micro-batches, or rebuild " +
               "distributed via gph_largestar_smallstar_cc")
             .toSeq.map(r => (r.getLong(0), r.getLong(1))))
-        val newV = delta.select(explode(array(col("u"), col("v"))).as("vtx"))
-          .distinct().join(lab, Seq("vtx"), "left_anti")
+        val newV = dv.join(lab, Seq("vtx"), "left_anti")
         val mdf = broadcast(
           mapping.toSeq.toDF("old_lbl", "new_lbl"))
-        // merged components' members via label point reads; the group-min
-        // component keeps its label and is never touched. Both frames are
-        // batch-bounded and checkpointed BEFORE the merges: their lazy
-        // plans reference sink generations the first merge GCs.
-        val moved = postings.read().select(col("lbl"), col("vtx"))
+        // merged components' members via lbl-bucket point reads of the
+        // merged labels only; the group-min component keeps its label and
+        // is never touched. Both frames are batch-bounded and
+        // checkpointed BEFORE the merges: their lazy plans reference sink
+        // generations the first merge GCs.
+        val moved = postings.readBuckets(mapping.keys.toSeq.toDF("lbl"))
+          .select(col("lbl"), col("vtx"))
           .join(mdf, col("lbl") === col("old_lbl")).localCheckpoint()
         val newRows = newV
           .join(mdf, col("vtx") === col("old_lbl"), "left")

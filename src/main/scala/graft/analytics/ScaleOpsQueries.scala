@@ -1735,7 +1735,15 @@ object ScaleOpsQueries {
     * [[lshAdaptiveBuckets]]), two local-join rounds, integer-lattice
     * L2 with total-order ties (see the entry scaladoc for the shape
     * argument). */
-  private[analytics] def nnDescentGraph(s: SparkSession, d: String): DataFrame = {
+  private[analytics] def nnDescentGraph(s: SparkSession, d: String): DataFrame =
+    nnDescentWithBuckets(s, d)._1
+
+  /** [[nnDescentGraph]] plus its internal checkpointed adaptive-bucket
+    * frame and cap — the maintained build's batch-0 init reuses them
+    * instead of paying a second from-scratch bucket pass.
+    */
+  private[analytics] def nnDescentWithBuckets(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Long) = {
     val dist = (a: String, b: String) => expr(
       s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
     val qt = Tables.embeddings(s, d).select(col("vec_id"), expr(
@@ -1771,7 +1779,7 @@ object ScaleOpsQueries {
         .unionByName(nbr.select(col("u"), col("v"))).distinct()
       nbr = topk(cand)
     }
-    nbr
+    (nbr, bkf, cap)
   }
 
   /** Oracle-side from-scratch replay of the maintained k-NN graph: the
@@ -1852,6 +1860,11 @@ object ScaleOpsQueries {
     */
   private val knnGraphCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The cached maintained-k-NN work dir for dataset `d` (stress hook —
+    * build must have run; see [[annMaintainedKnnGraph]]).
+    */
+  private[graft] def knnWorkDir(d: String): String = knnGraphCache(d)
 
   private[graft] def annMaintainedKnnGraph(s: SparkSession, d: String)
       : (graft.sinks.SnapshotSink, graft.sinks.SnapshotSink) = {
@@ -1946,10 +1959,17 @@ object ScaleOpsQueries {
     // live count maintained by batch arithmetic — the √N cap's input,
     // never recounted from state
     var nLive = e.count()
-    LshIndex.initFromScratch(s, lshb, lshcnt,
-      e.select(col("vec_id"), col("embedding")), lshBucketCapFor(nLive))
+    val (g0raw, bkf0, _) = nnDescentWithBuckets(s, d)
+    graft.core.Prof.time("knncdc/baseInit") {
+    graft.core.Prof.time("knncdc/lshInit") {
+      // reuse the base build's own checkpointed bucket frame — batch 0
+      // pays ONE adaptive-bucket pass, not two
+      LshIndex.initFromScratch(s, lshb, lshcnt,
+        e.select(col("vec_id"), col("embedding")), lshBucketCapFor(nLive),
+        bkf0 = Some(bkf0))
+    }
     entryBuffer(e.select(col("vec_id")), 0L)
-    val g0 = nnDescentGraph(s, d).groupBy(col("u"))
+    val g0 = g0raw.groupBy(col("u"))
       .agg(expr("transform(array_sort(collect_list(struct(rnk, v))), p -> p.v)").as("nbrs"))
       .localCheckpoint()
     graph.merge(g0
@@ -1957,6 +1977,40 @@ object ScaleOpsQueries {
     rev.merge(g0.select(col("u").as("w"), explode(col("nbrs")).as("u"))
       .groupBy(col("u")).agg(sort_array(collect_set(col("w"))).as("rnbrs"))
       .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
+    }
+    (1 to 3).foreach { b => graft.core.Prof.time(s"knncdc/batch$b") {
+      val ups = e.filter(col("vec_id") % 10 === b)
+        .select(col("vec_id"), rot(b).as("embedding"))
+      val ins = e.filter(col("vec_id") % 23 === b)
+        .select((col("vec_id") + lit(1000000L * b)).as("vec_id"),
+          rot(b + 3).as("embedding"))
+      val chg = ups.unionByName(ins)
+        .select(col("vec_id"), col("embedding"), qx.as("q")).localCheckpoint()
+      val delIds = e.filter(col("vec_id") % 17 === b && col("vec_id") % 10 =!= b)
+        .select(col("vec_id")).localCheckpoint()
+      nLive = knnApplyBatch(s, vecs, graph, rev, lshb, lshcnt, meta,
+        chg, delIds, nLive, b.toLong)
+    } }
+  }
+
+  /** Apply ONE change batch to the full maintained k-NN state: the
+    * vector images, the adaptive-LSH bucket index, the forward graph,
+    * the reverse adjacency, and the entry-point metadata — every state
+    * access a bucket point read of the batch's own neighborhood keys
+    * plus the O(√N) leaf-count table; returns the post-batch live count.
+    * `chg` carries post-images (vec_id, embedding, q); `delIds` the
+    * tombstoned keys. Shared by the build loop and ScaleStress's
+    * `knnbatch` fixed-batch pair — the corpus-independence evidence that
+    * per-batch cost tracks the batch, not the corpus.
+    */
+  private[graft] def knnApplyBatch(s: SparkSession,
+      vecs: graft.sinks.SnapshotSink, graph: graft.sinks.SnapshotSink,
+      rev: graft.sinks.SnapshotSink, lshb: graft.sinks.SnapshotSink,
+      lshcnt: graft.sinks.SnapshotSink, meta: graft.sinks.SnapshotSink,
+      chg: DataFrame, delIds: DataFrame, nLiveBefore: Long, b: Long): Long = {
+    import s.implicits._
+    val dist = (a: String, c: String) => expr(
+      s"aggregate(zip_with($a, $c, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
     // undirected edges (u, v) for u in `keys` — two point reads sharing
     // one bucket-id job (identical sink layouts), no scan
     def undFor(keys: DataFrame): DataFrame = {
@@ -1968,113 +2022,121 @@ object ScaleOpsQueries {
           .select(col("u"), explode(col("rnbrs")).as("v")))
         .distinct()
     }
-    (1 to 3).foreach { b =>
-      val ups = e.filter(col("vec_id") % 10 === b)
-        .select(col("vec_id"), rot(b).as("embedding"))
-      val ins = e.filter(col("vec_id") % 23 === b)
-        .select((col("vec_id") + lit(1000000L * b)).as("vec_id"),
-          rot(b + 3).as("embedding"))
-      val chg = ups.unionByName(ins)
-        .select(col("vec_id"), col("embedding"), qx.as("q")).localCheckpoint()
-      val delIds = e.filter(col("vec_id") % 17 === b && col("vec_id") % 10 =!= b)
-        .select(col("vec_id")).localCheckpoint()
-      val chKeys = chg.select(col("vec_id"))
-        .unionByName(delIds).distinct().localCheckpoint()
-      // old undirected edges at the change keys, pinned BEFORE any merge
-      val undCh = undFor(chKeys.withColumnRenamed("vec_id", "u")).localCheckpoint()
-      // PRE-merge point read of the change keys' old images: these are
-      // the LSH index's departures (old positions vacate), and the
-      // previously-live/new split drives the maintained live count
-      val oldImgs = vecs.readBuckets(chKeys)
-        .join(chKeys, Seq("vec_id"), "left_semi")
-        .select(col("vec_id"), col("embedding")).localCheckpoint()
-      val nNew = chg.join(oldImgs.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
-      val nDel = delIds.join(oldImgs.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
-      nLive = nLive + nNew - nDel
-      val capB = lshBucketCapFor(nLive)
-      vecs.merge(chg.withColumn("op", lit(graft.core.ChangeLog.Update))
-        .unionByName(delIds
-          .select(col("vec_id"), lit(null).cast("array<float>").as("embedding"),
-            lit(null).cast("array<bigint>").as("q"),
-            lit(graft.core.ChangeLog.Delete).as("op")))
-        .withColumn("seq", lit(b.toLong)))
-      val leaves = LshIndex.maintainBatch(s, lshb, lshcnt,
+    val chKeys = chg.select(col("vec_id"))
+      .unionByName(delIds).distinct().localCheckpoint()
+    // old undirected edges at the change keys, pinned BEFORE any merge
+    val undCh = undFor(chKeys.withColumnRenamed("vec_id", "u")).localCheckpoint()
+    // PRE-merge point read of the change keys' old images: these are
+    // the LSH index's departures (old positions vacate), and the
+    // previously-live/new split drives the maintained live count —
+    // ONE tagged job derives both deltas
+    val oldImgs = vecs.readBuckets(chKeys)
+      .join(chKeys, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val cnts = chg.select(col("vec_id"), lit("c").as("t"))
+      .unionByName(delIds.select(col("vec_id"), lit("d").as("t")))
+      .join(oldImgs.select(col("vec_id"), lit(1).as("ex")), Seq("vec_id"), "left")
+      .groupBy(col("t"), col("ex").isNotNull.as("e")).count().collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    val nLive = nLiveBefore +
+      cnts.getOrElse(("c", false), 0L) - cnts.getOrElse(("d", true), 0L)
+    val capB = lshBucketCapFor(nLive)
+    vecs.merge(chg.withColumn("op", lit(graft.core.ChangeLog.Update))
+      .unionByName(delIds
+        .select(col("vec_id"), lit(null).cast("array<float>").as("embedding"),
+          lit(null).cast("array<bigint>").as("q"),
+          lit(graft.core.ChangeLog.Delete).as("op")))
+      .withColumn("seq", lit(b)))
+    val leaves = graft.core.Prof.time("knncdc/lshMaintain") {
+      LshIndex.maintainBatch(s, lshb, lshcnt,
         arrivals = chg.select(col("vec_id"), col("embedding")),
-        departures = oldImgs, cap = capB, seqNo = b.toLong)
-      // entry-point buffer: (buffer ∖ deletes) ∪ arrivals, re-truncated
-      // to the bottom 64 — exact-min preserving (see the sink's comment);
-      // an emptied buffer refills from the one declared scan
-      val bufOld = meta.read().select(explode(col("ids")).as("vec_id"))
-        .join(delIds, Seq("vec_id"), "left_anti")
-        .unionByName(chg.select(col("vec_id")))
-      val bufSrc =
-        if (bufOld.isEmpty) vecs.read().select(col("vec_id")) // refill (rare)
-        else bufOld
-      entryBuffer(bufSrc, b.toLong)
-      val touched0 = chg.select(col("vec_id").as("u"))
-        .unionByName(undCh.select(col("v").as("u")))
-        .distinct().localCheckpoint()
-      // post-merge point read of the touched keys: liveness filter AND
-      // the current (embedding, q) images the mates/scoring need — one
-      // bucket-pruned read, no live-state scan
-      val tvec = vecs.readBuckets(touched0.select(col("u").as("vec_id")))
-        .join(touched0.select(col("u").as("vec_id")), Seq("vec_id"), "left_semi")
-        .localCheckpoint()
-      val touched = tvec.select(col("vec_id").as("u")).localCheckpoint()
-      // old forward lists of every vertex whose list will change —
-      // pinned pre-merge; these edges' endpoints are the rev delta scope
-      val changedV = touched
-        .unionByName(delIds.select(col("vec_id").as("u")))
-        .distinct().localCheckpoint()
-      val fwdOld = graph.readBuckets(changedV).join(changedV, Seq("u"), "left_semi")
-        .select(col("u").as("w"), explode(col("nbrs")).as("a")).localCheckpoint()
-      val oneHop = undFor(touched).localCheckpoint()
-      val twoHop = oneHop.as("x")
-        .join(undFor(oneHop.select(col("v").as("u"))).as("y"),
-          col("x.v") === col("y.u"))
-        .select(col("x.u").as("u"), col("y.v").as("v"))
-      // LSH mates from the MAINTAINED bucket index: the touched vertices'
-      // own leaves, point-read — cap tracking √N_live exactly like the
-      // from-scratch build (dense buckets split; the mates side is
-      // width-capped at the same cap with the ≤ 5% truncation gate, now
-      // evaluated from the maintained leaf counts for free). The touched
-      // side stays uncapped so every touched vertex still draws
-      // candidates.
-      val lshMates = LshIndex.matesFor(s, lshb, leaves,
+        departures = oldImgs, cap = capB, seqNo = b)
+    }
+    // entry-point buffer: (buffer ∖ deletes) ∪ arrivals, re-truncated to
+    // the bottom 64 — exact-min preserving (every live id outside the
+    // buffer exceeds its old max); an emptied buffer refills from the
+    // one declared scan (never at harness scale). ONE 64-row collect.
+    val bufNew = meta.read().select(explode(col("ids")).as("vec_id"))
+      .join(delIds, Seq("vec_id"), "left_anti")
+      .unionByName(chg.select(col("vec_id")))
+      .distinct().orderBy(col("vec_id")).limit(64)
+      .collect().map(_.getLong(0))
+    val bufIds =
+      if (bufNew.nonEmpty) bufNew.toSeq
+      else vecs.read().select(col("vec_id")) // refill (rare, declared)
+        .orderBy(col("vec_id")).limit(64).collect().map(_.getLong(0)).toSeq
+    meta.merge(Seq(("entry", bufIds.sorted)).toDF("k", "ids")
+      .withColumn("op", lit(graft.core.ChangeLog.Update))
+      .withColumn("seq", lit(b)))
+    val touched0 = chg.select(col("vec_id").as("u"))
+      .unionByName(undCh.select(col("v").as("u")))
+      .distinct().localCheckpoint()
+    // post-merge point read of the touched keys: liveness filter AND
+    // the current (embedding, q) images the mates/scoring need — one
+    // bucket-pruned read, no live-state scan
+    val tvec = vecs.readBuckets(touched0.select(col("u").as("vec_id")))
+      .join(touched0.select(col("u").as("vec_id")), Seq("vec_id"), "left_semi")
+      .localCheckpoint()
+    val touched = tvec.select(col("vec_id").as("u")).localCheckpoint()
+    // old forward lists of every vertex whose list will change —
+    // pinned pre-merge; these edges' endpoints are the rev delta scope
+    val changedV = touched
+      .unionByName(delIds.select(col("vec_id").as("u")))
+      .distinct().localCheckpoint()
+    val fwdOld = graph.readBuckets(changedV).join(changedV, Seq("u"), "left_semi")
+      .select(col("u").as("w"), explode(col("nbrs")).as("a")).localCheckpoint()
+    val oneHop = undFor(touched).localCheckpoint()
+    val twoHop = oneHop.as("x")
+      .join(undFor(oneHop.select(col("v").as("u"))).as("y"),
+        col("x.v") === col("y.u"))
+      .select(col("x.u").as("u"), col("y.v").as("v"))
+    // LSH mates from the MAINTAINED bucket index: the touched vertices'
+    // own leaves, point-read — cap tracking √N_live exactly like the
+    // from-scratch build (dense buckets split; the mates side is
+    // width-capped at the same cap with the ≤ 5% truncation gate, now
+    // evaluated from the maintained leaf counts for free). The touched
+    // side stays uncapped so every touched vertex still draws candidates.
+    val lshMates = graft.core.Prof.time("knncdc/mates") {
+      LshIndex.matesFor(s, lshb, leaves,
         tvec.select(col("vec_id"), col("embedding")), capB,
         "buildKnnMaintained/mates")
-      val cand = oneHop.unionByName(twoHop).unionByName(lshMates)
-        .filter(col("u") =!= col("v")).distinct()
-      // candidate liveness + lattice images in ONE bucket-pruned point
-      // read of the candidates' keys (the inner joins below drop dead
-      // vectors exactly like the former full-live join)
-      val candIds = cand.select(col("u").as("vec_id"))
-        .unionByName(cand.select(col("v").as("vec_id"))).distinct()
-        .localCheckpoint()
-      val qv = vecs.readBuckets(candIds).join(candIds, Seq("vec_id"), "left_semi")
-        .select(col("vec_id"), col("q")).localCheckpoint()
-      val wK = Window.partitionBy(col("u")).orderBy(col("dd").asc, col("v").asc)
-      val scored = cand
-        .join(qv.select(col("vec_id").as("u"), col("q").as("qu")), Seq("u"))
-        .join(qv.select(col("vec_id").as("v"), col("q").as("qw")), Seq("v"))
-        .withColumn("dd", dist("qu", "qw"))
-        .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= 8)
-      val newRows = scored.groupBy(col("u"))
-        .agg(expr("transform(array_sort(collect_list(struct(rnk, v))), p -> p.v)").as("nbrs"))
-      val rows = touched.join(newRows, Seq("u"), "left")
+    }
+    val cand = oneHop.unionByName(twoHop).unionByName(lshMates)
+      .filter(col("u") =!= col("v")).distinct()
+    // candidate liveness + lattice images in ONE bucket-pruned point
+    // read of the candidates' keys (the inner joins below drop dead
+    // vectors exactly like the former full-live join)
+    val candIds = cand.select(col("u").as("vec_id"))
+      .unionByName(cand.select(col("v").as("vec_id"))).distinct()
+      .localCheckpoint()
+    val qv = vecs.readBuckets(candIds).join(candIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("q")).localCheckpoint()
+    val wK = Window.partitionBy(col("u")).orderBy(col("dd").asc, col("v").asc)
+    val scored = cand
+      .join(qv.select(col("vec_id").as("u"), col("q").as("qu")), Seq("u"))
+      .join(qv.select(col("vec_id").as("v"), col("q").as("qw")), Seq("v"))
+      .withColumn("dd", dist("qu", "qw"))
+      .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= 8)
+    val newRows = scored.groupBy(col("u"))
+      .agg(expr("transform(array_sort(collect_list(struct(rnk, v))), p -> p.v)").as("nbrs"))
+    val rows = graft.core.Prof.time("knncdc/score") {
+      touched.join(newRows, Seq("u"), "left")
         .select(col("u"),
           coalesce(col("nbrs"), expr("CAST(array() AS array<bigint>)")).as("nbrs"))
         .localCheckpoint()
-      graph.merge(rows.withColumn("op", lit(graft.core.ChangeLog.Update))
-        .unionByName(delIds.select(col("vec_id").as("u"),
-          lit(null).cast("array<bigint>").as("nbrs"),
-          lit(graft.core.ChangeLog.Delete).as("op")))
-        .withColumn("seq", lit(b.toLong)))
-      // rev delta, same commit cadence as the graph merge (see
-      // [[revDeltaBatch]] — shared with the ScaleStress pair that
-      // measures it against the epoch-rebuild twin)
-      revDeltaBatch(rev, vecs, fwdOld, rows, changedV, delIds, b.toLong)
     }
+    graph.merge(rows.withColumn("op", lit(graft.core.ChangeLog.Update))
+      .unionByName(delIds.select(col("vec_id").as("u"),
+        lit(null).cast("array<bigint>").as("nbrs"),
+        lit(graft.core.ChangeLog.Delete).as("op")))
+      .withColumn("seq", lit(b)))
+    // rev delta, same commit cadence as the graph merge (see
+    // [[revDeltaBatch]] — shared with the ScaleStress pair that
+    // measures it against the epoch-rebuild twin)
+    graft.core.Prof.time("knncdc/revDelta") {
+      revDeltaBatch(rev, vecs, fwdOld, rows, changedV, delIds, b)
+    }
+    nLive
   }
 
   /** One reverse-adjacency delta step. a's reverse set changes iff some

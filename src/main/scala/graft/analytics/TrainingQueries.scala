@@ -165,11 +165,16 @@ object TrainingQueries {
         val (touched, carried) =
           if (b == 0) (newBands.select("band", "band_key").distinct(), newBands)
           else {
-            val keys = ch.select(col("doc_id")).distinct()
-            val oldBands = bandsOf(docState.read().join(keys, Seq("doc_id")))
+            // both pre-merge lookups are bucket point reads: the changed
+            // docs' own doc-state buckets, then the touched band keys'
+            // bucket-sink buckets — never a state scan
+            val keys = ch.select(col("doc_id")).distinct().localCheckpoint()
+            val oldBands = bandsOf(docState.readBuckets(keys)
+              .join(keys, Seq("doc_id")))
             val t = newBands.select("band", "band_key")
               .unionByName(oldBands.select("band", "band_key")).distinct()
-            val old = buckets.read().join(t, Seq("band", "band_key"))
+              .localCheckpoint()
+            val old = buckets.readBuckets(t).join(t, Seq("band", "band_key"))
               .select(col("band"), col("band_key"),
                 explode(col("members")).as("doc_id"))
               .join(keys, Seq("doc_id"), "left_anti")

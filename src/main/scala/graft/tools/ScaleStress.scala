@@ -505,6 +505,42 @@ object ScaleStress {
       println(f"[stress] beam_serve_fixed_queries        $secs%8.2fs rows=$rows")
     }
 
+    // maintained k-NN graph, FIXED-batch regime: one constant-size change
+    // batch (2000 base-replica rotations, 200 tombstones) applied to the
+    // fully-built maintained state — the corpus-independence evidence for
+    // the delta-maintained LSH index + point-read loop: this row at 10×
+    // vs 30× must stay ~flat (cost ∝ batch neighborhood + √N metadata),
+    // while the pre-r14 full-re-bucket loop scaled it with the corpus
+    if (extrasOn("knnbatch")) {
+      graft.analytics.ScaleOpsQueries.annMaintainedKnnGraph(spark, out)
+      val w = graft.analytics.ScaleOpsQueries.knnWorkDir(out)
+      val vecs = new graft.sinks.SnapshotSink(spark, s"$w/vecs", Seq("vec_id"), numBuckets = 16)
+      val graph = new graft.sinks.SnapshotSink(spark, s"$w/graph", Seq("u"), numBuckets = 16)
+      val rev = new graft.sinks.SnapshotSink(spark, s"$w/rev", Seq("u"), numBuckets = 16)
+      val lshb = new graft.sinks.SnapshotSink(spark, s"$w/lshb",
+        Seq("tbl", "nbits", "bucket", "vec_id"), numBuckets = 16,
+        bucketBy = Seq("tbl", "nbits", "bucket"))
+      val lshcnt = new graft.sinks.SnapshotSink(spark, s"$w/lshcnt",
+        Seq("tbl", "nbits", "bucket"))
+      val meta = new graft.sinks.SnapshotSink(spark, s"$w/meta", Seq("k"), numBuckets = 1)
+      val qx = expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
+      val base = Tables.load(spark, out, "embeddings")
+        .filter(col("vec_id") < shift) // base replica only: fixed size at any factor
+      val chg = base.filter(col("vec_id") % 97 === 0).limit(2000)
+        .select(col("vec_id"),
+          expr("concat(slice(embedding, 6, 59), slice(embedding, 1, 5))").as("embedding"))
+        .select(col("vec_id"), col("embedding"), qx.as("q")).localCheckpoint()
+      val dels = base.filter(col("vec_id") % 101 === 0).limit(200)
+        .select(col("vec_id")).localCheckpoint()
+      val nLive = vecs.read().count() // setup, not timed
+      val t0 = System.nanoTime()
+      graft.analytics.ScaleOpsQueries.knnApplyBatch(spark,
+        vecs, graph, rev, lshb, lshcnt, meta, chg, dels, nLive, 100L)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] knn_fixed_batch_apply            $secs%8.2fs (2000 chg + 200 del, ${factor}x corpus)")
+    }
+
     // reverse-adjacency maintenance: the delta rule (cost ∝ touched
     // neighborhood) vs the flatten-the-whole-graph epoch rebuild it
     // replaced, on IDENTICAL inputs (one synthetic batch rewriting 200
