@@ -1912,8 +1912,6 @@ object ScaleOpsQueries {
       s"concat(slice(embedding, ${b + 1}, ${64 - b}), slice(embedding, 1, $b))")
     val qx = expr(
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
-    val dist = (a: String, b: String) => expr(
-      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
     val vecs = new graft.sinks.SnapshotSink(s, s"$work/vecs", Seq("vec_id"), numBuckets = 16)
     val graph = new graft.sinks.SnapshotSink(s, s"$work/graph", Seq("u"), numBuckets = 16)
     // The REVERSE adjacency, maintained as first-class CDC state next to
@@ -2285,6 +2283,10 @@ object ScaleOpsQueries {
     var beam = qvec.select(col("qid")).crossJoin(ep)
       .select(col("qid"), col("v")).localCheckpoint()
     (1 to 3).foreach { h =>
+      // checkpointed: frontier feeds the bucket-id collect AND two
+      // semi-joins — its distinct is a shuffle, and re-evaluating it
+      // three times per hop measurably loses to the one checkpoint job
+      // (A/B'd this round)
       val frontier = graft.core.Prof.time(s"beamserve/frontier$h") {
         beam.select(col("v").as("u")).distinct().localCheckpoint()
       }
