@@ -2135,12 +2135,16 @@ object IndexQueries {
     val segStats: Seq[(Long, Long)] = graft.core.Prof.time(s"$auditSite/segStats") {
       // one job: departures (every changed doc that existed) and arrivals
       // (non-delete changes) tagged and counted per origin together
-      val tagged = docView.map(_.select(col("doc_id"), lit("d").as("t")))
-        .getOrElse(ch.limit(0).select(col("doc_id"), lit("d").as("t")))
-        .unionByName(ch.filter(col("op") =!= graft.core.ChangeLog.Delete)
-          .select(col("doc_id"), lit("a").as("t")))
-        .groupBy(expr(s"doc_id div $segDiv").as("orig"), col("t"))
-        .agg(count(lit(1)).as("n")).collect()
+      val tagged = graft.core.Bounded.collect(
+        docView.map(_.select(col("doc_id"), lit("d").as("t")))
+          .getOrElse(ch.limit(0).select(col("doc_id"), lit("d").as("t")))
+          .unionByName(ch.filter(col("op") =!= graft.core.ChangeLog.Delete)
+            .select(col("doc_id"), lit("a").as("t")))
+          .groupBy(expr(s"doc_id div $segDiv").as("orig"), col("t"))
+          .agg(count(lit(1)).as("n")),
+        1 << 20, s"$auditSite/originDeltas",
+        "per-batch origin deltas are bounded by the change batch — " +
+          "shard oversized change batches into smaller micro-batches")
       val dep = tagged.filter(_.getString(1) == "d")
         .map(r => r.getLong(0) -> r.getLong(2)).toMap
       val arr = tagged.filter(_.getString(1) == "a")

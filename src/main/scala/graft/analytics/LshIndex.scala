@@ -297,8 +297,12 @@ private[analytics] object LshIndex {
     val dep = ad.filter(col("t") === "d")
     // per-leaf deltas: ONE batch-sized aggregation collect
     val deltas: Map[Node, Long] = graft.core.Prof.time("lshidx/deltas") {
-      ad.groupBy(col("tbl"), col("nbits"), col("bucket"), col("t"))
-        .agg(count(lit(1)).as("n")).collect()
+      graft.core.Bounded.collect(
+        ad.groupBy(col("tbl"), col("nbits"), col("bucket"), col("t"))
+          .agg(count(lit(1)).as("n")),
+        1 << 20, "LshIndex/deltas",
+        "per-batch node deltas are bounded by 4x the change batch — " +
+          "shard oversized change batches into smaller micro-batches")
         .map(r => (Node(r.getInt(0), r.getInt(1), r.getLong(2)),
           if (r.getString(3) == "a") r.getLong(4) else -r.getLong(4)))
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
@@ -396,8 +400,12 @@ private[analytics] object LshIndex {
     val cascadeCounts: Map[Node, Long] = splitRows match {
       case None => Map.empty
       case Some(rows) =>
-        rows.groupBy(col("tbl"), col("nbits"), col("bucket"))
-          .agg(count(lit(1)).as("cn")).collect()
+        graft.core.Bounded.collect(
+          rows.groupBy(col("tbl"), col("nbits"), col("bucket"))
+            .agg(count(lit(1)).as("cn")),
+          1 << 20, "LshIndex/cascadeCounts",
+          "cascade output leaves are bounded by the split regions' " +
+            "member count / cap — the leaf-table (manifest-sized) class")
           .map(r => Node(r.getInt(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
           .toMap
     }

@@ -2031,10 +2031,13 @@ object ScaleOpsQueries {
     val oldImgs = vecs.readBuckets(chKeys)
       .join(chKeys, Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding")).localCheckpoint()
-    val cnts = chg.select(col("vec_id"), lit("c").as("t"))
-      .unionByName(delIds.select(col("vec_id"), lit("d").as("t")))
-      .join(oldImgs.select(col("vec_id"), lit(1).as("ex")), Seq("vec_id"), "left")
-      .groupBy(col("t"), col("ex").isNotNull.as("e")).count().collect()
+    // a (tag × existed) contingency table: structurally ≤ 4 rows
+    val cnts = graft.core.Bounded.collect(
+      chg.select(col("vec_id"), lit("c").as("t"))
+        .unionByName(delIds.select(col("vec_id"), lit("d").as("t")))
+        .join(oldImgs.select(col("vec_id"), lit(1).as("ex")), Seq("vec_id"), "left")
+        .groupBy(col("t"), col("ex").isNotNull.as("e")).count(),
+      16, "knnApplyBatch/liveDeltas", "a 2x2 contingency table")
       .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
     val nLive = nLiveBefore +
       cnts.getOrElse(("c", false), 0L) - cnts.getOrElse(("d", true), 0L)
@@ -2054,15 +2057,19 @@ object ScaleOpsQueries {
     // the bottom 64 — exact-min preserving (every live id outside the
     // buffer exceeds its old max); an emptied buffer refills from the
     // one declared scan (never at harness scale). ONE 64-row collect.
-    val bufNew = meta.read().select(explode(col("ids")).as("vec_id"))
-      .join(delIds, Seq("vec_id"), "left_anti")
-      .unionByName(chg.select(col("vec_id")))
-      .distinct().orderBy(col("vec_id")).limit(64)
-      .collect().map(_.getLong(0))
+    val bufNew = graft.core.Bounded.collect(
+      meta.read().select(explode(col("ids")).as("vec_id"))
+        .join(delIds, Seq("vec_id"), "left_anti")
+        .unionByName(chg.select(col("vec_id")))
+        .distinct().orderBy(col("vec_id")).limit(64),
+      128, "knnApplyBatch/entryBuffer", "limit(64) upstream")
+      .map(_.getLong(0))
     val bufIds =
       if (bufNew.nonEmpty) bufNew.toSeq
-      else vecs.read().select(col("vec_id")) // refill (rare, declared)
-        .orderBy(col("vec_id")).limit(64).collect().map(_.getLong(0)).toSeq
+      else graft.core.Bounded.collect( // refill (rare, declared)
+        vecs.read().select(col("vec_id")).orderBy(col("vec_id")).limit(64),
+        128, "knnApplyBatch/entryRefill", "limit(64) upstream")
+        .map(_.getLong(0)).toSeq
     meta.merge(Seq(("entry", bufIds.sorted)).toDF("k", "ids")
       .withColumn("op", lit(graft.core.ChangeLog.Update))
       .withColumn("seq", lit(b)))
