@@ -234,15 +234,28 @@ private[analytics] object LshIndex {
     cur
   }
 
-  /** Current leaf counts, driver-side. Bounded: leaves are O(N/cap) =
-    * O(√N) under the √N cap — the manifest-sized metadata class.
+  /** Current leaf counts, driver-side. Bounded: leaves ≈ 2N/cap (two
+    * tables × N/cap) = ~2√N under the √N cap — the manifest-sized
+    * metadata class. The cap-vs-bound arithmetic, explicit: the 1<<20
+    * guard fires at 2√N > 2^20, i.e. N ≳ 2^38 ≈ 2.7e11 vectors
+    * (≈ 100 TB of 256-byte embedding rows). The stated remedy — raise
+    * the bucket cap above √N (cap = N/2^19 pins leaves at the bound) —
+    * is NOT a free knob: wider buckets mean more mates per touched
+    * vector in [[matesFor]] and earlier pressure on its ≤ 5%
+    * truncation gate, so crossing 2.7e11 vectors trades per-batch mate
+    * fan-out (or split depth) for driver-side leaf-table size. The
+    * guard exists to make that trade loud at the boundary instead of
+    * silently OOMing the driver.
     */
   def readLeaves(cnt: graft.sinks.SnapshotSink): Map[Node, Long] =
     graft.core.Bounded.collect(
       cnt.read().select(col("tbl"), col("nbits"), col("bucket"), col("n")),
       1 << 20, "LshIndex/leaves",
-      "the leaf-count table must stay manifest-sized (O(N/cap) = O(sqrt N) " +
-        "under the sqrt-N cap) — raise the bucket cap so leaves stay bounded")
+      "the leaf-count table must stay manifest-sized (~2*sqrt(N) leaves " +
+        "under the sqrt-N cap; this bound fires at N ~ 2.7e11 vectors) — " +
+        "raise the bucket cap above sqrt(N) so leaves stay bounded, " +
+        "accepting wider buckets (more mates per touched vector and " +
+        "earlier 5%-truncation-gate pressure; see readLeaves scaladoc)")
       .map(r => Node(r.getInt(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
       .toMap
 
@@ -270,6 +283,112 @@ private[analytics] object LshIndex {
       "the leaf-count table must stay manifest-sized — raise the bucket cap")
       .map(r => Node(r.getInt(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
       .toMap
+  }
+
+  /** Result of one [[applyBatch]]: the new leaf counts, plus — scan
+    * regime only — the checkpointed from-scratch assignment frame
+    * (vec_id, tbl, nbits, bucket) so same-batch mates consumers join it
+    * directly instead of point-reading state the rebuild just wrote.
+    */
+  final case class BatchResult(leaves: Map[Node, Long], scanBkf: Option[DataFrame])
+
+  /** Per-batch cost-based regime switch (r14 verdict #1). The delta
+    * path's cost tracks the BATCH (descend + structurally-changed
+    * regions + their point reads); the scan path's tracks the CORPUS
+    * (one adaptive re-bucket pass + a full-state diff merge). When a
+    * batch is a large fraction of live state (backfills, bulk loads,
+    * the harness build's ~17% batches), bucket pruning cannot fire and
+    * the delta loop pays its per-job fixed overhead for nothing — r14
+    * measured the delta-always build +38% at 10× vs the r13 scan-always
+    * code. The decision input is FREE: the caller maintains the live
+    * count by batch arithmetic and the batch row count from its own
+    * change frames; no state is read to decide. Crossover measured at
+    * 10×/sf0.1 (ProfileOne, same staged dir): delta ≈ 9.9 s/batch at a
+    * 17% batch vs scan ≈ 5 s — while the fixed 4.4% knnbatch stress
+    * batch reads ~flat under delta and would pay the full corpus pass
+    * under scan. The threshold sits between those regimes; both paths
+    * produce the identical from-scratch assignment (LshIndexSpec pins
+    * rows, counts, and mates equal through forced switches both ways).
+    */
+  val ScanRegimeBatchFraction: Double = 0.08
+
+  /** The crossover predicate — true when the batch should take the scan
+    * regime. `batchRows` is the caller's batch-size measure (change keys
+    * or images), `liveRows` the live count it maintains by arithmetic.
+    */
+  def scanRegime(batchRows: Long, liveRows: Long): Boolean =
+    liveRows > 0L &&
+      batchRows.toDouble / liveRows.toDouble >= ScanRegimeBatchFraction
+
+  /** Apply one change batch in the caller-decided regime (callers share
+    * ONE [[scanRegime]] decision across every read of their batch loop):
+    * [[maintainBatch]] when `scan` is false, [[rebuildBatch]] when true.
+    * `liveVecs` is only evaluated in the scan regime (the one declared
+    * corpus-sized read of that path).
+    */
+  def applyBatch(s: SparkSession, lshb: graft.sinks.SnapshotSink,
+      cnt: graft.sinks.SnapshotSink, arrivals: DataFrame, departures: DataFrame,
+      cap: Long, seqNo: Long, scan: Boolean,
+      liveVecs: => DataFrame): BatchResult =
+    if (scan) {
+      val (leaves, bkf) = graft.core.Prof.time("lshidx/rebuild") {
+        rebuildBatch(s, lshb, cnt, liveVecs, cap, seqNo)
+      }
+      BatchResult(leaves, Some(bkf))
+    } else
+      BatchResult(
+        maintainBatch(s, lshb, cnt, arrivals, departures, cap, seqNo), None)
+
+  /** Scan-regime batch application: ONE from-scratch adaptive re-bucket
+    * of the full live set (exactly the oracle's per-batch replay), then
+    * an epoch write — [[graft.sinks.SnapshotSink.replace]] commits the
+    * new assignment as the whole snapshot in one manifest rename, so no
+    * old generation is read and no tombstones are computed (the batch IS
+    * the full new state). Returns the new leaf map plus the checkpointed
+    * assignment frame for same-batch mates consumers.
+    */
+  private def rebuildBatch(s: SparkSession, lshb: graft.sinks.SnapshotSink,
+      cnt: graft.sinks.SnapshotSink, liveVecs: DataFrame, cap: Long,
+      seqNo: Long): (Map[Node, Long], DataFrame) = {
+    // ONE checkpoint: the assignment pass consumes the input once and
+    // emits the packed sign bits itself (no second sign pass, no join);
+    // the member-row projection below stays narrow-over-materialized, so
+    // replace's defensive copy elides
+    val bkfS = ScaleOpsQueries.lshAdaptiveBucketsWithSigns(
+      liveVecs.select(col("vec_id"), col("embedding")), cap).localCheckpoint()
+    lshb.replace(bkfS
+      .select(col("tbl"), col("nbits"), col("bucket"), col("vec_id"), col("sbits"))
+      .withColumn("op", lit(graft.core.ChangeLog.Update))
+      .withColumn("seq", lit(seqNo)))
+    val oldLeaves = readLeaves(cnt)
+    val newLeaves = graft.core.Bounded.collect(
+      bkfS.groupBy(col("tbl"), col("nbits"), col("bucket"))
+        .agg(count(lit(1)).as("n")),
+      1 << 20, "LshIndex/rebuildCounts",
+      "the leaf-count table must stay manifest-sized — raise the bucket cap")
+      .map(r => Node(r.getInt(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    commitLeafCounts(s, cnt, oldLeaves, newLeaves, seqNo)
+    (newLeaves, bkfS.select(col("vec_id"), col("tbl"), col("nbits"), col("bucket")))
+  }
+
+  /** Write the leaf-count delta: changed counts as updates, vanished
+    * leaves as tombstones — driver-side map arithmetic, one tiny merge.
+    */
+  private def commitLeafCounts(s: SparkSession, cnt: graft.sinks.SnapshotSink,
+      oldLeaves: Map[Node, Long], newLeaves: Map[Node, Long], seqNo: Long): Unit = {
+    import s.implicits._
+    val changedRows = newLeaves.toSeq
+      .filter { case (n, c) => !oldLeaves.get(n).contains(c) }
+      .map { case (n, c) => (n.tbl, n.nbits, n.bucket, c, graft.core.ChangeLog.Update) }
+    val removedRows = oldLeaves.keys
+      .filterNot(newLeaves.contains).toSeq.distinct
+      .map(n => (n.tbl, n.nbits, n.bucket, 0L, graft.core.ChangeLog.Delete))
+    cnt.merge((changedRows ++ removedRows)
+      .toDF("tbl", "nbits", "bucket", "n", "op")
+      .withColumn("n", when(col("op") === graft.core.ChangeLog.Delete,
+        lit(null).cast("bigint")).otherwise(col("n")))
+      .withColumn("seq", lit(seqNo)))
   }
 
   /** Apply one change batch: `arrivals` are the post-batch images
@@ -412,17 +531,7 @@ private[analytics] object LshIndex {
     val newLeaves: Map[Node, Long] =
       sol.stable.filter(_._2 > 0L) ++
         sol.merges.map { case (t, _, n) => t -> n } ++ cascadeCounts
-    val changedRows = newLeaves.toSeq
-      .filter { case (n, c) => !oldLeaves.get(n).contains(c) }
-      .map { case (n, c) => (n.tbl, n.nbits, n.bucket, c, graft.core.ChangeLog.Update) }
-    val removedRows = sol.removed
-      .filterNot(newLeaves.contains).distinct
-      .map(n => (n.tbl, n.nbits, n.bucket, 0L, graft.core.ChangeLog.Delete))
-    cnt.merge((changedRows ++ removedRows)
-      .toDF("tbl", "nbits", "bucket", "n", "op")
-      .withColumn("n", when(col("op") === graft.core.ChangeLog.Delete,
-        lit(null).cast("bigint")).otherwise(col("n")))
-      .withColumn("seq", lit(seqNo)))
+    commitLeafCounts(s, cnt, oldLeaves, newLeaves, seqNo)
     newLeaves
   }
 
@@ -433,15 +542,44 @@ private[analytics] object LshIndex {
     * the touched leaves' buckets. The ≤ 5% residual-truncation gate is
     * evaluated from the maintained leaf counts (free — no state scan).
     */
-  def matesFor(s: SparkSession, lshb: graft.sinks.SnapshotSink,
-      leaves: Map[Node, Long], touched: DataFrame, cap: Long, site: String)
-      : DataFrame = {
+  /** The ≤ 5% residual-truncation gate, evaluated for free from the
+    * maintained leaf counts (no state scan) — shared by both mates
+    * paths. */
+  private def truncationGate(leaves: Map[Node, Long], cap: Long,
+      site: String): Unit = {
     val dropped = leaves.valuesIterator.map(n => math.max(n - cap, 0L)).sum
     val total = leaves.valuesIterator.sum
     require(dropped * 20 <= total,
       s"$site: LSH bucket truncation $dropped/$total exceeds the declared 5% " +
         "regime — deepen the split depth so dense regions split instead of " +
         "dropping candidates")
+  }
+
+  /** Scan-regime twin of [[matesFor]]: the same pair set (each touched
+    * vector × the first-`cap`-by-id members of its leaf, both tables)
+    * computed directly from the batch's own from-scratch assignment
+    * frame — no descend, no sink read; the rebuild that produced `bkf`
+    * IS the current state. `touched` carries vec_id only.
+    */
+  def matesFromBkf(bkf: DataFrame, leaves: Map[Node, Long], touched: DataFrame,
+      cap: Long, site: String): DataFrame = {
+    truncationGate(leaves, cap, site)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tbl"), col("nbits"), col("bucket")).orderBy(col("vec_id"))
+    val capped = bkf.withColumn("brn", row_number().over(wB))
+      .filter(col("brn") <= cap)
+      .select(col("tbl"), col("nbits"), col("bucket"), col("vec_id").as("v"))
+    bkf.join(touched.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("tbl"), col("nbits"), col("bucket"), col("vec_id").as("u"))
+      .join(capped, Seq("tbl", "nbits", "bucket"))
+      .filter(col("u") =!= col("v"))
+      .select(col("u"), col("v"))
+  }
+
+  def matesFor(s: SparkSession, lshb: graft.sinks.SnapshotSink,
+      leaves: Map[Node, Long], touched: DataFrame, cap: Long, site: String)
+      : DataFrame = {
+    truncationGate(leaves, cap, site)
     val tRows = descend(s, signRows(touched).withColumn("t", lit("q")),
       leaves.keys).localCheckpoint()
     val leafKeys = tRows.select(col("tbl"), col("nbits"), col("bucket")).distinct()

@@ -1683,26 +1683,67 @@ object ScaleOpsQueries {
     * ([[lshMatesCapped]]) turns an under-provisioned depth into a loud
     * diagnostic instead of silent recall loss.
     */
-  private[analytics] def lshAdaptiveBuckets(vecs: DataFrame, cap: Long): DataFrame = {
+  private[analytics] def lshAdaptiveBuckets(vecs: DataFrame, cap: Long): DataFrame =
+    lshAdaptiveBucketsFull(vecs, cap)
+      .select(col("vec_id"), col("tbl"), col("nbits"), col("bucket"))
+
+  /** [[lshAdaptiveBuckets]] plus the row's own table's six split-plane
+    * signs packed into one `sbits` long (bit d = depth-d plane) — the
+    * member-row payload the delta-maintained [[LshIndex]] stores. The
+    * scan-regime rebuild consumes this directly so the member rows need
+    * no second sign pass or join. Equivalence: old bit d = plane
+    * 12 + 6·tbl + d = bit 12 + 6·tbl + d of the packed 24-plane long,
+    * so sbits = (sbp >> (12 + 6·tbl)) & 0x3F.
+    */
+  private[analytics] def lshAdaptiveBucketsWithSigns(vecs: DataFrame,
+      cap: Long): DataFrame =
+    lshAdaptiveBucketsFull(vecs, cap)
+      .withColumn("sbits",
+        expr("shiftright(sbp, CAST(12 + tbl * 6 AS INT)) & CAST(63 AS BIGINT)"))
+      .select(col("vec_id"), col("tbl"), col("nbits"), col("bucket"), col("sbits"))
+
+  private def lshAdaptiveBucketsFull(vecs: DataFrame, cap: Long): DataFrame = {
+    // the 24 split-plane signs pack into ONE long up front (bit p =
+    // plane p), so the per-round state rows checkpoint a scalar instead
+    // of a 24-element array
     var cur = vecs.select(col("vec_id"),
         posexplode(GraftFunctions.lsh_buckets(col("embedding"), 2, 6)),
         GraftFunctions.lsh_buckets(col("embedding"), 24, 1).as("sb"))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      .withColumn("sbp", expr(
+        """aggregate(sequence(0, 23), CAST(0 AS BIGINT),
+          |  (acc, p) -> acc + shiftleft(element_at(sb, p + 1), p))""".stripMargin))
+      .drop("sb")
       .withColumn("nbits", lit(6))
-    (0 until LshSplitLevels).foreach { l =>
+    // early exit: counts are static within a pass (splitting only
+    // redistributes the split bucket's own members), so once NO bucket
+    // is over cap, every remaining level is an identity — stop instead
+    // of checkpointing inert rounds. An over-cap bucket at round l has
+    // depth exactly l (it split at every earlier round), so active
+    // rounds stay consecutively level-indexed and the assignment is
+    // bit-for-bit the fixed-6-round one (the oracle replays inert
+    // levels as identity CTEs).
+    var l = 0
+    var done = false
+    while (l < LshSplitLevels && !done) {
       val over = cur.groupBy(col("tbl"), col("nbits"), col("bucket"))
         .agg(count(lit(1)).as("n")).filter(col("n") > cap)
         .select(col("tbl"), col("nbits"), col("bucket"), lit(1).as("ovr"))
-      cur = cur.join(broadcast(over), Seq("tbl", "nbits", "bucket"), "left")
-        .select(col("vec_id"), col("tbl"), col("sb"),
-          when(col("ovr").isNotNull, col("nbits") + 1)
-            .otherwise(col("nbits")).as("nbits"),
-          when(col("ovr").isNotNull, col("bucket") * 2 +
-            element_at(col("sb"), (lit(13 + l) + col("tbl") * 6).cast("int")))
-            .otherwise(col("bucket")).as("bucket"))
         .localCheckpoint()
+      if (over.isEmpty) done = true
+      else {
+        cur = cur.join(broadcast(over), Seq("tbl", "nbits", "bucket"), "left")
+          .select(col("vec_id"), col("tbl"), col("sbp"),
+            when(col("ovr").isNotNull, col("nbits") + 1)
+              .otherwise(col("nbits")).as("nbits"),
+            when(col("ovr").isNotNull, col("bucket") * 2 +
+              expr(s"shiftright(sbp, CAST(12 + tbl * 6 + $l AS INT)) & CAST(1 AS BIGINT)"))
+              .otherwise(col("bucket")).as("bucket"))
+          .localCheckpoint()
+        l += 1
+      }
     }
-    cur.select(col("vec_id"), col("tbl"), col("nbits"), col("bucket"))
+    cur
   }
 
   /** Mates side of an LSH candidate join: first `cap` members per final
@@ -2000,6 +2041,13 @@ object ScaleOpsQueries {
     * tombstoned keys. Shared by the build loop and ScaleStress's
     * `knnbatch` fixed-batch pair — the corpus-independence evidence that
     * per-batch cost tracks the batch, not the corpus.
+    *
+    * One declared exception to "every access a point read": when the
+    * batch is a large fraction of live state, the LSH index maintenance
+    * switches to its scan regime ([[LshIndex.applyBatch]]) — one
+    * from-scratch re-bucket of the live vectors replaces the point-read
+    * loop whose pruning cannot fire there (r14 verdict #1: the
+    * delta-always build measured +38% at 10× on ~17% batches).
     */
   private[graft] def knnApplyBatch(s: SparkSession,
       vecs: graft.sinks.SnapshotSink, graph: graft.sinks.SnapshotSink,
@@ -2009,26 +2057,47 @@ object ScaleOpsQueries {
     import s.implicits._
     val dist = (a: String, c: String) => expr(
       s"aggregate(zip_with($a, $c, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
-    // undirected edges (u, v) for u in `keys` — two point reads sharing
-    // one bucket-id job (identical sink layouts), no scan
-    def undFor(keys: DataFrame): DataFrame = {
-      val k = keys.select(col("u")).distinct().localCheckpoint()
-      val wanted = graph.bucketIds(k)
-      graph.readBucketIds(wanted).join(k, Seq("u"), "left_semi")
-        .select(col("u"), explode(col("nbrs")).as("v"))
-        .unionByName(rev.readBucketIds(wanted).join(k, Seq("u"), "left_semi")
-          .select(col("u"), explode(col("rnbrs")).as("v")))
-        .distinct()
+    // ONE whole-batch read-regime decision (r14 verdict #1), shared by
+    // the LSH index switch below and every state read in this loop: when
+    // the batch is a large fraction of live state, the touched
+    // neighborhood spans most buckets, so per-keyset bucket pruning buys
+    // nothing and its fixed jobs (a bucket-id collect + pruned listing
+    // per read) dominate — read each sink ONCE and semi-join (the scan
+    // shape this loop had before the point-read retrofit). Small batches
+    // (the 100 TB steady state; the knnbatch stress row pins the regime
+    // ~flat at 3× corpus) keep the bucket-pruned point reads. The
+    // decision input is free: the change frames are checkpointed (their
+    // counts are trivial jobs) and the live count is batch arithmetic.
+    val bulk = LshIndex.scanRegime(chg.count() + delIds.count(), nLiveBefore)
+    // undirected edges (u, v) for u in `keys` — bulk: one semi-join over
+    // the full undirected edge list (read once, checkpointed); point:
+    // two bucket point reads sharing one bucket-id job (identical sink
+    // layouts), no scan
+    val undAll = if (!bulk) None else Some(
+      graph.read().select(col("u"), explode(col("nbrs")).as("v"))
+        .unionByName(rev.read().select(col("u"), explode(col("rnbrs")).as("v")))
+        .distinct().localCheckpoint())
+    def undFor(keys: DataFrame): DataFrame = undAll match {
+      case Some(und) =>
+        und.join(keys.select(col("u")).distinct(), Seq("u"), "left_semi")
+      case None =>
+        val k = keys.select(col("u")).distinct().localCheckpoint()
+        val wanted = graph.bucketIds(k)
+        graph.readBucketIds(wanted).join(k, Seq("u"), "left_semi")
+          .select(col("u"), explode(col("nbrs")).as("v"))
+          .unionByName(rev.readBucketIds(wanted).join(k, Seq("u"), "left_semi")
+            .select(col("u"), explode(col("rnbrs")).as("v")))
+          .distinct()
     }
     val chKeys = chg.select(col("vec_id"))
       .unionByName(delIds).distinct().localCheckpoint()
     // old undirected edges at the change keys, pinned BEFORE any merge
     val undCh = undFor(chKeys.withColumnRenamed("vec_id", "u")).localCheckpoint()
-    // PRE-merge point read of the change keys' old images: these are
+    // PRE-merge read of the change keys' old images: these are
     // the LSH index's departures (old positions vacate), and the
     // previously-live/new split drives the maintained live count —
     // ONE tagged job derives both deltas
-    val oldImgs = vecs.readBuckets(chKeys)
+    val oldImgs = (if (bulk) vecs.read() else vecs.readBuckets(chKeys))
       .join(chKeys, Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     // a (tag × existed) contingency table: structurally ≤ 4 rows
@@ -2048,19 +2117,50 @@ object ScaleOpsQueries {
           lit(null).cast("array<bigint>").as("q"),
           lit(graft.core.ChangeLog.Delete).as("op")))
       .withColumn("seq", lit(b)))
-    val leaves = graft.core.Prof.time("knncdc/lshMaintain") {
-      LshIndex.maintainBatch(s, lshb, lshcnt,
+    // post-merge live state, read ONCE in the bulk regime and shared by
+    // the LSH rebuild, the touched/candidate image reads, and the rev
+    // delta's liveness check — the regime's one declared corpus read
+    val liveAll = if (!bulk) None else Some(vecs.read().localCheckpoint())
+    // LSH index maintenance under the SAME regime decision: small
+    // batches take the delta path (descend + structurally-changed
+    // regions, point reads); batch ≈ corpus (backfills, bulk loads, the
+    // harness build's ~17% batches) takes the from-scratch rebuild —
+    // r14 measured the delta-always build +38% at 10× because pruning
+    // cannot fire there. Both paths are spec-pinned identical to the
+    // from-scratch assignment.
+    val lshRes = graft.core.Prof.time("knncdc/lshMaintain") {
+      LshIndex.applyBatch(s, lshb, lshcnt,
         arrivals = chg.select(col("vec_id"), col("embedding")),
-        departures = oldImgs, cap = capB, seqNo = b)
+        departures = oldImgs, cap = capB, seqNo = b, scan = bulk,
+        liveVecs = liveAll.map(_.select(col("vec_id"), col("embedding")))
+          .getOrElse(vecs.read().select(col("vec_id"), col("embedding"))))
     }
-    // entry-point buffer: (buffer ∖ deletes) ∪ arrivals, re-truncated to
-    // the bottom 64 — exact-min preserving (every live id outside the
-    // buffer exceeds its old max); an emptied buffer refills from the
-    // one declared scan (never at harness scale). ONE 64-row collect.
+    val leaves = lshRes.leaves
+    // entry-point min-buffer — invariant: the stored row holds ALL live
+    // ids at or below its own max (truncated to the 64 smallest), so
+    // ids[0] IS min(live). Candidates are survivors (old ids minus
+    // deletes) plus BOUNDARY-FILTERED arrivals: only arrivals at or
+    // below the OLD buffer max may enter. An arrival above the boundary
+    // is not provably among the bottom live ids, and admitting it breaks
+    // the prefix property the moment later deletes drain the survivors
+    // (buffer {1..64}, delete 1..10 + insert 100, then delete 11..64
+    // would serve ids[0]=100 while 65 is live). Under the invariant the
+    // filtered union equals {all live ids ≤ old max} exactly — proof:
+    // live ids ≤ oldMax after the batch = (old-buffer members ∖ deletes)
+    // ∪ (arrivals ≤ oldMax), both terms of the union — so truncating to
+    // the 64 smallest restores the invariant, and an EMPTY union means
+    // no live id remains at or below the boundary (the underflow case,
+    // subsuming survivors-empty): only then the declared refill scan
+    // recomputes the bottom-64 from post-merge live state. ONE ≤64-row
+    // collect either way.
     val bufNew = graft.core.Bounded.collect(
-      meta.read().select(explode(col("ids")).as("vec_id"))
+      meta.read().filter(col("k") === "entry")
+        .select(explode(col("ids")).as("vec_id"))
+        .unionByName(chg.select(col("vec_id"))
+          .join(broadcast(meta.read().filter(col("k") === "entry")
+            .select(expr("element_at(ids, size(ids))").as("mx"))),
+            col("vec_id") <= col("mx"), "left_semi"))
         .join(delIds, Seq("vec_id"), "left_anti")
-        .unionByName(chg.select(col("vec_id")))
         .distinct().orderBy(col("vec_id")).limit(64),
       128, "knnApplyBatch/entryBuffer", "limit(64) upstream")
       .map(_.getLong(0))
@@ -2076,19 +2176,27 @@ object ScaleOpsQueries {
     val touched0 = chg.select(col("vec_id").as("u"))
       .unionByName(undCh.select(col("v").as("u")))
       .distinct().localCheckpoint()
-    // post-merge point read of the touched keys: liveness filter AND
-    // the current (embedding, q) images the mates/scoring need — one
-    // bucket-pruned read, no live-state scan
-    val tvec = vecs.readBuckets(touched0.select(col("u").as("vec_id")))
-      .join(touched0.select(col("u").as("vec_id")), Seq("vec_id"), "left_semi")
-      .localCheckpoint()
-    val touched = tvec.select(col("vec_id").as("u")).localCheckpoint()
+    // post-merge liveness filter of the touched keys. Point mode reads
+    // the touched buckets once and KEEPS the images (the delta-path
+    // mates descend needs current embeddings); bulk mode materializes
+    // ids only — its mates come from the rebuild's own assignment frame,
+    // so copying embeddings into a second checkpoint would be waste.
+    val tvecPoint = if (bulk) None else Some(
+      vecs.readBuckets(touched0.select(col("u").as("vec_id")))
+        .join(touched0.select(col("u").as("vec_id")), Seq("vec_id"), "left_semi")
+        .localCheckpoint())
+    val touched = tvecPoint match {
+      case Some(tv) => tv.select(col("vec_id").as("u")).localCheckpoint()
+      case None => liveAll.get.select(col("vec_id").as("u"))
+        .join(touched0, Seq("u"), "left_semi").localCheckpoint()
+    }
     // old forward lists of every vertex whose list will change —
     // pinned pre-merge; these edges' endpoints are the rev delta scope
     val changedV = touched
       .unionByName(delIds.select(col("vec_id").as("u")))
       .distinct().localCheckpoint()
-    val fwdOld = graph.readBuckets(changedV).join(changedV, Seq("u"), "left_semi")
+    val fwdOld = (if (bulk) graph.read() else graph.readBuckets(changedV))
+      .join(changedV, Seq("u"), "left_semi")
       .select(col("u").as("w"), explode(col("nbrs")).as("a")).localCheckpoint()
     val oneHop = undFor(touched).localCheckpoint()
     val twoHop = oneHop.as("x")
@@ -2102,20 +2210,35 @@ object ScaleOpsQueries {
     // evaluated from the maintained leaf counts for free). The touched
     // side stays uncapped so every touched vertex still draws candidates.
     val lshMates = graft.core.Prof.time("knncdc/mates") {
-      LshIndex.matesFor(s, lshb, leaves,
-        tvec.select(col("vec_id"), col("embedding")), capB,
-        "buildKnnMaintained/mates")
+      lshRes.scanBkf match {
+        // scan regime: the batch's own from-scratch assignment frame IS
+        // the current state — join it directly, no descend, no sink read
+        case Some(bkf) => LshIndex.matesFromBkf(bkf, leaves,
+          touched.select(col("u").as("vec_id")), capB,
+          "buildKnnMaintained/mates")
+        case None => LshIndex.matesFor(s, lshb, leaves,
+          tvecPoint.get.select(col("vec_id"), col("embedding")), capB,
+          "buildKnnMaintained/mates")
+      }
     }
+    // checkpointed: cand feeds the candidate-id projection AND the
+    // scoring join — without it the whole candidate lineage (two-hop
+    // join + mates window) re-evaluates per consumer
     val cand = oneHop.unionByName(twoHop).unionByName(lshMates)
-      .filter(col("u") =!= col("v")).distinct()
-    // candidate liveness + lattice images in ONE bucket-pruned point
-    // read of the candidates' keys (the inner joins below drop dead
-    // vectors exactly like the former full-live join)
-    val candIds = cand.select(col("u").as("vec_id"))
-      .unionByName(cand.select(col("v").as("vec_id"))).distinct()
-      .localCheckpoint()
-    val qv = vecs.readBuckets(candIds).join(candIds, Seq("vec_id"), "left_semi")
-      .select(col("vec_id"), col("q")).localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // candidate liveness + lattice images: bulk joins the checkpointed
+    // live frame directly (the inner scoring joins drop dead vectors);
+    // point mode restricts to ONE bucket-pruned read of the candidates'
+    // keys
+    val qv = liveAll match {
+      case Some(la) => la.select(col("vec_id"), col("q"))
+      case None =>
+        val candIds = cand.select(col("u").as("vec_id"))
+          .unionByName(cand.select(col("v").as("vec_id"))).distinct()
+          .localCheckpoint()
+        vecs.readBuckets(candIds).join(candIds, Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("q")).localCheckpoint()
+    }
     val wK = Window.partitionBy(col("u")).orderBy(col("dd").asc, col("v").asc)
     val scored = cand
       .join(qv.select(col("vec_id").as("u"), col("q").as("qu")), Seq("u"))
@@ -2139,7 +2262,9 @@ object ScaleOpsQueries {
     // [[revDeltaBatch]] — shared with the ScaleStress pair that
     // measures it against the epoch-rebuild twin)
     graft.core.Prof.time("knncdc/revDelta") {
-      revDeltaBatch(rev, vecs, fwdOld, rows, changedV, delIds, b)
+      revDeltaBatch(rev, vecs, fwdOld, rows, changedV, delIds, b,
+        bulkLive = liveAll.map(_.select(col("vec_id"))),
+        bulkRev = if (bulk) Some(rev.read()) else None)
     }
     nLive
   }
@@ -2159,18 +2284,24 @@ object ScaleOpsQueries {
     */
   private[graft] def revDeltaBatch(rev: graft.sinks.SnapshotSink,
       vecs: graft.sinks.SnapshotSink, fwdOld: DataFrame, rows: DataFrame,
-      changedV: DataFrame, delIds: DataFrame, seqNo: Long): Unit = {
+      changedV: DataFrame, delIds: DataFrame, seqNo: Long,
+      bulkLive: Option[DataFrame] = None,
+      bulkRev: Option[DataFrame] = None): Unit = {
     val fwdNew = rows.select(col("u").as("w"), explode(col("nbrs")).as("a"))
     val affected0 = fwdOld.select(col("a"))
       .unionByName(fwdNew.select(col("a"))).distinct().localCheckpoint()
-    // liveness via a point read of the affected keys' buckets
+    // liveness via the caller's shared bulk frame (batch ≈ corpus: the
+    // affected set spans most buckets, pruning buys nothing) or a point
+    // read of the affected keys' buckets
     val affected = affected0.join(
-        vecs.readBuckets(affected0.select(col("a").as("vec_id")))
+        bulkLive.getOrElse(
+            vecs.readBuckets(affected0.select(col("a").as("vec_id"))))
           .select(col("vec_id").as("a")),
         Seq("a"), "left_semi")
       .localCheckpoint()
     val affKeys = affected.select(col("a").as("u"))
-    val revOld = rev.readBuckets(affKeys).join(affKeys, Seq("u"), "left_semi")
+    val revOld = bulkRev.getOrElse(rev.readBuckets(affKeys))
+      .join(affKeys, Seq("u"), "left_semi")
       .select(col("u").as("a"), explode(col("rnbrs")).as("w"))
     val kept = revOld.join(changedV.select(col("u").as("w")), Seq("w"), "left_anti")
     val contrib = kept.select(col("a"), col("w"))

@@ -363,6 +363,64 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     */
   def merge(batch: DataFrame): Unit = { mergeInternal(batch, None); () }
 
+  /** Replace the ENTIRE snapshot with `batch` in one manifest commit —
+    * the epoch-rebuild write path for scan-regime maintenance (batch ≈
+    * corpus). Unlike [[merge]], no existing generation is read or
+    * unioned and no tombstones are needed: the batch IS the full new
+    * state, every staged bucket maps to the new generation, and buckets
+    * absent from the batch stop existing in the manifest (their old
+    * generations become garbage at gc). Within-batch key collisions
+    * still resolve by seq-LWW; applied-id ranges carry forward; crash
+    * atomicity is the same single manifest rename.
+    */
+  def replace(batch: DataFrame): Unit = swapLock.synchronized {
+    recover()
+    val cur = currentManifest()
+    val dataCols = batch.columns.filterNot(c => c == "op" || c == "seq").toSeq
+    val normalized0 = batch.select(
+      (dataCols.map(col) :+ col("seq").as("__seq") :+
+        (col("op") === ChangeLog.Delete).as("__deleted")): _*)
+      .withColumn("__bucket", bucketCol)
+    // same defensive-copy elision contract as merge (the staged write
+    // must not re-evaluate an unstable plan; a checkpointed batch skips
+    // the copy)
+    val shallow = SnapshotSink.isMaterializedShallow(batch)
+    SnapshotSink.elisionProbe.foreach(_(path, shallow))
+    val normalized =
+      if (shallow) normalized0 else normalized0.localCheckpoint()
+    val fs = hfs
+    val newVersion = cur.map(_.version + 1).getOrElse(1L)
+    val next = ChangeLog.lastPerKey(normalized, pkCols, seqCol = "__seq")
+    graft.core.Prof.time(s"sink/write") {
+      next.repartition(numBuckets, col("__bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(stagingPath)
+    }
+    val written = fs.listStatus(p(stagingPath)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("__bucket="))
+      .map(_.stripPrefix("__bucket=").toInt).sorted
+    val staged =
+      if (written.nonEmpty) written
+      else {
+        // empty new state: stage bucket 0 as an explicit empty
+        // generation (the merge-path first-batch discipline) so the
+        // committed manifest never maps zero buckets
+        next.drop("__bucket").write.mode(SaveMode.Overwrite)
+          .parquet(s"$stagingPath/__bucket=0")
+        Seq(0)
+      }
+    staged.foreach { b =>
+      val dst = p(s"$dataPath/__bucket=$b/__gen=$newVersion")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.mkdirs(dst.getParent)
+      renameOrFail(fs, p(s"$stagingPath/__bucket=$b"), dst)
+    }
+    faultHook("staged")
+    val m = Manifest(newVersion, staged.map(_ -> newVersion).toMap,
+      cur.map(_.applied).getOrElse(Nil))
+    commitManifest(m)
+    graft.core.Prof.time(s"sink/gc") { gc(m) }
+  }
+
   private def mergeInternal(batch: DataFrame, batchId: Option[Long]): Boolean =
     swapLock.synchronized {
       recover()

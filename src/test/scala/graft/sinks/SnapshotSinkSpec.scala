@@ -48,6 +48,33 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(once == twice && once == Map(1L -> "a2", 3L -> "c"))
   }
 
+  test("replace swaps the whole snapshot: absent keys vanish without " +
+      "tombstones, later merges apply on top, applied ids carry") {
+    val path = tmp()
+    val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
+    assert(sink.mergeOnce(7L, log((1, "insert", 1, "a"), (1, "insert", 2, "b"),
+      (1, "insert", 3, "c"))))
+    // epoch write: id 2 is simply absent from the new state — no delete
+    // row anywhere in the batch
+    sink.replace(log((2, "update", 1, "a2"), (2, "insert", 9, "z")))
+    val got = sink.read().select("id", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a2", 9L -> "z"))
+    // applied-id ranges carried across the replace (a replayed batch 7
+    // still skips)
+    assert(sink.applied(7L) && !sink.applied(8L))
+    assert(!sink.mergeOnce(7L, log((9, "insert", 5, "x"))))
+    // normal merging continues against the replaced state
+    sink.merge(log((3, "delete", 9, "z"), (3, "insert", 4, "d")))
+    val after = sink.read().select("id", "v").as[(Long, String)].collect().toMap
+    assert(after == Map(1L -> "a2", 4L -> "d"))
+    // an empty replace empties the sink without wedging it
+    sink.replace(log())
+    assert(sink.read().count() == 0L)
+    sink.merge(log((4, "insert", 6, "e")))
+    assert(sink.read().select("id", "v").as[(Long, String)].collect().toMap
+      == Map(6L -> "e"))
+  }
+
   test("mergeOnce skips a replayed batch id even when the replay differs") {
     // seq-LWW covers identical-row replays; the batch-id guard covers the
     // harder case — a recomputed delta/retraction batch whose inputs read
