@@ -513,7 +513,19 @@ object ScaleStress {
     // while the pre-r14 full-re-bucket loop scaled it with the corpus
     if (extrasOn("knnbatch")) {
       graft.analytics.ScaleOpsQueries.annMaintainedKnnGraph(spark, out)
-      val w = graft.analytics.ScaleOpsQueries.knnWorkDir(out)
+      // CLONE the cached maintained state before applying the batch: the
+      // timed knnApplyBatch below merges a seq=100 batch into these
+      // sinks, and mutating the SHARED per-dataset work dir would make
+      // every later consumer in the same session (the revadj pair, a
+      // beamserve row ordered after) observe state+1 batch instead of
+      // the canonical 3-batch build — order-dependent measurements. The
+      // copy is filesystem-only and runs off the clock.
+      val w0 = graft.analytics.ScaleOpsQueries.knnWorkDir(out)
+      val w = out + "/knnbatch_clone"
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val hfs = new org.apache.hadoop.fs.Path(w0).getFileSystem(hconf)
+      org.apache.hadoop.fs.FileUtil.copy(hfs, new org.apache.hadoop.fs.Path(w0),
+        hfs, new org.apache.hadoop.fs.Path(w), false, hconf)
       val vecs = new graft.sinks.SnapshotSink(spark, s"$w/vecs", Seq("vec_id"), numBuckets = 16)
       val graph = new graft.sinks.SnapshotSink(spark, s"$w/graph", Seq("u"), numBuckets = 16)
       val rev = new graft.sinks.SnapshotSink(spark, s"$w/rev", Seq("u"), numBuckets = 16)
@@ -527,7 +539,14 @@ object ScaleStress {
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
       val base = Tables.load(spark, out, "embeddings")
         .filter(col("vec_id") < shift) // base replica only: fixed size at any factor
-      val chg = base.filter(col("vec_id") % 97 === 0).limit(2000)
+      // the update and delete key sets must be DISJOINT (ids divisible by
+      // both 97 and 101, e.g. 9797, would otherwise emit a same-seq
+      // Update and Delete for one pk — LWW tie undefined — and hand the
+      // LSH index an arrival for a vector the vector sink tombstones),
+      // matching the at-most-one-op-per-key discipline knnApplyBatch's
+      // build loop keeps (its delete predicate excludes the update ids)
+      val chg = base.filter(col("vec_id") % 97 === 0 && col("vec_id") % 101 =!= 0)
+        .limit(2000)
         .select(col("vec_id"),
           expr("concat(slice(embedding, 6, 59), slice(embedding, 1, 5))").as("embedding"))
         .select(col("vec_id"), col("embedding"), qx.as("q")).localCheckpoint()
