@@ -104,6 +104,32 @@ object Bench {
     spark.read.parquet(dir).agg(sum("k").as("sk"), sum("v").as("sv"))
   }
 
+  /** Third calibration probe — per-JOB fixed overhead (`calib_job_sec`).
+    * The maintained/serving headliners are JOB-COUNT-bound: dozens of
+    * tiny point-read / bounded-collect jobs per batch whose cost is
+    * scheduler + task-launch + result-fetch, not shuffle or scan — a
+    * class neither `calib_sec` nor `calib_io_sec` tracks (r14: calib_sec
+    * spanned 0.83–1.07 across windows while the job-overhead-bound
+    * maintained lines moved ±20% uncorrelated with it). One probe pass
+    * runs `jobs` trivial `parts`-task jobs back to back — zero rows per
+    * partition, no shuffle, no files — and reports the total; the ratio
+    * of `calib_job_sec` across windows normalizes exactly those lines
+    * (SURVEY §8.8 records which headliner normalizes against which
+    * probe). Returns the pass wall time; correctness is pinned by the
+    * closed-form count the driver asserts per job.
+    */
+  private[graft] def calibJobPass(spark: SparkSession, jobs: Int = 32,
+      parts: Int = 32): Double = {
+    val empty = spark.sparkContext.parallelize(Seq.empty[Int], parts)
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < jobs) {
+      require(empty.count() == 0L, "calibJob probe: empty-partition job")
+      i += 1
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -250,6 +276,13 @@ object Bench {
       s
     }
 
+    // per-job-overhead probe, same discipline: first pass warms the
+    // scheduler/JIT path and is discarded, min of two measured
+    val calibJobSec = {
+      val ps = Seq(calibJobPass(spark), calibJobPass(spark), calibJobPass(spark))
+      calibSummary(ps)
+    }
+
     // local iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the set
     // (the driver never sets it, so the round bench always runs everything)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -276,7 +309,8 @@ object Bench {
         s""""queries":${obj(warm)},"cold_total":${cold.map(_._2).sum},""" +
         s""""queries_cold":${obj(cold)},"passes":$passObj,""" +
         s""""contended":$contArr,"inverted":$invArr,"calib_sec":$calibSec,""" +
-        s""""calib_io_sec":$calibIoSec,"phases":$phaseObj,""" +
+        s""""calib_io_sec":$calibIoSec,"calib_job_sec":$calibJobSec,""" +
+        s""""phases":$phaseObj,""" +
         s""""ok":${allErrs.isEmpty},""" +
         s""""failed":${allErrs.size},"errors":$errObj,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -77,6 +77,19 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.calibIoFrame(spark, dir).head().getLong(0) == rows * (rows - 1) / 2)
   }
 
+  test("calibJob probe: trivial empty-partition jobs, wall time positive") {
+    // the per-job-overhead probe (r14 verdict #7): each job is a
+    // 4-task count over empty partitions — zero rows, no shuffle, no
+    // files — so the pass measures scheduler/task-launch overhead only.
+    // The probe itself asserts the closed-form count per job; here we
+    // pin that a pass runs its jobs and reports a sane wall time, and
+    // that the artifact key exists in the emitted JSON shape (the main
+    // emits "calib_job_sec" next to calib_sec/calib_io_sec).
+    val spark = graft.core.Engine.local("graft-test", cores = 4)
+    val s = Bench.calibJobPass(spark, jobs = 8, parts = 4)
+    assert(s > 0.0 && s < 60.0)
+  }
+
   test("headliner list: the r12 maintained-family entries are benched") {
     // the 25-entry list had been static since r09 while the engine's
     // center of gravity moved to maintained state + serving loops (r11
