@@ -1181,13 +1181,15 @@ object MiningQueries {
     // vertices appear and components merge (a probe absent from the graph
     // at batch b simply has no row yet). Crash-atomicity needs NO merge
     // ordering argument here: unlike the two-sink batch entry, ALL state
-    // lives in one (lbl, vtx) sink (vertex→label is its projection;
-    // label→members its key order), so the single mergeOnce's manifest
-    // rename advances data and applied-id together and a replayed batch
-    // recomputes against unchanged state or skips. Per-batch cost:
-    // endpoint-label lookups (key-pushdown point reads at scale),
-    // batch-bounded driver union-find (commented collect), point rewrites
-    // of merged components' members, probe-set point reads. The oracle
+    // lives in ONE sink — each membership stored under both a vtx-keyed
+    // serve row and an lbl-keyed postings row (see the sink comment) —
+    // so the single mergeOnce's manifest rename advances data and
+    // applied-id together and a replayed batch recomputes against
+    // unchanged state or skips. Per-batch cost: endpoint-label lookups
+    // (key-pushdown point reads at scale), batch-bounded driver
+    // union-find (commented collect), point rewrites of merged
+    // components' members read from their own postings buckets,
+    // probe-set point reads. The oracle
     // re-derives every batch's as-of components from scratch (recursive
     // min-label fixpoint per batch) — serving from maintained state is
     // hash-gated against recomputation at every point in stream time.
@@ -1227,16 +1229,39 @@ object MiningQueries {
         java.nio.file.Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
       }
-      // serving sink: one-merge read grace for external readers. Bucket
-      // on vtx — three of the loop's four state lookups are vertex-keyed
-      // (endpoint labels, new-vertex anti-join, probe serve) and become
-      // batch-/probe-sized point reads; only the moved-members lookup
-      // (label-keyed, fires when components merge) stays a full read —
-      // the dual-keyed twin that prunes BOTH sides is ForestCutCC's
-      // labels+postings pair, at the price of a second sink this loop's
-      // one-commit atomicity argument deliberately avoids.
-      val sink = new graft.sinks.SnapshotSink(s, s"$work/state", Seq("lbl", "vtx"),
-        readGrace = true, bucketBy = Seq("vtx"))
+      // serving sink: one-merge read grace for external readers. The
+      // loop's four state lookups split by key: three are vertex-keyed
+      // (endpoint labels, new-vertex anti-join, probe serve) and one is
+      // label-keyed (moved members when components merge). A second
+      // lbl-bucketed postings sink (the ForestCutCC pair) would prune
+      // both sides but break this loop's one-commit replay atomicity —
+      // a crash between the two mergeOnce commits leaves the sinks one
+      // batch apart, and the replayed batch then recomputes its merge
+      // mapping against half-advanced state. Instead each membership
+      // row is stored TWICE in the SAME sink under a `role`
+      // discriminator with a derived bucket key (`bkey` = vtx for
+      // serve rows, lbl for postings rows): vertex reads prune to
+      // their keys' buckets among the 'v' rows, the moved-members read
+      // prunes to the merging labels' buckets among the 'l' rows, and
+      // BOTH projections advance in the one manifest rename mergeOnce
+      // already does. Price: 2× state and 2× batch rows — the standard
+      // co-committed secondary-index trade, vs the O(components) full
+      // read this replaces (r14 verdict #3).
+      val sink = new graft.sinks.SnapshotSink(s, s"$work/state",
+        Seq("role", "lbl", "vtx"), readGrace = true, bucketBy = Seq("bkey"))
+      // expand one logical membership change (lbl, vtx, op) into its two
+      // role rows; every write path goes through this
+      def dual(rows: DataFrame): DataFrame =
+        rows.select(lit("v").as("role"), col("vtx").as("bkey"),
+            col("lbl"), col("vtx"), col("op"))
+          .unionByName(rows.select(lit("l").as("role"), col("lbl").as("bkey"),
+            col("lbl"), col("vtx"), col("op")))
+      // vertex-keyed point read: the keys' buckets among the 'v' rows
+      def readVtx(keys: DataFrame): DataFrame =
+        sink.readBuckets(keys.select(col("vtx").as("bkey")))
+          .filter(col("role") === "v")
+          .join(keys.select(col("vtx")), Seq("vtx"), "left_semi")
+          .select(col("vtx"), col("lbl"))
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "kind STRING, qb BIGINT, u BIGINT, v BIGINT, probe BIGINT")
       val stream = s.readStream.schema(schema)
@@ -1264,14 +1289,13 @@ object MiningQueries {
                 state = next.select(col("vtx"), col("lbl"))
               }
               ue.unpersist(false)
-              state.select(col("lbl"), col("vtx"))
-                .withColumn("op", lit(graft.core.ChangeLog.Insert))
+              dual(state.select(col("lbl"), col("vtx"))
+                .withColumn("op", lit(graft.core.ChangeLog.Insert)))
             } else {
               // endpoint labels: a point read of the delta's own buckets
               val dv = delta.select(explode(array(col("u"), col("v"))).as("vtx"))
                 .distinct().localCheckpoint()
-              val lab = sink.readBuckets(dv).join(dv, Seq("vtx"), "left_semi")
-                .select(col("vtx"), col("lbl"))
+              val lab = readVtx(dv)
               val lpairs = delta
                 .join(lab.select(col("vtx").as("u"), col("lbl").as("lu0")), Seq("u"), "left")
                 .join(lab.select(col("vtx").as("v"), col("lbl").as("lv0")), Seq("v"), "left")
@@ -1289,19 +1313,24 @@ object MiningQueries {
                     "rebuild distributed via gph_largestar_smallstar_cc")
                   .toSeq.map(r => (r.getLong(0), r.getLong(1))))
               val mdf = broadcast(mapping.toSeq.toDF("old_lbl", "new_lbl"))
-              // moved = EVERY member of a merging label — label-keyed, the
-              // one full read this loop keeps (see the sink comment)
-              val moved = sink.read().select(col("vtx"), col("lbl"))
+              // moved = EVERY member of a merging label — a point read of
+              // the merging labels' buckets among the 'l' postings rows
+              // (the former full read, r14 verdict #3), ∝ the moving
+              // components' sizes, not O(components)
+              val moved = sink
+                .readBuckets(mapping.keys.toSeq.toDF("lbl")
+                  .select(col("lbl").as("bkey")))
+                .filter(col("role") === "l").select(col("vtx"), col("lbl"))
                 .join(mdf, col("lbl") === col("old_lbl"))
               val newRows = dv.join(lab, Seq("vtx"), "left_anti")
                 .join(mdf, col("vtx") === col("old_lbl"), "left")
                 .select(coalesce(col("new_lbl"), col("vtx")).as("lbl"), col("vtx"))
-              moved.select(col("lbl"), col("vtx"))
+              dual(moved.select(col("lbl"), col("vtx"))
                 .withColumn("op", lit(graft.core.ChangeLog.Delete))
                 .unionByName(moved.select(col("new_lbl").as("lbl"), col("vtx"))
                   .withColumn("op", lit(graft.core.ChangeLog.Insert)))
                 .unionByName(newRows
-                  .withColumn("op", lit(graft.core.ChangeLog.Insert)))
+                  .withColumn("op", lit(graft.core.ChangeLog.Insert))))
             }
           sink.mergeOnce(id, graft.core.AuditSeam.report(
             "gph_stream_serve_components/maintain",
@@ -1313,7 +1342,7 @@ object MiningQueries {
           val pr = batch.filter(col("kind") === "qry")
             .select(col("probe").as("vtx")).localCheckpoint()
           graft.core.AuditSeam.report("gph_stream_serve_components/serve",
-            sink.readBuckets(pr).join(pr, Seq("vtx"))
+            readVtx(pr)
               .select(lit(qbv).as("qbatch"), col("vtx").as("part_id"),
                 col("lbl").as("component")))
             .write.mode("append").parquet(s"$work/out")
