@@ -24,10 +24,18 @@ class BenchSpec extends AnyFunSuite {
     // the healthy post-fix shape: cold pays codegen, warms settle below
     assert(!Bench.isInverted(11.6, Seq(4.17, 4.35)))
     assert(!Bench.isInverted(6.75, Seq(4.78, 4.56)))
-    // a tie-break pass that recovers below cold clears nothing
-    // retroactively — inversion is judged on the warms present at check
-    // time, and a later recovery pass only improves the reported MIN
+    // the recovery pass ADJUDICATES (the caller re-evaluates with it
+    // included): a persisting floor above cold keeps the flag — the r08
+    // accumulation shape grows through its recovery pass —
     assert(Bench.isInverted(3.0, Seq(3.5, 3.4, 3.6)))
+    assert(Bench.isInverted(5.94, Seq(8.01, 11.03, 12.1)))
+    // — while a recovery back under the margin refutes accumulation and
+    // clears it: the r15 forest-cut window ([22.61 cold, 24.88, 24.12],
+    // recovery 21.63 — a late-running job-bound line in a fully-warmed
+    // JVM has no codegen premium, so its ±8% warm noise band straddles
+    // cold; 5 same-JVM warm passes profiled flat, no accumulation)
+    assert(Bench.isInverted(22.61, Seq(24.88, 24.12)))
+    assert(!Bench.isInverted(22.61, Seq(24.88, 24.12, 21.63)))
     // 5% margin: cold a hair under warm (negligible-codegen query noise)
     // must NOT burn a recovery pass; past the margin it must
     assert(!Bench.isInverted(3.9, Seq(4.0, 4.1)))
