@@ -2053,7 +2053,8 @@ object ScaleOpsQueries {
       vecs: graft.sinks.SnapshotSink, graph: graft.sinks.SnapshotSink,
       rev: graft.sinks.SnapshotSink, lshb: graft.sinks.SnapshotSink,
       lshcnt: graft.sinks.SnapshotSink, meta: graft.sinks.SnapshotSink,
-      chg: DataFrame, delIds: DataFrame, nLiveBefore: Long, b: Long): Long = {
+      chg: DataFrame, delIds: DataFrame, nLiveBefore: Long, b: Long,
+      forceScan: Option[Boolean] = None): Long = {
     import s.implicits._
     val dist = (a: String, c: String) => expr(
       s"aggregate(zip_with($a, $c, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
@@ -2068,7 +2069,12 @@ object ScaleOpsQueries {
     // ~flat at 3× corpus) keep the bucket-pruned point reads. The
     // decision input is free: the change frames are checkpointed (their
     // counts are trivial jobs) and the live count is batch arithmetic.
-    val bulk = LshIndex.scanRegime(chg.count() + delIds.count(), nLiveBefore)
+    // `forceScan` is the regime-equivalence spec's forcing seam ONLY
+    // (production callers never pass it): harness-scale batches all sit
+    // on one side of the threshold, so without it the other regime's
+    // whole-loop end state would go unexercised.
+    val bulk = forceScan.getOrElse(
+      LshIndex.scanRegime(chg.count() + delIds.count(), nLiveBefore))
     // undirected edges (u, v) for u in `keys` — bulk: one semi-join over
     // the full undirected edge list (read once, checkpointed); point:
     // two bucket point reads sharing one bucket-id job (identical sink

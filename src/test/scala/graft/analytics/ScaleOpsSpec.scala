@@ -1001,4 +1001,76 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r1 <= r2 && r2 <= r3, s"beam recall must not degrade: $r1 -> $r2 -> $r3")
     assert(r3 > r0, s"3-hop beam must beat the entry-point baseline ($r0 -> $r3)")
   }
+
+  test("knnApplyBatch: forced scan and point regimes land identical end states") {
+    // The cost-based regime switch (r14 verdict #1) makes the batch loop
+    // bimodal, and harness-scale batches (~10% of these corpora) all take
+    // the SCAN regime wherever the oracle runs — so the point-read loop,
+    // the 100 TB steady-state path, would otherwise be pinned only at the
+    // index level (LshIndexSpec) and by the assertion-free knnbatch
+    // stress row. This applies the SAME batch to two filesystem clones of
+    // the same maintained state through knnApplyBatch's forcing seam and
+    // asserts every sink's end state identical: vectors, forward graph,
+    // reverse adjacency, LSH member rows (sign bits included), leaf
+    // counts, and the serve entry-point buffer.
+    import spark.implicits._
+    val sf = sf0001
+    ScaleOpsQueries.annMaintainedKnnGraph(spark, sf) // cached across the suite
+    val w0 = ScaleOpsQueries.knnWorkDir(sf)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hfs = new org.apache.hadoop.fs.Path(w0).getFileSystem(hconf)
+    val base = Tables.load(spark, sf, "embeddings")
+    val qx = expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
+    // disjoint update/delete key sets, the loop's at-most-one-op-per-key
+    // discipline (one fresh insert rides along via the +1e6 id)
+    val chg = base.filter(col("vec_id") % 13 === 0 && col("vec_id") % 29 =!= 0)
+      .limit(20)
+      .select(col("vec_id"),
+        expr("concat(slice(embedding, 6, 59), slice(embedding, 1, 5))").as("embedding"))
+      .unionByName(base.filter(col("vec_id") % 31 === 7).limit(1)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding"), qx.as("q")).localCheckpoint()
+    val delIds = base.filter(col("vec_id") % 29 === 0 && col("vec_id") % 13 =!= 0)
+      .limit(10).select(col("vec_id")).localCheckpoint()
+    def applyTo(tag: String, force: Boolean): (Long, Map[String, Set[Seq[Any]]]) = {
+      val w = Q.scratch(s"knnregime$tag")
+      org.apache.hadoop.fs.FileUtil.copy(hfs, new org.apache.hadoop.fs.Path(w0),
+        hfs, new org.apache.hadoop.fs.Path(s"$w/state"), false, hconf)
+      val p = s"$w/state"
+      val vecs = new graft.sinks.SnapshotSink(spark, s"$p/vecs", Seq("vec_id"), numBuckets = 16)
+      val graph = new graft.sinks.SnapshotSink(spark, s"$p/graph", Seq("u"), numBuckets = 16)
+      val rev = new graft.sinks.SnapshotSink(spark, s"$p/rev", Seq("u"), numBuckets = 16)
+      val lshb = new graft.sinks.SnapshotSink(spark, s"$p/lshb",
+        Seq("tbl", "nbits", "bucket", "vec_id"), numBuckets = 16,
+        bucketBy = Seq("tbl", "nbits", "bucket"))
+      val lshcnt = new graft.sinks.SnapshotSink(spark, s"$p/lshcnt",
+        Seq("tbl", "nbits", "bucket"))
+      val meta = new graft.sinks.SnapshotSink(spark, s"$p/meta", Seq("k"), numBuckets = 1)
+      val nLive0 = vecs.read().count()
+      val nLive = ScaleOpsQueries.knnApplyBatch(spark, vecs, graph, rev,
+        lshb, lshcnt, meta, chg, delIds, nLive0, 50L, forceScan = Some(force))
+      def dump(name: String, df: org.apache.spark.sql.DataFrame, cols: String*) =
+        name -> df.select(cols.map(col): _*).collect()
+          .map(_.toSeq.map {
+            case s: scala.collection.Seq[_] => s.toVector
+            case x => x
+          }).toSet
+      (nLive, Map(
+        dump("vecs", vecs.read(), "vec_id", "embedding", "q"),
+        dump("graph", graph.read(), "u", "nbrs"),
+        dump("rev", rev.read(), "u", "rnbrs"),
+        dump("lshb", lshb.read(), "tbl", "nbits", "bucket", "vec_id", "sbits"),
+        dump("lshcnt", lshcnt.read(), "tbl", "nbits", "bucket", "n"),
+        dump("meta", meta.read(), "k", "ids")))
+    }
+    val (nP, statesP) = applyTo("pt", force = false)
+    val (nS, statesS) = applyTo("sc", force = true)
+    assert(nP == nS, s"live counts diverge: point=$nP scan=$nS")
+    statesP.keys.foreach { k =>
+      assert(statesP(k) == statesS(k),
+        s"sink '$k' end states diverge between regimes " +
+          s"(point=${statesP(k).size} rows, scan=${statesS(k).size} rows)")
+    }
+  }
 }
