@@ -197,6 +197,33 @@ class SnapshotSinkSpec extends SparkSpec {
     }
   }
 
+  test("replace crash injection: the epoch swap is atomic at every fault point") {
+    // the scan-regime write path gets the same crash discipline as merge:
+    // at every injectable site the sink serves EITHER the whole old epoch
+    // or the whole new one — never a mix — and a retried replace (the
+    // caller's replay) converges
+    for (crashAt <- Seq("staged", "before-commit", "after-commit")) {
+      val path = tmp()
+      val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
+      sink.merge(log((1, "insert", 1, "a"), (1, "insert", 2, "b")))
+      sink.faultHook = pt => if (pt == crashAt) sys.error(s"injected crash at $pt")
+      intercept[Exception] { sink.replace(log((2, "insert", 3, "c"))) }
+      sink.faultHook = _ => ()
+      val got = sink.read().select("id", "v").as[(Long, String)].collect().toMap
+      if (crashAt == "after-commit")
+        assert(got == Map(3L -> "c"), s"crash at $crashAt: epoch committed")
+      else
+        assert(got == Map(1L -> "a", 2L -> "b"),
+          s"crash at $crashAt: old epoch must survive intact")
+      sink.replace(log((2, "insert", 3, "c")))
+      assert(sink.read().select("id", "v").as[(Long, String)].collect().toMap
+        == Map(3L -> "c"), s"crash at $crashAt: retry must converge")
+      sink.merge(log((3, "insert", 4, "d")))
+      assert(sink.read().select("id", "v").as[(Long, String)].collect().toMap
+        == Map(3L -> "c", 4L -> "d"), s"crash at $crashAt: merges continue")
+    }
+  }
+
   test("manifest retention: applied ids compact to ranges, old manifests reaped") {
     val path = tmp()
     val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
