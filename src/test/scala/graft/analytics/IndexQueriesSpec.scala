@@ -891,4 +891,99 @@ class IndexQueriesSpec extends SparkSpec {
     assert(probes.exists(k => got((2L, k)) > 0 && got((3L, k)) < got((2L, k))),
       "some live probe's estimate must decrease after the idle window")
   }
+
+  // The compacting loop's merge plan is driven entirely by the MAINTAINED
+  // per-origin live stats (batch arithmetic — never a recount), and the
+  // directed tests plus the oracle's 4-batch harness pin only those
+  // compositions. A seeded random walk of mixed insert/update/delete
+  // batches pins, after EVERY batch: the returned live count and the
+  // persisted @seglive row against a true recount (a drift here silently
+  // mis-plans compaction without breaking any layout invariant), the
+  // remap's live-targets discipline (every live doc's postings live in
+  // exactly fold(origin, remap); emptied origins lose their mapping so a
+  // refill births fresh), and the postings-multiset ≡ doc-state
+  // invariance. Seed printed in every clue; override via GRAFT_CMP_SEED
+  // to replay a failing walk.
+  test("randomized compacting walk: maintained live stats equal a recount; " +
+      "remap targets hold; postings multiset invariant") {
+    import spark.implicits._
+    val seed = sys.env.get("GRAFT_CMP_SEED").map(_.toLong).getOrElse(20260817L)
+    val rnd = new scala.util.Random(seed)
+    def clue(s: String) = s"seed=$seed: $s"
+    val work = graft.analytics.Q.scratch("cmpidxrand")
+    val postings = new graft.sinks.SnapshotSink(spark, s"$work/idx",
+      Seq("term", "seg"), bucketBy = Seq("seg"))
+    val I = graft.core.ChangeLog.Insert
+    val D = graft.core.ChangeLog.Delete
+    val vocab = (0 until 24).map(i => s"w$i")
+    def text(): String =
+      (0 until 3 + rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // ids scatter across origins (doc_id div 100) with bounded slots per
+    // origin, so origins stay under thrLive=40 and the merge trigger can
+    // fire; deletes may empty an origin (the remap-drop + fresh-refill path)
+    val slots = scala.collection.mutable.Map.empty[Long, Long]
+    def freshId(): Long = {
+      val o = rnd.nextInt(12).toLong
+      val s0 = slots.getOrElse(o, 0L); slots(o) = s0 + 1
+      o * 100 + s0
+    }
+    var live = Map.empty[Long, String]
+    var sawMerged = false
+    (0 to 7).foreach { b =>
+      val ins = (0 until (1 + rnd.nextInt(24))).map(_ => freshId() -> text())
+      val liveIds = rnd.shuffle(live.keys.toSeq.sorted)
+      val nUpd = if (liveIds.isEmpty) 0 else rnd.nextInt(1 + liveIds.size / 3)
+      val nDel = if (liveIds.isEmpty) 0
+        else rnd.nextInt(1 + (liveIds.size - nUpd) / 3)
+      val upd = liveIds.take(nUpd).map(id => id -> text())
+      val del = liveIds.slice(nUpd, nUpd + nDel)
+      val ch = ((ins ++ upd).map { case (id, t) => (id, t, I) } ++
+          del.map(id => (id, null: String, D)))
+        .toDF("doc_id", "text", "op")
+        .withColumn("seq", lit(b.toLong))
+        .withColumn("n_tok", when(col("text").isNotNull,
+          size(split(col("text"), " ")).cast("long")))
+      live = live ++ ins ++ upd -- del
+      val (_, nLive) = IndexQueries.maintainCompactingBatch(postings, ch,
+        b.toLong, "cmpidxrandspec")
+      assert(nLive == live.size.toLong,
+        clue(s"batch $b returned live count $nLive != true ${live.size}"))
+      def metaRow(term: String): Map[Long, Long] = postings.read()
+        .filter(col("term") === term && col("seg") === -1L)
+        .select(explode(col("plist")).as("p"))
+        .select(col("p.doc_id"), col("p.tf"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val statsRow = metaRow("@seglive")
+      val recount = live.keys.groupBy(_ / 100)
+        .map { case (o, xs) => o -> xs.size.toLong }
+      assert(statsRow == recount,
+        clue(s"batch $b @seglive drifted from the recount"))
+      val remapRow = metaRow("@segremap")
+      assert(remapRow.keySet.subsetOf(recount.keySet) &&
+          remapRow.forall { case (o, c) => o != c },
+        clue(s"batch $b remap must map only live origins, non-identity"))
+      // every live doc's postings rows live in exactly its remapped segment
+      val stored = postings.read().filter(col("seg") >= 0)
+        .select(col("term"), col("seg"), explode(col("plist")).as("p"))
+        .select(col("term"), col("seg"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      if (stored.exists(_._2 >= 1000000L)) sawMerged = true
+      val segsByDoc = stored.groupBy(_._3).map { case (d, xs) => d -> xs.map(_._2).toSet }
+      live.keys.foreach { d =>
+        val expSeg = remapRow.getOrElse(d / 100, d / 100)
+        assert(segsByDoc.get(d).contains(Set(expSeg)),
+          clue(s"batch $b doc $d postings at ${segsByDoc.get(d)}, expected seg $expSeg"))
+      }
+      assert(segsByDoc.keySet == live.keySet,
+        clue(s"batch $b stored postings cover ${segsByDoc.size} docs, live ${live.size}"))
+      // multiset invariance vs the live doc texts (driver-side truth)
+      val gotM = stored.map { case (t, _, d, tf) => (t, d, tf) }
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val expM = live.toSeq.flatMap { case (d, tx) =>
+        tx.split(" ").groupBy(identity).map { case (t, xs) => (t, d, xs.length.toLong) }
+      }.groupBy(identity).map { case (k, v) => k -> v.size }
+      assert(gotM == expM, clue(s"batch $b postings multiset diverged"))
+    }
+    assert(sawMerged, clue("the walk never fired compaction — re-tune batch sizes"))
+  }
 }
