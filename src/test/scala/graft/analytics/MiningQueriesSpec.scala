@@ -1018,6 +1018,103 @@ class MiningQueriesSpec extends SparkSpec {
       "the merging edge must join the certificate")
   }
 
+  // The deletion fast path's whole argument rests on one invariant: after
+  // ANY interleaving of inserts, skips, and scoped rebuilds, the
+  // maintained forest is still a spanning forest of the live graph (a
+  // non-tree delete can then never split a component). The directed test
+  // above drives one planted schedule; this seeded walk drives ten random
+  // batches and re-proves, after EVERY batch: labels ≡ a min-label
+  // recompute of the surviving graph (isolated vertices self-labeled),
+  // the certificate ⊆ live edges + spans exactly the live components +
+  // is acyclic (|F| = |touched V| − #components), the lbl-keyed postings
+  // mirror the labels, and each deletion batch took exactly the path its
+  // forest membership predicts. Seed in every clue (GRAFT_FCC_SEED
+  // replays).
+  test("randomized forest-cut walk: certificate stays a spanning forest; " +
+      "labels track the recompute; skip/rebuild classified exactly") {
+    import spark.implicits._
+    val seed = sys.env.get("GRAFT_FCC_SEED").map(_.toLong).getOrElse(20260817L)
+    val rnd = new scala.util.Random(seed)
+    def clue(s: String) = s"seed=$seed: $s"
+    val m = new MiningQueries.ForestCutCC(spark, graft.analytics.Q.scratch("fccrand"))
+    // a DENSE pool (24 vertices, ~60 initial edges) keeps a healthy
+    // non-tree fraction so random deletes land on both paths
+    def pair(): (Long, Long) = {
+      val u = 1L + rnd.nextInt(24); var v = 1L + rnd.nextInt(24)
+      while (v == u) v = 1L + rnd.nextInt(24)
+      if (u < v) (u, v) else (v, u)
+    }
+    var liveE = Set.empty[(Long, Long)]
+    var verts = Set.empty[Long]
+    val initE = Iterator.continually(pair()).take(150).toSet.take(60)
+    liveE = initE; verts = initE.flatMap(e => Set(e._1, e._2))
+    m.init(initE.toSeq.toDF("u", "v"))
+    def comps(edges: Set[(Long, Long)], vs: Set[Long]): Map[Long, Set[Long]] = {
+      val mm = MiningQueries.mergeGroups(edges.toSeq)
+      vs.groupBy(v => mm.getOrElse(v, v))
+    }
+    def checkAll(b: Int): Unit = {
+      val labs = m.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val mm = MiningQueries.mergeGroups(liveE.toSeq)
+      val exp = verts.map(v => v -> mm.getOrElse(v, v)).toMap
+      assert(labs == exp, clue(s"batch $b labels diverge from the recompute"))
+      val f = m.forest.read().select("u", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(f.subsetOf(liveE), clue(s"batch $b forest carries dead edges: ${f -- liveE}"))
+      assert(comps(f, verts) == comps(liveE, verts),
+        clue(s"batch $b forest does not span the live components"))
+      val vE = liveE.flatMap(e => Set(e._1, e._2))
+      val nComp = comps(liveE, vE).size
+      assert(f.size == vE.size - nComp,
+        clue(s"batch $b |F|=${f.size} != ${vE.size} - $nComp (acyclic spanning)"))
+      val post = m.postings.read().select("lbl", "vtx").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(post == labs.toSeq.map { case (v, l) => (l, v) }.toSet,
+        clue(s"batch $b postings diverge from labels"))
+    }
+    checkAll(0)
+    (1 to 10).foreach { b =>
+      if (rnd.nextBoolean() || liveE.size < 5) {
+        val add = Iterator.continually(pair()).filterNot(liveE)
+          .take(1 + rnd.nextInt(6)).toSet
+        liveE ++= add; verts ++= add.flatMap(e => Set(e._1, e._2))
+        m.insert(b.toLong, add.toSeq.toDF("u", "v"))
+      } else {
+        val dels = rnd.shuffle(liveE.toSeq).take(1 + rnd.nextInt(4)).toSet
+        val fNow = m.forest.read().select("u", "v").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expectFire = dels.exists(fNow)
+        liveE --= dels
+        val fired = m.delete(b.toLong, dels.toSeq.toDF("u", "v"))
+        assert(fired == expectFire,
+          clue(s"batch $b: fired=$fired but forest membership predicts $expectFire"))
+      }
+      checkAll(b)
+    }
+    // coverage backstop: whichever delete path the random walk missed is
+    // driven once deterministically (a known non-tree edge must skip, a
+    // known certificate edge must fire), so every seed proves both paths
+    val fEnd = m.forest.read().select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (m.nSkipped == 0) {
+      val nt = (liveE -- fEnd).head
+      liveE -= nt
+      assert(!m.delete(90L, Seq(nt).toDF("u", "v")),
+        clue(s"deleting non-tree $nt must skip"))
+      checkAll(90)
+    }
+    if (m.nRebuilds == 0) {
+      val te = fEnd.head
+      liveE -= te
+      assert(m.delete(91L, Seq(te).toDF("u", "v")),
+        clue(s"deleting certificate edge $te must fire the rebuild"))
+      checkAll(91)
+    }
+    assert(m.nSkipped >= 1 && m.nRebuilds >= 1,
+      clue(s"both delete paths must be exercised " +
+        s"(skipped=${m.nSkipped} rebuilds=${m.nRebuilds})"))
+  }
+
   test("forest-cut entry: final labels equal a from-scratch recompute of the surviving graph") {
     def pairs(t: Int): Set[(Long, Long)] = {
       val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
