@@ -1073,4 +1073,73 @@ class ScaleOpsSpec extends SparkSpec {
           s"(point=${statesP(k).size} rows, scan=${statesS(k).size} rows)")
     }
   }
+
+  test("serve entry-point min-buffer: boundary-filtered arrivals + underflow " +
+      "refill keep ids[0] the exact live minimum under adversarial drains") {
+    // The exact counterexample the invariant exists for: delete part of
+    // the buffer while inserting ABOVE its old max, then drain the rest.
+    // An unfiltered union would admit the high insert and serve it as the
+    // "minimum" once the survivors drain; the boundary filter must keep
+    // it out, and draining every id at or below the boundary must fire
+    // the declared refill scan, which restores the true bottom-64.
+    import spark.implicits._
+    val sf = sf0001
+    ScaleOpsQueries.annMaintainedKnnGraph(spark, sf)
+    val w0 = ScaleOpsQueries.knnWorkDir(sf)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hfs = new org.apache.hadoop.fs.Path(w0).getFileSystem(hconf)
+    val w = Q.scratch("knnentrybuf")
+    org.apache.hadoop.fs.FileUtil.copy(hfs, new org.apache.hadoop.fs.Path(w0),
+      hfs, new org.apache.hadoop.fs.Path(s"$w/state"), false, hconf)
+    val p = s"$w/state"
+    val vecs = new graft.sinks.SnapshotSink(spark, s"$p/vecs", Seq("vec_id"), numBuckets = 16)
+    val graph = new graft.sinks.SnapshotSink(spark, s"$p/graph", Seq("u"), numBuckets = 16)
+    val rev = new graft.sinks.SnapshotSink(spark, s"$p/rev", Seq("u"), numBuckets = 16)
+    val lshb = new graft.sinks.SnapshotSink(spark, s"$p/lshb",
+      Seq("tbl", "nbits", "bucket", "vec_id"), numBuckets = 16,
+      bucketBy = Seq("tbl", "nbits", "bucket"))
+    val lshcnt = new graft.sinks.SnapshotSink(spark, s"$p/lshcnt",
+      Seq("tbl", "nbits", "bucket"))
+    val meta = new graft.sinks.SnapshotSink(spark, s"$p/meta", Seq("k"), numBuckets = 1)
+    def liveIds(): Seq[Long] =
+      vecs.read().select("vec_id").as[Long].collect().sorted.toSeq
+    def entryIds(): Seq[Long] = meta.read().filter(col("k") === "entry")
+      .select(explode(col("ids")).as("i")).as[Long].collect().sorted.toSeq
+    def batch(b: Long, nBefore: Long, dels: Seq[Long], ins: Seq[(Long, Long)]): Long = {
+      // an insert clones a live donor's embedding (rotated) under a new id
+      val chg =
+        if (ins.isEmpty)
+          vecs.read().limit(0).select(col("vec_id"), col("embedding"), col("q"))
+        else ins.map { case (newId, donor) => (newId, donor) }
+          .toDF("new_id", "vec_id")
+          .join(vecs.read().select(col("vec_id"), col("embedding")), Seq("vec_id"))
+          .select(col("new_id").as("vec_id"),
+            expr("concat(slice(embedding, 4, 61), slice(embedding, 1, 3))").as("embedding"))
+          .select(col("vec_id"), col("embedding"), expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))").as("q"))
+      ScaleOpsQueries.knnApplyBatch(spark, vecs, graph, rev, lshb, lshcnt,
+        meta, chg.localCheckpoint(), dels.toDF("vec_id").localCheckpoint(),
+        nBefore, b)
+    }
+    val live0 = liveIds()
+    val buf0 = entryIds()
+    assert(buf0.head == live0.head, "precondition: the built buffer serves the min")
+    // batch: delete the buffer's bottom 10, insert one id far above its max
+    val n1 = batch(60L, live0.size.toLong, buf0.take(10), Seq(2000000L -> live0.last))
+    val buf1 = entryIds()
+    assert(buf1.head == liveIds().head,
+      s"after partial drain + high insert: ids[0]=${buf1.head} must be the live min")
+    assert(!buf1.contains(2000000L),
+      "an arrival above the old boundary must NOT enter the buffer")
+    // batch: drain every remaining old-buffer id -> the filtered union
+    // empties -> the declared refill recomputes the bottom-64
+    batch(61L, n1, buf1, Nil)
+    val buf2 = entryIds()
+    val liveNow = liveIds()
+    assert(buf2 == liveNow.take(buf2.size),
+      s"after the full drain the refill must restore the exact bottom ids " +
+        s"(got head ${buf2.headOption}, live min ${liveNow.headOption})")
+    assert(buf2.head == liveNow.head && buf2.head != 2000000L,
+      "ids[0] must be the true live minimum, not the drained-in high insert")
+  }
 }
