@@ -233,16 +233,18 @@ object MiningQueries {
     var forest = Seq.empty[(Long, Long)].toDF("u", "v")
     var n = 1L
     while (n > 0) {
-      val cross = canon
-        .join(lbl.select(col("vtx").as("u"), col("lbl").as("lu")), Seq("u"))
-        .join(lbl.select(col("vtx").as("v"), col("lbl").as("lv")), Seq("v"))
-        .filter(col("lu") =!= col("lv"))
-        .select(least(col("lu"), col("lv")).as("la"),
-          greatest(col("lu"), col("lv")).as("lb"), col("u"), col("v"))
-      val hooks = cross.groupBy(col("lb"))
-        .agg(min(struct(col("la"), col("u"), col("v"))).as("h"))
-        .select(col("lb"), col("h.la").as("la"), col("h.u").as("u"), col("h.v").as("v"))
-        .localCheckpoint()
+      val hooks = graft.core.Prof.time("fc/hooks") {
+        val cross = canon
+          .join(lbl.select(col("vtx").as("u"), col("lbl").as("lu")), Seq("u"))
+          .join(lbl.select(col("vtx").as("v"), col("lbl").as("lv")), Seq("v"))
+          .filter(col("lu") =!= col("lv"))
+          .select(least(col("lu"), col("lv")).as("la"),
+            greatest(col("lu"), col("lv")).as("lb"), col("u"), col("v"))
+        cross.groupBy(col("lb"))
+          .agg(min(struct(col("la"), col("u"), col("v"))).as("h"))
+          .select(col("lb"), col("h.la").as("la"), col("h.u").as("u"), col("h.v").as("v"))
+          .localCheckpoint()
+      }
       n = hooks.count()
       if (n > 0) {
         forest = forest.unionByName(hooks.select(col("u"), col("v")))
@@ -250,19 +252,29 @@ object MiningQueries {
         var ptr = hooks.select(col("lb").as("x"), col("la").as("p"))
           .localCheckpoint()
         var m = 1L
-        while (m > 0) {
+        while (m > 0) graft.core.Prof.time("fc/doubling") {
+          // one materialization per doubling step: the changed flag rides
+          // in the SAME select (new p ≠ old p ⟺ a grandparent existed and
+          // differed), so convergence costs a count over the checkpointed
+          // blocks instead of a second label-sized join per step. (A
+          // two-jumps-per-step variant — lazy intermediate join inside
+          // one job — was A/B-measured SLOWER here: 22.7 s vs 14.4 s
+          // warm at sf0.1; the doubled self-join re-evaluation taxes
+          // every stage more than the saved checkpoint+count round trip.)
           val nxt = ptr.as("a")
             .join(ptr.select(col("x").as("p"), col("p").as("pp")), Seq("p"), "left")
-            .select(col("x"), coalesce(col("pp"), col("p")).as("p"))
+            .select(col("x"), coalesce(col("pp"), col("p")).as("p"),
+              (col("pp").isNotNull && col("pp") =!= col("p")).as("chg"))
             .localCheckpoint()
-          m = nxt.as("n").join(ptr.as("o"), Seq("x"))
-            .filter(col("n.p") =!= col("o.p")).count()
-          ptr = nxt
+          m = nxt.filter(col("chg")).count()
+          ptr = nxt.select(col("x"), col("p"))
         }
-        lbl = lbl.join(ptr.select(col("x").as("lbl"), col("p").as("nl")),
-            Seq("lbl"), "left")
-          .select(col("vtx"), coalesce(col("nl"), col("lbl")).as("lbl"))
-          .localCheckpoint()
+        lbl = graft.core.Prof.time("fc/relabel") {
+          lbl.join(ptr.select(col("x").as("lbl"), col("p").as("nl")),
+              Seq("lbl"), "left")
+            .select(col("vtx"), coalesce(col("nl"), col("lbl")).as("lbl"))
+            .localCheckpoint()
+        }
       }
     }
     (lbl.select(col("vtx"), col("lbl")), forest)
@@ -342,18 +354,34 @@ object MiningQueries {
 
     def init(base0: DataFrame): Unit = graft.core.Prof.time("forestcut/init") {
       val base = base0.localCheckpoint()
-      edgeSink.merge(base
-        .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
-      // one loop yields labels AND the certificate (hookForest) —
-      // the forest costs a parent column, not a second graph pass
-      val (l0raw, f0raw) = hookForest(base)
-      val l0 = l0raw.localCheckpoint()
-      labels.merge(l0
-        .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
-      postings.merge(l0.select(col("lbl"), col("vtx"))
-        .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
-      forest.merge(f0raw.localCheckpoint()
-        .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
+      // the E-sized edge-sink write is independent of the certificate
+      // build (both consume the checkpointed base): run them concurrently
+      // so the write back-fills hookForest's small-job tail, then commit
+      // the three independent state sinks concurrently too (per-path sink
+      // locks; no task pair touches the same sink)
+      var l0: DataFrame = null
+      var f0: DataFrame = null
+      graft.core.Par.run(
+        () => graft.core.Prof.time("fc/initmerge") {
+          edgeSink.merge(base
+            .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L)))
+        },
+        () => {
+          // one loop yields labels AND the certificate (hookForest) —
+          // the forest costs a parent column, not a second graph pass
+          val (l0raw, f0raw) = graft.core.Prof.time("fc/inithook") { hookForest(base) }
+          l0 = l0raw.localCheckpoint()
+          f0 = f0raw.localCheckpoint()
+        })
+      graft.core.Prof.time("fc/initmerge") {
+        graft.core.Par.run(
+          () => labels.merge(l0
+            .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L))),
+          () => postings.merge(l0.select(col("lbl"), col("vtx"))
+            .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L))),
+          () => forest.merge(f0
+            .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(0L))))
+      }
     }
 
     /** Incremental union-find insert step + forest extension. */
@@ -420,16 +448,24 @@ object MiningQueries {
       // certificate probe ∝ batch: only the deleted edges' u-buckets of
       // the forest are read (the sink buckets on u for exactly this) —
       // the fast path never scans V-sized certificate state
-      val fNow = forest.readBuckets(dels.select(col("u")))
-        .select(col("u"), col("v"))
-      // cutEnabled=false treats EVERY delete as a certificate hit — the
-      // rebuild-every-batch twin on identical inputs (the ScaleStress
-      // forestcut block measures the pair)
-      val treeDel =
-        (if (cutEnabled) dels.join(fNow, Seq("u", "v"), "left_semi") else dels)
-          .localCheckpoint()
-      edgeSink.merge(dels
-        .withColumn("op", lit(graft.core.ChangeLog.Delete)).withColumn("seq", lit(b)))
+      // the certificate probe (forest sink) and the edge-delete commit
+      // (edge sink) are independent — run them concurrently; everything
+      // downstream (scope reads post-delete live edges) waits on both
+      var treeDel: DataFrame = null
+      graft.core.Par.run(
+        () => treeDel = graft.core.Prof.time("fc/probe") {
+          val fNow = forest.readBuckets(dels.select(col("u")))
+            .select(col("u"), col("v"))
+          // cutEnabled=false treats EVERY delete as a certificate hit — the
+          // rebuild-every-batch twin on identical inputs (the ScaleStress
+          // forestcut block measures the pair)
+          (if (cutEnabled) dels.join(fNow, Seq("u", "v"), "left_semi") else dels)
+            .localCheckpoint()
+        },
+        () => graft.core.Prof.time("fc/edgemerge") {
+          edgeSink.merge(dels
+            .withColumn("op", lit(graft.core.ChangeLog.Delete)).withColumn("seq", lit(b)))
+        })
       if (treeDel.isEmpty) {
         // the cut: every deleted edge is non-tree — the live forest still
         // spans every touched component, so no label can change
@@ -441,20 +477,26 @@ object MiningQueries {
         // read below is bucket-pruned to that scope (endpoints → labels,
         // labels → postings, scope vertices → edges/forest) — the
         // rebuild's reads are ∝ affected components, not V/E
-        val endp = treeDel.select(explode(array(col("u"), col("v"))).as("vtx"))
-          .distinct().localCheckpoint()
-        val lab = labels.readBuckets(endp).select(col("vtx"), col("lbl"))
-        val affected = endp.join(lab, Seq("vtx"))
-          .select(col("lbl")).distinct().localCheckpoint()
-        val scopeV = postings.readBuckets(affected)
-          .join(broadcast(affected), Seq("lbl"))
-          .select(col("vtx"), col("lbl").as("old_lbl")).localCheckpoint()
-        val scopeU = scopeV.select(col("vtx").as("u")).localCheckpoint()
-        val scopedE = edgeSink.readBuckets(scopeU) // post-delete live edges
-          .join(scopeU, Seq("u"), "left_semi")
-          .select(col("u"), col("v"))
+        val (scopeV, scopedE) = graft.core.Prof.time("fc/scope") {
+          val endp = treeDel.select(explode(array(col("u"), col("v"))).as("vtx"))
+            .distinct().localCheckpoint()
+          val lab = labels.readBuckets(endp).select(col("vtx"), col("lbl"))
+          val affected = endp.join(lab, Seq("vtx"))
+            .select(col("lbl")).distinct().localCheckpoint()
+          val sv = postings.readBuckets(affected)
+            .join(broadcast(affected), Seq("lbl"))
+            .select(col("vtx"), col("lbl").as("old_lbl")).localCheckpoint()
+          val scopeU = sv.select(col("vtx").as("u")).localCheckpoint()
+          val se = edgeSink.readBuckets(scopeU) // post-delete live edges
+            .join(scopeU, Seq("u"), "left_semi")
+            .select(col("u"), col("v"))
+          (sv, se)
+        }
+        val scopeU = scopeV.select(col("vtx").as("u"))
         // one loop: post-delete labels AND the re-derived scoped forest
-        val (rebuiltRaw, newFRaw) = hookForest(scopedE)
+        val (rebuiltRaw, newFRaw) = graft.core.Prof.time("fc/rebuild") {
+          hookForest(scopedE)
+        }
         val rebuilt = rebuiltRaw.localCheckpoint()
         val changedL = scopeV
           .join(rebuilt, Seq("vtx"), "left")
@@ -462,24 +504,32 @@ object MiningQueries {
             coalesce(col("lbl"), col("vtx")).as("lbl")) // edgeless -> singleton
           .filter(col("lbl") =!= col("old_lbl"))
           .localCheckpoint()
-        labels.merge(changedL.select(col("vtx"), col("lbl"))
-          .withColumn("op", lit(graft.core.ChangeLog.Update)).withColumn("seq", lit(b)))
-        postings.merge(changedL.select(col("old_lbl").as("lbl"), col("vtx"))
-          .withColumn("op", lit(graft.core.ChangeLog.Delete))
-          .unionByName(changedL.select(col("lbl"), col("vtx"))
-            .withColumn("op", lit(graft.core.ChangeLog.Insert)))
-          .withColumn("seq", lit(b)))
-        // the scoped forest rewrite: forest edges have both endpoints in
-        // scope (components are closed, a tree edge's endpoints share one);
-        // only CHANGED rows rewrite so batch pks stay disjoint
-        val newF = newFRaw.localCheckpoint()
-        val oldF = forest.readBuckets(scopeU).join(scopeU, Seq("u"), "left_semi")
-          .select(col("u"), col("v")).localCheckpoint()
-        forest.merge(oldF.join(newF, Seq("u", "v"), "left_anti")
-          .withColumn("op", lit(graft.core.ChangeLog.Delete))
-          .unionByName(newF.join(oldF, Seq("u", "v"), "left_anti")
-            .withColumn("op", lit(graft.core.ChangeLog.Insert)))
-          .withColumn("seq", lit(b)))
+        graft.core.Prof.time("fc/statemerge") {
+          // three independent sinks commit concurrently (per-path locks;
+          // the forest task reads only the forest sink)
+          graft.core.Par.run(
+            () => labels.merge(changedL.select(col("vtx"), col("lbl"))
+              .withColumn("op", lit(graft.core.ChangeLog.Update)).withColumn("seq", lit(b))),
+            () => postings.merge(changedL.select(col("old_lbl").as("lbl"), col("vtx"))
+              .withColumn("op", lit(graft.core.ChangeLog.Delete))
+              .unionByName(changedL.select(col("lbl"), col("vtx"))
+                .withColumn("op", lit(graft.core.ChangeLog.Insert)))
+              .withColumn("seq", lit(b))),
+            () => {
+              // the scoped forest rewrite: forest edges have both endpoints
+              // in scope (components are closed, a tree edge's endpoints
+              // share one); only CHANGED rows rewrite so batch pks stay
+              // disjoint
+              val newF = newFRaw.localCheckpoint()
+              val oldF = forest.readBuckets(scopeU).join(scopeU, Seq("u"), "left_semi")
+                .select(col("u"), col("v")).localCheckpoint()
+              forest.merge(oldF.join(newF, Seq("u", "v"), "left_anti")
+                .withColumn("op", lit(graft.core.ChangeLog.Delete))
+                .unionByName(newF.join(oldF, Seq("u", "v"), "left_anti")
+                  .withColumn("op", lit(graft.core.ChangeLog.Insert)))
+                .withColumn("seq", lit(b)))
+            })
+        }
         true
       }
     }
