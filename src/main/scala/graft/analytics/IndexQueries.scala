@@ -2086,7 +2086,13 @@ object IndexQueries {
     // matters here because this loop's cost is per-JOB overhead, not
     // data (measured at sf0.1: ~9 eager actions/batch dominated the
     // wall). Batch-/vocabulary-sized, never corpus-sized.
-    val touchedState = graft.core.Prof.time(s"$auditSite/chkptTouchedState") {
+    // the touched-pair rebuild (cluster-side) and the per-origin stat
+    // deltas (a batch-sized driver collect) read only already-materialized
+    // frames and feed different consumers — run them concurrently so the
+    // driver arithmetic hides under the rebuild's jobs
+    var segStatsV: Seq[(Long, Long)] = null
+    var touchedStateV: org.apache.spark.sql.DataFrame = null
+    def touchedStateThunk(): org.apache.spark.sql.DataFrame = graft.core.Prof.time(s"$auditSite/chkptTouchedState") {
       // checkpointed: touched0 feeds the bucket-id projection AND two
       // joins, and its upstream re-tokenizes every changed doc — three
       // re-evaluations measurably dominate the batch without this
@@ -2117,22 +2123,7 @@ object IndexQueries {
           expr("sort_array(collect_list(struct(doc_id, tf)))").as("plist"))
       touched0.join(rebuilt0, Seq("term", "seg"), "left").localCheckpoint()
     }
-    val touched = touchedState.select(col("term"), col("seg"))
-    val rebuilt = touchedState.filter(col("n_docs").isNotNull)
-    val dropped = touchedState.filter(col("n_docs").isNull)
-      .select(col("term"), col("seg"), lit(null).cast("bigint").as("n_docs"),
-        lit(null).cast("array<struct<doc_id:bigint,tf:bigint>>").as("plist"),
-        lit(graft.core.ChangeLog.Delete).as("op"))
-    // Post-batch live docs per ORIGIN, maintained by batch arithmetic:
-    // live'(orig) = live(orig) − changed docs that existed + non-delete
-    // changes. Two batch-sized collects replace the former recount over
-    // every live doc id — the merge policy's input is now pure driver
-    // arithmetic over the maintained O(segments) stats. The oracle
-    // re-derives each batch's remap from LIVE docs only: a birth segment
-    // with zero live docs after this batch loses its mapping (dropped
-    // from the rewritten metadata row), so a later refill gets a fresh
-    // identity — not a retired merge target.
-    val segStats: Seq[(Long, Long)] = graft.core.Prof.time(s"$auditSite/segStats") {
+    def segStatsThunk(): Seq[(Long, Long)] = graft.core.Prof.time(s"$auditSite/segStats") {
       // one job: departures (every changed doc that existed) and arrivals
       // (non-delete changes) tagged and counted per origin together
       val tagged = graft.core.Bounded.collect(
@@ -2160,6 +2151,27 @@ object IndexQueries {
       }
       newLive.filter(_._2 > 0L)
     }
+    graft.core.Par.run(
+      () => touchedStateV = touchedStateThunk(),
+      () => segStatsV = segStatsThunk())
+    val touchedState = touchedStateV
+    val segStats: Seq[(Long, Long)] = segStatsV
+    val touched = touchedState.select(col("term"), col("seg"))
+    val rebuilt = touchedState.filter(col("n_docs").isNotNull)
+    val dropped = touchedState.filter(col("n_docs").isNull)
+      .select(col("term"), col("seg"), lit(null).cast("bigint").as("n_docs"),
+        lit(null).cast("array<struct<doc_id:bigint,tf:bigint>>").as("plist"),
+        lit(graft.core.ChangeLog.Delete).as("op"))
+    // Post-batch live docs per ORIGIN, maintained by batch arithmetic
+    // (computed in segStatsThunk above, overlapped with the rebuild):
+    // live'(orig) = live(orig) − changed docs that existed + non-delete
+    // changes. Two batch-sized collects replace the former recount over
+    // every live doc id — the merge policy's input is now pure driver
+    // arithmetic over the maintained O(segments) stats. The oracle
+    // re-derives each batch's remap from LIVE docs only: a birth segment
+    // with zero live docs after this batch loses its mapping (dropped
+    // from the rewritten metadata row), so a later refill gets a fresh
+    // identity — not a retired merge target.
     val liveByOrigAfter = segStats.toMap
     // live per CURRENT segment = the origin stats folded through the remap
     val segStatsCur: Seq[(Long, Long)] = segStats

@@ -122,6 +122,31 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
 
   private def bucketCol = pmod(xxhash64(bucketCols.map(col): _*), lit(numBuckets)).cast("int")
 
+  /** Seq-LWW compaction computed INSIDE the bucket layout: ONE exchange
+    * on `__bucket` carries the payload, and the per-pk window then runs
+    * with its clustering already satisfied (`__bucket` is a function of a
+    * pk subset, so hash-partitioning on it co-locates every pk group —
+    * Spark recognizes the subset and inserts only a local sort). The
+    * former shape (ChangeLog.lastPerKey = window exchanged on the full
+    * pk, then a SECOND repartition to `__bucket` for the staged write)
+    * shuffled every merge's payload twice; this halves merge shuffle
+    * bytes engine-wide and drops one exchange+stage per commit — the
+    * fixed cost the job-overhead-bound maintenance loops actually pay.
+    * Grouping is unchanged (same-pk rows always share a bucket), so the
+    * kept row per pk is identical. The bucket-first sort order also
+    * satisfies the partitioned write's required ordering, so the write
+    * inserts no extra sort.
+    */
+  private def lastPerKeyBucketed(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((col("__bucket") +: pkCols.map(col)): _*)
+      .orderBy(col("__seq").desc)
+    df.repartition(numBuckets, col("__bucket"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   // ---- manifest ----------------------------------------------------------
 
   private[sinks] case class Manifest(
@@ -390,10 +415,9 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
       if (shallow) normalized0 else normalized0.localCheckpoint()
     val fs = hfs
     val newVersion = cur.map(_.version + 1).getOrElse(1L)
-    val next = ChangeLog.lastPerKey(normalized, pkCols, seqCol = "__seq")
+    val next = lastPerKeyBucketed(normalized)
     graft.core.Prof.time(s"sink/write") {
-      next.repartition(numBuckets, col("__bucket"))
-        .write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(stagingPath)
+      next.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(stagingPath)
     }
     val written = fs.listStatus(p(stagingPath)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("__bucket="))
@@ -459,7 +483,7 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
 
       val next = cur match {
         case None =>
-          ChangeLog.lastPerKey(normalized, pkCols, seqCol = "__seq")
+          lastPerKeyBucketed(normalized)
         case Some(m) =>
           // touched bucket ids: bounded by numBuckets, driver-safe to collect
           val touched = graft.core.Prof.time(s"sink/touched") {
@@ -482,19 +506,14 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
           // manifest pruning keeps the read to the touched generations only
           val existing = readCommitted(m)
             .filter(col("__bucket").isin(touched.map(Int.box): _*))
-          ChangeLog.lastPerKey(
-            existing.unionByName(normalized), pkCols, seqCol = "__seq")
+          lastPerKeyBucketed(existing.unionByName(normalized))
       }
       graft.core.Prof.time(s"sink/write") {
-        // the upstream lastPerKey window leaves rows pk-hash-partitioned,
-        // so a direct partitionBy write sprays every task's rows across
-        // every touched bucket dir — up to tasks×buckets tiny files PER
-        // GENERATION, the classic small-file pathology (it also taxes
-        // every later read's listing/open). Repartitioning on __bucket
-        // first writes one file per bucket per generation — the layout a
-        // 100 TB read wants.
-        next.repartition(numBuckets, col("__bucket"))
-          .write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(stagingPath)
+        // lastPerKeyBucketed leaves rows hash-partitioned AND sorted by
+        // __bucket, so the partitioned write emits one file per bucket
+        // per generation with no extra repartition or sort — the layout
+        // a 100 TB read wants, at one payload exchange per merge.
+        next.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(stagingPath)
       }
       // stage each written bucket as generation <newVersion> — never
       // touching the live generation; invisible until the manifest commits
