@@ -434,22 +434,13 @@ object IndexQueries {
         .localCheckpoint()
       val probes = Tables.lineitem(s, d).filter(col("l_partkey") % 97 === 0)
         .select(col("l_partkey").as("k")).distinct().localCheckpoint()
-      (0 to 3).foreach { b =>
+      graft.core.Staging.stage(work, (0 to 3).map { b =>
         val chg = ev.filter(col("b") === b)
           .select(lit("chg").as("kind"), lit(b.toLong).as("qb"), col("k"))
         val qry = probes
           .select(lit("qry").as("kind"), lit(b.toLong).as("qb"), col("k"))
-        val stageDir = s"$work/stage$b"
-        chg.unionByName(qry).coalesce(1).write.mode("overwrite").parquet(stageDir)
-        val src = new java.io.File(stageDir).listFiles()
-          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
-        val inDir = java.nio.file.Paths.get(s"$work/in")
-        java.nio.file.Files.createDirectories(inDir)
-        val dest = inDir.resolve(f"b$b%02d.parquet")
-        java.nio.file.Files.move(src.toPath, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
-      }
+        chg.unionByName(qry)
+      })
       // serving sink: one-merge read grace for external readers
       val sink = new graft.sinks.SnapshotSink(s, s"$work/cells",
         Seq("hrow", "cell"), readGrace = true)
@@ -561,23 +552,14 @@ object IndexQueries {
         .localCheckpoint()
       val probes = Tables.lineitem(s, d).filter(col("l_partkey") % 97 === 0)
         .select(col("l_partkey").as("k")).distinct().localCheckpoint()
-      (0 to 3).foreach { b =>
+      graft.core.Staging.stage(work, (0 to 3).map { b =>
         // batch 3 is the idle window: no changes, queries only
         val chg = ev.filter(col("b") === b && lit(b < 3))
           .select(lit("chg").as("kind"), lit(b.toLong).as("qb"), col("k"))
         val qry = probes
           .select(lit("qry").as("kind"), lit(b.toLong).as("qb"), col("k"))
-        val stageDir = s"$work/stage$b"
-        chg.unionByName(qry).coalesce(1).write.mode("overwrite").parquet(stageDir)
-        val src = new java.io.File(stageDir).listFiles()
-          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
-        val inDir = java.nio.file.Paths.get(s"$work/in")
-        java.nio.file.Files.createDirectories(inDir)
-        val dest = inDir.resolve(f"b$b%02d.parquet")
-        java.nio.file.Files.move(src.toPath, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
-      }
+        chg.unionByName(qry)
+      })
       // serving sink: one-merge read grace for external readers
       val sink = new graft.sinks.SnapshotSink(s, s"$work/cells",
         Seq("hrow", "cell"), readGrace = true)
@@ -1416,7 +1398,7 @@ object IndexQueries {
       val work = Q.scratch("bm25serve")
       val qterms = Seq("ins2", "rev1", "spark") // fold order: sorted, see below
       // batch b's file: its change rows + the query terms stamped qb = b
-      (0 to 3).foreach { b =>
+      graft.core.Staging.stage(work, (0 to 3).map { b =>
         val chg = docChangeBatch(s, d, b)
           .select(lit("chg").as("kind"), lit(b.toLong).as("qb"), col("doc_id"),
             col("text"), col("n_tok"), col("op"), col("seq"),
@@ -1426,17 +1408,8 @@ object IndexQueries {
             lit(null).cast("bigint").as("doc_id"), lit(null).cast("string").as("text"),
             lit(null).cast("bigint").as("n_tok"), lit(null).cast("string").as("op"),
             lit(null).cast("bigint").as("seq"), col("term"))
-        val stageDir = s"$work/stage$b"
-        chg.unionByName(qry).coalesce(1).write.mode("overwrite").parquet(stageDir)
-        val src = new java.io.File(stageDir).listFiles()
-          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
-        val inDir = java.nio.file.Paths.get(s"$work/in")
-        java.nio.file.Files.createDirectories(inDir)
-        val dest = inDir.resolve(f"b$b%02d.parquet")
-        java.nio.file.Files.move(src.toPath, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
-      }
+        chg.unionByName(qry)
+      })
       // serving sinks: one-merge read grace for external readers; the
       // postings bucket on TERM so a probe reads only its query terms'
       // buckets (the real index's term-keyed point read) — all segments
