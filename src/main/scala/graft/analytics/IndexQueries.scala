@@ -76,7 +76,10 @@ object IndexQueries {
     // unbounded-df heavy hitters (stopword shingles) never reach the
     // list-building aggregation.
     CatalogQuery("txt_inverted_index_shingles", (s, d) => {
-      val sh = Tables.documents(s, d)
+      // single-row-group input: spread the scan before the shingle
+      // explode so tokenization parallelizes (identity on real input)
+      val sh = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .withColumn("s", explode(expr(

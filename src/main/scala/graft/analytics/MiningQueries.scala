@@ -425,19 +425,21 @@ object MiningQueries {
         .join(mdf, col("vtx") === col("old_lbl"), "left")
         .select(col("vtx"), coalesce(col("new_lbl"), col("vtx")).as("lbl"))
         .localCheckpoint()
-      labels.merge(moved.select(col("vtx"), col("new_lbl").as("lbl"))
-        .withColumn("op", lit(graft.core.ChangeLog.Update))
-        .unionByName(newRows.withColumn("op", lit(graft.core.ChangeLog.Insert)))
-        .withColumn("seq", lit(b)))
-      postings.merge(moved.select(col("lbl"), col("vtx"))
-        .withColumn("op", lit(graft.core.ChangeLog.Delete))
-        .unionByName(moved.select(col("new_lbl").as("lbl"), col("vtx"))
-          .withColumn("op", lit(graft.core.ChangeLog.Insert)))
-        .unionByName(newRows.select(col("lbl"), col("vtx"))
-          .withColumn("op", lit(graft.core.ChangeLog.Insert)))
-        .withColumn("seq", lit(b)))
-      forest.merge(treeEdges.toDF("u", "v")
-        .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(b)))
+      // three independent sinks commit concurrently (per-path locks)
+      graft.core.Par.run(
+        () => labels.merge(moved.select(col("vtx"), col("new_lbl").as("lbl"))
+          .withColumn("op", lit(graft.core.ChangeLog.Update))
+          .unionByName(newRows.withColumn("op", lit(graft.core.ChangeLog.Insert)))
+          .withColumn("seq", lit(b))),
+        () => postings.merge(moved.select(col("lbl"), col("vtx"))
+          .withColumn("op", lit(graft.core.ChangeLog.Delete))
+          .unionByName(moved.select(col("new_lbl").as("lbl"), col("vtx"))
+            .withColumn("op", lit(graft.core.ChangeLog.Insert)))
+          .unionByName(newRows.select(col("lbl"), col("vtx"))
+            .withColumn("op", lit(graft.core.ChangeLog.Insert)))
+          .withColumn("seq", lit(b))),
+        () => forest.merge(treeEdges.toDF("u", "v")
+          .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(b))))
     }
 
     /** Deletion batch. Returns true iff the scoped rebuild fired — i.e.
@@ -477,6 +479,7 @@ object MiningQueries {
         // read below is bucket-pruned to that scope (endpoints → labels,
         // labels → postings, scope vertices → edges/forest) — the
         // rebuild's reads are ∝ affected components, not V/E
+        var scopeIds: Set[Int] = Set.empty
         val (scopeV, scopedE) = graft.core.Prof.time("fc/scope") {
           val endp = treeDel.select(explode(array(col("u"), col("v"))).as("vtx"))
             .distinct().localCheckpoint()
@@ -487,7 +490,10 @@ object MiningQueries {
             .join(broadcast(affected), Seq("lbl"))
             .select(col("vtx"), col("lbl").as("old_lbl")).localCheckpoint()
           val scopeU = sv.select(col("vtx").as("u")).localCheckpoint()
-          val se = edgeSink.readBuckets(scopeU) // post-delete live edges
+          // edges and forest share the u-bucket layout: ONE bucket-id job
+          // serves this read and the forest rewrite's oldF read below
+          scopeIds = edgeSink.bucketIds(scopeU)
+          val se = edgeSink.readBucketIds(scopeIds) // post-delete live edges
             .join(scopeU, Seq("u"), "left_semi")
             .select(col("u"), col("v"))
           (sv, se)
@@ -521,7 +527,8 @@ object MiningQueries {
               // share one); only CHANGED rows rewrite so batch pks stay
               // disjoint
               val newF = newFRaw.localCheckpoint()
-              val oldF = forest.readBuckets(scopeU).join(scopeU, Seq("u"), "left_semi")
+              val oldF = forest.readBucketIds(scopeIds) // same layout as edges
+                .join(scopeU, Seq("u"), "left_semi")
                 .select(col("u"), col("v")).localCheckpoint()
               forest.merge(oldF.join(newF, Seq("u", "v"), "left_anti")
                 .withColumn("op", lit(graft.core.ChangeLog.Delete))

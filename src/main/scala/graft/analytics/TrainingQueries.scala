@@ -1508,8 +1508,10 @@ object TrainingQueries {
     */
   private def stagedPngs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars").cast("int").as("nc"))
+    // single-row-group input: spread the scan before the codec work so
+    // encode/decode parallelizes (identity on any multi-split input)
+    Tables.spread(Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("int").as("nc")))
       .as[(Long, Int)]
       .mapPartitions { it =>
         it.grouped(64).flatMap(_.map { case (id, nc) =>
@@ -1546,8 +1548,8 @@ object TrainingQueries {
     */
   private def mmFrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val staged = Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars").cast("int").as("nc"))
+    val staged = Tables.spread(Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("int").as("nc")))
       .as[(Long, Int)]
       .mapPartitions { it =>
         it.map { case (id, nc) =>
@@ -1570,8 +1572,8 @@ object TrainingQueries {
 
   private def mmAudio(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val staged = Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars").cast("int").as("nc"))
+    val staged = Tables.spread(Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("int").as("nc")))
       .as[(Long, Int)]
       .mapPartitions { it =>
         it.grouped(64).flatMap(_.map { case (id, nc) =>

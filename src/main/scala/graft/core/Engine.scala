@@ -60,6 +60,24 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread an UNSPLITTABLE-input scan across the cluster before heavy
+    * per-row work. The harness tables are single-row-group parquet files,
+    * so every scan yields ONE task no matter how many byte-range splits
+    * the planner makes (a split with no row-group start reads nothing) —
+    * the guide's "input skew: one huge unsplittable file" case, whose
+    * remedy is a repartition immediately after the read. The gate is
+    * derived from the input, not a constant: when the scan already yields
+    * at least the cluster's default parallelism (any real multi-row-group
+    * / multi-file table, i.e. production), this is an identity — no
+    * shuffle is added at scale. Use ONLY in front of CPU-heavy per-row
+    * stages (codecs, tokenizers); scan-dominated aggregates gain nothing
+    * from shuffling their input first.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
