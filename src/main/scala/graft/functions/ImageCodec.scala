@@ -26,6 +26,13 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // ImageIO defaults to FILE-backed stream caching: every encode/decode
+  // creates and deletes a temp file, which dominates the cost of these
+  // kilobyte-sized images (thousands of temp files per task, fs-contended
+  // when the codec runs 32-way). Memory-backed streams are bit-identical
+  // (the codec output is unaffected) and remove that fixed cost.
+  ImageIO.setUseCache(false)
+
   /** Deterministic RGB source: channel values for pixel (x, y) of frame
     * `f` of document `id`. All operands non-negative, so `% 256` agrees
     * between JVM and SQL engines.
