@@ -2622,7 +2622,15 @@ object ScaleOpsQueries {
       s"concat(slice(embedding, ${b + 1}, ${64 - b}), slice(embedding, 1, $b))")
     val sink = new graft.sinks.SnapshotSink(s, Q.scratch("annidx") + "/index",
       Seq("vec_id"), numBuckets = 16)
-    sink.merge(annAssignAgainstBase(s, d, e.select(col("vec_id"), col("embedding")))
+    // the frozen quantizer is the SAME 1-row frame for all four batches:
+    // materialize it once instead of re-scanning + re-aggregating +
+    // re-broadcasting it per merge
+    val seedsOne = annSeedsOne(s, d).localCheckpoint()
+    def assign(vecs: DataFrame): DataFrame =
+      annAssignQ(vecs.select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5) AS BIGINT))")
+        .as("q")), seedsOne)
+    sink.merge(assign(e.select(col("vec_id"), col("embedding")))
       .withColumn("op", lit(graft.core.ChangeLog.Insert))
       .withColumn("seq", lit(0L)))
     (1 to 3).foreach { b =>
@@ -2631,7 +2639,7 @@ object ScaleOpsQueries {
       val ins = e.filter(col("vec_id") % 23 === b)
         .select((col("vec_id") + lit(1000000L * b)).as("vec_id"),
           rot(b + 3).as("embedding"))
-      val upserts = annAssignAgainstBase(s, d, ups.unionByName(ins))
+      val upserts = assign(ups.unionByName(ins))
         .withColumn("op", lit(graft.core.ChangeLog.Update))
       val dels = e.filter(col("vec_id") % 17 === b && col("vec_id") % 10 =!= b)
         .select(col("vec_id"),
@@ -2640,7 +2648,7 @@ object ScaleOpsQueries {
           lit(graft.core.ChangeLog.Delete).as("op"))
       sink.merge(upserts.unionByName(dels).withColumn("seq", lit(b.toLong)))
     }
-    (sink.read(), annSeedsOne(s, d))
+    (sink.read(), seedsOne)
   }
 
   /** Assign already-quantized vectors (vec_id, q) to the nearest of an
