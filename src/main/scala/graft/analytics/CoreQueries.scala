@@ -204,8 +204,13 @@ object CoreQueries {
 
   private def q1(s: SparkSession, d: String): DataFrame = {
     val one = lit(1).cast("decimal(12,2)")
-    Tables.lineitem(s, d)
+    // single-row-group input: spread the filtered, projected scan so the
+    // decimal partial aggregation parallelizes (identity on real input;
+    // filter + pruning stay on the scan below the repartition)
+    Tables.spread(Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
