@@ -220,13 +220,18 @@ object MiningQueries {
     * cross-validating law twin). Returns (labels (vtx, lbl), forest
     * (u, v) canonical u < v).
     */
-  private[analytics] def hookForest(edges0: DataFrame)
-      : (DataFrame, DataFrame) = {
+  private[analytics] def hookForest(edges0: DataFrame,
+      canonical: Boolean = false): (DataFrame, DataFrame) = {
     val s = edges0.sparkSession
     import s.implicits._
-    val canon = edges0
-      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // canonical = the caller guarantees (u < v, no self-loops, distinct)
+    // — true for every ForestCutCC site (the base graph is built
+    // canonical-distinct and the sinks store canonical rows), which
+    // skips a full shuffle+distinct of the edge set per build
+    val canon = (if (canonical) edges0
+      else edges0
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()).localCheckpoint()
     var lbl = canon.select(col("u").as("vtx"))
       .unionByName(canon.select(col("v").as("vtx"))).distinct()
       .select(col("vtx"), col("vtx").as("lbl")).localCheckpoint()
@@ -375,7 +380,7 @@ object MiningQueries {
         () => {
           // one loop yields labels AND the certificate (hookForest) —
           // the forest costs a parent column, not a second graph pass
-          val (l0raw, f0raw) = graft.core.Prof.time("fc/inithook") { hookForest(base) }
+          val (l0raw, f0raw) = graft.core.Prof.time("fc/inithook") { hookForest(base, canonical = true) }
           l0 = l0raw.localCheckpoint()
           f0 = f0raw.localCheckpoint()
         })
@@ -507,7 +512,7 @@ object MiningQueries {
         val scopeU = scopeV.select(col("vtx").as("u"))
         // one loop: post-delete labels AND the re-derived scoped forest
         val (rebuiltRaw, newFRaw) = graft.core.Prof.time("fc/rebuild") {
-          hookForest(scopedE)
+          hookForest(scopedE, canonical = true)
         }
         val rebuilt = rebuiltRaw.localCheckpoint()
         val changedL = scopeV
