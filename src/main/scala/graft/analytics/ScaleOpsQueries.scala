@@ -2648,7 +2648,11 @@ object ScaleOpsQueries {
           lit(graft.core.ChangeLog.Delete).as("op"))
       sink.merge(upserts.unionByName(dels).withColumn("seq", lit(b.toLong)))
     }
-    (sink.read(), seedsOne)
+    // limit(1) restores the structural ≤1-row proof (maxRows) that the
+    // checkpoint leaf loses — the probe entries broadcast this frame into
+    // a BNLJ whose bounded side ExplainAudit proves, not estimates; on a
+    // 1-row frame the limit is an identity
+    (sink.read(), seedsOne.limit(1))
   }
 
   /** Assign already-quantized vectors (vec_id, q) to the nearest of an
