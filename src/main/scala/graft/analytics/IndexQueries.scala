@@ -437,13 +437,22 @@ object IndexQueries {
         .localCheckpoint()
       val probes = Tables.lineitem(s, d).filter(col("l_partkey") % 97 === 0)
         .select(col("l_partkey").as("k")).distinct().localCheckpoint()
-      graft.core.Staging.stage(work, (0 to 3).map { b =>
+      (0 to 3).foreach { b =>
         val chg = ev.filter(col("b") === b)
           .select(lit("chg").as("kind"), lit(b.toLong).as("qb"), col("k"))
         val qry = probes
           .select(lit("qry").as("kind"), lit(b.toLong).as("qb"), col("k"))
-        chg.unionByName(qry)
-      })
+        val stageDir = s"$work/stage$b"
+        chg.unionByName(qry).coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val src = new java.io.File(stageDir).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        val inDir = java.nio.file.Paths.get(s"$work/in")
+        java.nio.file.Files.createDirectories(inDir)
+        val dest = inDir.resolve(f"b$b%02d.parquet")
+        java.nio.file.Files.move(src.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
+      }
       // serving sink: one-merge read grace for external readers
       val sink = new graft.sinks.SnapshotSink(s, s"$work/cells",
         Seq("hrow", "cell"), readGrace = true)
@@ -555,14 +564,23 @@ object IndexQueries {
         .localCheckpoint()
       val probes = Tables.lineitem(s, d).filter(col("l_partkey") % 97 === 0)
         .select(col("l_partkey").as("k")).distinct().localCheckpoint()
-      graft.core.Staging.stage(work, (0 to 3).map { b =>
+      (0 to 3).foreach { b =>
         // batch 3 is the idle window: no changes, queries only
         val chg = ev.filter(col("b") === b && lit(b < 3))
           .select(lit("chg").as("kind"), lit(b.toLong).as("qb"), col("k"))
         val qry = probes
           .select(lit("qry").as("kind"), lit(b.toLong).as("qb"), col("k"))
-        chg.unionByName(qry)
-      })
+        val stageDir = s"$work/stage$b"
+        chg.unionByName(qry).coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val src = new java.io.File(stageDir).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        val inDir = java.nio.file.Paths.get(s"$work/in")
+        java.nio.file.Files.createDirectories(inDir)
+        val dest = inDir.resolve(f"b$b%02d.parquet")
+        java.nio.file.Files.move(src.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
+      }
       // serving sink: one-merge read grace for external readers
       val sink = new graft.sinks.SnapshotSink(s, s"$work/cells",
         Seq("hrow", "cell"), readGrace = true)
@@ -1401,7 +1419,7 @@ object IndexQueries {
       val work = Q.scratch("bm25serve")
       val qterms = Seq("ins2", "rev1", "spark") // fold order: sorted, see below
       // batch b's file: its change rows + the query terms stamped qb = b
-      graft.core.Staging.stage(work, (0 to 3).map { b =>
+      (0 to 3).foreach { b =>
         val chg = docChangeBatch(s, d, b)
           .select(lit("chg").as("kind"), lit(b.toLong).as("qb"), col("doc_id"),
             col("text"), col("n_tok"), col("op"), col("seq"),
@@ -1411,8 +1429,17 @@ object IndexQueries {
             lit(null).cast("bigint").as("doc_id"), lit(null).cast("string").as("text"),
             lit(null).cast("bigint").as("n_tok"), lit(null).cast("string").as("op"),
             lit(null).cast("bigint").as("seq"), col("term"))
-        chg.unionByName(qry)
-      })
+        val stageDir = s"$work/stage$b"
+        chg.unionByName(qry).coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val src = new java.io.File(stageDir).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        val inDir = java.nio.file.Paths.get(s"$work/in")
+        java.nio.file.Files.createDirectories(inDir)
+        val dest = inDir.resolve(f"b$b%02d.parquet")
+        java.nio.file.Files.move(src.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
+      }
       // serving sinks: one-merge read grace for external readers; the
       // postings bucket on TERM so a probe reads only its query terms'
       // buckets (the real index's term-keyed point read) — all segments

@@ -1276,7 +1276,7 @@ object MiningQueries {
       val probes = cpairs(41)
         .select(explode(array(col("u"), col("v"))).as("vtx")).distinct()
         .filter(col("vtx") % 13 === 0)
-      graft.core.Staging.stage(work, (0 to 3).map { b =>
+      (0 to 3).foreach { b =>
         val delta =
           if (b == 0) cpairs(47)
           else cpairs(thresholds(b))
@@ -1286,8 +1286,17 @@ object MiningQueries {
         val qry = probes.select(lit("qry").as("kind"), lit(b.toLong).as("qb"),
           lit(null).cast("bigint").as("u"), lit(null).cast("bigint").as("v"),
           col("vtx").as("probe"))
-        chg.unionByName(qry)
-      })
+        val stageDir = s"$work/stage$b"
+        chg.unionByName(qry).coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val src = new java.io.File(stageDir).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        val inDir = java.nio.file.Paths.get(s"$work/in")
+        java.nio.file.Files.createDirectories(inDir)
+        val dest = inDir.resolve(f"b$b%02d.parquet")
+        java.nio.file.Files.move(src.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
+      }
       // serving sink: one-merge read grace for external readers. The
       // loop's four state lookups split by key: three are vertex-keyed
       // (endpoint labels, new-vertex anti-join, probe serve) and one is

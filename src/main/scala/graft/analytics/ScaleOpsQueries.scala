@@ -1124,7 +1124,7 @@ object ScaleOpsQueries {
       }
       // batch b's file: its change rows (batch 0 = base inserts) + the
       // full query set stamped qb = b
-      graft.core.Staging.stage(work, (0 to 3).map { b =>
+      (0 to 3).foreach { b =>
         val chg =
           if (b == 0)
             annAssignAgainstBase(s, d, e.select(col("vec_id"), col("embedding")))
@@ -1145,8 +1145,18 @@ object ScaleOpsQueries {
                   lit(graft.core.ChangeLog.Delete).as("op")))
               .withColumn("seq", lit(b.toLong))
           }
+        val stageDir = s"$work/stage$b"
         pad(chg, "chg", b).unionByName(pad(qset, "qry", b))
-      })
+          .coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val src = new java.io.File(stageDir).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        val inDir = java.nio.file.Paths.get(s"$work/in")
+        java.nio.file.Files.createDirectories(inDir)
+        val dest = inDir.resolve(f"b$b%02d.parquet")
+        java.nio.file.Files.move(src.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
+      }
       // serving sink: external readers may hold a frame across a
       // maintenance commit - one-merge read grace on
       val sink = new graft.sinks.SnapshotSink(s, s"$work/index",

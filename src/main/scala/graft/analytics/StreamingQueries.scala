@@ -65,11 +65,20 @@ object StreamingQueries {
     val ranked = Q.exactNtile(ev,
       Seq(col("us"), col("event_id"), col("user_id")), 4, "b")
       .localCheckpoint()
-    graft.core.Staging.stage(work, (0 to 3).map { b =>
-      ranked.filter(col("b") === (b + 1))
+    (0 to 3).foreach { b =>
+      val part = ranked.filter(col("b") === (b + 1))
         .select(col("user_id"), col("us"), col("event_id"), col("ini"))
-    })
-    ()
+      val stageDir = s"$work/stage$b"
+      part.coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val src = new java.io.File(stageDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val inDir = java.nio.file.Paths.get(s"$work/in")
+      java.nio.file.Files.createDirectories(inDir)
+      val dest = inDir.resolve(f"b$b%02d.parquet")
+      java.nio.file.Files.move(src.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 1000L))
+    }
   }
 
   /** One CEP session fold (the evt_stream_sessionized_cep batch body up
