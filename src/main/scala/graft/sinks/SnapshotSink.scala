@@ -100,6 +100,12 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     */
   private val swapLock = SnapshotSink.lockFor(path)
 
+  /** recover()'s clean-path flag — see the comment in [[recover]].
+    * JVM-global per path so reader instances over the same directory
+    * share the writer's state; only touched under [[swapLock]].
+    */
+  private val recovered = SnapshotSink.recoveredFlag(path)
+
   private def hfs = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def p(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -338,6 +344,21 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     * committed manifest at all, ALL data is uncommitted garbage.
     */
   def recover(): Unit = swapLock.synchronized {
+    // Clean-path fast flag: the full fs-listing walk below (2 manifest
+    // listings + a manifest decode each + 1 + numBuckets data listings)
+    // ran at the top of EVERY sink op — dozens of walks per maintained
+    // query, pure fixed cost on the job-overhead-bound lines. Garbage
+    // only ever appears from a mutation that died mid-protocol, so once
+    // one walk has run in this JVM and every later mutation completed
+    // its commit+gc (which re-walks), there is nothing to reap: skip.
+    // The flag is JVM-global per path (like the lock), cleared by
+    // mutations BEFORE their first write and re-set only by a completed
+    // walk; a crashed/failed merge leaves it cleared, so the next op
+    // walks. A crash that kills the JVM resets it trivially (fresh JVM
+    // starts dirty). Cross-process: the single-writer contract means
+    // another process never mutates this path while we serve it; a
+    // reader-only JVM walks once at first touch, same as before.
+    if (recovered.get()) return
     val fs = hfs
     if (fs.exists(p(stagingPath))) fs.delete(p(stagingPath), true)
     if (fs.exists(p(manifestPath)))
@@ -361,6 +382,7 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
       }
       if (retained.isEmpty) fs.delete(p(dataPath), true)
     }
+    recovered.set(true)
   }
 
   /** Post-commit GC: manifest retention FIRST (the just-committed
@@ -430,6 +452,7 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     val fs = hfs
     val newVersion = cur.map(_.version + 1).getOrElse(1L)
     val next = lastPerKeyBucketed(normalized)
+    recovered.set(false) // dirty until the commit+gc walk completes
     graft.core.Prof.time(s"sink/write") {
       next.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(stagingPath)
     }
@@ -511,6 +534,7 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
             // empty batches (they'd otherwise accumulate until the next
             // non-empty merge)
             if (batchId.isDefined) {
+              recovered.set(false) // dirty until the commit+gc walk completes
               val mm = Manifest(newVersion, m.buckets, newApplied)
               commitManifest(mm)
               gc(mm)
@@ -522,6 +546,10 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
             .filter(col("__bucket").isin(touched.map(Int.box): _*))
           lastPerKeyBucketed(existing.unionByName(normalized))
       }
+      // From the first staging write to the end of gc's walk the dir can
+      // hold mid-protocol garbage; a failure anywhere in between must
+      // leave the flag dirty so the next op reaps.
+      recovered.set(false)
       graft.core.Prof.time(s"sink/write") {
         // lastPerKeyBucketed leaves rows hash-partitioned AND sorted by
         // __bucket, so the partitioned write emits one file per bucket
@@ -571,6 +599,20 @@ object SnapshotSink {
     scala.collection.concurrent.TrieMap.empty[String, Object]
   private def lockFor(path: String): Object =
     locks.getOrElseUpdate(path, new Object)
+
+  private val recoveredFlags =
+    scala.collection.concurrent.TrieMap
+      .empty[String, java.util.concurrent.atomic.AtomicBoolean]
+  private def recoveredFlag(path: String): java.util.concurrent.atomic.AtomicBoolean =
+    recoveredFlags.getOrElseUpdate(path, new java.util.concurrent.atomic.AtomicBoolean(false))
+
+  /** Test seam: forget that `path` was recovered in this JVM, as a fresh
+    * process would — the crash specs use it to simulate a restart after
+    * externally-planted garbage (a real crash resets the flag by killing
+    * the JVM; nothing in-process should ever need this).
+    */
+  private[graft] def simulateRestartFor(path: String): Unit =
+    recoveredFlag(path).set(false)
 
   /** Test-only observation point: called once per merge with (sink path,
     * elision fired). JVM-global because maintenance loops construct their

@@ -13,6 +13,18 @@ trait SparkSpec extends AnyFunSuite with DerbyEngineIsolation {
   lazy val spark: SparkSession = Engine.local("graft-test", cores = 4)
   def sf0001 = "/root/testdata/sf0.001"
 
+  /** Guarantee a streaming query never outlives its test: a failed
+    * assertion (or an interrupt out of awaitTermination /
+    * processAllAvailable on a framework timeout) must still stop the
+    * query, or it runs into JVM/session teardown and aborts the suite
+    * (the round-15 driver flake: a task launch rejected from the
+    * executor's shutting-down thread pool). stop() on an
+    * already-terminated query is a no-op, so wrapping self-terminating
+    * AvailableNow runs is safe too.
+    */
+  def withStream[T](q: org.apache.spark.sql.streaming.StreamingQuery)(f: => T): T =
+    try f finally q.stop()
+
   /** transformWithState tests need the multi-column-family RocksDB state
     * store. The session is a shared getOrCreate singleton across suites
     * in one JVM, so the conf MUST be restored — a leaked provider would

@@ -312,7 +312,7 @@ class ScaleOpsSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    withStream(q)(q.awaitTermination())
     val got = spark.read.parquet(s"$work/out")
       .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
     assert(got == Map(

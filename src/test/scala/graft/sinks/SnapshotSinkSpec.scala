@@ -137,12 +137,45 @@ class SnapshotSinkSpec extends SparkSpec {
       Array[Byte](1, 2, 3))
     Files.createDirectories(Paths.get(path, ".staging", "junk"))
     Files.write(Paths.get(path, "manifest", "v99.tmp"), Array[Byte](9))
+    // the planted garbage imitates a crash of a PRIOR process, so start
+    // this one "fresh": the clean-path flag must not carry over a JVM
+    // death (in-process failures leave it dirty on their own — next test)
+    SnapshotSink.simulateRestartFor(path)
     // read() serves the committed manifest — uncommitted generations are
     // invisible — and recover() reaps them
     assert(sink.read().count() == all)
     assert(!Files.exists(bucketDir.resolve("__gen=99")))
     assert(!Files.exists(Paths.get(path, ".staging")))
     assert(!Files.exists(Paths.get(path, "manifest", "v99.tmp")))
+  }
+
+  test("clean-path fast flag: quiescent reads skip the recovery walk; " +
+      "any mid-protocol failure re-arms it") {
+    val path = tmp()
+    val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 4)
+    sink.merge(log((1, "insert", 1, "a"), (1, "insert", 2, "b")))
+    sink.read().count() // post-merge walk done; sink is quiescent and clean
+    // plant recognizable garbage; a CLEAN-path read must NOT walk (and so
+    // must NOT reap) — this pins the fast path actually being taken
+    val junk = Paths.get(path, ".staging", "junk")
+    Files.createDirectories(junk)
+    assert(sink.read().count() == 2)
+    assert(Files.exists(junk),
+      "clean-path read must skip the recovery walk (garbage untouched)")
+    // an in-process mid-protocol failure dirties the flag: the next op
+    // walks and reaps BOTH the crash's own staging and the planted junk
+    sink.faultHook = pt => if (pt == "staged") sys.error("injected crash")
+    intercept[Exception] { sink.merge(log((2, "update", 1, "a2"))) }
+    sink.faultHook = _ => ()
+    assert(sink.read().count() == 2)
+    assert(!Files.exists(Paths.get(path, ".staging")),
+      "a failed merge must re-arm recovery on the next op")
+    // and a completed merge leaves the sink clean again
+    sink.merge(log((3, "update", 1, "a3")))
+    val junk2 = Paths.get(path, ".staging", "junk2")
+    Files.createDirectories(junk2)
+    assert(sink.read().select("v").as[String].collect().toSet == Set("a3", "b"))
+    assert(Files.exists(junk2), "commit+gc must restore the clean path")
   }
 
   test("a merge after a crashed merge converges (replay idempotence)") {

@@ -42,7 +42,7 @@ class BinlogStreamSpec extends SparkSpec {
         .load()
         .writeStream.format("memory").queryName(out)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStream(q)(q.awaitTermination())
       val got = spark.table(out)
         .selectExpr("op", "database", "table",
           "element_at(data, 'id')", "element_at(data, 'name')")
@@ -91,7 +91,7 @@ class BinlogStreamSpec extends SparkSpec {
           }
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        withStream(q)(q.awaitTermination())
         got.result()
       }
       val first = run()
@@ -121,10 +121,11 @@ class BinlogStreamSpec extends SparkSpec {
         .load()
         .writeStream.format("memory").queryName(out)
         .trigger(Trigger.ProcessingTime(50)).start()
-      eventually(timeout(Span(60, Seconds)), interval(Span(1, Seconds))) {
-        assert(spark.table(out).count() == 20L)
+      withStream(q) {
+        eventually(timeout(Span(60, Seconds)), interval(Span(1, Seconds))) {
+          assert(spark.table(out).count() == 20L)
+        }
       }
-      q.stop()
       val ids = spark.table(out).selectExpr("element_at(data, 'c0')")
         .as[String].collect().map(_.toInt).sorted.toSeq
       assert(ids == (1 to 20))
@@ -143,7 +144,7 @@ class BinlogStreamSpec extends SparkSpec {
       .writeStream.format("noop")
       .trigger(Trigger.AvailableNow()).start()
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q.awaitTermination()
+      withStream(q)(q.awaitTermination())
     }
     def chain(t: Throwable): Seq[Throwable] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
@@ -170,7 +171,7 @@ class BinlogStreamSpec extends SparkSpec {
         .load()
         .writeStream.format("memory").queryName(out)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStream(q)(q.awaitTermination())
       assert(srv.dumpGtid.contains(GtidSet.parse(s"$sid:1-5")),
         "the configured executed set must reach the master on the wire")
       val got = spark.table(out).selectExpr("op", "element_at(data, 'c0')")

@@ -19,7 +19,7 @@ class CdcRateSourceSpec extends SparkSpec {
       .option("maxSeq", 500).option("rowsPerBatch", 64).load()
       .writeStream.format("memory").queryName(out)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStream(q)(q.awaitTermination())
     val seqs = spark.table(out).select("seq").as[Long].collect().sorted
     assert(seqs.toSeq == (0L until 500L))
     val ops = spark.table(out).groupBy("op").count()
@@ -39,7 +39,7 @@ class CdcRateSourceSpec extends SparkSpec {
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStream(q)(q.awaitTermination())
       rows
     }
     assert(run() == 300)
@@ -59,7 +59,7 @@ class CdcRateSourceSpec extends SparkSpec {
       name = "cdc-rate-pipe", pkCols = Seq("id"), checkpoint = ckpt)
     val q = graft.streaming.PipelineRunner.start(plan, src, sink,
       trigger = Trigger.AvailableNow())
-    q.awaitTermination()
+    withStream(q)(q.awaitTermination())
     // expected: per key, the row with max seq; keys whose final op was
     // delete are absent from the live view
     val expected = (0L until 200L).groupBy(_ % 20).flatMap { case (k, seqs) =>

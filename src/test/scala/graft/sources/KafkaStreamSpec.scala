@@ -35,7 +35,7 @@ class KafkaStreamSpec extends SparkSpec {
         .load()
         .writeStream.format("memory").queryName(out)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStream(q)(q.awaitTermination())
       val got = spark.table(out).selectExpr("seq", "key", "value")
         .as[(Long, String, String)].collect().sortBy(_._1)
       assert(got.toSeq == (0 until 7).map(i => (i.toLong, s"key$i", s"""{"n":$i}""")))
@@ -57,7 +57,7 @@ class KafkaStreamSpec extends SparkSpec {
         .load()
         .writeStream.format("memory").queryName(out)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStream(q)(q.awaitTermination())
       val got = spark.table(out).selectExpr("seq", "key", "value")
         .as[(Long, String, String)].collect().sortBy(_._1)
       assert(got.toSeq == (0 until 5).map(i => (i.toLong, s"key$i", s"""{"n":$i}""")))
@@ -83,7 +83,7 @@ class KafkaStreamSpec extends SparkSpec {
           }
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        withStream(q)(q.awaitTermination())
         got.result()
       }
       assert(run().map(_._2).sorted == Seq("1", "2", "3"))
@@ -107,7 +107,7 @@ class KafkaStreamSpec extends SparkSpec {
         .load()
         .writeStream.format("memory").queryName(out)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStream(q)(q.awaitTermination())
       // the decode seat: same parser the file-form kafka input uses
       val decoded = graft.sources.KafkaCdc.envelopeFromV01(
         spark.table(out), org.apache.spark.sql.functions.col("seq"))

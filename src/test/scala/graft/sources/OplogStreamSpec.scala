@@ -39,7 +39,7 @@ class OplogStreamSpec extends SparkSpec {
         .load()
         .writeStream.format("memory").queryName(out)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStream(q)(q.awaitTermination())
       val got = spark.table(out)
         .selectExpr("op", "database", "table", "id",
           "element_at(data, 'status')", "cast(unset as string)")
@@ -69,7 +69,7 @@ class OplogStreamSpec extends SparkSpec {
         .load()
         .writeStream.format("memory").queryName(out)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStream(q)(q.awaitTermination())
       assert(srv.authOk, "the streaming seat must run the SCRAM conversation")
       assert(spark.table(out).count() == 3)
     } finally srv.close()
@@ -98,7 +98,7 @@ class OplogStreamSpec extends SparkSpec {
           }
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        withStream(q)(q.awaitTermination())
         got.result()
       }
       val first = run()
@@ -124,7 +124,7 @@ class OplogStreamSpec extends SparkSpec {
       .writeStream.format("noop")
       .trigger(Trigger.AvailableNow()).start()
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q.awaitTermination()
+      withStream(q)(q.awaitTermination())
     }
     def chain(t: Throwable): Seq[Throwable] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq

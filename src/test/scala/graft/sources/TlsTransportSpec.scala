@@ -171,7 +171,7 @@ class TlsTransportSpec extends AnyFunSuite {
         .load()
         .writeStream.format("memory").queryName(out)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      try q.awaitTermination() finally q.stop()
       val got = spark.table(out).selectExpr("seq", "key", "value")
         .as[(Long, String, String)].collect().sortBy(_._1)
       assert(got.toSeq == (0 until 4).map(i => (i.toLong, s"k$i", s"""{"n":$i}""")))

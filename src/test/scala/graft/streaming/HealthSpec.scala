@@ -18,7 +18,7 @@ class HealthSpec extends SparkSpec {
         .writeStream.outputMode(OutputMode.Complete())
         .format("memory").queryName("health_probe")
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStream(q)(q.awaitTermination())
       // listener events are delivered asynchronously
       val deadline = System.currentTimeMillis() + 10000
       while (listener.batches.isEmpty && System.currentTimeMillis() < deadline)
@@ -87,6 +87,7 @@ class HealthSpec extends SparkSpec {
       val mem = MemoryStream[Long]
       val q = mem.toDF.toDF("v").writeStream.outputMode(OutputMode.Append())
         .format("noop").queryName("metrics_probe").start()
+      withStream(q) {
       def drainTo(expect: Long): String = {
         q.processAllAvailable()
         val deadline = System.currentTimeMillis() + 10000
@@ -116,7 +117,7 @@ class HealthSpec extends SparkSpec {
       val b2 = drainTo(100)
       assert(counterOf(b2, "gravity_input_counter") == 100,
         "counters must be monotonic across batches")
-      q.stop()
+      }
     } finally { srv.stop(); spark.streams.removeListener(listener) }
   }
 }

@@ -49,47 +49,49 @@ class StreamingDedupSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll 
       .outputMode(OutputMode.Update())
       .format("memory").queryName("sdedup").start()
 
-    mem.addData(firstHalf)
-    q.processAllAvailable()
-    mem.addData(secondHalf)
-    q.processAllAvailable()
+    withStream(q) {
+      mem.addData(firstHalf)
+      q.processAllAvailable()
+      mem.addData(secondHalf)
+      q.processAllAvailable()
 
-    val expected = batchPairs(base.unionByName(planted))
-    def emitted(): Set[(Long, Long)] =
-      spark.table("sdedup").as[(Long, Long)].collect().toSet
-    assert(emitted() == expected,
-      "cumulative streamed candidates must equal the batch band join")
+      val expected = batchPairs(base.unionByName(planted))
+      def emitted(): Set[(Long, Long)] =
+        spark.table("sdedup").as[(Long, Long)].collect().toSet
+      assert(emitted() == expected,
+        "cumulative streamed candidates must equal the batch band join")
 
-    // replay the first half: no state regression, no new pairs
-    val before = spark.table("sdedup").count()
-    mem.addData(firstHalf)
-    q.processAllAvailable()
-    assert(emitted() == expected)
-    assert(spark.table("sdedup").count() == before, "replay must emit nothing")
-    q.stop()
+      // replay the first half: no state regression, no new pairs
+      val before = spark.table("sdedup").count()
+      mem.addData(firstHalf)
+      q.processAllAvailable()
+      assert(emitted() == expected)
+      assert(spark.table("sdedup").count() == before, "replay must emit nothing")
+    }
   }
 
   test("band bucket cap stops state growth but still pairs against retained members") {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    implicit val sc = spark.sqlContext
-    // identical text => identical signature => one bucket per band
-    val mem = MemoryStream[(Long, String)]
-    val q = StreamingDedup.candidatePairs(
-        mem.toDS.toDF("doc_id", "text"), maxBucket = 2)
-      .toDF("doc_a", "doc_b").writeStream
-      .outputMode(OutputMode.Update())
-      .format("memory").queryName("sdedup_cap").start()
-    val text = "alpha beta gamma delta epsilon zeta eta theta"
-    mem.addData((1L, text), (2L, text))
-    q.processAllAvailable()
-    mem.addData((3L, text)) // bucket is at cap: 3 pairs with 1 and 2, not stored
-    q.processAllAvailable()
-    mem.addData((4L, text)) // still pairs against retained {1, 2} only
-    q.processAllAvailable()
-    q.stop()
-    val got = spark.table("sdedup_cap").as[(Long, Long)].collect().toSet
-    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
+    withRocksDbStateStore {
+      implicit val sc = spark.sqlContext
+      // identical text => identical signature => one bucket per band
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingDedup.candidatePairs(
+          mem.toDS.toDF("doc_id", "text"), maxBucket = 2)
+        .toDF("doc_a", "doc_b").writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory").queryName("sdedup_cap").start()
+      val text = "alpha beta gamma delta epsilon zeta eta theta"
+      withStream(q) {
+        mem.addData((1L, text), (2L, text))
+        q.processAllAvailable()
+        mem.addData((3L, text)) // bucket is at cap: 3 pairs with 1 and 2, not stored
+        q.processAllAvailable()
+        mem.addData((4L, text)) // still pairs against retained {1, 2} only
+        q.processAllAvailable()
+      }
+      val got = spark.table("sdedup_cap").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
+    }
   }
 
   // State stays BOUNDED over an unbounded stream: members older than
@@ -102,8 +104,7 @@ class StreamingDedupSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll 
   //   b3: doc4@12:30  (threshold 11:00: 1,2 EVICTED, 3 kept) -> (3,4) only
   //   b4: doc5@12:40  (threshold 11:30: 3,4 kept)  -> (3,5) (4,5)
   test("event-time horizon evicts old members; in-horizon pairs unchanged") {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    withRocksDbStateStore {
     implicit val sc = spark.sqlContext
     val text = "alpha beta gamma delta epsilon zeta eta theta"
     val ts = (s: String) => java.sql.Timestamp.valueOf(s"2025-01-01 $s:00")
@@ -114,20 +115,22 @@ class StreamingDedupSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll 
       .toDF("doc_a", "doc_b").writeStream
       .outputMode(OutputMode.Update())
       .format("memory").queryName("sdedup_ttl").start()
-    mem.addData((1L, text, ts("10:00")), (2L, text, ts("10:30")))
-    q.processAllAvailable()
-    mem.addData((3L, text, ts("12:00")))
-    q.processAllAvailable()
-    mem.addData((4L, text, ts("12:30")))
-    q.processAllAvailable()
-    mem.addData((5L, text, ts("12:40")))
-    q.processAllAvailable()
-    q.stop()
+    withStream(q) {
+      mem.addData((1L, text, ts("10:00")), (2L, text, ts("10:30")))
+      q.processAllAvailable()
+      mem.addData((3L, text, ts("12:00")))
+      q.processAllAvailable()
+      mem.addData((4L, text, ts("12:30")))
+      q.processAllAvailable()
+      mem.addData((5L, text, ts("12:40")))
+      q.processAllAvailable()
+    }
     val got = spark.table("sdedup_ttl").as[(Long, Long)].collect().toSet
     assert(got == Set(
       (1L, 2L), (1L, 3L), (2L, 3L), // inside the horizon: the batch set
       (3L, 4L), // 1 and 2 evicted before doc4 — no (1,4)/(2,4)
       (3L, 5L), (4L, 5L)),
       s"horizon eviction contract broken, emitted: $got")
+    }
   }
 }

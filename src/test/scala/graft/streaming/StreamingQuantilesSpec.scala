@@ -27,7 +27,7 @@ class StreamingQuantilesSpec extends SparkSpec {
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      withStream(q)(q.awaitTermination())
     }
     val snaps = spark.read.parquet(s"$work/out")
     val lastB = snaps.groupBy("grp").agg(max(col("batch")).as("batch"))

@@ -33,7 +33,7 @@ class StreamingSemanticsSpec extends SparkSpec {
       (ts("2024-01-01 11:05:00"), "view", 3.0))
     val q = agg.writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName("win_agg").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStream(q)(q.awaitTermination())
 
     val got = spark.table("win_agg").as[(Timestamp, String, Long)].collect().toSet
     assert(got == Set(
@@ -51,7 +51,7 @@ class StreamingSemanticsSpec extends SparkSpec {
       (ts("2024-01-01 10:01:00"), 2L))
     val q = deduped.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("dedup_stream").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStream(q)(q.awaitTermination())
     assert(spark.table("dedup_stream").count() == 2)
   }
 
@@ -71,7 +71,7 @@ class StreamingSemanticsSpec extends SparkSpec {
     mem.addData((1L, "a"), (1L, "b"), (2L, "c"))
     val q = counted.toDF("user_id", "n").writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("state_counts").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStream(q)(q.awaitTermination())
     assert(spark.table("state_counts").as[(Long, Long)].collect().toSet ==
       Set((1L, 2L), (2L, 1L)))
   }
@@ -115,9 +115,10 @@ class StreamingSemanticsSpec extends SparkSpec {
     val q = staged.toDF("user_id", "stage").writeStream
       .outputMode(OutputMode.Update())
       .format("memory").queryName("funnel_state").start()
-    mem.addData(b1.toSeq: _*); q.processAllAvailable()
-    mem.addData(b2.toSeq: _*); q.processAllAvailable()
-    q.stop()
+    withStream(q) {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    }
     // last update per user = final stage reached
     val finalStages = spark.table("funnel_state")
       .groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
@@ -160,7 +161,7 @@ class StreamingSemanticsSpec extends SparkSpec {
       (ts("2024-01-01 10:10:00"), 3L, 9.0)) // no signup -> dropped
     val q = joined.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("ss_join").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStream(q)(q.awaitTermination())
     val got = spark.table("ss_join").select("user_id", "value")
       .as[(Long, Double)].collect().toSet
     assert(got == Set((1L, 5.0)))
@@ -182,11 +183,12 @@ class StreamingSemanticsSpec extends SparkSpec {
       .select($"window.start".as("ws"), $"n")
     val q = agg.writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName("late_drop").trigger(Trigger.ProcessingTime(0)).start()
-    mem.addData((ts("2024-01-01 10:05:00"), "a"), (ts("2024-01-01 12:30:00"), "b"))
-    q.processAllAvailable()
-    mem.addData((ts("2024-01-01 10:06:00"), "late")) // behind the 11:30 watermark
-    q.processAllAvailable()
-    q.stop()
+    withStream(q) {
+      mem.addData((ts("2024-01-01 10:05:00"), "a"), (ts("2024-01-01 12:30:00"), "b"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 10:06:00"), "late")) // behind the 11:30 watermark
+      q.processAllAvailable()
+    }
     val got = spark.table("late_drop")
       .groupBy($"ws").agg(max($"n").as("n"))
       .as[(Timestamp, Long)].collect().toMap
@@ -211,14 +213,15 @@ class StreamingSemanticsSpec extends SparkSpec {
       .select($"user_id", $"value")
     val q = joined.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("ss_left_join").trigger(Trigger.ProcessingTime(0)).start()
-    signups.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
-    purchases.addData((ts("2024-01-01 10:30:00"), 1L, 5.0))
-    q.processAllAvailable()
-    // advance both watermarks far past user 2's join window
-    signups.addData((ts("2024-01-01 15:00:00"), 9L))
-    purchases.addData((ts("2024-01-01 15:00:00"), 9L, 1.0))
-    q.processAllAvailable()
-    q.stop()
+    withStream(q) {
+      signups.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+      purchases.addData((ts("2024-01-01 10:30:00"), 1L, 5.0))
+      q.processAllAvailable()
+      // advance both watermarks far past user 2's join window
+      signups.addData((ts("2024-01-01 15:00:00"), 9L))
+      purchases.addData((ts("2024-01-01 15:00:00"), 9L, 1.0))
+      q.processAllAvailable()
+    }
     val got = spark.table("ss_left_join").as[(Long, Option[Double])].collect().toSet
     assert(got.contains((1L, Some(5.0)))) // matched inside the hour
     assert(got.contains((2L, None)))      // emitted as unmatched after watermark
@@ -240,7 +243,7 @@ class StreamingSemanticsSpec extends SparkSpec {
       .select($"user_id", $"session_window.start".as("start"), $"n")
     val q = sessions.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("sess_stream").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStream(q)(q.awaitTermination())
 
     val batch = events
       .groupBy($"user_id", session_window($"ts", "10 minutes"))
@@ -279,7 +282,7 @@ class StreamingSemanticsSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    withStream(q)(q.awaitTermination())
     val raw = spark.read.parquet(s"$work/out")
     assert(raw.count() == nDistinct,
       s"raw emitted ${raw.count()} rows, want $nDistinct (no replay leaks)")

@@ -49,11 +49,12 @@ class StreamingTopKSpec extends SparkSpec {
       .start()
 
     val (h1, h2) = rows.splitAt(rows.length / 2)
-    mem.addData(h1)
-    q.processAllAvailable()
-    mem.addData(h2)
-    q.processAllAvailable()
-    q.stop()
+    withStream(q) {
+      mem.addData(h1)
+      q.processAllAvailable()
+      mem.addData(h2)
+      q.processAllAvailable()
+    }
 
     val lastBatch = buf.groupBy(_._2).map { case (g, xs) => g -> xs.map(_._1).max }
     val fin = buf.filter { case (id, g, _, _, _) => id == lastBatch(g) }

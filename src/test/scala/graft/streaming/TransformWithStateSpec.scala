@@ -57,15 +57,16 @@ class TransformWithStateSpec extends SparkSpec with org.scalatest.BeforeAndAfter
     val q = compacted.toDF("pk", "seq", "op", "v").writeStream
       .outputMode(OutputMode.Update())
       .format("memory").queryName("tws_lww").start()
-    // batch 1: inserts + an update
-    mem.addData((1L, 10L, "insert", "a"), (1L, 11L, "update", "a2"), (2L, 20L, "insert", "b"))
-    q.processAllAvailable()
-    // batch 2: REPLAY of seq 10 (must not regress pk 1), out-of-order
-    // lower seq for pk 2 (ignored), genuine advance for pk 2, delete pk 1
-    mem.addData((1L, 10L, "insert", "a"), (2L, 19L, "update", "stale"),
-      (2L, 21L, "update", "b2"), (1L, 12L, "delete", "a2"))
-    q.processAllAvailable()
-    q.stop()
+    withStream(q) {
+      // batch 1: inserts + an update
+      mem.addData((1L, 10L, "insert", "a"), (1L, 11L, "update", "a2"), (2L, 20L, "insert", "b"))
+      q.processAllAvailable()
+      // batch 2: REPLAY of seq 10 (must not regress pk 1), out-of-order
+      // lower seq for pk 2 (ignored), genuine advance for pk 2, delete pk 1
+      mem.addData((1L, 10L, "insert", "a"), (2L, 19L, "update", "stale"),
+        (2L, 21L, "update", "b2"), (1L, 12L, "delete", "a2"))
+      q.processAllAvailable()
+    }
 
     val last = spark.table("tws_lww")
       .groupBy(col("pk")).agg(max(struct(col("seq"), col("op"), col("v"))).as("s"))

@@ -42,31 +42,32 @@ class StreamConsistencySpec extends SparkSpec with org.scalatest.BeforeAndAfterA
   }
 
   test("streaming path: an injected mismatch is detected once the barrier closes the segment") {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    withRocksDbStateStore {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, Long, String, Long, String)]
     val q = StreamConsistency.segmentChecks(
         mem.toDS.toDF("tag", "barrier", "payload_id", "ord", "checksum"))
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("dcp_checks").start()
-    // segment 0 traffic: src and dst agree on k1, dst corrupts k2
-    mem.addData(
-      ("src", 0L, "k1", 1L, "h1"), ("dst", 0L, "k1", 1L, "h1"),
-      ("src", 0L, "k2", 2L, "h2"), ("dst", 0L, "k2", 2L, "hX"))
-    q.processAllAvailable()
-    // barrier close (ts 1) + a flusher batch: two-phase watermark means
-    // emission happens the batch AFTER the watermark advances past 1
-    mem.addData(("src", 1L, "_close", 0L, "x"))
-    q.processAllAvailable()
-    mem.addData(("src", 2L, "_close2", 0L, "x"))
-    q.processAllAvailable()
-    q.stop()
+    withStream(q) {
+      // segment 0 traffic: src and dst agree on k1, dst corrupts k2
+      mem.addData(
+        ("src", 0L, "k1", 1L, "h1"), ("dst", 0L, "k1", 1L, "h1"),
+        ("src", 0L, "k2", 2L, "h2"), ("dst", 0L, "k2", 2L, "hX"))
+      q.processAllAvailable()
+      // barrier close (ts 1) + a flusher batch: two-phase watermark means
+      // emission happens the batch AFTER the watermark advances past 1
+      mem.addData(("src", 1L, "_close", 0L, "x"))
+      q.processAllAvailable()
+      mem.addData(("src", 2L, "_close2", 0L, "x"))
+      q.processAllAvailable()
+    }
     val emitted = spark.table("dcp_checks")
     val v = StreamConsistency.verdicts(emitted, "src", "dst")
       .filter(col("segment") === 0).collect()
     assert(v.length == 1)
     assert(v.head.getString(6) == "diff", s"injected mismatch missed: ${v.toSeq}")
     assert(v.head.getLong(5) == 1L) // exactly the corrupted payload id
+    }
   }
 }
