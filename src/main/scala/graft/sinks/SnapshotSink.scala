@@ -265,8 +265,27 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
     * not two.
     */
   def bucketIds(keys: DataFrame): Set[Int] = keys
-    .select(pmod(xxhash64(bucketCols.map(col): _*), lit(numBuckets)).cast("int").as("__b"))
+    .select(bucketIdExpr().as("__b"))
     .distinct().collect().map(_.getInt(0)).toSet
+
+  /** The bucket-id expression [[bucketIds]] collects, over `keys`
+    * columns (default: the sink's bucketBy columns by name) — for fusing
+    * the bucket-id projection into a job the caller already runs
+    * (graft.core.Fused.checkpointIntSet observes collect_set of this on
+    * a checkpoint job, replacing the separate driver-collect job).
+    */
+  def bucketIdExpr(keys: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
+    val ks = if (keys.nonEmpty) keys else bucketCols.map(col)
+    pmod(xxhash64(ks: _*), lit(numBuckets)).cast("int")
+  }
+
+  /** Driver-side bucket id of one literal key — the SAME xxhash64(seed
+    * 42) the executors compute, evaluated through the same catalyst
+    * expression class so it can never drift. For reads whose key set is
+    * already a driver value (a fixed metadata key, a driver-planned
+    * segment list): turns the bucket-id projection job into arithmetic.
+    */
+  def bucketIdOf(keys: Any*): Int = SnapshotSink.bucketIdOf(numBuckets, keys: _*)
 
   /** Pin the CURRENT manifest once and serve every later point read from
     * it without re-taking the lock, re-running recovery, or re-reading
@@ -595,6 +614,18 @@ final class SnapshotSink(spark: SparkSession, path: String, pkCols: Seq[String],
 }
 
 object SnapshotSink {
+  /** Driver-side twin of the executor bucket hash: evaluates the SAME
+    * catalyst XxHash64 (seed 42, the xxhash64 SQL function) over literal
+    * keys, then the same pmod. Shared by sink and Pinned [[bucketIdOf]].
+    */
+  private[sinks] def bucketIdOf(numBuckets: Int, keys: Any*): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = new XxHash64(keys.map(k => Literal(k)), 42L)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+    (((h % numBuckets) + numBuckets) % numBuckets).toInt
+  }
+
   private val locks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
   private def lockFor(path: String): Object =
@@ -635,8 +666,18 @@ object SnapshotSink {
       * driver collect, shareable across layout-identical pinned sinks.
       */
     def bucketIds(keys: DataFrame): Set[Int] = keys
-      .select(pmod(xxhash64(bucketCols.map(col): _*), lit(numBuckets)).cast("int").as("__b"))
+      .select(bucketIdExpr().as("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
+
+    /** Same as [[SnapshotSink.bucketIdExpr]] — the fusable form of the
+      * bucket-id projection.
+      */
+    def bucketIdExpr(keys: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
+      val ks = if (keys.nonEmpty) keys else bucketCols.map(col)
+      pmod(xxhash64(ks: _*), lit(numBuckets)).cast("int")
+    }
+
+    def bucketIdOf(keys: Any*): Int = SnapshotSink.bucketIdOf(numBuckets, keys: _*)
 
     def readBucketIds(wanted: Set[Int]): DataFrame = {
       val dirs = buckets.toSeq.sortBy(_._1)

@@ -404,6 +404,32 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(sink.readBuckets(Seq.empty[Long].toDF("id")).isEmpty)
   }
 
+  test("bucketIdOf / bucketIdExpr agree with the executor-computed bucketIds " +
+      "for long (incl. negative) and string keys") {
+    val path = tmp()
+    val sink = new SnapshotSink(spark, path, Seq("id"), numBuckets = 7)
+    val longs = Seq(-1L, 0L, 3L, -42L, 123456789L, Long.MinValue, Long.MaxValue)
+    val frameIds = sink.bucketIds(longs.toDF("id"))
+    val driverIds = longs.map(k => sink.bucketIdOf(k)).toSet
+    assert(driverIds == frameIds,
+      s"driver-side hash must match executor hash: $driverIds vs $frameIds")
+    // per-key agreement, not just set equality
+    longs.foreach { k =>
+      assert(Set(sink.bucketIdOf(k)) == sink.bucketIds(Seq(k).toDF("id")),
+        s"key $k")
+    }
+    val ssink = new SnapshotSink(spark, tmp(), Seq("term"), numBuckets = 5)
+    val strs = Seq("@segremap", "@doc", "", "hello")
+    strs.foreach { k =>
+      assert(Set(ssink.bucketIdOf(k)) == ssink.bucketIds(Seq(k).toDF("term")),
+        s"key $k")
+    }
+    // the fusable expression path (checkpointIntSet metric) = bucketIds
+    val (_, obsSet) = graft.core.Fused.checkpointIntSet(
+      longs.toDF("id"), sink.bucketIdExpr(org.apache.spark.sql.functions.col("id")))
+    assert(obsSet == frameIds)
+  }
+
   test("Ranges properties: random add orders compact minimally; contains = membership (randomized)") {
     import SnapshotSink.Ranges
     import org.scalacheck.{Gen, Prop}
