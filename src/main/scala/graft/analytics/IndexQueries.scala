@@ -463,7 +463,14 @@ object IndexQueries {
       val q = stream.writeStream
         .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) => {
           import s.implicits._
-          val inc = batch.filter(col("kind") === "chg")
+          // the serve gate's max(qb over qry rows) rides the maintain
+          // checkpoint job as an observed metric (filters never push
+          // through CollectMetrics, so the metric sees the whole batch) —
+          // the former standalone .head job per micro-batch is gone
+          val qbObs = org.apache.spark.sql.Observation()
+          val inc = batch
+            .observe(qbObs, max(when(col("kind") === "qry", col("qb"))).as("qbv"))
+            .filter(col("kind") === "chg")
             .select(col("k"), posexplode(array((0 to 3).map(j => expr(cellS(j, "k"))): _*)))
             .groupBy(col("pos").cast("long").as("hrow"), col("col").as("cell"))
             .agg(count(lit(1)).as("dn"))
@@ -482,9 +489,18 @@ object IndexQueries {
             "agg_stream_serve_cms/maintain", upd))
           // a probe-free micro-batch has nothing to serve: max(qb) over
           // zero 'qry' rows is NULL — skip the serve step instead of an
-          // opaque NPE (entry: agg_stream_serve_cms)
-          val qbvBox = batch.filter(col("kind") === "qry")
-            .agg(max(col("qb"))).head.getAs[java.lang.Long](0)
+          // opaque NPE (entry: agg_stream_serve_cms).
+          // Fallback: on a change-free batch AQE's runtime
+          // empty-relation propagation can prune the zero-row aggregate
+          // subtree — and the CollectMetrics inside it — from the final
+          // plan, completing the Observation with an EMPTY metrics map;
+          // only then pay the former standalone job.
+          val qbvBox =
+            try qbObs.get("qbv").asInstanceOf[java.lang.Long]
+            catch { case _: NoSuchElementException =>
+              batch.filter(col("kind") === "qry")
+                .agg(max(col("qb"))).head.getAs[java.lang.Long](0)
+            }
           if (qbvBox != null) {
             val qbv = qbvBox.longValue
             val pc = batch.filter(col("kind") === "qry").select(col("k"))
@@ -591,7 +607,12 @@ object IndexQueries {
       val q = stream.writeStream
         .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) => {
           import s.implicits._
-          val inc = batch.filter(col("kind") === "chg")
+          // serve gate's max(qb) observed on the maintain job (see the
+          // non-decay twin above) — one fewer job per micro-batch
+          val qbObs = org.apache.spark.sql.Observation()
+          val inc = batch
+            .observe(qbObs, max(when(col("kind") === "qry", col("qb"))).as("qbv"))
+            .filter(col("kind") === "chg")
             .select(col("k"), posexplode(array((0 to 3).map(j => expr(cellS(j, "k"))): _*)))
             .groupBy(col("pos").cast("long").as("hrow"), col("col").as("cell"))
             .agg(count(lit(1)).as("dn"))
@@ -603,7 +624,14 @@ object IndexQueries {
           // age. Checkpointed before the merge (plan reads the generation
           // the merge replaces); a post-commit retry would decay TWICE —
           // the applied-id guard drops it.
-          val upd = cur.join(inc, Seq("hrow", "cell"), "full")
+          // inc must be the join RECEIVER: inside foreachBatch the batch
+          // frame lives on a cloned micro-batch session, and the
+          // Observation's listener registers on the observed frame's
+          // session — a cur-rooted upd would post its execution event to
+          // the MAIN session's bus and qbObs.get below would hang
+          // forever. Full outer is symmetric and the select is explicit,
+          // so flipping the receiver is a row-identical rewrite.
+          val upd = inc.join(cur, Seq("hrow", "cell"), "full")
             .select(col("hrow"), col("cell"),
               (expr("coalesce(n, CAST(0 AS BIGINT)) div 2") +
                 coalesce(col("dn"), lit(0L))).as("n"))
@@ -615,8 +643,16 @@ object IndexQueries {
           // zero 'qry' rows is NULL — skip the serve step instead of an
           // opaque NPE (entry: agg_stream_serve_cms_decay). The decay
           // merge above still ran: idle cells age even with no probes.
-          val qbvBox = batch.filter(col("kind") === "qry")
-            .agg(max(col("qb"))).head.getAs[java.lang.Long](0)
+          // Fallback as in the non-decay twin: a change-free batch can
+          // lose the mid-plan CollectMetrics to AQE's runtime
+          // empty-relation propagation (empty metrics map) — only then
+          // pay the former standalone job.
+          val qbvBox =
+            try qbObs.get("qbv").asInstanceOf[java.lang.Long]
+            catch { case _: NoSuchElementException =>
+              batch.filter(col("kind") === "qry")
+                .agg(max(col("qb"))).head.getAs[java.lang.Long](0)
+            }
           if (qbvBox != null) {
             val qbv = qbvBox.longValue
             val pc = batch.filter(col("kind") === "qry").select(col("k"))
@@ -1486,14 +1522,21 @@ object IndexQueries {
             // point read of exactly the scored docs' buckets — the
             // serve's frames contain NO full doc-state scan at all
             // (r13 verdict #5)
-            val qpost = postings.readBuckets(qrows.select(col("term")))
+            // the query terms are a driver value (just collected): their
+            // term-bucket ids are driver arithmetic, not a projection job
+            val qpost = postings.readBucketIds(
+                terms.map(t => postings.bucketIdOf(t)).toSet)
               .filter(col("term").isin(terms: _*)).localCheckpoint()
-            val scoredIds = qpost
-              .select(explode(col("plist")).as("p"))
-              .select(col("p.doc_id").as("doc_id")).distinct().localCheckpoint()
-            val lens = docState.readBuckets(scoredIds)
+            // the scored docs' bucket ids ride the id checkpoint (Fused)
+            val (scoredIds, scoredBuckets) = graft.core.Fused.checkpointIntSet(
+              qpost.select(explode(col("plist")).as("p"))
+                .select(col("p.doc_id").as("doc_id")).distinct(),
+              docState.bucketIdExpr())
+            val lens = docState.readBucketIds(scoredBuckets)
               .join(scoredIds, Seq("doc_id"), "left_semi")
-            val stats = docState.readBuckets(Seq(-1L, -2L).toDF("doc_id"))
+            // fixed reserved stats keys → driver arithmetic
+            val stats = docState.readBucketIds(
+                Set(docState.bucketIdOf(-1L), docState.bucketIdOf(-2L)))
               .filter(col("doc_id") < 0)
               .agg(
                 coalesce(max(when(col("doc_id") === -2L, col("n_tok"))), lit(0L))
@@ -1877,26 +1920,32 @@ object IndexQueries {
       batchId: Option[Long], auditSite: String): Unit = {
     val s = ch.sparkSession
     import s.implicits._
-    val keys = ch.select(col("doc_id")).distinct().localCheckpoint()
+    // the changed keys' doc-state bucket ids ride the key checkpoint job
+    // (Fused observed collect_set)
+    val (keys, keyBuckets) = graft.core.Fused.checkpointIntSet(
+      ch.select(col("doc_id")).distinct(), docState.bucketIdExpr())
     val newEntries = docEntries(ch.filter(col("op") =!= graft.core.ChangeLog.Delete))
     // the changed docs' old images — a point read of their own buckets
     val oldDocs =
       if (!docState.exists) None
-      else Some(docState.readBuckets(keys)
+      else Some(docState.readBucketIds(keyBuckets)
         .join(keys, Seq("doc_id"), "left_semi").localCheckpoint())
     val (touched, carried) = oldDocs match {
       case None => (newEntries.select("term", "seg").distinct(), newEntries)
       case Some(od) =>
         val oldEntries = docEntries(od)
-        // materialized: t feeds the bucket-id projection AND the rebuild
-        val t = newEntries.select("term", "seg")
-          .unionByName(oldEntries.select("term", "seg")).distinct()
-          .localCheckpoint()
+        // materialized: t feeds the bucket-id projection AND the rebuild;
+        // the bucket ids ride the checkpoint job (the expression uses the
+        // sink's own bucketBy columns, so this works under either pk or
+        // term bucketing — t carries both by name)
+        val (t, tBuckets) = graft.core.Fused.checkpointIntSet(
+          newEntries.select("term", "seg")
+            .unionByName(oldEntries.select("term", "seg")).distinct(),
+          postings.bucketIdExpr())
         // old posting rows of the touched (term, seg) pairs — a
-        // bucket-pruned point read of the touched keys' buckets (works
-        // under either pk or term bucketing) — with the changed docs'
-        // entries dropped, then the new images added
-        val old = postings.readBuckets(t).join(t, Seq("term", "seg"))
+        // bucket-pruned point read of the touched keys' buckets — with
+        // the changed docs' entries dropped, then the new images added
+        val old = postings.readBucketIds(tBuckets).join(t, Seq("term", "seg"))
           .select(col("term"), col("seg"), explode(col("plist")).as("p"))
           .select(col("term"), col("seg"),
             col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
@@ -1923,7 +1972,10 @@ object IndexQueries {
     val (oldN, oldLen) = oldDocs match {
       case None => (0L, 0L)
       case Some(_) =>
-        val r = docState.readBuckets(Seq(TotLenKey, NDocsKey).toDF("doc_id"))
+        // fixed reserved keys: bucket ids are driver arithmetic, not a
+        // projection job over a 2-row driver frame
+        val r = docState.readBucketIds(
+            Set(docState.bucketIdOf(TotLenKey), docState.bucketIdOf(NDocsKey)))
           .filter(col("doc_id") < 0)
           .agg(
             coalesce(max(when(col("doc_id") === NDocsKey, col("n_tok"))), lit(0L)),
@@ -2025,20 +2077,22 @@ object IndexQueries {
     // the change batch feeds new entries, the touched-key set, the
     // live-stat deltas AND the doc-image rows — materialize it once
     val ch = graft.core.Prof.time(s"$auditSite/chkptCh") { ch0.localCheckpoint() }
-    val keys = ch.select(col("doc_id")).distinct().localCheckpoint()
+    // the changed docs' "@doc"-space bucket ids ride the keys checkpoint
+    // job as an observed collect_set (Fused) — the former separate
+    // bucket-id projection job per batch is gone
+    val (keys, keyBuckets) = graft.core.Fused.checkpointIntSet(
+      ch.select(col("doc_id")).distinct(),
+      index.bucketIdExpr(-col("doc_id") - lit(1)))
     // metadata: ONE bucket point read (the fixed seg = −1 key) yields the
     // remap and the per-origin live stats, both O(segments) driver
     // tables — the manifest-metadata class (Bounded-gated)
     // ONE point read covers both reserved spaces the batch needs: the
-    // fixed metadata key (seg = −1) and the changed docs' own "@doc"
-    // buckets — their seg-key sets share one bucket-id projection and
-    // one pruned scan
+    // fixed metadata key (seg = −1, its bucket id pure driver arithmetic)
+    // and the changed docs' own "@doc" buckets
     val reserved =
       if (!index.exists) None
       else Some(graft.core.Prof.time(s"$auditSite/reservedRead") {
-        index.readBuckets(
-            keys.select((-col("doc_id") - 1).as("seg"))
-              .unionByName(Seq(-1L).toDF("seg")))
+        index.readBucketIds(keyBuckets + index.bucketIdOf(-1L))
           .filter(col("seg") < 0).localCheckpoint()
       })
     val (remapM, liveByOrig): (Map[Long, Long], Map[Long, Long]) =
@@ -2099,19 +2153,22 @@ object IndexQueries {
       // checkpointed: touched0 feeds the bucket-id projection AND two
       // joins, and its upstream re-tokenizes every changed doc — three
       // re-evaluations measurably dominate the batch without this
-      val touched0 = (docView match {
-        case None => newEntries.select("term", "seg").distinct()
-        case Some(dv) =>
-          val oldEntries = remapSeg(docEntries(dv, segDiv))
-          newEntries.select("term", "seg")
-            .unionByName(oldEntries.select("term", "seg")).distinct()
-      }).localCheckpoint()
+      // the touched segments' bucket ids ride the touched0 checkpoint
+      // job (observed collect_set) — no separate projection job
+      val (touched0, touchedBuckets) = graft.core.Fused.checkpointIntSet(
+        docView match {
+          case None => newEntries.select("term", "seg").distinct()
+          case Some(dv) =>
+            val oldEntries = remapSeg(docEntries(dv, segDiv))
+            newEntries.select("term", "seg")
+              .unionByName(oldEntries.select("term", "seg")).distinct()
+        }, index.bucketIdExpr(col("seg")))
       val carried =
         if (!index.exists) newEntries
         else {
           // old posting rows of the touched pairs: a point read of the
           // touched SEGMENTS' buckets, never the whole sink
-          val old = index.readBuckets(touched0.select(col("seg")))
+          val old = index.readBucketIds(touchedBuckets)
             .filter(col("seg") >= 0)
             .join(touched0, Seq("term", "seg"))
             .select(col("term"), col("seg"), explode(col("plist")).as("p"))
@@ -2196,9 +2253,12 @@ object IndexQueries {
         val eligB = broadcast(elig)
         // stored rows of the merge-eligible segments only — a point read
         // of exactly their buckets (first-batch compaction: no stored rows)
+        // the merge plan is a driver value — its bucket ids are driver
+        // arithmetic (bucketIdOf), not a projection job
         val ds =
           if (!index.exists) rebuilt.limit(0)
-          else index.readBuckets(elig.select(col("seg"))).filter(col("seg") >= 0)
+          else index.readBucketIds(eligPlan.map(p => index.bucketIdOf(p._1)).toSet)
+            .filter(col("seg") >= 0)
         // post-batch entries of merge-eligible segments: untouched rows
         // as stored, touched rows from the batch's carried set
         val untouchedElig = ds.join(eligB, Seq("seg"))

@@ -135,13 +135,26 @@ object MiningQueries {
         .unionByName(mins.select(col("u"), col("m").as("v")))
       relink.filter(col("u") =!= col("v")).distinct()
     }
-    var edges = edges0.filter(col("u") =!= col("v")).localCheckpoint()
+    // distinct on entry: the convergence full-outer join below is 1:1
+    // only over SETS — a duplicate input edge would re-duplicate every
+    // matched row of the step and leak into the (vtx, root) output
+    // (identity for the result: CC of a multiset = CC of its set)
+    var edges = edges0.filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      changed = next.join(edges, Seq("u", "v"), "left_anti").count() +
-        edges.join(next, Seq("u", "v"), "left_anti").count()
-      edges = next
+      // convergence = empty symmetric difference. The step edges and the
+      // difference count come out of ONE checkpoint job (Fused): a
+      // full-outer marker join against the previous set replaces the
+      // former two anti-join count jobs per round — this loop is
+      // job-overhead-bound at bench scale, not data-bound
+      val step = smallStar(largeStar(edges))
+      val (jc, nDiff) = graft.core.Fused.checkpointCount(
+        step.withColumn("inN", lit(1))
+          .join(edges.select(col("u"), col("v")).withColumn("inE", lit(1)),
+            Seq("u", "v"), "full_outer"),
+        count(when(col("inN").isNull || col("inE").isNull, lit(1))))
+      changed = nDiff
+      edges = jc.filter(col("inN") === 1).select(col("u"), col("v"))
     }
     // fixpoint edges are (node, root) stars; roots label themselves
     verts.join(edges.select(col("u").as("vtx"), col("v").as("root")),
@@ -179,14 +192,17 @@ object MiningQueries {
         .join(lbl.select(col("vtx").as("u"), col("lbl").as("lu")), Seq("u"))
         .join(lbl.select(col("vtx").as("v"), col("lbl").as("lv")), Seq("v"))
         .filter(col("lu") =!= col("lv"))
-      val chosen = crossed.select(col("lu").as("l"), col("u"), col("v"))
-        .unionByName(crossed.select(col("lv").as("l"), col("u"), col("v")))
-        .groupBy(col("l")).agg(min(struct(col("u"), col("v"))).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v")).distinct()
-        .localCheckpoint()
-      n = chosen.count()
+      val (chosen, nChosen) = graft.core.Fused.checkpointCount(
+        crossed.select(col("lu").as("l"), col("u"), col("v"))
+          .unionByName(crossed.select(col("lv").as("l"), col("u"), col("v")))
+          .groupBy(col("l")).agg(min(struct(col("u"), col("v"))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v")).distinct(),
+        count(lit(1)))
+      n = nChosen
       if (n > 0) {
-        forest = forest.unionByName(chosen).localCheckpoint()
+        // union of checkpointed leaves — see hookForest: no per-round
+        // re-materialization of the growing forest
+        forest = forest.unionByName(chosen)
         val lgraph = chosen
           .join(lbl.select(col("vtx").as("u"), col("lbl").as("lu")), Seq("u"))
           .join(lbl.select(col("vtx").as("v"), col("lbl").as("lv")), Seq("v"))
@@ -244,24 +260,33 @@ object MiningQueries {
       // crossing set costs more than the full-scan pipeline it replaces,
       // which aggregates straight out of the canon checkpoint without
       // ever materializing the joined rows.)
-      val hooks = graft.core.Prof.time("fc/hooks") {
+      // hook count fused into the checkpoint job (Fused.checkpointCount):
+      // the former hooks.count() was a second job per round over blocks
+      // the checkpoint job had just produced — pure job overhead in a
+      // loop the scaling data shows is job-count-bound
+      val (hooks, nHooks) = graft.core.Prof.time("fc/hooks") {
         val cross = canon
           .join(lbl.select(col("vtx").as("u"), col("lbl").as("lu")), Seq("u"))
           .join(lbl.select(col("vtx").as("v"), col("lbl").as("lv")), Seq("v"))
           .filter(col("lu") =!= col("lv"))
           .select(least(col("lu"), col("lv")).as("la"),
             greatest(col("lu"), col("lv")).as("lb"), col("u"), col("v"))
-        cross.groupBy(col("lb"))
-          .agg(min(struct(col("la"), col("u"), col("v"))).as("h"))
-          .select(col("lb"), col("h.la").as("la"), col("h.u").as("u"), col("h.v").as("v"))
-          .localCheckpoint()
+        graft.core.Fused.checkpointCount(
+          cross.groupBy(col("lb"))
+            .agg(min(struct(col("la"), col("u"), col("v"))).as("h"))
+            .select(col("lb"), col("h.la").as("la"), col("h.u").as("u"), col("h.v").as("v")),
+          count(lit(1)))
       }
-      n = hooks.count()
+      n = nHooks
       if (n > 0) {
+        // no checkpoint: each round's hooks frame IS a checkpoint — the
+        // forest is a shallow union of ≤ log V checkpointed leaves, and
+        // re-materializing the growing union cost one O(|forest|) job
+        // per round for lineage the leaves already truncate
         forest = forest.unionByName(hooks.select(col("u"), col("v")))
-          .localCheckpoint()
+        // a projection of the checkpointed hooks frame — the former
+        // copy-checkpoint was one more job per round for nothing
         var ptr = hooks.select(col("lb").as("x"), col("la").as("p"))
-          .localCheckpoint()
         var m = 1L
         while (m > 0) graft.core.Prof.time("fc/doubling") {
           // one materialization per doubling step: the changed flag rides
@@ -272,12 +297,15 @@ object MiningQueries {
           // one job — was A/B-measured SLOWER here: 22.7 s vs 14.4 s
           // warm at sf0.1; the doubled self-join re-evaluation taxes
           // every stage more than the saved checkpoint+count round trip.)
-          val nxt = ptr.as("a")
-            .join(ptr.select(col("x").as("p"), col("p").as("pp")), Seq("p"), "left")
-            .select(col("x"), coalesce(col("pp"), col("p")).as("p"),
-              (col("pp").isNotNull && col("pp") =!= col("p")).as("chg"))
-            .localCheckpoint()
-          m = nxt.filter(col("chg")).count()
+          // the changed count rides the checkpoint job too — one job per
+          // doubling step instead of two
+          val (nxt, mChg) = graft.core.Fused.checkpointCount(
+            ptr.as("a")
+              .join(ptr.select(col("x").as("p"), col("p").as("pp")), Seq("p"), "left")
+              .select(col("x"), coalesce(col("pp"), col("p")).as("p"),
+                (col("pp").isNotNull && col("pp") =!= col("p")).as("chg")),
+            count(when(col("chg"), lit(1))))
+          m = mChg
           ptr = nxt.select(col("x"), col("p"))
         }
         lbl = graft.core.Prof.time("fc/relabel") {
@@ -401,9 +429,11 @@ object MiningQueries {
       edgeSink.merge(delta
         .withColumn("op", lit(graft.core.ChangeLog.Insert)).withColumn("seq", lit(b)))
       // labels of the delta's endpoints only — a batch-sized point read
-      val dv = delta.select(explode(array(col("u"), col("v"))).as("vtx"))
-        .distinct().localCheckpoint()
-      val lab = labels.readBuckets(dv).join(dv, Seq("vtx"), "left_semi")
+      // whose bucket ids ride the endpoint checkpoint job (Fused)
+      val (dv, dvBuckets) = graft.core.Fused.checkpointIntSet(
+        delta.select(explode(array(col("u"), col("v"))).as("vtx")).distinct(),
+        labels.bucketIdExpr())
+      val lab = labels.readBucketIds(dvBuckets).join(dv, Seq("vtx"), "left_semi")
         .select(col("vtx"), col("lbl"))
       // one representative (min) edge per distinct crossing label pair —
       // the tree-edge candidates; which of them BECOME tree edges is the
@@ -428,8 +458,11 @@ object MiningQueries {
       val newV = dv.join(lab, Seq("vtx"), "left_anti")
       val mdf = broadcast(mapping.toSeq.toDF("old_lbl", "new_lbl"))
       // postings of the merging labels only (bucketed on lbl): the moved
-      // set is ∝ the merging components, read via their buckets
-      val moved = postings.readBuckets(mapping.keys.toSeq.toDF("lbl"))
+      // set is ∝ the merging components. The merge mapping is a driver
+      // value — its bucket ids are driver arithmetic (bucketIdOf), not a
+      // projection job over a driver-created frame
+      val moved = postings.readBucketIds(
+          mapping.keys.map(k => postings.bucketIdOf(k)).toSet)
         .select(col("lbl"), col("vtx"))
         .join(mdf, col("lbl") === col("old_lbl")).localCheckpoint()
       val newRows = newV
@@ -457,7 +490,11 @@ object MiningQueries {
       * at least one deleted edge was a certificate (tree) edge.
       */
     def delete(b: Long, dels0: DataFrame): Boolean = graft.core.Prof.time("forestcut/delete") {
-      val dels = dels0.localCheckpoint()
+      // the deleted edges' u-bucket ids (the certificate probe's read
+      // set — forest and edgeSink share the u-bucket layout) ride the
+      // batch checkpoint job
+      val (dels, delBuckets) = graft.core.Fused.checkpointIntSet(
+        dels0, forest.bucketIdExpr(col("u")))
       // certificate probe ∝ batch: only the deleted edges' u-buckets of
       // the forest are read (the sink buckets on u for exactly this) —
       // the fast path never scans V-sized certificate state
@@ -465,21 +502,26 @@ object MiningQueries {
       // (edge sink) are independent — run them concurrently; everything
       // downstream (scope reads post-delete live edges) waits on both
       var treeDel: DataFrame = null
+      var nTreeDel = 0L
       graft.core.Par.run(
-        () => treeDel = graft.core.Prof.time("fc/probe") {
-          val fNow = forest.readBuckets(dels.select(col("u")))
+        () => graft.core.Prof.time("fc/probe") {
+          val fNow = forest.readBucketIds(delBuckets)
             .select(col("u"), col("v"))
           // cutEnabled=false treats EVERY delete as a certificate hit — the
           // rebuild-every-batch twin on identical inputs (the ScaleStress
           // forestcut block measures the pair)
-          (if (cutEnabled) dels.join(fNow, Seq("u", "v"), "left_semi") else dels)
-            .localCheckpoint()
+          // emptiness check fused into the checkpoint job (the former
+          // isEmpty was a second job per deletion batch)
+          val (td, n) = graft.core.Fused.checkpointCount(
+            if (cutEnabled) dels.join(fNow, Seq("u", "v"), "left_semi") else dels,
+            count(lit(1)))
+          treeDel = td; nTreeDel = n
         },
         () => graft.core.Prof.time("fc/edgemerge") {
           edgeSink.merge(dels
             .withColumn("op", lit(graft.core.ChangeLog.Delete)).withColumn("seq", lit(b)))
         })
-      if (treeDel.isEmpty) {
+      if (nTreeDel == 0L) {
         // the cut: every deleted edge is non-tree — the live forest still
         // spans every touched component, so no label can change
         nSkipped += 1
@@ -492,20 +534,29 @@ object MiningQueries {
         // rebuild's reads are ∝ affected components, not V/E
         var scopeIds: Set[Int] = Set.empty
         val (scopeV, scopedE) = graft.core.Prof.time("fc/scope") {
-          val endp = treeDel.select(explode(array(col("u"), col("v"))).as("vtx"))
-            .distinct().localCheckpoint()
-          val lab = labels.readBuckets(endp).select(col("vtx"), col("lbl"))
-          val affected = endp.join(lab, Seq("vtx"))
-            .select(col("lbl")).distinct().localCheckpoint()
-          val sv = postings.readBuckets(affected)
-            .join(broadcast(affected), Seq("lbl"))
-            .select(col("vtx"), col("lbl").as("old_lbl")).localCheckpoint()
-          val scopeU = sv.select(col("vtx").as("u")).localCheckpoint()
-          // edges and forest share the u-bucket layout: ONE bucket-id job
-          // serves this read and the forest rewrite's oldF read below
-          scopeIds = edgeSink.bucketIds(scopeU)
+          // every bucket-id projection in this scope walk rides the
+          // checkpoint job of the frame it projects (Fused observed
+          // collect_set) — 7 driver-blocking jobs (3 checkpoints + 3
+          // bucket-id collects + a scopeU copy) fused down to 3
+          val (endp, endpBuckets) = graft.core.Fused.checkpointIntSet(
+            treeDel.select(explode(array(col("u"), col("v"))).as("vtx"))
+              .distinct(),
+            labels.bucketIdExpr())
+          val lab = labels.readBucketIds(endpBuckets).select(col("vtx"), col("lbl"))
+          val (affected, affBuckets) = graft.core.Fused.checkpointIntSet(
+            endp.join(lab, Seq("vtx")).select(col("lbl")).distinct(),
+            postings.bucketIdExpr())
+          // edges and forest share the u-bucket layout: the scope's
+          // u-bucket ids (observed on sv's checkpoint) serve this read
+          // AND the forest rewrite's oldF read below
+          val (sv, svBuckets) = graft.core.Fused.checkpointIntSet(
+            postings.readBucketIds(affBuckets)
+              .join(broadcast(affected), Seq("lbl"))
+              .select(col("vtx"), col("lbl").as("old_lbl")),
+            edgeSink.bucketIdExpr(col("vtx")))
+          scopeIds = svBuckets
           val se = edgeSink.readBucketIds(scopeIds) // post-delete live edges
-            .join(scopeU, Seq("u"), "left_semi")
+            .join(sv.select(col("vtx").as("u")), Seq("u"), "left_semi")
             .select(col("u"), col("v"))
           (sv, se)
         }
@@ -816,11 +867,12 @@ object MiningQueries {
       while (changed > 0) {
         val nb = ue.join(state, ue("src") === state("vtx"))
           .groupBy(col("dst")).agg(min(col("lbl")).as("m"))
-        val next = state.join(nb, state("vtx") === nb("dst"), "left")
-          .select(col("vtx"), col("lbl").as("lbl_old"),
-            least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-        changed = next.filter(col("lbl") =!= col("lbl_old")).count()
+        val (next, nChanged) = graft.core.Fused.checkpointCount(
+          state.join(nb, state("vtx") === nb("dst"), "left")
+            .select(col("vtx"), col("lbl").as("lbl_old"),
+              least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl")),
+          count(when(col("lbl") =!= col("lbl_old"), lit(1))))
+        changed = nChanged
         state = next.select(col("vtx"), col("lbl"))
       }
       ue.unpersist(false)
@@ -1349,11 +1401,12 @@ object MiningQueries {
               while (changed > 0) {
                 val nb = ue.join(state, ue("src") === state("vtx"))
                   .groupBy(col("dst")).agg(min(col("lbl")).as("m"))
-                val next = state.join(nb, state("vtx") === nb("dst"), "left")
-                  .select(col("vtx"), col("lbl").as("lbl_old"),
-                    least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"))
-                  .localCheckpoint()
-                changed = next.filter(col("lbl") =!= col("lbl_old")).count()
+                val (next, nChanged) = graft.core.Fused.checkpointCount(
+                  state.join(nb, state("vtx") === nb("dst"), "left")
+                    .select(col("vtx"), col("lbl").as("lbl_old"),
+                      least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl")),
+                  count(when(col("lbl") =!= col("lbl_old"), lit(1))))
+                changed = nChanged
                 state = next.select(col("vtx"), col("lbl"))
               }
               ue.unpersist(false)

@@ -1726,11 +1726,13 @@ object ScaleOpsQueries {
     var l = 0
     var done = false
     while (l < LshSplitLevels && !done) {
-      val over = cur.groupBy(col("tbl"), col("nbits"), col("bucket"))
-        .agg(count(lit(1)).as("n")).filter(col("n") > cap)
-        .select(col("tbl"), col("nbits"), col("bucket"), lit(1).as("ovr"))
-        .localCheckpoint()
-      if (over.isEmpty) done = true
+      // emptiness rides the checkpoint job (one job per split level, not two)
+      val (over, nOver) = graft.core.Fused.checkpointCount(
+        cur.groupBy(col("tbl"), col("nbits"), col("bucket"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+          .select(col("tbl"), col("nbits"), col("bucket"), lit(1).as("ovr")),
+        count(lit(1)))
+      if (nOver == 0L) done = true
       else {
         cur = cur.join(broadcast(over), Seq("tbl", "nbits", "bucket"), "left")
           .select(col("vec_id"), col("tbl"), col("sbp"),
@@ -2087,23 +2089,27 @@ object ScaleOpsQueries {
       case Some(und) =>
         und.join(keys.select(col("u")).distinct(), Seq("u"), "left_semi")
       case None =>
-        val k = keys.select(col("u")).distinct().localCheckpoint()
-        val wanted = graph.bucketIds(k)
+        // the key set's bucket ids ride its checkpoint job (Fused)
+        val (k, wanted) = graft.core.Fused.checkpointIntSet(
+          keys.select(col("u")).distinct(), graph.bucketIdExpr())
         graph.readBucketIds(wanted).join(k, Seq("u"), "left_semi")
           .select(col("u"), explode(col("nbrs")).as("v"))
           .unionByName(rev.readBucketIds(wanted).join(k, Seq("u"), "left_semi")
             .select(col("u"), explode(col("rnbrs")).as("v")))
           .distinct()
     }
-    val chKeys = chg.select(col("vec_id"))
-      .unionByName(delIds).distinct().localCheckpoint()
+    // the change keys' vec-bucket ids (for the old-image point read
+    // below) ride the key checkpoint job (Fused)
+    val (chKeys, chKeyBuckets) = graft.core.Fused.checkpointIntSet(
+      chg.select(col("vec_id")).unionByName(delIds).distinct(),
+      vecs.bucketIdExpr())
     // old undirected edges at the change keys, pinned BEFORE any merge
     val undCh = undFor(chKeys.withColumnRenamed("vec_id", "u")).localCheckpoint()
     // PRE-merge read of the change keys' old images: these are
     // the LSH index's departures (old positions vacate), and the
     // previously-live/new split drives the maintained live count —
     // ONE tagged job derives both deltas
-    val oldImgs = (if (bulk) vecs.read() else vecs.readBuckets(chKeys))
+    val oldImgs = (if (bulk) vecs.read() else vecs.readBucketIds(chKeyBuckets))
       .join(chKeys, Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     // a (tag × existed) contingency table: structurally ≤ 4 rows
@@ -2179,29 +2185,35 @@ object ScaleOpsQueries {
     meta.merge(Seq(("entry", bufIds.sorted)).toDF("k", "ids")
       .withColumn("op", lit(graft.core.ChangeLog.Update))
       .withColumn("seq", lit(b)))
-    val touched0 = chg.select(col("vec_id").as("u"))
-      .unionByName(undCh.select(col("v").as("u")))
-      .distinct().localCheckpoint()
+    // touched keys + their vec-bucket ids in one checkpoint job (Fused)
+    val (touched0, touched0Buckets) = graft.core.Fused.checkpointIntSet(
+      chg.select(col("vec_id").as("u"))
+        .unionByName(undCh.select(col("v").as("u")))
+        .distinct(),
+      vecs.bucketIdExpr(col("u")))
     // post-merge liveness filter of the touched keys. Point mode reads
     // the touched buckets once and KEEPS the images (the delta-path
     // mates descend needs current embeddings); bulk mode materializes
     // ids only — its mates come from the rebuild's own assignment frame,
     // so copying embeddings into a second checkpoint would be waste.
     val tvecPoint = if (bulk) None else Some(
-      vecs.readBuckets(touched0.select(col("u").as("vec_id")))
+      vecs.readBucketIds(touched0Buckets)
         .join(touched0.select(col("u").as("vec_id")), Seq("vec_id"), "left_semi")
         .localCheckpoint())
     val touched = tvecPoint match {
-      case Some(tv) => tv.select(col("vec_id").as("u")).localCheckpoint()
+      // a projection of the checkpointed tv — no copy-checkpoint job
+      case Some(tv) => tv.select(col("vec_id").as("u"))
       case None => liveAll.get.select(col("vec_id").as("u"))
         .join(touched0, Seq("u"), "left_semi").localCheckpoint()
     }
     // old forward lists of every vertex whose list will change —
     // pinned pre-merge; these edges' endpoints are the rev delta scope
-    val changedV = touched
-      .unionByName(delIds.select(col("vec_id").as("u")))
-      .distinct().localCheckpoint()
-    val fwdOld = (if (bulk) graph.read() else graph.readBuckets(changedV))
+    val (changedV, changedVBuckets) = graft.core.Fused.checkpointIntSet(
+      touched
+        .unionByName(delIds.select(col("vec_id").as("u")))
+        .distinct(),
+      graph.bucketIdExpr())
+    val fwdOld = (if (bulk) graph.read() else graph.readBucketIds(changedVBuckets))
       .join(changedV, Seq("u"), "left_semi")
       .select(col("u").as("w"), explode(col("nbrs")).as("a")).localCheckpoint()
     val oneHop = undFor(touched).localCheckpoint()
@@ -2239,10 +2251,11 @@ object ScaleOpsQueries {
     val qv = liveAll match {
       case Some(la) => la.select(col("vec_id"), col("q"))
       case None =>
-        val candIds = cand.select(col("u").as("vec_id"))
-          .unionByName(cand.select(col("v").as("vec_id"))).distinct()
-          .localCheckpoint()
-        vecs.readBuckets(candIds).join(candIds, Seq("vec_id"), "left_semi")
+        val (candIds, candBuckets) = graft.core.Fused.checkpointIntSet(
+          cand.select(col("u").as("vec_id"))
+            .unionByName(cand.select(col("v").as("vec_id"))).distinct(),
+          vecs.bucketIdExpr())
+        vecs.readBucketIds(candBuckets).join(candIds, Seq("vec_id"), "left_semi")
           .select(col("vec_id"), col("q")).localCheckpoint()
     }
     val wK = Window.partitionBy(col("u")).orderBy(col("dd").asc, col("v").asc)
@@ -2294,19 +2307,22 @@ object ScaleOpsQueries {
       bulkLive: Option[DataFrame] = None,
       bulkRev: Option[DataFrame] = None): Unit = {
     val fwdNew = rows.select(col("u").as("w"), explode(col("nbrs")).as("a"))
-    val affected0 = fwdOld.select(col("a"))
-      .unionByName(fwdNew.select(col("a"))).distinct().localCheckpoint()
+    // both point reads' bucket ids ride the checkpoint jobs that produce
+    // their key frames (Fused observed collect_set)
+    val (affected0, aff0Buckets) = graft.core.Fused.checkpointIntSet(
+      fwdOld.select(col("a")).unionByName(fwdNew.select(col("a"))).distinct(),
+      vecs.bucketIdExpr(col("a")))
     // liveness via the caller's shared bulk frame (batch ≈ corpus: the
     // affected set spans most buckets, pruning buys nothing) or a point
     // read of the affected keys' buckets
-    val affected = affected0.join(
-        bulkLive.getOrElse(
-            vecs.readBuckets(affected0.select(col("a").as("vec_id"))))
+    val (affected, affBuckets) = graft.core.Fused.checkpointIntSet(
+      affected0.join(
+        bulkLive.getOrElse(vecs.readBucketIds(aff0Buckets))
           .select(col("vec_id").as("a")),
-        Seq("a"), "left_semi")
-      .localCheckpoint()
+        Seq("a"), "left_semi"),
+      rev.bucketIdExpr(col("a")))
     val affKeys = affected.select(col("a").as("u"))
-    val revOld = bulkRev.getOrElse(rev.readBuckets(affKeys))
+    val revOld = bulkRev.getOrElse(rev.readBucketIds(affBuckets))
       .join(affKeys, Seq("u"), "left_semi")
       .select(col("u").as("a"), explode(col("rnbrs")).as("w"))
     val kept = revOld.join(changedV.select(col("u").as("w")), Seq("w"), "left_anti")
@@ -2409,10 +2425,14 @@ object ScaleOpsQueries {
     def score(cand0: DataFrame): DataFrame = {
       // one materialization: cand feeds the candidate-bucket projection
       // AND the scoring join — without it each consumer re-reads the
-      // hop's pruned parquet frames (measured ~2 s/round at sf0.1)
-      val cand = cand0.localCheckpoint()
+      // hop's pruned parquet frames (measured ~2 s/round at sf0.1).
+      // The candidate buckets ride the SAME checkpoint job as an
+      // observed collect_set — the former separate bucket-id collect
+      // job per scoring round is gone.
+      val (cand, cbuckets) = graft.core.Fused.checkpointIntSet(
+        cand0, vecP.bucketIdExpr(col("v")))
       val cids = cand.select(col("v").as("vec_id")).distinct()
-      val cvec = vecP.readBuckets(cids).join(cids, Seq("vec_id"), "left_semi")
+      val cvec = vecP.readBucketIds(cbuckets).join(cids, Seq("vec_id"), "left_semi")
         .select(col("vec_id").as("v"), col("q").as("qv"))
       cand.join(qvec, Seq("qid"))
         .join(cvec, Seq("v"))
@@ -2431,15 +2451,14 @@ object ScaleOpsQueries {
       // semi-joins — its distinct is a shuffle, and re-evaluating it
       // three times per hop measurably loses to the one checkpoint job
       // (A/B'd this round)
-      val frontier = graft.core.Prof.time(s"beamserve/frontier$h") {
-        beam.select(col("v").as("u")).distinct().localCheckpoint()
-      }
       // undirected hop = forward lists ∪ reverse lists of the frontier,
       // both bucket-pruned point reads (no epoch-rebuilt und artifact);
       // the two sinks share one (bucketBy, numBuckets) layout, so the
-      // frontier's bucket-id projection is ONE job shared by both
-      val wanted = graft.core.Prof.time(s"beamserve/wanted$h") {
-        graph.bucketIds(frontier)
+      // frontier's bucket ids are observed ON the frontier checkpoint
+      // job — one job per hop where checkpoint + bucket collect were two
+      val (frontier, wanted) = graft.core.Prof.time(s"beamserve/frontier$h") {
+        graft.core.Fused.checkpointIntSet(
+          beam.select(col("v").as("u")).distinct(), graph.bucketIdExpr())
       }
       val out = graph.readBucketIds(wanted)
         .join(frontier, Seq("u"), "left_semi")
@@ -2768,8 +2787,11 @@ object ScaleOpsQueries {
       // √N_live so C does too (the bounded .count() is a 1-row aggregate)
       val live = idxSink.read()
       val cap = annSplitCapFor(live.count())
-      val over = live.groupBy(col("cell")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > cap).select(col("cell")).localCheckpoint()
+      // the over.count() gate below rides this checkpoint job
+      val (over, nOver) = graft.core.Fused.checkpointCount(
+        live.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > cap).select(col("cell")),
+        count(lit(1)))
       // retired-centroid archive (the TTL-export discipline): the split
       // parents' centroid images leave the serving sink in the SAME
       // merge that retires them (the Delete rows below — retention
@@ -2783,7 +2805,7 @@ object ScaleOpsQueries {
         .select(col("cell"), col("cv")).withColumn("xbatch", lit(b))
         .localCheckpoint()
       retired.coalesce(1).write.mode("overwrite").parquet(s"$work/retired/b$b")
-      if (over.count() > 0) {
+      if (nOver > 0) {
         val members = live.join(broadcast(over), Seq("cell")).localCheckpoint()
         val s0 = members.groupBy(col("cell")).agg(min(col("vec_id")).as("s0id"))
         val q0 = s0.join(members.select(col("vec_id").as("s0id"), col("q").as("q0")),
