@@ -2163,24 +2163,55 @@ object IndexQueries {
             newEntries.select("term", "seg")
               .unionByName(oldEntries.select("term", "seg")).distinct()
         }, index.bucketIdExpr(col("seg")))
-      val carried =
-        if (!index.exists) newEntries
+      // DELTA PLISTS: only the BATCH's entries are re-aggregated
+      // (batch-sized shuffle); stored postings of the touched pairs are
+      // updated with per-row array ops — filter out departures, concat
+      // arrivals, array_sort — instead of explode → shuffle →
+      // collect_list over every touched plist (the former rebuild
+      // shuffled |touched pairs| × plist-length rows and paid a
+      // non-codegen ObjectHashAggregate per pair). Correct because a
+      // doc's stored entries live ONLY in its current remapped segment
+      // (compaction physically moves rows in the same commit that
+      // rewrites the remap metadata), so a pair's departures are exactly
+      // the changed docs mapping to its segment; kept ∪ new is
+      // doc-disjoint (kept drops ALL changed docs, new has only changed
+      // docs), and sorting the concat of two sorted arrays equals the
+      // former sort of the union multiset. Asserted across random
+      // schedules by the compacting-walk postings-multiset spec.
+      val newAgg = newEntries.groupBy(col("term"), col("seg"))
+        .agg(expr("sort_array(collect_list(struct(doc_id, tf)))").as("nw"))
+      val rebuilt0 =
+        if (!index.exists)
+          newAgg.select(col("term"), col("seg"),
+            size(col("nw")).cast("bigint").as("n_docs"), col("nw").as("plist"))
         else {
-          // old posting rows of the touched pairs: a point read of the
-          // touched SEGMENTS' buckets, never the whole sink
-          val old = index.readBucketIds(touchedBuckets)
+          // per-segment changed-doc arrays (batch-sized, broadcast)
+          val kdelBySeg = remapSeg(
+              keys.withColumn("seg", expr(s"doc_id div $segDiv")))
+            .groupBy(col("seg"))
+            .agg(sort_array(collect_set(col("doc_id"))).as("kdel"))
+          val oldKept = index.readBucketIds(touchedBuckets)
             .filter(col("seg") >= 0)
             .join(touched0, Seq("term", "seg"))
-            .select(col("term"), col("seg"), explode(col("plist")).as("p"))
+            .join(broadcast(kdelBySeg), Seq("seg"), "left")
             .select(col("term"), col("seg"),
-              col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
-            .join(keys, Seq("doc_id"), "left_anti")
-            .select(col("term"), col("doc_id"), col("tf"), col("seg"))
-          old.unionByName(newEntries)
+              when(col("kdel").isNull, col("plist"))
+                .otherwise(expr(
+                  "filter(plist, p -> NOT array_contains(kdel, p.doc_id))"))
+                .as("kept"))
+          // kept/nw are each sorted; a pair missing one side keeps the
+          // other as-is (no typed-empty-array gymnastics), a pair whose
+          // plist empties out is dropped → the left join below yields
+          // the null-n_docs delete marker exactly as before
+          oldKept.join(newAgg, Seq("term", "seg"), "full")
+            .select(col("term"), col("seg"),
+              when(col("kept").isNull, col("nw"))
+                .when(col("nw").isNull, col("kept"))
+                .otherwise(expr("array_sort(concat(kept, nw))")).as("plist"))
+            .filter(size(col("plist")) > 0)
+            .select(col("term"), col("seg"),
+              size(col("plist")).cast("bigint").as("n_docs"), col("plist"))
         }
-      val rebuilt0 = carried.groupBy(col("term"), col("seg"))
-        .agg(count(lit(1)).as("n_docs"),
-          expr("sort_array(collect_list(struct(doc_id, tf)))").as("plist"))
       touched0.join(rebuilt0, Seq("term", "seg"), "left").localCheckpoint()
     }
     def segStatsThunk(): Seq[(Long, Long)] = graft.core.Prof.time(s"$auditSite/segStats") {
